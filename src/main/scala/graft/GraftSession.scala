@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the scale-aware defaults every entry point shares.
+  *
+  * Local testing runs `local[32]`, but every knob is chosen as if the same
+  * plan ran on a 1000-executor cluster: AQE on (runtime coalesce + skew-join
+  * splitting), shuffle partitions sized to the parallelism rather than the
+  * 200 default, and UTC so date bucketing is deterministic.
+  */
+object GraftSession {
+  def builder(appName: String, cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
+      // read as Long ns and convert (Tables.events) exactly like DuckDB's
+      // truncate-to-micros behavior.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = builder(appName, cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md).
+  * One parquet file per table under the scale-factor dir.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS); with
+    * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as Long ns since
+    * epoch. Truncate to micros (same as DuckDB's read) and expose a real
+    * timestamp column.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+    else df
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: for each query output
+parquet under OUTDIR, run the oracle SQL in DuckDB against the same
+testdata tables and compare (columns sorted by name, rows sorted, values
+hashed). Usage: check.py SFDIR OUTDIR
+"""
+import sys, json, glob, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fail = ok = 0
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        print(f"  {name}: NO OUTPUT"); fail += 1; continue
+    got = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
+    got = got.reindex(sorted(got.columns), axis=1)
+    if name not in oracle:
+        print(f"  {name}: rows-only ({len(got)} rows)" +
+              (" EMPTY!" if len(got) == 0 else ""))
+        continue
+    try:
+        exp = con.execute(oracle[name]).df()
+    except Exception as e:
+        print(f"  {name}: ORACLE SQL ERROR: {e}"); fail += 1; continue
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        print(f"  {name}: SCHEMA MISMATCH got={list(got.columns)} exp={list(exp.columns)}")
+        fail += 1; continue
+    if len(got) != len(exp):
+        print(f"  {name}: ROWCOUNT got={len(got)} exp={len(exp)}")
+        fail += 1; continue
+    gs = got.sort_values(list(got.columns)).reset_index(drop=True)
+    es = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    gh = [tuple(str(v) for v in r) for r in gs.itertuples(index=False)]
+    eh = [tuple(str(v) for v in r) for r in es.itertuples(index=False)]
+    if gh == eh:
+        print(f"  {name}: OK ({len(got)} rows)"); ok += 1
+    else:
+        diff = [(a, b) for a, b in zip(gh, eh) if a != b][:3]
+        print(f"  {name}: VALUE MISMATCH e.g. {diff}")
+        fail += 1
+print(f"== {ok} ok, {fail} fail ==")
+sys.exit(1 if fail else 0)
