@@ -1,9 +1,18 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{...}} for the driver.
-  * Timing = full query execution materialized via count() (no collect of
-  * wide rows; results never leave the executors).
+  * emits ONE JSON line {"metric":...,"queries":{...}} for the driver —
+  * both on stdout and to bench_out.json (sbt log noise buried the stdout
+  * line in round 1; the file is the reliable channel).
+  *
+  * Timing = full materialization via the noop sink (every row produced on
+  * the executors, nothing collected). count() would let column pruning
+  * skip most of the work for projection-heavy queries.
+  *
+  * A query that throws is reported as -1 in "queries" and listed in
+  * "errors" — never as a fake-fast timing.
   */
 object Bench {
   /** The heavier, shuffle/join/window-shaped subset of the inventory. */
@@ -21,16 +30,31 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
+    var errors = List.empty[String]
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -30,7 +30,10 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      // Integer division, not floor(double): 2020s ns epochs (~1.7e18)
+      // exceed double's 53-bit mantissa and would round across µs
+      // boundaries; `div` matches DuckDB's exact integer truncation.
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -27,8 +27,10 @@ for name in sorted(os.listdir(outdir)):
     got = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
     got = got.reindex(sorted(got.columns), axis=1)
     if name not in oracle:
-        print(f"  {name}: rows-only ({len(got)} rows)" +
-              (" EMPTY!" if len(got) == 0 else ""))
+        if len(got) == 0:
+            print(f"  {name}: rows-only EMPTY!"); fail += 1
+        else:
+            print(f"  {name}: rows-only ({len(got)} rows)"); ok += 1
         continue
     try:
         exp = con.execute(oracle[name]).df()
