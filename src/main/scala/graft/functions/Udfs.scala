@@ -1,0 +1,60 @@
+package graft.functions
+
+import java.time.LocalDate
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** UDF wrappers for the Parse kernel's irreducible multi-strategy parsers
+  * (SURVEY §2.10): pure String => Option functions, so null-in/null-out is
+  * automatic. Year-dependent parsers are factories taking the asOfYear the
+  * job pins (never wall clock).
+  *
+  * Everything that CAN be a built-in Column expression lives in [[Cleaners]]
+  * instead — these UDFs are the short list the reference's control flow
+  * genuinely requires, kept out of hot scan paths where possible.
+  */
+object Udfs {
+
+  val toNumber: UserDefinedFunction = udf(Parse.toNumber _)
+  val fixPrice: UserDefinedFunction = udf(Parse.fixPrice _)
+  val reExtractPrice: UserDefinedFunction = udf(Parse.reExtractPrice _)
+  val findLandSize: UserDefinedFunction = udf(Parse.findLandSize _)
+  val findBuildSize: UserDefinedFunction = udf(Parse.findBuildSize _)
+  val landsizeExtractor: UserDefinedFunction = udf(Parse.landsizeExtractor _)
+  val buildsizeExtractor: UserDefinedFunction = udf(Parse.buildsizeExtractor _)
+  val getUploadedDate: UserDefinedFunction = udf(Parse.getUploadedDate _)
+  val findBedroomsInDescription: UserDefinedFunction =
+    udf(Parse.findBedroomsInDescription _)
+  val extractCurrency: UserDefinedFunction = udf(Parse.extractCurrency _)
+  val areToSqm: UserDefinedFunction = udf(Parse.areToSqm _)
+  val findLocationInDescription: UserDefinedFunction =
+    udf(Parse.findLocationInDescription _)
+
+  def countLeaseYears(asOfYear: Int): UserDefinedFunction =
+    udf((s: String) => Parse.countLeaseYears(s, asOfYear))
+  def findLeaseYears(asOfYear: Int): UserDefinedFunction =
+    udf((s: String) => Parse.findLeaseYears(s, asOfYear))
+  def searchLeaseholdYears(asOfYear: Int): UserDefinedFunction =
+    udf((s: String) => Parse.searchLeaseholdYears(s, asOfYear))
+  def leaseholdYearsFinders(asOfYear: Int): UserDefinedFunction =
+    udf((s: String) => Parse.leaseholdYearsFinders(s, asOfYear))
+  def findYears(asOfYear: Int): UserDefinedFunction =
+    udf((s: String) => Parse.findYears(s, asOfYear))
+  def ubudFindLeaseholdYears(asOfYear: Int): UserDefinedFunction =
+    udf((s: String) => Parse.ubudFindLeaseholdYears(s, asOfYear))
+  def timeAgoToDatetime(asOf: LocalDate): UserDefinedFunction =
+    udf((s: String) => Parse.timeAgoToDatetime(s, asOf))
+
+  /** Register the fixed-arity UDFs for spark.sql use. */
+  def register(spark: SparkSession, asOfYear: Int): Unit = {
+    spark.udf.register("graft_to_number", toNumber)
+    spark.udf.register("graft_fix_price", fixPrice)
+    spark.udf.register("graft_re_extract_price", reExtractPrice)
+    spark.udf.register("graft_find_land_size", findLandSize)
+    spark.udf.register("graft_find_build_size", findBuildSize)
+    spark.udf.register("graft_get_uploaded_date", getUploadedDate)
+    spark.udf.register("graft_extract_currency", extractCurrency)
+    spark.udf.register("graft_lease_years", leaseholdYearsFinders(asOfYear))
+  }
+}
