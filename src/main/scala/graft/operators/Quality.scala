@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality rules → tags (SURVEY §2.8): the reference's 12-rule
+  * `identify_issues` (models/property.py:70-138), off-plan detection
+  * (models/property.py:61-68,140-153) and land-zoning classification
+  * (models/property.py:155-194) as pure Column expressions — rule table →
+  * array(when(...)) → filter → explode, no per-row session work.
+  */
+object Quality {
+
+  /** The 12 issue rules in reference order (models/property.py:71-122).
+    * Python truthiness: `not self.bedrooms` is true for null AND 0.
+    */
+  def issueRules: Seq[(String, DataFrame => Column)] = Seq(
+    ("has_more_than_13_bedrooms",
+      df => df("bedrooms").isNotNull && df("bedrooms") =!= 0 && df("bedrooms") >= 13),
+    ("no_bedrooms",
+      df => (df("bedrooms").isNull || df("bedrooms") === 0) &&
+        !(df("property_type") <=> "Land")),
+    ("no_price", df => df("price") === 0),
+    ("no_title", df => df("title").isNull || df("title") === "" || df("title") === "N/A"),
+    ("no_description", df => df("description").isNull || df("description") === ""),
+    ("no_location", df => df("location").isNull || df("location") === ""),
+    ("build_size_greater_than_land_size",
+      df => df("build_size").isNotNull && df("build_size") =!= 0 &&
+        df("land_size").isNotNull && df("land_size") =!= 0 &&
+        df("build_size") > df("land_size")),
+    ("no_leasehold_years",
+      df => df("contract_type") <=> "Leasehold" &&
+        (df("leasehold_years").isNull || df("leasehold_years") === 0)),
+    ("not_available", df => !(df("availability") <=> "Available")),
+    ("unknown_property_type",
+      df => !df("property_type").isin("Villa", "House", "Land", "Apartment",
+        "Hotel", "Townhouse", "Commercial", "Loft") || df("property_type").isNull),
+    ("land_with_bedrooms",
+      df => df("property_type") <=> "Land" && df("bedrooms").isNotNull &&
+        df("bedrooms") > 0),
+    ("unknown_contract_type",
+      df => !df("contract_type").isin("Freehold", "Leasehold", "Rental") ||
+        df("contract_type").isNull),
+    ("no_land_zoning",
+      df => df("property_type") <=> "Land" &&
+        (df("land_zoning").isNull || df("land_zoning") === "")))
+
+  /** Append an `issues` array column (distinct labels, reference order). */
+  def withIssues(df: DataFrame): DataFrame =
+    df.withColumn("issues",
+      filter(array(issueRules.map { case (label, cond) =>
+        when(cond(df), lit(label))
+      }: _*), _.isNotNull))
+
+  /** issues → one Tag row per (id, issue) — the explode that replaces the
+    * reference's per-item Tag inserts. Unique-constraint (property_id,
+    * name) holds by construction since issues is a set per row.
+    */
+  def explodeTags(df: DataFrame, idCol: String = "id"): DataFrame =
+    withIssues(df)
+      .select(col(idCol).as("property_id"), explode(col("issues")).as("name"))
+
+  /** Tag workflow sync (models/property.py:124-138): stale tags (present
+    * before, not re-identified) flip is_solved; brand-new (property, name)
+    * pairs are inserted. Both are joins, not per-row merges.
+    */
+  def syncTags(existing: DataFrame, fresh: DataFrame): DataFrame = {
+    val e = existing.as("e")
+    val f = fresh.as("f")
+    val joined = e.join(f,
+      col("e.property_id") === col("f.property_id") &&
+        col("e.name") === col("f.name"), "full_outer")
+    joined.select(
+      coalesce(col("e.property_id"), col("f.property_id")).as("property_id"),
+      coalesce(col("e.name"), col("f.name")).as("name"),
+      // present before but not now → solved; otherwise keep prior state
+      when(col("f.name").isNull, lit(true))
+        .otherwise(coalesce(col("e.is_solved"), lit(false))).as("is_solved"),
+      (col("f.name").isNotNull && col("e.name").isNull).as("is_new"))
+  }
+
+  /** Off-plan flag (models/property.py:61-68 + _has_off_plan/_normalize):
+    * the literal variants plus the "off ... plan" normalization regex and
+    * "under construction".
+    */
+  def checkOffPlan(title: Column, description: Column, labels: Column): Column = {
+    def has(c: Column): Column = coalesce(
+      lower(trim(c)).rlike("off plan|offplan|off-plan|under construction") ||
+        c.rlike("(?i)\\boff([\\s\\d\\w]+)plan\\b"),
+      lit(false))
+    has(title) || has(description) || coalesce(exists(labels, has), lit(false))
+  }
+
+  /** Zoning color → category map, reference priority order
+    * (reid/settings.py:145-154; note "green" shadows "dark green" by
+    * substring containment, exactly as the reference's dict scan does).
+    */
+  val zoningColors: Seq[(String, String)] = Seq(
+    "yellow" -> "Residential", "red" -> "Commercial", "pink" -> "Tourism",
+    "green" -> "Agricultural", "dark green" -> "Green", "orange" -> "Sacred",
+    "grey" -> "Industrial", "blue" -> "Special")
+  val zoningCategories: Seq[(String, String)] = Seq(
+    "residential" -> "Residential", "commercial" -> "Commercial",
+    "tourism" -> "Tourism")
+
+  /** Land zoning (models/property.py:155-194): sentence-split the
+    * description (the reference's colon-newline normalization then \n and
+    * "." splits), keep sentences starting with "zoning", then color lookup
+    * first, keyword lookup second.
+    */
+  def defineLandZoning(propertyType: Column, description: Column): Column = {
+    val text0 = regexp_replace(description, "\\n:+\\n", ":")
+    val text1 = lower(regexp_replace(text0, "(?<=:)\\n+", " "))
+    val sentences = flatten(transform(split(text1, "\n"), l => split(l, "\\.")))
+    val zoned = filter(sentences, s => s.rlike("(?i)^zoning"))
+    val colorHit = zoningColors.foldLeft(lit(null).cast("string")) {
+      case (acc, (clr, label)) =>
+        coalesce(acc, when(exists(zoned, _.contains(clr)), label))
+    }
+    val catHit = zoningCategories.foldLeft(lit(null).cast("string")) {
+      case (acc, (zn, label)) =>
+        coalesce(acc, when(exists(zoned, _.contains(zn)), label))
+    }
+    when(propertyType === "Land", coalesce(colorHit, catHit))
+  }
+}
