@@ -1,0 +1,303 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable queries for the LLM-corpus operators (dedup,
+  * similarity, text analysis) over `documents`/`embeddings`. Hashing is
+  * md5-prefix folded to int so every query has a bit-exact DuckDB oracle;
+  * floating point appears only as final divisions of identical integers.
+  */
+object LlmQueries {
+
+  /** shared DuckDB fragments */
+  private val hexFold =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |  list_transform(string_split(substring(md5(%s), 1, 7), ''),
+      |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+      |  (acc, x) -> acc * 16 + x)""".stripMargin
+
+  /** Exact dedup via content hash (the 100 TB standard first pass). */
+  def q31DedupExact(s: SparkSession, d: String): DataFrame =
+    TextOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
+
+  /** Token/char/stopword stats + quality score per document. */
+  def q32TextStats(s: SparkSession, d: String): DataFrame =
+    TextOps.textStats(Tables.documents(s, d), "doc_id", "text")
+
+  /** Language-ID heuristic vs the labeled lang column. */
+  def q33LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), TextOps.langId(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  /** Bag-of-words fingerprint per document. */
+  def q35Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+
+  /** Banded MinHash-LSH near-dup candidates with exact-Jaccard verify. */
+  def q36MinhashLsh(s: SparkSession, d: String): DataFrame =
+    TextOps.minhashLsh(Tables.documents(s, d), "doc_id", "text")
+
+  /** n-gram Jaccard best partner within (lang, source) blocks. */
+  def q37NgramJaccard(s: SparkSession, d: String): DataFrame =
+    TextOps.ngramJaccardBest(Tables.documents(s, d), "doc_id", "text",
+      Seq("lang", "source"))
+
+  /** Embedding cosine nearest neighbor within label blocks. */
+  def q38CosinePairs(s: SparkSession, d: String): DataFrame =
+    Similarity.blockedNearestNeighbor(Tables.embeddings(s, d), "vec_id",
+      "embedding", "label")
+
+  /** Brute-force ANN top-3 for the probe subset (vec_id % 50 == 0). */
+  def q39AnnTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      col("vec_id") % 50 === 0, 3)
+
+  /** 28-bit SimHash per document. */
+  def q40Simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.simhash("text").as("simhash"))
+
+  /** Multimodal column plumbing: opaque binary + typed metadata with a
+    * clearly-stubbed decode (see Multimodal.scala for the partitioned
+    * pipeline shape).
+    */
+  def q42MultimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.withMeta(
+      Multimodal.asMediaTable(Tables.documents(s, d)))
+      .select("doc_id", "media_type", "n_bytes", "content_md5",
+        "fake_width", "fake_height")
+
+  /** IVF-routed ANN top-3: centroid route then single-cluster search. */
+  def q43AnnIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      "label", col("vec_id") % 50 === 0, 3)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_dedup_exact" -> (q31DedupExact _),
+    "q32_text_stats" -> (q32TextStats _),
+    "q33_lang_id" -> (q33LangId _),
+    "q35_fingerprint" -> (q35Fingerprint _),
+    "q36_minhash_lsh" -> (q36MinhashLsh _),
+    "q37_ngram_jaccard" -> (q37NgramJaccard _),
+    "q38_cosine_pairs" -> (q38CosinePairs _),
+    "q39_ann_topk" -> (q39AnnTopk _),
+    "q40_simhash" -> (q40Simhash _),
+    "q42_multimodal_meta" -> (q42MultimodalMeta _),
+    "q43_ann_ivf" -> (q43AnnIvf _))
+
+  private val shingleBase =
+    """base AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct([array_to_string(w[i:i+2], ' ')
+      |                   for i in range(1, len(w) - 1)]) AS sh
+      |  FROM (SELECT doc_id, lang, source,
+      |          string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents))""".stripMargin
+
+  private val embBase =
+    """base AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n2 AS (
+      |  SELECT vec_id, label, q,
+      |    CAST(list_sum([q[i]*q[i] for i in range(1, 65)]) AS BIGINT) AS norm2
+      |  FROM base)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q31_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |    AS is_canonical
+        |FROM documents""".stripMargin,
+    "q32_text_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(w) AS n_tokens,
+        |    len(list_distinct(w)) AS n_uniq,
+        |    length(text) AS n_chars,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+        |      / len(w) AS avg_tok_len,
+        |    len(list_filter(w, x -> x IN ('the','a','of','and','in')))
+        |      / len(w) AS stop_ratio
+        |  FROM w)
+        |SELECT doc_id, n_tokens, n_uniq, n_chars, avg_tok_len, stop_ratio,
+        |  avg_tok_len * 0.5 + stop_ratio * 2.0 + least(n_tokens, 100) / 100.0
+        |    AS quality_score
+        |FROM m""".stripMargin,
+    "q33_lang_id" ->
+      """WITH w AS (
+        |  SELECT lang, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN len(list_filter(w, x -> x IN ('the','a'))) * 20 >= len(w)
+        |       THEN 'en' ELSE 'unknown' END AS predicted,
+        |  count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q35_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(
+        |    list_sort(list_distinct(string_split_regex(trim(text), '\s+'))),
+        |    ' ')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q36_minhash_lsh" -> (
+      s"""WITH $shingleBase,
+         |hs AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(sh, s -> ${hexFold.format("s")}) AS hs
+         |  FROM base),
+         |sig AS (
+         |  SELECT doc_id, sh,
+         |    list_min(list_transform(hs, h -> (999983*h + 12345) % 2147483647)) AS sig0,
+         |    list_min(list_transform(hs, h -> (999979*h + 54321) % 2147483647)) AS sig1,
+         |    list_min(list_transform(hs, h -> (1000003*h + 98765) % 2147483647)) AS sig2,
+         |    list_min(list_transform(hs, h -> (1000033*h + 13579) % 2147483647)) AS sig3,
+         |    list_min(list_transform(hs, h -> (1000037*h + 24680) % 2147483647)) AS sig4,
+         |    list_min(list_transform(hs, h -> (1000039*h + 11111) % 2147483647)) AS sig5,
+         |    list_min(list_transform(hs, h -> (1000081*h + 22222) % 2147483647)) AS sig6,
+         |    list_min(list_transform(hs, h -> (1000099*h + 33333) % 2147483647)) AS sig7
+         |  FROM hs),
+         |bands AS (
+         |  SELECT doc_id, sh, 0 AS band, sig0*2147483647 + sig1 AS key FROM sig
+         |  UNION ALL SELECT doc_id, sh, 1, sig2*2147483647 + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, sh, 2, sig4*2147483647 + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, sh, 3, sig6*2147483647 + sig7 FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh AS sa, y.sh AS sb
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         |  WHERE x.key IS NOT NULL),
+         |jac AS (
+         |  SELECT a, b,
+         |    len(list_intersect(sa, sb))
+         |      / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
+         |  FROM pairs),
+         |sym AS (
+         |  SELECT a AS doc_id, b AS partner, jaccard FROM jac
+         |  UNION ALL SELECT b, a, jaccard FROM jac),
+         |rk AS (
+         |  SELECT doc_id, partner, jaccard,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY jaccard DESC, partner ASC) AS rn
+         |  FROM sym),
+         |best AS (
+         |  SELECT doc_id, count(*) AS n_candidates,
+         |    max(CASE WHEN rn = 1 THEN jaccard END) AS best_jaccard,
+         |    max(CASE WHEN rn = 1 THEN partner END) AS best_partner
+         |  FROM rk GROUP BY 1)
+         |SELECT s.doc_id, s.sig0, s.sig1,
+         |  coalesce(b.n_candidates, 0) AS n_candidates,
+         |  b.best_jaccard, b.best_partner
+         |FROM sig s LEFT JOIN best b USING (doc_id)""".stripMargin),
+    "q37_ngram_jaccard" -> (
+      s"""WITH $shingleBase,
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_intersect(x.sh, y.sh))
+         |      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+         |      AS jaccard
+         |  FROM base x JOIN base y
+         |    ON x.lang = y.lang AND x.source = y.source
+         |    AND x.doc_id < y.doc_id),
+         |sym AS (
+         |  SELECT a AS doc_id, b AS partner, jaccard FROM pairs
+         |  UNION ALL SELECT b, a, jaccard FROM pairs)
+         |SELECT doc_id, partner, jaccard FROM (
+         |  SELECT doc_id, partner, jaccard,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY jaccard DESC, partner ASC) AS rn
+         |  FROM sym) t WHERE rn = 1""".stripMargin),
+    "q38_cosine_pairs" -> (
+      s"""WITH $embBase,
+         |pairs AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    CAST(list_sum([x.q[i]*y.q[i] for i in range(1, 65)]) AS BIGINT)
+         |      / (sqrt(x.norm2) * sqrt(y.norm2)) AS cosine
+         |  FROM n2 x JOIN n2 y
+         |    ON x.label = y.label AND x.vec_id < y.vec_id),
+         |sym AS (
+         |  SELECT a AS vec_id, b AS nn_id, cosine FROM pairs
+         |  UNION ALL SELECT b, a, cosine FROM pairs)
+         |SELECT vec_id, nn_id, cosine FROM (
+         |  SELECT vec_id, nn_id, cosine,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, nn_id ASC) AS rn
+         |  FROM sym) t WHERE rn = 1""".stripMargin),
+    "q39_ann_topk" -> (
+      s"""WITH $embBase,
+         |probes AS (SELECT vec_id AS probe_id, q AS pq, norm2 AS pnorm2
+         |           FROM n2 WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT p.probe_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum([p.pq[i]*c.q[i] for i in range(1, 65)]) AS BIGINT)
+         |      / (sqrt(p.pnorm2) * sqrt(c.norm2)) AS cosine
+         |  FROM probes p JOIN n2 c ON c.vec_id <> p.probe_id)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM (
+         |  SELECT probe_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM scored) t WHERE rank <= 3""".stripMargin),
+    "q40_simhash" -> (
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_distinct(string_split_regex(trim(text), '\\s+')),
+         |      s -> ${hexFold.format("s")}) AS hs
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(list_sum([
+         |    CASE WHEN list_sum([((h >> j) & 1) * 2 - 1 for h in hs]) > 0
+         |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+         |    for j in range(0, 28)]) AS BIGINT) AS simhash
+         |FROM w""".stripMargin),
+    "q42_multimodal_meta" -> (
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |  length(text) AS n_bytes,
+         |  md5(text) AS content_md5,
+         |  CAST(${hexFold.format("text")} % 1920 AS INT) AS fake_width,
+         |  CAST(${hexFold.format("text")} % 1080 AS INT) AS fake_height
+         |FROM documents""".stripMargin),
+    "q43_ann_ivf" -> (
+      s"""WITH $embBase,
+         |cent AS (
+         |  SELECT label, list(s ORDER BY i) AS cq
+         |  FROM (
+         |    SELECT label, i, CAST(sum(v) AS BIGINT) AS s
+         |    FROM (SELECT label, unnest(q) AS v,
+         |                 unnest(range(1, 65)) AS i FROM base) z
+         |    GROUP BY label, i) g
+         |  GROUP BY label),
+         |cn AS (SELECT label, cq,
+         |         CAST(list_sum([cq[i]*cq[i] for i in range(1, 65)]) AS BIGINT)
+         |           AS cnorm2 FROM cent),
+         |probes AS (SELECT vec_id AS probe_id, q AS pq, norm2 AS pnorm2
+         |           FROM n2 WHERE vec_id % 50 = 0),
+         |routed AS (
+         |  SELECT probe_id, pq, pnorm2, label FROM (
+         |    SELECT p.probe_id, p.pq, p.pnorm2, c.label,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        CAST(list_sum([p.pq[i]*c.cq[i] for i in range(1, 65)]) AS BIGINT)
+         |          / (sqrt(p.pnorm2) * sqrt(c.cnorm2)) DESC, c.label ASC) AS rn
+         |    FROM probes p CROSS JOIN cn c) t WHERE rn = 1),
+         |scored AS (
+         |  SELECT r.probe_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum([r.pq[i]*c.q[i] for i in range(1, 65)]) AS BIGINT)
+         |      / (sqrt(r.pnorm2) * sqrt(c.norm2)) AS cosine
+         |  FROM routed r JOIN n2 c
+         |    ON c.label = r.label AND c.vec_id <> r.probe_id)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM (
+         |  SELECT probe_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM scored) t WHERE rank <= 3""".stripMargin))
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over Array[Float] columns.
+  *
+  * Exactness design: embeddings are quantized to integer milliunits before
+  * any arithmetic, so dot products are exact int64 sums (order-independent,
+  * oracle-reproducible); the final cosine is a single IEEE division of
+  * identical inputs on both engines. At production scale the quantization
+  * disappears and xxhash-based LSH or a real IVF index takes over — the
+  * operator shapes (block → pair → top-k) stay the same.
+  */
+object Similarity {
+
+  /** Quantized vector: round(x * 1000) per element as long. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from quantized vectors (double division of exact ints). */
+  def cosineQ(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotQ(a, b) / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  private def prepared(df: DataFrame, idCol: String, vecCol: String,
+                       extra: Seq[String] = Nil): DataFrame = {
+    val q = quantize(col(vecCol))
+    df.select(Seq(col(idCol).as("vec_id"), q.as("q")) ++ extra.map(col): _*)
+      .withColumn("norm2", dotQ(col("q"), col("q")))
+  }
+
+  /** Nearest neighbor per vector within blocks (e.g. cluster label):
+    * the bucketed scale path — pairs only form inside a block, the
+    * all-pairs cartesian never exists.
+    */
+  def blockedNearestNeighbor(df: DataFrame, idCol: String, vecCol: String,
+                             blockCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = prepared(df, idCol, vecCol, Seq(blockCol))
+    val pairs = base.as("x").join(base.as("y"),
+      col(s"x.$blockCol") === col(s"y.$blockCol") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosineQ(col("x.q"), col("y.q"), col("x.norm2"), col("y.norm2"))
+          .as("cosine"))
+    val sym = pairs.select(col("a").as("vec_id"), col("b").as("nn_id"), col("cosine"))
+      .unionByName(pairs.select(col("b").as("vec_id"), col("a").as("nn_id"), col("cosine")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nn_id").asc)
+    sym.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "nn_id", "cosine")
+  }
+
+  /** Brute-force cosine top-k for a bounded probe set against the full
+    * corpus — the ANN baseline. The probe side is broadcast; the corpus is
+    * scanned once, never shuffled for the join.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     probeFilter: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = prepared(df, idCol, vecCol)
+    val probes = base.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("norm2").as("pnorm2"))
+    val scored = base.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosineQ(col("pq"), col("q"), col("pnorm2"), col("norm2")).as("cosine"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** IVF-style ANN: coarse centroids = per-block integer sum vectors
+    * (cosine against a sum vector ≡ cosine against the mean — scale
+    * invariant, and exact in int arithmetic). Probes route to their
+    * nearest centroid, then search only that cluster's members. This is
+    * the 100 TB shape: centroid table is broadcast-sized, each probe
+    * touches one cluster partition instead of the full corpus.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+              probeFilter: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = prepared(df, idCol, vecCol, Seq(blockCol))
+    val dim = 64
+    val centroids = base
+      .select(col(blockCol), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(blockCol, "pos").agg(sum("v").as("s"))
+      .groupBy(blockCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        p => p.getField("s")).as("cq"))
+      .withColumn("cnorm2", dotQ(col("cq"), col("cq")))
+    val probes = base.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("norm2").as("pnorm2"))
+    val wc = Window.partitionBy("probe_id")
+      .orderBy(col("ccos").desc, col(blockCol).asc)
+    val routed = probes.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosineQ(col("pq"), col("cq"), col("pnorm2"), col("cnorm2")))
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+      .select(col("probe_id"), col("pq"), col("pnorm2"), col(blockCol))
+    val scored = base.join(broadcast(routed), Seq(blockCol))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosineQ(col("pq"), col("q"), col("pnorm2"), col("norm2")).as("cosine"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+  }
+}

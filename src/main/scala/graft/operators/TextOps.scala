@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over text corpora: exact/near dedup
+  * (MinHash-LSH, SimHash, n-gram Jaccard), fingerprinting and text
+  * analysis (token stats, language heuristic, quality score).
+  *
+  * Scale discipline: every candidate-pair generator is bucketed (LSH band
+  * buckets, metadata blocks) — never an all-pairs crossJoin; at 100 TB the
+  * only shuffles are on bucket keys whose fan-out is bounded by design
+  * (band width, block size). All hashing is md5-prefix based so the DuckDB
+  * oracle can reproduce values bit-for-bit.
+  */
+object TextOps {
+
+  /** 28-bit deterministic hash both engines can compute: fold the first 7
+    * hex chars of md5. (Spark's murmur3 hash() is faster but has no DuckDB
+    * counterpart; at production scale swap in xxhash64 — the operator
+    * shape is identical.)
+    */
+  def hash7(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** Whitespace word array. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles (default 3): one string per window. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    // guard: sequence(1, 0) would generate a DESCENDING range in Spark
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup (hash-groupBy): canonical = lowest id per content hash.
+    * One shuffle on the hash; at 100 TB this is the standard dedup pass.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("content_hash").orderBy(idCol)
+    df.withColumn("content_hash", md5(col(textCol)))
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select(col(idCol), col("content_hash"), col("is_canonical"))
+  }
+
+  /** MinHash permutation parameters (a, b): sig_i = min((a*h + b) mod P).
+    * P = 2^31-1; h < 2^28 and a < 2^20 keep a*h+b well inside int64.
+    */
+  val minhashPerms: Seq[(Long, Long)] = Seq(
+    (999983L, 12345L), (999979L, 54321L), (1000003L, 98765L),
+    (1000033L, 13579L), (1000037L, 24680L), (1000039L, 11111L),
+    (1000081L, 22222L), (1000099L, 33333L))
+  val P: Long = 2147483647L
+  val bandsCount = 4 // 8 perms → 4 bands × 2 rows
+
+  /** Per-doc MinHash signature columns sig0..sig7 over distinct shingles. */
+  def withMinhash(df: DataFrame, textCol: String): DataFrame = {
+    val sh = array_distinct(shingles(col(textCol)))
+    val hs = transform(sh, s => hash7(s))
+    minhashPerms.zipWithIndex.foldLeft(df.withColumn("hs", hs)) {
+      case (acc, ((a, b), i)) =>
+        acc.withColumn(s"sig$i",
+          array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P)))
+    }
+  }
+
+  /** Banded LSH candidate pairs + exact Jaccard verification.
+    *
+    * explode to (band, bucket-key) rows → self-join per bucket → verify.
+    * The join key is (band, combined-sig), so only same-bucket docs ever
+    * pair — candidate count per bucket is the LSH collision rate, never
+    * O(n²). Returns per-doc candidate stats (docs with no candidate keep a
+    * row: n_candidates 0).
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = withMinhash(df, textCol)
+      .withColumn("shset", array_distinct(shingles(col(textCol))))
+      .select(Seq(col(idCol).as("doc_id"), col("shset")) ++
+        (0 until 8).map(i => col(s"sig$i")): _*)
+    val banded = sig.select(col("doc_id"), col("shset"),
+      explode(array((0 until bandsCount).map { j =>
+        struct(lit(j).as("band"),
+          (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("shset"), col("bk.band"), col("bk.key"))
+      .filter(col("key").isNotNull)
+    val pairs = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.shset").as("sa"), col("y.shset").as("sb"))
+      .distinct() // same pair can collide in several bands
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+    val perDoc = pairs.select(col("a").as("doc_id"), col("b").as("partner"), col("jaccard"))
+      .unionByName(pairs.select(col("b").as("doc_id"), col("a").as("partner"), col("jaccard")))
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("jaccard").desc, col("partner").asc)
+    val best = perDoc.withColumn("rn", row_number().over(wBest))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        max(when(col("rn") === 1, col("jaccard"))).as("best_jaccard"),
+        max(when(col("rn") === 1, col("partner"))).as("best_partner"))
+    sig.select(col("doc_id"), col("sig0"), col("sig1"))
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("sig0"), col("sig1"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_jaccard"), col("best_partner"))
+  }
+
+  /** 28-bit SimHash over distinct words (expr-string form so the bit index
+    * can be a lambda variable).
+    */
+  def simhash(textCol: String): Column =
+    expr(s"""aggregate(sequence(0, 27), 0L, (acc, j) -> acc +
+      IF(aggregate(transform(array_distinct(split(trim($textCol), '\\\\s+')),
+                   w -> cast(conv(substring(md5(w), 1, 7), 16, 10) as long)),
+          0L, (a, h) -> a + (cast(shiftright(h, j) & 1 as long) * 2 - 1)) > 0,
+        cast(shiftleft(1, j) as long), 0L))""")
+
+  /** Bag-of-words fingerprint: md5 over the sorted distinct vocabulary —
+    * the cheap "same content, re-ordered" detector.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
+  /** n-gram Jaccard best-partner within metadata blocks: pairs only form
+    * inside a (block) group, so the self-join fan-out is bounded by block
+    * size; the reference all-pairs temptation is exactly what this avoids.
+    */
+  def ngramJaccardBest(df: DataFrame, idCol: String, textCol: String,
+                       blockCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(Seq(col(idCol).as("doc_id"),
+      array_distinct(shingles(col(textCol))).as("sh")) ++
+      blockCols.map(col): _*)
+    val cond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
+      .reduce(_ && _) && col("x.doc_id") < col("y.doc_id")
+    val pairs = base.as("x").join(base.as("y"), cond)
+      .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (col("inter") /
+          (size(col("x.sh")) + size(col("y.sh")) - col("inter"))).as("jaccard"))
+    val sym = pairs.select(col("a").as("doc_id"), col("b").as("partner"), col("jaccard"))
+      .unionByName(pairs.select(col("b").as("doc_id"), col("a").as("partner"), col("jaccard")))
+    val w = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("partner").asc)
+    sym.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "partner", "jaccard")
+  }
+
+  val stopwords = Seq("the", "a", "of", "and", "in")
+
+  /** Token/char/stopword statistics + a deterministic quality score
+    * (length, stopword ratio, capped token count — the usual LLM-corpus
+    * quality gates).
+    */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    df.select(
+      col(idCol).as("doc_id"),
+      size(w).as("n_tokens"),
+      size(array_distinct(w)).as("n_uniq"),
+      length(col(textCol)).as("n_chars"),
+      (aggregate(w, lit(0L), (acc, x) => acc + length(x)) / size(w))
+        .as("avg_tok_len"),
+      (size(filter(w, x => x.isin(stopwords: _*))) / size(w))
+        .as("stop_ratio"))
+      .withColumn("quality_score",
+        col("avg_tok_len") * 0.5 + col("stop_ratio") * 2.0 +
+          least(col("n_tokens"), lit(100)) / 100.0)
+  }
+
+  /** Stopword-ratio language heuristic (n-gram-free variant: the synthetic
+    * corpus shares one vocabulary, so the en-stopword rate is the signal).
+    */
+  def langId(text: Column): Column = {
+    val w = words(text)
+    val enHits = size(filter(w, x => x.isin("the", "a")))
+    when(enHits * 20 >= size(w), "en").otherwise("unknown")
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer tests for the LLM-corpus operators: dedup finds planted
+  * duplicates, LSH surfaces near-dups with the right Jaccard, cosine math
+  * is exact on constructed vectors, multimodal plumbing keeps its shape.
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exactDedup: planted duplicate collapses to one canonical") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val out = TextOps.exactDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
+  test("minhashLsh: identical docs are candidates with jaccard 1.0") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, text), (2L, text), (3L, "completely different words here that share nothing at all today"))
+      .toDF("doc_id", "text")
+    val out = TextOps.minhashLsh(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_candidates") == 1L)
+    assert(out(1L).getAs[Double]("best_jaccard") == 1.0)
+    assert(out(1L).getAs[Long]("best_partner") == 2L)
+    assert(out(3L).getAs[Long]("n_candidates") == 0L)
+  }
+
+  test("ngramJaccardBest: known overlap") {
+    // shingle sets: A={ "a b c", "b c d" }, B={ "a b c", "b c x" } → J = 1/3
+    val df = Seq((1L, "a b c d", "en"), (2L, "a b c x", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.ngramJaccardBest(df, "doc_id", "text", Seq("lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSet == Set((1L, 2L, 1.0 / 3), (2L, 1L, 1.0 / 3)))
+  }
+
+  test("cosine on constructed vectors is exact") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(1.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.blockedNearestNeighbor(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // cos(v1,v3) = 1000*1000 / (1000 * sqrt(2e6)) = 1/sqrt(2)
+    val inv = 1000.0 * 1000 / (1000 * math.sqrt(2000000.0))
+    assert(out(1L) == (3L, inv))
+    assert(out(2L) == (3L, inv))
+    assert(out(3L)._2 == inv) // ties → lowest id partner
+    assert(out(3L)._1 == 1L)
+  }
+
+  test("bruteForceTopK ranks by cosine then id") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.1f), 0),
+      (2L, Array(0.9f, 0.1f), 0), (3L, Array(-1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      col("vec_id") === 0, 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.length == 2 && out.head._1 == 1)
+    assert(out.map(_._2).toSet.subsetOf(Set(1L, 2L)))
+  }
+
+  test("simhash is stable and respects content") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally other words")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.simhash("text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    assert(out(1L) >= 0 && out(1L) < (1L << 28))
+  }
+
+  test("multimodal plumbing: schema, meta, frame sampling") {
+    val docs = Seq((0L, "0123456789abcdefghij"), (1L, "short")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs)
+    assert(media.schema.fieldNames.toSeq == Seq("doc_id", "media_type", "content"))
+    val meta = Multimodal.withMeta(media).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    assert(meta(0L).getAs[Int]("n_bytes") == 20)
+    assert(meta(0L).getAs[String]("media_type") == "image")
+    assert(meta(1L).getAs[String]("media_type") == "audio")
+    val frames = Multimodal.sampleFrames(media, stride = 1)
+      .filter(col("doc_id") === 0).count()
+    assert(frames == 2) // 20 bytes → 2 fake frames at stride 1
+  }
+}
