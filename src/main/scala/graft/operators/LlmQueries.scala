@@ -58,8 +58,7 @@ object LlmQueries {
 
   /** 28-bit SimHash per document. */
   def q40Simhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.simhash("text").as("simhash"))
+    TextOps.simhashDf(Tables.documents(s, d), "doc_id", "text")
 
   /** Multimodal column plumbing: opaque binary + typed metadata with a
     * clearly-stubbed decode (see Multimodal.scala for the partitioned

@@ -57,15 +57,22 @@ object TextOps {
   val P: Long = 2147483647L
   val bandsCount = 4 // 8 perms → 4 bands × 2 rows
 
-  /** Per-doc MinHash signature columns sig0..sig7 over distinct shingles. */
-  def withMinhash(df: DataFrame, textCol: String): DataFrame = {
-    val sh = array_distinct(shingles(col(textCol)))
-    val hs = transform(sh, s => hash7(s))
-    minhashPerms.zipWithIndex.foldLeft(df.withColumn("hs", hs)) {
-      case (acc, ((a, b), i)) =>
-        acc.withColumn(s"sig$i",
-          array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P)))
-    }
+  /** Per-doc MinHash signatures sig0..sig7 via explode → hash once per
+    * shingle → 8 min-aggregates. The aggregation is map-side partial (min
+    * combines), so the shuffle carries 8 longs per doc — and the md5 is
+    * computed exactly once per shingle instead of once per permutation
+    * (projection collapse would inline an array-transform form 8×).
+    */
+  def minhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol)))).as("s"))
+      .withColumn("h", hash7(col("s")))
+    ex.groupBy("doc_id").agg(
+      min((lit(minhashPerms.head._1) * col("h") + lit(minhashPerms.head._2)) % P).as("sig0"),
+      minhashPerms.zipWithIndex.tail.map { case ((a, b), i) =>
+        min((lit(a) * col("h") + lit(b)) % P).as(s"sig$i")
+      }: _*)
   }
 
   /** Banded LSH candidate pairs + exact Jaccard verification.
@@ -78,24 +85,27 @@ object TextOps {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sig = withMinhash(df, textCol)
-      .withColumn("shset", array_distinct(shingles(col(textCol))))
-      .select(Seq(col(idCol).as("doc_id"), col("shset")) ++
-        (0 until 8).map(i => col(s"sig$i")): _*)
-    val banded = sig.select(col("doc_id"), col("shset"),
+    val shsets = df.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(col(textCol))).as("shset"))
+    val sig = df.select(col(idCol).as("doc_id"))
+      .join(minhashSigs(df, idCol, textCol), Seq("doc_id"), "left_outer")
+    val banded = sig.select(col("doc_id"),
       explode(array((0 until bandsCount).map { j =>
         struct(lit(j).as("band"),
           (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("key"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("shset"), col("bk.band"), col("bk.key"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
       .filter(col("key").isNotNull)
     val pairs = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.shset").as("sa"), col("y.shset").as("sb"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct() // same pair can collide in several bands
+      .join(shsets.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("shset", "sa"), Seq("a"))
+      .join(shsets.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("shset", "sb"), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
@@ -115,15 +125,27 @@ object TextOps {
         col("best_jaccard"), col("best_partner"))
   }
 
-  /** 28-bit SimHash over distinct words (expr-string form so the bit index
-    * can be a lambda variable).
+  /** 28-bit SimHash over distinct words: explode → hash once per word →
+    * 28 signed bit-sums as map-side-combinable aggregates → bit compose.
+    * (A nested higher-order-function form would recompute the word hash
+    * per bit position after projection collapse — 28× the md5 work.)
     */
-  def simhash(textCol: String): Column =
-    expr(s"""aggregate(sequence(0, 27), 0L, (acc, j) -> acc +
-      IF(aggregate(transform(array_distinct(split(trim($textCol), '\\\\s+')),
-                   w -> cast(conv(substring(md5(w), 1, 7), 16, 10) as long)),
-          0L, (a, h) -> a + (cast(shiftright(h, j) & 1 as long) * 2 - 1)) > 0,
-        cast(shiftleft(1, j) as long), 0L))""")
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(words(col(textCol)))).as("w"))
+      .withColumn("h", hash7(col("w")))
+    val bitSums = ex.groupBy("doc_id").agg(
+      sum((shiftright(col("h"), 0).bitwiseAND(1)) * 2 - 1).as("b0"),
+      (1 until 28).map(j =>
+        sum((shiftright(col("h"), j).bitwiseAND(1)) * 2 - 1).as(s"b$j")): _*)
+    val sim = (0 until 28).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    df.select(col(idCol).as("doc_id"))
+      .join(bitSums, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(sim, lit(0L)).as("simhash"))
+  }
 
   /** Bag-of-words fingerprint: md5 over the sorted distinct vocabulary —
     * the cheap "same content, re-ordered" detector.
@@ -133,7 +155,16 @@ object TextOps {
 
   /** n-gram Jaccard best-partner within metadata blocks: pairs only form
     * inside a (block) group, so the self-join fan-out is bounded by block
-    * size; the reference all-pairs temptation is exactly what this avoids.
+    * size — never a global cartesian.
+    *
+    * Variant note: for large-vocabulary corpora where shingle sharing is
+    * rare, an inverted-index join (explode shingles, join on the shingle,
+    * count matches per pair) beats this by only materializing pairs that
+    * overlap; on dense/small vocabularies the per-shingle buckets blow up
+    * quadratically and the block self-join with array_intersect wins —
+    * measured 9s vs 15s at sf0.1 on the synthetic corpus. At 100 TB you'd
+    * pick per-dataset; blocks there come from LSH bands (minhashLsh), not
+    * metadata.
     */
   def ngramJaccardBest(df: DataFrame, idCol: String, textCol: String,
                        blockCols: Seq[String]): DataFrame = {

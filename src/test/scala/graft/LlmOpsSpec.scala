@@ -69,7 +69,7 @@ class LlmOpsSpec extends AnyFunSuite {
   test("simhash is stable and respects content") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally other words")).toDF("doc_id", "text")
-    val out = df.select(col("doc_id"), TextOps.simhash("text").as("sh"))
+    val out = TextOps.simhashDf(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out(1L) == out(2L))
     assert(out(1L) != out(3L))
