@@ -200,4 +200,21 @@ object Merge {
 
     withMax.select(outCols: _*)
   }
+
+  /** Delist-on-missing (reference reid/spiders/base.py:14-30 redirect/404
+    * delisting + queue sync, queue_routes.py:61-117): current listings
+    * whose url did not appear in the crawl flip to Delisted with sold_at =
+    * first day of the month before asOf (first_month semantics,
+    * reid/func.py:884-889). One left-anti join.
+    */
+  def delistMissing(current: DataFrame, crawled: DataFrame,
+                    asOf: LocalDate): DataFrame = {
+    val firstMonth = lit(java.sql.Timestamp.valueOf(
+      asOf.withDayOfMonth(1).minusMonths(1).atStartOfDay()))
+    current
+      .join(crawled.select("url"), Seq("url"), "left_anti")
+      .withColumn("availability", lit("Delisted"))
+      .withColumn("is_available", lit(false))
+      .withColumn("sold_at", firstMonth)
+  }
 }

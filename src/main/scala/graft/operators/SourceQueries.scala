@@ -1,0 +1,276 @@
+package graft
+
+import java.time.LocalDate
+import graft.functions.Cleaners
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable queries for the source connectors (SURVEY §2.1) and
+  * serving analytics (§2.4-§2.6) not yet covered: JSON-API parse,
+  * HTML-in-JSON envelope, frontier dedup, crawl report (with the +31-day
+  * quirk), tag counts with the solved/ignored workflow, queue pagination,
+  * unique domains, delist sync, monthly reid buckets.
+  */
+object SourceQueries {
+
+  private def k = col("o_orderkey")
+
+  /** events-derived synthetic queue: url with deliberate duplicates,
+    * 5-way status, the event timestamp as created_at.
+    */
+  private def queue(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id").as("id"),
+      concat(lit("https://s"), (col("user_id") % 16), lit(".x.com/p"),
+        (col("event_id") % 997)).as("url"),
+      when(col("event_id") % 5 === 0, "Error")
+        .when(col("event_id") % 5 === 1, "Delisted")
+        .when(col("event_id") % 5 === 2, "Sold")
+        .otherwise("Available").as("status"),
+      col("ts").as("created_at"))
+
+  /** §2.1 JSON-API source: WP-REST-shaped payloads parsed with an explicit
+    * schema (from_json, null-on-error).
+    */
+  def q44JsonApi(s: SparkSession, d: String): DataFrame = {
+    val payload = Tables.events(s, d).select(
+      concat(lit("{\"id\": "), col("event_id"),
+        lit(", \"title\": {\"rendered\": \"Villa "), col("event_id"),
+        lit("\"}, \"price\": "), (col("event_id") % 1000) * 100,
+        lit(", \"status\": \"publish\"}")).as("payload"))
+    Sources.jsonApi(payload, "payload")
+  }
+
+  /** §2.1 HTML-in-JSON envelope (admin-ajax shape): JSON parse then HTML
+    * regex extraction then price parse.
+    */
+  def q45HtmlInJson(s: SparkSession, d: String): DataFrame =
+    Sources.htmlInJson(
+      Tables.events(s, d).select(
+        concat(lit("{\"content\": \"<div class=\\\"title\\\">T"), col("event_id"),
+          lit("</div> IDR "), (col("event_id") % 500) + 1,
+          lit(".000.000\"}")).as("envelope")),
+      "envelope")
+
+  /** §2.1 frontier dedup: one fetch per unique url, counted per domain. */
+  def q46FrontierDedup(s: SparkSession, d: String): DataFrame =
+    Sources.frontierDedup(queue(s, d))
+      .select(Cleaners.getDomain(col("url")).as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("n"))
+      .orderBy("domain")
+
+  /** §2.4 crawl report with the reference's month-after window quirk. */
+  def q47CrawlReport(s: SparkSession, d: String): DataFrame = {
+    val reports = Tables.events(s, d).select(
+      concat(lit("src"), (col("user_id") % 16)).as("source"),
+      col("ts").as("created_at"),
+      (col("event_id") % 100).as("item_scraped_count"),
+      (col("event_id") % 7).as("response_error_count"),
+      (col("event_id") % 50).as("elapsed_time_seconds"))
+    Analytics.crawlReport(reports, "2023-12-01")
+  }
+
+  /** §2.4 tag counts over the quality-rule tags with the solved/ignored
+    * workflow flags (tag_routes.py:24-40).
+    */
+  def q48TagCounts(s: SparkSession, d: String): DataFrame = {
+    val props = Tables.orders(s, d).select(
+      concat(lit("p"), k).as("id"),
+      when(k % 14 === 0, lit(null))
+        .when(k % 15 === 0, 14.0)
+        .otherwise((k % 5).cast("double")).as("bedrooms"),
+      when(k % 4 === 0, "Land")
+        .when(k % 9 === 0, "Castle")
+        .otherwise("Villa").as("property_type"),
+      when(k % 7 === 0, 0L).otherwise(100L).as("price"),
+      when(k % 8 === 0, "N/A").otherwise("t").as("title"),
+      when(k % 10 === 0, "").otherwise("d").as("description"),
+      when(k % 12 === 0, lit(null)).otherwise(lit("loc")).as("location"),
+      when(k % 6 === 0, 300.0).otherwise(lit(null)).as("build_size"),
+      when(k % 6 === 0, 200.0).otherwise(lit(null)).as("land_size"),
+      when(k % 3 === 0, "Leasehold")
+        .when(k % 16 === 0, "Timeshare")
+        .otherwise("Freehold").as("contract_type"),
+      when(k % 21 === 0, 25.0).otherwise(lit(null)).as("leasehold_years"),
+      when(k % 17 === 0, "Sold").otherwise("Available").as("availability"),
+      when(k % 24 === 0, "Residential").otherwise(lit(null)).as("land_zoning"))
+    val key = expr("cast(substring(property_id, 2) as long)")
+    val tags = Quality.explodeTags(props, "id")
+      .withColumn("is_solved", (length(col("name")) + key) % 5 === 0)
+      .withColumn("is_ignored", key % 7 === 0)
+    Analytics.tagCounts(tags, props.select(col("id")))
+  }
+
+  /** §2.6 queue pagination with filters (queue_routes.py:20-46), page 2. */
+  def q49QueuePage(s: SparkSession, d: String): DataFrame =
+    Analytics.queuePage(queue(s, d), Some("Available"), Some("s3.x.com"),
+      Some("2024-01-10"), page = 2)
+
+  /** §2.6 unique sorted domains (queue_routes.py:48-58). */
+  def q50Domains(s: SparkSession, d: String): DataFrame =
+    Analytics.domains(queue(s, d))
+
+  /** §2.9 delist sync: current-table urls missing from the crawl flip to
+    * Delisted with the first_month stamp.
+    */
+  def q51DelistSync(s: SparkSession, d: String): DataFrame =
+    Merge.delistMissing(
+      EtlQueries.currentListings(s, d),
+      EtlQueries.incomingListings(s, d),
+      LocalDate.of(2026, 8, 15))
+      .select("url", "availability", "is_available", "sold_at")
+
+  /** §2.4 monthly reid-bucket counts (analytics_routes.py:22-47) over the
+    * synthesized listing table.
+    */
+  def q52MonthlyReid(s: SparkSession, d: String): DataFrame =
+    Analytics.monthlyListingCounts(EtlQueries.currentListings(s, d))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_json_api" -> (q44JsonApi _),
+    "q45_html_in_json" -> (q45HtmlInJson _),
+    "q46_frontier_dedup" -> (q46FrontierDedup _),
+    "q47_crawl_report" -> (q47CrawlReport _),
+    "q48_tag_counts" -> (q48TagCounts _),
+    "q49_queue_page" -> (q49QueuePage _),
+    "q50_domains" -> (q50Domains _),
+    "q51_delist_sync" -> (q51DelistSync _),
+    "q52_monthly_reid" -> (q52MonthlyReid _))
+
+  private val queueSql =
+    """q AS (
+      |  SELECT event_id AS id,
+      |    'https://s' || (user_id % 16) || '.x.com/p' || (event_id % 997) AS url,
+      |    CASE WHEN event_id % 5 = 0 THEN 'Error'
+      |         WHEN event_id % 5 = 1 THEN 'Delisted'
+      |         WHEN event_id % 5 = 2 THEN 'Sold'
+      |         ELSE 'Available' END AS status,
+      |    ts AS created_at
+      |  FROM events)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q44_json_api" ->
+      """WITH p AS (
+        |  SELECT '{"id": ' || event_id || ', "title": {"rendered": "Villa '
+        |    || event_id || '"}, "price": ' || (event_id % 1000) * 100
+        |    || ', "status": "publish"}' AS payload
+        |  FROM events)
+        |SELECT CAST(json_extract_string(payload, '$.id') AS BIGINT) AS item_id,
+        |  json_extract_string(payload, '$.title.rendered') AS title,
+        |  CAST(json_extract_string(payload, '$.price') AS BIGINT) AS price,
+        |  json_extract_string(payload, '$.status') AS status
+        |FROM p""".stripMargin,
+    "q45_html_in_json" ->
+      """WITH p AS (
+        |  SELECT '{"content": "<div class=\"title\">T' || event_id
+        |    || '</div> IDR ' || (event_id % 500) + 1 || '.000.000"}' AS envelope
+        |  FROM events),
+        |h AS (SELECT json_extract_string(envelope, '$.content') AS html FROM p)
+        |SELECT
+        |  CAST(replace(replace(
+        |    NULLIF(regexp_extract(html, '(?i)IDR\s*([0-9.,]+)', 1), ''),
+        |    '.', ''), ',', '') AS BIGINT) AS idr,
+        |  NULLIF(regexp_extract(html, 'class="title">([^<]*)<', 1), '') AS title
+        |FROM h""".stripMargin,
+    "q46_frontier_dedup" -> (
+      s"""WITH $queueSql,
+         |u AS (SELECT DISTINCT url FROM q)
+         |SELECT NULLIF(regexp_extract(url, 'http[s]://(.*?)/', 1), '') AS domain,
+         |  count(*) AS n
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q47_crawl_report" ->
+      """WITH r AS (
+        |  SELECT 'src' || (user_id % 16) AS source, ts AS created_at,
+        |    event_id % 100 AS item_scraped_count,
+        |    event_id % 7 AS response_error_count,
+        |    event_id % 50 AS elapsed_time_seconds
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01')
+        |SELECT source, created_at,
+        |  item_scraped_count AS total_listings,
+        |  item_scraped_count AS success_count,
+        |  response_error_count AS error_count,
+        |  elapsed_time_seconds AS duration
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY created_at DESC) AS rn FROM r) t
+        |WHERE rn = 1""".stripMargin,
+    "q48_tag_counts" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS key,
+        |    CASE WHEN o_orderkey % 14 = 0 THEN NULL
+        |         WHEN o_orderkey % 15 = 0 THEN 14.0
+        |         ELSE CAST(o_orderkey % 5 AS DOUBLE) END AS bedrooms,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN 'Land'
+        |         WHEN o_orderkey % 9 = 0 THEN 'Castle'
+        |         ELSE 'Villa' END AS ptype,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE 100 END AS price,
+        |    CASE WHEN o_orderkey % 8 = 0 THEN 'N/A' ELSE 't' END AS title,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE 'd' END AS description,
+        |    CASE WHEN o_orderkey % 12 = 0 THEN NULL ELSE 'loc' END AS location,
+        |    CASE WHEN o_orderkey % 6 = 0 THEN 300.0 END AS build_size,
+        |    CASE WHEN o_orderkey % 6 = 0 THEN 200.0 END AS land_size,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'Leasehold'
+        |         WHEN o_orderkey % 16 = 0 THEN 'Timeshare'
+        |         ELSE 'Freehold' END AS contract,
+        |    CASE WHEN o_orderkey % 21 = 0 THEN 25.0 END AS lease,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN 'Sold' ELSE 'Available' END AS avail,
+        |    CASE WHEN o_orderkey % 24 = 0 THEN 'Residential' END AS zoning
+        |  FROM orders),
+        |tags AS (
+        |  SELECT 'has_more_than_13_bedrooms' AS name, key FROM t
+        |    WHERE bedrooms IS NOT NULL AND bedrooms <> 0 AND bedrooms >= 13
+        |  UNION ALL SELECT 'no_bedrooms', key FROM t
+        |    WHERE (bedrooms IS NULL OR bedrooms = 0) AND ptype IS DISTINCT FROM 'Land'
+        |  UNION ALL SELECT 'no_price', key FROM t WHERE price = 0
+        |  UNION ALL SELECT 'no_title', key FROM t
+        |    WHERE title IS NULL OR title = '' OR title = 'N/A'
+        |  UNION ALL SELECT 'no_description', key FROM t
+        |    WHERE description IS NULL OR description = ''
+        |  UNION ALL SELECT 'no_location', key FROM t
+        |    WHERE location IS NULL OR location = ''
+        |  UNION ALL SELECT 'build_size_greater_than_land_size', key FROM t
+        |    WHERE build_size IS NOT NULL AND build_size <> 0
+        |      AND land_size IS NOT NULL AND land_size <> 0
+        |      AND build_size > land_size
+        |  UNION ALL SELECT 'no_leasehold_years', key FROM t
+        |    WHERE contract = 'Leasehold' AND (lease IS NULL OR lease = 0)
+        |  UNION ALL SELECT 'not_available', key FROM t
+        |    WHERE avail IS DISTINCT FROM 'Available'
+        |  UNION ALL SELECT 'unknown_property_type', key FROM t
+        |    WHERE ptype IS NULL OR ptype NOT IN
+        |      ('Villa','House','Land','Apartment','Hotel','Townhouse','Commercial','Loft')
+        |  UNION ALL SELECT 'land_with_bedrooms', key FROM t
+        |    WHERE ptype = 'Land' AND bedrooms IS NOT NULL AND bedrooms > 0
+        |  UNION ALL SELECT 'unknown_contract_type', key FROM t
+        |    WHERE contract IS NULL OR contract NOT IN ('Freehold','Leasehold','Rental')
+        |  UNION ALL SELECT 'no_land_zoning', key FROM t
+        |    WHERE ptype = 'Land' AND (zoning IS NULL OR zoning = ''))
+        |SELECT name, count(*) AS n FROM tags
+        |WHERE NOT ((length(name) + key) % 5 = 0) AND NOT (key % 7 = 0)
+        |GROUP BY name ORDER BY name""".stripMargin,
+    "q49_queue_page" -> (
+      s"""WITH $queueSql
+         |SELECT id, url, created_at FROM q
+         |WHERE status = 'Available' AND contains(url, 's3.x.com')
+         |  AND created_at >= TIMESTAMP '2024-01-10'
+         |ORDER BY created_at DESC, id DESC LIMIT 50 OFFSET 50""".stripMargin),
+    "q50_domains" -> (
+      s"""WITH $queueSql
+         |SELECT DISTINCT NULLIF(regexp_extract(url, 'http[s]://(.*?)/', 1), '')
+         |  AS domain
+         |FROM q WHERE NULLIF(regexp_extract(url, 'http[s]://(.*?)/', 1), '')
+         |  IS NOT NULL
+         |ORDER BY 1""".stripMargin),
+    "q51_delist_sync" ->
+      """WITH cur AS (
+        |  SELECT 'u' || o_orderkey AS url FROM orders WHERE o_orderkey % 10 < 8),
+        |crawled AS (
+        |  SELECT 'u' || o_orderkey AS url FROM orders WHERE o_orderkey % 10 >= 2)
+        |SELECT url, 'Delisted' AS availability, false AS is_available,
+        |  TIMESTAMP '2026-07-01' AS sold_at
+        |FROM cur WHERE url NOT IN (SELECT url FROM crawled)""".stripMargin,
+    "q52_monthly_reid" ->
+      """SELECT '2026-07-01' AS date, count(*) AS n
+        |FROM orders WHERE o_orderkey % 10 < 8""".stripMargin)
+}

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sink shapes (SURVEY §2.1): the reference's write paths as DataFrame
+  * writers. Partitioned appends replace per-item INSERTs; the
+  * unique-constraint tables become dedup + anti-join before append —
+  * set-based idempotency instead of catch-rollback per row.
+  */
+object Sinks {
+
+  /** Staging append (reference property pipeline insert,
+    * reid/pipelines/property.py:38-66): partitioned by source + month so
+    * downstream reads prune (mirrors the reference's indexes).
+    */
+  def stagingAppend(df: DataFrame, path: String): Unit =
+    df.withColumn("month", date_format(col("scraped_at"), "yyyy-MM"))
+      .write.mode("append").partitionBy("source", "month").parquet(path)
+
+  /** Metrics/report append (reference reid/pipelines/property.py:70-87). */
+  def metricsAppend(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Constrained append (reference Error / DuplicateListing inserts,
+    * models/error.py:6-16, models/duplicate_listing.py:7-17): enforce the
+    * unique key against both the batch and what's already written.
+    */
+  def constrainedAppend(df: DataFrame, path: String, uniqueCols: Seq[String]): Unit = {
+    val deduped = df.dropDuplicates(uniqueCols)
+    val existing =
+      try df.sparkSession.read.parquet(path).select(uniqueCols.map(col): _*)
+      catch { case _: Exception => null }
+    val out = if (existing == null) deduped
+      else deduped.join(existing, uniqueCols, "left_anti")
+    out.write.mode("append").parquet(path)
+  }
+
+  /** Wide export (reference to_dict JSON/CSV outputs,
+    * models/listing.py:175-241, ml_region_prediction.py:116-118).
+    */
+  def exportJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}
