@@ -296,6 +296,17 @@ object Cleaners {
   def firstMonth(asOf: Column): Column =
     date_format(add_months(date_trunc("month", asOf), -1), "yyyy-MM-dd")
 
+  /** ItemLoader `Max` output processor (reference reid/func.py:724-726):
+    * max over candidate values — per-row array op, no window needed.
+    */
+  def maxProcessor(values: Column): Column = array_max(values)
+
+  /** ItemLoader `TakeNth` (reference reid/func.py:702-721): trimmed nth
+    * element, null past the end (element_at is 1-based; TakeNth is 0-based).
+    */
+  def takeNth(values: Column, n: Int): Column =
+    try_element_at(transform(values, v => trim(v)), lit(n + 1))
+
   /** reference fill_missing_sold_at.py:8-27 imputation expression. */
   def imputeSoldAt(soldAt: Column, isAvailable: Column, updatedAt: Column): Column =
     when(!isAvailable && soldAt.isNull,

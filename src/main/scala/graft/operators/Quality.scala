@@ -79,6 +79,24 @@ object Quality {
       (col("f.name").isNotNull && col("e.name").isNull).as("is_new"))
   }
 
+  /** Required-field audit (reference reid/pipelines/local.py:4-44): which
+    * required columns are missing per row, with the reference's
+    * conditional exemptions (leasehold_years only when Leasehold, sold_at
+    * only when unavailable).
+    */
+  def missingFields(df: DataFrame, required: Seq[String]): Column =
+    filter(array(required.map { f =>
+      val missing = f match {
+        case "leasehold_years" =>
+          df("contract_type") <=> "Leasehold" && df(f).isNull
+        case "sold_at" =>
+          !(df("is_available") <=> true) && df(f).isNull
+        case _ =>
+          df(f).isNull || (df(f).cast("string") === "")
+      }
+      when(missing, lit(f))
+    }: _*), _.isNotNull)
+
   /** Off-plan flag (models/property.py:61-68 + _has_off_plan/_normalize):
     * the literal variants plus the "off ... plan" normalization regex and
     * "under construction".
