@@ -24,7 +24,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_monthly_counts" -> ((s, d) => q01MonthlyCounts(s, d))
   ) ++ Relational.all ++ FunctionQueries.all ++ EtlQueries.all ++
-    LlmQueries.all ++ SourceQueries.all
+    LlmQueries.all ++ SourceQueries.all ++ MlQueries.all
 
   val oracle: Map[String, String] = Map(
     "q01_monthly_counts" ->

@@ -1,0 +1,38 @@
+package graft
+
+import graft.ml.RegionModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Region-ML query (SURVEY §2.8 / reference ml_region_prediction.py):
+  * train the TF-IDF + RandomForest pipeline on synthesized labeled
+  * locations and report the (region, predicted) confusion counts.
+  * Rows-only check: model training has no SQL oracle.
+  */
+object MlQueries {
+
+  def q53RegionMl(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val kw = when(k % 5 === 0, "canggu")
+      .when(k % 5 === 1, "seminyak")
+      .when(k % 5 === 2, "ubud")
+      .when(k % 5 === 3, "sanur")
+      .otherwise("amed")
+    val region = when(k % 5 === 0 || k % 5 === 1, "Badung")
+      .when(k % 5 === 2, "Gianyar")
+      .when(k % 5 === 3, "Denpasar")
+      .otherwise("Karangasem")
+    val labeled = Tables.orders(s, d)
+      .filter(k < 2000) // bounded training set at every sf
+      .select(concat(lit("villa in "), kw, lit(" area "), k % 97).as("location"),
+        region.as("region"))
+    val model = RegionModel.train(labeled, numTrees = 20)
+    RegionModel.predict(model, labeled)
+      .groupBy("region", "predicted_region")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("region", "predicted_region")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_region_ml" -> (q53RegionMl _))
+}
