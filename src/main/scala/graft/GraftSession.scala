@@ -23,6 +23,8 @@ object GraftSession {
       // read as Long ns and convert (Tables.events) exactly like DuckDB's
       // truncate-to-micros behavior.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native expression library (graft_to_number_native, …)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String): SparkSession = {

@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.Parse
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native ToNumberExpr == Parse kernel, registered via extensions, and
+  * actually inside whole-stage codegen (no UDF fence).
+  */
+class ExpressionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val inputs = Seq("1,250,000", "2.5", "1.250.000", "1,250.50",
+    "  3 bedrooms ", "no digits", "450 sqm", "1.5.2.3", "12.345", "7",
+    "100.25", "0.5")
+
+  test("graft_to_number_native == kernel on all fixtures") {
+    val df = inputs.toDF("s")
+      .select(expr("graft_to_number_native(s)").as("v"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    val want = inputs.map(s => Parse.toNumber(s).map(Double.box).orNull)
+    assert(got.toSeq == want)
+  }
+
+  test("native expression stays inside WholeStageCodegen") {
+    // a local Seq would be constant-folded into a LocalTableScan before
+    // codegen — use range so the expression runs in generated code
+    val df = spark.range(100)
+      .selectExpr("concat(cast(id as string), '.', cast(id % 100 as string)) AS s")
+      .selectExpr("graft_to_number_native(s) AS v")
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [graft_to_number_native"), plan)
+    // and the generated code actually compiles — no silent fallback
+    val strict = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = df.collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+      val want = (0 until 100).map(i => Parse.toNumber(s"$i.${i % 100}").map(Double.box).orNull)
+      assert(got.toSeq == want)
+    } finally strict match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("null input and non-parsing input both yield null") {
+    val df = Seq(Some("abc"), None).toDF("s")
+      .select(expr("graft_to_number_native(s)").as("v"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+}
