@@ -28,7 +28,7 @@ object Cleaners {
     sub("per$|-$", "")
     sub("^rp\\.?", "")
     sub("rupia$|rupiah|bersih", "")
-    sub("\\.00$", ",00")
+    sub("\\.00$", "\\\\,00") // literal backslash, as the reference emits
     sub("m2", "meter")
     sub("per m$", "permeter")
     sub("per(.*?)meter", "permeter")

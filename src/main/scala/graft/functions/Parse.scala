@@ -107,7 +107,10 @@ object Parse {
     v = v.replaceAll("per$|-$", "")
     v = v.replaceAll("^rp\\.?", "")
     v = v.replaceAll("rupia$|rupiah|bersih", "")
-    v = v.replaceAll("\\.00$", ",00")
+    // the reference's replacement r"\,00" emits a LITERAL backslash before
+    // the comma (Python keeps the unknown escape) — faithful, and it
+    // matters: the backslash blocks the later "bare number" price branch
+    v = v.replaceAll("\\.00$", "\\\\,00")
     v = v.replaceAll("m2", "meter")
     v = v.replaceAll("per m$", "permeter")
     v = v.replaceAll("per(.*?)meter", "permeter")

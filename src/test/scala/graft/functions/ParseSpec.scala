@@ -259,6 +259,85 @@ class ParseSpec extends AnyFunSuite {
       == Some(LocalDate.of(2023, 12, 1)))
   }
 
+  test("fuzz corpus: re_extract_price / to_number / clean_price_text match reference") {
+    // (input, re_extract_price, to_number, clean_price_text) captured by
+    // executing the reference on 40 generated price strings (seed 7)
+    val fuzz: Seq[(String, Long, Double, String)] = Seq(
+      ("Rp950 per meter", 950L, 950.0, "950 permeter"),
+      ("2 rupiah", 2L, 2.0, "2"),
+      ("Rp. 2,5.00", 2L, 2500.0, "2,5\\,00"),
+      ("USD 2 ribu", 2000L, 2.0, "usd 2 ribu"),
+      ("2 per meter", 2L, 2.0, "2 permeter"),
+      ("12.345.678 ribu", 12345678000L, 12345678.0, "12.345.678 ribu"),
+      ("USD 2,5 per meter", 2L, 25.0, "usd 2,5 permeter"),
+      ("USD 2 juta", 2000000L, 2.0, "usd 2 juta"),
+      ("USD 1.250.000", 0L, 1250000.0, "usd 1.250.000"),
+      ("USD 2 jt", 2000000L, 2.0, "usd 2 jt"),
+      ("IDR 3,75 jt", 3750000L, 375.0, "idr 3,75 jt"),
+      ("USD 2,5 M", 2500000000L, 25.0, "usd 2,5 m"),
+      ("1.250.00", 1L, 125000.0, "1.250\\,00"),
+      ("Rp. 1.250.000 juta", 1250000000000L, 1250000.0, "1.250.000 juta"),
+      ("USD 2,5", 0L, 25.0, "usd 2,5"),
+      ("IDR 1.250.000 rupiah", 0L, 1250000.0, "idr 1.250.000"),
+      ("Rp. 12.345.678 nego", 12345678L, 12345678.0, "12.345.678"),
+      ("Rp. 1,250.50 M", 1250500000L, 125050.0, "1,250.50 m"),
+      ("Rp1.250.000 ribu", 1250000000L, 1250000.0, "1.250.000 ribu"),
+      ("Rp. 1,250.50 nego", 1L, 125050.0, "1,250.50"),
+      ("USD 3,75 juta", 3750000L, 375.0, "usd 3,75 juta"),
+      ("Rp. 1.250 jt", 1250000L, 1250.0, "1.250 jt"),
+      ("IDR 1,250.50", 0L, 1250.5, "idr 1,250.50"),
+      ("USD 2,5.00", 0L, 25.0, "usd 2,5\\,00"),
+      ("Rp. 950/m2", 950L, 9502.0, "950 permeter"),
+      ("USD 1,250.50 nego", 0L, 1250.5, "usd 1,250.50"),
+      ("2,5 M", 2500000000L, 25.0, "2,5 m"),
+      ("1,250.50", 1L, 1250.5, "1,250.50"),
+      ("USD 3,75 nego", 0L, 375.0, "usd 3,75"),
+      ("IDR 3,75/m2", 3L, 3752.0, "idr 3,75 permeter"),
+      ("IDR 2/m2", 2L, 22.0, "idr 2 permeter"),
+      ("USD 1.250 juta", 1250000L, 1250.0, "usd 1.250 juta"),
+      ("1,250.50 ribu", 1250L, 1250.5, "1,250.50 ribu"),
+      ("Rp3,75 ribu", 3750L, 375.0, "3,75 ribu"),
+      ("IDR 12.345.678 nego", 0L, 12345678.0, "idr 12.345.678"),
+      ("Rp2,5 nego", 2L, 25.0, "2,5"),
+      ("USD 12.345.678 M", 12345678000000000L, 12345678.0, "usd 12.345.678 m"))
+    for ((in, rep, tn, cpt) <- fuzz) {
+      assert(Parse.cleanPriceText(in) == cpt, s"clean($in)")
+      assert(Parse.reExtractPrice(in) == Some(rep), s"reExtract($in)")
+      assert(Parse.toNumber(in) == Some(tn), s"toNumber($in)")
+    }
+  }
+
+  test("second ground-truth batch: misc scalar functions") {
+    assert(Parse.safeNumber("12") == Some(12.0))
+    assert(Parse.safeNumber("12.344") == Some(12.34))
+    assert(Parse.safeNumber("abc") == None)
+    assert(Parse.priceRequestToZero("PRICE REQUEST now") == Some("0"))
+    assert(Parse.priceRequestToZero("500") == Some("500"))
+    assert(Parse.recalculatePriceByLandSize("5 juta /are", 5000000, 500)
+      == Some(2.5e7))
+    assert(Parse.recalculatePriceByLandSize("1m /m2", 100, 300) == None)
+    assert(Parse.recalculatePriceByLandSize("plain", 100, 300) == None)
+    assert(Parse.recalculatePriceByLandSize("x /are", 200, 0) == None)
+    assert(Parse.grabPrice("IDR 5.000") == (Some("idr 5.000"), None))
+    assert(Parse.grabPrice("usd 300") == (None, Some("usd 300")))
+    assert(Parse.findHoldState(Seq("free hold")) == (false, false))
+    assert(Parse.ubudFindLeaseholdYears("2.5 Year left", Y) == Some(2.5))
+    assert(Parse.ubudFindLeaseholdYears("2040", Y) == Some(14.0))
+    assert(Parse.ubudFindLeaseholdYears("1999", Y) == None)
+    assert(Parse.leaseholdYearsFinders("Leasehold until 2045", Y) == Some(19))
+    assert(Parse.leaseholdYearsFinders("Harga 2 M utk 22 tahun", Y) == Some(22))
+    assert(Parse.leaseholdYearsFinders("no info", Y) == None)
+    assert(Parse.getImgSrc("url(https://x.com/a.jpg)") == Some("https://x.com/a.jpg"))
+    assert(Parse.getBackgroundImage("background-image:url(https://x/a.jpg);")
+      == "https://x/a.jpg")
+    assert(Parse.getBackgroundImage("nope") == "nope")
+    assert(Parse.findPublishedDate("{\"datePublished\":\"2023-11-05T10:00:00+08:00\"}")
+      == Some("11/05/23"))
+    assert(Parse.findPublishedDate("none here") == Some(""))
+    assert(Parse.finder("(\\d+) beds", "has 4 beds", 1) == Some("4"))
+    assert(Parse.finder("x", "y") == None)
+  }
+
   test("misc processors") {
     assert(Parse.findHoldState(Seq("Lease Hold", "x")) == (true, false))
     assert(Parse.findHoldState(Seq("SOLD")) == (false, true))
