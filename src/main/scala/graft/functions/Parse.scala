@@ -432,8 +432,11 @@ object Parse {
       .sortBy(_.length).map(_.toInt)
     if (years.nonEmpty) {
       val y = years.head
+      // the reference re-checks str(int(v)): a zero-padded "05" became 5,
+      // whose length is 1 → neither branch fires → None (no fallback)
       if (y.toString.length == 4) Some(((y - asOfYear).toDouble, true))
-      else Some((y.toDouble, true))
+      else if (y.toString.length == 2) Some((y.toDouble, true))
+      else None
     } else if (t.contains("year")) {
       val results = findAll(pNum, t)
         .filter(v => hasDigit.matcher(v).find())
