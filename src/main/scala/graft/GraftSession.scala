@@ -25,6 +25,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native expression library (graft_to_number_native, …)
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      // the async checksum writer deadlocks state-store checkpoint commits
+      // in constrained single-JVM pools (task thread parks forever in
+      // ChecksumCheckpointFileManager.awaitResult); local checkpoints are
+      // ephemeral so integrity checksums buy nothing here
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String): SparkSession = {

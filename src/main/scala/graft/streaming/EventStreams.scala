@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured-Streaming operators over the events stream shape
+  * (event_id, ts, user_id, event_type, value): watermarked windowed
+  * aggregation and custom per-key session state via mapGroupsWithState —
+  * the streaming surface the engine exposes beyond the reference's
+  * batch-only world.
+  */
+object EventStreams {
+
+  /** Hourly event counts + value sums per type with a 1-hour watermark:
+    * late events beyond the watermark are dropped, state is bounded.
+    */
+  def windowedCounts(events: DataFrame,
+                     window: String = "1 hour",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Event(user_id: Long, ts: Timestamp, event_type: String)
+  case class SessionState(n: Long, lastTs: Long)
+  case class UserSession(user_id: Long, n_events: Long, closed: Boolean)
+
+  /** Per-user sessionization with processing-time timeout: counts events
+    * per user, emits the running session on every batch and a closed
+    * session when the key times out. KeyValueGroupedDataset +
+    * mapGroupsWithState — the custom-state shape the built-in windowed
+    * aggs can't express.
+    */
+  def sessionize(events: Dataset[Event],
+                 timeoutMs: Long = 60000): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSession](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            UserSession(userId, s.n, closed = true)
+          } else {
+            val events = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+            val next = SessionState(prev.n + events.size,
+              math.max(prev.lastTs, events.map(_.ts.getTime).max))
+            state.update(next)
+            state.setTimeoutDuration(timeoutMs)
+            UserSession(userId, next.n, closed = false)
+          }
+      }
+  }
+}

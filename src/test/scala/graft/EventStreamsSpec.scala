@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Watermarked windowed aggregation and mapGroupsWithState sessions over
+  * MemoryStream micro-batches.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates per hour window and drops late data") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(df).writeStream
+      .format("memory").queryName("wc").outputMode("update").start()
+    in.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0),
+      (ts("2024-01-01 11:10:00"), "view", 5.0))
+    q.processAllAvailable()
+    // event far behind the watermark (advanced to ~10:10 by the 11:10 max)
+    in.addData((ts("2024-01-01 08:00:00"), "click", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wc")
+      .groupBy("window_start", "event_type").sum("n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains((ts("2024-01-01 10:00:00"), "click", 2L)))
+    assert(rows.contains((ts("2024-01-01 11:00:00"), "view", 1L)))
+    // the 08:00 event fell behind the watermark → its window never appears
+    assert(!rows.exists(_._1 == ts("2024-01-01 08:00:00")))
+  }
+
+  test("sessionize keeps per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS()).writeStream
+      .format("memory").queryName("sess").outputMode("update").start()
+
+    // ProcessingTimeTimeout keeps the query triggering timeout-evaluation
+    // batches, so processAllAvailable never observes a quiescent stream —
+    // poll the sink with a deadline instead
+    def latest(): Map[Long, Long] = spark.table("sess")
+      .groupBy("user_id").max("n_events")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def awaitState(expected: Map[Long, Long]): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (latest() != expected && System.nanoTime() < deadline)
+        Thread.sleep(500)
+      assert(latest() == expected, s"timed out waiting for $expected")
+    }
+
+    in.addData(Event(1L, ts("2024-01-01 10:00:00"), "click"),
+      Event(1L, ts("2024-01-01 10:01:00"), "view"),
+      Event(2L, ts("2024-01-01 10:00:30"), "click"))
+    awaitState(Map(1L -> 2L, 2L -> 1L))
+    in.addData(Event(1L, ts("2024-01-01 10:02:00"), "click"))
+    awaitState(Map(1L -> 3L, 2L -> 1L)) // state accumulated across batches
+    q.stop()
+  }
+}
