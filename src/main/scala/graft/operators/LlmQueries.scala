@@ -75,6 +75,10 @@ object LlmQueries {
     Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       "label", col("vec_id") % 50 === 0, 3)
 
+  /** Label-free cosine near-dup via random-hyperplane LSH buckets. */
+  def q54CosineLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshNearestNeighbor(Tables.embeddings(s, d), "vec_id", "embedding")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31DedupExact _),
     "q32_text_stats" -> (q32TextStats _),
@@ -86,7 +90,8 @@ object LlmQueries {
     "q39_ann_topk" -> (q39AnnTopk _),
     "q40_simhash" -> (q40Simhash _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
-    "q43_ann_ivf" -> (q43AnnIvf _))
+    "q43_ann_ivf" -> (q43AnnIvf _),
+    "q54_cosine_lsh" -> (q54CosineLsh _))
 
   private val shingleBase =
     """base AS (
@@ -266,6 +271,39 @@ object LlmQueries {
          |  CAST(${hexFold.format("text")} % 1920 AS INT) AS fake_width,
          |  CAST(${hexFold.format("text")} % 1080 AS INT) AS fake_height
          |FROM documents""".stripMargin),
+    "q54_cosine_lsh" -> (
+      s"""WITH $embBase,
+         |sig AS (
+         |  SELECT vec_id, q, norm2,
+         |    CAST(list_sum([
+         |      CASE WHEN list_sum([q[i] *
+         |          (((1103515245*((j*64)+(i-1)) + 12345) % 2147483648) % 21 - 10)
+         |          for i in range(1,65)]) > 0
+         |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+         |      for j in range(0,16)]) AS BIGINT) AS bucket
+         |  FROM n2),
+         |pairs AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    CAST(list_sum([x.q[i]*y.q[i] for i in range(1, 65)]) AS BIGINT)
+         |      / (sqrt(x.norm2) * sqrt(y.norm2)) AS cosine
+         |  FROM sig x JOIN sig y
+         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |sym AS (
+         |  SELECT a AS vec_id, b AS nn_id, cosine FROM pairs
+         |  UNION ALL SELECT b, a, cosine FROM pairs),
+         |rk AS (
+         |  SELECT vec_id, nn_id, cosine,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, nn_id ASC) AS rn
+         |  FROM sym),
+         |best AS (
+         |  SELECT vec_id, count(*) AS n_peers,
+         |    max(CASE WHEN rn = 1 THEN nn_id END) AS best_nn,
+         |    max(CASE WHEN rn = 1 THEN cosine END) AS best_cos
+         |  FROM rk GROUP BY 1)
+         |SELECT s.vec_id, s.bucket, coalesce(b.n_peers, 0) AS n_peers,
+         |  b.best_nn, b.best_cos
+         |FROM sig s LEFT JOIN best b USING (vec_id)""".stripMargin),
     "q43_ann_ivf" -> (
       s"""WITH $embBase,
          |cent AS (

@@ -73,6 +73,51 @@ object Similarity {
       .select("probe_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** 16-bit random-hyperplane LSH signature: bit j = sign of the dot
+    * product with a deterministic integer hyperplane (coefficients from a
+    * small LCG so the oracle reproduces them exactly). Cosine-similar
+    * vectors agree on most signs → collide in the same bucket.
+    */
+  def hyperplaneBucket(q: Column, planes: Int = 16, dim: Int = 64): Column =
+    (0 until planes).map { j =>
+      val coeffs = array((0 until dim).map { i =>
+        lit(((1103515245L * (j * dim + i) + 12345L) % 2147483648L) % 21 - 10)
+      }: _*)
+      val dot = aggregate(zip_with(q, coeffs, (x, y) => x * y),
+        lit(0L), (a, x) => a + x)
+      when(dot > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Label-free near-dup via hyperplane LSH: bucket on the signature,
+    * pair only within buckets, verify with exact cosine. The scale path
+    * when no cluster metadata exists — one shuffle on the bucket key,
+    * collision rate (not n²) controls the pair count. Every vector keeps
+    * a row (n_peers 0 when its bucket is a singleton).
+    */
+  def lshNearestNeighbor(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = prepared(df, idCol, vecCol)
+      .withColumn("bucket", hyperplaneBucket(col("q")))
+    val pairs = base.as("x").join(base.as("y"),
+      col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosineQ(col("x.q"), col("y.q"), col("x.norm2"), col("y.norm2"))
+          .as("cosine"))
+    val sym = pairs.select(col("a").as("vec_id"), col("b").as("nn_id"), col("cosine"))
+      .unionByName(pairs.select(col("b").as("vec_id"), col("a").as("nn_id"), col("cosine")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nn_id").asc)
+    val best = sym.withColumn("rn", row_number().over(w))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_peers"),
+        max(when(col("rn") === 1, col("nn_id"))).as("best_nn"),
+        max(when(col("rn") === 1, col("cosine"))).as("best_cos"))
+    base.select(col("vec_id"), col("bucket"))
+      .join(best, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("n_peers"), lit(0L)).as("n_peers"),
+        col("best_nn"), col("best_cos"))
+  }
+
   /** IVF-style ANN: coarse centroids = per-block integer sum vectors
     * (cosine against a sum vector ≡ cosine against the mean — scale
     * invariant, and exact in int arithmetic). Probes route to their
