@@ -76,20 +76,21 @@ object Cleaners {
     when(lower(c).contains("price request"), lit("0")).otherwise(c)
 
   /** reference reid/func.py:302-319: whole numbers stay whole, fractions
-    * round to 2 decimals.
+    * round to 2 decimals — Python round() is half-even, so bround, not
+    * round (HALF_UP would diverge on exact .xx5 values).
     */
-  def safeNumber(c: Column): Column = round(c.cast("double"), 2)
+  def safeNumber(c: Column): Column = bround(c.cast("double"), 2)
 
-  /** reference reid/func.py:892-916 (the word-bounded IDR branch returns
-    * the canonical token; other branches return the matched text).
+  /** reference reid/func.py:892-916. The reference returns group(1) when
+    * the word-bounded IDR alternative won, otherwise the whole match — but
+    * for that alternative group(1) IS the whole match, so the leftmost
+    * full match is always the answer (a separate IDR probe would wrongly
+    * prefer a later IDR over an earlier USD in mixed-currency text).
     */
   def extractCurrency(c: Column): Column = {
     val m = regexp_extract(c,
       "(?i)\\b(IDR)\\b|\\b(USD)\\b|\\b(Rp)\\b|(IDR)\\d+|(USD)\\d+|\\b(Rp)\\s*\\d+", 0)
-    val g1 = regexp_extract(c, "(?i)\\b(IDR)\\b", 1)
-    when(nullIfEmpty(m).isNull, c)
-      .when(nullIfEmpty(g1).isNotNull, g1)
-      .otherwise(m)
+    coalesce(nullIfEmpty(m), c)
   }
 
   /** reference reid/func.py:919-925 */
@@ -237,17 +238,31 @@ object Cleaners {
   def getBackgroundImage(c: Column): Column =
     coalesce(nullIfEmpty(regexp_extract(c, "background-image:url\\((.*)\\);", 1)), c)
 
-  /** reference reid/func.py:627-640 (jpg/jpeg/png only — reference skips
-    * its own webp group).
+  /** reference reid/func.py:627-640: the FIRST match (webp included)
+    * decides; only its jpg/jpeg/png groups are removed — everywhere that
+    * exact dim substring occurs. A webp first match removes nothing.
     */
-  def dimensionRemover(c: Column): Column =
-    regexp_replace(c, "-\\d+x\\d+(?=\\.(jpg|jpeg|png))", "")
+  def dimensionRemover(c: Column): Column = {
+    val p = "(-\\d+x\\d+)\\.jpg|(-\\d+x\\d+)\\.jpeg|(-\\d+x\\d+)\\.png|(-\\d+x\\d+)\\.webp"
+    val dim = coalesce(nullIfEmpty(regexp_extract(c, p, 1)),
+      nullIfEmpty(regexp_extract(c, p, 2)),
+      nullIfEmpty(regexp_extract(c, p, 3)))
+    when(dim.isNotNull, replace(c, dim, lit(""))).otherwise(c)
+  }
 
-  /** reference reid/func.py:215-221: "k: v" lines → map */
-  def getIcons(icons: Column): Column =
-    map_from_entries(transform(icons, i => struct(
+  /** reference reid/func.py:215-221: "k: v" lines → map. Python dict
+    * update keeps the LAST value per key; map_from_entries throws on
+    * duplicates, so entries whose key reappears later are dropped first.
+    */
+  def getIcons(icons: Column): Column = {
+    val entries = transform(icons, i => struct(
       regexp_replace(lower(trim(element_at(split(i, ":", -1), 1))), " ", "_").as("key"),
-      regexp_replace(lower(trim(element_at(split(i, ":", -1), -1))), "m2", "").as("value"))))
+      regexp_replace(lower(trim(element_at(split(i, ":", -1), -1))), "m2", "").as("value")))
+    val lastWins = filter(entries, (e, i) =>
+      !exists(slice(entries, i + 2, size(entries)),
+        e2 => e2.getField("key") === e.getField("key")))
+    map_from_entries(lastWins)
+  }
 
   /** reference reid/func.py:365-369 */
   def findLocationInTitle(c: Column): Column =

@@ -573,11 +573,21 @@ object Parse {
     }
   }
 
-  /** reference reid/func.py:643-648 */
+  /** reference reid/func.py:643-648. Python fromisoformat accepts values
+    * with or without an offset (and bare dates) — try each shape; an
+    * unparseable capture yields "" instead of the reference's crash.
+    */
   def findPublishedDate(script: String): Option[String] = {
     if (script == null) return Some("")
-    findGroup(re("\"datePublished\":\"([T0-9\\-:+]+)\""), script, 1).map { iso =>
-      java.time.OffsetDateTime.parse(iso).toLocalDate.format(mmddyy)
+    findGroup(re("\"datePublished\":\"([T0-9\\-:+]+)\""), script, 1).flatMap { iso =>
+      val parsed: Option[LocalDate] =
+        (try Some(java.time.OffsetDateTime.parse(iso).toLocalDate)
+         catch { case _: Exception => None })
+          .orElse(try Some(java.time.LocalDateTime.parse(iso).toLocalDate)
+                  catch { case _: Exception => None })
+          .orElse(try Some(LocalDate.parse(iso))
+                  catch { case _: Exception => None })
+      parsed.map(_.format(mmddyy))
     }.orElse(Some(""))
   }
 

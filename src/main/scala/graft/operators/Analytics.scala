@@ -34,7 +34,11 @@ object Analytics {
     val d = java.time.LocalDate.parse(date)
     val cur = d.plusDays(31).withDayOfMonth(1)
     val nxt = cur.plusDays(31).withDayOfMonth(1)
-    val w = Window.partitionBy("source").orderBy(col("created_at").desc)
+    // tiebreakers: created_at alone could tie within a source, making the
+    // picked row nondeterministic (project determinism discipline)
+    val w = Window.partitionBy("source").orderBy(col("created_at").desc,
+      col("item_scraped_count").desc, col("response_error_count").desc,
+      col("elapsed_time_seconds").desc)
     reports
       .filter(col("created_at") >= lit(cur.toString).cast("timestamp") &&
         col("created_at") < lit(nxt.toString).cast("timestamp"))

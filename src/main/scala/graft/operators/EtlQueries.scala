@@ -24,7 +24,7 @@ object EtlQueries {
     Tables.orders(s, d).filter(k % 10 < 8).select(
       concat(lit("u"), k).as("url"),
       concat(lit("S"), (k % 3)).as("source"),
-      format_string("REID_26_07_S%d_%04d", k % 3, row_number().over(w)).as("reid_id"),
+      format_string("REID_26_07_S%d_%03d", k % 3, row_number().over(w)).as("reid_id"),
       lit("t").as("title"),
       lit(null).cast("string").as("region"),
       lit("2026-07-15").cast("timestamp").as("scraped_at"),
@@ -167,7 +167,7 @@ object EtlQueries {
         |cur AS (
         |  SELECT key, 'u' || key AS url, 'S' || (key % 3) AS source,
         |    'REID_26_07_S' || (key % 3) || '_' ||
-        |      printf('%04d', row_number() OVER (PARTITION BY key % 3 ORDER BY key)) AS reid_id,
+        |      printf('%03d', row_number() OVER (PARTITION BY key % 3 ORDER BY key)) AS reid_id,
         |    CASE WHEN key % 7 = 0 THEN 0 ELSE p END AS price,
         |    CASE WHEN key % 2 = 0 THEN 'IDR' ELSE 'USD' END AS currency,
         |    CASE WHEN key % 3 = 0 THEN '' ELSE 'loc' || (key % 3) END AS location,
@@ -290,7 +290,7 @@ object EtlQueries {
         |cur AS (
         |  SELECT key, 'u' || key AS url, 'S' || (key % 3) AS source,
         |    'REID_26_07_S' || (key % 3) || '_' ||
-        |      printf('%04d', row_number() OVER (PARTITION BY key % 3 ORDER BY key)) AS reid_id,
+        |      printf('%03d', row_number() OVER (PARTITION BY key % 3 ORDER BY key)) AS reid_id,
         |    CASE WHEN key % 7 = 0 THEN 0 ELSE p END AS price,
         |    CASE WHEN key % 2 = 0 THEN 'IDR' ELSE 'USD' END AS currency,
         |    CASE WHEN key % 3 = 0 THEN '' ELSE 'loc' || (key % 3) END AS location,

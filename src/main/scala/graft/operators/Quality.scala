@@ -102,11 +102,15 @@ object Quality {
     * "under construction".
     */
   def checkOffPlan(title: Column, description: Column, labels: Column): Column = {
-    def has(c: Column): Column = coalesce(
-      lower(trim(c)).rlike("off plan|offplan|off-plan|under construction") ||
-        c.rlike("(?i)\\boff([\\s\\d\\w]+)plan\\b"),
+    def literal(c: Column): Column = coalesce(
+      lower(trim(c)).rlike("off plan|offplan|off-plan|under construction"),
       lit(false))
-    has(title) || has(description) || coalesce(exists(labels, has), lit(false))
+    // title/description go through _normalize_off_plan (the off...plan
+    // regex) before the literal scan; labels are checked literally only
+    def normalized(c: Column): Column =
+      literal(c) || coalesce(c.rlike("(?i)\\boff([\\s\\d\\w]+)plan\\b"), lit(false))
+    normalized(title) || normalized(description) ||
+      coalesce(exists(labels, literal), lit(false))
   }
 
   /** Zoning color → category map, reference priority order

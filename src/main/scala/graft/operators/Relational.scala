@@ -227,7 +227,7 @@ object Relational {
     Tables.orders(s, d)
       .withColumn("rn", row_number().over(w))
       .select(col("o_orderkey"),
-        format_string("REID_%s_%s_%s_%04d",
+        format_string("REID_%s_%s_%s_%03d",
           date_format(col("o_orderdate"), "yy"),
           date_format(col("o_orderdate"), "MM"),
           substring(col("o_orderpriority"), 1, 1),
@@ -403,7 +403,7 @@ object Relational {
         |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')""".stripMargin,
     "q16_window_seq_id" ->
       """SELECT o_orderkey,
-        |  printf('REID_%s_%s_%s_%04d',
+        |  printf('REID_%s_%s_%s_%03d',
         |    strftime(o_orderdate, '%y'), strftime(o_orderdate, '%m'),
         |    substr(o_orderpriority, 1, 1),
         |    row_number() OVER (PARTITION BY strftime(o_orderdate, '%y-%m'), o_orderpriority

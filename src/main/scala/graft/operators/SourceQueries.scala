@@ -193,7 +193,9 @@ object SourceQueries {
         |  response_error_count AS error_count,
         |  elapsed_time_seconds AS duration
         |FROM (SELECT *, row_number() OVER (PARTITION BY source
-        |        ORDER BY created_at DESC) AS rn FROM r) t
+        |        ORDER BY created_at DESC, item_scraped_count DESC,
+        |        response_error_count DESC, elapsed_time_seconds DESC) AS rn
+        |      FROM r) t
         |WHERE rn = 1""".stripMargin,
     "q48_tag_counts" ->
       """WITH t AS (

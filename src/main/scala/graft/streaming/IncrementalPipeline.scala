@@ -39,9 +39,11 @@ object IncrementalPipeline {
     if (target.exists()) {
       val old = new java.io.File(tablePath + "_old")
       deleteRec(old)
-      target.renameTo(old)
+      if (!target.renameTo(old))
+        throw new java.io.IOException(s"snapshot swap failed: $tablePath -> $old")
     }
-    new java.io.File(tmp).renameTo(target)
+    if (!new java.io.File(tmp).renameTo(target))
+      throw new java.io.IOException(s"snapshot swap failed: $tmp -> $tablePath")
   }
 
   /** Wire a streaming source of standardized listing rows into the merge.

@@ -68,10 +68,11 @@ class QualitySpec extends AnyFunSuite {
       ("nice", "under construction now", Seq.empty[String]),
       ("off the plan project", "", Seq.empty[String]), // normalization regex
       ("plain", "plain", Seq("Offplan unit")),
+      ("plain", "plain", Seq("off the plan")), // labels NOT normalized (reference)
       ("plain", "plain", Seq.empty[String])).toDF("title", "description", "labels")
     val got = df.select(Quality.checkOffPlan(col("title"), col("description"),
       col("labels"))).as[Boolean].collect().toSeq
-    assert(got == Seq(true, true, true, true, false))
+    assert(got == Seq(true, true, true, true, false, false))
   }
 
   test("defineLandZoning: color wins over category, Land only") {

@@ -109,6 +109,26 @@ class CleanersSpec extends AnyFunSuite {
       lease.map(s => Parse.leaseholdYearsFinders(s, 2026).map(Int.box).orNull))
   }
 
+  test("review regressions: leftmost currency, icon dups, rounding, dims") {
+    // leftmost match wins in mixed-currency text (kernel == reference)
+    val mixed = Seq("USD 250,000 (IDR 4.000.000.000)")
+    assert(run(mixed, Cleaners.extractCurrency(_)) == mixed.map(Parse.extractCurrency))
+    assert(Parse.extractCurrency(mixed.head) == "USD")
+    // duplicate normalized keys: last value wins, no DUPLICATED_MAP_KEY
+    val icons = Seq(Seq("Bedrooms: 2", "bedrooms: 3")).toDF("icons")
+      .select(Cleaners.getIcons(col("icons"))).as[Map[String, String]].head
+    assert(icons == Parse.getIcons(Seq("Bedrooms: 2", "bedrooms: 3")))
+    assert(icons == Map("bedrooms" -> "3"))
+    // half-even rounding like Python round()
+    assert(run(Seq("2.125"), Cleaners.safeNumber(_)) ==
+      Seq(Parse.safeNumber("2.125").map(Double.box).orNull))
+    // first-match dim removed everywhere; webp-first removes nothing
+    val dims = Seq("p-300x200/img-300x200.jpg", "a-1x1.webp b-2x2.jpg")
+    assert(run(dims, Cleaners.dimensionRemover(_)) == dims.map(Parse.dimensionRemover))
+    assert(Parse.dimensionRemover(dims.head) == "p/img.jpg")
+    assert(Parse.dimensionRemover(dims(1)) == "a-1x1.webp b-2x2.jpg")
+  }
+
   test("date cleaners") {
     val got = Seq("2026-03-15").toDF("d")
       .select(Cleaners.firstMonth(to_date(col("d")))).as[String].head

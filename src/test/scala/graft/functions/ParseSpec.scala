@@ -333,6 +333,10 @@ class ParseSpec extends AnyFunSuite {
     assert(Parse.getBackgroundImage("nope") == "nope")
     assert(Parse.findPublishedDate("{\"datePublished\":\"2023-11-05T10:00:00+08:00\"}")
       == Some("11/05/23"))
+    assert(Parse.findPublishedDate("{\"datePublished\":\"2024-03-05T08:30:00\"}")
+      == Some("03/05/24")) // offset-less, like Python fromisoformat
+    assert(Parse.findPublishedDate("{\"datePublished\":\"2024-03-05\"}")
+      == Some("03/05/24")) // bare date
     assert(Parse.findPublishedDate("none here") == Some(""))
     assert(Parse.finder("(\\d+) beds", "has 4 beds", 1) == Some("4"))
     assert(Parse.finder("x", "y") == None)
