@@ -38,16 +38,18 @@ case class ToNumberExpr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
+    // fresh name: two calls in one generated method must not collide
+    val r = ctx.freshName("graftToNumber")
     ev.copy(code = code"""
       ${c.code}
       boolean ${ev.isNull} = true;
       double ${ev.value} = -1.0;
       if (!${c.isNull}) {
-        java.lang.Double graftR = graft.expressions.ToNumberExpr.parse(
+        java.lang.Double $r = graft.expressions.ToNumberExpr.parse(
           ${c.value}.toString());
-        if (graftR != null) {
+        if ($r != null) {
           ${ev.isNull} = false;
-          ${ev.value} = graftR.doubleValue();
+          ${ev.value} = $r.doubleValue();
         }
       }""")
   }

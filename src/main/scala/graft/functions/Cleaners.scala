@@ -277,9 +277,11 @@ object Cleaners {
   def afterColon(c: Column): Column =
     when(c.contains(":"), trim(element_at(split(c, ":", -1), -1))).otherwise(c)
 
-  /** reference reid/customs/balimoves.py:1-4 */
+  /** reference reid/customs/balimoves.py:1-4 (lstrip strips the char SET
+    * {f, a, -}, not the literal prefix).
+    */
   def faRemover(c: Column): Column =
-    regexp_replace(element_at(split(c, " ", -1), -1), "^(fa-)+", "")
+    regexp_replace(element_at(split(c, " ", -1), -1), "^[fa-]+", "")
 
   /** reference reid/customs/balitreasureproperties.py:4-9 */
   def findPageNumber(c: Column): Column =
@@ -289,13 +291,19 @@ object Cleaners {
   def findCode(c: Column): Column =
     regexp_extract(c, "(.*?) \\(", 1)
 
-  /** reference reid/func.py:643-648 */
-  def findPublishedDate(c: Column): Column =
+  /** reference reid/func.py:643-648. The LITERAL local date is kept (like
+    * Python fromisoformat) — to_timestamp would shift offset values to the
+    * session zone and change the date.
+    */
+  def findPublishedDate(c: Column): Column = {
+    val iso = regexp_extract(c, "\"datePublished\":\"([T0-9\\-:+]+)\"", 1)
+    val y = nullIfEmpty(regexp_extract(iso, "^(\\d{4})-(\\d{2})-(\\d{2})", 1))
+    val m = regexp_extract(iso, "^(\\d{4})-(\\d{2})-(\\d{2})", 2)
+    val d = regexp_extract(iso, "^(\\d{4})-(\\d{2})-(\\d{2})", 3)
     coalesce(
-      date_format(to_timestamp(
-        nullIfEmpty(regexp_extract(c, "\"datePublished\":\"([T0-9\\-:+]+)\"", 1))),
-        "MM/dd/yy"),
+      when(y.isNotNull, format_string("%s/%s/%s", m, d, substring(y, 3, 2))),
       lit(""))
+  }
 
   /** reference reid/customs/ubudproperty.py:14-22 */
   def extractPublishDate(c: Column): Column =

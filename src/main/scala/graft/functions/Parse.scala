@@ -51,6 +51,10 @@ object Parse {
     try Some(s.toDouble)
     catch { case _: NumberFormatException => None }
 
+  private def toLongOpt(s: String): Option[Long] =
+    try Some(s.toLong)
+    catch { case _: NumberFormatException => None } // >19 digits: junk, not a crash
+
   /** Render a parsed number the way Python str() renders an int-or-float:
     * whole values came from digit-only strings → no ".0" suffix.
     */
@@ -67,7 +71,15 @@ object Parse {
     * one dot with <=2 decimals is a decimal point, anything else means
     * thousands separators and every dot is dropped.
     */
-  def toNumber(value: String): Option[Double] = {
+  def toNumber(value: String): Option[Double] =
+    toNumberTyped(value).map(_._1)
+
+  /** toNumber plus Python's int-vs-float distinction: the result is a
+    * float only when the surviving string keeps a decimal point (one dot,
+    * ≤2 decimals) — eval("25.0") is a float even though the value is
+    * whole, which FindLeaseYears-style type checks care about.
+    */
+  def toNumberTyped(value: String): Option[(Double, Boolean)] = {
     if (value == null) return None
     val v = value.replace(",", "")
     val runs = findAll(digitRun, v).filter(r => hasDigit.matcher(r).find())
@@ -76,8 +88,10 @@ object Parse {
       val joined = runs.mkString
       val dots = v.count(_ == '.')
       val dec = if (dots == 1) joined.split("\\.", -1).last.length else 0
-      val cleaned = if (dots > 1 || dec > 2) joined.replace(".", "") else joined
-      toDoubleOpt(cleaned)
+      val keepDot = !(dots > 1 || dec > 2)
+      val cleaned = if (keepDot) joined else joined.replace(".", "")
+      val isInt = !(keepDot && cleaned.contains("."))
+      toDoubleOpt(cleaned).map(d => (d, isInt))
     }
   }
 
@@ -193,10 +207,10 @@ object Parse {
     if (text == null) return None
     findGroup(pUsd, text, 1).flatMap { raw =>
       val p = raw.replace(",", "")
-      if (pIntOnly.matcher(p).matches()) Some(p.toLong)
+      if (pIntOnly.matcher(p).matches()) toLongOpt(p)
       else {
         val q = p.replace(".", "")
-        if (pIntOnly.matcher(q).matches() && q.nonEmpty) Some(q.toLong)
+        if (pIntOnly.matcher(q).matches() && q.nonEmpty) toLongOpt(q)
         else None // reference would throw on a bare separator
       }
     }
@@ -207,7 +221,7 @@ object Parse {
     if (text == null) return None
     findGroup(pIdr, text, 1).flatMap { raw =>
       val p = raw.replace(",", "").replace(".", "")
-      if (pIntOnly.matcher(p).matches() && p.nonEmpty) Some(p.toLong) else None
+      if (pIntOnly.matcher(p).matches() && p.nonEmpty) toLongOpt(p) else None
     }
   }
 
@@ -441,7 +455,7 @@ object Parse {
       val results = findAll(pNum, t)
         .filter(v => hasDigit.matcher(v).find())
         .map(v => if (v.contains(",")) v.replace(",", ".") else v)
-        .flatMap(v => toNumber(v).map(d => (d, !pyNumStr(d).contains("."))))
+        .flatMap(toNumberTyped)
       if (results.nonEmpty) Some(results.minBy(_._1)) else None
     } else None
   }
@@ -878,10 +892,13 @@ object Parse {
     else results.head
   }
 
-  /** reference reid/customs/balimoves.py:1-4 */
+  /** reference reid/customs/balimoves.py:1-4: Python lstrip("fa-") strips
+    * the CHARACTER SET {f, a, -} from the left, not the literal prefix —
+    * "fa-arrows" → "rrows".
+    */
   def faRemover(faClass: String): Option[String] =
     if (faClass == null || faClass.isEmpty) None
-    else Some(faClass.split(" ", -1).last.replaceFirst("^(fa-)+", ""))
+    else Some(faClass.split(" ", -1).last.replaceFirst("^[fa-]+", ""))
 
   /** reference reid/customs/balitreasureproperties.py:4-9 */
   def findPageNumber(url: String): Int =

@@ -104,11 +104,12 @@ object EtlQueries {
         size(col("changes")).as("n_changes"),
         col("is_new"))
 
-  /** §2.8 identify_issues tag fan-out + tag counts
-    * (models/property.py:70-138 + tag_routes.py:24-40).
+  /** Shared property-staging fixture for the quality-rule queries (q29
+    * here, q48 tag counts) — one definition so the Spark side and both
+    * oracles cannot drift apart.
     */
-  def q29IssueTags(s: SparkSession, d: String): DataFrame = {
-    val props = Tables.orders(s, d).select(
+  def propsFixture(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
       concat(lit("p"), k).as("id"),
       when(k % 14 === 0, lit(null))
         .when(k % 15 === 0, 14.0)
@@ -128,10 +129,14 @@ object EtlQueries {
       when(k % 21 === 0, 25.0).otherwise(lit(null)).as("leasehold_years"),
       when(k % 17 === 0, "Sold").otherwise("Available").as("availability"),
       when(k % 24 === 0, "Residential").otherwise(lit(null)).as("land_zoning"))
-    Quality.explodeTags(props, "id")
+
+  /** §2.8 identify_issues tag fan-out + tag counts
+    * (models/property.py:70-138 + tag_routes.py:24-40).
+    */
+  def q29IssueTags(s: SparkSession, d: String): DataFrame =
+    Quality.explodeTags(propsFixture(s, d), "id")
       .groupBy("name").agg(count(lit(1)).as("n"))
       .orderBy("name")
-  }
 
   /** §2.8 to_dict wide export (models/listing.py:175-241) over listings
     * with a Delisted/Sold mix and both currencies.
@@ -153,6 +158,30 @@ object EtlQueries {
         "availability", "site_status", "sold_date_ms", "scrape_date_ms",
         "off_plan", "years", "location")
   }
+
+  /** DuckDB twin of [[propsFixture]] — single source for q29/q48 oracles. */
+  val propsFixtureSql: String =
+    """t AS (
+      |  SELECT o_orderkey AS key,
+      |    CASE WHEN o_orderkey % 14 = 0 THEN NULL
+      |         WHEN o_orderkey % 15 = 0 THEN 14.0
+      |         ELSE CAST(o_orderkey % 5 AS DOUBLE) END AS bedrooms,
+      |    CASE WHEN o_orderkey % 4 = 0 THEN 'Land'
+      |         WHEN o_orderkey % 9 = 0 THEN 'Castle'
+      |         ELSE 'Villa' END AS ptype,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE 100 END AS price,
+      |    CASE WHEN o_orderkey % 8 = 0 THEN 'N/A' ELSE 't' END AS title,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE 'd' END AS description,
+      |    CASE WHEN o_orderkey % 12 = 0 THEN NULL ELSE 'loc' END AS location,
+      |    CASE WHEN o_orderkey % 6 = 0 THEN 300.0 END AS build_size,
+      |    CASE WHEN o_orderkey % 6 = 0 THEN 200.0 END AS land_size,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'Leasehold'
+      |         WHEN o_orderkey % 16 = 0 THEN 'Timeshare'
+      |         ELSE 'Freehold' END AS contract,
+      |    CASE WHEN o_orderkey % 21 = 0 THEN 25.0 END AS lease,
+      |    CASE WHEN o_orderkey % 17 = 0 THEN 'Sold' ELSE 'Available' END AS avail,
+      |    CASE WHEN o_orderkey % 24 = 0 THEN 'Residential' END AS zoning
+      |  FROM orders)""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_merge_upsert" -> (q28MergeUpsert _),
@@ -225,29 +254,9 @@ object EtlQueries {
         |FROM matched
         |UNION ALL SELECT * FROM cur_only
         |UNION ALL SELECT * FROM new_only""".stripMargin,
-    "q29_issue_tags" ->
-      """WITH t AS (
-        |  SELECT o_orderkey AS key,
-        |    CASE WHEN o_orderkey % 14 = 0 THEN NULL
-        |         WHEN o_orderkey % 15 = 0 THEN 14.0
-        |         ELSE CAST(o_orderkey % 5 AS DOUBLE) END AS bedrooms,
-        |    CASE WHEN o_orderkey % 4 = 0 THEN 'Land'
-        |         WHEN o_orderkey % 9 = 0 THEN 'Castle'
-        |         ELSE 'Villa' END AS ptype,
-        |    CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE 100 END AS price,
-        |    CASE WHEN o_orderkey % 8 = 0 THEN 'N/A' ELSE 't' END AS title,
-        |    CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE 'd' END AS description,
-        |    CASE WHEN o_orderkey % 12 = 0 THEN NULL ELSE 'loc' END AS location,
-        |    CASE WHEN o_orderkey % 6 = 0 THEN 300.0 END AS build_size,
-        |    CASE WHEN o_orderkey % 6 = 0 THEN 200.0 END AS land_size,
-        |    CASE WHEN o_orderkey % 3 = 0 THEN 'Leasehold'
-        |         WHEN o_orderkey % 16 = 0 THEN 'Timeshare'
-        |         ELSE 'Freehold' END AS contract,
-        |    CASE WHEN o_orderkey % 21 = 0 THEN 25.0 END AS lease,
-        |    CASE WHEN o_orderkey % 17 = 0 THEN 'Sold' ELSE 'Available' END AS avail,
-        |    CASE WHEN o_orderkey % 24 = 0 THEN 'Residential' END AS zoning
-        |  FROM orders),
-        |counts AS (
+    "q29_issue_tags" -> (
+      s"""WITH $propsFixtureSql,
+         |counts AS (
         |  SELECT 'has_more_than_13_bedrooms' AS name,
         |    count(CASE WHEN bedrooms IS NOT NULL AND bedrooms <> 0 AND bedrooms >= 13 THEN 1 END) AS n FROM t
         |  UNION ALL SELECT 'no_bedrooms',
@@ -282,7 +291,7 @@ object EtlQueries {
         |  UNION ALL SELECT 'no_land_zoning',
         |    count(CASE WHEN ptype = 'Land' AND (zoning IS NULL OR zoning = '')
         |          THEN 1 END) FROM t)
-        |SELECT name, n FROM counts WHERE n > 0 ORDER BY name""".stripMargin,
+        |SELECT name, n FROM counts WHERE n > 0 ORDER BY name""".stripMargin),
     "q30_export_wide" ->
       """WITH ks AS (
         |  SELECT o_orderkey AS key, CAST(floor(o_totalprice) AS BIGINT) AS p

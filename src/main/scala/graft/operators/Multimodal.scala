@@ -79,7 +79,9 @@ object Multimodal {
   def sampleFrames(media: DataFrame, stride: Int = 10): DataFrame =
     media
       .withColumn("n_frames", (octet_length(col("content")) / 10).cast("int"))
-      .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride))))
+      .withColumn("frame_idx", explode(
+        when(col("n_frames") > 0,
+          sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>")))) // zero frames → no rows
       .select(col("doc_id"), col("media_type"), col("frame_idx"))
 }

@@ -75,26 +75,7 @@ object SourceQueries {
     * workflow flags (tag_routes.py:24-40).
     */
   def q48TagCounts(s: SparkSession, d: String): DataFrame = {
-    val props = Tables.orders(s, d).select(
-      concat(lit("p"), k).as("id"),
-      when(k % 14 === 0, lit(null))
-        .when(k % 15 === 0, 14.0)
-        .otherwise((k % 5).cast("double")).as("bedrooms"),
-      when(k % 4 === 0, "Land")
-        .when(k % 9 === 0, "Castle")
-        .otherwise("Villa").as("property_type"),
-      when(k % 7 === 0, 0L).otherwise(100L).as("price"),
-      when(k % 8 === 0, "N/A").otherwise("t").as("title"),
-      when(k % 10 === 0, "").otherwise("d").as("description"),
-      when(k % 12 === 0, lit(null)).otherwise(lit("loc")).as("location"),
-      when(k % 6 === 0, 300.0).otherwise(lit(null)).as("build_size"),
-      when(k % 6 === 0, 200.0).otherwise(lit(null)).as("land_size"),
-      when(k % 3 === 0, "Leasehold")
-        .when(k % 16 === 0, "Timeshare")
-        .otherwise("Freehold").as("contract_type"),
-      when(k % 21 === 0, 25.0).otherwise(lit(null)).as("leasehold_years"),
-      when(k % 17 === 0, "Sold").otherwise("Available").as("availability"),
-      when(k % 24 === 0, "Residential").otherwise(lit(null)).as("land_zoning"))
+    val props = EtlQueries.propsFixture(s, d) // shared with q29 + both oracles
     val key = expr("cast(substring(property_id, 2) as long)")
     val tags = Quality.explodeTags(props, "id")
       .withColumn("is_solved", (length(col("name")) + key) % 5 === 0)
@@ -197,29 +178,9 @@ object SourceQueries {
         |        response_error_count DESC, elapsed_time_seconds DESC) AS rn
         |      FROM r) t
         |WHERE rn = 1""".stripMargin,
-    "q48_tag_counts" ->
-      """WITH t AS (
-        |  SELECT o_orderkey AS key,
-        |    CASE WHEN o_orderkey % 14 = 0 THEN NULL
-        |         WHEN o_orderkey % 15 = 0 THEN 14.0
-        |         ELSE CAST(o_orderkey % 5 AS DOUBLE) END AS bedrooms,
-        |    CASE WHEN o_orderkey % 4 = 0 THEN 'Land'
-        |         WHEN o_orderkey % 9 = 0 THEN 'Castle'
-        |         ELSE 'Villa' END AS ptype,
-        |    CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE 100 END AS price,
-        |    CASE WHEN o_orderkey % 8 = 0 THEN 'N/A' ELSE 't' END AS title,
-        |    CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE 'd' END AS description,
-        |    CASE WHEN o_orderkey % 12 = 0 THEN NULL ELSE 'loc' END AS location,
-        |    CASE WHEN o_orderkey % 6 = 0 THEN 300.0 END AS build_size,
-        |    CASE WHEN o_orderkey % 6 = 0 THEN 200.0 END AS land_size,
-        |    CASE WHEN o_orderkey % 3 = 0 THEN 'Leasehold'
-        |         WHEN o_orderkey % 16 = 0 THEN 'Timeshare'
-        |         ELSE 'Freehold' END AS contract,
-        |    CASE WHEN o_orderkey % 21 = 0 THEN 25.0 END AS lease,
-        |    CASE WHEN o_orderkey % 17 = 0 THEN 'Sold' ELSE 'Available' END AS avail,
-        |    CASE WHEN o_orderkey % 24 = 0 THEN 'Residential' END AS zoning
-        |  FROM orders),
-        |tags AS (
+    "q48_tag_counts" -> (
+      s"""WITH ${EtlQueries.propsFixtureSql},
+         |tags AS (
         |  SELECT 'has_more_than_13_bedrooms' AS name, key FROM t
         |    WHERE bedrooms IS NOT NULL AND bedrooms <> 0 AND bedrooms >= 13
         |  UNION ALL SELECT 'no_bedrooms', key FROM t
@@ -250,7 +211,7 @@ object SourceQueries {
         |    WHERE ptype = 'Land' AND (zoning IS NULL OR zoning = ''))
         |SELECT name, count(*) AS n FROM tags
         |WHERE NOT ((length(name) + key) % 5 = 0) AND NOT (key % 7 = 0)
-        |GROUP BY name ORDER BY name""".stripMargin,
+        |GROUP BY name ORDER BY name""".stripMargin),
     "q49_queue_page" -> (
       s"""WITH $queueSql
          |SELECT id, url, created_at FROM q

@@ -28,11 +28,16 @@ object Sinks {
     */
   def constrainedAppend(df: DataFrame, path: String, uniqueCols: Seq[String]): Unit = {
     val deduped = df.dropDuplicates(uniqueCols)
-    val existing =
-      try df.sparkSession.read.parquet(path).select(uniqueCols.map(col): _*)
-      catch { case _: Exception => null }
-    val out = if (existing == null) deduped
-      else deduped.join(existing, uniqueCols, "left_anti")
+    // only a genuinely absent path means "first write" — any other read
+    // failure must propagate, or the unique-key guard silently turns off
+    val out =
+      if (!new java.io.File(path).exists() &&
+        !path.contains("://")) deduped
+      else {
+        val existing = df.sparkSession.read.parquet(path)
+          .select(uniqueCols.map(col): _*)
+        deduped.join(existing, uniqueCols, "left_anti")
+      }
     out.write.mode("append").parquet(path)
   }
 

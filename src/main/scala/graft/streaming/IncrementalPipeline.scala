@@ -23,6 +23,15 @@ object IncrementalPipeline {
     */
   def mergeBatch(spark: SparkSession, batch: DataFrame, tablePath: String,
                  asOf: LocalDate): Unit = {
+    // crash recovery: if the previous swap died between its two renames,
+    // the snapshot survives only at _old — restore it before merging,
+    // otherwise the batch would merge against an empty table
+    val target0 = new java.io.File(tablePath)
+    val old0 = new java.io.File(tablePath + "_old")
+    if (!target0.exists() && old0.isDirectory) {
+      if (!old0.renameTo(target0))
+        throw new java.io.IOException(s"snapshot recovery failed: $old0 -> $tablePath")
+    }
     val dir = new java.io.File(tablePath)
     val current =
       if (dir.isDirectory && dir.list().exists(_.endsWith(".parquet")))
