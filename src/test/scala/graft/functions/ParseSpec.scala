@@ -361,4 +361,19 @@ class ParseSpec extends AnyFunSuite {
     assert(Parse.ubudFindLeaseholdYears("lease 2045 or 20 year", Y)
       == Some(20.0).map(math.max(_, 19.0))) // max(|2045-2026|=19, 20.0)
   }
+
+  test("second review batch regressions") {
+    // >19-digit junk yields None, never a NumberFormatException
+    assert(Parse.findIdr("IDR 10.000.000.000.000.000.000") == None)
+    assert(Parse.findUsd("USD 99999999999999999999") == None)
+    // lstrip character-set semantics
+    assert(Parse.faRemover("fa fa-arrows") == Some("rrows"))
+    assert(Parse.faRemover("fas fa-anchor") == Some("nchor"))
+    // Python float-typed "25.0" is rejected by the FindLeaseYears check
+    assert(Parse.toNumberTyped("25.0") == Some((25.0, false)))
+    assert(Parse.toNumberTyped("25") == Some((25.0, true)))
+    assert(Parse.findLeaseYearsProcessor(
+      Seq("price negotiable for 25.0 year period"), Y) == None)
+    assert(Parse.findLeaseYearsProcessor(Seq("for 25 year period"), Y) == Some(25))
+  }
 }
