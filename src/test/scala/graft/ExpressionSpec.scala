@@ -45,6 +45,21 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("two native calls in one projection compile (freshName regression)") {
+    val strict = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(10)
+        .selectExpr("cast(id as string) a", "cast(id * 2 as string) b")
+        .selectExpr("graft_to_number_native(a) va", "graft_to_number_native(b) vb")
+      val rows = df.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      assert(rows.forall { case (a, b) => b == a * 2 })
+    } finally strict match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("null input and non-parsing input both yield null") {
     val df = Seq(Some("abc"), None).toDF("s")
       .select(expr("graft_to_number_native(s)").as("v"))
