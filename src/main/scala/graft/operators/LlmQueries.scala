@@ -126,6 +126,7 @@ object LlmQueries {
         |m AS (
         |  SELECT doc_id,
         |    len(w) AS n_tokens,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
         |    len(list_distinct(w)) AS n_uniq,
         |    length(text) AS n_chars,
         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
@@ -133,7 +134,7 @@ object LlmQueries {
         |    len(list_filter(w, x -> x IN ('the','a','of','and','in')))
         |      / len(w) AS stop_ratio
         |  FROM w)
-        |SELECT doc_id, n_tokens, n_uniq, n_chars, avg_tok_len, stop_ratio,
+        |SELECT doc_id, n_tokens, n_bpe_tokens, n_uniq, n_chars, avg_tok_len, stop_ratio,
         |  avg_tok_len * 0.5 + stop_ratio * 2.0 + least(n_tokens, 100) / 100.0
         |    AS quality_score
         |FROM m""".stripMargin,

@@ -194,9 +194,14 @@ object TextOps {
     */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = words(col(textCol))
+    // BPE-ish pre-tokenization: letter runs, digit runs, single symbols —
+    // the usual subword-tokenizer front end, counted without a vocab
+    val bpeish = regexp_extract_all(col(textCol),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
     df.select(
       col(idCol).as("doc_id"),
       size(w).as("n_tokens"),
+      size(bpeish).as("n_bpe_tokens"),
       size(array_distinct(w)).as("n_uniq"),
       length(col(textCol)).as("n_chars"),
       (aggregate(w, lit(0L), (acc, x) => acc + length(x)) / size(w))
