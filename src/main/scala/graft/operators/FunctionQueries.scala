@@ -22,7 +22,7 @@ object FunctionQueries {
         col("value"))
       .groupBy("k")
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        Relational.moneySum(col("value"), 2).as("sum_value"))
       .orderBy("k")
 
   private def priceText(s: SparkSession, d: String) =
@@ -105,7 +105,8 @@ object FunctionQueries {
   val oracle: Map[String, String] = Map(
     "q23_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100.0) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_currency_parse" ->
       """WITH t AS (

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,17 +9,41 @@ import org.apache.spark.sql.functions._
   * operator (cited per method); the matching DuckDB oracle SQL lives in
   * [[Relational.oracle]] with identical column aliases.
   *
-  * Float discipline: any aggregated DOUBLE is cast to DECIMAL *before* the
-  * aggregation on BOTH sides, so sums are exact and order-independent —
-  * otherwise Spark's partial-aggregation order diverges from DuckDB by an
-  * ulp and the driver's string-hash compare fails. Ratios are computed as
-  * `cast(decimal_sum as double) / count`, which is a single IEEE op on
-  * identical inputs, hence deterministic.
+  * Float discipline: any aggregated DOUBLE goes through [[moneySum]] —
+  * quantize to integer scale-ths (round; half-up agrees across engines on
+  * identical binaries), sum in an overflow-proof DECIMAL(38,0) accumulator
+  * (exact, order-independent, so parallel partial aggregation is
+  * deterministic), then present as DOUBLE via one exact int→double cast and
+  * one IEEE division. The DOUBLE presentation matters: engines render
+  * DECIMAL results scale-aware ("253942.00") but DOUBLE shortest
+  * ("253942.0"), so a decimal-typed output column hash-mismatches any
+  * oracle path that reads one side as float — r02's five hash failures were
+  * exactly the queries whose decimal outputs contained a trailing-zero last
+  * digit. Ratios are computed as `money_sum / count`, one further IEEE op
+  * on identical inputs, hence deterministic.
   *
   * Determinism discipline: every window/order used for row_number or
   * pagination carries a unique tiebreaker column (the table's key).
   */
 object Relational {
+
+  /** Exact engine-neutral money/measure sum: `cast(sum(cast(round(e * 10^s)
+    * as decimal(38,0))) as double) / 10^s`. Mirror the same text in the
+    * oracle SQL. Exact below 2^53 scale-ths; beyond that the DOUBLE
+    * presentation is approximate anyway (production wide sums should keep
+    * the DECIMAL(38,0) accumulator column instead).
+    */
+  private[graft] def moneySum(e: Column, scale: Int): Column = {
+    val f = lit(math.pow(10, scale))
+    sum(round(e * f).cast("decimal(38,0)")).cast("double") / f
+  }
+
+  /** Window form of [[moneySum]] (running/cumulative exact sums). */
+  private[graft] def moneySumOver(e: Column, scale: Int,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val f = lit(math.pow(10, scale))
+    sum(round(e * f).cast("decimal(38,0)")).over(w).cast("double") / f
+  }
 
   /** §2.4 multi-agg report sums (reference api/routers/analytics_routes.py:71-92)
     * — TPC-H Q1 shape. One hash aggregate on a 6-value grouping key: partial
@@ -30,12 +54,11 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).as("sum_disc"),
-        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
-          count(lit(1))).as("avg_qty"),
+        moneySum(col("l_quantity"), 2).as("sum_qty"),
+        moneySum(col("l_extendedprice"), 2).as("sum_base"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("sum_disc"),
+        (moneySum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -101,7 +124,7 @@ object Relational {
     Tables.events(s, d)
       .groupBy(date_format(col("ts"), "yyyy-MM").as("month"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        moneySum(col("value"), 2).as("sum_value"))
       .orderBy("month", "event_type")
 
   /** §2.4 queue-stats pivot (reference api/routers/data_routes.py:48-61:
@@ -125,7 +148,7 @@ object Relational {
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+        moneySum(col("o_totalprice"), 2).as("sum_price"))
       .orderBy("c_mktsegment")
 
   /** §2.3 multi-way dimension join (TPC-H Q5 shape; reference joins are at
@@ -140,8 +163,8 @@ object Relational {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(18,4)")).as("revenue"),
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"),
         count(lit(1)).as("n"))
       .orderBy("r_name")
 
@@ -249,9 +272,9 @@ object Relational {
   }
 
   /** §2.5 running aggregate per key (cumulative account balance shape).
-    * DECIMAL running sum so the cumulative value is exact and
-    * order-independent; frame is ROWS (not the default RANGE) with a unique
-    * tiebreaker so every prefix is well-defined.
+    * Exact integer-cents running sum ([[moneySumOver]]) so the cumulative
+    * value is exact and order-independent; frame is ROWS (not the default
+    * RANGE) with a unique tiebreaker so every prefix is well-defined.
     */
   def q18RunningAgg(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -259,7 +282,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).as("running_total"))
+        moneySumOver(col("o_totalprice"), 2, w).as("running_total"))
   }
 
   /** §2.6 offset/limit pagination (reference queue_routes.py:29-37:
@@ -325,10 +348,10 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q02_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(round(l_quantity * 100.0) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_base,
+        |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sum_disc,
+        |  CAST(sum(CAST(round(l_quantity * 100.0) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q03_filter_project" ->
@@ -354,7 +377,8 @@ object Relational {
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
     "q08_monthly_type_agg" ->
       """SELECT strftime(ts, '%Y-%m') AS month, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100.0) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q09_status_pivot" ->
       """SELECT
@@ -365,12 +389,12 @@ object Relational {
         |FROM orders""".stripMargin,
     "q10_join_agg" ->
       """SELECT c_mktsegment, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q11_join_5way" ->
       """SELECT r_name,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
@@ -418,9 +442,9 @@ object Relational {
         |WHERE rk <= 3""".stripMargin,
     "q18_running_agg" ->
       """SELECT o_custkey, o_orderkey,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS DECIMAL(38,0))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_total
         |FROM orders""".stripMargin,
     "q19_pagination" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
