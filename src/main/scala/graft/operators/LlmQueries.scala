@@ -126,7 +126,7 @@ object LlmQueries {
         |m AS (
         |  SELECT doc_id,
         |    len(w) AS n_tokens,
-        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+        |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
         |    len(list_distinct(w)) AS n_uniq,
         |    length(text) AS n_chars,
         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)

@@ -63,13 +63,16 @@ object Multimodal {
     * per-partition. The decode body is the same stub; swap it for the real
     * codec without touching the partitioning contract.
     *
-    * maxRowsPerTask stands in for a byte-budget calculation
-    * (sum(n_bytes) per partition) that real media would need.
+    * The byte budget comes from Catalyst's plan statistics
+    * (`optimizedPlan.stats.sizeInBytes`, i.e. file sizes for a scan) — no
+    * extra driver-side job, unlike a `count()`. Capped at 1M partitions as
+    * a runaway guard for misestimated stats.
     */
-  def decodePartitioned(media: DataFrame, maxRowsPerTask: Int = 1000): DataFrame = {
+  def decodePartitioned(media: DataFrame, maxBytesPerTask: Long = 64L << 20): DataFrame = {
     val n = media.sparkSession.sparkContext.defaultParallelism
-    val parts = math.max(n, (media.count() / maxRowsPerTask + 1).toInt)
-    withMeta(media.repartition(parts, col("doc_id")))
+    val estBytes = media.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = ((estBytes / maxBytesPerTask) + 1).min(BigInt(1 << 20)).toInt
+    withMeta(media.repartition(math.max(n, parts), col("doc_id")))
   }
 
   /** Frame-sampling stub for video: emit one row per sampled frame index —

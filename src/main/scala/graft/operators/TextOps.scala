@@ -194,10 +194,11 @@ object TextOps {
     */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = words(col(textCol))
-    // BPE-ish pre-tokenization: letter runs, digit runs, single symbols —
-    // the usual subword-tokenizer front end, counted without a vocab
+    // BPE-ish pre-tokenization: letter runs (either case), digit runs,
+    // single symbols — the usual subword-tokenizer front end, counted
+    // without a vocab
     val bpeish = regexp_extract_all(col(textCol),
-      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
     df.select(
       col(idCol).as("doc_id"),
       size(w).as("n_tokens"),

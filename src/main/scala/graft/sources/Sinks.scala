@@ -29,10 +29,16 @@ object Sinks {
   def constrainedAppend(df: DataFrame, path: String, uniqueCols: Seq[String]): Unit = {
     val deduped = df.dropDuplicates(uniqueCols)
     // only a genuinely absent path means "first write" — any other read
-    // failure must propagate, or the unique-key guard silently turns off
+    // failure must propagate, or the unique-key guard silently turns off.
+    // Hadoop FileSystem so the check works for local AND remote (s3a/hdfs)
+    // URIs; read-then-append is single-writer-batch by design (matches the
+    // reference's own posture, SURVEY §7.4.1) — concurrent writers would
+    // need a transactional table format instead.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
     val out =
-      if (!new java.io.File(path).exists() &&
-        !path.contains("://")) deduped
+      if (!fs.exists(hPath)) deduped
       else {
         val existing = df.sparkSession.read.parquet(path)
           .select(uniqueCols.map(col): _*)
