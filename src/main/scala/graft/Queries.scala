@@ -24,12 +24,13 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_monthly_counts" -> ((s, d) => q01MonthlyCounts(s, d))
   ) ++ Relational.all ++ FunctionQueries.all ++ EtlQueries.all ++
-    LlmQueries.all ++ SourceQueries.all ++ MlQueries.all
+    LlmQueries.all ++ SourceQueries.all ++ MlQueries.all ++
+    SourceProfiles.queries
 
   val oracle: Map[String, String] = Map(
     "q01_monthly_counts" ->
       """SELECT strftime(ts, '%Y-%m') AS month, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   ) ++ Relational.oracle ++ FunctionQueries.oracle ++ EtlQueries.oracle ++
-    LlmQueries.oracle ++ SourceQueries.oracle
+    LlmQueries.oracle ++ SourceQueries.oracle ++ SourceProfiles.oracle
 }

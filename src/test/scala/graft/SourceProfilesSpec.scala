@@ -1,0 +1,191 @@
+package graft
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden fixtures for the three wired source profiles — one scenario per
+  * reference fixup path (spiders/ubudproperty.py:139-171,
+  * spiders/dotproperty.py:117-175, spiders/balivillasales.py:120-157).
+  * Parser inputs reuse strings already pinned against the executed
+  * reference in ParseSpec, so the expectations compose pinned behavior.
+  */
+class SourceProfilesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val asOf = LocalDate.of(2026, 8, 15)
+
+  private val rawCols = Seq("url", "source", "raw_title", "alt_title",
+    "raw_location", "raw_contract", "raw_type", "raw_price", "json_price",
+    "json_currency", "raw_beds", "raw_baths", "raw_land", "raw_build",
+    "raw_image", "raw_desc", "raw_pid", "lease_text", "table_leasing")
+
+  private val schema = StructType(rawCols.map(StructField(_, StringType)))
+
+  private def raw(over: (String, String)*): DataFrame = {
+    val m = over.toMap
+    val row = Row(rawCols.map(c => m.getOrElse(c, null)): _*)
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(row)), schema)
+  }
+
+  private def run(over: (String, String)*): Map[String, Any] = {
+    val out = SourceProfiles.standardize(raw(over: _*), asOf).collect()
+    assert(out.length == 1)
+    SourceProfiles.targets.zip(out.head.toSeq).toMap
+  }
+
+  test("ubudproperty: full listing — table cells, IDR price, title removed from desc") {
+    val r = run(
+      "url" -> "u1", "source" -> "ubudproperty",
+      "raw_title" -> "  Beautiful Villa Estate  ",
+      "alt_title" -> "UBV123 (3BR)",
+      "raw_contract" -> "Leasehold", "raw_type" -> "VILLA modern",
+      "raw_beds" -> "3", "raw_baths" -> "2",
+      "raw_land" -> "Land size: 450 m2 with garden",
+      "raw_build" -> "Building size 250 m2",
+      "raw_price" -> "IDR 2,500,000,000",
+      "raw_image" -> " http://x/img.jpg ",
+      "raw_desc" -> "Beautiful Villa Estate with pool",
+      "table_leasing" -> "25 year")
+    assert(r("title") == "Beautiful Villa Estate")
+    assert(r("property_id") == "UBV123")
+    assert(r("location") == "Ubud")
+    assert(r("contract_type") == "Leasehold")
+    assert(r("property_type") == "Villa")
+    assert(r("leasehold_years") == 25.0) // from the LEASING cell fixup
+    assert(r("bedrooms") == 3.0 && r("bathrooms") == 2.0)
+    assert(r("land_size") == 450.0 && r("build_size") == 250.0)
+    assert(r("price") == 2.5e9 && r("currency") == "IDR")
+    assert(r("availability") == "Available")
+    assert(r("image_url") == "http://x/img.jpg")
+    assert(r("description") == " with pool") // title text dropped, no trim
+  }
+
+  test("ubudproperty: dot title falls back to alt, type from beds-else-Land, freehold clears lease") {
+    val r = run(
+      "url" -> "u2", "source" -> "ubudproperty",
+      "raw_title" -> ".", "alt_title" -> "LND77 (plot)",
+      "raw_contract" -> "Freehold", "raw_type" -> "ESTATE prime",
+      "raw_price" -> "USD 250,000", "lease_text" -> "2040",
+      "raw_desc" -> "Prime plot")
+    assert(r("title") == "LND77 (plot)")
+    assert(r("property_id") == "LND77")
+    // keyword search runs on the ORIGINAL title "." → no match, no beds → Land
+    assert(r("property_type") == "Land")
+    // loader found 2040→14.0 but Freehold always clears lease years
+    assert(r("leasehold_years") == null)
+    assert(r("price") == 250000.0 && r("currency") == "USD")
+    assert(r("description") == "Prime plot")
+  }
+
+  test("dotproperty: ld+json price, lease cascade → Leasehold, after-colon id") {
+    val r = run(
+      "url" -> "https://dot.example/listing/123", "source" -> "dotproperty",
+      "raw_title" -> " Stunning Villa ", "raw_location" -> " Canggu ",
+      "raw_pid" -> "Ref: DP-991", "raw_type" -> " villa for sale ",
+      "raw_beds" -> "3", "raw_baths" -> "2",
+      "raw_land" -> "450", "raw_build" -> "250",
+      "json_price" -> "3500000000", "json_currency" -> "idr",
+      "raw_desc" -> "Nice. leasehold 30 years")
+    assert(r("title") == "Stunning Villa")
+    assert(r("location") == "Canggu")
+    assert(r("property_id") == "DP-991")
+    assert(r("property_type") == "Villa")
+    assert(r("price") == 3.5e9 && r("currency") == "IDR")
+    assert(r("leasehold_years") == 30.0)
+    assert(r("contract_type") == "Leasehold")
+    assert(r("land_size") == 450.0 && r("build_size") == 250.0)
+  }
+
+  test("dotproperty: for-sale url → Freehold; bedrooms and land size backfilled from desc") {
+    val r = run(
+      "url" -> "https://dot.example/for-sale/villa-9", "source" -> "dotproperty",
+      "raw_title" -> "Family Home", "json_price" -> "200000",
+      "json_currency" -> "usd",
+      "raw_desc" -> "Spacious 4 bedrooms layout. Land size: 450 m2")
+    assert(r("contract_type") == "Freehold")
+    assert(r("bedrooms") == 4.0) // first desc regex
+    assert(r("land_size") == 450.0) // find_land_size backfill
+    assert(r("price") == 200000.0 && r("currency") == "USD")
+    assert(r("property_type") == null)
+  }
+
+  test("dotproperty: no lease, no url marker → get_contract_type over the title") {
+    val r = run(
+      "url" -> "https://dot.example/rent/x", "source" -> "dotproperty",
+      "raw_title" -> "Leasehold villa bargain", "raw_desc" -> "plain text")
+    assert(r("contract_type") == "Leasehold")
+    val r2 = run(
+      "url" -> "https://dot.example/rent/y", "source" -> "dotproperty",
+      "raw_title" -> "Nice villa", "raw_desc" -> "plain text")
+    assert(r2("contract_type") == "Freehold") // get_contract_type default
+  }
+
+  test("balivillasales: IDR price, upload date from image, distinct sizes kept") {
+    val r = run(
+      "url" -> "b1", "source" -> "balivillasales",
+      "raw_title" -> "Luxury Villa in Canggu", "raw_pid" -> "VOB-1",
+      "raw_location" -> "Canggu", "raw_contract" -> "Freehold",
+      "raw_price" -> "IDR 4,500,000,000",
+      "raw_land" -> "500 m2", "raw_build" -> "200 m2",
+      "raw_beds" -> "4", "raw_baths" -> "3",
+      "raw_image" -> "https://x.com/wp-content/uploads/2023-12-01/img.jpg",
+      "raw_desc" -> "Great villa")
+    assert(r("price") == 4.5e9 && r("currency") == "IDR")
+    assert(r("availability") == "Available")
+    assert(r("listed_date") == "12/01/23")
+    assert(r("land_size") == 500.0 && r("build_size") == 200.0)
+    assert(r("property_type") == "Villa")
+    assert(r("location") == "Canggu")
+    assert(r("leasehold_years") == null)
+    assert(r("bedrooms") == 4.0)
+  }
+
+  test("balivillasales: Sold in price text; equal sizes → Land with build dropped; title location quirk") {
+    val r = run(
+      "url" -> "b2", "source" -> "balivillasales",
+      "raw_title" -> "Land plot in Ubud Sold", "raw_contract" -> "Freehold",
+      "raw_price" -> "USD 350,000 Sold",
+      "raw_land" -> "300 m2", "raw_build" -> "300 m2",
+      "raw_desc" -> "desc text")
+    assert(r("price") == 350000.0 && r("currency") == "USD")
+    assert(r("availability") == "Sold")
+    assert(r("land_size") == 300.0 && r("build_size") == null)
+    assert(r("property_type") == "Land")
+    // the reference's greedy [A-Za-z ]+ grabs trailing words too
+    assert(r("location") == "Ubud Sold")
+  }
+
+  test("balivillasales: lowercase leasehold contract pulls lease years from desc") {
+    val r = run(
+      "url" -> "b3", "source" -> "balivillasales",
+      "raw_title" -> "Cozy villa", "raw_contract" -> "leasehold 25 yr",
+      "raw_price" -> "IDR 1,000,000,000",
+      "raw_land" -> "100 m2", "raw_build" -> "80 m2",
+      "raw_desc" -> "leasehold 30 years")
+    assert(r("leasehold_years") == 30.0)
+    assert(r("availability") == "Available")
+    assert(r("property_type") == "Villa")
+  }
+
+  test("balivillasales: missing title → Delisted; both sizes missing counts as equal → Land") {
+    val r = run(
+      "url" -> "b4", "source" -> "balivillasales",
+      "raw_contract" -> "Freehold", "raw_price" -> "IDR 2,000,000,000")
+    assert(r("availability") == "Delisted")
+    // None == None in the reference, so the equal-sizes branch fires
+    assert(r("property_type") == "Land")
+    assert(r("land_size") == null && r("build_size") == null)
+  }
+
+  test("dispatch unions profiles and drops unprofiled sources") {
+    val rows = Seq(
+      Row(("u9" +: "ubudproperty" +: Seq.fill(17)(null.asInstanceOf[String])): _*),
+      Row(("x9" +: "unknownsource" +: Seq.fill(17)(null.asInstanceOf[String])): _*))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = SourceProfiles.standardize(df, asOf)
+    assert(out.columns.toSeq == SourceProfiles.targets)
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("u9"))
+  }
+}
