@@ -32,6 +32,24 @@ object LlmQueries {
       .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
 
+  /** TF-IDF keyword extraction: top-3 integer-scored keywords per doc. */
+  def q34TfidfKeywords(s: SparkSession, d: String): DataFrame =
+    TextOps.tfidfKeywords(Tables.documents(s, d), "doc_id", "text")
+
+  /** Embedding quality stats: dimension, exact quantized square norm,
+    * zero count, max |component| — all integers (no sqrt/log), row-local,
+    * scales as a scan.
+    */
+  def q41EmbeddingStats(s: SparkSession, d: String): DataFrame = {
+    val q = Similarity.quantize(col("embedding"))
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).as("dim"),
+      Similarity.dotQ(q, q).as("sq_norm_milli"),
+      size(filter(q, x => x === 0L)).as("n_zero"),
+      array_max(transform(q, x => abs(x))).as("max_abs_milli"))
+  }
+
   /** Bag-of-words fingerprint per document. */
   def q35Fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -83,7 +101,9 @@ object LlmQueries {
     "q31_dedup_exact" -> (q31DedupExact _),
     "q32_text_stats" -> (q32TextStats _),
     "q33_lang_id" -> (q33LangId _),
+    "q34_tfidf_keywords" -> (q34TfidfKeywords _),
     "q35_fingerprint" -> (q35Fingerprint _),
+    "q41_embedding_stats" -> (q41EmbeddingStats _),
     "q36_minhash_lsh" -> (q36MinhashLsh _),
     "q37_ngram_jaccard" -> (q37NgramJaccard _),
     "q38_cosine_pairs" -> (q38CosinePairs _),
@@ -138,6 +158,36 @@ object LlmQueries {
         |  avg_tok_len * 0.5 + stop_ratio * 2.0 + least(n_tokens, 100) / 100.0
         |    AS quality_score
         |FROM m""".stripMargin,
+    "q34_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> length(t) >= 3 AND t NOT IN ('the','a','of','and','in')))
+        |      AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+        |r AS (
+        |  SELECT doc_id, term, tf, df_docs,
+        |    (tf * 1000000) // df_docs AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY (tf * 1000000) // df_docs DESC, term ASC) AS rank
+        |  FROM tf JOIN dfreq USING (term))
+        |SELECT doc_id, rank, term, tf, df_docs, score FROM r
+        |WHERE rank <= 3""".stripMargin,
+    "q41_embedding_stats" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, len(embedding) AS dim,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings)
+        |SELECT vec_id, label, dim,
+        |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+        |    AS sq_norm_milli,
+        |  len(list_filter(q, x -> x = 0)) AS n_zero,
+        |  CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT)
+        |    AS max_abs_milli
+        |FROM base""".stripMargin,
     "q33_lang_id" ->
       """WITH w AS (
         |  SELECT lang, string_split_regex(trim(text), '\s+') AS w

@@ -188,6 +188,35 @@ object TextOps {
 
   val stopwords = Seq("the", "a", "of", "and", "in")
 
+  /** TF-IDF-shaped keyword extraction: top-k terms per doc ranked by term
+    * frequency × inverse document frequency. The corpus-size factor N
+    * multiplies every score equally so the ranking drops it, leaving the
+    * exact integer `(tf * 1e6) div df` — no log, no float, cross-engine
+    * deterministic. Stopwords and tokens under 3 chars excluded; ties
+    * break alphabetically.
+    *
+    * Scale: one (doc,term) aggregation, one term aggregation, one
+    * term-keyed join (both sides term-partitioned after the df aggregate,
+    * so the exchange is reused), one per-doc window. The vocabulary-sized
+    * df side stays distributed — never collected or broadcast.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(filter(words(lower(col(textCol))),
+        t => length(t) >= 3 && !t.isin(stopwords: _*))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score", expr("(tf * 1000000) div df_docs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df_docs", "score")
+  }
+
   /** Token/char/stopword statistics + a deterministic quality score
     * (length, stopword ratio, capped token count — the usual LLM-corpus
     * quality gates).
