@@ -217,4 +217,39 @@ object Merge {
       .withColumn("is_available", lit(false))
       .withColumn("sold_at", firstMonth)
   }
+
+  /** Queue→listing status write-back (reference queue_routes.py:61-117):
+    * this month's re-check statuses applied to currently-unavailable
+    * listings. The reference runs three sequential loops (Delisted, Error,
+    * Available), so on a url carrying several statuses the LAST loop wins
+    * — hence the CASE priority Available > Error > Delisted; is_available
+    * flips to (new status == "Available") only when some status applied.
+    * Set-based: three distinct-url flag joins (each a per-status url set,
+    * broadcast-able at serving scale), one CASE — the listing table never
+    * shuffles more than once per flag join and is never mutated row-by-row.
+    */
+  def queueStatusSync(listings: DataFrame, queue: DataFrame,
+                      monthStart: String): DataFrame = {
+    val recent = queue
+      .filter(col("updated_at") >= lit(monthStart).cast("timestamp"))
+    def urlFlag(status: String, flag: String) = recent
+      .filter(col("status") === status)
+      .select(col("url")).distinct().withColumn(flag, lit(true))
+    val base = listings
+      .join(urlFlag("Delisted", "_d"), Seq("url"), "left_outer")
+      .join(urlFlag("Error", "_e"), Seq("url"), "left_outer")
+      .join(urlFlag("Available", "_a"), Seq("url"), "left_outer")
+    val applies = !col("is_available") &&
+      (col("_a").isNotNull || col("_e").isNotNull || col("_d").isNotNull)
+    base
+      .withColumn("status",
+        when(!col("is_available") && col("_a").isNotNull, "Available")
+          .when(!col("is_available") && col("_e").isNotNull, "Error")
+          .when(!col("is_available") && col("_d").isNotNull, "Delisted")
+          .otherwise(col("status")))
+      .withColumn("is_available",
+        when(applies, col("status") === "Available")
+          .otherwise(col("is_available")))
+      .drop("_d", "_e", "_a")
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.ml.RegionModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Region-ML query (SURVEY §2.8 / reference ml_region_prediction.py):
@@ -27,9 +28,18 @@ object MlQueries {
       .select(concat(lit("villa in "), kw, lit(" area "), k % 97).as("location"),
         region.as("region"))
     val model = RegionModel.train(labeled, numTrees = 20)
-    RegionModel.predict(model, labeled)
+    val confusion = RegionModel.predict(model, labeled)
       .groupBy("region", "predicted_region")
       .agg(count(lit(1)).as("n"))
+    // self-validation: the synthetic corpus is separable and the seed is
+    // fixed, so the rows-only check carries signal — acc_ok must be true
+    // on every row or the deterministic training regressed
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    confusion
+      .withColumn("acc_ok",
+        sum(when(col("region") === col("predicted_region"), col("n"))
+          .otherwise(0L)).over(w) * 100 >= sum(col("n")).over(w) * 95)
       .orderBy("region", "predicted_region")
   }
 

@@ -79,6 +79,49 @@ object Quality {
       (col("f.name").isNotNull && col("e.name").isNull).as("is_new"))
   }
 
+  /** Bulk mark-as-solved/ignored (reference tag_routes.py:294-317 bulk
+    * PATCH; :258-285 is the single-row PUT with the same write): tags
+    * matching (property_id ∈ ids, name = tagName) get is_solved =
+    * (mode=="solved") AND is_ignored = (mode=="ignored") — the bulk route
+    * assigns both flags. The id set is a serving-sized request payload, so
+    * it broadcasts — the tag table itself never shuffles.
+    */
+  def markTags(tags: DataFrame, ids: DataFrame, tagName: String,
+               mode: String): DataFrame = {
+    val hitSet = broadcast(ids.select(col("property_id")).distinct()
+      .withColumn("_hit", lit(true)))
+    val touched = col("_hit") && col("name") === tagName
+    tags.join(hitSet, Seq("property_id"), "left_outer")
+      .withColumn("is_solved",
+        when(touched, lit(mode == "solved")).otherwise(col("is_solved")))
+      .withColumn("is_ignored",
+        when(touched, lit(mode == "ignored")).otherwise(col("is_ignored")))
+      .drop("_hit")
+  }
+
+  /** Tag detail page (reference tag_routes.py:43-127): properties holding
+    * an open (unsolved, unignored) instance of the tag, ordered by source
+    * (id tiebreaker for determinism — the ORM's order is otherwise
+    * unstable), paginated, first occurrence per url (the loop's
+    * `url not in urls` guard), then the reference's per-row N+1 Listing
+    * lookup done set-based as one left-outer join on url.
+    */
+  def tagDetail(props: DataFrame, tags: DataFrame, listings: DataFrame,
+                tagName: String, page: Int = 1, size: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val open = tags
+      .filter(col("name") === tagName && !col("is_solved") && !col("is_ignored"))
+      .select(col("property_id")).distinct()
+    val pageRows = props
+      .join(open, props("id") === open("property_id"), "left_semi")
+      .orderBy(col("source"), col("id"))
+      .offset((page - 1) * size).limit(size)
+    val w = Window.partitionBy("url").orderBy("source", "id")
+    pageRows.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .join(listings, Seq("url"), "left_outer")
+  }
+
   /** Required-field audit (reference reid/pipelines/local.py:4-44): which
     * required columns are missing per row, with the reference's
     * conditional exemptions (leasehold_years only when Leasehold, sold_at

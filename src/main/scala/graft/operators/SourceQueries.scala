@@ -83,6 +83,62 @@ object SourceQueries {
     Analytics.tagCounts(tags, props.select(col("id")))
   }
 
+  /** §2.8 bulk mark-as-solved workflow (tag_routes.py:258-317): the q48
+    * tag table with flags, a request marking every key%5==0 property's
+    * `no_bedrooms` tag solved, grouped so the oracle compares the full
+    * flag distribution.
+    */
+  def q56TagMark(s: SparkSession, d: String): DataFrame = {
+    val props = EtlQueries.propsFixture(s, d)
+    val key = expr("cast(substring(property_id, 2) as long)")
+    val tags = Quality.explodeTags(props, "id")
+      .withColumn("is_solved", (length(col("name")) + key) % 5 === 0)
+      .withColumn("is_ignored", key % 7 === 0)
+    val ids = props.select(col("id").as("property_id"))
+      .filter(expr("cast(substring(property_id, 2) as long) % 5 = 0"))
+    Quality.markTags(tags, ids, "no_bedrooms", "solved")
+      .groupBy("name", "is_solved", "is_ignored")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("name", "is_solved", "is_ignored")
+  }
+
+  /** §2.3/§2.6 tag detail page (tag_routes.py:43-127): open-tag
+    * properties, source-ordered page, url-deduped, enriched with the
+    * listing lookup set-based.
+    */
+  def q57TagDetail(s: SparkSession, d: String): DataFrame = {
+    val key = expr("cast(substring(id, 2) as long)")
+    val props = EtlQueries.propsFixture(s, d)
+      .withColumn("url", concat(lit("u"), key % 1200))
+      .withColumn("source", concat(lit("S"), key % 3))
+    val tagKey = expr("cast(substring(property_id, 2) as long)")
+    val tags = Quality.explodeTags(props, "id")
+      .withColumn("is_solved", (length(col("name")) + tagKey) % 5 === 0)
+      .withColumn("is_ignored", tagKey % 7 === 0)
+    val listings = EtlQueries.currentListings(s, d)
+      .select("url", "region", "tab")
+    Quality.tagDetail(props, tags, listings, "no_bedrooms")
+      .select("id", "url", "source", "title", "region", "tab")
+  }
+
+  /** §2.9 queue status write-back (queue_routes.py:61-117): re-check
+    * statuses from this month's queue applied to unavailable listings;
+    * multi-status urls resolve by the reference's last-loop-wins order.
+    */
+  def q58QueueWriteback(s: SparkSession, d: String): DataFrame = {
+    val listings = Tables.orders(s, d).select(
+      concat(lit("u"), k).as("url"),
+      when(k % 4 === 0, "Sold").otherwise("Available").as("status"),
+      (k % 4 =!= 0).as("is_available"))
+    val queue = Tables.lineitem(s, d).select(
+      concat(lit("u"), col("l_orderkey")).as("url"),
+      when(col("l_returnflag") === "R", "Delisted")
+        .when(col("l_returnflag") === "A", "Error")
+        .otherwise("Available").as("status"),
+      col("l_shipdate").as("updated_at"))
+    Merge.queueStatusSync(listings, queue, "1998-06-01")
+  }
+
   /** §2.6 queue pagination with filters (queue_routes.py:20-46), page 2. */
   def q49QueuePage(s: SparkSession, d: String): DataFrame =
     Analytics.queuePage(queue(s, d), Some("Available"), Some("s3.x.com"),
@@ -117,7 +173,44 @@ object SourceQueries {
     "q49_queue_page" -> (q49QueuePage _),
     "q50_domains" -> (q50Domains _),
     "q51_delist_sync" -> (q51DelistSync _),
-    "q52_monthly_reid" -> (q52MonthlyReid _))
+    "q52_monthly_reid" -> (q52MonthlyReid _),
+    "q56_tag_mark" -> (q56TagMark _),
+    "q57_tag_detail" -> (q57TagDetail _),
+    "q58_queue_writeback" -> (q58QueueWriteback _))
+
+  /** Shared oracle fragment: the 13-rule tag fan-out over the props
+    * fixture (mirrors Quality.issueRules; used by q48/q56/q57).
+    */
+  private val tagsSql =
+    """tags AS (
+      |  SELECT 'has_more_than_13_bedrooms' AS name, key FROM t
+      |    WHERE bedrooms IS NOT NULL AND bedrooms <> 0 AND bedrooms >= 13
+      |  UNION ALL SELECT 'no_bedrooms', key FROM t
+      |    WHERE (bedrooms IS NULL OR bedrooms = 0) AND ptype IS DISTINCT FROM 'Land'
+      |  UNION ALL SELECT 'no_price', key FROM t WHERE price = 0
+      |  UNION ALL SELECT 'no_title', key FROM t
+      |    WHERE title IS NULL OR title = '' OR title = 'N/A'
+      |  UNION ALL SELECT 'no_description', key FROM t
+      |    WHERE description IS NULL OR description = ''
+      |  UNION ALL SELECT 'no_location', key FROM t
+      |    WHERE location IS NULL OR location = ''
+      |  UNION ALL SELECT 'build_size_greater_than_land_size', key FROM t
+      |    WHERE build_size IS NOT NULL AND build_size <> 0
+      |      AND land_size IS NOT NULL AND land_size <> 0
+      |      AND build_size > land_size
+      |  UNION ALL SELECT 'no_leasehold_years', key FROM t
+      |    WHERE contract = 'Leasehold' AND (lease IS NULL OR lease = 0)
+      |  UNION ALL SELECT 'not_available', key FROM t
+      |    WHERE avail IS DISTINCT FROM 'Available'
+      |  UNION ALL SELECT 'unknown_property_type', key FROM t
+      |    WHERE ptype IS NULL OR ptype NOT IN
+      |      ('Villa','House','Land','Apartment','Hotel','Townhouse','Commercial','Loft')
+      |  UNION ALL SELECT 'land_with_bedrooms', key FROM t
+      |    WHERE ptype = 'Land' AND bedrooms IS NOT NULL AND bedrooms > 0
+      |  UNION ALL SELECT 'unknown_contract_type', key FROM t
+      |    WHERE contract IS NULL OR contract NOT IN ('Freehold','Leasehold','Rental')
+      |  UNION ALL SELECT 'no_land_zoning', key FROM t
+      |    WHERE ptype = 'Land' AND (zoning IS NULL OR zoning = ''))""".stripMargin
 
   private val queueSql =
     """q AS (
@@ -180,38 +273,78 @@ object SourceQueries {
         |WHERE rn = 1""".stripMargin,
     "q48_tag_counts" -> (
       s"""WITH ${EtlQueries.propsFixtureSql},
-         |tags AS (
-        |  SELECT 'has_more_than_13_bedrooms' AS name, key FROM t
-        |    WHERE bedrooms IS NOT NULL AND bedrooms <> 0 AND bedrooms >= 13
-        |  UNION ALL SELECT 'no_bedrooms', key FROM t
-        |    WHERE (bedrooms IS NULL OR bedrooms = 0) AND ptype IS DISTINCT FROM 'Land'
-        |  UNION ALL SELECT 'no_price', key FROM t WHERE price = 0
-        |  UNION ALL SELECT 'no_title', key FROM t
-        |    WHERE title IS NULL OR title = '' OR title = 'N/A'
-        |  UNION ALL SELECT 'no_description', key FROM t
-        |    WHERE description IS NULL OR description = ''
-        |  UNION ALL SELECT 'no_location', key FROM t
-        |    WHERE location IS NULL OR location = ''
-        |  UNION ALL SELECT 'build_size_greater_than_land_size', key FROM t
-        |    WHERE build_size IS NOT NULL AND build_size <> 0
-        |      AND land_size IS NOT NULL AND land_size <> 0
-        |      AND build_size > land_size
-        |  UNION ALL SELECT 'no_leasehold_years', key FROM t
-        |    WHERE contract = 'Leasehold' AND (lease IS NULL OR lease = 0)
-        |  UNION ALL SELECT 'not_available', key FROM t
-        |    WHERE avail IS DISTINCT FROM 'Available'
-        |  UNION ALL SELECT 'unknown_property_type', key FROM t
-        |    WHERE ptype IS NULL OR ptype NOT IN
-        |      ('Villa','House','Land','Apartment','Hotel','Townhouse','Commercial','Loft')
-        |  UNION ALL SELECT 'land_with_bedrooms', key FROM t
-        |    WHERE ptype = 'Land' AND bedrooms IS NOT NULL AND bedrooms > 0
-        |  UNION ALL SELECT 'unknown_contract_type', key FROM t
-        |    WHERE contract IS NULL OR contract NOT IN ('Freehold','Leasehold','Rental')
-        |  UNION ALL SELECT 'no_land_zoning', key FROM t
-        |    WHERE ptype = 'Land' AND (zoning IS NULL OR zoning = ''))
-        |SELECT name, count(*) AS n FROM tags
-        |WHERE NOT ((length(name) + key) % 5 = 0) AND NOT (key % 7 = 0)
-        |GROUP BY name ORDER BY name""".stripMargin),
+         |$tagsSql
+         |SELECT name, count(*) AS n FROM tags
+         |WHERE NOT ((length(name) + key) % 5 = 0) AND NOT (key % 7 = 0)
+         |GROUP BY name ORDER BY name""".stripMargin),
+    "q56_tag_mark" -> (
+      s"""WITH ${EtlQueries.propsFixtureSql},
+         |$tagsSql,
+         |f AS (
+         |  SELECT name, key,
+         |    (length(name) + key) % 5 = 0 AS s0,
+         |    key % 7 = 0 AS i0
+         |  FROM tags),
+         |u AS (
+         |  SELECT name,
+         |    CASE WHEN key % 5 = 0 AND name = 'no_bedrooms'
+         |         THEN true ELSE s0 END AS is_solved,
+         |    CASE WHEN key % 5 = 0 AND name = 'no_bedrooms'
+         |         THEN false ELSE i0 END AS is_ignored
+         |  FROM f)
+         |SELECT name, is_solved, is_ignored, count(*) AS n FROM u
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+    "q57_tag_detail" -> (
+      s"""WITH ${EtlQueries.propsFixtureSql},
+         |$tagsSql,
+         |open AS (
+         |  SELECT DISTINCT key FROM tags WHERE name = 'no_bedrooms'
+         |    AND NOT ((length(name) + key) % 5 = 0) AND NOT (key % 7 = 0)),
+         |p AS (
+         |  SELECT 'p' || key AS id, 'u' || (key % 1200) AS url,
+         |    'S' || (key % 3) AS source, title
+         |  FROM t WHERE key IN (SELECT key FROM open)),
+         |pg AS (SELECT * FROM p ORDER BY source, id LIMIT 50),
+         |fo AS (
+         |  SELECT *, row_number() OVER (PARTITION BY url
+         |    ORDER BY source, id) AS rn
+         |  FROM pg),
+         |cur AS (
+         |  SELECT 'u' || o_orderkey AS url, CAST(NULL AS VARCHAR) AS region,
+         |    CASE WHEN o_orderkey % 4 = 0 THEN 'ALL LAND' ELSE 'DATA' END AS tab
+         |  FROM orders WHERE o_orderkey % 10 < 8)
+         |SELECT fo.id, fo.url, fo.source, fo.title, cur.region, cur.tab
+         |FROM fo LEFT JOIN cur ON fo.url = cur.url
+         |WHERE rn = 1""".stripMargin),
+    "q58_queue_writeback" ->
+      """WITH l AS (
+        |  SELECT 'u' || o_orderkey AS url,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN 'Sold' ELSE 'Available' END AS status,
+        |    o_orderkey % 4 <> 0 AS is_available
+        |  FROM orders),
+        |r AS (
+        |  SELECT 'u' || l_orderkey AS url,
+        |    CASE WHEN l_returnflag = 'R' THEN 'Delisted'
+        |         WHEN l_returnflag = 'A' THEN 'Error'
+        |         ELSE 'Available' END AS status
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'),
+        |s AS (
+        |  SELECT l.url, l.status AS old_status, l.is_available,
+        |    l.url IN (SELECT url FROM r WHERE status = 'Available') AS ina,
+        |    l.url IN (SELECT url FROM r WHERE status = 'Error') AS ine,
+        |    l.url IN (SELECT url FROM r WHERE status = 'Delisted') AS ind
+        |  FROM l)
+        |SELECT url,
+        |  CASE WHEN NOT is_available AND ina THEN 'Available'
+        |       WHEN NOT is_available AND ine THEN 'Error'
+        |       WHEN NOT is_available AND ind THEN 'Delisted'
+        |       ELSE old_status END AS status,
+        |  CASE WHEN NOT is_available AND (ina OR ine OR ind)
+        |       THEN (CASE WHEN ina THEN 'Available'
+        |                  WHEN ine THEN 'Error'
+        |                  ELSE 'Delisted' END) = 'Available'
+        |       ELSE is_available END AS is_available
+        |FROM s""".stripMargin,
     "q49_queue_page" -> (
       s"""WITH $queueSql
          |SELECT id, url, created_at FROM q
