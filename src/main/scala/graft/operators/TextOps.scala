@@ -85,10 +85,25 @@ object TextOps {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The shingle projection feeds three consumers (signatures + both
+    // sides of the Jaccard verify join); persist it so the split/slice/
+    // concat work happens once, not per consumer. MEMORY_AND_DISK: at
+    // corpus scale the shingle arrays spill instead of OOMing — and if
+    // executors are storage-tight the blocks just recompute, which is the
+    // pre-cache behavior.
     val shsets = df.select(col(idCol).as("doc_id"),
       array_distinct(shingles(col(textCol))).as("shset"))
-    val sig = df.select(col(idCol).as("doc_id"))
-      .join(minhashSigs(df, idCol, textCol), Seq("doc_id"), "left_outer")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = shsets
+      .select(col("doc_id"), explode(col("shset")).as("s"))
+      .withColumn("h", hash7(col("s")))
+    val sigsAgg = ex.groupBy("doc_id").agg(
+      min((lit(minhashPerms.head._1) * col("h") + lit(minhashPerms.head._2)) % P).as("sig0"),
+      minhashPerms.zipWithIndex.tail.map { case ((a, b), i) =>
+        min((lit(a) * col("h") + lit(b)) % P).as(s"sig$i")
+      }: _*)
+    val sig = shsets.select(col("doc_id"))
+      .join(sigsAgg, Seq("doc_id"), "left_outer")
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bandsCount).map { j =>
         struct(lit(j).as("band"),
