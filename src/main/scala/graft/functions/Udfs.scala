@@ -41,6 +41,8 @@ object Udfs {
     udf((s: String) => Parse.leaseholdYearsFinders(s, asOfYear))
   def findYears(asOfYear: Int): UserDefinedFunction =
     udf((s: String) => Parse.findYears(s, asOfYear))
+  def getLeaseYears(asOfYear: Int): UserDefinedFunction =
+    udf((s: String) => Parse.getLeaseYears(s, asOfYear).map(_._1))
   def ubudFindLeaseholdYears(asOfYear: Int): UserDefinedFunction =
     udf((s: String) => Parse.ubudFindLeaseholdYears(s, asOfYear))
   def timeAgoToDatetime(asOf: LocalDate): UserDefinedFunction =

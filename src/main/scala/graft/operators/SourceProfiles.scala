@@ -264,8 +264,178 @@ object SourceProfiles {
         Cleaners.findBedrooms(col("description")).cast("double"))
         .otherwise(col("bedrooms"))))
 
+  /** reference reid/spiders/exotiqproperty.py:23-80 +
+    * reid/customs/exotiqproperty.py. Pure candidate mapping, no post-load
+    * fixups: ownership cell through lease_or_free_hold, lease years from
+    * the ownership-details cell only when either the processed contract or
+    * the raw ownership text mentions lease (reference raises when contract
+    * is None — the engine treats it as empty).
+    */
+  val exotiqproperty: SourceProfile = SourceProfile(
+    "exotiqproperty",
+    fields = asOf => {
+      val contract = Cleaners.leaseOrFreeHold(trim(col("raw_contract")))
+      Seq(
+        "contract_type" -> contract,
+        "property_type" ->
+          Cleaners.standardizePropertyType(trim(col("raw_type"))),
+        "leasehold_years" -> when(
+          lower(coalesce(contract, lit(""))).contains("lease") ||
+            lower(coalesce(col("raw_contract"), lit(""))).contains("lease"),
+          Udfs.toNumber(col("lease_text"))).cast("double"),
+        "availability" -> lit("Available"),
+        "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+        "title" -> nullIfEmpty(trim(col("raw_title"))),
+        "location" -> nullIfEmpty(trim(col("raw_location"))),
+        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
+        "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+        "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+        "currency" -> Cleaners.identifyCurrency(col("raw_price")),
+        "image_url" -> nullIfEmpty(trim(col("raw_image"))),
+        "listed_date" -> lit(null).cast("string"),
+        "description" -> nullIfEmpty(trim(col("raw_desc"))))
+    },
+    fixups = _ => Seq.empty)
+
+  /** reference reid/spiders/balimoves.py:60-180 ("Bali Moves") +
+    * reid/customs/balimoves.py. The fa-icon table values arrive as raw
+    * columns (icon-class extraction is acquisition); the price/contract
+    * text is `raw_price`. Fixups preserve the reference's quirks: the
+    * "/word" unit probes, the Rent override, the discarded price
+    * recalculation whose only lasting effect is null-ing an
+    * integer-truncated zero.
+    */
+  val balimoves: SourceProfile = SourceProfile(
+    "balimoves",
+    fields = asOf => {
+      val currency = Cleaners.identifyCurrency(col("raw_price"))
+      Seq(
+        "title" -> nullIfEmpty(trim(col("raw_title"))),
+        "property_type" -> Cleaners.definePropertyType(trim(col("raw_title"))),
+        "currency" -> currency,
+        "price" -> when(currency === "IDR", Cleaners.findIdr(col("raw_price")))
+          .otherwise(Cleaners.findUsd(col("raw_price"))).cast("double"),
+        "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+        "location" -> nullIfEmpty(trim(col("raw_location"))),
+        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "land_size" ->
+          Udfs.toNumber(regexp_replace(col("raw_land"), ",", ".")).cast("double"),
+        "build_size" ->
+          Udfs.toNumber(regexp_replace(col("raw_build"), ",", ".")).cast("double"),
+        "contract_type" -> Cleaners.grabFirstWord(trim(col("raw_contract"))),
+        "availability" -> lit("Available"),
+        "image_url" -> nullIfEmpty(trim(col("raw_image"))),
+        "listed_date" -> lit(null).cast("string"),
+        "leasehold_years" -> lit(null).cast("double"),
+        "description" -> nullIfEmpty(trim(col("raw_desc"))))
+    },
+    fixups = asOf => {
+      // "/word" probes: `x in " ".join(set(re.findall(r"/\w+", text)))`
+      // ⇔ some /word contains x as a substring
+      def per(unit: String) = col("raw_price").rlike("/\\w*" + unit)
+      Seq(
+        // balimoves.py:139-141 — freehold keyword anywhere in the text
+        "contract_type" -> when(col("raw_price").rlike("(?i)freehold"),
+          "Freehold").otherwise(col("contract_type")),
+        // balimoves.py:147-149 — rental per-month/per-year override
+        "contract_type" -> when(per("month") || per("year"), "Rent")
+          .otherwise(col("contract_type")),
+        // balimoves.py:151-153 — no bedrooms → land listing
+        "property_type" -> when(
+          col("bedrooms").isNull || col("bedrooms") === 0, "Land")
+          .otherwise(col("property_type")),
+        // balimoves.py:155-157 — lease years from the price text
+        "leasehold_years" -> when(col("contract_type") <=> "Leasehold",
+          Udfs.getLeaseYears(asOf.getYear)(col("raw_price")).cast("double"))
+          .otherwise(col("leasehold_years")),
+        // balimoves.py:159-161 — blank price text means a sold listing
+        "availability" -> when(
+          col("raw_price").isNull || trim(col("raw_price")) === "", "Sold")
+          .otherwise(col("availability")),
+        // balimoves.py:163-178 — the per-land recalculation is DISCARDED
+        // by the reference except for the int(x)==0 null-out (the Parse
+        // kernel pins the are-branch; the m2 branch never recalculates)
+        "price" -> {
+          val priceIdr0 = coalesce(nullif(col("price"), lit(0d)), lit(-1d))
+          val priceIdr = when(per("are") && col("land_size") > 0,
+            priceIdr0 * (col("land_size") / 100)).otherwise(priceIdr0)
+          when((per("are") || per("m2")) && priceIdr.cast("long") === 0,
+            lit(null).cast("double")).otherwise(col("price"))
+        })
+    })
+
+  /** reference reid/spiders/raywhite.py:59-185 ("Ray White Indonesia"):
+    * ld+json price/currency, spec-table numerics, Indonesian-keyword type
+    * ladder (case-sensitive `in` probes), HGB certificate → Leasehold@30,
+    * lease years from the description, per-meter price recalculation, and
+    * delisting villa rows with no bedrooms. The reference's land-size
+    * fallback calls add_value with a CSS string literal — a no-op bug the
+    * engine reproduces by not backfilling.
+    */
+  val raywhite: SourceProfile = SourceProfile(
+    "raywhite",
+    fields = asOf => {
+      val state = coalesce(col("raw_type"), lit(""))
+      val cert = col("raw_contract")
+      val descLease =
+        Udfs.countLeaseYears(asOf.getYear)(trim(col("raw_desc")))
+      Seq(
+        "title" -> nullIfEmpty(trim(col("raw_title"))),
+        "location" -> nullIfEmpty(trim(col("raw_location"))),
+        "description" -> nullIfEmpty(trim(col("raw_desc"))),
+        "image_url" -> nullIfEmpty(trim(col("raw_image"))),
+        "listed_date" -> regexp_replace(nullIfEmpty(regexp_extract(
+          col("raw_image"), "(\\d{4}/\\d{2}/\\d{2}|\\d{4}-\\d{2}-\\d{2})", 1)),
+          "/", "-"),
+        "currency" -> nullIfEmpty(upper(trim(col("json_currency")))),
+        "price" -> Udfs.toNumber(col("json_price")).cast("double"),
+        "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
+        "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+        "availability" -> lit("Available"),
+        "property_type" -> when(state.contains("Rumah"), "House")
+          .when(state.contains("Gudang") || state.contains("Pabrik") ||
+            state.contains("Komersial") || state.contains("Ruko") ||
+            state.contains("Kantor"), "Commercial")
+          .when(state.contains("Villa") || state.contains("Vila"), "Villa")
+          .when(state.contains("Apartemen"), "Apartement")
+          .when(state.contains("Tanah"), "Land")
+          .otherwise("Unknown"),
+        // HGB wins the lease-years TakeFirst even when the description
+        // also carries a count; the description only wins the CONTRACT
+        "leasehold_years" -> when(
+          coalesce(cert, lit("")).contains("HGB"), lit(30d))
+          .otherwise(descLease.cast("double")),
+        "contract_type" -> when(descLease.isNotNull, "Leasehold")
+          .when(coalesce(cert, lit("")).contains("HGB"), "Leasehold")
+          .when(state.contains("for Sale"), "Freehold")
+          .otherwise(lit("")))
+    },
+    fixups = _ => Seq(
+      // raywhite.py:162-172 — per-meter price label → price × land m²
+      "price" -> when(col("raw_price").isNotNull &&
+        Cleaners.checkPerMeter(col("raw_price")) &&
+        coalesce(col("land_size"), lit(0d)) > 0,
+        coalesce(col("price"), lit(0d)) * col("land_size"))
+        .otherwise(col("price")),
+      "currency" -> when(col("raw_price").isNotNull &&
+        Cleaners.checkPerMeter(col("raw_price")) &&
+        coalesce(col("land_size"), lit(0d)) > 0, "IDR")
+        .otherwise(col("currency")),
+      // raywhite.py:174-185 — villa with no bedrooms → delisted_item
+      "availability" -> when(
+        (col("bedrooms").isNull || col("bedrooms") === 0) &&
+          col("property_type") === "Villa", "Delisted")
+        .otherwise(col("availability"))))
+
   val profiles: Seq[SourceProfile] =
-    Seq(ubudproperty, dotproperty, balivillasales)
+    Seq(ubudproperty, dotproperty, balivillasales,
+      exotiqproperty, balimoves, raywhite)
 
   /** Standardize a raw selector-output frame through every registered
     * profile; rows whose source has no profile are dropped (the reference
@@ -284,28 +454,44 @@ object SourceProfiles {
   def q55SourceProfiles(s: SparkSession, d: String): DataFrame = {
     val asOf = LocalDate.of(2026, 1, 1)
     val k = col("p_partkey").cast("string")
-    val m = col("p_partkey") % 3
+    val m = col("p_partkey") % 6
     val sz = col("p_size")
     val raw = Tables.part(s, d).select(
       when(m === 0, concat(lit("https://ubud.example/"), k))
         .when(m === 1,
           when(sz % 3 === 1, concat(lit("https://dot.example/for-sale/"), k))
             .otherwise(concat(lit("https://dot.example/item/"), k)))
-        .otherwise(concat(lit("https://bali.example/"), k)).as("url"),
+        .when(m === 2, concat(lit("https://bali.example/"), k))
+        .when(m === 3, concat(lit("https://exotiq.example/"), k))
+        .when(m === 4, concat(lit("https://bm.example/"), k))
+        .otherwise(concat(lit("https://rw.example/"), k)).as("url"),
       when(m === 0, "ubudproperty").when(m === 1, "dotproperty")
-        .otherwise("balivillasales").as("source"),
+        .when(m === 2, "balivillasales").when(m === 3, "exotiqproperty")
+        .when(m === 4, "balimoves").otherwise("raywhite").as("source"),
       when(m === 0, when(sz % 5 === 0, lit("."))
         .otherwise(concat(lit("Elegant "), col("p_type"), lit(" retreat"))))
         .when(m === 1, concat(lit("Charming "), col("p_brand")))
-        .otherwise(when(sz % 4 === 0, lit(null))
-          .otherwise(lit("Tropical villa in Ubud"))).as("raw_title"),
+        .when(m === 2, when(sz % 4 === 0, lit(null))
+          .otherwise(lit("Tropical villa in Ubud")))
+        .when(m === 3, lit("Exotiq listing"))
+        .when(m === 4, when(sz % 2 === 0, "Modern villa").otherwise("Land plot"))
+        .otherwise(lit("RW listing")).as("raw_title"),
       when(m === 0, concat(lit("UB"), k, lit(" (ref)"))).as("alt_title"),
-      when(m === 1, concat(lit("Area"), sz.cast("string"))).as("raw_location"),
+      when(m === 1 || m >= 3, concat(lit("Area"), sz.cast("string")))
+        .as("raw_location"),
       when(m === 0, when(sz % 2 === 0, "Leasehold").otherwise("Freehold"))
         .when(m === 2, when(sz % 5 === 0, "leasehold option")
-          .otherwise("Freehold title")).as("raw_contract"),
+          .otherwise("Freehold title"))
+        .when(m === 3, when(sz % 2 === 0, "For lease").otherwise("For sale"))
+        .when(m === 4, lit("Leasehold / available"))
+        .when(m === 5, when(sz % 4 === 0, "HGB").otherwise("SHM"))
+        .as("raw_contract"),
       when(m === 0, concat(col("p_type"), lit(" unit")))
         .when(m === 1, when(sz % 2 === 0, "Villa in paradise"))
+        .when(m === 3, lit("Villa"))
+        .when(m === 5, when(sz % 3 === 0, "Rumah Baru")
+          .when(sz % 3 === 1, "Villa Cantik for Sale")
+          .otherwise("Tanah Kavling"))
         .as("raw_type"),
       when(m === 0, when(sz % 9 === 0,
         concat(lit("USD "), (col("p_partkey") * 2).cast("string")))
@@ -315,30 +501,50 @@ object SourceProfiles {
             concat(lit("IDR "), (col("p_partkey") * 500).cast("string")))
             .otherwise(lit("USD 350000"))
           when(sz % 7 === 0, concat(base, lit(" Sold"))).otherwise(base)
-        }).as("raw_price"),
-      when(m === 1, (col("p_partkey") * 1000).cast("string")).as("json_price"),
+        })
+        .when(m === 3, concat(lit("USD "), (col("p_partkey") * 3).cast("string")))
+        .when(m === 4, when(sz % 3 === 0,
+          concat(lit("IDR "), (col("p_partkey") * 10).cast("string"),
+            lit(" leasehold 25 years")))
+          .when(sz % 3 === 1, lit("USD 350,000 /month"))
+          .otherwise(lit("")))
+        .when(m === 5, when(sz % 6 === 0, lit("IDR 1,000,000 per m2")))
+        .as("raw_price"),
+      when(m === 1, (col("p_partkey") * 1000).cast("string"))
+        .when(m === 5, (col("p_partkey") * 7).cast("string")).as("json_price"),
       when(m === 1, when(sz % 2 === 0, "idr").otherwise("usd"))
-        .as("json_currency"),
+        .when(m === 5, lit("idr")).as("json_currency"),
       when(m === 0, when(sz % 4 === 0, lit(null))
         .otherwise((sz % 6).cast("string")))
-        .when(m === 2, (sz % 5).cast("string")).as("raw_beds"),
+        .when(m === 2, (sz % 5).cast("string"))
+        .when(m === 3, (sz % 3).cast("string"))
+        .when(m === 4 || m === 5, when(sz % 2 === 0, lit("2")))
+        .as("raw_beds"),
       lit(null).cast("string").as("raw_baths"),
       when(m === 2, concat((sz + 100).cast("string"), lit(" m2")))
+        .when(m === 4, (sz + 20).cast("string"))
+        .when(m === 5, (sz + 10).cast("string"))
         .as("raw_land"),
       when(m === 2, when(sz % 6 === 0,
         concat((sz + 100).cast("string"), lit(" m2")))
         .otherwise(concat((sz + 50).cast("string"), lit(" m2"))))
         .as("raw_build"),
-      lit(null).cast("string").as("raw_image"),
+      when(m === 5, lit("https://cdn.x.com/2023/04/05/p.jpg")).as("raw_image"),
       when(m === 0, concat(lit("Elegant "), col("p_type"), lit(" retreat with pool")))
         .when(m === 1, when(sz % 3 === 0, lit("leasehold 30 years available"))
           .when(sz % 3 === 1, lit("has 3 bedrooms total. Land size: 450 m2"))
           .otherwise(lit("plain description")))
-        .otherwise(when(sz % 5 === 0, lit("leasehold 30 years"))
-          .otherwise(lit("desc text"))).as("raw_desc"),
+        .when(m === 2, when(sz % 5 === 0, lit("leasehold 30 years"))
+          .otherwise(lit("desc text")))
+        .when(m === 5, when(sz % 5 === 0, lit("leasehold 30 years"))
+          .otherwise(lit("plain")))
+        .otherwise(lit("plain")).as("raw_desc"),
       when(m === 1, concat(lit("Ref: DP-"), k))
-        .when(m === 2, concat(lit("VOB-"), k)).as("raw_pid"),
-      lit(null).cast("string").as("lease_text"),
+        .when(m === 2, concat(lit("VOB-"), k))
+        .when(m === 3, concat(lit("EX-"), k))
+        .when(m === 4, concat(lit("BM-"), k))
+        .when(m === 5, concat(lit("RW-"), k)).as("raw_pid"),
+      when(m === 3, lit("25")).as("lease_text"),
       when(m === 0, when(sz % 3 === 0,
         concat((lit(20) + sz % 30).cast("string"), lit(" year"))))
         .as("table_leasing"))
@@ -357,86 +563,128 @@ object SourceProfiles {
     */
   val oracle: Map[String, String] = Map(
     "q55_source_profiles" ->
-      """SELECT
-        |  CASE WHEN p_partkey % 3 = 0 THEN 'https://ubud.example/' || p_partkey
-        |       WHEN p_partkey % 3 = 1 THEN
-        |         CASE WHEN p_size % 3 = 1 THEN 'https://dot.example/for-sale/' || p_partkey
-        |              ELSE 'https://dot.example/item/' || p_partkey END
-        |       ELSE 'https://bali.example/' || p_partkey END AS url,
-        |  CASE WHEN p_partkey % 3 = 0 THEN 'ubudproperty'
-        |       WHEN p_partkey % 3 = 1 THEN 'dotproperty'
-        |       ELSE 'balivillasales' END AS source,
-        |  CASE WHEN p_partkey % 3 = 0 THEN
-        |         CASE WHEN p_size % 5 = 0 THEN 'UB' || p_partkey || ' (ref)'
+      """WITH base AS (SELECT p_partkey AS k, p_partkey % 6 AS m, p_size AS sz,
+        |  p_type, p_brand FROM part)
+        |SELECT
+        |  CASE WHEN m = 0 THEN 'https://ubud.example/' || k
+        |       WHEN m = 1 THEN
+        |         CASE WHEN sz % 3 = 1 THEN 'https://dot.example/for-sale/' || k
+        |              ELSE 'https://dot.example/item/' || k END
+        |       WHEN m = 2 THEN 'https://bali.example/' || k
+        |       WHEN m = 3 THEN 'https://exotiq.example/' || k
+        |       WHEN m = 4 THEN 'https://bm.example/' || k
+        |       ELSE 'https://rw.example/' || k END AS url,
+        |  CASE WHEN m = 0 THEN 'ubudproperty' WHEN m = 1 THEN 'dotproperty'
+        |       WHEN m = 2 THEN 'balivillasales' WHEN m = 3 THEN 'exotiqproperty'
+        |       WHEN m = 4 THEN 'balimoves' ELSE 'raywhite' END AS source,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 5 = 0 THEN 'UB' || k || ' (ref)'
         |              ELSE 'Elegant ' || p_type || ' retreat' END
-        |       WHEN p_partkey % 3 = 1 THEN 'Charming ' || p_brand
-        |       ELSE CASE WHEN p_size % 4 = 0 THEN NULL
-        |            ELSE 'Tropical villa in Ubud' END END AS title,
-        |  CASE WHEN p_partkey % 3 = 0 THEN 'UB' || p_partkey
-        |       WHEN p_partkey % 3 = 1 THEN 'DP-' || p_partkey
-        |       ELSE 'VOB-' || p_partkey END AS property_id,
-        |  CASE WHEN p_partkey % 3 = 0 THEN 'Ubud'
-        |       WHEN p_partkey % 3 = 1 THEN 'Area' || p_size
-        |       ELSE CASE WHEN p_size % 4 <> 0 THEN 'Ubud' END END AS location,
-        |  CASE WHEN p_partkey % 3 = 0 THEN
-        |         CASE WHEN p_size % 2 = 0 THEN 'Leasehold' ELSE 'Freehold' END
-        |       WHEN p_partkey % 3 = 1 THEN
-        |         CASE WHEN p_size % 3 = 0 THEN 'Leasehold' ELSE 'Freehold' END
-        |       ELSE CASE WHEN p_size % 5 = 0 THEN 'leasehold option'
-        |            ELSE 'Freehold title' END END AS contract_type,
-        |  CASE WHEN p_partkey % 3 = 0 THEN
-        |         CASE WHEN p_size % 4 <> 0 AND p_size % 6 <> 0 THEN 'Villa'
+        |       WHEN m = 1 THEN 'Charming ' || p_brand
+        |       WHEN m = 2 THEN CASE WHEN sz % 4 = 0 THEN NULL
+        |            ELSE 'Tropical villa in Ubud' END
+        |       WHEN m = 3 THEN 'Exotiq listing'
+        |       WHEN m = 4 THEN CASE WHEN sz % 2 = 0 THEN 'Modern villa'
+        |            ELSE 'Land plot' END
+        |       ELSE 'RW listing' END AS title,
+        |  CASE WHEN m = 0 THEN 'UB' || k WHEN m = 1 THEN 'DP-' || k
+        |       WHEN m = 2 THEN 'VOB-' || k WHEN m = 3 THEN 'EX-' || k
+        |       WHEN m = 4 THEN 'BM-' || k ELSE 'RW-' || k END AS property_id,
+        |  CASE WHEN m = 0 THEN 'Ubud'
+        |       WHEN m = 1 THEN 'Area' || sz
+        |       WHEN m = 2 THEN CASE WHEN sz % 4 <> 0 THEN 'Ubud' END
+        |       ELSE 'Area' || sz END AS location,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 2 = 0 THEN 'Leasehold' ELSE 'Freehold' END
+        |       WHEN m = 1 THEN
+        |         CASE WHEN sz % 3 = 0 THEN 'Leasehold' ELSE 'Freehold' END
+        |       WHEN m = 2 THEN CASE WHEN sz % 5 = 0 THEN 'leasehold option'
+        |            ELSE 'Freehold title' END
+        |       WHEN m = 3 THEN
+        |         CASE WHEN sz % 2 = 0 THEN 'Leasehold' ELSE 'Freehold' END
+        |       WHEN m = 4 THEN
+        |         CASE WHEN sz % 3 = 1 THEN 'Rent' ELSE 'Leasehold' END
+        |       ELSE CASE WHEN sz % 5 = 0 THEN 'Leasehold'
+        |            WHEN sz % 4 = 0 THEN 'Leasehold'
+        |            WHEN sz % 3 = 1 THEN 'Freehold'
+        |            ELSE '' END END AS contract_type,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 4 <> 0 AND sz % 6 <> 0 THEN 'Villa'
         |              ELSE 'Land' END
-        |       WHEN p_partkey % 3 = 1 THEN
-        |         CASE WHEN p_size % 2 = 0 THEN 'Villa' END
-        |       ELSE CASE WHEN p_size % 6 = 0 THEN 'Land'
-        |            WHEN p_size % 4 = 0 THEN NULL
-        |            ELSE 'Villa' END END AS property_type,
-        |  CASE WHEN p_partkey % 3 = 0 THEN
-        |         CASE WHEN p_size % 2 = 0 AND p_size % 3 = 0
-        |              THEN CAST(20 + p_size % 30 AS DOUBLE) END
-        |       WHEN p_partkey % 3 = 1 THEN
-        |         CASE WHEN p_size % 3 = 0 THEN 30.0 END
-        |       ELSE CASE WHEN p_size % 5 = 0 THEN 30.0 END END AS leasehold_years,
-        |  CASE WHEN p_partkey % 3 = 0 THEN
-        |         CASE WHEN p_size % 4 = 0 THEN NULL
-        |              ELSE CAST(p_size % 6 AS DOUBLE) END
-        |       WHEN p_partkey % 3 = 1 THEN
-        |         CASE WHEN p_size % 3 = 1 THEN 3.0 END
-        |       ELSE CASE WHEN p_size % 5 = 0 THEN NULL
-        |            ELSE CAST(p_size % 5 AS DOUBLE) END END AS bedrooms,
-        |  CASE WHEN p_partkey % 3 = 1 THEN
-        |         CASE WHEN p_size % 3 = 1 THEN 450.0 END
-        |       WHEN p_partkey % 3 = 2 THEN CAST(p_size + 100 AS DOUBLE)
+        |       WHEN m = 1 THEN CASE WHEN sz % 2 = 0 THEN 'Villa' END
+        |       WHEN m = 2 THEN CASE WHEN sz % 6 = 0 THEN 'Land'
+        |            WHEN sz % 4 = 0 THEN NULL ELSE 'Villa' END
+        |       WHEN m = 3 THEN 'Villa'
+        |       WHEN m = 4 THEN CASE WHEN sz % 2 = 0 THEN 'Villa' ELSE 'Land' END
+        |       ELSE CASE WHEN sz % 3 = 0 THEN 'House'
+        |            WHEN sz % 3 = 1 THEN 'Villa' ELSE 'Land' END
+        |       END AS property_type,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 2 = 0 AND sz % 3 = 0
+        |              THEN CAST(20 + sz % 30 AS DOUBLE) END
+        |       WHEN m = 1 THEN CASE WHEN sz % 3 = 0 THEN 30.0 END
+        |       WHEN m = 2 THEN CASE WHEN sz % 5 = 0 THEN 30.0 END
+        |       WHEN m = 3 THEN CASE WHEN sz % 2 = 0 THEN 25.0 END
+        |       WHEN m = 4 THEN CASE WHEN sz % 3 = 0 THEN 25.0 END
+        |       ELSE CASE WHEN sz % 4 = 0 OR sz % 5 = 0 THEN 30.0 END
+        |       END AS leasehold_years,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 4 = 0 THEN NULL
+        |              ELSE CAST(sz % 6 AS DOUBLE) END
+        |       WHEN m = 1 THEN CASE WHEN sz % 3 = 1 THEN 3.0 END
+        |       WHEN m = 2 THEN CASE WHEN sz % 5 = 0 THEN NULL
+        |            ELSE CAST(sz % 5 AS DOUBLE) END
+        |       WHEN m = 3 THEN CAST(sz % 3 AS DOUBLE)
+        |       ELSE CASE WHEN sz % 2 = 0 THEN 2.0 END END AS bedrooms,
+        |  CASE WHEN m = 1 THEN CASE WHEN sz % 3 = 1 THEN 450.0 END
+        |       WHEN m = 2 THEN CAST(sz + 100 AS DOUBLE)
+        |       WHEN m = 4 THEN CAST(sz + 20 AS DOUBLE)
+        |       WHEN m = 5 THEN CAST(sz + 10 AS DOUBLE)
         |       END AS land_size,
-        |  CASE WHEN p_partkey % 3 = 2 AND p_size % 6 <> 0
-        |       THEN CAST(p_size + 50 AS DOUBLE) END AS build_size,
-        |  CASE WHEN p_partkey % 3 = 0 THEN
-        |         CASE WHEN p_size % 9 = 0 THEN CAST(p_partkey * 2 AS DOUBLE)
-        |              ELSE CAST(p_partkey * 1000 AS DOUBLE) END
-        |       WHEN p_partkey % 3 = 1 THEN CAST(p_partkey * 1000 AS DOUBLE)
-        |       ELSE CASE WHEN p_size % 2 = 0 THEN CAST(p_partkey * 500 AS DOUBLE)
-        |            ELSE 350000.0 END END AS price,
-        |  CASE WHEN p_partkey % 3 = 0 THEN
-        |         CASE WHEN p_size % 9 = 0 THEN 'USD' ELSE 'IDR' END
-        |       WHEN p_partkey % 3 = 1 THEN
-        |         CASE WHEN p_size % 2 = 0 THEN 'IDR' ELSE 'USD' END
-        |       ELSE CASE WHEN p_size % 2 = 0 THEN 'IDR' ELSE 'USD' END
-        |       END AS currency,
-        |  CASE WHEN p_partkey % 3 = 2 THEN
-        |         CASE WHEN p_size % 4 = 0 THEN 'Delisted'
-        |              WHEN p_size % 7 = 0 THEN 'Sold'
+        |  CASE WHEN m = 2 AND sz % 6 <> 0
+        |       THEN CAST(sz + 50 AS DOUBLE) END AS build_size,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 9 = 0 THEN CAST(k * 2 AS DOUBLE)
+        |              ELSE CAST(k * 1000 AS DOUBLE) END
+        |       WHEN m = 1 THEN CAST(k * 1000 AS DOUBLE)
+        |       WHEN m = 2 THEN CASE WHEN sz % 2 = 0 THEN CAST(k * 500 AS DOUBLE)
+        |            ELSE 350000.0 END
+        |       WHEN m = 3 THEN CAST(k * 3 AS DOUBLE)
+        |       WHEN m = 4 THEN CASE WHEN sz % 3 = 0 THEN CAST(k * 10 AS DOUBLE)
+        |            WHEN sz % 3 = 1 THEN 350000.0 END
+        |       ELSE CASE WHEN sz % 6 = 0
+        |            THEN CAST(k * 7 AS DOUBLE) * CAST(sz + 10 AS DOUBLE)
+        |            ELSE CAST(k * 7 AS DOUBLE) END END AS price,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 9 = 0 THEN 'USD' ELSE 'IDR' END
+        |       WHEN m = 1 THEN CASE WHEN sz % 2 = 0 THEN 'IDR' ELSE 'USD' END
+        |       WHEN m = 2 THEN CASE WHEN sz % 2 = 0 THEN 'IDR' ELSE 'USD' END
+        |       WHEN m = 3 THEN 'USD'
+        |       WHEN m = 4 THEN CASE WHEN sz % 3 = 0 THEN 'IDR'
+        |            WHEN sz % 3 = 1 THEN 'USD' END
+        |       ELSE 'IDR' END AS currency,
+        |  CASE WHEN m = 2 THEN
+        |         CASE WHEN sz % 4 = 0 THEN 'Delisted'
+        |              WHEN sz % 7 = 0 THEN 'Sold'
+        |              ELSE 'Available' END
+        |       WHEN m = 4 THEN
+        |         CASE WHEN sz % 3 = 2 THEN 'Sold' ELSE 'Available' END
+        |       WHEN m = 5 THEN
+        |         CASE WHEN sz % 2 = 1 AND sz % 3 = 1 THEN 'Delisted'
         |              ELSE 'Available' END
         |       ELSE 'Available' END AS availability,
-        |  CASE WHEN p_partkey % 3 = 0 THEN
-        |         CASE WHEN p_size % 5 = 0
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 5 = 0
         |              THEN 'Elegant ' || p_type || ' retreat with pool'
         |              ELSE ' with pool' END
-        |       WHEN p_partkey % 3 = 1 THEN
-        |         CASE WHEN p_size % 3 = 0 THEN 'leasehold 30 years available'
-        |              WHEN p_size % 3 = 1 THEN 'has 3 bedrooms total. Land size: 450 m2'
+        |       WHEN m = 1 THEN
+        |         CASE WHEN sz % 3 = 0 THEN 'leasehold 30 years available'
+        |              WHEN sz % 3 = 1 THEN 'has 3 bedrooms total. Land size: 450 m2'
         |              ELSE 'plain description' END
-        |       ELSE CASE WHEN p_size % 5 = 0 THEN 'leasehold 30 years'
-        |            ELSE 'desc text' END END AS description
-        |FROM part""".stripMargin)
+        |       WHEN m = 2 THEN CASE WHEN sz % 5 = 0 THEN 'leasehold 30 years'
+        |            ELSE 'desc text' END
+        |       WHEN m = 5 THEN CASE WHEN sz % 5 = 0 THEN 'leasehold 30 years'
+        |            ELSE 'plain' END
+        |       ELSE 'plain' END AS description
+        |FROM base""".stripMargin)
 }

@@ -179,6 +179,103 @@ class SourceProfilesSpec extends AnyFunSuite {
     assert(r("land_size") == null && r("build_size") == null)
   }
 
+  test("exotiqproperty: For lease → Leasehold with years; For sale → Freehold without") {
+    val r = run(
+      "url" -> "e1", "source" -> "exotiqproperty",
+      "raw_contract" -> "For lease", "raw_type" -> "Villa",
+      "lease_text" -> "25", "raw_price" -> "USD 450,000",
+      "raw_beds" -> "3", "raw_title" -> "Ocean view villa")
+    assert(r("contract_type") == "Leasehold")
+    assert(r("leasehold_years") == 25.0)
+    assert(r("property_type") == "Villa")
+    assert(r("price") == 450000.0 && r("currency") == "USD")
+    val r2 = run(
+      "url" -> "e2", "source" -> "exotiqproperty",
+      "raw_contract" -> "For sale", "raw_type" -> "Land plot",
+      "lease_text" -> "30", "raw_price" -> "IDR 2,000,000,000")
+    assert(r2("contract_type") == "Freehold")
+    assert(r2("leasehold_years") == null) // no lease mention → cell ignored
+    assert(r2("property_type") == "Land")
+  }
+
+  test("balimoves: IDR price, first-word contract, lease years from the price text") {
+    val r = run(
+      "url" -> "m1", "source" -> "balimoves",
+      "raw_title" -> "Modern villa retreat",
+      "raw_price" -> "IDR 2,500,000,000 leasehold 25 years",
+      "raw_contract" -> "Leasehold / available", "raw_beds" -> "3")
+    assert(r("price") == 2.5e9 && r("currency") == "IDR")
+    assert(r("contract_type") == "Leasehold")
+    assert(r("leasehold_years") == 25.0)
+    assert(r("property_type") == "Villa")
+    assert(r("availability") == "Available")
+  }
+
+  test("balimoves: /month → Rent; /are recalc only nulls an int-zero price; blank text → Sold") {
+    val r = run(
+      "url" -> "m2", "source" -> "balimoves",
+      "raw_title" -> "Villa rental", "raw_price" -> "IDR 15,000,000 /month",
+      "raw_beds" -> "2")
+    assert(r("contract_type") == "Rent")
+    assert(r("price") == 1.5e7) // no /are or /m2 probe → price untouched
+    val r3 = run(
+      "url" -> "m3", "source" -> "balimoves",
+      "raw_title" -> "Plot", "raw_price" -> "IDR 1 /are", "raw_land" -> "50")
+    assert(r3("price") == null) // 1 × (50/100) truncates to int 0 → nulled
+    assert(r3("property_type") == "Land") // no bedrooms
+    val r4 = run(
+      "url" -> "m4", "source" -> "balimoves",
+      "raw_title" -> "Gone", "raw_price" -> "  ")
+    assert(r4("availability") == "Sold")
+    assert(r4("price") == null)
+  }
+
+  test("raywhite: keyword ladder, for-Sale freehold, listed date from the image url") {
+    val r = run(
+      "url" -> "r1", "source" -> "raywhite",
+      "raw_type" -> "Villa Mewah for Sale", "raw_contract" -> "SHM",
+      "json_price" -> "5000000000", "json_currency" -> "idr",
+      "raw_beds" -> "3", "raw_desc" -> "plain",
+      "raw_image" -> "https://x.com/wp/2023/05/01/a.jpg")
+    assert(r("property_type") == "Villa")
+    assert(r("contract_type") == "Freehold")
+    assert(r("price") == 5e9 && r("currency") == "IDR")
+    assert(r("listed_date") == "2023-05-01")
+    assert(r("availability") == "Available")
+  }
+
+  test("raywhite: HGB certificate wins lease@30; description lease only wins the contract") {
+    val r = run(
+      "url" -> "r2", "source" -> "raywhite",
+      "raw_type" -> "Apartemen Baru", "raw_contract" -> "HGB 2045",
+      "raw_beds" -> "2", "raw_desc" -> "plain")
+    assert(r("property_type") == "Apartement")
+    assert(r("contract_type") == "Leasehold")
+    assert(r("leasehold_years") == 30.0)
+    val r3 = run(
+      "url" -> "r3", "source" -> "raywhite",
+      "raw_type" -> "Tanah Kavling", "raw_contract" -> "SHM",
+      "raw_desc" -> "leasehold 30 years")
+    assert(r3("property_type") == "Land")
+    assert(r3("contract_type") == "Leasehold")
+    assert(r3("leasehold_years") == 30.0)
+  }
+
+  test("raywhite: per-meter label multiplies price by land; bedroom-less villa delists") {
+    val r = run(
+      "url" -> "r4", "source" -> "raywhite",
+      "raw_type" -> "Tanah Luas", "raw_contract" -> "SHM",
+      "json_price" -> "1000000", "json_currency" -> "idr",
+      "raw_land" -> "200", "raw_desc" -> "plain",
+      "raw_price" -> "IDR 5.000.000 per m2")
+    assert(r("price") == 2e8 && r("currency") == "IDR")
+    val r5 = run(
+      "url" -> "r5", "source" -> "raywhite",
+      "raw_type" -> "Villa Cantik", "raw_contract" -> "SHM",
+      "raw_desc" -> "plain")
+    assert(r5("availability") == "Delisted")
+  }
+
   test("dispatch unions profiles and drops unprofiled sources") {
     val rows = Seq(
       Row(("u9" +: "ubudproperty" +: Seq.fill(17)(null.asInstanceOf[String])): _*),
