@@ -23,7 +23,8 @@ object Bench {
       "q17_topk_per_group", "q18_running_agg", "q28_merge_upsert",
       "q31_dedup_exact", "q36_minhash_lsh", "q37_ngram_jaccard",
       "q38_cosine_pairs", "q40_simhash", "q43_ann_ivf",
-      "q01_monthly_counts")
+      "q01_monthly_counts", "q34_tfidf_keywords", "q55_source_profiles",
+      "q58_queue_writeback")
     val available = preferred.filter(SparkEntry.queries.contains)
     if (available.nonEmpty) available else SparkEntry.queries.keys.toSeq.sorted
   }
