@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * acquisition, out of scope per SURVEY §1) — `url, source, raw_title,
   * alt_title, raw_location, raw_contract, raw_type, raw_price, json_price,
   * json_currency, raw_beds, raw_baths, raw_land, raw_build, raw_image,
-  * raw_desc, raw_pid, lease_text, table_leasing` (all strings).
+  * raw_desc, raw_pid, lease_text, table_leasing, raw_date` (all strings).
   *
   * Execution shape: every field and fixup is a row-local Column expression
   * (TakeFirst = coalesce; MapCompose = expression composition; post-load
@@ -55,10 +55,12 @@ object SourceProfiles {
   final case class SourceProfile(
       source: String,
       fields: LocalDate => Seq[(String, Column)],
-      fixups: LocalDate => Seq[(String, Column)]) {
+      fixups: LocalDate => Seq[(String, Column)],
+      gate: Option[Column] = None) {
 
     def apply(raw: DataFrame, asOf: LocalDate): DataFrame = {
-      val withFields = fields(asOf).foldLeft(raw) {
+      val gated = gate.map(raw.filter).getOrElse(raw)
+      val withFields = fields(asOf).foldLeft(gated) {
         case (d, (name, expr)) => d.withColumn(name, expr)
       }
       val fixed = fixups(asOf).foldLeft(withFields) {
@@ -433,9 +435,159 @@ object SourceProfiles {
           col("property_type") === "Villa", "Delisted")
         .otherwise(col("availability"))))
 
+  /** reference reid/spiders/kibarer.py:58-155 ("Kibarer"): rows whose
+    * contract badge never mentions "hold" are dropped entirely (the
+    * spider only builds a loader inside that branch) — expressed as the
+    * profile's row gate. IDR-else-USD-else(-1, USD) price, find_ ladders
+    * for contract/type, are→sqm land, lease years from the badge then
+    * re-found in the description.
+    */
+  val kibarer: SourceProfile = SourceProfile(
+    "kibarer",
+    fields = asOf => {
+      val idr = Cleaners.findIdr(col("raw_price"))
+      val usd = Cleaners.findUsd(col("raw_price"))
+      val contract = Cleaners.findContractType(trim(col("raw_contract")))
+      Seq(
+        "price" -> when(idr.isNotNull, idr.cast("double"))
+          .when(usd.isNotNull, usd.cast("double"))
+          .otherwise(lit(-1d)),
+        "currency" -> when(idr.isNotNull, "IDR").otherwise("USD"),
+        "availability" -> lit("Available"),
+        "title" -> nullIfEmpty(trim(col("raw_title"))),
+        "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+        "location" -> nullIfEmpty(trim(col("raw_location"))),
+        "contract_type" -> contract,
+        "leasehold_years" -> when(contract === "Leasehold",
+          Udfs.getLeaseYears(asOf.getYear)(col("raw_contract")))
+          .cast("double"),
+        "property_type" -> Cleaners.findPropertyType(trim(col("raw_title"))),
+        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "land_size" -> coalesce(Cleaners.areToSqm(col("raw_land")).cast("double"),
+          Udfs.toNumber(col("raw_land")).cast("double")),
+        "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+        "image_url" -> Cleaners.dimensionRemover(coalesce(col("raw_image"), lit(""))),
+        "listed_date" -> lit(null).cast("string"),
+        "description" -> nullIfEmpty(trim(col("raw_desc"))))
+    },
+    fixups = asOf => Seq(
+      // kibarer.py:141-143 — missing type defaults to Villa
+      "property_type" -> coalesce(col("property_type"), lit("Villa")),
+      // kibarer.py:145-152 — leasehold with no badge years: re-find in desc
+      "leasehold_years" -> when(
+        lower(coalesce(col("contract_type"), lit(""))).contains("lease") &&
+          (col("leasehold_years").isNull || col("leasehold_years") === 0),
+        Udfs.findLeaseYears(asOf.getYear)(col("description")).cast("double"))
+        .otherwise(col("leasehold_years"))),
+    gate = Some(coalesce(col("raw_contract"), lit("")).rlike("(?i)hold")))
+
+  /** reference reid/spiders/lazudi.py:59-175 ("Lazudi"): detail rows
+    * parsed into a dict (acquisition side; the values arrive as raw
+    * columns), contract defaults Leasehold unless a freehold row
+    * appears, created date reformatted MM/dd/yy, lease years from the
+    * description with a Freehold fallback when absent, extractor-then-
+    * find_land_size backfills (the reference's second find_build_size
+    * assigns a local variable only — a no-op the engine reproduces by
+    * omission).
+    */
+  val lazudi: SourceProfile = SourceProfile(
+    "lazudi",
+    fields = asOf => Seq(
+      // lazudi's own strptime("%Y-%m-%d") — not the customs' full form
+      "listed_date" ->
+        date_format(to_date(col("raw_date"), "yyyy-MM-dd"), "MM/dd/yy"),
+      "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+      "title" -> nullIfEmpty(trim(col("raw_title"))),
+      "location" -> nullIfEmpty(trim(col("raw_location"))),
+      "contract_type" -> coalesce(nullIfEmpty(trim(col("raw_contract"))),
+        lit("Leasehold")),
+      "property_type" ->
+        Cleaners.standardizePropertyType(trim(col("raw_type"))),
+      "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+      "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+      "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
+      "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+      "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+      "currency" -> lit("IDR"),
+      "availability" -> lit("Available"),
+      "image_url" -> nullIfEmpty(trim(col("raw_image"))),
+      "leasehold_years" -> lit(null).cast("double"),
+      "description" ->
+        nullIfEmpty(Cleaners.removeShowMoreLess(trim(col("raw_desc"))))),
+    fixups = asOf => Seq(
+      // lazudi.py:146-149 — lease years only for Lease* contracts
+      "leasehold_years" -> when(
+        coalesce(col("contract_type"), lit("")).contains("Lease"),
+        Udfs.findLeaseYears(asOf.getYear)(col("description")).cast("double")),
+      // lazudi.py:151-152 — no years found → actually a freehold
+      "contract_type" -> when(
+        col("leasehold_years").isNull || col("leasehold_years") === 0,
+        "Freehold").otherwise(col("contract_type")),
+      // lazudi.py:154-158 — bedrooms only backfilled when strictly None
+      "bedrooms" -> when(col("bedrooms").isNull,
+        Udfs.findBedroomsInDescription(col("description")).cast("double"))
+        .otherwise(col("bedrooms")),
+      // lazudi.py:160-166 — extractor first, then find_land_size gated on
+      // beating a nonzero build size (locals captured before build fixups)
+      "land_size" -> {
+        val afterExtract = when(
+          col("land_size").isNull || col("land_size") === 0,
+          Udfs.landsizeExtractor(col("description")).cast("double"))
+          .otherwise(col("land_size"))
+        val found = Udfs.findLandSize(col("description")).cast("double")
+        val build0 = coalesce(col("build_size"), lit(0d))
+        when((afterExtract.isNull || afterExtract === 0) &&
+          found.isNotNull && found =!= 0 && build0 =!= 0 && found > build0,
+          found).otherwise(afterExtract)
+      },
+      // lazudi.py:168-171 — build extractor backfill (the find_build_size
+      // after it writes a local only: reference no-op)
+      "build_size" -> when(
+        col("build_size").isNull || col("build_size") === 0,
+        Udfs.buildsizeExtractor(col("description")).cast("double"))
+        .otherwise(col("build_size"))))
+
+  /** reference reid/spiders/gillesdemunter.py:29-100 ("GD&ASSOCIATES"):
+    * one BED cell carries "bed/bath", USD-only pricing, property id from
+    * the 4th image-url path segment, rows with no BED cell delist (the
+    * reference then crashes on the split — the engine keeps the row with
+    * null beds).
+    */
+  val gillesdemunter: SourceProfile = SourceProfile(
+    "gillesdemunter",
+    fields = asOf => Seq(
+      "title" -> nullIfEmpty(trim(col("raw_title"))),
+      "location" -> nullIfEmpty(trim(col("raw_location"))),
+      "image_url" -> nullIfEmpty(trim(col("raw_image"))),
+      "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
+      "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+      "bedrooms" ->
+        Udfs.toNumber(Cleaners.getFirst(col("raw_beds"), "/")).cast("double"),
+      "bathrooms" ->
+        Udfs.toNumber(Cleaners.getLast(col("raw_beds"), "/")).cast("double"),
+      "contract_type" -> nullIfEmpty(trim(col("raw_contract"))),
+      "property_type" -> Cleaners.definePropertyType(trim(col("raw_title"))),
+      "leasehold_years" -> Udfs.toNumber(col("lease_text")).cast("double"),
+      "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+      "currency" -> lit("USD"),
+      "availability" -> lit("Available"),
+      "listed_date" -> lit(null).cast("string"),
+      "description" -> nullIfEmpty(trim(col("raw_desc"))),
+      "property_id" -> lit(null).cast("string")),
+    fixups = _ => Seq(
+      // gillesdemunter.py:52-55 — no BED cell → delisted_item
+      "availability" -> when(
+        col("raw_beds").isNull || trim(col("raw_beds")) === "", "Delisted")
+        .otherwise(col("availability")),
+      // gillesdemunter.py:98 — image_url.split("/")[3] (0-based index 3)
+      "property_id" ->
+        element_at(split(col("image_url"), "/", -1), 4)))
+
   val profiles: Seq[SourceProfile] =
     Seq(ubudproperty, dotproperty, balivillasales,
-      exotiqproperty, balimoves, raywhite)
+      exotiqproperty, balimoves, raywhite,
+      kibarer, lazudi, gillesdemunter)
 
   /** Standardize a raw selector-output frame through every registered
     * profile; rows whose source has no profile are dropped (the reference
@@ -547,7 +699,8 @@ object SourceProfiles {
       when(m === 3, lit("25")).as("lease_text"),
       when(m === 0, when(sz % 3 === 0,
         concat((lit(20) + sz % 30).cast("string"), lit(" year"))))
-        .as("table_leasing"))
+        .as("table_leasing"),
+      lit(null).cast("string").as("raw_date"))
     standardize(raw, asOf).select("url", "source", "title", "property_id",
       "location", "contract_type", "property_type", "leasehold_years",
       "bedrooms", "land_size", "build_size", "price", "currency",

@@ -19,7 +19,8 @@ class SourceProfilesSpec extends AnyFunSuite {
   private val rawCols = Seq("url", "source", "raw_title", "alt_title",
     "raw_location", "raw_contract", "raw_type", "raw_price", "json_price",
     "json_currency", "raw_beds", "raw_baths", "raw_land", "raw_build",
-    "raw_image", "raw_desc", "raw_pid", "lease_text", "table_leasing")
+    "raw_image", "raw_desc", "raw_pid", "lease_text", "table_leasing",
+    "raw_date")
 
   private val schema = StructType(rawCols.map(StructField(_, StringType)))
 
@@ -276,10 +277,96 @@ class SourceProfilesSpec extends AnyFunSuite {
     assert(r5("availability") == "Delisted")
   }
 
+  test("kibarer: hold gate drops rows; IDR-else-USD-else(-1,USD); badge then desc lease years") {
+    // no "hold" in the contract badge → the spider never yields: row gated out
+    val gated = SourceProfiles.standardize(raw(
+      "url" -> "k0", "source" -> "kibarer", "raw_contract" -> "For Sale"), asOf)
+    assert(gated.count() == 0)
+    val r = run(
+      "url" -> "k1", "source" -> "kibarer",
+      "raw_contract" -> "Leasehold 25 years",
+      "raw_price" -> "IDR 3,000,000,000",
+      "raw_title" -> "Stunning villa retreat", "raw_beds" -> "4",
+      "raw_land" -> "5.5 are", "raw_build" -> "250",
+      "raw_image" -> "https://x.com/img-300x200.jpg",
+      "raw_desc" -> "nice")
+    assert(r("price") == 3e9 && r("currency") == "IDR")
+    assert(r("contract_type") == "Leasehold")
+    assert(r("leasehold_years") == 25.0) // from the badge text
+    assert(r("property_type") == "Villa")
+    assert(r("land_size") == 550.0) // are → sqm
+    assert(r("image_url") == "https://x.com/img.jpg") // dimension removed
+    val r2 = run(
+      "url" -> "k2", "source" -> "kibarer",
+      "raw_contract" -> "Freehold", "raw_price" -> "price on request",
+      "raw_title" -> "Plain land")
+    assert(r2("price") == -1.0 && r2("currency") == "USD")
+    assert(r2("contract_type") == "Freehold")
+    assert(r2("property_type") == "Land") // find_property_type ladder
+    val r3 = run(
+      "url" -> "k3", "source" -> "kibarer",
+      "raw_contract" -> "leasehold property", // no years in the badge
+      "raw_price" -> "USD 500,000", "raw_title" -> "Cozy house",
+      "raw_desc" -> "leasehold 30 years")
+    assert(r3("leasehold_years") == 30.0) // re-found in the description
+  }
+
+  test("lazudi: Leasehold default, desc lease-or-Freehold, extractor backfills, created date") {
+    val r = run(
+      "url" -> "l1", "source" -> "lazudi",
+      "raw_date" -> "2023-05-04", "raw_pid" -> "LZ9",
+      "raw_title" -> "Bali Villa", "raw_contract" -> "Leasehold",
+      "raw_type" -> "Villa", "raw_price" -> "4,500,000,000",
+      "raw_desc" -> "leasehold 30 years remaining")
+    assert(r("listed_date") == "05/04/23")
+    assert(r("contract_type") == "Leasehold")
+    assert(r("leasehold_years") == 30.0)
+    assert(r("price") == 4.5e9 && r("currency") == "IDR")
+    val r2 = run(
+      "url" -> "l2", "source" -> "lazudi",
+      "raw_contract" -> "Leasehold", "raw_title" -> "No years villa",
+      "raw_desc" -> "Landsize 450 sqm\nnice villa")
+    assert(r2("leasehold_years") == null)
+    assert(r2("contract_type") == "Freehold") // no years → freehold fallback
+    assert(r2("land_size") == 450.0) // landsize_extractor backfill
+    val r3 = run(
+      "url" -> "l3", "source" -> "lazudi",
+      "raw_contract" -> "Freehold", "raw_build" -> "200",
+      "raw_desc" -> "about 350 sqm of land")
+    // extractor misses; find_land_size(350) beats build (200) → backfilled
+    assert(r3("land_size") == 350.0)
+    val r4 = run(
+      "url" -> "l4", "source" -> "lazudi",
+      "raw_contract" -> "Freehold",
+      "raw_desc" -> "about 350 sqm of land")
+    // build missing → find_land_size result discarded (reference gate)
+    assert(r4("land_size") == null)
+  }
+
+  test("gillesdemunter: bed/bath cell split, USD constant, id from image path, delist on no beds") {
+    val r = run(
+      "url" -> "g1", "source" -> "gillesdemunter",
+      "raw_title" -> "Villa Sunset", "raw_beds" -> "3/2",
+      "raw_price" -> "1,250,000", "raw_contract" -> "Freehold",
+      "raw_image" -> "https://gd.example/listing/4711/main.jpg",
+      "lease_text" -> "25")
+    assert(r("bedrooms") == 3.0 && r("bathrooms") == 2.0)
+    assert(r("price") == 1250000.0 && r("currency") == "USD")
+    assert(r("property_type") == "Villa")
+    // split("/")(3) on the url: [https:, , gd.example, listing, ...]
+    assert(r("property_id") == "listing")
+    assert(r("availability") == "Available")
+    val r2 = run(
+      "url" -> "g2", "source" -> "gillesdemunter",
+      "raw_title" -> "Gone listing")
+    assert(r2("availability") == "Delisted")
+    assert(r2("bedrooms") == null)
+  }
+
   test("dispatch unions profiles and drops unprofiled sources") {
     val rows = Seq(
-      Row(("u9" +: "ubudproperty" +: Seq.fill(17)(null.asInstanceOf[String])): _*),
-      Row(("x9" +: "unknownsource" +: Seq.fill(17)(null.asInstanceOf[String])): _*))
+      Row(("u9" +: "ubudproperty" +: Seq.fill(rawCols.size - 2)(null.asInstanceOf[String])): _*),
+      Row(("x9" +: "unknownsource" +: Seq.fill(rawCols.size - 2)(null.asInstanceOf[String])): _*))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
     val out = SourceProfiles.standardize(df, asOf)
     assert(out.columns.toSeq == SourceProfiles.targets)
