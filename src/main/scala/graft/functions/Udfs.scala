@@ -43,6 +43,10 @@ object Udfs {
     udf((s: String) => Parse.findYears(s, asOfYear))
   def getLeaseYears(asOfYear: Int): UserDefinedFunction =
     udf((s: String) => Parse.getLeaseYears(s, asOfYear).map(_._1))
+  val recalculatePriceByLandSize: UserDefinedFunction =
+    udf((t: String, p: java.lang.Long, l: java.lang.Long) =>
+      if (p == null || l == null) None
+      else Parse.recalculatePriceByLandSize(t, p, l))
   def ubudFindLeaseholdYears(asOfYear: Int): UserDefinedFunction =
     udf((s: String) => Parse.ubudFindLeaseholdYears(s, asOfYear))
   def timeAgoToDatetime(asOf: LocalDate): UserDefinedFunction =

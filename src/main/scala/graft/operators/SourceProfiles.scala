@@ -584,10 +584,331 @@ object SourceProfiles {
       "property_id" ->
         element_at(split(col("image_url"), "/", -1), 4)))
 
+  /** reference reid/spiders/heritagebali.py:40-145 ("Heritage Bali"):
+    * the Price cell list drives price (second entry), currency
+    * (extract→identify) and lease detection ("lease" in the LAST entry →
+    * Leasehold); bedrooms through find_bedrooms, sizes through the find_
+    * ladders, and the location is unconditionally overwritten post-load
+    * with the joined map-marker cells ("" when none).
+    */
+  val heritagebali: SourceProfile = SourceProfile(
+    "heritagebali",
+    fields = asOf => Seq(
+      "title" -> nullIfEmpty(trim(col("raw_title"))),
+      "availability" -> lit("Available"),
+      "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+      "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+      "bedrooms" -> Cleaners.findBedrooms(col("raw_beds")).cast("double"),
+      "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+      "currency" -> Cleaners.identifyCurrency(
+        Cleaners.extractCurrency(col("raw_price"))),
+      "leasehold_years" ->
+        Udfs.getLeaseYears(asOf.getYear)(col("lease_text")).cast("double"),
+      "land_size" -> Udfs.findLandSize(col("raw_land")).cast("double"),
+      "build_size" -> Udfs.findBuildSize(col("raw_build")).cast("double"),
+      "description" -> nullIfEmpty(trim(col("raw_desc"))),
+      "contract_type" -> when(
+        lower(coalesce(col("lease_text"), lit(""))).contains("lease"),
+        "Leasehold").otherwise("Freehold"),
+      "property_type" -> Cleaners.definePropertyType(trim(col("raw_title"))),
+      "image_url" -> nullIfEmpty(trim(col("raw_image"))),
+      "listed_date" -> lit(null).cast("string"),
+      // heritagebali.py:137-143 — ", ".join(loc) replaces location even
+      // when empty
+      "location" -> coalesce(trim(col("raw_location")), lit(""))),
+    fixups = _ => Seq.empty)
+
+  /** reference reid/spiders/svahaproperty.py:47-146 ("Svaha Property"):
+    * Status/Purpose cell → sale⇒Freehold else Leasehold; lease years cell
+    * read only when the raw status is EXACTLY "Leasehold"; the refind pass
+    * re-parses the description (years missing) or the same cell (years >
+    * 99, i.e. a 2045-style expiry). The reference's alternative contract
+    * branch is dead code (contract is always set; it would NameError on
+    * `property_type`) and is not modeled.
+    */
+  val svahaproperty: SourceProfile = SourceProfile(
+    "svahaproperty",
+    fields = asOf => {
+      val sizeClean = (c: Column) =>
+        Udfs.toNumber(Cleaners.grabFirst(regexp_replace(c, ",", ".")))
+          .cast("double")
+      Seq(
+        "title" -> nullIfEmpty(trim(col("raw_title"))),
+        "location" -> nullIfEmpty(trim(col("raw_location"))),
+        "image_url" -> nullIfEmpty(trim(col("raw_image"))),
+        "listed_date" -> Udfs.getUploadedDate(col("raw_image")).cast("string"),
+        "contract_type" -> when(
+          lower(coalesce(col("raw_contract"), lit(""))).contains("sale"),
+          "Freehold").otherwise("Leasehold"),
+        "property_type" ->
+          Cleaners.standardizePropertyType(trim(col("raw_type"))),
+        "availability" -> lit("Available"),
+        "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+        "currency" -> Cleaners.identifyCurrency(col("raw_price")),
+        "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "land_size" -> sizeClean(col("raw_land")),
+        "build_size" -> sizeClean(col("raw_build")),
+        "leasehold_years" -> when(col("raw_contract") === "Leasehold",
+          Udfs.toNumber(col("table_leasing"))).cast("double"),
+        "description" -> nullIfEmpty(trim(col("raw_desc"))))
+    },
+    fixups = asOf => Seq(
+      // svahaproperty.py:123-133 — refind: desc when missing, the cell
+      // itself when the "years" are really an expiry year (> 99)
+      "leasehold_years" -> when(
+        lower(coalesce(col("raw_contract"), lit(""))).contains("lease"),
+        when(col("leasehold_years").isNull || col("leasehold_years") === 0,
+          Udfs.findLeaseYears(asOf.getYear)(col("description")).cast("double"))
+          .when(col("leasehold_years") > 99,
+            Udfs.findLeaseYears(asOf.getYear)(col("table_leasing")).cast("double"))
+          .otherwise(col("leasehold_years")))
+        .otherwise(col("leasehold_years"))))
+
+  /** reference reid/spiders/luxindoproperty.py:63-137 ("Luxindo
+    * Property"): a Supabase JSON API source — the spaces/plans list
+    * routing is acquisition, its routed values arrive as raw columns
+    * (lease_text = the "valid" space, table_leasing = the "lease" space).
+    * Column-model deviation (documented): a present-but-null `area_1` /
+    * `price` is indistinguishable from an absent key, so the dict-default
+    * semantics collapse to coalesce.
+    */
+  val luxindoproperty: SourceProfile = SourceProfile(
+    "luxindoproperty",
+    fields = asOf => {
+      val contract = coalesce(nullIfEmpty(trim(col("raw_contract"))),
+        lit("Freehold"))
+      Seq(
+        "availability" -> lit("Available"),
+        "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+        "title" -> nullIfEmpty(trim(col("raw_title"))),
+        "image_url" -> nullIfEmpty(trim(col("raw_image"))),
+        "location" -> coalesce(nullIfEmpty(trim(col("raw_location"))),
+          nullIfEmpty(trim(col("alt_title")))),
+        "price" -> coalesce(Udfs.toNumber(col("json_price")).cast("double"),
+          lit(-1d)),
+        "currency" -> coalesce(nullIfEmpty(upper(trim(col("json_currency")))),
+          lit("IDR")),
+        "property_type" ->
+          Cleaners.standardizePropertyType(trim(col("raw_type"))),
+        "contract_type" -> contract,
+        "listed_date" -> nullIfEmpty(trim(col("raw_date"))),
+        "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
+        "leasehold_years" -> when(lower(contract).contains("lease"),
+          coalesce(
+            Udfs.getLeaseYears(asOf.getYear)(col("lease_text")),
+            Udfs.countLeaseYears(asOf.getYear)(col("table_leasing"))
+              .cast("double"))).cast("double"),
+        "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "description" -> nullIfEmpty(trim(col("raw_desc"))))
+    },
+    fixups = _ => Seq.empty)
+
+  /** reference reid/spiders/ppbali.py:42-167 ("Paradise Property Group"):
+    * \w+hold status → Title-cased contract, data-price_idr/usd attributes
+    * (raw_price/json_price), lease years from the status text,
+    * "Date Available" (dd MMMM yyyy) → MM/dd/yy, desc-driven contract
+    * repair (freehold|leasehold else "Other"), searchLeaseholdYears
+    * first-hit refind, size backfills — and the final price > 5e8 gate:
+    * cheaper rows are never yielded.
+    */
+  val ppbali: SourceProfile = SourceProfile(
+    "ppbali",
+    fields = asOf => Seq(
+      "contract_type" -> initcap(
+        nullIfEmpty(regexp_extract(coalesce(col("raw_contract"), lit("")),
+          "(\\w+hold)", 1))),
+      "availability" -> lit("Available"),
+      "title" -> nullIfEmpty(trim(col("raw_title"))),
+      "image_url" -> nullIfEmpty(trim(col("raw_image"))),
+      "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+      "location" -> nullIfEmpty(trim(col("raw_location"))),
+      "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
+      "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+      "price" -> when(col("raw_price").isNotNull,
+        Udfs.toNumber(col("raw_price")))
+        .otherwise(Udfs.toNumber(col("json_price"))).cast("double"),
+      "currency" -> when(col("raw_price").isNotNull, "IDR")
+        .when(col("json_price").isNotNull, "USD"),
+      "property_type" -> Cleaners.definePropertyType(trim(col("raw_title"))),
+      "description" -> nullIfEmpty(trim(col("raw_desc"))),
+      "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+      "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+      "leasehold_years" -> when(col("raw_contract").isNotNull,
+        Udfs.getLeaseYears(asOf.getYear)(col("raw_contract"))).cast("double"),
+      "listed_date" -> date_format(
+        try_to_timestamp(col("raw_date"), lit("dd MMMM yyyy")), "MM/dd/yy")),
+    fixups = asOf => Seq(
+      // ppbali.py:140-147 — no free/lease in the status → repair from desc
+      "contract_type" -> {
+        val c = lower(coalesce(col("contract_type"), lit("")))
+        val fromDesc = initcap(nullIfEmpty(regexp_extract(
+          lower(coalesce(col("description"), lit(""))),
+          "(freehold|leasehold)", 1)))
+        when(!c.contains("free") && !c.contains("lease"),
+          coalesce(fromDesc, lit("Other"))).otherwise(col("contract_type"))
+      },
+      // ppbali.py:149-153 — first searchLeaseholdYears hit (try_: an empty
+      // result vector means no backfill)
+      "leasehold_years" -> when(
+        col("leasehold_years").isNull || col("leasehold_years") === 0,
+        try_element_at(
+          Udfs.searchLeaseholdYears(asOf.getYear)(col("description")),
+          lit(1)).cast("double"))
+        .otherwise(col("leasehold_years")),
+      // ppbali.py:155-163 — desc size backfills
+      "land_size" -> when(col("land_size").isNull || col("land_size") === 0,
+        Udfs.findLandSize(col("description")).cast("double"))
+        .otherwise(col("land_size")),
+      "build_size" -> when(col("build_size").isNull || col("build_size") === 0,
+        Udfs.findBuildSize(col("description")).cast("double"))
+        .otherwise(col("build_size"))),
+    gate = Some(coalesce(
+      when(col("raw_price").isNotNull, Udfs.toNumber(col("raw_price")))
+        .otherwise(Udfs.toNumber(col("json_price"))), lit(0d)) > 500000000d))
+
+  /** reference reid/spiders/rajavillaproperty.py:36-145 ("Raja Villa
+    * Property"): leasehold-in-title contract, ld+json published date,
+    * Sold badge membership, title-based land backfill, the
+    * lease-years-suffix-glued-to-price repair, and the per-are price
+    * recalculation (Parse kernel semantics: only the are-branch
+    * recalculates).
+    */
+  val rajavillaproperty: SourceProfile = SourceProfile(
+    "rajavillaproperty",
+    fields = asOf => Seq(
+      "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+      "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+      "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+      "location" -> nullIfEmpty(trim(col("raw_location"))),
+      "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+      "currency" -> Cleaners.identifyCurrency(col("raw_price")),
+      "title" -> nullIfEmpty(trim(col("raw_title"))),
+      "contract_type" -> when(
+        lower(coalesce(col("raw_title"), lit(""))).contains("leasehold"),
+        "Leasehold").otherwise("Freehold"),
+      "listed_date" ->
+        Cleaners.findPublishedDate(col("raw_date")).cast("string"),
+      "property_type" -> Cleaners.definePropertyType(trim(col("raw_title"))),
+      "leasehold_years" -> when(
+        nullIfEmpty(col("lease_text")).isNotNull,
+        Udfs.getLeaseYears(asOf.getYear)(col("lease_text"))).cast("double"),
+      "description" -> nullIfEmpty(trim(col("raw_desc"))),
+      "availability" -> when(
+        array_contains(split(coalesce(col("raw_contract"), lit("")), ","),
+          "Sold"), "Sold").otherwise("Available"),
+      "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+      "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
+      "image_url" ->
+        Cleaners.dimensionRemover(coalesce(col("raw_image"), lit("")))),
+    fixups = asOf => Seq(
+      // rajavillaproperty.py:120-123 — land backfilled from the TITLE
+      "land_size" -> when(col("land_size").isNull || col("land_size") === 0,
+        Udfs.landsizeExtractor(col("title")).cast("double"))
+        .otherwise(col("land_size")),
+      // rajavillaproperty.py:125-130 — integral lease years glued onto the
+      // end of the price are stripped back off
+      "price" -> {
+        val leaseStr = when(
+          col("leasehold_years").isNotNull &&
+            col("leasehold_years") === col("leasehold_years").cast("long"),
+          col("leasehold_years").cast("long").cast("string"))
+        val priceStr = col("price").cast("long").cast("string")
+        when(leaseStr.isNotNull && col("price").isNotNull &&
+          priceStr.endsWith(leaseStr) && priceStr =!= leaseStr,
+          expr("substring(cast(cast(price as long) as string), 1, " +
+            "length(cast(cast(price as long) as string)) - " +
+            "length(cast(cast(leasehold_years as long) as string)))")
+            .cast("double"))
+          .otherwise(col("price"))
+      },
+      // rajavillaproperty.py:132-135 — location from "in <X> -" in title
+      "location" -> coalesce(col("location"),
+        nullIfEmpty(regexp_extract(coalesce(col("title"), lit("")),
+          "in (.+) -", 1))),
+      // rajavillaproperty.py:137-143 — per-are price recalculation
+      "price" -> when(
+        col("land_size").isNotNull &&
+          col("land_size") === col("land_size").cast("long") &&
+          col("land_size") > 0,
+        coalesce(Udfs.recalculatePriceByLandSize(col("raw_price"),
+          col("price").cast("long"), col("land_size").cast("long")),
+          col("price")))
+        .otherwise(col("price"))))
+
+  /** reference reid/spiders/unrealbali.py:39-154 ("Unreal Bali"): label
+    * badges drive hold-state and sold-state, USD probed before IDR, the
+    * +/-slash/to-range cleanup on sizes — and the reference's final
+    * `yield item` sits INSIDE `if not leasehold_years`, so rows whose
+    * calendar cell parsed to years are never emitted at all: that bug is
+    * the profile's row gate. Lease years always come from the description
+    * on surviving rows.
+    */
+  val unrealbali: SourceProfile = SourceProfile(
+    "unrealbali",
+    fields = asOf => {
+      val sizeClean = (c: Column) =>
+        Udfs.toNumber(
+          Cleaners.getLast(Cleaners.getLast(Cleaners.getLast(
+            Cleaners.getFirst(regexp_replace(c, ",", "."), "+"),
+            "/"), "-"), "to")).cast("double")
+      val hold = Cleaners.findHoldState(
+        split(coalesce(col("raw_contract"), lit("")), ","))
+      Seq(
+        "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+        "title" -> nullIfEmpty(trim(col("raw_title"))),
+        "location" -> nullIfEmpty(trim(col("raw_location"))),
+        "build_size" -> sizeClean(col("raw_build")),
+        "land_size" -> sizeClean(col("raw_land")),
+        "price" -> when(Cleaners.findUsd(col("raw_price")).isNotNull,
+          Cleaners.findUsd(col("raw_price")))
+          .when(Cleaners.findIdr(col("raw_price")).isNotNull,
+            Cleaners.findIdr(col("raw_price"))).cast("double"),
+        "currency" -> when(Cleaners.findUsd(col("raw_price")).isNotNull, "USD")
+          .when(Cleaners.findIdr(col("raw_price")).isNotNull, "IDR"),
+        "listed_date" ->
+          date_format(try_to_timestamp(col("raw_date")), "MM/dd/yy"),
+        "availability" -> when(hold.getField("is_sold"), "Sold")
+          .otherwise("Available"),
+        "property_type" ->
+          Cleaners.standardizePropertyType(trim(col("raw_type"))),
+        "contract_type" -> when(hold.getField("is_leasehold"), "Leasehold")
+          .otherwise("Freehold"),
+        "leasehold_years" ->
+          Udfs.toNumber(Cleaners.getFirst(col("lease_text"), "/"))
+            .cast("double"),
+        "bedrooms" -> Udfs.toNumber(
+          regexp_replace(Cleaners.grabFirst(col("raw_beds")), ",", "."))
+          .cast("double"),
+        "bathrooms" -> Udfs.toNumber(
+          regexp_replace(Cleaners.grabFirst(col("raw_baths")), ",", "."))
+          .cast("double"),
+        "image_url" ->
+          Cleaners.dimensionRemover(coalesce(col("raw_image"), lit(""))),
+        "description" -> nullIfEmpty(trim(col("raw_desc"))))
+    },
+    fixups = asOf => Seq(
+      // unrealbali.py:148-150 — missing/not-found title → delisted_item
+      "availability" -> when(
+        col("title").isNull || col("title").contains("not found"),
+        "Delisted").otherwise(col("availability")),
+      // unrealbali.py:151-153 — surviving rows re-find years in the desc
+      "leasehold_years" ->
+        Udfs.findLeaseYears(asOf.getYear)(col("description")).cast("double")),
+    gate = Some({
+      val cell = Udfs.toNumber(Cleaners.getFirst(col("lease_text"), "/"))
+      cell.isNull || cell === 0
+    }))
+
   val profiles: Seq[SourceProfile] =
     Seq(ubudproperty, dotproperty, balivillasales,
       exotiqproperty, balimoves, raywhite,
-      kibarer, lazudi, gillesdemunter)
+      kibarer, lazudi, gillesdemunter,
+      heritagebali, svahaproperty, luxindoproperty,
+      ppbali, rajavillaproperty, unrealbali)
 
   /** Standardize a raw selector-output frame through every registered
     * profile; rows whose source has no profile are dropped (the reference

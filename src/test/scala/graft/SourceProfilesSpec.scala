@@ -363,6 +363,136 @@ class SourceProfilesSpec extends AnyFunSuite {
     assert(r2("bedrooms") == null)
   }
 
+  test("heritagebali: price-cell trio, lease from last cell, location always overwritten") {
+    val r = run(
+      "url" -> "h1", "source" -> "heritagebali",
+      "raw_title" -> "Amazing Villa Estate", "raw_price" -> "USD 1,500,000",
+      "lease_text" -> "Leasehold 25 years",
+      "raw_beds" -> "spacious 3 bedroom layout", "raw_baths" -> "2",
+      "raw_land" -> "Land size: 450 m2 with garden",
+      "raw_build" -> "Building size 250 m2")
+    assert(r("price") == 1500000.0 && r("currency") == "USD")
+    assert(r("contract_type") == "Leasehold")
+    assert(r("leasehold_years") == 25.0)
+    assert(r("bedrooms") == 3.0)
+    assert(r("land_size") == 450.0 && r("build_size") == 250.0)
+    assert(r("property_type") == "Villa")
+    assert(r("location") == "") // ", ".join([]) replaces even with empty
+  }
+
+  test("svahaproperty: sale→Freehold; exact-Leasehold cell years; expiry-year refind") {
+    val r = run(
+      "url" -> "s1", "source" -> "svahaproperty",
+      "raw_contract" -> "For sale", "raw_type" -> "Villa",
+      "raw_price" -> "Rp 2,000,000,000", "raw_land" -> "500,5")
+    assert(r("contract_type") == "Freehold")
+    assert(r("currency") == "IDR")
+    assert(r("land_size") == 500.5) // comma→dot then grab_first
+    val r2 = run(
+      "url" -> "s2", "source" -> "svahaproperty",
+      "raw_contract" -> "Leasehold", "table_leasing" -> "25")
+    assert(r2("contract_type") == "Leasehold")
+    assert(r2("leasehold_years") == 25.0)
+    val r3 = run(
+      "url" -> "s3", "source" -> "svahaproperty",
+      "raw_contract" -> "Leasehold", "table_leasing" -> "lease until 2045")
+    // cell parses to 2045 > 99 → re-found in the cell as a delta
+    assert(r3("leasehold_years") == 19.0)
+    val r4 = run(
+      "url" -> "s4", "source" -> "svahaproperty",
+      "raw_contract" -> "Leasehold",
+      "raw_desc" -> "leasehold 30 years")
+    assert(r4("leasehold_years") == 30.0) // desc refind when cell missing
+  }
+
+  test("luxindoproperty: dict defaults collapse to coalesce; valid-space lease years") {
+    val r = run(
+      "url" -> "x1", "source" -> "luxindoproperty",
+      "raw_contract" -> "leasehold", "lease_text" -> "valid until 2045",
+      "raw_type" -> "villa", "raw_pid" -> "LX1",
+      "raw_location" -> "", "alt_title" -> "Canggu",
+      "raw_date" -> "2024-02-02T10:00:00")
+    assert(r("price") == -1.0 && r("currency") == "IDR") // absent-key defaults
+    assert(r("leasehold_years") == 19.0) // 2045 − 2026
+    assert(r("location") == "Canggu") // area_1 empty → area_2
+    assert(r("property_type") == "Villa")
+    assert(r("listed_date") == "2024-02-02T10:00:00")
+  }
+
+  test("ppbali: price gate, hold-word contract with desc repair, Date Available format") {
+    // below the 5e8 gate → never yielded
+    val gated = SourceProfiles.standardize(raw(
+      "url" -> "p0", "source" -> "ppbali", "raw_price" -> "400000000"), asOf)
+    assert(gated.count() == 0)
+    val r = run(
+      "url" -> "p1", "source" -> "ppbali",
+      "raw_contract" -> "Status: Leasehold 25 years",
+      "raw_price" -> "600000000", "raw_title" -> "Villa Paradise",
+      "raw_date" -> "04 May 2023")
+    assert(r("price") == 6e8 && r("currency") == "IDR")
+    assert(r("contract_type") == "Leasehold")
+    assert(r("leasehold_years") == 25.0)
+    assert(r("listed_date") == "05/04/23")
+    // the 5e8 gate ignores currency: a USD 700k listing is dropped too
+    val gatedUsd = SourceProfiles.standardize(raw(
+      "url" -> "p2a", "source" -> "ppbali", "json_price" -> "700000"), asOf)
+    assert(gatedUsd.count() == 0)
+    val r2 = run(
+      "url" -> "p2", "source" -> "ppbali",
+      "raw_contract" -> "Status: unknown", "json_price" -> "600000000",
+      "raw_desc" -> "great freehold villa opportunity")
+    assert(r2("price") == 6e8 && r2("currency") == "USD")
+    assert(r2("contract_type") == "Freehold") // repaired from the desc
+    val r3 = run(
+      "url" -> "p3", "source" -> "ppbali",
+      "raw_contract" -> "Status: unknown", "raw_price" -> "900000000",
+      "raw_desc" -> "no tenure mentioned")
+    assert(r3("contract_type") == "Other")
+  }
+
+  test("rajavillaproperty: title contract, glued lease suffix stripped, per-are recalc") {
+    val r = run(
+      "url" -> "v1", "source" -> "rajavillaproperty",
+      "raw_title" -> "Leasehold Villa in Canggu - 3BR",
+      "raw_price" -> "2500000025", "lease_text" -> "Lease Period 25 years",
+      "raw_contract" -> "New,Sold")
+    assert(r("contract_type") == "Leasehold")
+    assert(r("property_type") == "Villa")
+    assert(r("leasehold_years") == 25.0)
+    assert(r("price") == 2.5e7) // trailing '25' (the lease years) stripped
+    assert(r("location") == "Canggu") // from "in <X> -"
+    assert(r("availability") == "Sold") // exact badge membership
+    val r2 = run(
+      "url" -> "v2", "source" -> "rajavillaproperty",
+      "raw_title" -> "Freehold Land", "raw_price" -> "IDR 50,000,000 /are",
+      "raw_land" -> "500")
+    assert(r2("price") == 2.5e8) // 5e7 × (500/100)
+  }
+
+  test("unrealbali: lease-cell rows never emitted (reference bug as gate); desc years on survivors") {
+    val gated = SourceProfiles.standardize(raw(
+      "url" -> "u0", "source" -> "unrealbali", "lease_text" -> "25/30"), asOf)
+    assert(gated.count() == 0)
+    val r = run(
+      "url" -> "u1", "source" -> "unrealbali",
+      "raw_title" -> "Sleek Villa", "raw_contract" -> "For Sale,Leasehold",
+      "raw_price" -> "USD 350,000", "raw_build" -> "100+200",
+      "raw_land" -> "200/300", "raw_beds" -> "2,5",
+      "raw_desc" -> "leasehold 30 years",
+      "raw_date" -> "2023-05-04T10:00:00")
+    assert(r("contract_type") == "Leasehold")
+    assert(r("price") == 350000.0 && r("currency") == "USD")
+    assert(r("build_size") == 100.0) // get_first "+"
+    assert(r("land_size") == 300.0) // get_last "/"
+    assert(r("bedrooms") == 2.5)
+    assert(r("leasehold_years") == 30.0) // always re-found in the desc
+    assert(r("listed_date") == "05/04/23")
+    val r2 = run(
+      "url" -> "u2", "source" -> "unrealbali",
+      "raw_contract" -> "Sold out")
+    assert(r2("availability") == "Delisted") // no title wins over Sold
+  }
+
   test("dispatch unions profiles and drops unprofiled sources") {
     val rows = Seq(
       Row(("u9" +: "ubudproperty" +: Seq.fill(rawCols.size - 2)(null.asInstanceOf[String])): _*),
