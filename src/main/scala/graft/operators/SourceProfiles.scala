@@ -903,12 +903,494 @@ object SourceProfiles {
       cell.isNull || cell === 0
     }))
 
+  /** reference reid/spiders/suasarealestate.py:53-160 ("Suasa Real
+    * Estate"): data-rate attribute price with idr/usd probes, property
+    * type from the url's first path segment, Term-cell contract (a null
+    * Term crashes the reference's lease check and drops the row → gate),
+    * sold-cell availability, lease years from the End-of-Lease cell, and
+    * the pipe-tail location fallback. A missing price yields a separate
+    * delist marker; the item itself still flows (price null).
+    */
+  val suasarealestate: SourceProfile = SourceProfile(
+    "suasarealestate",
+    fields = asOf => {
+      val p = lower(coalesce(col("raw_price"), lit("")))
+      Seq(
+        "price" -> when(p.contains("idr") || p.contains("usd"),
+          Udfs.toNumber(col("raw_price"))).cast("double"),
+        "currency" -> when(p.contains("idr"), "IDR")
+          .when(p.contains("usd"), "USD"),
+        "title" -> nullIfEmpty(trim(col("raw_title"))),
+        "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+        "image_url" -> nullIfEmpty(trim(col("raw_image"))),
+        "location" -> nullIfEmpty(trim(Cleaners.getLast(
+          Cleaners.getLast(col("raw_title"), "|"), " in "))),
+        "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
+        "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+        "contract_type" -> nullIfEmpty(trim(col("raw_contract"))),
+        "property_type" ->
+          initcap(element_at(split(col("url"), "/", -1), 4)),
+        "availability" -> when(
+          lower(coalesce(col("lease_text"), lit(""))).contains("sold"),
+          "Sold").otherwise("Available"),
+        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "leasehold_years" -> when(
+          lower(coalesce(col("raw_contract"), lit(""))).contains("lease"),
+          Udfs.getLeaseYears(asOf.getYear)(col("table_leasing")))
+          .cast("double"),
+        "listed_date" -> Cleaners.findPublishedDate(col("raw_date"))
+          .cast("string"),
+        "description" -> nullIfEmpty(trim(col("raw_desc"))))
+    },
+    fixups = _ => Seq(
+      // suasarealestate.py:154-157 — pipe-tail location when missing
+      "location" -> when(
+        col("location").isNull && col("title").isNotNull &&
+          col("title").contains("|"),
+        trim(Cleaners.getLast(col("title"), "|")))
+        .otherwise(col("location"))),
+    gate = Some(col("raw_contract").isNotNull))
+
+  /** reference reid/spiders/tealestate.py:61-163 ("Teal Estate"): label
+    * badges through AnySoldDelisted (defaulting to Available when none),
+    * hold-heading contract, dash-range size cleanup, IDR-only pricing,
+    * and the missing-contract → Delisted post-load repair.
+    */
+  val tealestate: SourceProfile = SourceProfile(
+    "tealestate",
+    fields = asOf => {
+      val sizeClean = (c: Column) =>
+        Udfs.toNumber(Cleaners.getLast(regexp_replace(c, ",", "."), "-"))
+          .cast("double")
+      Seq(
+        "title" -> nullIfEmpty(trim(col("raw_title"))),
+        "listed_date" -> Cleaners.findPublishedDate(col("raw_date"))
+          .cast("string"),
+        "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+        "location" -> nullIfEmpty(trim(col("raw_location"))),
+        "leasehold_years" ->
+          Udfs.getLeaseYears(asOf.getYear)(col("lease_text")).cast("double"),
+        "contract_type" -> nullIfEmpty(trim(col("raw_contract"))),
+        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "land_size" -> sizeClean(col("raw_land")),
+        "build_size" -> sizeClean(col("raw_build")),
+        "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+        "currency" -> lit("IDR"),
+        "image_url" ->
+          Cleaners.dimensionRemover(coalesce(col("raw_image"), lit(""))),
+        "availability" -> Cleaners.anySoldDelisted(
+          split(coalesce(nullIfEmpty(col("alt_title")), lit("Available")), ",")),
+        "description" -> nullIfEmpty(trim(col("raw_desc"))),
+        "property_type" -> Cleaners.definePropertyType(trim(col("raw_title"))))
+    },
+    fixups = _ => Seq(
+      // tealestate.py:158-161 — no hold heading → delisted
+      "availability" -> when(col("contract_type").isNull, "Delisted")
+        .otherwise(col("availability"))))
+
+  /** reference reid/spiders/balirealty.py:71-173 ("Bali Realty"):
+    * grab_price idr/usd split on the #currentprice attribute (price is
+    * the LOWERCASED text), ld+json published date as MM/dd/yyyy,
+    * Sold=Yes detail flag, find_contract_type with the Contract-cell
+    * "sale" repair, lease years always from the description, and the
+    * land/build `label: N sqm` desc backfills. A missing price yields a
+    * separate delist marker; the item still flows.
+    */
+  val balirealty: SourceProfile = SourceProfile(
+    "balirealty",
+    fields = asOf => {
+      val p = lower(col("raw_price"))
+      val contract0 = Cleaners.findContractType(trim(col("raw_contract")))
+      val notValid = !lower(coalesce(contract0, lit(""))).contains("free") &&
+        !lower(coalesce(contract0, lit(""))).contains("lease")
+      Seq(
+        "price" -> when(p.contains("idr"), Udfs.toNumber(p))
+          .when(p.contains("usd"), Udfs.toNumber(p)).cast("double"),
+        "currency" -> when(p.contains("idr"), "IDR")
+          .when(p.contains("usd"), "USD"),
+        // balirealty inlines its own %m/%d/%Y format (4-digit year)
+        "listed_date" -> {
+          val iso = regexp_extract(col("raw_date"),
+            "\"datePublished\":\"([T0-9\\-:+]+)\"", 1)
+          val parts = (g: Int) =>
+            regexp_extract(iso, "^(\\d{4})-(\\d{2})-(\\d{2})", g)
+          when(nullif(parts(1), lit("")).isNotNull,
+            format_string("%s/%s/%s", parts(2), parts(3), parts(1)))
+        },
+        "availability" -> when(trim(col("lease_text")) === "Yes", "Sold")
+          .otherwise("Available"),
+        "description" -> nullIfEmpty(trim(col("raw_desc"))),
+        "contract_type" -> when(notValid &&
+          lower(coalesce(col("alt_title"), lit(""))).contains("sale"),
+          "Freehold").otherwise(contract0),
+        "property_type" ->
+          Cleaners.standardizePropertyType(trim(col("raw_type"))),
+        "image_url" ->
+          Cleaners.dimensionRemover(coalesce(col("raw_image"), lit(""))),
+        "title" -> nullIfEmpty(trim(col("raw_title"))),
+        "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+        "location" -> nullIfEmpty(trim(col("raw_location"))),
+        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
+        "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+        "leasehold_years" ->
+          Udfs.findLeaseYears(asOf.getYear)(col("description")).cast("double"))
+    },
+    fixups = _ => Seq(
+      // balirealty.py:161-171 — `land...: N sqm` desc backfills
+      "land_size" -> when(col("land_size").isNull || col("land_size") === 0,
+        nullIfEmpty(regexp_extract(coalesce(col("description"), lit("")),
+          "(?i)land.*?:\\s*(\\d+)\\s*sqm", 1)).cast("double"))
+        .otherwise(col("land_size")),
+      "build_size" -> when(col("build_size").isNull || col("build_size") === 0,
+        nullIfEmpty(regexp_extract(coalesce(col("description"), lit("")),
+          "(?i)build.*?:\\s*(\\d+)\\s*sqm", 1)).cast("double"))
+        .otherwise(col("build_size"))),
+    gate = Some(col("raw_contract").isNotNull))
+
+  /** reference reid/spiders/balitreasureproperties.py:140-204 ("Bali
+    * Treasure Properties"): Sanity JSON cards; leasehold-sale listings
+    * carry the period, the location is ALWAYS the f-string "subarea,
+    * city" (Python renders missing parts as the literal "None"), the
+    * availability cell runs through AnySoldDelisted with an Available
+    * default, and the post-load repair APPENDS the listing-type's
+    * property type onto the contract ("Leasehold Villa") — property_type
+    * itself is never set. A null defaultListing crashes the has_leasehold
+    * probe → row gate.
+    */
+  val balitreasureproperties: SourceProfile = SourceProfile(
+    "balitreasureproperties",
+    fields = asOf => Seq(
+      "price" -> Udfs.toNumber(col("json_price")).cast("double"),
+      "currency" -> nullIfEmpty(upper(trim(col("json_currency")))),
+      "contract_type" -> when(
+        lower(col("raw_contract")).contains("lease"), "Leasehold")
+        .otherwise("Freehold"),
+      "leasehold_years" -> when(
+        lower(col("raw_contract")).contains("lease"),
+        Udfs.toNumber(col("lease_text"))).cast("double"),
+      "listed_date" -> Cleaners.getFirst(col("raw_date"), "T"),
+      "location" -> format_string("%s, %s",
+        coalesce(col("alt_title"), lit("None")),
+        coalesce(col("raw_location"), lit("None"))),
+      "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+      "title" -> nullIfEmpty(trim(col("raw_title"))),
+      "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+      "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+      "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
+      "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+      "image_url" -> nullIfEmpty(trim(col("raw_image"))),
+      "availability" -> Cleaners.anySoldDelisted(array(
+        coalesce(col("table_leasing"), lit("")), lit("Available"))),
+      "description" -> nullIfEmpty(trim(col("raw_desc"))),
+      "property_type" -> lit(null).cast("string")),
+    fixups = asOf => Seq(
+      // balitreasureproperties.py:181-186 — type APPENDED to the contract;
+      // missing title/contract → "N/A" + Delisted
+      "contract_type" -> when(
+        col("title").isNotNull && col("contract_type").isNotNull,
+        concat(col("contract_type"), lit(" "),
+          Cleaners.definePropertyType(trim(col("raw_type")))))
+        .otherwise(col("contract_type")),
+      "availability" -> when(
+        col("title").isNull || col("contract_type").isNull, "Delisted")
+        .otherwise(col("availability")),
+      "title" -> when(col("title").isNull, "N/A").otherwise(col("title")),
+      // balitreasureproperties.py:188-189 — lease backfill from the desc
+      "leasehold_years" -> when(
+        col("leasehold_years").isNull || col("leasehold_years") === 0,
+        Udfs.findLeaseYears(asOf.getYear)(col("description")).cast("double"))
+        .otherwise(col("leasehold_years")),
+      // balitreasureproperties.py:199-202 — build backfill
+      "build_size" -> when(
+        col("description").isNotNull &&
+          (col("build_size").isNull || col("build_size") === 0),
+        Udfs.findBuildSize(col("description")).cast("double"))
+        .otherwise(col("build_size"))),
+    gate = Some(col("raw_contract").isNotNull))
+
+  /** reference reid/spiders/balihomeimmo.py:126-198 ("Bali Home Immo"):
+    * side-info contract badges choose Leasehold (with the detail-table
+    * period) or Freehold; neither badge yields a separate delist marker
+    * while the item still flows with a null contract; the price comes
+    * from the data-price-category attribute matching the chosen contract
+    * and the currency from the selected option.
+    */
+  val balihomeimmo: SourceProfile = SourceProfile(
+    "balihomeimmo",
+    fields = asOf => {
+      val contracts = lower(coalesce(col("raw_contract"), lit("")))
+      Seq(
+        "title" -> nullIfEmpty(trim(col("raw_title"))),
+        "location" -> nullIfEmpty(trim(col("raw_location"))),
+        "image_url" -> nullIfEmpty(trim(col("raw_image"))),
+        "property_type" -> Cleaners.definePropertyType(trim(col("raw_title"))),
+        "property_id" -> nullIfEmpty(trim(
+          Cleaners.getLast(col("raw_title"), "-"))),
+        "contract_type" -> when(contracts.contains("lease"), "Leasehold")
+          .when(contracts.contains("free"), "Freehold"),
+        "leasehold_years" -> when(contracts.contains("lease"),
+          Udfs.toNumber(col("table_leasing"))).cast("double"),
+        "availability" -> when(col("lease_text").isNotNull, "Sold")
+          .otherwise("Available"),
+        "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+        "currency" -> Cleaners.identifyCurrency(col("json_currency")),
+        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
+        "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+        "listed_date" -> lit(null).cast("string"),
+        "description" -> nullIfEmpty(trim(col("raw_desc"))))
+    },
+    fixups = _ => Seq.empty)
+
+  /** reference reid/spiders/balipropertiesforsale.py:77-235 ("Bali
+    * Properties for Sale"): WP-JSON overlay payloads; a null
+    * property_status or property_type crashes the membership/split probes
+    * → row gate. Sold listings default a missing price to -1; lease years
+    * from the expiration field when the status mentions lease, then the
+    * description; missing location from the title; missing type from
+    * define_property_type(title).
+    */
+  val balipropertiesforsale: SourceProfile = SourceProfile(
+    "balipropertiesforsale",
+    fields = asOf => {
+      val sold = col("table_leasing").isNotNull
+      Seq(
+        "title" -> nullIfEmpty(trim(col("raw_title"))),
+        "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+        "price" -> when(sold,
+          coalesce(Udfs.toNumber(col("json_price")), lit(-1d)))
+          .otherwise(Udfs.toNumber(col("json_price"))).cast("double"),
+        "currency" -> nullIfEmpty(upper(trim(col("json_currency")))),
+        "image_url" ->
+          Cleaners.dimensionRemover(coalesce(col("raw_image"), lit(""))),
+        "listed_date" -> Cleaners.toMmddyy(col("raw_date")),
+        "location" -> nullIfEmpty(trim(col("raw_location"))),
+        "land_size" ->
+          Udfs.toNumber(regexp_replace(col("raw_land"), ",", "."))
+            .cast("double"),
+        "build_size" ->
+          Udfs.toNumber(regexp_replace(col("raw_build"), ",", "."))
+            .cast("double"),
+        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+        "bathrooms" ->
+          Udfs.toNumber(regexp_replace(col("raw_baths"), ",", "."))
+            .cast("double"),
+        "availability" -> when(sold, "Sold").otherwise("Available"),
+        "contract_type" -> nullIfEmpty(trim(col("raw_contract"))),
+        "property_type" -> Cleaners.standardizePropertyType(
+          trim(Cleaners.getFirst(col("raw_type"), ","))),
+        // the reference's probe is the case-sensitive literal "lease"
+        "leasehold_years" -> when(col("raw_contract").contains("lease"),
+          Udfs.toNumber(col("lease_text"))).cast("double"),
+        "description" -> nullIfEmpty(trim(col("raw_desc"))))
+    },
+    fixups = asOf => Seq(
+      // balipropertiesforsale.py:219-223 — location from the title
+      "location" -> coalesce(col("location"),
+        nullIfEmpty(regexp_extract(coalesce(col("title"), lit("")),
+          "in ([A-Za-z ]+)", 1))),
+      // balipropertiesforsale.py:225-228 — desc lease backfill
+      "leasehold_years" -> when(
+        (col("leasehold_years").isNull || col("leasehold_years") === 0) &&
+          coalesce(col("contract_type"), lit("")).contains("Leasehold"),
+        Udfs.findLeaseYears(asOf.getYear)(col("description")).cast("double"))
+        .otherwise(col("leasehold_years")),
+      // balipropertiesforsale.py:230-232 — type from the title
+      "property_type" -> coalesce(col("property_type"),
+        Cleaners.definePropertyType(coalesce(col("title"), lit(""))))),
+    gate = Some(col("raw_contract").isNotNull && col("raw_type").isNotNull))
+
+  /** reference reid/spiders/propertiabali.py:60-166 ("Propertia"): label
+    * tags + "Available" through AnySoldDelisted, the Property-Type cell
+    * feeding BOTH find_contract_type and define_property_type, are→sqm
+    * sizes (comma→dot on build first), and the lease-contract desc
+    * backfill.
+    */
+  val propertiabali: SourceProfile = SourceProfile(
+    "propertiabali",
+    fields = asOf => Seq(
+      "title" -> nullIfEmpty(trim(col("raw_title"))),
+      "listed_date" -> Cleaners.findPublishedDate(col("raw_date"))
+        .cast("string"),
+      "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+      "location" -> nullIfEmpty(trim(col("raw_location"))),
+      "leasehold_years" -> Udfs.toNumber(col("lease_text")).cast("double"),
+      "contract_type" -> Cleaners.findContractType(trim(col("raw_contract"))),
+      "property_type" -> Cleaners.definePropertyType(trim(col("raw_contract"))),
+      "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+      "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+      "land_size" -> coalesce(Cleaners.areToSqm(col("raw_land")).cast("double"),
+        Udfs.toNumber(col("raw_land")).cast("double")),
+      "build_size" -> {
+        val dotted = regexp_replace(col("raw_build"), ",", ".")
+        coalesce(Cleaners.areToSqm(dotted).cast("double"),
+          Udfs.toNumber(dotted).cast("double"))
+      },
+      "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+      "currency" -> Cleaners.identifyCurrency(col("raw_price")),
+      "image_url" ->
+        Cleaners.dimensionRemover(coalesce(col("raw_image"), lit(""))),
+      "availability" -> Cleaners.anySoldDelisted(concat(
+        split(coalesce(col("alt_title"), lit("")), ","),
+        array(lit("Available")))),
+      "description" -> nullIfEmpty(trim(col("raw_desc")))),
+    fixups = asOf => Seq(
+      // propertiabali.py:156-164 — lease-contract desc backfill
+      "leasehold_years" -> when(
+        lower(coalesce(col("contract_type"), lit(""))).contains("lease") &&
+          (col("leasehold_years").isNull || col("leasehold_years") === 0),
+        Udfs.findLeaseYears(asOf.getYear)(col("description")).cast("double"))
+        .otherwise(col("leasehold_years"))))
+
+  /** reference reid/spiders/balirealestateconsultants.py:44-190 ("Bali
+    * Real Estate Consultants"): detail-table leasehold cell drives the
+    * contract; non-positive cell years fall back to
+    * |expiration − asOfYear|; dash/plus range cleanup on sizes;
+    * title-bedrooms, desc-size backfills; plot/land titles AND
+    * descriptions force Land; bathrooms stand in for missing bedrooms;
+    * equal (or equally missing) sizes drop the build size.
+    */
+  val balirealestateconsultants: SourceProfile = SourceProfile(
+    "balirealestateconsultants",
+    fields = asOf => {
+      val sizeClean = (c: Column) =>
+        Udfs.toNumber(Cleaners.getLast(Cleaners.getFirst(
+          regexp_replace(regexp_replace(c, ",", "."), "m2", ""), "+"), "-"))
+          .cast("double")
+      val cellYears = Udfs.toNumber(col("table_leasing"))
+      Seq(
+        "contract_type" -> when(nullIfEmpty(col("table_leasing")).isNotNull,
+          "Leasehold").otherwise("Freehold"),
+        "leasehold_years" -> when(nullIfEmpty(col("table_leasing")).isNotNull,
+          when(cellYears > 0, cellYears)
+            .otherwise(abs(Udfs.toNumber(col("lease_text")) -
+              lit(asOf.getYear.toDouble)))).cast("double"),
+        "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "land_size" -> sizeClean(col("raw_land")),
+        "build_size" -> sizeClean(col("raw_build")),
+        "title" -> nullIfEmpty(trim(col("raw_title"))),
+        "availability" -> Cleaners.anySoldDelisted(concat(
+          split(coalesce(col("alt_title"), lit("")), ","),
+          array(lit("Available")))),
+        "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+        "currency" -> Cleaners.identifyCurrency(col("raw_price")),
+        "location" -> nullIfEmpty(trim(col("raw_location"))),
+        "description" -> nullIfEmpty(trim(col("raw_desc"))),
+        "property_type" -> Cleaners.findPropertyType(trim(col("raw_title"))),
+        "image_url" ->
+          Cleaners.dimensionRemover(coalesce(col("raw_image"), lit(""))),
+        "listed_date" -> lit(null).cast("string"))
+    },
+    fixups = asOf => {
+      val plotish = (c: Column) =>
+        coalesce(c, lit("")).rlike("(?i)plot|land")
+      Seq(
+        // balirealestateconsultants.py:148-152 — title bedrooms backfill
+        "bedrooms" -> when(col("bedrooms").isNull || col("bedrooms") === 0,
+          Cleaners.findBedrooms(coalesce(col("title"), lit("")))
+            .cast("double")).otherwise(col("bedrooms")),
+        // :154-163 — desc size backfills
+        "build_size" -> when(col("build_size").isNull || col("build_size") === 0,
+          Udfs.findBuildSize(col("description")).cast("double"))
+          .otherwise(col("build_size")),
+        "land_size" -> when(col("land_size").isNull || col("land_size") === 0,
+          Udfs.findLandSize(col("description")).cast("double"))
+          .otherwise(col("land_size")),
+        // :167-177 — plot/land in BOTH title and desc + no rooms → Land
+        "property_type" -> when(
+          (col("bedrooms").isNull || col("bedrooms") === 0) &&
+            (col("bathrooms").isNull || col("bathrooms") === 0) &&
+            plotish(col("title")) && plotish(col("description")),
+          "Land").otherwise(col("property_type")),
+        // :179-180 — bathrooms stand in for missing bedrooms
+        "bedrooms" -> when(
+          coalesce(col("bathrooms"), lit(0d)) > 0 &&
+            (col("bedrooms").isNull || col("bedrooms") === 0),
+          col("bathrooms")).otherwise(col("bedrooms")),
+        // :182-184 — lease backfill via count_lease_years
+        "leasehold_years" -> when(
+          (col("leasehold_years").isNull || col("leasehold_years") === 0) &&
+            coalesce(col("contract_type"), lit("")).contains("Leasehold"),
+          Udfs.countLeaseYears(asOf.getYear)(col("description"))
+            .cast("double")).otherwise(col("leasehold_years")),
+        // :186-189 — equal (incl. equally missing) sizes drop the build
+        "build_size" -> when(
+          coalesce(col("land_size"), lit(0d)) ===
+            coalesce(col("build_size"), lit(0d)),
+          lit(null).cast("double")).otherwise(col("build_size")))
+    })
+
+  /** reference reid/spiders/baliexception.py:110-227 ("Bali Exception"):
+    * en-dash/slash/plus range cleanup chains per cell, contract from a
+    * freehold|leasehold title probe (default Freehold; a null title
+    * crashes the probe → row gate), type cell else the title ladder,
+    * breadcrumb location else the title's pipe segment else
+    * find_location_in_title, and title bedrooms standing in for BOTH
+    * missing rooms.
+    */
+  val baliexception: SourceProfile = SourceProfile(
+    "baliexception",
+    fields = asOf => {
+      val bedClean = (c: Column) =>
+        Udfs.toNumber(regexp_replace(Cleaners.getFirst(Cleaners.getLast(
+          Cleaners.getLast(Cleaners.getLast(c, "–"), "-"), "/"), "+"),
+          ",", ".")).cast("double")
+      val sizeClean = (c: Column) =>
+        Udfs.toNumber(regexp_replace(Cleaners.getLast(Cleaners.getFirst(
+          Cleaners.getLast(Cleaners.getLast(c, "–"), "-"), "+"), "/"),
+          ",", ".")).cast("double")
+      val titleBeds = Cleaners.findBedrooms(lower(col("raw_title")))
+      Seq(
+        "title" -> nullIfEmpty(trim(col("raw_title"))),
+        "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
+        "leasehold_years" ->
+          Udfs.toNumber(regexp_replace(
+            Cleaners.getFirst(col("lease_text"), "+"), ",", "."))
+            .cast("double"),
+        "bedrooms" -> coalesce(bedClean(col("raw_beds")),
+          titleBeds.cast("double")),
+        "bathrooms" -> coalesce(
+          Udfs.toNumber(regexp_replace(
+            Cleaners.getLast(col("raw_baths"), "/"), ",", "."))
+            .cast("double"),
+          when(col("raw_beds").isNull, titleBeds.cast("double"))),
+        "land_size" -> sizeClean(col("raw_land")),
+        "build_size" -> sizeClean(col("raw_build")),
+        "location" -> coalesce(nullIfEmpty(trim(col("raw_location"))),
+          when(size(split(col("raw_title"), "\\|", -1)) > 1,
+            trim(element_at(split(col("raw_title"), "\\|", -1), 2)))
+            .otherwise(Cleaners.findLocationInTitle(col("raw_title")))),
+        "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+        "currency" -> Cleaners.identifyCurrency(col("raw_price")),
+        "image_url" -> nullIfEmpty(trim(col("raw_image"))),
+        "description" -> nullIfEmpty(trim(col("raw_desc"))),
+        "availability" -> lit("Available"),
+        "listed_date" -> lit(null).cast("string"),
+        "contract_type" -> coalesce(initcap(nullIfEmpty(regexp_extract(
+          lower(col("raw_title")), "(freehold|leasehold)", 1))),
+          lit("Freehold")),
+        "property_type" -> coalesce(nullIfEmpty(trim(col("raw_type"))),
+          Cleaners.definePropertyType(trim(col("raw_title")))))
+    },
+    fixups = _ => Seq.empty,
+    gate = Some(col("raw_title").isNotNull))
+
   val profiles: Seq[SourceProfile] =
     Seq(ubudproperty, dotproperty, balivillasales,
       exotiqproperty, balimoves, raywhite,
       kibarer, lazudi, gillesdemunter,
       heritagebali, svahaproperty, luxindoproperty,
-      ppbali, rajavillaproperty, unrealbali)
+      ppbali, rajavillaproperty, unrealbali,
+      suasarealestate, tealestate, balirealty,
+      balitreasureproperties, balihomeimmo, balipropertiesforsale,
+      propertiabali, balirealestateconsultants, baliexception)
 
   /** Standardize a raw selector-output frame through every registered
     * profile; rows whose source has no profile are dropped (the reference

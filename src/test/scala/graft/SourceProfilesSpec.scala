@@ -493,6 +493,172 @@ class SourceProfilesSpec extends AnyFunSuite {
     assert(r2("availability") == "Delisted") // no title wins over Sold
   }
 
+  test("suasarealestate: null Term gated; idr attr price; url path type; pipe-tail location") {
+    assert(SourceProfiles.standardize(raw(
+      "url" -> "q0", "source" -> "suasarealestate"), asOf).count() == 0)
+    val r = run(
+      "url" -> "https://suasarealestate.com/villa/great-villa",
+      "source" -> "suasarealestate",
+      "raw_title" -> "Great Villa | Umalas", "raw_contract" -> "Leasehold",
+      "raw_price" -> "IDR 2,500,000,000",
+      "table_leasing" -> "25 years lease remaining",
+      "lease_text" -> "Sold out")
+    assert(r("price") == 2.5e9 && r("currency") == "IDR")
+    assert(r("property_type") == "Villa") // url path segment
+    assert(r("leasehold_years") == 25.0)
+    assert(r("location") == "Umalas")
+    assert(r("availability") == "Sold")
+  }
+
+  test("tealestate: label availability, dash-range sizes, missing hold heading → Delisted") {
+    val r = run(
+      "url" -> "t1", "source" -> "tealestate",
+      "raw_title" -> "Teal Villa", "alt_title" -> "Sold Out",
+      "raw_contract" -> "Leasehold", "lease_text" -> "25 years lease remaining",
+      "raw_land" -> "500-700", "raw_price" -> "IDR 3,000,000,000")
+    assert(r("availability") == "Sold")
+    assert(r("leasehold_years") == 25.0)
+    assert(r("land_size") == 700.0) // get_last "-"
+    assert(r("price") == 3e9 && r("currency") == "IDR")
+    val r2 = run(
+      "url" -> "t2", "source" -> "tealestate", "raw_title" -> "Teal Villa")
+    assert(r2("availability") == "Delisted") // no hold heading
+  }
+
+  test("balirealty: lowercased price text, Sold=Yes flag, Contract-cell sale repair, sqm backfills") {
+    val r = run(
+      "url" -> "b1", "source" -> "balirealty",
+      "raw_price" -> "IDR 5,000,000,000", "lease_text" -> "Yes",
+      "raw_contract" -> "Leasehold Property",
+      "raw_desc" -> "leasehold 30 years. Land size: 450 sqm",
+      "raw_date" -> "\"datePublished\":\"2023-05-04T10:00:00+08:00\"")
+    assert(r("price") == 5e9 && r("currency") == "IDR")
+    assert(r("availability") == "Sold")
+    assert(r("contract_type") == "Leasehold")
+    assert(r("leasehold_years") == 30.0)
+    assert(r("land_size") == 450.0) // label: N sqm backfill
+    assert(r("listed_date") == "05/04/2023")
+    val r2 = run(
+      "url" -> "b2", "source" -> "balirealty",
+      "raw_contract" -> "Rental", "alt_title" -> "For Sale")
+    assert(r2("contract_type") == "Freehold") // Contract-cell sale repair
+  }
+
+  test("balitreasureproperties: None-string location, type appended to contract, N/A delist") {
+    val r = run(
+      "url" -> "bt1", "source" -> "balitreasureproperties",
+      "raw_title" -> "Treasure Villa", "raw_contract" -> "leaseholdSale",
+      "raw_type" -> "villaSale", "lease_text" -> "25",
+      "alt_title" -> "Berawa", "raw_location" -> "Canggu",
+      "json_price" -> "450000", "json_currency" -> "usd",
+      "raw_date" -> "2024-03-01T12:00:00Z")
+    assert(r("contract_type") == "Leasehold Villa") // type APPENDED
+    assert(r("leasehold_years") == 25.0)
+    assert(r("location") == "Berawa, Canggu")
+    assert(r("listed_date") == "2024-03-01")
+    assert(r("price") == 450000.0 && r("currency") == "USD")
+    assert(r("property_type") == null) // never set by the reference
+    val r2 = run(
+      "url" -> "bt2", "source" -> "balitreasureproperties",
+      "raw_contract" -> "freeholdSale", "alt_title" -> "Berawa")
+    assert(r2("title") == "N/A")
+    assert(r2("availability") == "Delisted")
+    assert(r2("location") == "Berawa, None") // Python f-string of None
+  }
+
+  test("balihomeimmo: badge contract with period, title-tail id, selected-option currency") {
+    val r = run(
+      "url" -> "bh1", "source" -> "balihomeimmo",
+      "raw_title" -> "Beautiful Villa - BHI123",
+      "raw_contract" -> "Leasehold,25 years", "table_leasing" -> "25",
+      "raw_price" -> "5000000000", "json_currency" -> "idr")
+    assert(r("contract_type") == "Leasehold")
+    assert(r("leasehold_years") == 25.0)
+    assert(r("property_id") == "BHI123")
+    assert(r("price") == 5e9 && r("currency") == "IDR")
+    assert(r("availability") == "Available")
+    val r2 = run(
+      "url" -> "bh2", "source" -> "balihomeimmo",
+      "raw_title" -> "Villa X", "raw_contract" -> "monthly rental",
+      "lease_text" -> "Sold")
+    assert(r2("contract_type") == null) // neither badge
+    assert(r2("availability") == "Sold")
+  }
+
+  test("balipropertiesforsale: status/type gate, sold price default -1, title fallbacks") {
+    assert(SourceProfiles.standardize(raw(
+      "url" -> "f0", "source" -> "balipropertiesforsale",
+      "raw_contract" -> "For sale"), asOf).count() == 0) // null type gated
+    val r = run(
+      "url" -> "f1", "source" -> "balipropertiesforsale",
+      "raw_title" -> "Villa in Canggu Area",
+      "raw_contract" -> "For sale leasehold", "raw_type" -> "Villa,Luxury",
+      "lease_text" -> "25", "table_leasing" -> "1",
+      "raw_date" -> "2023-05-04 10:00:00")
+    assert(r("leasehold_years") == 25.0)
+    assert(r("property_type") == "Villa")
+    assert(r("availability") == "Sold")
+    assert(r("price") == -1.0) // sold with no price
+    assert(r("listed_date") == "05/04/23")
+    assert(r("location") == "Canggu Area") // greedy title fallback
+  }
+
+  test("propertiabali: one cell feeds contract AND type; are sizes; label availability") {
+    val r = run(
+      "url" -> "pr1", "source" -> "propertiabali",
+      "raw_title" -> "Propertia Villa", "raw_contract" -> "Leasehold Villa",
+      "raw_land" -> "5.5 are", "raw_price" -> "IDR 2,000,000,000",
+      "alt_title" -> "Sold", "raw_desc" -> "leasehold 30 years")
+    assert(r("contract_type") == "Leasehold")
+    assert(r("property_type") == "Villa")
+    assert(r("land_size") == 550.0)
+    assert(r("price") == 2e9 && r("currency") == "IDR")
+    assert(r("availability") == "Sold")
+    assert(r("leasehold_years") == 30.0) // desc backfill
+  }
+
+  test("balirealestateconsultants: cell-or-expiration lease, plot→Land, baths stand in, equal sizes") {
+    val r = run(
+      "url" -> "c1", "source" -> "balirealestateconsultants",
+      "raw_title" -> "Nice Villa", "table_leasing" -> "25",
+      "raw_price" -> "USD 250,000", "raw_baths" -> "2")
+    assert(r("contract_type") == "Leasehold")
+    assert(r("leasehold_years") == 25.0)
+    assert(r("bedrooms") == 2.0) // bathrooms stand in
+    assert(r("price") == 250000.0 && r("currency") == "USD")
+    val r2 = run(
+      "url" -> "c2", "source" -> "balirealestateconsultants",
+      "raw_title" -> "Land plot in Uluwatu", "table_leasing" -> "expired",
+      "lease_text" -> "2045", "raw_desc" -> "great land plot")
+    assert(r2("leasehold_years") == 19.0) // |2045 − 2026|
+    assert(r2("property_type") == "Land")
+    val r3 = run(
+      "url" -> "c3", "source" -> "balirealestateconsultants",
+      "raw_title" -> "Equal Villa", "raw_land" -> "300", "raw_build" -> "300")
+    assert(r3("land_size") == 300.0 && r3("build_size") == null)
+  }
+
+  test("baliexception: null title gated; range chains; pipe location; title rooms for both") {
+    assert(SourceProfiles.standardize(raw(
+      "url" -> "e0", "source" -> "baliexception"), asOf).count() == 0)
+    val r = run(
+      "url" -> "e1", "source" -> "baliexception",
+      "raw_title" -> "Freehold Villa | Uluwatu",
+      "raw_beds" -> "2 – 4", "lease_text" -> "25+",
+      "raw_price" -> "IDR 3,500,000,000")
+    assert(r("contract_type") == "Freehold")
+    assert(r("property_type") == "Villa") // type cell missing → title ladder
+    assert(r("location") == "Uluwatu") // pipe segment
+    assert(r("bedrooms") == 4.0) // en-dash range tail
+    assert(r("leasehold_years") == 25.0) // "+" head
+    assert(r("price") == 3.5e9 && r("currency") == "IDR")
+    val r2 = run(
+      "url" -> "e2", "source" -> "baliexception",
+      "raw_title" -> "3 bedroom villa in ubud")
+    assert(r2("bedrooms") == 3.0 && r2("bathrooms") == 3.0) // title stands in
+    assert(r2("location") == "Ubud") // find_location_in_title
+  }
+
   test("dispatch unions profiles and drops unprofiled sources") {
     val rows = Seq(
       Row(("u9" +: "ubudproperty" +: Seq.fill(rawCols.size - 2)(null.asInstanceOf[String])): _*),
