@@ -1510,14 +1510,198 @@ object SourceProfiles {
       "availability", "description")
   }
 
+  /** Second profile correctness query: six more sources (kibarer, lazudi,
+    * gillesdemunter, heritagebali, svahaproperty, ppbali), including both
+    * row gates (kibarer's hold badge, ppbali's price floor) — gated
+    * modulus classes are excluded on the oracle side too.
+    */
+  def q59SourceProfiles2(s: SparkSession, d: String): DataFrame = {
+    val asOf = LocalDate.of(2026, 1, 1)
+    val k = col("p_partkey").cast("string")
+    val m = col("p_partkey") % 6
+    val sz = col("p_size")
+    val raw = Tables.part(s, d).select(
+      when(m === 0, concat(lit("https://kb.example/"), k))
+        .when(m === 1, concat(lit("https://lz.example/"), k))
+        .when(m === 2, concat(lit("https://gd.example/p/"), k))
+        .when(m === 3, concat(lit("https://hb.example/"), k))
+        .when(m === 4, concat(lit("https://sv.example/"), k))
+        .otherwise(concat(lit("https://pp.example/"), k)).as("url"),
+      when(m === 0, "kibarer").when(m === 1, "lazudi")
+        .when(m === 2, "gillesdemunter").when(m === 3, "heritagebali")
+        .when(m === 4, "svahaproperty").otherwise("ppbali").as("source"),
+      when(m === 0, when(sz % 7 === 0, "Plain plot of land")
+        .otherwise(lit("Stunning villa retreat")))
+        .when(m === 1, lit("Lazudi Villa"))
+        .when(m === 2, lit("Villa Sunset"))
+        .when(m === 3, lit("Heritage Villa"))
+        .when(m === 4, lit("Svaha Villa"))
+        .otherwise(lit("Paradise Villa")).as("raw_title"),
+      lit(null).cast("string").as("alt_title"),
+      when(m === 0 || m === 4, concat(lit("Area"), sz.cast("string")))
+        .as("raw_location"),
+      when(m === 0, when(sz % 5 === 0, "For Sale")
+        .when(sz % 2 === 0, "Leasehold 25 years")
+        .otherwise(lit("Freehold title")))
+        .when(m === 1, lit("Leasehold"))
+        .when(m === 2, lit("Freehold"))
+        .when(m === 4, when(sz % 2 === 0, "For sale").otherwise("Leasehold"))
+        .when(m === 5, when(sz % 3 === 0, "Status: unknown")
+          .when(sz % 3 === 1, "Status: Freehold title")
+          .otherwise(lit("Status: Leasehold 25 years")))
+        .as("raw_contract"),
+      when(m === 4, lit("Villa")).as("raw_type"),
+      when(m === 0, when(sz % 3 === 0,
+        concat(lit("IDR "), (col("p_partkey") * 100).cast("string")))
+        .when(sz % 3 === 1,
+          concat(lit("USD "), (col("p_partkey") * 2).cast("string")))
+        .otherwise(lit("on request")))
+        .when(m === 1, lit("4,500,000,000"))
+        .when(m === 2, lit("1,250,000"))
+        .when(m === 3, lit("USD 1,500,000"))
+        .when(m === 4, lit("Rp 2,000,000,000"))
+        .when(m === 5, when(sz % 5 === 0, lit("100"))
+          .otherwise((lit(500000001L) + col("p_partkey")).cast("string")))
+        .as("raw_price"),
+      lit(null).cast("string").as("json_price"),
+      lit(null).cast("string").as("json_currency"),
+      when(m === 0, (sz % 4).cast("string"))
+        .when(m === 2, when(sz % 4 === 0, lit(null))
+          .otherwise(concat((sz % 5).cast("string"), lit("/"),
+            (sz % 3).cast("string"))))
+        .when(m === 3, concat(lit("spacious "), (sz % 6).cast("string"),
+          lit(" bedroom layout")))
+        .as("raw_beds"),
+      lit(null).cast("string").as("raw_baths"),
+      when(m === 0, lit("5.5 are"))
+        .when(m === 3, lit("Land size: 450 m2 with garden"))
+        .when(m === 4, lit("500,5")).as("raw_land"),
+      when(m === 0, lit("250"))
+        .when(m === 3, lit("Building size 250 m2"))
+        .when(m === 4, lit("200,75")).as("raw_build"),
+      when(m === 0, lit("https://x.com/img-300x200.jpg"))
+        .when(m === 2, concat(lit("https://gd.example/listing/"), k,
+          lit("/main.jpg")))
+        .when(m === 4, lit("https://x.com/wp-content/uploads/2023-12-01/img.jpg"))
+        .as("raw_image"),
+      when(m === 1, when(sz % 2 === 0, "leasehold 30 years")
+        .otherwise(lit("Landsize 450 sqm\nnice villa")))
+        .when(m === 5, when(sz % 3 === 0, "freehold opportunity")
+          .otherwise(lit("plain")))
+        .otherwise(lit("plain")).as("raw_desc"),
+      when(m === 0, concat(lit("KB"), k))
+        .when(m === 3, concat(lit("HB"), k))
+        .when(m === 4, concat(lit("SV"), k)).as("raw_pid"),
+      when(m === 2, lit("25"))
+        .when(m === 3, when(sz % 2 === 0, "Leasehold 25 years")
+          .otherwise(lit("cash only"))).as("lease_text"),
+      when(m === 4, lit("25")).as("table_leasing"),
+      when(m === 1, lit("2023-05-04"))
+        .when(m === 5, lit("04 May 2023")).as("raw_date"))
+    standardize(raw, asOf).select("url", "source", "title", "property_id",
+      "location", "contract_type", "property_type", "leasehold_years",
+      "bedrooms", "bathrooms", "land_size", "build_size", "price",
+      "currency", "availability", "listed_date")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q55_source_profiles" -> (q55SourceProfiles _))
+    "q55_source_profiles" -> (q55SourceProfiles _),
+    "q59_source_profiles2" -> (q59SourceProfiles2 _))
 
   /** The oracle mirrors what each profile must produce for the synthesized
     * inputs: the string synthesis collapses, so every output field is a
     * CASE over the same modulus classes the Spark side synthesizes from.
     */
   val oracle: Map[String, String] = Map(
+    "q59_source_profiles2" ->
+      """WITH base AS (SELECT p_partkey AS k, p_partkey % 6 AS m, p_size AS sz
+        |  FROM part
+        |  WHERE NOT (p_partkey % 6 = 0 AND p_size % 5 = 0)
+        |    AND NOT (p_partkey % 6 = 5 AND p_size % 5 = 0))
+        |SELECT
+        |  CASE WHEN m = 0 THEN 'https://kb.example/' || k
+        |       WHEN m = 1 THEN 'https://lz.example/' || k
+        |       WHEN m = 2 THEN 'https://gd.example/p/' || k
+        |       WHEN m = 3 THEN 'https://hb.example/' || k
+        |       WHEN m = 4 THEN 'https://sv.example/' || k
+        |       ELSE 'https://pp.example/' || k END AS url,
+        |  CASE WHEN m = 0 THEN 'kibarer' WHEN m = 1 THEN 'lazudi'
+        |       WHEN m = 2 THEN 'gillesdemunter' WHEN m = 3 THEN 'heritagebali'
+        |       WHEN m = 4 THEN 'svahaproperty' ELSE 'ppbali' END AS source,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 7 = 0 THEN 'Plain plot of land'
+        |              ELSE 'Stunning villa retreat' END
+        |       WHEN m = 1 THEN 'Lazudi Villa'
+        |       WHEN m = 2 THEN 'Villa Sunset'
+        |       WHEN m = 3 THEN 'Heritage Villa'
+        |       WHEN m = 4 THEN 'Svaha Villa'
+        |       ELSE 'Paradise Villa' END AS title,
+        |  CASE WHEN m = 0 THEN 'KB' || k
+        |       WHEN m = 2 THEN 'listing'
+        |       WHEN m = 3 THEN 'HB' || k
+        |       WHEN m = 4 THEN 'SV' || k END AS property_id,
+        |  CASE WHEN m = 0 THEN 'Area' || sz
+        |       WHEN m = 3 THEN ''
+        |       WHEN m = 4 THEN 'Area' || sz END AS location,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 2 = 0 THEN 'Leasehold' ELSE 'Freehold' END
+        |       WHEN m = 1 THEN
+        |         CASE WHEN sz % 2 = 0 THEN 'Leasehold' ELSE 'Freehold' END
+        |       WHEN m = 2 THEN 'Freehold'
+        |       WHEN m = 3 THEN
+        |         CASE WHEN sz % 2 = 0 THEN 'Leasehold' ELSE 'Freehold' END
+        |       WHEN m = 4 THEN
+        |         CASE WHEN sz % 2 = 0 THEN 'Freehold' ELSE 'Leasehold' END
+        |       ELSE CASE WHEN sz % 3 = 2 THEN 'Leasehold'
+        |            ELSE 'Freehold' END END AS contract_type,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 7 = 0 THEN 'Land' ELSE 'Villa' END
+        |       WHEN m = 1 THEN NULL
+        |       WHEN m = 4 THEN 'Villa'
+        |       ELSE 'Villa' END AS property_type,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 2 = 0 THEN 25.0 END
+        |       WHEN m = 1 THEN CASE WHEN sz % 2 = 0 THEN 30.0 END
+        |       WHEN m = 2 THEN 25.0
+        |       WHEN m = 3 THEN CASE WHEN sz % 2 = 0 THEN 25.0 END
+        |       WHEN m = 4 THEN CASE WHEN sz % 2 = 1 THEN 25.0 END
+        |       ELSE CASE WHEN sz % 3 = 2 THEN 25.0 END END AS leasehold_years,
+        |  CASE WHEN m = 0 THEN CAST(sz % 4 AS DOUBLE)
+        |       WHEN m = 2 THEN CASE WHEN sz % 4 <> 0
+        |            THEN CAST(sz % 5 AS DOUBLE) END
+        |       WHEN m = 3 THEN CAST(sz % 6 AS DOUBLE)
+        |       END AS bedrooms,
+        |  CASE WHEN m = 2 AND sz % 4 <> 0
+        |       THEN CAST(sz % 3 AS DOUBLE) END AS bathrooms,
+        |  CASE WHEN m = 0 THEN 550.0
+        |       WHEN m = 1 THEN CASE WHEN sz % 2 = 1 THEN 450.0 END
+        |       WHEN m = 3 THEN 450.0
+        |       WHEN m = 4 THEN 500.5 END AS land_size,
+        |  CASE WHEN m = 0 THEN 250.0
+        |       WHEN m = 3 THEN 250.0
+        |       WHEN m = 4 THEN 200.75 END AS build_size,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 3 = 0 THEN CAST(k * 100 AS DOUBLE)
+        |              WHEN sz % 3 = 1 THEN CAST(k * 2 AS DOUBLE)
+        |              ELSE -1.0 END
+        |       WHEN m = 1 THEN 4500000000.0
+        |       WHEN m = 2 THEN 1250000.0
+        |       WHEN m = 3 THEN 1500000.0
+        |       WHEN m = 4 THEN 2000000000.0
+        |       ELSE CAST(500000001 + k AS DOUBLE) END AS price,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 3 = 0 THEN 'IDR' ELSE 'USD' END
+        |       WHEN m = 1 THEN 'IDR'
+        |       WHEN m = 2 THEN 'USD'
+        |       WHEN m = 3 THEN 'USD'
+        |       WHEN m = 4 THEN 'IDR'
+        |       ELSE 'IDR' END AS currency,
+        |  CASE WHEN m = 2 AND sz % 4 = 0 THEN 'Delisted'
+        |       ELSE 'Available' END AS availability,
+        |  CASE WHEN m = 1 THEN '05/04/23'
+        |       WHEN m = 4 THEN '12/01/23'
+        |       WHEN m = 5 THEN '05/04/23' END AS listed_date
+        |FROM base""".stripMargin,
     "q55_source_profiles" ->
       """WITH base AS (SELECT p_partkey AS k, p_partkey % 6 AS m, p_size AS sz,
         |  p_type, p_brand FROM part)
