@@ -1393,12 +1393,21 @@ object SourceProfiles {
       propertiabali, balirealestateconsultants, baliexception)
 
   /** Standardize a raw selector-output frame through every registered
-    * profile; rows whose source has no profile are dropped (the reference
-    * has no generic spider either).
+    * profile (or the named subset); rows whose source has no profile are
+    * dropped (the reference has no generic spider either).
+    *
+    * Pass `only` when the caller knows its source universe: each profile
+    * is one scan branch, so restricting the set drops dead branches from
+    * the plan. On a mixed staging table, partition by source so every
+    * branch prunes to its own slice.
     */
-  def standardize(raw: DataFrame, asOf: LocalDate): DataFrame =
-    profiles.map(p => p(raw.filter(col("source") === p.source), asOf))
+  def standardize(raw: DataFrame, asOf: LocalDate,
+                  only: Set[String] = Set.empty): DataFrame = {
+    val selected =
+      if (only.isEmpty) profiles else profiles.filter(p => only(p.source))
+    selected.map(p => p(raw.filter(col("source") === p.source), asOf))
       .reduce(_ unionByName _)
+  }
 
   /** Correctness query: raw selector rows synthesized deterministically
     * from `part` for all three wired profiles, standardized, and compared
@@ -1504,10 +1513,12 @@ object SourceProfiles {
         concat((lit(20) + sz % 30).cast("string"), lit(" year"))))
         .as("table_leasing"),
       lit(null).cast("string").as("raw_date"))
-    standardize(raw, asOf).select("url", "source", "title", "property_id",
-      "location", "contract_type", "property_type", "leasehold_years",
-      "bedrooms", "land_size", "build_size", "price", "currency",
-      "availability", "description")
+    standardize(raw, asOf, Set("ubudproperty", "dotproperty",
+      "balivillasales", "exotiqproperty", "balimoves", "raywhite"))
+      .select("url", "source", "title", "property_id",
+        "location", "contract_type", "property_type", "leasehold_years",
+        "bedrooms", "land_size", "build_size", "price", "currency",
+        "availability", "description")
   }
 
   /** Second profile correctness query: six more sources (kibarer, lazudi,
@@ -1598,10 +1609,12 @@ object SourceProfiles {
       when(m === 4, lit("25")).as("table_leasing"),
       when(m === 1, lit("2023-05-04"))
         .when(m === 5, lit("04 May 2023")).as("raw_date"))
-    standardize(raw, asOf).select("url", "source", "title", "property_id",
-      "location", "contract_type", "property_type", "leasehold_years",
-      "bedrooms", "bathrooms", "land_size", "build_size", "price",
-      "currency", "availability", "listed_date")
+    standardize(raw, asOf, Set("kibarer", "lazudi", "gillesdemunter",
+      "heritagebali", "svahaproperty", "ppbali"))
+      .select("url", "source", "title", "property_id",
+        "location", "contract_type", "property_type", "leasehold_years",
+        "bedrooms", "bathrooms", "land_size", "build_size", "price",
+        "currency", "availability", "listed_date")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
