@@ -40,6 +40,7 @@ object Bench {
         try SparkEntry.queries(name)(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        finally TextOps.clearCaches()
       }
     var errors = List.empty[String]
     val results = headline.map { name =>
@@ -54,7 +55,7 @@ object Bench {
             errors ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
-        }
+        } finally TextOps.clearCaches() // don't carry cached blocks across queries
       name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

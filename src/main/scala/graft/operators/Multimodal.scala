@@ -65,13 +65,22 @@ object Multimodal {
     *
     * The byte budget comes from Catalyst's plan statistics
     * (`optimizedPlan.stats.sizeInBytes`, i.e. file sizes for a scan) — no
-    * extra driver-side job, unlike a `count()`. Capped at 1M partitions as
-    * a runaway guard for misestimated stats.
+    * extra driver-side job, unlike a `count()`. Plans without real
+    * statistics (RDD-backed frames, post-shuffle estimates) report
+    * `spark.sql.defaultSizeInBytes` = Long.MaxValue; treat any estimate at
+    * or above that sentinel as UNKNOWN and fall back to
+    * defaultParallelism rather than scheduling millions of tasks on what
+    * may be a tiny input. Known estimates are still capped at 1M
+    * partitions as a runaway guard.
     */
   def decodePartitioned(media: DataFrame, maxBytesPerTask: Long = 64L << 20): DataFrame = {
-    val n = media.sparkSession.sparkContext.defaultParallelism
+    val spark = media.sparkSession
+    val n = spark.sparkContext.defaultParallelism
     val estBytes = media.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = ((estBytes / maxBytesPerTask) + 1).min(BigInt(1 << 20)).toInt
+    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    val parts =
+      if (estBytes >= sentinel) n // stats unavailable → size by cluster, not by guess
+      else ((estBytes / maxBytesPerTask) + 1).min(BigInt(1 << 20)).toInt
     withMeta(media.repartition(math.max(n, parts), col("doc_id")))
   }
 

@@ -79,23 +79,31 @@ object Quality {
       (col("f.name").isNotNull && col("e.name").isNull).as("is_new"))
   }
 
-  /** Bulk mark-as-solved/ignored (reference tag_routes.py:294-317 bulk
-    * PATCH; :258-285 is the single-row PUT with the same write): tags
-    * matching (property_id ∈ ids, name = tagName) get is_solved =
-    * (mode=="solved") AND is_ignored = (mode=="ignored") — the bulk route
-    * assigns both flags. The id set is a serving-sized request payload, so
-    * it broadcasts — the tag table itself never shuffles.
+  /** Mark-as-solved/ignored (reference tag_routes.py:294-317 bulk PATCH;
+    * :258-285 single-row PUT). The two routes write DIFFERENTLY: the bulk
+    * PATCH assigns BOTH flags (is_solved = (mode=="solved"), is_ignored =
+    * (mode=="ignored")), while the single-row PUT sets only the requested
+    * flag and leaves the other untouched. `assignBoth = true` (default)
+    * models the bulk route; `assignBoth = false` models the PUT. The id
+    * set is a serving-sized request payload, so it broadcasts — the tag
+    * table itself never shuffles.
     */
   def markTags(tags: DataFrame, ids: DataFrame, tagName: String,
-               mode: String): DataFrame = {
+               mode: String, assignBoth: Boolean = true): DataFrame = {
     val hitSet = broadcast(ids.select(col("property_id")).distinct()
       .withColumn("_hit", lit(true)))
     val touched = col("_hit") && col("name") === tagName
+    val writeSolved = assignBoth || mode == "solved"
+    val writeIgnored = assignBoth || mode == "ignored"
     tags.join(hitSet, Seq("property_id"), "left_outer")
       .withColumn("is_solved",
-        when(touched, lit(mode == "solved")).otherwise(col("is_solved")))
+        if (writeSolved)
+          when(touched, lit(mode == "solved")).otherwise(col("is_solved"))
+        else col("is_solved"))
       .withColumn("is_ignored",
-        when(touched, lit(mode == "ignored")).otherwise(col("is_ignored")))
+        if (writeIgnored)
+          when(touched, lit(mode == "ignored")).otherwise(col("is_ignored"))
+        else col("is_ignored"))
       .drop("_hit")
   }
 

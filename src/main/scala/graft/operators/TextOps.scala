@@ -15,6 +15,26 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Frames persisted by operators in this object for intra-query reuse
+    * (currently: [[minhashLsh]]'s shingle projection). The cache pays off
+    * only within the single action that materializes the query; in a
+    * long-lived session the blocks would otherwise linger until LRU
+    * eviction. Callers that own the session lifecycle (Verify, Bench, any
+    * service loop) should call [[clearCaches]] after materializing the
+    * result.
+    */
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every frame cached by TextOps operators since the last
+    * call. Safe to call while downstream frames are still referenced —
+    * they recompute (the pre-cache behavior).
+    */
+  def clearCaches(): Unit = {
+    var d = persistedFrames.poll()
+    while (d != null) { d.unpersist(blocking = false); d = persistedFrames.poll() }
+  }
+
   /** 28-bit deterministic hash both engines can compute: fold the first 7
     * hex chars of md5. (Spark's murmur3 hash() is faster but has no DuckDB
     * counterpart; at production scale swap in xxhash64 — the operator
@@ -90,10 +110,12 @@ object TextOps {
     // concat work happens once, not per consumer. MEMORY_AND_DISK: at
     // corpus scale the shingle arrays spill instead of OOMing — and if
     // executors are storage-tight the blocks just recompute, which is the
-    // pre-cache behavior.
+    // pre-cache behavior. Registered for TextOps.clearCaches() so
+    // long-lived sessions can release the blocks after materialization.
     val shsets = df.select(col(idCol).as("doc_id"),
       array_distinct(shingles(col(textCol))).as("shset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(shsets)
     val ex = shsets
       .select(col("doc_id"), explode(col("shset")).as("s"))
       .withColumn("h", hash7(col("s")))

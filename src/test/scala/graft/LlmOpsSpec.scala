@@ -89,4 +89,20 @@ class LlmOpsSpec extends AnyFunSuite {
       .filter(col("doc_id") === 0).count()
     assert(frames == 2) // 20 bytes → 2 fake frames at stride 1
   }
+
+  test("decodePartitioned: sentinel stats estimate falls back to parallelism") {
+    // An RDD-backed frame has no real size statistics: Spark reports
+    // spark.sql.defaultSizeInBytes (Long.MaxValue). The byte-budget sizing
+    // must treat that as unknown, not schedule ~1M tasks on 2 rows.
+    val rows = spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(0L, "image", "x".getBytes),
+      org.apache.spark.sql.Row(1L, "audio", "y".getBytes)))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    assert(media.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(spark.sessionState.conf.defaultSizeInBytes))
+    val out = Multimodal.decodePartitioned(media)
+    val parts = out.rdd.getNumPartitions
+    assert(parts == spark.sparkContext.defaultParallelism)
+    assert(out.count() == 2)
+  }
 }

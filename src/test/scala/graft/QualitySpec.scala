@@ -89,6 +89,22 @@ class QualitySpec extends AnyFunSuite {
       Some("Residential"), None, None))
   }
 
+  test("markTags: bulk PATCH assigns both flags, single-row PUT only one") {
+    // tag starts ignored; marking it solved via the two routes differs:
+    // bulk clears is_ignored, single-row PUT leaves it set
+    val tags = Seq(("p1", "no_price", false, true))
+      .toDF("property_id", "name", "is_solved", "is_ignored")
+    val ids = Seq("p1").toDF("property_id")
+    def row(df: org.apache.spark.sql.DataFrame) =
+      df.select("is_solved", "is_ignored").as[(Boolean, Boolean)].head()
+    assert(row(Quality.markTags(tags, ids, "no_price", "solved")) == ((true, false)))
+    assert(row(Quality.markTags(tags, ids, "no_price", "solved",
+      assignBoth = false)) == ((true, true)))
+    // untouched rows keep state under both modes
+    val other = Seq("p2").toDF("property_id")
+    assert(row(Quality.markTags(tags, other, "no_price", "solved")) == ((false, true)))
+  }
+
   test("syncTags solves stale and flags new") {
     val existing = Seq(("p1", "no_price", false), ("p1", "no_title", false))
       .toDF("property_id", "name", "is_solved")
