@@ -71,9 +71,20 @@ object ToNumberExpr {
   * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_to_number_native"),
       new ExpressionInfo(classOf[ToNumberExpr].getName, "graft_to_number_native"),
       (children: Seq[Expression]) => ToNumberExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCountExpr].getName,
+        "graft_sorted_intersect_count"),
+      (children: Seq[Expression]) =>
+        SortedIntersectCountExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[DotLongExpr].getName, "graft_dot_long"),
+      (children: Seq[Expression]) => DotLongExpr(children.head, children(1))))
+  }
 }

@@ -206,11 +206,12 @@ object LlmQueries {
     "q36_minhash_lsh" -> (
       s"""WITH $shingleBase,
          |hs AS (
-         |  SELECT doc_id, sh,
-         |    list_transform(sh, s -> ${hexFold.format("s")}) AS hs
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(
+         |      list_transform(sh, s -> ${hexFold.format("s")}))) AS hs
          |  FROM base),
          |sig AS (
-         |  SELECT doc_id, sh,
+         |  SELECT doc_id, hs,
          |    list_min(list_transform(hs, h -> (999983*h + 12345) % 2147483647)) AS sig0,
          |    list_min(list_transform(hs, h -> (999979*h + 54321) % 2147483647)) AS sig1,
          |    list_min(list_transform(hs, h -> (1000003*h + 98765) % 2147483647)) AS sig2,
@@ -221,12 +222,12 @@ object LlmQueries {
          |    list_min(list_transform(hs, h -> (1000099*h + 33333) % 2147483647)) AS sig7
          |  FROM hs),
          |bands AS (
-         |  SELECT doc_id, sh, 0 AS band, sig0*2147483647 + sig1 AS key FROM sig
-         |  UNION ALL SELECT doc_id, sh, 1, sig2*2147483647 + sig3 FROM sig
-         |  UNION ALL SELECT doc_id, sh, 2, sig4*2147483647 + sig5 FROM sig
-         |  UNION ALL SELECT doc_id, sh, 3, sig6*2147483647 + sig7 FROM sig),
+         |  SELECT doc_id, hs, 0 AS band, sig0*2147483647 + sig1 AS key FROM sig
+         |  UNION ALL SELECT doc_id, hs, 1, sig2*2147483647 + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, hs, 2, sig4*2147483647 + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, hs, 3, sig6*2147483647 + sig7 FROM sig),
          |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh AS sa, y.sh AS sb
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.hs AS sa, y.hs AS sb
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
          |  WHERE x.key IS NOT NULL),
@@ -254,12 +255,17 @@ object LlmQueries {
          |FROM sig s LEFT JOIN best b USING (doc_id)""".stripMargin),
     "q37_ngram_jaccard" -> (
       s"""WITH $shingleBase,
+         |hbase AS (
+         |  SELECT doc_id, lang, source,
+         |    list_sort(list_distinct(
+         |      list_transform(sh, s -> ${hexFold.format("s")}))) AS hsh
+         |  FROM base),
          |pairs AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b,
-         |    len(list_intersect(x.sh, y.sh))
-         |      / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+         |    len(list_intersect(x.hsh, y.hsh))
+         |      / (len(x.hsh) + len(y.hsh) - len(list_intersect(x.hsh, y.hsh)))
          |      AS jaccard
-         |  FROM base x JOIN base y
+         |  FROM hbase x JOIN hbase y
          |    ON x.lang = y.lang AND x.source = y.source
          |    AND x.doc_id < y.doc_id),
          |sym AS (

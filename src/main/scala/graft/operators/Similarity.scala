@@ -18,9 +18,14 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen kernel (`graft_dot_long`): same value as
+    * `aggregate(zip_with(a, b, _*_), 0, _+_)` but a single primitive
+    * loop with no intermediate array, which matters because this is
+    * evaluated once per CANDIDATE PAIR in every similarity operator.
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    call_function("graft_dot_long", a, b)
 
   /** Cosine from quantized vectors (double division of exact ints). */
   def cosineQ(a: Column, b: Column, na: Column, nb: Column): Column =
@@ -80,12 +85,12 @@ object Similarity {
     */
   def hyperplaneBucket(q: Column, planes: Int = 16, dim: Int = 64): Column =
     (0 until planes).map { j =>
-      val coeffs = array((0 until dim).map { i =>
-        lit(((1103515245L * (j * dim + i) + 12345L) % 2147483648L) % 21 - 10)
-      }: _*)
-      val dot = aggregate(zip_with(q, coeffs, (x, y) => x * y),
-        lit(0L), (a, x) => a + x)
-      when(dot > 0, lit(1L << j)).otherwise(0L)
+      // typedLit → a single ArrayData literal; the per-row work is just
+      // the native dot, not re-materializing the coefficient array
+      val coeffs = typedLit((0 until dim).map { i =>
+        ((1103515245L * (j * dim + i) + 12345L) % 2147483648L) % 21 - 10
+      }.toArray)
+      when(dotQ(q, coeffs) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
   /** Label-free near-dup via hyperplane LSH: bucket on the signature,

@@ -46,6 +46,19 @@ object TextOps {
   /** Whitespace word array. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Hashed shingle SET: sorted distinct 28-bit hashes of the word
+    * n-grams. This is the per-pair currency of the near-dup verifiers:
+    * the md5 runs ONCE PER DOCUMENT here, and every candidate pair then
+    * intersects two sorted long arrays with the native two-pointer
+    * kernel (`graft_sorted_intersect_count`) — no string hashing, no
+    * per-pair allocation. Jaccard over the hashed sets equals Jaccard
+    * over the string sets up to 28-bit in-document collisions, which
+    * both engines reproduce identically (md5 on both sides).
+    */
+  def hashedShingleSet(text: Column, n: Int = 3): Column =
+    array_sort(array_distinct(transform(
+      array_distinct(shingles(text, n)), s => hash7(s))))
+
   /** Word n-gram shingles (default 3): one string per window. */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = words(text)
@@ -77,23 +90,25 @@ object TextOps {
   val P: Long = 2147483647L
   val bandsCount = 4 // 8 perms → 4 bands × 2 rows
 
-  /** Per-doc MinHash signatures sig0..sig7 via explode → hash once per
-    * shingle → 8 min-aggregates. The aggregation is map-side partial (min
-    * combines), so the shuffle carries 8 longs per doc — and the md5 is
-    * computed exactly once per shingle instead of once per permutation
-    * (projection collapse would inline an array-transform form 8×).
+  /** Per-doc MinHash signature columns sig0..sig7, computed ROW-LOCAL
+    * from a pre-hashed shingle-set column: sig_i = array_min((a_i·h +
+    * b_i) mod P). Because the expensive md5 already ran once per doc in
+    * [[hashedShingleSet]], the 8 permutations are cheap long arithmetic
+    * over a long array — no explode, no shuffle, no aggregation. (An
+    * earlier form exploded shingles and min-aggregated; that shuffles
+    * |corpus|·|shingles| rows where this shuffles nothing.) Empty set →
+    * null signatures (array_min of empty), which downstream banding
+    * filters out.
     */
-  def minhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles(col(textCol)))).as("s"))
-      .withColumn("h", hash7(col("s")))
-    ex.groupBy("doc_id").agg(
-      min((lit(minhashPerms.head._1) * col("h") + lit(minhashPerms.head._2)) % P).as("sig0"),
-      minhashPerms.zipWithIndex.tail.map { case ((a, b), i) =>
-        min((lit(a) * col("h") + lit(b)) % P).as(s"sig$i")
-      }: _*)
-  }
+  def sigCols(hset: Column): Seq[Column] =
+    minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(hset, h => (lit(a) * h + lit(b)) % P)).as(s"sig$i")
+    }
+
+  /** Per-doc MinHash signatures sig0..sig7 (row-local; see [[sigCols]]). */
+  def minhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id") +:
+      sigCols(hashedShingleSet(col(textCol))): _*)
 
   /** Banded LSH candidate pairs + exact Jaccard verification.
     *
@@ -105,27 +120,22 @@ object TextOps {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // The shingle projection feeds three consumers (signatures + both
-    // sides of the Jaccard verify join); persist it so the split/slice/
-    // concat work happens once, not per consumer. MEMORY_AND_DISK: at
-    // corpus scale the shingle arrays spill instead of OOMing — and if
-    // executors are storage-tight the blocks just recompute, which is the
-    // pre-cache behavior. Registered for TextOps.clearCaches() so
-    // long-lived sessions can release the blocks after materialization.
+    // The HASHED shingle-set projection feeds three consumers
+    // (signatures + both sides of the Jaccard verify join); persist it so
+    // the split/slice/concat/md5 work happens once, not per consumer —
+    // and so the verify join intersects sorted long arrays (native
+    // kernel), not string sets. MEMORY_AND_DISK: at corpus scale the
+    // arrays spill instead of OOMing — and if executors are
+    // storage-tight the blocks just recompute, which is the pre-cache
+    // behavior. Registered for TextOps.clearCaches() so long-lived
+    // sessions can release the blocks after materialization.
     val shsets = df.select(col(idCol).as("doc_id"),
-      array_distinct(shingles(col(textCol))).as("shset"))
+      hashedShingleSet(col(textCol)).as("shset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedFrames.add(shsets)
-    val ex = shsets
-      .select(col("doc_id"), explode(col("shset")).as("s"))
-      .withColumn("h", hash7(col("s")))
-    val sigsAgg = ex.groupBy("doc_id").agg(
-      min((lit(minhashPerms.head._1) * col("h") + lit(minhashPerms.head._2)) % P).as("sig0"),
-      minhashPerms.zipWithIndex.tail.map { case ((a, b), i) =>
-        min((lit(a) * col("h") + lit(b)) % P).as(s"sig$i")
-      }: _*)
-    val sig = shsets.select(col("doc_id"))
-      .join(sigsAgg, Seq("doc_id"), "left_outer")
+    // signatures are row-local over the cached hashed sets (sigCols) —
+    // no explode, no shuffle, no join-back
+    val sig = shsets.select(col("doc_id") +: sigCols(col("shset")): _*)
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bandsCount).map { j =>
         struct(lit(j).as("band"),
@@ -143,7 +153,8 @@ object TextOps {
         .withColumnRenamed("shset", "sa"), Seq("a"))
       .join(shsets.withColumnRenamed("doc_id", "b")
         .withColumnRenamed("shset", "sb"), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("inter",
+        call_function("graft_sorted_intersect_count", col("sa"), col("sb")))
       .withColumn("jaccard",
         col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
     val perDoc = pairs.select(col("a").as("doc_id"), col("b").as("partner"), col("jaccard"))
@@ -206,13 +217,21 @@ object TextOps {
   def ngramJaccardBest(df: DataFrame, idCol: String, textCol: String,
                        blockCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Hashed-set currency (see hashedShingleSet): the shingle/md5 work
+    // runs once per doc in a persisted projection shared by both sides
+    // of the self-join; each candidate pair then costs one native
+    // two-pointer intersect over sorted longs instead of a per-pair
+    // string hash set.
     val base = df.select(Seq(col(idCol).as("doc_id"),
-      array_distinct(shingles(col(textCol))).as("sh")) ++
+      hashedShingleSet(col(textCol)).as("sh")) ++
       blockCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(base)
     val cond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
       .reduce(_ && _) && col("x.doc_id") < col("y.doc_id")
     val pairs = base.as("x").join(base.as("y"), cond)
-      .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))))
+      .withColumn("inter",
+        call_function("graft_sorted_intersect_count", col("x.sh"), col("y.sh")))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         (col("inter") /
           (size(col("x.sh")) + size(col("y.sh")) - col("inter"))).as("jaccard"))

@@ -65,4 +65,62 @@ class ExpressionSpec extends AnyFunSuite {
       .select(expr("graft_to_number_native(s)").as("v"))
     assert(df.collect().forall(_.isNullAt(0)))
   }
+
+  test("graft_sorted_intersect_count == size(array_intersect) on random sets") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { _ =>
+      val a = (0 until rnd.nextInt(50)).map(_ => rnd.nextInt(60).toLong)
+      val b = (0 until rnd.nextInt(50)).map(_ => rnd.nextInt(60).toLong)
+      (a.distinct.sorted.toArray, b.distinct.sorted.toArray)
+    }
+    val df = rows.toDF("a", "b").select(
+      call_function("graft_sorted_intersect_count", col("a"), col("b")).as("n"),
+      size(array_intersect(col("a"), col("b"))).as("want"))
+    assert(df.collect().forall(r => r.getInt(0) == r.getInt(1)))
+  }
+
+  test("graft_dot_long == aggregate(zip_with) and handles null/mismatch") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 100).map { _ =>
+      ((0 until 64).map(_ => rnd.nextInt(2001).toLong - 1000).toArray,
+       (0 until 64).map(_ => rnd.nextInt(2001).toLong - 1000).toArray)
+    }
+    val df = rows.toDF("a", "b").select(
+      call_function("graft_dot_long", col("a"), col("b")).as("got"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("want"))
+    assert(df.collect().forall(r => r.getLong(0) == r.getLong(1)))
+    // length mismatch → null (zip_with pads with null and nulls the sum)
+    val mm = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+      .select(call_function("graft_dot_long", col("a"), col("b")))
+    assert(mm.collect().head.isNullAt(0))
+    // null input → null
+    val nn = Seq((Some(Array(1L)), Option.empty[Array[Long]])).toDF("a", "b")
+      .select(call_function("graft_dot_long", col("a"), col("b")))
+    assert(nn.collect().head.isNullAt(0))
+  }
+
+  test("array kernels stay inside WholeStageCodegen") {
+    val strict = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(50)
+        .selectExpr("sequence(0L, id % 10) AS a", "sequence(0L, 5L) AS b")
+        .selectExpr("graft_sorted_intersect_count(a, b) AS n",
+          "graft_dot_long(b, b) AS d")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1) Project"), plan)
+      // sequence(0, k) ∩ sequence(0, 5) = min(k, 5) + 1 elements
+      val got = spark.range(50)
+        .selectExpr("graft_sorted_intersect_count(sequence(0L, id % 10), sequence(0L, 5L)) AS n",
+          "id % 10 AS k")
+        .collect().map(r => (r.getLong(1), r.getInt(0)))
+      assert(got.forall { case (k, n) => n == math.min(k, 5) + 1 })
+      // dot(b, b) with b = [0..5] → Σ i² = 55
+      assert(df.collect().forall(_.getLong(1) == 55L))
+    } finally strict match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
 }
