@@ -1617,15 +1617,409 @@ object SourceProfiles {
         "currency", "availability", "listed_date")
   }
 
+  /** Third profile correctness query: luxindoproperty, rajavillaproperty,
+    * unrealbali, suasarealestate, tealestate, balirealty — including
+    * unrealbali's yield-inside-if row gate (rows whose calendar cell
+    * parses to years are never emitted), suasa/balirealty's
+    * null-contract gates, raja's title-location repair and glue-strip
+    * guard, and teal's missing-contract → Delisted fixup.
+    */
+  def q60SourceProfiles3(s: SparkSession, d: String): DataFrame = {
+    val asOf = LocalDate.of(2026, 1, 1)
+    val k = col("p_partkey").cast("string")
+    val m = col("p_partkey") % 6
+    val sz = col("p_size")
+    val raw = Tables.part(s, d).select(
+      when(m === 0, concat(lit("https://lx.example/"), k))
+        .when(m === 1, concat(lit("https://rv.example/"), k))
+        .when(m === 2, concat(lit("https://ur.example/"), k))
+        .when(m === 3, concat(lit("https://sv2.example/villa/"), k))
+        .when(m === 4, concat(lit("https://te.example/"), k))
+        .otherwise(concat(lit("https://br.example/"), k)).as("url"),
+      when(m === 0, "luxindoproperty").when(m === 1, "rajavillaproperty")
+        .when(m === 2, "unrealbali").when(m === 3, "suasarealestate")
+        .when(m === 4, "tealestate").otherwise("balirealty").as("source"),
+      when(m === 0, lit("Luxindo Villa"))
+        .when(m === 1, when(sz % 3 === 0, "Leasehold villa in Seminyak - Raja")
+          .otherwise("Villa Indah"))
+        .when(m === 2, lit("Unreal Villa"))
+        .when(m === 3, lit("Villa Asri in Ubud"))
+        .when(m === 4, lit("Teal Villa"))
+        .otherwise(lit("Realty Villa")).as("raw_title"),
+      when(m === 0, lit("AltLoc"))
+        .when(m === 4, when(sz % 7 === 0, "Sold"))
+        .when(m === 5, lit("sale pending")).as("alt_title"),
+      when(m === 0, when(sz % 2 === 0, "Sanur"))
+        .when(m === 1, when(sz % 2 === 0, "Canggu"))
+        .when(m === 2 || m === 4 || m === 5,
+          concat(lit("Area"), sz.cast("string"))).as("raw_location"),
+      when(m === 0, when(sz % 2 === 0, "Leasehold").otherwise(""))
+        .when(m === 1, when(sz % 7 === 0, "Featured,Sold"))
+        .when(m === 2, when(sz % 7 === 0, "Sold,Leasehold")
+          .when(sz % 2 === 0, "Leasehold").otherwise("Freehold"))
+        .when(m === 3, when(sz % 6 === 0, lit(null))
+          .when(sz % 2 === 0, "Leasehold").otherwise("Freehold"))
+        .when(m === 4, when(sz % 4 === 0, lit(null)).otherwise("Freehold"))
+        .otherwise(when(sz % 5 === 0, lit(null))
+          .when(sz % 3 === 0, "For Sale").otherwise("Leasehold listing"))
+        .as("raw_contract"),
+      when(m === 0 || m === 2 || m === 5, lit("Villa")).as("raw_type"),
+      when(m === 1, lit("IDR 1,500,000,000"))
+        .when(m === 2, lit("USD 250,000"))
+        .when(m === 3, lit("IDR 2,000,000,000"))
+        .when(m === 4, lit("3,500,000,000"))
+        .when(m === 5, lit("IDR 1,750,000,000")).as("raw_price"),
+      when(m === 0, when(sz % 5 =!= 0, (col("p_partkey") * 11).cast("string")))
+        .as("json_price"),
+      when(m === 0, when(sz % 3 === 0, "usd")).as("json_currency"),
+      when(m === 0 || m === 2, lit("3"))
+        .when(m === 1 || m === 4, lit("2"))
+        .otherwise(lit("3")).as("raw_beds"),
+      when(m === 0, lit(null).cast("string"))
+        .when(m === 1 || m === 4, lit("1")).otherwise(lit("2")).as("raw_baths"),
+      when(m === 0 || m === 3 || m === 5, lit("450"))
+        .when(m === 1, when(sz % 4 =!= 0, "400"))
+        .when(m === 2 || m === 4, lit("400-500")).as("raw_land"),
+      when(m === 0 || m === 3 || m === 5, lit("250"))
+        .when(m === 1, lit("200"))
+        .when(m === 2, lit("100/200"))
+        .when(m === 4, lit("150,5")).as("raw_build"),
+      lit(null).cast("string").as("raw_image"),
+      when(m === 2, when(sz % 3 === 0, "leasehold 30 years").otherwise("plain"))
+        .when(m === 5, when(sz % 2 === 1, "leasehold 30 years").otherwise("plain"))
+        .otherwise(lit("plain")).as("raw_desc"),
+      when(m === 0, concat(lit("LX"), k)).when(m === 1, concat(lit("RV"), k))
+        .when(m === 2, concat(lit("UR"), k)).when(m === 3, concat(lit("SS"), k))
+        .when(m === 4, concat(lit("TE"), k))
+        .otherwise(concat(lit("BR"), k)).as("raw_pid"),
+      when(m === 0, lit("25 years"))
+        .when(m === 1, when(sz % 3 === 0, "25 years"))
+        .when(m === 2, when(sz % 5 === 0, "30/40"))
+        .when(m === 3, when(sz % 7 === 0, "Sold"))
+        .when(m === 4, lit("25 years"))
+        .when(m === 5, when(sz % 7 === 0, "Yes")).as("lease_text"),
+      when(m === 3, lit("25 years")).as("table_leasing"),
+      when(m === 0, lit("2023-05-04"))
+        .when(m === 1, lit("{\"datePublished\":\"2023-05-04\"}"))
+        .when(m === 2, lit("2023-05-04"))
+        .when(m === 3, lit("{\"datePublished\":\"2023-06-15\"}"))
+        .when(m === 4, lit("{\"datePublished\":\"2023-07-20\"}"))
+        .otherwise(lit("{\"datePublished\":\"2023-05-04T10:00:00+08:00\"}"))
+        .as("raw_date"))
+    standardize(raw, asOf, Set("luxindoproperty", "rajavillaproperty",
+      "unrealbali", "suasarealestate", "tealestate", "balirealty"))
+      .select("url", "source", "title", "property_id",
+        "location", "contract_type", "property_type", "leasehold_years",
+        "bedrooms", "bathrooms", "land_size", "build_size", "price",
+        "currency", "availability", "listed_date", "description")
+  }
+
+  /** Fourth profile correctness query: balitreasureproperties,
+    * balihomeimmo, balipropertiesforsale, propertiabali,
+    * balirealestateconsultants, baliexception — including treasure's
+    * "None, None" f-string location + type-appended-contract + N/A title,
+    * bpfs's case-sensitive "lease" probe and Sold -1 price default,
+    * consultants' expiration-delta years + equal-sizes build drop +
+    * title-bedroom backfill, and exception's en-dash range chains +
+    * pipe-segment location.
+    */
+  def q61SourceProfiles4(s: SparkSession, d: String): DataFrame = {
+    val asOf = LocalDate.of(2026, 1, 1)
+    val k = col("p_partkey").cast("string")
+    val m = col("p_partkey") % 6
+    val sz = col("p_size")
+    val raw = Tables.part(s, d).select(
+      when(m === 0, concat(lit("https://bt.example/"), k))
+        .when(m === 1, concat(lit("https://bh.example/"), k))
+        .when(m === 2, concat(lit("https://bp.example/"), k))
+        .when(m === 3, concat(lit("https://pb.example/"), k))
+        .when(m === 4, concat(lit("https://bc.example/"), k))
+        .otherwise(concat(lit("https://be.example/"), k)).as("url"),
+      when(m === 0, "balitreasureproperties").when(m === 1, "balihomeimmo")
+        .when(m === 2, "balipropertiesforsale").when(m === 3, "propertiabali")
+        .when(m === 4, "balirealestateconsultants")
+        .otherwise("baliexception").as("source"),
+      when(m === 0, when(sz % 4 =!= 0, "Treasure Villa"))
+        .when(m === 1, concat(lit("Immo Villa - BH"), k))
+        .when(m === 2, lit("Villa in Nusa Dua"))
+        .when(m === 3, lit("Propertia Villa"))
+        .when(m === 4, lit("Consult Villa 2 Bedrooms"))
+        .otherwise(when(sz % 6 =!= 0,
+          when(sz % 3 === 0, "Leasehold Villa | Pererenan")
+            .otherwise("Villa in Umalas"))).as("raw_title"),
+      when(m === 0, when(sz % 3 === 0, "Umalas"))
+        .when(m === 3, when(sz % 7 === 0, "Sold out"))
+        .when(m === 4, when(sz % 7 === 0, "Sold")).as("alt_title"),
+      when(m === 0, lit("Badung"))
+        .when(m === 1 || m === 4, concat(lit("Area"), sz.cast("string")))
+        .when(m === 2, when(sz % 4 =!= 0, "Kuta"))
+        .when(m === 3, concat(lit("Area"), sz.cast("string")))
+        .when(m === 5, when(sz % 2 === 0, "Canggu")).as("raw_location"),
+      when(m === 0, when(sz % 5 === 0, lit(null))
+        .when(sz % 2 === 0, "Leasehold sale").otherwise("Sale"))
+        .when(m === 1, when(sz % 3 === 0, "Leasehold badge")
+          .when(sz % 3 === 1, "Freehold badge"))
+        .when(m === 2, when(sz % 5 === 0, lit(null))
+          .when(sz % 2 === 0, "leasehold").otherwise("Freehold"))
+        .when(m === 3, when(sz % 2 === 0, "Freehold Land Plot")
+          .otherwise("Leasehold Villa Property")).as("raw_contract"),
+      when(m === 0, lit("villa unit"))
+        .when(m === 2, lit("Villa,Luxury"))
+        .when(m === 5, when(sz % 4 === 0, "Land")).as("raw_type"),
+      when(m === 1, lit("2,500,000,000"))
+        .when(m === 3, lit("Rp 3.000.000.000"))
+        .when(m === 4, lit("USD 450,000"))
+        .when(m === 5, lit("USD 500,000")).as("raw_price"),
+      when(m === 0, (col("p_partkey") * 9).cast("string"))
+        .when(m === 2, when(sz % 3 =!= 0, (col("p_partkey") * 13).cast("string")))
+        .as("json_price"),
+      when(m === 0, lit("usd")).when(m === 1, lit("Rp"))
+        .when(m === 2, lit("USD")).as("json_currency"),
+      when(m === 0, lit("3")).when(m === 1, lit("2"))
+        .when(m === 2, lit("3")).when(m === 3, lit("4"))
+        .when(m === 4, when(sz % 3 === 0, "0").otherwise("3"))
+        .otherwise(when(sz % 5 =!= 0, "3–4")).as("raw_beds"),
+      when(m === 0 || m === 4, lit("2")).when(m === 1, lit("1"))
+        .when(m === 2, lit("2,5")).when(m === 3, lit("3"))
+        .otherwise(lit("2/3")).as("raw_baths"),
+      when(m === 0, lit("450")).when(m === 1, lit("400"))
+        .when(m === 2, lit("450")).when(m === 3, lit("5.5 are"))
+        .when(m === 4, lit("400-500 m2"))
+        .otherwise(lit("600–700")).as("raw_land"),
+      when(m === 0, lit("250")).when(m === 1, lit("200"))
+        .when(m === 2, lit("250,5")).when(m === 3, lit("2,5 are"))
+        .when(m === 4, when(sz % 5 === 0, "500").otherwise("250"))
+        .otherwise(lit("300")).as("raw_build"),
+      lit(null).cast("string").as("raw_image"),
+      when(m === 3, when(sz % 3 === 0, "leasehold 30 years").otherwise("plain"))
+        .otherwise(lit("plain")).as("raw_desc"),
+      when(m === 0, concat(lit("BT"), k)).when(m === 2, concat(lit("BP"), k))
+        .when(m === 3, concat(lit("PB"), k)).when(m === 4, concat(lit("BC"), k))
+        .when(m === 5, concat(lit("BE"), k)).as("raw_pid"),
+      when(m === 0, lit("25"))
+        .when(m === 1, when(sz % 7 === 0, "yes"))
+        .when(m === 2, lit("25"))
+        .when(m === 4, lit("2051"))
+        .when(m === 5, lit("25+")).as("lease_text"),
+      when(m === 0, when(sz % 7 === 0, "Sold"))
+        .when(m === 1, lit("30"))
+        .when(m === 2, when(sz % 7 === 0, "yes"))
+        .when(m === 4, when(sz % 6 === 0, "0").when(sz % 2 === 0, "25"))
+        .as("table_leasing"),
+      when(m === 0, lit("2023-05-04T10:00:00"))
+        .when(m === 2, lit("2023-05-04 10:00:00"))
+        .when(m === 3, lit("{\"datePublished\":\"2023-08-10\"}")).as("raw_date"))
+    standardize(raw, asOf, Set("balitreasureproperties", "balihomeimmo",
+      "balipropertiesforsale", "propertiabali", "balirealestateconsultants",
+      "baliexception"))
+      .select("url", "source", "title", "property_id",
+        "location", "contract_type", "property_type", "leasehold_years",
+        "bedrooms", "bathrooms", "land_size", "build_size", "price",
+        "currency", "availability", "listed_date", "description")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_source_profiles" -> (q55SourceProfiles _),
-    "q59_source_profiles2" -> (q59SourceProfiles2 _))
+    "q59_source_profiles2" -> (q59SourceProfiles2 _),
+    "q60_source_profiles3" -> (q60SourceProfiles3 _),
+    "q61_source_profiles4" -> (q61SourceProfiles4 _))
 
   /** The oracle mirrors what each profile must produce for the synthesized
     * inputs: the string synthesis collapses, so every output field is a
     * CASE over the same modulus classes the Spark side synthesizes from.
     */
   val oracle: Map[String, String] = Map(
+    "q60_source_profiles3" ->
+      """WITH base AS (SELECT p_partkey AS k, p_partkey % 6 AS m, p_size AS sz
+        |  FROM part
+        |  WHERE NOT (p_partkey % 6 = 2 AND p_size % 5 = 0)
+        |    AND NOT (p_partkey % 6 = 3 AND p_size % 6 = 0)
+        |    AND NOT (p_partkey % 6 = 5 AND p_size % 5 = 0))
+        |SELECT
+        |  CASE WHEN m = 0 THEN 'https://lx.example/' || k
+        |       WHEN m = 1 THEN 'https://rv.example/' || k
+        |       WHEN m = 2 THEN 'https://ur.example/' || k
+        |       WHEN m = 3 THEN 'https://sv2.example/villa/' || k
+        |       WHEN m = 4 THEN 'https://te.example/' || k
+        |       ELSE 'https://br.example/' || k END AS url,
+        |  CASE WHEN m = 0 THEN 'luxindoproperty' WHEN m = 1 THEN 'rajavillaproperty'
+        |       WHEN m = 2 THEN 'unrealbali' WHEN m = 3 THEN 'suasarealestate'
+        |       WHEN m = 4 THEN 'tealestate' ELSE 'balirealty' END AS source,
+        |  CASE WHEN m = 0 THEN 'Luxindo Villa'
+        |       WHEN m = 1 THEN CASE WHEN sz % 3 = 0
+        |            THEN 'Leasehold villa in Seminyak - Raja'
+        |            ELSE 'Villa Indah' END
+        |       WHEN m = 2 THEN 'Unreal Villa'
+        |       WHEN m = 3 THEN 'Villa Asri in Ubud'
+        |       WHEN m = 4 THEN 'Teal Villa'
+        |       ELSE 'Realty Villa' END AS title,
+        |  CASE WHEN m = 0 THEN 'LX' || k WHEN m = 1 THEN 'RV' || k
+        |       WHEN m = 2 THEN 'UR' || k WHEN m = 3 THEN 'SS' || k
+        |       WHEN m = 4 THEN 'TE' || k ELSE 'BR' || k END AS property_id,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 2 = 0 THEN 'Sanur' ELSE 'AltLoc' END
+        |       WHEN m = 1 THEN CASE WHEN sz % 2 = 0 THEN 'Canggu'
+        |            WHEN sz % 3 = 0 THEN 'Seminyak' END
+        |       WHEN m = 3 THEN 'Ubud'
+        |       ELSE 'Area' || sz END AS location,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 2 = 0 THEN 'Leasehold' ELSE 'Freehold' END
+        |       WHEN m = 1 THEN
+        |         CASE WHEN sz % 3 = 0 THEN 'Leasehold' ELSE 'Freehold' END
+        |       WHEN m = 2 THEN CASE WHEN sz % 7 = 0 OR sz % 2 = 0
+        |            THEN 'Leasehold' ELSE 'Freehold' END
+        |       WHEN m = 3 THEN
+        |         CASE WHEN sz % 2 = 0 THEN 'Leasehold' ELSE 'Freehold' END
+        |       WHEN m = 4 THEN
+        |         CASE WHEN sz % 4 = 0 THEN NULL ELSE 'Freehold' END
+        |       ELSE CASE WHEN sz % 3 = 0 THEN 'Freehold'
+        |            ELSE 'Leasehold' END END AS contract_type,
+        |  'Villa' AS property_type,
+        |  CAST(CASE WHEN m = 0 THEN CASE WHEN sz % 2 = 0 THEN 25 END
+        |       WHEN m = 1 THEN CASE WHEN sz % 3 = 0 THEN 25 END
+        |       WHEN m = 2 THEN CASE WHEN sz % 3 = 0 THEN 30 END
+        |       WHEN m = 3 THEN CASE WHEN sz % 2 = 0 THEN 25 END
+        |       WHEN m = 4 THEN 25
+        |       ELSE CASE WHEN sz % 2 = 1 THEN 30 END END AS DOUBLE)
+        |    AS leasehold_years,
+        |  CAST(CASE WHEN m = 1 OR m = 4 THEN 2 ELSE 3 END AS DOUBLE)
+        |    AS bedrooms,
+        |  CAST(CASE WHEN m = 0 THEN NULL WHEN m = 1 OR m = 4 THEN 1
+        |       ELSE 2 END AS DOUBLE) AS bathrooms,
+        |  CAST(CASE WHEN m = 0 OR m = 3 OR m = 5 THEN 450
+        |       WHEN m = 1 THEN CASE WHEN sz % 4 = 0 THEN NULL ELSE 400 END
+        |       ELSE 500 END AS DOUBLE) AS land_size,
+        |  CAST(CASE WHEN m = 0 OR m = 3 OR m = 5 THEN 250
+        |       WHEN m = 1 OR m = 2 THEN 200
+        |       ELSE 150.5 END AS DOUBLE) AS build_size,
+        |  CAST(CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 5 = 0 THEN -1 ELSE k * 11 END
+        |       WHEN m = 1 THEN 1500000000
+        |       WHEN m = 2 THEN 250000
+        |       WHEN m = 3 THEN 2000000000
+        |       WHEN m = 4 THEN 3500000000
+        |       ELSE 1750000000 END AS DOUBLE) AS price,
+        |  CASE WHEN m = 0 THEN CASE WHEN sz % 3 = 0 THEN 'USD' ELSE 'IDR' END
+        |       WHEN m = 2 THEN 'USD' ELSE 'IDR' END AS currency,
+        |  CASE WHEN m = 0 THEN 'Available'
+        |       WHEN m = 4 THEN CASE WHEN sz % 4 = 0 THEN 'Delisted'
+        |            WHEN sz % 7 = 0 THEN 'Sold' ELSE 'Available' END
+        |       ELSE CASE WHEN sz % 7 = 0 THEN 'Sold'
+        |            ELSE 'Available' END END AS availability,
+        |  CASE WHEN m = 0 THEN '2023-05-04'
+        |       WHEN m = 1 OR m = 2 THEN '05/04/23'
+        |       WHEN m = 3 THEN '06/15/23'
+        |       WHEN m = 4 THEN '07/20/23'
+        |       ELSE '05/04/2023' END AS listed_date,
+        |  CASE WHEN m = 2 THEN CASE WHEN sz % 3 = 0
+        |            THEN 'leasehold 30 years' ELSE 'plain' END
+        |       WHEN m = 5 THEN CASE WHEN sz % 2 = 1
+        |            THEN 'leasehold 30 years' ELSE 'plain' END
+        |       ELSE 'plain' END AS description
+        |FROM base""".stripMargin,
+    "q61_source_profiles4" ->
+      """WITH base AS (SELECT p_partkey AS k, p_partkey % 6 AS m, p_size AS sz
+        |  FROM part
+        |  WHERE NOT (p_partkey % 6 = 0 AND p_size % 5 = 0)
+        |    AND NOT (p_partkey % 6 = 2 AND p_size % 5 = 0)
+        |    AND NOT (p_partkey % 6 = 5 AND p_size % 6 = 0))
+        |SELECT
+        |  CASE WHEN m = 0 THEN 'https://bt.example/' || k
+        |       WHEN m = 1 THEN 'https://bh.example/' || k
+        |       WHEN m = 2 THEN 'https://bp.example/' || k
+        |       WHEN m = 3 THEN 'https://pb.example/' || k
+        |       WHEN m = 4 THEN 'https://bc.example/' || k
+        |       ELSE 'https://be.example/' || k END AS url,
+        |  CASE WHEN m = 0 THEN 'balitreasureproperties'
+        |       WHEN m = 1 THEN 'balihomeimmo'
+        |       WHEN m = 2 THEN 'balipropertiesforsale'
+        |       WHEN m = 3 THEN 'propertiabali'
+        |       WHEN m = 4 THEN 'balirealestateconsultants'
+        |       ELSE 'baliexception' END AS source,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 4 = 0 THEN 'N/A' ELSE 'Treasure Villa' END
+        |       WHEN m = 1 THEN 'Immo Villa - BH' || k
+        |       WHEN m = 2 THEN 'Villa in Nusa Dua'
+        |       WHEN m = 3 THEN 'Propertia Villa'
+        |       WHEN m = 4 THEN 'Consult Villa 2 Bedrooms'
+        |       ELSE CASE WHEN sz % 3 = 0 THEN 'Leasehold Villa | Pererenan'
+        |            ELSE 'Villa in Umalas' END END AS title,
+        |  CASE WHEN m = 0 THEN 'BT' || k WHEN m = 1 THEN 'BH' || k
+        |       WHEN m = 2 THEN 'BP' || k WHEN m = 3 THEN 'PB' || k
+        |       WHEN m = 4 THEN 'BC' || k ELSE 'BE' || k END AS property_id,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 3 = 0 THEN 'Umalas, Badung'
+        |              ELSE 'None, Badung' END
+        |       WHEN m = 2 THEN
+        |         CASE WHEN sz % 4 = 0 THEN 'Nusa Dua' ELSE 'Kuta' END
+        |       WHEN m = 5 THEN CASE WHEN sz % 2 = 0 THEN 'Canggu'
+        |            WHEN sz % 3 = 0 THEN 'Pererenan' ELSE 'Umalas' END
+        |       ELSE 'Area' || sz END AS location,
+        |  CASE WHEN m = 0 THEN
+        |         CASE WHEN sz % 4 = 0 THEN
+        |           CASE WHEN sz % 2 = 0 THEN 'Leasehold' ELSE 'Freehold' END
+        |         ELSE CASE WHEN sz % 2 = 0 THEN 'Leasehold Villa'
+        |              ELSE 'Freehold Villa' END END
+        |       WHEN m = 1 THEN CASE WHEN sz % 3 = 0 THEN 'Leasehold'
+        |            WHEN sz % 3 = 1 THEN 'Freehold' END
+        |       WHEN m = 2 THEN
+        |         CASE WHEN sz % 2 = 0 THEN 'leasehold' ELSE 'Freehold' END
+        |       WHEN m = 3 THEN
+        |         CASE WHEN sz % 2 = 0 THEN 'Freehold' ELSE 'Leasehold' END
+        |       WHEN m = 4 THEN
+        |         CASE WHEN sz % 2 = 0 THEN 'Leasehold' ELSE 'Freehold' END
+        |       ELSE CASE WHEN sz % 3 = 0 THEN 'Leasehold'
+        |            ELSE 'Freehold' END END AS contract_type,
+        |  CASE WHEN m = 0 THEN NULL
+        |       WHEN m = 3 THEN
+        |         CASE WHEN sz % 2 = 0 THEN 'Land' ELSE 'Villa' END
+        |       WHEN m = 5 THEN
+        |         CASE WHEN sz % 4 = 0 THEN 'Land' ELSE 'Villa' END
+        |       ELSE 'Villa' END AS property_type,
+        |  CAST(CASE WHEN m = 0 THEN CASE WHEN sz % 2 = 0 THEN 25 END
+        |       WHEN m = 1 THEN CASE WHEN sz % 3 = 0 THEN 30 END
+        |       WHEN m = 2 THEN CASE WHEN sz % 2 = 0 THEN 25 END
+        |       WHEN m = 3 THEN
+        |         CASE WHEN sz % 2 = 1 AND sz % 3 = 0 THEN 30 END
+        |       WHEN m = 4 THEN CASE WHEN sz % 2 = 0 THEN 25 END
+        |       ELSE 25 END AS DOUBLE) AS leasehold_years,
+        |  CAST(CASE WHEN m = 0 OR m = 2 THEN 3 WHEN m = 1 THEN 2
+        |       WHEN m = 3 THEN 4
+        |       WHEN m = 4 THEN CASE WHEN sz % 3 = 0 THEN 2 ELSE 3 END
+        |       ELSE CASE WHEN sz % 5 = 0 THEN NULL ELSE 4 END END AS DOUBLE)
+        |    AS bedrooms,
+        |  CAST(CASE WHEN m = 0 OR m = 4 THEN 2 WHEN m = 1 THEN 1
+        |       WHEN m = 2 THEN 2.5 WHEN m = 3 THEN 3
+        |       ELSE 3 END AS DOUBLE) AS bathrooms,
+        |  CAST(CASE WHEN m = 0 OR m = 2 THEN 450 WHEN m = 1 THEN 400
+        |       WHEN m = 3 THEN 550 WHEN m = 4 THEN 500
+        |       ELSE 700 END AS DOUBLE) AS land_size,
+        |  CAST(CASE WHEN m = 0 THEN 250 WHEN m = 1 THEN 200
+        |       WHEN m = 2 THEN 250.5 WHEN m = 3 THEN 250
+        |       WHEN m = 4 THEN CASE WHEN sz % 5 = 0 THEN NULL ELSE 250 END
+        |       ELSE 300 END AS DOUBLE) AS build_size,
+        |  CAST(CASE WHEN m = 0 THEN k * 9
+        |       WHEN m = 1 THEN 2500000000
+        |       WHEN m = 2 THEN CASE WHEN sz % 3 = 0 THEN
+        |           CASE WHEN sz % 7 = 0 THEN -1 ELSE NULL END
+        |         ELSE k * 13 END
+        |       WHEN m = 3 THEN 3000000000
+        |       WHEN m = 4 THEN 450000
+        |       ELSE 500000 END AS DOUBLE) AS price,
+        |  CASE WHEN m = 0 OR m = 2 OR m = 4 OR m = 5 THEN 'USD'
+        |       ELSE 'IDR' END AS currency,
+        |  CASE WHEN m = 0 THEN CASE WHEN sz % 4 = 0 THEN 'Delisted'
+        |            WHEN sz % 7 = 0 THEN 'Sold' ELSE 'Available' END
+        |       WHEN m = 5 THEN 'Available'
+        |       ELSE CASE WHEN sz % 7 = 0 THEN 'Sold'
+        |            ELSE 'Available' END END AS availability,
+        |  CASE WHEN m = 0 THEN '2023-05-04'
+        |       WHEN m = 2 THEN '05/04/23'
+        |       WHEN m = 3 THEN '08/10/23' END AS listed_date,
+        |  CASE WHEN m = 3 THEN CASE WHEN sz % 3 = 0
+        |            THEN 'leasehold 30 years' ELSE 'plain' END
+        |       ELSE 'plain' END AS description
+        |FROM base""".stripMargin,
     "q59_source_profiles2" ->
       """WITH base AS (SELECT p_partkey AS k, p_partkey % 6 AS m, p_size AS sz
         |  FROM part
