@@ -139,6 +139,81 @@ object SourceQueries {
     Merge.queueStatusSync(listings, queue, "1998-06-01")
   }
 
+  /** §2.1 upload→queue filter chain (data_routes.py:70-157): Available
+    * rows only, null/non-http/blacklisted urls dropped (http:// without
+    * the s never yields a domain — kept via the null-domain branch,
+    * faithfully), anti-join against the queue, dedup.
+    */
+  def q62UploadQueue(s: SparkSession, d: String): DataFrame = {
+    val lk = col("l_orderkey")
+    val upload = Tables.lineitem(s, d).select(
+      when(lk % 7 === 0, lit(null).cast("string"))
+        .when(lk % 11 === 0,
+          concat(lit("http://s9.x.com/p"), lk % 997))
+        .when(lk % 5 === 0, concat(lit("ftp://bad/"), lk % 997))
+        .otherwise(concat(lit("https://s"), col("l_suppkey") % 16,
+          lit(".x.com/p"), lk % 997)).as("Property Link"),
+      when(col("l_returnflag") === "N", "Available")
+        .otherwise("Sold").as("Availability"))
+    Sources.uploadQueueFilter(upload, queue(s, d), Seq("s3.x.com", "s7.x.com"))
+      .orderBy("url")
+  }
+
+  /** §2.4 dashboard report totals (report-table.jsx:92-126): sums +
+    * success-rate arithmetic, server-side.
+    */
+  def q63ReportTotals(s: SparkSession, d: String): DataFrame =
+    Analytics.reportTotals(Tables.events(s, d).select(
+      (col("event_id") % 100).as("success_count"),
+      (col("event_id") % 100).as("total_listings"),
+      (col("event_id") % 7).as("error_count"),
+      (col("event_id") % 50).as("duration")))
+
+  /** §2.8 required-field audit (local.py:4-44): per-row missing columns
+    * with the conditional exemptions (leasehold_years only when
+    * Leasehold, sold_at only when unavailable).
+    */
+  def q64MissingFields(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.orders(s, d).select(
+      concat(lit("p"), k).as("id"),
+      when(k % 3 === 0, lit(null).cast("string")).otherwise("T").as("title"),
+      when(k % 4 === 0, "").otherwise("L").as("location"),
+      when(k % 2 === 0, "Leasehold").otherwise("Freehold").as("contract_type"),
+      when(k % 5 === 0, lit(null).cast("double")).otherwise(25.0)
+        .as("leasehold_years"),
+      (k % 6 =!= 0).as("is_available"),
+      when(k % 7 === 0, lit(null).cast("timestamp"))
+        .otherwise(col("o_orderdate").cast("timestamp")).as("sold_at"))
+    rows.select(col("id"),
+      concat_ws(",", Quality.missingFields(rows,
+        Seq("title", "location", "leasehold_years", "sold_at"))).as("missing"))
+  }
+
+  /** §2.8 off-plan flag + land-zoning classification (property.py:61-68,
+    * 155-194): literal + normalized off-plan probes over title/desc/labels;
+    * zoning-sentence color scan (incl. the green-shadows-dark-green
+    * containment quirk) then category keywords, Land rows only.
+    */
+  def q65OffplanZoning(s: SparkSession, d: String): DataFrame = {
+    val title = when(k % 5 === 0, "Off Plan Villa")
+      .when(k % 5 === 1, "off-plan unit")
+      .when(k % 5 === 2, "Off the plan paradise")
+      .otherwise(lit("Villa"))
+    val desc = concat(
+      when(k % 7 === 0, "under construction now").otherwise(lit("plain")),
+      lit("\n"),
+      when(k % 3 === 0, "zoning: yellow area")
+        .when(k % 3 === 1, "zoning: dark green land")
+        .otherwise(lit("zoning for tourism")))
+    val labels = when(k % 11 === 0, array(lit("OffPlan")))
+      .otherwise(array(lit("For Sale")))
+    val ptype = when(k % 2 === 0, "Land").otherwise("Villa")
+    Tables.orders(s, d).select(
+      concat(lit("p"), k).as("id"),
+      Quality.checkOffPlan(title, desc, labels).as("is_off_plan"),
+      Quality.defineLandZoning(ptype, desc).as("zoning"))
+  }
+
   /** §2.6 queue pagination with filters (queue_routes.py:20-46), page 2. */
   def q49QueuePage(s: SparkSession, d: String): DataFrame =
     Analytics.queuePage(queue(s, d), Some("Available"), Some("s3.x.com"),
@@ -176,7 +251,11 @@ object SourceQueries {
     "q52_monthly_reid" -> (q52MonthlyReid _),
     "q56_tag_mark" -> (q56TagMark _),
     "q57_tag_detail" -> (q57TagDetail _),
-    "q58_queue_writeback" -> (q58QueueWriteback _))
+    "q58_queue_writeback" -> (q58QueueWriteback _),
+    "q62_upload_queue" -> (q62UploadQueue _),
+    "q63_report_totals" -> (q63ReportTotals _),
+    "q64_missing_fields" -> (q64MissingFields _),
+    "q65_offplan_zoning" -> (q65OffplanZoning _))
 
   /** Shared oracle fragment: the 13-rule tag fan-out over the props
     * fixture (mirrors Quality.issueRules; used by q48/q56/q57).
@@ -368,5 +447,58 @@ object SourceQueries {
         |FROM cur WHERE url NOT IN (SELECT url FROM crawled)""".stripMargin,
     "q52_monthly_reid" ->
       """SELECT '2026-07-01' AS date, count(*) AS n
-        |FROM orders WHERE o_orderkey % 10 < 8""".stripMargin)
+        |FROM orders WHERE o_orderkey % 10 < 8""".stripMargin,
+    "q62_upload_queue" -> (
+      s"""WITH $queueSql,
+         |u AS (
+         |  SELECT CASE WHEN l_orderkey % 7 = 0 THEN NULL
+         |         WHEN l_orderkey % 11 = 0
+         |           THEN 'http://s9.x.com/p' || (l_orderkey % 997)
+         |         WHEN l_orderkey % 5 = 0
+         |           THEN 'ftp://bad/' || (l_orderkey % 997)
+         |         ELSE 'https://s' || (l_suppkey % 16) || '.x.com/p'
+         |           || (l_orderkey % 997) END AS url,
+         |    CASE WHEN l_returnflag = 'N' THEN 'Available'
+         |         ELSE 'Sold' END AS avail
+         |  FROM lineitem),
+         |f AS (
+         |  SELECT DISTINCT url FROM u
+         |  WHERE avail = 'Available' AND url IS NOT NULL
+         |    AND url LIKE 'http%'
+         |    AND (NULLIF(regexp_extract(url, 'http[s]://(.*?)/', 1), '')
+         |           NOT IN ('s3.x.com', 's7.x.com')
+         |         OR NULLIF(regexp_extract(url, 'http[s]://(.*?)/', 1), '')
+         |           IS NULL))
+         |SELECT url FROM f WHERE url NOT IN (SELECT url FROM q)
+         |ORDER BY url""".stripMargin),
+    "q63_report_totals" ->
+      """WITH r AS (
+        |  SELECT CAST(sum(event_id % 100) AS BIGINT) AS sum_success,
+        |    CAST(sum(event_id % 100) AS BIGINT) AS sum_listings,
+        |    CAST(sum(event_id % 7) AS BIGINT) AS sum_errors,
+        |    CAST(sum(event_id % 50) AS BIGINT) AS sum_duration
+        |  FROM events)
+        |SELECT sum_success, sum_listings, sum_errors, sum_duration,
+        |  sum_success * 100.0 / (sum_listings + sum_errors) AS success_rate
+        |FROM r""".stripMargin,
+    "q64_missing_fields" ->
+      """SELECT 'p' || o_orderkey AS id,
+        |  coalesce(array_to_string(list_filter([
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'title' END,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN 'location' END,
+        |    CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 5 = 0
+        |         THEN 'leasehold_years' END,
+        |    CASE WHEN o_orderkey % 6 = 0 AND o_orderkey % 7 = 0
+        |         THEN 'sold_at' END],
+        |    x -> x IS NOT NULL), ','), '') AS missing
+        |FROM orders""".stripMargin,
+    "q65_offplan_zoning" ->
+      """SELECT 'p' || o_orderkey AS id,
+        |  (o_orderkey % 5 IN (0, 1, 2)) OR o_orderkey % 7 = 0
+        |    OR o_orderkey % 11 = 0 AS is_off_plan,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'Residential'
+        |         WHEN o_orderkey % 3 = 1 THEN 'Agricultural'
+        |         ELSE 'Tourism' END END AS zoning
+        |FROM orders""".stripMargin)
 }
