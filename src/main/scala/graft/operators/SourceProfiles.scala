@@ -47,6 +47,15 @@ object SourceProfiles {
 
   private def nullIfEmpty(c: Column): Column = nullif(c, lit(""))
 
+  /** The locale-heuristic numeric parse as the NATIVE codegen expression
+    * ([[graft.expressions.ToNumberExpr]], same kernel as Udfs.toNumber).
+    * Profiles evaluate this per candidate field per row — the native form
+    * keeps every per-source branch inside whole-stage codegen instead of
+    * fencing at a Scala-UDF serialization boundary 100+ times per plan.
+    */
+  private def toNum(c: Column): Column =
+    call_function("graft_to_number_native", c)
+
   /** A profile: ordered (target, expression) field candidates evaluated
     * over the raw selector columns, then ordered row-local fixups applied
     * sequentially (each sees the previous ones' results, like the
@@ -91,8 +100,8 @@ object SourceProfiles {
         "leasehold_years" ->
           Udfs.ubudFindLeaseholdYears(asOf.getYear)(col("lease_text"))
             .cast("double"),
-        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+        "bathrooms" -> toNum(col("raw_baths")).cast("double"),
         "land_size" -> Udfs.findLandSize(col("raw_land")).cast("double"),
         "build_size" -> Udfs.findBuildSize(col("raw_build")).cast("double"),
         "price" -> when(idr.isNotNull, idr)
@@ -156,11 +165,11 @@ object SourceProfiles {
       "property_id" -> Cleaners.afterColon(trim(col("raw_pid"))),
       "property_type" ->
         Cleaners.standardizePropertyType(trim(col("raw_type"))),
-      "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-      "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
-      "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
-      "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
-      "price" -> Udfs.toNumber(col("json_price")).cast("double"),
+      "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+      "bathrooms" -> toNum(col("raw_baths")).cast("double"),
+      "land_size" -> toNum(col("raw_land")).cast("double"),
+      "build_size" -> toNum(col("raw_build")).cast("double"),
+      "price" -> toNum(col("json_price")).cast("double"),
       "currency" -> nullIfEmpty(upper(trim(col("json_currency")))),
       "availability" -> lit("Available"),
       "image_url" -> nullIfEmpty(trim(col("raw_image"))),
@@ -204,7 +213,7 @@ object SourceProfiles {
     "balivillasales",
     fields = asOf => {
       val sizeClean = (c: Column) =>
-        Udfs.toNumber(Cleaners.getFirst(
+        toNum(Cleaners.getFirst(
           regexp_replace(regexp_replace(c, "m2", ""), ",", "."), "-"))
           .cast("double")
       Seq(
@@ -216,9 +225,9 @@ object SourceProfiles {
           Cleaners.standardizePropertyType(trim(col("raw_title"))),
         // balivillasales.py:50-56 — literal case-sensitive IDR/USD probes
         "price" -> when(col("raw_price").contains("IDR"),
-          Udfs.toNumber(col("raw_price")))
+          toNum(col("raw_price")))
           .when(col("raw_price").contains("USD"),
-            Udfs.toNumber(col("raw_price"))).cast("double"),
+            toNum(col("raw_price"))).cast("double"),
         "currency" -> when(col("raw_price").contains("IDR"), "IDR")
           .when(col("raw_price").contains("USD"), "USD"),
         "availability" -> when(col("raw_price").contains("Sold"), "Sold")
@@ -227,8 +236,8 @@ object SourceProfiles {
         "listed_date" -> Udfs.getUploadedDate(col("raw_image")).cast("string"),
         "land_size" -> sizeClean(col("raw_land")),
         "build_size" -> sizeClean(col("raw_build")),
-        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+        "bathrooms" -> toNum(col("raw_baths")).cast("double"),
         "leasehold_years" -> lit(null).cast("double"),
         "description" -> nullIfEmpty(trim(col("raw_desc"))))
     },
@@ -284,16 +293,16 @@ object SourceProfiles {
         "leasehold_years" -> when(
           lower(coalesce(contract, lit(""))).contains("lease") ||
             lower(coalesce(col("raw_contract"), lit(""))).contains("lease"),
-          Udfs.toNumber(col("lease_text"))).cast("double"),
+          toNum(col("lease_text"))).cast("double"),
         "availability" -> lit("Available"),
         "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
         "title" -> nullIfEmpty(trim(col("raw_title"))),
         "location" -> nullIfEmpty(trim(col("raw_location"))),
-        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
-        "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
-        "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
-        "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+        "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+        "bathrooms" -> toNum(col("raw_baths")).cast("double"),
+        "land_size" -> toNum(col("raw_land")).cast("double"),
+        "build_size" -> toNum(col("raw_build")).cast("double"),
+        "price" -> toNum(col("raw_price")).cast("double"),
         "currency" -> Cleaners.identifyCurrency(col("raw_price")),
         "image_url" -> nullIfEmpty(trim(col("raw_image"))),
         "listed_date" -> lit(null).cast("string"),
@@ -321,12 +330,12 @@ object SourceProfiles {
           .otherwise(Cleaners.findUsd(col("raw_price"))).cast("double"),
         "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
         "location" -> nullIfEmpty(trim(col("raw_location"))),
-        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+        "bathrooms" -> toNum(col("raw_baths")).cast("double"),
         "land_size" ->
-          Udfs.toNumber(regexp_replace(col("raw_land"), ",", ".")).cast("double"),
+          toNum(regexp_replace(col("raw_land"), ",", ".")).cast("double"),
         "build_size" ->
-          Udfs.toNumber(regexp_replace(col("raw_build"), ",", ".")).cast("double"),
+          toNum(regexp_replace(col("raw_build"), ",", ".")).cast("double"),
         "contract_type" -> Cleaners.grabFirstWord(trim(col("raw_contract"))),
         "availability" -> lit("Available"),
         "image_url" -> nullIfEmpty(trim(col("raw_image"))),
@@ -393,12 +402,12 @@ object SourceProfiles {
           col("raw_image"), "(\\d{4}/\\d{2}/\\d{2}|\\d{4}-\\d{2}-\\d{2})", 1)),
           "/", "-"),
         "currency" -> nullIfEmpty(upper(trim(col("json_currency")))),
-        "price" -> Udfs.toNumber(col("json_price")).cast("double"),
+        "price" -> toNum(col("json_price")).cast("double"),
         "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
-        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
-        "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
-        "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+        "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+        "bathrooms" -> toNum(col("raw_baths")).cast("double"),
+        "land_size" -> toNum(col("raw_land")).cast("double"),
+        "build_size" -> toNum(col("raw_build")).cast("double"),
         "availability" -> lit("Available"),
         "property_type" -> when(state.contains("Rumah"), "House")
           .when(state.contains("Gudang") || state.contains("Pabrik") ||
@@ -462,11 +471,11 @@ object SourceProfiles {
           Udfs.getLeaseYears(asOf.getYear)(col("raw_contract")))
           .cast("double"),
         "property_type" -> Cleaners.findPropertyType(trim(col("raw_title"))),
-        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+        "bathrooms" -> toNum(col("raw_baths")).cast("double"),
         "land_size" -> coalesce(Cleaners.areToSqm(col("raw_land")).cast("double"),
-          Udfs.toNumber(col("raw_land")).cast("double")),
-        "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+          toNum(col("raw_land")).cast("double")),
+        "build_size" -> toNum(col("raw_build")).cast("double"),
         "image_url" -> Cleaners.dimensionRemover(coalesce(col("raw_image"), lit(""))),
         "listed_date" -> lit(null).cast("string"),
         "description" -> nullIfEmpty(trim(col("raw_desc"))))
@@ -504,11 +513,11 @@ object SourceProfiles {
         lit("Leasehold")),
       "property_type" ->
         Cleaners.standardizePropertyType(trim(col("raw_type"))),
-      "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-      "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
-      "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
-      "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
-      "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+      "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+      "bathrooms" -> toNum(col("raw_baths")).cast("double"),
+      "land_size" -> toNum(col("raw_land")).cast("double"),
+      "build_size" -> toNum(col("raw_build")).cast("double"),
+      "price" -> toNum(col("raw_price")).cast("double"),
       "currency" -> lit("IDR"),
       "availability" -> lit("Available"),
       "image_url" -> nullIfEmpty(trim(col("raw_image"))),
@@ -560,16 +569,16 @@ object SourceProfiles {
       "title" -> nullIfEmpty(trim(col("raw_title"))),
       "location" -> nullIfEmpty(trim(col("raw_location"))),
       "image_url" -> nullIfEmpty(trim(col("raw_image"))),
-      "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
-      "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+      "land_size" -> toNum(col("raw_land")).cast("double"),
+      "build_size" -> toNum(col("raw_build")).cast("double"),
       "bedrooms" ->
-        Udfs.toNumber(Cleaners.getFirst(col("raw_beds"), "/")).cast("double"),
+        toNum(Cleaners.getFirst(col("raw_beds"), "/")).cast("double"),
       "bathrooms" ->
-        Udfs.toNumber(Cleaners.getLast(col("raw_beds"), "/")).cast("double"),
+        toNum(Cleaners.getLast(col("raw_beds"), "/")).cast("double"),
       "contract_type" -> nullIfEmpty(trim(col("raw_contract"))),
       "property_type" -> Cleaners.definePropertyType(trim(col("raw_title"))),
-      "leasehold_years" -> Udfs.toNumber(col("lease_text")).cast("double"),
-      "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+      "leasehold_years" -> toNum(col("lease_text")).cast("double"),
+      "price" -> toNum(col("raw_price")).cast("double"),
       "currency" -> lit("USD"),
       "availability" -> lit("Available"),
       "listed_date" -> lit(null).cast("string"),
@@ -597,9 +606,9 @@ object SourceProfiles {
       "title" -> nullIfEmpty(trim(col("raw_title"))),
       "availability" -> lit("Available"),
       "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
-      "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+      "bathrooms" -> toNum(col("raw_baths")).cast("double"),
       "bedrooms" -> Cleaners.findBedrooms(col("raw_beds")).cast("double"),
-      "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+      "price" -> toNum(col("raw_price")).cast("double"),
       "currency" -> Cleaners.identifyCurrency(
         Cleaners.extractCurrency(col("raw_price"))),
       "leasehold_years" ->
@@ -630,7 +639,7 @@ object SourceProfiles {
     "svahaproperty",
     fields = asOf => {
       val sizeClean = (c: Column) =>
-        Udfs.toNumber(Cleaners.grabFirst(regexp_replace(c, ",", ".")))
+        toNum(Cleaners.grabFirst(regexp_replace(c, ",", ".")))
           .cast("double")
       Seq(
         "title" -> nullIfEmpty(trim(col("raw_title"))),
@@ -643,15 +652,15 @@ object SourceProfiles {
         "property_type" ->
           Cleaners.standardizePropertyType(trim(col("raw_type"))),
         "availability" -> lit("Available"),
-        "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+        "price" -> toNum(col("raw_price")).cast("double"),
         "currency" -> Cleaners.identifyCurrency(col("raw_price")),
         "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
-        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+        "bathrooms" -> toNum(col("raw_baths")).cast("double"),
         "land_size" -> sizeClean(col("raw_land")),
         "build_size" -> sizeClean(col("raw_build")),
         "leasehold_years" -> when(col("raw_contract") === "Leasehold",
-          Udfs.toNumber(col("table_leasing"))).cast("double"),
+          toNum(col("table_leasing"))).cast("double"),
         "description" -> nullIfEmpty(trim(col("raw_desc"))))
     },
     fixups = asOf => Seq(
@@ -686,7 +695,7 @@ object SourceProfiles {
         "image_url" -> nullIfEmpty(trim(col("raw_image"))),
         "location" -> coalesce(nullIfEmpty(trim(col("raw_location"))),
           nullIfEmpty(trim(col("alt_title")))),
-        "price" -> coalesce(Udfs.toNumber(col("json_price")).cast("double"),
+        "price" -> coalesce(toNum(col("json_price")).cast("double"),
           lit(-1d)),
         "currency" -> coalesce(nullIfEmpty(upper(trim(col("json_currency")))),
           lit("IDR")),
@@ -694,15 +703,15 @@ object SourceProfiles {
           Cleaners.standardizePropertyType(trim(col("raw_type"))),
         "contract_type" -> contract,
         "listed_date" -> nullIfEmpty(trim(col("raw_date"))),
-        "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
+        "land_size" -> toNum(col("raw_land")).cast("double"),
         "leasehold_years" -> when(lower(contract).contains("lease"),
           coalesce(
             Udfs.getLeaseYears(asOf.getYear)(col("lease_text")),
             Udfs.countLeaseYears(asOf.getYear)(col("table_leasing"))
               .cast("double"))).cast("double"),
-        "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
-        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "build_size" -> toNum(col("raw_build")).cast("double"),
+        "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+        "bathrooms" -> toNum(col("raw_baths")).cast("double"),
         "description" -> nullIfEmpty(trim(col("raw_desc"))))
     },
     fixups = _ => Seq.empty)
@@ -726,17 +735,17 @@ object SourceProfiles {
       "image_url" -> nullIfEmpty(trim(col("raw_image"))),
       "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
       "location" -> nullIfEmpty(trim(col("raw_location"))),
-      "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
-      "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+      "land_size" -> toNum(col("raw_land")).cast("double"),
+      "build_size" -> toNum(col("raw_build")).cast("double"),
       "price" -> when(col("raw_price").isNotNull,
-        Udfs.toNumber(col("raw_price")))
-        .otherwise(Udfs.toNumber(col("json_price"))).cast("double"),
+        toNum(col("raw_price")))
+        .otherwise(toNum(col("json_price"))).cast("double"),
       "currency" -> when(col("raw_price").isNotNull, "IDR")
         .when(col("json_price").isNotNull, "USD"),
       "property_type" -> Cleaners.definePropertyType(trim(col("raw_title"))),
       "description" -> nullIfEmpty(trim(col("raw_desc"))),
-      "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-      "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+      "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+      "bathrooms" -> toNum(col("raw_baths")).cast("double"),
       "leasehold_years" -> when(col("raw_contract").isNotNull,
         Udfs.getLeaseYears(asOf.getYear)(col("raw_contract"))).cast("double"),
       "listed_date" -> date_format(
@@ -767,8 +776,8 @@ object SourceProfiles {
         Udfs.findBuildSize(col("description")).cast("double"))
         .otherwise(col("build_size"))),
     gate = Some(coalesce(
-      when(col("raw_price").isNotNull, Udfs.toNumber(col("raw_price")))
-        .otherwise(Udfs.toNumber(col("json_price"))), lit(0d)) > 500000000d))
+      when(col("raw_price").isNotNull, toNum(col("raw_price")))
+        .otherwise(toNum(col("json_price"))), lit(0d)) > 500000000d))
 
   /** reference reid/spiders/rajavillaproperty.py:36-145 ("Raja Villa
     * Property"): leasehold-in-title contract, ld+json published date,
@@ -781,10 +790,10 @@ object SourceProfiles {
     "rajavillaproperty",
     fields = asOf => Seq(
       "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
-      "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-      "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+      "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+      "bathrooms" -> toNum(col("raw_baths")).cast("double"),
       "location" -> nullIfEmpty(trim(col("raw_location"))),
-      "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+      "price" -> toNum(col("raw_price")).cast("double"),
       "currency" -> Cleaners.identifyCurrency(col("raw_price")),
       "title" -> nullIfEmpty(trim(col("raw_title"))),
       "contract_type" -> when(
@@ -800,8 +809,8 @@ object SourceProfiles {
       "availability" -> when(
         array_contains(split(coalesce(col("raw_contract"), lit("")), ","),
           "Sold"), "Sold").otherwise("Available"),
-      "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
-      "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
+      "build_size" -> toNum(col("raw_build")).cast("double"),
+      "land_size" -> toNum(col("raw_land")).cast("double"),
       "image_url" ->
         Cleaners.dimensionRemover(coalesce(col("raw_image"), lit("")))),
     fixups = asOf => Seq(
@@ -851,7 +860,7 @@ object SourceProfiles {
     "unrealbali",
     fields = asOf => {
       val sizeClean = (c: Column) =>
-        Udfs.toNumber(
+        toNum(
           Cleaners.getLast(Cleaners.getLast(Cleaners.getLast(
             Cleaners.getFirst(regexp_replace(c, ",", "."), "+"),
             "/"), "-"), "to")).cast("double")
@@ -878,12 +887,12 @@ object SourceProfiles {
         "contract_type" -> when(hold.getField("is_leasehold"), "Leasehold")
           .otherwise("Freehold"),
         "leasehold_years" ->
-          Udfs.toNumber(Cleaners.getFirst(col("lease_text"), "/"))
+          toNum(Cleaners.getFirst(col("lease_text"), "/"))
             .cast("double"),
-        "bedrooms" -> Udfs.toNumber(
+        "bedrooms" -> toNum(
           regexp_replace(Cleaners.grabFirst(col("raw_beds")), ",", "."))
           .cast("double"),
-        "bathrooms" -> Udfs.toNumber(
+        "bathrooms" -> toNum(
           regexp_replace(Cleaners.grabFirst(col("raw_baths")), ",", "."))
           .cast("double"),
         "image_url" ->
@@ -899,7 +908,7 @@ object SourceProfiles {
       "leasehold_years" ->
         Udfs.findLeaseYears(asOf.getYear)(col("description")).cast("double")),
     gate = Some({
-      val cell = Udfs.toNumber(Cleaners.getFirst(col("lease_text"), "/"))
+      val cell = toNum(Cleaners.getFirst(col("lease_text"), "/"))
       cell.isNull || cell === 0
     }))
 
@@ -917,7 +926,7 @@ object SourceProfiles {
       val p = lower(coalesce(col("raw_price"), lit("")))
       Seq(
         "price" -> when(p.contains("idr") || p.contains("usd"),
-          Udfs.toNumber(col("raw_price"))).cast("double"),
+          toNum(col("raw_price"))).cast("double"),
         "currency" -> when(p.contains("idr"), "IDR")
           .when(p.contains("usd"), "USD"),
         "title" -> nullIfEmpty(trim(col("raw_title"))),
@@ -925,16 +934,16 @@ object SourceProfiles {
         "image_url" -> nullIfEmpty(trim(col("raw_image"))),
         "location" -> nullIfEmpty(trim(Cleaners.getLast(
           Cleaners.getLast(col("raw_title"), "|"), " in "))),
-        "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
-        "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+        "land_size" -> toNum(col("raw_land")).cast("double"),
+        "build_size" -> toNum(col("raw_build")).cast("double"),
         "contract_type" -> nullIfEmpty(trim(col("raw_contract"))),
         "property_type" ->
           initcap(element_at(split(col("url"), "/", -1), 4)),
         "availability" -> when(
           lower(coalesce(col("lease_text"), lit(""))).contains("sold"),
           "Sold").otherwise("Available"),
-        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+        "bathrooms" -> toNum(col("raw_baths")).cast("double"),
         "leasehold_years" -> when(
           lower(coalesce(col("raw_contract"), lit(""))).contains("lease"),
           Udfs.getLeaseYears(asOf.getYear)(col("table_leasing")))
@@ -961,7 +970,7 @@ object SourceProfiles {
     "tealestate",
     fields = asOf => {
       val sizeClean = (c: Column) =>
-        Udfs.toNumber(Cleaners.getLast(regexp_replace(c, ",", "."), "-"))
+        toNum(Cleaners.getLast(regexp_replace(c, ",", "."), "-"))
           .cast("double")
       Seq(
         "title" -> nullIfEmpty(trim(col("raw_title"))),
@@ -972,11 +981,11 @@ object SourceProfiles {
         "leasehold_years" ->
           Udfs.getLeaseYears(asOf.getYear)(col("lease_text")).cast("double"),
         "contract_type" -> nullIfEmpty(trim(col("raw_contract"))),
-        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+        "bathrooms" -> toNum(col("raw_baths")).cast("double"),
         "land_size" -> sizeClean(col("raw_land")),
         "build_size" -> sizeClean(col("raw_build")),
-        "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+        "price" -> toNum(col("raw_price")).cast("double"),
         "currency" -> lit("IDR"),
         "image_url" ->
           Cleaners.dimensionRemover(coalesce(col("raw_image"), lit(""))),
@@ -1006,8 +1015,8 @@ object SourceProfiles {
       val notValid = !lower(coalesce(contract0, lit(""))).contains("free") &&
         !lower(coalesce(contract0, lit(""))).contains("lease")
       Seq(
-        "price" -> when(p.contains("idr"), Udfs.toNumber(p))
-          .when(p.contains("usd"), Udfs.toNumber(p)).cast("double"),
+        "price" -> when(p.contains("idr"), toNum(p))
+          .when(p.contains("usd"), toNum(p)).cast("double"),
         "currency" -> when(p.contains("idr"), "IDR")
           .when(p.contains("usd"), "USD"),
         // balirealty inlines its own %m/%d/%Y format (4-digit year)
@@ -1032,10 +1041,10 @@ object SourceProfiles {
         "title" -> nullIfEmpty(trim(col("raw_title"))),
         "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
         "location" -> nullIfEmpty(trim(col("raw_location"))),
-        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
-        "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
-        "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+        "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+        "bathrooms" -> toNum(col("raw_baths")).cast("double"),
+        "land_size" -> toNum(col("raw_land")).cast("double"),
+        "build_size" -> toNum(col("raw_build")).cast("double"),
         "leasehold_years" ->
           Udfs.findLeaseYears(asOf.getYear)(col("description")).cast("double"))
     },
@@ -1064,24 +1073,24 @@ object SourceProfiles {
   val balitreasureproperties: SourceProfile = SourceProfile(
     "balitreasureproperties",
     fields = asOf => Seq(
-      "price" -> Udfs.toNumber(col("json_price")).cast("double"),
+      "price" -> toNum(col("json_price")).cast("double"),
       "currency" -> nullIfEmpty(upper(trim(col("json_currency")))),
       "contract_type" -> when(
         lower(col("raw_contract")).contains("lease"), "Leasehold")
         .otherwise("Freehold"),
       "leasehold_years" -> when(
         lower(col("raw_contract")).contains("lease"),
-        Udfs.toNumber(col("lease_text"))).cast("double"),
+        toNum(col("lease_text"))).cast("double"),
       "listed_date" -> Cleaners.getFirst(col("raw_date"), "T"),
       "location" -> format_string("%s, %s",
         coalesce(col("alt_title"), lit("None")),
         coalesce(col("raw_location"), lit("None"))),
       "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
       "title" -> nullIfEmpty(trim(col("raw_title"))),
-      "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-      "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
-      "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
-      "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+      "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+      "bathrooms" -> toNum(col("raw_baths")).cast("double"),
+      "land_size" -> toNum(col("raw_land")).cast("double"),
+      "build_size" -> toNum(col("raw_build")).cast("double"),
       "image_url" -> nullIfEmpty(trim(col("raw_image"))),
       "availability" -> Cleaners.anySoldDelisted(array(
         coalesce(col("table_leasing"), lit("")), lit("Available"))),
@@ -1133,15 +1142,15 @@ object SourceProfiles {
         "contract_type" -> when(contracts.contains("lease"), "Leasehold")
           .when(contracts.contains("free"), "Freehold"),
         "leasehold_years" -> when(contracts.contains("lease"),
-          Udfs.toNumber(col("table_leasing"))).cast("double"),
+          toNum(col("table_leasing"))).cast("double"),
         "availability" -> when(col("lease_text").isNotNull, "Sold")
           .otherwise("Available"),
-        "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+        "price" -> toNum(col("raw_price")).cast("double"),
         "currency" -> Cleaners.identifyCurrency(col("json_currency")),
-        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
-        "land_size" -> Udfs.toNumber(col("raw_land")).cast("double"),
-        "build_size" -> Udfs.toNumber(col("raw_build")).cast("double"),
+        "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+        "bathrooms" -> toNum(col("raw_baths")).cast("double"),
+        "land_size" -> toNum(col("raw_land")).cast("double"),
+        "build_size" -> toNum(col("raw_build")).cast("double"),
         "listed_date" -> lit(null).cast("string"),
         "description" -> nullIfEmpty(trim(col("raw_desc"))))
     },
@@ -1163,22 +1172,22 @@ object SourceProfiles {
         "title" -> nullIfEmpty(trim(col("raw_title"))),
         "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
         "price" -> when(sold,
-          coalesce(Udfs.toNumber(col("json_price")), lit(-1d)))
-          .otherwise(Udfs.toNumber(col("json_price"))).cast("double"),
+          coalesce(toNum(col("json_price")), lit(-1d)))
+          .otherwise(toNum(col("json_price"))).cast("double"),
         "currency" -> nullIfEmpty(upper(trim(col("json_currency")))),
         "image_url" ->
           Cleaners.dimensionRemover(coalesce(col("raw_image"), lit(""))),
         "listed_date" -> Cleaners.toMmddyy(col("raw_date")),
         "location" -> nullIfEmpty(trim(col("raw_location"))),
         "land_size" ->
-          Udfs.toNumber(regexp_replace(col("raw_land"), ",", "."))
+          toNum(regexp_replace(col("raw_land"), ",", "."))
             .cast("double"),
         "build_size" ->
-          Udfs.toNumber(regexp_replace(col("raw_build"), ",", "."))
+          toNum(regexp_replace(col("raw_build"), ",", "."))
             .cast("double"),
-        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
+        "bedrooms" -> toNum(col("raw_beds")).cast("double"),
         "bathrooms" ->
-          Udfs.toNumber(regexp_replace(col("raw_baths"), ",", "."))
+          toNum(regexp_replace(col("raw_baths"), ",", "."))
             .cast("double"),
         "availability" -> when(sold, "Sold").otherwise("Available"),
         "contract_type" -> nullIfEmpty(trim(col("raw_contract"))),
@@ -1186,7 +1195,7 @@ object SourceProfiles {
           trim(Cleaners.getFirst(col("raw_type"), ","))),
         // the reference's probe is the case-sensitive literal "lease"
         "leasehold_years" -> when(col("raw_contract").contains("lease"),
-          Udfs.toNumber(col("lease_text"))).cast("double"),
+          toNum(col("lease_text"))).cast("double"),
         "description" -> nullIfEmpty(trim(col("raw_desc"))))
     },
     fixups = asOf => Seq(
@@ -1219,19 +1228,19 @@ object SourceProfiles {
         .cast("string"),
       "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
       "location" -> nullIfEmpty(trim(col("raw_location"))),
-      "leasehold_years" -> Udfs.toNumber(col("lease_text")).cast("double"),
+      "leasehold_years" -> toNum(col("lease_text")).cast("double"),
       "contract_type" -> Cleaners.findContractType(trim(col("raw_contract"))),
       "property_type" -> Cleaners.definePropertyType(trim(col("raw_contract"))),
-      "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-      "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+      "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+      "bathrooms" -> toNum(col("raw_baths")).cast("double"),
       "land_size" -> coalesce(Cleaners.areToSqm(col("raw_land")).cast("double"),
-        Udfs.toNumber(col("raw_land")).cast("double")),
+        toNum(col("raw_land")).cast("double")),
       "build_size" -> {
         val dotted = regexp_replace(col("raw_build"), ",", ".")
         coalesce(Cleaners.areToSqm(dotted).cast("double"),
-          Udfs.toNumber(dotted).cast("double"))
+          toNum(dotted).cast("double"))
       },
-      "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+      "price" -> toNum(col("raw_price")).cast("double"),
       "currency" -> Cleaners.identifyCurrency(col("raw_price")),
       "image_url" ->
         Cleaners.dimensionRemover(coalesce(col("raw_image"), lit(""))),
@@ -1259,27 +1268,27 @@ object SourceProfiles {
     "balirealestateconsultants",
     fields = asOf => {
       val sizeClean = (c: Column) =>
-        Udfs.toNumber(Cleaners.getLast(Cleaners.getFirst(
+        toNum(Cleaners.getLast(Cleaners.getFirst(
           regexp_replace(regexp_replace(c, ",", "."), "m2", ""), "+"), "-"))
           .cast("double")
-      val cellYears = Udfs.toNumber(col("table_leasing"))
+      val cellYears = toNum(col("table_leasing"))
       Seq(
         "contract_type" -> when(nullIfEmpty(col("table_leasing")).isNotNull,
           "Leasehold").otherwise("Freehold"),
         "leasehold_years" -> when(nullIfEmpty(col("table_leasing")).isNotNull,
           when(cellYears > 0, cellYears)
-            .otherwise(abs(Udfs.toNumber(col("lease_text")) -
+            .otherwise(abs(toNum(col("lease_text")) -
               lit(asOf.getYear.toDouble)))).cast("double"),
         "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
-        "bedrooms" -> Udfs.toNumber(col("raw_beds")).cast("double"),
-        "bathrooms" -> Udfs.toNumber(col("raw_baths")).cast("double"),
+        "bedrooms" -> toNum(col("raw_beds")).cast("double"),
+        "bathrooms" -> toNum(col("raw_baths")).cast("double"),
         "land_size" -> sizeClean(col("raw_land")),
         "build_size" -> sizeClean(col("raw_build")),
         "title" -> nullIfEmpty(trim(col("raw_title"))),
         "availability" -> Cleaners.anySoldDelisted(concat(
           split(coalesce(col("alt_title"), lit("")), ","),
           array(lit("Available")))),
-        "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+        "price" -> toNum(col("raw_price")).cast("double"),
         "currency" -> Cleaners.identifyCurrency(col("raw_price")),
         "location" -> nullIfEmpty(trim(col("raw_location"))),
         "description" -> nullIfEmpty(trim(col("raw_desc"))),
@@ -1339,11 +1348,11 @@ object SourceProfiles {
     "baliexception",
     fields = asOf => {
       val bedClean = (c: Column) =>
-        Udfs.toNumber(regexp_replace(Cleaners.getFirst(Cleaners.getLast(
+        toNum(regexp_replace(Cleaners.getFirst(Cleaners.getLast(
           Cleaners.getLast(Cleaners.getLast(c, "–"), "-"), "/"), "+"),
           ",", ".")).cast("double")
       val sizeClean = (c: Column) =>
-        Udfs.toNumber(regexp_replace(Cleaners.getLast(Cleaners.getFirst(
+        toNum(regexp_replace(Cleaners.getLast(Cleaners.getFirst(
           Cleaners.getLast(Cleaners.getLast(c, "–"), "-"), "+"), "/"),
           ",", ".")).cast("double")
       val titleBeds = Cleaners.findBedrooms(lower(col("raw_title")))
@@ -1351,13 +1360,13 @@ object SourceProfiles {
         "title" -> nullIfEmpty(trim(col("raw_title"))),
         "property_id" -> nullIfEmpty(trim(col("raw_pid"))),
         "leasehold_years" ->
-          Udfs.toNumber(regexp_replace(
+          toNum(regexp_replace(
             Cleaners.getFirst(col("lease_text"), "+"), ",", "."))
             .cast("double"),
         "bedrooms" -> coalesce(bedClean(col("raw_beds")),
           titleBeds.cast("double")),
         "bathrooms" -> coalesce(
-          Udfs.toNumber(regexp_replace(
+          toNum(regexp_replace(
             Cleaners.getLast(col("raw_baths"), "/"), ",", "."))
             .cast("double"),
           when(col("raw_beds").isNull, titleBeds.cast("double"))),
@@ -1367,7 +1376,7 @@ object SourceProfiles {
           when(size(split(col("raw_title"), "\\|", -1)) > 1,
             trim(element_at(split(col("raw_title"), "\\|", -1), 2)))
             .otherwise(Cleaners.findLocationInTitle(col("raw_title")))),
-        "price" -> Udfs.toNumber(col("raw_price")).cast("double"),
+        "price" -> toNum(col("raw_price")).cast("double"),
         "currency" -> Cleaners.identifyCurrency(col("raw_price")),
         "image_url" -> nullIfEmpty(trim(col("raw_image"))),
         "description" -> nullIfEmpty(trim(col("raw_desc"))),
