@@ -157,8 +157,14 @@ object TextOps {
         call_function("graft_sorted_intersect_count", col("sa"), col("sb")))
       .withColumn("jaccard",
         col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
-    val perDoc = pairs.select(col("a").as("doc_id"), col("b").as("partner"), col("jaccard"))
-      .unionByName(pairs.select(col("b").as("doc_id"), col("a").as("partner"), col("jaccard")))
+    // symmetrize in ONE pass: a union of two selects over `pairs` would
+    // re-evaluate the join + per-pair intersect once per branch (Spark
+    // has no cross-branch subplan reuse) — explode emits both directions
+    // from a single evaluation
+    val perDoc = pairs.select(explode(array(
+      struct(col("a").as("doc_id"), col("b").as("partner"), col("jaccard")),
+      struct(col("b").as("doc_id"), col("a").as("partner"), col("jaccard"))))
+      .as("e")).select(col("e.doc_id"), col("e.partner"), col("e.jaccard"))
     val wBest = Window.partitionBy("doc_id")
       .orderBy(col("jaccard").desc, col("partner").asc)
     val best = perDoc.withColumn("rn", row_number().over(wBest))
@@ -235,8 +241,12 @@ object TextOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         (col("inter") /
           (size(col("x.sh")) + size(col("y.sh")) - col("inter"))).as("jaccard"))
-    val sym = pairs.select(col("a").as("doc_id"), col("b").as("partner"), col("jaccard"))
-      .unionByName(pairs.select(col("b").as("doc_id"), col("a").as("partner"), col("jaccard")))
+    // one-pass symmetrize (see minhashLsh): avoids re-running the block
+    // join + intersect for the second direction
+    val sym = pairs.select(explode(array(
+      struct(col("a").as("doc_id"), col("b").as("partner"), col("jaccard")),
+      struct(col("b").as("doc_id"), col("a").as("partner"), col("jaccard"))))
+      .as("e")).select(col("e.doc_id"), col("e.partner"), col("e.jaccard"))
     val w = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("partner").asc)
     sym.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("doc_id", "partner", "jaccard")
