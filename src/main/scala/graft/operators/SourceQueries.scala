@@ -2,7 +2,7 @@ package graft
 
 import java.time.LocalDate
 import graft.functions.Cleaners
-import graft.sources.Sources
+import graft.sources.{Sinks, Sources}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -214,6 +214,53 @@ object SourceQueries {
       Quality.defineLandZoning(ptype, desc).as("zoning"))
   }
 
+  private def freshDir(name: String): String = {
+    val dir = new java.io.File(s"/tmp/graft_sink_$name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (dir.exists()) rm(dir)
+    dir.getAbsolutePath
+  }
+
+  /** §2.1 constrained-append sink, gated END-TO-END: two batches with
+    * overlapping + internally-duplicated keys go through the real
+    * unique-key writer (models/error.py:6-16 semantics — dedup within
+    * the batch, anti-join against what's on disk, append), then the
+    * table is read back. Output = the key set, which the oracle states
+    * as DISTINCT over both batches — byte-identical iff the writer
+    * enforced the constraint across batches AND within each batch.
+    */
+  def q66ConstrainedAppend(s: SparkSession, d: String): DataFrame = {
+    val path = freshDir("q66")
+    val batch1 = Tables.orders(s, d).filter(k % 2 === 0)
+      .select(concat(lit("u"), k % 700).as("url"))
+    val batch2 = Tables.orders(s, d).filter(k % 2 === 1)
+      .select(concat(lit("u"), k % 1000).as("url"))
+    Sinks.constrainedAppend(batch1, path, Seq("url"))
+    Sinks.constrainedAppend(batch2, path, Seq("url"))
+    s.read.parquet(path).select("url").orderBy("url")
+  }
+
+  /** §2.1 staging-append sink, gated end-to-end: rows go through the
+    * real partitioned writer (property.py:38-66 semantics — month
+    * derived from scraped_at, layout partitioned by (source, month)),
+    * then read back WITH the partition columns, proving the month
+    * derivation and that the partition layout round-trips values.
+    */
+  def q67StagingRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = freshDir("q67")
+    val rows = Tables.orders(s, d).select(
+      concat(lit("u"), k).as("url"),
+      concat(lit("s"), k % 4).as("source"),
+      col("o_orderdate").cast("timestamp").as("scraped_at"))
+    Sinks.stagingAppend(rows, path)
+    s.read.parquet(path)
+      .select(col("url"), col("source"), col("month").cast("string"))
+      .orderBy("url")
+  }
+
   /** §2.6 queue pagination with filters (queue_routes.py:20-46), page 2. */
   def q49QueuePage(s: SparkSession, d: String): DataFrame =
     Analytics.queuePage(queue(s, d), Some("Available"), Some("s3.x.com"),
@@ -255,7 +302,9 @@ object SourceQueries {
     "q62_upload_queue" -> (q62UploadQueue _),
     "q63_report_totals" -> (q63ReportTotals _),
     "q64_missing_fields" -> (q64MissingFields _),
-    "q65_offplan_zoning" -> (q65OffplanZoning _))
+    "q65_offplan_zoning" -> (q65OffplanZoning _),
+    "q66_constrained_append" -> (q66ConstrainedAppend _),
+    "q67_staging_roundtrip" -> (q67StagingRoundtrip _))
 
   /** Shared oracle fragment: the 13-rule tag fan-out over the props
     * fixture (mirrors Quality.issueRules; used by q48/q56/q57).
@@ -500,5 +549,14 @@ object SourceQueries {
         |    CASE WHEN o_orderkey % 3 = 0 THEN 'Residential'
         |         WHEN o_orderkey % 3 = 1 THEN 'Agricultural'
         |         ELSE 'Tourism' END END AS zoning
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+    "q66_constrained_append" ->
+      """SELECT DISTINCT
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'u' || (o_orderkey % 700)
+        |       ELSE 'u' || (o_orderkey % 1000) END AS url
+        |FROM orders ORDER BY url""".stripMargin,
+    "q67_staging_roundtrip" ->
+      """SELECT 'u' || o_orderkey AS url, 's' || (o_orderkey % 4) AS source,
+        |  strftime(o_orderdate, '%Y-%m') AS month
+        |FROM orders ORDER BY url""".stripMargin)
 }

@@ -39,6 +39,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(!rows.exists(_._1 == ts("2024-01-01 08:00:00")))
   }
 
+  test("streamingDedup emits each content hash once within the watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.streamingDedup(df).writeStream
+      .format("memory").queryName("sd").outputMode("append").start()
+    in.addData(
+      (1L, ts("2024-01-01 10:00:00"), "same content"),
+      (2L, ts("2024-01-01 10:01:00"), "same content"), // dup in-batch
+      (3L, ts("2024-01-01 10:02:00"), "other content"))
+    q.processAllAvailable()
+    // dup arriving in a LATER batch, still inside the watermark window
+    in.addData((4L, ts("2024-01-01 10:30:00"), "same content"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("sd").select("doc_id").as[Long].collect().toSet
+    assert(ids.intersect(Set(1L, 2L, 4L)).size == 1) // one survivor per hash
+    assert(ids.contains(3L))
+    assert(ids.size == 2)
+  }
+
   test("sessionize keeps per-user state across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
