@@ -59,6 +59,12 @@ object LlmQueries {
   def q36MinhashLsh(s: SparkSession, d: String): DataFrame =
     TextOps.minhashLsh(Tables.documents(s, d), "doc_id", "text")
 
+  /** Duplicate clusters: connected components over the verified LSH
+    * pairs at Jaccard ≥ 0.8 (iterative min-label propagation).
+    */
+  def q69DupClusters(s: SparkSession, d: String): DataFrame =
+    TextOps.dupClusters(Tables.documents(s, d), "doc_id", "text")
+
   /** n-gram Jaccard best partner within (lang, source) blocks. */
   def q37NgramJaccard(s: SparkSession, d: String): DataFrame =
     TextOps.ngramJaccardBest(Tables.documents(s, d), "doc_id", "text",
@@ -119,7 +125,8 @@ object LlmQueries {
     "q42_multimodal_meta" -> (q42MultimodalMeta _),
     "q43_ann_ivf" -> (q43AnnIvf _),
     "q54_cosine_lsh" -> (q54CosineLsh _),
-    "q68_ann_ivf_nprobe2" -> (q68AnnIvf2 _))
+    "q68_ann_ivf_nprobe2" -> (q68AnnIvf2 _),
+    "q69_dup_clusters" -> (q69DupClusters _))
 
   private val shingleBase =
     """base AS (
@@ -129,6 +136,42 @@ object LlmQueries {
       |  FROM (SELECT doc_id, lang, source,
       |          string_split_regex(trim(text), '\s+') AS w
       |        FROM documents))""".stripMargin
+
+  /** Shared LSH CTE chain (hashed shingle sets → signatures → bands →
+    * verified pairs → jaccard); consumed by q36 and q69.
+    */
+  private lazy val lshJacCtes: String =
+    s"""hs AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(
+       |      list_transform(sh, s -> ${hexFold.format("s")}))) AS hs
+       |  FROM base),
+       |sig AS (
+       |  SELECT doc_id, hs,
+       |    list_min(list_transform(hs, h -> (999983*h + 12345) % 2147483647)) AS sig0,
+       |    list_min(list_transform(hs, h -> (999979*h + 54321) % 2147483647)) AS sig1,
+       |    list_min(list_transform(hs, h -> (1000003*h + 98765) % 2147483647)) AS sig2,
+       |    list_min(list_transform(hs, h -> (1000033*h + 13579) % 2147483647)) AS sig3,
+       |    list_min(list_transform(hs, h -> (1000037*h + 24680) % 2147483647)) AS sig4,
+       |    list_min(list_transform(hs, h -> (1000039*h + 11111) % 2147483647)) AS sig5,
+       |    list_min(list_transform(hs, h -> (1000081*h + 22222) % 2147483647)) AS sig6,
+       |    list_min(list_transform(hs, h -> (1000099*h + 33333) % 2147483647)) AS sig7
+       |  FROM hs),
+       |bands AS (
+       |  SELECT doc_id, hs, 0 AS band, sig0*2147483647 + sig1 AS key FROM sig
+       |  UNION ALL SELECT doc_id, hs, 1, sig2*2147483647 + sig3 FROM sig
+       |  UNION ALL SELECT doc_id, hs, 2, sig4*2147483647 + sig5 FROM sig
+       |  UNION ALL SELECT doc_id, hs, 3, sig6*2147483647 + sig7 FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.hs AS sa, y.hs AS sb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  WHERE x.key IS NOT NULL),
+       |jac AS (
+       |  SELECT a, b,
+       |    len(list_intersect(sa, sb))
+       |      / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
+       |  FROM pairs)""".stripMargin
 
   private val embBase =
     """base AS (
@@ -213,37 +256,7 @@ object LlmQueries {
         |FROM documents""".stripMargin,
     "q36_minhash_lsh" -> (
       s"""WITH $shingleBase,
-         |hs AS (
-         |  SELECT doc_id,
-         |    list_sort(list_distinct(
-         |      list_transform(sh, s -> ${hexFold.format("s")}))) AS hs
-         |  FROM base),
-         |sig AS (
-         |  SELECT doc_id, hs,
-         |    list_min(list_transform(hs, h -> (999983*h + 12345) % 2147483647)) AS sig0,
-         |    list_min(list_transform(hs, h -> (999979*h + 54321) % 2147483647)) AS sig1,
-         |    list_min(list_transform(hs, h -> (1000003*h + 98765) % 2147483647)) AS sig2,
-         |    list_min(list_transform(hs, h -> (1000033*h + 13579) % 2147483647)) AS sig3,
-         |    list_min(list_transform(hs, h -> (1000037*h + 24680) % 2147483647)) AS sig4,
-         |    list_min(list_transform(hs, h -> (1000039*h + 11111) % 2147483647)) AS sig5,
-         |    list_min(list_transform(hs, h -> (1000081*h + 22222) % 2147483647)) AS sig6,
-         |    list_min(list_transform(hs, h -> (1000099*h + 33333) % 2147483647)) AS sig7
-         |  FROM hs),
-         |bands AS (
-         |  SELECT doc_id, hs, 0 AS band, sig0*2147483647 + sig1 AS key FROM sig
-         |  UNION ALL SELECT doc_id, hs, 1, sig2*2147483647 + sig3 FROM sig
-         |  UNION ALL SELECT doc_id, hs, 2, sig4*2147483647 + sig5 FROM sig
-         |  UNION ALL SELECT doc_id, hs, 3, sig6*2147483647 + sig7 FROM sig),
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.hs AS sa, y.hs AS sb
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-         |  WHERE x.key IS NOT NULL),
-         |jac AS (
-         |  SELECT a, b,
-         |    len(list_intersect(sa, sb))
-         |      / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
-         |  FROM pairs),
+         |$lshJacCtes,
          |sym AS (
          |  SELECT a AS doc_id, b AS partner, jaccard FROM jac
          |  UNION ALL SELECT b, a, jaccard FROM jac),
@@ -370,7 +383,22 @@ object LlmQueries {
          |  b.best_nn, b.best_cos
          |FROM sig s LEFT JOIN best b USING (vec_id)""".stripMargin),
     "q43_ann_ivf" -> ivfOracle(1),
-    "q68_ann_ivf_nprobe2" -> ivfOracle(2))
+    "q68_ann_ivf_nprobe2" -> ivfOracle(2),
+    "q69_dup_clusters" -> (
+      s"""WITH RECURSIVE $shingleBase,
+         |$lshJacCtes,
+         |edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         |symd AS (SELECT a AS src, b AS dst FROM edges
+         |         UNION ALL SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM symd
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN symd s ON r.dst = s.src)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS comp
+         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin))
 
   /** IVF oracle, parameterized on nprobe (the routed CTE keeps each
     * probe's top-nprobe centroids; clusters are disjoint so the union

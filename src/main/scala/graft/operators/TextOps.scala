@@ -118,8 +118,15 @@ object TextOps {
     * O(n²). Returns per-doc candidate stats (docs with no candidate keep a
     * row: n_candidates 0).
     */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The shared LSH front half: hashed shingle sets → row-local MinHash
+    * signatures → banded bucket self-join → exact-Jaccard verification.
+    * Returns (sig, pairs): per-doc signature columns and verified
+    * candidate pairs (a < b, jaccard). Consumers: [[minhashLsh]]
+    * (per-doc best-candidate stats) and [[dupClusters]] (threshold →
+    * connected components).
+    */
+  def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
     // The HASHED shingle-set projection feeds three consumers
     // (signatures + both sides of the Jaccard verify join); persist it so
     // the split/slice/concat/md5 work happens once, not per consumer —
@@ -157,6 +164,13 @@ object TextOps {
         call_function("graft_sorted_intersect_count", col("sa"), col("sb")))
       .withColumn("jaccard",
         col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .select(col("a"), col("b"), col("jaccard"))
+    (sig, pairs)
+  }
+
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (sig, pairs) = lshVerifiedPairs(df, idCol, textCol)
     // symmetrize in ONE pass: a union of two selects over `pairs` would
     // re-evaluate the join + per-pair intersect once per branch (Spark
     // has no cross-branch subplan reuse) — explode emits both directions
@@ -177,6 +191,63 @@ object TextOps {
       .select(col("doc_id"), col("sig0"), col("sig1"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         col("best_jaccard"), col("best_partner"))
+  }
+
+  /** Duplicate CLUSTERS: connected components over the verified near-dup
+    * pairs at `threshold`, as iterative min-label propagation — the step
+    * a production dedup pipeline runs after pair generation to pick one
+    * canonical doc per duplicate group. Component id = min doc_id in the
+    * component; singletons keep their own id.
+    *
+    * Scale shape: each iteration is one shuffle (edges ⋈ labels on dst →
+    * min per src) and converges in the component DIAMETER iterations —
+    * near-dup groups are near-cliques (diameter ≤ ~3), so the loop exits
+    * almost immediately; the iteration cap is a safety bound, and hitting
+    * it raises rather than returning a half-propagated labeling. Labels
+    * persist per iteration (old iterate unpersisted) so lineage stays
+    * shallow. At extreme skew (one giant component) the
+    * large-star/small-star algorithm replaces this; for dedup clusters
+    * min-propagation is the standard shape.
+    */
+  def dupClusters(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.8, maxIters: Int = 20): DataFrame = {
+    val (_, pairs) = lshVerifiedPairs(df, idCol, textCol)
+    // symmetric adjacency in one pass (see minhashLsh's symmetrize note)
+    val adj = pairs.filter(col("jaccard") >= threshold)
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst"))))
+        .as("e")).select(col("e.src"), col("e.dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(adj)
+    var labels = df.select(col(idCol).as("doc_id"))
+      .withColumn("comp", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = adj
+        .join(labels.select(col("doc_id").as("dst"), col("comp").as("ncomp")),
+          Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("ncomp")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persistedFrames.add(next)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"dupClusters did not converge within $maxIters iterations")
+    labels.orderBy("doc_id")
   }
 
   /** 28-bit SimHash over distinct words: explode → hash once per word →

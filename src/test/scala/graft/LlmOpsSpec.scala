@@ -30,6 +30,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("n_candidates") == 0L)
   }
 
+  test("dupClusters: transitive duplicates collapse to the min-id component") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, text), (2L, text), (5L, text),
+      (3L, "completely different words here that share nothing at all today"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dupClusters(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L))
+  }
+
   test("ngramJaccardBest: known overlap") {
     // shingle sets: A={ "a b c", "b c d" }, B={ "a b c", "b c x" } → J = 1/3
     val df = Seq((1L, "a b c d", "en"), (2L, "a b c x", "en"))
