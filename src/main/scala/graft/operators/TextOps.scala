@@ -220,7 +220,12 @@ object TextOps {
         .as("e")).select(col("e.src"), col("e.dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedFrames.add(adj)
-    var labels = df.select(col(idCol).as("doc_id"))
+    // Propagate over the EDGE-VERTEX SET only: a doc with no near-dup
+    // edge can never change component, so the loop runs on the (small)
+    // duplicate subgraph — at corpus scale the near-dup vertex set is
+    // orders of magnitude smaller than the corpus, and the full table is
+    // touched exactly once, in the final left-outer stitch.
+    var labels = adj.select(col("src").as("doc_id")).distinct()
       .withColumn("comp", col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedFrames.add(labels)
@@ -232,22 +237,25 @@ object TextOps {
           Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("ncomp")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
+      // carry old + new comp so the convergence check is a scan of the
+      // cached iterate, not another join
+      val step = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persistedFrames.add(next)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
+      persistedFrames.add(step)
+      val changed = step.filter(col("comp") =!= col("prev")).count()
       labels.unpersist(blocking = false)
-      labels = next
+      labels = step.select("doc_id", "comp")
       converged = changed == 0
       iter += 1
     }
     require(converged,
       s"dupClusters did not converge within $maxIters iterations")
-    labels.orderBy("doc_id")
+    df.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .orderBy("doc_id")
   }
 
   /** 28-bit SimHash over distinct words: explode → hash once per word →
