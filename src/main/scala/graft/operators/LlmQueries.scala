@@ -84,6 +84,12 @@ object LlmQueries {
   def q40Simhash(s: SparkSession, d: String): DataFrame =
     TextOps.simhashDf(Tables.documents(s, d), "doc_id", "text")
 
+  /** SimHash near-dup: banded hamming-distance candidate join (exact
+    * recall for hamming ≤ 3 by pigeonhole over the 4 bands).
+    */
+  def q70SimhashDups(s: SparkSession, d: String): DataFrame =
+    TextOps.simhashNearDup(Tables.documents(s, d), "doc_id", "text")
+
   /** Multimodal column plumbing: opaque binary + typed metadata with a
     * clearly-stubbed decode (see Multimodal.scala for the partitioned
     * pipeline shape).
@@ -126,7 +132,8 @@ object LlmQueries {
     "q43_ann_ivf" -> (q43AnnIvf _),
     "q54_cosine_lsh" -> (q54CosineLsh _),
     "q68_ann_ivf_nprobe2" -> (q68AnnIvf2 _),
-    "q69_dup_clusters" -> (q69DupClusters _))
+    "q69_dup_clusters" -> (q69DupClusters _),
+    "q70_simhash_dups" -> (q70SimhashDups _))
 
   private val shingleBase =
     """base AS (
@@ -384,6 +391,45 @@ object LlmQueries {
          |FROM sig s LEFT JOIN best b USING (vec_id)""".stripMargin),
     "q43_ann_ivf" -> ivfOracle(1),
     "q68_ann_ivf_nprobe2" -> ivfOracle(2),
+    "q70_simhash_dups" -> (
+      s"""WITH sims AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum([
+         |      CASE WHEN list_sum([((h >> j) & 1) * 2 - 1 for h in hs]) > 0
+         |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+         |      for j in range(0, 28)]) AS BIGINT) AS simhash
+         |  FROM (
+         |    SELECT doc_id,
+         |      list_transform(
+         |        list_distinct(string_split_regex(trim(text), '\\s+')),
+         |        s -> ${hexFold.format("s")}) AS hs
+         |    FROM documents) w),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, (simhash >> 0) & 127 AS key FROM sims
+         |  UNION ALL SELECT doc_id, 1, (simhash >> 7) & 127 FROM sims
+         |  UNION ALL SELECT doc_id, 2, (simhash >> 14) & 127 FROM sims
+         |  UNION ALL SELECT doc_id, 3, (simhash >> 21) & 127 FROM sims),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |ham AS (
+         |  SELECT a, b,
+         |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+         |  FROM cand JOIN sims sa ON sa.doc_id = a JOIN sims sb ON sb.doc_id = b
+         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+         |sym AS (SELECT a AS doc_id, b AS partner, hamming FROM ham
+         |        UNION ALL SELECT b, a, hamming FROM ham),
+         |rk AS (SELECT doc_id, partner, hamming,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY hamming ASC, partner ASC) AS rn FROM sym),
+         |best AS (SELECT doc_id, count(*) AS n_dups,
+         |           max(CASE WHEN rn = 1 THEN partner END) AS best_partner,
+         |           max(CASE WHEN rn = 1 THEN hamming END) AS best_hamming
+         |         FROM rk GROUP BY 1)
+         |SELECT s.doc_id, s.simhash, coalesce(b.n_dups, 0) AS n_dups,
+         |  b.best_partner, b.best_hamming
+         |FROM sims s LEFT JOIN best b USING (doc_id)""".stripMargin),
     "q69_dup_clusters" -> (
       s"""WITH RECURSIVE $shingleBase,
          |$lshJacCtes,

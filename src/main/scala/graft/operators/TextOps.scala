@@ -280,6 +280,56 @@ object TextOps {
       .select(col("doc_id"), coalesce(sim, lit(0L)).as("simhash"))
   }
 
+  /** SimHash near-dup pairs: band the 28-bit simhash into 4×7-bit keys,
+    * bucket-join on band equality, verify with exact Hamming distance
+    * (bit_count of xor — a primitive op per pair). Pigeonhole gives
+    * EXACT recall for hamming ≤ 3: a pair differing in ≤ 3 bits cannot
+    * differ in all 4 bands, so it collides in at least one bucket —
+    * banding here is lossless, not approximate. Same scale shape as
+    * MinHash banding: pair count is the bucket collision rate, never n².
+    * Returns one row per doc: candidate count and the best (lowest
+    * hamming, lowest id) partner.
+    */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sim = simhashDf(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(sim)
+    val banded = sim.select(col("doc_id"),
+      explode(array((0 until 4).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("simhash"), 7 * j).bitwiseAND(127).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val ham = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct() // a pair can collide in several bands
+      .join(sim.select(col("doc_id").as("a"), col("simhash").as("sa")), Seq("a"))
+      .join(sim.select(col("doc_id").as("b"), col("simhash").as("sb")), Seq("b"))
+      .withColumn("hamming",
+        expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= maxHamming)
+    val sym = ham.select(explode(array(
+      struct(col("a").as("doc_id"), col("b").as("partner"), col("hamming")),
+      struct(col("b").as("doc_id"), col("a").as("partner"), col("hamming"))))
+      .as("e")).select(col("e.doc_id"), col("e.partner"), col("e.hamming"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("hamming").asc, col("partner").asc)
+    val best = sym.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dups"),
+        max(when(col("rn") === 1, col("partner"))).as("best_partner"),
+        max(when(col("rn") === 1, col("hamming"))).as("best_hamming"))
+    sim.join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_partner"), col("best_hamming"))
+  }
+
   /** Bag-of-words fingerprint: md5 over the sorted distinct vocabulary —
     * the cheap "same content, re-ordered" detector.
     */

@@ -40,6 +40,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L))
   }
 
+  test("simhashNearDup: identical docs pair at hamming 0") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, text), (2L, text),
+      (3L, "totally unrelated different vocabulary entirely here now"))
+      .toDF("doc_id", "text")
+    val out = TextOps.simhashNearDup(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_dups") == 1L)
+    assert(out(1L).getAs[Long]("best_partner") == 2L)
+    assert(out(1L).getAs[Int]("best_hamming") == 0)
+    assert(out(3L).getAs[Long]("n_dups") == 0L)
+  }
+
   test("ngramJaccardBest: known overlap") {
     // shingle sets: A={ "a b c", "b c d" }, B={ "a b c", "b c x" } → J = 1/3
     val df = Seq((1L, "a b c d", "en"), (2L, "a b c x", "en"))

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the scale-critical PHYSICAL-PLAN properties the operators are
+  * designed around, so a refactor that silently regresses a plan (an
+  * accidental cartesian, a shuffle in a pruned branch, a lost filter
+  * pushdown) fails here instead of surfacing as a 100×-scale surprise.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("source-profile dispatch is shuffle-free (per-branch pruned scans)") {
+    for (q <- Seq("q55_source_profiles", "q60_source_profiles3",
+      "q61_source_profiles4")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q grew a shuffle:\n$p")
+    }
+  }
+
+  test("no accidental cartesian anywhere in the inventory") {
+    // q39/q43/q68 carry INTENTIONAL bounded-broadcast nested loops
+    // (corpus × broadcast probe set; probes × broadcast centroids)
+    val allowed = Set("q39_ann_topk", "q43_ann_ivf", "q68_ann_ivf_nprobe2")
+    for ((name, fn) <- SparkEntry.queries
+         if !allowed(name) && name != "q53_region_ml"
+         // sink-roundtrip queries execute writers eagerly — covered by
+         // their own oracle gate, skipped here to keep this spec fast
+         && !Set("q66_constrained_append", "q67_staging_roundtrip",
+           "q69_dup_clusters").contains(name)) {
+      val p = fn(spark, d).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name has a nested-loop join")
+    }
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val p = plan("q03_filter_project")
+    // at least one scan must carry a NON-EMPTY pushed-filter list
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      s"no non-empty PushedFilters in q03:\n$p")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side for q11)") {
+    val p = plan("q11_join_5way")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"q11 dims stopped broadcasting:\n$p")
+  }
+
+  test("similarity verify kernels stay native in the plan") {
+    val p36 = plan("q36_minhash_lsh")
+    assert(p36.contains("graft_sorted_intersect_count"), p36)
+    val p38 = plan("q38_cosine_pairs")
+    assert(p38.contains("graft_dot_long"), p38)
+  }
+}
