@@ -71,20 +71,36 @@ object ToNumberExpr {
   * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  // analysis-time arity errors name the function, like built-ins do —
+  // not a raw IndexOutOfBounds from children(1)
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name,
+            "expectedNum" -> n.toString,
+            "actualNum" -> children.length.toString,
+            "docroot" -> ""))
+      build(children)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_to_number_native"),
       new ExpressionInfo(classOf[ToNumberExpr].getName, "graft_to_number_native"),
-      (children: Seq[Expression]) => ToNumberExpr(children.head)))
+      arity("graft_to_number_native", 1)(c => ToNumberExpr(c.head))))
     ext.injectFunction((
       FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCountExpr].getName,
         "graft_sorted_intersect_count"),
-      (children: Seq[Expression]) =>
-        SortedIntersectCountExpr(children.head, children(1))))
+      arity("graft_sorted_intersect_count", 2)(c =>
+        SortedIntersectCountExpr(c.head, c(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_dot_long"),
       new ExpressionInfo(classOf[DotLongExpr].getName, "graft_dot_long"),
-      (children: Seq[Expression]) => DotLongExpr(children.head, children(1))))
+      arity("graft_dot_long", 2)(c => DotLongExpr(c.head, c(1)))))
   }
 }

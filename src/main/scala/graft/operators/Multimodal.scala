@@ -77,9 +77,15 @@ object Multimodal {
     val spark = media.sparkSession
     val n = spark.sparkContext.defaultParallelism
     val estBytes = media.queryExecution.optimizedPlan.stats.sizeInBytes
-    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    // Plans without real statistics report defaultSizeInBytes
+    // (Long.MaxValue) — but Catalyst's size-only visitor SCALES that
+    // sentinel through projections (a column-pruning select yields e.g.
+    // 0.6 × Long.MaxValue: garbage, yet below the sentinel). Treat
+    // anything above a 1 PiB plausibility ceiling as unknown, not just
+    // the exact sentinel.
+    val implausible = BigInt(1L << 50)
     val parts =
-      if (estBytes >= sentinel) n // stats unavailable → size by cluster, not by guess
+      if (estBytes >= implausible) n // stats unusable → size by cluster
       else ((estBytes / maxBytesPerTask) + 1).min(BigInt(1 << 20)).toInt
     withMeta(media.repartition(math.max(n, parts), col("doc_id")))
   }

@@ -52,12 +52,7 @@ object Similarity {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         cosineQ(col("x.q"), col("y.q"), col("x.norm2"), col("y.norm2"))
           .as("cosine"))
-    // one-pass symmetrize: a two-branch union would re-run the block join
-    // + per-pair dot product once per branch (no cross-branch reuse)
-    val sym = pairs.select(explode(array(
-      struct(col("a").as("vec_id"), col("b").as("nn_id"), col("cosine")),
-      struct(col("b").as("vec_id"), col("a").as("nn_id"), col("cosine"))))
-      .as("e")).select(col("e.vec_id"), col("e.nn_id"), col("e.cosine"))
+    val sym = TextOps.symmetrize(pairs, "vec_id", "nn_id", "cosine")
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nn_id").asc)
     sym.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("vec_id", "nn_id", "cosine")
@@ -112,11 +107,7 @@ object Similarity {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         cosineQ(col("x.q"), col("y.q"), col("x.norm2"), col("y.norm2"))
           .as("cosine"))
-    // one-pass symmetrize (see blockedNearestNeighbor)
-    val sym = pairs.select(explode(array(
-      struct(col("a").as("vec_id"), col("b").as("nn_id"), col("cosine")),
-      struct(col("b").as("vec_id"), col("a").as("nn_id"), col("cosine"))))
-      .as("e")).select(col("e.vec_id"), col("e.nn_id"), col("e.cosine"))
+    val sym = TextOps.symmetrize(pairs, "vec_id", "nn_id", "cosine")
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nn_id").asc)
     val best = sym.withColumn("rn", row_number().over(w))
       .groupBy("vec_id")

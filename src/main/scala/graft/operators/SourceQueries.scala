@@ -234,10 +234,14 @@ object SourceQueries {
     */
   def q66ConstrainedAppend(s: SparkSession, d: String): DataFrame = {
     val path = freshDir("q66")
+    // batch2 shifts odd keys onto batch1's EVEN residue space (odd k →
+    // (k+1) % 700 is even) so the two batches genuinely collide — the
+    // cross-batch anti-join must filter, and a regression there would
+    // surface as duplicate read-back urls vs the DISTINCT oracle
     val batch1 = Tables.orders(s, d).filter(k % 2 === 0)
       .select(concat(lit("u"), k % 700).as("url"))
     val batch2 = Tables.orders(s, d).filter(k % 2 === 1)
-      .select(concat(lit("u"), k % 1000).as("url"))
+      .select(concat(lit("u"), (k + 1) % 700).as("url"))
     Sinks.constrainedAppend(batch1, path, Seq("url"))
     Sinks.constrainedAppend(batch2, path, Seq("url"))
     s.read.parquet(path).select("url").orderBy("url")
@@ -553,7 +557,7 @@ object SourceQueries {
     "q66_constrained_append" ->
       """SELECT DISTINCT
         |  CASE WHEN o_orderkey % 2 = 0 THEN 'u' || (o_orderkey % 700)
-        |       ELSE 'u' || (o_orderkey % 1000) END AS url
+        |       ELSE 'u' || ((o_orderkey + 1) % 700) END AS url
         |FROM orders ORDER BY url""".stripMargin,
     "q67_staging_roundtrip" ->
       """SELECT 'u' || o_orderkey AS url, 's' || (o_orderkey % 4) AS source,

@@ -43,6 +43,24 @@ object TextOps {
   def hash7(c: Column): Column =
     conv(substring(md5(c), 1, 7), 16, 10).cast("long")
 
+  /** Symmetrize an (a, b, measures…) pair frame into both directions in
+    * ONE pass: a union of two selects over the pair frame would
+    * re-evaluate the candidate join + per-pair verify kernel once per
+    * branch (Spark has no cross-branch subplan reuse) — explode emits
+    * (a→b) and (b→a) from a single evaluation. Used by every pairwise
+    * operator (MinHash/SimHash/cosine best-partner, dup-cluster
+    * adjacency).
+    */
+  private[graft] def symmetrize(pairs: DataFrame, outId: String,
+                                outPartner: String,
+                                measures: String*): DataFrame = {
+    def side(id: Column, partner: Column) = struct(
+      id.as(outId) +: partner.as(outPartner) +: measures.map(col): _*)
+    pairs.select(explode(array(
+      side(col("a"), col("b")), side(col("b"), col("a")))).as("e"))
+      .select((outId +: outPartner +: measures).map(f => col(s"e.$f")): _*)
+  }
+
   /** Whitespace word array. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
@@ -110,20 +128,14 @@ object TextOps {
     df.select(col(idCol).as("doc_id") +:
       sigCols(hashedShingleSet(col(textCol))): _*)
 
-  /** Banded LSH candidate pairs + exact Jaccard verification.
-    *
-    * explode to (band, bucket-key) rows → self-join per bucket → verify.
-    * The join key is (band, combined-sig), so only same-bucket docs ever
-    * pair — candidate count per bucket is the LSH collision rate, never
-    * O(n²). Returns per-doc candidate stats (docs with no candidate keep a
-    * row: n_candidates 0).
-    */
   /** The shared LSH front half: hashed shingle sets → row-local MinHash
-    * signatures → banded bucket self-join → exact-Jaccard verification.
-    * Returns (sig, pairs): per-doc signature columns and verified
-    * candidate pairs (a < b, jaccard). Consumers: [[minhashLsh]]
-    * (per-doc best-candidate stats) and [[dupClusters]] (threshold →
-    * connected components).
+    * signatures → banded (band, bucket-key) self-join → exact-Jaccard
+    * verification. The join key is (band, combined-sig), so only
+    * same-bucket docs ever pair — candidate count per bucket is the LSH
+    * collision rate, never O(n²). Returns (sig, pairs): per-doc
+    * signature columns and verified candidate pairs (a < b, jaccard).
+    * Consumers: [[minhashLsh]] (per-doc best-candidate stats) and
+    * [[dupClusters]] (threshold → connected components).
     */
   def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
@@ -168,17 +180,14 @@ object TextOps {
     (sig, pairs)
   }
 
+  /** Banded MinHash-LSH near-dup stats per doc: [[lshVerifiedPairs]]
+    * then best-candidate selection. Docs with no candidate keep a row
+    * (n_candidates 0).
+    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (sig, pairs) = lshVerifiedPairs(df, idCol, textCol)
-    // symmetrize in ONE pass: a union of two selects over `pairs` would
-    // re-evaluate the join + per-pair intersect once per branch (Spark
-    // has no cross-branch subplan reuse) — explode emits both directions
-    // from a single evaluation
-    val perDoc = pairs.select(explode(array(
-      struct(col("a").as("doc_id"), col("b").as("partner"), col("jaccard")),
-      struct(col("b").as("doc_id"), col("a").as("partner"), col("jaccard"))))
-      .as("e")).select(col("e.doc_id"), col("e.partner"), col("e.jaccard"))
+    val perDoc = symmetrize(pairs, "doc_id", "partner", "jaccard")
     val wBest = Window.partitionBy("doc_id")
       .orderBy(col("jaccard").desc, col("partner").asc)
     val best = perDoc.withColumn("rn", row_number().over(wBest))
@@ -212,12 +221,8 @@ object TextOps {
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.8, maxIters: Int = 20): DataFrame = {
     val (_, pairs) = lshVerifiedPairs(df, idCol, textCol)
-    // symmetric adjacency in one pass (see minhashLsh's symmetrize note)
-    val adj = pairs.filter(col("jaccard") >= threshold)
-      .select(explode(array(
-        struct(col("a").as("src"), col("b").as("dst")),
-        struct(col("b").as("src"), col("a").as("dst"))))
-        .as("e")).select(col("e.src"), col("e.dst"))
+    val adj = symmetrize(pairs.filter(col("jaccard") >= threshold),
+      "src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedFrames.add(adj)
     // Propagate over the EDGE-VERTEX SET only: a doc with no near-dup
@@ -313,10 +318,7 @@ object TextOps {
       .withColumn("hamming",
         expr("bit_count(sa ^ sb)"))
       .filter(col("hamming") <= maxHamming)
-    val sym = ham.select(explode(array(
-      struct(col("a").as("doc_id"), col("b").as("partner"), col("hamming")),
-      struct(col("b").as("doc_id"), col("a").as("partner"), col("hamming"))))
-      .as("e")).select(col("e.doc_id"), col("e.partner"), col("e.hamming"))
+    val sym = symmetrize(ham, "doc_id", "partner", "hamming")
     val w = Window.partitionBy("doc_id")
       .orderBy(col("hamming").asc, col("partner").asc)
     val best = sym.withColumn("rn", row_number().over(w))
@@ -370,12 +372,7 @@ object TextOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         (col("inter") /
           (size(col("x.sh")) + size(col("y.sh")) - col("inter"))).as("jaccard"))
-    // one-pass symmetrize (see minhashLsh): avoids re-running the block
-    // join + intersect for the second direction
-    val sym = pairs.select(explode(array(
-      struct(col("a").as("doc_id"), col("b").as("partner"), col("jaccard")),
-      struct(col("b").as("doc_id"), col("a").as("partner"), col("jaccard"))))
-      .as("e")).select(col("e.doc_id"), col("e.partner"), col("e.jaccard"))
+    val sym = symmetrize(pairs, "doc_id", "partner", "jaccard")
     val w = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("partner").asc)
     sym.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("doc_id", "partner", "jaccard")

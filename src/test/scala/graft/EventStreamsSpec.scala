@@ -42,23 +42,26 @@ class EventStreamsSpec extends AnyFunSuite {
   test("streamingDedup emits each content hash once within the watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
-    val in = MemoryStream[(Long, Timestamp, String)]
+    val in = MemoryStream[(Long, Timestamp, Option[String])]
     val df = in.toDF().toDF("doc_id", "ts", "text")
     val q = EventStreams.streamingDedup(df).writeStream
       .format("memory").queryName("sd").outputMode("append").start()
     in.addData(
-      (1L, ts("2024-01-01 10:00:00"), "same content"),
-      (2L, ts("2024-01-01 10:01:00"), "same content"), // dup in-batch
-      (3L, ts("2024-01-01 10:02:00"), "other content"))
+      (1L, ts("2024-01-01 10:00:00"), Some("same content")),
+      (2L, ts("2024-01-01 10:01:00"), Some("same content")), // dup in-batch
+      (3L, ts("2024-01-01 10:02:00"), Some("other content")),
+      (5L, ts("2024-01-01 10:03:00"), None), // failed scrapes must NOT
+      (6L, ts("2024-01-01 10:04:00"), None)) // collapse into one key
     q.processAllAvailable()
     // dup arriving in a LATER batch, still inside the watermark window
-    in.addData((4L, ts("2024-01-01 10:30:00"), "same content"))
+    in.addData((4L, ts("2024-01-01 10:30:00"), Some("same content")))
     q.processAllAvailable()
     q.stop()
     val ids = spark.table("sd").select("doc_id").as[Long].collect().toSet
     assert(ids.intersect(Set(1L, 2L, 4L)).size == 1) // one survivor per hash
     assert(ids.contains(3L))
-    assert(ids.size == 2)
+    assert(ids.contains(5L) && ids.contains(6L)) // both null-text rows kept
+    assert(ids.size == 4)
   }
 
   test("sessionize keeps per-user state across micro-batches") {

@@ -66,6 +66,15 @@ class ExpressionSpec extends AnyFunSuite {
     assert(df.collect().forall(_.isNullAt(0)))
   }
 
+  test("wrong arity raises an analysis error naming the function") {
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_dot_long(array(1L))").collect())
+    assert(e.getMessage.contains("graft_dot_long"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_sorted_intersect_count(array(1L), array(1L), array(1L))").collect())
+    assert(e2.getMessage.contains("graft_sorted_intersect_count"), e2.getMessage)
+  }
+
   test("graft_sorted_intersect_count == size(array_intersect) on random sets") {
     val rnd = new scala.util.Random(42)
     val rows = (0 until 200).map { _ =>

@@ -127,5 +127,15 @@ class LlmOpsSpec extends AnyFunSuite {
     val parts = out.rdd.getNumPartitions
     assert(parts == spark.sparkContext.defaultParallelism)
     assert(out.count() == 2)
+    // a projection over the stats-less frame can SCALE the sentinel to a
+    // value below Long.MaxValue that is still garbage — the sizing must
+    // treat any implausible estimate (≥ 1 PiB ceiling) as unknown, not
+    // just the exact sentinel
+    val pruned = media.select("doc_id", "media_type")
+      .withColumn("content", lit(Array[Byte](1, 2)))
+    val est = pruned.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est >= BigInt(1L << 50)) // implausible either way → fallback
+    val out2 = Multimodal.decodePartitioned(pruned)
+    assert(out2.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
   }
 }
