@@ -24,7 +24,7 @@ object Bench {
       "q31_dedup_exact", "q36_minhash_lsh", "q37_ngram_jaccard",
       "q38_cosine_pairs", "q40_simhash", "q43_ann_ivf",
       "q01_monthly_counts", "q34_tfidf_keywords", "q55_source_profiles",
-      "q58_queue_writeback", "q69_dup_clusters")
+      "q58_queue_writeback", "q69_dup_clusters", "q70_simhash_dups")
     val available = preferred.filter(SparkEntry.queries.contains)
     if (available.nonEmpty) available else SparkEntry.queries.keys.toSeq.sorted
   }

@@ -395,20 +395,26 @@ object LlmQueries {
       s"""WITH sims AS (
          |  SELECT doc_id,
          |    CAST(list_sum([
-         |      CASE WHEN list_sum([((h >> j) & 1) * 2 - 1 for h in hs]) > 0
+         |      CASE WHEN list_sum([((h >> j) & 1) * 2 - 1 for h in hs1]) > 0
          |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+         |      for j in range(0, 28)])
+         |    + list_sum([
+         |      CASE WHEN list_sum([((h >> j) & 1) * 2 - 1 for h in hs2]) > 0
+         |           THEN (CAST(1 AS BIGINT) << (28 + j)) ELSE 0 END
          |      for j in range(0, 28)]) AS BIGINT) AS simhash
          |  FROM (
          |    SELECT doc_id,
-         |      list_transform(
-         |        list_distinct(string_split_regex(trim(text), '\\s+')),
-         |        s -> ${hexFold.format("s")}) AS hs
-         |    FROM documents) w),
+         |      list_transform(w, s -> ${hexFold.format("s")}) AS hs1,
+         |      list_transform(w, s -> ${hexFold.format("(s || '#')")}) AS hs2
+         |    FROM (
+         |      SELECT doc_id,
+         |        list_distinct(string_split_regex(trim(text), '\\s+')) AS w
+         |      FROM documents) w0) w),
          |banded AS (
-         |  SELECT doc_id, 0 AS band, (simhash >> 0) & 127 AS key FROM sims
-         |  UNION ALL SELECT doc_id, 1, (simhash >> 7) & 127 FROM sims
-         |  UNION ALL SELECT doc_id, 2, (simhash >> 14) & 127 FROM sims
-         |  UNION ALL SELECT doc_id, 3, (simhash >> 21) & 127 FROM sims),
+         |  SELECT doc_id, 0 AS band, (simhash >> 0) & 16383 AS key FROM sims
+         |  UNION ALL SELECT doc_id, 1, (simhash >> 14) & 16383 FROM sims
+         |  UNION ALL SELECT doc_id, 2, (simhash >> 28) & 16383 FROM sims
+         |  UNION ALL SELECT doc_id, 3, (simhash >> 42) & 16383 FROM sims),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM banded x JOIN banded y

@@ -285,26 +285,58 @@ object TextOps {
       .select(col("doc_id"), coalesce(sim, lit(0L)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 28-bit simhash into 4×7-bit keys,
-    * bucket-join on band equality, verify with exact Hamming distance
-    * (bit_count of xor — a primitive op per pair). Pigeonhole gives
-    * EXACT recall for hamming ≤ 3: a pair differing in ≤ 3 bits cannot
-    * differ in all 4 bands, so it collides in at least one bucket —
-    * banding here is lossless, not approximate. Same scale shape as
-    * MinHash banding: pair count is the bucket collision rate, never n².
-    * Returns one row per doc: candidate count and the best (lowest
-    * hamming, lowest id) partner.
+  /** 56-bit SimHash: two independent 28-bit word hashes (plain and
+    * salted md5-prefix) fill bits 0–27 and 28–55. Fingerprint WIDTH is
+    * the SimHash scaling knob: band-bucket cardinality is 2^(width/4),
+    * so a wider print keeps buckets sparse as the corpus grows (a 28-bit
+    * print banded 4×7 has only 128 buckets per band — bucket occupancy,
+    * and with it pair count, grows quadratically with the corpus; at
+    * true 100 TB scale this becomes 128-bit with 4×32-bit bands, same
+    * operator shape).
+    */
+  def simhash56Df(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(words(col(textCol)))).as("w"))
+      .withColumn("h1", hash7(col("w")))
+      .withColumn("h2", hash7(concat(col("w"), lit("#"))))
+    val bitSums = ex.groupBy("doc_id").agg(
+      sum((shiftright(col("h1"), 0).bitwiseAND(1)) * 2 - 1).as("a0"),
+      ((1 until 28).map(j =>
+        sum((shiftright(col("h1"), j).bitwiseAND(1)) * 2 - 1).as(s"a$j")) ++
+        (0 until 28).map(j =>
+          sum((shiftright(col("h2"), j).bitwiseAND(1)) * 2 - 1).as(s"b$j"))): _*)
+    val sim = ((0 until 28).map(j =>
+      when(col(s"a$j") > 0, lit(1L << j)).otherwise(0L)) ++
+      (0 until 28).map(j =>
+        when(col(s"b$j") > 0, lit(1L << (28 + j))).otherwise(0L)))
+      .reduce(_ + _)
+    df.select(col(idCol).as("doc_id"))
+      .join(bitSums, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(sim, lit(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 56-bit simhash into 4×14-bit keys
+    * (16 384 buckets per band), bucket-join on band equality, verify
+    * with exact Hamming distance (bit_count of xor — a primitive op per
+    * pair). Pigeonhole gives EXACT recall for hamming ≤ 3: a pair
+    * differing in ≤ 3 bits cannot differ in all 4 bands, so it collides
+    * in at least one bucket — banding here is lossless, not
+    * approximate. Pair count is the bucket collision rate, never n²
+    * (see [[simhash56Df]] for the width-vs-corpus scaling law). Returns
+    * one row per doc: candidate count and the best (lowest hamming,
+    * lowest id) partner.
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sim = simhashDf(df, idCol, textCol)
+    val sim = simhash56Df(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedFrames.add(sim)
     val banded = sim.select(col("doc_id"),
       explode(array((0 until 4).map { j =>
         struct(lit(j).as("band"),
-          shiftright(col("simhash"), 7 * j).bitwiseAND(127).as("key"))
+          shiftright(col("simhash"), 14 * j).bitwiseAND(16383).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val ham = banded.as("x")
