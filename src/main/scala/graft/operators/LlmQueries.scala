@@ -50,6 +50,12 @@ object LlmQueries {
       array_max(transform(q, x => abs(x))).as("max_abs_milli"))
   }
 
+  /** Composed corpus-preparation pipeline: quality gates → language
+    * filter → fingerprint dedup with first-fail reason attribution.
+    */
+  def q71CorpusFilter(s: SparkSession, d: String): DataFrame =
+    TextOps.corpusFilter(Tables.documents(s, d), "doc_id", "text")
+
   /** Bag-of-words fingerprint per document. */
   def q35Fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -133,7 +139,8 @@ object LlmQueries {
     "q54_cosine_lsh" -> (q54CosineLsh _),
     "q68_ann_ivf_nprobe2" -> (q68AnnIvf2 _),
     "q69_dup_clusters" -> (q69DupClusters _),
-    "q70_simhash_dups" -> (q70SimhashDups _))
+    "q70_simhash_dups" -> (q70SimhashDups _),
+    "q71_corpus_filter" -> (q71CorpusFilter _))
 
   private val shingleBase =
     """base AS (
@@ -389,6 +396,38 @@ object LlmQueries {
          |SELECT s.vec_id, s.bucket, coalesce(b.n_peers, 0) AS n_peers,
          |  b.best_nn, b.best_cos
          |FROM sig s LEFT JOIN best b USING (vec_id)""".stripMargin),
+    "q71_corpus_filter" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(w) AS n_tokens,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+        |      / len(w) AS avg_tok_len,
+        |    len(list_filter(w, x -> x IN ('the','a','of','and','in')))
+        |      / len(w) AS stop_ratio,
+        |    CASE WHEN len(list_filter(w, x -> x IN ('the','a'))) * 20 >= len(w)
+        |         THEN 'en' ELSE 'unknown' END AS predicted,
+        |    md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp
+        |  FROM w),
+        |g AS (
+        |  SELECT doc_id, n_tokens, fp,
+        |    CASE WHEN n_tokens < 30 THEN 'too_short'
+        |         WHEN avg_tok_len * 0.5 + stop_ratio * 2.0
+        |              + least(n_tokens, 100) / 100.0 < 2.8 THEN 'low_quality'
+        |         WHEN predicted <> 'en' THEN 'non_english' END AS gate
+        |  FROM m),
+        |d AS (
+        |  SELECT doc_id, n_tokens, gate,
+        |    sum(CASE WHEN gate IS NULL THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY fp ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS earlier
+        |  FROM g)
+        |SELECT doc_id, n_tokens,
+        |  coalesce(gate, CASE WHEN earlier > 0 THEN 'duplicate' END, 'kept')
+        |    AS reason
+        |FROM d""".stripMargin,
     "q43_ann_ivf" -> ivfOracle(1),
     "q68_ann_ivf_nprobe2" -> ivfOracle(2),
     "q70_simhash_dups" -> (

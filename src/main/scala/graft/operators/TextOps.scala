@@ -410,6 +410,34 @@ object TextOps {
       .select("doc_id", "partner", "jaccard")
   }
 
+  /** The composed corpus-preparation pipeline: quality gates → language
+    * filter → fingerprint dedup, with a single REASON verdict per doc
+    * (first failing gate wins, mirroring how training-data pipelines
+    * report drop attribution). A surviving doc is 'duplicate' iff an
+    * earlier (lower-id) SURVIVOR shares its bag-of-words fingerprint —
+    * rejected docs never shadow a later canonical. Row-local except one
+    * window over the fingerprint key: scales as a scan + one shuffle.
+    */
+  def corpusFilter(df: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int = 30, minQuality: Double = 2.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("_id"),
+      langId(col(textCol)).as("predicted"),
+      fingerprint(col(textCol)).as("fp"))
+      .join(textStats(df, idCol, textCol).withColumnRenamed("doc_id", "_id"),
+        Seq("_id"))
+    val gate = when(col("n_tokens") < minTokens, "too_short")
+      .when(col("quality_score") < minQuality, "low_quality")
+      .when(col("predicted") =!= "en", "non_english")
+    val w = Window.partitionBy("fp").orderBy("_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val earlierSurvivors =
+      sum(when(gate.isNull, 1).otherwise(0)).over(w)
+    base.select(col("_id").as("doc_id"), col("n_tokens"),
+      coalesce(gate,
+        when(earlierSurvivors > 0, "duplicate"), lit("kept")).as("reason"))
+  }
+
   val stopwords = Seq("the", "a", "of", "and", "in")
 
   /** TF-IDF-shaped keyword extraction: top-k terms per doc ranked by term

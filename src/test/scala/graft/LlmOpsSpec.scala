@@ -40,6 +40,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L))
   }
 
+  test("corpusFilter: first-fail cascade, survivor-only dedup") {
+    val sentence = "the quick a brown fox jumps"
+    val okText = Seq.fill(6)(sentence).mkString(" ")            // 36 tok, en
+    val reordered = Seq.fill(6)("brown fox the quick a jumps").mkString(" ")
+    val shortSameVocab = "the quick a brown fox jumps the a quick brown"
+    val foreign = Seq.fill(6)("wunderbar ausgezeichnet glorreich herrlich " +
+      "prachtvoll vortrefflich").mkString(" ")                  // no stopwords
+    val lowQ = Seq.fill(4)("at it we he the go a is").mkString(" ") // avg len 2
+    val df = Seq(
+      (0L, shortSameVocab), // too_short — and must NOT shadow doc 1's keep
+      (1L, okText),         // kept (first surviving fingerprint holder)
+      (2L, reordered),      // same vocab as 1 → duplicate
+      (3L, "tiny doc here"),// too_short
+      (4L, foreign),        // non_english (passes quality: long words)
+      (5L, lowQ))           // low_quality (en, but short words)
+      .toDF("doc_id", "text")
+    val out = TextOps.corpusFilter(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(0L -> "too_short", 1L -> "kept", 2L -> "duplicate",
+      3L -> "too_short", 4L -> "non_english", 5L -> "low_quality"))
+  }
+
   test("simhashNearDup: identical docs pair at hamming 0") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val df = Seq((1L, text), (2L, text),
