@@ -80,10 +80,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         throw new org.apache.spark.sql.AnalysisException(
           errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
           messageParameters = Map(
-            "functionName" -> name,
+            "functionName" -> s"`$name`",
             "expectedNum" -> n.toString,
             "actualNum" -> children.length.toString,
-            "docroot" -> ""))
+            "docroot" -> "https://spark.apache.org/docs/latest"))
       build(children)
     }
 

@@ -263,58 +263,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** 28-bit SimHash over distinct words: explode → hash once per word →
-    * 28 signed bit-sums as map-side-combinable aggregates → bit compose.
-    * (A nested higher-order-function form would recompute the word hash
-    * per bit position after projection collapse — 28× the md5 work.)
+  /** 28-bit SimHash over distinct words (single unsalted hash; the
+    * explode → signed-bit-sum aggregates are map-side combinable, and
+    * the hash runs once per word — a nested higher-order-function form
+    * would recompute it per bit position after projection collapse).
     */
-  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(words(col(textCol)))).as("w"))
-      .withColumn("h", hash7(col("w")))
-    val bitSums = ex.groupBy("doc_id").agg(
-      sum((shiftright(col("h"), 0).bitwiseAND(1)) * 2 - 1).as("b0"),
-      (1 until 28).map(j =>
-        sum((shiftright(col("h"), j).bitwiseAND(1)) * 2 - 1).as(s"b$j")): _*)
-    val sim = (0 until 28).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashWideDf(df, idCol, textCol, Seq(""))
+
+  /** Width-parameterized SimHash: each salt contributes 28 independent
+    * bits (hash7 of the salted word), so width = 28 × |salts|.
+    * Fingerprint WIDTH is the SimHash scaling knob: band-bucket
+    * cardinality is 2^(width/bands), so a wider print keeps buckets
+    * sparse as the corpus grows (a 28-bit print banded 4×7 has only 128
+    * buckets per band — bucket occupancy, and with it pair count, grows
+    * quadratically with the corpus; at true 100 TB scale this becomes
+    * ~128-bit, i.e. 5 salts, with 4×32-bit bands — same operator).
+    */
+  def simhashWideDf(df: DataFrame, idCol: String, textCol: String,
+                    salts: Seq[String]): DataFrame = {
+    require(salts.nonEmpty && 28 * salts.size <= 63,
+      "width must fit a single long")
+    val ex = salts.zipWithIndex.foldLeft(
+      df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(words(col(textCol)))).as("w"))) {
+      case (d, (s, k)) => d.withColumn(s"h$k",
+        hash7(if (s.isEmpty) col("w") else concat(col("w"), lit(s))))
+    }
+    val aggs = for { k <- salts.indices; j <- 0 until 28 }
+      yield sum((shiftright(col(s"h$k"), j).bitwiseAND(1)) * 2 - 1)
+        .as(s"b${k}_$j")
+    val bitSums = ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sim = (for { k <- salts.indices; j <- 0 until 28 }
+      yield when(col(s"b${k}_$j") > 0, lit(1L << (28 * k + j))).otherwise(0L))
       .reduce(_ + _)
     df.select(col(idCol).as("doc_id"))
       .join(bitSums, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(sim, lit(0L)).as("simhash"))
   }
 
-  /** 56-bit SimHash: two independent 28-bit word hashes (plain and
-    * salted md5-prefix) fill bits 0–27 and 28–55. Fingerprint WIDTH is
-    * the SimHash scaling knob: band-bucket cardinality is 2^(width/4),
-    * so a wider print keeps buckets sparse as the corpus grows (a 28-bit
-    * print banded 4×7 has only 128 buckets per band — bucket occupancy,
-    * and with it pair count, grows quadratically with the corpus; at
-    * true 100 TB scale this becomes 128-bit with 4×32-bit bands, same
-    * operator shape).
+  /** 56-bit SimHash (plain + '#'-salted word hashes; see
+    * [[simhashWideDf]] for the width-vs-corpus law).
     */
-  def simhash56Df(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(words(col(textCol)))).as("w"))
-      .withColumn("h1", hash7(col("w")))
-      .withColumn("h2", hash7(concat(col("w"), lit("#"))))
-    val bitSums = ex.groupBy("doc_id").agg(
-      sum((shiftright(col("h1"), 0).bitwiseAND(1)) * 2 - 1).as("a0"),
-      ((1 until 28).map(j =>
-        sum((shiftright(col("h1"), j).bitwiseAND(1)) * 2 - 1).as(s"a$j")) ++
-        (0 until 28).map(j =>
-          sum((shiftright(col("h2"), j).bitwiseAND(1)) * 2 - 1).as(s"b$j"))): _*)
-    val sim = ((0 until 28).map(j =>
-      when(col(s"a$j") > 0, lit(1L << j)).otherwise(0L)) ++
-      (0 until 28).map(j =>
-        when(col(s"b$j") > 0, lit(1L << (28 + j))).otherwise(0L)))
-      .reduce(_ + _)
-    df.select(col(idCol).as("doc_id"))
-      .join(bitSums, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(sim, lit(0L)).as("simhash"))
-  }
+  def simhash56Df(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashWideDf(df, idCol, textCol, Seq("", "#"))
 
   /** SimHash near-dup pairs: band the 56-bit simhash into 4×14-bit keys
     * (16 384 buckets per band), bucket-join on band equality, verify
@@ -421,19 +413,19 @@ object TextOps {
   def corpusFilter(df: DataFrame, idCol: String, textCol: String,
                    minTokens: Int = 30, minQuality: Double = 2.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("_id"),
-      langId(col(textCol)).as("predicted"),
-      fingerprint(col(textCol)).as("fp"))
-      .join(textStats(df, idCol, textCol).withColumnRenamed("doc_id", "_id"),
-        Seq("_id"))
+    // language + fingerprint ride in textStats' projection: one scan,
+    // no self-join
+    val base = textStats(df, idCol, textCol,
+      "predicted" -> langId(col(textCol)),
+      "fp" -> fingerprint(col(textCol)))
     val gate = when(col("n_tokens") < minTokens, "too_short")
       .when(col("quality_score") < minQuality, "low_quality")
       .when(col("predicted") =!= "en", "non_english")
-    val w = Window.partitionBy("fp").orderBy("_id")
+    val w = Window.partitionBy("fp").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val earlierSurvivors =
       sum(when(gate.isNull, 1).otherwise(0)).over(w)
-    base.select(col("_id").as("doc_id"), col("n_tokens"),
+    base.select(col("doc_id"), col("n_tokens"),
       coalesce(gate,
         when(earlierSurvivors > 0, "duplicate"), lit("kept")).as("reason"))
   }
@@ -471,16 +463,19 @@ object TextOps {
 
   /** Token/char/stopword statistics + a deterministic quality score
     * (length, stopword ratio, capped token count — the usual LLM-corpus
-    * quality gates).
+    * quality gates). `extra` columns are computed IN THE SAME projection
+    * so composed pipelines ([[corpusFilter]]) stay one scan with no
+    * self-join.
     */
-  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def textStats(df: DataFrame, idCol: String, textCol: String,
+                extra: (String, Column)*): DataFrame = {
     val w = words(col(textCol))
     // BPE-ish pre-tokenization: letter runs (either case), digit runs,
     // single symbols — the usual subword-tokenizer front end, counted
     // without a vocab
     val bpeish = regexp_extract_all(col(textCol),
       lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
-    df.select(
+    df.select(Seq(
       col(idCol).as("doc_id"),
       size(w).as("n_tokens"),
       size(bpeish).as("n_bpe_tokens"),
@@ -489,7 +484,7 @@ object TextOps {
       (aggregate(w, lit(0L), (acc, x) => acc + length(x)) / size(w))
         .as("avg_tok_len"),
       (size(filter(w, x => x.isin(stopwords: _*))) / size(w))
-        .as("stop_ratio"))
+        .as("stop_ratio")) ++ extra.map { case (n, c) => c.as(n) }: _*)
       .withColumn("quality_score",
         col("avg_tok_len") * 0.5 + col("stop_ratio") * 2.0 +
           least(col("n_tokens"), lit(100)) / 100.0)
