@@ -102,5 +102,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_long"),
       new ExpressionInfo(classOf[DotLongExpr].getName, "graft_dot_long"),
       arity("graft_dot_long", 2)(c => DotLongExpr(c.head, c(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShinglesExpr].getName,
+        "graft_hashed_shingles"),
+      arity("graft_hashed_shingles", 2)(c =>
+        HashedShinglesExpr(c.head, c(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
+      arity("graft_simhash", 2)(c => SimhashExpr(c.head, c(1)))))
   }
 }

@@ -72,8 +72,20 @@ object TextOps {
     * per-pair allocation. Jaccard over the hashed sets equals Jaccard
     * over the string sets up to 28-bit in-document collisions, which
     * both engines reproduce identically (md5 on both sides).
+    *
+    * Native kernel (`graft_hashed_shingles`): one pass per document from
+    * the md5 digest bytes — no hex round-trip, no intermediate
+    * shingle-string array. [[legacyHashedShingleSet]] is the
+    * Column-composed executable spec, pinned bit-equal by
+    * TextKernelsSpec.
     */
   def hashedShingleSet(text: Column, n: Int = 3): Column =
+    call_function("graft_hashed_shingles", text, lit(n))
+
+  /** The Column-composed form [[hashedShingleSet]] replaces (kept as the
+    * kernel's executable specification + oracle-SQL mirror).
+    */
+  private[graft] def legacyHashedShingleSet(text: Column, n: Int = 3): Column =
     array_sort(array_distinct(transform(
       array_distinct(shingles(text, n)), s => hash7(s))))
 
@@ -279,9 +291,29 @@ object TextOps {
     * buckets per band — bucket occupancy, and with it pair count, grows
     * quadratically with the corpus; at true 100 TB scale this becomes
     * ~128-bit, i.e. 5 salts, with 4×32-bit bands — same operator).
+    *
+    * Native kernel (`graft_simhash`): the whole fingerprint is ROW-LOCAL
+    * — one generated-code pass over the distinct words per doc, ZERO
+    * shuffle. (The previous explode → 28·|salts|-column ±1 bit-sum
+    * aggregate shuffled one row per (doc, distinct word);
+    * [[legacySimhashWideDf]] keeps that form as the kernel's executable
+    * spec, pinned bit-equal by TextKernelsSpec.)
     */
   def simhashWideDf(df: DataFrame, idCol: String, textCol: String,
                     salts: Seq[String]): DataFrame = {
+    require(salts.nonEmpty && 28 * salts.size <= 63,
+      "width must fit a single long")
+    df.select(col(idCol).as("doc_id"),
+      call_function("graft_simhash", col(textCol),
+        array(salts.map(lit): _*)).as("simhash"))
+  }
+
+  /** The explode → bit-sum aggregate form [[simhashWideDf]] replaces
+    * (kept as the kernel's executable specification).
+    */
+  private[graft] def legacySimhashWideDf(df: DataFrame, idCol: String,
+                                         textCol: String,
+                                         salts: Seq[String]): DataFrame = {
     require(salts.nonEmpty && 28 * salts.size <= 63,
       "width must fit a single long")
     val ex = salts.zipWithIndex.foldLeft(
