@@ -122,6 +122,24 @@ object LlmQueries {
   def q54CosineLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshNearestNeighbor(Tables.embeddings(s, d), "vec_id", "embedding")
 
+  /** ANN recall eval: recall@3 of IVF (nprobe = 1 and 2) against the
+    * exact brute-force baseline, per probe — the quality metric that
+    * justifies an approximate index at scale (and shows the nprobe
+    * recall-vs-cost curve actually bends the right way).
+    */
+  def q72AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probe = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 3)
+    def r(nprobe: Int) = Similarity.recallAtK(exact,
+      Similarity.ivfTopK(emb, "vec_id", "embedding", "label", probe, 3, nprobe), 3)
+    r(1).select(col("probe_id"), col("hits").as("hits_np1"),
+        col("recall").as("recall_np1"))
+      .join(r(2).select(col("probe_id"), col("hits").as("hits_np2"),
+        col("recall").as("recall_np2")), Seq("probe_id"))
+      .orderBy("probe_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31DedupExact _),
     "q32_text_stats" -> (q32TextStats _),
@@ -140,7 +158,8 @@ object LlmQueries {
     "q68_ann_ivf_nprobe2" -> (q68AnnIvf2 _),
     "q69_dup_clusters" -> (q69DupClusters _),
     "q70_simhash_dups" -> (q70SimhashDups _),
-    "q71_corpus_filter" -> (q71CorpusFilter _))
+    "q71_corpus_filter" -> (q71CorpusFilter _),
+    "q72_ann_recall" -> (q72AnnRecall _))
 
   private val shingleBase =
     """base AS (
@@ -430,6 +449,60 @@ object LlmQueries {
         |FROM d""".stripMargin,
     "q43_ann_ivf" -> ivfOracle(1),
     "q68_ann_ivf_nprobe2" -> ivfOracle(2),
+    "q72_ann_recall" -> (
+      s"""WITH $embBase,
+         |$centCtes,
+         |probes AS (SELECT vec_id AS probe_id, q AS pq, norm2 AS pnorm2
+         |           FROM n2 WHERE vec_id % 50 = 0),
+         |ex AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.probe_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        CAST(list_sum([p.pq[i]*c.q[i] for i in range(1, 65)]) AS BIGINT)
+         |          / (sqrt(p.pnorm2) * sqrt(c.norm2)) DESC, c.vec_id ASC) AS rank
+         |    FROM probes p JOIN n2 c ON c.vec_id <> p.probe_id) t
+         |  WHERE rank <= 3),
+         |routed AS (
+         |  SELECT probe_id, pq, pnorm2, label, rn FROM (
+         |    SELECT p.probe_id, p.pq, p.pnorm2, c.label,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        CAST(list_sum([p.pq[i]*c.cq[i] for i in range(1, 65)]) AS BIGINT)
+         |          / (sqrt(p.pnorm2) * sqrt(c.cnorm2)) DESC, c.label ASC) AS rn
+         |    FROM probes p CROSS JOIN cn c) t WHERE rn <= 2),
+         |ivf1 AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT r.probe_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY r.probe_id ORDER BY
+         |        CAST(list_sum([r.pq[i]*c.q[i] for i in range(1, 65)]) AS BIGINT)
+         |          / (sqrt(r.pnorm2) * sqrt(c.norm2)) DESC, c.vec_id ASC) AS rank
+         |    FROM routed r JOIN n2 c
+         |      ON c.label = r.label AND c.vec_id <> r.probe_id
+         |    WHERE r.rn <= 1) t
+         |  WHERE rank <= 3),
+         |ivf2 AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT r.probe_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY r.probe_id ORDER BY
+         |        CAST(list_sum([r.pq[i]*c.q[i] for i in range(1, 65)]) AS BIGINT)
+         |          / (sqrt(r.pnorm2) * sqrt(c.norm2)) DESC, c.vec_id ASC) AS rank
+         |    FROM routed r JOIN n2 c
+         |      ON c.label = r.label AND c.vec_id <> r.probe_id
+         |    WHERE r.rn <= 2) t
+         |  WHERE rank <= 3),
+         |h1 AS (SELECT e.probe_id, count(*) AS hits FROM ex e
+         |       JOIN ivf1 i ON i.probe_id = e.probe_id
+         |                  AND i.neighbor_id = e.neighbor_id GROUP BY 1),
+         |h2 AS (SELECT e.probe_id, count(*) AS hits FROM ex e
+         |       JOIN ivf2 i ON i.probe_id = e.probe_id
+         |                  AND i.neighbor_id = e.neighbor_id GROUP BY 1),
+         |pr AS (SELECT DISTINCT probe_id FROM ex)
+         |SELECT pr.probe_id,
+         |  coalesce(h1.hits, 0) AS hits_np1,
+         |  coalesce(h1.hits, 0) / 3.0 AS recall_np1,
+         |  coalesce(h2.hits, 0) AS hits_np2,
+         |  coalesce(h2.hits, 0) / 3.0 AS recall_np2
+         |FROM pr LEFT JOIN h1 USING (probe_id) LEFT JOIN h2 USING (probe_id)
+         |ORDER BY pr.probe_id""".stripMargin),
     "q70_simhash_dups" -> (
       s"""WITH sims AS (
          |  SELECT doc_id,
@@ -491,23 +564,30 @@ object LlmQueries {
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin))
 
+  /** Centroid CTEs shared by the IVF and recall oracles. Lazy: the
+    * `oracle` val above evaluates before this declaration during object
+    * init (a plain val would interpolate as "null").
+    */
+  private lazy val centCtes =
+    """cent AS (
+      |  SELECT label, list(s ORDER BY i) AS cq
+      |  FROM (
+      |    SELECT label, i, CAST(sum(v) AS BIGINT) AS s
+      |    FROM (SELECT label, unnest(q) AS v,
+      |                 unnest(range(1, 65)) AS i FROM base) z
+      |    GROUP BY label, i) g
+      |  GROUP BY label),
+      |cn AS (SELECT label, cq,
+      |         CAST(list_sum([cq[i]*cq[i] for i in range(1, 65)]) AS BIGINT)
+      |           AS cnorm2 FROM cent)""".stripMargin
+
   /** IVF oracle, parameterized on nprobe (the routed CTE keeps each
     * probe's top-nprobe centroids; clusters are disjoint so the union
     * scan has no duplicate neighbors).
     */
   private def ivfOracle(nprobe: Int): String =
     s"""WITH $embBase,
-       |cent AS (
-       |  SELECT label, list(s ORDER BY i) AS cq
-       |  FROM (
-       |    SELECT label, i, CAST(sum(v) AS BIGINT) AS s
-       |    FROM (SELECT label, unnest(q) AS v,
-       |                 unnest(range(1, 65)) AS i FROM base) z
-       |    GROUP BY label, i) g
-       |  GROUP BY label),
-       |cn AS (SELECT label, cq,
-       |         CAST(list_sum([cq[i]*cq[i] for i in range(1, 65)]) AS BIGINT)
-       |           AS cnorm2 FROM cent),
+       |$centCtes,
        |probes AS (SELECT vec_id AS probe_id, q AS pq, norm2 AS pnorm2
        |           FROM n2 WHERE vec_id % 50 = 0),
        |routed AS (

@@ -121,6 +121,30 @@ object Similarity {
         col("best_nn"), col("best_cos"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * metric a production ANN deployment tracks to tune its
+    * recall-vs-cost knobs (nprobe, band count, bucket width). Both
+    * inputs are (probe_id, neighbor_id, …) top-k frames; output is one
+    * row per exact-side probe with the hit count and recall = hits / k.
+    *
+    * Scale shape: the sampled probe set bounds both frames (probes × k
+    * rows), so the hit join and per-probe aggregate are tiny regardless
+    * of corpus size — the expensive part is producing the exact
+    * baseline, which is why production evals run it over a probe SAMPLE
+    * exactly like [[bruteForceTopK]]'s bounded probe filter.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val e = exact.select(col("probe_id"), col("neighbor_id"))
+    val hits = e.join(approx.select(col("probe_id"), col("neighbor_id")),
+      Seq("probe_id", "neighbor_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+    e.select("probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
+  }
+
   /** IVF-style ANN: coarse centroids = per-block integer sum vectors
     * (cosine against a sum vector ≡ cosine against the mean — scale
     * invariant, and exact in int arithmetic). Probes route to their

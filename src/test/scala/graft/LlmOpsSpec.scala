@@ -111,6 +111,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.map(_._2).toSet.subsetOf(Set(1L, 2L)))
   }
 
+  test("recallAtK: identical frames → 1.0, disjoint frames → 0.0") {
+    val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (50L, 4L), (50L, 5L), (50L, 6L))
+      .toDF("probe_id", "neighbor_id")
+    val perfect = Similarity.recallAtK(exact, exact, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(perfect == Map(0L -> (3L, 1.0), 50L -> (3L, 1.0)))
+    val disjoint = Seq((0L, 9L), (50L, 8L)).toDF("probe_id", "neighbor_id")
+    val zero = Similarity.recallAtK(exact, disjoint, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(zero == Map(0L -> (0L, 0.0), 50L -> (0L, 0.0)))
+    // partial overlap → 2/3
+    val partial = Seq((0L, 1L), (0L, 2L), (0L, 9L), (50L, 7L), (50L, 8L), (50L, 9L))
+      .toDF("probe_id", "neighbor_id")
+    val twoThirds = Similarity.recallAtK(exact, partial, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoThirds == Map(0L -> 2L, 50L -> 0L))
+  }
+
+  test("q72: widening nprobe never hurts recall (testdata)") {
+    val out = LlmQueries.q72AnnRecall(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (h1, h2) = (r.getAs[Long]("hits_np1"), r.getAs[Long]("hits_np2"))
+      assert(h2 >= h1, s"probe ${r.getLong(0)}: nprobe=2 recall dropped")
+      assert(h1 >= 0 && h2 <= 3)
+    }
+  }
+
   test("simhash is stable and respects content") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally other words")).toDF("doc_id", "text")

@@ -25,7 +25,9 @@ class PlanShapeSpec extends AnyFunSuite {
   test("no accidental cartesian anywhere in the inventory") {
     // q39/q43/q68 carry INTENTIONAL bounded-broadcast nested loops
     // (corpus × broadcast probe set; probes × broadcast centroids)
-    val allowed = Set("q39_ann_topk", "q43_ann_ivf", "q68_ann_ivf_nprobe2")
+    // q72 composes q39 + q43's shapes for the recall eval
+    val allowed = Set("q39_ann_topk", "q43_ann_ivf", "q68_ann_ivf_nprobe2",
+      "q72_ann_recall")
     for ((name, fn) <- SparkEntry.queries
          if !allowed(name) && name != "q53_region_ml"
          // sink-roundtrip queries execute writers eagerly — covered by
