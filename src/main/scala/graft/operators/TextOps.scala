@@ -353,39 +353,40 @@ object TextOps {
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sim = simhash56Df(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedFrames.add(sim)
-    val banded = sim.select(col("doc_id"),
+    // The 8-byte fingerprint RIDES THROUGH the band shuffle: the verify
+    // value arrives with the candidate pair, so there is no join back to
+    // the corpus for sa/sb — at scale that's one wide-ish exchange
+    // instead of two extra shuffled joins. (Contrast lshVerifiedPairs,
+    // where the carried value would be the whole shingle-set array —
+    // there the join-back is the cheaper side of the same trade.)
+    val banded = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { j =>
         struct(lit(j).as("band"),
           shiftright(col("simhash"), 14 * j).bitwiseAND(16383).as("key"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
     val ham = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct: shrink its input
       .distinct() // a pair can collide in several bands
-      .join(sim.select(col("doc_id").as("a"), col("simhash").as("sa")), Seq("a"))
-      .join(sim.select(col("doc_id").as("b"), col("simhash").as("sb")), Seq("b"))
-      .withColumn("hamming",
-        expr("bit_count(sa ^ sb)"))
-      .filter(col("hamming") <= maxHamming)
     val sym = symmetrize(ham, "doc_id", "partner", "hamming")
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("hamming").asc, col("partner").asc)
-    val best = sym.withColumn("rn", row_number().over(w))
-      .groupBy("doc_id")
+    // lexicographic struct-min == the (hamming ASC, partner ASC) window
+    // rank-1 row, in ONE aggregate with no window sort
+    val best = sym.groupBy("doc_id")
       .agg(count(lit(1)).as("n_dups"),
-        max(when(col("rn") === 1, col("partner"))).as("best_partner"),
-        max(when(col("rn") === 1, col("hamming"))).as("best_hamming"))
+        min(struct(col("hamming"), col("partner"))).as("m"))
     sim.join(best, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("simhash"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-        col("best_partner"), col("best_hamming"))
+        col("m.partner").as("best_partner"),
+        col("m.hamming").as("best_hamming"))
   }
 
   /** Bag-of-words fingerprint: md5 over the sorted distinct vocabulary —
