@@ -242,8 +242,16 @@ object TextOps {
     // duplicate subgraph — at corpus scale the near-dup vertex set is
     // orders of magnitude smaller than the corpus, and the full table is
     // touched exactly once, in the final left-outer stitch.
-    var labels = adj.select(col("src").as("doc_id")).distinct()
-      .withColumn("comp", col("doc_id"))
+    //
+    // Seed = least(self, min(neighbor)) straight off the adjacency: the
+    // same single shuffle a distinct() would cost, but near-dup
+    // components are near-CLIQUES, so most members see the component
+    // min among their direct neighbors and the seed is already the
+    // fixpoint — the loop's first pass is then the convergence proof
+    // rather than a propagation round.
+    var labels = adj.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("comp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedFrames.add(labels)
     var converged = false

@@ -40,6 +40,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L))
   }
 
+  test("dupClusters: CHAIN component propagates past the seed (A~B~C, A!~C)") {
+    // B is the middle doc; A diverges from B around position 10, C around
+    // position 30 — so A~B and B~C clear the 0.8 Jaccard threshold but
+    // A~C (double the distance) does not. With C holding the min id, the
+    // seed labels A with B's id and the loop must propagate C's id to A
+    // through B — the case the least(self, min(neighbor)) seed alone
+    // cannot solve.
+    val base = (1 to 50).map(i => s"tok$i").toVector
+    def doc(edits: Map[Int, String]) =
+      base.zipWithIndex.map { case (w, i) => edits.getOrElse(i, w) }.mkString(" ")
+    val b = doc(Map.empty)
+    val a = doc(Map(9 -> "ax", 10 -> "ay", 11 -> "az"))
+    val c = doc(Map(29 -> "cx", 30 -> "cy", 31 -> "cz"))
+    val df = Seq((1L, c), (2L, b), (3L, a)).toDF("doc_id", "text")
+    val out = TextOps.dupClusters(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("corpusFilter: first-fail cascade, survivor-only dedup") {
     val sentence = "the quick a brown fox jumps"
     val okText = Seq.fill(6)(sentence).mkString(" ")            // 36 tok, en
