@@ -32,5 +32,6 @@ object Queries {
       """SELECT strftime(ts, '%Y-%m') AS month, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   ) ++ Relational.oracle ++ FunctionQueries.oracle ++ EtlQueries.oracle ++
-    LlmQueries.oracle ++ SourceQueries.oracle ++ SourceProfiles.oracle
+    LlmQueries.oracle ++ SourceQueries.oracle ++ MlQueries.oracle ++
+    SourceProfiles.oracle
 }

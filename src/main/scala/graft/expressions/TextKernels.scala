@@ -28,6 +28,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * limit -1 (trailing empty token and all), same 28-bit md5 prefix the
   * DuckDB oracle reproduces. Tier (b) of the custom-operator ladder
   * (SURVEY §7.3), same as [[ToNumberExpr]] / [[ArrayOps]].
+  *
+  * PRECONDITION: the parity guarantee is stated for VALID UTF-8 text.
+  * The kernel goes UTF8String→toString→getBytes, which rewrites
+  * malformed byte sequences to U+FFFD before hashing. In practice the
+  * Column forms do the same — Spark's `split` itself round-trips each
+  * word through java.lang.String (`UTF8String.split` calls
+  * `toString().split(...)`, substituting malformed sequences
+  * identically) before `md5` sees its bytes — but only the valid-UTF-8
+  * case is pinned by TextKernelsSpec, so that is the contract.
   */
 object TextKernels {
 

@@ -8,7 +8,15 @@ import org.apache.spark.sql.functions._
 /** Region-ML query (SURVEY §2.8 / reference ml_region_prediction.py):
   * train the TF-IDF + RandomForest pipeline on synthesized labeled
   * locations and report the (region, predicted) confusion counts.
-  * Rows-only check: model training has no SQL oracle.
+  *
+  * Hash-gated oracle: the corpus is synthetic and separable (the keyword
+  * uniquely determines the region) and the RF is seeded, so the trained
+  * model classifies the training set PERFECTLY — the expected confusion
+  * matrix is exactly the diagonal of per-region training counts, which
+  * DuckDB derives from `orders` directly (SF-invariant, no pinned
+  * literal). Any training regression produces off-diagonal rows and
+  * fails rows+hash, a strictly stronger gate than the old rows-only +
+  * acc_ok self-check.
   */
 object MlQueries {
 
@@ -45,4 +53,16 @@ object MlQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_region_ml" -> (q53RegionMl _))
+
+  val oracle: Map[String, String] = Map(
+    "q53_region_ml" ->
+      """SELECT region, region AS predicted_region, count(*) AS n,
+        |       true AS acc_ok
+        |FROM (SELECT CASE WHEN o_orderkey % 5 IN (0, 1) THEN 'Badung'
+        |                  WHEN o_orderkey % 5 = 2 THEN 'Gianyar'
+        |                  WHEN o_orderkey % 5 = 3 THEN 'Denpasar'
+        |                  ELSE 'Karangasem' END AS region
+        |      FROM orders WHERE o_orderkey < 2000)
+        |GROUP BY region
+        |ORDER BY region, predicted_region""".stripMargin)
 }

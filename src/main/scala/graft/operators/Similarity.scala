@@ -134,10 +134,13 @@ object Similarity {
     * exactly like [[bruteForceTopK]]'s bounded probe filter.
     */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
-    val e = exact.select(col("probe_id"), col("neighbor_id"))
-    val hits = e.join(approx.select(col("probe_id"), col("neighbor_id")),
+    // distinct both projections: a duplicate (probe_id, neighbor_id) row in
+    // either input would fan the hit join out and report recall > 1
+    val e = exact.select(col("probe_id"), col("neighbor_id")).distinct()
+    val hits = e.join(
+      approx.select(col("probe_id"), col("neighbor_id")).distinct(),
       Seq("probe_id", "neighbor_id"))
-      .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+      .groupBy("probe_id").agg(least(count(lit(1)), lit(k.toLong)).as("hits"))
     e.select("probe_id").distinct()
       .join(hits, Seq("probe_id"), "left_outer")
       .select(col("probe_id"),
@@ -145,28 +148,53 @@ object Similarity {
         (coalesce(col("hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
   }
 
-  /** IVF-style ANN: coarse centroids = per-block integer sum vectors
-    * (cosine against a sum vector ≡ cosine against the mean — scale
-    * invariant, and exact in int arithmetic). Probes route to their
-    * `nprobe` nearest centroids, then search only those clusters'
-    * members. This is the 100 TB shape: centroid table is
-    * broadcast-sized, each probe touches nprobe cluster partitions
-    * instead of the full corpus. nprobe trades recall for cost exactly
-    * as in a real IVF index: clusters are disjoint, so the union scan
-    * never double-counts a neighbor.
+  /** Coarse IVF centroids: per-block integer sum vectors (cosine against
+    * a sum vector ≡ cosine against the mean — scale invariant, and exact
+    * in int arithmetic). Output is the broadcast-sized index table
+    * (blockCol, cq, cnorm2) that [[ivfTopK]] routes probes against.
     */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-              probeFilter: Column, k: Int, nprobe: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+                   blockCol: String): DataFrame = {
     val base = prepared(df, idCol, vecCol, Seq(blockCol))
-    val dim = 64
-    val centroids = base
+    base
       .select(col(blockCol), posexplode(col("q")).as(Seq("pos", "v")))
       .groupBy(blockCol, "pos").agg(sum("v").as("s"))
       .groupBy(blockCol)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
         p => p.getField("s")).as("cq"))
       .withColumn("cnorm2", dotQ(col("cq"), col("cq")))
+  }
+
+  /** IVF build step: materialize the centroid index as parquet. At 100 TB
+    * the index is built ONCE over the corpus and reused by every probe
+    * batch — the build pays a full corpus aggregation; every subsequent
+    * search only reads this (tiny) table plus the routed clusters.
+    */
+  def buildIvf(df: DataFrame, idCol: String, vecCol: String,
+               blockCol: String, path: String): Unit =
+    ivfCentroids(df, idCol, vecCol, blockCol)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** IVF-style ANN search: probes route to their `nprobe` nearest
+    * centroids, then search only those clusters' members. This is the
+    * 100 TB shape: centroid table is broadcast-sized, each probe touches
+    * nprobe cluster partitions instead of the full corpus. nprobe trades
+    * recall for cost exactly as in a real IVF index: clusters are
+    * disjoint, so the union scan never double-counts a neighbor.
+    *
+    * `prebuilt`: the persisted centroid table from [[buildIvf]] — the
+    * production path, in which the search plan contains NO centroid
+    * aggregation (pinned by LlmOpsSpec). None falls back to an inline
+    * single-plan build for ad-hoc/spec use; the search shape is
+    * identical either way.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+              probeFilter: Column, k: Int, nprobe: Int = 1,
+              prebuilt: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = prepared(df, idCol, vecCol, Seq(blockCol))
+    val centroids =
+      prebuilt.getOrElse(ivfCentroids(df, idCol, vecCol, blockCol))
     val probes = base.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"),
         col("norm2").as("pnorm2"))

@@ -35,6 +35,18 @@ object TextOps {
     while (d != null) { d.unpersist(blocking = false); d = persistedFrames.poll() }
   }
 
+  /** Persist a frame under the [[clearCaches]] lifecycle — for operators
+    * (in this object or elsewhere in graft) whose plan references the
+    * same expensive subplan from multiple branches; Spark has no
+    * cross-branch subplan reuse, so without the persist the subplan
+    * executes once per branch.
+    */
+  private[graft] def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(p)
+    p
+  }
+
   /** 28-bit deterministic hash both engines can compute: fold the first 7
     * hex chars of md5. (Spark's murmur3 hash() is faster but has no DuckDB
     * counterpart; at production scale swap in xxhash64 — the operator
