@@ -40,7 +40,7 @@ object Bench {
         try SparkEntry.queries(name)(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        finally TextOps.clearCaches()
+        finally Caches.clear()
       }
     var errors = List.empty[String]
     // Min of two timed iterations: single-run timings swing ±15% with
@@ -59,7 +59,7 @@ object Bench {
             if (!errors.contains(name)) errors ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
-        } finally TextOps.clearCaches() // don't carry cached blocks across queries
+        } finally Caches.clear() // don't carry cached blocks across queries
       }
       val times = (1 to iterations).map(_ => once())
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Session-neutral registry for frames persisted inside operators, so
+  * entry points that own the session lifecycle (Verify, Bench, a service
+  * loop) can release every operator-cached block after materializing a
+  * query — without knowing which module cached what.
+  *
+  * Operators persist when their plan references the same expensive
+  * subplan from multiple branches (Spark has no cross-branch subplan
+  * reuse, so without the persist the subplan executes once per branch).
+  * The cache pays off only within the single action that materializes
+  * the query; in a long-lived session the blocks would otherwise linger
+  * until LRU eviction.
+  */
+object Caches {
+
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist a frame under the [[clear]] lifecycle. MEMORY_AND_DISK: at
+    * corpus scale the blocks spill instead of OOMing, and if executors
+    * are storage-tight they just recompute (the pre-cache behavior).
+    */
+  private[graft] def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(p)
+    p
+  }
+
+  /** Unpersist every frame registered since the last call. Safe to call
+    * while downstream frames are still referenced — they recompute.
+    */
+  def clear(): Unit = {
+    var d = persistedFrames.poll()
+    while (d != null) { d.unpersist(blocking = false); d = persistedFrames.poll() }
+  }
+}

@@ -16,7 +16,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally TextOps.clearCaches() // release per-query persisted frames
+      finally Caches.clear() // release per-query persisted frames
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -106,17 +106,43 @@ object LlmQueries {
       .select("doc_id", "media_type", "n_bytes", "content_md5",
         "fake_width", "fake_height")
 
-  /** IVF-routed ANN top-3: centroid route then single-cluster search. */
+  /** Built-once IVF centroid index per sf dir (the [[Similarity.buildIvf]]
+    * build/search split): the first search over a dir pays the full-corpus
+    * centroid aggregation and materializes the index as parquet; every
+    * subsequent search — q43/q68/q72 below, repeated bench iterations —
+    * reads the tiny index table instead, so the SEARCH plan contains no
+    * centroid aggregation (pinned by LlmOpsSpec). This is the 100 TB
+    * shape: the index is built once per corpus snapshot, not per probe
+    * batch.
+    */
+  private val ivfBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame = {
+    val path = ivfBuilt.computeIfAbsent(d, _ => {
+      val p = "/tmp/graft_ivf_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      Similarity.buildIvf(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** IVF-routed ANN top-3: centroid route then single-cluster search,
+    * against the prebuilt [[ivfIndex]].
+    */
   def q43AnnIvf(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-      "label", col("vec_id") % 50 === 0, 3)
+      "label", col("vec_id") % 50 === 0, 3,
+      prebuilt = Some(ivfIndex(s, d)))
 
   /** IVF with nprobe=2: each probe searches its TWO nearest clusters —
     * the recall-vs-cost knob a production IVF exposes.
     */
   def q68AnnIvf2(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-      "label", col("vec_id") % 50 === 0, 3, nprobe = 2)
+      "label", col("vec_id") % 50 === 0, 3, nprobe = 2,
+      prebuilt = Some(ivfIndex(s, d)))
 
   /** Label-free cosine near-dup via random-hyperplane LSH buckets. */
   def q54CosineLsh(s: SparkSession, d: String): DataFrame =
@@ -131,12 +157,13 @@ object LlmQueries {
     val emb = Tables.embeddings(s, d)
     val probe = col("vec_id") % 50 === 0
     // both recall branches reference the exact baseline; persist it (under
-    // the clearCaches lifecycle) so the brute-force top-k runs once, not
+    // the Caches.clear lifecycle) so the brute-force top-k runs once, not
     // once per branch — Spark has no cross-branch subplan reuse
-    val exact = TextOps.persistTracked(
+    val exact = Caches.persistTracked(
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 3))
     def r(nprobe: Int) = Similarity.recallAtK(exact,
-      Similarity.ivfTopK(emb, "vec_id", "embedding", "label", probe, 3, nprobe), 3)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", "label", probe, 3, nprobe,
+        prebuilt = Some(ivfIndex(s, d))), 3)
     r(1).select(col("probe_id"), col("hits").as("hits_np1"),
         col("recall").as("recall_np1"))
       .join(r(2).select(col("probe_id"), col("hits").as("hits_np2"),

@@ -135,12 +135,16 @@ object Similarity {
     */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     // distinct both projections: a duplicate (probe_id, neighbor_id) row in
-    // either input would fan the hit join out and report recall > 1
+    // either input would fan the hit join out and report recall > 1. No
+    // clamp beyond that — both inputs are row_number-filtered top-k frames
+    // (≤ k rows per probe), and if one ever violated that contract a
+    // recall > 1 reading is the symptom that should surface it, not be
+    // silently capped away.
     val e = exact.select(col("probe_id"), col("neighbor_id")).distinct()
     val hits = e.join(
       approx.select(col("probe_id"), col("neighbor_id")).distinct(),
       Seq("probe_id", "neighbor_id"))
-      .groupBy("probe_id").agg(least(count(lit(1)), lit(k.toLong)).as("hits"))
+      .groupBy("probe_id").agg(count(lit(1)).as("hits"))
     e.select("probe_id").distinct()
       .join(hits, Seq("probe_id"), "left_outer")
       .select(col("probe_id"),

@@ -15,38 +15,6 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Frames persisted by operators in this object for intra-query reuse
-    * (currently: [[minhashLsh]]'s shingle projection). The cache pays off
-    * only within the single action that materializes the query; in a
-    * long-lived session the blocks would otherwise linger until LRU
-    * eviction. Callers that own the session lifecycle (Verify, Bench, any
-    * service loop) should call [[clearCaches]] after materializing the
-    * result.
-    */
-  private val persistedFrames =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  /** Unpersist every frame cached by TextOps operators since the last
-    * call. Safe to call while downstream frames are still referenced —
-    * they recompute (the pre-cache behavior).
-    */
-  def clearCaches(): Unit = {
-    var d = persistedFrames.poll()
-    while (d != null) { d.unpersist(blocking = false); d = persistedFrames.poll() }
-  }
-
-  /** Persist a frame under the [[clearCaches]] lifecycle — for operators
-    * (in this object or elsewhere in graft) whose plan references the
-    * same expensive subplan from multiple branches; Spark has no
-    * cross-branch subplan reuse, so without the persist the subplan
-    * executes once per branch.
-    */
-  private[graft] def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedFrames.add(p)
-    p
-  }
-
   /** 28-bit deterministic hash both engines can compute: fold the first 7
     * hex chars of md5. (Spark's murmur3 hash() is faster but has no DuckDB
     * counterpart; at production scale swap in xxhash64 — the operator
@@ -170,12 +138,10 @@ object TextOps {
     // kernel), not string sets. MEMORY_AND_DISK: at corpus scale the
     // arrays spill instead of OOMing — and if executors are
     // storage-tight the blocks just recompute, which is the pre-cache
-    // behavior. Registered for TextOps.clearCaches() so long-lived
+    // behavior. Registered under the Caches lifecycle so long-lived
     // sessions can release the blocks after materialization.
-    val shsets = df.select(col(idCol).as("doc_id"),
-      hashedShingleSet(col(textCol)).as("shset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedFrames.add(shsets)
+    val shsets = Caches.persistTracked(df.select(col(idCol).as("doc_id"),
+      hashedShingleSet(col(textCol)).as("shset")))
     // signatures are row-local over the cached hashed sets (sigCols) —
     // no explode, no shuffle, no join-back
     val sig = shsets.select(col("doc_id") +: sigCols(col("shset")): _*)
@@ -245,10 +211,8 @@ object TextOps {
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.8, maxIters: Int = 20): DataFrame = {
     val (_, pairs) = lshVerifiedPairs(df, idCol, textCol)
-    val adj = symmetrize(pairs.filter(col("jaccard") >= threshold),
-      "src", "dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedFrames.add(adj)
+    val adj = Caches.persistTracked(
+      symmetrize(pairs.filter(col("jaccard") >= threshold), "src", "dst"))
     // Propagate over the EDGE-VERTEX SET only: a doc with no near-dup
     // edge can never change component, so the loop runs on the (small)
     // duplicate subgraph — at corpus scale the near-dup vertex set is
@@ -261,11 +225,9 @@ object TextOps {
     // min among their direct neighbors and the seed is already the
     // fixpoint — the loop's first pass is then the convergence proof
     // rather than a propagation round.
-    var labels = adj.groupBy(col("src").as("doc_id"))
+    var labels = Caches.persistTracked(adj.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nmin"))
-      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("comp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedFrames.add(labels)
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("comp")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -276,11 +238,10 @@ object TextOps {
         .agg(min(col("ncomp")).as("nmin"))
       // carry old + new comp so the convergence check is a scan of the
       // cached iterate, not another join
-      val step = labels.join(neighborMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persistedFrames.add(step)
+      val step = Caches.persistTracked(
+        labels.join(neighborMin, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("comp").as("prev"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
       val changed = step.filter(col("comp") =!= col("prev")).count()
       labels.unpersist(blocking = false)
       labels = step.select("doc_id", "comp")
@@ -373,9 +334,7 @@ object TextOps {
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
-    val sim = simhash56Df(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedFrames.add(sim)
+    val sim = Caches.persistTracked(simhash56Df(df, idCol, textCol))
     // The 8-byte fingerprint RIDES THROUGH the band shuffle: the verify
     // value arrives with the candidate pair, so there is no join back to
     // the corpus for sa/sb — at scale that's one wide-ish exchange
@@ -436,11 +395,9 @@ object TextOps {
     // of the self-join; each candidate pair then costs one native
     // two-pointer intersect over sorted longs instead of a per-pair
     // string hash set.
-    val base = df.select(Seq(col(idCol).as("doc_id"),
+    val base = Caches.persistTracked(df.select(Seq(col(idCol).as("doc_id"),
       hashedShingleSet(col(textCol)).as("sh")) ++
-      blockCols.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedFrames.add(base)
+      blockCols.map(col): _*))
     val cond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
       .reduce(_ && _) && col("x.doc_id") < col("y.doc_id")
     val pairs = base.as("x").join(base.as("y"), cond)

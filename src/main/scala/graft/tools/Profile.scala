@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.{GraftSession, SparkEntry, TextOps}
+import graft.{Caches, GraftSession, SparkEntry}
 
 /** Timing helper for one query: repeated noop-sink materializations
   * (same methodology as Bench) so a change's effect on a single query
@@ -17,7 +17,7 @@ object Profile {
     for (i <- 1 to iters) {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      TextOps.clearCaches()
+      Caches.clear()
       println(f"[profile] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()

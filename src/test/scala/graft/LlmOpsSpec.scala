@@ -148,6 +148,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(twoThirds == Map(0L -> 2L, 50L -> 0L))
   }
 
+  test("ivfTopK prebuilt: parquet round-trip equals inline build; search plan has no centroid aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val probe = col("vec_id") % 50 === 0
+    val inline = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+      probe, 3, nprobe = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf")
+      .toString + "/idx"
+    Similarity.buildIvf(emb, "vec_id", "embedding", "label", path)
+    val pre = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+      probe, 3, nprobe = 2, prebuilt = Some(spark.read.parquet(path)))
+    // the build/search split's whole point: searching a prebuilt index
+    // never re-aggregates the corpus into centroids — the search plan is
+    // aggregate-free, while the inline fallback plainly is not
+    val prePlan = pre.queryExecution.optimizedPlan.toString
+    assert(!prePlan.contains("Aggregate"), s"search plan aggregates:\n$prePlan")
+    assert(inline.queryExecution.optimizedPlan.toString.contains("Aggregate"))
+    assert(pre.collect().toSet == inline.collect().toSet)
+  }
+
+  test("q43/q68 search via the prebuilt IVF index: no aggregation in the query plan") {
+    for (q <- Seq(LlmQueries.q43AnnIvf _, LlmQueries.q68AnnIvf2 _)) {
+      val df = q(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Aggregate"), s"query plan aggregates:\n$plan")
+      assert(df.count() > 0)
+    }
+  }
+
   test("q72: widening nprobe never hurts recall (testdata)") {
     val out = LlmQueries.q72AnnRecall(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
