@@ -24,7 +24,8 @@ object Bench {
       "q31_dedup_exact", "q36_minhash_lsh", "q37_ngram_jaccard",
       "q38_cosine_pairs", "q40_simhash", "q43_ann_ivf",
       "q01_monthly_counts", "q34_tfidf_keywords", "q55_source_profiles",
-      "q58_queue_writeback", "q69_dup_clusters", "q70_simhash_dups")
+      "q58_queue_writeback", "q69_dup_clusters", "q70_simhash_dups",
+      "q71_corpus_filter", "q72_ann_recall", "q73_dedup_recall")
     val available = preferred.filter(SparkEntry.queries.contains)
     if (available.nonEmpty) available else SparkEntry.queries.keys.toSeq.sorted
   }
@@ -43,10 +44,11 @@ object Bench {
         finally Caches.clear()
       }
     var errors = List.empty[String]
-    // Min of two timed iterations: single-run timings swing ±15% with
-    // system noise on this box; the min is the stable estimate of what
-    // the plan actually costs (same methodology as JMH's min-time mode).
-    val iterations = 2
+    // Min of three timed iterations: single-run timings swing ±15% (and
+    // occasionally 2-3×) with system noise on this box — see SCALING.md's
+    // noise characterization; the min is the stable estimate of what the
+    // plan actually costs (same methodology as JMH's min-time mode).
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -62,14 +64,20 @@ object Bench {
         } finally Caches.clear() // don't carry cached blocks across queries
       }
       val times = (1 to iterations).map(_ => once())
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      name -> (if (times.exists(_ < 0)) Seq(-1.0) else times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, t) => "\"" + k + f"\":${t.min}%.3f" }
       .mkString("{", ",", "}")
+    // per-query spread (max/min − 1, %) across the timed iterations: the
+    // published noise band — a round-over-round delta smaller than the
+    // spread is measurement, not engineering
+    val spread = results.collect { case (k, t) if t.min > 0 =>
+      "\"" + k + f"\":${(t.max / t.min - 1) * 100}%.1f"
+    }.mkString("{", ",", "}")
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2.min).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_pct":$spread,"iters":$iterations,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()

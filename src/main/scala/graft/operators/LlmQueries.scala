@@ -171,6 +171,17 @@ object LlmQueries {
       .orderBy("probe_id")
   }
 
+  /** Dedup candidate-quality eval: recall/precision of the MinHash-LSH
+    * and SimHash candidate pair sets against exact Jaccard ≥ 0.8, on a
+    * bounded sample (even doc_ids — a deterministic ~half the corpus the
+    * oracle reproduces; production would cap the absolute sample size
+    * the same way q39/q72 bound their probe sets).
+    */
+  def q73DedupRecall(s: SparkSession, d: String): DataFrame =
+    TextOps.dedupRecall(
+      Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31DedupExact _),
     "q32_text_stats" -> (q32TextStats _),
@@ -190,7 +201,8 @@ object LlmQueries {
     "q69_dup_clusters" -> (q69DupClusters _),
     "q70_simhash_dups" -> (q70SimhashDups _),
     "q71_corpus_filter" -> (q71CorpusFilter _),
-    "q72_ann_recall" -> (q72AnnRecall _))
+    "q72_ann_recall" -> (q72AnnRecall _),
+    "q73_dedup_recall" -> (q73DedupRecall _))
 
   private val shingleBase =
     """base AS (
@@ -480,6 +492,7 @@ object LlmQueries {
         |FROM d""".stripMargin,
     "q43_ann_ivf" -> ivfOracle(1),
     "q68_ann_ivf_nprobe2" -> ivfOracle(2),
+    "q73_dedup_recall" -> q73Oracle,
     "q72_ann_recall" -> (
       s"""WITH $embBase,
          |$centCtes,
@@ -611,6 +624,99 @@ object LlmQueries {
       |cn AS (SELECT label, cq,
       |         CAST(list_sum([cq[i]*cq[i] for i in range(1, 65)]) AS BIGINT)
       |           AS cnorm2 FROM cent)""".stripMargin
+
+  /** q73 oracle: the full dedup-recall eval on the even-doc_id sample —
+    * hashed shingle sets → exact all-pairs Jaccard ground truth, the
+    * MinHash band-collision candidates (q36's chain, sampled), the
+    * SimHash hamming-≤-3 candidates (q70's chain, sampled), then
+    * per-method recall/precision. Lazy for the same object-init
+    * ordering reason as [[centCtes]].
+    */
+  private lazy val q73Oracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(w[i:i+2], ' ')
+       |                   for i in range(1, len(w) - 1)]) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |        FROM documents WHERE doc_id % 2 = 0)),
+       |hs AS (
+       |  SELECT doc_id, list_sort(list_distinct(
+       |    list_transform(sh, s -> ${hexFold.format("s")}))) AS hs
+       |  FROM base),
+       |ex AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM hs x JOIN hs y ON x.doc_id < y.doc_id
+       |  WHERE len(list_intersect(x.hs, y.hs))
+       |    / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
+       |    >= 0.8),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_min(list_transform(hs, h -> (999983*h + 12345) % 2147483647)) AS sig0,
+       |    list_min(list_transform(hs, h -> (999979*h + 54321) % 2147483647)) AS sig1,
+       |    list_min(list_transform(hs, h -> (1000003*h + 98765) % 2147483647)) AS sig2,
+       |    list_min(list_transform(hs, h -> (1000033*h + 13579) % 2147483647)) AS sig3,
+       |    list_min(list_transform(hs, h -> (1000037*h + 24680) % 2147483647)) AS sig4,
+       |    list_min(list_transform(hs, h -> (1000039*h + 11111) % 2147483647)) AS sig5,
+       |    list_min(list_transform(hs, h -> (1000081*h + 22222) % 2147483647)) AS sig6,
+       |    list_min(list_transform(hs, h -> (1000099*h + 33333) % 2147483647)) AS sig7
+       |  FROM hs),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, sig0*2147483647 + sig1 AS key FROM sig
+       |  UNION ALL SELECT doc_id, 1, sig2*2147483647 + sig3 FROM sig
+       |  UNION ALL SELECT doc_id, 2, sig4*2147483647 + sig5 FROM sig
+       |  UNION ALL SELECT doc_id, 3, sig6*2147483647 + sig7 FROM sig),
+       |lshc AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  WHERE x.key IS NOT NULL),
+       |sims AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum([
+       |      CASE WHEN list_sum([((h >> j) & 1) * 2 - 1 for h in hs1]) > 0
+       |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+       |      for j in range(0, 28)])
+       |    + list_sum([
+       |      CASE WHEN list_sum([((h >> j) & 1) * 2 - 1 for h in hs2]) > 0
+       |           THEN (CAST(1 AS BIGINT) << (28 + j)) ELSE 0 END
+       |      for j in range(0, 28)]) AS BIGINT) AS simhash
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_transform(w, s -> ${hexFold.format("s")}) AS hs1,
+       |      list_transform(w, s -> ${hexFold.format("(s || '#')")}) AS hs2
+       |    FROM (
+       |      SELECT doc_id,
+       |        list_distinct(string_split_regex(trim(text), '\\s+')) AS w
+       |      FROM documents WHERE doc_id % 2 = 0) w0) w),
+       |sbanded AS (
+       |  SELECT doc_id, 0 AS band, (simhash >> 0) & 16383 AS key FROM sims
+       |  UNION ALL SELECT doc_id, 1, (simhash >> 14) & 16383 FROM sims
+       |  UNION ALL SELECT doc_id, 2, (simhash >> 28) & 16383 FROM sims
+       |  UNION ALL SELECT doc_id, 3, (simhash >> 42) & 16383 FROM sims),
+       |simc AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM sbanded x JOIN sbanded y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  JOIN sims sa ON sa.doc_id = x.doc_id
+       |  JOIN sims sb ON sb.doc_id = y.doc_id
+       |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+       |cand AS (
+       |  SELECT 'minhash_lsh' AS method, a, b FROM lshc
+       |  UNION ALL SELECT 'simhash', a, b FROM simc),
+       |per AS (
+       |  SELECT method, count(*) AS n_candidates, count(e.a) AS n_hits
+       |  FROM cand c LEFT JOIN ex e ON e.a = c.a AND e.b = c.b
+       |  GROUP BY method),
+       |m AS (SELECT unnest(['minhash_lsh', 'simhash']) AS method),
+       |ne AS (SELECT count(*) AS n_exact FROM ex)
+       |SELECT m.method, ne.n_exact,
+       |  coalesce(per.n_candidates, 0) AS n_candidates,
+       |  coalesce(per.n_hits, 0) AS n_hits,
+       |  coalesce(per.n_hits, 0) / ne.n_exact AS recall,
+       |  CASE WHEN coalesce(per.n_candidates, 0) > 0
+       |       THEN per.n_hits / per.n_candidates END AS precision
+       |FROM m CROSS JOIN ne LEFT JOIN per USING (method)
+       |ORDER BY m.method""".stripMargin
 
   /** IVF oracle, parameterized on nprobe (the routed CTE keeps each
     * probe's top-nprobe centroids; clusters are disjoint so the union

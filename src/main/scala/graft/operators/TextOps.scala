@@ -332,8 +332,16 @@ object TextOps {
     * one row per doc: candidate count and the best (lowest hamming,
     * lowest id) partner.
     */
-  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+  /** The SimHash banding front half: 56-bit fingerprints → 4×14-bit band
+    * bucket join → hamming-verified candidate pairs (a < b, hamming ≤
+    * `maxHamming`). Returns (sim, pairs): the persisted per-doc
+    * fingerprint frame and the candidate pairs. Consumers:
+    * [[simhashNearDup]] (per-doc best-partner stats) and
+    * [[dedupRecall]] (candidate-quality eval).
+    */
+  private[graft] def simhashBandedPairs(df: DataFrame, idCol: String,
+                                        textCol: String, maxHamming: Int)
+      : (DataFrame, DataFrame) = {
     val sim = Caches.persistTracked(simhash56Df(df, idCol, textCol))
     // The 8-byte fingerprint RIDES THROUGH the band shuffle: the verify
     // value arrives with the candidate pair, so there is no join back to
@@ -355,6 +363,12 @@ object TextOps {
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming) // before distinct: shrink its input
       .distinct() // a pair can collide in several bands
+    (sim, ham)
+  }
+
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val (sim, ham) = simhashBandedPairs(df, idCol, textCol, maxHamming)
     val sym = symmetrize(ham, "doc_id", "partner", "hamming")
     // lexicographic struct-min == the (hamming ASC, partner ASC) window
     // rank-1 row, in ONE aggregate with no window sort
@@ -366,6 +380,62 @@ object TextOps {
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         col("m.partner").as("best_partner"),
         col("m.hamming").as("best_hamming"))
+  }
+
+  /** Candidate-quality eval for the near-dup paths — the metric a
+    * production dedup pipeline tracks to tune its banding knobs: recall
+    * and precision of the MinHash-LSH band candidates
+    * ([[lshVerifiedPairs]]) and the SimHash hamming-≤-3 candidates
+    * ([[simhashBandedPairs]]) against ground truth = exact Jaccard ≥
+    * `threshold` over the hashed shingle sets. One row per method:
+    * (method, n_exact, n_candidates, n_hits, recall, precision).
+    *
+    * `df` must be a BOUNDED SAMPLE of the corpus: the ground truth is an
+    * intentional all-pairs join, quadratic in the sample — that cost is
+    * the whole reason production dedup uses LSH, and why the eval runs
+    * on a sample. Everything downstream of the pair frames is a tiny
+    * join + two single-row aggregates, so the eval's cost is the sample
+    * size squared regardless of corpus size (exactly [[Similarity.recallAtK]]'s
+    * probe-sample shape, applied to pairs).
+    */
+  def dedupRecall(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.8): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val sh = Caches.persistTracked(df.select(col(idCol).as("doc_id"),
+      hashedShingleSet(col(textCol)).as("sh")))
+    // ground truth: exact Jaccard over ALL sample pairs — no banding, so
+    // a candidate generator's misses are visible, not shared
+    val exact = Caches.persistTracked(sh.as("x")
+      .join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("inter", call_function("graft_sorted_intersect_count",
+        col("x.sh"), col("y.sh")))
+      .filter(col("inter") /
+        (size(col("x.sh")) + size(col("y.sh")) - col("inter")) >= threshold)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")))
+    val lshCand = lshVerifiedPairs(df, idCol, textCol)._2.select("a", "b")
+    val simCand = simhashBandedPairs(df, idCol, textCol, maxHamming = 3)
+      ._2.select("a", "b")
+    val cand = lshCand.withColumn("method", lit("minhash_lsh"))
+      .unionByName(simCand.withColumn("method", lit("simhash")))
+    val per = cand.join(exact.withColumn("hit", lit(1)), Seq("a", "b"),
+      "left_outer")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    // static method list: a method with zero candidates keeps its row
+    // (recall 0, precision null) instead of vanishing from the groupBy
+    Seq("minhash_lsh", "simhash").toDF("method")
+      .join(per, Seq("method"), "left_outer")
+      .crossJoin(nExact)
+      .select(col("method"), col("n_exact"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / col("n_exact")).as("recall"),
+        when(coalesce(col("n_candidates"), lit(0L)) > 0,
+          col("n_hits") / col("n_candidates")).as("precision"))
+      .orderBy("method")
   }
 
   /** Bag-of-words fingerprint: md5 over the sorted distinct vocabulary —

@@ -187,6 +187,26 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupRecall: planted dups → both methods find them; distinct docs don't pair") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((2L, text), (4L, text), (6L, text),
+      (8L, "completely different words here that share nothing at all today"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dedupRecall(df, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("minhash_lsh", "simhash"))
+    // 3 identical docs → 3 exact pairs; identical docs collide in every
+    // band (minhash) and at hamming 0 (simhash) → perfect recall
+    for (m <- Seq("minhash_lsh", "simhash")) {
+      assert(out(m).getAs[Long]("n_exact") == 3L)
+      assert(out(m).getAs[Long]("n_hits") == 3L)
+      assert(out(m).getAs[Double]("recall") == 1.0)
+    }
+    // minhash candidates on this corpus are exactly the true pairs
+    assert(out("minhash_lsh").getAs[Long]("n_candidates") == 3L)
+    assert(out("minhash_lsh").getAs[Double]("precision") == 1.0)
+  }
+
   test("simhash is stable and respects content") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally other words")).toDF("doc_id", "text")
