@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * literal). Any training regression produces off-diagonal rows and
   * fails rows+hash, a strictly stronger gate than the old rows-only +
   * acc_ok self-check.
+  *
+  * The perfection property is EMPIRICAL (seeded RF + minDF=2 vocabulary
+  * on a separable corpus), validated at the tested SFs: pinned directly
+  * by StreamingAndMlSpec ("diagonal-only") at sf0.001 and by the driver
+  * gate at sf0.01. The `o_orderkey < 2000` bound keeps the training set
+  * identical across SFs, so those checks cover every SF the driver runs.
   */
 object MlQueries {
 

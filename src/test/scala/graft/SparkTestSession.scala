@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Shared local session for specs — small parallelism, AQE off for plan
-  * stability, UTC like the production session.
+/** Shared local session for specs — small parallelism, otherwise the
+  * production GraftSession posture (AQE + skew-join splitting on, UTC),
+  * so plan-shape assertions test what actually ships.
   */
 object SparkTestSession {
   lazy val spark: SparkSession = {

@@ -80,4 +80,18 @@ class StreamingAndMlSpec extends AnyFunSuite {
     assert(RegionModel.predict(model, unseen)
       .select("predicted_region").as[String].head == "Gianyar")
   }
+
+  test("q53: trained RF classifies its training corpus PERFECTLY (diagonal-only)") {
+    // q53's DuckDB oracle hard-requires a diagonal confusion matrix; that
+    // perfection is an empirical property of the seeded RF + separable
+    // synthetic corpus, so pin it directly here — if a Spark/ML upgrade
+    // or corpus change ever produces one off-diagonal row, this spec
+    // (not just the driver gate) says so, at the real q53 query shape.
+    val out = MlQueries.q53RegionMl(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val offDiag = out.filter(r => r.getString(0) != r.getString(1))
+    assert(offDiag.isEmpty,
+      s"off-diagonal confusion rows: ${offDiag.mkString(", ")}")
+    assert(out.forall(_.getAs[Boolean]("acc_ok")))
+  }
 }
