@@ -171,16 +171,16 @@ object LlmQueries {
       .orderBy("probe_id")
   }
 
-  /** Dedup candidate-quality eval: recall/precision of the MinHash-LSH
-    * and SimHash candidate pair sets against exact Jaccard ≥ 0.8, on a
-    * bounded sample (even doc_ids — a deterministic ~half the corpus the
-    * oracle reproduces; production would cap the absolute sample size
-    * the same way q39/q72 bound their probe sets).
+  /** Dedup candidate-quality eval over the FULL corpus with pooled
+    * ground truth (see [[TextOps.dedupRecall]]): recall/precision of the
+    * MinHash-LSH and SimHash candidate pair sets against exact Jaccard
+    * ≥ 0.8 verified on the candidate pool plus a constant-size audit
+    * subset (even doc_ids < 500 — 250 docs at every SF, which the
+    * oracle reproduces). Bounded at every stage; the audit row reports
+    * the pool-miss estimate.
     */
   def q73DedupRecall(s: SparkSession, d: String): DataFrame =
-    TextOps.dedupRecall(
-      Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
-      "doc_id", "text")
+    TextOps.dedupRecall(Tables.documents(s, d), "doc_id", "text")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31DedupExact _),
@@ -625,12 +625,13 @@ object LlmQueries {
       |         CAST(list_sum([cq[i]*cq[i] for i in range(1, 65)]) AS BIGINT)
       |           AS cnorm2 FROM cent)""".stripMargin
 
-  /** q73 oracle: the full dedup-recall eval on the even-doc_id sample —
-    * hashed shingle sets → exact all-pairs Jaccard ground truth, the
-    * MinHash band-collision candidates (q36's chain, sampled), the
-    * SimHash hamming-≤-3 candidates (q70's chain, sampled), then
-    * per-method recall/precision. Lazy for the same object-init
-    * ordering reason as [[centCtes]].
+  /** q73 oracle: the pooled dedup-recall eval over the FULL corpus —
+    * hashed shingle sets, the MinHash band-collision candidates (q36's
+    * chain), the SimHash hamming-≤-3 candidates (q70's chain), the
+    * constant-size audit subset's all-pairs, then exact-Jaccard
+    * verification of the pooled pairs and per-method + audit
+    * recall/precision. Lazy for the same object-init ordering reason as
+    * [[centCtes]].
     */
   private lazy val q73Oracle: String =
     s"""WITH base AS (
@@ -638,17 +639,11 @@ object LlmQueries {
        |    list_distinct([array_to_string(w[i:i+2], ' ')
        |                   for i in range(1, len(w) - 1)]) AS sh
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-       |        FROM documents WHERE doc_id % 2 = 0)),
+       |        FROM documents)),
        |hs AS (
        |  SELECT doc_id, list_sort(list_distinct(
        |    list_transform(sh, s -> ${hexFold.format("s")}))) AS hs
        |  FROM base),
-       |ex AS (
-       |  SELECT x.doc_id AS a, y.doc_id AS b
-       |  FROM hs x JOIN hs y ON x.doc_id < y.doc_id
-       |  WHERE len(list_intersect(x.hs, y.hs))
-       |    / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
-       |    >= 0.8),
        |sig AS (
        |  SELECT doc_id,
        |    list_min(list_transform(hs, h -> (999983*h + 12345) % 2147483647)) AS sig0,
@@ -687,7 +682,7 @@ object LlmQueries {
        |    FROM (
        |      SELECT doc_id,
        |        list_distinct(string_split_regex(trim(text), '\\s+')) AS w
-       |      FROM documents WHERE doc_id % 2 = 0) w0) w),
+       |      FROM documents) w0) w),
        |sbanded AS (
        |  SELECT doc_id, 0 AS band, (simhash >> 0) & 16383 AS key FROM sims
        |  UNION ALL SELECT doc_id, 1, (simhash >> 14) & 16383 FROM sims
@@ -700,6 +695,22 @@ object LlmQueries {
        |  JOIN sims sa ON sa.doc_id = x.doc_id
        |  JOIN sims sb ON sb.doc_id = y.doc_id
        |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+       |ap AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM hs x JOIN hs y ON x.doc_id < y.doc_id
+       |  WHERE x.doc_id % 2 = 0 AND x.doc_id < 500
+       |    AND y.doc_id % 2 = 0 AND y.doc_id < 500),
+       |pool AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM lshc UNION ALL SELECT a, b FROM simc
+       |    UNION ALL SELECT a, b FROM ap)),
+       |ex AS (
+       |  SELECT p.a, p.b
+       |  FROM pool p JOIN hs x ON x.doc_id = p.a
+       |              JOIN hs y ON y.doc_id = p.b
+       |  WHERE len(list_intersect(x.hs, y.hs))
+       |    / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
+       |    >= 0.8),
        |cand AS (
        |  SELECT 'minhash_lsh' AS method, a, b FROM lshc
        |  UNION ALL SELECT 'simhash', a, b FROM simc),
@@ -708,15 +719,29 @@ object LlmQueries {
        |  FROM cand c LEFT JOIN ex e ON e.a = c.a AND e.b = c.b
        |  GROUP BY method),
        |m AS (SELECT unnest(['minhash_lsh', 'simhash']) AS method),
-       |ne AS (SELECT count(*) AS n_exact FROM ex)
-       |SELECT m.method, ne.n_exact,
-       |  coalesce(per.n_candidates, 0) AS n_candidates,
-       |  coalesce(per.n_hits, 0) AS n_hits,
-       |  coalesce(per.n_hits, 0) / ne.n_exact AS recall,
-       |  CASE WHEN coalesce(per.n_candidates, 0) > 0
-       |       THEN per.n_hits / per.n_candidates END AS precision
-       |FROM m CROSS JOIN ne LEFT JOIN per USING (method)
-       |ORDER BY m.method""".stripMargin
+       |ne AS (SELECT count(*) AS n_exact FROM ex),
+       |mc AS (SELECT DISTINCT a, b FROM cand),
+       |arow AS (
+       |  SELECT 'pool_audit' AS method,
+       |    (SELECT count(*) FROM ex e JOIN ap
+       |       ON ap.a = e.a AND ap.b = e.b) AS n_exact,
+       |    (SELECT count(*) FROM mc JOIN ap
+       |       ON ap.a = mc.a AND ap.b = mc.b) AS n_candidates,
+       |    (SELECT count(*) FROM mc JOIN ap
+       |       ON ap.a = mc.a AND ap.b = mc.b
+       |     JOIN ex e ON e.a = mc.a AND e.b = mc.b) AS n_hits),
+       |rows_ AS (
+       |  SELECT m.method, ne.n_exact,
+       |    coalesce(per.n_candidates, 0) AS n_candidates,
+       |    coalesce(per.n_hits, 0) AS n_hits
+       |  FROM m CROSS JOIN ne LEFT JOIN per USING (method)
+       |  UNION ALL
+       |  SELECT method, n_exact, n_candidates, n_hits FROM arow)
+       |SELECT method, n_exact, n_candidates, n_hits,
+       |  CASE WHEN n_exact > 0 THEN n_hits / n_exact END AS recall,
+       |  CASE WHEN n_candidates > 0 THEN n_hits / n_candidates END
+       |    AS precision
+       |FROM rows_ ORDER BY method""".stripMargin
 
   /** IVF oracle, parameterized on nprobe (the routed CTE keeps each
     * probe's top-nprobe centroids; clusters are disjoint so the union

@@ -386,55 +386,92 @@ object TextOps {
     * production dedup pipeline tracks to tune its banding knobs: recall
     * and precision of the MinHash-LSH band candidates
     * ([[lshVerifiedPairs]]) and the SimHash hamming-≤-3 candidates
-    * ([[simhashBandedPairs]]) against ground truth = exact Jaccard ≥
-    * `threshold` over the hashed shingle sets. One row per method:
-    * (method, n_exact, n_candidates, n_hits, recall, precision).
+    * ([[simhashBandedPairs]]) against POOLED ground truth (TREC-style):
+    * truth = exact Jaccard ≥ `threshold` verified over the pool of
+    * (both methods' candidate pairs) ∪ (all pairs within a fixed
+    * `auditFilter` subset). Runs over the FULL corpus, and every stage
+    * is bounded: candidate generation is the banded production path
+    * (linear-ish), exact verification touches only pooled pairs, and
+    * the all-pairs component is quadratic only in the constant-size
+    * audit subset. A corpus-proportional doc sample was the previous
+    * design and is the trap both this doc and SCALING.md warn about:
+    * its truth join measured 21× the sf0.01 cost at sf0.1, and a
+    * CONSTANT doc sample instead loses the randomly-planted dup pairs
+    * quadratically (0 ground-truth pairs at sf0.1) — pair-pooling is
+    * how the eval stays both bounded and non-degenerate.
     *
-    * `df` must be a BOUNDED SAMPLE of the corpus: the ground truth is an
-    * intentional all-pairs join, quadratic in the sample — that cost is
-    * the whole reason production dedup uses LSH, and why the eval runs
-    * on a sample. Everything downstream of the pair frames is a tiny
-    * join + two single-row aggregates, so the eval's cost is the sample
-    * size squared regardless of corpus size (exactly [[Similarity.recallAtK]]'s
-    * probe-sample shape, applied to pairs).
+    * Output, one row per method plus a `pool_audit` row:
+    * (method, n_exact, n_candidates, n_hits, recall, precision).
+    * The audit row restricts all three counts to pairs inside the audit
+    * subset, where truth is candidate-independent — its recall is the
+    * estimated fraction of true pairs the pooled methods find at all
+    * (the pool-miss rate the pooling methodology must report).
     */
   def dedupRecall(df: DataFrame, idCol: String, textCol: String,
-                  threshold: Double = 0.8): DataFrame = {
+                  threshold: Double = 0.8,
+                  auditFilter: Column =
+                    col("doc_id") % 2 === 0 && col("doc_id") < 500)
+      : DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
     val sh = Caches.persistTracked(df.select(col(idCol).as("doc_id"),
       hashedShingleSet(col(textCol)).as("sh")))
-    // ground truth: exact Jaccard over ALL sample pairs — no banding, so
-    // a candidate generator's misses are visible, not shared
-    val exact = Caches.persistTracked(sh.as("x")
-      .join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+    val lshCand = Caches.persistTracked(
+      lshVerifiedPairs(df, idCol, textCol)._2.select("a", "b"))
+    val simCand = Caches.persistTracked(
+      simhashBandedPairs(df, idCol, textCol, maxHamming = 3)
+        ._2.select("a", "b"))
+    val audit = sh.filter(auditFilter)
+    val auditPairs = audit.as("x")
+      .join(audit.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val pool = lshCand.unionByName(simCand).unionByName(auditPairs)
+      .distinct()
+    // truth: exact verification of pooled pairs only — never all-pairs
+    // over the corpus
+    val truth = Caches.persistTracked(pool
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
       .withColumn("inter", call_function("graft_sorted_intersect_count",
-        col("x.sh"), col("y.sh")))
+        col("sa"), col("sb")))
       .filter(col("inter") /
-        (size(col("x.sh")) + size(col("y.sh")) - col("inter")) >= threshold)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")))
-    val lshCand = lshVerifiedPairs(df, idCol, textCol)._2.select("a", "b")
-    val simCand = simhashBandedPairs(df, idCol, textCol, maxHamming = 3)
-      ._2.select("a", "b")
+        (size(col("sa")) + size(col("sb")) - col("inter")) >= threshold)
+      .select("a", "b"))
     val cand = lshCand.withColumn("method", lit("minhash_lsh"))
       .unionByName(simCand.withColumn("method", lit("simhash")))
-    val per = cand.join(exact.withColumn("hit", lit(1)), Seq("a", "b"),
+    val per = cand.join(truth.withColumn("hit", lit(1)), Seq("a", "b"),
       "left_outer")
       .groupBy("method")
       .agg(count(lit(1)).as("n_candidates"),
         sum(coalesce(col("hit"), lit(0))).as("n_hits"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nExact = truth.agg(count(lit(1)).as("n_exact"))
     // static method list: a method with zero candidates keeps its row
     // (recall 0, precision null) instead of vanishing from the groupBy
-    Seq("minhash_lsh", "simhash").toDF("method")
+    val methodRows = Seq("minhash_lsh", "simhash").toDF("method")
       .join(per, Seq("method"), "left_outer")
       .crossJoin(nExact)
       .select(col("method"), col("n_exact"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)) / col("n_exact")).as("recall"),
-        when(coalesce(col("n_candidates"), lit(0L)) > 0,
-          col("n_hits") / col("n_candidates")).as("precision"))
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    // audit row: within the audit subset truth is candidate-independent,
+    // so hits/exact there estimates what fraction of ALL true pairs the
+    // pooled candidate generators surface
+    val methodCand = lshCand.unionByName(simCand).distinct()
+    val auditTruth = truth.join(auditPairs, Seq("a", "b"), "left_semi")
+    val auditCand = methodCand.join(auditPairs, Seq("a", "b"), "left_semi")
+    val auditHits = auditCand.join(truth, Seq("a", "b"), "left_semi")
+    val auditRow = auditTruth.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(auditCand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(auditHits.agg(count(lit(1)).as("n_hits")))
+      .select(lit("pool_audit").as("method"), col("n_exact"),
+        col("n_candidates"), col("n_hits"))
+    methodRows.unionByName(auditRow)
+      .select(col("method"), col("n_exact"), col("n_candidates"),
+        col("n_hits"),
+        when(col("n_exact") > 0, col("n_hits") / col("n_exact"))
+          .as("recall"),
+        when(col("n_candidates") > 0, col("n_hits") / col("n_candidates"))
+          .as("precision"))
       .orderBy("method")
   }
 

@@ -194,7 +194,7 @@ class LlmOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val out = TextOps.dedupRecall(df, "doc_id", "text").collect()
       .map(r => r.getString(0) -> r).toMap
-    assert(out.keySet == Set("minhash_lsh", "simhash"))
+    assert(out.keySet == Set("minhash_lsh", "simhash", "pool_audit"))
     // 3 identical docs → 3 exact pairs; identical docs collide in every
     // band (minhash) and at hamming 0 (simhash) → perfect recall
     for (m <- Seq("minhash_lsh", "simhash")) {
@@ -205,6 +205,11 @@ class LlmOpsSpec extends AnyFunSuite {
     // minhash candidates on this corpus are exactly the true pairs
     assert(out("minhash_lsh").getAs[Long]("n_candidates") == 3L)
     assert(out("minhash_lsh").getAs[Double]("precision") == 1.0)
+    // every doc is inside the audit subset (even ids < 500), so the
+    // audit row sees the full truth and reports zero pool misses
+    assert(out("pool_audit").getAs[Long]("n_exact") == 3L)
+    assert(out("pool_audit").getAs[Long]("n_hits") == 3L)
+    assert(out("pool_audit").getAs[Double]("recall") == 1.0)
   }
 
   test("simhash is stable and respects content") {

@@ -26,7 +26,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // q39/q43/q68 carry INTENTIONAL bounded-broadcast nested loops
     // (corpus × broadcast probe set; probes × broadcast centroids)
     // q72 composes q39 + q43's shapes for the recall eval; q73 crossJoins
-    // a SINGLE-ROW aggregate (n_exact) onto its two method rows
+    // SINGLE-ROW aggregates (n_exact + the audit counts) onto its rows
     val allowed = Set("q39_ann_topk", "q43_ann_ivf", "q68_ann_ivf_nprobe2",
       "q72_ann_recall", "q73_dedup_recall")
     for ((name, fn) <- SparkEntry.queries
