@@ -455,16 +455,22 @@ object TextOps {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
     // audit row: within the audit subset truth is candidate-independent,
     // so hits/exact there estimates what fraction of ALL true pairs the
-    // pooled candidate generators surface
+    // pooled candidate generators surface. All three counts come from
+    // ONE aggregate over the flagged audit pairs (the frames are
+    // distinct on (a,b), so the flag sums are exact set sizes).
     val methodCand = lshCand.unionByName(simCand).distinct()
-    val auditTruth = truth.join(auditPairs, Seq("a", "b"), "left_semi")
-    val auditCand = methodCand.join(auditPairs, Seq("a", "b"), "left_semi")
-    val auditHits = auditCand.join(truth, Seq("a", "b"), "left_semi")
-    val auditRow = auditTruth.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(auditCand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(auditHits.agg(count(lit(1)).as("n_hits")))
-      .select(lit("pool_audit").as("method"), col("n_exact"),
-        col("n_candidates"), col("n_hits"))
+    val auditRow = auditPairs
+      .join(truth.withColumn("t", lit(1)), Seq("a", "b"), "left_outer")
+      .join(methodCand.withColumn("c", lit(1)), Seq("a", "b"), "left_outer")
+      .agg(sum(coalesce(col("t"), lit(0))).as("n_exact"),
+        sum(coalesce(col("c"), lit(0))).as("n_candidates"),
+        sum(coalesce(col("t"), lit(0)) * coalesce(col("c"), lit(0)))
+          .as("n_hits"))
+      // sum over an empty audit is null — pin the empty-audit row to 0s
+      .select(lit("pool_audit").as("method"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
     methodRows.unionByName(auditRow)
       .select(col("method"), col("n_exact"), col("n_candidates"),
         col("n_hits"),
