@@ -140,8 +140,18 @@ object TextOps {
     // storage-tight the blocks just recompute, which is the pre-cache
     // behavior. Registered under the Caches lifecycle so long-lived
     // sessions can release the blocks after materialization.
-    val shsets = Caches.persistTracked(df.select(col(idCol).as("doc_id"),
-      hashedShingleSet(col(textCol)).as("shset")))
+    lshVerifiedPairsFrom(Caches.persistTracked(
+      df.select(col(idCol).as("doc_id"),
+        hashedShingleSet(col(textCol)).as("shset"))))
+  }
+
+  /** [[lshVerifiedPairs]] over an ALREADY-persisted (doc_id, shset)
+    * frame — lets a caller that needs the shingle sets for its own joins
+    * ([[dedupRecall]]'s pooled verify) share one projection and one
+    * cache instead of materializing the md5-shingle pass twice.
+    */
+  private[graft] def lshVerifiedPairsFrom(shsets: DataFrame)
+      : (DataFrame, DataFrame) = {
     // signatures are row-local over the cached hashed sets (sigCols) —
     // no explode, no shuffle, no join-back
     val sig = shsets.select(col("doc_id") +: sigCols(col("shset")): _*)
@@ -414,10 +424,12 @@ object TextOps {
       : DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
+    // one shingle-set projection + cache shared between the minhash
+    // chain and the pooled exact-verify joins below
     val sh = Caches.persistTracked(df.select(col(idCol).as("doc_id"),
-      hashedShingleSet(col(textCol)).as("sh")))
+      hashedShingleSet(col(textCol)).as("shset")))
     val lshCand = Caches.persistTracked(
-      lshVerifiedPairs(df, idCol, textCol)._2.select("a", "b"))
+      lshVerifiedPairsFrom(sh)._2.select("a", "b"))
     val simCand = Caches.persistTracked(
       simhashBandedPairs(df, idCol, textCol, maxHamming = 3)
         ._2.select("a", "b"))
@@ -430,8 +442,8 @@ object TextOps {
     // truth: exact verification of pooled pairs only — never all-pairs
     // over the corpus
     val truth = Caches.persistTracked(pool
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), Seq("b"))
+      .join(sh.select(col("doc_id").as("a"), col("shset").as("sa")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shset").as("sb")), Seq("b"))
       .withColumn("inter", call_function("graft_sorted_intersect_count",
         col("sa"), col("sb")))
       .filter(col("inter") /
