@@ -148,6 +148,23 @@ object LlmQueries {
   def q54CosineLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshNearestNeighbor(Tables.embeddings(s, d), "vec_id", "embedding")
 
+  /** The IVF centroid index BUILD as a driver-gated query: per-cluster
+    * integer sum vector signature (label, cnorm2, n_dims, cq_sum) of
+    * exactly the table [[Similarity.buildIvf]] persists. q43/q68/q72
+    * gate the search half of the build/search split (and LlmOpsSpec
+    * pins its plan shape); this gates the build half's VALUES against
+    * an independent DuckDB aggregation. Also the honest bench entry for
+    * the once-per-corpus-snapshot build cost that the search queries no
+    * longer pay.
+    */
+  def q74IvfCentroids(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfCentroids(Tables.embeddings(s, d), "vec_id", "embedding",
+      "label")
+      .select(col("label"), col("cnorm2"),
+        size(col("cq")).cast("long").as("n_dims"),
+        aggregate(col("cq"), lit(0L), (a, x) => a + x).as("cq_sum"))
+      .orderBy("label")
+
   /** ANN recall eval: recall@3 of IVF (nprobe = 1 and 2) against the
     * exact brute-force baseline, per probe — the quality metric that
     * justifies an approximate index at scale (and shows the nprobe
@@ -202,7 +219,8 @@ object LlmQueries {
     "q70_simhash_dups" -> (q70SimhashDups _),
     "q71_corpus_filter" -> (q71CorpusFilter _),
     "q72_ann_recall" -> (q72AnnRecall _),
-    "q73_dedup_recall" -> (q73DedupRecall _))
+    "q73_dedup_recall" -> (q73DedupRecall _),
+    "q74_ivf_centroids" -> (q74IvfCentroids _))
 
   private val shingleBase =
     """base AS (
@@ -493,6 +511,12 @@ object LlmQueries {
     "q43_ann_ivf" -> ivfOracle(1),
     "q68_ann_ivf_nprobe2" -> ivfOracle(2),
     "q73_dedup_recall" -> q73Oracle,
+    "q74_ivf_centroids" -> (
+      s"""WITH $embBase,
+         |$centCtes
+         |SELECT label, cnorm2, CAST(len(cq) AS BIGINT) AS n_dims,
+         |  CAST(list_sum(cq) AS BIGINT) AS cq_sum
+         |FROM cn ORDER BY label""".stripMargin),
     "q72_ann_recall" -> (
       s"""WITH $embBase,
          |$centCtes,
