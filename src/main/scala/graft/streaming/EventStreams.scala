@@ -54,6 +54,99 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  case class BucketDoc(doc_id: Long, shset: Array[Long])
+  case class BucketState(docs: List[BucketDoc])
+  case class DupPair(a: Long, b: Long, jaccard: Double, band: Int)
+
+  /** Streaming MinHash-LSH NEAR-dup — the streaming form of the batch
+    * [[graft.operators.TextOps.lshVerifiedPairs]] flagship: incoming
+    * docs compute the SAME row-local hashed-shingle-set → signature →
+    * band keys (identical constants, so batch and stream agree on which
+    * docs collide); each (band, key) bucket holds up to `maxPerBucket`
+    * recent doc shingle sets as flatMapGroupsWithState state, and every
+    * arrival is exact-Jaccard verified against its bucket peers,
+    * emitting (a, b, jaccard, band) for matches ≥ `threshold`.
+    *
+    * Semantics, stated honestly: output is exactly-once per (pair,
+    * band) but at-least-once per PAIR — a pair whose docs collide in
+    * two bands emits from both bucket groups (the batch path's
+    * `.distinct()` has no single-pass streaming equivalent without a
+    * second stateful stage). The engine's duplicate-pair sink is
+    * key-constrained (Sinks.constrainedAppend), so multi-emission is
+    * idempotent where it lands; callers that need unique pairs
+    * in-stream chain `dropDuplicatesWithinWatermark("a","b")`.
+    *
+    * 100 TB posture: state per bucket is capped (`maxPerBucket` oldest
+    * evicted first) and buckets idle past `stateTtlMs` are removed via
+    * ProcessingTimeTimeout — state is bounded by (active buckets ×
+    * maxPerBucket × shingle-set size) regardless of stream length,
+    * the same memory law as the batch path's band-bucket sparsity.
+    */
+  def streamingNearDup(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       threshold: Double = 0.8,
+                       maxPerBucket: Int = 64,
+                       stateTtlMs: Long = 3600000L): Dataset[DupPair] = {
+    import docs.sparkSession.implicits._
+    import graft.TextOps
+    val sig = docs.select(col(idCol).as("doc_id"),
+        TextOps.hashedShingleSet(col(textCol)).as("shset"))
+      .select(col("doc_id") +: col("shset") +:
+        TextOps.sigCols(col("shset")): _*)
+    val banded = sig.select(col("doc_id"), col("shset"),
+        explode(array((0 until TextOps.bandsCount).map { j =>
+          struct(lit(j).as("band"),
+            (col(s"sig${2 * j}") * TextOps.P + col(s"sig${2 * j + 1}"))
+              .as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("shset"), col("bk.band"), col("bk.key"))
+      .filter(col("key").isNotNull)
+      .as[(Long, Array[Long], Int, Long)]
+    banded
+      .groupByKey { case (_, _, band, key) => (band, key) }
+      .flatMapGroupsWithState[BucketState, DupPair](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case ((band, _), rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // doc_id order makes the emitted pair set independent of
+            // micro-batch-internal row order
+            val arrivals = rows.toSeq.sortBy(_._1)
+            var held = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = Seq.newBuilder[DupPair]
+            for ((id, shset, _, _) <- arrivals) {
+              for (peer <- held if peer.doc_id != id) {
+                val inter = sortedIntersectCount(peer.shset, shset)
+                val union = peer.shset.length + shset.length - inter
+                val j = if (union == 0) 0.0 else inter.toDouble / union
+                if (j >= threshold)
+                  out += DupPair(math.min(peer.doc_id, id),
+                    math.max(peer.doc_id, id), j, band)
+              }
+              held = (held :+ BucketDoc(id, shset)).takeRight(maxPerBucket)
+            }
+            state.update(BucketState(held))
+            state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Two-pointer intersect over sorted long arrays — the plain-Scala
+    * twin of the native `graft_sorted_intersect_count` kernel, for use
+    * inside state functions (already imperative per-group land).
+    */
+  private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
   case class Event(user_id: Long, ts: Timestamp, event_type: String)
   case class SessionState(n: Long, lastTs: Long)
   case class UserSession(user_id: Long, n_events: Long, closed: Boolean)

@@ -92,4 +92,36 @@ class EventStreamsSpec extends AnyFunSuite {
     awaitState(Map(1L -> 3L, 2L -> 1L)) // state accumulated across batches
     q.stop()
   }
+
+  test("streamingNearDup pairs docs within and across micro-batches, bands agree with batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    val q = EventStreams.streamingNearDup(df).writeStream
+      .format("memory").queryName("snd").outputMode("append").start()
+    val t = "the quick brown fox jumps over the lazy dog again and again today"
+    def pairs(): Set[(Long, Long)] = spark.table("snd")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    def await(expected: Set[(Long, Long)]): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (pairs() != expected && System.nanoTime() < deadline)
+        Thread.sleep(500)
+      assert(pairs() == expected, s"timed out waiting for $expected")
+    }
+    in.addData((1L, t), (2L, t),
+      (10L, "completely different words that share nothing with the fox sentence at all"))
+    await(Set((1L, 2L))) // in-batch pair; the distinct doc pairs with nobody
+    in.addData((3L, t)) // near-dup arriving in a LATER micro-batch
+    await(Set((1L, 2L), (1L, 3L), (2L, 3L))) // state held across batches
+    // identical docs collide in every band → multi-emission is per
+    // (pair, band), never more
+    val perBand = spark.table("snd").select("a", "b", "band")
+      .as[(Long, Long, Int)].collect()
+    assert(perBand.distinct.length == perBand.length)
+    // jaccard from the streaming verify matches the batch definition
+    val js = spark.table("snd").select("jaccard").as[Double].collect()
+    assert(js.forall(_ == 1.0))
+    q.stop()
+  }
 }
