@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Watermarked windowed aggregation and mapGroupsWithState sessions over
@@ -122,6 +123,56 @@ class EventStreamsSpec extends AnyFunSuite {
     // jaccard from the streaming verify matches the batch definition
     val js = spark.table("snd").select("jaccard").as[Double].collect()
     assert(js.forall(_ == 1.0))
+    q.stop()
+  }
+
+  test("streamingNearDup equals the batch LSH pipeline on a static corpus") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // deterministic corpus: 5 templates × 3 variants; v1 is an exact copy
+    // of v0, v2 swaps the last word (jaccard ≈ 0.82 — near the threshold,
+    // so band-collision probabilism is exercised, not just certainties)
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    def doc(t: Int, v: Int): String = {
+      val base = (0 until 12).map(i => words((t * 3 + i) % 12))
+      (if (v == 2) base.updated(11, words((t * 3 + 5) % 12)) else base)
+        .mkString(" ")
+    }
+    val corpus = for (t <- 0 until 5; v <- 0 until 3)
+      yield ((t * 10 + v).toLong, doc(t, v))
+    def pairSet(rows: Seq[(Long, Long, Double)]): Set[(Long, Long, Double)] =
+      rows.toSet
+    // batch: the flagship lshVerifiedPairs, threshold-filtered
+    val batch = pairSet(graft.TextOps
+      .lshVerifiedPairs(corpus.toDF("doc_id", "text"), "doc_id", "text")._2
+      .filter(col("jaccard") >= 0.8)
+      .as[(Long, Long, Double)].collect().toSeq)
+    Caches.clear()
+    // stream: same corpus in three micro-batches, grouped by variant so
+    // every cross-variant pair must be found ACROSS batches from state
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingNearDup(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sndeq")
+      .outputMode("append").start()
+    // NO processAllAvailable here: ProcessingTimeTimeout keeps the query
+    // triggering timeout batches, so it never quiesces (see sessionize
+    // above) — poll the sink instead. Micro-batch boundaries between the
+    // variants are best-effort; pair discovery is arrival-order-proof.
+    for (v <- 0 until 3) {
+      in.addData(corpus.filter(_._1 % 10 == v))
+      Thread.sleep(200)
+    }
+    def streamed(): Set[(Long, Long, Double)] = pairSet(spark.table("sndeq")
+      .select("a", "b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSeq)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (streamed() != batch && System.nanoTime() < deadline)
+      Thread.sleep(500)
+    // identical band constants → identical candidate sets; identical
+    // integer intersect counts → bit-identical jaccard
+    assert(streamed() == batch, s"stream=${streamed()} batch=$batch")
+    assert(batch.nonEmpty && batch.exists(_._3 < 1.0)) // both kinds present
     q.stop()
   }
 }
