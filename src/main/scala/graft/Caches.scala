@@ -30,6 +30,15 @@ object Caches {
     p
   }
 
+  /** Register an already-materialized frame (e.g. a localCheckpoint)
+    * for [[clear]] WITHOUT re-persisting it — persisting on top of a
+    * checkpoint would stack a second storage copy.
+    */
+  private[graft] def trackOnly(df: DataFrame): DataFrame = {
+    persistedFrames.add(df)
+    df
+  }
+
   /** Unpersist every frame registered since the last call. Safe to call
     * while downstream frames are still referenced — they recompute.
     */

@@ -223,21 +223,50 @@ object TextOps {
     val (_, pairs) = lshVerifiedPairs(df, idCol, textCol)
     val adj = Caches.persistTracked(
       symmetrize(pairs.filter(col("jaccard") >= threshold), "src", "dst"))
-    // Propagate over the EDGE-VERTEX SET only: a doc with no near-dup
-    // edge can never change component, so the loop runs on the (small)
-    // duplicate subgraph — at corpus scale the near-dup vertex set is
-    // orders of magnitude smaller than the corpus, and the full table is
-    // touched exactly once, in the final left-outer stitch.
-    //
-    // Seed = least(self, min(neighbor)) straight off the adjacency: the
-    // same single shuffle a distinct() would cost, but near-dup
-    // components are near-CLIQUES, so most members see the component
-    // min among their direct neighbors and the seed is already the
-    // fixpoint — the loop's first pass is then the convergence proof
-    // rather than a propagation round.
-    var labels = Caches.persistTracked(adj.groupBy(col("src").as("doc_id"))
+    val labels = components(adj, maxIters)
+    df.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label connected components over a SYMMETRIZED (src, dst) edge
+    * list → (doc_id, comp) for every edge vertex. Propagates over the
+    * EDGE-VERTEX SET only: a doc with no near-dup edge can never change
+    * component, so the loop runs on the (small) duplicate subgraph — at
+    * corpus scale the near-dup vertex set is orders of magnitude smaller
+    * than the corpus, and the full table is touched exactly once, in
+    * [[dupClusters]]'s final left-outer stitch.
+    *
+    * Seed = least(self, min(neighbor)) straight off the adjacency: the
+    * same single shuffle a distinct() would cost, but near-dup
+    * components are near-CLIQUES, so most members see the component
+    * min among their direct neighbors and the seed is already the
+    * fixpoint — the loop's first pass is then the convergence proof
+    * rather than a propagation round.
+    *
+    * Each round is min-over-neighbors PLUS a pointer-jump
+    * (label(u) := label(label(u)), one self-join of the small label
+    * table): jumping halves label-chain lengths every round, so
+    * worst-case convergence is O(log diameter) rounds instead of
+    * O(diameter) — a path graph of 2^k vertices converges in ~k rounds
+    * (ComponentsSpec pins this). Labels only decrease and stay within
+    * the component (a label is always a reachable vertex id), so the
+    * fixpoint is the component min, jump or no jump; the raise on
+    * non-convergence is the backstop for an adversarial maxIters.
+    */
+  private[graft] def components(adj: DataFrame, maxIters: Int): DataFrame = {
+    // Each iterate is an EAGER localCheckpoint, not a persist: the
+    // pointer-jump self-join references the previous iterate twice, so
+    // without lineage truncation the logical plan doubles every round
+    // and analysis itself OOMs by ~8 iterations. Checkpointing holds
+    // only the (small) label table per round; a cluster deployment with
+    // executor-loss concerns would swap in reliable checkpoint() — same
+    // loop, durable storage.
+    var labels = Caches.trackOnly(adj.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nmin"))
-      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("comp")))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("comp"))
+      .localCheckpoint())
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -247,11 +276,21 @@ object TextOps {
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("ncomp")).as("nmin"))
       // carry old + new comp so the convergence check is a scan of the
-      // cached iterate, not another join
-      val step = Caches.persistTracked(
-        labels.join(neighborMin, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"), col("comp").as("prev"),
-            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
+      // checkpointed iterate, not another join
+      val prop = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // pointer jump: comp(comp(u)) ≤ comp(u) by monotonicity, so a
+      // plain coalesce suffices (left outer is defensive — every label
+      // is an edge vertex and therefore has its own row). prop is
+      // evaluated twice inside the one checkpoint job — two cheap joins
+      // over the label table, in exchange for zero extra cached copies.
+      val step = Caches.trackOnly(prop
+        .join(prop.select(col("doc_id").as("comp"), col("comp").as("pcomp")),
+          Seq("comp"), "left_outer")
+        .select(col("doc_id"), col("prev"),
+          coalesce(col("pcomp"), col("comp")).as("comp"))
+        .localCheckpoint())
       val changed = step.filter(col("comp") =!= col("prev")).count()
       labels.unpersist(blocking = false)
       labels = step.select("doc_id", "comp")
@@ -259,11 +298,8 @@ object TextOps {
       iter += 1
     }
     require(converged,
-      s"dupClusters did not converge within $maxIters iterations")
-    df.select(col(idCol).as("doc_id"))
-      .join(labels, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
-      .orderBy("doc_id")
+      s"components did not converge within $maxIters iterations")
+    labels
   }
 
   /** 28-bit SimHash over distinct words (single unsalted hash; the

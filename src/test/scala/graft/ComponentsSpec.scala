@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-components loop (TextOps.components) driven directly with
+  * synthetic edge lists — including the worst-case long path that the
+  * LSH near-dup corpus can't produce deterministically.
+  */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def sym(edges: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val e = edges.toDF("src", "dst")
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private def run(edges: Seq[(Long, Long)], maxIters: Int): Map[Long, Long] =
+    try TextOps.components(sym(edges), maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally Caches.clear()
+
+  test("33-vertex path converges in O(log diameter) rounds (pointer jump)") {
+    // plain min-propagation moves the frontier ~2 vertices per round and
+    // would need ~16 rounds here — 8 only suffices because each round
+    // also pointer-jumps label chains
+    val out = run((0L until 32L).map(i => (i, i + 1)), maxIters = 8)
+    assert(out.size == 33)
+    assert(out.values.forall(_ == 0L), s"non-min labels: $out")
+  }
+
+  test("disjoint components keep separate minima; labels are component mins") {
+    val out = run(Seq((10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (21L, 20L),                                         // edge
+      (32L, 31L), (31L, 30L)), maxIters = 8)              // short path
+    assert(out == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
+  test("non-convergence raises instead of emitting a half-propagated labeling") {
+    val ex = intercept[IllegalArgumentException] {
+      run((0L until 64L).map(i => (i, i + 1)), maxIters = 1)
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
+}
