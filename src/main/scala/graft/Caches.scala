@@ -32,15 +32,21 @@ object Caches {
 
   /** Register an already-materialized frame (e.g. a localCheckpoint)
     * for [[clear]] WITHOUT re-persisting it — persisting on top of a
-    * checkpoint would stack a second storage copy.
+    * checkpoint would stack a second storage copy. Checkpoint blocks
+    * are not covered by `Dataset.unpersist` (they live outside the
+    * CacheManager); for them the registry's job is to hold the LAST
+    * long-lived reference, so [[clear]]'s dequeue makes the RDD
+    * unreachable and the ContextCleaner reclaims the blocks.
     */
   private[graft] def trackOnly(df: DataFrame): DataFrame = {
     persistedFrames.add(df)
     df
   }
 
-  /** Unpersist every frame registered since the last call. Safe to call
-    * while downstream frames are still referenced — they recompute.
+  /** Release every frame registered since the last call: persisted
+    * frames are unpersisted immediately; checkpointed frames are
+    * dereferenced for the ContextCleaner (see [[trackOnly]]). Safe to
+    * call while downstream frames are still referenced — they recompute.
     */
   def clear(): Unit = {
     var d = persistedFrames.poll()
