@@ -51,4 +51,22 @@ class LshSkewSpec extends AnyFunSuite {
     assert(TextOps.minhashPerms.size == 2 * TextOps.bandsCount,
       "bandsCount × 2 rows must consume exactly the minhash permutation list")
   }
+
+  test("simhash banding survives the same all-identical worst case at its bound") {
+    import spark.implicits._
+    val n = 80
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val df = (1 to n).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    // identical docs → identical fingerprints → one hot bucket per band;
+    // the hamming filter runs BEFORE the distinct (shrinking its input),
+    // and the distinct collapses 4× band multiplicity to exactly C(n,2)
+    val (_, pairs) = TextOps.simhashBandedPairs(df, "doc_id", "text",
+      maxHamming = 3)
+    try {
+      val rows = pairs.collect()
+      assert(rows.length == n * (n - 1) / 2,
+        s"pair count ${rows.length} != collision bound ${n * (n - 1) / 2}")
+      assert(rows.forall(_.getAs[Int]("hamming") == 0))
+    } finally Caches.clear()
+  }
 }
