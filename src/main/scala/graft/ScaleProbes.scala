@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SCALING.md measurement probes — the harness behind the rows the
+  * headline bench can't produce (planted graphs, physical-layout A/Bs).
+  * Each mode prints one human-readable result line; the numbers are
+  * recorded in SCALING.md at the commit that ran them, min-of-3 like
+  * the main bench.
+  *
+  * Modes (first arg):
+  *  - `components [spokes] [pathLen]` — the giant-component worst case
+  *    for [[TextOps.components]]: ONE component shaped star(spokes) +
+  *    path(pathLen), the skew boilerplate-heavy web corpora actually
+  *    produce (a giant near-dup cluster plus stragglers). Reports
+  *    rounds + wall seconds; rounds must stay ~log2(diameter) or the
+  *    pointer jump is broken and the large-star/small-star fallback is
+  *    due.
+  *  - `bucketed-merge [sfDir]` — the q28 MERGE with both sides read
+  *    from url-bucketed tables (the zero-exchange sort-merge layout
+  *    BucketingSpec pins) vs the plain shuffled form: the number behind
+  *    the 100 TB co-location claim. The one-time bucketed WRITE is
+  *    reported separately — at production scale the canonical table is
+  *    maintained bucketed, so steady-state merges pay only the read.
+  */
+object ScaleProbes {
+
+  private def minOf3(body: => Unit): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get("graft-scale-probes")
+    args.headOption.getOrElse("components") match {
+
+      case "components" =>
+        val spokes = args.lift(1).map(_.toInt).getOrElse(200000)
+        val pathLen = args.lift(2).map(_.toInt).getOrElse(16384)
+        // distributed edge synthesis: star center 0 → spokes 1..S, path
+        // S..S+L chained; diameter = pathLen + 2
+        val star = spark.range(1, spokes + 1L)
+          .select(lit(0L).as("src"), col("id").as("dst"))
+        val path = spark.range(spokes, spokes + pathLen.toLong)
+          .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        val e = star.unionByName(path)
+        val adj = e.unionByName(
+          e.select(col("dst").as("src"), col("src").as("dst")))
+        var rounds = -1
+        val sec = minOf3 {
+          val (labels, r) = TextOps.componentsIters(adj, maxIters = 40)
+          rounds = r
+          val wrong = labels.filter(col("comp") =!= 0L).count()
+          require(wrong == 0, s"$wrong vertices off the component min")
+          Caches.clear()
+        }
+        val n = spokes + pathLen + 1
+        println(f"[probe] components: vertices=$n edges=${spokes + pathLen} " +
+          f"diameter=${pathLen + 2} rounds=$rounds min3_sec=$sec%.2f")
+
+      case "bucketed-merge" =>
+        val sfDir = args.lift(1).getOrElse(
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        val cur = EtlQueries.currentListings(spark, sfDir)
+        val inc = EtlQueries.incomingListings(spark, sfDir)
+        def runMerge(c: org.apache.spark.sql.DataFrame,
+                     i: org.apache.spark.sql.DataFrame): Unit =
+          Merge.merge(c, i, EtlQueries.asOf)
+            .write.format("noop").mode("overwrite").save()
+        // warm once (JIT + codegen), then time the plain shuffled form
+        runMerge(cur, inc)
+        val shuffled = minOf3(runMerge(cur, inc))
+        // one-time physical layout: both sides bucketed+sorted by the
+        // join key — the full-outer SMJ then needs no Exchange and no
+        // Sort on either side
+        spark.sql("DROP TABLE IF EXISTS probe_cur_b")
+        spark.sql("DROP TABLE IF EXISTS probe_inc_b")
+        val t0 = System.nanoTime()
+        cur.write.mode("overwrite").bucketBy(32, "url").sortBy("url")
+          .saveAsTable("probe_cur_b")
+        inc.write.mode("overwrite").bucketBy(32, "url").sortBy("url")
+          .saveAsTable("probe_inc_b")
+        val writeSec = (System.nanoTime() - t0) / 1e9
+        val curB = spark.table("probe_cur_b")
+        val incB = spark.table("probe_inc_b")
+        val plan = Merge.merge(curB, incB, EtlQueries.asOf)
+          .queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange hashpartitioning(url"),
+          s"bucketed merge still shuffles on url:\n$plan")
+        val bucketed = minOf3(runMerge(curB, incB))
+        spark.sql("DROP TABLE probe_cur_b")
+        spark.sql("DROP TABLE probe_inc_b")
+        println(f"[probe] bucketed-merge: sf=$sfDir shuffled_min3_sec=" +
+          f"$shuffled%.2f bucketed_min3_sec=$bucketed%.2f " +
+          f"one_time_bucket_write_sec=$writeSec%.2f")
+
+      case other =>
+        System.err.println(s"unknown probe '$other' " +
+          "(expected: components | bucketed-merge)")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object EtlQueries {
 
-  private val asOf = LocalDate.of(2026, 8, 15)
+  private[graft] val asOf = LocalDate.of(2026, 8, 15)
 
   private def k = col("o_orderkey")
 

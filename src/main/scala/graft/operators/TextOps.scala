@@ -245,24 +245,42 @@ object TextOps {
     * fixpoint — the loop's first pass is then the convergence proof
     * rather than a propagation round.
     *
-    * Each round is min-over-neighbors PLUS a pointer-jump
+    * Each CHANGING round is min-over-neighbors PLUS a pointer-jump
     * (label(u) := label(label(u)), one self-join of the small label
     * table): jumping halves label-chain lengths every round, so
     * worst-case convergence is O(log diameter) rounds instead of
-    * O(diameter) — a path graph of 2^k vertices converges in ~k rounds
-    * (ComponentsSpec pins this). Labels only decrease and stay within
-    * the component (a label is always a reachable vertex id), so the
-    * fixpoint is the component min, jump or no jump; the raise on
-    * non-convergence is the backstop for an adversarial maxIters.
+    * O(diameter) — a path graph of 2^k vertices converges in ~k+3
+    * rounds, and a planted star+path giant component stays inside the
+    * same bound (ComponentsSpec pins both). The jump is ADAPTIVE: a
+    * round whose propagation changed nothing IS the fixpoint (with a
+    * symmetrized edge list, stability means labels agree across every
+    * edge), so the final round skips the jump join entirely — at
+    * near-dup scale components are near-cliques converging in 1–2
+    * rounds, where the unconditional jump was pure overhead. Labels
+    * only decrease and stay within the component (a label is always a
+    * reachable vertex id), so the fixpoint is the component min, jump
+    * or no jump; the raise on non-convergence is the backstop for an
+    * adversarial maxIters.
     */
-  private[graft] def components(adj: DataFrame, maxIters: Int): DataFrame = {
+  private[graft] def components(adj: DataFrame, maxIters: Int): DataFrame =
+    componentsIters(adj, maxIters)._1
+
+  /** [[components]] plus the number of rounds the loop ran — the hook
+    * ComponentsSpec and GraphBench use to pin O(log diameter)
+    * convergence as an assertion, not a comment.
+    */
+  private[graft] def componentsIters(adj: DataFrame, maxIters: Int)
+      : (DataFrame, Int) = {
     // Each iterate is an EAGER localCheckpoint, not a persist: the
     // pointer-jump self-join references the previous iterate twice, so
     // without lineage truncation the logical plan doubles every round
     // and analysis itself OOMs by ~8 iterations. Checkpointing holds
     // only the (small) label table per round; a cluster deployment with
     // executor-loss concerns would swap in reliable checkpoint() — same
-    // loop, durable storage.
+    // loop, durable storage. (Checkpoint blocks live OUTSIDE the
+    // CacheManager — Dataset.unpersist would be a no-op on them — so
+    // per-round release is the trackOnly/clear + ContextCleaner
+    // lifecycle, exactly as Caches.trackOnly documents.)
     var labels = Caches.trackOnly(adj.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("comp"))
@@ -277,29 +295,35 @@ object TextOps {
         .agg(min(col("ncomp")).as("nmin"))
       // carry old + new comp so the convergence check is a scan of the
       // checkpointed iterate, not another join
-      val prop = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+      val prop = Caches.trackOnly(labels
+        .join(neighborMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      // pointer jump: comp(comp(u)) ≤ comp(u) by monotonicity, so a
-      // plain coalesce suffices (left outer is defensive — every label
-      // is an edge vertex and therefore has its own row). prop is
-      // evaluated twice inside the one checkpoint job — two cheap joins
-      // over the label table, in exchange for zero extra cached copies.
-      val step = Caches.trackOnly(prop
-        .join(prop.select(col("doc_id").as("comp"), col("comp").as("pcomp")),
-          Seq("comp"), "left_outer")
-        .select(col("doc_id"), col("prev"),
-          coalesce(col("pcomp"), col("comp")).as("comp"))
         .localCheckpoint())
-      val changed = step.filter(col("comp") =!= col("prev")).count()
-      labels.unpersist(blocking = false)
-      labels = step.select("doc_id", "comp")
-      converged = changed == 0
+      val changed = prop.filter(col("comp") =!= col("prev")).count()
+      if (changed == 0) {
+        // no-change propagation == full convergence (and the jump would
+        // be the identity): skip the jump join on the final round
+        converged = true
+        labels = prop.select("doc_id", "comp")
+      } else {
+        // pointer jump: comp(comp(u)) ≤ comp(u) by monotonicity, so a
+        // plain coalesce suffices (left outer is defensive — every
+        // label is an edge vertex and therefore has its own row). Both
+        // sides read the CHECKPOINTED prop — cheap local-block scans,
+        // no recompute.
+        labels = Caches.trackOnly(prop
+          .join(prop.select(col("doc_id").as("comp"), col("comp").as("pcomp")),
+            Seq("comp"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("pcomp"), col("comp")).as("comp"))
+          .localCheckpoint())
+      }
       iter += 1
     }
     require(converged,
       s"components did not converge within $maxIters iterations")
-    labels
+    (labels, iter)
   }
 
   /** 28-bit SimHash over distinct words (single unsalted hash; the

@@ -31,6 +31,39 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out.values.forall(_ == 0L), s"non-min labels: $out")
   }
 
+  test("giant component (star + 1024-edge path) converges in ≤ log2(diameter)+3 rounds") {
+    // The skew shape boilerplate-heavy web corpora produce: ONE huge
+    // near-dup component. 3000-spoke star centered on 0 with a
+    // 1024-edge path hanging off spoke 3000 → 4025 vertices, diameter
+    // 1026. log2(1026) ≈ 10; the pointer jump must land within +3 of
+    // that, where plain propagation would need ~1000 rounds. ScaleProbes
+    // measures the same shape at 200k+ vertices for SCALING.md.
+    val star = (1L to 3000L).map(i => (0L, i))
+    val path = (3000L until 4024L).map(i => (i, i + 1))
+    val (labelsDf, rounds) =
+      TextOps.componentsIters(sym(star ++ path), maxIters = 13)
+    val labels =
+      try labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally Caches.clear()
+    assert(labels.size == 4025)
+    assert(labels.values.forall(_ == 0L),
+      s"non-min labels: ${labels.filter(_._2 != 0L).take(5)}")
+    assert(rounds <= 13, s"took $rounds rounds")
+  }
+
+  test("near-clique components converge in one round, skipping the jump join") {
+    // the common near-dup case: the seed (least of self and neighbor
+    // min) is already the fixpoint, so round 1 is pure convergence
+    // proof and the adaptive jump never runs
+    val (labelsDf, rounds) = TextOps.componentsIters(
+      sym(Seq((5L, 6L), (6L, 7L), (5L, 7L))), maxIters = 8)
+    val labels =
+      try labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally Caches.clear()
+    assert(labels == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+    assert(rounds == 1, s"expected 1 round, took $rounds")
+  }
+
   test("disjoint components keep separate minima; labels are component mins") {
     val out = run(Seq((10L, 11L), (11L, 12L), (10L, 12L), // triangle
       (21L, 20L),                                         // edge
