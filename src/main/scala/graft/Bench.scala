@@ -36,7 +36,13 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
       case Some(list) =>
         val wanted = list.split(",").map(_.trim).filter(_.nonEmpty)
-        base.filter(wanted.contains)
+        // a typo must fail loudly, not yield an empty rc-0 bench run —
+        // and any registry query is benchable, not just the headline set
+        val unknown = wanted.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_QUERIES names not in the query registry: " +
+            unknown.mkString(", "))
+        wanted.distinct.toSeq
       case None => base
     }
   }

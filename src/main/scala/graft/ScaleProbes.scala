@@ -25,11 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbes {
 
+  /** Min of three timed iterations, `Caches.clear()` run UNTIMED between
+    * them — cache-release cost is session hygiene, not plan cost, so it
+    * stays out of the reported seconds (same posture as graft.Bench).
+    */
   private def minOf3(body: => Unit): Double =
     (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       body
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      Caches.clear()
+      sec
     }.min
 
   def main(args: Array[String]): Unit = {
@@ -48,15 +54,21 @@ object ScaleProbes {
         val e = star.unionByName(path)
         val adj = e.unionByName(
           e.select(col("dst").as("src"), col("src").as("dst")))
+        val n = spokes + pathLen + 1
         var rounds = -1
         val sec = minOf3 {
           val (labels, r) = TextOps.componentsIters(adj, maxIters = 40)
           rounds = r
-          val wrong = labels.filter(col("comp") =!= 0L).count()
+          // every vertex present AND on the component min — a silently
+          // dropped row would otherwise pass the wrong==0 check
+          val (total, wrong) = {
+            val agg = labels.agg(count(lit(1)),
+              sum(when(col("comp") =!= 0L, 1L).otherwise(0L))).head()
+            (agg.getLong(0), agg.getLong(1))
+          }
+          require(total == n, s"label table has $total vertices, expected $n")
           require(wrong == 0, s"$wrong vertices off the component min")
-          Caches.clear()
         }
-        val n = spokes + pathLen + 1
         println(f"[probe] components: vertices=$n edges=${spokes + pathLen} " +
           f"diameter=${pathLen + 2} rounds=$rounds min3_sec=$sec%.2f")
 
@@ -72,29 +84,34 @@ object ScaleProbes {
         // warm once (JIT + codegen), then time the plain shuffled form
         runMerge(cur, inc)
         val shuffled = minOf3(runMerge(cur, inc))
-        // one-time physical layout: both sides bucketed+sorted by the
-        // join key — the full-outer SMJ then needs no Exchange and no
-        // Sort on either side
+        // one-time physical layout: both sides bucketed by the join key —
+        // the full-outer SMJ then needs no Exchange on either side (the
+        // claim the require pins; Spark elides the SMJ Sort only when
+        // every bucket is a single sorted file, which this probe does
+        // not assert)
         spark.sql("DROP TABLE IF EXISTS probe_cur_b")
         spark.sql("DROP TABLE IF EXISTS probe_inc_b")
-        val t0 = System.nanoTime()
-        cur.write.mode("overwrite").bucketBy(32, "url").sortBy("url")
-          .saveAsTable("probe_cur_b")
-        inc.write.mode("overwrite").bucketBy(32, "url").sortBy("url")
-          .saveAsTable("probe_inc_b")
-        val writeSec = (System.nanoTime() - t0) / 1e9
-        val curB = spark.table("probe_cur_b")
-        val incB = spark.table("probe_inc_b")
-        val plan = Merge.merge(curB, incB, EtlQueries.asOf)
-          .queryExecution.executedPlan.toString
-        require(!plan.contains("Exchange hashpartitioning(url"),
-          s"bucketed merge still shuffles on url:\n$plan")
-        val bucketed = minOf3(runMerge(curB, incB))
-        spark.sql("DROP TABLE probe_cur_b")
-        spark.sql("DROP TABLE probe_inc_b")
-        println(f"[probe] bucketed-merge: sf=$sfDir shuffled_min3_sec=" +
-          f"$shuffled%.2f bucketed_min3_sec=$bucketed%.2f " +
-          f"one_time_bucket_write_sec=$writeSec%.2f")
+        try {
+          val t0 = System.nanoTime()
+          cur.write.mode("overwrite").bucketBy(32, "url").sortBy("url")
+            .saveAsTable("probe_cur_b")
+          inc.write.mode("overwrite").bucketBy(32, "url").sortBy("url")
+            .saveAsTable("probe_inc_b")
+          val writeSec = (System.nanoTime() - t0) / 1e9
+          val curB = spark.table("probe_cur_b")
+          val incB = spark.table("probe_inc_b")
+          val plan = Merge.merge(curB, incB, EtlQueries.asOf)
+            .queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange hashpartitioning(url"),
+            s"bucketed merge still shuffles on url:\n$plan")
+          val bucketed = minOf3(runMerge(curB, incB))
+          println(f"[probe] bucketed-merge: sf=$sfDir shuffled_min3_sec=" +
+            f"$shuffled%.2f bucketed_min3_sec=$bucketed%.2f " +
+            f"one_time_bucket_write_sec=$writeSec%.2f")
+        } finally {
+          spark.sql("DROP TABLE IF EXISTS probe_cur_b")
+          spark.sql("DROP TABLE IF EXISTS probe_inc_b")
+        }
 
       case other =>
         System.err.println(s"unknown probe '$other' " +

@@ -266,7 +266,7 @@ object TextOps {
     componentsIters(adj, maxIters)._1
 
   /** [[components]] plus the number of rounds the loop ran — the hook
-    * ComponentsSpec and GraphBench use to pin O(log diameter)
+    * ComponentsSpec and ScaleProbes use to pin O(log diameter)
     * convergence as an assertion, not a comment.
     */
   private[graft] def componentsIters(adj: DataFrame, maxIters: Int)

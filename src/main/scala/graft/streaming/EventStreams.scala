@@ -57,6 +57,8 @@ object EventStreams {
   case class BucketDoc(doc_id: Long, shset: Array[Long])
   case class BucketState(docs: List[BucketDoc])
   case class DupPair(a: Long, b: Long, jaccard: Double, band: Int)
+  case class TsDupPair(a: Long, b: Long, jaccard: Double, band: Int,
+                       ts: Timestamp)
 
   /** Streaming MinHash-LSH NEAR-dup — the streaming form of the batch
     * [[graft.operators.TextOps.lshVerifiedPairs]] flagship: incoming
@@ -70,11 +72,12 @@ object EventStreams {
     * Semantics, stated honestly: output is exactly-once per (pair,
     * band) but at-least-once per PAIR — a pair whose docs collide in
     * two bands emits from both bucket groups (the batch path's
-    * `.distinct()` has no single-pass streaming equivalent without a
-    * second stateful stage). The engine's duplicate-pair sink is
-    * key-constrained (Sinks.constrainedAppend), so multi-emission is
-    * idempotent where it lands; callers that need unique pairs
-    * in-stream chain `dropDuplicatesWithinWatermark("a","b")`.
+    * `.distinct()` needs a second stateful stage in a stream). The
+    * engine's duplicate-pair sink is key-constrained
+    * (Sinks.constrainedAppend), so multi-emission is idempotent where
+    * it lands; callers that need unique pairs in-stream use
+    * [[streamingNearDupUnique]], which chains the pair-keyed
+    * `dropDuplicatesWithinWatermark` stage.
     *
     * 100 TB posture: state per bucket is capped (`maxPerBucket` oldest
     * evicted first) and buckets idle past `stateTtlMs` are removed via
@@ -88,23 +91,72 @@ object EventStreams {
                        maxPerBucket: Int = 64,
                        stateTtlMs: Long = 3600000L): Dataset[DupPair] = {
     import docs.sparkSession.implicits._
+    nearDupPairs(docs, idCol, lit(0L).cast("timestamp"), textCol,
+      threshold, maxPerBucket, stateTtlMs)
+      .select(col("a"), col("b"), col("jaccard"), col("band"))
+      .as[DupPair]
+  }
+
+  /** [[streamingNearDup]] composed with in-stream pair uniqueness:
+    * exactly-once per PAIR across bands AND across micro-batches within
+    * `pairWatermark`. The second stateful stage keys
+    * `dropDuplicatesWithinWatermark` on (a, b); a pair's event time is
+    * the ARRIVING doc's `tsCol` (its discovery time), so pair-dedup
+    * state is bounded by (pair discovery rate × watermark window) —
+    * the same state law as [[streamingDedup]]. A pair re-discovered
+    * after the watermark re-emits, matching the re-scrape-is-a-new-
+    * observation posture. Chaining two stateful operators in append
+    * mode is the Spark 3.4+ multi-stateful-operator shape; the pair's
+    * own watermark is defined downstream of the bucket stage so the
+    * dedup state purges on pair event time, not bucket state time.
+    */
+  def streamingNearDupUnique(docs: DataFrame, idCol: String = "doc_id",
+                             tsCol: String = "ts",
+                             textCol: String = "text",
+                             threshold: Double = 0.8,
+                             maxPerBucket: Int = 64,
+                             stateTtlMs: Long = 3600000L,
+                             pairWatermark: String = "1 hour")
+      : Dataset[DupPair] = {
+    import docs.sparkSession.implicits._
+    nearDupPairs(docs, idCol, col(tsCol), textCol,
+      threshold, maxPerBucket, stateTtlMs)
+      .withWatermark("ts", pairWatermark)
+      .dropDuplicatesWithinWatermark("a", "b")
+      .select(col("a"), col("b"), col("jaccard"), col("band"))
+      .as[DupPair]
+  }
+
+  /** Shared banding + bucket-state core: row-local hashed-shingle-set →
+    * signature → band keys (constants shared with the batch path), then
+    * per-(band, key) exact-Jaccard verify against held peers. Emits
+    * `ts` = the arriving doc's event time so downstream stages can
+    * watermark on pair discovery time.
+    */
+  private def nearDupPairs(docs: DataFrame, idCol: String,
+                           tsExpr: org.apache.spark.sql.Column,
+                           textCol: String, threshold: Double,
+                           maxPerBucket: Int,
+                           stateTtlMs: Long): Dataset[TsDupPair] = {
+    import docs.sparkSession.implicits._
     import graft.TextOps
-    val sig = docs.select(col(idCol).as("doc_id"),
+    val sig = docs.select(col(idCol).as("doc_id"), tsExpr.as("ts"),
         TextOps.hashedShingleSet(col(textCol)).as("shset"))
-      .select(col("doc_id") +: col("shset") +:
+      .select(col("doc_id") +: col("ts") +: col("shset") +:
         TextOps.sigCols(col("shset")): _*)
-    val banded = sig.select(col("doc_id"), col("shset"),
+    val banded = sig.select(col("doc_id"), col("ts"), col("shset"),
         explode(array((0 until TextOps.bandsCount).map { j =>
           struct(lit(j).as("band"),
             (col(s"sig${2 * j}") * TextOps.P + col(s"sig${2 * j + 1}"))
               .as("key"))
         }: _*)).as("bk"))
-      .select(col("doc_id"), col("shset"), col("bk.band"), col("bk.key"))
+      .select(col("doc_id"), col("ts"), col("shset"),
+        col("bk.band"), col("bk.key"))
       .filter(col("key").isNotNull)
-      .as[(Long, Array[Long], Int, Long)]
+      .as[(Long, Timestamp, Array[Long], Int, Long)]
     banded
-      .groupByKey { case (_, _, band, key) => (band, key) }
-      .flatMapGroupsWithState[BucketState, DupPair](
+      .groupByKey { case (_, _, _, band, key) => (band, key) }
+      .flatMapGroupsWithState[BucketState, TsDupPair](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.ProcessingTimeTimeout) {
         case ((band, _), rows, state: GroupState[BucketState]) =>
@@ -114,17 +166,22 @@ object EventStreams {
             // micro-batch-internal row order
             val arrivals = rows.toSeq.sortBy(_._1)
             var held = state.getOption.map(_.docs).getOrElse(Nil)
-            val out = Seq.newBuilder[DupPair]
-            for ((id, shset, _, _) <- arrivals) {
+            val out = Seq.newBuilder[TsDupPair]
+            for ((id, ts, shset, _, _) <- arrivals) {
               for (peer <- held if peer.doc_id != id) {
                 val inter = sortedIntersectCount(peer.shset, shset)
                 val union = peer.shset.length + shset.length - inter
                 val j = if (union == 0) 0.0 else inter.toDouble / union
                 if (j >= threshold)
-                  out += DupPair(math.min(peer.doc_id, id),
-                    math.max(peer.doc_id, id), j, band)
+                  out += TsDupPair(math.min(peer.doc_id, id),
+                    math.max(peer.doc_id, id), j, band, ts)
               }
-              held = (held :+ BucketDoc(id, shset)).takeRight(maxPerBucket)
+              // a re-delivered doc_id REPLACES its old entry (never
+              // appends a second copy): otherwise a later peer emits the
+              // same (pair, band) once per stale copy and an UPDATED
+              // document's old shingle set keeps matching
+              held = (held.filterNot(_.doc_id == id) :+ BucketDoc(id, shset))
+                .takeRight(maxPerBucket)
             }
             state.update(BucketState(held))
             state.setTimeoutDuration(stateTtlMs)

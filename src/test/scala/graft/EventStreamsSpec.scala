@@ -126,6 +126,96 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streamingNearDup replaces a re-delivered doc_id in its buckets: updated set wins, no stale copies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, explode, lit, struct}
+    implicit val sql = spark.sqlContext
+    val t = "the quick brown fox jumps over the lazy dog again and again today"
+    // the update appends ONE word: 11 of 12 word-3-gram shingles shared
+    // (jaccard ≈ 0.92, above threshold) and most MinHash positions
+    // unchanged, so the updated doc re-visits buckets the original
+    // occupies. Hashing is deterministic, so pick the first candidate
+    // that provably shares ≥1 band with the original.
+    def bandKeys(text: String): Set[(Int, Long)] = {
+      val sig = Seq(Tuple1(text)).toDF("text")
+        .select(TextOps.hashedShingleSet(col("text")).as("shset"))
+        .select(col("shset") +: TextOps.sigCols(col("shset")): _*)
+      sig.select(explode(array((0 until TextOps.bandsCount).map { j =>
+          struct(lit(j).as("band"),
+            (col(s"sig${2 * j}") * TextOps.P + col(s"sig${2 * j + 1}"))
+              .as("key"))
+        }: _*)).as("bk"))
+        .select("bk.band", "bk.key").as[(Int, Long)].collect().toSet
+    }
+    val baseKeys = bandKeys(t)
+    val tUpd = Vector("tonight", "maybe", "forever", "quietly", "zebra")
+      .map(w => s"$t $w")
+      .find(v => bandKeys(v).intersect(baseKeys).nonEmpty)
+      .getOrElse(fail("no one-word update shares a band with the original"))
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingNearDup(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sndre")
+      .outputMode("append").start()
+    def rows(): Seq[(Long, Long, Double, Int)] = spark.table("sndre")
+      .select("a", "b", "jaccard", "band")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    in.addData((1L, t))
+    Thread.sleep(300)
+    // doc 1 RE-DELIVERED in a later micro-batch with the updated text:
+    // in every shared bucket the old entry must be REPLACED, not kept
+    in.addData((1L, tUpd))
+    Thread.sleep(300)
+    // doc 2 carries the updated text, so it probes exactly the updated
+    // doc's buckets — including the shared ones, where a surviving stale
+    // copy would emit a SECOND (1,2) row in the same band at j ≈ 0.92
+    in.addData((2L, tUpd))
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (rows().isEmpty && System.nanoTime() < deadline) Thread.sleep(500)
+    val got = rows()
+    assert(got.nonEmpty && got.forall(r => (r._1, r._2) == (1L, 2L)), s"$got")
+    // exactly-once per (pair, band): one row per colliding band even
+    // though doc 1 was delivered twice into the shared buckets
+    assert(got.map(r => (r._1, r._2, r._4)).distinct.length == got.length,
+      s"duplicate (pair, band) rows from stale bucket copies: $got")
+    // and the UPDATED shingle set won: doc 2 is identical to the update,
+    // so every verify must score 1.0 (the stale set would score ≈ 0.92)
+    assert(got.forall(_._3 == 1.0),
+      s"stale pre-update shingle set still matching: $got")
+    q.stop()
+  }
+
+  test("streamingNearDupUnique emits exactly once per PAIR across bands and micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.streamingNearDupUnique(df).writeStream
+      .format("memory").queryName("sndu").outputMode("append").start()
+    val t = "the quick brown fox jumps over the lazy dog again and again today"
+    def pairs(): Seq[(Long, Long)] = spark.table("sndu")
+      .select("a", "b").as[(Long, Long)].collect().toSeq
+    def await(expected: Set[(Long, Long)]): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (pairs().toSet != expected && System.nanoTime() < deadline)
+        Thread.sleep(500)
+      assert(pairs().toSet == expected, s"timed out waiting for $expected")
+    }
+    // identical docs collide in EVERY band → the raw stage emits one row
+    // per band; the pair-keyed dedup stage must collapse them to one
+    in.addData((1L, ts("2024-01-01 10:00:00"), t),
+      (2L, ts("2024-01-01 10:01:00"), t))
+    await(Set((1L, 2L)))
+    assert(pairs().size == 1, s"multi-band pair emitted more than once: ${pairs()}")
+    // a third copy in a LATER micro-batch: new pairs (1,3) and (2,3)
+    // appear once each; (1,2) must NOT re-emit inside the watermark
+    in.addData((3L, ts("2024-01-01 10:02:00"), t))
+    await(Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val all = pairs()
+    assert(all.distinct.length == all.length,
+      s"pair emitted more than once across micro-batches: $all")
+    q.stop()
+  }
+
   test("streamingNearDup equals the batch LSH pipeline on a static corpus") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
