@@ -10,18 +10,31 @@ import org.apache.spark.sql.functions._
   * Scale discipline: every candidate-pair generator is bucketed (LSH band
   * buckets, metadata blocks) — never an all-pairs crossJoin; at 100 TB the
   * only shuffles are on bucket keys whose fan-out is bounded by design
-  * (band width, block size). All hashing is md5-prefix based so the DuckDB
-  * oracle can reproduce values bit-for-bit.
+  * (band width, block size). Hashing defaults to md5-prefix so the DuckDB
+  * oracle can reproduce values bit-for-bit; the `xx` flag on the shingle/
+  * simhash builders swaps in the xxhash64 production hash (same operator
+  * shape, no oracle — HashModeSpec pins result equivalence).
   */
 object TextOps {
 
   /** 28-bit deterministic hash both engines can compute: fold the first 7
-    * hex chars of md5. (Spark's murmur3 hash() is faster but has no DuckDB
-    * counterpart; at production scale swap in xxhash64 — the operator
-    * shape is identical.)
+    * hex chars of md5. At production scale [[hash7Xx]] (the `xx` flag)
+    * swaps in xxhash64 — the operator shape is identical.
     */
   def hash7(c: Column): Column =
     conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** 28-bit hash, PRODUCTION mode: low 28 bits of xxhash64 (seed 42) —
+    * a few long multiplies per input vs md5's full digest. No DuckDB
+    * counterpart, so oracle-gated queries stay on [[hash7]]; the swap
+    * is the `xx` flag on [[hashedShingleSet]] / [[simhashWideDf]] /
+    * [[lshVerifiedPairs]], not a rewrite — HashModeSpec pins that both
+    * modes produce identical near-dup RESULTS on a collision-free
+    * corpus (Jaccard over hashed sets is hash-invariant wherever the
+    * sets stay collision-free).
+    */
+  def hash7Xx(c: Column): Column =
+    xxhash64(c).bitwiseAND(lit(0xFFFFFFFL))
 
   /** Symmetrize an (a, b, measures…) pair frame into both directions in
     * ONE pass: a union of two selects over the pair frame would
@@ -59,15 +72,20 @@ object TextOps {
     * Column-composed executable spec, pinned bit-equal by
     * TextKernelsSpec.
     */
-  def hashedShingleSet(text: Column, n: Int = 3): Column =
-    call_function("graft_hashed_shingles", text, lit(n))
+  def hashedShingleSet(text: Column, n: Int = 3, xx: Boolean = false): Column =
+    if (xx) call_function("graft_hashed_shingles", text, lit(n), lit(true))
+    else call_function("graft_hashed_shingles", text, lit(n))
 
   /** The Column-composed form [[hashedShingleSet]] replaces (kept as the
-    * kernel's executable specification + oracle-SQL mirror).
+    * kernel's executable specification + oracle-SQL mirror; `xx` selects
+    * the xxhash64 production hash so HashModeSpec can pin kernel parity
+    * in both modes).
     */
-  private[graft] def legacyHashedShingleSet(text: Column, n: Int = 3): Column =
+  private[graft] def legacyHashedShingleSet(text: Column, n: Int = 3,
+                                            xx: Boolean = false): Column =
     array_sort(array_distinct(transform(
-      array_distinct(shingles(text, n)), s => hash7(s))))
+      array_distinct(shingles(text, n)),
+      s => if (xx) hash7Xx(s) else hash7(s))))
 
   /** Word n-gram shingles (default 3): one string per window. */
   def shingles(text: Column, n: Int = 3): Column = {
@@ -129,7 +147,8 @@ object TextOps {
     * Consumers: [[minhashLsh]] (per-doc best-candidate stats) and
     * [[dupClusters]] (threshold → connected components).
     */
-  def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String)
+  def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                       xx: Boolean = false)
       : (DataFrame, DataFrame) = {
     // The HASHED shingle-set projection feeds three consumers
     // (signatures + both sides of the Jaccard verify join); persist it so
@@ -142,7 +161,7 @@ object TextOps {
     // sessions can release the blocks after materialization.
     lshVerifiedPairsFrom(Caches.persistTracked(
       df.select(col(idCol).as("doc_id"),
-        hashedShingleSet(col(textCol)).as("shset"))))
+        hashedShingleSet(col(textCol), xx = xx).as("shset"))))
   }
 
   /** [[lshVerifiedPairs]] over an ALREADY-persisted (doc_id, shset)
@@ -351,12 +370,14 @@ object TextOps {
     * spec, pinned bit-equal by TextKernelsSpec.)
     */
   def simhashWideDf(df: DataFrame, idCol: String, textCol: String,
-                    salts: Seq[String]): DataFrame = {
+                    salts: Seq[String], xx: Boolean = false): DataFrame = {
     require(salts.nonEmpty && 28 * salts.size <= 63,
       "width must fit a single long")
+    val saltArr = array(salts.map(lit): _*)
     df.select(col(idCol).as("doc_id"),
-      call_function("graft_simhash", col(textCol),
-        array(salts.map(lit): _*)).as("simhash"))
+      (if (xx) call_function("graft_simhash", col(textCol), saltArr, lit(true))
+       else call_function("graft_simhash", col(textCol), saltArr))
+        .as("simhash"))
   }
 
   /** The explode → bit-sum aggregate form [[simhashWideDf]] replaces
@@ -364,14 +385,16 @@ object TextOps {
     */
   private[graft] def legacySimhashWideDf(df: DataFrame, idCol: String,
                                          textCol: String,
-                                         salts: Seq[String]): DataFrame = {
+                                         salts: Seq[String],
+                                         xx: Boolean = false): DataFrame = {
     require(salts.nonEmpty && 28 * salts.size <= 63,
       "width must fit a single long")
+    val h: Column => Column = if (xx) hash7Xx else hash7
     val ex = salts.zipWithIndex.foldLeft(
       df.select(col(idCol).as("doc_id"),
         explode(array_distinct(words(col(textCol)))).as("w"))) {
       case (d, (s, k)) => d.withColumn(s"h$k",
-        hash7(if (s.isEmpty) col("w") else concat(col("w"), lit(s))))
+        h(if (s.isEmpty) col("w") else concat(col("w"), lit(s))))
     }
     val aggs = for { k <- salts.indices; j <- 0 until 28 }
       yield sum((shiftright(col(s"h$k"), j).bitwiseAND(1)) * 2 - 1)
