@@ -191,10 +191,10 @@ object LlmQueries {
   /** Dedup candidate-quality eval over the FULL corpus with pooled
     * ground truth (see [[TextOps.dedupRecall]]): recall/precision of the
     * MinHash-LSH and SimHash candidate pair sets against exact Jaccard
-    * ≥ 0.8 verified on the candidate pool plus a constant-size audit
-    * subset (even doc_ids < 500 — 250 docs at every SF, which the
-    * oracle reproduces). Bounded at every stage; the audit row reports
-    * the pool-miss estimate.
+    * ≥ 0.8 verified on the candidate pool plus two constant-size audit
+    * strata (even / odd doc_ids < 500 — 250 docs each at every SF,
+    * which the oracle reproduces). Bounded at every stage; the two
+    * audit rows are independent replicates of the pool-miss estimate.
     */
   def q73DedupRecall(s: SparkSession, d: String): DataFrame =
     TextOps.dedupRecall(Tables.documents(s, d), "doc_id", "text")
@@ -719,15 +719,21 @@ object LlmQueries {
        |  JOIN sims sa ON sa.doc_id = x.doc_id
        |  JOIN sims sb ON sb.doc_id = y.doc_id
        |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
-       |ap AS (
+       |ap_even AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b
        |  FROM hs x JOIN hs y ON x.doc_id < y.doc_id
        |  WHERE x.doc_id % 2 = 0 AND x.doc_id < 500
        |    AND y.doc_id % 2 = 0 AND y.doc_id < 500),
+       |ap_odd AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM hs x JOIN hs y ON x.doc_id < y.doc_id
+       |  WHERE x.doc_id % 2 = 1 AND x.doc_id < 500
+       |    AND y.doc_id % 2 = 1 AND y.doc_id < 500),
        |pool AS (
        |  SELECT DISTINCT a, b FROM (
        |    SELECT a, b FROM lshc UNION ALL SELECT a, b FROM simc
-       |    UNION ALL SELECT a, b FROM ap)),
+       |    UNION ALL SELECT a, b FROM ap_even
+       |    UNION ALL SELECT a, b FROM ap_odd)),
        |ex AS (
        |  SELECT p.a, p.b
        |  FROM pool p JOIN hs x ON x.doc_id = p.a
@@ -745,13 +751,22 @@ object LlmQueries {
        |m AS (SELECT unnest(['minhash_lsh', 'simhash']) AS method),
        |ne AS (SELECT count(*) AS n_exact FROM ex),
        |mc AS (SELECT DISTINCT a, b FROM cand),
-       |arow AS (
-       |  SELECT 'pool_audit' AS method,
-       |    (SELECT count(*) FROM ex e JOIN ap
+       |arow_even AS (
+       |  SELECT 'pool_audit_even' AS method,
+       |    (SELECT count(*) FROM ex e JOIN ap_even ap
        |       ON ap.a = e.a AND ap.b = e.b) AS n_exact,
-       |    (SELECT count(*) FROM mc JOIN ap
+       |    (SELECT count(*) FROM mc JOIN ap_even ap
        |       ON ap.a = mc.a AND ap.b = mc.b) AS n_candidates,
-       |    (SELECT count(*) FROM mc JOIN ap
+       |    (SELECT count(*) FROM mc JOIN ap_even ap
+       |       ON ap.a = mc.a AND ap.b = mc.b
+       |     JOIN ex e ON e.a = mc.a AND e.b = mc.b) AS n_hits),
+       |arow_odd AS (
+       |  SELECT 'pool_audit_odd' AS method,
+       |    (SELECT count(*) FROM ex e JOIN ap_odd ap
+       |       ON ap.a = e.a AND ap.b = e.b) AS n_exact,
+       |    (SELECT count(*) FROM mc JOIN ap_odd ap
+       |       ON ap.a = mc.a AND ap.b = mc.b) AS n_candidates,
+       |    (SELECT count(*) FROM mc JOIN ap_odd ap
        |       ON ap.a = mc.a AND ap.b = mc.b
        |     JOIN ex e ON e.a = mc.a AND e.b = mc.b) AS n_hits),
        |rows_ AS (
@@ -760,7 +775,9 @@ object LlmQueries {
        |    coalesce(per.n_hits, 0) AS n_hits
        |  FROM m CROSS JOIN ne LEFT JOIN per USING (method)
        |  UNION ALL
-       |  SELECT method, n_exact, n_candidates, n_hits FROM arow)
+       |  SELECT method, n_exact, n_candidates, n_hits FROM arow_even
+       |  UNION ALL
+       |  SELECT method, n_exact, n_candidates, n_hits FROM arow_odd)
        |SELECT method, n_exact, n_candidates, n_hits,
        |  CASE WHEN n_exact > 0 THEN n_hits / n_exact END AS recall,
        |  CASE WHEN n_candidates > 0 THEN n_hits / n_candidates END

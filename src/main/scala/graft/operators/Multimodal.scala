@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * with typed metadata, the way a 100 TB training-data pipeline carries
   * image/audio/video next to text.
   *
-  * The DECODE step is STUBBED — this container has no image/audio codecs —
-  * behind [[fakeDecode]]: a deterministic md5-derived stand-in with the
-  * same schema a real decoder (JNI/FFI or a Python worker via Arrow
-  * batches) would produce. Everything around it — the media schema, the
-  * metadata extraction, the partition-sized batch shape in
+  * The image/video DECODE step is STUBBED — this container has no
+  * image/video codecs — behind [[fakeDecode]]: a deterministic
+  * md5-derived stand-in with the same schema a real decoder (JNI/FFI or
+  * a Python worker via Arrow batches) would produce. AUDIO is real:
+  * [[decodeWavHeader]] parses RIFF/WAVE headers in pure JVM (no codec
+  * needed for metadata). Everything around the stubs — the media schema,
+  * the metadata extraction, the partition-sized batch shape in
   * [[decodePartitioned]] — is real Spark plumbing and is what the tests
   * and q42 exercise.
   */
@@ -89,6 +91,68 @@ object Multimodal {
       else ((estBytes / maxBytesPerTask) + 1).min(BigInt(1 << 20)).toInt
     withMeta(media.repartition(math.max(n, parts), col("doc_id")))
   }
+
+  /** Real decoded-audio metadata: RIFF/WAVE header fields. */
+  case class WavMeta(channels: Int, sample_rate: Int, bits_per_sample: Int,
+                     data_bytes: Long, duration_sec: Double)
+
+  /** REAL decode for one media type, pure JVM: parse a WAV (RIFF/WAVE)
+    * header — magic, then the chunk walk to `fmt ` (channels, sample
+    * rate, bits, byte rate) and `data` (payload size → duration). No
+    * codec library involved: WAV metadata is plain little-endian header
+    * bytes, so this decode is honest, not a stub. Malformed, truncated,
+    * or non-WAV payloads yield None — decode failures become null rows
+    * to filter, never task failures.
+    *
+    * Works on a header PREFIX: the `data` size is the declared one, so
+    * at 100 TB the scan can read the first KB of each blob (range
+    * request) instead of the payload. Unknown chunks (LIST, fact, …)
+    * are skipped by size — chunk sizes are word-aligned per RIFF.
+    */
+  def decodeWavHeader(bytes: Array[Byte]): Option[WavMeta] = {
+    if (bytes == null || bytes.length < 36) return None
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Long)] = None // ch, rate, bits, byteRate
+    var dataBytes = -1L
+    while (off + 8 <= bytes.length && (fmt.isEmpty || dataBytes < 0)) {
+      val id = tag(off)
+      val sz = le32(off + 4)
+      if (id == "fmt ") {
+        if (sz < 16 || off + 8 + 16 > bytes.length) return None
+        fmt = Some((le16(off + 10), le32(off + 12).toInt,
+          le16(off + 22), le32(off + 16)))
+      } else if (id == "data") dataBytes = sz
+      // chunks are word-aligned; a huge declared size just ends the walk
+      off += (8L + sz + (sz & 1L)).min(Int.MaxValue.toLong).toInt
+    }
+    fmt.collect {
+      case (ch, rate, bits, byteRate)
+          if dataBytes >= 0 && ch > 0 && rate > 0 && byteRate > 0 =>
+        WavMeta(ch, rate, bits, dataBytes, dataBytes.toDouble / byteRate)
+    }
+  }
+
+  /** [[decodeWavHeader]] as a column: a nullable struct over the binary
+    * payload. A UDF is irreducible here (SURVEY §2.10 posture) — binary
+    * chunk-walking has no built-in Column expression; it stays off the
+    * hot scan paths (applied only to audio-typed rows).
+    */
+  private val decodeWavUdf =
+    org.apache.spark.sql.functions.udf(decodeWavHeader _)
+
+  /** Attach real WAV metadata to the audio rows of a media table; other
+    * media types (and undecodable audio) carry a null `wav` struct.
+    */
+  def withWavMeta(media: DataFrame): DataFrame =
+    media.withColumn("wav",
+      when(col("media_type") === "audio", decodeWavUdf(col("content"))))
 
   /** Frame-sampling stub for video: emit one row per sampled frame index —
     * the explode shape a real frame extractor produces. Sampling every

@@ -493,17 +493,24 @@ object TextOps {
     * quadratically (0 ground-truth pairs at sf0.1) — pair-pooling is
     * how the eval stays both bounded and non-degenerate.
     *
-    * Output, one row per method plus a `pool_audit` row:
+    * Output, one row per method plus one row per audit STRATUM:
     * (method, n_exact, n_candidates, n_hits, recall, precision).
-    * The audit row restricts all three counts to pairs inside the audit
-    * subset, where truth is candidate-independent — its recall is the
+    * An audit row restricts all three counts to pairs inside its
+    * stratum, where truth is candidate-independent — its recall is the
     * estimated fraction of true pairs the pooled methods find at all
-    * (the pool-miss rate the pooling methodology must report).
+    * (the pool-miss rate the pooling methodology must report). TWO
+    * default strata (even / odd doc_ids < 500) make that estimate a
+    * pair of independent replicates: disjoint doc sets, so agreement
+    * between the rows is evidence the estimate is stable, not a
+    * single-sample artifact.
     */
   def dedupRecall(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.8,
-                  auditFilter: Column =
-                    col("doc_id") % 2 === 0 && col("doc_id") < 500)
+                  auditStrata: Seq[(String, Column)] = Seq(
+                    "pool_audit_even" ->
+                      (col("doc_id") % 2 === 0 && col("doc_id") < 500),
+                    "pool_audit_odd" ->
+                      (col("doc_id") % 2 === 1 && col("doc_id") < 500)))
       : DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
@@ -516,11 +523,16 @@ object TextOps {
     val simCand = Caches.persistTracked(
       simhashBandedPairs(df, idCol, textCol, maxHamming = 3)
         ._2.select("a", "b"))
-    val audit = sh.filter(auditFilter)
-    val auditPairs = audit.as("x")
-      .join(audit.as("y"), col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    val pool = lshCand.unionByName(simCand).unionByName(auditPairs)
+    // one constant-size all-pairs frame per audit stratum (pairs stay
+    // WITHIN a stratum — disjoint strata give independent replicates)
+    val strataPairs = auditStrata.map { case (name, filter) =>
+      val audit = sh.filter(filter)
+      name -> audit.as("x")
+        .join(audit.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    }
+    val pool = strataPairs.map(_._2)
+      .foldLeft(lshCand.unionByName(simCand))(_ unionByName _)
       .distinct()
     // truth: exact verification of pooled pairs only — never all-pairs
     // over the corpus
@@ -548,25 +560,28 @@ object TextOps {
       .select(col("method"), col("n_exact"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-    // audit row: within the audit subset truth is candidate-independent,
+    // audit rows: within an audit stratum truth is candidate-independent,
     // so hits/exact there estimates what fraction of ALL true pairs the
     // pooled candidate generators surface. All three counts come from
-    // ONE aggregate over the flagged audit pairs (the frames are
+    // ONE aggregate over the flagged stratum pairs (the frames are
     // distinct on (a,b), so the flag sums are exact set sizes).
     val methodCand = lshCand.unionByName(simCand).distinct()
-    val auditRow = auditPairs
-      .join(truth.withColumn("t", lit(1)), Seq("a", "b"), "left_outer")
-      .join(methodCand.withColumn("c", lit(1)), Seq("a", "b"), "left_outer")
-      .agg(sum(coalesce(col("t"), lit(0))).as("n_exact"),
-        sum(coalesce(col("c"), lit(0))).as("n_candidates"),
-        sum(coalesce(col("t"), lit(0)) * coalesce(col("c"), lit(0)))
-          .as("n_hits"))
-      // sum over an empty audit is null — pin the empty-audit row to 0s
-      .select(lit("pool_audit").as("method"),
-        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-    methodRows.unionByName(auditRow)
+    val auditRows = strataPairs.map { case (name, auditPairs) =>
+      auditPairs
+        .join(truth.withColumn("t", lit(1)), Seq("a", "b"), "left_outer")
+        .join(methodCand.withColumn("c", lit(1)), Seq("a", "b"),
+          "left_outer")
+        .agg(sum(coalesce(col("t"), lit(0))).as("n_exact"),
+          sum(coalesce(col("c"), lit(0))).as("n_candidates"),
+          sum(coalesce(col("t"), lit(0)) * coalesce(col("c"), lit(0)))
+            .as("n_hits"))
+        // sum over an empty stratum is null — pin its row to 0s
+        .select(lit(name).as("method"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    }
+    auditRows.foldLeft(methodRows)(_ unionByName _)
       .select(col("method"), col("n_exact"), col("n_candidates"),
         col("n_hits"),
         when(col("n_exact") > 0, col("n_hits") / col("n_exact"))

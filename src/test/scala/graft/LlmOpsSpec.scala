@@ -189,27 +189,35 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("dedupRecall: planted dups → both methods find them; distinct docs don't pair") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
+    val odd = "an entirely separate duplicated sentence planted in the odd stratum here"
     val df = Seq((2L, text), (4L, text), (6L, text),
+      (3L, odd), (5L, odd),
       (8L, "completely different words here that share nothing at all today"))
       .toDF("doc_id", "text")
     val out = TextOps.dedupRecall(df, "doc_id", "text").collect()
       .map(r => r.getString(0) -> r).toMap
-    assert(out.keySet == Set("minhash_lsh", "simhash", "pool_audit"))
-    // 3 identical docs → 3 exact pairs; identical docs collide in every
-    // band (minhash) and at hamming 0 (simhash) → perfect recall
+    assert(out.keySet == Set("minhash_lsh", "simhash",
+      "pool_audit_even", "pool_audit_odd"))
+    // 3 identical even docs → 3 exact pairs, plus the odd planted pair;
+    // identical docs collide in every band (minhash) and at hamming 0
+    // (simhash) → perfect recall
     for (m <- Seq("minhash_lsh", "simhash")) {
-      assert(out(m).getAs[Long]("n_exact") == 3L)
-      assert(out(m).getAs[Long]("n_hits") == 3L)
+      assert(out(m).getAs[Long]("n_exact") == 4L)
+      assert(out(m).getAs[Long]("n_hits") == 4L)
       assert(out(m).getAs[Double]("recall") == 1.0)
     }
     // minhash candidates on this corpus are exactly the true pairs
-    assert(out("minhash_lsh").getAs[Long]("n_candidates") == 3L)
+    assert(out("minhash_lsh").getAs[Long]("n_candidates") == 4L)
     assert(out("minhash_lsh").getAs[Double]("precision") == 1.0)
-    // every doc is inside the audit subset (even ids < 500), so the
-    // audit row sees the full truth and reports zero pool misses
-    assert(out("pool_audit").getAs[Long]("n_exact") == 3L)
-    assert(out("pool_audit").getAs[Long]("n_hits") == 3L)
-    assert(out("pool_audit").getAs[Double]("recall") == 1.0)
+    // the two audit strata are independent replicates over DISJOINT doc
+    // sets: each sees only its own stratum's truth (pairs never cross
+    // strata) and both report zero pool misses
+    assert(out("pool_audit_even").getAs[Long]("n_exact") == 3L)
+    assert(out("pool_audit_even").getAs[Long]("n_hits") == 3L)
+    assert(out("pool_audit_even").getAs[Double]("recall") == 1.0)
+    assert(out("pool_audit_odd").getAs[Long]("n_exact") == 1L)
+    assert(out("pool_audit_odd").getAs[Long]("n_hits") == 1L)
+    assert(out("pool_audit_odd").getAs[Double]("recall") == 1.0)
   }
 
   test("simhash is stable and respects content") {
@@ -234,6 +242,56 @@ class LlmOpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, stride = 1)
       .filter(col("doc_id") === 0).count()
     assert(frames == 2) // 20 bytes → 2 fake frames at stride 1
+  }
+
+  test("decodeWavHeader parses real RIFF/WAVE headers; withWavMeta types the rows") {
+    def wavBytes(channels: Int, rate: Int, bits: Int, dataLen: Int,
+                 listChunk: Boolean = false,
+                 includePayload: Boolean = true): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(128 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      val byteRate = rate * channels * bits / 8
+      tag("RIFF"); bb.putInt(36 + dataLen); tag("WAVE")
+      if (listChunk) { tag("LIST"); bb.putInt(4); bb.putInt(0) }
+      tag("fmt "); bb.putInt(16)
+      bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(rate)
+      bb.putInt(byteRate); bb.putShort((channels * bits / 8).toShort)
+      bb.putShort(bits.toShort)
+      tag("data"); bb.putInt(dataLen)
+      if (includePayload) bb.put(new Array[Byte](dataLen))
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    // golden: mono 16-bit 8 kHz, 3200 data bytes → byteRate 16000, 0.2 s
+    val golden = Multimodal.decodeWavHeader(wavBytes(1, 8000, 16, 3200)).get
+    assert(golden == Multimodal.WavMeta(1, 8000, 16, 3200L, 0.2))
+    // chunk walk: an unknown LIST chunk before fmt/data is skipped by size
+    assert(Multimodal.decodeWavHeader(
+      wavBytes(2, 44100, 24, 1764, listChunk = true)).contains(
+      Multimodal.WavMeta(2, 44100, 24, 1764L, 1764.0 / (44100 * 2 * 3))))
+    // header PREFIX: declared data size without the payload still decodes
+    // (the 100 TB range-request read path)
+    assert(Multimodal.decodeWavHeader(
+      wavBytes(1, 8000, 16, 3200, includePayload = false))
+      .contains(golden))
+    // malformed inputs are None, never exceptions
+    assert(Multimodal.decodeWavHeader(null).isEmpty)
+    assert(Multimodal.decodeWavHeader("not a wav at all".getBytes).isEmpty)
+    assert(Multimodal.decodeWavHeader(
+      wavBytes(1, 8000, 16, 3200).take(20)).isEmpty)
+    // column form: audio rows decode, others stay null, bad audio is null
+    val rows = spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(0L, "audio", wavBytes(1, 8000, 16, 3200)),
+      org.apache.spark.sql.Row(1L, "image", wavBytes(1, 8000, 16, 3200)),
+      org.apache.spark.sql.Row(2L, "audio", "garbage".getBytes)))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.withWavMeta(media).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[org.apache.spark.sql.Row]("wav"))).toMap
+    assert(out(0L).exists(w => w.getAs[Int]("sample_rate") == 8000 &&
+      w.getAs[Double]("duration_sec") == 0.2))
+    assert(out(1L).isEmpty)
+    assert(out(2L).isEmpty)
   }
 
   test("decodePartitioned: sentinel stats estimate falls back to parallelism") {
