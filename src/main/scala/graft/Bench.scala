@@ -16,7 +16,11 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   /** The heavier, shuffle/join/window-shaped subset of the inventory. */
-  def headline: Seq[String] = {
+  def headline: Seq[String] =
+    headline(sys.env.get("SPARK_GRAFT_BENCH_QUERIES"))
+
+  /** [[headline]] with the subset request injectable (spec hook). */
+  private[graft] def headline(subsetEnv: Option[String]): Seq[String] = {
     val preferred = Seq(
       "q02_pricing_summary", "q05_latest_per_group", "q10_join_agg",
       "q11_join_5way", "q14_self_join_dup", "q16_window_seq_id",
@@ -33,7 +37,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_QUERIES=q36_minhash_lsh,q69_dup_clusters benches a
     // subset in isolation — used to separate a query's own cost from
     // cache/ordering interplay with the rest of the headline sequence.
-    sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+    subsetEnv match {
       case Some(list) =>
         val wanted = list.split(",").map(_.trim).filter(_.nonEmpty)
         // a typo must fail loudly, not yield an empty rc-0 bench run —

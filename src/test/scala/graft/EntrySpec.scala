@@ -6,6 +6,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * produces rows on the sf0.001 fixtures — the same check the driver runs.
   */
 class EntrySpec extends AnyFunSuite {
+  test("bench subset: registry names pass through, typos fail naming the entry") {
+    // a valid subset benches exactly what was asked — including registry
+    // queries outside the default headline (q03 is not a headline query)
+    assert(Bench.headline(Some("q36_minhash_lsh,q03_filter_project")) ==
+      Seq("q36_minhash_lsh", "q03_filter_project"))
+    // a typo must fail loudly (not an empty rc-0 bench run) and name the
+    // unmatched entry
+    val e = intercept[IllegalArgumentException] {
+      Bench.headline(Some("q36_minhash_lsh,q99_nope"))
+    }
+    assert(e.getMessage.contains("q99_nope"))
+    // no subset → the default headline, every name in the registry
+    val base = Bench.headline(None)
+    assert(base.nonEmpty && base.forall(SparkEntry.queries.contains))
+  }
+
   test("entry returns non-empty summary") {
     val rows = SparkEntry.entry(SparkTestSession.spark).collect()
     assert(rows.nonEmpty)
