@@ -562,26 +562,32 @@ object TextOps {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
     // audit rows: within an audit stratum truth is candidate-independent,
     // so hits/exact there estimates what fraction of ALL true pairs the
-    // pooled candidate generators surface. All three counts come from
-    // ONE aggregate over the flagged stratum pairs (the frames are
-    // distinct on (a,b), so the flag sums are exact set sizes).
+    // pooled candidate generators surface. All strata share ONE pass:
+    // the stratum-labeled pair union joins truth and the method pool
+    // once and a single groupBy emits every stratum's three counts (the
+    // frames are distinct on (a,b) within a stratum, so the flag sums
+    // are exact set sizes). A left join against the static strata-name
+    // frame pins empty strata to 0s instead of dropping their rows.
     val methodCand = lshCand.unionByName(simCand).distinct()
-    val auditRows = strataPairs.map { case (name, auditPairs) =>
-      auditPairs
-        .join(truth.withColumn("t", lit(1)), Seq("a", "b"), "left_outer")
-        .join(methodCand.withColumn("c", lit(1)), Seq("a", "b"),
-          "left_outer")
-        .agg(sum(coalesce(col("t"), lit(0))).as("n_exact"),
-          sum(coalesce(col("c"), lit(0))).as("n_candidates"),
-          sum(coalesce(col("t"), lit(0)) * coalesce(col("c"), lit(0)))
-            .as("n_hits"))
-        // sum over an empty stratum is null — pin its row to 0s
-        .select(lit(name).as("method"),
-          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-    }
-    auditRows.foldLeft(methodRows)(_ unionByName _)
+    val auditAll = strataPairs.map { case (name, pairs) =>
+      pairs.withColumn("method", lit(name))
+    }.reduce(_ unionByName _)
+    val auditAgg = auditAll
+      .join(truth.withColumn("t", lit(1)), Seq("a", "b"), "left_outer")
+      .join(methodCand.withColumn("c", lit(1)), Seq("a", "b"),
+        "left_outer")
+      .groupBy("method")
+      .agg(sum(coalesce(col("t"), lit(0))).as("n_exact"),
+        sum(coalesce(col("c"), lit(0))).as("n_candidates"),
+        sum(coalesce(col("t"), lit(0)) * coalesce(col("c"), lit(0)))
+          .as("n_hits"))
+    val auditRows = strataPairs.map(_._1).toDF("method")
+      .join(auditAgg, Seq("method"), "left_outer")
+      .select(col("method"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    methodRows.unionByName(auditRows)
       .select(col("method"), col("n_exact"), col("n_candidates"),
         col("n_hits"),
         when(col("n_exact") > 0, col("n_hits") / col("n_exact"))
