@@ -109,6 +109,10 @@ object EventStreams {
     * mode is the Spark 3.4+ multi-stateful-operator shape; the pair's
     * own watermark is defined downstream of the bucket stage so the
     * dedup state purges on pair event time, not bucket state time.
+    * Corollary (spec-pinned): the pair watermark only ADVANCES while
+    * pairs flow — a quiet pair stream leaves dedup entries in state
+    * until the next pair batch, which bounds state by pair throughput
+    * (the steady state of a production near-dup feed), not wall time.
     */
   def streamingNearDupUnique(docs: DataFrame, idCol: String = "doc_id",
                              tsCol: String = "ts",

@@ -216,6 +216,46 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streamingNearDupUnique re-emits a pair re-discovered after the watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.streamingNearDupUnique(df, pairWatermark = "1 hour")
+      .writeStream.format("memory").queryName("sndw")
+      .outputMode("append").start()
+    val t = "the quick brown fox jumps over the lazy dog again and again today"
+    def count12(): Long = spark.table("sndw")
+      .filter(col("a") === 1L && col("b") === 2L).count()
+    def await(n: Long): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (count12() != n && System.nanoTime() < deadline) Thread.sleep(500)
+      assert(count12() == n, s"timed out waiting for $n (1,2) rows")
+    }
+    in.addData((1L, ts("2024-01-01 10:00:00"), t),
+      (2L, ts("2024-01-01 10:01:00"), t))
+    await(1)
+    // the pair-dedup watermark rides the PAIR stream's event time, so it
+    // only advances while pairs flow (the steady state of a production
+    // near-dup feed): an unrelated dup pair 3 h later pushes it past the
+    // (1,2) entry (1 h delay), purging it
+    val u = "an unrelated watermark advancing duplicate sentence with plenty of distinct words"
+    in.addData((100L, ts("2024-01-01 13:00:00"), u),
+      (101L, ts("2024-01-01 13:00:30"), u))
+    val deadline2 = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (spark.table("sndw").filter(col("a") === 100L).count() == 0 &&
+      System.nanoTime() < deadline2) Thread.sleep(500)
+    // one more micro-batch so the advanced watermark takes effect for
+    // eviction (state cleanup uses the PREVIOUS batch's watermark)
+    Thread.sleep(500)
+    // re-delivering doc 1 re-discovers (1,2) from the bucket state; the
+    // pair's dedup entry expired with the watermark → it RE-EMITS (the
+    // documented re-scrape-is-a-new-observation posture), exactly once
+    in.addData((1L, ts("2024-01-01 13:01:00"), t))
+    await(2)
+    q.stop()
+  }
+
   test("streamingNearDup equals the batch LSH pipeline on a static corpus") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
