@@ -71,6 +71,14 @@ object LlmQueries {
   def q69DupClusters(s: SparkSession, d: String): DataFrame =
     TextOps.dupClusters(Tables.documents(s, d), "doc_id", "text")
 
+  /** Duplicate clusters over the OTHER candidate family: connected
+    * components on the simhash hamming-≤-3 pairs (q70's banded
+    * candidates) — fingerprints row-local, the band join the only
+    * pair-forming shuffle.
+    */
+  def q75SimhashClusters(s: SparkSession, d: String): DataFrame =
+    TextOps.simhashDupClusters(Tables.documents(s, d), "doc_id", "text")
+
   /** n-gram Jaccard best partner within (lang, source) blocks. */
   def q37NgramJaccard(s: SparkSession, d: String): DataFrame =
     TextOps.ngramJaccardBest(Tables.documents(s, d), "doc_id", "text",
@@ -220,7 +228,8 @@ object LlmQueries {
     "q71_corpus_filter" -> (q71CorpusFilter _),
     "q72_ann_recall" -> (q72AnnRecall _),
     "q73_dedup_recall" -> (q73DedupRecall _),
-    "q74_ivf_centroids" -> (q74IvfCentroids _))
+    "q74_ivf_centroids" -> (q74IvfCentroids _),
+    "q75_simhash_clusters" -> (q75SimhashClusters _))
 
   private val shingleBase =
     """base AS (
@@ -572,38 +581,7 @@ object LlmQueries {
          |FROM pr LEFT JOIN h1 USING (probe_id) LEFT JOIN h2 USING (probe_id)
          |ORDER BY pr.probe_id""".stripMargin),
     "q70_simhash_dups" -> (
-      s"""WITH sims AS (
-         |  SELECT doc_id,
-         |    CAST(list_sum([
-         |      CASE WHEN list_sum([((h >> j) & 1) * 2 - 1 for h in hs1]) > 0
-         |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
-         |      for j in range(0, 28)])
-         |    + list_sum([
-         |      CASE WHEN list_sum([((h >> j) & 1) * 2 - 1 for h in hs2]) > 0
-         |           THEN (CAST(1 AS BIGINT) << (28 + j)) ELSE 0 END
-         |      for j in range(0, 28)]) AS BIGINT) AS simhash
-         |  FROM (
-         |    SELECT doc_id,
-         |      list_transform(w, s -> ${hexFold.format("s")}) AS hs1,
-         |      list_transform(w, s -> ${hexFold.format("(s || '#')")}) AS hs2
-         |    FROM (
-         |      SELECT doc_id,
-         |        list_distinct(string_split_regex(trim(text), '\\s+')) AS w
-         |      FROM documents) w0) w),
-         |banded AS (
-         |  SELECT doc_id, 0 AS band, (simhash >> 0) & 16383 AS key FROM sims
-         |  UNION ALL SELECT doc_id, 1, (simhash >> 14) & 16383 FROM sims
-         |  UNION ALL SELECT doc_id, 2, (simhash >> 28) & 16383 FROM sims
-         |  UNION ALL SELECT doc_id, 3, (simhash >> 42) & 16383 FROM sims),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM banded x JOIN banded y
-         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-         |ham AS (
-         |  SELECT a, b,
-         |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
-         |  FROM cand JOIN sims sa ON sa.doc_id = a JOIN sims sb ON sb.doc_id = b
-         |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+      s"""WITH $simhashHamCtes,
          |sym AS (SELECT a AS doc_id, b AS partner, hamming FROM ham
          |        UNION ALL SELECT b, a, hamming FROM ham),
          |rk AS (SELECT doc_id, partner, hamming,
@@ -630,7 +608,59 @@ object LlmQueries {
          |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS comp
          |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+    "q75_simhash_clusters" -> (
+      s"""WITH RECURSIVE $simhashHamCtes,
+         |symd AS (SELECT a AS src, b AS dst FROM ham
+         |         UNION ALL SELECT b, a FROM ham),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM symd
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN symd s ON r.dst = s.src)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS comp
+         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin))
+
+  /** SimHash candidate CTEs shared by the q70 (best-partner stats) and
+    * q75 (components) oracles: 56-bit two-hash fingerprints → 4×14-bit
+    * bands → bucket-collision candidates → hamming-≤-3 `ham` pairs.
+    * Lazy for the same object-init ordering reason as [[centCtes]].
+    */
+  private lazy val simhashHamCtes: String =
+    s"""sims AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum([
+       |      CASE WHEN list_sum([((h >> j) & 1) * 2 - 1 for h in hs1]) > 0
+       |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+       |      for j in range(0, 28)])
+       |    + list_sum([
+       |      CASE WHEN list_sum([((h >> j) & 1) * 2 - 1 for h in hs2]) > 0
+       |           THEN (CAST(1 AS BIGINT) << (28 + j)) ELSE 0 END
+       |      for j in range(0, 28)]) AS BIGINT) AS simhash
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_transform(w, s -> ${hexFold.format("s")}) AS hs1,
+       |      list_transform(w, s -> ${hexFold.format("(s || '#')")}) AS hs2
+       |    FROM (
+       |      SELECT doc_id,
+       |        list_distinct(string_split_regex(trim(text), '\\s+')) AS w
+       |      FROM documents) w0) w),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, (simhash >> 0) & 16383 AS key FROM sims
+       |  UNION ALL SELECT doc_id, 1, (simhash >> 14) & 16383 FROM sims
+       |  UNION ALL SELECT doc_id, 2, (simhash >> 28) & 16383 FROM sims
+       |  UNION ALL SELECT doc_id, 3, (simhash >> 42) & 16383 FROM sims),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |ham AS (
+       |  SELECT a, b,
+       |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+       |  FROM cand JOIN sims sa ON sa.doc_id = a JOIN sims sb ON sb.doc_id = b
+       |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3)""".stripMargin
 
   /** Centroid CTEs shared by the IVF and recall oracles. Lazy: the
     * `oracle` val above evaluates before this declaration during object

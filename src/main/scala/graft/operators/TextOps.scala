@@ -249,6 +249,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** SimHash duplicate CLUSTERS: connected components over the banded
+    * hamming-≤-`maxHamming` pairs ([[simhashBandedPairs]]) — the same
+    * canonical-doc-per-group step as [[dupClusters]], built on the OTHER
+    * candidate family. Fingerprints are row-local (zero shuffle) and the
+    * band bucket join is the only pair-forming exchange, so at 100 TB
+    * this is the cheaper clustering path when hamming distance is the
+    * right notion of "near" (e.g. boilerplate-dominated web text);
+    * jaccard-threshold clusters ([[dupClusters]]) stay the pick when
+    * set overlap is. Component id = min doc_id; singletons keep their
+    * own id.
+    */
+  def simhashDupClusters(df: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 3, maxIters: Int = 20)
+      : DataFrame = {
+    val (_, ham) = simhashBandedPairs(df, idCol, textCol, maxHamming)
+    val adj = Caches.persistTracked(
+      symmetrize(ham.select("a", "b"), "src", "dst"))
+    val labels = components(adj, maxIters)
+    df.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .orderBy("doc_id")
+  }
+
   /** Min-label connected components over a SYMMETRIZED (src, dst) edge
     * list → (doc_id, comp) for every edge vertex. Propagates over the
     * EDGE-VERTEX SET only: a doc with no near-dup edge can never change

@@ -220,6 +220,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out("pool_audit_odd").getAs[Double]("recall") == 1.0)
   }
 
+  test("simhashDupClusters: identical docs collapse to the min-id component") {
+    val t = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((5L, t), (2L, t), (9L, t),
+      (7L, "completely different words that share nothing with the fox sentence at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.simhashDupClusters(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical docs have hamming 0 → one component at the min id;
+    // the distinct doc is a singleton keeping its own id
+    assert(out == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 7L -> 7L))
+    Caches.clear()
+  }
+
   test("simhash is stable and respects content") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally other words")).toDF("doc_id", "text")
