@@ -52,6 +52,14 @@ object Udfs {
   def timeAgoToDatetime(asOf: LocalDate): UserDefinedFunction =
     udf((s: String) => Parse.timeAgoToDatetime(s, asOf))
 
+  /** WAV (RIFF/WAVE) header decode over a binary payload — irreducible
+    * like the parsers above: binary chunk-walking has no built-in Column
+    * expression. Applied only to audio-typed rows (never a hot scan
+    * path); the kernel is [[graft.Multimodal.decodeWavHeader]].
+    */
+  val decodeWav: UserDefinedFunction =
+    udf(graft.Multimodal.decodeWavHeader _)
+
   /** Register the fixed-arity UDFs for spark.sql use. */
   def register(spark: SparkSession, asOfYear: Int): Unit = {
     spark.udf.register("graft_to_number", toNumber)

@@ -139,20 +139,15 @@ object Multimodal {
     }
   }
 
-  /** [[decodeWavHeader]] as a column: a nullable struct over the binary
-    * payload. A UDF is irreducible here (SURVEY §2.10 posture) — binary
-    * chunk-walking has no built-in Column expression; it stays off the
-    * hot scan paths (applied only to audio-typed rows).
-    */
-  private val decodeWavUdf =
-    org.apache.spark.sql.functions.udf(decodeWavHeader _)
-
   /** Attach real WAV metadata to the audio rows of a media table; other
-    * media types (and undecodable audio) carry a null `wav` struct.
+    * media types (and undecodable audio) carry a null `wav` struct. The
+    * UDF form lives in [[graft.functions.Udfs.decodeWav]] with the rest
+    * of the §2.10 irreducible list.
     */
   def withWavMeta(media: DataFrame): DataFrame =
     media.withColumn("wav",
-      when(col("media_type") === "audio", decodeWavUdf(col("content"))))
+      when(col("media_type") === "audio",
+        graft.functions.Udfs.decodeWav(col("content"))))
 
   /** Frame-sampling stub for video: emit one row per sampled frame index —
     * the explode shape a real frame extractor produces. Sampling every
