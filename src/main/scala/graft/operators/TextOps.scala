@@ -632,13 +632,14 @@ object TextOps {
     * size — never a global cartesian.
     *
     * Variant note: for large-vocabulary corpora where shingle sharing is
-    * rare, an inverted-index join (explode shingles, join on the shingle,
-    * count matches per pair) beats this by only materializing pairs that
-    * overlap; on dense/small vocabularies the per-shingle buckets blow up
-    * quadratically and the block self-join with array_intersect wins —
-    * measured 9s vs 15s at sf0.1 on the synthetic corpus. At 100 TB you'd
-    * pick per-dataset; blocks there come from LSH bands (minhashLsh), not
-    * metadata.
+    * rare, [[ngramJaccardBestInverted]] (explode shingles, join on the
+    * shingle, count matches per pair) beats this by only materializing
+    * pairs that OVERLAP — NgramVariantSpec pins it bit-equal; on
+    * dense/small vocabularies the per-shingle buckets blow up
+    * quadratically and this block self-join with the native intersect
+    * wins — measured 9s vs 15s at sf0.1 on the synthetic corpus. At
+    * 100 TB you'd pick per-dataset; blocks there come from LSH bands
+    * (minhashLsh), not metadata.
     */
   def ngramJaccardBest(df: DataFrame, idCol: String, textCol: String,
                        blockCols: Seq[String]): DataFrame = {
@@ -663,6 +664,68 @@ object TextOps {
     val w = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("partner").asc)
     sym.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("doc_id", "partner", "jaccard")
+  }
+
+  /** [[ngramJaccardBest]] via an INVERTED INDEX — the sparse-overlap
+    * scale path the block self-join's scaladoc describes, as a real
+    * operator: explode each doc's hashed shingle set, self-join on
+    * (block, shingle hash) so only OVERLAPPING pairs ever materialize
+    * (pair count = number of overlapping pairs, not C(block, 2)), count
+    * shared hashes per pair (the sets are distinct, so count =
+    * |intersection|), then the same best-partner window. Docs whose best
+    * is jaccard 0 (block-mates, zero overlap) never appear in the index
+    * join, so they take a fallback row — lowest other id in the block,
+    * matching the self-join's partner-asc tiebreak exactly.
+    * NgramVariantSpec pins bit-equal output against [[ngramJaccardBest]]
+    * on fixture and randomized corpora; pick per dataset (dense/small
+    * vocabularies favor the block self-join — see the variant note
+    * there).
+    *
+    * PRECONDITION for the equality claim: every doc has ≥ n words. A doc
+    * with an EMPTY shingle set scores null jaccard against another empty
+    * doc in the self-join form (0/0) but 0.0 here, so the two forms can
+    * tie-break such degenerate blocks differently.
+    */
+  def ngramJaccardBestInverted(df: DataFrame, idCol: String,
+                               textCol: String,
+                               blockCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Caches.persistTracked(df.select(Seq(col(idCol).as("doc_id"),
+      hashedShingleSet(col(textCol)).as("sh")) ++
+      blockCols.map(col): _*))
+    val ex = base.select(Seq(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("h")) ++ blockCols.map(col): _*)
+    val blockEq = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
+      .reduce(_ && _)
+    val pairs = ex.as("x").join(ex.as("y"),
+        blockEq && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("a"), col("b"),
+        (col("inter") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+    val sym = symmetrize(pairs, "doc_id", "partner", "jaccard")
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("jaccard").desc, col("partner").asc)
+    val overlapped = sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("doc_id", "partner", "jaccard")
+    // fallback for paired-but-zero-overlap docs: with every candidate at
+    // jaccard 0 the self-join's window tiebreak picks the LOWEST other
+    // id in the block — two tiny per-block aggregates reproduce it
+    val b1 = base.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("m1"))
+    val b2 = base.join(b1, blockCols).filter(col("doc_id") =!= col("m1"))
+      .groupBy(blockCols.map(col): _*).agg(min(col("doc_id")).as("m2"))
+    val fallback = base.join(b1, blockCols).join(b2, blockCols, "left_outer")
+      .filter(col("cnt") > 1)
+      .select(col("doc_id"),
+        when(col("doc_id") === col("m1"), col("m2")).otherwise(col("m1"))
+          .as("partner"),
+        lit(0.0).as("jaccard"))
+      .join(overlapped.select("doc_id"), Seq("doc_id"), "left_anti")
+    overlapped.unionByName(fallback)
   }
 
   /** The composed corpus-preparation pipeline: quality gates → language
