@@ -113,9 +113,32 @@ object ScaleProbes {
           spark.sql("DROP TABLE IF EXISTS probe_inc_b")
         }
 
+      case "ngram-ab" =>
+        // the dense-vs-sparse trade ngramJaccardBest's scaladoc cites:
+        // block self-join + native intersect vs inverted shingle index
+        // (NgramVariantSpec pins them bit-equal; this measures them)
+        val sfDir = args.lift(1).getOrElse(
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        val docs = Tables.documents(spark, sfDir)
+        def run(inverted: Boolean): Unit = {
+          val out =
+            if (inverted) TextOps.ngramJaccardBestInverted(
+              docs, "doc_id", "text", Seq("lang", "source"))
+            else TextOps.ngramJaccardBest(
+              docs, "doc_id", "text", Seq("lang", "source"))
+          out.write.format("noop").mode("overwrite").save()
+          Caches.clear()
+        }
+        run(inverted = false) // warm (JIT + codegen) once
+        val selfJoin = minOf3(run(inverted = false))
+        run(inverted = true)
+        val inverted = minOf3(run(inverted = true))
+        println(f"[probe] ngram-ab: sf=$sfDir selfjoin_min3_sec=" +
+          f"$selfJoin%.2f inverted_min3_sec=$inverted%.2f")
+
       case other =>
         System.err.println(s"unknown probe '$other' " +
-          "(expected: components | bucketed-merge)")
+          "(expected: components | bucketed-merge | ngram-ab)")
         sys.exit(2)
     }
     spark.stop()

@@ -633,13 +633,16 @@ object TextOps {
     *
     * Variant note: for large-vocabulary corpora where shingle sharing is
     * rare, [[ngramJaccardBestInverted]] (explode shingles, join on the
-    * shingle, count matches per pair) beats this by only materializing
-    * pairs that OVERLAP — NgramVariantSpec pins it bit-equal; on
-    * dense/small vocabularies the per-shingle buckets blow up
-    * quadratically and this block self-join with the native intersect
-    * wins — measured 9s vs 15s at sf0.1 on the synthetic corpus. At
-    * 100 TB you'd pick per-dataset; blocks there come from LSH bands
-    * (minhashLsh), not metadata.
+    * shingle, count matches per pair) only materializes pairs that
+    * OVERLAP, so its pair count tracks true-overlap density instead of
+    * C(block, 2); on dense/small vocabularies the per-shingle buckets
+    * blow up quadratically and this block self-join with the native
+    * intersect wins. NgramVariantSpec pins the two bit-equal; the
+    * `ngram-ab` ScaleProbe measures them (a wash at sf0.1 on the
+    * synthetic corpus — 1.02 vs 1.03 s — because its blocks are small
+    * and overlap moderate; the trade only opens up with block size and
+    * vocabulary). At 100 TB you'd pick per-dataset; blocks there come
+    * from LSH bands (minhashLsh), not metadata.
     */
   def ngramJaccardBest(df: DataFrame, idCol: String, textCol: String,
                        blockCols: Seq[String]): DataFrame = {
