@@ -136,9 +136,61 @@ object ScaleProbes {
         println(f"[probe] ngram-ab: sf=$sfDir selfjoin_min3_sec=" +
           f"$selfJoin%.2f inverted_min3_sec=$inverted%.2f")
 
+      case "streaming-neardup" =>
+        // throughput of the streaming MinHash-LSH near-dup: one bulk
+        // micro-batch of a deterministic planted-dup corpus through the
+        // full banding + bucket-state + verify chain into a memory sink.
+        // Every 10th doc duplicates its predecessor (all other docs are
+        // base-suffixed unique, so EXACTLY n/10 verified pairs exist),
+        // exercising state, verify, and emission. The query never
+        // quiesces under ProcessingTimeTimeout (timeout batches keep
+        // firing — see EventStreamsSpec), so completion is the sink
+        // reaching the exact expected pair count, polled at 100 ms.
+        val n = args.lift(1).map(_.toInt).getOrElse(20000)
+        import spark.implicits._
+        implicit val sq = spark.sqlContext
+        val wordList = Vector("alpha", "bravo", "charlie", "delta",
+          "echo", "foxtrot", "golf", "hotel", "india", "juliet",
+          "kilo", "lima", "mike", "november", "oscar", "papa")
+        def doc(i: Int): String = {
+          val base = if (i % 10 == 9) i - 1 else i
+          (0 until 12).map(k => wordList((base + k * 3) % 16) +
+            base.toString).mkString(" ")
+        }
+        val expected = n / 10
+        def once(): Unit = {
+          val in = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, String)]
+          val q = graft.streaming.EventStreams
+            .streamingNearDup(in.toDF().toDF("doc_id", "text"))
+            .writeStream.format("memory").queryName("probe_snd")
+            .outputMode("append").start()
+          try {
+            in.addData((0 until n).map(i => (i.toLong, doc(i))))
+            val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+            def found(): Long = spark.table("probe_snd")
+              .select("a", "b").distinct().count()
+            var pairs = found()
+            while (pairs != expected && System.nanoTime() < deadline) {
+              Thread.sleep(100)
+              pairs = found()
+            }
+            require(pairs == expected,
+              s"expected $expected distinct pairs, sink has $pairs")
+          } finally {
+            q.stop()
+            spark.sql("DROP TABLE IF EXISTS probe_snd")
+          }
+        }
+        once() // warm: state-store init, codegen, JIT
+        val sec = minOf3(once())
+        println(f"[probe] streaming-neardup: docs=$n pairs=$expected " +
+          f"min3_sec=$sec%.2f docs_per_sec=${n / sec}%.0f")
+
       case other =>
         System.err.println(s"unknown probe '$other' " +
-          "(expected: components | bucketed-merge | ngram-ab)")
+          "(expected: components | bucketed-merge | ngram-ab | " +
+          "streaming-neardup)")
         sys.exit(2)
     }
     spark.stop()
