@@ -207,6 +207,13 @@ object LlmQueries {
   def q73DedupRecall(s: SparkSession, d: String): DataFrame =
     TextOps.dedupRecall(Tables.documents(s, d), "doc_id", "text")
 
+  /** Containment pairs via winnowed k-gram fingerprints: the embedded/
+    * partial-duplicate detector (high containment, low jaccard) with the
+    * doc-frequency-capped inverted print index.
+    */
+  def q76Containment(s: SparkSession, d: String): DataFrame =
+    TextOps.containmentPairs(Tables.documents(s, d), "doc_id", "text")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31DedupExact _),
     "q32_text_stats" -> (q32TextStats _),
@@ -229,7 +236,8 @@ object LlmQueries {
     "q72_ann_recall" -> (q72AnnRecall _),
     "q73_dedup_recall" -> (q73DedupRecall _),
     "q74_ivf_centroids" -> (q74IvfCentroids _),
-    "q75_simhash_clusters" -> (q75SimhashClusters _))
+    "q75_simhash_clusters" -> (q75SimhashClusters _),
+    "q76_winnow_containment" -> (q76Containment _))
 
   private val shingleBase =
     """base AS (
@@ -609,6 +617,32 @@ object LlmQueries {
          |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin),
+    "q76_winnow_containment" -> (
+      s"""WITH grams AS (
+         |  SELECT doc_id,
+         |    [${hexFold.format("substring(text, i, 8)")}
+         |     for i in range(1, length(text) - 8 + 2)] AS gh
+         |  FROM documents),
+         |sel AS (
+         |  SELECT doc_id, list_sort(list_distinct(
+         |    [list_min(gh[j:j+15]) for j in range(1, len(gh) - 16 + 2)]))
+         |      AS fp
+         |  FROM grams WHERE len(gh) >= 16),
+         |ex AS (SELECT doc_id, unnest(fp) AS h FROM sel),
+         |df AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= 20),
+         |exf AS (SELECT doc_id, h FROM ex JOIN df USING (h)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM exf GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |  FROM exf x JOIN exf y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 4)
+         |SELECT p.a, p.b, p.shared,
+         |  ROUND(p.shared / least(sa.n, sb.n), 6) AS containment
+         |FROM pairs p JOIN sz sa ON sa.doc_id = p.a
+         |             JOIN sz sb ON sb.doc_id = p.b
+         |WHERE p.shared / least(sa.n, sb.n) >= 0.5
+         |ORDER BY p.a, p.b""".stripMargin),
     "q75_simhash_clusters" -> (
       s"""WITH RECURSIVE $simhashHamCtes,
          |symd AS (SELECT a AS src, b AS dst FROM ham
