@@ -214,6 +214,15 @@ object LlmQueries {
   def q76Containment(s: SparkSession, d: String): DataFrame =
     TextOps.containmentPairs(Tables.documents(s, d), "doc_id", "text")
 
+  /** Deterministic train/val/test corpus split + per-(split, lang) mix
+    * report (see [[TextOps.splitReport]]): doc/token counts and each
+    * split's token share within its language. The split is a pure
+    * function of doc_id (md5-bucket), so the oracle reproduces it
+    * bit-for-bit and incremental ingests never reshuffle history.
+    */
+  def q77SplitReport(s: SparkSession, d: String): DataFrame =
+    TextOps.splitReport(Tables.documents(s, d), "doc_id", "text", "lang")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31DedupExact _),
     "q32_text_stats" -> (q32TextStats _),
@@ -237,7 +246,8 @@ object LlmQueries {
     "q73_dedup_recall" -> (q73DedupRecall _),
     "q74_ivf_centroids" -> (q74IvfCentroids _),
     "q75_simhash_clusters" -> (q75SimhashClusters _),
-    "q76_winnow_containment" -> (q76Containment _))
+    "q76_winnow_containment" -> (q76Containment _),
+    "q77_split_report" -> (q77SplitReport _))
 
   private val shingleBase =
     """base AS (
@@ -655,7 +665,27 @@ object LlmQueries {
          |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS comp
          |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          |GROUP BY d.doc_id
-         |ORDER BY d.doc_id""".stripMargin))
+         |ORDER BY d.doc_id""".stripMargin),
+    "q77_split_report" -> (
+      s"""WITH b AS (
+         |  SELECT
+         |    CASE WHEN ${hexFold.format("CAST(doc_id AS VARCHAR)")} % 100 < 80
+         |           THEN 'train'
+         |         WHEN ${hexFold.format("CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |           THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    lang,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tok
+         |  FROM documents),
+         |agg AS (
+         |  SELECT split, lang, count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM b GROUP BY 1, 2)
+         |SELECT split, lang, n_docs, n_tokens,
+         |  round(n_tokens / CAST(sum(n_tokens) OVER (PARTITION BY lang)
+         |                        AS DOUBLE), 6) AS token_share
+         |FROM agg
+         |ORDER BY split, lang""".stripMargin))
 
   /** SimHash candidate CTEs shared by the q70 (best-partner stats) and
     * q75 (components) oracles: 56-bit two-hash fingerprints → 4×14-bit

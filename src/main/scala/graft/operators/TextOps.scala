@@ -823,6 +823,44 @@ object TextOps {
     overlapped.unionByName(fallback)
   }
 
+  /** Deterministic train/val/test assignment: hash the doc id into 100
+    * buckets (md5-prefix, so the oracle reproduces it) and carve the
+    * range by cumulative percentage — the standard reproducible-split
+    * device for training corpora (no RNG, no seed drift across reruns
+    * or engines; a doc's split is a pure function of its id, so
+    * incremental ingests never reshuffle history). Row-local.
+    */
+  def splitAssign(id: Column,
+                  cuts: Seq[(String, Int)] = Seq(
+                    "train" -> 80, "val" -> 90, "test" -> 100)): Column = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted,
+      "cuts must be ascending cumulative percentages ending at 100")
+    val bucket = hash7(id.cast("string")) % 100
+    cuts.init.foldRight(lit(cuts.last._1): Column) { case ((name, cut), rest) =>
+      when(bucket < cut, name).otherwise(rest)
+    }
+  }
+
+  /** Per-(split, lang) corpus-mix report over the deterministic split:
+    * doc and token counts plus each split's share of its language's
+    * tokens — the table a training run reads to validate mix weights
+    * and leakage-free splits. One scan + one agg; the share is a window
+    * over the tiny aggregate.
+    */
+  def splitReport(df: DataFrame, idCol: String, textCol: String,
+                  langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = df.select(splitAssign(col(idCol)).as("split"),
+        col(langCol).as("lang"),
+        size(words(col(textCol))).cast("long").as("n_tok"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    agg.withColumn("token_share", round(col("n_tokens") /
+        sum(col("n_tokens")).over(Window.partitionBy("lang")), 6))
+      .orderBy("split", "lang")
+  }
+
   /** The composed corpus-preparation pipeline: quality gates → language
     * filter → fingerprint dedup, with a single REASON verdict per doc
     * (first failing gate wins, mirroring how training-data pipelines

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic corpus splits (`TextOps.splitAssign` / `splitReport`):
+  * a doc's train/val/test assignment is a pure function of its id, so
+  * reruns and incremental ingests never move a doc across splits — the
+  * leakage guarantee training pipelines rely on.
+  */
+class SplitSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("assignment is a pure function of id and hits the cut shares") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val once = ids.select(col("id"), TextOps.splitAssign(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val again = ids.orderBy(desc("id")) // different order, same answer
+      .select(col("id"), TextOps.splitAssign(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(once == again)
+    val n = once.size.toDouble
+    val shares = once.values.groupBy(identity).view.mapValues(_.size / n)
+    // md5 buckets are uniform: 2000 ids land within a few points of the
+    // 80/10/10 cuts (binomial 3σ ≈ ±2.7pp on the 80% cut)
+    assert(math.abs(shares("train") - 0.80) < 0.04, shares.toMap)
+    assert(math.abs(shares("val") - 0.10) < 0.03, shares.toMap)
+    assert(math.abs(shares("test") - 0.10) < 0.03, shares.toMap)
+  }
+
+  test("custom cuts are honored; malformed cuts are rejected") {
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("id")
+    val half = ids.select(
+        TextOps.splitAssign(col("id"), Seq("a" -> 50, "b" -> 100)).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(half.keySet == Set("a", "b"))
+    assert(math.abs(half("a") - 250L) < 60, half)
+    intercept[IllegalArgumentException] {
+      TextOps.splitAssign(col("id"), Seq("a" -> 90, "b" -> 80))
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.splitAssign(col("id"), Seq("a" -> 50))
+    }
+  }
+
+  test("report: token shares sum to 1 per lang; disjoint exhaustive docs") {
+    import spark.implicits._
+    val docs = (0L until 300L)
+      .map(i => (i, s"some text body number $i with a few tokens",
+        if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val rep = TextOps.splitReport(docs, "doc_id", "text", "lang")
+    val rows = rep.as[(String, String, Long, Long, Double)].collect()
+    // every doc lands in exactly one (split, lang) cell
+    assert(rows.map(_._3).sum == 300L)
+    // shares within each lang sum to 1 (rounded to 1e-6 per row)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val tot = rs.map(_._5).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"$lang shares sum to $tot")
+    }
+    // deterministic: rerunning the report is bit-identical
+    val rows2 = TextOps.splitReport(docs, "doc_id", "text", "lang")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.toSeq == rows2.toSeq)
+  }
+}
