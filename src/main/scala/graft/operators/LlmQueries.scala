@@ -17,6 +17,14 @@ object LlmQueries {
       |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
       |  (acc, x) -> acc * 16 + x)""".stripMargin
 
+  /** The q77/q78 deterministic 80/10/10 split as a SQL CASE over the
+    * md5-bucket of expression `e` — mirrors [[TextOps.splitAssign]].
+    */
+  private def splitCase(e: String): String =
+    s"""CASE WHEN ${hexFold.format(e)} % 100 < 80 THEN 'train'
+       |     WHEN ${hexFold.format(e)} % 100 < 90 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
   /** Exact dedup via content hash (the 100 TB standard first pass). */
   def q31DedupExact(s: SparkSession, d: String): DataFrame =
     TextOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -223,6 +231,15 @@ object LlmQueries {
   def q77SplitReport(s: SparkSession, d: String): DataFrame =
     TextOps.splitReport(Tables.documents(s, d), "doc_id", "text", "lang")
 
+  /** Split-leakage audit + repair (see [[TextOps.splitLeakage]]): docs
+    * in one near-dup cluster (q69's components) must share a split —
+    * the repaired split hashes the cluster representative instead of
+    * the doc, and `moved` flags where the naive per-doc split would
+    * have contaminated the eval side.
+    */
+  def q78SplitLeakage(s: SparkSession, d: String): DataFrame =
+    TextOps.splitLeakage(Tables.documents(s, d), "doc_id", "text")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31DedupExact _),
     "q32_text_stats" -> (q32TextStats _),
@@ -247,7 +264,8 @@ object LlmQueries {
     "q74_ivf_centroids" -> (q74IvfCentroids _),
     "q75_simhash_clusters" -> (q75SimhashClusters _),
     "q76_winnow_containment" -> (q76Containment _),
-    "q77_split_report" -> (q77SplitReport _))
+    "q77_split_report" -> (q77SplitReport _),
+    "q78_split_leakage" -> (q78SplitLeakage _))
 
   private val shingleBase =
     """base AS (
@@ -669,11 +687,7 @@ object LlmQueries {
     "q77_split_report" -> (
       s"""WITH b AS (
          |  SELECT
-         |    CASE WHEN ${hexFold.format("CAST(doc_id AS VARCHAR)")} % 100 < 80
-         |           THEN 'train'
-         |         WHEN ${hexFold.format("CAST(doc_id AS VARCHAR)")} % 100 < 90
-         |           THEN 'val'
-         |         ELSE 'test' END AS split,
+         |    ${splitCase("CAST(doc_id AS VARCHAR)")} AS split,
          |    lang,
          |    len(string_split_regex(trim(text), '\\s+')) AS n_tok
          |  FROM documents),
@@ -685,7 +699,31 @@ object LlmQueries {
          |  round(n_tokens / CAST(sum(n_tokens) OVER (PARTITION BY lang)
          |                        AS DOUBLE), 6) AS token_share
          |FROM agg
-         |ORDER BY split, lang""".stripMargin))
+         |ORDER BY split, lang""".stripMargin),
+    "q78_split_leakage" -> (
+      s"""WITH RECURSIVE $shingleBase,
+         |$lshJacCtes,
+         |edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         |symd AS (SELECT a AS src, b AS dst FROM edges
+         |         UNION ALL SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM symd
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN symd s ON r.dst = s.src),
+         |comp AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS comp
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id),
+         |labeled AS (
+         |  SELECT doc_id, comp,
+         |    ${splitCase("CAST(doc_id AS VARCHAR)")} AS naive_split,
+         |    ${splitCase("CAST(comp AS VARCHAR)")} AS split
+         |  FROM comp)
+         |SELECT doc_id, comp, naive_split, split,
+         |  naive_split <> split AS moved
+         |FROM labeled
+         |ORDER BY doc_id""".stripMargin))
 
   /** SimHash candidate CTEs shared by the q70 (best-partner stats) and
     * q75 (components) oracles: 56-bit two-hash fingerprints → 4×14-bit

@@ -861,6 +861,26 @@ object TextOps {
       .orderBy("split", "lang")
   }
 
+  /** Split-LEAKAGE repair over duplicate clusters: per-doc hash splits
+    * put near-identical docs on both sides of the train/test boundary
+    * (classic contamination — the eval set "leaks" into training via a
+    * near-dup). The fix every production corpus pipeline applies:
+    * assign splits per CLUSTER, not per doc — hash the component
+    * representative (min doc_id, from [[dupClusters]]) instead of the
+    * doc itself, so a whole near-dup family lands on one side. Output
+    * per doc: component, the naive per-doc split, the repaired
+    * cluster-level split, and whether the repair moved it. Cost is the
+    * q69 clustering plus one row-local relabel — no extra shuffle.
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8): DataFrame =
+    dupClusters(df, idCol, textCol, threshold)
+      .select(col("doc_id"), col("comp"),
+        splitAssign(col("doc_id")).as("naive_split"),
+        splitAssign(col("comp")).as("split"))
+      .withColumn("moved", col("naive_split") =!= col("split"))
+      .orderBy("doc_id")
+
   /** The composed corpus-preparation pipeline: quality gates → language
     * filter → fingerprint dedup, with a single REASON verdict per doc
     * (first failing gate wins, mirroring how training-data pipelines

@@ -45,6 +45,31 @@ class SplitSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage repair: a near-dup cluster lands on ONE side of the split") {
+    import spark.implicits._
+    val dupText = "an identical boilerplate page repeated across many mirror " +
+      "urls with the same body text token for token every single time"
+    val docs = ((0L until 12L).map(i => (i, dupText)) ++
+      Seq((100L, "a unique standalone document with entirely original words"),
+        (101L, "another singleton nothing like the rest of this tiny corpus")))
+      .toDF("doc_id", "text")
+    val out = TextOps.splitLeakage(docs, "doc_id", "text")
+      .as[(Long, Long, String, String, Boolean)].collect()
+    Caches.clear()
+    val byId = out.map(r => r._1 -> r).toMap
+    // the 12 identical docs form one cluster rooted at 0 and ALL get the
+    // representative's split — no doc of the family on the other side
+    val family = (0L until 12L).map(byId)
+    assert(family.forall(_._2 == 0L), family.mkString(","))
+    assert(family.map(_._4).distinct.size == 1)
+    assert(family.head._4 == byId(0L)._3) // repaired = rep's naive split
+    // moved is exactly "naive disagrees with repaired"
+    assert(out.forall(r => r._5 == (r._3 != r._4)))
+    // singletons: own component, nothing moves
+    assert(byId(100L)._2 == 100L && !byId(100L)._5)
+    assert(byId(101L)._2 == 101L && !byId(101L)._5)
+  }
+
   test("report: token shares sum to 1 per lang; disjoint exhaustive docs") {
     import spark.implicits._
     val docs = (0L until 300L)
