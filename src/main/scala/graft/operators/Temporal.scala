@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators over event streams: as-of join (latest right row
+  * at-or-before each left row's timestamp, per key) and gap-based
+  * sessionization — the two canonical time-series shapes Spark has no
+  * built-in operator for.
+  *
+  * Scale discipline: both are ONE shuffle on the entity key. The as-of
+  * join is the union-tag + running-`last` form — never a range join
+  * (whose candidate set explodes with time-window width) and never a
+  * per-row lookup; sessionization is two window functions over the same
+  * (key, time) sort, which Spark executes with a single exchange+sort.
+  * At 100 TB both inherit AQE skew splitting on the key shuffle, and a
+  * hot entity only concentrates its OWN rows, not a cross product.
+  */
+object Temporal {
+
+  /** As-of join: for each `left` row, the single latest `right` row on
+    * the same `keyCol` with `right.tsCol <= left.tsCol` (left-outer: no
+    * prior right row → null struct). Implementation: tag both sides,
+    * union, and take the running `last` non-null right payload over
+    * (key, ts, side) — right sorts before left at equal ts, giving the
+    * `>=` tie semantics of a native ASOF join. `leftCols` / `rightCols`
+    * are the payload columns to carry; the matched right payload comes
+    * back as one `asof` struct.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, leftCols: Seq[String],
+               rightCols: Seq[String]): DataFrame = {
+    val l = left.select(col(keyCol).as("_k") +: col(tsCol).as("_ts") +:
+      lit(1).as("_side") +: leftCols.map(c => col(c)): _*)
+    val r = right.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+      lit(0).as("_side"), struct(rightCols.map(col): _*).as("_r"))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ Seq(col("_k").as(keyCol),
+        col("_ts").as(tsCol), col("asof")): _*)
+  }
+
+  /** Gap sessionization: a new session starts when the same entity's
+    * gap since its previous event exceeds `gapUs` microseconds. Output
+    * is one row per session: event count, exact µs duration, and the
+    * min/max event ids. `idCol` is the total-order tiebreaker so the
+    * session boundaries are deterministic even at equal timestamps.
+    */
+  def gapSessionize(events: DataFrame, userCol: String, tsCol: String,
+                    idCol: String, gapUs: Long): DataFrame = {
+    val ord = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(tsCol), 1).over(ord)
+    val fresh = when(prev.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prev) > gapUs, 1).otherwise(0)
+    events
+      .withColumn("session_seq", sum(fresh).over(run))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
+          .as("dur_us"),
+        min(col(idCol)).as("min_event_id"),
+        max(col(idCol)).as("max_event_id"))
+      .orderBy(userCol, "session_seq")
+  }
+
+  /** Click→view attribution: for each click, the latest view by the
+    * same user at-or-before the click (the classic last-touch as-of
+    * shape), with the exact µs lag. Left-outer: a click with no prior
+    * view keeps nulls.
+    */
+  def q79ClickAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    asOfJoin(clicks, views, "user_id", "ts",
+      Seq("click_id"), Seq("view_id", "ts"))
+      .select(col("click_id"), col("user_id"),
+        col("asof.view_id").as("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof.ts")))
+          .as("lag_us"))
+      .orderBy("click_id")
+  }
+
+  /** Per-user sessions at a 4-hour inactivity gap (the batch analog of
+    * the streaming `EventStreams.sessionize`, here with an exact
+    * DuckDB oracle).
+    */
+  def q80GapSessions(s: SparkSession, d: String): DataFrame =
+    gapSessionize(Tables.events(s, d), "user_id", "ts", "event_id",
+      4L * 3600 * 1000000)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_asof_attribution" -> (q79ClickAttribution _),
+    "q80_gap_sessions" -> (q80GapSessions _))
+
+  val oracle: Map[String, String] = Map(
+    "q79_asof_attribution" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  v.event_id AS view_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY click_id""".stripMargin,
+    "q80_gap_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL
+        |               OR epoch_us(ts) - epoch_us(prev_ts) > 14400000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_seq
+        |  FROM o)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+        |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

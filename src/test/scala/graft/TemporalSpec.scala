@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of join + gap sessionization (`Temporal`): planted-timeline
+  * fixtures pin the boundary semantics (ties, no-prior-match, gap
+  * threshold) that the oracle comparison alone can't localize.
+  */
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(minute: Long) = new Timestamp(minute * 60000L)
+
+  test("asOfJoin: latest right at-or-before, tie inclusive, left-outer") {
+    import spark.implicits._
+    val left = Seq((10L, 1L, ts(0)), (11L, 1L, ts(5)), (12L, 1L, ts(7)),
+      (13L, 1L, ts(12)), (14L, 2L, ts(6)))
+      .toDF("lid", "k", "t")
+    val right = Seq((100L, 1L, ts(1)), (101L, 1L, ts(5)), (102L, 1L, ts(10)),
+      (103L, 2L, ts(9)))
+      .toDF("rid", "k", "t")
+    val out = Temporal.asOfJoin(left, right, "k", "t", Seq("lid"), Seq("rid"))
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(10L).isEmpty)        // before any right row
+    assert(out(11L).contains(101L)) // equal ts matches (>= semantics)
+    assert(out(12L).contains(101L)) // latest at-or-before, not just any
+    assert(out(13L).contains(102L))
+    assert(out(14L).isEmpty)        // other key's rows are invisible
+  }
+
+  test("gapSessionize: sessions split at the gap, exact durations") {
+    import spark.implicits._
+    // user 1: events at 0,10,20 min, then 5h silence, then 320,330 —
+    // two sessions under a 4h gap; user 2 interleaved, one session
+    val ev = Seq((0L, 1L, ts(0)), (1L, 1L, ts(10)), (2L, 1L, ts(20)),
+      (3L, 1L, ts(320)), (4L, 1L, ts(330)),
+      (5L, 2L, ts(15)), (6L, 2L, ts(25)))
+      .toDF("event_id", "user_id", "ts")
+    val out = Temporal
+      .gapSessionize(ev, "user_id", "ts", "event_id", 4L * 3600 * 1000000)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 3L, 20L * 60000000, 0L, 2L),
+      (1L, 2L, 2L, 10L * 60000000, 3L, 4L),
+      (2L, 1L, 2L, 10L * 60000000, 5L, 6L)))
+  }
+
+  test("gapSessionize: exactly-at-gap stays in session, 1us over splits") {
+    import spark.implicits._
+    val gapUs = 60L * 1000000 // 1 minute
+    val ev = Seq((0L, 1L, new Timestamp(0)),
+      (1L, 1L, new Timestamp(60000)),       // exactly 60s later: same session
+      (2L, 1L, new Timestamp(120001)))      // 60.001s later: new session
+      .toDF("event_id", "user_id", "ts")
+    val out = Temporal.gapSessionize(ev, "user_id", "ts", "event_id", gapUs)
+      .select("session_seq", "n_events").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 1L)))
+  }
+}
