@@ -31,7 +31,8 @@ object Bench {
       "q58_queue_writeback", "q69_dup_clusters", "q70_simhash_dups",
       "q71_corpus_filter", "q72_ann_recall", "q73_dedup_recall",
       "q74_ivf_centroids", "q75_simhash_clusters",
-      "q76_winnow_containment", "q77_split_report")
+      "q76_winnow_containment", "q77_split_report",
+      "q79_asof_attribution", "q80_gap_sessions")
     val available = preferred.filter(SparkEntry.queries.contains)
     val base =
       if (available.nonEmpty) available else SparkEntry.queries.keys.toSeq.sorted

@@ -240,6 +240,14 @@ object LlmQueries {
   def q78SplitLeakage(s: SparkSession, d: String): DataFrame =
     TextOps.splitLeakage(Tables.documents(s, d), "doc_id", "text")
 
+  /** Corpus-mix rebalance (see [[TextOps.rebalanceCorpus]]): cap every
+    * language at 3 000 tokens by deterministic salted-hash
+    * downsampling; report per-lang before/after counts and keep rates.
+    */
+  def q81Rebalance(s: SparkSession, d: String): DataFrame =
+    TextOps.rebalanceCorpus(Tables.documents(s, d), "doc_id", "text",
+      "lang", 3000L)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31DedupExact _),
     "q32_text_stats" -> (q32TextStats _),
@@ -265,7 +273,8 @@ object LlmQueries {
     "q75_simhash_clusters" -> (q75SimhashClusters _),
     "q76_winnow_containment" -> (q76Containment _),
     "q77_split_report" -> (q77SplitReport _),
-    "q78_split_leakage" -> (q78SplitLeakage _))
+    "q78_split_leakage" -> (q78SplitLeakage _),
+    "q81_corpus_rebalance" -> (q81Rebalance _))
 
   private val shingleBase =
     """base AS (
@@ -723,7 +732,30 @@ object LlmQueries {
          |SELECT doc_id, comp, naive_split, split,
          |  naive_split <> split AS moved
          |FROM labeled
-         |ORDER BY doc_id""".stripMargin))
+         |ORDER BY doc_id""".stripMargin),
+    "q81_corpus_rebalance" -> (
+      s"""WITH base AS (
+         |  SELECT lang,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         |    ${hexFold.format("(CAST(doc_id AS VARCHAR) || '#mix')")}
+         |      % 10000 AS bucket
+         |  FROM documents),
+         |rated AS (
+         |  SELECT lang,
+         |    least(CAST(1 AS DOUBLE),
+         |          CAST(3000 AS DOUBLE) / CAST(sum(n_tok) AS BIGINT))
+         |      AS rate
+         |  FROM base GROUP BY 1)
+         |SELECT b.lang,
+         |  count(*) AS n_docs_before,
+         |  CAST(sum(CASE WHEN b.bucket < r.rate * 10000 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_docs_after,
+         |  CAST(sum(b.n_tok) AS BIGINT) AS n_tokens_before,
+         |  CAST(sum(CASE WHEN b.bucket < r.rate * 10000 THEN b.n_tok
+         |           ELSE 0 END) AS BIGINT) AS n_tokens_after,
+         |  round(min(r.rate), 6) AS keep_rate
+         |FROM base b JOIN rated r USING (lang)
+         |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** SimHash candidate CTEs shared by the q70 (best-partner stats) and
     * q75 (components) oracles: 56-bit two-hash fingerprints → 4×14-bit

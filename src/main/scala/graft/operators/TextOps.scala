@@ -861,6 +861,39 @@ object TextOps {
       .orderBy("split", "lang")
   }
 
+  /** Corpus-mix rebalance: deterministically downsample each language
+    * to at most `targetTokens` tokens by keeping a doc iff its SALTED
+    * hash bucket clears the language's keep rate (`target / tokens`).
+    * The salt (`#mix`) decorrelates the keep decision from
+    * [[splitAssign]]'s buckets — the same unsalted hash would make the
+    * kept subset systematically over-sample one split. Two tiny aggs +
+    * one broadcast join back; the per-doc decision is row-local, so the
+    * whole rebalance is one scan + one shuffle of per-lang partials at
+    * any corpus size. Output: per-lang before/after doc+token counts
+    * and the keep rate.
+    */
+  def rebalanceCorpus(df: DataFrame, idCol: String, textCol: String,
+                      langCol: String, targetTokens: Long): DataFrame = {
+    val base = df.select(col(langCol).as("lang"),
+      size(words(col(textCol))).cast("long").as("n_tok"),
+      (hash7(concat(col(idCol).cast("string"), lit("#mix"))) % 10000)
+        .as("bucket"))
+    val rated = base.groupBy("lang")
+      .agg(sum(col("n_tok")).as("tok"))
+      .select(col("lang"), least(lit(1.0),
+        lit(targetTokens.toDouble) / col("tok")).as("rate"))
+    base.join(broadcast(rated), Seq("lang"))
+      .withColumn("kept", col("bucket") < col("rate") * 10000)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_before"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_docs_after"),
+        sum(col("n_tok")).as("n_tokens_before"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L))
+          .as("n_tokens_after"),
+        round(min(col("rate")), 6).as("keep_rate"))
+      .orderBy("lang")
+  }
+
   /** Split-LEAKAGE repair over duplicate clusters: per-doc hash splits
     * put near-identical docs on both sides of the train/test boundary
     * (classic contamination — the eval set "leaks" into training via a

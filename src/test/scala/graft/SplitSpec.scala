@@ -45,6 +45,30 @@ class SplitSpec extends AnyFunSuite {
     }
   }
 
+  test("rebalance: overrepresented lang capped near target, small lang kept") {
+    import spark.implicits._
+    // en: 400 docs × 10 tokens = 4000; de: 30 docs × 10 = 300; target 1000
+    val docs = ((0L until 400L).map(i => (i, "ten tokens of filler text " +
+        s"pad pad pad pad $i", "en")) ++
+      (1000L until 1030L).map(i => (i, s"zehn worte fuellung text pad pad " +
+        s"pad pad pad $i", "de")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.rebalanceCorpus(docs, "doc_id", "text", "lang", 1000L)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val en = out("en"); val de = out("de")
+    assert(de._5 == de._4 && de._6 == 1.0)   // under target: kept whole
+    assert(en._6 == 0.25)                     // 1000/4000 exactly
+    // binomial(400, 0.25): 100 ± 3σ ≈ ± 26 docs → tokens within the band
+    assert(math.abs(en._5 - 1000L) < 270, s"en after ${en._5}")
+    assert(en._3 < en._2)                     // genuinely downsampled
+    // deterministic: same corpus, same answer
+    val again = TextOps.rebalanceCorpus(docs, "doc_id", "text", "lang", 1000L)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
   test("leakage repair: a near-dup cluster lands on ONE side of the split") {
     import spark.implicits._
     val dupText = "an identical boilerplate page repeated across many mirror " +
