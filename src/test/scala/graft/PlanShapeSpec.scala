@@ -55,6 +55,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q11 dims stopped broadcasting:\n$p")
   }
 
+  test("q79: as-of join is one hash shuffle and NO join operator") {
+    val p = plan("q79_asof_attribution")
+    // union-tag + window — the whole as-of resolves in a single hash
+    // exchange; the only other exchange is the final orderBy's range
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"q79 should as-of in ONE hash shuffle, saw $hashEx:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q79 grew a join operator — the union-tag form needs none:\n$p")
+  }
+
+  test("q80: windows and session aggregate share ONE hash exchange") {
+    val p = plan("q80_gap_sessions")
+    // lag + running sum + groupBy(user, session_seq) all ride the
+    // user_id partitioning — an exchange between them is a regression
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"q80 should sessionize in ONE hash shuffle, saw $hashEx:\n$p")
+  }
+
+  test("q81: the rate join back is broadcast, never a corpus shuffle") {
+    val p = plan("q81_corpus_rebalance")
+    assert(p.contains("BroadcastHashJoin"), s"q81 rate join stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q81 shuffles the corpus for a 5-row dim:\n$p")
+  }
+
   test("similarity verify kernels stay native in the plan") {
     val p36 = plan("q36_minhash_lsh")
     assert(p36.contains("graft_sorted_intersect_count"), p36)
