@@ -96,9 +96,38 @@ object Temporal {
     gapSessionize(Tables.events(s, d), "user_id", "ts", "event_id",
       4L * 3600 * 1000000)
 
+  /** Retention cohorts: users grouped by their first-event DAY, then
+    * distinct-user activity per (cohort, activity day) with the
+    * retention rate against the cohort's size. JOIN-FREE: the cohort
+    * label is a `min` window over the user's own partition, so the
+    * whole matrix is one exchange on user_id plus an aggregate of
+    * (days × days) cells — no self-join of events against firsts.
+    * Day grain because the synthetic events span one month; the grain
+    * is the `date_format` pattern, nothing structural.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val byUser = Window.partitionBy(userCol)
+    val labeled = events.select(col(userCol).as("user_id"),
+        date_format(col(tsCol), "yyyy-MM-dd").as("act_day"),
+        date_format(min(col(tsCol)).over(byUser), "yyyy-MM-dd")
+          .as("cohort"))
+    val cells = labeled.groupBy("cohort", "act_day")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    cells.withColumn("retention", round(col("n_active") /
+        max(when(col("act_day") === col("cohort"), col("n_active")))
+          .over(Window.partitionBy("cohort")), 6))
+      .orderBy("cohort", "act_day")
+  }
+
+  /** q82: the daily retention matrix over the events table. */
+  def q82Retention(s: SparkSession, d: String): DataFrame =
+    retentionCohorts(Tables.events(s, d), "user_id", "ts")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_asof_attribution" -> (q79ClickAttribution _),
-    "q80_gap_sessions" -> (q80GapSessions _))
+    "q80_gap_sessions" -> (q80GapSessions _),
+    "q82_retention_cohorts" -> (q82Retention _))
 
   val oracle: Map[String, String] = Map(
     "q79_asof_attribution" ->
@@ -127,5 +156,20 @@ object Temporal {
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
         |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q82_retention_cohorts" ->
+      """WITH labeled AS (
+        |  SELECT user_id,
+        |    strftime(ts, '%Y-%m-%d') AS act_day,
+        |    strftime(min(ts) OVER (PARTITION BY user_id), '%Y-%m-%d')
+        |      AS cohort
+        |  FROM events),
+        |cells AS (
+        |  SELECT cohort, act_day, count(DISTINCT user_id) AS n_active
+        |  FROM labeled GROUP BY 1, 2)
+        |SELECT cohort, act_day, n_active,
+        |  round(n_active /
+        |    CAST(max(CASE WHEN act_day = cohort THEN n_active END)
+        |         OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
+        |FROM cells ORDER BY cohort, act_day""".stripMargin)
 }

@@ -48,6 +48,23 @@ class TemporalSpec extends AnyFunSuite {
       (2L, 1L, 2L, 10L * 60000000, 5L, 6L)))
   }
 
+  test("retentionCohorts: cohort = first-event day, rate vs cohort size") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // A: first day 1, back on day 3; B: day 1 only; C: first day 2, day 4
+    val ev = Seq((1L, t("2024-01-01 08:00:00")), (1L, t("2024-01-03 09:00:00")),
+      (2L, t("2024-01-01 10:00:00")),
+      (3L, t("2024-01-02 11:00:00")), (3L, t("2024-01-04 12:00:00")))
+      .toDF("user_id", "ts")
+    val out = Temporal.retentionCohorts(ev, "user_id", "ts")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", "2024-01-01", 2L, 1.0),
+      ("2024-01-01", "2024-01-03", 1L, 0.5),
+      ("2024-01-02", "2024-01-02", 1L, 1.0),
+      ("2024-01-02", "2024-01-04", 1L, 1.0)))
+  }
+
   test("gapSessionize: exactly-at-gap stays in session, 1us over splits") {
     import spark.implicits._
     val gapUs = 60L * 1000000 // 1 minute
