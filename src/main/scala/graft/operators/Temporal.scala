@@ -30,10 +30,20 @@ object Temporal {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, leftCols: Seq[String],
+               rightCols: Seq[String]): DataFrame =
+    asOfJoin(left, right, keyCol, tsCol, tsCol, leftCols, rightCols)
+
+  /** [[asOfJoin]] with distinct left/right timestamp columns — the form
+    * a CHAINED as-of needs (step 2 anchors on step 1's matched ts). A
+    * null left timestamp sorts before every right row and therefore
+    * matches nothing (null-safe by the sort, not by a special case).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTs: String, rightTs: String, leftCols: Seq[String],
                rightCols: Seq[String]): DataFrame = {
-    val l = left.select(col(keyCol).as("_k") +: col(tsCol).as("_ts") +:
+    val l = left.select(col(keyCol).as("_k") +: col(leftTs).as("_ts") +:
       lit(1).as("_side") +: leftCols.map(c => col(c)): _*)
-    val r = right.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+    val r = right.select(col(keyCol).as("_k"), col(rightTs).as("_ts"),
       lit(0).as("_side"), struct(rightCols.map(col): _*).as("_r"))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
@@ -41,7 +51,7 @@ object Temporal {
     u.withColumn("asof", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++ Seq(col("_k").as(keyCol),
-        col("_ts").as(tsCol), col("asof")): _*)
+        col("_ts").as(leftTs), col("asof")): _*)
   }
 
   /** Gap sessionization: a new session starts when the same entity's
@@ -124,10 +134,43 @@ object Temporal {
   def q82Retention(s: SparkSession, d: String): DataFrame =
     retentionCohorts(Tables.events(s, d), "user_id", "ts")
 
+  /** Funnel attribution: purchase → latest prior click → latest prior
+    * view (anchored on the CLICK's time), per user, with exact µs lags
+    * and a 7-day-per-step full-funnel verdict — two CHAINED as-of
+    * joins, the second anchored on the first's matched timestamp. Still
+    * just two hash shuffles on user_id; a purchase with no prior click
+    * (or whose click has no prior view) keeps nulls and is counted out
+    * of the funnel by the null-false coalesce.
+    */
+  def q83Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def typed(t: String, id: String) = ev.filter(col("event_type") === t)
+      .select(col("event_id").as(id), col("user_id"), col("ts"))
+    val week = 7L * 86400 * 1000000
+    val pc = asOfJoin(typed("purchase", "purchase_id"),
+        typed("click", "click_id"), "user_id", "ts",
+        Seq("purchase_id"), Seq("click_id", "ts"))
+      .select(col("purchase_id"), col("user_id"), col("ts").as("p_ts"),
+        col("asof.click_id").as("click_id"), col("asof.ts").as("c_ts"))
+    asOfJoin(pc, typed("view", "view_id"), "user_id", "c_ts", "ts",
+        Seq("purchase_id", "p_ts", "click_id"), Seq("view_id", "ts"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .as("click_lag_us"),
+        col("asof.view_id").as("view_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("asof.ts")))
+          .as("view_lag_us"))
+      .withColumn("full_funnel", coalesce(
+        col("click_lag_us") <= week && col("view_lag_us") <= week,
+        lit(false)))
+      .orderBy("purchase_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_asof_attribution" -> (q79ClickAttribution _),
     "q80_gap_sessions" -> (q80GapSessions _),
-    "q82_retention_cohorts" -> (q82Retention _))
+    "q82_retention_cohorts" -> (q82Retention _),
+    "q83_funnel_attribution" -> (q83Funnel _))
 
   val oracle: Map[String, String] = Map(
     "q79_asof_attribution" ->
@@ -171,5 +214,33 @@ object Temporal {
         |  round(n_active /
         |    CAST(max(CASE WHEN act_day = cohort THEN n_active END)
         |         OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
-        |FROM cells ORDER BY cohort, act_day""".stripMargin)
+        |FROM cells ORDER BY cohort, act_day""".stripMargin,
+    "q83_funnel_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts
+        |      FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, ts
+        |      FROM events WHERE event_type = 'view'),
+        |pc AS (
+        |  SELECT p.purchase_id, p.user_id, p.ts AS p_ts,
+        |    c.click_id, c.ts AS c_ts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |pcv AS (
+        |  SELECT pc.*, v.view_id, v.ts AS v_ts
+        |  FROM pc ASOF LEFT JOIN v
+        |    ON pc.user_id = v.user_id AND pc.c_ts >= v.ts)
+        |SELECT purchase_id, user_id, click_id,
+        |  epoch_us(p_ts) - epoch_us(c_ts) AS click_lag_us,
+        |  -- DuckDB's ASOF sorts a NULL inequality key after every row,
+        |  -- so a purchase with NO prior click "matches" the latest
+        |  -- view; a null anchor must match nothing — mask it
+        |  CASE WHEN click_id IS NULL THEN NULL ELSE view_id END
+        |    AS view_id,
+        |  epoch_us(c_ts) - epoch_us(v_ts) AS view_lag_us,
+        |  coalesce(epoch_us(p_ts) - epoch_us(c_ts) <= 604800000000
+        |       AND epoch_us(c_ts) - epoch_us(v_ts) <= 604800000000,
+        |    false) AS full_funnel
+        |FROM pcv ORDER BY purchase_id""".stripMargin)
 }

@@ -48,6 +48,29 @@ class TemporalSpec extends AnyFunSuite {
       (2L, 1L, 2L, 10L * 60000000, 5L, 6L)))
   }
 
+  test("chained asOfJoin: null anchor from step 1 matches nothing in step 2") {
+    import spark.implicits._
+    // key 1: right row exists BEFORE the left anchor → match in step 1;
+    // key 2: no prior right row → step-1 null anchor must stay null
+    // through a second as-of instead of matching an arbitrary row
+    val step1Left = Seq((1L, 1L, ts(10)), (2L, 2L, ts(10))).toDF("lid", "k", "t")
+    val step1Right = Seq((100L, 1L, ts(5))).toDF("mid", "k", "t")
+    val anchored = Temporal.asOfJoin(step1Left, step1Right, "k", "t",
+        Seq("lid"), Seq("mid", "t"))
+      .select(col("lid"), col("k"), col("asof.mid").as("mid"),
+        col("asof.t").as("anchor_t"))
+    val step2Right = Seq((200L, 1L, ts(3)), (201L, 2L, ts(1)))
+      .toDF("vid", "k", "t")
+    val out = Temporal.asOfJoin(anchored, step2Right, "k", "anchor_t", "t",
+        Seq("lid", "mid"), Seq("vid"))
+      .select(col("lid"), col("mid"), col("asof.vid").as("vid"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (Some(100L), Some(200L))) // anchored at t=5, view t=3
+    // key 2 HAS a step-2 row at t=1, but the null anchor must not see it
+    assert(out(2L) == (None, None))
+  }
+
   test("retentionCohorts: cohort = first-event day, rate vs cohort size") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)
