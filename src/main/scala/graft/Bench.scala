@@ -33,7 +33,8 @@ object Bench {
       "q74_ivf_centroids", "q75_simhash_clusters",
       "q76_winnow_containment", "q77_split_report",
       "q79_asof_attribution", "q80_gap_sessions",
-      "q81_corpus_rebalance")
+      "q81_corpus_rebalance", "q82_retention_cohorts",
+      "q83_funnel_attribution")
     val available = preferred.filter(SparkEntry.queries.contains)
     val base =
       if (available.nonEmpty) available else SparkEntry.queries.keys.toSeq.sorted

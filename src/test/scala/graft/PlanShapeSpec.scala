@@ -73,6 +73,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx == 1, s"q80 should sessionize in ONE hash shuffle, saw $hashEx:\n$p")
   }
 
+  test("q83: TWO chained as-ofs resolve in exactly two hash shuffles") {
+    val p = plan("q83_funnel_attribution")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"q83 chained as-of grew shuffles ($hashEx):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q83 grew a join operator:\n$p")
+  }
+
+  test("q82: retention matrix is join-free") {
+    val p = plan("q82_retention_cohorts")
+    assert(!p.contains("Join"), s"q82 joined events against a firsts table:\n$p")
+  }
+
   test("q81: the rate join back is broadcast, never a corpus shuffle") {
     val p = plan("q81_corpus_rebalance")
     assert(p.contains("BroadcastHashJoin"), s"q81 rate join stopped broadcasting:\n$p")
