@@ -136,6 +136,66 @@ object ScaleProbes {
         println(f"[probe] ngram-ab: sf=$sfDir selfjoin_min3_sec=" +
           f"$selfJoin%.2f inverted_min3_sec=$inverted%.2f")
 
+      case "asof-ab" =>
+        // the trade Temporal.asOfJoin's scaladoc cites: union-tag +
+        // running-last (ONE hash shuffle, rows ∝ input) vs the naive
+        // range join (equi on user + ts inequality → per-user candidate
+        // cross product, then rank-1). Verified bit-equal once untimed,
+        // then both timed min-of-3 on the q79 shape.
+        // `asof-ab [sfDir]` probes the q79 shape on real testdata;
+        // `asof-ab synth <users> <perUser>` plants DEEP per-user
+        // histories (alternating view/click) to expose the growth law:
+        // range-join candidates ≈ users × (perUser/2 clicks ×
+        // perUser/4 prior views) — quadratic in history depth — while
+        // the union form stays linear in events.
+        val (label, ev) =
+          if (args.lift(1).contains("synth")) {
+            val users = args.lift(2).map(_.toInt).getOrElse(500)
+            val perUser = args.lift(3).map(_.toInt).getOrElse(200)
+            (s"synth users=$users perUser=$perUser",
+              spark.range(users.toLong * perUser).select(
+                col("id").as("event_id"),
+                (col("id") / perUser).cast("long").as("user_id"),
+                timestamp_micros((col("id") % perUser) * 1000000L).as("ts"),
+                when(col("id") % 2 === 0, "view").otherwise("click")
+                  .as("event_type")))
+          } else {
+            val sfDir = args.lift(1).getOrElse(
+              sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+            (s"sf=$sfDir", Tables.events(spark, sfDir))
+          }
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ts").as("v_ts"))
+        def unionForm = Temporal
+          .asOfJoin(clicks, views.select(col("view_id"),
+            col("v_user").as("user_id"), col("v_ts").as("ts")),
+            "user_id", "ts", Seq("click_id"), Seq("view_id"))
+          .select(col("click_id"), col("user_id"),
+            col("asof.view_id").as("view_id"))
+        def rangeForm = {
+          import org.apache.spark.sql.expressions.Window
+          clicks.join(views, col("user_id") === col("v_user") &&
+              col("ts") >= col("v_ts"), "left_outer")
+            .withColumn("rn", row_number().over(Window
+              .partitionBy("click_id").orderBy(col("v_ts").desc_nulls_last)))
+            .filter(col("rn") === 1)
+            .select(col("click_id"), col("user_id"), col("view_id"))
+        }
+        require(unionForm.exceptAll(rangeForm).isEmpty &&
+          rangeForm.exceptAll(unionForm).isEmpty,
+          "asof union form and range-join form disagree")
+        Caches.clear()
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        noop(unionForm); noop(rangeForm) // warm both (JIT + codegen)
+        val unionSec = minOf3(noop(unionForm))
+        val rangeSec = minOf3(noop(rangeForm))
+        println(f"[probe] asof-ab: $label union_min3_sec=$unionSec%.2f " +
+          f"rangejoin_min3_sec=$rangeSec%.2f")
+
       case "streaming-neardup" =>
         // throughput of the streaming MinHash-LSH near-dup: one bulk
         // micro-batch of a deterministic planted-dup corpus through the
@@ -190,7 +250,7 @@ object ScaleProbes {
       case other =>
         System.err.println(s"unknown probe '$other' " +
           "(expected: components | bucketed-merge | ngram-ab | " +
-          "streaming-neardup)")
+          "asof-ab | streaming-neardup)")
         sys.exit(2)
     }
     spark.stop()
