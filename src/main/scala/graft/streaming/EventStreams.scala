@@ -208,6 +208,59 @@ object EventStreams {
     n
   }
 
+  case class TypedEvent(event_id: Long, user_id: Long, ts: Timestamp,
+                        event_type: String)
+  case class AsOfState(view_id: Long, view_ts_us: Long)
+  case class Attribution(click_id: Long, user_id: Long,
+                         view_id: Option[Long], lag_us: Option[Long])
+
+  /** Streaming AS-OF: the continuous twin of the batch
+    * [[graft.Temporal.asOfJoin]] (q79) — each click is attributed to
+    * the latest view by the same user at-or-before it, from per-user
+    * state that holds ONLY the newest view seen (one tiny record per
+    * user, not history — the bound that survives an unbounded stream).
+    * Within a micro-batch events are processed in (ts, event_id) order
+    * so a click sees a same-batch earlier view.
+    *
+    * Bounded-state semantics, documented not hidden: a click that
+    * arrives AFTER a newer view has already replaced its true match
+    * reports no match (the state's view is newer than the click — we
+    * never attribute backwards in time), and processing is
+    * at-least-once per micro-batch. The batch q79 over the same events
+    * is the exact retrospective answer; this operator is the low-latency
+    * approximation whose error is confined to out-of-order arrivals.
+    */
+  def streamingAsOf(events: Dataset[TypedEvent],
+                    rightType: String = "view",
+                    leftType: String = "click"): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, Attribution](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[AsOfState]) =>
+          val ordered = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var st = state.getOption
+          val out = Seq.newBuilder[Attribution]
+          ordered.foreach { e =>
+            val tUs = us(e.ts)
+            if (e.event_type == rightType) {
+              if (st.forall(_.view_ts_us <= tUs))
+                st = Some(AsOfState(e.event_id, tUs))
+            } else if (e.event_type == leftType) {
+              val m = st.filter(_.view_ts_us <= tUs)
+              out += Attribution(e.event_id, userId, m.map(_.view_id),
+                m.map(s => tUs - s.view_ts_us))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class Event(user_id: Long, ts: Timestamp, event_type: String)
   case class SessionState(n: Long, lastTs: Long)
   case class UserSession(user_id: Long, n_events: Long, closed: Boolean)

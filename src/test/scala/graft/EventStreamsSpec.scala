@@ -15,6 +15,49 @@ class EventStreamsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("streamingAsOf: cross-batch state, in-batch order, bounded-state late clicks") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.EventStreams.TypedEvent
+    val in = MemoryStream[TypedEvent]
+    val q = EventStreams.streamingAsOf(in.toDS()).writeStream
+      .format("memory").queryName("sasof").outputMode("append").start()
+    try {
+      // batch 1: click before any view → no match; view then click in
+      // the SAME batch (click arrives first in insertion order — the
+      // (ts,id) sort must fix it) → exact µs lag
+      in.addData(
+        TypedEvent(1L, 7L, ts("2024-01-01 09:00:00"), "click"),
+        TypedEvent(3L, 7L, ts("2024-01-01 10:05:00"), "click"),
+        TypedEvent(2L, 7L, ts("2024-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      // batch 2: the 10:00 view carried in state matches a later click;
+      // a same-batch 12:00 view does NOT steal the 11:30 click — the
+      // (ts, id) sort processes the click first, so in-batch disorder
+      // is repaired exactly
+      in.addData(
+        TypedEvent(4L, 7L, ts("2024-01-01 11:00:00"), "click"),
+        TypedEvent(5L, 7L, ts("2024-01-01 12:00:00"), "view"),
+        TypedEvent(6L, 7L, ts("2024-01-01 11:30:00"), "click"))
+      q.processAllAvailable()
+      // batches 3+4: a click arriving a BATCH AFTER a newer view has
+      // replaced its true match reports no match — bounded state never
+      // attributes backwards in time (the documented approximation)
+      in.addData(TypedEvent(7L, 7L, ts("2024-01-01 13:00:00"), "view"))
+      q.processAllAvailable()
+      in.addData(TypedEvent(8L, 7L, ts("2024-01-01 12:30:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("sasof")
+        .as[(Long, Long, Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> (r._3, r._4)).toMap
+      assert(rows(1L) == (None, None))              // no prior view
+      assert(rows(3L) == (Some(2L), Some(300L * 1000000))) // same batch, 5 min
+      assert(rows(4L) == (Some(2L), Some(3600L * 1000000))) // state crossed batches
+      assert(rows(6L) == (Some(2L), Some(5400L * 1000000))) // in-batch repair
+      assert(rows(8L) == (None, None))              // cross-batch late click
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS sasof") }
+  }
+
   test("windowedCounts aggregates per hour window and drops late data") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
