@@ -166,11 +166,29 @@ object Temporal {
       .orderBy("purchase_id")
   }
 
+  /** Exact per-type value percentiles (linear interpolation over the
+    * sorted group — the definition Spark's `percentile` and DuckDB's
+    * `quantile_cont` share, which is what makes this oracle-able).
+    * Exact percentiles materialize each group's values inside one
+    * ordered aggregation buffer, so they're for BOUNDED groups — at
+    * 100 TB an unbounded group switches to `approx_percentile`
+    * (t-digest, mergeable, bounded memory), trading the oracle for
+    * scale; this query is the exact form over the 5 event types.
+    */
+  def q84Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 6).as("p99"))
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_asof_attribution" -> (q79ClickAttribution _),
     "q80_gap_sessions" -> (q80GapSessions _),
     "q82_retention_cohorts" -> (q82Retention _),
-    "q83_funnel_attribution" -> (q83Funnel _))
+    "q83_funnel_attribution" -> (q83Funnel _),
+    "q84_value_percentiles" -> (q84Percentiles _))
 
   val oracle: Map[String, String] = Map(
     "q79_asof_attribution" ->
@@ -242,5 +260,11 @@ object Temporal {
         |  coalesce(epoch_us(p_ts) - epoch_us(c_ts) <= 604800000000
         |       AND epoch_us(c_ts) - epoch_us(v_ts) <= 604800000000,
         |    false) AS full_funnel
-        |FROM pcv ORDER BY purchase_id""".stripMargin)
+        |FROM pcv ORDER BY purchase_id""".stripMargin,
+    "q84_value_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }
