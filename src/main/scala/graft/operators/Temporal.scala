@@ -183,12 +183,32 @@ object Temporal {
         round(percentile(col("value"), lit(0.99)), 6).as("p99"))
       .orderBy("event_type")
 
+  /** Event-transition matrix (first-order Markov): for every adjacent
+    * pair in each user's (ts, id)-ordered timeline, count
+    * prev_type → type and its probability within the prev_type row.
+    * One window + one aggregate, both riding the user_id exchange for
+    * the lag; the matrix is |types|² cells regardless of event volume.
+    */
+  def q85Transitions(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(lag(col("event_type"), 1).over(ord).as("prev_type"),
+        col("event_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") /
+        sum(col("n")).over(Window.partitionBy("prev_type")), 6))
+      .orderBy("prev_type", "event_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_asof_attribution" -> (q79ClickAttribution _),
     "q80_gap_sessions" -> (q80GapSessions _),
     "q82_retention_cohorts" -> (q82Retention _),
     "q83_funnel_attribution" -> (q83Funnel _),
-    "q84_value_percentiles" -> (q84Percentiles _))
+    "q84_value_percentiles" -> (q84Percentiles _),
+    "q85_event_transitions" -> (q85Transitions _))
 
   val oracle: Map[String, String] = Map(
     "q79_asof_attribution" ->
@@ -266,5 +286,18 @@ object Temporal {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  round(quantile_cont(value, 0.99), 6) AS p99
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q85_event_transitions" ->
+      """WITH t AS (
+        |  SELECT lag(event_type)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type,
+        |    event_type
+        |  FROM events)
+        |SELECT prev_type, event_type, count(*) AS n,
+        |  round(count(*) /
+        |    CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS DOUBLE),
+        |    6) AS p
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
