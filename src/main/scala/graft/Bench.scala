@@ -34,7 +34,8 @@ object Bench {
       "q76_winnow_containment", "q77_split_report",
       "q79_asof_attribution", "q80_gap_sessions",
       "q81_corpus_rebalance", "q82_retention_cohorts",
-      "q83_funnel_attribution", "q84_value_percentiles")
+      "q83_funnel_attribution", "q84_value_percentiles",
+      "q85_event_transitions")
     val available = preferred.filter(SparkEntry.queries.contains)
     val base =
       if (available.nonEmpty) available else SparkEntry.queries.keys.toSeq.sorted
