@@ -32,10 +32,10 @@ object Bench {
       "q71_corpus_filter", "q72_ann_recall", "q73_dedup_recall",
       "q74_ivf_centroids", "q75_simhash_clusters",
       "q76_winnow_containment", "q77_split_report",
-      "q79_asof_attribution", "q80_gap_sessions",
+      "q78_split_leakage", "q79_asof_attribution", "q80_gap_sessions",
       "q81_corpus_rebalance", "q82_retention_cohorts",
       "q83_funnel_attribution", "q84_value_percentiles",
-      "q85_event_transitions")
+      "q85_event_transitions", "q86_value_percentiles_approx")
     val available = preferred.filter(SparkEntry.queries.contains)
     val base =
       if (available.nonEmpty) available else SparkEntry.queries.keys.toSeq.sorted

@@ -169,10 +169,14 @@ object ScaleProbes {
         val views = ev.filter(col("event_type") === "view")
           .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
             col("ts").as("v_ts"))
+        // both forms break (user, ts) ties on max view_id — without the
+        // matching tiebreaks the bit-equality require below could fail
+        // spuriously on tied view timestamps in real testdata (r9 ADVICE)
         def unionForm = Temporal
           .asOfJoin(clicks, views.select(col("view_id"),
             col("v_user").as("user_id"), col("v_ts").as("ts")),
-            "user_id", "ts", Seq("click_id"), Seq("view_id"))
+            "user_id", "ts", "ts", Seq("click_id"), Seq("view_id"),
+            rightTie = Some("view_id"))
           .select(col("click_id"), col("user_id"),
             col("asof.view_id").as("view_id"))
         def rangeForm = {
@@ -180,7 +184,8 @@ object ScaleProbes {
           clicks.join(views, col("user_id") === col("v_user") &&
               col("ts") >= col("v_ts"), "left_outer")
             .withColumn("rn", row_number().over(Window
-              .partitionBy("click_id").orderBy(col("v_ts").desc_nulls_last)))
+              .partitionBy("click_id").orderBy(col("v_ts").desc_nulls_last,
+                col("view_id").desc_nulls_last)))
             .filter(col("rn") === 1)
             .select(col("click_id"), col("user_id"), col("view_id"))
         }
@@ -195,6 +200,69 @@ object ScaleProbes {
         val rangeSec = minOf3(noop(rangeForm))
         println(f"[probe] asof-ab: $label union_min3_sec=$unionSec%.2f " +
           f"rangejoin_min3_sec=$rangeSec%.2f")
+
+      case "containment-ab" =>
+        // the md5 "oracle tax" on the heaviest scan in the headline:
+        // q76's winnowed-containment fingerprints hash every character
+        // 8-gram, so the digest choice multiplies the whole scan. md5 is
+        // what the DuckDB oracle can reproduce; the `xx` flag (xxhash64,
+        // HashModeSpec pins kernel parity) is the production escape.
+        val sfDir = args.lift(1).getOrElse(
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        val docs = Tables.documents(spark, sfDir)
+        def runC(xx: Boolean): Unit = {
+          TextOps.containmentPairs(docs, "doc_id", "text", xx = xx)
+            .write.format("noop").mode("overwrite").save()
+          Caches.clear()
+        }
+        runC(xx = false) // warm (JIT + codegen) once
+        val md5Sec = minOf3(runC(xx = false))
+        runC(xx = true)
+        val xxSec = minOf3(runC(xx = true))
+        println(f"[probe] containment-ab: sf=$sfDir md5_min3_sec=" +
+          f"$md5Sec%.2f xxhash_min3_sec=$xxSec%.2f " +
+          f"speedup=${md5Sec / xxSec}%.2fx")
+
+      case "streaming-asof" =>
+        // throughput of the streaming as-of (flatMapGroupsWithState,
+        // one tiny newest-view record per user): one bulk micro-batch
+        // of a planted alternating view/click timeline. users is forced
+        // ODD so each user's event ids alternate parity → every user
+        // both updates state and emits attributions. Every click emits
+        // exactly one row (matched or not), so completion is the sink
+        // holding n/2 rows; NoTimeout state means processAllAvailable
+        // suffices (unlike the neardup probe's timeout loop).
+        val n = args.lift(1).map(_.toInt).getOrElse(200000)
+        import spark.implicits._
+        implicit val sq = spark.sqlContext
+        val users = math.max(1, n / 200) | 1
+        val expected = n / 2 // odd event ids are clicks
+        def onceA(): Unit = {
+          val in = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[graft.streaming.EventStreams.TypedEvent]
+          val q = graft.streaming.EventStreams.streamingAsOf(in.toDS())
+            .writeStream.format("memory").queryName("probe_sasof")
+            .outputMode("append").start()
+          try {
+            in.addData((0 until n).map { i =>
+              graft.streaming.EventStreams.TypedEvent(i.toLong,
+                (i % users).toLong,
+                new java.sql.Timestamp(i.toLong * 1000L),
+                if (i % 2 == 0) "view" else "click")
+            })
+            q.processAllAvailable()
+            val got = spark.table("probe_sasof").count()
+            require(got == expected,
+              s"expected $expected attributions, sink has $got")
+          } finally {
+            q.stop()
+            spark.sql("DROP TABLE IF EXISTS probe_sasof")
+          }
+        }
+        onceA() // warm: state-store init, codegen, JIT
+        val asec = minOf3(onceA())
+        println(f"[probe] streaming-asof: events=$n attributions=$expected " +
+          f"min3_sec=$asec%.2f events_per_sec=${n / asec}%.0f")
 
       case "streaming-neardup" =>
         // throughput of the streaming MinHash-LSH near-dup: one bulk
@@ -250,7 +318,7 @@ object ScaleProbes {
       case other =>
         System.err.println(s"unknown probe '$other' " +
           "(expected: components | bucketed-merge | ngram-ab | " +
-          "asof-ab | streaming-neardup)")
+          "asof-ab | containment-ab | streaming-asof | streaming-neardup)")
         sys.exit(2)
     }
     spark.stop()

@@ -87,14 +87,31 @@ object LlmQueries {
   def q75SimhashClusters(s: SparkSession, d: String): DataFrame =
     TextOps.simhashDupClusters(Tables.documents(s, d), "doc_id", "text")
 
-  /** n-gram Jaccard best partner within (lang, source) blocks. */
+  /** n-gram Jaccard best partner within (lang, source) blocks.
+    *
+    * REGISTERED execution: the inverted-index form — pairs materialize
+    * only where shingles actually overlap, so the pair count tracks
+    * true-overlap density instead of C(block, 2). The block self-join
+    * ([[TextOps.ngramJaccardBest]]) remains the named pedagogical
+    * variant for dense/small vocabularies; NgramVariantSpec pins the
+    * two bit-equal and the `ngram-ab` ScaleProbe measures them.
+    */
   def q37NgramJaccard(s: SparkSession, d: String): DataFrame =
-    TextOps.ngramJaccardBest(Tables.documents(s, d), "doc_id", "text",
-      Seq("lang", "source"))
+    TextOps.ngramJaccardBestInverted(Tables.documents(s, d), "doc_id",
+      "text", Seq("lang", "source"))
 
-  /** Embedding cosine nearest neighbor within label blocks. */
+  /** Embedding cosine best partner within label blocks.
+    *
+    * REGISTERED execution: the LSH-banded form — candidate pairs must
+    * share (label, hyperplane bucket) and are verified with the exact
+    * integer cosine, so the per-block pair count is collision-governed
+    * rather than C(block, 2). The exact block self-join
+    * ([[Similarity.blockedNearestNeighbor]]) remains the named
+    * pedagogical variant; BlockedLshSpec pins agreement wherever the
+    * true nearest neighbor shares the bucket.
+    */
   def q38CosinePairs(s: SparkSession, d: String): DataFrame =
-    Similarity.blockedNearestNeighbor(Tables.embeddings(s, d), "vec_id",
+    Similarity.blockedLshNearestNeighbor(Tables.embeddings(s, d), "vec_id",
       "embedding", "label")
 
   /** Brute-force ANN top-3 for the probe subset (vec_id % 50 == 0). */
@@ -447,20 +464,38 @@ object LlmQueries {
          |  FROM sym) t WHERE rn = 1""".stripMargin),
     "q38_cosine_pairs" -> (
       s"""WITH $embBase,
+         |sig AS (
+         |  SELECT vec_id, label, q, norm2,
+         |    CAST(list_sum([
+         |      CASE WHEN list_sum([q[i] *
+         |          (((1103515245*((j*64)+(i-1)) + 12345) % 2147483648) % 21 - 10)
+         |          for i in range(1,65)]) > 0
+         |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+         |      for j in range(0,16)]) AS BIGINT) AS bucket
+         |  FROM n2),
          |pairs AS (
          |  SELECT x.vec_id AS a, y.vec_id AS b,
          |    CAST(list_sum([x.q[i]*y.q[i] for i in range(1, 65)]) AS BIGINT)
          |      / (sqrt(x.norm2) * sqrt(y.norm2)) AS cosine
-         |  FROM n2 x JOIN n2 y
-         |    ON x.label = y.label AND x.vec_id < y.vec_id),
+         |  FROM sig x JOIN sig y
+         |    ON x.label = y.label AND x.bucket = y.bucket
+         |    AND x.vec_id < y.vec_id),
          |sym AS (
          |  SELECT a AS vec_id, b AS nn_id, cosine FROM pairs
-         |  UNION ALL SELECT b, a, cosine FROM pairs)
-         |SELECT vec_id, nn_id, cosine FROM (
+         |  UNION ALL SELECT b, a, cosine FROM pairs),
+         |rk AS (
          |  SELECT vec_id, nn_id, cosine,
          |    row_number() OVER (PARTITION BY vec_id
          |      ORDER BY cosine DESC, nn_id ASC) AS rn
-         |  FROM sym) t WHERE rn = 1""".stripMargin),
+         |  FROM sym),
+         |best AS (
+         |  SELECT vec_id, count(*) AS n_peers,
+         |    max(CASE WHEN rn = 1 THEN nn_id END) AS best_nn,
+         |    max(CASE WHEN rn = 1 THEN cosine END) AS best_cos
+         |  FROM rk GROUP BY 1)
+         |SELECT s.vec_id, s.label, s.bucket,
+         |  coalesce(b.n_peers, 0) AS n_peers, b.best_nn, b.best_cos
+         |FROM sig s LEFT JOIN best b USING (vec_id)""".stripMargin),
     "q39_ann_topk" -> (
       s"""WITH $embBase,
          |probes AS (SELECT vec_id AS probe_id, q AS pq, norm2 AS pnorm2

@@ -118,19 +118,24 @@ object Multimodal {
     def tag(o: Int): String =
       new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
+    // Long walk offset: a chunk declaring a ~2^32 size must END the walk
+    // (off sails past bytes.length), never wrap an Int offset negative
+    // and index with it — decode failures are null rows, not task
+    // failures, even on adversarial headers.
+    var off = 12L
     var fmt: Option[(Int, Int, Int, Long)] = None // ch, rate, bits, byteRate
     var dataBytes = -1L
     while (off + 8 <= bytes.length && (fmt.isEmpty || dataBytes < 0)) {
-      val id = tag(off)
-      val sz = le32(off + 4)
+      val o = off.toInt // safe: off + 8 <= bytes.length <= Int.MaxValue
+      val id = tag(o)
+      val sz = le32(o + 4)
       if (id == "fmt ") {
-        if (sz < 16 || off + 8 + 16 > bytes.length) return None
-        fmt = Some((le16(off + 10), le32(off + 12).toInt,
-          le16(off + 22), le32(off + 16)))
+        if (sz < 16 || o + 8 + 16 > bytes.length) return None
+        fmt = Some((le16(o + 10), le32(o + 12).toInt,
+          le16(o + 22), le32(o + 16)))
       } else if (id == "data") dataBytes = sz
-      // chunks are word-aligned; a huge declared size just ends the walk
-      off += (8L + sz + (sz & 1L)).min(Int.MaxValue.toLong).toInt
+      // chunks are word-aligned; sizes stay Long so off is monotone
+      off += 8L + sz + (sz & 1L)
     }
     fmt.collect {
       case (ch, rate, bits, byteRate)

@@ -39,8 +39,13 @@ object Similarity {
   }
 
   /** Nearest neighbor per vector within blocks (e.g. cluster label):
-    * the bucketed scale path — pairs only form inside a block, the
-    * all-pairs cartesian never exists.
+    * pairs only form inside a block, the all-pairs cartesian never
+    * exists — but the per-block pair count is still C(block, 2), so
+    * this is the EXACT pedagogical variant for bounded blocks. The
+    * registered q38 execution is [[blockedLshNearestNeighbor]], whose
+    * candidate count is collision-governed; BlockedLshSpec pins that
+    * wherever a vector's true block nearest neighbor shares its
+    * hyperplane bucket the two forms return the same partner.
     */
   def blockedNearestNeighbor(df: DataFrame, idCol: String, vecCol: String,
                              blockCol: String): DataFrame = {
@@ -117,6 +122,42 @@ object Similarity {
     base.select(col("vec_id"), col("bucket"))
       .join(best, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("bucket"),
+        coalesce(col("n_peers"), lit(0L)).as("n_peers"),
+        col("best_nn"), col("best_cos"))
+  }
+
+  /** [[blockedNearestNeighbor]]'s 100 TB path — the registered q38
+    * execution: [[lshNearestNeighbor]]'s hyperplane banding restricted
+    * to metadata blocks. Candidates must agree on BOTH the block label
+    * and the 16-bit signature, so the per-block pair count is governed
+    * by bucket collision rate instead of C(block, 2); every candidate
+    * is verified with the exact integer cosine. Every vector keeps a
+    * row (n_peers = 0 when nothing in its block shares its bucket) —
+    * the q54 output shape plus the block label.
+    */
+  def blockedLshNearestNeighbor(df: DataFrame, idCol: String,
+                                vecCol: String,
+                                blockCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = prepared(df, idCol, vecCol, Seq(blockCol))
+      .withColumn("bucket", hyperplaneBucket(col("q")))
+    val pairs = base.as("x").join(base.as("y"),
+      col(s"x.$blockCol") === col(s"y.$blockCol") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosineQ(col("x.q"), col("y.q"), col("x.norm2"), col("y.norm2"))
+          .as("cosine"))
+    val sym = TextOps.symmetrize(pairs, "vec_id", "nn_id", "cosine")
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nn_id").asc)
+    val best = sym.withColumn("rn", row_number().over(w))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_peers"),
+        max(when(col("rn") === 1, col("nn_id"))).as("best_nn"),
+        max(when(col("rn") === 1, col("cosine"))).as("best_cos"))
+    base.select(col("vec_id"), col(blockCol), col("bucket"))
+      .join(best, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col(blockCol), col("bucket"),
         coalesce(col("n_peers"), lit(0L)).as("n_peers"),
         col("best_nn"), col("best_cos"))
   }

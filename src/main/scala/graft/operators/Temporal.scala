@@ -37,16 +37,31 @@ object Temporal {
     * a CHAINED as-of needs (step 2 anchors on step 1's matched ts). A
     * null left timestamp sorts before every right row and therefore
     * matches nothing (null-safe by the sort, not by a special case).
+    *
+    * `rightTie`: deterministic tiebreaker among right rows sharing
+    * (key, ts) — the matched payload is the MAX-`rightTie` row (it
+    * sorts last inside the tie, so the running `last` lands on it).
+    * This mirrors "dedupe the right side to max-id per (key, ts)" in
+    * an oracle, and matches [[graft.streaming.EventStreams
+    * .streamingAsOf]], whose state replace at equal ts also keeps the
+    * later event id. None leaves ties partition-order-dependent — only
+    * safe when (key, ts) is unique on the right.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTs: String, rightTs: String, leftCols: Seq[String],
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String],
+               rightTie: Option[String] = None): DataFrame = {
     val l = left.select(col(keyCol).as("_k") +: col(leftTs).as("_ts") +:
       lit(1).as("_side") +: leftCols.map(c => col(c)): _*)
     val r = right.select(col(keyCol).as("_k"), col(rightTs).as("_ts"),
-      lit(0).as("_side"), struct(rightCols.map(col): _*).as("_r"))
+      lit(0).as("_side"), rightTie.map(col).getOrElse(lit(0L)).as("_tie"),
+      struct(rightCols.map(col): _*).as("_r"))
+    // left rows carry a null _tie via allowMissingColumns; _side already
+    // orders them after every tied right row, so only right-vs-right
+    // ties consult _tie
     val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_ts"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("asof", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
@@ -89,8 +104,8 @@ object Temporal {
       .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
-    asOfJoin(clicks, views, "user_id", "ts",
-      Seq("click_id"), Seq("view_id", "ts"))
+    asOfJoin(clicks, views, "user_id", "ts", "ts",
+      Seq("click_id"), Seq("view_id", "ts"), rightTie = Some("view_id"))
       .select(col("click_id"), col("user_id"),
         col("asof.view_id").as("view_id"),
         (unix_micros(col("ts")) - unix_micros(col("asof.ts")))
@@ -148,12 +163,14 @@ object Temporal {
       .select(col("event_id").as(id), col("user_id"), col("ts"))
     val week = 7L * 86400 * 1000000
     val pc = asOfJoin(typed("purchase", "purchase_id"),
-        typed("click", "click_id"), "user_id", "ts",
-        Seq("purchase_id"), Seq("click_id", "ts"))
+        typed("click", "click_id"), "user_id", "ts", "ts",
+        Seq("purchase_id"), Seq("click_id", "ts"),
+        rightTie = Some("click_id"))
       .select(col("purchase_id"), col("user_id"), col("ts").as("p_ts"),
         col("asof.click_id").as("click_id"), col("asof.ts").as("c_ts"))
     asOfJoin(pc, typed("view", "view_id"), "user_id", "c_ts", "ts",
-        Seq("purchase_id", "p_ts", "click_id"), Seq("view_id", "ts"))
+        Seq("purchase_id", "p_ts", "click_id"), Seq("view_id", "ts"),
+        rightTie = Some("view_id"))
       .select(col("purchase_id"), col("user_id"), col("click_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
           .as("click_lag_us"),
@@ -173,7 +190,9 @@ object Temporal {
     * ordered aggregation buffer, so they're for BOUNDED groups — at
     * 100 TB an unbounded group switches to `approx_percentile`
     * (t-digest, mergeable, bounded memory), trading the oracle for
-    * scale; this query is the exact form over the 5 event types.
+    * scale; this query is the exact form over the 5 event types, and
+    * [[q86PercentilesApprox]] is that registered approx twin (rows-only
+    * check — a sketch can't hash-match an oracle).
     */
   def q84Percentiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).groupBy(col("event_type"))
@@ -181,6 +200,26 @@ object Temporal {
         round(percentile(col("value"), lit(0.5)), 6).as("p50"),
         round(percentile(col("value"), lit(0.9)), 6).as("p90"),
         round(percentile(col("value"), lit(0.99)), 6).as("p99"))
+      .orderBy("event_type")
+
+  /** [[q84Percentiles]]'s 100 TB twin: the same per-type value report
+    * via `approx_percentile` — a mergeable quantile sketch with bounded
+    * memory per group, the form an UNBOUNDED group requires (q84's
+    * exact percentile materializes each group's values in one ordered
+    * aggregation buffer). accuracy = 10000 → rank error ≤ 1/10000.
+    * Sketch results are engine-specific, so this is a rows-only
+    * registry entry (no oracle); q84 is the exact, oracle-gated form,
+    * and ApproxTwinSpec pins the two within rank-error tolerance.
+    */
+  def q86PercentilesApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(approx_percentile(col("value"), lit(0.5), lit(10000)), 6)
+          .as("p50"),
+        round(approx_percentile(col("value"), lit(0.9), lit(10000)), 6)
+          .as("p90"),
+        round(approx_percentile(col("value"), lit(0.99), lit(10000)), 6)
+          .as("p99"))
       .orderBy("event_type")
 
   /** Event-transition matrix (first-order Markov): for every adjacent
@@ -208,7 +247,10 @@ object Temporal {
     "q82_retention_cohorts" -> (q82Retention _),
     "q83_funnel_attribution" -> (q83Funnel _),
     "q84_value_percentiles" -> (q84Percentiles _),
-    "q85_event_transitions" -> (q85Transitions _))
+    "q85_event_transitions" -> (q85Transitions _),
+    // q86 has NO oracle entry by design: approx_percentile is a t-digest
+    // sketch whose exact outputs are engine-specific → rows-only check
+    "q86_value_percentiles_approx" -> (q86PercentilesApprox _))
 
   val oracle: Map[String, String] = Map(
     "q79_asof_attribution" ->
@@ -216,7 +258,11 @@ object Temporal {
         |  v.event_id AS view_id,
         |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |-- right side deduped to max event_id per (user, ts): the
+        |-- deterministic tie rule asOfJoin's rightTie implements
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(event_id) AS event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY click_id""".stripMargin,
     "q80_gap_sessions" ->
@@ -256,10 +302,12 @@ object Temporal {
     "q83_funnel_attribution" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
         |           FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id AS click_id, user_id, ts
-        |      FROM events WHERE event_type = 'click'),
-        |v AS (SELECT event_id AS view_id, user_id, ts
-        |      FROM events WHERE event_type = 'view'),
+        |-- right sides deduped to max event_id per (user, ts): the
+        |-- deterministic tie rule asOfJoin's rightTie implements
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |v AS (SELECT user_id, ts, max(event_id) AS view_id
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
         |pc AS (
         |  SELECT p.purchase_id, p.user_id, p.ts AS p_ts,
         |    c.click_id, c.ts AS c_ts

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the q84 ↔ q86 twin relationship: the `approx_percentile`
+  * (t-digest) report must land inside a ±1-percentile-rank bracket of
+  * the exact `percentile` values on the same data. The sketch's
+  * guarantee at accuracy 10000 is rank error ≤ max(1, n/10000) ranks —
+  * far inside the ±1% bracket for the fixture groups — so a drift here
+  * means the twin stopped computing the same statistic, not noise.
+  * (q86 itself is registry-checked rows-only: sketch outputs are
+  * engine-specific, so no DuckDB oracle can hash-match them.)
+  */
+class ApproxTwinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val eps = 1e-6 // q86 rounds to 6 decimals
+
+  test("q86 approx percentiles bracket q84's exact ones per event type") {
+    val approx = Temporal.q86PercentilesApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val brackets = Tables.events(spark, sfDir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("value"), lit(0.49)).as("lo50"),
+        percentile(col("value"), lit(0.51)).as("hi50"),
+        percentile(col("value"), lit(0.89)).as("lo90"),
+        percentile(col("value"), lit(0.91)).as("hi90"),
+        percentile(col("value"), lit(0.985)).as("lo99"),
+        percentile(col("value"), lit(0.995)).as("hi99"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.nonEmpty && approx.keySet == brackets.keySet)
+    approx.foreach { case (t, a) =>
+      val e = brackets(t)
+      assert(a.getAs[Long]("n") == e.getAs[Long]("n"), s"$t count")
+      for ((p, lo, hi) <- Seq(("p50", "lo50", "hi50"),
+        ("p90", "lo90", "hi90"), ("p99", "lo99", "hi99"))) {
+        val v = a.getAs[Double](p)
+        assert(v >= e.getAs[Double](lo) - eps && v <= e.getAs[Double](hi) + eps,
+          s"$t $p=$v outside [${e.getAs[Double](lo)}, ${e.getAs[Double](hi)}]")
+      }
+    }
+  }
+}

@@ -292,6 +292,14 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavHeader("not a wav at all".getBytes).isEmpty)
     assert(Multimodal.decodeWavHeader(
       wavBytes(1, 8000, 16, 3200).take(20)).isEmpty)
+    // adversarial: a chunk declaring a ~2^32 size ends the walk as None —
+    // it must never wrap the offset negative and throw (r9 ADVICE)
+    val huge = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    huge.put("RIFF".getBytes("US-ASCII")); huge.putInt(32)
+    huge.put("WAVE".getBytes("US-ASCII"))
+    huge.put("JUNK".getBytes("US-ASCII")); huge.putInt(0xFFFFFFF0)
+    assert(Multimodal.decodeWavHeader(huge.array()).isEmpty)
     // column form: audio rows decode, others stay null, bad audio is null
     val rows = spark.sparkContext.parallelize(Seq(
       org.apache.spark.sql.Row(0L, "audio", wavBytes(1, 8000, 16, 3200)),

@@ -31,6 +31,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(14L).isEmpty)        // other key's rows are invisible
   }
 
+  test("asOfJoin rightTie: tied right timestamps match the max-tie row " +
+    "deterministically") {
+    import spark.implicits._
+    // three right rows share (k=1, t=5) — without a tiebreak the match
+    // is partition-order-dependent (r9 ADVICE); with rightTie the max
+    // rid must win on every run
+    val left = Seq((10L, 1L, ts(6))).toDF("lid", "k", "t")
+    val right = Seq((101L, 1L, ts(5)), (103L, 1L, ts(5)), (102L, 1L, ts(5)),
+      (99L, 1L, ts(1))).toDF("rid", "k", "t")
+    (1 to 3).foreach { _ =>
+      val out = Temporal.asOfJoin(left,
+          right.repartition(7), // scramble partition order on purpose
+          "k", "t", "t", Seq("lid"), Seq("rid"), rightTie = Some("rid"))
+        .select(col("asof.rid")).as[Long].collect().toSeq
+      assert(out == Seq(103L))
+    }
+  }
+
   test("gapSessionize: sessions split at the gap, exact durations") {
     import spark.implicits._
     // user 1: events at 0,10,20 min, then 5h silence, then 320,330 —
