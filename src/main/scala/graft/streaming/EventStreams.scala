@@ -229,6 +229,12 @@ object EventStreams {
     * at-least-once per micro-batch. The batch q79 over the same events
     * is the exact retrospective answer; this operator is the low-latency
     * approximation whose error is confined to out-of-order arrivals.
+    *
+    * Tied view timestamps resolve exactly like the batch form's
+    * `rightTie`: the max event_id among equal-ts views wins, REGARDLESS
+    * of which micro-batch each tied view arrived in — a tied view only
+    * replaces held state when its id is larger, so arrival order can't
+    * leak into the attribution.
     */
   def streamingAsOf(events: Dataset[TypedEvent],
                     rightType: String = "view",
@@ -248,7 +254,8 @@ object EventStreams {
           ordered.foreach { e =>
             val tUs = us(e.ts)
             if (e.event_type == rightType) {
-              if (st.forall(_.view_ts_us <= tUs))
+              if (st.forall(s => s.view_ts_us < tUs ||
+                  (s.view_ts_us == tUs && s.view_id < e.event_id)))
                 st = Some(AsOfState(e.event_id, tUs))
             } else if (e.event_type == leftType) {
               val m = st.filter(_.view_ts_us <= tUs)

@@ -58,6 +58,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS sasof") }
   }
 
+  test("streamingAsOf: tied view timestamps resolve to max id across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.EventStreams.TypedEvent
+    // Two users, each with two views at the SAME timestamp but delivered
+    // in opposite cross-batch orders (user 7: high id then low; user 8:
+    // low id then high). The batch asOfJoin's rightTie picks the max
+    // event_id for both, so the streaming form must too — arrival order
+    // must not leak into the attribution.
+    val in = MemoryStream[TypedEvent]
+    val q = EventStreams.streamingAsOf(in.toDS()).writeStream
+      .format("memory").queryName("sasof_ties").outputMode("append").start()
+    try {
+      in.addData(
+        TypedEvent(20L, 7L, ts("2024-01-01 10:00:00"), "view"),
+        TypedEvent(10L, 8L, ts("2024-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      in.addData(
+        TypedEvent(10L, 7L, ts("2024-01-01 10:00:00"), "view"),
+        TypedEvent(20L, 8L, ts("2024-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      in.addData(
+        TypedEvent(30L, 7L, ts("2024-01-01 11:00:00"), "click"),
+        TypedEvent(30L, 8L, ts("2024-01-01 11:00:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("sasof_ties")
+        .as[(Long, Long, Option[Long], Option[Long])].collect()
+        .map(r => r._2 -> r._3).toMap
+      assert(rows(7L) == Some(20L), "smaller tied id arriving later stole state")
+      assert(rows(8L) == Some(20L), "larger tied id arriving later must replace")
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS sasof_ties") }
+  }
+
   test("windowedCounts aggregates per hour window and drops late data") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

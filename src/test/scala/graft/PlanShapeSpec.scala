@@ -92,6 +92,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q81 shuffles the corpus for a 5-row dim:\n$p")
   }
 
+  test("q37 runs the inverted-index execution, not the block self-join") {
+    val p = plan("q37_ngram_jaccard")
+    // the promoted form explodes the shingle sets into postings and joins
+    // on the hash, so pairs only materialize where shingles overlap; the
+    // quadratic block self-join instead pairs whole blocks and intersects
+    // with the native sorted-intersect kernel
+    assert("explode\\(sh#\\d+".r.findFirstIn(p).isDefined,
+      s"q37 lost the shingle-postings explode:\n$p")
+    assert(!p.contains("graft_sorted_intersect_count"),
+      s"q37 regressed to the C(block,2) self-join:\n$p")
+  }
+
+  test("q38 candidate join keys include the hyperplane bucket") {
+    val p = plan("q38_cosine_pairs")
+    // the promoted execution pairs vectors only within (label, bucket);
+    // losing the bucket key regresses to C(block, 2) candidates
+    assert(
+      "Join \\[label#\\d+, bucket#\\d+L\\], \\[label#\\d+, bucket#\\d+L\\]".r
+        .findFirstIn(p).isDefined,
+      s"q38 candidate join lost the hyperplane-bucket key:\n$p")
+  }
+
   test("similarity verify kernels stay native in the plan") {
     val p36 = plan("q36_minhash_lsh")
     assert(p36.contains("graft_sorted_intersect_count"), p36)
