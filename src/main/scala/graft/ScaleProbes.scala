@@ -264,6 +264,53 @@ object ScaleProbes {
         println(f"[probe] streaming-asof: events=$n attributions=$expected " +
           f"min3_sec=$asec%.2f events_per_sec=${n / asec}%.0f")
 
+      case "range-ab" =>
+        // the nested-loop cliff behind q87: Spark plans a pure
+        // inequality join as BroadcastNestedLoopJoin (every point
+        // against every interval, |P|×|I| comparisons), while
+        // Temporal.rangeJoin's bin-replication rewrite runs a hash
+        // equi-join on the 5-minute bin whose candidate count tracks
+        // true temporal overlap. Planted timeline: prime-stride
+        // positions over a 30-day span, 300 s windows, bin = window
+        // length (replication ≤ 2 rows per interval).
+        val nPts = args.lift(1).map(_.toInt).getOrElse(200000)
+        val nIv = args.lift(2).map(_.toInt).getOrElse(2000)
+        val winUs = 300L * 1000000
+        val spanUs = 30L * 86400 * 1000000
+        val pts = spark.range(nPts).select(col("id").as("pid"),
+          timestamp_micros((col("id") * 2654435761L) % spanUs).as("t"))
+        val iv = spark.range(nIv).select(col("id").as("iid"),
+          timestamp_micros((col("id") * 7919000003L) % (spanUs - winUs))
+            .as("s"))
+        val iv2 = iv.withColumn("e",
+          timestamp_micros(unix_micros(col("s")) + winUs))
+        def binned = Temporal.rangeJoin(pts, "t", iv2, "s", "e", winUs)
+          .select("pid", "iid")
+        def nested = pts.join(iv2,
+            col("t") >= col("s") && col("t") < col("e"))
+          .select("pid", "iid")
+        // the A/B is only meaningful if the two forms really take the
+        // two plans being compared
+        val nPlan = nested.queryExecution.executedPlan.toString
+        require(nPlan.contains("BroadcastNestedLoopJoin"),
+          s"naive form no longer nested-loops:\n$nPlan")
+        val bPlan = binned.queryExecution.executedPlan.toString
+        require(!bPlan.contains("BroadcastNestedLoopJoin") &&
+          !bPlan.contains("CartesianProduct"),
+          s"binned form grew a nested loop:\n$bPlan")
+        require(binned.exceptAll(nested).isEmpty &&
+          nested.exceptAll(binned).isEmpty,
+          "binned range join and nested-loop form disagree")
+        Caches.clear()
+        def noopR(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        noopR(binned); noopR(nested) // warm both (JIT + codegen)
+        val binnedSec = minOf3(noopR(binned))
+        val nestedSec = minOf3(noopR(nested))
+        println(f"[probe] range-ab: points=$nPts intervals=$nIv " +
+          f"binned_min3_sec=$binnedSec%.2f nestedloop_min3_sec=" +
+          f"$nestedSec%.2f speedup=${nestedSec / binnedSec}%.2fx")
+
       case "streaming-neardup" =>
         // throughput of the streaming MinHash-LSH near-dup: one bulk
         // micro-batch of a deterministic planted-dup corpus through the
@@ -318,7 +365,8 @@ object ScaleProbes {
       case other =>
         System.err.println(s"unknown probe '$other' " +
           "(expected: components | bucketed-merge | ngram-ab | " +
-          "asof-ab | containment-ab | streaming-asof | streaming-neardup)")
+          "asof-ab | containment-ab | range-ab | streaming-asof | " +
+          "streaming-neardup)")
         sys.exit(2)
     }
     spark.stop()

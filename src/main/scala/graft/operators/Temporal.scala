@@ -93,6 +93,97 @@ object Temporal {
       .orderBy(userCol, "session_seq")
   }
 
+  /** Range (interval) join, binned: every `points` row paired with
+    * every `intervals` row whose [startTs, endTs) half-open window
+    * contains the point's timestamp (and whose `keyCols` match, when
+    * given). Inner join; callers wanting left-outer semantics aggregate
+    * the pairs and join back (see [[q87RangeWindows]]).
+    *
+    * Spark has no native range-join operator: a pure inequality join
+    * condition falls back to BroadcastNestedLoopJoin (every point
+    * checked against every interval — the quadratic cliff the asof-ab
+    * probe measured at 139×). This is the standard bin-replication
+    * rewrite: each interval is exploded onto the fixed-width µs bins it
+    * covers, each point lands on its single bin, and the join becomes a
+    * plain hash equi-join on (keyCols, bin) followed by the exact range
+    * filter. Each matched pair materializes exactly once (the point has
+    * ONE bin), so no dedup pass is needed.
+    *
+    * Scale shape: one hash shuffle per side on (keyCols, bin);
+    * replication factor is ceil(len/binUs)+1 per interval, so pick
+    * `binUs` near the typical interval length (replication ~2) — wider
+    * bins trade replication for more false candidates in the filter.
+    * Hot bins are ordinary shuffle skew, split by AQE; candidate count
+    * tracks true temporal overlap, never |points|×|intervals|.
+    *
+    * Preconditions: `binUs > 0`; the two frames share no column names
+    * outside `keyCols` (required, so the output can carry both sides'
+    * payloads unprefixed); inverted/empty intervals (endTs <= startTs)
+    * match nothing.
+    */
+  def rangeJoin(points: DataFrame, pointTs: String,
+                intervals: DataFrame, startTs: String, endTs: String,
+                binUs: Long, keyCols: Seq[String] = Nil): DataFrame = {
+    require(binUs > 0, s"binUs must be positive, got $binUs")
+    val overlap = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keyCols
+    require(overlap.isEmpty,
+      s"points/intervals share non-key columns: ${overlap.mkString(", ")}")
+    val iv = intervals.filter(col(endTs) > col(startTs))
+      .withColumn("_bin", explode(sequence(
+        expr(s"unix_micros($startTs) div ${binUs}L"),
+        expr(s"(unix_micros($endTs) - 1) div ${binUs}L"))))
+    points.withColumn("_bin", expr(s"unix_micros($pointTs) div ${binUs}L"))
+      .join(iv, keyCols :+ "_bin")
+      .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
+      .drop("_bin")
+  }
+
+  /** Interval-OVERLAP join, binned: every `a` row paired with every
+    * `b` row whose CLOSED interval [bStart, bEnd] intersects
+    * [aStart, aEnd] (and whose `keyCols` match, when given). Closed
+    * semantics so zero-length intervals (single-event sessions) still
+    * overlap things that contain them. Inner join of both payloads,
+    * like [[rangeJoin]].
+    *
+    * The interval×interval variant of [[rangeJoin]]'s bin rewrite:
+    * both sides explode onto the fixed-width bins they cover, the join
+    * is a hash equi-join on (keyCols, bin) + the exact overlap filter —
+    * but two long intervals can share MANY bins, so each candidate
+    * pair would surface once per shared bin. The standard dedup makes
+    * the join emit each pair exactly once with NO distinct pass: a
+    * pair's overlap starts at max(aStart, bStart), every shared bin is
+    * at-or-after that bin, and the pair is kept only in that FIRST
+    * shared bin (`_bin === greatest(...) div binUs`).
+    *
+    * Scale shape: identical to [[rangeJoin]] — one hash shuffle per
+    * side on (keyCols, bin), replication ceil(len/binUs)+1 per row,
+    * AQE splits hot bins, candidates track true overlap density. Same
+    * preconditions: positive `binUs`, no non-key column collisions;
+    * inverted intervals (end < start) match nothing.
+    */
+  def intervalOverlapJoin(a: DataFrame, aStart: String, aEnd: String,
+                          b: DataFrame, bStart: String, bEnd: String,
+                          binUs: Long,
+                          keyCols: Seq[String] = Nil): DataFrame = {
+    require(binUs > 0, s"binUs must be positive, got $binUs")
+    val overlap = a.columns.toSet.intersect(b.columns.toSet) -- keyCols
+    require(overlap.isEmpty,
+      s"a/b share non-key columns: ${overlap.mkString(", ")}")
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) >= col(s))
+        .withColumn("_bin", explode(sequence(
+          expr(s"unix_micros($s) div ${binUs}L"),
+          expr(s"unix_micros($e) div ${binUs}L"))))
+    binned(a, aStart, aEnd)
+      .join(binned(b, bStart, bEnd), keyCols :+ "_bin")
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col("_bin") === expr(
+          s"greatest(unix_micros($aStart), unix_micros($bStart)) " +
+            s"div ${binUs}L"))
+      .drop("_bin")
+  }
+
   /** Click→view attribution: for each click, the latest view by the
     * same user at-or-before the click (the classic last-touch as-of
     * shape), with the exact µs lag. Left-outer: a click with no prior
@@ -241,6 +332,131 @@ object Temporal {
       .orderBy("prev_type", "event_type")
   }
 
+  /** Peak concurrency per day — how many intervals are open at once, at
+    * the worst moment of each day — via the classic sweep line: +1 at
+    * each start, −1 at each end (half-open [s, e): at equal ts an
+    * ending interval closes BEFORE a starting one opens, which the
+    * (t, delta) sort encodes since −1 < +1), running-sum the deltas,
+    * max per day.
+    *
+    * The naive sweep needs ONE GLOBAL ordering — a single-partition
+    * window, the canonical unscalable shape. This is the two-level
+    * prefix sum instead: (1) running sum WITHIN each day partition
+    * (hash shuffle on day, AQE-splittable); (2) each day's carried-in
+    * count = the cumulative sum of all PRIOR days' totals, computed
+    * with a global window over the per-day aggregate — deliberately
+    * single-partition, but over |days| rows, not |events| (the tiny
+    * side); (3) broadcast the carry back and add. Exact at any volume:
+    * global_running(t) = carry(day(t)) + in_day_running(t).
+    *
+    * Determinism at tied timestamps: within a (t, delta) tie group the
+    * running sum is order-dependent row-by-row but its MAX over the day
+    * is not (+1 runs peak at their end, −1 runs at their start), so the
+    * output is stable across partitionings — and matches the oracle's
+    * single ORDER BY (t, delta) running sum.
+    */
+  def peakConcurrency(intervals: DataFrame, startTs: String,
+                      endTs: String): DataFrame = {
+    val deltas = intervals
+      .select(col(startTs).as("t"), lit(1).as("delta"))
+      .unionByName(intervals.select(col(endTs).as("t"),
+        lit(-1).as("delta")))
+      .withColumn("day", date_format(col("t"), "yyyy-MM-dd"))
+    val byDay = Window.partitionBy("day").orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = deltas.withColumn("run_in_day",
+      sum(col("delta")).over(byDay))
+    val carry = deltas.groupBy("day")
+      .agg(sum(col("delta")).as("day_total"))
+      .withColumn("carry", coalesce(
+        sum(col("day_total")).over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("day", "carry")
+    within.join(broadcast(carry), Seq("day"))
+      .groupBy("day")
+      .agg(max(col("run_in_day") + col("carry")).as("peak"))
+      .orderBy("day")
+  }
+
+  /** Incident-window annotation: every `error` event opens a GLOBAL
+    * 5-minute window [ts, ts+5min); every event is annotated with how
+    * many open windows contain it and the earliest containing window's
+    * id (0/null when none — an error is always inside its own window).
+    * The UNKEYED range-join shape: naive Spark executes the inequality
+    * condition as a nested loop over |events|×|errors|; [[rangeJoin]]
+    * makes it a hash join on the 5-minute bin. The inventory-wide
+    * no-nested-loop plan pin guards exactly this regression.
+    */
+  def q87RangeWindows(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val points = ev.select(col("event_id"), col("event_type"), col("ts"))
+    val win = 5L * 60 * 1000000
+    val windows = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+        timestamp_micros(unix_micros(col("ts")) + win).as("w_end"))
+    val agg = rangeJoin(points, "ts", windows, "w_start", "w_end", win)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("window_id")).as("first_window"))
+    points.select("event_id", "event_type")
+      .join(agg, Seq("event_id"), "left_outer")
+      .select(col("event_id"), col("event_type"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        col("first_window"))
+      .orderBy("event_id")
+  }
+
+  /** Cross-user session overlap: per-user 4-hour-gap activity sessions
+    * (q80's definition, reduced to their [first, last] event span,
+    * CLOSED so single-event sessions still overlap their containers),
+    * each annotated with how many OTHER users' sessions overlap it in
+    * time — the interval×interval join behind concurrency and
+    * contention analytics. Unkeyed overlap via [[intervalOverlapJoin]]
+    * on 6-hour bins; the session frame is persisted because it feeds
+    * both overlap sides and the left-outer join back.
+    *
+    * Scale note: the OUTPUT is inherently ∝ overlap density (a span
+    * with k concurrent sessions yields k(k−1) pairs) — that's the
+    * semantics, not the plan; the bin rewrite only removes the
+    * |sessions|² candidate blow-up on top of it.
+    */
+  def q88SessionOverlap(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 4L * 3600 * 1000000
+    val ev = Tables.events(s, d)
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(ord)
+    val fresh = when(prev.isNull ||
+      unix_micros(col("ts")) - unix_micros(prev) > gapUs, 1).otherwise(0)
+    val sessions = Caches.persistTracked(
+      ev.withColumn("session_seq", sum(fresh).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end")))
+    val other = sessions.select(col("user_id").as("o_user"),
+      col("s_start").as("o_start"), col("s_end").as("o_end"))
+    val agg = intervalOverlapJoin(sessions, "s_start", "s_end",
+        other, "o_start", "o_end", binUs = 6L * 3600 * 1000000)
+      .filter(col("user_id") =!= col("o_user"))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_overlap"))
+    sessions.join(agg, Seq("user_id", "session_seq"), "left_outer")
+      .select(col("user_id"), col("session_seq"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Daily peak concurrent incident windows (q87's 5-minute error
+    * windows through [[peakConcurrency]]'s two-level prefix sum).
+    */
+  def q89PeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val win = 5L * 60 * 1000000
+    val windows = Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .select(col("ts").as("w_start"),
+        timestamp_micros(unix_micros(col("ts")) + win).as("w_end"))
+    peakConcurrency(windows, "w_start", "w_end")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_asof_attribution" -> (q79ClickAttribution _),
     "q80_gap_sessions" -> (q80GapSessions _),
@@ -250,7 +466,10 @@ object Temporal {
     "q85_event_transitions" -> (q85Transitions _),
     // q86 has NO oracle entry by design: approx_percentile is a t-digest
     // sketch whose exact outputs are engine-specific → rows-only check
-    "q86_value_percentiles_approx" -> (q86PercentilesApprox _))
+    "q86_value_percentiles_approx" -> (q86PercentilesApprox _),
+    "q87_range_windows" -> (q87RangeWindows _),
+    "q88_session_overlap" -> (q88SessionOverlap _),
+    "q89_peak_concurrency" -> (q89PeakConcurrency _))
 
   val oracle: Map[String, String] = Map(
     "q79_asof_attribution" ->
@@ -347,5 +566,66 @@ object Temporal {
         |    CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS DOUBLE),
         |    6) AS p
         |FROM t WHERE prev_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q87_range_windows" ->
+      """WITH w AS (
+        |  SELECT event_id AS window_id, epoch_us(ts) AS s_us
+        |  FROM events WHERE event_type = 'error'),
+        |m AS (
+        |  SELECT e.event_id, count(*) AS n_windows,
+        |    min(w.window_id) AS first_window
+        |  FROM events e JOIN w
+        |    ON epoch_us(e.ts) >= w.s_us
+        |   AND epoch_us(e.ts) < w.s_us + 300000000
+        |  GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  coalesce(m.n_windows, 0) AS n_windows, m.first_window
+        |FROM events e LEFT JOIN m ON e.event_id = m.event_id
+        |ORDER BY e.event_id""".stripMargin,
+    "q88_session_overlap" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL
+        |               OR epoch_us(ts) - epoch_us(prev_ts) > 14400000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_seq
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, session_seq,
+        |    min(ts) AS s_start, max(ts) AS s_end
+        |  FROM s GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT a.user_id, a.session_seq, count(*) AS n_overlap
+        |  FROM sess a JOIN sess b
+        |    ON a.user_id <> b.user_id
+        |   AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+        |  GROUP BY 1, 2)
+        |SELECT s.user_id, s.session_seq,
+        |  coalesce(o.n_overlap, 0) AS n_overlap
+        |FROM sess s LEFT JOIN ov o
+        |  ON s.user_id = o.user_id AND s.session_seq = o.session_seq
+        |ORDER BY s.user_id, s.session_seq""".stripMargin,
+    "q89_peak_concurrency" ->
+      """WITH w AS (
+        |  SELECT epoch_us(ts) AS s_us, epoch_us(ts) + 300000000 AS e_us
+        |  FROM events WHERE event_type = 'error'),
+        |d AS (
+        |  SELECT s_us AS t_us, 1 AS delta FROM w
+        |  UNION ALL
+        |  SELECT e_us AS t_us, -1 AS delta FROM w),
+        |r AS (
+        |  SELECT strftime(make_timestamp(t_us), '%Y-%m-%d') AS day,
+        |    CAST(sum(delta) OVER (ORDER BY t_us, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS run
+        |  FROM d)
+        |SELECT day, max(run) AS peak FROM r GROUP BY day
+        |ORDER BY day""".stripMargin)
 }

@@ -114,6 +114,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q38 candidate join lost the hyperplane-bucket key:\n$p")
   }
 
+  test("q89: the day-carry join back is broadcast, never a delta shuffle") {
+    val p = plan("q89_peak_concurrency")
+    // the two-level prefix sum only scales if the |days|-row carry
+    // table broadcasts back onto the delta stream
+    assert(p.contains("BroadcastHashJoin"),
+      s"q89 carry join stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q89 shuffles the delta stream for a |days|-row carry:\n$p")
+  }
+
   test("similarity verify kernels stay native in the plan") {
     val p36 = plan("q36_minhash_lsh")
     assert(p36.contains("graft_sorted_intersect_count"), p36)

@@ -117,4 +117,121 @@ class TemporalSpec extends AnyFunSuite {
       .select("session_seq", "n_events").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L), (2L, 1L)))
   }
+
+  test("rangeJoin: half-open boundaries, multi-bin spans, inverted intervals") {
+    import spark.implicits._
+    val pts = Seq((1L, ts(0)), (2L, ts(5)), (3L, ts(10)), (4L, ts(17)))
+      .toDF("pid", "t")
+    // i10: [5, 10) — pid 2 in, pid 3 at end-exclusive boundary OUT
+    // i11: [0, 17) — spans many 2-min bins, catches pids 1,2,3; 17 excluded
+    // i12: [12, 12) — empty, matches nothing
+    // i13: [20, 8)  — inverted, matches nothing (and must not crash
+    //                 sequence() with a descending range)
+    val iv = Seq((10L, ts(5), ts(10)), (11L, ts(0), ts(17)),
+      (12L, ts(12), ts(12)), (13L, ts(20), ts(8)))
+      .toDF("iid", "s", "e")
+    val out = Temporal.rangeJoin(pts, "t", iv, "s", "e",
+        binUs = 2L * 60 * 1000000)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((2L, 10L), (1L, 11L), (2L, 11L), (3L, 11L)))
+  }
+
+  test("rangeJoin: pairs equal the brute-force condition on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = (0 until 300).map(i => (i.toLong,
+      new Timestamp(rnd.nextInt(3600) * 1000L))).toDF("pid", "t")
+    val ivs = (0 until 120).map { i =>
+      val s = rnd.nextInt(3600) * 1000L
+      // lengths from sub-bin to several bins (bin = 97s, deliberately
+      // not dividing anything evenly)
+      (1000L + i, new Timestamp(s), new Timestamp(s + rnd.nextInt(400) * 1000L))
+    }.toDF("iid", "s", "e")
+    val got = Temporal.rangeJoin(pts, "t", ivs, "s", "e", binUs = 97000000L)
+      .select("pid", "iid").as[(Long, Long)].collect()
+    val exp = pts.join(ivs, col("t") >= col("s") && col("t") < col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect()
+    assert(got.length == exp.length, "a pair duplicated or went missing")
+    assert(got.toSet == exp.toSet)
+  }
+
+  test("rangeJoin: keyCols restrict matches to the same key") {
+    import spark.implicits._
+    val pts = Seq((1L, "a", ts(5)), (2L, "b", ts(5))).toDF("pid", "k", "t")
+    val iv = Seq((10L, "a", ts(0), ts(10))).toDF("iid", "k", "s", "e")
+    val out = Temporal.rangeJoin(pts, "t", iv, "s", "e",
+        binUs = 60000000L, keyCols = Seq("k"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+  }
+
+  test("intervalOverlapJoin: closed boundaries, multi-shared-bin pairs " +
+    "emit exactly once") {
+    import spark.implicits._
+    // a1 spans ~50 two-minute bins; b10 shares ~25 of them — the
+    // first-shared-bin dedup must still emit the pair ONCE. b11 touches
+    // a1 exactly at its endpoint (closed semantics: overlap). b12 is
+    // zero-length INSIDE a1 (closed: overlap). b13 starts 1 min after
+    // a1 ends: disjoint.
+    val a = Seq((1L, ts(0), ts(100))).toDF("aid", "s", "e")
+    val b = Seq((10L, ts(50), ts(150)), (11L, ts(100), ts(120)),
+      (12L, ts(70), ts(70)), (13L, ts(101), ts(130)))
+      .toDF("bid", "s2", "e2")
+    val out = Temporal.intervalOverlapJoin(a, "s", "e", b, "s2", "e2",
+        binUs = 2L * 60 * 1000000)
+      .select("aid", "bid").as[(Long, Long)].collect().toList
+    assert(out.sorted == List((1L, 10L), (1L, 11L), (1L, 12L)))
+  }
+
+  test("intervalOverlapJoin: pairs equal the brute-force condition on " +
+    "random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def ivs(n: Int, idBase: Long) = (0 until n).map { i =>
+      val s = rnd.nextInt(3600) * 1000L
+      (idBase + i, new Timestamp(s),
+        new Timestamp(s + rnd.nextInt(500) * 1000L))
+    }
+    val a = ivs(150, 0L).toDF("aid", "s", "e")
+    val b = ivs(150, 1000L).toDF("bid", "s2", "e2")
+    val got = Temporal.intervalOverlapJoin(a, "s", "e", b, "s2", "e2",
+        binUs = 97000000L)
+      .select("aid", "bid").as[(Long, Long)].collect()
+    val exp = a.join(b, col("s") <= col("e2") && col("s2") <= col("e"))
+      .select("aid", "bid").as[(Long, Long)].collect()
+    assert(got.length == exp.length, "a pair duplicated or went missing")
+    assert(got.toSet == exp.toSet)
+  }
+
+  test("peakConcurrency: day-boundary carry, half-open ends never " +
+    "double-count") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val iv = Seq(
+      (t("2024-01-01 23:00:00"), t("2024-01-02 01:00:00")), // crosses midnight
+      (t("2024-01-01 23:30:00"), t("2024-01-01 23:45:00")),
+      (t("2024-01-02 00:30:00"), t("2024-01-02 00:45:00")),
+      // day 3: end meets start — [5,6) then [6,7): concurrency must
+      // stay 1 at the 06:00 instant (the -1 sorts before the +1)
+      (t("2024-01-03 05:00:00"), t("2024-01-03 06:00:00")),
+      (t("2024-01-03 06:00:00"), t("2024-01-03 07:00:00")))
+      .toDF("s", "e")
+    val out = Temporal.peakConcurrency(iv, "s", "e")
+      .as[(String, Long)].collect().toList
+    // day 1 peak: both long windows open at 23:30 → 2
+    // day 2 peak: midnight carry 1 + the 00:30 window → 2
+    // day 3 peak: 1 — a peak of 2 means the tie rule broke
+    assert(out == List(("2024-01-01", 2L), ("2024-01-02", 2L),
+      ("2024-01-03", 1L)))
+  }
+
+  test("rangeJoin: non-key column collision is rejected loudly") {
+    import spark.implicits._
+    val pts = Seq((1L, ts(0))).toDF("pid", "t")
+    val iv = Seq((1L, ts(0), ts(1))).toDF("pid", "s", "e")
+    val err = intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(pts, "t", iv, "s", "e", 1000000L)
+    }
+    assert(err.getMessage.contains("pid"))
+  }
 }
