@@ -36,7 +36,8 @@ object Bench {
       "q81_corpus_rebalance", "q82_retention_cohorts",
       "q83_funnel_attribution", "q84_value_percentiles",
       "q85_event_transitions", "q86_value_percentiles_approx",
-      "q87_range_windows", "q88_session_overlap", "q89_peak_concurrency")
+      "q87_range_windows", "q88_session_overlap", "q89_peak_concurrency",
+      "q90_stratified_sample")
     val available = preferred.filter(SparkEntry.queries.contains)
     val base =
       if (available.nonEmpty) available else SparkEntry.queries.keys.toSeq.sorted

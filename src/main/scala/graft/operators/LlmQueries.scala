@@ -265,6 +265,16 @@ object LlmQueries {
     TextOps.rebalanceCorpus(Tables.documents(s, d), "doc_id", "text",
       "lang", 3000L)
 
+  /** Deterministic stratified eval sample (see
+    * [[TextOps.stratifiedSample]]): exactly 40 docs per language,
+    * md5-hash-ranked — no RNG, identical across engines and reruns.
+    */
+  def q90StratifiedSample(s: SparkSession, d: String): DataFrame =
+    TextOps.stratifiedSample(Tables.documents(s, d), Seq("lang"),
+        "doc_id", 40)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy("lang", "sample_rank")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31DedupExact _),
     "q32_text_stats" -> (q32TextStats _),
@@ -291,7 +301,8 @@ object LlmQueries {
     "q76_winnow_containment" -> (q76Containment _),
     "q77_split_report" -> (q77SplitReport _),
     "q78_split_leakage" -> (q78SplitLeakage _),
-    "q81_corpus_rebalance" -> (q81Rebalance _))
+    "q81_corpus_rebalance" -> (q81Rebalance _),
+    "q90_stratified_sample" -> (q90StratifiedSample _))
 
   private val shingleBase =
     """base AS (
@@ -790,7 +801,16 @@ object LlmQueries {
          |           ELSE 0 END) AS BIGINT) AS n_tokens_after,
          |  round(min(r.rate), 6) AS keep_rate
          |FROM base b JOIN rated r USING (lang)
-         |GROUP BY 1 ORDER BY 1""".stripMargin))
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q90_stratified_sample" -> (
+      s"""SELECT doc_id, lang, sample_rank FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${hexFold.format("CAST(doc_id AS VARCHAR)")},
+         |        doc_id) AS sample_rank
+         |  FROM documents)
+         |WHERE sample_rank <= 40
+         |ORDER BY lang, sample_rank""".stripMargin))
 
   /** SimHash candidate CTEs shared by the q70 (best-partner stats) and
     * q75 (components) oracles: 56-bit two-hash fingerprints → 4×14-bit

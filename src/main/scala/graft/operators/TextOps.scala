@@ -823,6 +823,31 @@ object TextOps {
     overlapped.unionByName(fallback)
   }
 
+  /** Deterministic stratified sample: exactly min(k, |stratum|) rows
+    * per stratum, ranked by the 28-bit md5 hash of the id with the id
+    * itself as tiebreaker — the reproducible eval-carve-out device. No
+    * RNG or seed state: selection is a pure function of ids, identical
+    * across engines, reruns, and ingest ORDER. (Adding or removing
+    * stratum members can change which ids rank inside the top k — by
+    * design, the sample stays hash-uniform over the CURRENT
+    * population; contrast [[splitAssign]], where a row's assignment is
+    * permanent regardless of population.)
+    *
+    * Scale shape: one hash shuffle on the strata; the rank-≤-k filter
+    * compiles to WindowGroupLimit (partial top-k BEFORE the exchange on
+    * Spark 3.5+), so no stratum ever materializes a full sort of
+    * itself on one task — per-task state is k rows.
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String],
+                       idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(hash7(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Deterministic train/val/test assignment: hash the doc id into 100
     * buckets (md5-prefix, so the oracle reproduces it) and carve the
     * range by cumulative percentage — the standard reproducible-split

@@ -18,6 +18,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("stratifiedSample: exact k per stratum, whole stratum when " +
+    "smaller, partition-order-invariant") {
+    val df = ((0 until 50).map(i => (i.toLong, "big")) ++
+      (100 until 103).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+    val out = TextOps.stratifiedSample(df.repartition(7), Seq("lang"),
+      "doc_id", 5)
+    val byLang = out.collect()
+      .groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("sample_rank"))).toSet).toMap
+    assert(byLang("big").size == 5)     // exactly k
+    assert(byLang("small").size == 3)   // whole stratum when < k
+    assert(byLang("big").map(_._2) == Set(1L, 2L, 3L, 4L, 5L))
+    // determinism: a different physical partitioning picks the SAME ids
+    val again = TextOps.stratifiedSample(df.repartition(3), Seq("lang"),
+      "doc_id", 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sample_rank")))
+      .toSet
+    assert(again == byLang("big") ++ byLang("small"))
+    // the rank-<=-k filter must compile to the partial top-k operator
+    val plan = TextOps.stratifiedSample(df, Seq("lang"), "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"stratifiedSample lost the top-k pushdown:\n$plan")
+  }
+
   test("minhashLsh: identical docs are candidates with jaccard 1.0") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val df = Seq((1L, text), (2L, text), (3L, "completely different words here that share nothing at all today"))
