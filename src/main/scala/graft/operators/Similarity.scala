@@ -97,18 +97,22 @@ object Similarity {
       when(dotQ(q, coeffs) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** Label-free near-dup via hyperplane LSH: bucket on the signature,
-    * pair only within buckets, verify with exact cosine. The scale path
-    * when no cluster metadata exists — one shuffle on the bucket key,
-    * collision rate (not n²) controls the pair count. Every vector keeps
-    * a row (n_peers 0 when its bucket is a singleton).
+  /** The ONE candidate/verify/report pipeline behind both LSH
+    * nearest-neighbor forms: candidates must agree on every column in
+    * (blockCols..., bucket), every candidate is verified with the exact
+    * integer cosine, and every vector keeps a row (n_peers 0 when
+    * nothing shares its keys). Output: vec_id, blockCols..., bucket,
+    * n_peers, best_nn, best_cos.
     */
-  def lshNearestNeighbor(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  private def lshNN(df: DataFrame, idCol: String, vecCol: String,
+                    blockCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = prepared(df, idCol, vecCol)
+    val base = prepared(df, idCol, vecCol, blockCols)
       .withColumn("bucket", hyperplaneBucket(col("q")))
-    val pairs = base.as("x").join(base.as("y"),
-      col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+    val joinCond = (blockCols :+ "bucket")
+      .map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
+      col("x.vec_id") < col("y.vec_id")
+    val pairs = base.as("x").join(base.as("y"), joinCond)
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         cosineQ(col("x.q"), col("y.q"), col("x.norm2"), col("y.norm2"))
           .as("cosine"))
@@ -119,12 +123,23 @@ object Similarity {
       .agg(count(lit(1)).as("n_peers"),
         max(when(col("rn") === 1, col("nn_id"))).as("best_nn"),
         max(when(col("rn") === 1, col("cosine"))).as("best_cos"))
-    base.select(col("vec_id"), col("bucket"))
+    val carried = col("vec_id") +: blockCols.map(col) :+ col("bucket")
+    base.select(carried: _*)
       .join(best, Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col("bucket"),
+      .select(carried ++ Seq(
         coalesce(col("n_peers"), lit(0L)).as("n_peers"),
-        col("best_nn"), col("best_cos"))
+        col("best_nn"), col("best_cos")): _*)
   }
+
+  /** Label-free near-dup via hyperplane LSH: bucket on the signature,
+    * pair only within buckets, verify with exact cosine. The scale path
+    * when no cluster metadata exists — one shuffle on the bucket key,
+    * collision rate (not n²) controls the pair count. Every vector keeps
+    * a row (n_peers 0 when its bucket is a singleton).
+    */
+  def lshNearestNeighbor(df: DataFrame, idCol: String,
+                         vecCol: String): DataFrame =
+    lshNN(df, idCol, vecCol, Nil)
 
   /** [[blockedNearestNeighbor]]'s 100 TB path — the registered q38
     * execution: [[lshNearestNeighbor]]'s hyperplane banding restricted
@@ -137,30 +152,8 @@ object Similarity {
     */
   def blockedLshNearestNeighbor(df: DataFrame, idCol: String,
                                 vecCol: String,
-                                blockCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = prepared(df, idCol, vecCol, Seq(blockCol))
-      .withColumn("bucket", hyperplaneBucket(col("q")))
-    val pairs = base.as("x").join(base.as("y"),
-      col(s"x.$blockCol") === col(s"y.$blockCol") &&
-        col("x.bucket") === col("y.bucket") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        cosineQ(col("x.q"), col("y.q"), col("x.norm2"), col("y.norm2"))
-          .as("cosine"))
-    val sym = TextOps.symmetrize(pairs, "vec_id", "nn_id", "cosine")
-    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nn_id").asc)
-    val best = sym.withColumn("rn", row_number().over(w))
-      .groupBy("vec_id")
-      .agg(count(lit(1)).as("n_peers"),
-        max(when(col("rn") === 1, col("nn_id"))).as("best_nn"),
-        max(when(col("rn") === 1, col("cosine"))).as("best_cos"))
-    base.select(col("vec_id"), col(blockCol), col("bucket"))
-      .join(best, Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col(blockCol), col("bucket"),
-        coalesce(col("n_peers"), lit(0L)).as("n_peers"),
-        col("best_nn"), col("best_cos"))
-  }
+                                blockCol: String): DataFrame =
+    lshNN(df, idCol, vecCol, Seq(blockCol))
 
   /** Recall@k of an approximate top-k result against the exact one — the
     * metric a production ANN deployment tracks to tune its

@@ -354,14 +354,23 @@ object Temporal {
     * is not (+1 runs peak at their end, −1 runs at their start), so the
     * output is stable across partitionings — and matches the oracle's
     * single ORDER BY (t, delta) running sum.
+    *
+    * Each day's peak also considers the MIDNIGHT instant (= the carry
+    * alone), so a day that only CLOSES carried-over intervals still
+    * reports them. Output contains only days with at least one
+    * interval endpoint: a delta-less day's concurrency is constant and
+    * equals the carry of the next emitting day.
     */
   def peakConcurrency(intervals: DataFrame, startTs: String,
                       endTs: String): DataFrame = {
-    val deltas = intervals
+    // persisted: both prefix-sum levels (the in-day window and the
+    // per-day carry aggregate) read this frame — without the barrier
+    // each branch re-evaluates the interval source
+    val deltas = Caches.persistTracked(intervals
       .select(col(startTs).as("t"), lit(1).as("delta"))
       .unionByName(intervals.select(col(endTs).as("t"),
         lit(-1).as("delta")))
-      .withColumn("day", date_format(col("t"), "yyyy-MM-dd"))
+      .withColumn("day", date_format(col("t"), "yyyy-MM-dd")))
     val byDay = Window.partitionBy("day").orderBy(col("t"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = deltas.withColumn("run_in_day",
@@ -373,8 +382,13 @@ object Temporal {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("day", "carry")
     within.join(broadcast(carry), Seq("day"))
-      .groupBy("day")
-      .agg(max(col("run_in_day") + col("carry")).as("peak"))
+      .groupBy(col("day"), col("carry"))
+      // the day's worst moment is either just after some delta
+      // (carry + run_in_day) or the MIDNIGHT instant itself (carry +
+      // 0, before any delta fires) — a day whose first delta is a −1
+      // otherwise under-reports the windows still open from yesterday
+      .agg(greatest(max(col("run_in_day")), lit(0L)).as("mx"))
+      .select(col("day"), (col("carry") + col("mx")).as("peak"))
       .orderBy("day")
   }
 
@@ -388,10 +402,14 @@ object Temporal {
     * no-nested-loop plan pin guards exactly this regression.
     */
   def q87RangeWindows(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val points = ev.select(col("event_id"), col("event_type"), col("ts"))
+    // one persisted narrow projection feeds all three uses (range-join
+    // points, window derivation, left-outer join back) — Spark has no
+    // cross-branch subplan reuse, so without it the query scans the
+    // events table three times
+    val points = Caches.persistTracked(Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts")))
     val win = 5L * 60 * 1000000
-    val windows = ev.filter(col("event_type") === "error")
+    val windows = points.filter(col("event_type") === "error")
       .select(col("event_id").as("window_id"), col("ts").as("w_start"),
         timestamp_micros(unix_micros(col("ts")) + win).as("w_end"))
     val agg = rangeJoin(points, "ts", windows, "w_start", "w_end", win)
@@ -622,10 +640,19 @@ object Temporal {
         |  SELECT e_us AS t_us, -1 AS delta FROM w),
         |r AS (
         |  SELECT strftime(make_timestamp(t_us), '%Y-%m-%d') AS day,
+        |    delta,
         |    CAST(sum(delta) OVER (ORDER BY t_us, delta
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS BIGINT) AS run
-        |  FROM d)
-        |SELECT day, max(run) AS peak FROM r GROUP BY day
-        |ORDER BY day""".stripMargin)
+        |  FROM d),
+        |m AS (SELECT day, max(run) AS mx FROM r GROUP BY day),
+        |-- a day's peak can be the MIDNIGHT instant: the carry of all
+        |-- prior days' deltas, before any of the day's own rows fire
+        |c AS (
+        |  SELECT day, CAST(coalesce(sum(day_total) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS carry
+        |  FROM (SELECT day, sum(delta) AS day_total FROM r GROUP BY day))
+        |SELECT m.day, greatest(m.mx, c.carry) AS peak
+        |FROM m JOIN c USING (day) ORDER BY day""".stripMargin)
 }

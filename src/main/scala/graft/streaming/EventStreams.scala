@@ -219,8 +219,10 @@ object EventStreams {
     * the latest view by the same user at-or-before it, from per-user
     * state that holds ONLY the newest view seen (one tiny record per
     * user, not history — the bound that survives an unbounded stream).
-    * Within a micro-batch events are processed in (ts, event_id) order
-    * so a click sees a same-batch earlier view.
+    * Within a micro-batch events are processed in (ts, side, event_id)
+    * order — views before clicks at equal ts, the batch form's
+    * (_ts, _side, _tie) sort — so a click sees a same-batch earlier OR
+    * same-timestamp view regardless of event-id order.
     *
     * Bounded-state semantics, documented not hidden: a click that
     * arrives AFTER a newer view has already replaced its true match
@@ -248,7 +250,12 @@ object EventStreams {
         org.apache.spark.sql.streaming.OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[AsOfState]) =>
-          val ordered = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          // (ts, side, id) — the batch asOfJoin's (_ts, _side, _tie)
+          // sort: at equal ts every view processes BEFORE any click, so
+          // a same-batch tied click sees the view (>= tie semantics)
+          // even when the view's event_id is larger than the click's
+          val ordered = rows.toSeq.sortBy(e =>
+            (us(e.ts), if (e.event_type == rightType) 0 else 1, e.event_id))
           var st = state.getOption
           val out = Seq.newBuilder[Attribution]
           ordered.foreach { e =>

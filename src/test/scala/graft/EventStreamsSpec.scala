@@ -58,6 +58,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS sasof") }
   }
 
+  test("streamingAsOf: a same-batch click at a view's exact ts matches it " +
+    "even when the view's id is larger") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.EventStreams.TypedEvent
+    // batch q79's >= tie semantics: click(id 3) at ts T attributes to
+    // view(id 5) at the same T — the (ts, side, id) sort processes the
+    // view first despite its larger event_id
+    val in = MemoryStream[TypedEvent]
+    val q = EventStreams.streamingAsOf(in.toDS()).writeStream
+      .format("memory").queryName("sasof_tieclick").outputMode("append").start()
+    try {
+      in.addData(
+        TypedEvent(3L, 7L, ts("2024-01-01 10:00:00"), "click"),
+        TypedEvent(5L, 7L, ts("2024-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("sasof_tieclick")
+        .as[(Long, Long, Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> (r._3, r._4)).toMap
+      assert(rows(3L) == (Some(5L), Some(0L)), "tied view must win, lag 0")
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS sasof_tieclick") }
+  }
+
   test("streamingAsOf: tied view timestamps resolve to max id across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

@@ -225,6 +225,20 @@ class TemporalSpec extends AnyFunSuite {
       ("2024-01-03", 1L)))
   }
 
+  test("peakConcurrency: a day that only CLOSES carried intervals still " +
+    "reports the midnight peak") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    // one window [23:58, 00:03): day 2's ONLY delta is its -1, so the
+    // day's worst moment is the midnight instant (carry = 1); sampling
+    // peaks only after deltas would report 1 + (-1) = 0
+    val iv = Seq((t("2024-01-01 23:58:00"), t("2024-01-02 00:03:00")))
+      .toDF("s", "e")
+    val out = Temporal.peakConcurrency(iv, "s", "e")
+      .as[(String, Long)].collect().toList
+    assert(out == List(("2024-01-01", 1L), ("2024-01-02", 1L)))
+  }
+
   test("rangeJoin: non-key column collision is rejected loudly") {
     import spark.implicits._
     val pts = Seq((1L, ts(0))).toDF("pid", "t")
