@@ -99,15 +99,19 @@ object Bench {
     // per-query spread (max/min − 1, %) across the timed iterations: the
     // published noise band — a round-over-round delta smaller than the
     // spread is measurement, not engineering
-    val spread = results.collect { case (k, t) if t.min > 0 =>
-      "\"" + k + f"\":${(t.max / t.min - 1) * 100}%.1f"
+    def spreadJson(minPct: Double): String = results.collect {
+      case (k, t) if t.min > 0 && (t.max / t.min - 1) * 100 >= minPct =>
+        "\"" + k + f"\":${(t.max / t.min - 1) * 100}%.1f"
     }.mkString("{", ",", "}")
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2.min).filter(_ >= 0).sum
-    val json =
+    def json(spread: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_pct":$spread,"iters":$iterations,"errors":$errJson,"sf":"$sfDir"}"""
-    println(json)
-    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    // stdout must survive a bounded tail-capture window (round 10's
+    // artifact was cut mid-line): print the spread only where it is
+    // signal (≥25%); the complete spread map goes to bench_out.json.
+    println(json(spreadJson(25.0)))
+    Files.writeString(Paths.get("bench_out.json"), json(spreadJson(0.0)) + "\n")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

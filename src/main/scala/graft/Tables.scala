@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated synthetic tables (TESTDATA.md).
   * One parquet file per table under the scale-factor dir.
@@ -22,20 +22,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as Long ns since
-    * epoch. Truncate to micros (same as DuckDB's read) and expose a real
-    * timestamp column.
+  /** events.ts arrives in whichever parquet layout the generator used:
+    * TIMESTAMP(NANOS) (surfaces as Long ns with
+    * spark.sql.legacy.parquet.nanosAsLong=true), plain timestamp[us]
+    * (surfaces as TIMESTAMP_NTZ in Spark 4), or UTC-adjusted
+    * timestamp[us] (already TIMESTAMP). Normalize all three to
+    * TimestampType so downstream unix_micros/timestamp_micros kernels
+    * always see the same type and value.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = load(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      // Integer division, not floor(double): 2020s ns epochs (~1.7e18)
-      // exceed double's 53-bit mantissa and would round across µs
-      // boundaries; `div` matches DuckDB's exact integer truncation.
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"), "ts")
+
+  /** Contract: after this call, `tsCol` is TimestampType with the same
+    * µs-since-epoch value DuckDB reads from the file (session TZ is
+    * pinned UTC, so the NTZ→TZ cast is value-preserving).
+    */
+  def normalizeTs(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        // Integer division, not floor(double): 2020s ns epochs (~1.7e18)
+        // exceed double's 53-bit mantissa and would round across µs
+        // boundaries; `div` matches DuckDB's exact integer truncation.
+        df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -240,6 +240,36 @@ object Temporal {
   def q82Retention(s: SparkSession, d: String): DataFrame =
     retentionCohorts(Tables.events(s, d), "user_id", "ts")
 
+  /** [[retentionCohorts]]'s 100 TB twin: the same matrix with
+    * `approx_count_distinct` (HyperLogLog++, rsd 0.5%) in place of the
+    * exact `countDistinct`. Exact distinct counting shuffles every
+    * (cohort, day, user) triple into the aggregate's dedup state —
+    * state ∝ distinct users per cell, the one unbounded aggregate left
+    * in the extension set (VERDICT r10 §next-3). HLL sketches are
+    * fixed-size and mergeable, so the map-side partial stays partial
+    * and per-cell memory is constant at any user count. Sketch counts
+    * are engine-specific → rows-only registry entry (no oracle);
+    * ApproxTwinSpec brackets it against the exact q82.
+    */
+  def retentionCohortsApprox(events: DataFrame, userCol: String,
+                             tsCol: String): DataFrame = {
+    val byUser = Window.partitionBy(userCol)
+    val labeled = events.select(col(userCol).as("user_id"),
+        date_format(col(tsCol), "yyyy-MM-dd").as("act_day"),
+        date_format(min(col(tsCol)).over(byUser), "yyyy-MM-dd")
+          .as("cohort"))
+    val cells = labeled.groupBy("cohort", "act_day")
+      .agg(approx_count_distinct(col("user_id"), 0.005).as("n_active"))
+    cells.withColumn("retention", round(col("n_active") /
+        max(when(col("act_day") === col("cohort"), col("n_active")))
+          .over(Window.partitionBy("cohort")), 6))
+      .orderBy("cohort", "act_day")
+  }
+
+  /** q91: the approx retention matrix over the events table. */
+  def q91RetentionApprox(s: SparkSession, d: String): DataFrame =
+    retentionCohortsApprox(Tables.events(s, d), "user_id", "ts")
+
   /** Funnel attribution: purchase → latest prior click → latest prior
     * view (anchored on the CLICK's time), per user, with exact µs lags
     * and a 7-day-per-step full-funnel verdict — two CHAINED as-of
@@ -487,7 +517,11 @@ object Temporal {
     "q86_value_percentiles_approx" -> (q86PercentilesApprox _),
     "q87_range_windows" -> (q87RangeWindows _),
     "q88_session_overlap" -> (q88SessionOverlap _),
-    "q89_peak_concurrency" -> (q89PeakConcurrency _))
+    "q89_peak_concurrency" -> (q89PeakConcurrency _),
+    // q91 has NO oracle entry by design: approx_count_distinct is an
+    // HLL++ sketch whose exact counts are engine-specific → rows-only
+    // check; ApproxTwinSpec brackets it against the exact q82
+    "q91_retention_cohorts_approx" -> (q91RetentionApprox _))
 
   val oracle: Map[String, String] = Map(
     "q79_asof_attribution" ->

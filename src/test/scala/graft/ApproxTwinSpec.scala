@@ -42,4 +42,27 @@ class ApproxTwinSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** q82 ↔ q91 twin: the HLL++ distinct counts must land within the
+    * sketch's rsd bound of the exact countDistinct per cell. rsd is
+    * 0.005, so ±5σ (2.5%) with a floor of ±2 users for tiny cells is a
+    * drift-vs-noise boundary: a violation means the twin stopped
+    * counting the same thing. Same cells, same ordering, same derived
+    * retention-rate column structure.
+    */
+  test("q91 approx retention cohorts bracket q82's exact counts per cell") {
+    val exact = Temporal.q82Retention(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_active"))
+      .toMap
+    val approx = Temporal.q91RetentionApprox(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_active"))
+      .toMap
+    assert(exact.nonEmpty && exact.keySet == approx.keySet)
+    exact.foreach { case (cell, n) =>
+      val a = approx(cell)
+      val tol = math.max(2.0, 0.025 * n)
+      assert(math.abs(a - n) <= tol,
+        s"$cell approx=$a exact=$n tolerance=$tol")
+    }
+  }
 }

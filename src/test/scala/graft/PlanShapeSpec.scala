@@ -124,6 +124,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q89 shuffles the delta stream for a |days|-row carry:\n$p")
   }
 
+  test("q87: range join executes as a hash equi-join on the bin") {
+    val p = plan("q87_range_windows")
+    // the bin-replication rewrite's whole point: a pure inequality
+    // condition would plan as BroadcastNestedLoopJoin (|points| ×
+    // |intervals| — the range-ab probe measured 81×); the rewrite must
+    // keep it a hash equi-join keyed on _bin
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q87 regressed to a nested-loop range join:\n$p")
+    assert("Join.*\\[_bin#\\d+L\\]".r.findFirstIn(p).isDefined ||
+      "Join [^\\n]*_bin#\\d+L".r.findFirstIn(p).isDefined,
+      s"q87 candidate join lost the _bin equi-key:\n$p")
+  }
+
+  test("q88: first-shared-bin dedup — no distinct pass after the join") {
+    val p = plan("q88_session_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q88 regressed to a nested-loop overlap join:\n$p")
+    // each overlapping pair must emit exactly once FROM THE JOIN (kept
+    // only in its first shared bin); a dedup regression shows up as a
+    // grouping-only HashAggregate (functions=[]) between join and the
+    // overlap count
+    assert(!p.contains("functions=[]"),
+      s"q88 grew a distinct (grouping-only aggregate) pass:\n$p")
+  }
+
   test("similarity verify kernels stay native in the plan") {
     val p36 = plan("q36_minhash_lsh")
     assert(p36.contains("graft_sorted_intersect_count"), p36)

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the loader contract of `Tables.normalizeTs`: whatever parquet
+  * layout the generator picks for `events.ts` — nanos-as-long (the
+  * TIMESTAMP(NANOS) read path under nanosAsLong=true), plain
+  * timestamp[us] (TIMESTAMP_NTZ in Spark 4), or UTC-adjusted
+  * timestamp[us] (TIMESTAMP) — the loaded column is TimestampType with
+  * identical µs-since-epoch values. A generator layout change must
+  * never silently take out the temporal query family again (r10 broke
+  * exactly this way when the driver switched NANOS → timestamp[us]).
+  */
+class TablesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // three instants that exercise µs precision and a pre-1970 value
+  private val micros = Seq(1700000000123456L, 1700000000123457L, -5000001L)
+
+  private def writeRead(df: DataFrame): DataFrame = {
+    val dir = Files.createTempDirectory("graft-tables-spec").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/events.parquet"
+    df.write.mode("overwrite").parquet(path)
+    Tables.normalizeTs(spark.read.parquet(path), "ts")
+  }
+
+  private def loadedMicros(df: DataFrame): Seq[Long] = {
+    assert(df.schema("ts").dataType == TimestampType, df.schema("ts").dataType)
+    df.select(unix_micros(col("ts"))).as[Long].collect().toSeq.sorted
+  }
+
+  test("nanos-as-long layout surfaces as TimestampType with truncated-µs values") {
+    // TIMESTAMP(NANOS) under nanosAsLong=true arrives as a raw Long column;
+    // writing LongType directly exercises the identical loader branch.
+    // Sub-µs noise only on post-epoch values: `div` truncates toward zero,
+    // and the generator emits no pre-1970 events.
+    val ns = micros.map(u => u * 1000L + (if (u >= 0) 789L else 0L))
+    val df = writeRead(ns.toDF("ts"))
+    assert(loadedMicros(df) == micros.sorted)
+  }
+
+  test("timestamp[us] NTZ layout surfaces as TimestampType with identical values") {
+    val ntz = micros
+      .toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+    val df = writeRead(ntz)
+    assert(loadedMicros(df) == micros.sorted)
+  }
+
+  test("UTC-adjusted timestamp[us] layout passes through unchanged") {
+    val tz = micros.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+    assert(tz.schema("ts").dataType == TimestampType)
+    val df = writeRead(tz)
+    assert(loadedMicros(df) == micros.sorted)
+  }
+
+  test("the real generated events table loads as TimestampType") {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val df = Tables.events(spark, sf)
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.limit(1).count() == 1L)
+  }
+}
