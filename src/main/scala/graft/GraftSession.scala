@@ -19,9 +19,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
-      // read as Long ns and convert (Tables.events) exactly like DuckDB's
-      // truncate-to-micros behavior.
+      // events.parquet has shipped as TIMESTAMP(NANOS), which vanilla
+      // Spark rejects outright; this flag reads that layout as Long ns
+      // so Tables.normalizeTs can convert it (exactly DuckDB's
+      // truncate-to-micros). Harmless for the µs layouts.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native expression library (graft_to_number_native, …)
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")

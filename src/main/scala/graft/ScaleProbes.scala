@@ -232,7 +232,12 @@ object ScaleProbes {
         // exactly one row (matched or not), so completion is the sink
         // holding n/2 rows; NoTimeout state means processAllAvailable
         // suffices (unlike the neardup probe's timeout loop).
+        // Optional third arg: number of sequential micro-batches. 1 =
+        // the bulk-ingest ceiling; >1 = the SUSTAINED rate, each batch
+        // paying its own planning/state-store-commit cost — the number
+        // a continuously-running attribution deployment actually gets.
         val n = args.lift(1).map(_.toInt).getOrElse(200000)
+        val batches = args.lift(2).map(_.toInt).getOrElse(1)
         import spark.implicits._
         implicit val sq = spark.sqlContext
         val users = math.max(1, n / 200) | 1
@@ -244,13 +249,19 @@ object ScaleProbes {
             .writeStream.format("memory").queryName("probe_sasof")
             .outputMode("append").start()
           try {
-            in.addData((0 until n).map { i =>
-              graft.streaming.EventStreams.TypedEvent(i.toLong,
-                (i % users).toLong,
-                new java.sql.Timestamp(i.toLong * 1000L),
-                if (i % 2 == 0) "view" else "click")
-            })
-            q.processAllAvailable()
+            // chunk bounds keep event-time order ACROSS batches (state
+            // correctness doesn't need it, but it mirrors a live feed)
+            for (b <- 0 until batches) {
+              val lo = (n.toLong * b / batches).toInt
+              val hi = (n.toLong * (b + 1) / batches).toInt
+              in.addData((lo until hi).map { i =>
+                graft.streaming.EventStreams.TypedEvent(i.toLong,
+                  (i % users).toLong,
+                  new java.sql.Timestamp(i.toLong * 1000L),
+                  if (i % 2 == 0) "view" else "click")
+              })
+              q.processAllAvailable()
+            }
             val got = spark.table("probe_sasof").count()
             require(got == expected,
               s"expected $expected attributions, sink has $got")
@@ -261,8 +272,9 @@ object ScaleProbes {
         }
         onceA() // warm: state-store init, codegen, JIT
         val asec = minOf3(onceA())
-        println(f"[probe] streaming-asof: events=$n attributions=$expected " +
-          f"min3_sec=$asec%.2f events_per_sec=${n / asec}%.0f")
+        println(f"[probe] streaming-asof: events=$n batches=$batches " +
+          f"attributions=$expected min3_sec=$asec%.2f " +
+          f"events_per_sec=${n / asec}%.0f")
 
       case "range-ab" =>
         // the nested-loop cliff behind q87: Spark plans a pure

@@ -20,8 +20,10 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTsNaive(load(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTsNaive(load(s, d, "lineitem"), "l_shipdate")
   /** events.ts arrives in whichever parquet layout the generator used:
     * TIMESTAMP(NANOS) (surfaces as Long ns with
     * spark.sql.legacy.parquet.nanosAsLong=true), plain timestamp[us]
@@ -48,6 +50,27 @@ object Tables {
         df.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => df
     }
+  /** [[normalizeTs]]'s NAIVE-side twin for date-like columns that
+    * queries emit RAW (o_orderdate, l_shipdate): the driver's oracle
+    * compare reads DuckDB's output of a `timestamp[us]` file as a
+    * naive timestamp, so these columns must stay TIMESTAMP_NTZ — but a
+    * generator flip to TIMESTAMP(NANOS) (Long under nanosAsLong) or to
+    * UTC-adjusted µs must not change what downstream sees. All layouts
+    * land on TimestampNTZType; UTC session makes every cast
+    * value-preserving. (events.ts goes the OTHER way, to TimestampType,
+    * because its µs-arithmetic kernels require TIMESTAMP — it is never
+    * emitted raw.)
+    */
+  def normalizeTsNaive(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol,
+          expr(s"timestamp_micros($tsCol div 1000)").cast(TimestampNTZType))
+      case TimestampType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampNTZType))
+      case _ => df
+    }
+
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

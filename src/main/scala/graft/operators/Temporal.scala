@@ -241,13 +241,17 @@ object Temporal {
     retentionCohorts(Tables.events(s, d), "user_id", "ts")
 
   /** [[retentionCohorts]]'s 100 TB twin: the same matrix with
-    * `approx_count_distinct` (HyperLogLog++, rsd 0.5%) in place of the
+    * `approx_count_distinct` (HyperLogLog++, rsd 1%) in place of the
     * exact `countDistinct`. Exact distinct counting shuffles every
     * (cohort, day, user) triple into the aggregate's dedup state —
     * state ∝ distinct users per cell, the one unbounded aggregate left
     * in the extension set (VERDICT r10 §next-3). HLL sketches are
     * fixed-size and mergeable, so the map-side partial stays partial
-    * and per-cell memory is constant at any user count. Sketch counts
+    * and per-cell memory is constant at any user count. rsd trades
+    * buffer size quadratically for accuracy: 0.5% costs 2^16 registers
+    * per in-flight partial group and measured 4× slower than this
+    * query at 1% (2^14) with no accuracy the bracket test can see —
+    * don't tighten it below what the consumer reads. Sketch counts
     * are engine-specific → rows-only registry entry (no oracle);
     * ApproxTwinSpec brackets it against the exact q82.
     */
@@ -259,7 +263,7 @@ object Temporal {
         date_format(min(col(tsCol)).over(byUser), "yyyy-MM-dd")
           .as("cohort"))
     val cells = labeled.groupBy("cohort", "act_day")
-      .agg(approx_count_distinct(col("user_id"), 0.005).as("n_active"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_active"))
     cells.withColumn("retention", round(col("n_active") /
         max(when(col("act_day") === col("cohort"), col("n_active")))
           .over(Window.partitionBy("cohort")), 6))

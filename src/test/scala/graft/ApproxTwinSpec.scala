@@ -45,7 +45,7 @@ class ApproxTwinSpec extends AnyFunSuite {
 
   /** q82 ↔ q91 twin: the HLL++ distinct counts must land within the
     * sketch's rsd bound of the exact countDistinct per cell. rsd is
-    * 0.005, so ±5σ (2.5%) with a floor of ±2 users for tiny cells is a
+    * 0.01, so ±5σ (5%) with a floor of ±2 users for tiny cells is a
     * drift-vs-noise boundary: a violation means the twin stopped
     * counting the same thing. Same cells, same ordering, same derived
     * retention-rate column structure.
@@ -60,7 +60,7 @@ class ApproxTwinSpec extends AnyFunSuite {
     assert(exact.nonEmpty && exact.keySet == approx.keySet)
     exact.foreach { case (cell, n) =>
       val a = approx(cell)
-      val tol = math.max(2.0, 0.025 * n)
+      val tol = math.max(2.0, 0.05 * n)
       assert(math.abs(a - n) <= tol,
         s"$cell approx=$a exact=$n tolerance=$tol")
     }

@@ -62,6 +62,44 @@ class TablesSpec extends AnyFunSuite {
     assert(loadedMicros(df) == micros.sorted)
   }
 
+  private def writeReadNaive(df: DataFrame): DataFrame = {
+    val dir = Files.createTempDirectory("graft-tables-spec").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/orders.parquet"
+    df.write.mode("overwrite").parquet(path)
+    Tables.normalizeTsNaive(spark.read.parquet(path), "ts")
+  }
+
+  private def loadedNaiveMicros(df: DataFrame): Seq[Long] = {
+    assert(df.schema("ts").dataType == TimestampNTZType,
+      df.schema("ts").dataType)
+    df.select(unix_micros(col("ts").cast(TimestampType)))
+      .as[Long].collect().toSeq.sorted
+  }
+
+  test("normalizeTsNaive lands every layout on TIMESTAMP_NTZ, same values") {
+    val posMicros = micros.filter(_ >= 0)
+    // nanos-long
+    val ns = writeReadNaive(posMicros.map(u => u * 1000L + 789L).toDF("ts"))
+    assert(loadedNaiveMicros(ns) == posMicros.sorted)
+    // UTC-adjusted timestamp[us]
+    val tz = writeReadNaive(
+      posMicros.toDF("us").select(timestamp_micros(col("us")).as("ts")))
+    assert(loadedNaiveMicros(tz) == posMicros.sorted)
+    // plain timestamp[us] (NTZ) passes through untouched
+    val ntz = writeReadNaive(posMicros.toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")))
+    assert(loadedNaiveMicros(ntz) == posMicros.sorted)
+  }
+
+  test("the real orders/lineitem date columns load as TIMESTAMP_NTZ") {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    assert(Tables.orders(spark, sf).schema("o_orderdate")
+      .dataType == TimestampNTZType)
+    assert(Tables.lineitem(spark, sf).schema("l_shipdate")
+      .dataType == TimestampNTZType)
+  }
+
   test("the real generated events table loads as TimestampType") {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val df = Tables.events(spark, sf)
