@@ -79,6 +79,14 @@ object LlmQueries {
   def q69DupClusters(s: SparkSession, d: String): DataFrame =
     TextOps.dupClusters(Tables.documents(s, d), "doc_id", "text")
 
+  /** Incremental ingest screen: the deterministic 20% "new batch"
+    * (doc_id % 5 == 4 — scale-invariant, so every SF exercises both
+    * sides) near-dup-checked against the other 80% standing corpus.
+    */
+  def q92IncrementalNeardup(s: SparkSession, d: String): DataFrame =
+    TextOps.incrementalNearDup(Tables.documents(s, d), "doc_id", "text",
+      col("doc_id") % 5 === 4)
+
   /** Duplicate clusters over the OTHER candidate family: connected
     * components on the simhash hamming-≤-3 pairs (q70's banded
     * candidates) — fingerprints row-local, the band join the only
@@ -302,7 +310,8 @@ object LlmQueries {
     "q77_split_report" -> (q77SplitReport _),
     "q78_split_leakage" -> (q78SplitLeakage _),
     "q81_corpus_rebalance" -> (q81Rebalance _),
-    "q90_stratified_sample" -> (q90StratifiedSample _))
+    "q90_stratified_sample" -> (q90StratifiedSample _),
+    "q92_incremental_neardup" -> (q92IncrementalNeardup _))
 
   private val shingleBase =
     """base AS (
@@ -313,10 +322,11 @@ object LlmQueries {
       |          string_split_regex(trim(text), '\s+') AS w
       |        FROM documents))""".stripMargin
 
-  /** Shared LSH CTE chain (hashed shingle sets → signatures → bands →
-    * verified pairs → jaccard); consumed by q36 and q69.
+  /** Shared LSH CTE front half (hashed shingle sets → signatures →
+    * bands); consumed via [[lshJacCtes]] (symmetric pairs, q36/q69)
+    * and directly by q92's asymmetric new-vs-old probe.
     */
-  private lazy val lshJacCtes: String =
+  private lazy val lshSigBandCtes: String =
     s"""hs AS (
        |  SELECT doc_id,
        |    list_sort(list_distinct(
@@ -337,7 +347,13 @@ object LlmQueries {
        |  SELECT doc_id, hs, 0 AS band, sig0*2147483647 + sig1 AS key FROM sig
        |  UNION ALL SELECT doc_id, hs, 1, sig2*2147483647 + sig3 FROM sig
        |  UNION ALL SELECT doc_id, hs, 2, sig4*2147483647 + sig5 FROM sig
-       |  UNION ALL SELECT doc_id, hs, 3, sig6*2147483647 + sig7 FROM sig),
+       |  UNION ALL SELECT doc_id, hs, 3, sig6*2147483647 + sig7 FROM sig)""".stripMargin
+
+  /** Shared LSH CTE chain (hashed shingle sets → signatures → bands →
+    * verified pairs → jaccard); consumed by q36 and q69.
+    */
+  private lazy val lshJacCtes: String =
+    s"""$lshSigBandCtes,
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.hs AS sa, y.hs AS sb
        |  FROM bands x JOIN bands y
@@ -810,7 +826,42 @@ object LlmQueries {
          |        doc_id) AS sample_rank
          |  FROM documents)
          |WHERE sample_rank <= 40
-         |ORDER BY lang, sample_rank""".stripMargin))
+         |ORDER BY lang, sample_rank""".stripMargin),
+    "q92_incremental_neardup" -> (
+      s"""WITH $shingleBase,
+         |$lshSigBandCtes,
+         |-- ASYMMETRIC probe: the 20% new batch against the 80%
+         |-- standing corpus only — mirrors TextOps.incrementalNearDup
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id,
+         |    x.hs AS sa, y.hs AS sb
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key
+         |  WHERE x.doc_id % 5 = 4 AND y.doc_id % 5 <> 4
+         |    AND x.key IS NOT NULL),
+         |jac AS (
+         |  SELECT new_id, old_id,
+         |    len(list_intersect(sa, sb))
+         |      / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+         |      AS jaccard
+         |  FROM cand),
+         |rk AS (
+         |  SELECT new_id, old_id, jaccard,
+         |    row_number() OVER (PARTITION BY new_id
+         |      ORDER BY jaccard DESC, old_id ASC) AS rn
+         |  FROM jac),
+         |best AS (
+         |  SELECT new_id, count(*) AS n_candidates,
+         |    max(CASE WHEN rn = 1 THEN jaccard END) AS best_jaccard,
+         |    max(CASE WHEN rn = 1 THEN old_id END) AS best_match
+         |  FROM rk GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(b.n_candidates, 0) AS n_candidates,
+         |  b.best_jaccard, b.best_match,
+         |  coalesce(b.best_jaccard >= 0.8, false) AS is_dup
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.new_id
+         |WHERE d.doc_id % 5 = 4
+         |ORDER BY d.doc_id""".stripMargin))
 
   /** SimHash candidate CTEs shared by the q70 (best-partner stats) and
     * q75 (components) oracles: 56-bit two-hash fingerprints → 4×14-bit

@@ -221,6 +221,77 @@ object TextOps {
         col("best_jaccard"), col("best_partner"))
   }
 
+  /** INCREMENTAL near-dup: screen a NEW batch of documents against the
+    * EXISTING corpus — the shape a daily training-data ingest actually
+    * runs, where the standing corpus is orders of magnitude larger than
+    * the increment and must not be re-paired against itself. Membership
+    * is the `isNew` predicate; every new doc gets its banded-LSH
+    * candidates FROM THE OLD SIDE ONLY, exact-Jaccard verification
+    * (native sorted-intersect kernel), best existing match, and an
+    * `is_dup` verdict at `threshold`.
+    *
+    * Scale shape: the band join is ASYMMETRIC — new bands probe old
+    * bands on (band, key), so candidate count is the cross-collision
+    * rate (∝ |new| × bucket density), never |old|² or |new|²; a
+    * duplicate-rich increment doesn't explode against itself (intra-
+    * batch dups are [[minhashLsh]]'s job on the increment alone). At
+    * 100 TB the old side's (doc_id, band, key) frame and hashed
+    * shingle sets are a PERSISTED index — bucketed by (band, key) the
+    * probe join is shuffle-free on the corpus side and the increment
+    * pays one small shuffle; this operator rebuilds them from the
+    * snapshot because the testdata is one table, but nothing in the
+    * plan depends on that.
+    */
+  def incrementalNearDup(df: DataFrame, idCol: String, textCol: String,
+                         isNew: Column, threshold: Double = 0.8)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one hashed-shingle projection feeds signatures AND both verify
+    // sides, exactly like lshVerifiedPairsFrom
+    val shsets = Caches.persistTracked(df.select(col(idCol).as("doc_id"),
+      hashedShingleSet(col(textCol)).as("shset"), isNew.as("is_new")))
+    val sig = shsets.select(col("doc_id") :: col("is_new") ::
+      sigCols(col("shset")).toList: _*)
+    val banded = sig.select(col("doc_id"), col("is_new"),
+      explode(array((0 until bandsCount).map { j =>
+        struct(lit(j).as("band"),
+          (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("is_new"), col("bk.band"), col("bk.key"))
+      .filter(col("key").isNotNull)
+    val cand = banded.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("band"), col("key"))
+      .join(banded.filter(!col("is_new"))
+        .select(col("doc_id").as("old_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select("new_id", "old_id")
+      .distinct() // same pair can collide in several bands
+    val verified = cand
+      .join(shsets.select(col("doc_id").as("new_id"), col("shset").as("sa")),
+        Seq("new_id"))
+      .join(shsets.select(col("doc_id").as("old_id"), col("shset").as("sb")),
+        Seq("old_id"))
+      .withColumn("inter",
+        call_function("graft_sorted_intersect_count", col("sa"), col("sb")))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+    val wBest = Window.partitionBy("new_id")
+      .orderBy(col("jaccard").desc, col("old_id").asc)
+    val best = verified.withColumn("rn", row_number().over(wBest))
+      .groupBy("new_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        max(when(col("rn") === 1, col("jaccard"))).as("best_jaccard"),
+        max(when(col("rn") === 1, col("old_id"))).as("best_match"))
+    shsets.filter(col("is_new")).select(col("doc_id").as("new_id"))
+      .join(best, Seq("new_id"), "left_outer")
+      .select(col("new_id").as("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_jaccard"), col("best_match"),
+        coalesce(col("best_jaccard") >= threshold, lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate CLUSTERS: connected components over the verified near-dup
     * pairs at `threshold`, as iterative min-label propagation — the step
     * a production dedup pipeline runs after pair generation to pick one

@@ -57,6 +57,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("n_candidates") == 0L)
   }
 
+  test("incrementalNearDup: new batch pairs against the standing corpus " +
+    "only, never within itself") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    // old corpus: 1 (dup source), 3 (unrelated); new batch: 10 and 11
+    // are duplicates of each other AND of old doc 1, 12 is novel. The
+    // verdicts must come from the OLD side only: 10 and 11 each match
+    // old doc 1 with exactly one candidate (pairing with their new
+    // sibling would show n_candidates 2), 12 matches nothing.
+    val df = Seq(
+      (1L, text), (3L, "completely different words here that share nothing at all today"),
+      (10L, text), (11L, text),
+      (12L, "a third corpus of words unseen anywhere else in this fixture set"))
+      .toDF("doc_id", "text")
+    val out = TextOps.incrementalNearDup(df, "doc_id", "text",
+        col("doc_id") >= 10L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(10L, 11L, 12L)) // only new docs get rows
+    for (id <- Seq(10L, 11L)) {
+      assert(out(id).getAs[Boolean]("is_dup"), s"$id should dup old doc 1")
+      assert(out(id).getAs[Long]("best_match") == 1L,
+        s"$id must match the OLD doc, not its new sibling")
+      assert(out(id).getAs[Double]("best_jaccard") == 1.0)
+      assert(out(id).getAs[Long]("n_candidates") == 1L,
+        s"$id must see ONE candidate (old doc 1) — a new-new pair leaked")
+    }
+    assert(!out(12L).getAs[Boolean]("is_dup"))
+    assert(out(12L).getAs[Long]("n_candidates") == 0L)
+    assert(out(12L).isNullAt(out(12L).fieldIndex("best_match")))
+  }
+
   test("dupClusters: transitive duplicates collapse to the min-id component") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val df = Seq((1L, text), (2L, text), (5L, text),
