@@ -323,6 +323,47 @@ object ScaleProbes {
           f"binned_min3_sec=$binnedSec%.2f nestedloop_min3_sec=" +
           f"$nestedSec%.2f speedup=${nestedSec / binnedSec}%.2fx")
 
+      case "incremental-ab" =>
+        // the law behind q92: when an increment arrives, a FULL re-dedup
+        // re-pairs the whole corpus (cost ∝ |corpus| signatures + all
+        // bucket collisions). The incremental screen has two arms:
+        // REBUILD (the registered query's shape — testdata is one
+        // table, so the old side's shingle sets are recomputed each
+        // run) and STANDING (the production steady state — the old
+        // corpus index is already persisted, so an increment pays only
+        // its own hashing plus the asymmetric probe). Same 20% batch
+        // definition as the registered query.
+        val sfDir = args.lift(1).getOrElse(
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        val docs = Tables.documents(spark, sfDir)
+        val isNew = col("doc_id") % 5 === 4
+        def shOf(d: org.apache.spark.sql.DataFrame) =
+          d.select(col("doc_id"),
+            TextOps.hashedShingleSet(col("text")).as("shset"))
+        def noopW(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        def full(): Unit = noopW(TextOps.minhashLsh(docs, "doc_id", "text"))
+        def rebuild(): Unit = noopW(TextOps.incrementalNearDup(docs,
+          "doc_id", "text", isNew))
+        // the standing index persists OUTSIDE the Caches registry so the
+        // untimed per-iteration Caches.clear() can't drop it
+        val oldSh = shOf(docs.filter(!isNew)).persist()
+        oldSh.count() // materialize untimed — index maintenance, not probe cost
+        def standing(): Unit = noopW(TextOps.incrementalNearDupFrom(
+          oldSh, shOf(docs.filter(isNew)), 0.8))
+        try {
+          full(); Caches.clear(); rebuild(); Caches.clear()
+          standing(); Caches.clear() // warm all three
+          val fullSec = minOf3(full())
+          val rebuildSec = minOf3(rebuild())
+          val standingSec = minOf3(standing())
+          println(f"[probe] incremental-ab: sf=$sfDir " +
+            f"full_rededup_min3_sec=$fullSec%.2f " +
+            f"incremental_rebuild_min3_sec=$rebuildSec%.2f " +
+            f"incremental_standing_min3_sec=$standingSec%.2f " +
+            f"standing_speedup=${fullSec / standingSec}%.2fx")
+        } finally oldSh.unpersist()
+
       case "streaming-neardup" =>
         // throughput of the streaming MinHash-LSH near-dup: one bulk
         // micro-batch of a deterministic planted-dup corpus through the
@@ -377,8 +418,8 @@ object ScaleProbes {
       case other =>
         System.err.println(s"unknown probe '$other' " +
           "(expected: components | bucketed-merge | ngram-ab | " +
-          "asof-ab | containment-ab | range-ab | streaming-asof | " +
-          "streaming-neardup)")
+          "asof-ab | containment-ab | range-ab | incremental-ab | " +
+          "streaming-asof | streaming-neardup)")
         sys.exit(2)
     }
     spark.stop()

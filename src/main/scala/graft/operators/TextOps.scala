@@ -245,31 +245,42 @@ object TextOps {
   def incrementalNearDup(df: DataFrame, idCol: String, textCol: String,
                          isNew: Column, threshold: Double = 0.8)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // one hashed-shingle projection feeds signatures AND both verify
     // sides, exactly like lshVerifiedPairsFrom
     val shsets = Caches.persistTracked(df.select(col(idCol).as("doc_id"),
       hashedShingleSet(col(textCol)).as("shset"), isNew.as("is_new")))
-    val sig = shsets.select(col("doc_id") :: col("is_new") ::
-      sigCols(col("shset")).toList: _*)
-    val banded = sig.select(col("doc_id"), col("is_new"),
-      explode(array((0 until bandsCount).map { j =>
-        struct(lit(j).as("band"),
-          (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("is_new"), col("bk.band"), col("bk.key"))
-      .filter(col("key").isNotNull)
-    val cand = banded.filter(col("is_new"))
-      .select(col("doc_id").as("new_id"), col("band"), col("key"))
-      .join(banded.filter(!col("is_new"))
-        .select(col("doc_id").as("old_id"), col("band"), col("key")),
-        Seq("band", "key"))
+    incrementalNearDupFrom(
+      shsets.filter(!col("is_new")).select("doc_id", "shset"),
+      shsets.filter(col("is_new")).select("doc_id", "shset"), threshold)
+  }
+
+  /** [[incrementalNearDup]] over pre-built (doc_id, shset) frames — the
+    * steady-state entry point: in production `oldSh` IS the standing
+    * corpus index (persisted/bucketed), so an increment pays only its
+    * own hashing plus the asymmetric probe. The `incremental-ab`
+    * ScaleProbe measures exactly this arm.
+    */
+  private[graft] def incrementalNearDupFrom(oldSh: DataFrame,
+                                            newSh: DataFrame,
+                                            threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bandsOf(sh: DataFrame, idName: String): DataFrame =
+      sh.select(col("doc_id") +: sigCols(col("shset")): _*)
+        .select(col("doc_id").as(idName),
+          explode(array((0 until bandsCount).map { j =>
+            struct(lit(j).as("band"),
+              (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("key"))
+          }: _*)).as("bk"))
+        .select(col(idName), col("bk.band"), col("bk.key"))
+        .filter(col("key").isNotNull)
+    val cand = bandsOf(newSh, "new_id")
+      .join(bandsOf(oldSh, "old_id"), Seq("band", "key"))
       .select("new_id", "old_id")
       .distinct() // same pair can collide in several bands
     val verified = cand
-      .join(shsets.select(col("doc_id").as("new_id"), col("shset").as("sa")),
+      .join(newSh.select(col("doc_id").as("new_id"), col("shset").as("sa")),
         Seq("new_id"))
-      .join(shsets.select(col("doc_id").as("old_id"), col("shset").as("sb")),
+      .join(oldSh.select(col("doc_id").as("old_id"), col("shset").as("sb")),
         Seq("old_id"))
       .withColumn("inter",
         call_function("graft_sorted_intersect_count", col("sa"), col("sb")))
@@ -283,7 +294,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_candidates"),
         max(when(col("rn") === 1, col("jaccard"))).as("best_jaccard"),
         max(when(col("rn") === 1, col("old_id"))).as("best_match"))
-    shsets.filter(col("is_new")).select(col("doc_id").as("new_id"))
+    newSh.select(col("doc_id").as("new_id"))
       .join(best, Seq("new_id"), "left_outer")
       .select(col("new_id").as("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
