@@ -87,6 +87,14 @@ object LlmQueries {
     TextOps.incrementalNearDup(Tables.documents(s, d), "doc_id", "text",
       col("doc_id") % 5 === 4)
 
+  /** Concat-then-chunk packing of the corpus into 512-token training
+    * sequences per language; shardSize 1000 so every SF exercises the
+    * cross-shard carry, not just the local level.
+    */
+  def q93SequencePacking(s: SparkSession, d: String): DataFrame =
+    TextOps.sequencePacking(Tables.documents(s, d), "doc_id", "text",
+      "lang", budget = 512, shardSize = 1000)
+
   /** Duplicate clusters over the OTHER candidate family: connected
     * components on the simhash hamming-≤-3 pairs (q70's banded
     * candidates) — fingerprints row-local, the band join the only
@@ -311,7 +319,8 @@ object LlmQueries {
     "q78_split_leakage" -> (q78SplitLeakage _),
     "q81_corpus_rebalance" -> (q81Rebalance _),
     "q90_stratified_sample" -> (q90StratifiedSample _),
-    "q92_incremental_neardup" -> (q92IncrementalNeardup _))
+    "q92_incremental_neardup" -> (q92IncrementalNeardup _),
+    "q93_sequence_packing" -> (q93SequencePacking _))
 
   private val shingleBase =
     """base AS (
@@ -861,7 +870,32 @@ object LlmQueries {
          |  coalesce(b.best_jaccard >= 0.8, false) AS is_dup
          |FROM documents d LEFT JOIN best b ON d.doc_id = b.new_id
          |WHERE d.doc_id % 5 = 4
-         |ORDER BY d.doc_id""".stripMargin))
+         |ORDER BY d.doc_id""".stripMargin),
+    "q93_sequence_packing" -> (
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |-- one global per-lang running sum: semantically identical to
+        |-- the engine's two-level (shard-local + broadcast carry) form
+        |-- because shards are doc_id-contiguous
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    -- CAST: DuckDB's windowed sum(BIGINT) is HUGEINT, which
+        |    -- the compare renders as double
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tok_start
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, tok_start,
+        |  tok_start // 512 AS seq_start,
+        |  (tok_start + greatest(n_tokens, 1) - 1) // 512 AS seq_end,
+        |  (tok_start + greatest(n_tokens, 1) - 1) // 512
+        |    - tok_start // 512 + 1 AS n_seqs,
+        |  tok_start % 512 AS seq_offset
+        |FROM c ORDER BY lang, doc_id""".stripMargin))
 
   /** SimHash candidate CTEs shared by the q70 (best-partner stats) and
     * q75 (components) oracles: 56-bit two-hash fingerprints → 4×14-bit

@@ -1001,6 +1001,59 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Sequence PACKING: the concat-then-chunk layout LLM pretraining
+    * feeds the trainer — per language, documents are concatenated in
+    * doc_id order and cut into fixed-`budget` token sequences, docs
+    * straddling cuts. Per doc: its token span start, the first/last
+    * sequence it lands in, how many sequences it touches, and its
+    * offset inside the first one. Token = whitespace word, exactly
+    * [[textStats]]'s `n_tokens`.
+    *
+    * Scale shape: the running token sum is a TWO-LEVEL prefix sum (the
+    * [[Temporal.peakConcurrency]] pattern) — doc_id-contiguous
+    * `shardSize` ranges get local running sums on a (lang, shard)
+    * exchange, and the cross-shard carry is a window over the
+    * |langs × shards|-row aggregate, broadcast back. A single per-lang
+    * window would drag every token count of a monolingual 100 TB
+    * corpus through ONE task; here per-task state is a shard and the
+    * carry frame is tiny. The narrow (doc_id, lang, n_tokens)
+    * projection is persisted because both levels read it.
+    */
+  def sequencePacking(df: DataFrame, idCol: String, textCol: String,
+                      langCol: String, budget: Long = 512,
+                      shardSize: Long = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val base = Caches.persistTracked(
+      df.select(col(idCol).cast("long").as("doc_id"),
+        col(langCol).as("lang"),
+        size(words(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id div ${shardSize}L")))
+    val wLocal = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("local_start",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    val wCarry = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = base.groupBy("lang", "shard")
+      .agg(sum(col("n_tokens")).as("shard_tok"))
+      .withColumn("carry",
+        coalesce(sum(col("shard_tok")).over(wCarry), lit(0L)))
+      .select("lang", "shard", "carry")
+    local.join(broadcast(carry), Seq("lang", "shard"))
+      .withColumn("tok_start", col("local_start") + col("carry"))
+      // integer `div`, not floor(double): token offsets are exact longs
+      .withColumn("seq_start", expr(s"tok_start div ${budget}L"))
+      .withColumn("seq_end", expr(
+        s"(tok_start + greatest(n_tokens, 1L) - 1) div ${budget}L"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("tok_start"),
+        col("seq_start"), col("seq_end"),
+        (col("seq_end") - col("seq_start") + 1).as("n_seqs"),
+        expr(s"tok_start % ${budget}L").as("seq_offset"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Split-LEAKAGE repair over duplicate clusters: per-doc hash splits
     * put near-identical docs on both sides of the train/test boundary
     * (classic contamination — the eval set "leaks" into training via a

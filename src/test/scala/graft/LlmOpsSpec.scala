@@ -87,6 +87,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(12L).isNullAt(out(12L).fieldIndex("best_match")))
   }
 
+  test("sequencePacking: chunk spans, straddles, and the cross-shard carry") {
+    // budget 5, shardSize 2 → docs 0,1 in shard 0 and 2,3 in shard 1;
+    // token counts 3,4,6,2 concatenate to spans [0,3) [3,7) [7,13)
+    // [13,15) → sequences of 5 tokens: doc1 straddles seqs 0-1, doc2
+    // straddles 1-2, doc3 sits inside seq 2. Docs 2,3 only come out
+    // right if shard 1 carries shard 0's 7-token total.
+    val df = Seq(
+      (0L, "a b c", "en"), (1L, "a b c d", "en"),
+      (2L, "a b c d e f", "en"), (3L, "a b", "en"),
+      (4L, "x y z", "fr")) // second lang: its own zero-based packing
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.sequencePacking(df, "doc_id", "text", "lang",
+        budget = 5, shardSize = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def row(id: Long) = {
+      val r = out(id)
+      (r.getAs[Long]("tok_start"), r.getAs[Long]("seq_start"),
+        r.getAs[Long]("seq_end"), r.getAs[Long]("n_seqs"),
+        r.getAs[Long]("seq_offset"))
+    }
+    assert(row(0L) == (0L, 0L, 0L, 1L, 0L))
+    assert(row(1L) == (3L, 0L, 1L, 2L, 3L)) // straddles the first cut
+    assert(row(2L) == (7L, 1L, 2L, 2L, 2L)) // needs the shard-0 carry
+    assert(row(3L) == (13L, 2L, 2L, 1L, 3L))
+    assert(row(4L) == (0L, 0L, 0L, 1L, 0L)) // fr restarts at zero
+  }
+
   test("dupClusters: transitive duplicates collapse to the min-id component") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val df = Seq((1L, text), (2L, text), (5L, text),

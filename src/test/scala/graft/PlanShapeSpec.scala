@@ -151,6 +151,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q88 grew a distinct (grouping-only aggregate) pass:\n$p")
   }
 
+  test("q93: the cross-shard token carry is broadcast, never a doc shuffle") {
+    val p = plan("q93_sequence_packing")
+    // the two-level prefix sum only scales if the |langs × shards|-row
+    // carry table broadcasts back onto the doc stream (q89's pattern)
+    assert(p.contains("BroadcastHashJoin"),
+      s"q93 carry join stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q93 shuffles the doc stream for a tiny carry frame:\n$p")
+  }
+
   test("similarity verify kernels stay native in the plan") {
     val p36 = plan("q36_minhash_lsh")
     assert(p36.contains("graft_sorted_intersect_count"), p36)
