@@ -95,6 +95,14 @@ object LlmQueries {
     TextOps.sequencePacking(Tables.documents(s, d), "doc_id", "text",
       "lang", budget = 512, shardSize = 1000)
 
+  /** Benchmark-contamination screen: the deterministic 4% "eval suite"
+    * (doc_id % 25 == 0) checked for winnowed-print containment inside
+    * the other 96% training corpus.
+    */
+  def q94Decontaminate(s: SparkSession, d: String): DataFrame =
+    TextOps.decontaminate(Tables.documents(s, d), "doc_id", "text",
+      col("doc_id") % 25 === 0)
+
   /** Duplicate clusters over the OTHER candidate family: connected
     * components on the simhash hamming-≤-3 pairs (q70's banded
     * candidates) — fingerprints row-local, the band join the only
@@ -320,7 +328,8 @@ object LlmQueries {
     "q81_corpus_rebalance" -> (q81Rebalance _),
     "q90_stratified_sample" -> (q90StratifiedSample _),
     "q92_incremental_neardup" -> (q92IncrementalNeardup _),
-    "q93_sequence_packing" -> (q93SequencePacking _))
+    "q93_sequence_packing" -> (q93SequencePacking _),
+    "q94_decontaminate" -> (q94Decontaminate _))
 
   private val shingleBase =
     """base AS (
@@ -726,16 +735,7 @@ object LlmQueries {
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin),
     "q76_winnow_containment" -> (
-      s"""WITH grams AS (
-         |  SELECT doc_id,
-         |    [${hexFold.format("substring(text, i, 8)")}
-         |     for i in range(1, length(text) - 8 + 2)] AS gh
-         |  FROM documents),
-         |sel AS (
-         |  SELECT doc_id, list_sort(list_distinct(
-         |    [list_min(gh[j:j+15]) for j in range(1, len(gh) - 16 + 2)]))
-         |      AS fp
-         |  FROM grams WHERE len(gh) >= 16),
+      s"""WITH $winnowSelCtes,
          |ex AS (SELECT doc_id, unnest(fp) AS h FROM sel),
          |df AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= 20),
          |exf AS (SELECT doc_id, h FROM ex JOIN df USING (h)),
@@ -895,7 +895,41 @@ object LlmQueries {
         |  (tok_start + greatest(n_tokens, 1) - 1) // 512
         |    - tok_start // 512 + 1 AS n_seqs,
         |  tok_start % 512 AS seq_offset
-        |FROM c ORDER BY lang, doc_id""".stripMargin))
+        |FROM c ORDER BY lang, doc_id""".stripMargin),
+    "q94_decontaminate" -> (
+      s"""WITH $winnowSelCtes,
+         |ex AS (SELECT doc_id, unnest(fp) AS h FROM sel),
+         |-- asymmetric: 96% training side probes the 4% eval suite
+         |hits AS (
+         |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+         |    count(*) AS shared
+         |  FROM ex t JOIN ex e ON t.h = e.h
+         |  WHERE t.doc_id % 25 <> 0 AND e.doc_id % 25 = 0
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 4),
+         |sz AS (SELECT doc_id AS eval_id, len(fp) AS n_eval FROM sel
+         |       WHERE doc_id % 25 = 0)
+         |SELECT train_id, eval_id, shared,
+         |  ROUND(shared / n_eval, 6) AS eval_coverage
+         |FROM hits JOIN sz USING (eval_id)
+         |ORDER BY train_id, eval_id""".stripMargin))
+
+  /** Winnowed-fingerprint CTEs (char-8-gram md5 hashes → window-16
+    * minima selection) shared by the q76 containment and q94
+    * decontamination oracles — mirrors `TextOps.gramHashes` +
+    * `winnowSelect`; edit together.
+    */
+  private lazy val winnowSelCtes: String =
+    s"""grams AS (
+       |  SELECT doc_id,
+       |    [${hexFold.format("substring(text, i, 8)")}
+       |     for i in range(1, length(text) - 8 + 2)] AS gh
+       |  FROM documents),
+       |sel AS (
+       |  SELECT doc_id, list_sort(list_distinct(
+       |    [list_min(gh[j:j+15]) for j in range(1, len(gh) - 16 + 2)]))
+       |      AS fp
+       |  FROM grams WHERE len(gh) >= 16)""".stripMargin
 
   /** SimHash candidate CTEs shared by the q70 (best-partner stats) and
     * q75 (components) oracles: 56-bit two-hash fingerprints → 4×14-bit

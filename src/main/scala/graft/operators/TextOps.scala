@@ -1001,6 +1001,51 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** DECONTAMINATION screen: find training documents that contain
+    * held-out eval/benchmark content — the check every pretraining
+    * pipeline runs so the model isn't graded on memorized test items.
+    * Same winnowed char-k-gram prints as [[containmentPairs]], but the
+    * join is ASYMMETRIC and the score direction is fixed: a (train,
+    * eval) pair is reported when they share ≥ `minShared` prints, with
+    * `eval_coverage` = shared / |eval prints| — how much of the
+    * BENCHMARK ITEM the training doc reproduces (the wrapper-dilution-
+    * proof direction; jaccard would let a long train doc hide the
+    * overlap).
+    *
+    * Scale shape: the eval side is a benchmark suite — tiny and fixed —
+    * so its exploded print index BROADCASTS and the 100 TB training
+    * corpus streams through a broadcast hash join with NO corpus
+    * shuffle; the only exchange is the per-(train, eval) hit count,
+    * which is ∝ actual contamination. No df-cap: the index is bounded
+    * by the benchmark, and dropping a common print could hide real
+    * contamination.
+    */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+                    isEval: Column, k: Int = 8, w: Int = 16,
+                    minShared: Int = 4): DataFrame = {
+    // persisted two-projection split for the same HOF-collapse reason
+    // as containmentPairs (see that scaladoc)
+    val fp = Caches.persistTracked(
+      df.select(col(idCol).as("doc_id"), isEval.as("is_eval"),
+          gramHashes(col(textCol), k).as("gh"))
+        .select(col("doc_id"), col("is_eval"),
+          winnowSelect(col("gh"), w).as("fp")))
+    val evalEx = fp.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), explode(col("fp")).as("h"))
+    val evalSz = fp.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), size(col("fp")).as("n_eval"))
+    val trainEx = fp.filter(!col("is_eval"))
+      .select(col("doc_id").as("train_id"), explode(col("fp")).as("h"))
+    trainEx.join(broadcast(evalEx), Seq("h"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(broadcast(evalSz), Seq("eval_id"))
+      .select(col("train_id"), col("eval_id"), col("shared"),
+        round(col("shared") / col("n_eval"), 6).as("eval_coverage"))
+      .orderBy("train_id", "eval_id")
+  }
+
   /** Sequence PACKING: the concat-then-chunk layout LLM pretraining
     * feeds the trainer — per language, documents are concatenated in
     * doc_id order and cut into fixed-`budget` token sequences, docs

@@ -40,6 +40,29 @@ class ContainmentSpec extends AnyFunSuite {
     assert(jac == 0, "LSH found the embedded pair; fixture too similar")
   }
 
+  test("decontaminate: train doc embedding an eval item is flagged, " +
+    "eval-eval and train-train overlaps are not") {
+    import spark.implicits._
+    // 100 = eval item; 1 = train doc quoting it verbatim (the wrapper);
+    // 2 = clean train doc; 200 = second eval item, duplicated at 201 —
+    // an eval-eval dup must NOT appear (both on the eval side)
+    val evalDup =
+      "this second benchmark item exists twice inside the evaluation suite itself and only there"
+    val df = Seq(
+      (100L, inner), (1L, wrapper),
+      (2L, "a completely different document about something else entirely with its own words and phrasing throughout"),
+      (200L, evalDup), (201L, evalDup))
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminate(df, "doc_id", "text",
+        col("doc_id") >= 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    Caches.clear()
+    assert(out.keySet == Set((1L, 100L)), s"${out.keySet}")
+    // winnowing guarantee: windows of the eval item inside the wrapper
+    // select the same minima → the train doc covers most of the item
+    assert(out((1L, 100L)).getAs[Double]("eval_coverage") >= 0.8)
+  }
+
   test("exact dups score containment 1.0 over the capped sets") {
     import spark.implicits._
     val t = "identical content repeated across documents long enough to produce a healthy set of winnowed prints"

@@ -161,6 +161,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q93 shuffles the doc stream for a tiny carry frame:\n$p")
   }
 
+  test("q94: the eval print index broadcasts — the corpus never shuffles " +
+    "to meet it") {
+    val p = plan("q94_decontaminate")
+    // benchmark suite = tiny fixed side; a SortMergeJoin here would
+    // shuffle the 100 TB training corpus against a few thousand prints
+    assert(p.contains("BroadcastHashJoin"),
+      s"q94 eval index stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q94 shuffles the corpus for a broadcast-size eval index:\n$p")
+  }
+
   test("similarity verify kernels stay native in the plan") {
     val p36 = plan("q36_minhash_lsh")
     assert(p36.contains("graft_sorted_intersect_count"), p36)
