@@ -39,7 +39,8 @@ object Bench {
       "q87_range_windows", "q88_session_overlap", "q89_peak_concurrency",
       "q90_stratified_sample", "q91_retention_cohorts_approx",
       "q92_incremental_neardup", "q93_sequence_packing",
-      "q94_decontaminate")
+      "q94_decontaminate", "q95_repetition_stats",
+      "q96_semantic_clusters")
     val available = preferred.filter(SparkEntry.queries.contains)
     val base =
       if (available.nonEmpty) available else SparkEntry.queries.keys.toSeq.sorted

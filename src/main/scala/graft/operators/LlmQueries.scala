@@ -103,6 +103,19 @@ object LlmQueries {
     TextOps.decontaminate(Tables.documents(s, d), "doc_id", "text",
       col("doc_id") % 25 === 0)
 
+  /** Gopher-style repetition/boilerplate signals per document. */
+  def q95RepetitionStats(s: SparkSession, d: String): DataFrame =
+    TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+
+  /** Semantic (embedding-space) duplicate clusters at cosine ≥ 0.25 —
+    * the threshold that exercises multi-member components on the
+    * synthetic embeddings (their banded pairs top out near 0.35; a
+    * real embedding model would run this at ~0.95+).
+    */
+  def q96SemanticClusters(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDupClusters(Tables.embeddings(s, d), "vec_id",
+      "embedding", threshold = 0.25)
+
   /** Duplicate clusters over the OTHER candidate family: connected
     * components on the simhash hamming-≤-3 pairs (q70's banded
     * candidates) — fingerprints row-local, the band join the only
@@ -329,7 +342,9 @@ object LlmQueries {
     "q90_stratified_sample" -> (q90StratifiedSample _),
     "q92_incremental_neardup" -> (q92IncrementalNeardup _),
     "q93_sequence_packing" -> (q93SequencePacking _),
-    "q94_decontaminate" -> (q94Decontaminate _))
+    "q94_decontaminate" -> (q94Decontaminate _),
+    "q95_repetition_stats" -> (q95RepetitionStats _),
+    "q96_semantic_clusters" -> (q96SemanticClusters _))
 
   private val shingleBase =
     """base AS (
@@ -579,21 +594,7 @@ object LlmQueries {
          |FROM documents""".stripMargin),
     "q54_cosine_lsh" -> (
       s"""WITH $embBase,
-         |sig AS (
-         |  SELECT vec_id, q, norm2,
-         |    CAST(list_sum([
-         |      CASE WHEN list_sum([q[i] *
-         |          (((1103515245*((j*64)+(i-1)) + 12345) % 2147483648) % 21 - 10)
-         |          for i in range(1,65)]) > 0
-         |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
-         |      for j in range(0,16)]) AS BIGINT) AS bucket
-         |  FROM n2),
-         |pairs AS (
-         |  SELECT x.vec_id AS a, y.vec_id AS b,
-         |    CAST(list_sum([x.q[i]*y.q[i] for i in range(1, 65)]) AS BIGINT)
-         |      / (sqrt(x.norm2) * sqrt(y.norm2)) AS cosine
-         |  FROM sig x JOIN sig y
-         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |$cosBucketPairCtes,
          |sym AS (
          |  SELECT a AS vec_id, b AS nn_id, cosine FROM pairs
          |  UNION ALL SELECT b, a, cosine FROM pairs),
@@ -912,7 +913,73 @@ object LlmQueries {
          |SELECT train_id, eval_id, shared,
          |  ROUND(shared / n_eval, 6) AS eval_coverage
          |FROM hits JOIN sz USING (eval_id)
-         |ORDER BY train_id, eval_id""".stripMargin))
+         |ORDER BY train_id, eval_id""".stripMargin),
+    "q95_repetition_stats" -> (
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w,
+        |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS g2
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(w) > 0 THEN
+        |      list_max(list_transform(list_distinct(w),
+        |        d -> len(list_filter(w, x -> x = d)))) / len(w)
+        |      ELSE 0.0 END AS top_word_ratio,
+        |    (len(w) - len(list_distinct(w))) / len(w) AS dup_word_ratio,
+        |    CASE WHEN len(w) >= 2 THEN
+        |      list_max(list_transform(list_distinct(g2),
+        |        d -> len(list_filter(g2, x -> x = d)))) / len(g2)
+        |      ELSE 0.0 END AS top_2gram_ratio
+        |  FROM g)
+        |SELECT doc_id, n_tokens,
+        |  round(top_word_ratio, 6) AS top_word_ratio,
+        |  round(dup_word_ratio, 6) AS dup_word_ratio,
+        |  round(top_2gram_ratio, 6) AS top_2gram_ratio,
+        |  round(top_2gram_ratio, 6) >= 0.20
+        |    OR round(top_word_ratio, 6) >= 0.30 AS repetitive
+        |FROM m ORDER BY doc_id""".stripMargin),
+    "q96_semantic_clusters" -> (
+      s"""WITH RECURSIVE $embBase,
+         |$cosBucketPairCtes,
+         |edges AS (SELECT a, b FROM pairs WHERE cosine >= 0.25),
+         |symd AS (SELECT a AS src, b AS dst FROM edges
+         |         UNION ALL SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM symd
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN symd s ON r.dst = s.src)
+         |SELECT e.vec_id,
+         |  least(e.vec_id, coalesce(min(r.dst), e.vec_id)) AS comp
+         |FROM embeddings e LEFT JOIN reach r ON r.src = e.vec_id
+         |GROUP BY e.vec_id
+         |ORDER BY e.vec_id""".stripMargin))
+
+  /** Unblocked hyperplane-bucket cosine CTEs (16-bit LCG signature →
+    * bucket-collision candidates → exact quantized cosine) shared by
+    * the q54 nearest-neighbor and q96 cluster oracles — mirrors
+    * `Similarity.hyperplaneBucket` + `lshCosinePairsFrom`; edit
+    * together. Expects [[embBase]]'s `n2` CTE upstream.
+    */
+  private lazy val cosBucketPairCtes: String =
+    """sig AS (
+      |  SELECT vec_id, q, norm2,
+      |    CAST(list_sum([
+      |      CASE WHEN list_sum([q[i] *
+      |          (((1103515245*((j*64)+(i-1)) + 12345) % 2147483648) % 21 - 10)
+      |          for i in range(1,65)]) > 0
+      |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+      |      for j in range(0,16)]) AS BIGINT) AS bucket
+      |  FROM n2),
+      |pairs AS (
+      |  SELECT x.vec_id AS a, y.vec_id AS b,
+      |    CAST(list_sum([x.q[i]*y.q[i] for i in range(1, 65)]) AS BIGINT)
+      |      / (sqrt(x.norm2) * sqrt(y.norm2)) AS cosine
+      |  FROM sig x JOIN sig y
+      |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
 
   /** Winnowed-fingerprint CTEs (char-8-gram md5 hashes → window-16
     * minima selection) shared by the q76 containment and q94

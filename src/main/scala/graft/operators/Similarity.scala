@@ -104,18 +104,34 @@ object Similarity {
     * nothing shares its keys). Output: vec_id, blockCols..., bucket,
     * n_peers, best_nn, best_cos.
     */
-  private def lshNN(df: DataFrame, idCol: String, vecCol: String,
-                    blockCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = prepared(df, idCol, vecCol, blockCols)
+  /** [[prepared]] plus the hyperplane bucket column — the frame every
+    * LSH-banded cosine consumer starts from.
+    */
+  private def bucketed(df: DataFrame, idCol: String, vecCol: String,
+                       blockCols: Seq[String]): DataFrame =
+    prepared(df, idCol, vecCol, blockCols)
       .withColumn("bucket", hyperplaneBucket(col("q")))
+
+  /** Bucket-collision candidate pairs with exact verified cosine
+    * (a < b) over a [[bucketed]] frame — the pair stage shared by
+    * [[lshNN]] and [[semanticDupClusters]].
+    */
+  private def lshCosinePairsFrom(base: DataFrame,
+                                 blockCols: Seq[String]): DataFrame = {
     val joinCond = (blockCols :+ "bucket")
       .map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
       col("x.vec_id") < col("y.vec_id")
-    val pairs = base.as("x").join(base.as("y"), joinCond)
+    base.as("x").join(base.as("y"), joinCond)
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         cosineQ(col("x.q"), col("y.q"), col("x.norm2"), col("y.norm2"))
           .as("cosine"))
+  }
+
+  private def lshNN(df: DataFrame, idCol: String, vecCol: String,
+                    blockCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = bucketed(df, idCol, vecCol, blockCols)
+    val pairs = lshCosinePairsFrom(base, blockCols)
     val sym = TextOps.symmetrize(pairs, "vec_id", "nn_id", "cosine")
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nn_id").asc)
     val best = sym.withColumn("rn", row_number().over(w))
@@ -154,6 +170,34 @@ object Similarity {
                                 vecCol: String,
                                 blockCol: String): DataFrame =
     lshNN(df, idCol, vecCol, Seq(blockCol))
+
+  /** SEMANTIC duplicate clusters: connected components over the
+    * LSH-banded verified-cosine pairs at `threshold` — the
+    * embedding-space member of the dedup-cluster family (q69 jaccard,
+    * q75 simhash hamming, this one cosine). Component id = min vec_id;
+    * singletons keep their own id. Same scale shape as the text
+    * families: hyperplane banding bounds the candidate join, the exact
+    * integer cosine verifies, and [[TextOps.components]]'s adaptive
+    * min-label/pointer-jump loop runs over the EDGE-VERTEX subgraph
+    * only. The threshold is corpus-calibrated (a real embedding model
+    * puts paraphrase mass near 1.0; the synthetic testdata's banded
+    * pairs top out near 0.35, so the registered q96 uses 0.25 to
+    * exercise multi-member components).
+    */
+  def semanticDupClusters(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double,
+                          maxIters: Int = 20): DataFrame = {
+    val base = bucketed(df, idCol, vecCol, Nil)
+    val edges = lshCosinePairsFrom(base, Nil)
+      .filter(col("cosine") >= threshold).select("a", "b")
+    val adj = Caches.persistTracked(TextOps.symmetrize(edges, "src", "dst"))
+    val labels = TextOps.components(adj, maxIters)
+    df.select(col(idCol).as("vec_id"))
+      .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"),
+        "left_outer")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("comp"))
+      .orderBy("vec_id")
+  }
 
   /** Recall@k of an approximate top-k result against the exact one — the
     * metric a production ANN deployment tracks to tune its

@@ -1001,6 +1001,39 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Repetition / boilerplate signals per document — the Gopher-family
+    * quality filters a pretraining pipeline applies before anything
+    * model-based: share of the doc consumed by its most frequent word
+    * and word-2-gram, and the duplicate-word fraction. Everything is
+    * ROW-LOCAL higher-order functions over the token array (the
+    * per-doc count is O(distinct × tokens), bounded by doc length) —
+    * zero shuffle, the whole operator scales as a scan. `repetitive`
+    * applies the standard gates: top-2-gram share ≥ 0.20 or top-word
+    * share ≥ 0.30.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      top2Max: Double = 0.20,
+                      topWordMax: Double = 0.30): DataFrame = {
+    val w = words(col(textCol))
+    def topShare(arr: Column, denom: Column): Column =
+      when(denom > 0, array_max(transform(array_distinct(arr),
+        d => size(filter(arr, x => x === d)))) / denom)
+        .otherwise(lit(0.0))
+    val grams2 = transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+    df.select(col(idCol).as("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        round(topShare(w, size(w)), 6).as("top_word_ratio"),
+        round((size(w) - size(array_distinct(w))) / size(w), 6)
+          .as("dup_word_ratio"),
+        round(when(size(w) >= 2, topShare(grams2, size(w) - 1))
+          .otherwise(lit(0.0)), 6).as("top_2gram_ratio"))
+      .withColumn("repetitive",
+        col("top_2gram_ratio") >= top2Max ||
+          col("top_word_ratio") >= topWordMax)
+      .orderBy("doc_id")
+  }
+
   /** DECONTAMINATION screen: find training documents that contain
     * held-out eval/benchmark content — the check every pretraining
     * pipeline runs so the model isn't graded on memorized test items.

@@ -87,6 +87,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(12L).isNullAt(out(12L).fieldIndex("best_match")))
   }
 
+  test("repetitionStats: planted spam flagged, varied text passes") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now buy now"), // one 2-gram dominates
+      (2L, "each word here appears exactly once in this entirely varied sentence"),
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val spam = out(1L)
+    // 10 tokens, "buy"/"now" 5 each → top word 0.5; 9 bigrams, "buy now"
+    // 5 of them → top 2-gram 5/9
+    assert(spam.getAs[Double]("top_word_ratio") == 0.5)
+    assert(spam.getAs[Double]("dup_word_ratio") == 0.8)
+    assert(spam.getAs[Double]("top_2gram_ratio") == math.rint(5.0 / 9 * 1e6) / 1e6)
+    assert(spam.getAs[Boolean]("repetitive"))
+    val clean = out(2L)
+    assert(clean.getAs[Double]("dup_word_ratio") == 0.0)
+    assert(!clean.getAs[Boolean]("repetitive"))
+    val solo = out(3L) // single token: no bigrams, top word = the word
+    assert(solo.getAs[Double]("top_2gram_ratio") == 0.0)
+    assert(solo.getAs[Boolean]("repetitive")) // top_word_ratio 1.0
+  }
+
   test("sequencePacking: chunk spans, straddles, and the cross-shard carry") {
     // budget 5, shardSize 2 → docs 0,1 in shard 0 and 2,3 in shard 1;
     // token counts 3,4,6,2 concatenate to spans [0,3) [3,7) [7,13)
@@ -185,6 +208,27 @@ class LlmOpsSpec extends AnyFunSuite {
     val out = TextOps.ngramJaccardBest(df, "doc_id", "text", Seq("lang"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSet == Set((1L, 2L, 1.0 / 3), (2L, 1L, 1.0 / 3)))
+  }
+
+  test("semanticDupClusters: identical vectors cluster to the min id, " +
+    "orthogonal ones stay singletons") {
+    // 64-dim so the hyperplane signature (dim=64) sees real vectors;
+    // 1 and 7 identical (cosine 1, same bucket), 3 is their negation
+    // (opposite bucket — never a candidate), 5 orthogonal-ish
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => ((seed * 31 + i * 7) % 13 - 6).toFloat)
+    val same = vec(1)
+    val df = Seq(
+      (1L, same), (7L, same),
+      (3L, same.map(-_)),
+      (5L, vec(2)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDupClusters(df, "vec_id", "embedding",
+        threshold = 0.99).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caches.clear()
+    assert(out(1L) == 1L && out(7L) == 1L, s"$out")
+    assert(out(3L) == 3L && out(5L) == 5L, s"$out")
   }
 
   test("cosine on constructed vectors is exact") {
