@@ -1014,20 +1014,32 @@ object TextOps {
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       top2Max: Double = 0.20,
                       topWordMax: Double = 0.30): DataFrame = {
-    val w = words(col(textCol))
+    // The token and 2-gram arrays are MATERIALIZED (persist = collapse
+    // barrier, the containmentPairs lesson): inlined, every lambda call
+    // in the counting HOFs re-evaluates its argument, so `filter(w, …)`
+    // inside `transform(distinct(w), …)` would re-SPLIT the text once
+    // per distinct token — O(distinct × tokens) regex splits per doc
+    // (measured: one sf0.1 bench task pinned a core for 40+ minutes).
+    // Over materialized arrays the same HOFs are plain array scans.
+    val w0 = words(col(textCol))
+    val tok = Caches.persistTracked(
+      df.select(col(idCol).as("doc_id"), w0.as("w"))
+        .withColumn("g2", when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1))))
+          .otherwise(array().cast("array<string>"))))
     def topShare(arr: Column, denom: Column): Column =
       when(denom > 0, array_max(transform(array_distinct(arr),
         d => size(filter(arr, x => x === d)))) / denom)
         .otherwise(lit(0.0))
-    val grams2 = transform(sequence(lit(1), size(w) - 1),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
-    df.select(col(idCol).as("doc_id"),
-        size(w).cast("long").as("n_tokens"),
-        round(topShare(w, size(w)), 6).as("top_word_ratio"),
-        round((size(w) - size(array_distinct(w))) / size(w), 6)
-          .as("dup_word_ratio"),
-        round(when(size(w) >= 2, topShare(grams2, size(w) - 1))
-          .otherwise(lit(0.0)), 6).as("top_2gram_ratio"))
+    tok.select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        round(topShare(col("w"), size(col("w"))), 6).as("top_word_ratio"),
+        round((size(col("w")) - size(array_distinct(col("w")))) /
+          size(col("w")), 6).as("dup_word_ratio"),
+        round(topShare(col("g2"), size(col("g2"))), 6)
+          .as("top_2gram_ratio"))
       .withColumn("repetitive",
         col("top_2gram_ratio") >= top2Max ||
           col("top_word_ratio") >= topWordMax)
