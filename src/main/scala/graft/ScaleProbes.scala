@@ -349,8 +349,16 @@ object ScaleProbes {
         // untimed per-iteration Caches.clear() can't drop it
         val oldSh = shOf(docs.filter(!isNew)).persist()
         oldSh.count() // materialize untimed — index maintenance, not probe cost
-        def standing(): Unit = noopW(TextOps.incrementalNearDupFrom(
-          oldSh, shOf(docs.filter(isNew)), 0.8))
+        def standing(): Unit = {
+          // the increment's OWN hashing is steady-state cost, so it
+          // stays inside the timing — but persisted, so it runs ONCE,
+          // not once per consumer (bands + verify side + spine)
+          val newSh = shOf(docs.filter(isNew)).persist()
+          try {
+            newSh.count()
+            noopW(TextOps.incrementalNearDupFrom(oldSh, newSh, 0.8))
+          } finally newSh.unpersist()
+        }
         try {
           full(); Caches.clear(); rebuild(); Caches.clear()
           standing(); Caches.clear() // warm all three

@@ -97,13 +97,6 @@ object Similarity {
       when(dotQ(q, coeffs) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** The ONE candidate/verify/report pipeline behind both LSH
-    * nearest-neighbor forms: candidates must agree on every column in
-    * (blockCols..., bucket), every candidate is verified with the exact
-    * integer cosine, and every vector keeps a row (n_peers 0 when
-    * nothing shares its keys). Output: vec_id, blockCols..., bucket,
-    * n_peers, best_nn, best_cos.
-    */
   /** [[prepared]] plus the hyperplane bucket column — the frame every
     * LSH-banded cosine consumer starts from.
     */
@@ -127,6 +120,13 @@ object Similarity {
           .as("cosine"))
   }
 
+  /** The ONE candidate/verify/report pipeline behind both LSH
+    * nearest-neighbor forms: candidates must agree on every column in
+    * (blockCols..., bucket), every candidate is verified with the exact
+    * integer cosine, and every vector keeps a row (n_peers 0 when
+    * nothing shares its keys). Output: vec_id, blockCols..., bucket,
+    * n_peers, best_nn, best_cos.
+    */
   private def lshNN(df: DataFrame, idCol: String, vecCol: String,
                     blockCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -222,14 +222,25 @@ object Temporal {
     * is the `date_format` pattern, nothing structural.
     */
   def retentionCohorts(events: DataFrame, userCol: String,
-                       tsCol: String): DataFrame = {
+                       tsCol: String): DataFrame =
+    retentionMatrix(events, userCol, tsCol,
+      countDistinct(col("user_id")))
+
+  /** The shared cohort-matrix body behind [[retentionCohorts]] and
+    * [[retentionCohortsApprox]] — one place for the labeling, grain,
+    * and retention-rate definition; only the distinct-user aggregate
+    * differs between the exact and sketch twins.
+    */
+  private def retentionMatrix(events: DataFrame, userCol: String,
+                              tsCol: String,
+                              nActive: Column): DataFrame = {
     val byUser = Window.partitionBy(userCol)
     val labeled = events.select(col(userCol).as("user_id"),
         date_format(col(tsCol), "yyyy-MM-dd").as("act_day"),
         date_format(min(col(tsCol)).over(byUser), "yyyy-MM-dd")
           .as("cohort"))
     val cells = labeled.groupBy("cohort", "act_day")
-      .agg(countDistinct(col("user_id")).as("n_active"))
+      .agg(nActive.as("n_active"))
     cells.withColumn("retention", round(col("n_active") /
         max(when(col("act_day") === col("cohort"), col("n_active")))
           .over(Window.partitionBy("cohort")), 6))
@@ -256,19 +267,9 @@ object Temporal {
     * ApproxTwinSpec brackets it against the exact q82.
     */
   def retentionCohortsApprox(events: DataFrame, userCol: String,
-                             tsCol: String): DataFrame = {
-    val byUser = Window.partitionBy(userCol)
-    val labeled = events.select(col(userCol).as("user_id"),
-        date_format(col(tsCol), "yyyy-MM-dd").as("act_day"),
-        date_format(min(col(tsCol)).over(byUser), "yyyy-MM-dd")
-          .as("cohort"))
-    val cells = labeled.groupBy("cohort", "act_day")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_active"))
-    cells.withColumn("retention", round(col("n_active") /
-        max(when(col("act_day") === col("cohort"), col("n_active")))
-          .over(Window.partitionBy("cohort")), 6))
-      .orderBy("cohort", "act_day")
-  }
+                             tsCol: String): DataFrame =
+    retentionMatrix(events, userCol, tsCol,
+      approx_count_distinct(col("user_id"), 0.01))
 
   /** q91: the approx retention matrix over the events table. */
   def q91RetentionApprox(s: SparkSession, d: String): DataFrame =

@@ -169,18 +169,29 @@ object TextOps {
     * ([[dedupRecall]]'s pooled verify) share one projection and one
     * cache instead of materializing the md5-shingle pass twice.
     */
+  /** (doc_id, band, key) rows from a (doc_id, shset) frame: row-local
+    * signatures ([[sigCols]]) exploded onto the [[bandsCount]] banded
+    * bucket keys, null keys (empty shingle sets) dropped. THE one
+    * banding construction — [[lshVerifiedPairsFrom]]'s symmetric
+    * self-join and [[incrementalNearDup]]'s asymmetric probe both
+    * consume it, and the SQL `lshSigBandCtes` mirrors it.
+    */
+  private def bandedKeys(shsets: DataFrame, idName: String): DataFrame =
+    shsets.select(col("doc_id") +: sigCols(col("shset")): _*)
+      .select(col("doc_id").as(idName),
+        explode(array((0 until bandsCount).map { j =>
+          struct(lit(j).as("band"),
+            (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("key"))
+        }: _*)).as("bk"))
+      .select(col(idName), col("bk.band"), col("bk.key"))
+      .filter(col("key").isNotNull)
+
   private[graft] def lshVerifiedPairsFrom(shsets: DataFrame)
       : (DataFrame, DataFrame) = {
     // signatures are row-local over the cached hashed sets (sigCols) —
     // no explode, no shuffle, no join-back
     val sig = shsets.select(col("doc_id") +: sigCols(col("shset")): _*)
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until bandsCount).map { j =>
-        struct(lit(j).as("band"),
-          (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-      .filter(col("key").isNotNull)
+    val banded = bandedKeys(shsets, "doc_id")
     val pairs = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -264,17 +275,8 @@ object TextOps {
                                             newSh: DataFrame,
                                             threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def bandsOf(sh: DataFrame, idName: String): DataFrame =
-      sh.select(col("doc_id") +: sigCols(col("shset")): _*)
-        .select(col("doc_id").as(idName),
-          explode(array((0 until bandsCount).map { j =>
-            struct(lit(j).as("band"),
-              (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("key"))
-          }: _*)).as("bk"))
-        .select(col(idName), col("bk.band"), col("bk.key"))
-        .filter(col("key").isNotNull)
-    val cand = bandsOf(newSh, "new_id")
-      .join(bandsOf(oldSh, "old_id"), Seq("band", "key"))
+    val cand = bandedKeys(newSh, "new_id")
+      .join(bandedKeys(oldSh, "old_id"), Seq("band", "key"))
       .select("new_id", "old_id")
       .distinct() // same pair can collide in several bands
     val verified = cand

@@ -73,6 +73,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val out = TextOps.incrementalNearDup(df, "doc_id", "text",
         col("doc_id") >= 10L).collect()
       .map(r => r.getLong(0) -> r).toMap
+    Caches.clear()
     assert(out.keySet == Set(10L, 11L, 12L)) // only new docs get rows
     for (id <- Seq(10L, 11L)) {
       assert(out(id).getAs[Boolean]("is_dup"), s"$id should dup old doc 1")
@@ -95,6 +96,7 @@ class LlmOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val out = TextOps.repetitionStats(df, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r).toMap
+    Caches.clear()
     val spam = out(1L)
     // 10 tokens, "buy"/"now" 5 each → top word 0.5; 9 bigrams, "buy now"
     // 5 of them → top 2-gram 5/9
@@ -124,6 +126,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val out = TextOps.sequencePacking(df, "doc_id", "text", "lang",
         budget = 5, shardSize = 2).collect()
       .map(r => r.getLong(0) -> r).toMap
+    Caches.clear()
     def row(id: Long) = {
       val r = out(id)
       (r.getAs[Long]("tok_start"), r.getAs[Long]("seq_start"),
