@@ -107,6 +107,13 @@ object LlmQueries {
   def q95RepetitionStats(s: SparkSession, d: String): DataFrame =
     TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")
 
+  /** The exact-hash first pass of the incremental ingest, over the
+    * same deterministic 20% batch as q92.
+    */
+  def q97IncrementalExact(s: SparkSession, d: String): DataFrame =
+    TextOps.incrementalExactDedup(Tables.documents(s, d), "doc_id",
+      "text", col("doc_id") % 5 === 4)
+
   /** Semantic (embedding-space) duplicate clusters at cosine ≥ 0.25 —
     * the threshold that exercises multi-member components on the
     * synthetic embeddings (their banded pairs top out near 0.35; a
@@ -344,7 +351,8 @@ object LlmQueries {
     "q93_sequence_packing" -> (q93SequencePacking _),
     "q94_decontaminate" -> (q94Decontaminate _),
     "q95_repetition_stats" -> (q95RepetitionStats _),
-    "q96_semantic_clusters" -> (q96SemanticClusters _))
+    "q96_semantic_clusters" -> (q96SemanticClusters _),
+    "q97_incremental_exact" -> (q97IncrementalExact _))
 
   private val shingleBase =
     """base AS (
@@ -956,7 +964,17 @@ object LlmQueries {
          |  least(e.vec_id, coalesce(min(r.dst), e.vec_id)) AS comp
          |FROM embeddings e LEFT JOIN reach r ON r.src = e.vec_id
          |GROUP BY e.vec_id
-         |ORDER BY e.vec_id""".stripMargin))
+         |ORDER BY e.vec_id""".stripMargin),
+    "q97_incremental_exact" -> (
+      """WITH old_canon AS (
+        |  SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id
+        |  FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1)
+        |SELECT d.doc_id, md5(d.text) AS content_hash, o.canonical_id,
+        |  o.canonical_id IS NOT NULL AS is_known
+        |FROM documents d LEFT JOIN old_canon o
+        |  ON md5(d.text) = o.content_hash
+        |WHERE d.doc_id % 5 = 4
+        |ORDER BY d.doc_id""".stripMargin))
 
   /** Unblocked hyperplane-bucket cosine CTEs (16-bit LCG signature →
     * bucket-collision candidates → exact quantized cosine) shared by

@@ -232,6 +232,28 @@ object TextOps {
         col("best_jaccard"), col("best_partner"))
   }
 
+  /** INCREMENTAL exact dedup: the hash pass that runs BEFORE
+    * [[incrementalNearDup]] on the same increment — each new doc
+    * looked up by content hash against the standing corpus, reporting
+    * the canonical existing doc (min doc_id per hash) when the exact
+    * content is already known. At 100 TB this is one hash join on
+    * content_hash (the standing side is maintained as a (hash,
+    * canonical) table, bucketed by hash → the corpus side never
+    * reshuffles); known docs short-circuit out of the near-dup screen.
+    */
+  def incrementalExactDedup(df: DataFrame, idCol: String, textCol: String,
+                            isNew: Column): DataFrame = {
+    val hashed = df.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("content_hash"), isNew.as("is_new"))
+    val oldCanon = hashed.filter(!col("is_new"))
+      .groupBy("content_hash").agg(min(col("doc_id")).as("canonical_id"))
+    hashed.filter(col("is_new"))
+      .join(oldCanon, Seq("content_hash"), "left_outer")
+      .select(col("doc_id"), col("content_hash"), col("canonical_id"),
+        col("canonical_id").isNotNull.as("is_known"))
+      .orderBy("doc_id")
+  }
+
   /** INCREMENTAL near-dup: screen a NEW batch of documents against the
     * EXISTING corpus — the shape a daily training-data ingest actually
     * runs, where the standing corpus is orders of magnitude larger than

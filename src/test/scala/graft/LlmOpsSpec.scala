@@ -88,6 +88,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(12L).isNullAt(out(12L).fieldIndex("best_match")))
   }
 
+  test("incrementalExactDedup: known content maps to the old canonical, " +
+    "novel content and old-side rows don't surface") {
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "x y z"), // standing corpus
+      (10L, "a b c"),                              // exact re-upload
+      (11L, "q r s"))                              // novel
+      .toDF("doc_id", "text")
+    val out = TextOps.incrementalExactDedup(df, "doc_id", "text",
+        col("doc_id") >= 10L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(10L, 11L))
+    assert(out(10L).getAs[Boolean]("is_known"))
+    // canonical is the MIN old id holding that content (1, not 2)
+    assert(out(10L).getAs[Long]("canonical_id") == 1L)
+    assert(!out(11L).getAs[Boolean]("is_known"))
+    assert(out(11L).isNullAt(out(11L).fieldIndex("canonical_id")))
+  }
+
   test("repetitionStats: planted spam flagged, varied text passes") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now buy now"), // one 2-gram dominates
