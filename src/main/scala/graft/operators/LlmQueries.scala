@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.DedupIndex
 
 /** Driver-checkable queries for the LLM-corpus operators (dedup,
   * similarity, text analysis) over `documents`/`embeddings`. Hashing is
@@ -113,6 +114,43 @@ object LlmQueries {
   def q97IncrementalExact(s: SparkSession, d: String): DataFrame =
     TextOps.incrementalExactDedup(Tables.documents(s, d), "doc_id",
       "text", col("doc_id") % 5 === 4)
+
+  /** The STANDING-INDEX ingest loop — the production shape of q92:
+    * bootstrap the bucketed dedup index from the 60% standing corpus
+    * (doc_id % 5 in 0..2), fold batch N (doc_id % 5 == 3) in via
+    * [[graft.sources.DedupIndex.append]] (pure row-appends), then
+    * screen batch N+1 (doc_id % 5 == 4) against the updated index. The
+    * old side the screen sees is exactly q92's (% 5 != 4) — so the
+    * result is bit-equal and shares q92's oracle — but here the corpus
+    * is hashed once at ingest and only READ at screen time, with zero
+    * corpus-side Exchange (PlanShapeSpec pins the plan).
+    */
+  def q98NeardupIndexed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    DedupIndex.write(docs.filter(col("doc_id") % 5 <= 2),
+      "doc_id", "text", "g98")
+    DedupIndex.append(docs.filter(col("doc_id") % 5 === 3),
+      "doc_id", "text", "g98")
+    DedupIndex.screenNearDup(s, docs.filter(col("doc_id") % 5 === 4),
+      "doc_id", "text", "g98")
+  }
+
+  /** The exact-hash arm of the standing-index loop (production q97):
+    * same bootstrap → append(batch N) → screen(batch N+1) lifecycle
+    * over the log-structured (content_hash, doc_id) table; canonical
+    * ids re-derive as an in-bucket min per hash, so appending batch N
+    * preserves "canonical = min doc_id per hash" exactly and the
+    * result shares q97's oracle.
+    */
+  def q99ExactIndexed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    DedupIndex.write(docs.filter(col("doc_id") % 5 <= 2),
+      "doc_id", "text", "g99")
+    DedupIndex.append(docs.filter(col("doc_id") % 5 === 3),
+      "doc_id", "text", "g99")
+    DedupIndex.screenExact(s, docs.filter(col("doc_id") % 5 === 4),
+      "doc_id", "text", "g99")
+  }
 
   /** Semantic (embedding-space) duplicate clusters at cosine ≥ 0.25 —
     * the threshold that exercises multi-member components on the
@@ -352,7 +390,9 @@ object LlmQueries {
     "q94_decontaminate" -> (q94Decontaminate _),
     "q95_repetition_stats" -> (q95RepetitionStats _),
     "q96_semantic_clusters" -> (q96SemanticClusters _),
-    "q97_incremental_exact" -> (q97IncrementalExact _))
+    "q97_incremental_exact" -> (q97IncrementalExact _),
+    "q98_neardup_indexed" -> (q98NeardupIndexed _),
+    "q99_exact_indexed" -> (q99ExactIndexed _))
 
   private val shingleBase =
     """base AS (
@@ -417,7 +457,16 @@ object LlmQueries {
       |    CAST(list_sum([q[i]*q[i] for i in range(1, 65)]) AS BIGINT) AS norm2
       |  FROM base)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** The standing-index lifecycle queries (q98/q99) produce bit-identical
+    * answers to their snapshot-rebuild twins (q92/q97) by construction —
+    * the index IS the old side, persisted — so they share the oracle
+    * verbatim.
+    */
+  val oracle: Map[String, String] = baseOracle ++ Map(
+    "q98_neardup_indexed" -> baseOracle("q92_incremental_neardup"),
+    "q99_exact_indexed" -> baseOracle("q97_incremental_exact"))
+
+  private lazy val baseOracle: Map[String, String] = Map(
     "q31_dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1

@@ -176,7 +176,7 @@ object TextOps {
     * self-join and [[incrementalNearDup]]'s asymmetric probe both
     * consume it, and the SQL `lshSigBandCtes` mirrors it.
     */
-  private def bandedKeys(shsets: DataFrame, idName: String): DataFrame =
+  private[graft] def bandedKeys(shsets: DataFrame, idName: String): DataFrame =
     shsets.select(col("doc_id") +: sigCols(col("shset")): _*)
       .select(col("doc_id").as(idName),
         explode(array((0 until bandsCount).map { j =>
@@ -243,8 +243,12 @@ object TextOps {
     */
   def incrementalExactDedup(df: DataFrame, idCol: String, textCol: String,
                             isNew: Column): DataFrame = {
-    val hashed = df.select(col(idCol).as("doc_id"),
-      md5(col(textCol)).as("content_hash"), isNew.as("is_new"))
+    // one persisted hashed projection feeds BOTH sides (old-canon
+    // aggregate + new-side probe) — without it each side rescans the
+    // input and pays the md5 twice, same sharing rule as
+    // [[incrementalNearDup]]'s shingle projection
+    val hashed = Caches.persistTracked(df.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("content_hash"), isNew.as("is_new")))
     val oldCanon = hashed.filter(!col("is_new"))
       .groupBy("content_hash").agg(min(col("doc_id")).as("canonical_id"))
     hashed.filter(col("is_new"))
@@ -295,10 +299,24 @@ object TextOps {
     */
   private[graft] def incrementalNearDupFrom(oldSh: DataFrame,
                                             newSh: DataFrame,
-                                            threshold: Double): DataFrame = {
+                                            threshold: Double): DataFrame =
+    incrementalNearDupProbe(bandedKeys(oldSh, "old_id"), oldSh, newSh,
+      threshold)
+
+  /** The probe arm over a PREBUILT old-side band index — the standing-
+    * index entry point ([[graft.sources.DedupIndex.screenNearDup]]):
+    * `oldBands` is the persisted (old_id, band, key) table and `oldSh`
+    * the persisted (doc_id, shset) table, both bucketed by their join
+    * keys so neither corpus-side frame ever re-shuffles (PlanShapeSpec
+    * pins one Exchange per join, on the increment side only).
+    */
+  private[graft] def incrementalNearDupProbe(oldBands: DataFrame,
+                                             oldSh: DataFrame,
+                                             newSh: DataFrame,
+                                             threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cand = bandedKeys(newSh, "new_id")
-      .join(bandedKeys(oldSh, "old_id"), Seq("band", "key"))
+      .join(oldBands, Seq("band", "key"))
       .select("new_id", "old_id")
       .distinct() // same pair can collide in several bands
     val verified = cand
