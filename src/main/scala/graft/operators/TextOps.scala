@@ -1106,10 +1106,21 @@ object TextOps {
     * which is ∝ actual contamination. No df-cap: the index is bounded
     * by the benchmark, and dropping a common print could hide real
     * contamination.
+    *
+    * The broadcast is SIZE-GATED, not unconditional: the eval print
+    * count is measured against the persisted projection (one cheap
+    * aggregate) and a side above `maxBroadcastPrints` falls back to a
+    * plain hash-partitioned join instead of OOMing the driver — the
+    * screen then costs one corpus shuffle on `h`, which is the honest
+    * price of an eval side that big. Both paths are bit-equal
+    * (ContainmentSpec) and both plan shapes are pinned (PlanShapeSpec
+    * for the broadcast mode, ContainmentSpec for the fallback).
     */
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
                     isEval: Column, k: Int = 8, w: Int = 16,
-                    minShared: Int = 4): DataFrame = {
+                    minShared: Int = 4,
+                    maxBroadcastPrints: Long = 4L * 1000 * 1000)
+      : DataFrame = {
     // persisted two-projection split for the same HOF-collapse reason
     // as containmentPairs (see that scaladoc)
     val fp = Caches.persistTracked(
@@ -1117,17 +1128,23 @@ object TextOps {
           gramHashes(col(textCol), k).as("gh"))
         .select(col("doc_id"), col("is_eval"),
           winnowSelect(col("gh"), w).as("fp")))
+    // ~16 bytes per (eval_id, h) row → the default gate caps the
+    // broadcast near 64 MB; the count reads the persisted projection
+    val evalPrints = fp.filter(col("is_eval"))
+      .agg(coalesce(sum(size(col("fp"))), lit(0L))).head().getLong(0)
+    val bcast = evalPrints <= maxBroadcastPrints
+    def evalSide(d: DataFrame): DataFrame = if (bcast) broadcast(d) else d
     val evalEx = fp.filter(col("is_eval"))
       .select(col("doc_id").as("eval_id"), explode(col("fp")).as("h"))
     val evalSz = fp.filter(col("is_eval"))
       .select(col("doc_id").as("eval_id"), size(col("fp")).as("n_eval"))
     val trainEx = fp.filter(!col("is_eval"))
       .select(col("doc_id").as("train_id"), explode(col("fp")).as("h"))
-    trainEx.join(broadcast(evalEx), Seq("h"))
+    trainEx.join(evalSide(evalEx), Seq("h"))
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-      .join(broadcast(evalSz), Seq("eval_id"))
+      .join(evalSide(evalSz), Seq("eval_id"))
       .select(col("train_id"), col("eval_id"), col("shared"),
         round(col("shared") / col("n_eval"), 6).as("eval_coverage"))
       .orderBy("train_id", "eval_id")

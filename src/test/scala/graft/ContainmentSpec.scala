@@ -93,4 +93,31 @@ class ContainmentSpec extends AnyFunSuite {
       .as[Array[Long]].collect()
     assert(again(0).sameElements(out(0)))
   }
+
+  test("decontaminate: shuffle fallback above the broadcast gate is " +
+    "bit-equal and plans no broadcast of the eval index") {
+    // the q94 fixture: sf0.001 documents, 4% eval suite
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val isEval = col("doc_id") % 25 === 0
+    val viaBroadcast =
+      TextOps.decontaminate(docs, "doc_id", "text", isEval).collect().toSeq
+    Caches.clear()
+    // gate at 0 prints forces the fallback; kill auto-broadcast too or
+    // Catalyst would re-broadcast the tiny test side on its own stats
+    // and hide the shape under test
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fb = TextOps.decontaminate(docs, "doc_id", "text", isEval,
+        maxBroadcastPrints = 0L)
+      val p = fb.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"),
+        s"fallback mode still broadcasts:\n$p")
+      assert(viaBroadcast.nonEmpty && fb.collect().toSeq == viaBroadcast,
+        "fallback result diverged from broadcast result")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      Caches.clear()
+    }
+  }
 }
