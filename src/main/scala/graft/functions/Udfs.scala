@@ -60,6 +60,12 @@ object Udfs {
   val decodeWav: UserDefinedFunction =
     udf(graft.Multimodal.decodeWavHeader _)
 
+  /** PNG/BMP header decode over a binary payload — the image twin of
+    * [[decodeWav]]; the kernel is [[graft.Multimodal.decodeImageHeader]].
+    */
+  val decodeImg: UserDefinedFunction =
+    udf(graft.Multimodal.decodeImageHeader _)
+
   /** Register the fixed-arity UDFs for spark.sql use. */
   def register(spark: SparkSession, asOfYear: Int): Unit = {
     spark.udf.register("graft_to_number", toNumber)

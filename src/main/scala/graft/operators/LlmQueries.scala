@@ -211,15 +211,24 @@ object LlmQueries {
   def q70SimhashDups(s: SparkSession, d: String): DataFrame =
     TextOps.simhashNearDup(Tables.documents(s, d), "doc_id", "text")
 
-  /** Multimodal column plumbing: opaque binary + typed metadata with a
-    * clearly-stubbed decode (see Multimodal.scala for the partitioned
-    * pipeline shape).
+  /** Multimodal column plumbing: opaque binary + typed metadata. The
+    * dimension stand-in (`fake_*`) stays clearly stubbed, but the
+    * `img_*` columns run the REAL PNG/BMP header decode
+    * ([[graft.Multimodal.decodeImageHeader]]) — over these synthetic
+    * text payloads every row decodes to null by construction (text
+    * can't spoof either container's header gates), which is exactly
+    * what the oracle asserts; the golden decode itself is gated by
+    * LlmOpsSpec's real-header fixtures, matching the WAV precedent.
     */
   def q42MultimodalMeta(s: SparkSession, d: String): DataFrame =
-    Multimodal.withMeta(
-      Multimodal.asMediaTable(Tables.documents(s, d)))
-      .select("doc_id", "media_type", "n_bytes", "content_md5",
-        "fake_width", "fake_height")
+    Multimodal.withImgMeta(Multimodal.withMeta(
+      Multimodal.asMediaTable(Tables.documents(s, d))))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("content_md5"), col("fake_width"), col("fake_height"),
+        col("img.format").as("img_format"),
+        col("img.width").as("img_width"),
+        col("img.height").as("img_height"),
+        col("img.bits_per_pixel").as("img_bpp"))
 
   /** Built-once IVF centroid index per sf dir (the [[Similarity.buildIvf]]
     * build/search split): the first search over a dir pays the full-corpus
@@ -647,7 +656,13 @@ object LlmQueries {
          |  length(text) AS n_bytes,
          |  md5(text) AS content_md5,
          |  CAST(${hexFold.format("text")} % 1920 AS INT) AS fake_width,
-         |  CAST(${hexFold.format("text")} % 1080 AS INT) AS fake_height
+         |  CAST(${hexFold.format("text")} % 1080 AS INT) AS fake_height,
+         |  -- the real PNG/BMP header decode rejects every text payload:
+         |  -- neither container's magic+layout gates are ASCII-spoofable
+         |  CAST(NULL AS VARCHAR) AS img_format,
+         |  CAST(NULL AS INTEGER) AS img_width,
+         |  CAST(NULL AS INTEGER) AS img_height,
+         |  CAST(NULL AS INTEGER) AS img_bpp
          |FROM documents""".stripMargin),
     "q54_cosine_lsh" -> (
       s"""WITH $embBase,

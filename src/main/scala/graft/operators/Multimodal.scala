@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * with typed metadata, the way a 100 TB training-data pipeline carries
   * image/audio/video next to text.
   *
-  * The image/video DECODE step is STUBBED — this container has no
-  * image/video codecs — behind [[fakeDecode]]: a deterministic
-  * md5-derived stand-in with the same schema a real decoder (JNI/FFI or
-  * a Python worker via Arrow batches) would produce. AUDIO is real:
-  * [[decodeWavHeader]] parses RIFF/WAVE headers in pure JVM (no codec
-  * needed for metadata). Everything around the stubs — the media schema,
-  * the metadata extraction, the partition-sized batch shape in
+  * METADATA decode is REAL for audio and image: [[decodeWavHeader]]
+  * parses RIFF/WAVE and [[decodePngHeader]]/[[decodeBmpHeader]] parse
+  * PNG/BMP headers in pure JVM — container metadata is plain header
+  * bytes, no codec needed. PIXEL/SAMPLE decode and video remain
+  * STUBBED — this container has no codecs — behind [[fakeDecode]]: a
+  * deterministic md5-derived stand-in with the same schema a real
+  * decoder (JNI/FFI or a Python worker via Arrow batches) would
+  * produce. Everything around the stubs — the media schema, the
+  * metadata extraction, the partition-sized batch shape in
   * [[decodePartitioned]] — is real Spark plumbing and is what the tests
   * and q42 exercise.
   */
@@ -153,6 +155,97 @@ object Multimodal {
     media.withColumn("wav",
       when(col("media_type") === "audio",
         graft.functions.Udfs.decodeWav(col("content"))))
+
+  /** Real decoded-image metadata: container header fields. */
+  case class ImgMeta(format: String, width: Int, height: Int,
+                     bits_per_pixel: Int)
+
+  /** REAL image-metadata decode, pure JVM, same posture as
+    * [[decodeWavHeader]]: PNG and BMP carry their dimensions in plain
+    * header bytes — no codec needed for metadata. PNG: the 8-byte
+    * signature then the mandatory first IHDR chunk (width/height
+    * big-endian, bit depth × channels-per-color-type = bits per pixel).
+    * BMP: "BM" + a DIB header whose declared size must be one of the
+    * published layouts (12/40/52/56/64/108/124) — that field alone
+    * rejects any ASCII payload that happens to start with "BM", because
+    * four printable bytes read as a ≥0x20202020 little-endian size.
+    * Malformed, truncated, or implausible (≥ 2^20 px per side) headers
+    * yield None — null rows, never task failures. Works on a header
+    * PREFIX (first KB range request) like the WAV path: neither format
+    * needs the pixel payload for metadata.
+    */
+  def decodePngHeader(bytes: Array[Byte]): Option[ImgMeta] = {
+    if (bytes == null || bytes.length < 26) return None
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (!(0 until 8).forall(i => (bytes(i) & 0xff) == sig(i))) return None
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    // IHDR must be the first chunk (PNG spec §5.6): 4-byte length (=13),
+    // 4-byte type, then width/height/depth/colorType
+    if (be32(8) != 13L ||
+      new String(bytes, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        != "IHDR") return None
+    val (w, h) = (be32(16), be32(20))
+    val depth = bytes(24) & 0xff
+    // channels per color type: 0 gray, 2 rgb, 3 palette, 4 gray+a, 6 rgba
+    val channels = (bytes(25) & 0xff) match {
+      case 0 | 3 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => return None
+    }
+    if (w <= 0 || h <= 0 || w >= (1L << 20) || h >= (1L << 20) ||
+      !Set(1, 2, 4, 8, 16).contains(depth)) None
+    else Some(ImgMeta("png", w.toInt, h.toInt, depth * channels))
+  }
+
+  /** BMP (BITMAPFILEHEADER + DIB header) metadata — see
+    * [[decodePngHeader]] for the shared posture and validation rules.
+    * Height may be declared negative (top-down rows); its magnitude is
+    * the pixel height.
+    */
+  def decodeBmpHeader(bytes: Array[Byte]): Option[ImgMeta] = {
+    if (bytes == null || bytes.length < 26) return None
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    val dibSize = le32(14)
+    // published DIB layouts only — the gate that makes "BM"-prefixed
+    // text unspoofable (see scaladoc above)
+    if (!Set(12, 40, 52, 56, 64, 108, 124).contains(dibSize)) return None
+    val (w, h, planes, bpp) =
+      if (dibSize == 12) { // BITMAPCOREHEADER: 16-bit fields
+        if (bytes.length < 26) return None
+        (le16(18), le16(20), le16(22), le16(24))
+      } else {
+        if (bytes.length < 30) return None
+        (le32(18), math.abs(le32(22)), le16(26), le16(28))
+      }
+    if (planes != 1 || w <= 0 || h <= 0 || w >= (1 << 20) ||
+      h >= (1 << 20) || !Set(1, 2, 4, 8, 16, 24, 32).contains(bpp)) None
+    else Some(ImgMeta("bmp", w, h, bpp))
+  }
+
+  /** Container sniff: try PNG then BMP — the one-call form the image
+    * rows of a media table use. Unknown containers are None (JPEG &
+    * friends need entropy-coded segment walks; a real pipeline adds
+    * them the same way).
+    */
+  def decodeImageHeader(bytes: Array[Byte]): Option[ImgMeta] =
+    decodePngHeader(bytes).orElse(decodeBmpHeader(bytes))
+
+  /** Attach real image metadata to the image rows of a media table —
+    * the [[withWavMeta]] twin for the image modality; other media types
+    * (and undecodable payloads) carry a null `img` struct.
+    */
+  def withImgMeta(media: DataFrame): DataFrame =
+    media.withColumn("img",
+      when(col("media_type") === "image",
+        graft.functions.Udfs.decodeImg(col("content"))))
 
   /** Frame-sampling stub for video: emit one row per sampled frame index —
     * the explode shape a real frame extractor produces. Sampling every

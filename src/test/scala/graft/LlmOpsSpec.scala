@@ -464,6 +464,81 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(2L).isEmpty)
   }
 
+  test("decodePng/BmpHeader parse real headers; withImgMeta types the rows") {
+    def pngBytes(w: Int, h: Int, depth: Int, colorType: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(40) // big-endian by default
+      bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      bb.putInt(13); bb.put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(w); bb.putInt(h); bb.put(depth.toByte)
+      bb.put(colorType.toByte); bb.put(0.toByte); bb.put(0.toByte)
+      bb.put(0.toByte)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    def bmpBytes(w: Int, h: Int, bpp: Int, dib: Int = 40): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("BM".getBytes("US-ASCII")); bb.putInt(62); bb.putInt(0)
+      bb.putInt(54); bb.putInt(dib)
+      if (dib == 12) {
+        bb.putShort(w.toShort); bb.putShort(h.toShort)
+        bb.putShort(1); bb.putShort(bpp.toShort)
+      } else {
+        bb.putInt(w); bb.putInt(h); bb.putShort(1); bb.putShort(bpp.toShort)
+      }
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    // golden PNG: 8-bit RGBA 640×480 → 32 bits per pixel
+    assert(Multimodal.decodePngHeader(pngBytes(640, 480, 8, 6))
+      .contains(Multimodal.ImgMeta("png", 640, 480, 32)))
+    // grayscale 16-bit; palette 4-bit
+    assert(Multimodal.decodePngHeader(pngBytes(10, 20, 16, 0))
+      .contains(Multimodal.ImgMeta("png", 10, 20, 16)))
+    assert(Multimodal.decodePngHeader(pngBytes(10, 20, 4, 3))
+      .contains(Multimodal.ImgMeta("png", 10, 20, 4)))
+    // golden BMPs: the common 40-byte DIB and the ancient 12-byte core
+    // header (16-bit fields); negative height = top-down rows
+    assert(Multimodal.decodeBmpHeader(bmpBytes(800, 600, 24))
+      .contains(Multimodal.ImgMeta("bmp", 800, 600, 24)))
+    assert(Multimodal.decodeBmpHeader(bmpBytes(31, 17, 8, dib = 12))
+      .contains(Multimodal.ImgMeta("bmp", 31, 17, 8)))
+    assert(Multimodal.decodeBmpHeader(bmpBytes(800, -600, 32))
+      .contains(Multimodal.ImgMeta("bmp", 800, 600, 32)))
+    // the sniffing one-call form routes by container
+    assert(Multimodal.decodeImageHeader(pngBytes(2, 2, 8, 2))
+      .exists(_.format == "png"))
+    assert(Multimodal.decodeImageHeader(bmpBytes(2, 2, 1))
+      .exists(_.format == "bmp"))
+    // malformed inputs are None, never exceptions
+    assert(Multimodal.decodeImageHeader(null).isEmpty)
+    assert(Multimodal.decodeImageHeader("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodePngHeader(pngBytes(640, 480, 8, 6).take(20))
+      .isEmpty)
+    assert(Multimodal.decodePngHeader(pngBytes(640, 480, 3, 6)).isEmpty)
+    assert(Multimodal.decodePngHeader(pngBytes(0, 480, 8, 6)).isEmpty)
+    assert(Multimodal.decodePngHeader(pngBytes(1 << 21, 4, 8, 6)).isEmpty)
+    // "BM"-prefixed TEXT must not spoof: printable DIB-size bytes read
+    // ≥ 0x20202020, outside the published layout set
+    assert(Multimodal.decodeBmpHeader(
+      "BM text that merely starts with the magic".getBytes).isEmpty)
+    assert(Multimodal.decodeBmpHeader(bmpBytes(800, 600, 24, dib = 39))
+      .isEmpty)
+    assert(Multimodal.decodeBmpHeader(bmpBytes(800, 600, 13)).isEmpty)
+    // column form: image rows decode, others stay null, bad images null
+    val rows = spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(0L, "image", pngBytes(640, 480, 8, 6)),
+      org.apache.spark.sql.Row(1L, "audio", pngBytes(640, 480, 8, 6)),
+      org.apache.spark.sql.Row(2L, "image", "garbage".getBytes)))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.withImgMeta(media).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[org.apache.spark.sql.Row]("img"))).toMap
+    assert(out(0L).exists(i => i.getAs[String]("format") == "png" &&
+      i.getAs[Int]("width") == 640 && i.getAs[Int]("bits_per_pixel") == 32))
+    assert(out(1L).isEmpty)
+    assert(out(2L).isEmpty)
+  }
+
   test("decodePartitioned: sentinel stats estimate falls back to parallelism") {
     // An RDD-backed frame has no real size statistics: Spark reports
     // spark.sql.defaultSizeInBytes (Long.MaxValue). The byte-budget sizing
