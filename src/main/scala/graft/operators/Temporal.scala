@@ -275,6 +275,25 @@ object Temporal {
   def q91RetentionApprox(s: SparkSession, d: String): DataFrame =
     retentionCohortsApprox(Tables.events(s, d), "user_id", "ts")
 
+  /** The REGISTERED q91: [[q91RetentionApprox]] SELF-VALIDATED against
+    * the exact matrix — same promotion as [[q86PercentilesGate]]: the
+    * HLL++ counts can't hash-match an oracle, so the gate outputs the
+    * exact cells (q82's oracle-checkable values) plus a per-cell
+    * verdict that the sketch landed within ApproxTwinSpec's ±5%/±2
+    * bound. [[retentionCohortsApprox]] stays the pure bounded-memory
+    * form; the exact `countDistinct` here is gate-only cost.
+    */
+  def q91RetentionGate(s: SparkSession, d: String): DataFrame = {
+    val ap = q91RetentionApprox(s, d)
+      .select(col("cohort"), col("act_day"), col("n_active").as("n_approx"))
+    q82Retention(s, d).join(ap, Seq("cohort", "act_day"))
+      .select(col("cohort"), col("act_day"), col("n_active"),
+        col("retention"),
+        (abs(col("n_approx") - col("n_active")) <=
+          greatest(lit(2.0), col("n_active") * 0.05)).as("approx_ok"))
+      .orderBy("cohort", "act_day")
+  }
+
   /** Funnel attribution: purchase → latest prior click → latest prior
     * view (anchored on the CLICK's time), per user, with exact µs lags
     * and a 7-day-per-step full-funnel verdict — two CHAINED as-of
@@ -347,6 +366,36 @@ object Temporal {
         round(approx_percentile(col("value"), lit(0.99), lit(10000)), 6)
           .as("p99"))
       .orderBy("event_type")
+
+  /** The REGISTERED q86: [[q86PercentilesApprox]] SELF-VALIDATED — the
+    * sketch values are engine-specific (no DuckDB oracle can hash-match
+    * a t-digest), so the gate query outputs what IS deterministic: the
+    * exact ±1-percentile-rank bracket bounds (oracle-checkable via
+    * `quantile_cont`) and a per-percentile verdict that the sketch
+    * landed inside them — ApproxTwinSpec's bracket, promoted into the
+    * driver artifact so q86 records a full rows+schema+hash pass
+    * instead of a null `no_oracle` row (VERDICT r11 §missing-4). The
+    * pure sketch form above stays the production/scale path; the exact
+    * brackets here are gate-only cost over the 5 bounded groups.
+    */
+  def q86PercentilesGate(s: SparkSession, d: String): DataFrame = {
+    val eps = 1e-6 // both sides round to 6 decimals
+    val br = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(round(percentile(col("value"), lit(0.49)), 6).as("lo50"),
+        round(percentile(col("value"), lit(0.51)), 6).as("hi50"),
+        round(percentile(col("value"), lit(0.89)), 6).as("lo90"),
+        round(percentile(col("value"), lit(0.91)), 6).as("hi90"),
+        round(percentile(col("value"), lit(0.985)), 6).as("lo99"),
+        round(percentile(col("value"), lit(0.995)), 6).as("hi99"))
+    def ok(p: String, lo: String, hi: String): Column =
+      (col(p) >= col(lo) - eps && col(p) <= col(hi) + eps).as(s"${p}_ok")
+    q86PercentilesApprox(s, d).join(br, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        col("lo50"), col("hi50"), ok("p50", "lo50", "hi50"),
+        col("lo90"), col("hi90"), ok("p90", "lo90", "hi90"),
+        col("lo99"), col("hi99"), ok("p99", "lo99", "hi99"))
+      .orderBy("event_type")
+  }
 
   /** Event-transition matrix (first-order Markov): for every adjacent
     * pair in each user's (ts, id)-ordered timeline, count
@@ -517,16 +566,35 @@ object Temporal {
     "q83_funnel_attribution" -> (q83Funnel _),
     "q84_value_percentiles" -> (q84Percentiles _),
     "q85_event_transitions" -> (q85Transitions _),
-    // q86 has NO oracle entry by design: approx_percentile is a t-digest
-    // sketch whose exact outputs are engine-specific → rows-only check
-    "q86_value_percentiles_approx" -> (q86PercentilesApprox _),
+    // q86/q91 register their GATE forms (since r12): sketch values are
+    // engine-specific, so the gates output the exact brackets/cells +
+    // in-plan verdicts that the sketch landed inside — fully
+    // oracle-checkable; the pure sketch forms remain the operators and
+    // ApproxTwinSpec's subjects
+    "q86_value_percentiles_approx" -> (q86PercentilesGate _),
     "q87_range_windows" -> (q87RangeWindows _),
     "q88_session_overlap" -> (q88SessionOverlap _),
     "q89_peak_concurrency" -> (q89PeakConcurrency _),
-    // q91 has NO oracle entry by design: approx_count_distinct is an
-    // HLL++ sketch whose exact counts are engine-specific → rows-only
-    // check; ApproxTwinSpec brackets it against the exact q82
-    "q91_retention_cohorts_approx" -> (q91RetentionApprox _))
+    "q91_retention_cohorts_approx" -> (q91RetentionGate _))
+
+  /** q82's oracle — also the body of q91's gate oracle (the gate
+    * outputs the exact cells + a TRUE sketch verdict); edit together.
+    */
+  private lazy val q82OracleSql: String =
+    """WITH labeled AS (
+      |  SELECT user_id,
+      |    strftime(ts, '%Y-%m-%d') AS act_day,
+      |    strftime(min(ts) OVER (PARTITION BY user_id), '%Y-%m-%d')
+      |      AS cohort
+      |  FROM events),
+      |cells AS (
+      |  SELECT cohort, act_day, count(DISTINCT user_id) AS n_active
+      |  FROM labeled GROUP BY 1, 2)
+      |SELECT cohort, act_day, n_active,
+      |  round(n_active /
+      |    CAST(max(CASE WHEN act_day = cohort THEN n_active END)
+      |         OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
+      |FROM cells ORDER BY cohort, act_day""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q79_asof_attribution" ->
@@ -560,21 +628,25 @@ object Temporal {
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
         |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q82_retention_cohorts" ->
-      """WITH labeled AS (
-        |  SELECT user_id,
-        |    strftime(ts, '%Y-%m-%d') AS act_day,
-        |    strftime(min(ts) OVER (PARTITION BY user_id), '%Y-%m-%d')
-        |      AS cohort
-        |  FROM events),
-        |cells AS (
-        |  SELECT cohort, act_day, count(DISTINCT user_id) AS n_active
-        |  FROM labeled GROUP BY 1, 2)
-        |SELECT cohort, act_day, n_active,
-        |  round(n_active /
-        |    CAST(max(CASE WHEN act_day = cohort THEN n_active END)
-        |         OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
-        |FROM cells ORDER BY cohort, act_day""".stripMargin,
+    "q82_retention_cohorts" -> q82OracleSql,
+    // q86/q91 gate-form oracles: exact brackets/cells via DuckDB, and
+    // the sketch verdicts asserted TRUE — a sketch drifting outside its
+    // published bound hash-mismatches here
+    "q86_value_percentiles_approx" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.49), 6) AS lo50,
+        |  round(quantile_cont(value, 0.51), 6) AS hi50,
+        |  TRUE AS p50_ok,
+        |  round(quantile_cont(value, 0.89), 6) AS lo90,
+        |  round(quantile_cont(value, 0.91), 6) AS hi90,
+        |  TRUE AS p90_ok,
+        |  round(quantile_cont(value, 0.985), 6) AS lo99,
+        |  round(quantile_cont(value, 0.995), 6) AS hi99,
+        |  TRUE AS p99_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q91_retention_cohorts_approx" ->
+      s"""SELECT q.*, TRUE AS approx_ok FROM ($q82OracleSql) q
+         |ORDER BY cohort, act_day""".stripMargin,
     "q83_funnel_attribution" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
         |           FROM events WHERE event_type = 'purchase'),
