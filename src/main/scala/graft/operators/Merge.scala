@@ -12,8 +12,12 @@ import org.apache.spark.sql.types._
   * One full-outer join on the natural key replaces N per-item SQL
   * round-trips; every per-field rule of `compare` becomes a when/coalesce
   * expression and the change log an array of structs. Scale: the join
-  * shuffles both sides once on `url` (or colocates if both are bucketed by
-  * url); everything else is row-local expression work.
+  * shuffles both sides once on `url` — or neither side at all when both
+  * are written through [[graft.sources.Sinks.writeBucketed]] on `url`,
+  * the documented canonical-table layout: the full-outer SMJ then plans
+  * ZERO Exchange (BucketingSpec pins the merge plan; the bucketed-merge
+  * ScaleProbe measures the saving). Everything else is row-local
+  * expression work.
   *
   * Faithful semantics worth naming (all from models/listing.py:103-167):
   *  - Python truthiness gates fill/overwrite: 0, "" and null all count as

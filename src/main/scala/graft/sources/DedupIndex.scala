@@ -60,29 +60,15 @@ object DedupIndex {
 
   private def save(df: DataFrame, table: String, mode: String,
                    bucketCols: Seq[String]): Unit =
-    df.write.mode(mode)
-      .bucketBy(Buckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(table)
+    Sinks.writeBucketed(df, table, bucketCols, Buckets, mode)
 
   /** (Re)build the standing index from a corpus snapshot — the one-time
-    * bootstrap write. Steady state never calls this again: increments
-    * fold in via [[append]].
+    * bootstrap write ([[Sinks.writeBucketed]] purges any stale location
+    * from a previous session). Steady state never calls this again:
+    * increments fold in via [[append]].
     */
   def write(docs: DataFrame, idCol: String, textCol: String,
             prefix: String): Unit = {
-    val spark = docs.sparkSession
-    Seq(bands(prefix), shsets(prefix), hashes(prefix)).foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      // the catalog is session-scoped but the warehouse directory is
-      // not: a table written by a previous session is invisible to
-      // DROP TABLE yet still blocks the managed location — purge the
-      // physical path as well (Hadoop FS, so remote warehouses work)
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.conf.warehousePath, t)
-      loc.getFileSystem(spark.sessionState.newHadoopConf())
-        .delete(loc, true)
-    }
     val (b, s, h) = project(docs, idCol, textCol)
     save(b, bands(prefix), "overwrite", Seq("band", "key"))
     save(s, shsets(prefix), "overwrite", Seq("doc_id"))

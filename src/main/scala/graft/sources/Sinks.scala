@@ -54,4 +54,43 @@ object Sinks {
     df.write.mode("overwrite").json(path)
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** BUCKETED-table writer — the co-location write path behind two
+    * scale designs:
+    *
+    *  - the canonical-listing MERGE (SURVEY §4 "optional bucketing by
+    *    url"): current and incoming tables written through this on
+    *    `url` make [[graft.Merge.merge]]'s full-outer SMJ plan ZERO
+    *    Exchange on either side (BucketingSpec pins the merge plan;
+    *    the bucketed-merge ScaleProbe measures the saving). The
+    *    canonical table is re-written through this writer each merge
+    *    cycle (`overwrite`), so the one-time layout cost amortizes
+    *    across every later merge;
+    *  - the standing dedup index ([[DedupIndex]]), which appends.
+    *
+    * `overwrite` purges the physical location as well as the catalog
+    * entry: the session catalog is in-memory, so a table written by a
+    * PREVIOUS session is invisible to DROP TABLE yet still blocks the
+    * managed location (Hadoop FS, so remote warehouses behave the
+    * same). Bucket count is a deployment knob — match the cluster's
+    * parallelism; the non-bucketed side of a join shuffles to exactly
+    * this many partitions.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int = 32,
+                    mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty, "bucketed write needs at least one key")
+    val spark = df.sparkSession
+    if (mode == "overwrite") {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, table)
+      loc.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(loc, true)
+    }
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
 }

@@ -39,4 +39,31 @@ class BucketingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cur_b")
     spark.sql("DROP TABLE inc_b")
   }
+
+  test("the full MERGE over Sinks.writeBucketed tables plans no exchange") {
+    val d = "/root/testdata/sf0.001"
+    val cur = EtlQueries.currentListings(spark, d)
+    val inc = EtlQueries.incomingListings(spark, d)
+    graft.sources.Sinks.writeBucketed(cur, "merge_cur_b", Seq("url"), 8)
+    graft.sources.Sinks.writeBucketed(inc, "merge_inc_b", Seq("url"), 8)
+    try {
+      val merged = Merge.merge(spark.table("merge_cur_b"),
+        spark.table("merge_inc_b"), EtlQueries.asOf)
+      val plan = merged.queryExecution.executedPlan.toString
+      // the canonical-table layout claim: the full-outer SMJ (and the
+      // reid_id window behind it) reuse the bucket partitioning — no
+      // url shuffle anywhere in the merge
+      assert(!plan.contains("Exchange hashpartitioning(url"),
+        s"bucketed merge grew a url shuffle:\n$plan")
+      assert(merged.count() > 0)
+      // overwrite purges the previous generation's location even
+      // across sessions — re-writing the canonical table (the steady-
+      // state merge cycle) must not hit LOCATION_ALREADY_EXISTS
+      graft.sources.Sinks.writeBucketed(cur, "merge_cur_b", Seq("url"), 8)
+      assert(spark.table("merge_cur_b").count() == cur.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS merge_cur_b")
+      spark.sql("DROP TABLE IF EXISTS merge_inc_b")
+    }
+  }
 }
