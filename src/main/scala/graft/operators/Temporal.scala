@@ -575,7 +575,12 @@ object Temporal {
     "q87_range_windows" -> (q87RangeWindows _),
     "q88_session_overlap" -> (q88SessionOverlap _),
     "q89_peak_concurrency" -> (q89PeakConcurrency _),
-    "q91_retention_cohorts_approx" -> (q91RetentionGate _))
+    "q91_retention_cohorts_approx" -> (q91RetentionGate _),
+    // the streaming as-of driven through a real micro-batched replay —
+    // bit-equal to q79 under the replay's ordering discipline, so it
+    // shares q79's oracle (ReplayParity scaladoc has the argument)
+    "q100_streaming_asof_replay" ->
+      (graft.streaming.ReplayParity.q100StreamingAsOfReplay _))
 
   /** q82's oracle — also the body of q91's gate oracle (the gate
     * outputs the exact cells + a TRUE sketch verdict); edit together.
@@ -596,19 +601,25 @@ object Temporal {
       |         OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
       |FROM cells ORDER BY cohort, act_day""".stripMargin
 
+  /** q79's oracle — also q100's (the streaming replay is bit-equal to
+    * the batch as-of under the replay ordering); edit together.
+    */
+  private lazy val q79OracleSql: String =
+    """SELECT c.event_id AS click_id, c.user_id,
+      |  v.event_id AS view_id,
+      |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |-- right side deduped to max event_id per (user, ts): the
+      |-- deterministic tie rule asOfJoin's rightTie implements
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, ts, max(event_id) AS event_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
+      |  ON c.user_id = v.user_id AND c.ts >= v.ts
+      |ORDER BY click_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q79_asof_attribution" ->
-      """SELECT c.event_id AS click_id, c.user_id,
-        |  v.event_id AS view_id,
-        |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
-        |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |-- right side deduped to max event_id per (user, ts): the
-        |-- deterministic tie rule asOfJoin's rightTie implements
-        |ASOF LEFT JOIN (
-        |  SELECT user_id, ts, max(event_id) AS event_id
-        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
-        |  ON c.user_id = v.user_id AND c.ts >= v.ts
-        |ORDER BY click_id""".stripMargin,
+    "q79_asof_attribution" -> q79OracleSql,
+    "q100_streaming_asof_replay" -> q79OracleSql,
     "q80_gap_sessions" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id,

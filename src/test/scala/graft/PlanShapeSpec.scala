@@ -37,7 +37,10 @@ class PlanShapeSpec extends AnyFunSuite {
            "q69_dup_clusters",
            // index-lifecycle queries execute bucketed writers eagerly;
            // their plans are pinned in DedupIndexSpec
-           "q98_neardup_indexed", "q99_exact_indexed").contains(name)) {
+           "q98_neardup_indexed", "q99_exact_indexed",
+           // the streaming replay runs a full micro-batched stream on
+           // construction; its operator plans are EventStreamsSpec's
+           "q100_streaming_asof_replay").contains(name)) {
       val p = fn(spark, d).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"),
