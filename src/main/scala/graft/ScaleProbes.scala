@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   *    the 100 TB co-location claim. The one-time bucketed WRITE is
   *    reported separately — at production scale the canonical table is
   *    maintained bucketed, so steady-state merges pay only the read.
+  *  - `index-ab [sfDir]` — the q92-rebuild vs q98-table-screen A/B:
+  *    what the DISK-resident bucketed dedup index (DedupIndex) saves a
+  *    daily increment over re-hashing the standing corpus per run.
   */
 object ScaleProbes {
 
@@ -372,6 +375,41 @@ object ScaleProbes {
             f"standing_speedup=${fullSec / standingSec}%.2fx")
         } finally oldSh.unpersist()
 
+      case "index-ab" =>
+        // the production lifecycle behind q98/q99: the standing index
+        // lives in BUCKETED TABLES on disk across job runs — no
+        // JVM-resident cache to lose between daily ingests (the
+        // incremental-ab probe's standing arm assumes one). A/B: the
+        // registered rebuild form (q92 re-hashes the 80% old side per
+        // run) vs the table-backed screen (DedupIndex.screenNearDup —
+        // the increment pays its own hashing + the asymmetric probe;
+        // the corpus side is READ, bucketed, zero exchange). The
+        // one-time index write is reported separately: maintenance
+        // cost amortized across every later increment.
+        val sfDir = args.lift(1).getOrElse(
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        val docs = Tables.documents(spark, sfDir)
+        val isNew = col("doc_id") % 5 === 4
+        def noopW(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        def rebuild(): Unit = noopW(TextOps.incrementalNearDup(docs,
+          "doc_id", "text", isNew))
+        def screen(): Unit = noopW(graft.sources.DedupIndex.screenNearDup(
+          spark, docs.filter(isNew), "doc_id", "text", "probeidx"))
+        val t0 = System.nanoTime()
+        graft.sources.DedupIndex.write(docs.filter(!isNew), "doc_id",
+          "text", "probeidx")
+        Caches.clear() // the write's internal projection is maintenance
+        val writeSec = (System.nanoTime() - t0) / 1e9
+        rebuild(); Caches.clear(); screen(); Caches.clear() // warm both
+        val rebuildSec = minOf3(rebuild())
+        val screenSec = minOf3(screen())
+        println(f"[probe] index-ab: sf=$sfDir " +
+          f"rebuild_min3_sec=$rebuildSec%.2f " +
+          f"table_screen_min3_sec=$screenSec%.2f " +
+          f"one_time_index_write_sec=$writeSec%.2f " +
+          f"screen_speedup=${rebuildSec / screenSec}%.2fx")
+
       case "streaming-neardup" =>
         // throughput of the streaming MinHash-LSH near-dup: one bulk
         // micro-batch of a deterministic planted-dup corpus through the
@@ -427,7 +465,7 @@ object ScaleProbes {
         System.err.println(s"unknown probe '$other' " +
           "(expected: components | bucketed-merge | ngram-ab | " +
           "asof-ab | containment-ab | range-ab | incremental-ab | " +
-          "streaming-asof | streaming-neardup)")
+          "index-ab | streaming-asof | streaming-neardup)")
         sys.exit(2)
     }
     spark.stop()
