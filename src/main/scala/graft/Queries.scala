@@ -25,7 +25,7 @@ object Queries {
     "q01_monthly_counts" -> ((s, d) => q01MonthlyCounts(s, d))
   ) ++ Relational.all ++ FunctionQueries.all ++ EtlQueries.all ++
     LlmQueries.all ++ SourceQueries.all ++ MlQueries.all ++
-    SourceProfiles.queries ++ Temporal.all
+    SourceProfiles.queries ++ Temporal.all ++ CorpusQueries.all
 
   val oracle: Map[String, String] = Map(
     "q01_monthly_counts" ->
@@ -33,5 +33,5 @@ object Queries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   ) ++ Relational.oracle ++ FunctionQueries.oracle ++ EtlQueries.oracle ++
     LlmQueries.oracle ++ SourceQueries.oracle ++ MlQueries.oracle ++
-    SourceProfiles.oracle ++ Temporal.oracle
+    SourceProfiles.oracle ++ Temporal.oracle ++ CorpusQueries.oracle
 }

@@ -1,0 +1,274 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Round-12 corpus-hardening operators: PII screening, paragraph-level
+  * dedup, bigram-LM quality scoring, bloom-prescreened incremental
+  * dedup, and output-shard planning — the pipeline stages a pretraining
+  * corpus build runs between the near-dup screens (TextOps) and the
+  * trainer-facing packing (TextOps.sequencePacking).
+  *
+  * Same determinism discipline as TextOps: md5-based hashing, integer
+  * accumulators, floats only as final divisions of identical integers —
+  * so every operator has a bit-exact DuckDB oracle.
+  */
+object CorpusOps {
+
+  // ---------------------------------------------------------------- PII
+
+  /** Regex set shared by detector and redactor. Kept to syntax valid —
+    * and semantically identical (leftmost-first, no lookaround) — in
+    * both java.util.regex and RE2, so the DuckDB oracle reproduces
+    * match-for-match.
+    */
+  val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val ipRe = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+  val phoneRe = """\+[0-9]{1,3}[ -][0-9]{2,4}-[0-9]{5,9}"""
+
+  /** PII detection + redaction screen — the compliance pass every
+    * training-corpus pipeline runs before a crawl snapshot is allowed
+    * into the training mix (emails/phones/IPs are the canonical
+    * regex-detectable classes; ML-based NER rides on top in production,
+    * out of engine scope). Per doc: per-class match counts over the
+    * input text, a `has_pii` verdict, and the md5 of the redacted text
+    * (redaction order email → ip → phone is part of the contract — the
+    * classes' alphabets overlap on digits/dots, so the chain order is
+    * observable and must match the oracle's).
+    *
+    * Scale shape: entirely ROW-LOCAL regex work in one projection —
+    * zero shuffle, scales as a scan, and the three `regexp_extract_all`
+    * counts + three `regexp_replace` stay inside whole-stage codegen.
+    */
+  def piiScreen(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def n(re: String): Column =
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+    df.select(col(idCol).as("doc_id"),
+        n(emailRe).as("n_emails"),
+        n(ipRe).as("n_ips"),
+        n(phoneRe).as("n_phones"),
+        md5(redacted).as("redacted_hash"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ips") + col("n_phones") > 0)
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------- paragraph dedup
+
+  /** Fixed-size word windows standing in for paragraphs: the testdata
+    * corpus has no newlines, so the "paragraph" unit is every run of
+    * `width` consecutive words (last one ragged). In production the
+    * splitter is `split(text, '\n\n')` — the operator downstream of the
+    * chunker is identical.
+    */
+  private[graft] def wordChunks(text: Column, width: Int): Column = {
+    val w = TextOps.words(text)
+    // ceil-div via floor((n + width-1)/width): exact in double for any
+    // realistic doc length. Guard: sequence(0, -1) would DESCEND.
+    val nch = floor((size(w) + lit(width - 1)) / lit(width)).cast("int")
+    when(size(w) >= 1,
+      transform(sequence(lit(0), nch - 1),
+        i => concat_ws(" ", slice(w, i * width + 1, lit(width)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Paragraph-level exact dedup (the CCNet/RefinedWeb line-dedup pass):
+    * boilerplate paragraphs — navigation, cookie banners, footers —
+    * repeat VERBATIM across pages even when no two whole documents are
+    * near-dups, so document-level screens never see them. Chunk every
+    * doc into `width`-word paragraphs, count each paragraph's VERBATIM
+    * frequency across the whole corpus (by md5, so the shuffle carries
+    * 16-byte keys, not text), drop paragraphs occurring ≥ `minFreq`
+    * times, and re-assemble what survives. Per doc: paragraph count,
+    * dropped count, and the md5 of the retained text.
+    *
+    * Scale shape: one exploded projection → one count shuffle on the
+    * 16-byte hash → one join back → one per-doc aggregate. Paragraph
+    * frequency is partial-aggregated map-side; the re-assembly
+    * collect_list is bounded by a single document's length. This is the
+    * same two-shuffle budget CCNet spends at web scale.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     width: Int = 10, minFreq: Int = 2): DataFrame = {
+    val ex = Caches.persistTracked(
+      df.select(col(idCol).as("doc_id"),
+          posexplode(wordChunks(col(textCol), width)).as(Seq("pos", "chunk")))
+        .withColumn("h", md5(col("chunk"))))
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("freq"))
+    val kept = struct(col("pos"), col("chunk"))
+    ex.join(freq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paragraphs"),
+        sum(when(col("freq") >= minFreq, 1L).otherwise(0L)).as("n_dropped"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("freq") < minFreq, kept))),
+          s => s.getField("chunk")))).as("retained_hash"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------- bigram LM score
+
+  /** Corpus-trained bigram-LM quality score — the shape of a KenLM
+    * perplexity filter (CCNet's quality signal) with the float log-sum
+    * replaced by integer familiarity counts, so the score is exactly
+    * reproducible across engines: train bigram counts over the WHOLE
+    * corpus, then score each document by how much of it is made of
+    * frequent bigrams. Per doc: bigram token count, occurrences whose
+    * corpus count ≥ `minCount`, a familiarity sum (corpus counts capped
+    * at `cap`, weighted by in-doc occurrences), and the two derived
+    * ratios — floats only as final divisions of identical integers.
+    *
+    * Scale shape: doc-side occurrences pre-aggregate per (doc, bigram)
+    * before anything joins, the model is one partial-aggregated count
+    * shuffle over the same frame, and the score join is keyed on the
+    * bigram — all three stages ∝ distinct bigrams, never doc pairs. In
+    * production the model table is df-capped to the top-M bigrams
+    * (everything below `minCount` scores identically to unseen), which
+    * bounds the join's build side regardless of corpus size.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    minCount: Int = 5, cap: Int = 1000): DataFrame = {
+    val w = TextOps.words(col(textCol))
+    val g2 = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val occ = Caches.persistTracked(
+      df.select(col(idCol).as("doc_id"), explode(g2).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n")))
+    val model = occ.groupBy("bg").agg(sum(col("n")).as("c2"))
+    val scored = occ.join(model, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(when(col("c2") >= minCount, col("n")).otherwise(0L))
+          .as("n_frequent"),
+        sum(least(col("c2"), lit(cap.toLong)) * col("n")).as("fam_sum"))
+    df.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_frequent"), lit(0L)).as("n_frequent"),
+        coalesce(col("fam_sum"), lit(0L)).as("fam_sum"),
+        when(col("n_bigrams") > 0,
+          round(col("n_frequent") / col("n_bigrams"), 6))
+          .otherwise(lit(0.0)).as("frequent_ratio"),
+        when(col("n_bigrams") > 0,
+          round(col("fam_sum") / col("n_bigrams"), 6))
+          .otherwise(lit(0.0)).as("avg_familiarity"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------- bloom-prescreened exact dedup
+
+  /** [[TextOps.incrementalExactDedup]] with a BLOOM-FILTER runtime
+    * prefilter on the standing-corpus side — the asymmetry a daily
+    * ingest needs at 100 TB: the increment is small (one day's crawl),
+    * the standing corpus is not, and without a prefilter the corpus
+    * pays a full groupBy shuffle just to answer membership for a
+    * handful of hashes. Build a bloom filter over the INCREMENT's
+    * content hashes (one aggregation pass, driver object sized to the
+    * increment — `(n·ln fpp)/ln²2` bits, a few MB for a daily batch),
+    * then stream the corpus through `mightContain` so only hashes that
+    * can possibly match an increment hash reach the canonical-id
+    * aggregate. Result is BIT-EQUAL to the unfiltered screen: bloom
+    * has no false negatives, per-hash filtering can't change a
+    * per-hash min(doc_id), and false positives produce canonical rows
+    * for hashes no increment row joins — dropped by the left join.
+    * (BloomScreenSpec pins equality, including under a deliberately
+    * FP-saturated fpp.)
+    *
+    * The membership probe is a Scala UDF by necessity: Spark's native
+    * `might_contain` expression is internal to the runtime-filter
+    * rewrite and not in the public registry. The probe is one Kirsch-
+    * Mitzenmacher hash per row over a broadcast bitset — cheap enough
+    * that the corpus-side scan stays I/O-bound.
+    */
+  def bloomExactScreen(df: DataFrame, idCol: String, textCol: String,
+                       isNew: Column, fpp: Double = 0.03): DataFrame = {
+    val spark = df.sparkSession
+    val hashed = Caches.persistTracked(df.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("content_hash"), isNew.as("is_new")))
+    val newSide = hashed.filter(col("is_new"))
+    val expected = math.max(newSide.count(), 1L)
+    val bloom = newSide.stat.bloomFilter("content_hash", expected, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightMatch = udf((h: String) => h != null && bloomB.value.mightContain(h))
+      .withName("graft_bloom_might_contain")
+    val oldCanon = hashed.filter(!col("is_new") && mightMatch(col("content_hash")))
+      .groupBy("content_hash").agg(min(col("doc_id")).as("canonical_id"))
+    newSide
+      .join(oldCanon, Seq("content_hash"), "left_outer")
+      .select(col("doc_id"), col("content_hash"), col("canonical_id"),
+        col("canonical_id").isNotNull.as("is_known"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------ shard plan
+
+  /** Output-SHARD planner: assign documents to fixed-token-budget
+    * output files (per language, in doc_id order) and report each
+    * planned file — the write-side twin of [[TextOps.sequencePacking]]
+    * (which plans trainer sequences; this plans the parquet/WebDataset
+    * shards a 100 TB corpus is materialized into, where ~uniform file
+    * sizes decide downstream scan parallelism). A document belongs to
+    * the file its token span STARTS in. Per (lang, file): doc count,
+    * token count, and the doc_id range — the manifest a shard writer
+    * executes.
+    *
+    * Scale shape: reuses the packing operator's two-level prefix sum
+    * (shard-local running sums + broadcast carry), so no single task
+    * ever owns a language's whole token stream; the per-file aggregate
+    * is one more exchange on (lang, file_id) whose cardinality is
+    * corpus_tokens / budget.
+    */
+  def shardPlan(df: DataFrame, idCol: String, textCol: String,
+                langCol: String, budget: Long = 4096,
+                shardSize: Long = 100000): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    TextOps.sequencePacking(df, idCol, textCol, langCol,
+      budget = budget, shardSize = shardSize)
+      .withColumn("file_id", expr(s"tok_start div ${budget}L"))
+      .groupBy("lang", "file_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("file_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "file_id")
+  }
+
+  // ------------------------------------------------- top-k n-grams
+
+  /** Corpus-wide most-frequent n-grams per language — the boilerplate
+    * MINING pass (what [[paragraphDedup]] drops, this surfaces for
+    * inspection): count every word 3-gram across the corpus and keep
+    * the top `k` per language with a deterministic (count desc, gram
+    * asc) tie-break.
+    *
+    * Scale shape: the count is partial-aggregated map-side, so the one
+    * big shuffle carries (lang, gram, partial n) — ∝ distinct grams per
+    * partition, not corpus tokens; the top-k window runs over the
+    * aggregated frame only. At 100 TB the standard refinement is a
+    * count-min/df-cap pre-pass to drop singleton grams before the
+    * exchange; the plan shape is unchanged.
+    */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String,
+                langCol: String, n: Int = 3, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(langCol).as("lang"),
+        explode(TextOps.shingles(col(textCol), n)).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n").desc, col("gram").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("gram"), col("n"))
+      .orderBy("lang", "rank")
+  }
+}

@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver registrations + DuckDB oracles for the round-12 corpus
+  * operators ([[CorpusOps]]) and the second streaming replay gate.
+  * Numbering continues the gap-free registry: q101–q107.
+  */
+object CorpusQueries {
+
+  /** Deterministic PII augmentation shared by the Spark query and the
+    * oracle: the synthetic corpus contains no real PII, so both engines
+    * derive the SAME pii-laden text from doc_id before screening — the
+    * operator under test is the detector/redactor, not the synthesizer.
+    */
+  private def piiAugmented(df: DataFrame): DataFrame =
+    df.withColumn("pii_text", concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com for details")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit(" call +62 812-"),
+            (col("doc_id") + 1000000).cast("string"), lit(" today")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" server 10."), (col("doc_id") % 200).cast("string"),
+            lit(".3."), ((col("doc_id") * 7) % 250).cast("string"),
+            lit(" port 8080")))
+        .otherwise(lit(""))))
+
+  private val piiAugmentSql =
+    """text || CASE
+      |  WHEN doc_id % 4 = 0 THEN ' contact user' ||
+      |    CAST(doc_id AS VARCHAR) || '@mail.example.com for details'
+      |  WHEN doc_id % 4 = 1 THEN ' call +62 812-' ||
+      |    CAST(doc_id + 1000000 AS VARCHAR) || ' today'
+      |  WHEN doc_id % 4 = 2 THEN ' server 10.' ||
+      |    CAST(doc_id % 200 AS VARCHAR) || '.3.' ||
+      |    CAST((doc_id * 7) % 250 AS VARCHAR) || ' port 8080'
+      |  ELSE '' END""".stripMargin
+
+  def q101PiiScreen(s: SparkSession, d: String): DataFrame =
+    CorpusOps.piiScreen(piiAugmented(Tables.documents(s, d)),
+      "doc_id", "pii_text")
+
+  def q102ParagraphDedup(s: SparkSession, d: String): DataFrame =
+    CorpusOps.paragraphDedup(Tables.documents(s, d), "doc_id", "text")
+
+  def q103BigramLm(s: SparkSession, d: String): DataFrame =
+    CorpusOps.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+
+  /** Same deterministic 20% increment as q97 — bit-equal result
+    * (bloom prefilter can't change the screen's answer), so it shares
+    * q97's oracle; what it adds is the runtime-filter plan shape.
+    */
+  def q104BloomExact(s: SparkSession, d: String): DataFrame =
+    CorpusOps.bloomExactScreen(Tables.documents(s, d), "doc_id", "text",
+      col("doc_id") % 5 === 4)
+
+  def q105ShardPlan(s: SparkSession, d: String): DataFrame =
+    CorpusOps.shardPlan(Tables.documents(s, d), "doc_id", "text", "lang",
+      budget = 4096, shardSize = 1000)
+
+  def q107TopNgrams(s: SparkSession, d: String): DataFrame =
+    CorpusOps.topNgrams(Tables.documents(s, d), "doc_id", "text", "lang")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_pii_screen" -> (q101PiiScreen _),
+    "q102_paragraph_dedup" -> (q102ParagraphDedup _),
+    "q103_bigram_lm" -> (q103BigramLm _),
+    "q104_bloom_exact" -> (q104BloomExact _),
+    "q105_shard_plan" -> (q105ShardPlan _),
+    "q106_streaming_windows_replay" ->
+      (graft.streaming.ReplayParity.q106StreamingWindowsReplay _),
+    "q107_top_ngrams" -> (q107TopNgrams _))
+
+  val oracle: Map[String, String] = Map(
+    "q101_pii_screen" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, $piiAugmentSql AS pii_text FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii_text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |    AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii_text,
+         |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+         |    AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(pii_text,
+         |    '\\+[0-9]{1,3}[ -][0-9]{2,4}-[0-9]{5,9}'))
+         |    AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+         |      'g'),
+         |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>',
+         |      'g'),
+         |    '\\+[0-9]{1,3}[ -][0-9]{2,4}-[0-9]{5,9}', '<PHONE>', 'g'))
+         |    AS redacted_hash,
+         |  len(regexp_extract_all(pii_text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |  + len(regexp_extract_all(pii_text,
+         |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+         |  + len(regexp_extract_all(pii_text,
+         |    '\\+[0-9]{1,3}[ -][0-9]{2,4}-[0-9]{5,9}')) > 0 AS has_pii
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "q102_paragraph_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |    [array_to_string(w[(i*10+1):(i*10+10)], ' ')
+        |     for i in range(0, (len(w)+9)//10)] AS chunks
+        |  FROM t),
+        |ex AS (
+        |  SELECT doc_id, unnest(chunks) AS chunk,
+        |    unnest(range(1, len(chunks)+1)) AS pos
+        |  FROM ch),
+        |f AS (SELECT md5(chunk) AS h, count(*) AS freq FROM ex GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs,
+        |  CAST(sum(CASE WHEN freq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN freq < 2 THEN chunk END,
+        |    ' ' ORDER BY pos), '')) AS retained_hash
+        |FROM ex JOIN f ON md5(ex.chunk) = f.h
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q103_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS g2
+        |  FROM t),
+        |occ AS (SELECT doc_id, unnest(g2) AS bg FROM g),
+        |od AS (SELECT doc_id, bg, count(*) AS n FROM occ GROUP BY 1, 2),
+        |m AS (SELECT bg, CAST(sum(n) AS BIGINT) AS c2 FROM od GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CASE WHEN c2 >= 5 THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_frequent,
+        |    CAST(sum(least(c2, 1000) * n) AS BIGINT) AS fam_sum
+        |  FROM od JOIN m USING (bg) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(n_frequent, 0) AS n_frequent,
+        |  coalesce(fam_sum, 0) AS fam_sum,
+        |  CASE WHEN coalesce(n_bigrams, 0) > 0
+        |    THEN round(n_frequent / n_bigrams, 6) ELSE 0.0 END
+        |    AS frequent_ratio,
+        |  CASE WHEN coalesce(n_bigrams, 0) > 0
+        |    THEN round(fam_sum / n_bigrams, 6) ELSE 0.0 END
+        |    AS avg_familiarity
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // bit-equal to q97 by construction (bloom prefilter; see
+    // CorpusOps.bloomExactScreen scaladoc) — shares its oracle text
+    "q104_bloom_exact" -> LlmQueries.oracle("q97_incremental_exact"),
+    "q105_shard_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tok_start
+        |  FROM t)
+        |SELECT lang, tok_start // 4096 AS file_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS file_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the streaming windowed aggregate over the full replay equals the
+    // batch hourly GROUP BY (ReplayParity.q106 scaladoc has the
+    // watermark argument)
+    "q106_streaming_windows_replay" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+        |    AS hour_epoch,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q107_top_ngrams" ->
+      """WITH t AS (
+        |  SELECT lang, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang,
+        |    unnest([array_to_string(w[i:i+2], ' ')
+        |            for i in range(1, len(w)-1)]) AS gram
+        |  FROM t WHERE len(w) >= 3),
+        |c AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, gram, n, row_number() OVER (PARTITION BY lang
+        |    ORDER BY n DESC, gram ASC) AS rank
+        |  FROM c)
+        |SELECT lang, rank, gram, n FROM r WHERE rank <= 20
+        |ORDER BY lang, rank""".stripMargin)
+}

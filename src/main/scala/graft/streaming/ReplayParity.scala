@@ -54,4 +54,58 @@ object ReplayParity {
         col("lag_us"))
       .orderBy("click_id")
   }
+
+  case class ValuedEvent(event_id: Long, ts: java.sql.Timestamp,
+                         event_type: String, value: Double)
+
+  /** q106: [[EventStreams.windowedCounts]] driven through the same
+    * epoch-day replay — the watermark/append path crossing real
+    * micro-batch boundaries, gated against the plain batch GROUP BY.
+    *
+    * Parity argument: day batches arrive in ascending ts order, so when
+    * any batch processes, the watermark (previous day's max − 1 h) is
+    * below every window that batch touches — no event is ever dropped
+    * as late, and every hourly window eventually closes with its full
+    * count, making the appended stream output exactly the batch
+    * aggregate. Flushing needs TWO sentinel batches: watermark advances
+    * from data seen in batch N only as of batch N+1, so sentinel 1
+    * raises the watermark past the last real window and sentinel 2
+    * triggers the emission pass. Sentinel windows themselves never
+    * close (nothing later raises the watermark past them) and are
+    * filtered by type as a second guard.
+    *
+    * `sum_cents`: the operator's DECIMAL(18,2) accumulator is exact and
+    * order-independent; presenting it as integer cents sidesteps the
+    * driver compare's decimal-vs-float rendering mismatch (the q02
+    * moneySum discipline).
+    */
+  def q106StreamingWindowsReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val sinkName = "g_q106_replay"
+    s.catalog.dropTempView(sinkName)
+    val replay = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[ValuedEvent].collect()
+    val byDay = replay.groupBy(_.ts.getTime / 86400000L).toSeq.sortBy(_._1)
+    val maxTs = replay.map(_.ts.getTime).max
+    def sentinel(offsetDays: Int) = ValuedEvent(-offsetDays.toLong,
+      new java.sql.Timestamp(maxTs + offsetDays * 86400000L), "_flush", 0.0)
+    val in = MemoryStream[ValuedEvent]
+    val q = EventStreams.windowedCounts(in.toDF()).writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    try {
+      (byDay.map(_._2.toSeq) :+ Seq(sentinel(1)) :+ Seq(sentinel(2)))
+        .foreach { batch =>
+          in.addData(batch)
+          q.processAllAvailable()
+        }
+    } finally q.stop()
+    s.table(sinkName)
+      .filter(col("event_type") =!= "_flush")
+      .select(unix_timestamp(col("window_start")).as("hour_epoch"),
+        col("event_type"), col("n"),
+        (col("sum_value") * 100).cast("long").as("sum_cents"))
+      .orderBy("hour_epoch", "event_type")
+  }
 }

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer tests for the round-12 corpus operators: PII
+  * detect/redact, paragraph-level dedup, bigram-LM scoring, the
+  * bloom-prescreened incremental screen (bit-equality with its
+  * unfiltered twin, including FP-saturated), shard planning, and top-k
+  * n-gram mining.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("piiScreen: detects and redacts each class; clean doc untouched") {
+    val df = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.org thanks"),
+      (2L, "server 192.168.10.14 then call +62 812-5551234 now"),
+      (3L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val out = CorpusOps.piiScreen(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1L)
+    assert(out(1L).getAs[Boolean]("has_pii"))
+    assert(out(2L).getAs[Long]("n_ips") == 1L)
+    assert(out(2L).getAs[Long]("n_phones") == 1L)
+    assert(!out(3L).getAs[Boolean]("has_pii"))
+    // redaction replaces the matched span and nothing else
+    val red = df.select(col("doc_id"),
+      regexp_replace(col("text"), CorpusOps.emailRe, "<EMAIL>").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "mail me at <EMAIL> thanks")
+    // clean doc's redacted hash equals the hash of the original text
+    val clean = df.filter(col("doc_id") === 3L)
+      .select(md5(col("text"))).head().getString(0)
+    assert(out(3L).getAs[String]("redacted_hash") == clean)
+  }
+
+  test("paragraphDedup: globally repeated paragraph dropped, unique " +
+    "kept, reassembly preserves order") {
+    // 10-word boilerplate shared by docs 1 and 2; unique tails
+    val boiler = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      (1L, s"$boiler alpha beta gamma"),
+      (2L, s"$boiler delta epsilon zeta"),
+      (3L, "totally unique words that repeat nowhere else in corpus x")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_paragraphs") == 2L)
+    assert(out(1L).getAs[Long]("n_dropped") == 1L)
+    assert(out(2L).getAs[Long]("n_dropped") == 1L)
+    assert(out(3L).getAs[Long]("n_dropped") == 0L)
+    // retained text of doc 1 is exactly its unique tail
+    val tail1 = df.sparkSession.range(1)
+      .select(md5(lit("alpha beta gamma"))).head().getString(0)
+    assert(out(1L).getAs[String]("retained_hash") == tail1)
+    // doc 3 keeps everything: retained = full text re-chunked/joined
+    val full3 = df.sparkSession.range(1).select(md5(lit(
+      "totally unique words that repeat nowhere else in corpus x")))
+      .head().getString(0)
+    assert(out(3L).getAs[String]("retained_hash") == full3)
+  }
+
+  test("bigramLmScore: counts match hand computation") {
+    // corpus: "a b" occurs 3x across docs (>= minCount 2), "b c" 1x
+    val df = Seq((1L, "a b c"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val out = CorpusOps.bigramLmScore(df, "doc_id", "text", minCount = 2,
+      cap = 1000).collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: bigrams {a b, b c}; "a b" c2=3 >= 2 frequent; fam = 3 + 1
+    assert(out(1L).getAs[Long]("n_bigrams") == 2L)
+    assert(out(1L).getAs[Long]("n_frequent") == 1L)
+    assert(out(1L).getAs[Long]("fam_sum") == 4L)
+    assert(out(1L).getAs[Double]("frequent_ratio") == 0.5)
+    assert(out(1L).getAs[Double]("avg_familiarity") == 2.0)
+    // doc 2: one bigram, frequent
+    assert(out(2L).getAs[Long]("n_bigrams") == 1L)
+    assert(out(2L).getAs[Double]("frequent_ratio") == 1.0)
+  }
+
+  test("bigramLmScore: doc with a single word scores zero, not null") {
+    val df = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    val out = CorpusOps.bigramLmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_bigrams") == 0L)
+    assert(out(1L).getAs[Double]("frequent_ratio") == 0.0)
+  }
+
+  test("bloomExactScreen: bit-equal to incrementalExactDedup, " +
+    "including FP-saturated bloom") {
+    val docs = (0L until 200L).map { i =>
+      // duplicates across the increment boundary every 10th doc
+      val text = if (i % 10 == 0) "shared duplicate content"
+      else s"unique content number $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val isNew = col("doc_id") % 5 === 4
+    val exact = TextOps.incrementalExactDedup(docs, "doc_id", "text", isNew)
+      .collect().map(_.toString).sorted
+    for (fpp <- Seq(0.03, 0.5)) { // 0.5: force heavy false positives
+      val bloom = CorpusOps.bloomExactScreen(docs, "doc_id", "text",
+        isNew, fpp = fpp).collect().map(_.toString).sorted
+      assert(bloom.sameElements(exact), s"fpp=$fpp diverged")
+    }
+  }
+
+  test("shardPlan: files respect the token budget split point") {
+    // 5 docs x 4 tokens, budget 8 => files of 2 docs each
+    val df = (1L to 5L).map(i => (i, "t t t t", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusOps.shardPlan(df, "doc_id", "text", "lang",
+      budget = 8, shardSize = 2).collect()
+    assert(out.map(_.getAs[Long]("file_id")).toSeq == Seq(0L, 1L, 2L))
+    val f0 = out.find(_.getAs[Long]("file_id") == 0L).get
+    assert(f0.getAs[Long]("n_docs") == 2L)
+    assert(f0.getAs[Long]("file_tokens") == 8L)
+    assert(f0.getAs[Long]("first_doc") == 1L)
+    assert(f0.getAs[Long]("last_doc") == 2L)
+    // straddling doc belongs to the file its span STARTS in
+    val f2 = out.find(_.getAs[Long]("file_id") == 2L).get
+    assert(f2.getAs[Long]("n_docs") == 1L && f2.getAs[Long]("first_doc") == 5L)
+  }
+
+  test("topNgrams: counts and deterministic tie-break") {
+    val df = Seq(
+      (1L, "x y z x y z", "en"),   // "x y z" twice, "y z x"/"z x y" once
+      (2L, "x y z q r s", "en")).toDF("doc_id", "text", "lang")
+    val out = CorpusOps.topNgrams(df, "doc_id", "text", "lang", k = 3)
+      .collect()
+    assert(out.head.getAs[String]("gram") == "x y z")
+    assert(out.head.getAs[Long]("n") == 3L)
+    assert(out.head.getAs[Long]("rank") == 1L)
+    // ranks 2 and 3 break the all-count-1 tie alphabetically
+    assert(out.map(_.getAs[String]("gram")).toSeq ==
+      Seq("x y z", "q r s", "y z q"))
+  }
+
+  test("wordChunks: ragged tail and sub-width doc") {
+    val df = Seq((1L, "a b c"), (2L, ("w " * 12).trim)).toDF("id", "t")
+    val chunks = df.select(col("id"),
+      CorpusOps.wordChunks(col("t"), 10).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(chunks(1L) == Seq("a b c"))
+    assert(chunks(2L) == Seq("w w w w w w w w w w", "w w"))
+  }
+}

@@ -38,9 +38,10 @@ class PlanShapeSpec extends AnyFunSuite {
            // index-lifecycle queries execute bucketed writers eagerly;
            // their plans are pinned in DedupIndexSpec
            "q98_neardup_indexed", "q99_exact_indexed",
-           // the streaming replay runs a full micro-batched stream on
-           // construction; its operator plans are EventStreamsSpec's
-           "q100_streaming_asof_replay").contains(name)) {
+           // the streaming replays run a full micro-batched stream on
+           // construction; their operator plans are EventStreamsSpec's
+           "q100_streaming_asof_replay",
+           "q106_streaming_windows_replay").contains(name)) {
       val p = fn(spark, d).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -176,6 +177,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q94 eval index stopped broadcasting:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"q94 shuffles the corpus for a broadcast-size eval index:\n$p")
+  }
+
+  test("q104: the bloom prefilter sits on the corpus side of the plan") {
+    val p = plan("q104_bloom_exact")
+    // the runtime-filter asymmetry: the standing corpus must pass the
+    // increment's bloom BEFORE anything aggregates/shuffles it — losing
+    // the filter reverts to q97's full corpus groupBy
+    assert(p.contains("graft_bloom_might_contain"),
+      s"q104 lost the bloom prefilter:\n$p")
+  }
+
+  test("q105: shard plan inherits q93's broadcast carry (no doc shuffle " +
+    "for the tiny carry frame)") {
+    val p = plan("q105_shard_plan")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q105 carry join stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q105 shuffles the doc stream for a tiny carry frame:\n$p")
   }
 
   test("similarity verify kernels stay native in the plan") {
