@@ -40,11 +40,13 @@ object Bench {
       "q90_stratified_sample", "q91_retention_cohorts_approx",
       "q92_incremental_neardup", "q93_sequence_packing",
       "q94_decontaminate", "q95_repetition_stats",
-      "q96_semantic_clusters", "q97_incremental_exact")
+      "q96_semantic_clusters", "q97_incremental_exact",
+      "q101_pii_screen", "q102_paragraph_dedup", "q103_bigram_lm",
+      "q104_bloom_exact", "q105_shard_plan", "q107_top_ngrams")
     // excluded by design, like the q66/q67 sink roundtrips: q98/q99
     // (bucketed index WRITERS — their screen-side cost is q92/q97's,
     // measured above; the write path is DedupIndexSpec's subject) and
-    // q100 (a driver-fed replay harness, not an executor-side plan)
+    // q100/q106 (driver-fed replay harnesses, not executor-side plans)
     val available = preferred.filter(SparkEntry.queries.contains)
     val base =
       if (available.nonEmpty) available else SparkEntry.queries.keys.toSeq.sorted

@@ -67,8 +67,16 @@ object CorpusOps {
     * splitter is `split(text, '\n\n')` — the operator downstream of the
     * chunker is identical.
     */
-  private[graft] def wordChunks(text: Column, width: Int): Column = {
-    val w = TextOps.words(text)
+  private[graft] def wordChunks(text: Column, width: Int): Column =
+    wordChunksFromWords(TextOps.words(text), width)
+
+  /** [[wordChunks]] over an already-materialized token ARRAY — callers
+    * on the hot path persist (id, words) first so `w` is an attribute
+    * reference: inlined, every element access in the transform lambda
+    * would re-evaluate the split (the q95/repetitionStats O(chunks)
+    * re-split trap).
+    */
+  private[graft] def wordChunksFromWords(w: Column, width: Int): Column = {
     // ceil-div via floor((n + width-1)/width): exact in double for any
     // realistic doc length. Guard: sequence(0, -1) would DESCEND.
     val nch = floor((size(w) + lit(width - 1)) / lit(width)).cast("int")
@@ -96,9 +104,14 @@ object CorpusOps {
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      width: Int = 10, minFreq: Int = 2): DataFrame = {
+    // token arrays MATERIALIZED first (persist = collapse barrier):
+    // inlined, the chunk transform re-splits the text once per chunk
+    val tok = Caches.persistTracked(df.select(col(idCol).as("doc_id"),
+      TextOps.words(col(textCol)).as("w")))
     val ex = Caches.persistTracked(
-      df.select(col(idCol).as("doc_id"),
-          posexplode(wordChunks(col(textCol), width)).as(Seq("pos", "chunk")))
+      tok.select(col("doc_id"),
+          posexplode(wordChunksFromWords(col("w"), width))
+            .as(Seq("pos", "chunk")))
         .withColumn("h", md5(col("chunk"))))
     val freq = ex.groupBy("h").agg(count(lit(1)).as("freq"))
     val kept = struct(col("pos"), col("chunk"))
@@ -134,13 +147,18 @@ object CorpusOps {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
                     minCount: Int = 5, cap: Int = 1000): DataFrame = {
-    val w = TextOps.words(col(textCol))
+    // token arrays MATERIALIZED first: inlined, the two element_at
+    // calls per bigram re-split the text O(tokens) times per doc (the
+    // q95 trap — measured 5× on this operator at sf0.1)
+    val tok = Caches.persistTracked(df.select(col(idCol).as("doc_id"),
+      TextOps.words(col(textCol)).as("w")))
+    val w = col("w")
     val g2 = when(size(w) >= 2,
       transform(sequence(lit(1), size(w) - 1),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
     val occ = Caches.persistTracked(
-      df.select(col(idCol).as("doc_id"), explode(g2).as("bg"))
+      tok.select(col("doc_id"), explode(g2).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("n")))
     val model = occ.groupBy("bg").agg(sum(col("n")).as("c2"))
     val scored = occ.join(model, Seq("bg"))
@@ -260,9 +278,12 @@ object CorpusOps {
   def topNgrams(df: DataFrame, idCol: String, textCol: String,
                 langCol: String, n: Int = 3, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = df
-      .select(col(langCol).as("lang"),
-        explode(TextOps.shingles(col(textCol), n)).as("gram"))
+    // same materialized-token barrier as the other HOF pipelines
+    val tok = Caches.persistTracked(df.select(col(langCol).as("lang"),
+      TextOps.words(col(textCol)).as("w")))
+    val counts = tok
+      .select(col("lang"),
+        explode(TextOps.shinglesFromWords(col("w"), n)).as("gram"))
       .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("lang")
       .orderBy(col("n").desc, col("gram").asc)

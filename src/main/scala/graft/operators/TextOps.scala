@@ -88,14 +88,20 @@ object TextOps {
       s => if (xx) hash7Xx(s) else hash7(s))))
 
   /** Word n-gram shingles (default 3): one string per window. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromWords(words(text), n)
+
+  /** [[shingles]] over an already-materialized token array — hot-path
+    * callers persist (id, words) first so the slice lambda sees an
+    * attribute reference instead of re-splitting the text per window
+    * (the repetitionStats O(windows)-re-split trap).
+    */
+  def shinglesFromWords(w: Column, n: Int): Column =
     // guard: sequence(1, 0) would generate a DESCENDING range in Spark
     when(size(w) >= n,
       transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Exact dedup (hash-groupBy): canonical = lowest id per content hash.
     * One shuffle on the hash; at 100 TB this is the standard dedup pass.
