@@ -42,7 +42,8 @@ object Bench {
       "q94_decontaminate", "q95_repetition_stats",
       "q96_semantic_clusters", "q97_incremental_exact",
       "q101_pii_screen", "q102_paragraph_dedup", "q103_bigram_lm",
-      "q104_bloom_exact", "q105_shard_plan", "q107_top_ngrams")
+      "q104_bloom_exact", "q105_shard_plan", "q107_top_ngrams",
+      "q108_sliding_rates", "q109_url_dedup")
     // excluded by design, like the q66/q67 sink roundtrips: q98/q99
     // (bucketed index WRITERS — their screen-side cost is q92/q97's,
     // measured above; the write path is DedupIndexSpec's subject) and

@@ -260,6 +260,47 @@ object CorpusOps {
       .orderBy("lang", "file_id")
   }
 
+  // ------------------------------------------- URL canonicalization
+
+  /** URL canonicalization + canonical-URL dedup — the crawl-side
+    * dedup pass that catches re-crawls of ONE page under MANY spellings
+    * (tracking params, fragments, case, www, trailing slashes) before
+    * any content-level screen runs: lowercase scheme and host, strip a
+    * leading `www.`, drop the fragment, strip `utm_*` tracking params,
+    * strip trailing path slashes, then group on the canonical form and
+    * keep the lowest id (exactly [[TextOps.exactDedup]]'s shape, keyed
+    * on the canonical URL instead of a content hash).
+    *
+    * Implementation contract: extract-and-reassemble (scheme + host +
+    * path + cleaned query), all regexes with LITERAL replacements only
+    * — `$1`-style backreference replacement syntax differs between
+    * java.util.regex and RE2, so avoiding backrefs is what keeps the
+    * DuckDB oracle bit-equal. Row-local until the one dedup shuffle on
+    * the canonical string.
+    */
+  def urlCanonicalize(df: DataFrame, idCol: String, urlCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    val query = regexp_replace(regexp_replace(
+      regexp_extract(u, "\\?([^#]*)", 1),
+      "(^|&)utm_[a-z]+=[^&]*", ""), "^&+", "")
+    val canonical = concat(scheme, lit("://"), host, path,
+      when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+    val w = Window.partitionBy("canonical_url")
+    df.select(col(idCol), canonical.as("canonical_url"))
+      .withColumn("canonical_doc", min(col(idCol)).over(w))
+      .withColumn("is_canonical", col("canonical_doc") === col(idCol))
+      .orderBy(idCol)
+  }
+
   // ------------------------------------------------- top-k n-grams
 
   /** Corpus-wide most-frequent n-grams per language — the boilerplate

@@ -64,6 +64,42 @@ object CorpusQueries {
   def q107TopNgrams(s: SparkSession, d: String): DataFrame =
     CorpusOps.topNgrams(Tables.documents(s, d), "doc_id", "text", "lang")
 
+  /** Deterministic URL synthesis shared with the oracle (the corpus
+    * has no URL column): mixed-case scheme/host + www, a 20-valued
+    * listing path so re-crawl spellings COLLIDE, and three spelling
+    * variants — utm-first with trailing slash, utm-last with fragment,
+    * bare trailing slash. Variants 0 and 1 of the same listing
+    * canonicalize identically (cross-variant dedup), variant 2 to the
+    * query-less form.
+    */
+  private def urlAugmented(df: DataFrame): DataFrame =
+    df.withColumn("url", concat(
+      lit("HTTPS://WWW.ExampleHomes.COM/Listing/"),
+      (col("doc_id") % 20).cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("/?utm_source=feed&id="),
+          (col("doc_id") % 20).cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?id="), (col("doc_id") % 20).cast("string"),
+            lit("&utm_campaign=x#frag")))
+        .otherwise(lit("/"))))
+
+  private val urlAugmentSql =
+    """'HTTPS://WWW.ExampleHomes.COM/Listing/' ||
+      |  CAST(doc_id % 20 AS VARCHAR) || CASE
+      |  WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&id=' ||
+      |    CAST(doc_id % 20 AS VARCHAR)
+      |  WHEN doc_id % 3 = 1 THEN '?id=' ||
+      |    CAST(doc_id % 20 AS VARCHAR) || '&utm_campaign=x#frag'
+      |  ELSE '/' END""".stripMargin
+
+  def q108SlidingRates(s: SparkSession, d: String): DataFrame =
+    Temporal.q108SlidingRates(s, d)
+
+  def q109UrlDedup(s: SparkSession, d: String): DataFrame =
+    CorpusOps.urlCanonicalize(urlAugmented(Tables.documents(s, d)),
+      "doc_id", "url")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_pii_screen" -> (q101PiiScreen _),
     "q102_paragraph_dedup" -> (q102ParagraphDedup _),
@@ -72,7 +108,9 @@ object CorpusQueries {
     "q105_shard_plan" -> (q105ShardPlan _),
     "q106_streaming_windows_replay" ->
       (graft.streaming.ReplayParity.q106StreamingWindowsReplay _),
-    "q107_top_ngrams" -> (q107TopNgrams _))
+    "q107_top_ngrams" -> (q107TopNgrams _),
+    "q108_sliding_rates" -> (q108SlidingRates _),
+    "q109_url_dedup" -> (q109UrlDedup _))
 
   val oracle: Map[String, String] = Map(
     "q101_pii_screen" ->
@@ -183,6 +221,45 @@ object CorpusQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
         |    AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // each event lands in exactly two epoch-aligned sliding windows:
+    // floor-to-30min and that minus 30min (Spark window() alignment)
+    "q108_sliding_rates" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 1000000 AS es, event_type, user_id
+        |  FROM events),
+        |u AS (
+        |  SELECT unnest([(es // 1800) * 1800, (es // 1800) * 1800 - 1800])
+        |    AS window_epoch, event_type, user_id
+        |  FROM e)
+        |SELECT window_epoch, event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q109_url_dedup" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, $urlAugmentSql AS url FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url,
+         |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+         |    regexp_replace(lower(regexp_extract(url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+         |      '^www\\.', '') ||
+         |    regexp_replace(regexp_extract(url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+         |      '/+$$', '') ||
+         |    CASE WHEN regexp_replace(regexp_replace(
+         |        regexp_extract(url, '\\?([^#]*)', 1),
+         |        '(^|&)utm_[a-z]+=[^&]*', '', 'g'), '^&+', '') <> ''
+         |      THEN '?' || regexp_replace(regexp_replace(
+         |        regexp_extract(url, '\\?([^#]*)', 1),
+         |        '(^|&)utm_[a-z]+=[^&]*', '', 'g'), '^&+', '')
+         |      ELSE '' END AS canonical_url
+         |  FROM p)
+         |SELECT doc_id, canonical_url,
+         |  min(doc_id) OVER (PARTITION BY canonical_url) AS canonical_doc,
+         |  min(doc_id) OVER (PARTITION BY canonical_url) = doc_id
+         |    AS is_canonical
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q107_top_ngrams" ->
       """WITH t AS (
         |  SELECT lang, string_split_regex(trim(text), '\s+') AS w

@@ -397,6 +397,27 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** Sliding-window event rates: hourly counts + distinct users per
+    * event type on a 1-hour window SLIDING by 30 minutes — the
+    * overlapping-window shape rate monitoring uses (each event lands in
+    * exactly two windows), and the batch twin of the streaming
+    * `EventStreams.windowedCounts` tumbling form. Spark's `window(ts,
+    * '1 hour', '30 minutes')` generates the per-event window structs
+    * row-locally; the only shuffle is the aggregate on (window, type),
+    * whose cardinality is (time range / slide) × |types| regardless of
+    * event volume. Epoch-aligned starts mean the oracle reproduces the
+    * assignment as two integer floor-divisions.
+    */
+  def q108SlidingRates(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_timestamp(col("window.start")).as("window_epoch"),
+        col("event_type"), col("n"), col("n_users"))
+      .orderBy("window_epoch", "event_type")
+
   /** Event-transition matrix (first-order Markov): for every adjacent
     * pair in each user's (ts, id)-ordered timeline, count
     * prev_type → type and its probability within the prev_type row.

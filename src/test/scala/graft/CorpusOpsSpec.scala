@@ -135,6 +135,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       Seq("x y z", "q r s", "y z q"))
   }
 
+  test("urlCanonicalize: each normalization rule, and dedup keyed on " +
+    "the canonical form") {
+    val df = Seq(
+      (1L, "HTTPS://WWW.Site.COM/a/b/?utm_source=x&id=7#frag"),
+      (2L, "https://site.com/a/b?id=7&utm_campaign=y"),
+      (3L, "https://site.com/a/b?id=8"),   // different query: no dup
+      (4L, "http://other.org/"),           // root: slash stripped
+      (5L, "http://other.org")).toDF("doc_id", "url")
+    val out = CorpusOps.urlCanonicalize(df, "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("canonical_url") ==
+      "https://site.com/a/b?id=7")
+    assert(out(2L).getAs[String]("canonical_url") ==
+      "https://site.com/a/b?id=7")
+    assert(out(2L).getAs[Long]("canonical_doc") == 1L)
+    assert(!out(2L).getAs[Boolean]("is_canonical"))
+    assert(out(3L).getAs[Boolean]("is_canonical"))
+    assert(out(4L).getAs[String]("canonical_url") == "http://other.org")
+    assert(out(4L).getAs[Long]("canonical_doc") == 4L)
+    assert(!out(5L).getAs[Boolean]("is_canonical")) // 4 canonicalized first
+  }
+
+  test("slidingRates: every event lands in exactly two windows") {
+    val d = "/root/testdata/sf0.001"
+    val spark2 = spark
+    val nEvents = Tables.events(spark2, d).count()
+    val out = Temporal.q108SlidingRates(spark2, d)
+    assert(out.agg(sum(col("n"))).head().getLong(0) == 2 * nEvents)
+    // window starts are 30-minute aligned and 1 h apart per event pair
+    val starts = out.select(col("window_epoch")).distinct().collect()
+      .map(_.getLong(0))
+    assert(starts.forall(_ % 1800 == 0))
+  }
+
   test("wordChunks: ragged tail and sub-width doc") {
     val df = Seq((1L, "a b c"), (2L, ("w " * 12).trim)).toDF("id", "t")
     val chunks = df.select(col("id"),
