@@ -410,6 +410,45 @@ object ScaleProbes {
           f"one_time_index_write_sec=$writeSec%.2f " +
           f"screen_speedup=${rebuildSec / screenSec}%.2fx")
 
+      case "bloom-ab" =>
+        // the law behind q104: at real ingest asymmetry (standing
+        // corpus >> increment) the plain incremental screen pays a
+        // groupBy shuffle over EVERY standing hash just to answer
+        // membership for a day's worth — the bloom prefilter (built
+        // over the increment, broadcast to the corpus scan) drops the
+        // standing side to true-matches + fpp·|corpus| BEFORE the
+        // exchange. The registered q104 runs at the testdata's 80/20
+        // ratio where the filter can't show; this probe runs the
+        // 100:1 shape. Both arms must stay bit-equal (asserted once,
+        // untimed).
+        val nOld = args.lift(1).map(_.toLong).getOrElse(2000000L)
+        val nInc = args.lift(2).map(_.toLong).getOrElse(20000L)
+        val docs = spark.range(nOld + nInc).select(
+          col("id").as("doc_id"),
+          // every 10th increment doc duplicates standing doc (id-nOld)
+          when(col("id") >= nOld && col("id") % 10 === 0,
+            concat(lit("text "), (col("id") - nOld).cast("string")))
+            .otherwise(concat(lit("text "), col("id").cast("string")))
+            .as("text"))
+        val isNew = col("doc_id") >= nOld
+        def noopW(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        def plain(): Unit = noopW(
+          TextOps.incrementalExactDedup(docs, "doc_id", "text", isNew))
+        def bloom(): Unit = noopW(
+          CorpusOps.bloomExactScreen(docs, "doc_id", "text", isNew))
+        val eq = TextOps.incrementalExactDedup(docs, "doc_id", "text",
+            isNew).exceptAll(CorpusOps.bloomExactScreen(docs, "doc_id",
+            "text", isNew)).count()
+        Caches.clear()
+        require(eq == 0, s"bloom screen diverged on $eq rows")
+        plain(); Caches.clear(); bloom(); Caches.clear() // warm both
+        val plainSec = minOf3(plain())
+        val bloomSec = minOf3(bloom())
+        println(f"[probe] bloom-ab: old=$nOld inc=$nInc " +
+          f"plain_min3_sec=$plainSec%.2f bloom_min3_sec=$bloomSec%.2f " +
+          f"bloom_speedup=${plainSec / bloomSec}%.2fx")
+
       case "streaming-neardup" =>
         // throughput of the streaming MinHash-LSH near-dup: one bulk
         // micro-batch of a deterministic planted-dup corpus through the
