@@ -260,6 +260,91 @@ object CorpusOps {
       .orderBy("lang", "file_id")
   }
 
+  // ------------------------------------------------- RAG chunking
+
+  /** Overlapping-window CHUNKING — the retrieval/RAG layout (and the
+    * long-document windowing an embedding pipeline feeds the encoder):
+    * fixed `width`-token windows every `stride` tokens, so consecutive
+    * chunks overlap by width − stride and no token span longer than the
+    * overlap is ever split across a chunk boundary. One row per chunk:
+    * ordinal, token start, actual length (tail chunks are ragged), and
+    * the chunk-text md5 (the downstream embed/dedup key).
+    *
+    * Chunk count = ceil((n − width)/stride) + 1 clamped to ≥ 1 — the
+    * standard "last window covers the tail" convention. Entirely
+    * row-local (transform + posexplode); scales as a scan.
+    */
+  def chunkTable(df: DataFrame, idCol: String, textCol: String,
+                 width: Int = 64, stride: Int = 32): DataFrame = {
+    require(stride > 0 && width >= stride,
+      s"need width >= stride > 0, got width=$width stride=$stride")
+    val tok = Caches.persistTracked(df.select(col(idCol).as("doc_id"),
+      TextOps.words(col(textCol)).as("w")))
+    val n = size(col("w"))
+    val nch = greatest(lit(1),
+      floor((n - lit(width) + lit(stride - 1)) / lit(stride)).cast("int")
+        + lit(1))
+    val chunks = transform(sequence(lit(0), nch - 1),
+      i => struct(
+        (i * stride + 1).as("start_tok"),
+        slice(col("w"), i * stride + 1, lit(width)).as("toks")))
+    tok.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.start_tok").cast("long").as("start_tok"),
+        size(col("c.toks")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("c.toks"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // --------------------------------------- source governance profile
+
+  /** Per-SOURCE corpus governance profile — the C4/RefinedWeb-style
+    * domain report a corpus curator reads to decide which sources to
+    * throttle or block: volume, verbatim-duplicate rate (within and
+    * across sources, by content hash), token/char totals, and
+    * integer-exact quality aggregates (stopword hits, short docs), with
+    * a `flagged` verdict for sources whose duplicate rate exceeds
+    * `maxDupPermille`.
+    *
+    * Determinism discipline: every aggregate is an INTEGER sum (token
+    * counts, hash-rank dup counts, stopword hits); ratios are final
+    * divisions of identical integers — no cross-row float sums, which
+    * are order-dependent and would break cross-engine hashing.
+    *
+    * Scale shape: one groupBy on content_hash (the dedup rank), one on
+    * source — both partial-aggregated; output is |sources| rows.
+    */
+  def sourceProfile(df: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, maxDupPermille: Int = 100)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = TextOps.words(col(textCol))
+    val base = df.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      md5(col(textCol)).as("h"),
+      size(w).cast("long").as("n_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(filter(w, x => x.isin("the", "a", "of", "and")))
+        .cast("long").as("n_stop"))
+    val ranked = base.withColumn("dup",
+      row_number().over(
+        Window.partitionBy("h").orderBy("doc_id")) > 1)
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dups"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_stop")).as("n_stop"),
+        sum(when(col("n_tokens") < 20, 1L).otherwise(0L))
+          .as("n_short"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        col("n_tokens"), col("n_chars"),
+        round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
+        col("n_short"),
+        (col("n_dups") * 1000 > col("n_docs") * maxDupPermille)
+          .as("flagged"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------- URL canonicalization
 
   /** URL canonicalization + canonical-URL dedup — the crawl-side

@@ -100,6 +100,13 @@ object CorpusQueries {
     CorpusOps.urlCanonicalize(urlAugmented(Tables.documents(s, d)),
       "doc_id", "url")
 
+  def q110ChunkTable(s: SparkSession, d: String): DataFrame =
+    CorpusOps.chunkTable(Tables.documents(s, d), "doc_id", "text")
+
+  def q111SourceProfile(s: SparkSession, d: String): DataFrame =
+    CorpusOps.sourceProfile(Tables.documents(s, d), "doc_id", "text",
+      "source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_pii_screen" -> (q101PiiScreen _),
     "q102_paragraph_dedup" -> (q102ParagraphDedup _),
@@ -110,7 +117,11 @@ object CorpusQueries {
       (graft.streaming.ReplayParity.q106StreamingWindowsReplay _),
     "q107_top_ngrams" -> (q107TopNgrams _),
     "q108_sliding_rates" -> (q108SlidingRates _),
-    "q109_url_dedup" -> (q109UrlDedup _))
+    "q109_url_dedup" -> (q109UrlDedup _),
+    "q110_chunk_table" -> (q110ChunkTable _),
+    "q111_source_profile" -> (q111SourceProfile _),
+    "q112_streaming_sliding_replay" ->
+      (graft.streaming.ReplayParity.q112StreamingSlidingReplay _))
 
   val oracle: Map[String, String] = Map(
     "q101_pii_screen" ->
@@ -260,6 +271,63 @@ object CorpusQueries {
          |  min(doc_id) OVER (PARTITION BY canonical_url) = doc_id
          |    AS is_canonical
          |FROM c ORDER BY doc_id""".stripMargin,
+    // chunk-count convention mirrored exactly: ceil((n-64)/32)+1,
+    // clamped to >= 1; 1-based inclusive list slices clamp like slice()
+    "q110_chunk_table" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(0, greatest(1,
+        |      CAST(ceil((len(w) - 64) / 32.0) AS INT) + 1)))
+        |      AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 32 + 1 AS BIGINT) AS start_tok,
+        |  CAST(len(w[(chunk_id*32+1):(chunk_id*32+64)]) AS BIGINT)
+        |    AS n_tok,
+        |  md5(array_to_string(w[(chunk_id*32+1):(chunk_id*32+64)], ' '))
+        |    AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q111_source_profile" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, md5(text) AS h,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> list_contains(['the','a','of','and'], x))) AS BIGINT)
+        |      AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id)
+        |    > 1 AS dup
+        |  FROM b)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  round(sum(n_stop) / sum(n_tokens), 6) AS stop_ratio,
+        |  CAST(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_short,
+        |  sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1000 > count(*) * 100
+        |    AS flagged
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sliding twin of q106's parity gate: each event in exactly
+    // two epoch-aligned windows (q108's assignment), cents discipline
+    "q112_streaming_sliding_replay" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 1000000 AS es, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |u AS (
+        |  SELECT unnest([(es // 1800) * 1800, (es // 1800) * 1800 - 1800])
+        |    AS window_epoch, event_type, v
+        |  FROM e)
+        |SELECT window_epoch, event_type, count(*) AS n,
+        |  CAST(sum(v) * 100 AS BIGINT) AS sum_cents
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q107_top_ngrams" ->
       """WITH t AS (
         |  SELECT lang, string_split_regex(trim(text), '\s+') AS w

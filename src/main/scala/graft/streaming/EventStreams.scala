@@ -15,13 +15,18 @@ object EventStreams {
 
   /** Hourly event counts + value sums per type with a 1-hour watermark:
     * late events beyond the watermark are dropped, state is bounded.
+    * `slide` < `window` makes the windows OVERLAP (each event lands in
+    * window/slide of them) — the rate-monitoring shape; the default
+    * slide = window is tumbling.
     */
   def windowedCounts(events: DataFrame,
                      window: String = "1 hour",
-                     watermark: String = "1 hour"): DataFrame =
+                     watermark: String = "1 hour",
+                     slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window,
+        slide.getOrElse(window)),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).as("sum_value"))

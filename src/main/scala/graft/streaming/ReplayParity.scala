@@ -79,10 +79,26 @@ object ReplayParity {
     * driver compare's decimal-vs-float rendering mismatch (the q02
     * moneySum discipline).
     */
-  def q106StreamingWindowsReplay(s: SparkSession, d: String): DataFrame = {
+  def q106StreamingWindowsReplay(s: SparkSession, d: String): DataFrame =
+    windowedReplay(s, d, slide = None, sinkName = "g_q106_replay",
+      epochCol = "hour_epoch")
+
+  /** q112: the same replay through the SLIDING form (1 h window, 30 min
+    * slide) — overlapping windows crossing real micro-batch/watermark
+    * boundaries; parity with the batch two-windows-per-event oracle by
+    * the same no-late-drop argument (every window containing an event
+    * ends after the event's own ts, which is ahead of the watermark
+    * carried from previous days).
+    */
+  def q112StreamingSlidingReplay(s: SparkSession, d: String): DataFrame =
+    windowedReplay(s, d, slide = Some("30 minutes"),
+      sinkName = "g_q112_replay", epochCol = "window_epoch")
+
+  private def windowedReplay(s: SparkSession, d: String,
+                             slide: Option[String], sinkName: String,
+                             epochCol: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val sinkName = "g_q106_replay"
     s.catalog.dropTempView(sinkName)
     val replay = Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -92,7 +108,8 @@ object ReplayParity {
     def sentinel(offsetDays: Int) = ValuedEvent(-offsetDays.toLong,
       new java.sql.Timestamp(maxTs + offsetDays * 86400000L), "_flush", 0.0)
     val in = MemoryStream[ValuedEvent]
-    val q = EventStreams.windowedCounts(in.toDF()).writeStream
+    val q = EventStreams.windowedCounts(in.toDF(), slide = slide)
+      .writeStream
       .format("memory").queryName(sinkName).outputMode("append").start()
     try {
       (byDay.map(_._2.toSeq) :+ Seq(sentinel(1)) :+ Seq(sentinel(2)))
@@ -103,9 +120,9 @@ object ReplayParity {
     } finally q.stop()
     s.table(sinkName)
       .filter(col("event_type") =!= "_flush")
-      .select(unix_timestamp(col("window_start")).as("hour_epoch"),
+      .select(unix_timestamp(col("window_start")).as(epochCol),
         col("event_type"), col("n"),
         (col("sum_value") * 100).cast("long").as("sum_cents"))
-      .orderBy("hour_epoch", "event_type")
+      .orderBy(epochCol, "event_type")
   }
 }

@@ -169,6 +169,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(starts.forall(_ % 1800 == 0))
   }
 
+  test("chunkTable: overlap arithmetic, ragged tail, sub-width doc") {
+    val doc1 = (1 to 100).map(i => s"t$i").mkString(" ") // 100 tokens
+    val df = Seq((1L, doc1), (2L, "a b c")).toDF("doc_id", "text")
+    val out = CorpusOps.chunkTable(df, "doc_id", "text",
+      width = 64, stride = 32).collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // ceil((100-64)/32)+1 = 3 chunks at starts 1, 33, 65
+    assert(d1.map(_.getAs[Long]("start_tok")).toSeq == Seq(1L, 33L, 65L))
+    assert(d1.map(_.getAs[Long]("n_tok")).toSeq == Seq(64L, 64L, 36L))
+    // consecutive chunks overlap by width - stride = 32 tokens
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getAs[Long]("n_tok") == 3L)
+  }
+
+  test("sourceProfile: dup attribution and integer-exact aggregates") {
+    val df = Seq(
+      (1L, "the quick fox", "clean"),
+      (2L, "the quick fox", "spammy"),   // dup of 1 -> charged to spammy
+      (3L, "the quick fox", "spammy"),   // dup of 1
+      (4L, "of a different text", "clean")).toDF("doc_id", "text", "source")
+    val out = CorpusOps.sourceProfile(df, "doc_id", "text", "source",
+      maxDupPermille = 500).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("clean").getAs[Long]("n_dups") == 0L)
+    assert(!out("clean").getAs[Boolean]("flagged"))
+    assert(out("spammy").getAs[Long]("n_dups") == 2L)
+    assert(out("spammy").getAs[Boolean]("flagged")) // 2/2 > 50%
+    assert(out("clean").getAs[Long]("n_tokens") == 7L)
+    assert(out("clean").getAs[Double]("stop_ratio") == // the + of + a
+      math.round(3.0 / 7 * 1e6) / 1e6)
+  }
+
   test("wordChunks: ragged tail and sub-width doc") {
     val df = Seq((1L, "a b c"), (2L, ("w " * 12).trim)).toDF("id", "t")
     val chunks = df.select(col("id"),

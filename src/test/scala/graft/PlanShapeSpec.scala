@@ -41,7 +41,8 @@ class PlanShapeSpec extends AnyFunSuite {
            // the streaming replays run a full micro-batched stream on
            // construction; their operator plans are EventStreamsSpec's
            "q100_streaming_asof_replay",
-           "q106_streaming_windows_replay").contains(name)) {
+           "q106_streaming_windows_replay",
+           "q112_streaming_sliding_replay").contains(name)) {
       val p = fn(spark, d).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"),
