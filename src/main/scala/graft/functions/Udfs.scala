@@ -66,6 +66,12 @@ object Udfs {
   val decodeImg: UserDefinedFunction =
     udf(graft.Multimodal.decodeImageHeader _)
 
+  /** MP4 (ISO BMFF) header decode over a binary payload — the video
+    * triplet completer; the kernel is [[graft.Multimodal.decodeMp4Header]].
+    */
+  val decodeMp4: UserDefinedFunction =
+    udf(graft.Multimodal.decodeMp4Header _)
+
   /** Register the fixed-arity UDFs for spark.sql use. */
   def register(spark: SparkSession, asOfYear: Int): Unit = {
     spark.udf.register("graft_to_number", toNumber)

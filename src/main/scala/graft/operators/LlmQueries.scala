@@ -221,14 +221,17 @@ object LlmQueries {
     * LlmOpsSpec's real-header fixtures, matching the WAV precedent.
     */
   def q42MultimodalMeta(s: SparkSession, d: String): DataFrame =
-    Multimodal.withImgMeta(Multimodal.withMeta(
-      Multimodal.asMediaTable(Tables.documents(s, d))))
+    Multimodal.withVideoMeta(Multimodal.withImgMeta(Multimodal.withMeta(
+      Multimodal.asMediaTable(Tables.documents(s, d)))))
       .select(col("doc_id"), col("media_type"), col("n_bytes"),
         col("content_md5"), col("fake_width"), col("fake_height"),
         col("img.format").as("img_format"),
         col("img.width").as("img_width"),
         col("img.height").as("img_height"),
-        col("img.bits_per_pixel").as("img_bpp"))
+        col("img.bits_per_pixel").as("img_bpp"),
+        col("vid.major_brand").as("vid_brand"),
+        col("vid.timescale").as("vid_timescale"),
+        col("vid.duration_units").as("vid_duration_units"))
 
   /** Built-once IVF centroid index per sf dir (the [[Similarity.buildIvf]]
     * build/search split): the first search over a dir pays the full-corpus
@@ -657,12 +660,16 @@ object LlmQueries {
          |  md5(text) AS content_md5,
          |  CAST(${hexFold.format("text")} % 1920 AS INT) AS fake_width,
          |  CAST(${hexFold.format("text")} % 1080 AS INT) AS fake_height,
-         |  -- the real PNG/BMP header decode rejects every text payload:
-         |  -- neither container's magic+layout gates are ASCII-spoofable
+         |  -- the real PNG/BMP/MP4 header decodes reject every text
+         |  -- payload: no container's magic/layout gate is
+         |  -- ASCII-spoofable (printable size bytes read >= 0x20202020)
          |  CAST(NULL AS VARCHAR) AS img_format,
          |  CAST(NULL AS INTEGER) AS img_width,
          |  CAST(NULL AS INTEGER) AS img_height,
-         |  CAST(NULL AS INTEGER) AS img_bpp
+         |  CAST(NULL AS INTEGER) AS img_bpp,
+         |  CAST(NULL AS VARCHAR) AS vid_brand,
+         |  CAST(NULL AS INTEGER) AS vid_timescale,
+         |  CAST(NULL AS BIGINT) AS vid_duration_units
          |FROM documents""".stripMargin),
     "q54_cosine_lsh" -> (
       s"""WITH $embBase,

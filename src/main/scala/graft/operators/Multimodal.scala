@@ -8,10 +8,11 @@ import org.apache.spark.sql.types._
   * with typed metadata, the way a 100 TB training-data pipeline carries
   * image/audio/video next to text.
   *
-  * METADATA decode is REAL for audio and image: [[decodeWavHeader]]
-  * parses RIFF/WAVE and [[decodePngHeader]]/[[decodeBmpHeader]] parse
-  * PNG/BMP headers in pure JVM — container metadata is plain header
-  * bytes, no codec needed. PIXEL/SAMPLE decode and video remain
+  * METADATA decode is REAL for all three modalities: [[decodeWavHeader]]
+  * parses RIFF/WAVE, [[decodePngHeader]]/[[decodeBmpHeader]] parse
+  * PNG/BMP headers, and [[decodeMp4Header]] walks ISO BMFF boxes to
+  * `mvhd` — container metadata is plain header bytes, no codec needed,
+  * all pure JVM. PIXEL/SAMPLE/FRAME decode remains
   * STUBBED — this container has no codecs — behind [[fakeDecode]]: a
   * deterministic md5-derived stand-in with the same schema a real
   * decoder (JNI/FFI or a Python worker via Arrow batches) would
@@ -237,6 +238,100 @@ object Multimodal {
     */
   def decodeImageHeader(bytes: Array[Byte]): Option[ImgMeta] =
     decodePngHeader(bytes).orElse(decodeBmpHeader(bytes))
+
+  /** Real decoded-video metadata: ISO BMFF (MP4) container fields. */
+  case class VideoMeta(format: String, major_brand: String,
+                       timescale: Int, duration_units: Long,
+                       duration_s: Double)
+
+  /** REAL video-metadata decode, pure JVM, same posture as the WAV and
+    * PNG/BMP parsers: MP4 duration lives in plain header bytes — the
+    * `moov`/`mvhd` box — no codec needed for metadata. Box walk:
+    * big-endian [size, fourcc] pairs (size 1 → 64-bit largesize
+    * follows; size 0 → box runs to EOF); the FIRST box must be `ftyp`
+    * (its major brand is reported), then `mvhd` is found one level
+    * inside `moov` — version 0 (32-bit times) and version 1 (64-bit)
+    * layouts both handled. The ftyp-first gate makes ASCII payloads
+    * unspoofable: four printable bytes read as a ≥0x20202020 size, so
+    * the walk ends before any fourcc matches. Malformed, truncated, or
+    * implausible (timescale ≤ 0, duration < 0 or > ~10^7 s) headers
+    * yield None — null rows, never task failures. Works on a header
+    * PREFIX when `moov` precedes `mdat` (the fast-start layout a
+    * metadata-reading pipeline requests).
+    */
+  def decodeMp4Header(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes == null || bytes.length < 16) return None
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // returns (payloadOffset, boxEnd) or None when the header overruns
+    def box(off: Long, end: Long): Option[(String, Long, Long)] = {
+      if (off + 8 > end) return None
+      val o = off.toInt
+      val sz = be32(o)
+      val id = tag(o + 4)
+      if (sz == 1L) {
+        if (off + 16 > end) None
+        else Some((id, off + 16, off + be64(o + 8)))
+      } else if (sz == 0L) Some((id, off + 8, end))
+      else if (sz < 8) None
+      else Some((id, off + 8, off + sz))
+    }
+    val len = bytes.length.toLong
+    // first box MUST be ftyp (ISO BMFF practice; also the ASCII gate)
+    val ftyp = box(0L, len) match {
+      case Some(("ftyp", p, e)) if p + 4 <= e && p + 4 <= len =>
+        tag(p.toInt)
+      case _ => return None
+    }
+    var off = box(0L, len).get._3 // after ftyp
+    while (off + 8 <= len) {
+      box(off, len) match {
+        case Some(("moov", p, e)) =>
+          var c = p
+          val cEnd = math.min(e, len)
+          while (c + 8 <= cEnd) {
+            box(c, cEnd) match {
+              case Some(("mvhd", mp, me)) =>
+                val v = if (mp < len) bytes(mp.toInt) & 0xff else return None
+                val (tsOff, durOff, durWide) = v match {
+                  case 0 => (mp + 12, mp + 16, false)
+                  case 1 => (mp + 20, mp + 24, true)
+                  case _ => return None
+                }
+                val need = durOff + (if (durWide) 8 else 4)
+                if (need > me || need > len) return None
+                val ts = be32(tsOff.toInt)
+                val dur = if (durWide) be64(durOff.toInt)
+                          else be32(durOff.toInt)
+                return if (ts > 0 && ts <= Int.MaxValue && dur >= 0 &&
+                    dur.toDouble / ts < 1e7)
+                  Some(VideoMeta("mp4", ftyp, ts.toInt, dur,
+                    dur.toDouble / ts))
+                else None
+              case Some((_, _, ce)) if ce > c => c = ce
+              case _ => return None
+            }
+          }
+          return None
+        case Some((_, _, e)) if e > off => off = e
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** Attach real video metadata to the video rows of a media table —
+    * the [[withWavMeta]]/[[withImgMeta]] triplet completer; other media
+    * types (and undecodable payloads) carry a null `vid` struct.
+    */
+  def withVideoMeta(media: DataFrame): DataFrame =
+    media.withColumn("vid",
+      when(col("media_type") === "video",
+        graft.functions.Udfs.decodeMp4(col("content"))))
 
   /** Attach real image metadata to the image rows of a media table —
     * the [[withWavMeta]] twin for the image modality; other media types

@@ -539,6 +539,58 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(2L).isEmpty)
   }
 
+  test("decodeMp4Header walks ISO BMFF boxes; withVideoMeta types the rows") {
+    def mp4Bytes(version: Int, timescale: Int, duration: Long,
+                 brand: String = "isom"): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(160) // big-endian by default
+      bb.putInt(16); bb.put("ftyp".getBytes("US-ASCII"))
+      bb.put(brand.getBytes("US-ASCII")); bb.putInt(0)
+      // free box between ftyp and moov: the walk must skip by size
+      bb.putInt(12); bb.put("free".getBytes("US-ASCII")); bb.putInt(0)
+      val mvhdPayload = if (version == 0) 4 + 4 + 4 + 4 + 4 else 4 + 8 + 8 + 4 + 8
+      val mvhdSize = 8 + mvhdPayload
+      bb.putInt(8 + mvhdSize); bb.put("moov".getBytes("US-ASCII"))
+      bb.putInt(mvhdSize); bb.put("mvhd".getBytes("US-ASCII"))
+      bb.putInt(version << 24) // version + flags
+      if (version == 0) {
+        bb.putInt(0); bb.putInt(0) // ctime, mtime
+        bb.putInt(timescale); bb.putInt(duration.toInt)
+      } else {
+        bb.putLong(0L); bb.putLong(0L)
+        bb.putInt(timescale); bb.putLong(duration)
+      }
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    // golden v0: 90 kHz timescale, 45 000 units = 0.5 s
+    assert(Multimodal.decodeMp4Header(mp4Bytes(0, 90000, 45000))
+      .contains(Multimodal.VideoMeta("mp4", "isom", 90000, 45000, 0.5)))
+    // v1 (64-bit times) layout
+    assert(Multimodal.decodeMp4Header(mp4Bytes(1, 1000, 2500, "mp42"))
+      .contains(Multimodal.VideoMeta("mp4", "mp42", 1000, 2500, 2.5)))
+    // malformed inputs are None, never exceptions
+    assert(Multimodal.decodeMp4Header(null).isEmpty)
+    assert(Multimodal.decodeMp4Header("plain ascii text payload".getBytes)
+      .isEmpty)
+    assert(Multimodal.decodeMp4Header(mp4Bytes(0, 90000, 45000).take(30))
+      .isEmpty)
+    assert(Multimodal.decodeMp4Header(mp4Bytes(0, 0, 45000)).isEmpty)
+    assert(Multimodal.decodeMp4Header(mp4Bytes(2, 90000, 45000)).isEmpty)
+    // column form: video rows decode, others stay null, bad video null
+    val rows = spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(0L, "video", mp4Bytes(0, 90000, 45000)),
+      org.apache.spark.sql.Row(1L, "image", mp4Bytes(0, 90000, 45000)),
+      org.apache.spark.sql.Row(2L, "video", "garbage".getBytes)))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.withVideoMeta(media).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[org.apache.spark.sql.Row]("vid"))).toMap
+    assert(out(0L).exists(v => v.getAs[String]("major_brand") == "isom" &&
+      v.getAs[Long]("duration_units") == 45000L &&
+      v.getAs[Double]("duration_s") == 0.5))
+    assert(out(1L).isEmpty)
+    assert(out(2L).isEmpty)
+  }
+
   test("decodePartitioned: sentinel stats estimate falls back to parallelism") {
     // An RDD-backed frame has no real size statistics: Spark reports
     // spark.sql.defaultSizeInBytes (Long.MaxValue). The byte-budget sizing
