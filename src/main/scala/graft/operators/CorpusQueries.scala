@@ -121,7 +121,11 @@ object CorpusQueries {
     "q110_chunk_table" -> (q110ChunkTable _),
     "q111_source_profile" -> (q111SourceProfile _),
     "q112_streaming_sliding_replay" ->
-      (graft.streaming.ReplayParity.q112StreamingSlidingReplay _))
+      (graft.streaming.ReplayParity.q112StreamingSlidingReplay _),
+    "q113_streaming_interval_join" ->
+      (graft.streaming.ReplayParity.q113StreamingIntervalJoinReplay _),
+    "q114_scd2_history" -> ((s, d) => Temporal.q114Scd2History(s, d)),
+    "q115_time_travel" -> ((s, d) => Temporal.q115TimeTravel(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q101_pii_screen" ->
@@ -328,6 +332,59 @@ object CorpusQueries {
         |SELECT window_epoch, event_type, count(*) AS n,
         |  CAST(sum(v) * 100 AS BIGINT) AS sum_cents
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // inner interval join: the streamed pair set equals the batch pair
+    // join under day-ascending replay (ReplayParity.q113 scaladoc)
+    "q113_streaming_interval_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id,
+        |  c.user_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        |  AND c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
+        |ORDER BY click_id, view_id""".stripMargin,
+    "q114_scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS version,
+        |  event_type AS state,
+        |  epoch_us(ts) AS valid_from_us,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id)) AS valid_to_us,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL AS is_current
+        |FROM ch ORDER BY user_id, version""".stripMargin,
+    "q115_time_travel" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |v AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS version,
+        |    event_type AS state,
+        |    epoch_us(ts) AS valid_from_us,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS valid_to_us
+        |  FROM ch)
+        |SELECT user_id, state, version, valid_from_us
+        |FROM v
+        |WHERE valid_from_us <= 1705276800000000
+        |  AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
+        |ORDER BY user_id""".stripMargin,
     "q107_top_ngrams" ->
       """WITH t AS (
         |  SELECT lang, string_split_regex(trim(text), '\s+') AS w

@@ -397,6 +397,59 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) history build from an
+    * observation stream — the warehouse layout the reference's monthly
+    * listing snapshots want for "what was this listing's state over
+    * time": consecutive observations of the same value collapse, each
+    * VALUE CHANGE opens a versioned row with a [valid_from, valid_to)
+    * interval, the last row per key stays open (`is_current`). Here the
+    * observed attribute is each user's event_type stream; in the
+    * listing pipeline it is price/status per url — same operator.
+    *
+    * Two windows on ONE (key, ts, tie) exchange: change detection via
+    * lag, then interval close via lead over the surviving change rows
+    * (Spark reuses the partitioning; no second shuffle). Determinism at
+    * tied timestamps comes from the event-id tiebreak in BOTH sorts.
+    * Epochs emitted as µs longs (the temporal-family convention).
+    */
+  def scd2History(events: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, tieCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col(tieCol))
+    val changes = events
+      .withColumn("_prev", lag(col(valueCol), 1).over(byKey))
+      .filter(col("_prev").isNull || col("_prev") =!= col(valueCol))
+    changes
+      .withColumn("version", row_number().over(byKey).cast("long"))
+      .withColumn("valid_from_us", unix_micros(col(tsCol)))
+      .withColumn("valid_to_us", lead(unix_micros(col(tsCol)), 1)
+        .over(byKey))
+      .select(col(keyCol), col("version"),
+        col(valueCol).as("state"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy(keyCol, "version")
+  }
+
+  def q114Scd2History(s: SparkSession, d: String): DataFrame =
+    scd2History(Tables.events(s, d), "user_id", "ts", "event_type",
+      "event_id")
+
+  /** Time-travel read over the SCD2 history: reconstruct every key's
+    * state as of an instant — one row-local interval filter over the
+    * q114 build, no extra shuffle. Keys first observed after `asOfUs`
+    * are absent (they did not exist yet).
+    */
+  def q115TimeTravel(s: SparkSession, d: String,
+                     asOfUs: Long = 1705276800000000L): DataFrame = // 2024-01-15
+    scd2History(Tables.events(s, d), "user_id", "ts", "event_type",
+      "event_id")
+      .filter(col("valid_from_us") <= asOfUs &&
+        (col("valid_to_us").isNull || col("valid_to_us") > asOfUs))
+      .select(col("user_id"), col("state"), col("version"),
+        col("valid_from_us"))
+      .orderBy("user_id")
+
   /** Sliding-window event rates: hourly counts + distinct users per
     * event type on a 1-hour window SLIDING by 30 minutes — the
     * overlapping-window shape rate monitoring uses (each event lands in

@@ -33,6 +33,38 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** STREAM-STREAM interval join: every (click, view) pair by the same
+    * user with the view inside the hour before the click — the
+    * continuous form of the batch range join (q87's shape), and the one
+    * structured-streaming join kind with two buffered sides. Both sides
+    * derive from ONE event stream (a supported self-join): each carries
+    * its own watermark, and the join condition's time bounds let Spark
+    * derive state retention — a view is dropped once the watermark
+    * passes view_ts + `window`, a click once it passes click_ts, so
+    * state is (arrival rate × window), never history. INNER join:
+    * matches emit as soon as both sides have arrived — no flush
+    * sentinel needed for completeness, unlike the windowed aggregates.
+    */
+  def streamingIntervalJoin(events: DataFrame,
+                            window: String = "1 hour",
+                            watermark: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    clicks.join(views, expr(
+      s"""c_user = v_user AND
+         |view_ts >= click_ts - interval $window AND
+         |view_ts <= click_ts""".stripMargin))
+      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+  }
+
   /** Streaming exact dedup with BOUNDED state: the batch content-hash
     * dedup (TextOps.exactDedup) re-expressed for a continuous ingest
     * feed. `dropDuplicatesWithinWatermark` keeps a key's state only

@@ -94,6 +94,43 @@ object ReplayParity {
     windowedReplay(s, d, slide = Some("30 minutes"),
       sinkName = "g_q112_replay", epochCol = "window_epoch")
 
+  /** q113: [[EventStreams.streamingIntervalJoin]] driven through the
+    * epoch-day replay — the stream-stream (two buffered sides) join
+    * path, gated against the batch pair join. Parity: an INNER interval
+    * join emits each matched pair in the micro-batch where its later
+    * side arrives, and under day-ascending replay no needed state is
+    * ever evicted early — a view needed by a day-D click has
+    * view_ts ≥ D_start − window, while the watermark during day D's
+    * batch is (day D−1 max − watermark) < D_start − window ≤
+    * view_ts + window's retention deadline — so the streamed pair set
+    * is EXACTLY the batch answer; no flush sentinels required.
+    */
+  def q113StreamingIntervalJoinReplay(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val sinkName = "g_q113_replay"
+    s.catalog.dropTempView(sinkName)
+    val replay = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[EventStreams.TypedEvent].collect()
+    val byDay = replay.groupBy(_.ts.getTime / 86400000L).toSeq.sortBy(_._1)
+    val in = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.streamingIntervalJoin(in.toDF()).writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    try {
+      byDay.foreach { case (_, batch) =>
+        in.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sinkName)
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        col("lag_us"))
+      .orderBy("click_id", "view_id")
+  }
+
   private def windowedReplay(s: SparkSession, d: String,
                              slide: Option[String], sinkName: String,
                              epochCol: String): DataFrame = {

@@ -42,7 +42,8 @@ class PlanShapeSpec extends AnyFunSuite {
            // construction; their operator plans are EventStreamsSpec's
            "q100_streaming_asof_replay",
            "q106_streaming_windows_replay",
-           "q112_streaming_sliding_replay").contains(name)) {
+           "q112_streaming_sliding_replay",
+           "q113_streaming_interval_join").contains(name)) {
       val p = fn(spark, d).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -178,6 +179,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q94 eval index stopped broadcasting:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"q94 shuffles the corpus for a broadcast-size eval index:\n$p")
+  }
+
+  test("q114: SCD2's two windows ride ONE (key) hash exchange") {
+    val p = plan("q114_scd2_history")
+    // change-detect lag + interval-close lead both partition on the key:
+    // a second exchange would mean the windows stopped sharing it
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(exchanges == 1, s"q114 expected 1 hash exchange, got $exchanges:\n$p")
   }
 
   test("q104: the bloom prefilter sits on the corpus side of the plan") {
