@@ -386,6 +386,54 @@ object CorpusOps {
       .orderBy(idCol)
   }
 
+  // --------------------------------------- heavy hitters (CMS gate)
+
+  /** Heavy-hitter tokens with a COUNT-MIN-SKETCH cross-check — the
+    * third member of the approx-sketch family (t-digest percentiles
+    * q86, HLL++ retention q91, CMS frequencies here): exact top-`k`
+    * token counts (the deterministic, oracle-checkable side) joined
+    * with the CMS estimate for each, and an in-plan verdict that every
+    * estimate respects the sketch's published guarantee — never
+    * under-counts, over-counts by at most ⌈eps·N⌉ (N = total token
+    * occurrences). Registered in the q86/q91 SELF-VALIDATING gate
+    * style: the oracle asserts the exact values + TRUE verdicts; the
+    * sketch itself is the production operator for unbounded-cardinality
+    * frequency queries where an exact groupBy's state is unpayable.
+    *
+    * The sketch builds in one distributed aggregation
+    * (`stat.countMinSketch`, deterministic for a fixed seed) into a
+    * driver object whose size is eps/confidence-bounded (depth×width
+    * counters — KBs here), then broadcasts for the k probe lookups.
+    */
+  def heavyHittersGate(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 20, eps: Double = 0.001,
+                       confidence: Double = 0.99, seed: Int = 42)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val tok = Caches.persistTracked(
+      df.select(explode(TextOps.words(col(textCol))).as("token")))
+    val total = tok.count()
+    val cms = tok.stat.countMinSketch("token", eps, confidence, seed)
+    val cmsB = spark.sparkContext.broadcast(cms)
+    val est = udf((t: String) => cmsB.value.estimateCount(t))
+      .withName("graft_cms_estimate")
+    val slack = math.ceil(eps * total).toLong
+    // global top-k via TakeOrderedAndProject (parallel partial top-k on
+    // every partition, k-row merge on the driver side of the exchange)
+    // — a global row_number window would drag every distinct token
+    // through ONE task; the rank window below runs over k rows only
+    val top = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(k)
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("est", est(col("token")))
+      .select(col("rank"), col("token"), col("n"),
+        (col("est") >= col("n") &&
+          col("est") <= col("n") + slack).as("cms_ok"))
+      .orderBy("rank")
+  }
+
   // ------------------------------------------------- top-k n-grams
 
   /** Corpus-wide most-frequent n-grams per language — the boilerplate

@@ -125,7 +125,10 @@ object CorpusQueries {
     "q113_streaming_interval_join" ->
       (graft.streaming.ReplayParity.q113StreamingIntervalJoinReplay _),
     "q114_scd2_history" -> ((s, d) => Temporal.q114Scd2History(s, d)),
-    "q115_time_travel" -> ((s, d) => Temporal.q115TimeTravel(s, d)))
+    "q115_time_travel" -> ((s, d) => Temporal.q115TimeTravel(s, d)),
+    "q116_heavy_hitters" -> ((s, d) =>
+      CorpusOps.heavyHittersGate(Tables.documents(s, d), "doc_id", "text")),
+    "q117_rate_anomaly" -> ((s, d) => Temporal.q117RateAnomaly(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q101_pii_screen" ->
@@ -385,6 +388,44 @@ object CorpusQueries {
         |WHERE valid_from_us <= 1705276800000000
         |  AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
         |ORDER BY user_id""".stripMargin,
+    // the q86/q91 gate style: oracle asserts the exact top-k + TRUE
+    // CMS-bound verdicts (the sketch is deterministic for the fixed seed)
+    "q116_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+        |      FROM tok GROUP BY 1),
+        |r AS (
+        |  SELECT token, n,
+        |    row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+        |  FROM c)
+        |SELECT rank, token, n, true AS cms_ok
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // variance from integer window sums: (cnt*Σn² − (Σn)²)/cnt² — the
+    // only floats are the final division/sqrt on identical integers
+    "q117_rate_anomaly" ->
+      """WITH h AS (
+        |  SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_epoch,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |wst AS (
+        |  SELECT hour_epoch, event_type, n,
+        |    CAST(count(*) OVER f AS BIGINT) AS w_cnt,
+        |    CAST(sum(n) OVER f AS BIGINT) AS w_sum,
+        |    CAST(sum(n * n) OVER f AS BIGINT) AS w_sumsq
+        |  FROM h WINDOW f AS (PARTITION BY event_type ORDER BY hour_epoch
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT hour_epoch, event_type, n,
+        |    CASE WHEN w_cnt = 24 AND w_cnt * w_sumsq > w_sum * w_sum
+        |      THEN round((n - w_sum / w_cnt) /
+        |        sqrt((w_cnt * w_sumsq - w_sum * w_sum) /
+        |          (w_cnt * w_cnt)), 6) END AS z
+        |  FROM wst)
+        |SELECT hour_epoch, event_type, n, z,
+        |  coalesce(abs(z) > 3.0, false) AS is_anomaly
+        |FROM z ORDER BY 1, 2""".stripMargin,
     "q107_top_ngrams" ->
       """WITH t AS (
         |  SELECT lang, string_split_regex(trim(text), '\s+') AS w

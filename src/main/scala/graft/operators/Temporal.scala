@@ -471,6 +471,43 @@ object Temporal {
         col("event_type"), col("n"), col("n_users"))
       .orderBy("window_epoch", "event_type")
 
+  /** Event-RATE anomaly detection: hourly counts per type z-scored
+    * against each type's TRAILING 24-hour window (mean/std over the 24
+    * preceding hourly buckets, current excluded) — the ops-monitoring
+    * pass a streaming ingest runs to catch rate spikes/collapses.
+    *
+    * Determinism discipline: mean and variance derive from INTEGER
+    * window sums (Σn, Σn², count over the frame) — variance =
+    * (cnt·Σn² − (Σn)²)/cnt², one integer expression per term — so the
+    * only floats are the final division/sqrt on identical integers in
+    * both engines. The frame windows run over the hourly AGGREGATE
+    * (|hours × types| rows), not events; the one event-volume shuffle
+    * is the hourly count itself.
+    */
+  def q117RateAnomaly(s: SparkSession, d: String,
+                      zGate: Double = 3.0): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy((unix_timestamp(col("ts")).divide(3600)).cast("long")
+        .multiply(3600).as("hour_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val frame = Window.partitionBy("event_type").orderBy("hour_epoch")
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("w_cnt", count(lit(1)).over(frame))
+      .withColumn("w_sum", sum(col("n")).over(frame))
+      .withColumn("w_sumsq", sum(col("n") * col("n")).over(frame))
+      .withColumn("z",
+        when(col("w_cnt") === 24 &&
+          col("w_cnt") * col("w_sumsq") > col("w_sum") * col("w_sum"),
+          round((col("n") - col("w_sum") / col("w_cnt")) /
+            sqrt((col("w_cnt") * col("w_sumsq") -
+              col("w_sum") * col("w_sum")) /
+              (col("w_cnt") * col("w_cnt"))), 6)))
+      .select(col("hour_epoch"), col("event_type"), col("n"), col("z"),
+        coalesce(abs(col("z")) > zGate, lit(false)).as("is_anomaly"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
   /** Event-transition matrix (first-order Markov): for every adjacent
     * pair in each user's (ts, id)-ordered timeline, count
     * prev_type → type and its probability within the prev_type row.

@@ -240,6 +240,49 @@ class CorpusOpsSpec extends AnyFunSuite {
       Seq("click_id", "view_id", "user_id", "lag_us"))
   }
 
+  test("heavyHittersGate: exact top-k, CMS bound holds, parallel top-k plan") {
+    val df = Seq(
+      (1L, "apple apple apple banana banana cherry"),
+      (2L, "apple banana date egg fig grape")).toDF("doc_id", "text")
+    val out = CorpusOps.heavyHittersGate(df, "doc_id", "text", k = 3)
+    val rows = out.collect()
+    assert(rows.map(r => (r.getAs[Long]("rank"), r.getAs[String]("token"),
+      r.getAs[Long]("n"))).toSeq ==
+      Seq((1L, "apple", 4L), (2L, "banana", 3L), (3L, "cherry", 1L)))
+    assert(rows.forall(_.getAs[Boolean]("cms_ok")))
+    // top-k must compile to the parallel partial-top-k operator, not a
+    // global single-partition window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"heavy hitters lost the parallel top-k:\n$plan")
+  }
+
+  test("q117RateAnomaly: hand-computed z over the trailing 24 buckets") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 24 hourly buckets alternating 9/11 events (mean 10, var 1), then
+    // a 16-event spike hour -> z = 6
+    val events = (0 until 24).flatMap { h =>
+      val n = if (h % 2 == 0) 9 else 11
+      (0 until n).map(i => (h.toLong * 100 + i,
+        new java.sql.Timestamp((h * 3600L + i) * 1000), 1L, "x", 0.0, "{}"))
+    } ++ (0 until 16).map(i => (9900L + i,
+      new java.sql.Timestamp((24 * 3600L + i) * 1000), 1L, "x", 0.0, "{}"))
+    val df = events.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q117_").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Temporal.q117RateAnomaly(spark2, dir).collect()
+    val spike = out.find(_.getAs[Long]("hour_epoch") == 24 * 3600L).get
+    assert(spike.getAs[Long]("n") == 16L)
+    assert(spike.getAs[Double]("z") == 6.0)
+    assert(spike.getAs[Boolean]("is_anomaly"))
+    // buckets with under 24 trailing observations carry null z, false flag
+    val early = out.find(_.getAs[Long]("hour_epoch") == 3600L).get
+    assert(early.isNullAt(early.fieldIndex("z")))
+    assert(!early.getAs[Boolean]("is_anomaly"))
+  }
+
   test("wordChunks: ragged tail and sub-width doc") {
     val df = Seq((1L, "a b c"), (2L, ("w " * 12).trim)).toDF("id", "t")
     val chunks = df.select(col("id"),
