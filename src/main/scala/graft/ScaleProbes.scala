@@ -449,6 +449,88 @@ object ScaleProbes {
           f"plain_min3_sec=$plainSec%.2f bloom_min3_sec=$bloomSec%.2f " +
           f"bloom_speedup=${plainSec / bloomSec}%.2fx")
 
+      case "zorder-ab" =>
+        // the law behind Sinks.writeZOrdered: a fact table laid out by
+        // ONE dimension prunes parquet files on that dimension only —
+        // the Morton layout gives tight min/max on BOTH filter dims.
+        // Synthetic 2-dim fact (user pseudo-random, ts sequential,
+        // both 2^20-spaced) with a ~200-byte payload — decode cost is
+        // what pruning saves; a narrow-longs fact is task-overhead-
+        // bound on this box and hides the effect. Two query shapes:
+        // both-dims (each layout prunes something) and user-only (the
+        // dimension the linear layout cannot prune).
+        val n = args.lift(1).map(_.toLong).getOrElse(10000000L)
+        val files = args.lift(2).map(_.toInt).getOrElse(256)
+        val base = spark.range(n).select(
+          ((col("id") * 2654435761L) % 1048576L).as("user_id"),
+          ((col("id") * 1048576L) / n).as("ts_bucket"),
+          rpad(col("id").cast("string"), 200, "x").as("payload"))
+        val linPath = "/tmp/graft_zorder_lin"
+        val zPath = "/tmp/graft_zorder_z"
+        val tW0 = System.nanoTime()
+        base.repartitionByRange(files, col("ts_bucket"))
+          .sortWithinPartitions("ts_bucket")
+          .write.mode("overwrite").parquet(linPath)
+        val linWriteSec = (System.nanoTime() - tW0) / 1e9
+        val tW1 = System.nanoTime()
+        graft.sources.Sinks.writeZOrdered(base, zPath, col("user_id"),
+          col("ts_bucket"), numFiles = files)
+        val zWriteSec = (System.nanoTime() - tW1) / 1e9
+        // 1/32 of each dimension's space
+        val (u1, u2) = (100000L, 132768L)
+        val (t1, t2) = (500000L, 532768L)
+        def frame(path: String, userOnly: Boolean) = {
+          val d = spark.read.parquet(path)
+            .filter(col("user_id").between(u1, u2))
+          val f = if (userOnly) d
+                  else d.filter(col("ts_bucket").between(t1, t2))
+          f.agg(sum(length(col("payload"))))
+        }
+        def q(path: String, userOnly: Boolean): Unit = {
+          frame(path, userOnly).collect(); ()
+        }
+        // ROWS SURVIVING row-group pruning, computed from the parquet
+        // FOOTERS exactly the way the reader's filter does (row-group
+        // user_id min/max vs the range) — the receipt, because wall
+        // time on a page-cached local box under-reports (decode runs at
+        // memory speed; a cluster pays object-store IO per byte read)
+        def rowsSurviving(path: String): Long = {
+          import scala.jdk.CollectionConverters._
+          val conf = spark.sessionState.newHadoopConf()
+          val dir = new org.apache.hadoop.fs.Path(path)
+          val fs = dir.getFileSystem(conf)
+          fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+            .map { st =>
+              val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(st.getPath, conf))
+              try rdr.getFooter.getBlocks.asScala.collect {
+                case b if {
+                  val s = b.getColumns.asScala
+                    .find(_.getPath.toDotString == "user_id").get
+                    .getStatistics
+                  s.genericGetMax.asInstanceOf[java.lang.Long] >= u1 &&
+                    s.genericGetMin.asInstanceOf[java.lang.Long] <= u2
+                } => b.getRowCount
+              }.sum
+              finally rdr.close()
+            }.sum
+        }
+        for (p <- Seq(linPath, zPath); uo <- Seq(true, false)) q(p, uo)
+        val linBoth = minOf3(q(linPath, userOnly = false))
+        val zBoth = minOf3(q(zPath, userOnly = false))
+        val linUser = minOf3(q(linPath, userOnly = true))
+        val zUser = minOf3(q(zPath, userOnly = true))
+        val linRows = rowsSurviving(linPath)
+        val zRows = rowsSurviving(zPath)
+        println(f"[probe] zorder-ab: n=$n files=$files " +
+          f"both_dims_lin_min3_sec=$linBoth%.2f both_dims_z_min3_sec=$zBoth%.2f " +
+          f"user_only_lin_min3_sec=$linUser%.2f user_only_z_min3_sec=$zUser%.2f " +
+          f"user_only_speedup=${linUser / zUser}%.2fx " +
+          f"user_only_rows_scanned_lin=$linRows user_only_rows_scanned_z=$zRows " +
+          f"scan_reduction=${linRows.toDouble / math.max(zRows, 1)}%.1fx " +
+          f"write_lin_sec=$linWriteSec%.1f write_z_sec=$zWriteSec%.1f")
+
       case "streaming-neardup" =>
         // throughput of the streaming MinHash-LSH near-dup: one bulk
         // micro-batch of a deterministic planted-dup corpus through the
