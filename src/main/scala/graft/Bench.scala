@@ -45,7 +45,8 @@ object Bench {
       "q104_bloom_exact", "q105_shard_plan", "q107_top_ngrams",
       "q108_sliding_rates", "q109_url_dedup", "q110_chunk_table",
       "q111_source_profile", "q114_scd2_history", "q115_time_travel",
-      "q116_heavy_hitters", "q117_rate_anomaly")
+      "q116_heavy_hitters", "q117_rate_anomaly",
+      "q118_constraint_check", "q119_scd2_incremental")
     // excluded by design, like the q66/q67 sink roundtrips: q98/q99
     // (bucketed index WRITERS — their screen-side cost is q92/q97's,
     // measured above; the write path is DedupIndexSpec's subject) and

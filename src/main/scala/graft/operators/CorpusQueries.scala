@@ -128,7 +128,17 @@ object CorpusQueries {
     "q115_time_travel" -> ((s, d) => Temporal.q115TimeTravel(s, d)),
     "q116_heavy_hitters" -> ((s, d) =>
       CorpusOps.heavyHittersGate(Tables.documents(s, d), "doc_id", "text")),
-    "q117_rate_anomaly" -> ((s, d) => Temporal.q117RateAnomaly(s, d)))
+    "q117_rate_anomaly" -> ((s, d) => Temporal.q117RateAnomaly(s, d)),
+    "q118_constraint_check" -> ((s, d) =>
+      Quality.constraintCheck(Tables.orders(s, d),
+        predicates = Seq(
+          "o_custkey_nonnull" -> col("o_custkey").isNotNull,
+          "o_orderstatus_domain" ->
+            col("o_orderstatus").isin("O", "F", "P"),
+          "o_totalprice_positive" -> (col("o_totalprice") > 0),
+          "o_orderdate_nonnull" -> col("o_orderdate").isNotNull),
+        uniqueKeys = Seq("o_orderkey_unique" -> Seq("o_orderkey")))),
+    "q119_scd2_incremental" -> ((s, d) => Temporal.q119Scd2Incremental(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q101_pii_screen" ->
@@ -426,6 +436,51 @@ object CorpusQueries {
         |SELECT hour_epoch, event_type, n, z,
         |  coalesce(abs(z) > 3.0, false) AS is_anomaly
         |FROM z ORDER BY 1, 2""".stripMargin,
+    "q118_constraint_check" ->
+      """WITH t AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS custkey_nonnull,
+        |  CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1
+        |    ELSE 0 END) AS BIGINT) AS status_domain,
+        |  CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS price_positive,
+        |  CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS date_nonnull,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS key_distinct
+        |FROM orders)
+        |SELECT c.constraint, c.n_pass, c.n_total,
+        |  c.n_pass = c.n_total AS ok
+        |FROM t, LATERAL (VALUES
+        |  ('o_custkey_nonnull', custkey_nonnull, n_total),
+        |  ('o_orderstatus_domain', status_domain, n_total),
+        |  ('o_totalprice_positive', price_positive, n_total),
+        |  ('o_orderdate_nonnull', date_nonnull, n_total),
+        |  ('o_orderkey_unique', key_distinct, n_total))
+        |  AS c("constraint", n_pass, n_total)
+        |ORDER BY c.constraint""".stripMargin,
+    // bit-equal to q114's full rebuild by the scd2Apply contract (the
+    // batch is strictly newer than every old observation), so it
+    // SHARES q114's oracle — edit together
+    "q119_scd2_incremental" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS version,
+        |  event_type AS state,
+        |  epoch_us(ts) AS valid_from_us,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id)) AS valid_to_us,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL AS is_current
+        |FROM ch ORDER BY user_id, version""".stripMargin,
     "q107_top_ngrams" ->
       """WITH t AS (
         |  SELECT lang, string_split_regex(trim(text), '\s+') AS w

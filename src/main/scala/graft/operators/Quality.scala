@@ -196,4 +196,50 @@ object Quality {
     }
     when(propertyType === "Land", coalesce(colorHit, catHit))
   }
+
+  /** Declarative data-quality CONSTRAINT check (the Deequ/Great-
+    * Expectations shape): row-level predicates ("every row satisfies
+    * P") and uniqueness constraints ("no key repeats"), all evaluated
+    * against one table in a BOUNDED number of aggregate passes — one
+    * pass for every predicate (a single multi-aggregate over
+    * conditional counts) plus one count-distinct pass per unique key.
+    * Output: one row per constraint — passing count, total, the
+    * verdict — the gate a 100 TB ingest runs before a snapshot is
+    * promoted.
+    *
+    * Scale shape: predicates partial-aggregate map-side into |rules|
+    * counters per task; uniqueness is the standard two-level distinct
+    * aggregate. Nothing is row-materialized per constraint.
+    */
+  def constraintCheck(df: DataFrame,
+                      predicates: Seq[(String, Column)],
+                      uniqueKeys: Seq[(String, Seq[String])] = Nil)
+      : DataFrame = {
+    require(predicates.nonEmpty || uniqueKeys.nonEmpty,
+      "constraintCheck needs at least one constraint")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val predRows: Option[DataFrame] =
+      if (predicates.isEmpty) None
+      else {
+        val aggs = count(lit(1)).as("_total") +:
+          predicates.zipWithIndex.map { case ((_, p), i) =>
+            sum(when(p, 1L).otherwise(0L)).as(s"_p$i")
+          }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        Some(one.select(explode(array(predicates.zipWithIndex.map {
+          case ((name, _), i) => struct(lit(name).as("constraint"),
+            col(s"_p$i").as("n_pass"), col("_total").as("n_total"))
+        }: _*)).as("c")).select("c.*"))
+      }
+    val uniqRows = uniqueKeys.map { case (name, cols0) =>
+      df.agg(count(lit(1)).as("n_total"),
+          countDistinct(cols0.head, cols0.tail: _*).as("n_distinct"))
+        .select(lit(name).as("constraint"),
+          col("n_distinct").as("n_pass"), col("n_total"))
+    }
+    (predRows.toSeq ++ uniqRows).reduce(_ unionByName _)
+      .withColumn("ok", col("n_pass") === col("n_total"))
+      .orderBy("constraint")
+  }
 }

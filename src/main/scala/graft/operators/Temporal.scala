@@ -435,6 +435,68 @@ object Temporal {
     scd2History(Tables.events(s, d), "user_id", "ts", "event_type",
       "event_id")
 
+  /** INCREMENTAL SCD2 apply — the production write-path of
+    * [[scd2History]] (the q98/q99 lifecycle story for the warehouse
+    * layer): fold a NEW batch of observations into an EXISTING history
+    * without re-reading the old observation stream. Closed rows pass
+    * through untouched; each key's OPEN row is re-seeded as a synthetic
+    * observation (its state at its valid_from, tie −1 so it sorts
+    * before any real event at the same instant) and [[scd2History]]
+    * runs over seed ∪ batch only — so a batch whose first value equals
+    * the open state COLLAPSES into it (same as the rebuild would), a
+    * change closes the open row at the change's ts, and versions
+    * continue from the open row's number. BIT-EQUAL to rebuilding from
+    * the full stream whenever the batch is strictly newer than every
+    * old observation (Scd2 spec + q119 share q114's oracle on exactly
+    * that split).
+    *
+    * Scale shape: the old side contributes |keys| open rows + closed
+    * passthrough (a scan, no shuffle on the closed rows beyond the
+    * final sort); all window work runs over seed ∪ batch — the
+    * increment — never the historical stream.
+    */
+  def scd2Apply(history: DataFrame, newObs: DataFrame, keyCol: String,
+                tsCol: String, valueCol: String, tieCol: String)
+      : DataFrame = {
+    val open = history.filter(col("is_current"))
+      .select(col(keyCol), col("version").as("_v0"),
+        col("state"), col("valid_from_us"))
+    val seed = open.select(col(keyCol),
+      expr("timestamp_micros(valid_from_us)").as(tsCol),
+      col("state").as(valueCol), lit(-1L).cast("long").as(tieCol))
+    val chain = scd2History(
+      seed.unionByName(newObs.select(col(keyCol), col(tsCol),
+        col(valueCol), col(tieCol).cast("long").as(tieCol))),
+      keyCol, tsCol, valueCol, tieCol)
+    val adjusted = chain
+      .join(open.select(col(keyCol), col("_v0")), Seq(keyCol),
+        "left_outer")
+      // keys with an open row: chain version 1 IS that row re-derived —
+      // shift so it keeps its old number; brand-new keys start at 1
+      .withColumn("version",
+        col("version") + coalesce(col("_v0") - 1, lit(0L)))
+      .drop("_v0")
+    history.filter(!col("is_current"))
+      .unionByName(adjusted)
+      .orderBy(keyCol, "version")
+  }
+
+  /** q119: [[scd2Apply]] folding the last ~third of the event stream
+    * into the history built from the first two thirds — bit-equal to
+    * q114's full rebuild (shares its oracle). Split at 2024-01-20.
+    */
+  def q119Scd2Incremental(s: SparkSession, d: String,
+                          splitUs: Long = 1705708800000000L): DataFrame = {
+    val ev = Tables.events(s, d)
+    val old = ev.filter(unix_micros(col("ts")) <= splitUs)
+    val batch = ev.filter(unix_micros(col("ts")) > splitUs)
+    scd2Apply(
+      scd2History(old, "user_id", "ts", "event_type", "event_id"),
+      batch.select(col("user_id"), col("ts"), col("event_type"),
+        col("event_id")),
+      "user_id", "ts", "event_type", "event_id")
+  }
+
   /** Time-travel read over the SCD2 history: reconstruct every key's
     * state as of an instant — one row-local interval filter over the
     * q114 build, no extra shuffle. Keys first observed after `asOfUs`

@@ -283,6 +283,61 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!early.getAs[Boolean]("is_anomaly"))
   }
 
+  test("scd2Apply: collapse into open row, close on change, new key, " +
+    "untouched key") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val oldEv = Seq(
+      (1L, ts(100), "view", 1L), (2L, ts(200), "click", 1L), // u1: 2 versions
+      (3L, ts(150), "view", 2L),                             // u2: 1 open row
+      (4L, ts(100), "view", 3L))                             // u3: untouched
+      .toDF("event_id", "ts", "event_type", "user_id")
+    val batch = Seq(
+      (10L, ts(300), "click", 1L),  // equals u1 open state -> collapses
+      (11L, ts(400), "view", 1L),   // change -> closes v2, opens v3
+      (12L, ts(500), "view", 2L),   // equals u2 open state -> collapses
+      (13L, ts(600), "view", 9L))   // brand-new key
+      .toDF("event_id", "ts", "event_type", "user_id")
+    val history = Temporal.scd2History(oldEv, "user_id", "ts",
+      "event_type", "event_id")
+    val applied = Temporal.scd2Apply(history,
+      batch.select(col("user_id"), col("ts"), col("event_type"),
+        col("event_id")),
+      "user_id", "ts", "event_type", "event_id")
+    // must bit-equal the full rebuild
+    val rebuild = Temporal.scd2History(oldEv.unionByName(batch),
+      "user_id", "ts", "event_type", "event_id")
+    assert(applied.collect().map(_.toString).sorted
+      .sameElements(rebuild.collect().map(_.toString).sorted))
+    val u1 = applied.filter(col("user_id") === 1L).collect()
+    assert(u1.map(r => (r.getAs[Long]("version"),
+      r.getAs[String]("state"))).toSeq ==
+      Seq((1L, "view"), (2L, "click"), (3L, "view")))
+    // the collapse: v2 stays valid from 200 (not re-opened at 300)
+    assert(u1(1).getAs[Long]("valid_from_us") == 200000000L)
+    assert(u1(1).getAs[Long]("valid_to_us") == 400000000L)
+    val u9 = applied.filter(col("user_id") === 9L).collect()
+    assert(u9.length == 1 && u9.head.getAs[Long]("version") == 1L)
+    val u3 = applied.filter(col("user_id") === 3L).collect()
+    assert(u3.length == 1 && u3.head.getAs[Boolean]("is_current"))
+  }
+
+  test("constraintCheck: per-constraint pass counts and verdicts") {
+    val df = Seq(
+      (1L, "O", 10.0), (2L, "F", -5.0), (2L, "X", 20.0))
+      .toDF("k", "status", "price")
+    val out = Quality.constraintCheck(df,
+      predicates = Seq(
+        "status_domain" -> col("status").isin("O", "F", "P"),
+        "price_positive" -> (col("price") > 0)),
+      uniqueKeys = Seq("k_unique" -> Seq("k")))
+      .collect().map(r => r.getAs[String]("constraint") -> r).toMap
+    assert(out("status_domain").getAs[Long]("n_pass") == 2L)
+    assert(!out("status_domain").getAs[Boolean]("ok"))
+    assert(out("price_positive").getAs[Long]("n_pass") == 2L)
+    assert(out("k_unique").getAs[Long]("n_pass") == 2L) // 2 distinct of 3
+    assert(!out("k_unique").getAs[Boolean]("ok"))
+  }
+
   test("wordChunks: ragged tail and sub-width doc") {
     val df = Seq((1L, "a b c"), (2L, ("w " * 12).trim)).toDF("id", "t")
     val chunks = df.select(col("id"),
