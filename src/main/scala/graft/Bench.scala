@@ -47,10 +47,11 @@ object Bench {
       "q111_source_profile", "q114_scd2_history", "q115_time_travel",
       "q116_heavy_hitters", "q117_rate_anomaly",
       "q118_constraint_check", "q119_scd2_incremental")
-    // excluded by design, like the q66/q67 sink roundtrips: q98/q99
-    // (bucketed index WRITERS — their screen-side cost is q92/q97's,
-    // measured above; the write path is DedupIndexSpec's subject) and
-    // q100/q106 (driver-fed replay harnesses, not executor-side plans)
+    // excluded by design, like the q66/q67 sink roundtrips: q98/q99 +
+    // q120 (bucketed/z-ordered WRITERS — screen/scan cost is measured
+    // above; the write paths are DedupIndexSpec/ZOrderSpec's subjects)
+    // and q100/q106/q112/q113 (driver-fed replay harnesses, not
+    // executor-side plans)
     val available = preferred.filter(SparkEntry.queries.contains)
     val base =
       if (available.nonEmpty) available else SparkEntry.queries.keys.toSeq.sorted

@@ -138,7 +138,29 @@ object CorpusQueries {
           "o_totalprice_positive" -> (col("o_totalprice") > 0),
           "o_orderdate_nonnull" -> col("o_orderdate").isNotNull),
         uniqueKeys = Seq("o_orderkey_unique" -> Seq("o_orderkey")))),
-    "q119_scd2_incremental" -> ((s, d) => Temporal.q119Scd2Incremental(s, d)))
+    "q119_scd2_incremental" -> ((s, d) => Temporal.q119Scd2Incremental(s, d)),
+    "q120_zorder_roundtrip" -> (q120ZorderRoundtrip _))
+
+  /** q120: end-to-end driver gate for the Z-ordered writer (the
+    * q66/q67 posture for physical layouts): write events through
+    * `Sinks.writeZOrdered` on (user_id, hour), read the layout back
+    * with a two-dimensional filter, and the result must be exactly
+    * what a direct scan answers (the oracle) — layout changes bytes on
+    * disk, never rows. The selective read exercises the pruned path
+    * the zorder-ab probe measures.
+    */
+  private def q120ZorderRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      expr("(unix_timestamp(ts) div 3600) * 3600").as("hour_epoch"))
+    val path = "/tmp/graft_zorder_rt_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.Sinks.writeZOrdered(ev, path, col("user_id"),
+      col("hour_epoch"), numFiles = 16)
+    s.read.parquet(path)
+      .filter(col("user_id").between(10, 40) &&
+        col("hour_epoch") < 1705276800L) // first half of January
+      .orderBy("event_id")
+  }
 
   val oracle: Map[String, String] = Map(
     "q101_pii_screen" ->
@@ -481,6 +503,14 @@ object CorpusQueries {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    IS NULL AS is_current
         |FROM ch ORDER BY user_id, version""".stripMargin,
+    // layout roundtrip: the z-ordered write must preserve rows exactly
+    "q120_zorder_roundtrip" ->
+      """SELECT event_id, user_id,
+        |  (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_epoch
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 40
+        |  AND (epoch_us(ts) // 1000000 // 3600) * 3600 < 1705276800
+        |ORDER BY event_id""".stripMargin,
     "q107_top_ngrams" ->
       """WITH t AS (
         |  SELECT lang, string_split_regex(trim(text), '\s+') AS w

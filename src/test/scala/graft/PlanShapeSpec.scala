@@ -34,6 +34,7 @@ class PlanShapeSpec extends AnyFunSuite {
          // sink-roundtrip queries execute writers eagerly — covered by
          // their own oracle gate, skipped here to keep this spec fast
          && !Set("q66_constrained_append", "q67_staging_roundtrip",
+           "q120_zorder_roundtrip",
            "q69_dup_clusters",
            // index-lifecycle queries execute bucketed writers eagerly;
            // their plans are pinned in DedupIndexSpec
