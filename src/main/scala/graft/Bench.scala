@@ -46,7 +46,8 @@ object Bench {
       "q108_sliding_rates", "q109_url_dedup", "q110_chunk_table",
       "q111_source_profile", "q114_scd2_history", "q115_time_travel",
       "q116_heavy_hitters", "q117_rate_anomaly",
-      "q118_constraint_check", "q119_scd2_incremental")
+      "q118_constraint_check", "q119_scd2_incremental",
+      "q121_vocab_encode")
     // excluded by design, like the q66/q67 sink roundtrips: q98/q99 +
     // q120 (bucketed/z-ordered WRITERS — screen/scan cost is measured
     // above; the write paths are DedupIndexSpec/ZOrderSpec's subjects)

@@ -434,6 +434,46 @@ object CorpusOps {
       .orderBy("rank")
   }
 
+  // --------------------------------------- vocabulary build + encode
+
+  /** Vocabulary BUILD + corpus ENCODE — the tokenizer-prep step of a
+    * pretraining pipeline: rank the top `vocabSize` tokens (count desc,
+    * token asc — deterministic), assign ids 1..V, then re-encode every
+    * document as its id sequence with out-of-vocabulary tokens mapped
+    * to 0. Per doc: token count, OOV count, and the md5 of the
+    * comma-joined id sequence (the compact, order-preserving encode
+    * receipt both engines can hash).
+    *
+    * Scale shape: the vocab is one partial-aggregated count + the
+    * parallel top-k (TakeOrderedAndProject), then BROADCASTS (V is a
+    * tokenizer-sized constant — 32k/50k/100k — never corpus-sized);
+    * the encode is a broadcast left join over the exploded tokens and
+    * one doc_id re-aggregation whose shuffle carries (pos, id) pairs,
+    * not text. In production the re-agg is usually fused into the
+    * shard writer; the plan shape is the same.
+    */
+  def vocabEncode(df: DataFrame, idCol: String, textCol: String,
+                  vocabSize: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Caches.persistTracked(
+      df.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.words(col(textCol))).as(Seq("pos", "token"))))
+    val top = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(vocabSize)
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    val vocab = top.withColumn("id", row_number().over(w).cast("long"))
+      .select("token", "id")
+    tok.join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("id"), lit(0L)).as("id")))),
+          s => s.getField("id")))).as("ids_hash"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------- top-k n-grams
 
   /** Corpus-wide most-frequent n-grams per language — the boilerplate

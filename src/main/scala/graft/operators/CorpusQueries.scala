@@ -139,7 +139,9 @@ object CorpusQueries {
           "o_orderdate_nonnull" -> col("o_orderdate").isNotNull),
         uniqueKeys = Seq("o_orderkey_unique" -> Seq("o_orderkey")))),
     "q119_scd2_incremental" -> ((s, d) => Temporal.q119Scd2Incremental(s, d)),
-    "q120_zorder_roundtrip" -> (q120ZorderRoundtrip _))
+    "q120_zorder_roundtrip" -> (q120ZorderRoundtrip _),
+    "q121_vocab_encode" -> ((s, d) =>
+      CorpusOps.vocabEncode(Tables.documents(s, d), "doc_id", "text")))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -511,6 +513,29 @@ object CorpusQueries {
         |WHERE user_id BETWEEN 10 AND 40
         |  AND (epoch_us(ts) // 1000000 // 3600) * 3600 < 1705276800
         |ORDER BY event_id""".stripMargin,
+    // rank-20 vocab, ids 1..20, OOV -> 0; the ids_hash receipt hashes
+    // the comma-joined id sequence in token order
+    "q121_vocab_encode" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, unnest(w) AS token,
+        |    unnest(range(1, len(w)+1)) AS pos
+        |  FROM t),
+        |c AS (SELECT token, count(*) AS n FROM ex GROUP BY 1),
+        |v AS (
+        |  SELECT token,
+        |    CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+        |      AS BIGINT) AS id
+        |  FROM c ORDER BY n DESC, token ASC LIMIT 20)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  md5(string_agg(CAST(coalesce(id, 0) AS VARCHAR), ','
+        |    ORDER BY pos)) AS ids_hash
+        |FROM ex LEFT JOIN v USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q107_top_ngrams" ->
       """WITH t AS (
         |  SELECT lang, string_split_regex(trim(text), '\s+') AS w

@@ -338,6 +338,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!out("k_unique").getAs[Boolean]("ok"))
   }
 
+  test("vocabEncode: rank ids, OOV to zero, order-preserving hash") {
+    val df = Seq(
+      (1L, "b a b c"),   // counts: b=3(with doc2), a=2, c=1
+      (2L, "a b rare")).toDF("doc_id", "text")
+    val out = CorpusOps.vocabEncode(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // vocab: b(3)->1, a(2)->2; c and rare are OOV
+    assert(out(1L).getAs[Long]("n_tokens") == 4L)
+    assert(out(1L).getAs[Long]("n_oov") == 1L)
+    assert(out(2L).getAs[Long]("n_oov") == 1L)
+    // doc1 encodes "b a b c" -> 1,2,1,0
+    val h = df.sparkSession.range(1)
+      .select(md5(lit("1,2,1,0"))).head().getString(0)
+    assert(out(1L).getAs[String]("ids_hash") == h)
+  }
+
   test("wordChunks: ragged tail and sub-width doc") {
     val df = Seq((1L, "a b c"), (2L, ("w " * 12).trim)).toDF("id", "t")
     val chunks = df.select(col("id"),
