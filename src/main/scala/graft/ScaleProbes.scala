@@ -449,6 +449,47 @@ object ScaleProbes {
           f"plain_min3_sec=$plainSec%.2f bloom_min3_sec=$bloomSec%.2f " +
           f"bloom_speedup=${plainSec / bloomSec}%.2fx")
 
+      case "corpus-scale" =>
+        // growth-law receipt for the late-r12 corpus tranche: the
+        // sf0.1 documents table is 5k docs — this synthesizes 100k /
+        // 200k / 400k docs (~30 tokens each, 8-word vocabulary with
+        // every 9th doc a boilerplate repeat, so chunk/bigram
+        // collisions are dense like real web text) and times
+        // paragraphDedup, bigramLmScore and vocabEncode at each size.
+        // Near-doubling times across doublings = the operators are in
+        // their linear regime; the fixed stage floor shows at the
+        // smallest size.
+        val sizes = args.drop(1).map(_.toLong) match {
+          case a if a.nonEmpty => a.toSeq
+          case _ => Seq(100000L, 200000L, 400000L)
+        }
+        def synth(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+          when(col("id") % 9 === 0,
+            concat_ws(" ", (0 until 30).map(_ => lit("alpha")): _*))
+            .otherwise(concat_ws(" ", (0 until 30).map { i =>
+              element_at(
+                array(Seq("alpha", "beta", "gamma", "delta", "eps",
+                  "zeta", "eta", "theta").map(lit): _*),
+                (pmod(col("id") * 31 + i * 7, lit(8)) + 1).cast("int"))
+            }: _*))
+            .as("text"))
+        def noopW(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        // warm at the smallest size
+        val w0 = synth(10000L)
+        noopW(CorpusOps.paragraphDedup(w0, "doc_id", "text")); Caches.clear()
+        noopW(CorpusOps.bigramLmScore(w0, "doc_id", "text")); Caches.clear()
+        noopW(CorpusOps.vocabEncode(w0, "doc_id", "text")); Caches.clear()
+        for (n <- sizes) {
+          val d = synth(n)
+          val para = minOf3(noopW(CorpusOps.paragraphDedup(d, "doc_id", "text")))
+          val lm = minOf3(noopW(CorpusOps.bigramLmScore(d, "doc_id", "text")))
+          val voc = minOf3(noopW(CorpusOps.vocabEncode(d, "doc_id", "text")))
+          println(f"[probe] corpus-scale: docs=$n " +
+            f"paragraph_dedup_min3_sec=$para%.2f " +
+            f"bigram_lm_min3_sec=$lm%.2f vocab_encode_min3_sec=$voc%.2f")
+        }
+
       case "zorder-ab" =>
         // the law behind Sinks.writeZOrdered: a fact table laid out by
         // ONE dimension prunes parquet files on that dimension only —
