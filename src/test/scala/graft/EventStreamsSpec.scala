@@ -114,6 +114,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS sasof_ties") }
   }
 
+  test("streamingIntervalJoin: cross-batch match, boundary inclusivity, " +
+    "window exclusion") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.EventStreams.TypedEvent
+    val in = MemoryStream[TypedEvent]
+    val q = EventStreams.streamingIntervalJoin(in.toDF()).writeStream
+      .format("memory").queryName("sij").outputMode("append").start()
+    try {
+      // batch 1: two views for user 7; a click exactly AT a view's ts
+      // must match it (inclusive upper bound)
+      in.addData(
+        TypedEvent(1L, 7L, ts("2024-01-01 09:30:00"), "view"),
+        TypedEvent(2L, 7L, ts("2024-01-01 10:00:00"), "view"),
+        TypedEvent(3L, 7L, ts("2024-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      // batch 2: a click 59 min after view 2 matches BOTH buffered
+      // views? view 1 is 89 min before -> OUTSIDE the 1h window; a
+      // click exactly 1h after view 2 is ON the inclusive lower bound
+      in.addData(
+        TypedEvent(4L, 7L, ts("2024-01-01 10:59:00"), "click"),
+        TypedEvent(5L, 7L, ts("2024-01-01 11:00:00"), "click"),
+        TypedEvent(6L, 8L, ts("2024-01-01 10:30:00"), "click")) // no views
+      q.processAllAvailable()
+      val rows = spark.table("sij").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("view_id"),
+          r.getAs[Long]("lag_us"))).toSet
+      assert(rows == Set(
+        (3L, 1L, 30L * 60 * 1000000),  // in-batch, 30 min lag
+        (3L, 2L, 0L),                  // ts-equal view matches (<=)
+        (4L, 2L, 59L * 60 * 1000000),  // cross-batch buffered view
+        (5L, 2L, 3600L * 1000000)))    // exactly 1h: inclusive bound
+      // user 8's click produced nothing (inner join, no view)
+      assert(!rows.exists(_._1 == 6L))
+    } finally q.stop()
+  }
+
   test("windowedCounts aggregates per hour window and drops late data") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
