@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Driver registrations + DuckDB oracles for the round-12 corpus
-  * operators ([[CorpusOps]]) and the second streaming replay gate.
-  * Numbering continues the gap-free registry: q101–q107.
+/** Driver registrations + DuckDB oracles for the late-round-12 tranche:
+  * the corpus operators ([[CorpusOps]]), the Temporal/Quality additions
+  * (sliding rates, SCD2 family, rate anomaly, constraint check), the
+  * streaming replay gates (q106/q112/q113), and the layout roundtrip
+  * (q120). Numbering continues the gap-free registry: q101–q121, all
+  * registered in this file's `all`/`oracle` maps.
   */
 object CorpusQueries {
 
@@ -126,8 +129,13 @@ object CorpusQueries {
       (graft.streaming.ReplayParity.q113StreamingIntervalJoinReplay _),
     "q114_scd2_history" -> ((s, d) => Temporal.q114Scd2History(s, d)),
     "q115_time_travel" -> ((s, d) => Temporal.q115TimeTravel(s, d)),
+    // registered WITHOUT the probabilistic cms_within_eps column: the
+    // ε bound holds per probe only with confidence 0.99, so pinning it
+    // in the oracle would be data-regeneration-flaky by design (the
+    // operator still exposes it; CorpusOpsSpec asserts it)
     "q116_heavy_hitters" -> ((s, d) =>
-      CorpusOps.heavyHittersGate(Tables.documents(s, d), "doc_id", "text")),
+      CorpusOps.heavyHittersGate(Tables.documents(s, d), "doc_id", "text")
+        .drop("cms_within_eps")),
     "q117_rate_anomaly" -> ((s, d) => Temporal.q117RateAnomaly(s, d)),
     "q118_constraint_check" -> ((s, d) =>
       Quality.constraintCheck(Tables.orders(s, d),
@@ -156,8 +164,13 @@ object CorpusQueries {
       expr("(unix_timestamp(ts) div 3600) * 3600").as("hour_epoch"))
     val path = "/tmp/graft_zorder_rt_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_")
+    // z-dims must fit zValue's bit budget: raw hour_epoch (~1.7e9,
+    // 31 bits) would wrap every 2^20 s (~12 days) through the 20-bit
+    // interleave and destroy the time clustering — feed the hour INDEX
+    // relative to the corpus epoch instead (rows' stored columns are
+    // untouched; the dim is layout-only)
     graft.sources.Sinks.writeZOrdered(ev, path, col("user_id"),
-      col("hour_epoch"), numFiles = 16)
+      expr("(hour_epoch - 1704067200L) div 3600"), numFiles = 16)
     s.read.parquet(path)
       .filter(col("user_id").between(10, 40) &&
         col("hour_epoch") < 1705276800L) // first half of January
@@ -291,6 +304,9 @@ object CorpusQueries {
          |  SELECT doc_id, $urlAugmentSql AS url FROM documents),
          |c AS (
          |  SELECT doc_id,
+         |    -- unparseable (schemeless) URLs canonicalize to THEMSELVES
+         |    CASE WHEN regexp_extract(url,
+         |        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN url ELSE
          |    lower(regexp_extract(url,
          |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
          |    regexp_replace(lower(regexp_extract(url,
@@ -305,7 +321,7 @@ object CorpusQueries {
          |      THEN '?' || regexp_replace(regexp_replace(
          |        regexp_extract(url, '\\?([^#]*)', 1),
          |        '(^|&)utm_[a-z]+=[^&]*', '', 'g'), '^&+', '')
-         |      ELSE '' END AS canonical_url
+         |      ELSE '' END END AS canonical_url
          |  FROM p)
          |SELECT doc_id, canonical_url,
          |  min(doc_id) OVER (PARTITION BY canonical_url) AS canonical_doc,
@@ -434,7 +450,7 @@ object CorpusQueries {
         |  SELECT token, n,
         |    row_number() OVER (ORDER BY n DESC, token ASC) AS rank
         |  FROM c)
-        |SELECT rank, token, n, true AS cms_ok
+        |SELECT rank, token, n, true AS cms_no_undercount
         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // variance from integer window sums: (cnt*Σn² − (Σn)²)/cnt² — the
     // only floats are the final division/sqrt on identical integers

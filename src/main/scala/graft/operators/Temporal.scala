@@ -456,11 +456,28 @@ object Temporal {
     * increment — never the historical stream.
     */
   def scd2Apply(history: DataFrame, newObs: DataFrame, keyCol: String,
-                tsCol: String, valueCol: String, tieCol: String)
+                tsCol: String, valueCol: String, tieCol: String,
+                validate: Boolean = true)
       : DataFrame = {
     val open = history.filter(col("is_current"))
       .select(col(keyCol), col("version").as("_v0"),
         col("state"), col("valid_from_us"))
+    if (validate) {
+      // the CHECKABLE half of the strictly-newer contract: a batch
+      // observation at-or-before a key's open valid_from would sort
+      // before the seed and silently corrupt the versioning. (The full
+      // contract — batch newer than every old OBSERVATION, including
+      // collapsed repeats after the last change — cannot be checked
+      // from the history alone and stays the caller's obligation.)
+      val violations = newObs
+        .join(open.select(col(keyCol), col("valid_from_us")), Seq(keyCol))
+        .filter(unix_micros(col(tsCol)) <= col("valid_from_us"))
+        .count()
+      require(violations == 0L,
+        s"scd2Apply: $violations batch observation(s) at-or-before an " +
+          "open row's valid_from — the batch must be strictly newer " +
+          "than the history it folds into")
+    }
     val seed = open.select(col(keyCol),
       expr("timestamp_micros(valid_from_us)").as(tsCol),
       col("state").as(valueCol), lit(-1L).cast("long").as(tieCol))

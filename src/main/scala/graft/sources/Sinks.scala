@@ -102,6 +102,11 @@ object Sinks {
     * selective on BOTH dimensions at once.
     */
   def zValue(a: Column, b: Column, bits: Int = 20): Column = {
+    // CONTRACT: both dims must already fit in `bits` non-negative bits
+    // — the interleave reads only the low bits, so an oversized dim
+    // (a raw epoch, a hash) silently WRAPS and destroys the locality
+    // the layout exists for. Normalize first: rank, bucket, or offset
+    // from a corpus epoch (q120 does the latter).
     require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
     (0 until bits).map { i =>
       shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)

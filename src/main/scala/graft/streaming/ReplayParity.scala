@@ -140,6 +140,12 @@ object ReplayParity {
     val replay = Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       .as[ValuedEvent].collect()
+    if (replay.isEmpty)
+      // match the batch twins' behavior on an empty table instead of
+      // crashing on empty.max
+      return s.emptyDataFrame
+        .select(lit(0L).as(epochCol), lit("").as("event_type"),
+          lit(0L).as("n"), lit(0L).as("sum_cents")).limit(0)
     val byDay = replay.groupBy(_.ts.getTime / 86400000L).toSeq.sortBy(_._1)
     val maxTs = replay.map(_.ts.getTime).max
     def sentinel(offsetDays: Int) = ValuedEvent(-offsetDays.toLong,

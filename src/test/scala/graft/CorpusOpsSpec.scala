@@ -157,6 +157,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!out(5L).getAs[Boolean]("is_canonical")) // 4 canonicalized first
   }
 
+  test("urlCanonicalize: unparseable URLs pass through as themselves, " +
+    "never collapsing into one bucket") {
+    val df = Seq(
+      (1L, "example.com/a"),          // schemeless
+      (2L, "//cdn.example.com/x"),    // protocol-relative
+      (3L, "mailto:someone@x.org"),   // non-hierarchical scheme
+      (4L, "not a url at all")).toDF("doc_id", "url")
+    val out = CorpusOps.urlCanonicalize(df, "doc_id", "url").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((id, raw) <- Seq(1L -> "example.com/a", 2L -> "//cdn.example.com/x",
+      3L -> "mailto:someone@x.org", 4L -> "not a url at all")) {
+      assert(out(id).getAs[String]("canonical_url") == raw, s"doc $id")
+      assert(out(id).getAs[Boolean]("is_canonical"), s"doc $id collapsed")
+    }
+  }
+
   test("slidingRates: every event lands in exactly two windows") {
     val d = "/root/testdata/sf0.001"
     val spark2 = spark
@@ -249,7 +265,10 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getAs[Long]("rank"), r.getAs[String]("token"),
       r.getAs[Long]("n"))).toSeq ==
       Seq((1L, "apple", 4L), (2L, "banana", 3L), (3L, "cherry", 1L)))
-    assert(rows.forall(_.getAs[Boolean]("cms_ok")))
+    // absolute guarantee (what the driver oracle pins) AND the
+    // probabilistic ε bound (spec-only — see the operator scaladoc)
+    assert(rows.forall(_.getAs[Boolean]("cms_no_undercount")))
+    assert(rows.forall(_.getAs[Boolean]("cms_within_eps")))
     // top-k must compile to the parallel partial-top-k operator, not a
     // global single-partition window
     val plan = out.queryExecution.executedPlan.toString
@@ -319,6 +338,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(u9.length == 1 && u9.head.getAs[Long]("version") == 1L)
     val u3 = applied.filter(col("user_id") === 3L).collect()
     assert(u3.length == 1 && u3.head.getAs[Boolean]("is_current"))
+    // contract guard: a batch observation at-or-before an open row's
+    // valid_from must be rejected loudly, not silently mis-versioned
+    val late = Seq((99L, ts(50), "view", 1L))
+      .toDF("event_id", "ts", "event_type", "user_id")
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val e = intercept[IllegalArgumentException] {
+      Temporal.scd2Apply(history, late, "user_id", "ts", "event_type",
+        "event_id").collect()
+    }
+    assert(e.getMessage.contains("strictly newer"))
   }
 
   test("constraintCheck: per-constraint pass counts and verdicts") {
