@@ -20,6 +20,26 @@ object Caches {
   private val persistedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  private val trackedBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.broadcast.Broadcast[_]]()
+
+  /** Register a SparkContext broadcast (bloom filter, CMS, …) under the
+    * [[clear]] lifecycle: executor copies are released at the next
+    * clear, and dropping the registry reference lets the ContextCleaner
+    * reclaim the driver side. `unpersist` (not `destroy`) so a plan
+    * re-executed after clear just re-ships the value — same
+    * recompute-on-reuse posture as the persisted frames. Without this,
+    * repeated invocations (bench min-of-3, probes, suites sharing one
+    * session) accumulate broadcast state.
+    */
+  private[graft] def trackBroadcast[T](
+      b: org.apache.spark.broadcast.Broadcast[T])
+      : org.apache.spark.broadcast.Broadcast[T] = {
+    trackedBroadcasts.add(b)
+    b
+  }
+
   /** Persist a frame under the [[clear]] lifecycle. MEMORY_AND_DISK: at
     * corpus scale the blocks spill instead of OOMing, and if executors
     * are storage-tight they just recompute (the pre-cache behavior).
@@ -51,5 +71,7 @@ object Caches {
   def clear(): Unit = {
     var d = persistedFrames.poll()
     while (d != null) { d.unpersist(blocking = false); d = persistedFrames.poll() }
+    var b = trackedBroadcasts.poll()
+    while (b != null) { b.unpersist(blocking = false); b = trackedBroadcasts.poll() }
   }
 }

@@ -437,11 +437,18 @@ object ScaleProbes {
           TextOps.incrementalExactDedup(docs, "doc_id", "text", isNew))
         def bloom(): Unit = noopW(
           CorpusOps.bloomExactScreen(docs, "doc_id", "text", isNew))
-        val eq = TextOps.incrementalExactDedup(docs, "doc_id", "text",
-            isNew).exceptAll(CorpusOps.bloomExactScreen(docs, "doc_id",
-            "text", isNew)).count()
+        // bit-equality asserted in BOTH directions (matching the
+        // union-form and binned probes): a one-sided exceptAll misses
+        // extra rows on the bloom arm
+        val plainRows = TextOps.incrementalExactDedup(docs, "doc_id",
+          "text", isNew)
+        val bloomRows = CorpusOps.bloomExactScreen(docs, "doc_id",
+          "text", isNew)
+        val missing = plainRows.exceptAll(bloomRows).count()
+        val extra = bloomRows.exceptAll(plainRows).count()
         Caches.clear()
-        require(eq == 0, s"bloom screen diverged on $eq rows")
+        require(missing == 0 && extra == 0,
+          s"bloom screen diverged: $missing missing, $extra extra rows")
         plain(); Caches.clear(); bloom(); Caches.clear() // warm both
         val plainSec = minOf3(plain())
         val bloomSec = minOf3(bloom())

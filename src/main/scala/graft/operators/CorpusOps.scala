@@ -215,7 +215,7 @@ object CorpusOps {
     val newSide = hashed.filter(col("is_new"))
     val expected = math.max(newSide.count(), 1L)
     val bloom = newSide.stat.bloomFilter("content_hash", expected, fpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
+    val bloomB = Caches.trackBroadcast(spark.sparkContext.broadcast(bloom))
     val mightMatch = udf((h: String) => h != null && bloomB.value.mightContain(h))
       .withName("graft_bloom_might_contain")
     val oldCanon = hashed.filter(!col("is_new") && mightMatch(col("content_hash")))
@@ -427,7 +427,7 @@ object CorpusOps {
       df.select(explode(TextOps.words(col(textCol))).as("token")))
     val total = tok.count()
     val cms = tok.stat.countMinSketch("token", eps, confidence, seed)
-    val cmsB = spark.sparkContext.broadcast(cms)
+    val cmsB = Caches.trackBroadcast(spark.sparkContext.broadcast(cms))
     val est = udf((t: String) => cmsB.value.estimateCount(t))
       .withName("graft_cms_estimate")
     // global top-k via TakeOrderedAndProject (parallel partial top-k on

@@ -162,8 +162,12 @@ object CorpusQueries {
   private def q120ZorderRoundtrip(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
       expr("(unix_timestamp(ts) div 3600) * 3600").as("hour_epoch"))
+    // per-process discriminator: two concurrent harness runs over the
+    // same dataset must not race on one path (mode=overwrite deletes
+    // files the other process is reading back)
     val path = "/tmp/graft_zorder_rt_" +
-      d.replaceAll("[^A-Za-z0-9._-]", "_")
+      d.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_p" + ProcessHandle.current().pid()
     // z-dims must fit zValue's bit budget: raw hour_epoch (~1.7e9,
     // 31 bits) would wrap every 2^20 s (~12 days) through the 20-bit
     // interleave and destroy the time clustering — feed the hour INDEX

@@ -562,6 +562,16 @@ object Temporal {
     * both engines. The frame windows run over the hourly AGGREGATE
     * (|hours × types| rows), not events; the one event-volume shuffle
     * is the hourly count itself.
+    *
+    * Baseline frame semantics, stated explicitly: the 24-row frame is
+    * the 24 preceding hourly BUCKETS of that type, not 24 wall-clock
+    * hours — a type with empty hour buckets gets a baseline spanning
+    * more wall-clock time (empty hours produce no row, so nothing
+    * anchors them in the frame). The z-score is only emitted once 24
+    * buckets exist, so a sparse type simply reaches its baseline later;
+    * callers needing a strict wall-clock window densify the hour grid
+    * per type first (cross-join hours × types, zero-fill) and run the
+    * same frame over the densified aggregate.
     */
   def q117RateAnomaly(s: SparkSession, d: String,
                       zGate: Double = 3.0): DataFrame = {
