@@ -1,62 +1,130 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.Tables
 
-/** Batch-replay PARITY harness: drives [[EventStreams.streamingAsOf]]
+/** Batch-replay PARITY harness: drives the [[EventStreams]] operators
   * over a bounded, time-ordered replay of the events table and returns
-  * the accumulated attributions — registered as q100 with q79's oracle,
-  * so the driver's correctness gate covers the streaming operator
-  * end-to-end (state crossing real micro-batch boundaries), not just
-  * the unit specs.
+  * the accumulated results — registered as q100/q106/q112/q113 with
+  * their batch twins' oracles, so the driver's correctness gate covers
+  * each streaming operator end-to-end (state crossing real micro-batch
+  * boundaries), not just the unit specs.
   *
-  * Replay discipline: click/view events feed in epoch-day micro-batches
-  * in ascending day order. Day cuts never split equal timestamps, and
-  * ts-ordered arrival means no click processes after a NEWER view has
-  * replaced its true match — the two conditions under which the
-  * bounded-state streaming attribution is EXACTLY the retrospective
-  * batch answer (see [[EventStreams.streamingAsOf]]'s approximation
-  * contract), hence bit-equality with q79.
+  * Replay discipline: events feed in epoch-day micro-batches in
+  * ascending day order. Day cuts never split equal timestamps, and
+  * ts-ordered arrival is what makes each operator's streamed answer
+  * EXACTLY its retrospective batch answer (per-operator argument at
+  * each entry point below).
   *
-  * The driver-side feed (one bounded collect of the replay slice) is
-  * the harness, not the operator: a production deployment reads a real
-  * source (files/Kafka) through the identical operator and collects
-  * nothing. MemoryStream is the only Spark source that lets a batch
-  * gate control micro-batch boundaries deterministically.
+  * The feed is FILE-BACKED and collect-free: the replay slice is
+  * written as one parquet file per epoch day (an executor-side
+  * `partitionBy` write — [[writeDayFiles]]), then a file stream with
+  * `maxFilesPerTrigger=1` turns each day file into one micro-batch.
+  * File order is pinned by strictly increasing modification times in
+  * day order (the file source processes oldest-first), so batch cuts
+  * are exactly the day cuts — deterministic, no driver-side buffering
+  * of event rows. The only driver-side values are the bounded day
+  * LISTING (≤ |calendar days| entries, independent of event volume)
+  * and, for the windowed gates, one max-timestamp scalar for the flush
+  * sentinels. A production deployment points the identical operator at
+  * a real file/Kafka feed; this harness only pins the batch boundaries
+  * the parity argument needs.
   */
 object ReplayParity {
 
+  /** Fixed past base for replay-file modification times: the file
+    * source orders by mtime (oldest first), so day index i gets
+    * BASE + 2i seconds — strictly increasing, comfortably inside the
+    * source's maxFileAge window relative to the newest file.
+    */
+  private val MtimeBaseMs = 1700000000000L
+
+  /** Write `slice` as ONE parquet file per epoch day of `ts` into a
+    * fresh directory, mtimes ascending in day order; returns the
+    * replay directory. Executor-side: `repartition(day)` lands each
+    * day in exactly one task, `partitionBy(day)` gives it one file; the
+    * driver only renames the bounded day listing into place. Equal
+    * timestamps share an epoch day by construction, so no file split
+    * — hence no micro-batch cut — can separate them
+    * (EventStreamsSpec pins this invariant).
+    */
+  private[graft] def writeDayFiles(slice: DataFrame): Path = {
+    val replayDir = Files.createTempDirectory("graft_replay_")
+    val stage = Files.createTempDirectory("graft_replay_stage_")
+    try {
+      slice
+        // integer epoch-day (Column `/` would be double division)
+        .withColumn("g_day", expr("unix_micros(ts) div 86400000000"))
+        .repartition(col("g_day"))
+        .write.partitionBy("g_day").mode("overwrite")
+        .parquet(stage.toString)
+      val dayDirs = stage.toFile.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("g_day="))
+        .sortBy(_.getName.stripPrefix("g_day=").toLong)
+      dayDirs.zipWithIndex.foreach { case (dir, i) =>
+        val parts = dir.listFiles().filter(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"expected one file per day, got ${parts.length} in $dir")
+        val dest = replayDir.resolve(f"d$i%06d.parquet")
+        Files.move(parts.head.toPath, dest)
+        require(dest.toFile.setLastModified(MtimeBaseMs + i * 2000L),
+          s"could not pin mtime on $dest")
+      }
+    } finally deleteRecursively(stage)
+    replayDir
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    val f = p.toFile
+    if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.toPath))
+    f.delete()
+  }
+
+  /** Run one file-backed replay: write the day files, drive `build`'s
+    * streaming transform over a `maxFilesPerTrigger=1` file source
+    * (one micro-batch per day file), accumulate into a memory sink,
+    * and return the sink table. The replay directory is deleted after
+    * the stream stops — the memory sink owns the result.
+    */
+  private def replayThroughFiles(s: SparkSession, slice: DataFrame,
+                                 sinkName: String,
+                                 build: DataFrame => DataFrame): DataFrame = {
+    s.catalog.dropTempView(sinkName)
+    val replayDir = writeDayFiles(slice)
+    try {
+      val in = s.readStream.schema(slice.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replayDir.toString)
+      val q = build(in).writeStream
+        .format("memory").queryName(sinkName).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally deleteRecursively(replayDir)
+    s.table(sinkName)
+  }
+
+  /** q100: [[EventStreams.streamingAsOf]] over the replay. Parity
+    * argument: day cuts never split equal timestamps, and ts-ordered
+    * arrival means no click processes after a NEWER view has replaced
+    * its true match — the two conditions under which the bounded-state
+    * streaming attribution is EXACTLY the retrospective batch answer
+    * (see streamingAsOf's approximation contract), hence bit-equality
+    * with q79.
+    */
   def q100StreamingAsOfReplay(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val sinkName = "g_q100_replay"
-    s.catalog.dropTempView(sinkName)
-    val replay = Tables.events(s, d)
+    val slice = Tables.events(s, d)
       .filter(col("event_type").isin("view", "click"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .as[EventStreams.TypedEvent].collect()
-    // epoch-day cuts: timezone-free, ts-monotone, and equal timestamps
-    // always land in one batch — the parity preconditions
-    val byDay = replay.groupBy(_.ts.getTime / 86400000L).toSeq.sortBy(_._1)
-    val in = MemoryStream[EventStreams.TypedEvent]
-    val q = EventStreams.streamingAsOf(in.toDS()).writeStream
-      .format("memory").queryName(sinkName).outputMode("append").start()
-    try {
-      byDay.foreach { case (_, batch) =>
-        in.addData(batch.toSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    s.table(sinkName)
+    replayThroughFiles(s, slice, "g_q100_replay",
+      in => EventStreams.streamingAsOf(
+        in.as[EventStreams.TypedEvent]).toDF())
       .select(col("click_id"), col("user_id"), col("view_id"),
         col("lag_us"))
       .orderBy("click_id")
   }
-
-  case class ValuedEvent(event_id: Long, ts: java.sql.Timestamp,
-                         event_type: String, value: Double)
 
   /** q106: [[EventStreams.windowedCounts]] driven through the same
     * epoch-day replay — the watermark/append path crossing real
@@ -70,9 +138,12 @@ object ReplayParity {
     * aggregate. Flushing needs TWO sentinel batches: watermark advances
     * from data seen in batch N only as of batch N+1, so sentinel 1
     * raises the watermark past the last real window and sentinel 2
-    * triggers the emission pass. Sentinel windows themselves never
-    * close (nothing later raises the watermark past them) and are
-    * filtered by type as a second guard.
+    * triggers the emission pass. The sentinels ride the SAME day-file
+    * mechanism: their timestamps are max(ts) + 1/2 days, so they land
+    * in their own (later) day files and replay as their own final
+    * micro-batches. Sentinel windows themselves never close (nothing
+    * later raises the watermark past them) and are filtered by type as
+    * a second guard.
     *
     * `sum_cents`: the operator's DECIMAL(18,2) accumulator is exact and
     * order-independent; presenting it as integer cents sidesteps the
@@ -107,25 +178,11 @@ object ReplayParity {
     */
   def q113StreamingIntervalJoinReplay(s: SparkSession, d: String)
       : DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val sinkName = "g_q113_replay"
-    s.catalog.dropTempView(sinkName)
-    val replay = Tables.events(s, d)
+    val slice = Tables.events(s, d)
       .filter(col("event_type").isin("view", "click"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .as[EventStreams.TypedEvent].collect()
-    val byDay = replay.groupBy(_.ts.getTime / 86400000L).toSeq.sortBy(_._1)
-    val in = MemoryStream[EventStreams.TypedEvent]
-    val q = EventStreams.streamingIntervalJoin(in.toDF()).writeStream
-      .format("memory").queryName(sinkName).outputMode("append").start()
-    try {
-      byDay.foreach { case (_, batch) =>
-        in.addData(batch.toSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    s.table(sinkName)
+    replayThroughFiles(s, slice, "g_q113_replay",
+      in => EventStreams.streamingIntervalJoin(in))
       .select(col("click_id"), col("view_id"), col("user_id"),
         col("lag_us"))
       .orderBy("click_id", "view_id")
@@ -135,33 +192,25 @@ object ReplayParity {
                              slide: Option[String], sinkName: String,
                              epochCol: String): DataFrame = {
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    s.catalog.dropTempView(sinkName)
-    val replay = Tables.events(s, d)
+    val slice = Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      .as[ValuedEvent].collect()
-    if (replay.isEmpty)
-      // match the batch twins' behavior on an empty table instead of
-      // crashing on empty.max
-      return s.emptyDataFrame
-        .select(lit(0L).as(epochCol), lit("").as("event_type"),
-          lit(0L).as("n"), lit(0L).as("sum_cents")).limit(0)
-    val byDay = replay.groupBy(_.ts.getTime / 86400000L).toSeq.sortBy(_._1)
-    val maxTs = replay.map(_.ts.getTime).max
-    def sentinel(offsetDays: Int) = ValuedEvent(-offsetDays.toLong,
-      new java.sql.Timestamp(maxTs + offsetDays * 86400000L), "_flush", 0.0)
-    val in = MemoryStream[ValuedEvent]
-    val q = EventStreams.windowedCounts(in.toDF(), slide = slide)
-      .writeStream
-      .format("memory").queryName(sinkName).outputMode("append").start()
-    try {
-      (byDay.map(_._2.toSeq) :+ Seq(sentinel(1)) :+ Seq(sentinel(2)))
-        .foreach { batch =>
-          in.addData(batch)
-          q.processAllAvailable()
-        }
-    } finally q.stop()
-    s.table(sinkName)
+    // one bounded driver scalar (the sentinel anchor) — the decontaminate
+    // .head() posture, NOT a row collect; null on an empty table
+    val maxTsRow = slice.agg(max(col("ts"))).head()
+    val withSentinels =
+      if (maxTsRow.isNullAt(0)) slice // empty replay: nothing to flush
+      else {
+        val maxMs = maxTsRow.getTimestamp(0).getTime
+        // ts = max + k whole days ⇒ epoch-day = max's day + k exactly,
+        // so each sentinel becomes its own final day file/micro-batch
+        val sentinels = Seq(1, 2).map { k =>
+          (-k.toLong, new java.sql.Timestamp(maxMs + k * 86400000L),
+            "_flush", 0.0)
+        }.toDF("event_id", "ts", "event_type", "value")
+        slice.unionByName(sentinels)
+      }
+    replayThroughFiles(s, withSentinels, sinkName,
+      in => EventStreams.windowedCounts(in, slide = slide))
       .filter(col("event_type") =!= "_flush")
       .select(unix_timestamp(col("window_start")).as(epochCol),
         col("event_type"), col("n"),

@@ -441,4 +441,82 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty && batch.exists(_._3 < 1.0)) // both kinds present
     q.stop()
   }
+
+  test("writeDayFiles: one file per epoch day, mtime order = day order, " +
+    "equal timestamps never split") {
+    import spark.implicits._
+    // three days; day 2 has two rows sharing one exact timestamp — the
+    // pair a batch cut must never separate (the replay parity invariant)
+    val rows = Seq(
+      (1L, ts("2024-01-01 23:59:59"), "view"),
+      (2L, ts("2024-01-02 00:00:00"), "view"),
+      (3L, ts("2024-01-02 12:00:00"), "click"),
+      (4L, ts("2024-01-02 12:00:00"), "view"),
+      (5L, ts("2024-01-03 00:00:01"), "click"))
+    val slice = rows.toDF("event_id", "ts", "event_type")
+    val dir = graft.streaming.ReplayParity.writeDayFiles(slice)
+    try {
+      val files = dir.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.lastModified())
+      assert(files.length == 3) // one file per day present in the slice
+      // mtimes strictly increasing (the file source's processing order)
+      assert(files.sliding(2).forall(p =>
+        p(0).lastModified() < p(1).lastModified()))
+      val perFile = files.map { f =>
+        spark.read.parquet(f.getAbsolutePath)
+          .select(col("event_id"),
+            org.apache.spark.sql.functions.expr(
+              "unix_micros(ts) div 86400000000").as("day"))
+          .as[(Long, Long)].collect().toSeq
+      }
+      // every file holds exactly one epoch day; mtime order is day order
+      val daysPerFile = perFile.map(_.map(_._2).distinct).toSeq
+      assert(daysPerFile.forall(_.size == 1))
+      assert(daysPerFile.map(_.head) == daysPerFile.map(_.head).sorted)
+      // no row lost, and the equal-ts pair (3, 4) shares one file
+      assert(perFile.flatten.map(_._1).sorted.toSeq == (1L to 5L))
+      val fileOf = perFile.zipWithIndex.flatMap { case (rs, i) =>
+        rs.map(r => r._1 -> i)
+      }.toMap
+      assert(fileOf(3L) == fileOf(4L))
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
+  test("file-backed replay: streamingAsOf over day files equals the " +
+    "MemoryStream-fed answer (cross-day state)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.EventStreams.TypedEvent
+    // view on day 1 attributes a click on day 2 — state must cross the
+    // file-per-day micro-batch boundary exactly as it crossed addData
+    // batches in the MemoryStream spec above
+    val events = Seq(
+      TypedEvent(1L, 9L, ts("2024-02-01 10:00:00"), "view"),
+      TypedEvent(2L, 9L, ts("2024-02-02 10:00:00"), "click"),
+      TypedEvent(3L, 5L, ts("2024-02-02 09:00:00"), "click"))
+    val dir = graft.streaming.ReplayParity.writeDayFiles(
+      events.toDF().select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type")))
+    spark.catalog.dropTempView("g_filereplay_t")
+    try {
+      val in = spark.readStream
+        .schema(events.toDF().schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString)
+      val q = EventStreams.streamingAsOf(in.as[TypedEvent]).writeStream
+        .format("memory").queryName("g_filereplay_t")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = spark.table("g_filereplay_t")
+        .as[(Long, Long, Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> (r._3, r._4)).toMap
+      assert(out(2L) == (Some(1L), Some(86400L * 1000000))) // cross-day
+      assert(out(3L) == (None, None)) // other user, no view
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_filereplay_t")
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
 }
