@@ -22,35 +22,9 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("no accidental cartesian anywhere in the inventory") {
-    // q39/q43/q68 carry INTENTIONAL bounded-broadcast nested loops
-    // (corpus × broadcast probe set; probes × broadcast centroids)
-    // q72 composes q39 + q43's shapes for the recall eval; q73 crossJoins
-    // SINGLE-ROW aggregates (n_exact + the audit counts) onto its rows
-    val allowed = Set("q39_ann_topk", "q43_ann_ivf", "q68_ann_ivf_nprobe2",
-      "q72_ann_recall", "q73_dedup_recall")
-    for ((name, fn) <- SparkEntry.queries
-         if !allowed(name) && name != "q53_region_ml"
-         // sink-roundtrip queries execute writers eagerly — covered by
-         // their own oracle gate, skipped here to keep this spec fast
-         && !Set("q66_constrained_append", "q67_staging_roundtrip",
-           "q120_zorder_roundtrip",
-           "q69_dup_clusters",
-           // index-lifecycle queries execute bucketed writers eagerly;
-           // their plans are pinned in DedupIndexSpec
-           "q98_neardup_indexed", "q99_exact_indexed",
-           // the streaming replays run a full micro-batched stream on
-           // construction; their operator plans are EventStreamsSpec's
-           "q100_streaming_asof_replay",
-           "q106_streaming_windows_replay",
-           "q112_streaming_sliding_replay",
-           "q113_streaming_interval_join").contains(name)) {
-      val p = fn(spark, d).queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"), s"$name has a cartesian")
-      assert(!p.contains("BroadcastNestedLoopJoin"),
-        s"$name has a nested-loop join")
-    }
-  }
+  // the inventory-WIDE cartesian/nested-loop sweep lives in
+  // PlanSweepSpec (with its planted-regression canary); this spec keeps
+  // the targeted per-query pins below
 
   test("predicate pushdown reaches the parquet scan") {
     val p = plan("q03_filter_project")

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The automated PLAN-REGRESSION gate: every registered query's physical
+  * plan is swept for the two scale-killer join shapes — CartesianProduct
+  * anywhere, BroadcastNestedLoopJoin outside the whitelisted
+  * bounded-broadcast ANN shapes. At ~20 new queries per round a manual
+  * `graft.tools.Explain` sweep eventually misses a regression; this spec
+  * makes `sbt test` fail on one instead (the canary test proves the
+  * detector actually fires on a planted cartesian).
+  *
+  * Division of labor: this spec is the inventory-WIDE join-shape sweep;
+  * the targeted per-query plan pins (q55 zero-Exchange dispatch, q79/q83
+  * one-shuffle as-ofs, broadcast carries, native kernels) live in
+  * PlanShapeSpec, and the q98/q99 corpus-side zero-Exchange pin lives in
+  * DedupIndexSpec where the bucketed tables it needs are built.
+  */
+class PlanSweepSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val d = "/root/testdata/sf0.001"
+
+  /** Queries whose plans carry an INTENTIONAL bounded nested loop:
+    * q39/q43/q68 broadcast a bounded probe/centroid set against the
+    * corpus (the ANN design — see VERDICT-audited shapes), q72 composes
+    * q39 + q43 for the recall eval, q73 crossJoins SINGLE-ROW aggregates
+    * (n_exact + audit counts) onto its rows. Anything else that plans a
+    * nested loop is a regression.
+    */
+  private val allowedNestedLoop = Set(
+    "q39_ann_topk", "q43_ann_ivf", "q68_ann_ivf_nprobe2",
+    "q72_ann_recall", "q73_dedup_recall")
+
+  /** Queries EXCLUDED from the sweep because constructing their result
+    * frame executes real side effects (writers, bucketed-table builds,
+    * full micro-batched streams, iterative checkpoints, ML training) —
+    * sweeping the read-back scan they return would assert nothing, and
+    * executing them here would triple the spec's runtime. Each maps to
+    * the spec that owns its plan/behavior posture instead, so the
+    * exclusion is a pointer, not a hole.
+    */
+  private val executesEagerly = Map(
+    "q66_constrained_append" -> "SourcesSinksSpec (sink roundtrip)",
+    "q67_staging_roundtrip" -> "SourcesSinksSpec (sink roundtrip)",
+    "q120_zorder_roundtrip" -> "ZOrderSpec (layout writer)",
+    "q98_neardup_indexed" -> "DedupIndexSpec (bucketed index build; corpus-side zero-Exchange pinned there)",
+    "q99_exact_indexed" -> "DedupIndexSpec (bucketed index build)",
+    "q69_dup_clusters" -> "ComponentsSpec (iterative pointer-jumping checkpoints)",
+    "q53_region_ml" -> "StreamingAndMlSpec (model fit executes on construction)",
+    "q100_streaming_asof_replay" -> "EventStreamsSpec (file-backed replay harness)",
+    "q106_streaming_windows_replay" -> "EventStreamsSpec (file-backed replay harness)",
+    "q112_streaming_sliding_replay" -> "EventStreamsSpec (file-backed replay harness)",
+    "q113_streaming_interval_join" -> "EventStreamsSpec (file-backed replay harness)")
+
+  /** The detector under test: scan one physical-plan string for the
+    * forbidden join shapes. Kept as a pure function so the canary test
+    * below can prove it fires.
+    */
+  private[graft] def violations(name: String, plan: String): Seq[String] = {
+    val v = Seq.newBuilder[String]
+    if (plan.contains("CartesianProduct"))
+      v += s"$name plans a CartesianProduct"
+    if (!allowedNestedLoop(name) && plan.contains("BroadcastNestedLoopJoin"))
+      v += s"$name plans a BroadcastNestedLoopJoin outside the whitelist"
+    v.result()
+  }
+
+  test("every registered query plans free of cartesians and unlisted " +
+    "nested loops") {
+    val bad = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if !executesEagerly.contains(name)
+      v <- violations(name,
+        fn(spark, d).queryExecution.executedPlan.toString)
+    } yield v
+    Caches.clear()
+    assert(bad.isEmpty, "plan sweep violations:\n" + bad.mkString("\n"))
+  }
+
+  test("the detector fires on a planted cartesian and nested loop " +
+    "(gate canary)") {
+    import org.apache.spark.sql.functions.expr
+    val a = spark.range(3).toDF("x")
+    val b = spark.range(3).toDF("y")
+    val cartesian = a.crossJoin(b)
+    assert(violations("canary",
+      cartesian.queryExecution.executedPlan.toString).nonEmpty,
+      "the sweep would not catch a planted cartesian")
+    // an inequality-only join plans as BroadcastNestedLoopJoin
+    val bnlj = a.join(b, expr("x < y"))
+    assert(violations("canary",
+      bnlj.queryExecution.executedPlan.toString).nonEmpty,
+      "the sweep would not catch a planted nested-loop join")
+  }
+
+  test("whitelist and exclusion list only name registered queries " +
+    "(no drift on rename)") {
+    val registered = SparkEntry.queries.keySet
+    val stale = (allowedNestedLoop ++ executesEagerly.keySet)
+      .filterNot(registered)
+    assert(stale.isEmpty,
+      s"stale sweep entries (renamed/removed queries?): $stale")
+  }
+}
