@@ -15,6 +15,31 @@ import java.nio.file.{Files, Paths}
   * "errors" — never as a fake-fast timing.
   */
 object Bench {
+
+  /** BENCH-ONLY production-hash twins of the two heaviest shingle
+    * scans: the registered q36/q76 stay on md5 (DuckDB reproduces it —
+    * the oracle constraint), but the production deployment runs
+    * xxhash64 (the `xx` flag; HashModeSpec pins mode equivalence on a
+    * collision-free corpus), so the HEADLINE number for those scans
+    * should be the production hash's, not the md5 tax. These are not
+    * driver-registry queries — no oracle claims, benchable only.
+    */
+  private[graft] val benchOnly
+      : Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+    "q36x_minhash_lsh_xx" -> ((s, d) =>
+      graft.TextOps.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        xx = true)),
+    "q76x_winnow_containment_xx" -> ((s, d) =>
+      graft.TextOps.containmentPairs(Tables.documents(s, d), "doc_id",
+        "text", xx = true)))
+
+  /** Every benchable query: the driver registry + the bench-only twins. */
+  private[graft] def benchable
+      : Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] =
+    SparkEntry.queries ++ benchOnly
+
   /** The heavier, shuffle/join/window-shaped subset of the inventory. */
   def headline: Seq[String] =
     headline(sys.env.get("SPARK_GRAFT_BENCH_QUERIES"))
@@ -47,15 +72,23 @@ object Bench {
       "q111_source_profile", "q114_scd2_history", "q115_time_travel",
       "q116_heavy_hitters", "q117_rate_anomaly",
       "q118_constraint_check", "q119_scd2_incremental",
-      "q121_vocab_encode")
-    // excluded by design, like the q66/q67 sink roundtrips: q98/q99 +
-    // q120 (bucketed/z-ordered WRITERS — screen/scan cost is measured
-    // above; the write paths are DedupIndexSpec/ZOrderSpec's subjects)
-    // and q100/q106/q112/q113 (driver-fed replay harnesses, not
-    // executor-side plans)
-    val available = preferred.filter(SparkEntry.queries.contains)
+      "q121_vocab_encode",
+      // the production standing-index screens: each run times the full
+      // registered lifecycle (bootstrap write + append + screen) — the
+      // steady-state screen-only cost is the index-ab ScaleProbe's
+      // subject; benching the registered form here makes the flagship
+      // driver-visible instead of probe-only
+      "q98_neardup_indexed", "q99_exact_indexed",
+      // production-hash twins of the heaviest shingle scans (benchOnly)
+      "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx")
+    // excluded by design, like the q66/q67 sink roundtrips: q120 (the
+    // z-ordered WRITER — scan cost is measured above; the write path is
+    // ZOrderSpec's subject) and q100/q106/q112/q113 (file-backed replay
+    // harnesses whose cost is dominated by streaming-engine batch
+    // bookkeeping, not executor-side plans)
+    val available = preferred.filter(benchable.contains)
     val base =
-      if (available.nonEmpty) available else SparkEntry.queries.keys.toSeq.sorted
+      if (available.nonEmpty) available else benchable.keys.toSeq.sorted
     // SPARK_GRAFT_BENCH_QUERIES=q36_minhash_lsh,q69_dup_clusters benches a
     // subset in isolation — used to separate a query's own cost from
     // cache/ordering interplay with the rest of the headline sequence.
@@ -64,7 +97,7 @@ object Bench {
         val wanted = list.split(",").map(_.trim).filter(_.nonEmpty)
         // a typo must fail loudly, not yield an empty rc-0 bench run —
         // and any registry query is benchable, not just the headline set
-        val unknown = wanted.filterNot(SparkEntry.queries.contains)
+        val unknown = wanted.filterNot(benchable.contains)
         require(unknown.isEmpty,
           s"SPARK_GRAFT_BENCH_QUERIES names not in the query registry: " +
             unknown.mkString(", "))
@@ -81,7 +114,7 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       headline.foreach { name =>
-        try SparkEntry.queries(name)(spark, warmDir)
+        try benchable(name)(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         finally Caches.clear()
@@ -93,7 +126,7 @@ object Bench {
     // plan actually costs (same methodology as JMH's min-time mode).
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = benchable(name)
       def once(): Double = {
         val t0 = System.nanoTime()
         try {

@@ -220,9 +220,10 @@ object TextOps {
     * then best-candidate selection. Docs with no candidate keep a row
     * (n_candidates 0).
     */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 xx: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (sig, pairs) = lshVerifiedPairs(df, idCol, textCol)
+    val (sig, pairs) = lshVerifiedPairs(df, idCol, textCol, xx = xx)
     val perDoc = symmetrize(pairs, "doc_id", "partner", "jaccard")
     val wBest = Window.partitionBy("doc_id")
       .orderBy(col("jaccard").desc, col("partner").asc)
