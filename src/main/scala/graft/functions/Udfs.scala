@@ -72,6 +72,14 @@ object Udfs {
   val decodeMp4: UserDefinedFunction =
     udf(graft.Multimodal.decodeMp4Header _)
 
+  /** JPEG header decode in its FULL form (frame dims + JFIF density) —
+    * the dominant-web-format member of the image family; the sniffing
+    * [[decodeImg]] already folds JPEG's dimension core into ImgMeta.
+    * Kernel: [[graft.Multimodal.decodeJpegHeader]].
+    */
+  val decodeJpeg: UserDefinedFunction =
+    udf(graft.Multimodal.decodeJpegHeader _)
+
   /** Register the fixed-arity UDFs for spark.sql use. */
   def register(spark: SparkSession, asOfYear: Int): Unit = {
     spark.udf.register("graft_to_number", toNumber)

@@ -99,6 +99,54 @@ object CorpusQueries {
   def q108SlidingRates(s: SparkSession, d: String): DataFrame =
     Temporal.q108SlidingRates(s, d)
 
+  /** q122: the REAL JPEG header decode under a full driver gate — the
+    * q42 posture upgraded from "text can't spoof the magic" to "the
+    * parser reproduces known dimensions": five deterministic payload
+    * variants per doc_id are SYNTHESIZED as genuine JPEG byte streams
+    * (baseline JFIF, progressive SOF2, EXIF-first with no JFIF
+    * density, a truncated header, and a raw-text non-JPEG), decoded by
+    * [[graft.Multimodal.decodeJpegHeader]], and the oracle re-derives
+    * the expected fields ARITHMETICALLY from doc_id — so a parser
+    * regression (wrong offset, missed EXIF skip, accepted truncation)
+    * breaks the hash gate. Construction is pure Column hex-concat →
+    * unhex: row-local, no UDF until the decode itself (§2.10's
+    * irreducible binary walk).
+    */
+  def q122JpegMeta(s: SparkSession, d: String): DataFrame = {
+    val v = col("doc_id") % 5
+    val w = (lit(100) + col("doc_id") % 1500).cast("int")
+    val h = (lit(80) + col("doc_id") % 900).cast("int")
+    val xd = (lit(72) + col("doc_id") % 200).cast("int")
+    def hex4(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    // APP0 JFIF: len 16, identifier, version 1.1, unit=1 (dpi), Xd, Yd
+    val jfif = concat(lit("FFE000104A46494600010101"),
+      hex4(xd), lit("0060"), lit("0000")) // Ydensity fixed 96 = 0x0060
+    // SOF: len 17, precision 8, dims, 3 components (YCbCr layout)
+    def sof(marker: String) = concat(lit(marker + "001108"),
+      hex4(h), hex4(w), lit("03012200021101031101"))
+    // APP1 Exif: len 18, "Exif\0\0" + 10 filler bytes — the segment a
+    // camera writes FIRST; the walker must skip it by length
+    val exif = lit("FFE10012457869660000" + "00" * 10)
+    val payloadHex = when(v === 0, concat(lit("FFD8"), jfif, sof("FFC0")))
+      .when(v === 1, concat(lit("FFD8"), jfif, sof("FFC2")))
+      .when(v === 2, concat(lit("FFD8"), exif, sof("FFC0")))
+      .when(v === 3, lit("FFD8FFE000104A464946")) // cut mid-identifier
+    val content = when(v === 4, col("text").cast("binary"))
+      .otherwise(unhex(payloadHex))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.Udfs.decodeJpeg(content).as("j"))
+      .select(col("doc_id"),
+        col("j.format").as("jpeg_format"),
+        col("j.width").as("jpeg_width"),
+        col("j.height").as("jpeg_height"),
+        col("j.bits_per_pixel").as("jpeg_bpp"),
+        col("j.density_unit").as("density_unit"),
+        col("j.x_density").as("x_density"),
+        col("j.y_density").as("y_density"))
+      .orderBy("doc_id")
+  }
+
   def q109UrlDedup(s: SparkSession, d: String): DataFrame =
     CorpusOps.urlCanonicalize(urlAugmented(Tables.documents(s, d)),
       "doc_id", "url")
@@ -149,7 +197,8 @@ object CorpusQueries {
     "q119_scd2_incremental" -> ((s, d) => Temporal.q119Scd2Incremental(s, d)),
     "q120_zorder_roundtrip" -> (q120ZorderRoundtrip _),
     "q121_vocab_encode" -> ((s, d) =>
-      CorpusOps.vocabEncode(Tables.documents(s, d), "doc_id", "text")))
+      CorpusOps.vocabEncode(Tables.documents(s, d), "doc_id", "text")),
+    "q122_jpeg_meta" -> (q122JpegMeta _))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -556,6 +605,24 @@ object CorpusQueries {
         |    ORDER BY pos)) AS ids_hash
         |FROM ex LEFT JOIN v USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the synthesized-JPEG gate: expected fields re-derived from
+    // doc_id arithmetic (the query's scaladoc documents the variants);
+    // variants 3 (truncated) and 4 (raw text) must decode to all-null
+    "q122_jpeg_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 IN (0, 2) THEN 'jpeg'
+        |       WHEN doc_id % 5 = 1 THEN 'jpeg_prog' END AS jpeg_format,
+        |  CASE WHEN doc_id % 5 <= 2
+        |    THEN CAST(100 + doc_id % 1500 AS INT) END AS jpeg_width,
+        |  CASE WHEN doc_id % 5 <= 2
+        |    THEN CAST(80 + doc_id % 900 AS INT) END AS jpeg_height,
+        |  CASE WHEN doc_id % 5 <= 2 THEN CAST(24 AS INT) END AS jpeg_bpp,
+        |  CASE WHEN doc_id % 5 <= 1 THEN CAST(1 AS INT) END
+        |    AS density_unit,
+        |  CASE WHEN doc_id % 5 <= 1
+        |    THEN CAST(72 + doc_id % 200 AS INT) END AS x_density,
+        |  CASE WHEN doc_id % 5 <= 1 THEN CAST(96 AS INT) END AS y_density
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q107_top_ngrams" ->
       """WITH t AS (
         |  SELECT lang, string_split_regex(trim(text), '\s+') AS w

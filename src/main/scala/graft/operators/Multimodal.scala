@@ -231,13 +231,100 @@ object Multimodal {
     else Some(ImgMeta("bmp", w, h, bpp))
   }
 
-  /** Container sniff: try PNG then BMP — the one-call form the image
-    * rows of a media table use. Unknown containers are None (JPEG &
-    * friends need entropy-coded segment walks; a real pipeline adds
-    * them the same way).
+  /** Real decoded-JPEG metadata: frame dims from the SOF segment plus
+    * the JFIF density triple when an APP0 JFIF segment precedes it
+    * (EXIF-first files carry no JFIF — density is null there).
+    */
+  case class JpegMeta(format: String, width: Int, height: Int,
+                      bits_per_pixel: Int, density_unit: Option[Int],
+                      x_density: Option[Int], y_density: Option[Int])
+
+  /** REAL JPEG-metadata decode, pure JVM, same posture as the WAV/PNG/
+    * BMP/MP4 parsers — JPEG is the dominant web-crawl image format, so
+    * a 100 TB image corpus is mostly this. Frame dimensions live in the
+    * first SOFn marker segment (no entropy decode needed): walk the
+    * marker stream from SOI, skipping APPn/COM/DQT/DHT segments by
+    * their declared big-endian lengths — which is what makes EXIF-first
+    * files (APP1 before any JFIF/SOF) decode identically to
+    * JFIF-first — until a start-of-frame marker. SOF0 (baseline) and
+    * SOF2 (progressive) are labeled distinctly; the other SOFn
+    * variants (extended/lossless/arithmetic) all share the same
+    * dimension layout and report as plain "jpeg". An APP0 JFIF segment
+    * seen before the SOF contributes the density triple (unit,
+    * x_density, y_density).
+    *
+    * The 0xFFD8 magic is not ASCII-spoofable (0xFF is unprintable), so
+    * text payloads reject at the gate like every other container.
+    * Malformed, truncated, or implausible (zero/DNL-deferred height,
+    * component count outside 1..4) headers yield None — null rows,
+    * never task failures. Works on a header PREFIX: SOF precedes the
+    * entropy-coded data in every legal JPEG, so a first-KB range
+    * request suffices unless a huge EXIF blob pushes SOF past it (the
+    * caller's prefix-size knob, same trade as the MP4 fast-start
+    * note).
+    */
+  def decodeJpegHeader(bytes: Array[Byte]): Option[JpegMeta] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    def be16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    var off = 2
+    var density: Option[(Int, Int, Int)] = None
+    while (off + 4 <= bytes.length) {
+      if ((bytes(off) & 0xff) != 0xff) return None // lost marker sync
+      // fill bytes: a marker may be padded with extra 0xFFs
+      var mOff = off + 1
+      while (mOff < bytes.length && (bytes(mOff) & 0xff) == 0xff) mOff += 1
+      if (mOff + 1 >= bytes.length) return None
+      val marker = bytes(mOff) & 0xff
+      marker match {
+        case 0xd9 | 0xda => return None // EOI / SOS before any SOF
+        case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+          off = mOff + 1 // standalone marker, no length field
+        case _ =>
+          if (mOff + 3 >= bytes.length) return None
+          val len = be16(mOff + 1) // includes the 2 length bytes
+          if (len < 2) return None
+          val p = mOff + 3 // segment payload
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (len < 8 || p + 6 > bytes.length) return None
+            val precision = bytes(p) & 0xff
+            val h = be16(p + 1)
+            val w = be16(p + 3)
+            val ncomp = bytes(p + 5) & 0xff
+            // h == 0 is the DNL-deferred-height form — dims unknown
+            // from the header alone, so reject like other implausibles
+            if (w <= 0 || h <= 0 || ncomp < 1 || ncomp > 4 ||
+              !Set(8, 12, 16).contains(precision)) return None
+            val fmt = marker match {
+              case 0xc0 => "jpeg"
+              case 0xc2 => "jpeg_prog"
+              case _ => "jpeg"
+            }
+            return Some(JpegMeta(fmt, w, h, precision * ncomp,
+              density.map(_._1), density.map(_._2), density.map(_._3)))
+          }
+          if (marker == 0xe0 && len >= 16 && p + 12 <= bytes.length &&
+            bytes(p) == 'J'.toByte && bytes(p + 1) == 'F'.toByte &&
+            bytes(p + 2) == 'I'.toByte && bytes(p + 3) == 'F'.toByte &&
+            bytes(p + 4) == 0)
+            density = Some((bytes(p + 7) & 0xff, be16(p + 8), be16(p + 10)))
+          off = mOff + 1 + len
+      }
+    }
+    None // truncated before any SOF
+  }
+
+  /** Container sniff: try PNG, then BMP, then JPEG — the one-call form
+    * the image rows of a media table use (JPEG folds its density-less
+    * core into the shared ImgMeta shape; [[decodeJpegHeader]] is the
+    * full form). Unknown containers are None.
     */
   def decodeImageHeader(bytes: Array[Byte]): Option[ImgMeta] =
     decodePngHeader(bytes).orElse(decodeBmpHeader(bytes))
+      .orElse(decodeJpegHeader(bytes).map(j =>
+        ImgMeta(j.format, j.width, j.height, j.bits_per_pixel)))
 
   /** Real decoded-video metadata: ISO BMFF (MP4) container fields. */
   case class VideoMeta(format: String, major_brand: String,

@@ -539,6 +539,76 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(2L).isEmpty)
   }
 
+  test("decodeJpegHeader: golden baseline/progressive/EXIF-first headers, " +
+    "truncation and spoof rejects") {
+    import Multimodal.JpegMeta
+    def jpegBytes(w: Int, h: Int, sof: Int = 0xC0, jfif: Boolean = true,
+                  exifFirst: Boolean = false, fill: Boolean = false,
+                  ncomp: Int = 3, precision: Int = 8,
+                  xd: Int = 72, yd: Int = 96): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(128) // big-endian by default
+      bb.putShort(0xFFD8.toShort) // SOI
+      if (exifFirst) { // APP1 Exif — the camera-written first segment
+        bb.putShort(0xFFE1.toShort); bb.putShort(18)
+        bb.put("Exif".getBytes("US-ASCII")); bb.put(0.toByte)
+        bb.put(0.toByte); bb.put(new Array[Byte](10))
+      }
+      if (jfif) { // APP0 JFIF with the density triple (unit 1 = dpi)
+        bb.putShort(0xFFE0.toShort); bb.putShort(16)
+        bb.put("JFIF".getBytes("US-ASCII")); bb.put(0.toByte)
+        bb.put(1.toByte); bb.put(1.toByte); bb.put(1.toByte)
+        bb.putShort(xd.toShort); bb.putShort(yd.toShort)
+        bb.putShort(0)
+      }
+      if (fill) bb.put(0xFF.toByte) // marker fill byte before the SOF
+      bb.put(0xFF.toByte); bb.put(sof.toByte)
+      bb.putShort((8 + 3 * ncomp).toShort)
+      bb.put(precision.toByte); bb.putShort(h.toShort); bb.putShort(w.toShort)
+      bb.put(ncomp.toByte)
+      for (c <- 1 to ncomp) {
+        bb.put(c.toByte); bb.put(0x11.toByte); bb.put(0.toByte)
+      }
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    // golden baseline: JFIF, 3-component YCbCr, 8-bit → 24 bpp + density
+    assert(Multimodal.decodeJpegHeader(jpegBytes(640, 480)).contains(
+      JpegMeta("jpeg", 640, 480, 24, Some(1), Some(72), Some(96))))
+    // progressive (SOF2) labels distinctly, same dimension layout
+    assert(Multimodal.decodeJpegHeader(jpegBytes(31, 17, sof = 0xC2))
+      .contains(JpegMeta("jpeg_prog", 31, 17, 24, Some(1), Some(72),
+        Some(96))))
+    // EXIF-first with NO JFIF: the walker skips APP1 by length; density
+    // is null (no JFIF segment carries it)
+    assert(Multimodal.decodeJpegHeader(
+      jpegBytes(800, 600, jfif = false, exifFirst = true)).contains(
+      JpegMeta("jpeg", 800, 600, 24, None, None, None)))
+    // EXIF first AND JFIF present — density still found
+    assert(Multimodal.decodeJpegHeader(
+      jpegBytes(800, 600, exifFirst = true, xd = 300, yd = 300)).contains(
+      JpegMeta("jpeg", 800, 600, 24, Some(1), Some(300), Some(300))))
+    // marker fill bytes before the SOF are legal padding
+    assert(Multimodal.decodeJpegHeader(jpegBytes(12, 34, fill = true))
+      .exists(m => m.width == 12 && m.height == 34))
+    // grayscale single component; extended 12-bit precision
+    assert(Multimodal.decodeJpegHeader(jpegBytes(10, 20, ncomp = 1))
+      .exists(_.bits_per_pixel == 8))
+    assert(Multimodal.decodeJpegHeader(
+      jpegBytes(10, 20, sof = 0xC1, precision = 12))
+      .exists(m => m.format == "jpeg" && m.bits_per_pixel == 36))
+    // rejects: truncation, DNL-deferred height 0, bad component count /
+    // precision, text (0xFFD8 is not ASCII-spoofable), null
+    assert(Multimodal.decodeJpegHeader(jpegBytes(640, 480).take(10)).isEmpty)
+    assert(Multimodal.decodeJpegHeader(jpegBytes(640, 0)).isEmpty)
+    assert(Multimodal.decodeJpegHeader(jpegBytes(640, 480, ncomp = 5)).isEmpty)
+    assert(Multimodal.decodeJpegHeader(
+      jpegBytes(640, 480, precision = 7)).isEmpty)
+    assert(Multimodal.decodeJpegHeader("plain text payload".getBytes).isEmpty)
+    assert(Multimodal.decodeJpegHeader(null).isEmpty)
+    // the sniffing one-call form now routes JPEG too
+    assert(Multimodal.decodeImageHeader(jpegBytes(2, 2)).contains(
+      Multimodal.ImgMeta("jpeg", 2, 2, 24)))
+  }
+
   test("decodeMp4Header walks ISO BMFF boxes; withVideoMeta types the rows") {
     def mp4Bytes(version: Int, timescale: Int, duration: Long,
                  brand: String = "isom"): Array[Byte] = {
