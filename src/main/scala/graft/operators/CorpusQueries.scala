@@ -198,7 +198,9 @@ object CorpusQueries {
     "q120_zorder_roundtrip" -> (q120ZorderRoundtrip _),
     "q121_vocab_encode" -> ((s, d) =>
       CorpusOps.vocabEncode(Tables.documents(s, d), "doc_id", "text")),
-    "q122_jpeg_meta" -> (q122JpegMeta _))
+    "q122_jpeg_meta" -> (q122JpegMeta _),
+    "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
+    "q124_bpe_encode" -> (Bpe.q124BpeEncode _))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -605,6 +607,11 @@ object CorpusQueries {
         |    ORDER BY pos)) AS ids_hash
         |FROM ex LEFT JOIN v USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the BPE gates: generated unrolled CTE chains (one pairs → best →
+    // seg block per merge rank) re-deriving the learning loop — see
+    // Bpe.oracleMergesSql/oracleEncodeSql
+    "q123_bpe_merges" -> Bpe.oracleMergesSql,
+    "q124_bpe_encode" -> Bpe.oracleEncodeSql,
     // the synthesized-JPEG gate: expected fields re-derived from
     // doc_id arithmetic (the query's scaladoc documents the variants);
     // variants 3 (truncated) and 4 (raw text) must decode to all-null

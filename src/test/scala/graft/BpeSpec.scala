@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kernel semantics of the deterministic BPE tokenizer (graft.Bpe):
+  * the delimiter-consuming replace rule, the greedy (count desc, pair
+  * asc) merge selection, and the distributed word-frequency → driver
+  * learning handoff. The cross-engine (Spark vs DuckDB) equality of
+  * the full queries is the driver gate's job (q123/q124).
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("applyMerge: delimiter-consuming non-overlapping passes reach a " +
+    "deterministic fixpoint") {
+    // one pass merges (1,2) and (4,5) of a 5-run — the shared delimiter
+    // space is CONSUMED, so (3,4) cannot merge in the same pass; after
+    // the fixed pass budget the result is the variant's documented
+    // fixpoint "aa a aa", NOT Sennrich's "aa aa a"
+    assert(Bpe.applyMerge(" a a a a a ", "a", "a") == " aa a aa ")
+    assert(Bpe.applyMerge(" a a a a ", "a", "a") == " aa aa ")
+    assert(Bpe.applyMerge(" a a a ", "a", "a") == " aa a ")
+    // non-adjacent tokens unaffected; idempotent at fixpoint
+    val fx = Bpe.applyMerge(" x y z ", "a", "b")
+    assert(fx == " x y z ")
+    assert(Bpe.applyMerge(Bpe.applyMerge(" a b a b ", "a", "b"),
+      "a", "b") == " ab ab ")
+  }
+
+  test("learn: greedy most-frequent pair with (left, right) tie-break, " +
+    "counts weighted by word frequency") {
+    val vocab = Seq(("aaab", 2L), ("aab", 1L))
+    val m = Bpe.learn(vocab, merges = 2)
+    // rank 1: (a,a) = 2 occurrences x cnt 2 + 1 x cnt 1 = 5
+    assert(m(0) == Bpe.Merge(1, "a", "a", 5L))
+    // after applying: "aa a b </w>" (x2), "aa b </w>" (x1)
+    // rank 2: (b, </w>) = 3 beats (aa,a)=2 and (a,b)=2
+    assert(m(1) == Bpe.Merge(2, "b", "</w>", 3L))
+  }
+
+  test("encodeWord applies ranks in order; charSeg wraps with sentinels") {
+    assert(Bpe.charSeg("ab") == " a b </w> ")
+    val rules = Seq(("a", "a"), ("b", "</w>"))
+    assert(Bpe.encodeWord("aaab", rules) == "aa a b</w>")
+    assert(Bpe.encodeWord("aab", rules) == "aa b</w>")
+    assert(Bpe.encodeWord("xy", rules) == "x y </w>")
+  }
+
+  test("learnFromCorpus: the distributed word-frequency pass feeds the " +
+    "driver loop identically to a hand count") {
+    import spark.implicits._
+    // "zz top zz" word freq: zz=2, top=1; words bound to [1, 20] chars
+    // and lowercased; the 25-char token is excluded by the length gate
+    val docs = Seq(
+      (1L, "ZZ top zz!"),
+      (2L, "a" * 25 + " zz top-top")).toDF("doc_id", "text")
+    val m = Bpe.learnFromCorpus(docs, "text", merges = 4)
+    // hand vocab: zz=3, top=3, a-run excluded → same learn() output
+    val hand = Bpe.learn(Seq(("top", 3L), ("zz", 3L)), merges = 4)
+    assert(m == hand)
+  }
+}
