@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   *  - `index-ab [sfDir]` — the q92-rebuild vs q98-table-screen A/B:
   *    what the DISK-resident bucketed dedup index (DedupIndex) saves a
   *    daily increment over re-hashing the standing corpus per run.
+  *  - `merge-skew [sfDir] [hotCopies]` — AQE skew-join split measured
+  *    on the MERGE full-outer (the one fact-to-fact shuffle in the ETL
+  *    path): a planted hot url on the incoming side vs the same run
+  *    with skewJoin disabled.
   */
 object ScaleProbes {
 
@@ -409,6 +413,75 @@ object ScaleProbes {
           f"table_screen_min3_sec=$screenSec%.2f " +
           f"one_time_index_write_sec=$writeSec%.2f " +
           f"screen_speedup=${rebuildSec / screenSec}%.2fx")
+
+      case "merge-skew" =>
+        // the q28 MERGE's skew posture, MEASURED instead of asserted —
+        // and the measurement corrects the assertion. Planting a hot
+        // url on the incoming side (the duplicate-scrape pathology: one
+        // listing re-submitted en masse, so the full-outer SMJ
+        // partition holding that url's cogroup dwarfs the rest) shows
+        // that AQE's skew-join split NEVER fires here: Spark's
+        // OptimizeSkewedJoin can split inner/semi/anti and the
+        // non-preserved side of one-sided outers, but a FULL OUTER
+        // join preserves BOTH sides, so neither side is splittable and
+        // the GraftSession skewJoin flag is inert for the merge. The
+        // probe pins that fact (skew=true absent even at thresholds
+        // scaled to the probe's data), then measures the engine's REAL
+        // skew defense for this join: the url-unique input contract —
+        // frontier dedup upstream collapses the hot key to one row, so
+        // a contract-enforced merge shuffle CANNOT concentrate by key.
+        // Hot rows vary SOURCE so the downstream reid window spreads;
+        // the delta isolates the join-side straggler.
+        val sfDir = args.lift(1).getOrElse(
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        val hotCopies = args.lift(2).map(_.toLong).getOrElse(200000L)
+        val cur = EtlQueries.currentListings(spark, sfDir)
+        val incBase = EtlQueries.incomingListings(spark, sfDir)
+        val hot = incBase.limit(1)
+          .crossJoin(spark.range(hotCopies))
+          .withColumn("url", lit("https://hot.example/listing-0"))
+          .withColumn("source",
+            concat(lit("s"), pmod(col("id"), lit(50L))))
+          .drop("id")
+        val incHot = incBase.unionByName(hot)
+        val incDeduped = incHot.dropDuplicates("url")
+        def runMerge(i: org.apache.spark.sql.DataFrame): Unit =
+          Merge.merge(cur, i, EtlQueries.asOf)
+            .write.format("noop").mode("overwrite").save()
+        // pin the limitation at thresholds the probe's data CAN trip:
+        // even then the full-outer plans no skew=true split
+        val olds = Seq(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          .map(k => k -> spark.conf.getOption(k))
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "2MB")
+        spark.conf.set(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+        try {
+          val df = Merge.merge(cur, incHot, EtlQueries.asOf)
+          // drive THIS QueryExecution (df.write would build a new one
+          // whose adaptive plan finalizes invisibly to df)
+          df.queryExecution.toRdd.count()
+          val plan = df.queryExecution.executedPlan.toString
+          require(plan.contains("isFinalPlan=true"), "plan not final")
+          require(!plan.contains("skew=true"),
+            "full-outer skew split fired — Spark grew the capability; " +
+              "re-evaluate this probe and the merge scaladoc")
+          Caches.clear()
+          runMerge(incHot); Caches.clear() // warm
+          val hotSec = minOf3(runMerge(incHot))
+          runMerge(incDeduped); Caches.clear() // warm
+          val dedupSec = minOf3(runMerge(incDeduped))
+          println(f"[probe] merge-skew: sf=$sfDir hot=$hotCopies " +
+            f"aqe_split_fired=false hot_merge_min3_sec=$hotSec%.2f " +
+            f"contract_deduped_min3_sec=$dedupSec%.2f " +
+            f"dedup_speedup=${hotSec / dedupSec}%.2fx")
+        } finally olds.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
 
       case "bloom-ab" =>
         // the law behind q104: at real ingest asymmetry (standing

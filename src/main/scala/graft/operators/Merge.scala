@@ -79,6 +79,19 @@ object Merge {
     *    code) partition, continuing after the current table's max index;
     *  - current-only url → unchanged passthrough.
     *
+    * SKEW POSTURE (measured by the merge-skew ScaleProbe): AQE's
+    * skew-join split does NOT apply here — Spark's OptimizeSkewedJoin
+    * can split inner/semi/anti joins and the non-preserved side of
+    * one-sided outers, but a FULL OUTER join preserves both sides, so
+    * neither side is splittable and the session's skewJoin flag is
+    * inert for this exchange. The merge's skew defense is its INPUT
+    * CONTRACT instead: both sides url-unique (frontier dedup upstream,
+    * Sinks.constrainedAppend at rest), under which a hash shuffle on
+    * url cannot concentrate rows by key at any scale. The probe
+    * measures the pathology when the contract is violated (a hot
+    * duplicate-scraped url): the straggler grows linearly with the hot
+    * key's multiplicity while the contract-enforced arm stays flat.
+    *
     * codeFor maps source → 4-letter REID code (reid/settings.py:115-143);
     * identity by default since testdata sources are already short.
     */
