@@ -17,9 +17,15 @@ class EntrySpec extends AnyFunSuite {
       Bench.headline(Some("q36_minhash_lsh,q99_nope"))
     }
     assert(e.getMessage.contains("q99_nope"))
-    // no subset → the default headline, every name in the registry
+    // no subset → the default headline, every name benchable (the
+    // registry plus Bench.benchOnly's production-hash twins)
     val base = Bench.headline(None)
-    assert(base.nonEmpty && base.forall(SparkEntry.queries.contains))
+    assert(base.nonEmpty && base.forall(Bench.benchable.contains))
+    // the twins are benchable but NOT registry queries — the driver's
+    // oracle surface is untouched by bench-only entries
+    assert(Bench.benchOnly.keySet.forall(base.contains))
+    assert(Bench.benchOnly.keySet
+      .forall(k => !SparkEntry.queries.contains(k)))
   }
 
   test("entry returns non-empty summary") {
