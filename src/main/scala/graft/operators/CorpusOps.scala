@@ -488,6 +488,103 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------- trained language classifier
+
+  /** TRAINED character-trigram language classifier — the
+    * Cavnar–Trenkle out-of-place method, upgrading the stopword
+    * heuristic ([[TextOps.langId]], q71) to the real n-gram shape the
+    * text-analysis surface calls for: per language, rank the top
+    * `langK` char trigrams by corpus frequency (the language PROFILE);
+    * per document, rank its own top `docK` trigrams; the distance from
+    * a document to a language is the sum over the document's profile
+    * of |doc rank − language rank|, with a flat `langK` penalty for
+    * trigrams absent from the language profile. Predicted language =
+    * argmin distance, ties broken language-asc. Everything is integer
+    * ranks and counts, so the DuckDB oracle reproduces the classifier
+    * bit-for-bit — the q53 posture (the gate pins the MATH; accuracy
+    * on the shared-vocabulary synthetic corpus is chance-like by
+    * construction and is not what's asserted).
+    *
+    * Scale shape: trigram extraction is row-local (substr windows);
+    * both profile builds are partial-aggregated counts with a bounded
+    * rank window (per doc_id riding the doc exchange; per lang over
+    * |langs × grams| aggregate rows). Scoring never materializes the
+    * doc × language cross product: an INNER broadcast join on the gram
+    * alone yields only (doc, lang) pairs sharing ≥ 1 profile gram, and
+    * the absent-gram penalties fold in arithmetically (distance =
+    * Σ|Δrank| + langK · (docProfileSize − matches)). That suffices by
+    * strict dominance: every matched gram contributes ≤ langK − 1, so
+    * ANY language sharing a gram strictly beats every language sharing
+    * none — unmatched languages can only win when NONE match, and that
+    * fallback is the (langK · profileSize, min-language) row computed
+    * without a join. The plan is one broadcast hash join + bounded
+    * aggregates; no nested loop, no stage touching doc pairs.
+    */
+  def langIdTrigram(df: DataFrame, idCol: String, textCol: String,
+                    langCol: String, langK: Int = 50, docK: Int = 20)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = lower(col(textCol))
+    val grams = when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2),
+        i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val occ = Caches.persistTracked(
+      df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+          explode(grams).as("gram"))
+        .groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("n")))
+    val wLang = Window.partitionBy("lang")
+      .orderBy(col("n").desc, col("gram").asc)
+    val langProf = occ.groupBy("lang", "gram").agg(sum(col("n")).as("n"))
+      .withColumn("lrank", row_number().over(wLang).cast("long"))
+      .filter(col("lrank") <= langK)
+      .select(col("lang").as("p_lang"), col("gram"), col("lrank"))
+    val wDoc = Window.partitionBy("doc_id")
+      .orderBy(col("n").desc, col("gram").asc)
+    val docProf = occ
+      .withColumn("drank", row_number().over(wDoc).cast("long"))
+      .filter(col("drank") <= docK)
+      .select(col("doc_id"), col("gram"), col("drank"))
+    // inner join on the gram ONLY — matched (doc, lang) pairs; the
+    // per-pair distance folds the unmatched-gram penalty in
+    // arithmetically (see scaladoc's dominance argument)
+    val matched = docProf.join(broadcast(langProf), Seq("gram"))
+      .groupBy("doc_id", "p_lang")
+      .agg(sum(abs(col("drank") - col("lrank"))).as("d_sum"),
+        count(lit(1)).as("m"))
+    val nProf = docProf.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_prof"))
+    val scored = matched.join(nProf, Seq("doc_id"))
+      .select(col("doc_id"), col("p_lang"),
+        (col("d_sum") + lit(langK.toLong) * (col("n_prof") - col("m")))
+          .as("distance"))
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("distance").asc, col("p_lang").asc)
+    val matchedBest = scored.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("p_lang").as("predicted"),
+        col("distance"))
+    // fallback: a doc whose profile shares NO gram with any language
+    // profile scores langK·|profile| against every language — the
+    // min-language wins the tie. One bounded driver scalar.
+    val minLang = occ.agg(min(col("lang"))).head() match {
+      case r if r.isNullAt(0) => null
+      case r => r.getString(0)
+    }
+    val best = nProf.join(matchedBest, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("predicted"), lit(minLang)).as("predicted"),
+        coalesce(col("distance"), lit(langK.toLong) * col("n_prof"))
+          .as("distance"))
+    df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("predicted"),
+        col("distance"),
+        coalesce(col("predicted") === col("lang"), lit(false))
+          .as("is_correct"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------- top-k n-grams
 
   /** Corpus-wide most-frequent n-grams per language — the boilerplate

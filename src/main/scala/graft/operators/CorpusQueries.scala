@@ -200,7 +200,10 @@ object CorpusQueries {
       CorpusOps.vocabEncode(Tables.documents(s, d), "doc_id", "text")),
     "q122_jpeg_meta" -> (q122JpegMeta _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
-    "q124_bpe_encode" -> (Bpe.q124BpeEncode _))
+    "q124_bpe_encode" -> (Bpe.q124BpeEncode _),
+    "q125_langid_trigram" -> ((s, d) =>
+      CorpusOps.langIdTrigram(Tables.documents(s, d), "doc_id", "text",
+        "lang")))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -607,6 +610,49 @@ object CorpusQueries {
         |    ORDER BY pos)) AS ids_hash
         |FROM ex LEFT JOIN v USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the Cavnar–Trenkle trigram classifier: integer rank profiles and
+    // out-of-place distances re-derived end-to-end (the q53 posture —
+    // the gate pins the math, not accuracy on the synthetic corpus)
+    "q125_langid_trigram" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT doc_id, lang, gram, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_transform(
+        |        generate_series(1, length(lower(text)) - 2),
+        |        i -> substr(lower(text), i, 3))) AS gram
+        |    FROM documents WHERE length(text) >= 3)
+        |  GROUP BY 1, 2, 3),
+        |lp AS (
+        |  SELECT lang AS p_lang, gram, lrank FROM (
+        |    SELECT lang, gram,
+        |      CAST(row_number() OVER (PARTITION BY lang
+        |        ORDER BY sum(n) DESC, gram ASC) AS BIGINT) AS lrank
+        |    FROM g GROUP BY lang, gram)
+        |  WHERE lrank <= 50),
+        |dp AS (
+        |  SELECT doc_id, gram, drank FROM (
+        |    SELECT doc_id, gram,
+        |      CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY n DESC, gram ASC) AS BIGINT) AS drank
+        |    FROM g)
+        |  WHERE drank <= 20),
+        |langs AS (SELECT DISTINCT lang AS p_lang FROM g),
+        |sc AS (
+        |  SELECT dp.doc_id, l.p_lang,
+        |    CAST(sum(coalesce(abs(dp.drank - lp.lrank), 50)) AS BIGINT)
+        |      AS distance
+        |  FROM dp CROSS JOIN langs l
+        |  LEFT JOIN lp ON lp.p_lang = l.p_lang AND lp.gram = dp.gram
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, p_lang AS predicted, distance FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY distance ASC, p_lang ASC) AS rn FROM sc)
+        |  WHERE rn = 1)
+        |SELECT d.doc_id, d.lang, predicted, distance,
+        |  coalesce(predicted = d.lang, false) AS is_correct
+        |FROM documents d LEFT JOIN best USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // the BPE gates: generated unrolled CTE chains (one pairs → best →
     // seg block per merge rank) re-deriving the learning loop — see
     // Bpe.oracleMergesSql/oracleEncodeSql

@@ -391,4 +391,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(chunks(1L) == Seq("a b c"))
     assert(chunks(2L) == Seq("w w w w w w w w w w", "w w"))
   }
+
+  test("langIdTrigram: separable profiles classify correctly; short and " +
+    "held-out docs degrade deterministically") {
+    // two languages with DISJOINT character inventories — profiles are
+    // fully separable, so the out-of-place distance must recover the
+    // label; one 'xx' doc leans 'aa' (shares 'aaa' mass), one doc is
+    // too short for any trigram (null prediction, is_correct false)
+    val docs = Seq(
+      (1L, "aa", "aaaa aaaa aaaa"),
+      (2L, "aa", "aaa aaaa aa aaaa"),
+      (3L, "bb", "bbbb bbbb bbbb"),
+      (4L, "bb", "bbb bbbb bb bbbb"),
+      (5L, "xx", "aaaa aaaa bb"),
+      (6L, "aa", "aa")).toDF("doc_id", "lang", "text")
+    val out = CorpusOps.langIdTrigram(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("predicted") == "aa")
+    assert(out(1L).getAs[Boolean]("is_correct"))
+    assert(out(3L).getAs[String]("predicted") == "bb")
+    assert(out(3L).getAs[Boolean]("is_correct"))
+    // the mixed doc matches SOME language deterministically (its own
+    // 3-doc 'xx' profile is dominated by 'aa' trigrams)
+    assert(out(5L).getAs[String]("predicted") != null)
+    // sub-trigram doc: no profile, null prediction, correct = false
+    assert(out(6L).getAs[String]("predicted") == null)
+    assert(!out(6L).getAs[Boolean]("is_correct"))
+    // distances are integers ≥ 0 wherever predicted
+    assert(out.values.filter(_.getAs[String]("predicted") != null)
+      .forall(_.getAs[Long]("distance") >= 0L))
+  }
 }
