@@ -470,18 +470,22 @@ object ScaleProbes {
             "full-outer skew split fired — Spark grew the capability; " +
               "re-evaluate this probe and the merge scaladoc")
           Caches.clear()
-          runMerge(incHot); Caches.clear() // warm
-          val hotSec = minOf3(runMerge(incHot))
-          runMerge(incDeduped); Caches.clear() // warm
-          val dedupSec = minOf3(runMerge(incDeduped))
-          println(f"[probe] merge-skew: sf=$sfDir hot=$hotCopies " +
-            f"aqe_split_fired=false hot_merge_min3_sec=$hotSec%.2f " +
-            f"contract_deduped_min3_sec=$dedupSec%.2f " +
-            f"dedup_speedup=${hotSec / dedupSec}%.2fx")
         } finally olds.foreach {
+          // restore BEFORE timing: the scaled thresholds exist only to
+          // give the pin a fair chance to fire — timing under a 1 MB
+          // advisory size would coalesce the shuffle into hundreds of
+          // tiny partitions and measure a config no deployment runs
           case (k, Some(v)) => spark.conf.set(k, v)
           case (k, None) => spark.conf.unset(k)
         }
+        runMerge(incHot); Caches.clear() // warm
+        val hotSec = minOf3(runMerge(incHot))
+        runMerge(incDeduped); Caches.clear() // warm
+        val dedupSec = minOf3(runMerge(incDeduped))
+        println(f"[probe] merge-skew: sf=$sfDir hot=$hotCopies " +
+          f"aqe_split_fired=false hot_merge_min3_sec=$hotSec%.2f " +
+          f"contract_deduped_min3_sec=$dedupSec%.2f " +
+          f"dedup_speedup=${hotSec / dedupSec}%.2fx")
 
       case "bloom-ab" =>
         // the law behind q104: at real ingest asymmetry (standing

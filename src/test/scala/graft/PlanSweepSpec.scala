@@ -50,7 +50,15 @@ class PlanSweepSpec extends AnyFunSuite {
     "q100_streaming_asof_replay" -> "EventStreamsSpec (file-backed replay harness)",
     "q106_streaming_windows_replay" -> "EventStreamsSpec (file-backed replay harness)",
     "q112_streaming_sliding_replay" -> "EventStreamsSpec (file-backed replay harness)",
-    "q113_streaming_interval_join" -> "EventStreamsSpec (file-backed replay harness)")
+    "q113_streaming_interval_join" -> "EventStreamsSpec (file-backed replay harness)",
+    // q123's returned frame is a driver-local merge table (toDF of the
+    // learned rules) — a LocalTableScan can never contain the swept
+    // shapes, so sweeping it would pay the learning job to assert
+    // nothing. q124/q125 STAY in the sweep: their construction also
+    // runs a bounded prep job (vocab collect / minLang scalar), but
+    // the returned plans are genuinely join-bearing — the sweep caught
+    // q125's first constant-key BNLJ formulation.
+    "q123_bpe_merges" -> "BpeSpec (driver-local merge table)")
 
   /** The detector under test: scan one physical-plan string for the
     * forbidden join shapes. Kept as a pure function so the canary test
