@@ -566,12 +566,20 @@ object ScaleProbes {
         noopW(CorpusOps.vocabEncode(w0, "doc_id", "text")); Caches.clear()
         for (n <- sizes) {
           val d = synth(n)
+          // lang label for the classifier: deterministic 5-way split
+          val dl = d.withColumn("lang",
+            concat(lit("l"), pmod(col("doc_id"), lit(5L))))
           val para = minOf3(noopW(CorpusOps.paragraphDedup(d, "doc_id", "text")))
           val lm = minOf3(noopW(CorpusOps.bigramLmScore(d, "doc_id", "text")))
           val voc = minOf3(noopW(CorpusOps.vocabEncode(d, "doc_id", "text")))
+          val bpe = minOf3(noopW(Bpe.encodeCorpus(d, "doc_id", "text",
+            merges = 12)))
+          val lid = minOf3(noopW(CorpusOps.langIdTrigram(dl, "doc_id",
+            "text", "lang")))
           println(f"[probe] corpus-scale: docs=$n " +
             f"paragraph_dedup_min3_sec=$para%.2f " +
-            f"bigram_lm_min3_sec=$lm%.2f vocab_encode_min3_sec=$voc%.2f")
+            f"bigram_lm_min3_sec=$lm%.2f vocab_encode_min3_sec=$voc%.2f " +
+            f"bpe_encode_min3_sec=$bpe%.2f langid_min3_sec=$lid%.2f")
         }
 
       case "zorder-ab" =>

@@ -46,6 +46,33 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.encodeWord("xy", rules) == "x y </w>")
   }
 
+  test("fuzz: encode is LOSSLESS and merge application conserves " +
+    "characters over random words and learned rules") {
+    // 400 random lowercase words through rules learned from the same
+    // fuzz vocab: whatever the rules do, (1) stripping spaces and the
+    // end marker from the encoding must reproduce the word exactly,
+    // (2) token count only ever decreases vs the char segmentation,
+    // (3) encoding is deterministic (same input → same output), and
+    // (4) learning is independent of vocab input order
+    val rnd = new scala.util.Random(13)
+    val words = (0 until 400).map { _ =>
+      val len = 1 + rnd.nextInt(12)
+      (0 until len).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    }.distinct
+    val vocab = words.map(w => (w, 1L + rnd.nextInt(9)))
+    val rules = Bpe.learn(vocab, merges = 15).map(m => (m.left, m.right))
+    for ((w, _) <- vocab) {
+      val enc = Bpe.encodeWord(w, rules)
+      val toks = enc.split(' ')
+      assert(toks.mkString("").replace(Bpe.EndMark, "") == w,
+        s"lossy encode: '$w' -> '$enc'")
+      assert(toks.length <= w.length + 1, s"token count grew: '$w' -> '$enc'")
+      assert(enc == Bpe.encodeWord(w, rules)) // deterministic
+    }
+    assert(Bpe.learn(vocab.reverse, merges = 15) ==
+      Bpe.learn(vocab, merges = 15)) // input-order independence
+  }
+
   test("learnFromCorpus: the distributed word-frequency pass feeds the " +
     "driver loop identically to a hand count") {
     import spark.implicits._
