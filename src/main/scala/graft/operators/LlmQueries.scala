@@ -404,7 +404,10 @@ object LlmQueries {
     "q96_semantic_clusters" -> (q96SemanticClusters _),
     "q97_incremental_exact" -> (q97IncrementalExact _),
     "q98_neardup_indexed" -> (q98NeardupIndexed _),
-    "q99_exact_indexed" -> (q99ExactIndexed _))
+    "q99_exact_indexed" -> (q99ExactIndexed _),
+    "q126_sq8_recall" -> ((s, d) =>
+      Similarity.sq8Recall(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label")))
 
   private val shingleBase =
     """base AS (
@@ -476,7 +479,60 @@ object LlmQueries {
     */
   val oracle: Map[String, String] = baseOracle ++ Map(
     "q98_neardup_indexed" -> baseOracle("q92_incremental_neardup"),
-    "q99_exact_indexed" -> baseOracle("q97_incremental_exact"))
+    "q99_exact_indexed" -> baseOracle("q97_incremental_exact"),
+    // SQ8 quantization fidelity: codes/reconstructions are positive
+    // integer floor-divisions (// here, exact double-div+floor in the
+    // engine — quotients sit ≥ 1/span from any integer, far above one
+    // ulp), cosines the usual single IEEE division of identical ints
+    "q126_sq8_recall" ->
+      s"""WITH $embBase,
+         |st AS (
+         |  SELECT d, min(v) AS mn, greatest(max(v) - min(v), 1) AS sp
+         |  FROM (SELECT unnest(q) AS v, unnest(range(1, 65)) AS d
+         |        FROM n2)
+         |  GROUP BY d),
+         |mm AS (SELECT list(mn ORDER BY d) AS mns,
+         |              list(sp ORDER BY d) AS sps FROM st),
+         |rn AS (
+         |  SELECT vec_id, label, q, norm2,
+         |    [mns[i] + (((q[i] - mns[i]) * 255 // sps[i]) * sps[i]) // 255
+         |     for i in range(1, 65)] AS r
+         |  FROM n2, mm),
+         |rr AS (
+         |  SELECT vec_id, label, q, norm2, r,
+         |    CAST(list_sum([r[i]*r[i] for i in range(1, 65)]) AS BIGINT)
+         |      AS rnorm2
+         |  FROM rn),
+         |p AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    CAST(list_sum([x.q[i]*y.q[i] for i in range(1, 65)])
+         |      AS BIGINT) / (sqrt(x.norm2) * sqrt(y.norm2)) AS cos_exact,
+         |    CAST(list_sum([x.r[i]*y.r[i] for i in range(1, 65)])
+         |      AS BIGINT) / (sqrt(x.rnorm2) * sqrt(y.rnorm2)) AS cos_sq8
+         |  FROM rr x JOIN rr y
+         |    ON x.label = y.label AND x.vec_id < y.vec_id),
+         |sym AS (
+         |  SELECT a AS vec_id, b AS nn_id, cos_exact, cos_sq8 FROM p
+         |  UNION ALL SELECT b, a, cos_exact, cos_sq8 FROM p),
+         |rk AS (
+         |  SELECT vec_id, nn_id, cos_exact, cos_sq8,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_exact DESC, nn_id ASC) AS re,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_sq8 DESC, nn_id ASC) AS rs
+         |  FROM sym),
+         |best AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN re = 1 THEN nn_id END) AS nn_exact,
+         |    max(CASE WHEN re = 1 THEN round(cos_exact, 6) END)
+         |      AS cos_exact,
+         |    max(CASE WHEN rs = 1 THEN nn_id END) AS nn_sq8,
+         |    max(CASE WHEN rs = 1 THEN round(cos_sq8, 6) END) AS cos_sq8
+         |  FROM rk GROUP BY vec_id)
+         |SELECT n.vec_id, n.label, nn_exact, cos_exact, nn_sq8, cos_sq8,
+         |  nn_exact IS NOT DISTINCT FROM nn_sq8 AS agree
+         |FROM n2 n LEFT JOIN best USING (vec_id)
+         |ORDER BY n.vec_id""".stripMargin)
 
   private lazy val baseOracle: Map[String, String] = Map(
     "q31_dedup_exact" ->

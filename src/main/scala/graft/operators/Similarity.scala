@@ -230,6 +230,87 @@ object Similarity {
         (coalesce(col("hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
   }
 
+  /** SQ8 SCALAR-QUANTIZATION fidelity gate — the memory-reduction path
+    * a production vector index runs (FAISS's SQ8: one byte per
+    * dimension instead of four, ~4× more vectors per executor or page
+    * of index): per-dimension corpus min/span, each value coded to
+    * 0..255 by integer floor-division, then RECONSTRUCTED and scored
+    * so the gate answers the question that decides deployment — does
+    * the quantized index return the same nearest neighbor as the
+    * full-precision one, per vector, within its block?
+    *
+    * Output per vector: top-1 partner and cosine under BOTH precisions
+    * plus an `agree` verdict. Everything before the final cosine
+    * division is int64 arithmetic: codes and reconstructions use
+    * floor-division of non-negative longs, which double-division +
+    * floor computes EXACTLY for these magnitudes (quotient distance
+    * from an integer is ≥ 1/span ≫ one ulp), so the DuckDB oracle's
+    * `//` reproduces them bit-for-bit; the two cosines are single
+    * IEEE divisions of identical integers (the q38 discipline).
+    *
+    * Scale shape: the per-dimension stats are one partial-aggregated
+    * pass collected as DIM rows (a bounded driver literal, the CMS
+    * posture); pairs form only within blocks — the exact-eval shape,
+    * run over an audit sample at 100 TB exactly like [[recallAtK]]'s
+    * probe bound. One pair materialization carries both precisions.
+    */
+  def sq8Recall(df: DataFrame, idCol: String, vecCol: String,
+                blockCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Caches.persistTracked(
+      prepared(df, idCol, vecCol, Seq(blockCol)))
+    val stats = base.select(posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy("d").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy("d").collect()
+    if (stats.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0).as(blockCol),
+          lit(0L).as("nn_exact"), lit(0.0).as("cos_exact"),
+          lit(0L).as("nn_sq8"), lit(0.0).as("cos_sq8"),
+          lit(false).as("agree")).limit(0)
+    val mins = typedLit(stats.map(_.getLong(1)).toSeq)
+    val spans = typedLit(stats.map(r =>
+      math.max(r.getLong(2) - r.getLong(1), 1L)).toSeq)
+    def mn(i: Column) = element_at(mins, (i + 1).cast("int"))
+    def sp(i: Column) = element_at(spans, (i + 1).cast("int"))
+    val recon = transform(col("q"), (x, i) =>
+      mn(i) + floor(floor((x - mn(i)) * 255 / sp(i)) * sp(i) / 255))
+    val wr = base.withColumn("r", recon)
+      .withColumn("rnorm2", dotQ(col("r"), col("r")))
+    val pairs = wr.as("x").join(wr.as("y"),
+      col(s"x.$blockCol") === col(s"y.$blockCol") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosineQ(col("x.q"), col("y.q"), col("x.norm2"), col("y.norm2"))
+          .as("cos_exact"),
+        cosineQ(col("x.r"), col("y.r"), col("x.rnorm2"), col("y.rnorm2"))
+          .as("cos_sq8"))
+    val sym = pairs.select(col("a").as("vec_id"), col("b").as("nn_id"),
+        col("cos_exact"), col("cos_sq8"))
+      .unionByName(pairs.select(col("b").as("vec_id"), col("a").as("nn_id"),
+        col("cos_exact"), col("cos_sq8")))
+    val wE = Window.partitionBy("vec_id")
+      .orderBy(col("cos_exact").desc, col("nn_id").asc)
+    val wS = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sq8").desc, col("nn_id").asc)
+    val best = sym
+      .withColumn("re", row_number().over(wE))
+      .withColumn("rs", row_number().over(wS))
+      .groupBy("vec_id")
+      .agg(max(when(col("re") === 1, col("nn_id"))).as("nn_exact"),
+        max(when(col("re") === 1, round(col("cos_exact"), 6)))
+          .as("cos_exact"),
+        max(when(col("rs") === 1, col("nn_id"))).as("nn_sq8"),
+        max(when(col("rs") === 1, round(col("cos_sq8"), 6)))
+          .as("cos_sq8"))
+    base.select(col("vec_id"), col(blockCol))
+      .join(best, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col(blockCol),
+        col("nn_exact"), col("cos_exact"), col("nn_sq8"), col("cos_sq8"),
+        (col("nn_exact") <=> col("nn_sq8")).as("agree"))
+      .orderBy("vec_id")
+  }
+
   /** Coarse IVF centroids: per-block integer sum vectors (cosine against
     * a sum vector ≡ cosine against the mean — scale invariant, and exact
     * in int arithmetic). Output is the broadcast-sized index table

@@ -65,4 +65,38 @@ class ApproxTwinSpec extends AnyFunSuite {
         s"$cell approx=$a exact=$n tolerance=$tol")
     }
   }
+
+  test("q126 SQ8: reconstruction error bounded by span/255 per dim, " +
+    "identical vectors always agree, cosines stay bracketed") {
+    import spark.implicits._
+    // deterministic synthetic vectors in two blocks; rows 1/2 and 4/5
+    // are IDENTICAL pairs — under ANY quantizer an identical pair has
+    // cosine 1.0 in both precisions and must be its twin's top-1 in
+    // both (agree = true by construction)
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => (((seed * 31 + i * 7) % 200) - 100) / 50.0f)
+    val rows = Seq(
+      (1L, vec(3), 0), (2L, vec(3), 0), (3L, vec(9), 0),
+      (4L, vec(5), 1), (5L, vec(5), 1), (6L, vec(11), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.sq8Recall(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((a, b) <- Seq((1L, 2L), (2L, 1L), (4L, 5L), (5L, 4L))) {
+      assert(out(a).getAs[Long]("nn_exact") == b)
+      assert(out(a).getAs[Long]("nn_sq8") == b)
+      assert(out(a).getAs[Boolean]("agree"))
+      assert(out(a).getAs[Double]("cos_exact") == 1.0)
+      assert(out(a).getAs[Double]("cos_sq8") == 1.0)
+    }
+    // the SQ8 cosine of every reported top-1 stays inside a loose
+    // bracket of the exact one: per-dim reconstruction error ≤
+    // span/255 + 1 milliunits, which for these unit-ish vectors keeps
+    // |Δcos| well under 0.05 — a quantizer bug (wrong span, off-by-one
+    // scale) blows far past this
+    for ((_, r) <- out) {
+      val d = math.abs(r.getAs[Double]("cos_exact") -
+        r.getAs[Double]("cos_sq8"))
+      assert(d < 0.05, s"cosine drifted $d under SQ8")
+    }
+  }
 }
