@@ -407,7 +407,15 @@ object LlmQueries {
     "q99_exact_indexed" -> (q99ExactIndexed _),
     "q126_sq8_recall" -> ((s, d) =>
       Similarity.sq8Recall(Tables.embeddings(s, d), "vec_id",
-        "embedding", "label")))
+        "embedding", "label")),
+    // the 4% eval slice (q94's membership convention) screened against
+    // the training side in EMBEDDING space; threshold 0.2 sits inside
+    // the synthetic corpus's nearest-cos spread so BOTH verdict
+    // outcomes appear in the gated output (a real embedding model runs
+    // this at ~0.9+)
+    "q127_semantic_decontam" -> ((s, d) =>
+      Similarity.semanticDecontaminate(Tables.embeddings(s, d), "vec_id",
+        "embedding", col("vec_id") % 25 === 0, threshold = 0.2)))
 
   private val shingleBase =
     """base AS (
@@ -532,7 +540,39 @@ object LlmQueries {
          |SELECT n.vec_id, n.label, nn_exact, cos_exact, nn_sq8, cos_sq8,
          |  nn_exact IS NOT DISTINCT FROM nn_sq8 AS agree
          |FROM n2 n LEFT JOIN best USING (vec_id)
-         |ORDER BY n.vec_id""".stripMargin)
+         |ORDER BY n.vec_id""".stripMargin,
+    // asymmetric eval-vs-training screen over the shared hyperplane
+    // signature — edit cosSigCte together with q54/q96
+    "q127_semantic_decontam" ->
+      s"""WITH $embBase,
+         |$cosSigCte,
+         |ev AS (SELECT vec_id AS eval_id, q AS eq, norm2 AS en2, bucket
+         |       FROM sig WHERE vec_id % 25 = 0),
+         |tr AS (SELECT vec_id, q, norm2, bucket FROM sig
+         |       WHERE vec_id % 25 <> 0),
+         |cand AS (
+         |  SELECT ev.eval_id, tr.vec_id AS train_id,
+         |    CAST(list_sum([ev.eq[i]*tr.q[i] for i in range(1, 65)])
+         |      AS BIGINT) / (sqrt(ev.en2) * sqrt(tr.norm2)) AS cosine
+         |  FROM tr JOIN ev ON tr.bucket = ev.bucket),
+         |rk AS (
+         |  SELECT eval_id, train_id, cosine,
+         |    row_number() OVER (PARTITION BY eval_id
+         |      ORDER BY cosine DESC, train_id ASC) AS rn
+         |  FROM cand),
+         |best AS (
+         |  SELECT eval_id, CAST(count(*) AS BIGINT) AS n_candidates,
+         |    max(CASE WHEN rn = 1 THEN train_id END) AS nearest_train,
+         |    max(CASE WHEN rn = 1 THEN round(cosine, 6) END)
+         |      AS nearest_cos
+         |  FROM rk GROUP BY 1)
+         |SELECT s.vec_id AS eval_id, s.bucket,
+         |  coalesce(n_candidates, 0) AS n_candidates,
+         |  nearest_train, nearest_cos,
+         |  coalesce(nearest_cos >= 0.2, false) AS contaminated
+         |FROM sig s LEFT JOIN best ON s.vec_id = best.eval_id
+         |WHERE s.vec_id % 25 = 0
+         |ORDER BY eval_id""".stripMargin)
 
   private lazy val baseOracle: Map[String, String] = Map(
     "q31_dedup_exact" ->
@@ -1109,7 +1149,10 @@ object LlmQueries {
     * `Similarity.hyperplaneBucket` + `lshCosinePairsFrom`; edit
     * together. Expects [[embBase]]'s `n2` CTE upstream.
     */
-  private lazy val cosBucketPairCtes: String =
+  /** The hyperplane-signature CTE alone (q127's asymmetric screen
+    * joins eval against corpus on it without the symmetric pair stage).
+    */
+  private lazy val cosSigCte: String =
     """sig AS (
       |  SELECT vec_id, q, norm2,
       |    CAST(list_sum([
@@ -1118,13 +1161,16 @@ object LlmQueries {
       |          for i in range(1,65)]) > 0
       |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
       |      for j in range(0,16)]) AS BIGINT) AS bucket
-      |  FROM n2),
-      |pairs AS (
-      |  SELECT x.vec_id AS a, y.vec_id AS b,
-      |    CAST(list_sum([x.q[i]*y.q[i] for i in range(1, 65)]) AS BIGINT)
-      |      / (sqrt(x.norm2) * sqrt(y.norm2)) AS cosine
-      |  FROM sig x JOIN sig y
-      |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
+      |  FROM n2)""".stripMargin
+
+  private lazy val cosBucketPairCtes: String =
+    s"""$cosSigCte,
+       |pairs AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    CAST(list_sum([x.q[i]*y.q[i] for i in range(1, 65)]) AS BIGINT)
+       |      / (sqrt(x.norm2) * sqrt(y.norm2)) AS cosine
+       |  FROM sig x JOIN sig y
+       |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
 
   /** Winnowed-fingerprint CTEs (char-8-gram md5 hashes → window-16
     * minima selection) shared by the q76 containment and q94

@@ -171,6 +171,69 @@ object Similarity {
                                 blockCol: String): DataFrame =
     lshNN(df, idCol, vecCol, Seq(blockCol))
 
+  /** SEMANTIC decontamination screen — the embedding-space twin of the
+    * n-gram [[graft.TextOps.decontaminate]] (q94): every EVAL vector
+    * (the benchmark suite's embeddings) is checked for a
+    * cosine-≥-`threshold` neighbor inside the TRAINING side, so
+    * paraphrased leakage that shares no verbatim n-grams still
+    * surfaces. Candidates form only where eval and training share a
+    * hyperplane bucket ([[hyperplaneBucket]] — identical constants to
+    * the q54/q96 family, so recall characteristics carry over); every
+    * candidate is verified with the exact integer cosine; every eval
+    * vector keeps a row (n_candidates 0 when its bucket holds no
+    * training vector).
+    *
+    * Scale shape, q94's asymmetry: the eval side is SMALL by
+    * definition (a benchmark suite), so it broadcasts — size-GATED
+    * like q94's print index: when the estimated eval payload exceeds
+    * `maxBroadcastBytes` the screen falls back to the identical plain
+    * bucket join (bit-equal answer, one corpus shuffle). The corpus
+    * side never shuffles before the join in broadcast mode; the
+    * post-join aggregate carries candidate pairs only
+    * (collision-governed, not |corpus|).
+    */
+  def semanticDecontaminate(df: DataFrame, idCol: String, vecCol: String,
+                            isEval: Column, threshold: Double = 0.25,
+                            maxBroadcastBytes: Long = 64L << 20)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Caches.persistTracked(
+      bucketed(df, idCol, vecCol, Nil).withColumn("is_eval", isEval))
+    val evalRows = base.filter(col("is_eval"))
+      .select(col("vec_id").as("eval_id"), col("q").as("eq"),
+        col("norm2").as("en2"), col("bucket"))
+    // ~8B per quantized element + id/norm/bucket overhead
+    val estBytes = base.filter(col("is_eval")).count() * (64L * 8 + 48)
+    val evalSide =
+      if (estBytes <= maxBroadcastBytes) broadcast(evalRows) else evalRows
+    val cand = base.filter(!col("is_eval"))
+      .join(evalSide, Seq("bucket"))
+      .select(col("eval_id"), col("vec_id").as("train_id"),
+        cosineQ(col("eq"), col("q"), col("en2"), col("norm2"))
+          .as("cosine"))
+    val w = Window.partitionBy("eval_id")
+      .orderBy(col("cosine").desc, col("train_id").asc)
+    val best = cand.withColumn("rn", row_number().over(w))
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        max(when(col("rn") === 1, col("train_id"))).as("nearest_train"),
+        max(when(col("rn") === 1, round(col("cosine"), 6)))
+          .as("nearest_cos"))
+    // `best` is ≤ |eval| rows by construction — broadcast it under the
+    // same size gate (post-aggregate stats are unknown to the planner,
+    // which would otherwise plan a two-sided SMJ for two small frames)
+    val bestSide = if (estBytes <= maxBroadcastBytes) broadcast(best) else best
+    base.filter(col("is_eval"))
+      .select(col("vec_id").as("eval_id"), col("bucket"))
+      .join(bestSide, Seq("eval_id"), "left_outer")
+      .select(col("eval_id"), col("bucket"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("nearest_train"), col("nearest_cos"),
+        coalesce(col("nearest_cos") >= threshold, lit(false))
+          .as("contaminated"))
+      .orderBy("eval_id")
+  }
+
   /** SEMANTIC duplicate clusters: connected components over the
     * LSH-banded verified-cosine pairs at `threshold` — the
     * embedding-space member of the dedup-cluster family (q69 jaccard,

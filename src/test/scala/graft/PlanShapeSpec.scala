@@ -156,6 +156,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q94 shuffles the corpus for a broadcast-size eval index:\n$p")
   }
 
+  test("q127: the eval embedding side broadcasts — the training corpus " +
+    "never shuffles to meet it (q94's posture in embedding space)") {
+    val p = plan("q127_semantic_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q127 eval side stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q127 shuffles the corpus for a broadcast-size eval slice:\n$p")
+  }
+
   test("q114: SCD2's two windows ride ONE (key) hash exchange") {
     val p = plan("q114_scd2_history")
     // change-detect lag + interval-close lead both partition on the key:
