@@ -1143,14 +1143,10 @@ object LlmQueries {
         |WHERE d.doc_id % 5 = 4
         |ORDER BY d.doc_id""".stripMargin))
 
-  /** Unblocked hyperplane-bucket cosine CTEs (16-bit LCG signature →
-    * bucket-collision candidates → exact quantized cosine) shared by
-    * the q54 nearest-neighbor and q96 cluster oracles — mirrors
-    * `Similarity.hyperplaneBucket` + `lshCosinePairsFrom`; edit
-    * together. Expects [[embBase]]'s `n2` CTE upstream.
-    */
   /** The hyperplane-signature CTE alone (q127's asymmetric screen
-    * joins eval against corpus on it without the symmetric pair stage).
+    * joins eval against corpus on it without the symmetric pair stage)
+    * — mirrors `Similarity.hyperplaneBucket`; edit together. Expects
+    * [[embBase]]'s `n2` CTE upstream.
     */
   private lazy val cosSigCte: String =
     """sig AS (
@@ -1163,6 +1159,11 @@ object LlmQueries {
       |      for j in range(0,16)]) AS BIGINT) AS bucket
       |  FROM n2)""".stripMargin
 
+  /** Unblocked hyperplane-bucket cosine CTEs ([[cosSigCte]] →
+    * bucket-collision candidates → exact quantized cosine) shared by
+    * the q54 nearest-neighbor and q96 cluster oracles — mirrors
+    * `Similarity.lshCosinePairsFrom`; edit together.
+    */
   private lazy val cosBucketPairCtes: String =
     s"""$cosSigCte,
        |pairs AS (

@@ -202,8 +202,13 @@ object Similarity {
     val evalRows = base.filter(col("is_eval"))
       .select(col("vec_id").as("eval_id"), col("q").as("eq"),
         col("norm2").as("en2"), col("bucket"))
-    // ~8B per quantized element + id/norm/bucket overhead
-    val estBytes = base.filter(col("is_eval")).count() * (64L * 8 + 48)
+    // size the gate from the ACTUAL eval payload (8 B per quantized
+    // element + per-row id/norm/bucket overhead) — a hardcoded
+    // dimension would under-gate wide embeddings into a driver OOM
+    val est = base.filter(col("is_eval"))
+      .agg(count(lit(1)), coalesce(sum(size(col("q"))), lit(0)))
+      .head()
+    val estBytes = est.getLong(1) * 8L + est.getLong(0) * 48L
     val evalSide =
       if (estBytes <= maxBroadcastBytes) broadcast(evalRows) else evalRows
     val cand = base.filter(!col("is_eval"))
@@ -326,11 +331,15 @@ object Similarity {
       .groupBy("d").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       .orderBy("d").collect()
     if (stats.isEmpty)
-      return df.sparkSession.emptyDataFrame
-        .select(lit(0L).as("vec_id"), lit(0).as(blockCol),
-          lit(0L).as("nn_exact"), lit(0.0).as("cos_exact"),
-          lit(0L).as("nn_sq8"), lit(0.0).as("cos_sq8"),
-          lit(false).as("agree")).limit(0)
+      // empty input: derive the empty frame FROM base so blockCol keeps
+      // the caller's type (a fabricated lit(0) would pin IntegerType
+      // and break a later union against the non-empty path's schema)
+      return base.select(col("vec_id"), col(blockCol)).limit(0)
+        .withColumn("nn_exact", lit(null).cast("long"))
+        .withColumn("cos_exact", lit(null).cast("double"))
+        .withColumn("nn_sq8", lit(null).cast("long"))
+        .withColumn("cos_sq8", lit(null).cast("double"))
+        .withColumn("agree", lit(true))
     val mins = typedLit(stats.map(_.getLong(1)).toSeq)
     val spans = typedLit(stats.map(r =>
       math.max(r.getLong(2) - r.getLong(1), 1L)).toSeq)
