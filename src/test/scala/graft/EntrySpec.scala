@@ -28,6 +28,19 @@ class EntrySpec extends AnyFunSuite {
       .forall(k => !SparkEntry.queries.contains(k)))
   }
 
+  test("registry/oracle alignment: every query carries oracle SQL, no " +
+    "orphan oracles, numbering gap-free") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    // a missing oracle silently downgrades the driver gate to a
+    // rows-only check — make the omission loud instead
+    assert((q -- o).isEmpty, s"queries without oracles: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+    val nums = q.map(_.drop(1).takeWhile(_.isDigit).toInt)
+    assert(nums == (1 to nums.max).toSet,
+      s"query numbering has gaps: missing ${(1 to nums.max).toSet -- nums}")
+  }
+
   test("entry returns non-empty summary") {
     val rows = SparkEntry.entry(SparkTestSession.spark).collect()
     assert(rows.nonEmpty)
