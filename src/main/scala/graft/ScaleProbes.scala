@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
   *    on the MERGE full-outer (the one fact-to-fact shuffle in the ETL
   *    path): a planted hot url on the incoming side vs the same run
   *    with skewJoin disabled.
+  *  - `semdecon-ab [nCorpus]` — q127's eval-broadcast vs forced
+  *    shuffle-fallback A/B at a synthetic corpus 200× the sf0.1
+  *    embeddings table.
   */
 object ScaleProbes {
 
@@ -486,6 +489,39 @@ object ScaleProbes {
           f"aqe_split_fired=false hot_merge_min3_sec=$hotSec%.2f " +
           f"contract_deduped_min3_sec=$dedupSec%.2f " +
           f"dedup_speedup=${hotSec / dedupSec}%.2fx")
+
+      case "semdecon-ab" =>
+        // q127's asymmetry, measured at scale the 2k-vector sf0.1
+        // table can't show: the 4% eval side broadcasts (zero corpus
+        // shuffle before the bucket join) vs the size-gate's fallback
+        // arm (maxBroadcastBytes=0 forces the plain shuffled join).
+        // Both arms are bit-equal by construction — asserted both
+        // directions before timing, the bloom-ab discipline.
+        val nCorpus = args.lift(1).map(_.toLong).getOrElse(400000L)
+        val emb = spark.range(nCorpus).select(col("id").as("vec_id"),
+          array((0 until 64).map { i =>
+            (((col("id") * 2654435761L + i * 40503L) % 1000003L) % 200L
+              - 100L).cast("float") / lit(50.0f)
+          }: _*).as("embedding"))
+        val isEval = col("vec_id") % 25 === 0
+        def run(gate: Long): org.apache.spark.sql.DataFrame =
+          Similarity.semanticDecontaminate(emb, "vec_id", "embedding",
+            isEval, threshold = 0.2, maxBroadcastBytes = gate)
+        def noopW(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val missing = run(64L << 20).exceptAll(run(0L)).count()
+        val extra = run(0L).exceptAll(run(64L << 20)).count()
+        Caches.clear()
+        require(missing == 0 && extra == 0,
+          s"fallback arm diverged: $missing missing, $extra extra rows")
+        noopW(run(64L << 20)); Caches.clear() // warm
+        val bcast = minOf3(noopW(run(64L << 20)))
+        noopW(run(0L)); Caches.clear() // warm
+        val shuffled = minOf3(noopW(run(0L)))
+        println(f"[probe] semdecon-ab: corpus=$nCorpus " +
+          f"broadcast_min3_sec=$bcast%.2f " +
+          f"shuffle_fallback_min3_sec=$shuffled%.2f " +
+          f"broadcast_speedup=${shuffled / bcast}%.2fx")
 
       case "bloom-ab" =>
         // the law behind q104: at real ingest asymmetry (standing
