@@ -203,7 +203,8 @@ object CorpusQueries {
     "q124_bpe_encode" -> (Bpe.q124BpeEncode _),
     "q125_langid_trigram" -> ((s, d) =>
       CorpusOps.langIdTrigram(Tables.documents(s, d), "doc_id", "text",
-        "lang")))
+        "lang")),
+    "q128_bpe_packing" -> (q128BpePacking _))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -233,6 +234,23 @@ object CorpusQueries {
       .filter(col("user_id").between(10, 40) &&
         col("hour_epoch") < 1705276800L) // first half of January
       .orderBy("event_id")
+  }
+
+  /** q128: the tokenizer and the packing planner COMPOSED — sequence
+    * packing driven by the REAL per-doc token counts of the learned
+    * BPE encoder (q124's counts) instead of q93's whitespace stand-in.
+    * The two-level prefix sum is unchanged
+    * ([[graft.TextOps.sequencePackingByCount]]); what this gates is
+    * that the pipeline's stages actually fit together: tokenizer
+    * counts in, trainer-sequence plan out, end to end against one
+    * oracle re-deriving both.
+    */
+  private def q128BpePacking(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.select(col("doc_id"), col("lang"))
+      .join(Bpe.tokenCounts(docs, "doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    TextOps.sequencePackingByCount(counts)
   }
 
   val oracle: Map[String, String] = Map(
@@ -610,6 +628,9 @@ object CorpusQueries {
         |    ORDER BY pos)) AS ids_hash
         |FROM ex LEFT JOIN v USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // BPE-aware packing: the encode chain's counts through q93's
+    // packing arithmetic — see Bpe.oraclePackingSql
+    "q128_bpe_packing" -> Bpe.oraclePackingSql,
     // the Cavnar–Trenkle trigram classifier: integer rank profiles and
     // out-of-place distances re-derived end-to-end (the q53 posture —
     // the gate pins the math, not accuracy on the synthetic corpus)

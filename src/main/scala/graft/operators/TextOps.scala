@@ -1177,14 +1177,27 @@ object TextOps {
     */
   def sequencePacking(df: DataFrame, idCol: String, textCol: String,
                       langCol: String, budget: Long = 512,
-                      shardSize: Long = 100000): DataFrame = {
+                      shardSize: Long = 100000): DataFrame =
+    sequencePackingByCount(
+      df.select(col(idCol).cast("long").as("doc_id"),
+        col(langCol).as("lang"),
+        size(words(col(textCol))).cast("long").as("n_tokens")),
+      budget, shardSize)
+
+  /** [[sequencePacking]] over PRE-COMPUTED token counts — a
+    * (doc_id, lang, n_tokens) frame — so the planner can pack by the
+    * counts of a REAL tokenizer (q128 feeds it [[graft.Bpe]]'s encode
+    * counts) instead of the whitespace stand-in. Same two-level prefix
+    * sum; the count column is whatever the caller's tokenizer says.
+    */
+  def sequencePackingByCount(counts: DataFrame, budget: Long = 512,
+                             shardSize: Long = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, s"budget must be positive, got $budget")
     require(shardSize > 0, s"shardSize must be positive, got $shardSize")
     val base = Caches.persistTracked(
-      df.select(col(idCol).cast("long").as("doc_id"),
-        col(langCol).as("lang"),
-        size(words(col(textCol))).cast("long").as("n_tokens"))
+      counts.select(col("doc_id").cast("long").as("doc_id"),
+        col("lang"), col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("shard", expr(s"doc_id div ${shardSize}L")))
     val wLocal = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
