@@ -612,10 +612,14 @@ object ScaleProbes {
             merges = 12)))
           val lid = minOf3(noopW(CorpusOps.langIdTrigram(dl, "doc_id",
             "text", "lang")))
+          // the df-cap knob arm: hapax trigrams dropped map-side
+          val lidCap = minOf3(noopW(CorpusOps.langIdTrigram(dl, "doc_id",
+            "text", "lang", minDocGramCount = 2)))
           println(f"[probe] corpus-scale: docs=$n " +
             f"paragraph_dedup_min3_sec=$para%.2f " +
             f"bigram_lm_min3_sec=$lm%.2f vocab_encode_min3_sec=$voc%.2f " +
-            f"bpe_encode_min3_sec=$bpe%.2f langid_min3_sec=$lid%.2f")
+            f"bpe_encode_min3_sec=$bpe%.2f langid_min3_sec=$lid%.2f " +
+            f"langid_dfcap2_min3_sec=$lidCap%.2f")
         }
 
       case "zorder-ab" =>

@@ -521,18 +521,26 @@ object CorpusOps {
     * aggregates; no nested loop, no stage touching doc pairs.
     */
   def langIdTrigram(df: DataFrame, idCol: String, textCol: String,
-                    langCol: String, langK: Int = 50, docK: Int = 20)
-      : DataFrame = {
+                    langCol: String, langK: Int = 50, docK: Int = 20,
+                    minDocGramCount: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = lower(col(textCol))
     val grams = when(length(t) >= 3,
       transform(sequence(lit(1), length(t) - 2),
         i => t.substr(i, lit(3))))
       .otherwise(array().cast("array<string>"))
+    // `minDocGramCount` is the 100 TB knob SCALING.md's growth probe
+    // motivates: > 1 drops a doc's hapax trigrams right after the
+    // partial aggregate, shrinking the persisted (doc, gram) frame —
+    // the spill driver at the 400k-doc probe point — at the cost of a
+    // DIFFERENT (coarser but still deterministic) doc profile. The
+    // registered q125 keeps 1: its oracle re-derives the uncapped
+    // profile, and capping is a deployment trade, not a default.
     val occ = Caches.persistTracked(
       df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
           explode(grams).as("gram"))
-        .groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("n")))
+        .groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minDocGramCount))
     val wLang = Window.partitionBy("lang")
       .orderBy(col("n").desc, col("gram").asc)
     val langProf = occ.groupBy("lang", "gram").agg(sum(col("n")).as("n"))
