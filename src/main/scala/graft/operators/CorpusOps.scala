@@ -536,11 +536,12 @@ object CorpusOps {
     // DIFFERENT (coarser but still deterministic) doc profile. The
     // registered q125 keeps 1: its oracle re-derives the uncapped
     // profile, and capping is a deployment trade, not a default.
+    val counted = df.select(col(idCol).as("doc_id"),
+        col(langCol).as("lang"), explode(grams).as("gram"))
+      .groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("n"))
     val occ = Caches.persistTracked(
-      df.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
-          explode(grams).as("gram"))
-        .groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= minDocGramCount))
+      if (minDocGramCount > 1) counted.filter(col("n") >= minDocGramCount)
+      else counted) // counts are ≥ 1 — no vacuous filter in the plan
     val wLang = Window.partitionBy("lang")
       .orderBy(col("n").desc, col("gram").asc)
     val langProf = occ.groupBy("lang", "gram").agg(sum(col("n")).as("n"))
