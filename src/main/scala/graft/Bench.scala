@@ -79,6 +79,10 @@ object Bench {
       // subject; benching the registered form here makes the flagship
       // driver-visible instead of probe-only
       "q98_neardup_indexed", "q99_exact_indexed",
+      // round-14: the full delete/compact lifecycle (bootstrap + append
+      // + tombstone + three-table compaction + screen) — the takedown
+      // maintenance cost, driver-visible like the q98/q99 ingest cost
+      "q129_neardup_deleted", "q130_exact_deleted",
       // round-13 additions: synthesized-JPEG decode scan, BPE learn +
       // corpus encode
       "q122_jpeg_meta", "q123_bpe_merges", "q124_bpe_encode",

@@ -440,7 +440,10 @@ object ScaleProbes {
         val hotCopies = args.lift(2).map(_.toLong).getOrElse(200000L)
         val cur = EtlQueries.currentListings(spark, sfDir)
         val incBase = EtlQueries.incomingListings(spark, sfDir)
-        val hot = incBase.limit(1)
+        // deterministic seed row — limit(1) without an order is
+        // plan-dependent and made the planted-skew measurement
+        // unreproducible across runs/partitionings
+        val hot = incBase.orderBy("url").limit(1)
           .crossJoin(spark.range(hotCopies))
           .withColumn("url", lit("https://hot.example/listing-0"))
           .withColumn("source",

@@ -523,6 +523,12 @@ object CorpusOps {
   def langIdTrigram(df: DataFrame, idCol: String, textCol: String,
                     langCol: String, langK: Int = 50, docK: Int = 20,
                     minDocGramCount: Int = 1): DataFrame = {
+    // the dominance shortcut (scaladoc above) needs every matched gram's
+    // contribution |drank − lrank| ≤ langK − 1, which holds only when
+    // docK ≤ langK — enforce the precondition instead of assuming it
+    require(docK <= langK,
+      s"langIdTrigram needs docK ($docK) <= langK ($langK): the " +
+        "matched-only argmin's dominance argument breaks otherwise")
     import org.apache.spark.sql.expressions.Window
     val t = lower(col(textCol))
     val grams = when(length(t) >= 3,

@@ -223,6 +223,17 @@ object CorpusQueries {
     val path = "/tmp/graft_zorder_rt_" +
       d.replaceAll("[^A-Za-z0-9._-]", "_") +
       "_p" + ProcessHandle.current().pid()
+    // the returned frame reads this path LAZILY (Verify materializes it
+    // later), so deletion must outlive the query call: a JVM shutdown
+    // hook reclaims the directory — repeated harness runs no longer
+    // accumulate /tmp/graft_zorder_rt_* dirs unboundedly
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(new java.io.File(path))
+    }))
     // z-dims must fit zValue's bit budget: raw hour_epoch (~1.7e9,
     // 31 bits) would wrap every 2^20 s (~12 days) through the 20-bit
     // interleave and destroy the time clustering — feed the hour INDEX
@@ -641,7 +652,7 @@ object CorpusQueries {
         |      unnest(list_transform(
         |        generate_series(1, length(lower(text)) - 2),
         |        i -> substr(lower(text), i, 3))) AS gram
-        |    FROM documents WHERE length(text) >= 3)
+        |    FROM documents WHERE length(lower(text)) >= 3)
         |  GROUP BY 1, 2, 3),
         |lp AS (
         |  SELECT lang AS p_lang, gram, lrank FROM (

@@ -152,6 +152,47 @@ object LlmQueries {
       "doc_id", "text", "g99")
   }
 
+  /** The FULL standing-index lifecycle including the takedown and
+    * maintenance legs — bootstrap (doc_id % 5 in 0..2), append batch N
+    * (% 5 == 3), DELETE half of batch N (% 10 == 3 — a partial
+    * takedown, so surviving appended docs must still screen as known),
+    * COMPACT all three tables to one file per bucket, then screen
+    * batch N+1 (% 5 == 4). The oracle is the never-inserted-corpus
+    * answer: the standing side is exactly the live set
+    * (% 5 <= 2 OR % 10 == 8), so a tombstone that leaks (or a
+    * compaction that drops a live row) fails the hash gate.
+    */
+  def q129NeardupDeleted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    DedupIndex.write(docs.filter(col("doc_id") % 5 <= 2),
+      "doc_id", "text", "g129")
+    DedupIndex.append(docs.filter(col("doc_id") % 5 === 3),
+      "doc_id", "text", "g129")
+    DedupIndex.delete(docs.filter(col("doc_id") % 10 === 3),
+      "doc_id", "text", "g129")
+    DedupIndex.compact(s, "g129")
+    DedupIndex.screenNearDup(s, docs.filter(col("doc_id") % 5 === 4),
+      "doc_id", "text", "g129")
+  }
+
+  /** The exact-hash arm of the delete/compact lifecycle (q129's
+    * design note) — canonical ids must re-derive as the min over LIVE
+    * doc ids only: a deleted doc must neither be canonical nor count
+    * as known.
+    */
+  def q130ExactDeleted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    DedupIndex.write(docs.filter(col("doc_id") % 5 <= 2),
+      "doc_id", "text", "g130")
+    DedupIndex.append(docs.filter(col("doc_id") % 5 === 3),
+      "doc_id", "text", "g130")
+    DedupIndex.delete(docs.filter(col("doc_id") % 10 === 3),
+      "doc_id", "text", "g130")
+    DedupIndex.compact(s, "g130")
+    DedupIndex.screenExact(s, docs.filter(col("doc_id") % 5 === 4),
+      "doc_id", "text", "g130")
+  }
+
   /** Semantic (embedding-space) duplicate clusters at cosine ≥ 0.25 —
     * the threshold that exercises multi-member components on the
     * synthetic embeddings (their banded pairs top out near 0.35; a
@@ -405,6 +446,8 @@ object LlmQueries {
     "q97_incremental_exact" -> (q97IncrementalExact _),
     "q98_neardup_indexed" -> (q98NeardupIndexed _),
     "q99_exact_indexed" -> (q99ExactIndexed _),
+    "q129_neardup_deleted" -> (q129NeardupDeleted _),
+    "q130_exact_deleted" -> (q130ExactDeleted _),
     "q126_sq8_recall" -> ((s, d) =>
       Similarity.sq8Recall(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
@@ -488,6 +531,13 @@ object LlmQueries {
   val oracle: Map[String, String] = baseOracle ++ Map(
     "q98_neardup_indexed" -> baseOracle("q92_incremental_neardup"),
     "q99_exact_indexed" -> baseOracle("q97_incremental_exact"),
+    // the delete/compact lifecycle gates (q129/q130): the oracle's
+    // standing side is the post-takedown LIVE membership — the index
+    // must answer as if the deleted docs were never inserted
+    "q129_neardup_deleted" ->
+      neardupScreenSql("y.doc_id % 5 <= 2 OR y.doc_id % 10 = 8"),
+    "q130_exact_deleted" ->
+      exactScreenSql("doc_id % 5 <= 2 OR doc_id % 10 = 8"),
     // SQ8 quantization fidelity: codes/reconstructions are positive
     // integer floor-divisions (// here, exact double-div+floor in the
     // engine — quotients sit ≥ 1/span from any integer, far above one
@@ -1012,41 +1062,7 @@ object LlmQueries {
          |  FROM documents)
          |WHERE sample_rank <= 40
          |ORDER BY lang, sample_rank""".stripMargin),
-    "q92_incremental_neardup" -> (
-      s"""WITH $shingleBase,
-         |$lshSigBandCtes,
-         |-- ASYMMETRIC probe: the 20% new batch against the 80%
-         |-- standing corpus only — mirrors TextOps.incrementalNearDup
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id,
-         |    x.hs AS sa, y.hs AS sb
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.key = y.key
-         |  WHERE x.doc_id % 5 = 4 AND y.doc_id % 5 <> 4
-         |    AND x.key IS NOT NULL),
-         |jac AS (
-         |  SELECT new_id, old_id,
-         |    len(list_intersect(sa, sb))
-         |      / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
-         |      AS jaccard
-         |  FROM cand),
-         |rk AS (
-         |  SELECT new_id, old_id, jaccard,
-         |    row_number() OVER (PARTITION BY new_id
-         |      ORDER BY jaccard DESC, old_id ASC) AS rn
-         |  FROM jac),
-         |best AS (
-         |  SELECT new_id, count(*) AS n_candidates,
-         |    max(CASE WHEN rn = 1 THEN jaccard END) AS best_jaccard,
-         |    max(CASE WHEN rn = 1 THEN old_id END) AS best_match
-         |  FROM rk GROUP BY 1)
-         |SELECT d.doc_id,
-         |  coalesce(b.n_candidates, 0) AS n_candidates,
-         |  b.best_jaccard, b.best_match,
-         |  coalesce(b.best_jaccard >= 0.8, false) AS is_dup
-         |FROM documents d LEFT JOIN best b ON d.doc_id = b.new_id
-         |WHERE d.doc_id % 5 = 4
-         |ORDER BY d.doc_id""".stripMargin),
+    "q92_incremental_neardup" -> neardupScreenSql("y.doc_id % 5 <> 4"),
     "q93_sequence_packing" -> (
       """WITH t AS (
         |  SELECT doc_id, lang,
@@ -1132,16 +1148,65 @@ object LlmQueries {
          |FROM embeddings e LEFT JOIN reach r ON r.src = e.vec_id
          |GROUP BY e.vec_id
          |ORDER BY e.vec_id""".stripMargin),
-    "q97_incremental_exact" -> (
-      """WITH old_canon AS (
-        |  SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id
-        |  FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1)
-        |SELECT d.doc_id, md5(d.text) AS content_hash, o.canonical_id,
-        |  o.canonical_id IS NOT NULL AS is_known
-        |FROM documents d LEFT JOIN old_canon o
-        |  ON md5(d.text) = o.content_hash
-        |WHERE d.doc_id % 5 = 4
-        |ORDER BY d.doc_id""".stripMargin))
+    "q97_incremental_exact" -> exactScreenSql("doc_id % 5 <> 4"))
+
+  /** The asymmetric near-dup screen oracle (the 20% new batch probed
+    * against a standing corpus), parameterized by the standing-side
+    * membership predicate over `y.doc_id` — q92 passes "everything not
+    * in the new batch"; q129 passes the post-delete LIVE set, because a
+    * correctly tombstoned index must answer exactly as if the deleted
+    * docs were never inserted.
+    */
+  private def neardupScreenSql(oldPred: String): String =
+    s"""WITH $shingleBase,
+       |$lshSigBandCtes,
+       |-- ASYMMETRIC probe: the 20% new batch against the standing
+       |-- corpus only — mirrors TextOps.incrementalNearDup
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id,
+       |    x.hs AS sa, y.hs AS sb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key
+       |  WHERE x.doc_id % 5 = 4 AND ($oldPred)
+       |    AND x.key IS NOT NULL),
+       |jac AS (
+       |  SELECT new_id, old_id,
+       |    len(list_intersect(sa, sb))
+       |      / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+       |      AS jaccard
+       |  FROM cand),
+       |rk AS (
+       |  SELECT new_id, old_id, jaccard,
+       |    row_number() OVER (PARTITION BY new_id
+       |      ORDER BY jaccard DESC, old_id ASC) AS rn
+       |  FROM jac),
+       |best AS (
+       |  SELECT new_id, count(*) AS n_candidates,
+       |    max(CASE WHEN rn = 1 THEN jaccard END) AS best_jaccard,
+       |    max(CASE WHEN rn = 1 THEN old_id END) AS best_match
+       |  FROM rk GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(b.n_candidates, 0) AS n_candidates,
+       |  b.best_jaccard, b.best_match,
+       |  coalesce(b.best_jaccard >= 0.8, false) AS is_dup
+       |FROM documents d LEFT JOIN best b ON d.doc_id = b.new_id
+       |WHERE d.doc_id % 5 = 4
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The exact-hash screen oracle, parameterized the same way as
+    * [[neardupScreenSql]] (predicate over bare `doc_id`) — q97 vs
+    * q130's post-delete live set.
+    */
+  private def exactScreenSql(oldPred: String): String =
+    s"""WITH old_canon AS (
+       |  SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id
+       |  FROM documents WHERE $oldPred GROUP BY 1)
+       |SELECT d.doc_id, md5(d.text) AS content_hash, o.canonical_id,
+       |  o.canonical_id IS NOT NULL AS is_known
+       |FROM documents d LEFT JOIN old_canon o
+       |  ON md5(d.text) = o.content_hash
+       |WHERE d.doc_id % 5 = 4
+       |ORDER BY d.doc_id""".stripMargin
 
   /** The hyperplane-signature CTE alone (q127's asymmetric screen
     * joins eval against corpus on it without the symmetric pair stage)

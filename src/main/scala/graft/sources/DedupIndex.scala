@@ -13,20 +13,37 @@ import graft.{Caches, TextOps}
   *
   * Three bucketed tables per index (reference-analog: the monthly
   * re-crawl merge state, reid/pipelines/property.py:96-126, kept at
-  * corpus scale):
+  * corpus scale; the delete path is the analog of the reference's
+  * queue-driven delisting, api/routers/queue_routes.py:61-117, whose
+  * index rows are mutable — ours are immutable, so removal is a
+  * tombstone):
   *
-  *  - `<prefix>_bands`  (doc_id, band, key)   bucketed by (band, key)
-  *  - `<prefix>_shsets` (doc_id, shset)       bucketed by doc_id
-  *  - `<prefix>_hashes` (content_hash, doc_id) bucketed by content_hash
+  *  - `<prefix>_bands`  (doc_id, band, key, w)    bucketed by (band, key)
+  *  - `<prefix>_shsets` (doc_id, shset, w)        bucketed by doc_id
+  *  - `<prefix>_hashes` (content_hash, doc_id, w) bucketed by content_hash
   *
   * Bucketing IS the design: each screen join's corpus side reads
   * pre-partitioned on its join key, so the only Exchange in the probe
-  * plan is the increment's own (PlanShapeSpec pins this). The hash
-  * table is LOG-STRUCTURED — [[append]] is a pure row-append in every
-  * table (no read-modify-write, so appends never rewrite corpus data);
-  * [[screenExact]] re-derives the canonical id with an in-bucket
-  * `min(doc_id)` per hash, which is exchange-free because the groupBy
-  * key is the bucket key.
+  * plan is the increment's own (PlanShapeSpec pins this). All three
+  * tables are LOG-STRUCTURED with a weight column `w`: [[append]]
+  * writes the projection with w = +1 and [[delete]] re-projects the
+  * SAME rows with w = -1 (pure row-appends in every case — no
+  * read-modify-write, so ingest and takedown never rewrite corpus
+  * data). Every screen folds the log on read with an IN-BUCKET
+  * aggregate (`sum(w) > 0` grouped on keys that lead with the bucket
+  * key), so liveness filtering costs zero Exchange — the LSM-tree
+  * delete-tombstone discipline expressed as bucketed parquet.
+  *
+  * [[compact]] is the offline maintenance pass that keeps the log
+  * honest at 100 TB: a daily ingest adds one file per bucket per batch
+  * forever, so compaction periodically nets the log (dropping
+  * tombstone-cancelled rows entirely — the takedown/GDPR guarantee
+  * that deleted content eventually leaves disk, not just the query
+  * results) and rewrites each table to exactly one file per bucket.
+  * Screens are bit-equal before and after (DedupIndexSpec pins both
+  * the file count and the equality; q129/q130 gate the full
+  * bootstrap → append → delete → compact → screen lifecycle against
+  * the never-inserted-corpus oracle).
   *
   * Single-writer-batch posture, like [[Sinks.constrainedAppend]]:
   * concurrent appends would need a transactional table format.
@@ -43,59 +60,133 @@ object DedupIndex {
   private def shsets(prefix: String) = s"${prefix}_shsets"
   private def hashes(prefix: String) = s"${prefix}_hashes"
 
-  /** The per-increment hashing pass shared by [[write]] and [[append]]:
-    * one persisted projection feeds the band rows, the shingle-set rows
-    * and the content-hash rows, so a document is tokenized and hashed
-    * exactly once per ingest.
+  /** The per-increment hashing pass shared by [[write]], [[append]]
+    * and [[delete]]: one persisted projection feeds the band rows, the
+    * shingle-set rows and the content-hash rows, so a document is
+    * tokenized and hashed exactly once per ingest (and a takedown
+    * re-derives tombstones that match its insert bit-for-bit).
     */
-  private def project(docs: DataFrame, idCol: String, textCol: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private def project(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int): (DataFrame, DataFrame, DataFrame) = {
     val sh = Caches.persistTracked(docs.select(col(idCol).as("doc_id"),
       TextOps.hashedShingleSet(col(textCol)).as("shset"),
       md5(col(textCol)).as("content_hash")))
-    (TextOps.bandedKeys(sh.select("doc_id", "shset"), "doc_id"),
-      sh.select("doc_id", "shset"),
-      sh.select("content_hash", "doc_id"))
+    (TextOps.bandedKeys(sh.select("doc_id", "shset"), "doc_id")
+       .withColumn("w", lit(w)),
+      sh.select("doc_id", "shset").withColumn("w", lit(w)),
+      sh.select("content_hash", "doc_id").withColumn("w", lit(w)))
   }
 
   private def save(df: DataFrame, table: String, mode: String,
                    bucketCols: Seq[String]): Unit =
     Sinks.writeBucketed(df, table, bucketCols, Buckets, mode)
 
+  private def writeAll(docs: DataFrame, idCol: String, textCol: String,
+                       prefix: String, w: Int, mode: String): Unit = {
+    val (b, s, h) = project(docs, idCol, textCol, w)
+    save(b, bands(prefix), mode, Seq("band", "key"))
+    save(s, shsets(prefix), mode, Seq("doc_id"))
+    save(h, hashes(prefix), mode, Seq("content_hash"))
+  }
+
   /** (Re)build the standing index from a corpus snapshot — the one-time
     * bootstrap write ([[Sinks.writeBucketed]] purges any stale location
     * from a previous session). Steady state never calls this again:
-    * increments fold in via [[append]].
+    * increments fold in via [[append]], takedowns via [[delete]].
     */
   def write(docs: DataFrame, idCol: String, textCol: String,
-            prefix: String): Unit = {
-    val (b, s, h) = project(docs, idCol, textCol)
-    save(b, bands(prefix), "overwrite", Seq("band", "key"))
-    save(s, shsets(prefix), "overwrite", Seq("doc_id"))
-    save(h, hashes(prefix), "overwrite", Seq("content_hash"))
-  }
+            prefix: String): Unit =
+    writeAll(docs, idCol, textCol, prefix, w = 1, mode = "overwrite")
 
   /** Fold an accepted increment into the standing index. Appends only —
     * each batch adds one file per bucket and the corpus is never
     * rewritten; Spark unions bucket files at read, so the bucketed
-    * read-side guarantee survives any number of appends. (A compaction
-    * pass — rewrite a bucket's files into one — is an offline
-    * maintenance job, not part of the ingest loop.)
+    * read-side guarantee survives any number of appends. Run
+    * [[compact]] periodically to bound the accumulated file count.
     */
   def append(increment: DataFrame, idCol: String, textCol: String,
-             prefix: String): Unit = {
-    val (b, s, h) = project(increment, idCol, textCol)
-    save(b, bands(prefix), "append", Seq("band", "key"))
-    save(s, shsets(prefix), "append", Seq("doc_id"))
-    save(h, hashes(prefix), "append", Seq("content_hash"))
+             prefix: String): Unit =
+    writeAll(increment, idCol, textCol, prefix, w = 1, mode = "append")
+
+  /** Remove documents from the standing index — the takedown/GDPR path.
+    * The caller supplies the SAME (id, text) rows it inserted (a
+    * takedown batch reads them back from the corpus snapshot); the
+    * projection re-derives exactly the band/shingle/hash rows the
+    * insert wrote and appends them with w = -1, so every screen's
+    * in-bucket `sum(w) > 0` fold nets them to dead. Pure row-appends —
+    * a takedown is as cheap as an ingest and never touches corpus
+    * files; [[compact]] later reclaims the bytes.
+    */
+  def delete(docs: DataFrame, idCol: String, textCol: String,
+             prefix: String): Unit =
+    writeAll(docs, idCol, textCol, prefix, w = -1, mode = "append")
+
+  /** Net a log-structured table and rewrite it as ONE file per bucket,
+    * preserving the bucket spec — the offline compaction a log-append
+    * table needs on two axes at once: file count (one file per bucket
+    * per batch otherwise grows forever — the small-file explosion) and
+    * physical removal of tombstone-cancelled rows (deleted content
+    * leaves disk, not just the fold). The net aggregate groups on every
+    * data column — bucket key leading, so it runs IN-BUCKET over the
+    * bucketed read — and keeps any row with a nonzero net weight, which
+    * makes compaction semantics-free by construction: every screen
+    * folds `sum(w)` either way, so pre- and post-compaction answers are
+    * bit-equal even for histories this deployment never produces
+    * (double inserts, delete-before-insert).
+    *
+    * The rewrite goes through a temp table + catalog rename (read and
+    * write can't share a location): the explicit
+    * `repartition(Buckets, bucketKey)` pins partition-to-bucket
+    * alignment — repartition's hash IS the bucket hash — so each write
+    * task holds exactly one bucket and emits exactly one file.
+    */
+  private def compactTable(spark: SparkSession, table: String,
+                           bucketCols: Seq[String]): Unit = {
+    val df = spark.table(table)
+    val dataCols = df.columns.filterNot(_ == "w").toSeq
+    val net = df.groupBy(dataCols.map(col): _*)
+      .agg(sum(col("w")).cast("int").as("w"))
+      .filter(col("w") =!= 0)
+      .select(df.columns.toSeq.map(col): _*)
+      .repartition(Buckets, bucketCols.map(col): _*)
+    val tmp = table + "_compacting"
+    save(net, tmp, "overwrite", bucketCols)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table)
+    loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
+
+  /** Compact all three of an index's tables — see [[compactTable]]. */
+  def compact(spark: SparkSession, prefix: String): Unit = {
+    compactTable(spark, bands(prefix), Seq("band", "key"))
+    compactTable(spark, shsets(prefix), Seq("doc_id"))
+    compactTable(spark, hashes(prefix), Seq("content_hash"))
+  }
+
+  /** Live (tombstone-folded) view of a log-structured table: group on
+    * the data columns — bucket key leading — and keep net weight > 0.
+    * The grouping keys are a superset of the bucket key, so the
+    * aggregate satisfies its distribution from the bucketed read and
+    * plans ZERO Exchange; output partitioning stays on the bucket key,
+    * which is exactly what the downstream screen join needs.
+    */
+  private def live(spark: SparkSession, table: String,
+                   dataCols: Seq[String]): DataFrame =
+    spark.table(table)
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("w")).as("net"))
+      .filter(col("net") > 0)
+      .select(dataCols.map(col): _*)
 
   /** Screen a new batch against the standing index: banded-LSH
     * candidates from the index only, exact-Jaccard verify against the
     * stored shingle sets, best-match verdict at `threshold` — bit-equal
-    * to [[graft.TextOps.incrementalNearDup]] over the same membership
-    * split (the q98-vs-q92 gate). The increment is hashed here, once;
-    * the corpus side is only ever read.
+    * to [[graft.TextOps.incrementalNearDup]] over the same live
+    * membership (the q98-vs-q92 gate; q129 adds the delete leg). The
+    * increment is hashed here, once; the corpus side is only ever read,
+    * with the tombstone fold running inside its buckets.
     */
   def screenNearDup(spark: SparkSession, batch: DataFrame, idCol: String,
                     textCol: String, prefix: String,
@@ -103,21 +194,23 @@ object DedupIndex {
     val newSh = Caches.persistTracked(batch.select(col(idCol).as("doc_id"),
       TextOps.hashedShingleSet(col(textCol)).as("shset")))
     TextOps.incrementalNearDupProbe(
-      spark.table(bands(prefix)).select(col("doc_id").as("old_id"),
-        col("band"), col("key")),
-      spark.table(shsets(prefix)), newSh, threshold)
+      live(spark, bands(prefix), Seq("band", "key", "doc_id"))
+        .select(col("doc_id").as("old_id"), col("band"), col("key")),
+      live(spark, shsets(prefix), Seq("doc_id", "shset")),
+      newSh, threshold)
   }
 
   /** Screen a new batch against the standing hash table — bit-equal to
-    * [[graft.TextOps.incrementalExactDedup]] over the same membership
-    * split (the q99-vs-q97 gate). The canonical id is re-derived as an
-    * in-bucket `min(doc_id)` per hash over the log-structured table:
-    * both the aggregate and the probe join key on `content_hash`, the
-    * bucket key, so the corpus side plans zero Exchanges.
+    * [[graft.TextOps.incrementalExactDedup]] over the same live
+    * membership (the q99-vs-q97 gate; q130 adds the delete leg). The
+    * canonical id is re-derived as an in-bucket `min(doc_id)` per hash
+    * over the tombstone-folded table: the fold, the min aggregate and
+    * the probe join all key on `content_hash`, the bucket key, so the
+    * corpus side plans zero Exchanges.
     */
   def screenExact(spark: SparkSession, batch: DataFrame, idCol: String,
                   textCol: String, prefix: String): DataFrame = {
-    val oldCanon = spark.table(hashes(prefix))
+    val oldCanon = live(spark, hashes(prefix), Seq("content_hash", "doc_id"))
       .groupBy("content_hash").agg(min(col("doc_id")).as("canonical_id"))
     batch.select(col(idCol).as("doc_id"),
         md5(col(textCol)).as("content_hash"))

@@ -93,4 +93,98 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.length > DedupIndex.Buckets / 2,
       s"expected per-ingest bucket files, found ${files.length}")
   }
+
+  // ---------------------------------------- delete + compact lifecycle
+
+  /** bootstrap → append → delete HALF the appended batch: the live set
+    * the screens must answer for is % 5 <= 2 OR % 10 == 8 (the q129/
+    * q130 membership) — a partial takedown, so both the tombstoned and
+    * the surviving appended docs are exercised.
+    */
+  private val delPrefix = "tdel"
+  private lazy val deleted: Unit = {
+    val docs = Tables.documents(spark, d)
+    DedupIndex.write(docs.filter(col("doc_id") % 5 <= 2), "doc_id", "text",
+      delPrefix)
+    DedupIndex.append(docs.filter(col("doc_id") % 5 === 3), "doc_id",
+      "text", delPrefix)
+    DedupIndex.delete(docs.filter(col("doc_id") % 10 === 3), "doc_id",
+      "text", delPrefix)
+  }
+
+  /** The never-inserted-corpus twin: the snapshot operators run over
+    * ONLY the live docs plus the probe batch.
+    */
+  private def liveUnionBatch = Tables.documents(spark, d)
+    .filter(col("doc_id") % 5 <= 2 || col("doc_id") % 10 === 8 ||
+      col("doc_id") % 5 === 4)
+
+  test("delete tombstones: screens answer as if deleted docs were never " +
+      "inserted") {
+    deleted
+    assertSameRows(
+      DedupIndex.screenNearDup(spark, batch, "doc_id", "text", delPrefix),
+      TextOps.incrementalNearDup(liveUnionBatch, "doc_id", "text",
+        col("doc_id") % 5 === 4))
+    assertSameRows(
+      DedupIndex.screenExact(spark, batch, "doc_id", "text", delPrefix),
+      TextOps.incrementalExactDedup(liveUnionBatch, "doc_id", "text",
+        col("doc_id") % 5 === 4))
+  }
+
+  test("compact: one file per bucket, screens bit-equal before and after") {
+    deleted
+    val near0 = DedupIndex.screenNearDup(spark, batch, "doc_id", "text",
+      delPrefix).collect().toSeq
+    val exact0 = DedupIndex.screenExact(spark, batch, "doc_id", "text",
+      delPrefix).collect().toSeq
+    DedupIndex.compact(spark, delPrefix)
+    // three write generations (bootstrap, append, tombstones) collapse
+    // to exactly one file per bucket in every table
+    for (t <- Seq("bands", "shsets", "hashes")) {
+      val loc = new java.io.File(s"spark-warehouse/${delPrefix}_$t")
+      val files = loc.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == DedupIndex.Buckets,
+        s"${delPrefix}_$t: expected ${DedupIndex.Buckets} files " +
+          s"(one per bucket), found ${files.length}")
+    }
+    // tombstone-cancelled rows are physically GONE, not just folded:
+    // the compacted hash table holds exactly the live rows
+    val liveRows = Tables.documents(spark, d)
+      .filter(col("doc_id") % 5 <= 2 || col("doc_id") % 10 === 8)
+      .count()
+    assert(spark.table(s"${delPrefix}_hashes").count() == liveRows,
+      "compaction left non-live rows on disk")
+    val near1 = DedupIndex.screenNearDup(spark, batch, "doc_id", "text",
+      delPrefix).collect().toSeq
+    val exact1 = DedupIndex.screenExact(spark, batch, "doc_id", "text",
+      delPrefix).collect().toSeq
+    assert(near0.nonEmpty && near0 == near1,
+      "near-dup screen diverged across compaction")
+    assert(exact0.nonEmpty && exact0 == exact1,
+      "exact screen diverged across compaction")
+  }
+
+  test("compacted tables keep the bucket layout: screen plans stay " +
+      "corpus-side exchange-free") {
+    deleted
+    DedupIndex.compact(spark, delPrefix)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val near = DedupIndex.screenNearDup(spark, batch, "doc_id", "text",
+        delPrefix).queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(band".r
+        .findAllIn(near).size == 1,
+        s"post-compaction band probe corpus side shuffled:\n$near")
+      assert("Exchange hashpartitioning\\(old_id".r
+        .findAllIn(near).size == 1,
+        s"post-compaction verify corpus side shuffled:\n$near")
+      val exact = DedupIndex.screenExact(spark, batch, "doc_id", "text",
+        delPrefix).queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(content_hash".r
+        .findAllIn(exact).size == 1,
+        s"post-compaction exact screen corpus side shuffled:\n$exact")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }

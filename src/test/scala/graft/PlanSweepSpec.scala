@@ -45,6 +45,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q120_zorder_roundtrip" -> "ZOrderSpec (layout writer)",
     "q98_neardup_indexed" -> "DedupIndexSpec (bucketed index build; corpus-side zero-Exchange pinned there)",
     "q99_exact_indexed" -> "DedupIndexSpec (bucketed index build)",
+    "q129_neardup_deleted" -> "DedupIndexSpec (delete/compact lifecycle; post-compaction plan pinned there)",
+    "q130_exact_deleted" -> "DedupIndexSpec (delete/compact lifecycle)",
     "q69_dup_clusters" -> "ComponentsSpec (iterative pointer-jumping checkpoints)",
     "q53_region_ml" -> "StreamingAndMlSpec (model fit executes on construction)",
     "q100_streaming_asof_replay" -> "EventStreamsSpec (file-backed replay harness)",
