@@ -204,7 +204,11 @@ object CorpusQueries {
     "q125_langid_trigram" -> ((s, d) =>
       CorpusOps.langIdTrigram(Tables.documents(s, d), "doc_id", "text",
         "lang")),
-    "q128_bpe_packing" -> (q128BpePacking _))
+    "q128_bpe_packing" -> (q128BpePacking _),
+    "q131_late_windows_replay" ->
+      (graft.streaming.ReplayParity.q131LateWindowsReplay _),
+    "q132_late_asof_replay" ->
+      (graft.streaming.ReplayParity.q132LateAsofReplay _))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -373,6 +377,79 @@ object CorpusQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
         |    AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the LATE-DATA windowed gate: re-derive Spark's TWO-WATERMARK
+    // late-drop rule over the planted arrival permutation (event_id %
+    // 5 = 0 arrives one epoch-day late — ReplayParity.lateShiftedDay,
+    // edit together). Since the multi-stateful-operator rework
+    // (SPARK-24634, probed empirically on 4.1.2 — see
+    // q131LateWindowsReplay's scaladoc), the LATE-EVENT filter uses
+    // the PREVIOUS batch's watermark while EVICTION uses the current
+    // one: a row in the batch of arrival day A is dropped iff its
+    // hour-window END <= (max event time over arrival days at least
+    // TWO positions earlier in the day sequence) - 1 h. The one-batch
+    // lag also proves the GROUP BY shape safe: eviction leads the
+    // late filter by exactly one batch, so a window can never emit
+    // twice
+    "q131_late_windows_replay" ->
+      """WITH e AS (
+        |  SELECT event_id, ts, event_type, value,
+        |    epoch_us(ts) // 86400000000
+        |      + CASE WHEN event_id % 10 = 0 THEN 2
+        |             WHEN event_id % 10 = 5 THEN 1 ELSE 0 END AS aday
+        |  FROM events),
+        |dm AS (SELECT aday, max(epoch_us(ts)) AS day_max
+        |       FROM e GROUP BY 1),
+        |w AS (SELECT aday,
+        |        max(day_max) OVER (ORDER BY aday
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |          AS late_wm_base
+        |      FROM dm),
+        |surv AS (
+        |  SELECT e.ts, e.event_type, e.value
+        |  FROM e JOIN w USING (aday)
+        |  WHERE w.late_wm_base IS NULL
+        |     OR (epoch_us(e.ts) // 3600000000 + 1) * 3600000000
+        |        > w.late_wm_base - 3600000000)
+        |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+        |    AS hour_epoch,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_cents
+        |FROM surv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the LATE-DATA as-of gate: the bounded-state machine re-derived
+    // over the same planted permutation — per-user state after any
+    // processed view set is its (ts, event_id) maximum, so each
+    // click's held view is the max-(ts, id) view among views arrived
+    // before it (earlier arrival day, or same day with view_ts <=
+    // click_ts per the intra-batch (ts, side, id) sort); match iff
+    // held.ts <= click.ts — a late click that a newer view overtook
+    // reports NO match (the documented approximation)
+    "q132_late_asof_replay" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    epoch_us(ts) // 86400000000
+        |      + CASE WHEN event_id % 10 = 0 THEN 2
+        |             WHEN event_id % 10 = 5 THEN 1 ELSE 0 END AS aday
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS cts,
+        |        aday AS cday
+        |      FROM e WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, ts AS vts,
+        |        aday AS vday
+        |      FROM e WHERE event_type = 'view'),
+        |held AS (
+        |  SELECT click_id, view_id, vts,
+        |    row_number() OVER (PARTITION BY click_id
+        |      ORDER BY vts DESC, view_id DESC) AS rn
+        |  FROM c JOIN v USING (user_id)
+        |  WHERE v.vday < c.cday OR (v.vday = c.cday AND v.vts <= c.cts))
+        |SELECT c.click_id, c.user_id,
+        |  CASE WHEN h.vts <= c.cts THEN h.view_id END AS view_id,
+        |  CASE WHEN h.vts <= c.cts
+        |    THEN epoch_us(c.cts) - epoch_us(h.vts) END AS lag_us
+        |FROM c LEFT JOIN (SELECT * FROM held WHERE rn = 1) h
+        |  USING (click_id)
+        |ORDER BY click_id""".stripMargin,
     // each event lands in exactly two epoch-aligned sliding windows:
     // floor-to-30min and that minus 30min (Spark window() alignment)
     "q108_sliding_rates" ->

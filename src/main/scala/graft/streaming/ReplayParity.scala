@@ -41,22 +41,52 @@ object ReplayParity {
     */
   private val MtimeBaseMs = 1700000000000L
 
-  /** Write `slice` as ONE parquet file per epoch day of `ts` into a
-    * fresh directory, mtimes ascending in day order; returns the
-    * replay directory. Executor-side: `repartition(day)` lands each
-    * day in exactly one task, `partitionBy(day)` gives it one file; the
-    * driver only renames the bounded day listing into place. Equal
-    * timestamps share an epoch day by construction, so no file split
-    * — hence no micro-batch cut — can separate them
-    * (EventStreamsSpec pins this invariant).
+  /** The default ARRIVAL day: the event's own ts epoch-day — arrival
+    * order equals event-time order, the no-late precondition of the
+    * q100/q106/q112/q113 parity gates. The late-data gates (q131/q132)
+    * pass [[lateShiftedDay]] instead.
     */
-  private[graft] def writeDayFiles(slice: DataFrame): Path = {
+  private[graft] def tsDay: org.apache.spark.sql.Column =
+    expr("unix_micros(ts) div 86400000000")
+
+  /** Arrival day with PLANTED LATE EVENTS: every fifth event_id is
+    * late (sentinels excluded — they must stay the final batches), in
+    * two severities chosen around Spark's two-watermark rule so BOTH
+    * outcomes occur: `event_id % 10 == 5` arrives ONE day late (always
+    * survives the late filter — the filter watermark lags a full batch
+    * behind eviction, see q131's scaladoc) and `event_id % 10 == 0`
+    * arrives TWO days late (drops unless its window sits in the last
+    * watermark-delay sliver of its day). The moduli are the gates'
+    * determinism contract: the DuckDB oracles re-derive the same
+    * permutation, so engine and oracle agree on which rows are late —
+    * edit both together.
+    */
+  private[graft] def lateShiftedDay: org.apache.spark.sql.Column =
+    tsDay + when(col("event_type") === "_flush", lit(0L))
+      .when(pmod(col("event_id"), lit(10)) === 0, lit(2L))
+      .when(pmod(col("event_id"), lit(10)) === 5, lit(1L))
+      .otherwise(lit(0L))
+
+  /** Write `slice` as ONE parquet file per ARRIVAL day (`dayExpr`,
+    * default the ts epoch-day) into a fresh directory, mtimes
+    * ascending in day order; returns the replay directory.
+    * Executor-side: `repartition(day)` lands each day in exactly one
+    * task, `partitionBy(day)` gives it one file; the driver only
+    * renames the bounded day listing into place. Under the default
+    * dayExpr equal timestamps share an epoch day by construction, so
+    * no file split — hence no micro-batch cut — can separate them
+    * (EventStreamsSpec pins this invariant); the late-data gates
+    * deliberately break arrival-equals-event-time with
+    * [[lateShiftedDay]] and model the consequences in their oracles.
+    */
+  private[graft] def writeDayFiles(slice: DataFrame,
+      dayExpr: org.apache.spark.sql.Column = tsDay): Path = {
     val replayDir = Files.createTempDirectory("graft_replay_")
     val stage = Files.createTempDirectory("graft_replay_stage_")
     try {
       slice
-        // integer epoch-day (Column `/` would be double division)
-        .withColumn("g_day", expr("unix_micros(ts) div 86400000000"))
+        // integer epoch/arrival day (Column `/` would be double division)
+        .withColumn("g_day", dayExpr)
         .repartition(col("g_day"))
         .write.partitionBy("g_day").mode("overwrite")
         .parquet(stage.toString)
@@ -91,9 +121,11 @@ object ReplayParity {
     */
   private def replayThroughFiles(s: SparkSession, slice: DataFrame,
                                  sinkName: String,
-                                 build: DataFrame => DataFrame): DataFrame = {
+                                 build: DataFrame => DataFrame,
+                                 dayExpr: org.apache.spark.sql.Column = tsDay)
+      : DataFrame = {
     s.catalog.dropTempView(sinkName)
-    val replayDir = writeDayFiles(slice)
+    val replayDir = writeDayFiles(slice, dayExpr)
     try {
       val in = s.readStream.schema(slice.schema)
         .option("maxFilesPerTrigger", 1)
@@ -188,9 +220,73 @@ object ReplayParity {
       .orderBy("click_id", "view_id")
   }
 
+  /** q131: [[EventStreams.windowedCounts]] driven through a replay
+    * that PLANTS LATE ARRIVALS — every fifth event_id arrives one day
+    * after its event time ([[lateShiftedDay]]). This is the gate the
+    * parity replays (q106/q112) cannot provide: their arrival orders
+    * satisfy the no-late precondition by construction, so the
+    * watermark's DROP contract — the part that actually bites in
+    * production — was spec-only until this query.
+    *
+    * What the oracle re-derives (CorpusQueries q131): Spark's exact
+    * TWO-WATERMARK late-row rule, probed empirically on 4.1.2 (the
+    * multi-stateful-operator rework, SPARK-24634): EVICTION uses the
+    * current batch's watermark (max event time over all prior batches
+    * minus the 1 h delay — late rows count toward the max too, the
+    * stats collector sits upstream of the stateful operator's filter),
+    * while the LATE-EVENT filter uses the PREVIOUS batch's watermark.
+    * So an input row is dropped iff its hour-window END ≤ the
+    * watermark as of TWO batches back — one-day-late rows from day D
+    * survive (the filter watermark lags inside day D−1 when their
+    * batch processes) and merge into still-open or just-reopened
+    * state, while two-days-late rows drop. The lag also guarantees a
+    * window never emits twice: eviction leads the filter by exactly
+    * one batch, so anything late enough to find its window evicted is
+    * already filtered. The gated output exercises BOTH outcomes
+    * (planted rows that survive AND a drop regime), which is what
+    * makes this a real gate rather than an all-dropped/none-dropped
+    * tautology.
+    */
+  def q131LateWindowsReplay(s: SparkSession, d: String): DataFrame =
+    windowedReplay(s, d, slide = None, sinkName = "g_q131_replay",
+      epochCol = "hour_epoch", dayExpr = lateShiftedDay)
+
+  /** q132: [[EventStreams.streamingAsOf]] driven through the SAME
+    * late-planted arrival permutation — gates the operator's
+    * documented bounded-state approximation on out-of-order arrivals:
+    * a click processed after a NEWER view replaced its true match
+    * reports no match (state never attributes backwards in time).
+    *
+    * The oracle re-derives the state machine exactly: per-user state
+    * after any set of processed views is their (ts, event_id) MAXIMUM
+    * (replace-if-bigger over any order is order-independent), so each
+    * click's held view is the max-(ts, id) view among views arrived
+    * before it — cross-batch (earlier arrival day) or same-batch with
+    * view_ts ≤ click_ts (the (ts, side, id) intra-batch sort processes
+    * equal-ts views first). Match iff held.ts ≤ click.ts. Late VIEWS
+    * produce misses (their clicks processed a batch earlier), late
+    * CLICKS produce no-match rows where a newer view intervened —
+    * both appear in the gated output.
+    */
+  def q132LateAsofReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    replayThroughFiles(s, slice, "g_q132_replay",
+      in => EventStreams.streamingAsOf(
+        in.as[EventStreams.TypedEvent]).toDF(),
+      dayExpr = lateShiftedDay)
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        col("lag_us"))
+      .orderBy("click_id")
+  }
+
   private def windowedReplay(s: SparkSession, d: String,
                              slide: Option[String], sinkName: String,
-                             epochCol: String): DataFrame = {
+                             epochCol: String,
+                             dayExpr: org.apache.spark.sql.Column = tsDay)
+      : DataFrame = {
     import s.implicits._
     val slice = Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -210,7 +306,7 @@ object ReplayParity {
         slice.unionByName(sentinels)
       }
     replayThroughFiles(s, withSentinels, sinkName,
-      in => EventStreams.windowedCounts(in, slide = slide))
+      in => EventStreams.windowedCounts(in, slide = slide), dayExpr)
       .filter(col("event_type") =!= "_flush")
       .select(unix_timestamp(col("window_start")).as(epochCol),
         col("event_type"), col("n"),

@@ -519,4 +519,97 @@ class EventStreamsSpec extends AnyFunSuite {
       dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
     }
   }
+
+  test("late replay: Spark's two-watermark rule — one-day-late rows " +
+    "merge, two-day-late rows drop, no window emits twice") {
+    import spark.implicits._
+    def t(day: Int, hour: Int, min: Int) = new Timestamp(
+      1704067200000L + (day.toLong * 86400 + hour * 3600 + min * 60) * 1000L)
+    // event_id % 10 == 5 → one day late; % 10 == 0 → two days late
+    // (ReplayParity.lateShiftedDay's permutation). The two-day-late row
+    // 20 targets window [01:00, 02:00) of day 0, which batch 2's late
+    // filter (watermark from TWO batches back = day-0 max 23:30 − 1 h)
+    // rejects; the one-day-late row 5 targets [03:00, 04:00) — its
+    // filter watermark is still epoch 0 when day 1's batch runs, so it
+    // merges even though that window is long past the EVICTION
+    // watermark; late row 15 from day 0's last hour also merges.
+    val rows = Seq(
+      (1L, t(0, 1, 0), "view", 1.0),
+      (2L, t(0, 23, 30), "view", 1.0),  // day-0 max event time
+      (5L, t(0, 3, 0), "view", 1.0),    // 1 day late: KEPT
+      (15L, t(0, 23, 15), "view", 1.0), // 1 day late, last hour: KEPT
+      (3L, t(1, 1, 0), "view", 1.0),
+      (20L, t(0, 1, 30), "view", 1.0),  // 2 days late: DROPPED
+      (4L, t(2, 1, 0), "view", 1.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val maxMs = t(2, 1, 0).getTime
+    val sent = Seq(
+      (-1L, new Timestamp(maxMs + 86400000L), "_flush", 0.0),
+      (-2L, new Timestamp(maxMs + 2 * 86400000L), "_flush", 0.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val dir = graft.streaming.ReplayParity.writeDayFiles(
+      rows.unionByName(sent), graft.streaming.ReplayParity.lateShiftedDay)
+    spark.catalog.dropTempView("g_latereplay_t")
+    try {
+      val in = spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val q = EventStreams.windowedCounts(in).writeStream
+        .format("memory").queryName("g_latereplay_t")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = spark.table("g_latereplay_t")
+        .filter(col("event_type") =!= "_flush")
+        .select(col("window_start").cast("string"), col("n"))
+        .as[(String, Long)].collect().toSeq.sorted
+      assert(out == Seq(
+        ("2024-01-01 01:00:00", 1L), // row 20 dropped — count stays 1
+        ("2024-01-01 03:00:00", 1L), // row 5 merged despite closed window
+        ("2024-01-01 23:00:00", 2L), // rows 2 + 15 (late) together
+        ("2024-01-02 01:00:00", 1L),
+        ("2024-01-03 01:00:00", 1L)),
+        s"two-watermark late semantics diverged: $out")
+      // append-mode safety: no window emitted twice
+      assert(out.map(_._1).distinct.size == out.size)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_latereplay_t")
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
+  test("late replay: a late click overtaken by a newer view reports " +
+    "no match (bounded-state as-of contract)") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.TypedEvent
+    // click 10 (ts day0 12:00) arrives TWO days late (id % 10 == 0);
+    // by then user 9's state holds view 3 from day 1 (newer than the
+    // click) — the engine never attributes backwards, so the click
+    // reports no match even though view 1 was its true batch answer.
+    // Click 4 (on time, day 2) still matches the newest view 3.
+    val events = Seq(
+      TypedEvent(1L, 9L, ts("2024-03-01 10:00:00"), "view"),
+      TypedEvent(10L, 9L, ts("2024-03-01 12:00:00"), "click"), // 2d late
+      TypedEvent(3L, 9L, ts("2024-03-02 10:00:00"), "view"),
+      TypedEvent(4L, 9L, ts("2024-03-03 09:00:00"), "click"))
+    val dir = graft.streaming.ReplayParity.writeDayFiles(
+      events.toDF().select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type")),
+      graft.streaming.ReplayParity.lateShiftedDay)
+    spark.catalog.dropTempView("g_lateasof_t")
+    try {
+      val in = spark.readStream.schema(events.toDF().schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val q = EventStreams.streamingAsOf(in.as[TypedEvent]).writeStream
+        .format("memory").queryName("g_lateasof_t")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = spark.table("g_lateasof_t")
+        .as[(Long, Long, Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(out(10L).isEmpty, "late click must report no match")
+      assert(out(4L).contains(3L), "on-time click matches newest view")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_lateasof_t")
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
 }

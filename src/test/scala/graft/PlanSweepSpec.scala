@@ -53,6 +53,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q106_streaming_windows_replay" -> "EventStreamsSpec (file-backed replay harness)",
     "q112_streaming_sliding_replay" -> "EventStreamsSpec (file-backed replay harness)",
     "q113_streaming_interval_join" -> "EventStreamsSpec (file-backed replay harness)",
+    "q131_late_windows_replay" -> "EventStreamsSpec (late-planted replay harness)",
+    "q132_late_asof_replay" -> "EventStreamsSpec (late-planted replay harness)",
     // q123's returned frame is a driver-local merge table (toDF of the
     // learned rules) — a LocalTableScan can never contain the swept
     // shapes, so sweeping it would pay the learning job to assert
