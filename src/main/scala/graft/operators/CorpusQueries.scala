@@ -263,7 +263,8 @@ object CorpusQueries {
   private def q128BpePacking(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val counts = docs.select(col("doc_id"), col("lang"))
-      .join(Bpe.tokenCounts(docs, "doc_id", "text"), Seq("doc_id"))
+      .join(Bpe.tokenCounts(docs, "doc_id", "text",
+        prebuilt = Some(Bpe.mergeTable(s, d))), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_tokens"))
     TextOps.sequencePackingByCount(counts)
   }

@@ -86,4 +86,42 @@ class BpeSpec extends AnyFunSuite {
     val hand = Bpe.learn(Seq(("top", 3L), ("zz", 3L)), merges = 4)
     assert(m == hand)
   }
+
+  test("build/apply split: encode from the persisted merge table is " +
+    "bit-equal to learning inline, and the table is authoritative") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the bat and the cat"),
+      (3L, "mat bat rat the the")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe_spec_").toString
+    try {
+      Bpe.buildMerges(docs, "doc_id", "text", path, merges = 6)
+      val prebuilt = spark.read.parquet(path)
+      // the persisted artifact IS q123's table
+      assert(prebuilt.orderBy("rank").collect().toSeq ==
+        Bpe.learnFromCorpus(docs, "text", merges = 6)
+          .map(m => org.apache.spark.sql.Row(
+            m.rank.toLong, m.left, m.right, m.count)).toSeq)
+      // apply-from-prebuilt ≡ learn-inline, bit for bit
+      val inline = Bpe.encodeCorpus(docs, "doc_id", "text", merges = 6)
+        .collect().toSeq
+      val applied = Bpe.encodeCorpus(docs, "doc_id", "text", merges = 6,
+        prebuilt = Some(prebuilt)).collect().toSeq
+      assert(inline.nonEmpty && inline == applied)
+      // the table is AUTHORITATIVE — a handcrafted single-rule table
+      // drives the encode (proves the apply path never re-learns):
+      // under rule (t, h) alone, "the" → "th e </w>" = 3 tokens
+      val custom = Seq((1L, "t", "h", 99L))
+        .toDF("rank", "pair_left", "pair_right", "pair_count")
+      val one = Bpe.encodeCorpus(
+        Seq((7L, "the")).toDF("doc_id", "text"), "doc_id", "text",
+        prebuilt = Some(custom)).collect().head
+      assert(one.getLong(2) == 3L, s"custom rule not applied: $one")
+    } finally {
+      val f = new java.io.File(path)
+      Option(f.listFiles()).foreach(_.foreach(_.delete())); f.delete()
+    }
+  }
 }
