@@ -80,6 +80,14 @@ object Udfs {
   val decodeJpeg: UserDefinedFunction =
     udf(graft.Multimodal.decodeJpegHeader _)
 
+  /** Perceptual 64-bit dHash over an uncompressed-BMP payload; null
+    * for undecodable/unsupported containers. Kernel:
+    * [[graft.Multimodal.bmpDHash]] (pixel decode + integer box-average
+    * grid + adjacent-cell comparisons).
+    */
+  val bmpPhash: UserDefinedFunction =
+    udf(graft.Multimodal.bmpDHash _)
+
   /** Register the fixed-arity UDFs for spark.sql use. */
   def register(spark: SparkSession, asOfYear: Int): Unit = {
     spark.udf.register("graft_to_number", toNumber)

@@ -147,6 +147,69 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q133: PIXEL-level image dedup under a full driver gate — the q122
+    * fixture discipline applied to content instead of metadata. Four
+    * deterministic 9×8 24-bpp BMP variants per doc_id group
+    * (g = doc_id div 4) are SYNTHESIZED as genuine BMP byte streams
+    * (base image; +1 uniform brightness — a perceptual dup whose bytes
+    * differ everywhere, so exact/content-hash dedup misses it and the
+    * dHash must report hamming 0; three leftmost-column pixels forced
+    * to invert their horizontal comparison — exactly hamming 3, the
+    * banding's pigeonhole edge; and an independently-seeded distinct
+    * image), then fed through [[graft.Multimodal.imagePhashDedup]] —
+    * real decode, real banded near-dup. The oracle re-derives every
+    * hash ARITHMETICALLY from the pixel formulas (integer comparisons
+    * and powers of two) and forms pairs by exact hamming ≤ 3, which
+    * equals the engine's banded candidate set by pigeonhole — so a
+    * decoder offset bug, a grid/average slip, or a banding regression
+    * all break the hash gate. The 9-wide × 8-tall fixture makes the
+    * dHash grid the identity map; LlmOpsSpec separately pins the
+    * box-average downscale on a 2× upscaled twin.
+    */
+  def q133ImagePhashDedup(s: SparkSession, d: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    val v = pmod(col("doc_id"), lit(4))
+    // quadratic mixes, NOT linear ramps: adjacent-column differences of
+    // a linear formula are constant, which makes every group's
+    // comparison pattern (hence hash) near-identical — the first cut of
+    // this fixture had n_dups ≈ 197/doc from cross-group hash
+    // collisions. (g + 7r + 13c)² scrambles the comparisons per group
+    // while staying exact small-integer math in both engines
+    def base(r: Int, c: Int) = {
+      val m = g + lit(r * 7 + c * 13)
+      lit(1) + pmod(g * 31 + m * m, lit(254))
+    }
+    def alt(r: Int, c: Int) = {
+      val m = g * 3 + lit(r * 11 + c * 17 + 7)
+      lit(1) + pmod(g * 53 + m * m + lit(137), lit(254))
+    }
+    def pix(r: Int, c: Int): org.apache.spark.sql.Column = {
+      val b = base(r, c)
+      val flipped = if (c == 0 && r <= 2) {
+        val b1 = base(r, 1)
+        when(base(r, 0) > b1, b1 - 1).otherwise(b1 + 1)
+      } else b
+      when(v === 0, b).when(v === 1, b + 1)
+        .when(v === 2, flipped).otherwise(alt(r, c))
+    }
+    def hb(x: org.apache.spark.sql.Column) = lpad(hex(x), 2, "0")
+    // 14-byte file header ("BM", size 278, data offset 54) + 40-byte
+    // BITMAPINFOHEADER (9×8, 1 plane, 24 bpp, uncompressed), all
+    // little-endian literals; then 8 stored rows BOTTOM-UP, each 9 BGR
+    // gray triples + 1 pad byte (27 → 28)
+    val header = lit("424D1601000000000000360000002800000009000000" +
+      "080000000100180000000000E000000000000000000000000000000000000000")
+    val rows = (7 to 0 by -1).map { r => // stored bottom-up
+      concat((0 until 9).map { c =>
+        val p = hb(pix(r, c)); concat(p, p, p)
+      } :+ lit("00"): _*)
+    }
+    val content = unhex(concat(header +: rows: _*))
+    Multimodal.imagePhashDedup(
+      Tables.documents(s, d).select(col("doc_id"), content.as("content")))
+      .orderBy("doc_id")
+  }
+
   def q109UrlDedup(s: SparkSession, d: String): DataFrame =
     CorpusOps.urlCanonicalize(urlAugmented(Tables.documents(s, d)),
       "doc_id", "url")
@@ -199,6 +262,7 @@ object CorpusQueries {
     "q121_vocab_encode" -> ((s, d) =>
       CorpusOps.vocabEncode(Tables.documents(s, d), "doc_id", "text")),
     "q122_jpeg_meta" -> (q122JpegMeta _),
+    "q133_image_phash_dedup" -> (q133ImagePhashDedup _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
     "q124_bpe_encode" -> (Bpe.q124BpeEncode _),
     "q125_langid_trigram" -> ((s, d) =>
@@ -786,6 +850,69 @@ object CorpusQueries {
         |    THEN CAST(72 + doc_id % 200 AS INT) END AS x_density,
         |  CASE WHEN doc_id % 5 <= 1 THEN CAST(96 AS INT) END AS y_density
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // pixel-level BMP dedup: every hash re-derived from the fixture's
+    // pixel formulas (q133ImagePhashDedup scaladoc — edit together);
+    // all-pairs hamming <= 3 equals the engine's banded candidate set
+    // by pigeonhole. Powers of two accumulate in HUGEINT then wrap to
+    // the engine's two's-complement long (BIGINT << 63 would overflow)
+    "q133_image_phash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, r, c,
+        |    CASE
+        |      WHEN v = 3 THEN 1 + (g*53
+        |        + (g*3 + r*11 + c*17 + 7)*(g*3 + r*11 + c*17 + 7)
+        |        + 137) % 254
+        |      WHEN v = 2 AND c = 0 AND r <= 2 THEN
+        |        CASE WHEN 1 + (g*31 + (g + r*7)*(g + r*7)) % 254
+        |                  > 1 + (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
+        |             THEN (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
+        |             ELSE 2 + (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
+        |             END
+        |      WHEN v = 1 THEN 2 + (g*31
+        |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254
+        |      ELSE 1 + (g*31
+        |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254 END AS pv
+        |  FROM d, range(8) t1(r), range(9) t2(c)),
+        |bits AS (
+        |  SELECT a.doc_id, a.r*8 + a.c AS b,
+        |    CASE WHEN a.pv > x.pv THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px x ON a.doc_id = x.doc_id AND a.r = x.r
+        |    AND x.c = a.c + 1
+        |  WHERE a.c <= 7),
+        |hsum AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN bit = 1
+        |        THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
+        |        ELSE CAST(0 AS HUGEINT) END) AS s
+        |  FROM bits GROUP BY 1),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CAST(s - CASE WHEN s >= CAST(1 AS HUGEINT) << 63
+        |      THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT)
+        |      AS phash
+        |  FROM hsum),
+        |pairs AS (
+        |  SELECT x.doc_id AS pa, y.doc_id AS pb,
+        |    bit_count(xor(x.phash, y.phash)) AS hamming
+        |  FROM hs x JOIN hs y ON x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+        |sym AS (SELECT pa AS doc_id, pb AS partner, hamming FROM pairs
+        |        UNION ALL SELECT pb, pa, hamming FROM pairs),
+        |rk AS (SELECT doc_id, partner, hamming,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY hamming, partner) AS rn
+        |       FROM sym),
+        |best AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+        |        max(CASE WHEN rn = 1 THEN partner END) AS best_partner,
+        |        max(CASE WHEN rn = 1 THEN hamming END) AS best_hamming
+        |        FROM rk GROUP BY 1)
+        |SELECT h.doc_id, h.phash,
+        |  coalesce(n_dups, 0) AS n_dups, best_partner, best_hamming
+        |FROM hs h LEFT JOIN best USING (doc_id)
+        |ORDER BY h.doc_id""".stripMargin,
     "q107_top_ngrams" ->
       """WITH t AS (
         |  SELECT lang, string_split_regex(trim(text), '\s+') AS w

@@ -429,6 +429,134 @@ object Multimodal {
       when(col("media_type") === "image",
         graft.functions.Udfs.decodeImg(col("content"))))
 
+  // ------------------------------------------ pixel-level (BMP) dedup
+
+  /** REAL pixel decode for the one container whose pixels need no
+    * codec: uncompressed 24-bpp BMP. Returns the grayscale matrix
+    * (rows top-down, `gray = (r + g + b) / 3` integer division) or
+    * None for anything malformed/unsupported — the decodeBmpHeader
+    * posture extended to the pixel array: BMP rows are stored
+    * bottom-up (top-down when the declared height is negative) and
+    * padded to 4-byte boundaries; the pixel-array offset is the
+    * file-header's declared one. This upgrades multimodal coverage
+    * from metadata to CONTENT for the format where that is honestly
+    * possible in pure JVM; JPEG/PNG pixels stay behind the documented
+    * codec stubs.
+    */
+  def decodeBmpGray(bytes: Array[Byte]): Option[Array[Array[Int]]] = {
+    val meta = decodeBmpHeader(bytes) match {
+      case Some(m) if m.bits_per_pixel == 24 => m
+      case _ => return None
+    }
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    val dataOff = le32(10)
+    val (w, h) = (meta.width, meta.height)
+    // sanity beyond the header gate: the declared pixel array must fit
+    val rowBytes = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (dataOff < 26 || dataOff.toLong + rowBytes.toLong * h > bytes.length)
+      return None
+    val topDown = le32(22) < 0 // negative height = rows stored top-down
+    val out = Array.ofDim[Int](h, w)
+    var r = 0
+    while (r < h) {
+      val srcRow = if (topDown) r else h - 1 - r
+      val base = dataOff + srcRow * rowBytes
+      var c = 0
+      while (c < w) {
+        val o = base + c * 3 // BGR order
+        out(r)(c) = ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) +
+          (bytes(o + 2) & 0xff)) / 3
+        c += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** 64-bit difference hash (dHash) over a grayscale matrix — the
+    * standard perceptual fingerprint for image near-dup at corpus
+    * scale: integer box-average the image onto a 9-wide × 8-tall grid
+    * (cell (r, c) covers rows [r·H/8, (r+1)·H/8), cols [c·W/9,
+    * (c+1)·W/9) — identity when the input is already 9×8), then bit
+    * r·8+c = 1 iff cell(r, c) > cell(r, c+1). Every step is integer
+    * arithmetic (sums, floor divisions, comparisons), so the q133
+    * oracle re-derives hashes bit-for-bit, and the invariances a
+    * perceptual hash exists for hold exactly: uniform brightness
+    * shifts preserve every comparison, and block-constant upscales
+    * box-average back to the same grid (LlmOpsSpec pins both).
+    */
+  def dHash64(gray: Array[Array[Int]]): Option[Long] = {
+    val h = gray.length
+    if (h < 8 || gray(0).length < 9) return None
+    val w = gray(0).length
+    val cell = Array.ofDim[Long](8, 9)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val (r0, r1) = (r * h / 8, (r + 1) * h / 8)
+        val (c0, c1) = (c * w / 9, (c + 1) * w / 9)
+        var s = 0L
+        var i = r0
+        while (i < r1) {
+          var j = c0
+          while (j < c1) { s += gray(i)(j); j += 1 }
+          i += 1
+        }
+        cell(r)(c) = s / ((r1 - r0).toLong * (c1 - c0))
+        c += 1
+      }
+      r += 1
+    }
+    var hash = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cell(r)(c) > cell(r)(c + 1)) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    Some(hash)
+  }
+
+  /** [[decodeBmpGray]] ∘ [[dHash64]] — the one-call kernel the q133
+    * query and its UDF wrap. */
+  def bmpDHash(bytes: Array[Byte]): Option[Long] =
+    decodeBmpGray(bytes).flatMap(dHash64)
+
+  /** Perceptual-hash near-dup over a media frame carrying BMP
+    * payloads: dHash per image ([[bmpDHash]]; undecodable payloads
+    * keep a row with a null hash and no candidates), then the SAME
+    * banded hamming pipeline as the text SimHash family — the 64-bit
+    * prints band into 4×16-bit keys via
+    * [[graft.TextOps.hammingBandedPairs]] (pigeonhole-exact for
+    * hamming ≤ 3), so pair count is collision-governed, never n².
+    * Output mirrors simhashNearDup: (doc_id, phash, n_dups,
+    * best_partner, best_hamming).
+    */
+  def imagePhashDedup(media: DataFrame, idCol: String = "doc_id",
+                      contentCol: String = "content",
+                      maxHamming: Int = 3): DataFrame = {
+    val sim = Caches.persistTracked(media
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Udfs.bmpPhash(col(contentCol)).as("simhash")))
+    val ham = TextOps.hammingBandedPairs(sim.filter(col("simhash").isNotNull),
+      nBands = 4, bandBits = 16, maxHamming)
+    val sym = TextOps.symmetrize(ham, "doc_id", "partner", "hamming")
+    val best = sym.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dups"),
+        min(struct(col("hamming"), col("partner"))).as("m"))
+    sim.join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("simhash").as("phash"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("m.partner").as("best_partner"),
+        col("m.hamming").as("best_hamming"))
+  }
+
   /** Frame-sampling stub for video: emit one row per sampled frame index —
     * the explode shape a real frame extractor produces. Sampling every
     * `stride`th frame of a fake frame count derived from n_bytes.

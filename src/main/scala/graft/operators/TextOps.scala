@@ -591,19 +591,42 @@ object TextOps {
                                         textCol: String, maxHamming: Int)
       : (DataFrame, DataFrame) = {
     val sim = Caches.persistTracked(simhash56Df(df, idCol, textCol))
-    // The 8-byte fingerprint RIDES THROUGH the band shuffle: the verify
-    // value arrives with the candidate pair, so there is no join back to
-    // the corpus for sa/sb — at scale that's one wide-ish exchange
-    // instead of two extra shuffled joins. (Contrast lshVerifiedPairs,
-    // where the carried value would be the whole shingle-set array —
-    // there the join-back is the cheaper side of the same trade.)
+    (sim, hammingBandedPairs(sim, nBands = 4, bandBits = 14, maxHamming))
+  }
+
+  /** The GENERIC hamming band-join over any (doc_id, simhash) frame —
+    * the banding core shared by the 56-bit text SimHash (4×14-bit
+    * keys) and the 64-bit image dHash (4×16-bit keys,
+    * [[graft.Multimodal]]): explode each fingerprint onto `nBands`
+    * band keys of `bandBits` low bits each, bucket-join on band
+    * equality, verify with exact Hamming (bit_count of xor — a
+    * primitive per pair). Pigeonhole gives EXACT recall for hamming ≤
+    * nBands − 1 (enforced): a pair differing in ≤ nBands − 1 bits
+    * cannot differ in every band, so banding is lossless at the
+    * default maxHamming = 3, and pair count is the bucket collision
+    * rate, never n².
+    *
+    * The 8-byte fingerprint RIDES THROUGH the band shuffle: the verify
+    * value arrives with the candidate pair, so there is no join back
+    * to the corpus for sa/sb — at scale that's one wide-ish exchange
+    * instead of two extra shuffled joins. (Contrast lshVerifiedPairs,
+    * where the carried value would be the whole shingle-set array —
+    * there the join-back is the cheaper side of the same trade.)
+    */
+  private[graft] def hammingBandedPairs(sim: DataFrame, nBands: Int,
+                                        bandBits: Int,
+                                        maxHamming: Int): DataFrame = {
+    require(maxHamming <= nBands - 1,
+      s"banding is lossless only for hamming <= ${nBands - 1}")
+    require(nBands * bandBits <= 64, "bands must tile one long")
     val banded = sim.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { j =>
+      explode(array((0 until nBands).map { j =>
         struct(lit(j).as("band"),
-          shiftright(col("simhash"), 14 * j).bitwiseAND(16383).as("key"))
+          shiftright(col("simhash"), bandBits * j)
+            .bitwiseAND((1L << bandBits) - 1).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
-    val ham = banded.as("x")
+    banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -611,7 +634,6 @@ object TextOps {
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming) // before distinct: shrink its input
       .distinct() // a pair can collide in several bands
-    (sim, ham)
   }
 
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,

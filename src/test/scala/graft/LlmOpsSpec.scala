@@ -686,4 +686,102 @@ class LlmOpsSpec extends AnyFunSuite {
     val out2 = Multimodal.decodePartitioned(pruned)
     assert(out2.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
   }
+
+  test("decodeBmpGray + dHash64 goldens: pixel exactness both storage " +
+    "orders, brightness/upscale invariance, distinct images differ") {
+    def bmp(pixels: Array[Array[Int]], topDown: Boolean = false)
+        : Array[Byte] = {
+      val h = pixels.length; val w = pixels(0).length
+      val rowBytes = ((w * 3 + 3) / 4) * 4
+      val size = 54 + rowBytes * h
+      val bb = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("BM".getBytes("US-ASCII")); bb.putInt(size); bb.putInt(0)
+      bb.putInt(54); bb.putInt(40); bb.putInt(w)
+      bb.putInt(if (topDown) -h else h)
+      bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(rowBytes * h)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      for (s <- 0 until h) {
+        val r = if (topDown) s else h - 1 - s
+        for (c <- 0 until w) {
+          val p = pixels(r)(c).toByte; bb.put(p); bb.put(p); bb.put(p)
+        }
+        for (_ <- w * 3 until rowBytes) bb.put(0.toByte)
+      }
+      bb.array()
+    }
+    // values ≤ 240 so the +10 brightness twin never clips
+    val px = Array.tabulate(8, 9)((r, c) => ((r * 29 + c * 53) * (r + c + 2)) % 240)
+    def rows(m: Array[Array[Int]]) = m.map(_.toSeq).toSeq
+    // pixel exactness: bottom-up (default) and top-down storage decode
+    // to the SAME image — the row-flip and 4-byte padding are right
+    assert(Multimodal.decodeBmpGray(bmp(px)).map(rows).contains(rows(px)))
+    assert(Multimodal.decodeBmpGray(bmp(px, topDown = true)).map(rows)
+      .contains(rows(px)))
+    val hBase = Multimodal.bmpDHash(bmp(px)).get
+    // perceptual invariance 1: uniform brightness shift preserves every
+    // adjacent-cell comparison → identical hash (exact dedup would miss
+    // this twin — its bytes differ everywhere)
+    val bright = px.map(_.map(_ + 10))
+    assert(Multimodal.bmpDHash(bmp(bright)).contains(hBase))
+    // perceptual invariance 2: a 2× block-constant upscale box-averages
+    // back to the same 9×8 grid → identical hash (the "resized twin")
+    val up = Array.tabulate(16, 18)((r, c) => px(r / 2)(c / 2))
+    assert(Multimodal.bmpDHash(bmp(up)).contains(hBase))
+    // distinct content hashes far apart — no false near-dup
+    val other = Array.tabulate(8, 9)((r, c) => ((r * 13 + c * 7) * (r * c + 3)) % 240)
+    val hOther = Multimodal.bmpDHash(bmp(other)).get
+    assert(java.lang.Long.bitCount(hBase ^ hOther) > 3,
+      s"distinct fixtures landed within hamming 3: $hBase vs $hOther")
+    // undecodable payloads: None, never exceptions
+    assert(Multimodal.bmpDHash(null).isEmpty)
+    assert(Multimodal.bmpDHash(bmp(px).take(60)).isEmpty) // truncated pixels
+    assert(Multimodal.bmpDHash("BM nope".getBytes).isEmpty)
+    // sub-grid images cannot carry a 9×8 hash
+    assert(Multimodal.dHash64(Array.tabulate(4, 4)((_, _) => 1)).isEmpty)
+  }
+
+  test("imagePhashDedup end-to-end: brightness twins pair at hamming 0, " +
+    "distinct images stay unpaired, undecodable rows keep null hashes") {
+    def bmp(seed: Int): Array[Byte] = {
+      val px = Array.tabulate(8, 9)((r, c) =>
+        ((r * 29 + c * 53 + seed) * (r + c + 2) + seed * seed) % 240)
+      val rowBytes = 28
+      val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("BM".getBytes("US-ASCII")); bb.putInt(54 + rowBytes * 8)
+      bb.putInt(0); bb.putInt(54); bb.putInt(40); bb.putInt(9); bb.putInt(8)
+      bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(rowBytes * 8)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      for (s <- 7 to 0 by -1) {
+        for (c <- 0 until 9) {
+          val p = px(s)(c).toByte; bb.put(p); bb.put(p); bb.put(p)
+        }
+        bb.put(0.toByte)
+      }
+      bb.array()
+    }
+    def brighten(b: Array[Byte]): Array[Byte] = {
+      val out = b.clone()
+      for (i <- 54 until out.length) // +5 on every channel byte (no clip)
+        if ((i - 54) % 28 < 27) out(i) = (out(i) + 5).toByte
+      out
+    }
+    val rows = spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(1L, "image", bmp(3)),
+      org.apache.spark.sql.Row(2L, "image", brighten(bmp(3))),
+      org.apache.spark.sql.Row(3L, "image", bmp(77)),
+      org.apache.spark.sql.Row(4L, "image", "not a bitmap".getBytes)))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.imagePhashDedup(media).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(1L)._1.isDefined && out(1L)._1 == out(2L)._1) // same hash
+    assert(out(1L)._2 == 1L && out(1L)._3.contains(2L))
+    assert(out(2L)._2 == 1L && out(2L)._3.contains(1L))
+    assert(out(3L)._2 == 0L, "distinct image must not pair")
+    assert(out(4L)._1.isEmpty && out(4L)._2 == 0L) // undecodable: null row
+    Caches.clear()
+  }
 }
