@@ -89,8 +89,9 @@ object Bench {
       "q125_langid_trigram", "q126_sq8_recall", "q127_semantic_decontam",
       "q128_bpe_packing",
       // round-14: synthesized-BMP pixel decode + dHash + banded
-      // hamming near-dup (the image-content dedup path)
-      "q133_image_phash_dedup",
+      // hamming near-dup (the image-content dedup path); IVF-PQ
+      // codebook/reconstruction fidelity gate
+      "q133_image_phash_dedup", "q134_pq_recall",
       // production-hash twins of the heaviest shingle scans (benchOnly)
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx")
     // excluded by design, like the q66/q67 sink roundtrips: q120 (the

@@ -451,6 +451,9 @@ object LlmQueries {
     "q126_sq8_recall" -> ((s, d) =>
       Similarity.sq8Recall(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q134_pq_recall" -> ((s, d) =>
+      Similarity.pqRecall(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label")),
     // the 4% eval slice (q94's membership convention) screened against
     // the training side in EMBEDDING space; threshold 0.2 sits inside
     // the synthetic corpus's nearest-cos spread so BOTH verdict
@@ -591,6 +594,84 @@ object LlmQueries {
          |  nn_exact IS NOT DISTINCT FROM nn_sq8 AS agree
          |FROM n2 n LEFT JOIN best USING (vec_id)
          |ORDER BY n.vec_id""".stripMargin,
+    // IVF-PQ fidelity: per-label floor-mean codebooks over 8 contiguous
+    // subspaces, integer-exact nearest-entry assignment (ties -> min
+    // code), reconstruction + dual-precision top-1 agreement — mirrors
+    // Similarity.pqRecall; edit together. Floor-mean: DuckDB's // and %
+    // TRUNCATE toward zero on negative sums (-748 // 63 = -11, caught
+    // by this gate) while the engine's (sum - pmod)/count FLOORS, so
+    // the oracle normalizes the remainder to non-negative first — the
+    // numerator becomes exactly divisible and // is then exact
+    "q134_pq_recall" ->
+      s"""WITH $embBase,
+         |ex AS (SELECT vec_id, label, unnest(q) AS v,
+         |         unnest(range(1, 65)) AS d
+         |       FROM n2),
+         |cb AS (SELECT label AS cl, d,
+         |         (CAST(sum(v) AS BIGINT)
+         |          - ((CAST(sum(v) AS BIGINT) % count(*)) + count(*))
+         |            % count(*)) // count(*) AS cv
+         |       FROM ex GROUP BY 1, 2),
+         |cbl AS (SELECT cl, list(cv ORDER BY d) AS cvec
+         |        FROM cb GROUP BY 1),
+         |ad AS (
+         |  SELECT n.vec_id, c.cl, s,
+         |    list_sum([(n.q[s*8+j] - c.cvec[s*8+j])
+         |              * (n.q[s*8+j] - c.cvec[s*8+j])
+         |              for j in range(1, 9)]) AS dist
+         |  FROM n2 n, cbl c, range(0, 8) t(s)),
+         |asg AS (
+         |  SELECT vec_id, s, cl FROM (
+         |    SELECT vec_id, s, cl,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |        ORDER BY dist, cl) AS rn
+         |    FROM ad)
+         |  WHERE rn = 1),
+         |rd AS (
+         |  SELECT a.vec_id, a.s*8 + j AS d, c.cvec[a.s*8 + j] AS rv
+         |  FROM asg a JOIN cbl c ON c.cl = a.cl, range(1, 9) t(j)),
+         |rl AS (SELECT vec_id, list(rv ORDER BY d) AS r
+         |       FROM rd GROUP BY 1),
+         |rr AS (
+         |  SELECT n.vec_id, n.label, n.q, n.norm2, r,
+         |    CAST(list_sum([r[i]*r[i] for i in range(1, 65)]) AS BIGINT)
+         |      AS rnorm2,
+         |    CAST(n.norm2
+         |      - 2 * list_sum([n.q[i]*r[i] for i in range(1, 65)])
+         |      + list_sum([r[i]*r[i] for i in range(1, 65)]) AS BIGINT)
+         |      AS recon_err2
+         |  FROM n2 n JOIN rl USING (vec_id)),
+         |p AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    CAST(list_sum([x.q[i]*y.q[i] for i in range(1, 65)])
+         |      AS BIGINT) / (sqrt(x.norm2) * sqrt(y.norm2)) AS cos_exact,
+         |    CAST(list_sum([x.r[i]*y.r[i] for i in range(1, 65)])
+         |      AS BIGINT) / (sqrt(x.rnorm2) * sqrt(y.rnorm2)) AS cos_pq
+         |  FROM rr x JOIN rr y
+         |    ON x.label = y.label AND x.vec_id < y.vec_id),
+         |sym AS (
+         |  SELECT a AS vec_id, b AS nn_id, cos_exact, cos_pq FROM p
+         |  UNION ALL SELECT b, a, cos_exact, cos_pq FROM p),
+         |rk AS (
+         |  SELECT vec_id, nn_id, cos_exact, cos_pq,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_exact DESC, nn_id ASC) AS re,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_pq DESC, nn_id ASC) AS rs
+         |  FROM sym),
+         |best AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN re = 1 THEN nn_id END) AS nn_exact,
+         |    max(CASE WHEN re = 1 THEN round(cos_exact, 6) END)
+         |      AS cos_exact,
+         |    max(CASE WHEN rs = 1 THEN nn_id END) AS nn_pq,
+         |    max(CASE WHEN rs = 1 THEN round(cos_pq, 6) END) AS cos_pq
+         |  FROM rk GROUP BY vec_id)
+         |SELECT v.vec_id, v.label, v.recon_err2,
+         |  nn_exact, cos_exact, nn_pq, cos_pq,
+         |  nn_exact IS NOT DISTINCT FROM nn_pq AS agree
+         |FROM rr v LEFT JOIN best USING (vec_id)
+         |ORDER BY v.vec_id""".stripMargin,
     // asymmetric eval-vs-training screen over the shared hyperplane
     // signature — edit cosSigCte together with q54/q96
     "q127_semantic_decontam" ->

@@ -349,6 +349,22 @@ object Similarity {
       mn(i) + floor(floor((x - mn(i)) * 255 / sp(i)) * sp(i) / 255))
     val wr = base.withColumn("r", recon)
       .withColumn("rnorm2", dotQ(col("r"), col("r")))
+    dualTopOneAgreement(wr, blockCol, tag = "sq8")
+  }
+
+  /** The shared fidelity-gate TAIL of [[sq8Recall]] and [[pqRecall]]:
+    * given a frame carrying each vector's exact (q, norm2) AND
+    * reconstructed (r, rnorm2) forms plus optional per-vector
+    * diagnostics in `extraCols`, form in-block pairs once (both
+    * precisions ride the same materialization), take the top-1
+    * partner under each, and report the `agree` verdict — the
+    * question that decides whether the quantized index ships.
+    */
+  private def dualTopOneAgreement(wr: DataFrame, blockCol: String,
+                                  tag: String,
+                                  extraCols: Seq[String] = Nil)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pairs = wr.as("x").join(wr.as("y"),
       col(s"x.$blockCol") === col(s"y.$blockCol") &&
         col("x.vec_id") < col("y.vec_id"))
@@ -356,15 +372,15 @@ object Similarity {
         cosineQ(col("x.q"), col("y.q"), col("x.norm2"), col("y.norm2"))
           .as("cos_exact"),
         cosineQ(col("x.r"), col("y.r"), col("x.rnorm2"), col("y.rnorm2"))
-          .as("cos_sq8"))
+          .as(s"cos_$tag"))
     val sym = pairs.select(col("a").as("vec_id"), col("b").as("nn_id"),
-        col("cos_exact"), col("cos_sq8"))
+        col("cos_exact"), col(s"cos_$tag"))
       .unionByName(pairs.select(col("b").as("vec_id"), col("a").as("nn_id"),
-        col("cos_exact"), col("cos_sq8")))
+        col("cos_exact"), col(s"cos_$tag")))
     val wE = Window.partitionBy("vec_id")
       .orderBy(col("cos_exact").desc, col("nn_id").asc)
     val wS = Window.partitionBy("vec_id")
-      .orderBy(col("cos_sq8").desc, col("nn_id").asc)
+      .orderBy(col(s"cos_$tag").desc, col("nn_id").asc)
     val best = sym
       .withColumn("re", row_number().over(wE))
       .withColumn("rs", row_number().over(wS))
@@ -372,15 +388,103 @@ object Similarity {
       .agg(max(when(col("re") === 1, col("nn_id"))).as("nn_exact"),
         max(when(col("re") === 1, round(col("cos_exact"), 6)))
           .as("cos_exact"),
-        max(when(col("rs") === 1, col("nn_id"))).as("nn_sq8"),
-        max(when(col("rs") === 1, round(col("cos_sq8"), 6)))
-          .as("cos_sq8"))
-    base.select(col("vec_id"), col(blockCol))
+        max(when(col("rs") === 1, col("nn_id"))).as(s"nn_$tag"),
+        max(when(col("rs") === 1, round(col(s"cos_$tag"), 6)))
+          .as(s"cos_$tag"))
+    val carried = Seq(col("vec_id"), col(blockCol)) ++ extraCols.map(col)
+    wr.select(carried: _*)
       .join(best, Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col(blockCol),
-        col("nn_exact"), col("cos_exact"), col("nn_sq8"), col("cos_sq8"),
-        (col("nn_exact") <=> col("nn_sq8")).as("agree"))
+      .select(carried ++ Seq(
+        col("nn_exact"), col("cos_exact"),
+        col(s"nn_$tag"), col(s"cos_$tag"),
+        (col("nn_exact") <=> col(s"nn_$tag")).as("agree")): _*)
       .orderBy("vec_id")
+  }
+
+  /** IVF-PQ fidelity gate — PRODUCT quantization, the compression a
+    * 100 TB vector corpus actually ships (FAISS IVF-PQ: each vector
+    * becomes `subspaces` one-byte codes, ~32× smaller than float32
+    * here): the 64-dim quantized vectors split into `subspaces`
+    * contiguous subvectors; the per-subspace CODEBOOK entries are the
+    * per-block floor-mean subvectors (the IVF centroid machinery —
+    * [[ivfCentroids]]' per-label aggregation — reused as the
+    * deterministic stand-in for k-means, exactly as the blocks already
+    * stand in for learned coarse clusters across the ANN family);
+    * each subvector is assigned to its nearest codebook entry by
+    * integer squared L2 (ties → min code), and the reconstruction is
+    * the concatenation of assigned entries.
+    *
+    * Everything before the final cosine divisions is int64 arithmetic
+    * — floor-mean via `(sum − pmod(sum, n)) / n` (= DuckDB's `//`),
+    * distances and reconstruction errors as exact integer sums — so
+    * the q134 oracle re-derives codebooks, assignments, and both
+    * cosines bit-for-bit. Output per vector: the exact integer
+    * reconstruction error plus the [[sq8Recall]]-shaped top-1
+    * agreement verdict under both precisions.
+    *
+    * Scale shape: the codebook aggregation is one partial-aggregated
+    * pass collected as (blocks × DIM) rows — a bounded driver literal,
+    * the SQ8-stats posture; assignment and reconstruction are
+    * row-local expressions over broadcast codebook literals; pairs
+    * form only within blocks (the exact-eval audit shape, run over a
+    * sample at 100 TB like [[recallAtK]]'s probe bound).
+    */
+  def pqRecall(df: DataFrame, idCol: String, vecCol: String,
+               blockCol: String, subspaces: Int = 8): DataFrame = {
+    val base = Caches.persistTracked(
+      prepared(df, idCol, vecCol, Seq(blockCol)))
+    val cbRows = base
+      .select(col(blockCol), posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy(blockCol, "d")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col(blockCol).cast("int").as("cl"), col("d"),
+        ((col("sv") - pmod(col("sv"), col("cnt"))) / col("cnt"))
+          .cast("long").as("cv"))
+      .orderBy("cl", "d").collect()
+    if (cbRows.isEmpty)
+      return base.select(col("vec_id"), col(blockCol)).limit(0)
+        .withColumn("recon_err2", lit(null).cast("long"))
+        .withColumn("nn_exact", lit(null).cast("long"))
+        .withColumn("cos_exact", lit(null).cast("double"))
+        .withColumn("nn_pq", lit(null).cast("long"))
+        .withColumn("cos_pq", lit(null).cast("double"))
+        .withColumn("agree", lit(true))
+    val dim = cbRows.map(_.getInt(1)).max + 1
+    require(dim % subspaces == 0, s"dim $dim must split into $subspaces")
+    val subDim = dim / subspaces
+    val codebook: Map[Int, Array[Long]] = cbRows
+      .groupBy(_.getInt(0))
+      .map { case (l, rs) =>
+        l -> rs.sortBy(_.getInt(1)).map(_.getLong(2))
+      }
+    val labels = codebook.keys.toSeq.sorted
+    // per-subspace code: argmin over codebook entries of the exact
+    // integer squared distance, ties to the smaller code — array_min
+    // over (dist, code) structs, distances via the native dot kernel
+    def codeExpr(s: Int) = {
+      val sub = slice(col("q"), s * subDim + 1, subDim)
+      array_min(array(labels.map { l =>
+        val cv = codebook(l).slice(s * subDim, (s + 1) * subDim).toSeq
+        struct(
+          (dotQ(sub, sub) - lit(2L) * dotQ(sub, typedLit(cv)) +
+            lit(cv.map(x => x * x).sum)).as("dist"),
+          lit(l).as("l"))
+      }: _*)).getField("l")
+    }
+    val coded = base.select(
+      Seq(col("vec_id"), col(blockCol), col("q"), col("norm2")) ++
+        (0 until subspaces).map(s => codeExpr(s).as(s"code$s")): _*)
+    val r = concat((0 until subspaces).map { s =>
+      val subMap = labels.map(l =>
+        l -> codebook(l).slice(s * subDim, (s + 1) * subDim).toSeq).toMap
+      element_at(typedLit(subMap), col(s"code$s"))
+    }: _*)
+    val wr = coded.withColumn("r", r)
+      .withColumn("rnorm2", dotQ(col("r"), col("r")))
+      .withColumn("recon_err2",
+        col("norm2") - lit(2L) * dotQ(col("q"), col("r")) + col("rnorm2"))
+    dualTopOneAgreement(wr, blockCol, tag = "pq",
+      extraCols = Seq("recon_err2"))
   }
 
   /** Coarse IVF centroids: per-block integer sum vectors (cosine against

@@ -687,6 +687,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out2.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
   }
 
+  test("pqRecall: block-constant vectors reconstruct exactly (their own " +
+    "codebook entry), cross-block content keeps nonzero error, agree holds") {
+    import spark.implicits._
+    // blocks of identical vectors: the per-block floor-mean codebook
+    // entry IS the vector, so every subspace assigns to its own block's
+    // entry and reconstruction is exact
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => ((seed * 31 + i * 7) % 200 - 100) / 100.0f)
+    val rows = Seq(
+      (1L, 0, vec(1)), (2L, 0, vec(1)), (3L, 0, vec(1)),
+      (4L, 1, vec(9)), (5L, 1, vec(9)),
+      // block 2 is MIXED: its floor-mean matches neither member, so
+      // reconstruction error must be nonzero for both
+      (6L, 2, vec(3)), (7L, 2, vec(17)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.pqRecall(rows, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), Option(r.get(5)).map(_.toString.toLong),
+          r.getBoolean(7))).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L, 5L))
+      assert(out(id)._1 == 0L, s"block-constant vec $id not exact: $out")
+    assert(out(6L)._1 > 0L && out(7L)._1 > 0L,
+      "mixed block must carry reconstruction error")
+    // identical vectors tie at cosine 1.0 under both precisions → the
+    // min-id partner wins in both rankings → agree everywhere
+    assert(out.values.forall(_._3), s"agreement broke: $out")
+    assert(out(2L)._2.contains(1L)) // min-id tie-break, both precisions
+    Caches.clear()
+  }
+
   test("decodeBmpGray + dHash64 goldens: pixel exactness both storage " +
     "orders, brightness/upscale invariance, distinct images differ") {
     def bmp(pixels: Array[Array[Int]], topDown: Boolean = false)
