@@ -32,7 +32,15 @@ object Bench {
         xx = true)),
     "q76x_winnow_containment_xx" -> ((s, d) =>
       graft.TextOps.containmentPairs(Tables.documents(s, d), "doc_id",
-        "text", xx = true)))
+        "text", xx = true)),
+    // the capped langid production twin: minDocGramCount = 2 drops
+    // per-doc hapax trigrams after the partial aggregate — the spill
+    // knob SCALING.md's corpus-scale probe motivates. The registered
+    // q125 stays uncapped for oracle fidelity; this twin carries the
+    // production number in the headline next to it
+    "q125x_langid_capped" -> ((s, d) =>
+      graft.CorpusOps.langIdTrigram(Tables.documents(s, d), "doc_id",
+        "text", "lang", minDocGramCount = 2)))
 
   /** Every benchable query: the driver registry + the bench-only twins. */
   private[graft] def benchable
@@ -92,8 +100,10 @@ object Bench {
       // hamming near-dup (the image-content dedup path); IVF-PQ
       // codebook/reconstruction fidelity gate
       "q133_image_phash_dedup", "q134_pq_recall",
-      // production-hash twins of the heaviest shingle scans (benchOnly)
-      "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx")
+      // production twins (benchOnly): xxhash64 for the heaviest
+      // shingle scans, df-capped langid for the heaviest per-char scan
+      "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",
+      "q125x_langid_capped")
     // excluded by design, like the q66/q67 sink roundtrips: q120 (the
     // z-ordered WRITER — scan cost is measured above; the write path is
     // ZOrderSpec's subject) and q100/q106/q112/q113 (file-backed replay

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -79,10 +79,30 @@ object ReplayParity {
     * deliberately break arrival-equals-event-time with
     * [[lateShiftedDay]] and model the consequences in their oracles.
     */
+  /** Replay working area + its FileSystem — ALL file manipulation in
+    * this harness goes through the Hadoop FileSystem API (list,
+    * rename, setTimes, delete), so pointing `graft.replay.baseDir` at
+    * an hdfs:// URI runs the identical gates against a remote store;
+    * nothing here touches java.io. The default stays the local tmp
+    * dir. Caveat, stated honestly: the file SOURCE orders batches by
+    * modification time, and mtime pinning needs a store that
+    * implements setTimes (local FS and HDFS do; S3A does not — an
+    * object-store replay would pre-generate the day files with
+    * naturally ascending timestamps instead).
+    */
+  private def workArea(s: SparkSession): (FileSystem, Path) = {
+    val base = new Path(s.conf.get("graft.replay.baseDir",
+      System.getProperty("java.io.tmpdir")))
+    (base.getFileSystem(s.sessionState.newHadoopConf()), base)
+  }
+
   private[graft] def writeDayFiles(slice: DataFrame,
       dayExpr: org.apache.spark.sql.Column = tsDay): Path = {
-    val replayDir = Files.createTempDirectory("graft_replay_")
-    val stage = Files.createTempDirectory("graft_replay_stage_")
+    val (fs, base) = workArea(slice.sparkSession)
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val replayDir = new Path(base, s"graft_replay_$tag")
+    val stage = new Path(base, s"graft_replay_stage_$tag")
+    require(fs.mkdirs(replayDir), s"could not create $replayDir")
     try {
       slice
         // integer epoch/arrival day (Column `/` would be double division)
@@ -90,27 +110,20 @@ object ReplayParity {
         .repartition(col("g_day"))
         .write.partitionBy("g_day").mode("overwrite")
         .parquet(stage.toString)
-      val dayDirs = stage.toFile.listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("g_day="))
-        .sortBy(_.getName.stripPrefix("g_day=").toLong)
+      val dayDirs = fs.listStatus(stage)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("g_day="))
+        .sortBy(_.getPath.getName.stripPrefix("g_day=").toLong)
       dayDirs.zipWithIndex.foreach { case (dir, i) =>
-        val parts = dir.listFiles().filter(f =>
-          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        val parts = fs.listStatus(dir.getPath).map(_.getPath).filter(p =>
+          p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
         require(parts.length == 1,
-          s"expected one file per day, got ${parts.length} in $dir")
-        val dest = replayDir.resolve(f"d$i%06d.parquet")
-        Files.move(parts.head.toPath, dest)
-        require(dest.toFile.setLastModified(MtimeBaseMs + i * 2000L),
-          s"could not pin mtime on $dest")
+          s"expected one file per day, got ${parts.length} in ${dir.getPath}")
+        val dest = new Path(replayDir, f"d$i%06d.parquet")
+        require(fs.rename(parts.head, dest), s"could not move to $dest")
+        fs.setTimes(dest, MtimeBaseMs + i * 2000L, -1)
       }
-    } finally deleteRecursively(stage)
+    } finally fs.delete(stage, true)
     replayDir
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    val f = p.toFile
-    if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.toPath))
-    f.delete()
   }
 
   /** Run one file-backed replay: write the day files, drive `build`'s
@@ -133,7 +146,7 @@ object ReplayParity {
       val q = build(in).writeStream
         .format("memory").queryName(sinkName).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-    } finally deleteRecursively(replayDir)
+    } finally workArea(s)._1.delete(replayDir, true)
     s.table(sinkName)
   }
 

@@ -456,7 +456,8 @@ class EventStreamsSpec extends AnyFunSuite {
     val slice = rows.toDF("event_id", "ts", "event_type")
     val dir = graft.streaming.ReplayParity.writeDayFiles(slice)
     try {
-      val files = dir.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+      val files = new java.io.File(dir.toUri.getPath).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
         .sortBy(_.lastModified())
       assert(files.length == 3) // one file per day present in the slice
       // mtimes strictly increasing (the file source's processing order)
@@ -480,7 +481,8 @@ class EventStreamsSpec extends AnyFunSuite {
       }.toMap
       assert(fileOf(3L) == fileOf(4L))
     } finally {
-      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+      val d = new java.io.File(dir.toUri.getPath)
+      d.listFiles().foreach(_.delete()); d.delete()
     }
   }
 
@@ -516,7 +518,8 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(out(3L) == (None, None)) // other user, no view
     } finally {
       spark.sql("DROP TABLE IF EXISTS g_filereplay_t")
-      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+      val d = new java.io.File(dir.toUri.getPath)
+      d.listFiles().foreach(_.delete()); d.delete()
     }
   }
 
@@ -572,7 +575,8 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(out.map(_._1).distinct.size == out.size)
     } finally {
       spark.sql("DROP TABLE IF EXISTS g_latereplay_t")
-      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+      val d = new java.io.File(dir.toUri.getPath)
+      d.listFiles().foreach(_.delete()); d.delete()
     }
   }
 
@@ -609,7 +613,8 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(out(4L).contains(3L), "on-time click matches newest view")
     } finally {
       spark.sql("DROP TABLE IF EXISTS g_lateasof_t")
-      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+      val d = new java.io.File(dir.toUri.getPath)
+      d.listFiles().foreach(_.delete()); d.delete()
     }
   }
 }
