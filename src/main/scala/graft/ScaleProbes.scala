@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   *  - `index-ab [sfDir]` — the q92-rebuild vs q98-table-screen A/B:
   *    what the DISK-resident bucketed dedup index (DedupIndex) saves a
   *    daily increment over re-hashing the standing corpus per run.
+  *  - `compaction-ab [sfDir] [gens]` — the small-file law behind
+  *    DedupIndex.compact: exact-screen latency after 1/8/`gens`
+  *    append generations (same rows, more files) and again after
+  *    compaction, plus the compaction wall time.
   *  - `merge-skew [sfDir] [hotCopies]` — AQE skew-join split measured
   *    on the MERGE full-outer (the one fact-to-fact shuffle in the ETL
   *    path): a planted hot url on the incoming side vs the same run
@@ -416,6 +420,62 @@ object ScaleProbes {
           f"table_screen_min3_sec=$screenSec%.2f " +
           f"one_time_index_write_sec=$writeSec%.2f " +
           f"screen_speedup=${rebuildSec / screenSec}%.2fx")
+
+      case "compaction-ab" =>
+        // the small-file law behind DedupIndex.compact (r14): a daily
+        // ingest appends one file per bucket per batch, so a year of
+        // ingests reads 365 generations per bucket at every screen.
+        // Measure the exact-screen latency after 1, 8 and 32 append
+        // generations (the increment re-split into G slices so total
+        // row count is IDENTICAL across arms — only the file count
+        // varies), then compact and re-measure: the delta is the
+        // listing + footer + merge-read tax compaction reclaims, and
+        // the compaction wall time is the maintenance price paid once
+        // per window.
+        val sfDir = args.lift(1).getOrElse(
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        val gens = args.lift(2).map(_.toInt).getOrElse(32)
+        val docs = Tables.documents(spark, sfDir)
+        val isNew = col("doc_id") % 5 === 4
+        val standing = docs.filter(!isNew)
+        def noopW(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        def screen(prefix: String): Unit =
+          noopW(graft.sources.DedupIndex.screenExact(
+            spark, docs.filter(isNew), "doc_id", "text", prefix))
+        def build(prefix: String, g: Int): Unit = {
+          // same rows every arm: slice the standing side into g
+          // generation batches by doc_id residue
+          graft.sources.DedupIndex.write(
+            standing.filter(pmod(col("doc_id"), lit(g)) === 0),
+            "doc_id", "text", prefix)
+          for (i <- 1 until g) {
+            graft.sources.DedupIndex.append(
+              standing.filter(pmod(col("doc_id"), lit(g)) === i),
+              "doc_id", "text", prefix)
+            Caches.clear()
+          }
+        }
+        def files(prefix: String): Int =
+          new java.io.File(s"spark-warehouse/${prefix}_hashes")
+            .listFiles().count(_.getName.endsWith(".parquet"))
+        val out = Seq(1, math.min(8, gens), gens).distinct.map { g =>
+          val p = s"probecmp$g"
+          build(p, g); Caches.clear()
+          val nf = files(p)
+          screen(p) // warm
+          val s1 = minOf3(screen(p))
+          val t0 = System.nanoTime()
+          graft.sources.DedupIndex.compact(spark, p)
+          val compactSec = (System.nanoTime() - t0) / 1e9
+          val nfc = files(p)
+          screen(p) // warm the compacted layout
+          val s2 = minOf3(screen(p))
+          f"gens=$g files=$nf screen_min3_sec=$s1%.2f " +
+            f"compact_sec=$compactSec%.2f files_after=$nfc " +
+            f"screen_after_min3_sec=$s2%.2f tax=${s1 / s2}%.2fx"
+        }
+        out.foreach(l => println(s"[probe] compaction-ab: sf=$sfDir $l"))
 
       case "merge-skew" =>
         // the q28 MERGE's skew posture, MEASURED instead of asserted —
