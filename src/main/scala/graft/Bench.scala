@@ -99,7 +99,7 @@ object Bench {
       // round-14: synthesized-BMP pixel decode + dHash + banded
       // hamming near-dup (the image-content dedup path); IVF-PQ
       // codebook/reconstruction fidelity gate
-      "q133_image_phash_dedup", "q134_pq_recall",
+      "q133_image_phash_dedup", "q134_pq_recall", "q135_pq_adc_recall",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

@@ -338,6 +338,28 @@ object LlmQueries {
     * justifies an approximate index at scale (and shows the nprobe
     * recall-vs-cost curve actually bends the right way).
     */
+  /** q135: the PQ index SEARCHED — ADC top-3 over the q134 codes
+    * (probe exact, corpus reconstructed) recall-evaluated against the
+    * exact brute-force baseline, the q72 evaluation shape for the
+    * quantized index. This is the number a deployment actually tunes:
+    * how much top-k recall the 32× compression costs. On the synthetic
+    * near-random embeddings with a 10-entry codebook the measured
+    * recall is expectedly LOW (~0.17 at sf0.01) — the gate pins the
+    * ADC arithmetic end-to-end, not embedding-model quality (the
+    * q53/q125 posture); a real corpus runs a learned k-means codebook
+    * with k ≫ blocks.
+    */
+  def q135PqAdcRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probe = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      probe, 3)
+    Similarity.recallAtK(exact,
+      Similarity.pqAdcTopK(emb, "vec_id", "embedding", "label", probe, 3),
+      3)
+      .orderBy("probe_id")
+  }
+
   def q72AnnRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val probe = col("vec_id") % 50 === 0
@@ -454,6 +476,7 @@ object LlmQueries {
     "q134_pq_recall" -> ((s, d) =>
       Similarity.pqRecall(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
+    "q135_pq_adc_recall" -> (q135PqAdcRecall _),
     // the 4% eval slice (q94's membership convention) screened against
     // the training side in EMBEDDING space; threshold 0.2 sits inside
     // the synthetic corpus's nearest-cos spread so BOTH verdict
@@ -604,43 +627,7 @@ object LlmQueries {
     // numerator becomes exactly divisible and // is then exact
     "q134_pq_recall" ->
       s"""WITH $embBase,
-         |ex AS (SELECT vec_id, label, unnest(q) AS v,
-         |         unnest(range(1, 65)) AS d
-         |       FROM n2),
-         |cb AS (SELECT label AS cl, d,
-         |         (CAST(sum(v) AS BIGINT)
-         |          - ((CAST(sum(v) AS BIGINT) % count(*)) + count(*))
-         |            % count(*)) // count(*) AS cv
-         |       FROM ex GROUP BY 1, 2),
-         |cbl AS (SELECT cl, list(cv ORDER BY d) AS cvec
-         |        FROM cb GROUP BY 1),
-         |ad AS (
-         |  SELECT n.vec_id, c.cl, s,
-         |    list_sum([(n.q[s*8+j] - c.cvec[s*8+j])
-         |              * (n.q[s*8+j] - c.cvec[s*8+j])
-         |              for j in range(1, 9)]) AS dist
-         |  FROM n2 n, cbl c, range(0, 8) t(s)),
-         |asg AS (
-         |  SELECT vec_id, s, cl FROM (
-         |    SELECT vec_id, s, cl,
-         |      row_number() OVER (PARTITION BY vec_id, s
-         |        ORDER BY dist, cl) AS rn
-         |    FROM ad)
-         |  WHERE rn = 1),
-         |rd AS (
-         |  SELECT a.vec_id, a.s*8 + j AS d, c.cvec[a.s*8 + j] AS rv
-         |  FROM asg a JOIN cbl c ON c.cl = a.cl, range(1, 9) t(j)),
-         |rl AS (SELECT vec_id, list(rv ORDER BY d) AS r
-         |       FROM rd GROUP BY 1),
-         |rr AS (
-         |  SELECT n.vec_id, n.label, n.q, n.norm2, r,
-         |    CAST(list_sum([r[i]*r[i] for i in range(1, 65)]) AS BIGINT)
-         |      AS rnorm2,
-         |    CAST(n.norm2
-         |      - 2 * list_sum([n.q[i]*r[i] for i in range(1, 65)])
-         |      + list_sum([r[i]*r[i] for i in range(1, 65)]) AS BIGINT)
-         |      AS recon_err2
-         |  FROM n2 n JOIN rl USING (vec_id)),
+         |$pqCtes,
          |p AS (
          |  SELECT x.vec_id AS a, y.vec_id AS b,
          |    CAST(list_sum([x.q[i]*y.q[i] for i in range(1, 65)])
@@ -672,6 +659,43 @@ object LlmQueries {
          |  nn_exact IS NOT DISTINCT FROM nn_pq AS agree
          |FROM rr v LEFT JOIN best USING (vec_id)
          |ORDER BY v.vec_id""".stripMargin,
+    // ADC search over the PQ codes: probe exact, corpus reconstructed
+    // (shares pqCtes with q134 — edit together); recall vs the exact
+    // brute-force top-3, the q72 evaluation shape
+    "q135_pq_adc_recall" ->
+      s"""WITH $embBase,
+         |$pqCtes,
+         |probes AS (SELECT vec_id AS probe_id, q AS pq, norm2 AS pnorm2
+         |           FROM n2 WHERE vec_id % 50 = 0),
+         |exa AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.probe_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        CAST(list_sum([p.pq[i]*c.q[i] for i in range(1, 65)])
+         |          AS BIGINT)
+         |          / (sqrt(p.pnorm2) * sqrt(c.norm2)) DESC,
+         |        c.vec_id ASC) AS rank
+         |    FROM probes p JOIN n2 c ON c.vec_id <> p.probe_id) t
+         |  WHERE rank <= 3),
+         |adc AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.probe_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        CAST(list_sum([p.pq[i]*c.r[i] for i in range(1, 65)])
+         |          AS BIGINT)
+         |          / (sqrt(p.pnorm2) * sqrt(c.rnorm2)) DESC,
+         |        c.vec_id ASC) AS rank
+         |    FROM probes p JOIN rr c ON c.vec_id <> p.probe_id) t
+         |  WHERE rank <= 3),
+         |h AS (SELECT e.probe_id, CAST(count(*) AS BIGINT) AS hits
+         |      FROM exa e JOIN adc a ON a.probe_id = e.probe_id
+         |                          AND a.neighbor_id = e.neighbor_id
+         |      GROUP BY 1),
+         |pr AS (SELECT DISTINCT probe_id FROM exa)
+         |SELECT pr.probe_id, coalesce(h.hits, 0) AS hits,
+         |  coalesce(h.hits, 0) / 3.0 AS recall
+         |FROM pr LEFT JOIN h USING (probe_id)
+         |ORDER BY pr.probe_id""".stripMargin,
     // asymmetric eval-vs-training screen over the shared hyperplane
     // signature — edit cosSigCte together with q54/q96
     "q127_semantic_decontam" ->
@@ -1288,6 +1312,52 @@ object LlmQueries {
        |  ON md5(d.text) = o.content_hash
        |WHERE d.doc_id % 5 = 4
        |ORDER BY d.doc_id""".stripMargin
+
+  /** The PQ codebook → assignment → reconstruction CTE chain shared
+    * by the q134 fidelity and q135 ADC-search oracles — mirrors
+    * `Similarity.pqReconstructed` (floor-mean via the
+    * remainder-normalized form: DuckDB's `//`/`%` truncate toward
+    * zero on negatives while the engine floors); edit together.
+    * Expects [[embBase]] upstream.
+    */
+  private lazy val pqCtes: String =
+    """pqex AS (SELECT vec_id, label, unnest(q) AS v,
+      |         unnest(range(1, 65)) AS d
+      |       FROM n2),
+      |cb AS (SELECT label AS cl, d,
+      |         (CAST(sum(v) AS BIGINT)
+      |          - ((CAST(sum(v) AS BIGINT) % count(*)) + count(*))
+      |            % count(*)) // count(*) AS cv
+      |       FROM pqex GROUP BY 1, 2),
+      |cbl AS (SELECT cl, list(cv ORDER BY d) AS cvec
+      |        FROM cb GROUP BY 1),
+      |ad AS (
+      |  SELECT n.vec_id, c.cl, s,
+      |    list_sum([(n.q[s*8+j] - c.cvec[s*8+j])
+      |              * (n.q[s*8+j] - c.cvec[s*8+j])
+      |              for j in range(1, 9)]) AS dist
+      |  FROM n2 n, cbl c, range(0, 8) t(s)),
+      |asg AS (
+      |  SELECT vec_id, s, cl FROM (
+      |    SELECT vec_id, s, cl,
+      |      row_number() OVER (PARTITION BY vec_id, s
+      |        ORDER BY dist, cl) AS rn
+      |    FROM ad)
+      |  WHERE rn = 1),
+      |rd AS (
+      |  SELECT a.vec_id, a.s*8 + j AS d, c.cvec[a.s*8 + j] AS rv
+      |  FROM asg a JOIN cbl c ON c.cl = a.cl, range(1, 9) t(j)),
+      |rl AS (SELECT vec_id, list(rv ORDER BY d) AS r
+      |       FROM rd GROUP BY 1),
+      |rr AS (
+      |  SELECT n.vec_id, n.label, n.q, n.norm2, r,
+      |    CAST(list_sum([r[i]*r[i] for i in range(1, 65)]) AS BIGINT)
+      |      AS rnorm2,
+      |    CAST(n.norm2
+      |      - 2 * list_sum([n.q[i]*r[i] for i in range(1, 65)])
+      |      + list_sum([r[i]*r[i] for i in range(1, 65)]) AS BIGINT)
+      |      AS recon_err2
+      |  FROM n2 n JOIN rl USING (vec_id))""".stripMargin
 
   /** The hyperplane-signature CTE alone (q127's asymmetric screen
     * joins eval against corpus on it without the symmetric pair stage)

@@ -430,7 +430,37 @@ object Similarity {
     * sample at 100 TB like [[recallAtK]]'s probe bound).
     */
   def pqRecall(df: DataFrame, idCol: String, vecCol: String,
-               blockCol: String, subspaces: Int = 8): DataFrame = {
+               blockCol: String, subspaces: Int = 8): DataFrame =
+    pqReconstructed(df, idCol, vecCol, blockCol, subspaces) match {
+      case None =>
+        prepared(df, idCol, vecCol, Seq(blockCol))
+          .select(col("vec_id"), col(blockCol)).limit(0)
+          .withColumn("recon_err2", lit(null).cast("long"))
+          .withColumn("nn_exact", lit(null).cast("long"))
+          .withColumn("cos_exact", lit(null).cast("double"))
+          .withColumn("nn_pq", lit(null).cast("long"))
+          .withColumn("cos_pq", lit(null).cast("double"))
+          .withColumn("agree", lit(true))
+      case Some(wr) =>
+        dualTopOneAgreement(
+          wr.withColumn("recon_err2",
+            col("norm2") - lit(2L) * dotQ(col("q"), col("r")) +
+              col("rnorm2")),
+          blockCol, tag = "pq", extraCols = Seq("recon_err2"))
+    }
+
+  /** The PQ codebook/assignment/reconstruction core shared by
+    * [[pqRecall]] and [[pqAdcTopK]]: per-block floor-mean codebooks
+    * (bounded blocks × DIM driver collect), per-subspace argmin
+    * assignment (ties → min code, array_min over (dist, code)
+    * structs with the native dot kernel), reconstruction via
+    * broadcast map literals. Returns the frame carrying both
+    * precisions — (vec_id, blockCol, q, norm2, r, rnorm2) — or None
+    * on an empty corpus.
+    */
+  private def pqReconstructed(df: DataFrame, idCol: String,
+                              vecCol: String, blockCol: String,
+                              subspaces: Int): Option[DataFrame] = {
     val base = Caches.persistTracked(
       prepared(df, idCol, vecCol, Seq(blockCol)))
     val cbRows = base
@@ -441,14 +471,7 @@ object Similarity {
         ((col("sv") - pmod(col("sv"), col("cnt"))) / col("cnt"))
           .cast("long").as("cv"))
       .orderBy("cl", "d").collect()
-    if (cbRows.isEmpty)
-      return base.select(col("vec_id"), col(blockCol)).limit(0)
-        .withColumn("recon_err2", lit(null).cast("long"))
-        .withColumn("nn_exact", lit(null).cast("long"))
-        .withColumn("cos_exact", lit(null).cast("double"))
-        .withColumn("nn_pq", lit(null).cast("long"))
-        .withColumn("cos_pq", lit(null).cast("double"))
-        .withColumn("agree", lit(true))
+    if (cbRows.isEmpty) return None
     val dim = cbRows.map(_.getInt(1)).max + 1
     require(dim % subspaces == 0, s"dim $dim must split into $subspaces")
     val subDim = dim / subspaces
@@ -458,9 +481,6 @@ object Similarity {
         l -> rs.sortBy(_.getInt(1)).map(_.getLong(2))
       }
     val labels = codebook.keys.toSeq.sorted
-    // per-subspace code: argmin over codebook entries of the exact
-    // integer squared distance, ties to the smaller code — array_min
-    // over (dist, code) structs, distances via the native dot kernel
     def codeExpr(s: Int) = {
       val sub = slice(col("q"), s * subDim + 1, subDim)
       array_min(array(labels.map { l =>
@@ -479,12 +499,49 @@ object Similarity {
         l -> codebook(l).slice(s * subDim, (s + 1) * subDim).toSeq).toMap
       element_at(typedLit(subMap), col(s"code$s"))
     }: _*)
-    val wr = coded.withColumn("r", r)
+    Some(coded.withColumn("r", r)
       .withColumn("rnorm2", dotQ(col("r"), col("r")))
-      .withColumn("recon_err2",
-        col("norm2") - lit(2L) * dotQ(col("q"), col("r")) + col("rnorm2"))
-    dualTopOneAgreement(wr, blockCol, tag = "pq",
-      extraCols = Seq("recon_err2"))
+      .drop((0 until subspaces).map(s => s"code$s"): _*))
+  }
+
+  /** ADC (asymmetric distance computation) top-k search over the PQ
+    * index — how a FAISS-style deployment actually SEARCHES the codes
+    * [[pqRecall]] gates: the PROBE keeps its exact vector, the corpus
+    * side is scored through its reconstruction (by linearity,
+    * dot(p, r) = Σ_s dot(p_s, codebook[code_s]) — the per-subspace
+    * lookup-table sum, expressed here through the reconstruction
+    * column, which is bit-identical arithmetic). Output shape is
+    * [[bruteForceTopK]]'s, so [[recallAtK]] evaluates it against the
+    * exact baseline directly — the q135 gate.
+    *
+    * Scale shape: probes broadcast (the bounded probe-set contract);
+    * the corpus is scanned once, scored row-locally against the
+    * broadcast probes, never shuffled for the join.
+    */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+                blockCol: String, probeFilter: Column, k: Int,
+                subspaces: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wr = pqReconstructed(df, idCol, vecCol, blockCol, subspaces)
+      .getOrElse(return df.sparkSession.emptyDataFrame
+        .withColumn("probe_id", lit(null).cast("long"))
+        .withColumn("rank", lit(null).cast("int"))
+        .withColumn("neighbor_id", lit(null).cast("long"))
+        .withColumn("cosine", lit(null).cast("double")))
+    val probes = wr.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("norm2").as("pnorm2"))
+    val scored = wr.join(broadcast(probes),
+        col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (dotQ(col("pq"), col("r")) /
+          (sqrt(col("pnorm2").cast("double")) *
+            sqrt(col("rnorm2").cast("double")))).as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
   }
 
   /** Coarse IVF centroids: per-block integer sum vectors (cosine against

@@ -717,6 +717,27 @@ class LlmOpsSpec extends AnyFunSuite {
     Caches.clear()
   }
 
+  test("pqAdcTopK: block-constant corpus reconstructs exactly, so ADC " +
+    "search equals the exact baseline (recall 1.0)") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => ((seed * 37 + i * 11) % 200 - 100) / 100.0f)
+    // every block constant → PQ reconstruction is exact → ADC ranking
+    // must equal brute force for every probe
+    val rows = (0 until 4).flatMap(b =>
+      (0 until 3).map(i => ((b * 3 + i).toLong, b, vec(b * 7 + 1))))
+      .toDF("vec_id", "label", "embedding")
+    val probe = col("vec_id") % 3 === 0
+    val exact = Similarity.bruteForceTopK(rows, "vec_id", "embedding",
+      probe, 2)
+    val adc = Similarity.pqAdcTopK(rows, "vec_id", "embedding", "label",
+      probe, 2)
+    val rec = Similarity.recallAtK(exact, adc, 2).collect()
+    assert(rec.nonEmpty && rec.forall(_.getDouble(2) == 1.0),
+      s"exact-reconstruction ADC must have recall 1.0: ${rec.toSeq}")
+    Caches.clear()
+  }
+
   test("decodeBmpGray + dHash64 goldens: pixel exactness both storage " +
     "orders, brightness/upscale invariance, distinct images differ") {
     def bmp(pixels: Array[Array[Int]], topDown: Boolean = false)

@@ -29,7 +29,10 @@ class PlanSweepSpec extends AnyFunSuite {
     */
   private val allowedNestedLoop = Set(
     "q39_ann_topk", "q43_ann_ivf", "q68_ann_ivf_nprobe2",
-    "q72_ann_recall", "q73_dedup_recall")
+    "q72_ann_recall", "q73_dedup_recall",
+    // q135's exact baseline + ADC scan share the ANN family's
+    // broadcast-probe inequality join (self-exclusion on vec_id)
+    "q135_pq_adc_recall")
 
   /** Queries EXCLUDED from the sweep because constructing their result
     * frame executes real side effects (writers, bucketed-table builds,
