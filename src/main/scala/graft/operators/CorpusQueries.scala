@@ -272,7 +272,9 @@ object CorpusQueries {
     "q131_late_windows_replay" ->
       (graft.streaming.ReplayParity.q131LateWindowsReplay _),
     "q132_late_asof_replay" ->
-      (graft.streaming.ReplayParity.q132LateAsofReplay _))
+      (graft.streaming.ReplayParity.q132LateAsofReplay _),
+    "q136_streaming_index_ingest" ->
+      (graft.streaming.ReplayParity.q136StreamingIndexIngest _))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -481,6 +483,30 @@ object CorpusQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
         |    AS sum_cents
         |FROM surv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the streaming index-ingest loop: screen-before-append per
+    // micro-batch (batches = doc_id // 100 arrival days) — a doc is
+    // known iff a STRICTLY earlier batch shares its hash, canonical =
+    // min doc_id over those; same-batch dups stay unknown. The corpus
+    // has no byte-identical texts, so cross-batch duplicates are
+    // PLANTED by the same CASE the engine applies (every 17th doc →
+    // one of three seed texts — edit with q136StreamingIndexIngest)
+    "q136_streaming_index_ingest" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 17 = 3
+        |        THEN 'dup-seed-' || CAST(doc_id % 3 AS VARCHAR)
+        |        ELSE text END) AS content_hash,
+        |    doc_id // 100 AS b
+        |  FROM documents),
+        |canon AS (
+        |  SELECT x.doc_id, min(y.doc_id) AS canonical_id
+        |  FROM h x JOIN h y ON y.content_hash = x.content_hash
+        |                   AND y.b < x.b
+        |  GROUP BY 1)
+        |SELECT h.doc_id, h.content_hash, c.canonical_id,
+        |  c.canonical_id IS NOT NULL AS is_known
+        |FROM h LEFT JOIN canon c USING (doc_id)
+        |ORDER BY h.doc_id""".stripMargin,
     // the LATE-DATA as-of gate: the bounded-state machine re-derived
     // over the same planted permutation — per-user state after any
     // processed view set is its (ts, event_id) maximum, so each

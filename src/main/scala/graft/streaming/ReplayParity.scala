@@ -295,6 +295,71 @@ object ReplayParity {
       .orderBy("click_id")
   }
 
+  /** q136: the standing dedup index's INGEST LOOP under streaming —
+    * the composition the production story actually runs: a continuous
+    * document feed arrives in micro-batches; each batch is SCREENED
+    * against the standing index (the exact-hash arm), its verdicts
+    * land in the result sink, and only then does the batch APPEND
+    * into the index — so batch k's docs are known iff an
+    * earlier-batch doc shares their hash, never a same-batch one.
+    * All through the real streaming engine: a file-backed replay
+    * (one synthetic epoch day per 100 doc_ids), foreachBatch +
+    * Trigger.AvailableNow, executor-side parquet verdict sink —
+    * no rows on the driver. The oracle re-derives the
+    * screen-before-append law: canonical = min doc_id over
+    * strictly-earlier batches sharing the hash.
+    */
+  def q136StreamingIndexIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.DedupIndex
+    // the corpus carries NO byte-identical texts at any SF, so without
+    // augmentation the known/canonical path would never exercise —
+    // plant deterministic cross-batch duplicates (every 17th doc takes
+    // one of three seed texts; the oracle applies the SAME CASE — the
+    // q101 shared-augmentation pattern, edit together)
+    val text = when(pmod(col("doc_id"), lit(17)) === 3,
+      concat(lit("dup-seed-"), pmod(col("doc_id"), lit(3))))
+      .otherwise(col("text"))
+    val slice = Tables.documents(s, d).select(col("doc_id"),
+      expr("timestamp_seconds((doc_id div 100) * 86400)").as("ts"),
+      text.as("text"))
+    val replayDir = writeDayFiles(slice)
+    val (fs, base) = workArea(s)
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val outDir = new Path(base, s"graft_ingest_out_$tag")
+    val ckpt = new Path(base, s"graft_ingest_ckpt_$tag")
+    try {
+      // bootstrap an EMPTY standing index — day one of the deployment
+      DedupIndex.write(slice.limit(0), "doc_id", "text", "g136")
+      val in = s.readStream.schema(slice.schema)
+        .option("maxFilesPerTrigger", 1).parquet(replayDir.toString)
+      val q = in.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          DedupIndex.screenExact(batch.sparkSession, batch,
+            "doc_id", "text", "g136")
+            .write.mode("append").parquet(outDir.toString)
+          DedupIndex.append(batch, "doc_id", "text", "g136")
+          graft.Caches.clear() // per-batch ingest projections
+        }.start()
+      q.awaitTermination()
+      val result =
+        if (fs.exists(outDir))
+          s.read.parquet(outDir.toString)
+            .select("doc_id", "content_hash", "canonical_id", "is_known")
+            .orderBy("doc_id")
+        else // empty corpus: no batch ever fired
+          DedupIndex.screenExact(s, slice.limit(0), "doc_id", "text",
+            "g136")
+      // materialize executor-side BEFORE the sink dirs are reclaimed
+      result.localCheckpoint(true)
+    } finally {
+      fs.delete(replayDir, true)
+      fs.delete(outDir, true)
+      fs.delete(ckpt, true)
+    }
+  }
+
   private def windowedReplay(s: SparkSession, d: String,
                              slide: Option[String], sinkName: String,
                              epochCol: String,
