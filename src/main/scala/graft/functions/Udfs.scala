@@ -88,6 +88,13 @@ object Udfs {
   val bmpPhash: UserDefinedFunction =
     udf(graft.Multimodal.bmpDHash _)
 
+  /** PCM 16-bit WAV sample array; null for undecodable/non-PCM-16
+    * payloads. Kernel: [[graft.Multimodal.decodeWavSamples]]; feature
+    * math runs Spark-side over the array (HOFs, codegen'd).
+    */
+  val wavSamples: UserDefinedFunction =
+    udf(graft.Multimodal.decodeWavSamples _)
+
   /** Register the fixed-arity UDFs for spark.sql use. */
   def register(spark: SparkSession, asOfYear: Int): Unit = {
     spark.udf.register("graft_to_number", toNumber)

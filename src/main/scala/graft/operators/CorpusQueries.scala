@@ -210,6 +210,79 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q137: PCM sample-level audio features under a full driver gate —
+    * the q133 fixture discipline applied to the audio modality. Four
+    * deterministic variants per doc_id group are SYNTHESIZED as
+    * genuine PCM-16 mono WAV byte streams (base waveform from doc_id
+    * arithmetic; a planted 10-sample silence block; planted clipping
+    * at ±32767/−32768 every 16th sample; and a raw-text non-WAV that
+    * must decode to an all-null row), decoded by
+    * [[graft.Multimodal.decodeWavSamples]], with every feature
+    * computed SPARK-SIDE over the sample array by codegen'd HOFs —
+    * integer-exact peak/energy/silence/clip counts plus one rounded
+    * IEEE rms. The oracle re-derives the waveform and the features
+    * arithmetically from doc_id, so a sign-extension slip, an
+    * off-by-one in the data-chunk walk, or a wrong HOF all break the
+    * hash gate.
+    */
+  def q137AudioFeatures(s: SparkSession, d: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    val v = pmod(col("doc_id"), lit(4))
+    val n = (lit(40) + pmod(col("doc_id"), lit(20))).cast("int")
+    def byteHex(x: org.apache.spark.sql.Column, k: Int) =
+      lpad(hex(shiftright(x.cast("long"), 8 * k).bitwiseAND(lit(255L))),
+        2, "0")
+    def le16hex(x: org.apache.spark.sql.Column) =
+      concat(byteHex(x, 0), byteHex(x, 1))
+    def le32hex(x: org.apache.spark.sql.Column) =
+      concat(byteHex(x, 0), byteHex(x, 1), byteHex(x, 2), byteHex(x, 3))
+    // sample i (0-based): base waveform with variant overrides
+    def sample(i: Int): org.apache.spark.sql.Column = {
+      val base = pmod(g * 7 + lit(i * 13), lit(2001)) - lit(1000)
+      when(v === 1 && lit(i >= 10 && i < 20), lit(0))
+        .when(v === 2 && lit(i % 16 == 0), lit(32767))
+        .when(v === 2 && lit(i % 16 == 8), lit(-32768))
+        .otherwise(base)
+    }
+    val maxN = 59 // 40 + (doc_id % 20) max
+    val sampleHex = concat((0 until maxN).map { i =>
+      when(lit(i) < n, le16hex(pmod(sample(i), lit(65536)))).otherwise("")
+    }: _*)
+    // RIFF/WAVE: riff size = 36 + 2N; fmt16 PCM mono 8 kHz 16-bit;
+    // data size = 2N
+    val payloadHex = concat(
+      lit("52494646"), le32hex(lit(36) + n * 2), lit("57415645"),
+      lit("666D7420" + "10000000" + "0100" + "0100" +
+        "401F0000" + "803E0000" + "0200" + "1000"),
+      lit("64617461"), le32hex(n * 2), sampleHex)
+    val content = when(v === 3, col("text").cast("binary"))
+      .otherwise(unhex(payloadHex))
+    val smp = graft.functions.Udfs.wavSamples(content)
+    val sumSq = aggregate(col("smp"), lit(0L),
+      (acc, x) => acc + x.cast("long") * x.cast("long"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), smp.as("smp"))
+      .select(col("doc_id"),
+        size(col("smp")).cast("long").as("n_samples"),
+        array_max(transform(col("smp"), x => abs(x))).cast("long")
+          .as("peak"),
+        sumSq.as("sum_sq"),
+        size(filter(col("smp"), x => x === 0)).cast("long")
+          .as("silence_n"),
+        size(filter(col("smp"),
+          x => x === 32767 || x === -32768)).cast("long").as("clip_n"),
+        round(sqrt(sumSq.cast("double") / size(col("smp"))), 6).as("rms"))
+      .select(col("doc_id"),
+        // undecodable rows: size(null) is -1 under legacy sizeOfNull …
+        // normalize every feature to null when the decode failed
+        when(col("n_samples") >= 0, col("n_samples")).as("n_samples"),
+        col("peak"), col("sum_sq"),
+        when(col("n_samples") >= 0, col("silence_n")).as("silence_n"),
+        when(col("n_samples") >= 0, col("clip_n")).as("clip_n"),
+        col("rms"))
+      .orderBy("doc_id")
+  }
+
   def q109UrlDedup(s: SparkSession, d: String): DataFrame =
     CorpusOps.urlCanonicalize(urlAugmented(Tables.documents(s, d)),
       "doc_id", "url")
@@ -274,7 +347,8 @@ object CorpusQueries {
     "q132_late_asof_replay" ->
       (graft.streaming.ReplayParity.q132LateAsofReplay _),
     "q136_streaming_index_ingest" ->
-      (graft.streaming.ReplayParity.q136StreamingIndexIngest _))
+      (graft.streaming.ReplayParity.q136StreamingIndexIngest _),
+    "q137_audio_features" -> (q137AudioFeatures _))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -876,6 +950,41 @@ object CorpusQueries {
         |    THEN CAST(72 + doc_id % 200 AS INT) END AS x_density,
         |  CASE WHEN doc_id % 5 <= 1 THEN CAST(96 AS INT) END AS y_density
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // PCM sample-level audio features: the waveform and every feature
+    // re-derived arithmetically from doc_id (q137AudioFeatures scaladoc
+    // — edit together); v=3 rows are non-WAV text and must be all-null
+    "q137_audio_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+        |    40 + doc_id % 20 AS n
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, v, n,
+        |    [CASE WHEN v = 1 AND i >= 11 AND i <= 20 THEN 0
+        |          WHEN v = 2 AND (i-1) % 16 = 0 THEN 32767
+        |          WHEN v = 2 AND (i-1) % 16 = 8 THEN -32768
+        |          ELSE ((g*7 + (i-1)*13) % 2001) - 1000 END
+        |     for i in range(1, n + 1)] AS smp
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id, v, n, smp,
+        |    CAST(list_sum(list_transform(smp, x -> x*x)) AS BIGINT)
+        |      AS sum_sq
+        |  FROM w)
+        |SELECT doc_id,
+        |  CASE WHEN v <> 3 THEN CAST(n AS BIGINT) END AS n_samples,
+        |  CASE WHEN v <> 3 THEN
+        |    CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT)
+        |    END AS peak,
+        |  CASE WHEN v <> 3 THEN sum_sq END AS sum_sq,
+        |  CASE WHEN v <> 3 THEN
+        |    CAST(len(list_filter(smp, x -> x = 0)) AS BIGINT)
+        |    END AS silence_n,
+        |  CASE WHEN v <> 3 THEN
+        |    CAST(len(list_filter(smp, x -> x = 32767 OR x = -32768))
+        |      AS BIGINT) END AS clip_n,
+        |  CASE WHEN v <> 3 THEN round(sqrt(sum_sq / n), 6) END AS rms
+        |FROM f ORDER BY doc_id""".stripMargin,
     // pixel-level BMP dedup: every hash re-derived from the fixture's
     // pixel formulas (q133ImagePhashDedup scaladoc — edit together);
     // all-pairs hamming <= 3 equals the engine's banded candidate set

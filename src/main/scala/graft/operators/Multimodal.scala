@@ -147,6 +147,54 @@ object Multimodal {
     }
   }
 
+  /** REAL sample decode for the codec-free audio container — the
+    * [[decodeBmpGray]] move applied to audio: PCM 16-bit WAV samples
+    * are plain little-endian int16s in the `data` chunk, no codec
+    * involved, so sample-level feature extraction is honest pure-JVM
+    * work (MP3/AAC/Opus sample decode stays behind the documented
+    * codec stubs). Returns the flattened (channel-interleaved) sample
+    * array, or None for malformed/non-PCM-16 payloads. A `data` chunk
+    * declaring more bytes than the buffer holds yields the complete
+    * samples present — the header-prefix posture: a bounded-range read
+    * of a long recording decodes its prefix rather than failing.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes == null || bytes.length < 44) return None
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12L
+    var ok16 = false
+    while (off + 8 <= bytes.length) {
+      val o = off.toInt
+      val id = tag(o)
+      val sz = le32(o + 4)
+      if (id == "fmt ") {
+        if (sz < 16 || o + 8 + 16 > bytes.length) return None
+        // audioFormat 1 = PCM; 16 bits per sample
+        ok16 = le16(o + 8) == 1 && le16(o + 22) == 16
+      } else if (id == "data") {
+        if (!ok16) return None // fmt must precede data (RIFF practice)
+        val start = o + 8
+        val avail = math.min(sz, (bytes.length - start).toLong)
+        val n = (avail / 2).toInt
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = (le16(start + 2 * i) << 16) >> 16 // sign-extend int16
+          i += 1
+        }
+        return Some(out)
+      }
+      off += 8L + sz + (sz & 1L)
+    }
+    None
+  }
+
   /** Attach real WAV metadata to the audio rows of a media table; other
     * media types (and undecodable audio) carry a null `wav` struct. The
     * UDF form lives in [[graft.functions.Udfs.decodeWav]] with the rest

@@ -717,6 +717,40 @@ class LlmOpsSpec extends AnyFunSuite {
     Caches.clear()
   }
 
+  test("decodeWavSamples goldens: sign extension, prefix decode, " +
+    "non-PCM rejection") {
+    def wav(samples: Seq[Int], fmt: Int = 1, bits: Int = 16,
+            declaredData: Option[Int] = None): Array[Byte] = {
+      val dataBytes = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII"))
+      bb.putInt(36 + declaredData.getOrElse(dataBytes))
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(fmt.toShort); bb.putShort(1); bb.putInt(8000)
+      bb.putInt(16000); bb.putShort(2); bb.putShort(bits.toShort)
+      bb.put("data".getBytes("US-ASCII"))
+      bb.putInt(declaredData.getOrElse(dataBytes))
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    // sign extension: negative int16s decode exactly
+    val s = Seq(0, 1, -1, 32767, -32768, 1000, -1000)
+    assert(Multimodal.decodeWavSamples(wav(s)).map(_.toSeq).contains(s))
+    // header-prefix posture: a data chunk DECLARING more bytes than the
+    // buffer holds decodes the complete samples present
+    assert(Multimodal.decodeWavSamples(
+      wav(s, declaredData = Some(10000))).map(_.toSeq).contains(s))
+    // non-PCM format and non-16-bit widths reject (no silent garbage)
+    assert(Multimodal.decodeWavSamples(wav(s, fmt = 3)).isEmpty)
+    assert(Multimodal.decodeWavSamples(wav(s, bits = 8)).isEmpty)
+    // malformed inputs: None, never exceptions
+    assert(Multimodal.decodeWavSamples(null).isEmpty)
+    assert(Multimodal.decodeWavSamples("RIFFnope".getBytes).isEmpty)
+    assert(Multimodal.decodeWavSamples(wav(s).take(30)).isEmpty)
+  }
+
   test("pqAdcTopK: block-constant corpus reconstructs exactly, so ADC " +
     "search equals the exact baseline (recall 1.0)") {
     import spark.implicits._
