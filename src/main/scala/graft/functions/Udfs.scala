@@ -95,6 +95,13 @@ object Udfs {
   val wavSamples: UserDefinedFunction =
     udf(graft.Multimodal.decodeWavSamples _)
 
+  /** Perceptual 32-bit energy-delta print over a PCM-16 WAV payload;
+    * null for undecodable containers. Kernel:
+    * [[graft.Multimodal.wavPhash]].
+    */
+  val wavPhash: UserDefinedFunction =
+    udf(graft.Multimodal.wavPhash _)
+
   /** Register the fixed-arity UDFs for spark.sql use. */
   def register(spark: SparkSession, asOfYear: Int): Unit = {
     spark.udf.register("graft_to_number", toNumber)

@@ -283,6 +283,65 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q138: AUDIO perceptual-hash dedup — q133's pixel move completed
+    * for the audio modality: four deterministic PCM-16 WAV variants
+    * per doc_id group (base waveform; ×2 AMPLITUDE twin — every
+    * sample byte differs, exact dedup misses it, but energy-delta
+    * comparisons are scale-invariant so the print must match at
+    * hamming 0; first-frame-zeroed twin — only bit 0 can differ,
+    * hamming ≤ 1 by construction; an independently-seeded distinct
+    * waveform), fed through [[graft.Multimodal.audioPhashDedup]] —
+    * real sample decode, real 32-bit energy-delta print, the shared
+    * banded hamming pipeline (4×8-bit keys). The oracle re-derives
+    * every print from the waveform formulas (frame energies as exact
+    * integer sums) and forms pairs by exact hamming ≤ 3 — equal to
+    * the banded candidate set by pigeonhole. Group length
+    * N = 66 + g%30 keeps floor(N/33) = 2, so "first frame" is
+    * samples 0–1 on both sides.
+    */
+  def q138AudioPhashDedup(s: SparkSession, d: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    val v = pmod(col("doc_id"), lit(4))
+    val n = (lit(66) + pmod(g, lit(30))).cast("int")
+    def byteHex(x: org.apache.spark.sql.Column, k: Int) =
+      lpad(hex(shiftright(x.cast("long"), 8 * k).bitwiseAND(lit(255L))),
+        2, "0")
+    def le16hex(x: org.apache.spark.sql.Column) =
+      concat(byteHex(x, 0), byteHex(x, 1))
+    def le32hex(x: org.apache.spark.sql.Column) =
+      concat(byteHex(x, 0), byteHex(x, 1), byteHex(x, 2), byteHex(x, 3))
+    // quadratic mixes (the q133 lesson): linear ramps make adjacent
+    // frame energies near-identical ACROSS groups — the first cut of
+    // this fixture had v3 "distinct" waveforms averaging 2.45 false
+    // near-dups from cross-group print collisions
+    def base(i: Int) = {
+      val m = g + lit(i * 7)
+      pmod(g * 11 + m * m, lit(2001)) - lit(1000)
+    }
+    def alt(i: Int) = {
+      val m = g * 3 + lit(i * 11 + 7)
+      pmod(g * 13 + m * m, lit(2001)) - lit(1000)
+    }
+    def sample(i: Int): org.apache.spark.sql.Column =
+      when(v === 1, base(i) * 2)
+        .when(v === 2 && lit(i < 2), lit(0))
+        .when(v === 3, alt(i))
+        .otherwise(base(i))
+    val maxN = 95 // 66 + 29
+    val sampleHex = concat((0 until maxN).map { i =>
+      when(lit(i) < n, le16hex(pmod(sample(i), lit(65536)))).otherwise("")
+    }: _*)
+    val payloadHex = concat(
+      lit("52494646"), le32hex(lit(36) + n * 2), lit("57415645"),
+      lit("666D7420" + "10000000" + "0100" + "0100" +
+        "401F0000" + "803E0000" + "0200" + "1000"),
+      lit("64617461"), le32hex(n * 2), sampleHex)
+    Multimodal.audioPhashDedup(
+      Tables.documents(s, d)
+        .select(col("doc_id"), unhex(payloadHex).as("content")))
+      .orderBy("doc_id")
+  }
+
   def q109UrlDedup(s: SparkSession, d: String): DataFrame =
     CorpusOps.urlCanonicalize(urlAugmented(Tables.documents(s, d)),
       "doc_id", "url")
@@ -348,7 +407,8 @@ object CorpusQueries {
       (graft.streaming.ReplayParity.q132LateAsofReplay _),
     "q136_streaming_index_ingest" ->
       (graft.streaming.ReplayParity.q136StreamingIndexIngest _),
-    "q137_audio_features" -> (q137AudioFeatures _))
+    "q137_audio_features" -> (q137AudioFeatures _),
+    "q138_audio_phash_dedup" -> (q138AudioPhashDedup _))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -985,6 +1045,57 @@ object CorpusQueries {
         |      AS BIGINT) END AS clip_n,
         |  CASE WHEN v <> 3 THEN round(sqrt(sum_sq / n), 6) END AS rms
         |FROM f ORDER BY doc_id""".stripMargin,
+    // audio perceptual dedup: every 32-bit energy-delta print
+    // re-derived from the waveform formulas (q138AudioPhashDedup
+    // scaladoc — edit together); bits stay below 2^32 so plain BIGINT
+    // arithmetic suffices (no HUGEINT wrap needed, unlike q133)
+    "q138_audio_phash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+        |    66 + (doc_id // 4) % 30 AS n
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, n,
+        |    [CASE WHEN v = 1 THEN 2 * (((g*11
+        |            + (g + (i-1)*7)*(g + (i-1)*7)) % 2001) - 1000)
+        |          WHEN v = 2 AND i <= 2 THEN 0
+        |          WHEN v = 3 THEN ((g*13
+        |            + (g*3 + (i-1)*11 + 7)*(g*3 + (i-1)*11 + 7))
+        |            % 2001) - 1000
+        |          ELSE ((g*11
+        |            + (g + (i-1)*7)*(g + (i-1)*7)) % 2001) - 1000 END
+        |     for i in range(1, n + 1)] AS smp
+        |  FROM d),
+        |en AS (
+        |  SELECT doc_id,
+        |    [list_sum(list_transform(smp[(f*n//33)+1:((f+1)*n)//33],
+        |       x -> x*x)) for f in range(0, 33)] AS e
+        |  FROM w),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN e[f+1] > e[f+2]
+        |      THEN CAST(1 AS BIGINT) << f ELSE 0 END
+        |      for f in range(0, 32)]) AS BIGINT) AS phash
+        |  FROM en),
+        |pairs AS (
+        |  SELECT x.doc_id AS pa, y.doc_id AS pb,
+        |    bit_count(xor(x.phash, y.phash)) AS hamming
+        |  FROM hs x JOIN hs y ON x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+        |sym AS (SELECT pa AS doc_id, pb AS partner, hamming FROM pairs
+        |        UNION ALL SELECT pb, pa, hamming FROM pairs),
+        |rk AS (SELECT doc_id, partner, hamming,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY hamming, partner) AS rn
+        |       FROM sym),
+        |best AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+        |        max(CASE WHEN rn = 1 THEN partner END) AS best_partner,
+        |        max(CASE WHEN rn = 1 THEN hamming END) AS best_hamming
+        |        FROM rk GROUP BY 1)
+        |SELECT h.doc_id, h.phash,
+        |  coalesce(n_dups, 0) AS n_dups, best_partner, best_hamming
+        |FROM hs h LEFT JOIN best USING (doc_id)
+        |ORDER BY h.doc_id""".stripMargin,
     // pixel-level BMP dedup: every hash re-derived from the fixture's
     // pixel formulas (q133ImagePhashDedup scaladoc — edit together);
     // all-pairs hamming <= 3 equals the engine's banded candidate set

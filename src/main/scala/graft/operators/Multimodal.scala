@@ -576,24 +576,62 @@ object Multimodal {
   def bmpDHash(bytes: Array[Byte]): Option[Long] =
     decodeBmpGray(bytes).flatMap(dHash64)
 
-  /** Perceptual-hash near-dup over a media frame carrying BMP
-    * payloads: dHash per image ([[bmpDHash]]; undecodable payloads
-    * keep a row with a null hash and no candidates), then the SAME
-    * banded hamming pipeline as the text SimHash family — the 64-bit
-    * prints band into 4×16-bit keys via
+  /** 32-bit perceptual AUDIO fingerprint over a PCM sample array —
+    * the energy-delta print (the Haitsma–Kalker/Shazam family's core
+    * idea at its integer-exact minimum): split the samples into 33
+    * contiguous frames (frame f covers [f·N/33, (f+1)·N/33)), sum of
+    * squares per frame as exact int64 energy, bit f = 1 iff
+    * energy(f) > energy(f+1). The invariance a perceptual audio print
+    * exists for holds exactly: uniform amplitude scaling multiplies
+    * every energy by the same square, preserving every comparison
+    * (LlmOpsSpec pins it; the q138 oracle re-derives prints
+    * bit-for-bit from the waveform formulas).
+    */
+  def audioPhash32(samples: Array[Int], frames: Int = 33): Option[Long] = {
+    if (samples == null || samples.length < frames) return None
+    val n = samples.length
+    val e = new Array[Long](frames)
+    var f = 0
+    while (f < frames) {
+      val (a, b) = (f * n / frames, (f + 1) * n / frames)
+      var s = 0L
+      var i = a
+      while (i < b) { s += samples(i).toLong * samples(i); i += 1 }
+      e(f) = s
+      f += 1
+    }
+    var h = 0L
+    f = 0
+    while (f < frames - 1) {
+      if (e(f) > e(f + 1)) h |= 1L << f
+      f += 1
+    }
+    Some(h)
+  }
+
+  /** [[decodeWavSamples]] ∘ [[audioPhash32]] — the q138 kernel. */
+  def wavPhash(bytes: Array[Byte]): Option[Long] =
+    decodeWavSamples(bytes).flatMap(s => audioPhash32(s))
+
+  /** The shared perceptual-hash near-dup pipeline over a media frame:
+    * a fingerprint UDF per payload (undecodable payloads keep a row
+    * with a null hash and no candidates), then the SAME banded hamming
+    * pipeline as the text SimHash family via
     * [[graft.TextOps.hammingBandedPairs]] (pigeonhole-exact for
-    * hamming ≤ 3), so pair count is collision-governed, never n².
-    * Output mirrors simhashNearDup: (doc_id, phash, n_dups,
+    * hamming ≤ nBands − 1), so pair count is collision-governed,
+    * never n². Output mirrors simhashNearDup: (doc_id, phash, n_dups,
     * best_partner, best_hamming).
     */
-  def imagePhashDedup(media: DataFrame, idCol: String = "doc_id",
-                      contentCol: String = "content",
-                      maxHamming: Int = 3): DataFrame = {
+  private def phashDedup(media: DataFrame, idCol: String,
+                         contentCol: String,
+                         print: Column => Column,
+                         nBands: Int, bandBits: Int,
+                         maxHamming: Int): DataFrame = {
     val sim = Caches.persistTracked(media
       .select(col(idCol).as("doc_id"),
-        graft.functions.Udfs.bmpPhash(col(contentCol)).as("simhash")))
+        print(col(contentCol)).as("simhash")))
     val ham = TextOps.hammingBandedPairs(sim.filter(col("simhash").isNotNull),
-      nBands = 4, bandBits = 16, maxHamming)
+      nBands, bandBits, maxHamming)
     val sym = TextOps.symmetrize(ham, "doc_id", "partner", "hamming")
     val best = sym.groupBy("doc_id")
       .agg(count(lit(1)).as("n_dups"),
@@ -604,6 +642,24 @@ object Multimodal {
         col("m.partner").as("best_partner"),
         col("m.hamming").as("best_hamming"))
   }
+
+  /** Image near-dup over BMP payloads: 64-bit dHash into 4×16-bit
+    * bands — see [[phashDedup]] for the shared shape (q133's gate).
+    */
+  def imagePhashDedup(media: DataFrame, idCol: String = "doc_id",
+                      contentCol: String = "content",
+                      maxHamming: Int = 3): DataFrame =
+    phashDedup(media, idCol, contentCol, graft.functions.Udfs.bmpPhash(_),
+      nBands = 4, bandBits = 16, maxHamming = maxHamming)
+
+  /** Audio near-dup over PCM-16 WAV payloads: 32-bit energy-delta
+    * print into 4×8-bit bands — see [[phashDedup]] (q138's gate).
+    */
+  def audioPhashDedup(media: DataFrame, idCol: String = "doc_id",
+                      contentCol: String = "content",
+                      maxHamming: Int = 3): DataFrame =
+    phashDedup(media, idCol, contentCol, graft.functions.Udfs.wavPhash(_),
+      nBands = 4, bandBits = 8, maxHamming = maxHamming)
 
   /** Frame-sampling stub for video: emit one row per sampled frame index —
     * the explode shape a real frame extractor produces. Sampling every

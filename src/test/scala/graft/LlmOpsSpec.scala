@@ -751,6 +751,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavSamples(wav(s).take(30)).isEmpty)
   }
 
+  test("audioPhash32: amplitude invariance, frame sensitivity, " +
+    "sub-frame rejection") {
+    val base = Array.tabulate(99)(i => ((i * i * 7 + i * 13) % 1999) - 999)
+    val h = Multimodal.audioPhash32(base).get
+    // uniform amplitude scaling preserves every energy comparison —
+    // the invariance a perceptual audio print exists for (×2 here;
+    // a volume-normalized re-encode is the production case)
+    assert(Multimodal.audioPhash32(base.map(_ * 2)).contains(h))
+    assert(Multimodal.audioPhash32(base.map(_ * -1)).contains(h)) // phase
+    // zeroing ONLY frame 0 (99/33 = 3 samples) can flip only bit 0
+    val z = base.clone(); (0 until 3).foreach(z(_) = 0)
+    val hz = Multimodal.audioPhash32(z).get
+    assert(java.lang.Long.bitCount(h ^ hz) <= 1)
+    // a reordered waveform scrambles the energies → far print
+    val rev = base.reverse
+    assert(java.lang.Long.bitCount(
+      h ^ Multimodal.audioPhash32(rev).get) > 3)
+    // fewer samples than frames cannot carry a print
+    assert(Multimodal.audioPhash32(Array.fill(20)(5)).isEmpty)
+    assert(Multimodal.audioPhash32(null).isEmpty)
+  }
+
   test("pqAdcTopK: block-constant corpus reconstructs exactly, so ADC " +
     "search equals the exact baseline (recall 1.0)") {
     import spark.implicits._
