@@ -102,6 +102,13 @@ object Udfs {
   val wavPhash: UserDefinedFunction =
     udf(graft.Multimodal.wavPhash _)
 
+  /** MJPEG-in-AVI frame walk: declared frame count + per-frame JPEG
+    * metadata; null for undecodable containers. Kernel:
+    * [[graft.Multimodal.decodeAviMjpeg]].
+    */
+  val aviFrames: UserDefinedFunction =
+    udf(graft.Multimodal.decodeAviMjpeg _)
+
   /** Register the fixed-arity UDFs for spark.sql use. */
   def register(spark: SparkSession, asOfYear: Int): Unit = {
     spark.udf.register("graft_to_number", toNumber)

@@ -342,6 +342,68 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q139: REAL video-frame extraction under a full driver gate —
+    * MJPEG-in-AVI, the one video container honestly decodable without
+    * a codec (every frame is a complete JPEG; the walk is RIFF chunk
+    * arithmetic + [[graft.Multimodal.decodeJpegHeader]] per frame).
+    * Each doc synthesizes a genuine AVI byte stream: LIST(hdrl) with
+    * an avih declaring the frame count, LIST(movi) with 1–3 `00dc`
+    * JPEG frames whose dims derive from (doc_id, frame); every 7th
+    * doc carries raw text instead and must decode to a null row. The
+    * oracle re-derives declared/decoded counts and per-frame dims
+    * arithmetically — a chunk-walk off-by-one, a bad even-padding
+    * step, or a broken frame JPEG all break the hash gate. Completes
+    * the codec-free content triplet: BMP pixels (q133), PCM samples
+    * (q137/q138), MJPEG frames (this).
+    */
+  def q139VideoFrames(s: SparkSession, d: String): DataFrame = {
+    val fCount = (lit(1) + pmod(col("doc_id"), lit(3))).cast("int")
+    def hex4(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    def byteHex(x: org.apache.spark.sql.Column, k: Int) =
+      lpad(hex(shiftright(x.cast("long"), 8 * k).bitwiseAND(lit(255L))),
+        2, "0")
+    def le32hex(x: org.apache.spark.sql.Column) =
+      concat(byteHex(x, 0), byteHex(x, 1), byteHex(x, 2), byteHex(x, 3))
+    // one 39-byte baseline JFIF JPEG per frame (q122's construction,
+    // density fixed at 72×96), padded to the RIFF even boundary
+    def frameChunk(f: Int): org.apache.spark.sql.Column = {
+      val w = lit(100) + pmod(col("doc_id") * 3 + lit(f), lit(50))
+      val h = lit(80) + pmod(col("doc_id") * 5 + lit(f), lit(40))
+      when(lit(f) < fCount, concat(
+        lit("30306463" + "27000000" + // '00dc', size 39
+          "FFD8" + "FFE000104A46494600010101" + "0048" + "0060" + "0000" +
+          "FFC0001108"),
+        hex4(h), hex4(w), lit("03012200021101031101" + "00"))) // + pad
+        .otherwise("")
+    }
+    // avih payload (56 B): 16 B rates/flags, dwTotalFrames, 36 B rest
+    val hdrl = concat(
+      lit("4C495354" + "44000000" + "6864726C" + // LIST(68) 'hdrl'
+        "61766968" + "38000000" + "00" * 16),    // 'avih'(56)
+      le32hex(fCount), lit("00" * 36))
+    val movi = concat(
+      lit("4C495354"), le32hex(lit(4) + fCount * 48), lit("6D6F7669"),
+      frameChunk(0), frameChunk(1), frameChunk(2))
+    val payloadHex = concat(
+      lit("52494646"), le32hex(lit(92) + fCount * 48), lit("41564920"),
+      hdrl, movi)
+    val content = when(pmod(col("doc_id"), lit(7)) === 6,
+      col("text").cast("binary")).otherwise(unhex(payloadHex))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.Udfs.aviFrames(content).as("avi"))
+      .select(col("doc_id"),
+        col("avi.declared_frames").as("declared_frames"),
+        size(col("avi.frames")).as("n_frames"),
+        explode_outer(col("avi.frames")).as("fr"))
+      .select(col("doc_id"), col("declared_frames"), col("n_frames"),
+        col("fr.idx").as("frame_idx"),
+        col("fr.format").as("frame_fmt"),
+        col("fr.width").as("frame_w"),
+        col("fr.height").as("frame_h"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   def q109UrlDedup(s: SparkSession, d: String): DataFrame =
     CorpusOps.urlCanonicalize(urlAugmented(Tables.documents(s, d)),
       "doc_id", "url")
@@ -408,7 +470,8 @@ object CorpusQueries {
     "q136_streaming_index_ingest" ->
       (graft.streaming.ReplayParity.q136StreamingIndexIngest _),
     "q137_audio_features" -> (q137AudioFeatures _),
-    "q138_audio_phash_dedup" -> (q138AudioPhashDedup _))
+    "q138_audio_phash_dedup" -> (q138AudioPhashDedup _),
+    "q139_video_frames" -> (q139VideoFrames _))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -1045,6 +1108,28 @@ object CorpusQueries {
         |      AS BIGINT) END AS clip_n,
         |  CASE WHEN v <> 3 THEN round(sqrt(sum_sq / n), 6) END AS rms
         |FROM f ORDER BY doc_id""".stripMargin,
+    // MJPEG-in-AVI frame walk: declared/decoded counts + per-frame
+    // dims re-derived from (doc_id, frame) arithmetic (q139VideoFrames
+    // scaladoc — edit together); every 7th doc is raw text → null row
+    "q139_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS f_total,
+        |    doc_id % 7 = 6 AS bad
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, unnest(range(f_total)) AS f
+        |  FROM d WHERE NOT bad)
+        |SELECT d.doc_id,
+        |  CASE WHEN NOT d.bad THEN d.f_total END AS declared_frames,
+        |  CASE WHEN NOT d.bad THEN d.f_total END AS n_frames,
+        |  fr.f AS frame_idx,
+        |  CASE WHEN fr.f IS NOT NULL THEN 'jpeg' END AS frame_fmt,
+        |  CASE WHEN fr.f IS NOT NULL
+        |    THEN 100 + (d.doc_id*3 + fr.f) % 50 END AS frame_w,
+        |  CASE WHEN fr.f IS NOT NULL
+        |    THEN 80 + (d.doc_id*5 + fr.f) % 40 END AS frame_h
+        |FROM d LEFT JOIN fr USING (doc_id)
+        |ORDER BY d.doc_id, frame_idx""".stripMargin,
     // audio perceptual dedup: every 32-bit energy-delta print
     // re-derived from the waveform formulas (q138AudioPhashDedup
     // scaladoc — edit together); bits stay below 2^32 so plain BIGINT

@@ -661,6 +661,76 @@ object Multimodal {
     phashDedup(media, idCol, contentCol, graft.functions.Udfs.wavPhash(_),
       nBands = 4, bandBits = 8, maxHamming = maxHamming)
 
+  /** Real decoded video-frame metadata: one row per decodable MJPEG
+    * frame plus the container's declared frame count. */
+  case class AviFrame(idx: Int, format: String, width: Int, height: Int)
+  case class AviMeta(declared_frames: Int, frames: Seq[AviFrame])
+
+  /** REAL video FRAME extraction for the one video container a
+    * pure-JVM pipeline can honestly open: MJPEG-in-AVI, where every
+    * frame is a complete JPEG — so the frame walk is a RIFF chunk
+    * walk (the WAV machinery's sibling) and per-frame metadata is
+    * [[decodeJpegHeader]], no codec involved. This upgrades the video
+    * modality from the [[sampleFrames]] stub shape to honest content
+    * work, completing the triplet (BMP pixels, PCM samples, MJPEG
+    * frames); inter-frame-coded video (H.264 etc.) stays behind the
+    * documented codec stubs.
+    *
+    * Walk: RIFF('AVI ') → LIST('hdrl') → 'avih' (dwTotalFrames at
+    * payload offset 16 — the declared count a gate compares against
+    * what actually decodes) and LIST('movi') → '..dc' chunks, each
+    * payload a JPEG; frame indexes count EVERY dc chunk, so an
+    * undecodable frame leaves a visible gap rather than silently
+    * renumbering. Malformed containers yield None — null rows, never
+    * task failures; chunk sizes are walked as longs with even
+    * padding, the RIFF discipline.
+    */
+  def decodeAviMjpeg(bytes: Array[Byte]): Option[AviMeta] = {
+    if (bytes == null || bytes.length < 12) return None
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    val end = math.min(le32(4) + 8L, bytes.length.toLong)
+    var off = 12L
+    var declared = -1
+    val frames = Seq.newBuilder[AviFrame]
+    var idx = 0
+    while (off + 8 <= end) {
+      val o = off.toInt
+      val id = tag(o)
+      val sz = le32(o + 4)
+      if (id == "LIST" && off + 12 <= end) {
+        val lt = tag(o + 8)
+        val lend = math.min(off + 8 + sz, end)
+        var c = off + 12
+        while (c + 8 <= lend) {
+          val co = c.toInt
+          val cid = tag(co)
+          val csz = le32(co + 4)
+          val pEnd = math.min(c + 8 + csz, lend)
+          if (lt == "hdrl" && cid == "avih" && csz >= 20 &&
+            co + 8 + 20 <= bytes.length)
+            declared = le32(co + 8 + 16).toInt
+          if (lt == "movi" && cid.endsWith("dc")) {
+            if (pEnd > c + 8) {
+              val p = java.util.Arrays.copyOfRange(bytes, co + 8,
+                pEnd.toInt)
+              decodeJpegHeader(p).foreach(j =>
+                frames += AviFrame(idx, j.format, j.width, j.height))
+            }
+            idx += 1
+          }
+          c += 8L + csz + (csz & 1L)
+        }
+      }
+      off += 8L + sz + (sz & 1L)
+    }
+    if (declared < 0) None else Some(AviMeta(declared, frames.result()))
+  }
+
   /** Frame-sampling stub for video: emit one row per sampled frame index —
     * the explode shape a real frame extractor produces. Sampling every
     * `stride`th frame of a fake frame count derived from n_bytes.

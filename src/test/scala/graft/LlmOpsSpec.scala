@@ -751,6 +751,62 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavSamples(wav(s).take(30)).isEmpty)
   }
 
+  test("decodeAviMjpeg goldens: frame walk, declared count, " +
+    "undecodable-frame gap, malformed rejection") {
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(23) // SOI + SOF0 only
+      bb.putShort(0xFFD8.toShort)
+      bb.putShort(0xFFC0.toShort); bb.putShort(17); bb.put(8.toByte)
+      bb.putShort(h.toShort); bb.putShort(w.toShort)
+      bb.put(3.toByte)
+      bb.put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+      bb.array()
+    }
+    def avi(declared: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val chunks = frames.map { f =>
+        val padded = if (f.length % 2 == 1) f :+ 0.toByte else f
+        val bb = java.nio.ByteBuffer.allocate(8 + padded.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("00dc".getBytes("US-ASCII")); bb.putInt(f.length)
+        bb.put(padded); bb.array()
+      }
+      val moviLen = 4 + chunks.map(_.length).sum
+      val bb = java.nio.ByteBuffer
+        .allocate(12 + 76 + 8 + moviLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII"))
+      bb.putInt(4 + 76 + 8 + moviLen)
+      bb.put("AVI ".getBytes("US-ASCII"))
+      bb.put("LIST".getBytes("US-ASCII")); bb.putInt(68)
+      bb.put("hdrl".getBytes("US-ASCII"))
+      bb.put("avih".getBytes("US-ASCII")); bb.putInt(56)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.putInt(declared); (0 until 36).foreach(_ => bb.put(0.toByte))
+      bb.put("LIST".getBytes("US-ASCII")); bb.putInt(moviLen)
+      bb.put("movi".getBytes("US-ASCII"))
+      chunks.foreach(bb.put)
+      bb.array()
+    }
+    // two clean frames: idx 0/1, dims as declared in their SOFs
+    val m = Multimodal.decodeAviMjpeg(
+      avi(2, Seq(jpeg(320, 240), jpeg(640, 480)))).get
+    assert(m.declared_frames == 2)
+    assert(m.frames.map(f => (f.idx, f.width, f.height)) ==
+      Seq((0, 320, 240), (1, 640, 480)))
+    // an undecodable middle frame leaves a GAP, not a renumbering —
+    // and declared (3) vs decoded (2) is exactly what a gate compares
+    val g = Multimodal.decodeAviMjpeg(
+      avi(3, Seq(jpeg(10, 10), "junk frame".getBytes, jpeg(20, 30)))).get
+    assert(g.declared_frames == 3)
+    assert(g.frames.map(_.idx) == Seq(0, 2))
+    // malformed containers: None, never exceptions
+    assert(Multimodal.decodeAviMjpeg(null).isEmpty)
+    assert(Multimodal.decodeAviMjpeg("RIFF but not avi".getBytes).isEmpty)
+    // a WAV is RIFF but not 'AVI ' — must reject at the form gate
+    assert(Multimodal.decodeAviMjpeg(
+      avi(1, Seq(jpeg(2, 2))).patch(8, "WAVE".getBytes, 4)).isEmpty)
+  }
+
   test("audioPhash32: amplitude invariance, frame sensitivity, " +
     "sub-frame rejection") {
     val base = Array.tabulate(99)(i => ((i * i * 7 + i * 13) % 1999) - 999)
