@@ -198,4 +198,43 @@ class PlanShapeSpec extends AnyFunSuite {
     val p38 = plan("q38_cosine_pairs")
     assert(p38.contains("graft_dot_long"), p38)
   }
+
+  test("q133/q138: the perceptual-hash pair stage shuffles ONLY on the " +
+    "band key — no doc-pair exchange ever forms") {
+    Caches.clear()
+    // force the at-scale SMJ shape — sf0.001 fingerprint frames would
+    // broadcast and hide the band exchange (the DedupIndexSpec posture)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (q <- Seq("q133_image_phash_dedup", "q138_audio_phash_dedup")) {
+        val p = plan(q)
+        // the band bucket join: one exchange per side of the
+        // self-join, both on (band, key) — the only PAIR-FORMING
+        // shuffles (the post-join distinct/symmetrize/best-agg
+        // exchanges carry only the collision-governed candidate set)
+        assert("Exchange hashpartitioning\\(band".r.findAllIn(p).size == 2,
+          s"$q band-join shuffle shape changed:\n$p")
+        // the fingerprint projection is persisted once for both join
+        // sides (the one-scan contract)
+        assert(p.contains("InMemoryTableScan"), s"$q lost the persist:\n$p")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      Caches.clear()
+    }
+  }
+
+  test("q134: PQ assignment and reconstruction are row-local — the " +
+    "only exchanges are the block-pair join's and the per-vector aggs") {
+    Caches.clear()
+    val p = plan("q134_pq_recall")
+    // no exchange keyed on the subspace/code columns: assignment is a
+    // projection over broadcast codebook literals, not a join
+    assert(!p.contains("hashpartitioning(code"),
+      s"q134 shuffled on assignment codes:\n$p")
+    // the exact integer distances ride the native dot kernel
+    assert(p.contains("graft_dot_long"), s"q134 lost the native dot:\n$p")
+    Caches.clear()
+  }
 }
