@@ -404,6 +404,36 @@ object CorpusQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** q140: the CROSS-MODAL curation manifest — what a training-data
+    * pipeline actually ships per document: the modality signals this
+    * round made real (q133's image near-dup verdict, q137's clipping
+    * count) joined with a text-length gate into one include/exclude
+    * decision. The gate is compositional: each signal's full pipeline
+    * (pixel decode → dHash → banded near-dup; PCM decode → HOF
+    * features) runs inside this query, and the oracle re-derives all
+    * three from the shared CTE chains — so the stages provably fit
+    * together end to end, the q128 posture across modalities.
+    * Dedup policy: a doc is an image dup iff it has a near-dup
+    * partner with a SMALLER doc_id (min-id canonical keeps one copy
+    * per duplicate set — hamming-0 twins keep exactly the first).
+    */
+  def q140CurationManifest(s: SparkSession, d: String): DataFrame = {
+    val txt = Tables.documents(s, d).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val img = q133ImagePhashDedup(s, d)
+      .select(col("doc_id"), col("n_dups"), col("best_partner"))
+    val aud = q137AudioFeatures(s, d).select(col("doc_id"), col("clip_n"))
+    txt.join(img, Seq("doc_id")).join(aud, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_tokens").between(5, 5000).as("ok_text"),
+        (col("n_dups") > 0 && col("best_partner") < col("doc_id"))
+          .as("is_image_dup"),
+        coalesce(col("clip_n") === 0, lit(false)).as("ok_audio"))
+      .withColumn("include",
+        col("ok_text") && !col("is_image_dup") && col("ok_audio"))
+      .orderBy("doc_id")
+  }
+
   def q109UrlDedup(s: SparkSession, d: String): DataFrame =
     CorpusOps.urlCanonicalize(urlAugmented(Tables.documents(s, d)),
       "doc_id", "url")
@@ -471,7 +501,8 @@ object CorpusQueries {
       (graft.streaming.ReplayParity.q136StreamingIndexIngest _),
     "q137_audio_features" -> (q137AudioFeatures _),
     "q138_audio_phash_dedup" -> (q138AudioPhashDedup _),
-    "q139_video_frames" -> (q139VideoFrames _))
+    "q139_video_frames" -> (q139VideoFrames _),
+    "q140_curation_manifest" -> (q140CurationManifest _))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -531,6 +562,92 @@ object CorpusQueries {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
     TextOps.sequencePackingByCount(counts)
   }
+
+  /** The q133 pixel→hash→near-dup CTE chain (CTE names prefixed with
+    * i/imgd to stay composable), ending at `ibest` — shared by the
+    * q133 oracle and q140's image-dup signal; mirrors
+    * q133ImagePhashDedup, edit together. Powers of two accumulate in
+    * HUGEINT then wrap to the engine's two's-complement long
+    * (BIGINT << 63 overflows).
+    */
+  private lazy val imagePhashCtes: String =
+    """imgd AS (
+      |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, r, c,
+      |    CASE
+      |      WHEN v = 3 THEN 1 + (g*53
+      |        + (g*3 + r*11 + c*17 + 7)*(g*3 + r*11 + c*17 + 7)
+      |        + 137) % 254
+      |      WHEN v = 2 AND c = 0 AND r <= 2 THEN
+      |        CASE WHEN 1 + (g*31 + (g + r*7)*(g + r*7)) % 254
+      |                  > 1 + (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
+      |             THEN (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
+      |             ELSE 2 + (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
+      |             END
+      |      WHEN v = 1 THEN 2 + (g*31
+      |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254
+      |      ELSE 1 + (g*31
+      |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254 END AS pv
+      |  FROM imgd, range(8) t1(r), range(9) t2(c)),
+      |bits AS (
+      |  SELECT a.doc_id, a.r*8 + a.c AS b,
+      |    CASE WHEN a.pv > x.pv THEN 1 ELSE 0 END AS bit
+      |  FROM px a JOIN px x ON a.doc_id = x.doc_id AND a.r = x.r
+      |    AND x.c = a.c + 1
+      |  WHERE a.c <= 7),
+      |hsum AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN bit = 1
+      |        THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
+      |        ELSE CAST(0 AS HUGEINT) END) AS s
+      |  FROM bits GROUP BY 1),
+      |ihs AS (
+      |  SELECT doc_id,
+      |    CAST(s - CASE WHEN s >= CAST(1 AS HUGEINT) << 63
+      |      THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT)
+      |      AS phash
+      |  FROM hsum),
+      |ipairs AS (
+      |  SELECT x.doc_id AS pa, y.doc_id AS pb,
+      |    bit_count(xor(x.phash, y.phash)) AS hamming
+      |  FROM ihs x JOIN ihs y ON x.doc_id < y.doc_id
+      |  WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+      |isym AS (SELECT pa AS doc_id, pb AS partner, hamming FROM ipairs
+      |        UNION ALL SELECT pb, pa, hamming FROM ipairs),
+      |irk AS (SELECT doc_id, partner, hamming,
+      |        row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY hamming, partner) AS rn
+      |       FROM isym),
+      |ibest AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+      |        max(CASE WHEN rn = 1 THEN partner END) AS best_partner,
+      |        max(CASE WHEN rn = 1 THEN hamming END) AS best_hamming
+      |        FROM irk GROUP BY 1)""".stripMargin
+
+  /** The q137 waveform→features CTE chain (CTE names prefixed a*),
+    * ending at `af` (doc_id, v, n, smp, sum_sq) — shared by the q137
+    * oracle and q140's audio signal; mirrors q137AudioFeatures, edit
+    * together.
+    */
+  private lazy val audioFeatureCtes: String =
+    """audd AS (
+      |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+      |    40 + doc_id % 20 AS n
+      |  FROM documents),
+      |aw AS (
+      |  SELECT doc_id, v, n,
+      |    [CASE WHEN v = 1 AND i >= 11 AND i <= 20 THEN 0
+      |          WHEN v = 2 AND (i-1) % 16 = 0 THEN 32767
+      |          WHEN v = 2 AND (i-1) % 16 = 8 THEN -32768
+      |          ELSE ((g*7 + (i-1)*13) % 2001) - 1000 END
+      |     for i in range(1, n + 1)] AS smp
+      |  FROM audd),
+      |af AS (
+      |  SELECT doc_id, v, n, smp,
+      |    CAST(list_sum(list_transform(smp, x -> x*x)) AS BIGINT)
+      |      AS sum_sq
+      |  FROM aw)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q101_pii_screen" ->
@@ -1077,37 +1194,21 @@ object CorpusQueries {
     // re-derived arithmetically from doc_id (q137AudioFeatures scaladoc
     // — edit together); v=3 rows are non-WAV text and must be all-null
     "q137_audio_features" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
-        |    40 + doc_id % 20 AS n
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id, v, n,
-        |    [CASE WHEN v = 1 AND i >= 11 AND i <= 20 THEN 0
-        |          WHEN v = 2 AND (i-1) % 16 = 0 THEN 32767
-        |          WHEN v = 2 AND (i-1) % 16 = 8 THEN -32768
-        |          ELSE ((g*7 + (i-1)*13) % 2001) - 1000 END
-        |     for i in range(1, n + 1)] AS smp
-        |  FROM d),
-        |f AS (
-        |  SELECT doc_id, v, n, smp,
-        |    CAST(list_sum(list_transform(smp, x -> x*x)) AS BIGINT)
-        |      AS sum_sq
-        |  FROM w)
-        |SELECT doc_id,
-        |  CASE WHEN v <> 3 THEN CAST(n AS BIGINT) END AS n_samples,
-        |  CASE WHEN v <> 3 THEN
-        |    CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT)
-        |    END AS peak,
-        |  CASE WHEN v <> 3 THEN sum_sq END AS sum_sq,
-        |  CASE WHEN v <> 3 THEN
-        |    CAST(len(list_filter(smp, x -> x = 0)) AS BIGINT)
-        |    END AS silence_n,
-        |  CASE WHEN v <> 3 THEN
-        |    CAST(len(list_filter(smp, x -> x = 32767 OR x = -32768))
-        |      AS BIGINT) END AS clip_n,
-        |  CASE WHEN v <> 3 THEN round(sqrt(sum_sq / n), 6) END AS rms
-        |FROM f ORDER BY doc_id""".stripMargin,
+      s"""WITH $audioFeatureCtes
+         |SELECT doc_id,
+         |  CASE WHEN v <> 3 THEN CAST(n AS BIGINT) END AS n_samples,
+         |  CASE WHEN v <> 3 THEN
+         |    CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT)
+         |    END AS peak,
+         |  CASE WHEN v <> 3 THEN sum_sq END AS sum_sq,
+         |  CASE WHEN v <> 3 THEN
+         |    CAST(len(list_filter(smp, x -> x = 0)) AS BIGINT)
+         |    END AS silence_n,
+         |  CASE WHEN v <> 3 THEN
+         |    CAST(len(list_filter(smp, x -> x = 32767 OR x = -32768))
+         |      AS BIGINT) END AS clip_n,
+         |  CASE WHEN v <> 3 THEN round(sqrt(sum_sq / n), 6) END AS rms
+         |FROM af ORDER BY doc_id""".stripMargin,
     // MJPEG-in-AVI frame walk: declared/decoded counts + per-frame
     // dims re-derived from (doc_id, frame) arithmetic (q139VideoFrames
     // scaladoc — edit together); every 7th doc is raw text → null row
@@ -1187,63 +1288,39 @@ object CorpusQueries {
     // by pigeonhole. Powers of two accumulate in HUGEINT then wrap to
     // the engine's two's-complement long (BIGINT << 63 would overflow)
     "q133_image_phash_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v
-        |  FROM documents),
-        |px AS (
-        |  SELECT doc_id, r, c,
-        |    CASE
-        |      WHEN v = 3 THEN 1 + (g*53
-        |        + (g*3 + r*11 + c*17 + 7)*(g*3 + r*11 + c*17 + 7)
-        |        + 137) % 254
-        |      WHEN v = 2 AND c = 0 AND r <= 2 THEN
-        |        CASE WHEN 1 + (g*31 + (g + r*7)*(g + r*7)) % 254
-        |                  > 1 + (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
-        |             THEN (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
-        |             ELSE 2 + (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
-        |             END
-        |      WHEN v = 1 THEN 2 + (g*31
-        |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254
-        |      ELSE 1 + (g*31
-        |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254 END AS pv
-        |  FROM d, range(8) t1(r), range(9) t2(c)),
-        |bits AS (
-        |  SELECT a.doc_id, a.r*8 + a.c AS b,
-        |    CASE WHEN a.pv > x.pv THEN 1 ELSE 0 END AS bit
-        |  FROM px a JOIN px x ON a.doc_id = x.doc_id AND a.r = x.r
-        |    AND x.c = a.c + 1
-        |  WHERE a.c <= 7),
-        |hsum AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN bit = 1
-        |        THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
-        |        ELSE CAST(0 AS HUGEINT) END) AS s
-        |  FROM bits GROUP BY 1),
-        |hs AS (
-        |  SELECT doc_id,
-        |    CAST(s - CASE WHEN s >= CAST(1 AS HUGEINT) << 63
-        |      THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END AS BIGINT)
-        |      AS phash
-        |  FROM hsum),
-        |pairs AS (
-        |  SELECT x.doc_id AS pa, y.doc_id AS pb,
-        |    bit_count(xor(x.phash, y.phash)) AS hamming
-        |  FROM hs x JOIN hs y ON x.doc_id < y.doc_id
-        |  WHERE bit_count(xor(x.phash, y.phash)) <= 3),
-        |sym AS (SELECT pa AS doc_id, pb AS partner, hamming FROM pairs
-        |        UNION ALL SELECT pb, pa, hamming FROM pairs),
-        |rk AS (SELECT doc_id, partner, hamming,
-        |        row_number() OVER (PARTITION BY doc_id
-        |          ORDER BY hamming, partner) AS rn
-        |       FROM sym),
-        |best AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
-        |        max(CASE WHEN rn = 1 THEN partner END) AS best_partner,
-        |        max(CASE WHEN rn = 1 THEN hamming END) AS best_hamming
-        |        FROM rk GROUP BY 1)
-        |SELECT h.doc_id, h.phash,
-        |  coalesce(n_dups, 0) AS n_dups, best_partner, best_hamming
-        |FROM hs h LEFT JOIN best USING (doc_id)
-        |ORDER BY h.doc_id""".stripMargin,
+      s"""WITH $imagePhashCtes
+         |SELECT h.doc_id, h.phash,
+         |  coalesce(n_dups, 0) AS n_dups, best_partner, best_hamming
+         |FROM ihs h LEFT JOIN ibest USING (doc_id)
+         |ORDER BY h.doc_id""".stripMargin,
+    // the cross-modal curation manifest: text + image-dup + audio
+    // signals composed under ONE verdict — shares imagePhashCtes and
+    // audioFeatureCtes verbatim with q133/q137; edit all three
+    // together
+    "q140_curation_manifest" ->
+      s"""WITH $imagePhashCtes,
+         |$audioFeatureCtes,
+         |t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |sig AS (
+         |  SELECT t.doc_id, t.n_tokens,
+         |    t.n_tokens BETWEEN 5 AND 5000 AS ok_text,
+         |    coalesce(ib.n_dups, 0) > 0
+         |      AND ib.best_partner < t.doc_id AS is_image_dup,
+         |    coalesce(
+         |      CASE WHEN a.v <> 3 THEN
+         |        len(list_filter(a.smp,
+         |          x -> x = 32767 OR x = -32768)) = 0 END,
+         |      false) AS ok_audio
+         |  FROM t
+         |  LEFT JOIN ibest ib USING (doc_id)
+         |  LEFT JOIN af a USING (doc_id))
+         |SELECT doc_id, n_tokens, ok_text, is_image_dup, ok_audio,
+         |  ok_text AND NOT is_image_dup AND ok_audio AS include
+         |FROM sig ORDER BY doc_id""".stripMargin,
     "q107_top_ngrams" ->
       """WITH t AS (
         |  SELECT lang, string_split_regex(trim(text), '\s+') AS w
