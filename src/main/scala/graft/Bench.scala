@@ -102,6 +102,7 @@ object Bench {
       "q133_image_phash_dedup", "q134_pq_recall", "q135_pq_adc_recall",
       "q137_audio_features", "q138_audio_phash_dedup",
       "q139_video_frames", "q140_curation_manifest",
+      "q141_embedding_drift",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

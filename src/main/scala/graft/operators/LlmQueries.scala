@@ -477,6 +477,11 @@ object LlmQueries {
       Similarity.pqRecall(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
     "q135_pq_adc_recall" -> (q135PqAdcRecall _),
+    // per-label centroid drift between the even/odd vec_id slices —
+    // the deterministic stand-in for "last snapshot vs this one"
+    "q141_embedding_drift" -> ((s, d) =>
+      Similarity.embeddingDrift(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", pmod(col("vec_id"), lit(2)) === 1)),
     // the 4% eval slice (q94's membership convention) screened against
     // the training side in EMBEDDING space; threshold 0.2 sits inside
     // the synthetic corpus's nearest-cos spread so BOTH verdict
@@ -659,6 +664,38 @@ object LlmQueries {
          |  nn_exact IS NOT DISTINCT FROM nn_pq AS agree
          |FROM rr v LEFT JOIN best USING (vec_id)
          |ORDER BY v.vec_id""".stripMargin,
+    // per-label centroid drift between the even/odd slices: integer
+    // conditional dimension sums, cosine of the sum vectors (scale
+    // invariant ≡ mean cosine) — mirrors Similarity.embeddingDrift
+    "q141_embedding_drift" ->
+      s"""WITH $embBase,
+         |dx AS (SELECT vec_id, label, vec_id % 2 = 1 AS is_new,
+         |         unnest(q) AS v, unnest(range(1, 65)) AS d
+         |       FROM n2),
+         |bd AS (SELECT label, d,
+         |        CAST(sum(CASE WHEN NOT is_new THEN v END) AS BIGINT)
+         |          AS sa,
+         |        CAST(sum(CASE WHEN is_new THEN v END) AS BIGINT) AS sb
+         |       FROM dx GROUP BY 1, 2),
+         |ct AS (SELECT label, list(sa ORDER BY d) AS ca,
+         |         list(sb ORDER BY d) AS cb
+         |       FROM bd GROUP BY 1),
+         |cn AS (SELECT label,
+         |        CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END)
+         |          AS BIGINT) AS n_old,
+         |        CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END)
+         |          AS BIGINT) AS n_new
+         |       FROM n2 GROUP BY 1)
+         |SELECT c.label, n_old, n_new,
+         |  round(CAST(list_sum([ca[i]*cb[i] for i in range(1, 65)])
+         |      AS BIGINT)
+         |    / (sqrt(CAST(list_sum([ca[i]*ca[i] for i in range(1, 65)])
+         |        AS BIGINT))
+         |     * sqrt(CAST(list_sum([cb[i]*cb[i] for i in range(1, 65)])
+         |        AS BIGINT))), 6) AS drift_cos
+         |FROM cn c JOIN ct USING (label)
+         |WHERE n_old > 0 AND n_new > 0
+         |ORDER BY c.label""".stripMargin,
     // ADC search over the PQ codes: probe exact, corpus reconstructed
     // (shares pqCtes with q134 — edit together); recall vs the exact
     // brute-force top-3, the q72 evaluation shape

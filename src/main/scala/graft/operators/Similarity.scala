@@ -544,6 +544,51 @@ object Similarity {
       .select("probe_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Embedding DRIFT monitor — the check a production vector pipeline
+    * runs between corpus snapshots (or embedding-model versions):
+    * per-block centroid ROTATION between two slices, as the cosine
+    * between the slices' integer sum vectors (scale-invariant, so
+    * sums stand in for means exactly — the [[ivfCentroids]] trick).
+    * A drift_cos well below 1 for a block says its new vectors point
+    * somewhere else — re-cluster, or suspect the upstream embedder.
+    * Blocks missing either slice are dropped (no 0/0 cosine).
+    *
+    * Everything before the final division is exact int64 (conditional
+    * dimension sums, native dot products), so the q141 oracle
+    * re-derives it bit-for-bit. Scale shape: one partial-aggregated
+    * pass over (block, dim) cells — ∝ blocks × DIM, not corpus — then
+    * a blocks-row result; no stage touches vector pairs.
+    */
+  def embeddingDrift(df: DataFrame, idCol: String, vecCol: String,
+                     blockCol: String, isNew: Column): DataFrame = {
+    val base = Caches.persistTracked(
+      prepared(df, idCol, vecCol, Seq(blockCol))
+        .withColumn("is_new", isNew))
+    val byDim = base
+      .select(col(blockCol), col("is_new"),
+        posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy(blockCol, "d")
+      .agg(sum(when(!col("is_new"), col("v"))).as("sa"),
+        sum(when(col("is_new"), col("v"))).as("sb"))
+    val cent = byDim.groupBy(blockCol)
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("sa")))),
+          p => p.getField("sa")).as("ca"),
+        transform(array_sort(collect_list(struct(col("d"), col("sb")))),
+          p => p.getField("sb")).as("cb"))
+    val counts = base.groupBy(blockCol)
+      .agg(count(when(!col("is_new"), lit(1))).as("n_old"),
+        count(when(col("is_new"), lit(1))).as("n_new"))
+    counts.join(cent, Seq(blockCol))
+      .filter(col("n_old") > 0 && col("n_new") > 0)
+      .select(col(blockCol), col("n_old"), col("n_new"),
+        round(dotQ(col("ca"), col("cb")) /
+          (sqrt(dotQ(col("ca"), col("ca")).cast("double")) *
+            sqrt(dotQ(col("cb"), col("cb")).cast("double"))), 6)
+          .as("drift_cos"))
+      .orderBy(blockCol)
+  }
+
   /** Coarse IVF centroids: per-block integer sum vectors (cosine against
     * a sum vector ≡ cosine against the mean — scale invariant, and exact
     * in int arithmetic). Output is the broadcast-sized index table

@@ -751,6 +751,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavSamples(wav(s).take(30)).isEmpty)
   }
 
+  test("embeddingDrift: identical slices score 1.0, opposed slices " +
+    "score -1.0, one-sided blocks are dropped") {
+    import spark.implicits._
+    def vec(seed: Int, sign: Int): Array[Float] =
+      Array.tabulate(64)(i => sign * ((seed * 13 + i * 7) % 100 + 1) / 100.0f)
+    val rows = Seq(
+      // block 0: both slices identical direction → drift 1.0
+      (0L, 0, vec(1, 1)), (1L, 0, vec(1, 1)),
+      (2L, 0, vec(1, 1)), (3L, 0, vec(1, 1)),
+      // block 1: new slice NEGATED → drift -1.0 (max rotation)
+      (10L, 1, vec(5, 1)), (11L, 1, vec(5, -1)),
+      // block 2: only old-side rows → dropped (no 0/0 cosine)
+      (20L, 2, vec(9, 1)), (22L, 2, vec(9, 1)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.embeddingDrift(rows, "vec_id", "embedding",
+      "label", col("vec_id") % 2 === 1)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(out(0) == 1.0, s"identical slices must score 1.0: $out")
+    assert(out(1) == -1.0, s"negated slice must score -1.0: $out")
+    assert(!out.contains(2), s"one-sided block must be dropped: $out")
+    Caches.clear()
+  }
+
   test("decodeAviMjpeg goldens: frame walk, declared count, " +
     "undecodable-frame gap, malformed rejection") {
     def jpeg(w: Int, h: Int): Array[Byte] = {
