@@ -174,37 +174,40 @@ object CorpusQueries {
     // comparison pattern (hence hash) near-identical — the first cut of
     // this fixture had n_dups ≈ 197/doc from cross-group hash
     // collisions. (g + 7r + 13c)² scrambles the comparisons per group
-    // while staying exact small-integer math in both engines
-    def base(r: Int, c: Int) = {
-      val m = g + lit(r * 7 + c * 13)
+    // while staying exact small-integer math in both engines. Pixels
+    // build via NESTED HOF lambdas (8 × 9 grid), not 216 unrolled hex
+    // slots — the codegen-size lesson from q138's first cut
+    type C = org.apache.spark.sql.Column
+    def base(r: C, c: C) = {
+      val m = g + r * 7 + c * 13
       lit(1) + pmod(g * 31 + m * m, lit(254))
     }
-    def alt(r: Int, c: Int) = {
-      val m = g * 3 + lit(r * 11 + c * 17 + 7)
+    def alt(r: C, c: C) = {
+      val m = g * 3 + r * 11 + c * 17 + lit(7)
       lit(1) + pmod(g * 53 + m * m + lit(137), lit(254))
     }
-    def pix(r: Int, c: Int): org.apache.spark.sql.Column = {
+    def pix(r: C, c: C): C = {
       val b = base(r, c)
-      val flipped = if (c == 0 && r <= 2) {
-        val b1 = base(r, 1)
-        when(base(r, 0) > b1, b1 - 1).otherwise(b1 + 1)
-      } else b
+      val b1 = base(r, lit(1))
+      val flipped = when(c === 0 && r <= 2,
+        when(base(r, lit(0)) > b1, b1 - 1).otherwise(b1 + 1))
+        .otherwise(b)
       when(v === 0, b).when(v === 1, b + 1)
         .when(v === 2, flipped).otherwise(alt(r, c))
     }
-    def hb(x: org.apache.spark.sql.Column) = lpad(hex(x), 2, "0")
+    def hb(x: C) = lpad(hex(x), 2, "0")
     // 14-byte file header ("BM", size 278, data offset 54) + 40-byte
     // BITMAPINFOHEADER (9×8, 1 plane, 24 bpp, uncompressed), all
     // little-endian literals; then 8 stored rows BOTTOM-UP, each 9 BGR
     // gray triples + 1 pad byte (27 → 28)
     val header = lit("424D1601000000000000360000002800000009000000" +
       "080000000100180000000000E000000000000000000000000000000000000000")
-    val rows = (7 to 0 by -1).map { r => // stored bottom-up
-      concat((0 until 9).map { c =>
-        val p = hb(pix(r, c)); concat(p, p, p)
-      } :+ lit("00"): _*)
-    }
-    val content = unhex(concat(header +: rows: _*))
+    val pixels = concat_ws("",
+      transform(sequence(lit(7), lit(0), lit(-1)), r => // stored bottom-up
+        concat(concat_ws("", transform(sequence(lit(0), lit(8)), c => {
+          val p = hb(pix(r, c)); concat(p, p, p)
+        })), lit("00"))))
+    val content = unhex(concat(header, pixels))
     Multimodal.imagePhashDedup(
       Tables.documents(s, d).select(col("doc_id"), content.as("content")))
       .orderBy("doc_id")
@@ -236,18 +239,19 @@ object CorpusQueries {
       concat(byteHex(x, 0), byteHex(x, 1))
     def le32hex(x: org.apache.spark.sql.Column) =
       concat(byteHex(x, 0), byteHex(x, 1), byteHex(x, 2), byteHex(x, 3))
-    // sample i (0-based): base waveform with variant overrides
-    def sample(i: Int): org.apache.spark.sql.Column = {
-      val base = pmod(g * 7 + lit(i * 13), lit(2001)) - lit(1000)
-      when(v === 1 && lit(i >= 10 && i < 20), lit(0))
-        .when(v === 2 && lit(i % 16 == 0), lit(32767))
-        .when(v === 2 && lit(i % 16 == 8), lit(-32768))
+    // sample i (0-based): base waveform with variant overrides — ONE
+    // HOF lambda over sequence(0, n-1), not n unrolled slots (the
+    // codegen-size lesson from q138's first cut)
+    def sample(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val base = pmod(g * 7 + i * 13, lit(2001)) - lit(1000)
+      when(v === 1 && i >= 10 && i < 20, lit(0))
+        .when(v === 2 && pmod(i, lit(16)) === 0, lit(32767))
+        .when(v === 2 && pmod(i, lit(16)) === 8, lit(-32768))
         .otherwise(base)
     }
-    val maxN = 59 // 40 + (doc_id % 20) max
-    val sampleHex = concat((0 until maxN).map { i =>
-      when(lit(i) < n, le16hex(pmod(sample(i), lit(65536)))).otherwise("")
-    }: _*)
+    val sampleHex = concat_ws("",
+      transform(sequence(lit(0), n - 1),
+        i => le16hex(pmod(sample(i), lit(65536)))))
     // RIFF/WAVE: riff size = 36 + 2N; fmt16 PCM mono 8 kHz 16-bit;
     // data size = 2N
     val payloadHex = concat(
@@ -313,24 +317,26 @@ object CorpusQueries {
     // quadratic mixes (the q133 lesson): linear ramps make adjacent
     // frame energies near-identical ACROSS groups — the first cut of
     // this fixture had v3 "distinct" waveforms averaging 2.45 false
-    // near-dups from cross-group print collisions
-    def base(i: Int) = {
-      val m = g + lit(i * 7)
+    // near-dups from cross-group print collisions. The sample stream
+    // is ONE HOF lambda over sequence(0, n-1), not n unrolled slots —
+    // the unrolled form was ~570 concat nodes per row and dominated
+    // the query's bench cost (7.4 s → the lambda form's number)
+    def base(i: org.apache.spark.sql.Column) = {
+      val m = g + i * 7
       pmod(g * 11 + m * m, lit(2001)) - lit(1000)
     }
-    def alt(i: Int) = {
-      val m = g * 3 + lit(i * 11 + 7)
+    def alt(i: org.apache.spark.sql.Column) = {
+      val m = g * 3 + i * 11 + lit(7)
       pmod(g * 13 + m * m, lit(2001)) - lit(1000)
     }
-    def sample(i: Int): org.apache.spark.sql.Column =
+    def sample(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(v === 1, base(i) * 2)
-        .when(v === 2 && lit(i < 2), lit(0))
+        .when(v === 2 && i < 2, lit(0))
         .when(v === 3, alt(i))
         .otherwise(base(i))
-    val maxN = 95 // 66 + 29
-    val sampleHex = concat((0 until maxN).map { i =>
-      when(lit(i) < n, le16hex(pmod(sample(i), lit(65536)))).otherwise("")
-    }: _*)
+    val sampleHex = concat_ws("",
+      transform(sequence(lit(0), n - 1),
+        i => le16hex(pmod(sample(i), lit(65536)))))
     val payloadHex = concat(
       lit("52494646"), le32hex(lit(36) + n * 2), lit("57415645"),
       lit("666D7420" + "10000000" + "0100" + "0100" +
