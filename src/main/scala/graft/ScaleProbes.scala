@@ -456,9 +456,17 @@ object ScaleProbes {
             Caches.clear()
           }
         }
-        def files(prefix: String): Int =
-          new java.io.File(s"spark-warehouse/${prefix}_hashes")
-            .listFiles().count(_.getName.endsWith(".parquet"))
+        def files(prefix: String): Int = {
+          // resolve through the session's warehouse path, not a
+          // cwd-relative literal (r14 review finding), and guard the
+          // listing against a missing dir
+          val loc = new java.io.File(new java.net.URI(
+            new org.apache.hadoop.fs.Path(
+              spark.sessionState.conf.warehousePath,
+              s"${prefix}_hashes").toString).getPath)
+          Option(loc.listFiles())
+            .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+        }
         val out = Seq(1, math.min(8, gens), gens).distinct.map { g =>
           val p = s"probecmp$g"
           build(p, g); Caches.clear()

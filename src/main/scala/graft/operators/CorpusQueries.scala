@@ -213,6 +213,18 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  // -------- little-endian hex builders shared by the binary-fixture
+  // synthesizers (q137 WAV, q138 WAV, q139 AVI): one definition, not a
+  // per-query copy (r14 review finding — byte-layout code must be
+  // edited in one place)
+  private def byteHex(x: org.apache.spark.sql.Column, k: Int) =
+    lpad(hex(shiftright(x.cast("long"), 8 * k).bitwiseAND(lit(255L))),
+      2, "0")
+  private def le16hex(x: org.apache.spark.sql.Column) =
+    concat(byteHex(x, 0), byteHex(x, 1))
+  private def le32hex(x: org.apache.spark.sql.Column) =
+    concat(byteHex(x, 0), byteHex(x, 1), byteHex(x, 2), byteHex(x, 3))
+
   /** q137: PCM sample-level audio features under a full driver gate —
     * the q133 fixture discipline applied to the audio modality. Four
     * deterministic variants per doc_id group are SYNTHESIZED as
@@ -232,13 +244,6 @@ object CorpusQueries {
     val g = expr("doc_id div 4")
     val v = pmod(col("doc_id"), lit(4))
     val n = (lit(40) + pmod(col("doc_id"), lit(20))).cast("int")
-    def byteHex(x: org.apache.spark.sql.Column, k: Int) =
-      lpad(hex(shiftright(x.cast("long"), 8 * k).bitwiseAND(lit(255L))),
-        2, "0")
-    def le16hex(x: org.apache.spark.sql.Column) =
-      concat(byteHex(x, 0), byteHex(x, 1))
-    def le32hex(x: org.apache.spark.sql.Column) =
-      concat(byteHex(x, 0), byteHex(x, 1), byteHex(x, 2), byteHex(x, 3))
     // sample i (0-based): base waveform with variant overrides — ONE
     // HOF lambda over sequence(0, n-1), not n unrolled slots (the
     // codegen-size lesson from q138's first cut)
@@ -277,8 +282,10 @@ object CorpusQueries {
           x => x === 32767 || x === -32768)).cast("long").as("clip_n"),
         round(sqrt(sumSq.cast("double") / size(col("smp"))), 6).as("rms"))
       .select(col("doc_id"),
-        // undecodable rows: size(null) is -1 under legacy sizeOfNull …
-        // normalize every feature to null when the decode failed
+        // undecodable rows: size(null) is null under the current
+        // default but -1 under legacy sizeOfNull — this guard
+        // normalizes to null under EITHER config (null >= 0 is null,
+        // -1 >= 0 is false), so the gate never depends on the flag
         when(col("n_samples") >= 0, col("n_samples")).as("n_samples"),
         col("peak"), col("sum_sq"),
         when(col("n_samples") >= 0, col("silence_n")).as("silence_n"),
@@ -307,13 +314,6 @@ object CorpusQueries {
     val g = expr("doc_id div 4")
     val v = pmod(col("doc_id"), lit(4))
     val n = (lit(66) + pmod(g, lit(30))).cast("int")
-    def byteHex(x: org.apache.spark.sql.Column, k: Int) =
-      lpad(hex(shiftright(x.cast("long"), 8 * k).bitwiseAND(lit(255L))),
-        2, "0")
-    def le16hex(x: org.apache.spark.sql.Column) =
-      concat(byteHex(x, 0), byteHex(x, 1))
-    def le32hex(x: org.apache.spark.sql.Column) =
-      concat(byteHex(x, 0), byteHex(x, 1), byteHex(x, 2), byteHex(x, 3))
     // quadratic mixes (the q133 lesson): linear ramps make adjacent
     // frame energies near-identical ACROSS groups — the first cut of
     // this fixture had v3 "distinct" waveforms averaging 2.45 false
@@ -365,11 +365,6 @@ object CorpusQueries {
   def q139VideoFrames(s: SparkSession, d: String): DataFrame = {
     val fCount = (lit(1) + pmod(col("doc_id"), lit(3))).cast("int")
     def hex4(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
-    def byteHex(x: org.apache.spark.sql.Column, k: Int) =
-      lpad(hex(shiftright(x.cast("long"), 8 * k).bitwiseAND(lit(255L))),
-        2, "0")
-    def le32hex(x: org.apache.spark.sql.Column) =
-      concat(byteHex(x, 0), byteHex(x, 1), byteHex(x, 2), byteHex(x, 3))
     // one 39-byte baseline JFIF JPEG per frame (q122's construction,
     // density fixed at 72×96), padded to the RIFF even boundary
     def frameChunk(f: Int): org.apache.spark.sql.Column = {
@@ -400,7 +395,11 @@ object CorpusQueries {
         graft.functions.Udfs.aviFrames(content).as("avi"))
       .select(col("doc_id"),
         col("avi.declared_frames").as("declared_frames"),
-        size(col("avi.frames")).as("n_frames"),
+        // guard the null-decode rows explicitly: size(null) is null
+        // under the current default but -1 under legacy sizeOfNull —
+        // the gate must not depend on that config (q137's posture)
+        when(col("avi").isNotNull, size(col("avi.frames")))
+          .as("n_frames"),
         explode_outer(col("avi.frames")).as("fr"))
       .select(col("doc_id"), col("declared_frames"), col("n_frames"),
         col("fr.idx").as("frame_idx"),
@@ -528,16 +527,10 @@ object CorpusQueries {
       d.replaceAll("[^A-Za-z0-9._-]", "_") +
       "_p" + ProcessHandle.current().pid()
     // the returned frame reads this path LAZILY (Verify materializes it
-    // later), so deletion must outlive the query call: a JVM shutdown
-    // hook reclaims the directory — repeated harness runs no longer
-    // accumulate /tmp/graft_zorder_rt_* dirs unboundedly
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
-        f.delete(): Unit
-      }
-      del(new java.io.File(path))
-    }))
+    // later), so deletion must outlive the query call: a deduplicated
+    // JVM exit hook reclaims the directory — repeated harness runs no
+    // longer accumulate /tmp/graft_zorder_rt_* dirs unboundedly
+    graft.TmpDirs.deleteOnExit(path)
     // z-dims must fit zValue's bit budget: raw hour_epoch (~1.7e9,
     // 31 bits) would wrap every 2^20 s (~12 days) through the 20-bit
     // interleave and destroy the time clustering — feed the hour INDEX

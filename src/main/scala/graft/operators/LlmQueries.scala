@@ -288,9 +288,14 @@ object LlmQueries {
 
   private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame = {
     val path = ivfBuilt.computeIfAbsent(d, _ => {
-      val p = "/tmp/graft_ivf_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      // per-PROCESS path + exit-hook cleanup — concurrent JVMs must
+      // not race one artifact and repeated runs must not accumulate
+      // /tmp dirs (the q120/Bpe.mergeTable discipline, r14 review)
+      val p = "/tmp/graft_ivf_" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_p" + ProcessHandle.current().pid()
       Similarity.buildIvf(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", p)
+      graft.TmpDirs.deleteOnExit(p)
       p
     })
     s.read.parquet(path)

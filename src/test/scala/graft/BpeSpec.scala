@@ -97,7 +97,7 @@ class BpeSpec extends AnyFunSuite {
     val path = java.nio.file.Files
       .createTempDirectory("graft_bpe_spec_").toString
     try {
-      Bpe.buildMerges(docs, "doc_id", "text", path, merges = 6)
+      Bpe.buildMerges(docs, "text", path, merges = 6)
       val prebuilt = spark.read.parquet(path)
       // the persisted artifact IS q123's table
       assert(prebuilt.orderBy("rank").collect().toSeq ==
