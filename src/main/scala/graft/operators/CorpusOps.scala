@@ -632,4 +632,79 @@ object CorpusOps {
       .select(col("lang"), col("rank"), col("gram"), col("n"))
       .orderBy("lang", "rank")
   }
+
+  // ------------------------------------------- exact-substring dedup
+
+  /** Span-level exact-substring dedup — the "Deduplicating Training
+    * Data Makes Language Models Better" (Lee et al. 2022) pass:
+    * document- and paragraph-level screens miss VERBATIM spans that
+    * repeat inside otherwise-distinct documents (license boilerplate,
+    * quoted passages, templated sentences), so this operator finds
+    * every `width`-token window whose exact content occurs ≥ `minOcc`
+    * times ANYWHERE in the corpus (across docs or repeated within
+    * one), merges overlapping duplicate windows into maximal spans,
+    * and reports per doc: token count, duplicated-token count, span
+    * count, and the md5 of the text with duplicated spans excised.
+    *
+    * The reference paper builds a single-node suffix array; that does
+    * not shard. The Spark-first shape is rolling windows hashed
+    * row-locally (16-hex md5 prefix so the shuffle carries 16-byte
+    * keys, not text), ONE count shuffle on the window hash (a window
+    * aggregate — no second join pass), and a coverage explode bounded
+    * by `width` × the duplicated subset only. Every stage is ∝ total
+    * tokens, never doc pairs; the per-doc covered-position array is
+    * bounded by a single document's length, same as the q95/q102
+    * materialized-array posture. Hash collisions (64-bit prefix)
+    * merge windows identically in engine and oracle, so the gate is
+    * exact by construction.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     width: Int = 8, minOcc: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // token arrays materialized once (the q95 re-split trap)
+    val tok = Caches.persistTracked(df.select(col(idCol).as("doc_id"),
+      TextOps.words(col(textCol)).as("w")))
+    // one row per window start (1-based); short docs emit none
+    val win = tok
+      .where(size(col("w")) >= width)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("w")) - lit(width - 1)),
+          i => substring(
+            md5(concat_ws("", slice(col("w"), i, lit(width)))),
+            1, 16))).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    // global occurrence count in the SAME shuffle that carries the
+    // windows (count over an h-partitioned frame, no join back)
+    val dupw = win
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("cnt") >= minOcc)
+    // token positions covered by ≥1 duplicate window; persisted —
+    // both the span rollup and the reconstruction array read it, and
+    // recomputing would repeat the h-window shuffle
+    val cov = Caches.persistTracked(dupw
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(width - 1))).as("p"))
+      .distinct())
+    // maximal spans via gaps-and-islands on the covered positions
+    val rn = row_number().over(
+      Window.partitionBy("doc_id").orderBy("p"))
+    val spans = cov.withColumn("g", col("p") - rn)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_tokens"),
+        countDistinct(col("g")).as("n_spans"))
+    val covArr = cov.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("cov"))
+    tok.join(covArr, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        md5(concat_ws(" ", filter(col("w"), (_, i) =>
+          !array_contains(
+            coalesce(col("cov"), array().cast("array<int>")), i + 1))))
+          .as("clean_hash"))
+      .orderBy("doc_id")
+  }
 }

@@ -507,7 +507,10 @@ object CorpusQueries {
     "q137_audio_features" -> (q137AudioFeatures _),
     "q138_audio_phash_dedup" -> (q138AudioPhashDedup _),
     "q139_video_frames" -> (q139VideoFrames _),
-    "q140_curation_manifest" -> (q140CurationManifest _))
+    "q140_curation_manifest" -> (q140CurationManifest _),
+    "q142_substring_dedup" -> ((s, d) =>
+      CorpusOps.substringDedup(Tables.documents(s, d), "doc_id", "text")),
+    "q143_pagerank" -> (Graph.q143PageRank _))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -1335,5 +1338,48 @@ object CorpusQueries {
         |    ORDER BY n DESC, gram ASC) AS rank
         |  FROM c)
         |SELECT lang, rank, gram, n FROM r WHERE rank <= 20
-        |ORDER BY lang, rank""".stripMargin)
+        |ORDER BY lang, rank""".stripMargin,
+    // exact-substring span dedup: 8-token rolling windows, global
+    // occurrence count, gaps-and-islands span merge, excised-text md5
+    // — mirrors CorpusOps.substringDedup stage for stage
+    "q142_substring_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id,
+        |    unnest([i for i in range(1, len(w) - 6)]) AS pos,
+        |    unnest([substr(md5(array_to_string(w[i:i+7], chr(31))), 1, 16)
+        |            for i in range(1, len(w) - 6)]) AS h
+        |  FROM tok WHERE len(w) >= 8),
+        |wc AS (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt
+        |  FROM win),
+        |cov AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT doc_id, unnest([pos + k for k in range(0, 8)]) AS p
+        |  FROM wc WHERE cnt >= 2)),
+        |sp AS (
+        |  SELECT doc_id, count(*) AS dup_tokens,
+        |    count(DISTINCT p - rn) AS n_spans
+        |  FROM (SELECT doc_id, p, row_number() OVER (
+        |          PARTITION BY doc_id ORDER BY p) AS rn FROM cov)
+        |  GROUP BY doc_id),
+        |tks AS (
+        |  SELECT doc_id, unnest(w) AS tk,
+        |    unnest([i for i in range(1, len(w) + 1)]) AS pos
+        |  FROM tok),
+        |cl AS (
+        |  SELECT t.doc_id,
+        |    md5(coalesce(string_agg(CASE WHEN c.p IS NULL THEN t.tk END,
+        |      ' ' ORDER BY t.pos), '')) AS clean_hash
+        |  FROM tks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.p
+        |  GROUP BY t.doc_id)
+        |SELECT k.doc_id,
+        |  CAST(len(k.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+        |  cl.clean_hash
+        |FROM tok k LEFT JOIN sp s USING (doc_id) LEFT JOIN cl USING (doc_id)
+        |ORDER BY k.doc_id""".stripMargin,
+    "q143_pagerank" -> Graph.q143OracleSql())
 }

@@ -421,4 +421,67 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.values.filter(_.getAs[String]("predicted") != null)
       .forall(_.getAs[Long]("distance") >= 0L))
   }
+
+  test("substringDedup: cross-doc shared phrase covered exactly, spans " +
+    "merge, clean text excises the phrase") {
+    // 10-token phrase shared by docs 1/2, embedded in unique contexts:
+    // only the windows fully inside the phrase repeat, and their union
+    // covers exactly the phrase's 10 positions as ONE span
+    val p = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    val df = Seq(
+      (1L, s"a1 a2 a3 $p b1 b2 b3"),
+      (2L, s"c1 c2 c3 $p d1 d2 d3"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")).toDF("doc_id", "text")
+    val out = CorpusOps.substringDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") == 16L)
+    assert(out(1L).getAs[Long]("dup_tokens") == 10L)
+    assert(out(1L).getAs[Long]("n_spans") == 1L)
+    assert(out(2L).getAs[Long]("dup_tokens") == 10L)
+    assert(out(3L).getAs[Long]("dup_tokens") == 0L)
+    val h1 = spark.range(1).select(md5(lit("a1 a2 a3 b1 b2 b3")))
+      .head().getString(0)
+    assert(out(1L).getAs[String]("clean_hash") == h1)
+    val h3 = spark.range(1)
+      .select(md5(lit("u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+      .head().getString(0)
+    assert(out(3L).getAs[String]("clean_hash") == h3)
+  }
+
+  test("substringDedup: WITHIN-doc repetition counts (Lee et al. " +
+    "dedups intra-doc repeats), and sub-width docs emit no windows") {
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val df = Seq(
+      (1L, s"$run x1 x2 x3 $run"),
+      (2L, "short doc under width")).toDF("doc_id", "text")
+    val out = CorpusOps.substringDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // both occurrences of the 8-token run are covered, as two spans
+    assert(out(1L).getAs[Long]("dup_tokens") == 16L)
+    assert(out(1L).getAs[Long]("n_spans") == 2L)
+    val h1 = spark.range(1).select(md5(lit("x1 x2 x3")))
+      .head().getString(0)
+    assert(out(1L).getAs[String]("clean_hash") == h1)
+    assert(out(2L).getAs[Long]("n_tokens") == 4L)
+    assert(out(2L).getAs[Long]("dup_tokens") == 0L)
+    val h2 = spark.range(1).select(md5(lit("short doc under width")))
+      .head().getString(0)
+    assert(out(2L).getAs[String]("clean_hash") == h2)
+  }
+
+  test("substringDedup: overlapping duplicate windows merge into one " +
+    "maximal span (gaps-and-islands)") {
+    // docs share an 11-token run: window starts 1..4 inside the run
+    // all repeat; coverage must merge to a single 11-token span
+    val run = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11"
+    val df = Seq(
+      (1L, s"$run t1 t2"),
+      (2L, s"$run v1 v2")).toDF("doc_id", "text")
+    val out = CorpusOps.substringDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("dup_tokens") == 11L)
+    assert(out(1L).getAs[Long]("n_spans") == 1L)
+    val h = spark.range(1).select(md5(lit("t1 t2"))).head().getString(0)
+    assert(out(1L).getAs[String]("clean_hash") == h)
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer + invariance tests for the fixed-point PageRank, and
+  * the join-shape pin the PlanSweepSpec exclusion points at (q143
+  * executes eager per-round checkpoints, so the inventory-wide sweep
+  * skips it and this spec owns its plan posture).
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val S = 1000000000000L
+
+  test("symmetric two-node graph is an exact fixed point at scale/2") {
+    val nodes = Seq("a", "b").toDF("node")
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    val out = Graph.pageRank(nodes, edges, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Caches.clear()
+    // r0 = S/2; in = S/2; rank' = 0.15*S/2 + 0.85*S/2 = S/2 exactly
+    assert(out("a") == S / 2 && out("b") == S / 2)
+  }
+
+  test("dangling redistribution: one-iteration hand computation") {
+    // a -> b, b dangling. dang = S/2, dshare = S/4, base = 0.15*S/2
+    val nodes = Seq("a", "b").toDF("node")
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val out = Graph.pageRank(nodes, edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Caches.clear()
+    val base = ((S * 15) / 100) / 2
+    assert(out("a") == base + (85L * (S / 4)) / 100)
+    assert(out("b") == base + (85L * (S / 2 + S / 4)) / 100)
+    // no mass created: floors only ever lose
+    assert(out("a") + out("b") <= S)
+    assert(out("a") + out("b") >= S - 10)
+  }
+
+  test("weights shift mass: heavier edge's target outranks, and total " +
+    "mass is conserved up to floor losses") {
+    val nodes = Seq("a", "b", "c").toDF("node")
+    // a splits 3:1 between b and c; b and c return everything to a
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L)).toDF("src", "dst", "w")
+    val out = Graph.pageRank(nodes, edges, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Caches.clear()
+    assert(out("b") > out("c"))
+    assert(out("a") > out("b"))
+    val total = out.values.sum
+    assert(total <= S && total >= S - 1000L)
+  }
+
+  test("rank is parallelism-invariant: 1-partition and 7-partition " +
+    "edge layouts produce identical longs") {
+    val nodes = (1 to 40).map(i => s"n$i").toDF("node")
+    val edges = (1 to 40).flatMap { i =>
+      Seq((s"n$i", s"n${i % 40 + 1}", 1L + i % 3),
+        (s"n$i", s"n${(i * 7) % 40 + 1}", 1L))
+    }.toDF("src", "dst", "w")
+    val r1 = Graph.pageRank(nodes, edges.repartition(1), iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    Caches.clear()
+    val r7 = Graph.pageRank(nodes, edges.repartition(7), iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    Caches.clear()
+    assert(r1.sameElements(r7))
+  }
+
+  test("per-round plan: no cartesian; the only nested loop is the " +
+    "single-row dangling broadcast (the PlanSweepSpec exclusion's pin)") {
+    val nodes = Seq("a", "b").toDF("node")
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    val plan = Graph.pageRank(nodes, edges, iters = 1)
+      .queryExecution.executedPlan.toString
+    Caches.clear()
+    assert(!plan.contains("CartesianProduct"))
+    // the q73 posture: exactly ONE nested loop, and it is the
+    // broadcast of the 1-row dangling aggregate — never a data×data
+    // pairing (its build side plans directly under a HashAggregate)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1)
+    // the rank-carrying joins are hash joins
+    assert(plan.contains("BroadcastHashJoin")
+      || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"))
+  }
+
+  test("q143 instantiation: full vertex set returned, mass bounded") {
+    val out = Graph.q143PageRank(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    Caches.clear()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total <= S && total > S / 2)
+  }
+}
