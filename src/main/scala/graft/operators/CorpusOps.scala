@@ -633,6 +633,45 @@ object CorpusOps {
       .orderBy("lang", "rank")
   }
 
+  // --------------------------------------- temperature source mixing
+
+  /** Temperature-scaled source-mixing plan — the sampling schedule a
+    * multi-source pretraining run fixes before launch (the
+    * multilingual/NMT exponential-smoothing recipe, τ = 1/2): source s
+    * gets sampling weight n_s^τ, flattening the natural size
+    * distribution so small high-quality sources are not drowned out.
+    * Output per source: doc/token counts, the quantized weight, the
+    * token allocation out of `budget`, and epochs over the source in
+    * micro-units (>1e6 ⇒ the source repeats — the Muennighoff
+    * repeated-epochs regime).
+    *
+    * Determinism: τ is FIXED at 1/2 because sqrt is correctly rounded
+    * under IEEE-754 in both the JVM and DuckDB (pow is not) — one
+    * sqrt, one multiply, one floor lands both engines on the same
+    * BIGINT weight; every downstream ratio is integer floor-division.
+    * The total-weight window is partition-less, which is exactly right
+    * here: the frame is one row per SOURCE (dozens at web scale),
+    * bounded regardless of corpus size — the token counts beneath it
+    * are partial-aggregated map-side like any groupBy.
+    */
+  def sourceMixPlan(df: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.words(col(textCol)))).cast("long").as("n_tokens"))
+    counts
+      .withColumn("weight_q",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+      .withColumn("tw", sum(col("weight_q")).over(Window.partitionBy()))
+      .withColumn("alloc_tokens", expr(s"($budget * weight_q) div tw"))
+      .withColumn("epochs_micro",
+        expr("(alloc_tokens * 1000000) div n_tokens"))
+      .select("source", "n_docs", "n_tokens", "weight_q", "alloc_tokens",
+        "epochs_micro")
+      .orderBy("source")
+  }
+
   // ------------------------------------------- exact-substring dedup
 
   /** Span-level exact-substring dedup — the "Deduplicating Training

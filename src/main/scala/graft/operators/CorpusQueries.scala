@@ -510,7 +510,10 @@ object CorpusQueries {
     "q140_curation_manifest" -> (q140CurationManifest _),
     "q142_substring_dedup" -> ((s, d) =>
       CorpusOps.substringDedup(Tables.documents(s, d), "doc_id", "text")),
-    "q143_pagerank" -> (Graph.q143PageRank _))
+    "q143_pagerank" -> (Graph.q143PageRank _),
+    "q144_source_mix" -> ((s, d) =>
+      CorpusOps.sourceMixPlan(Tables.documents(s, d), "doc_id", "text",
+        "source")))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -1381,5 +1384,28 @@ object CorpusQueries {
         |  cl.clean_hash
         |FROM tok k LEFT JOIN sp s USING (doc_id) LEFT JOIN cl USING (doc_id)
         |ORDER BY k.doc_id""".stripMargin,
-    "q143_pagerank" -> Graph.q143OracleSql())
+    "q143_pagerank" -> Graph.q143OracleSql(),
+    // temperature mixing plan: τ=1/2 via sqrt (correctly rounded in
+    // both engines), then integer floor-divisions; windowed sums CAST
+    // — DuckDB sums BIGINT into HUGEINT (the q93 lesson)
+    "q144_source_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) AS weight_q
+        |  FROM c),
+        |t AS (
+        |  SELECT source, n_docs, n_tokens, weight_q,
+        |    CAST(sum(weight_q) OVER () AS BIGINT) AS tw
+        |  FROM w)
+        |SELECT source, n_docs, n_tokens, weight_q,
+        |  (1000000 * weight_q) // tw AS alloc_tokens,
+        |  (((1000000 * weight_q) // tw) * 1000000) // n_tokens
+        |    AS epochs_micro
+        |FROM t ORDER BY source""".stripMargin)
 }

@@ -494,7 +494,12 @@ object LlmQueries {
     // this at ~0.9+)
     "q127_semantic_decontam" -> ((s, d) =>
       Similarity.semanticDecontaminate(Tables.embeddings(s, d), "vec_id",
-        "embedding", col("vec_id") % 25 === 0, threshold = 0.2)))
+        "embedding", col("vec_id") % 25 === 0, threshold = 0.2)),
+    // hard-negative mining: q39's probe convention, negatives must
+    // carry a different label
+    "q145_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", col("vec_id") % 50 === 0, 5)))
 
   private val shingleBase =
     """base AS (
@@ -932,6 +937,27 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY probe_id
          |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
          |  FROM scored) t WHERE rank <= 3""".stripMargin),
+    // q39's scan with the different-label predicate and k=5 — the
+    // hard-negative miner; ranks are BIGINT like the engine's cast
+    "q145_hard_negatives" -> (
+      s"""WITH $embBase,
+         |probes AS (SELECT vec_id AS probe_id, label AS plabel,
+         |             q AS pq, norm2 AS pnorm2
+         |           FROM n2 WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT p.probe_id, p.plabel, c.vec_id AS negative_id,
+         |    c.label AS neg_label,
+         |    CAST(list_sum([p.pq[i]*c.q[i] for i in range(1, 65)]) AS BIGINT)
+         |      / (sqrt(p.pnorm2) * sqrt(c.norm2)) AS cosine
+         |  FROM probes p JOIN n2 c
+         |    ON c.vec_id <> p.probe_id AND c.label <> p.plabel)
+         |SELECT probe_id, plabel, rank, negative_id, neg_label, cosine
+         |FROM (
+         |  SELECT probe_id, plabel, negative_id, neg_label, cosine,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, negative_id ASC) AS BIGINT) AS rank
+         |  FROM scored) t WHERE rank <= 5
+         |ORDER BY probe_id, rank""".stripMargin),
     "q40_simhash" -> (
       s"""WITH w AS (
          |  SELECT doc_id,

@@ -82,6 +82,41 @@ object Similarity {
       .select("probe_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * probe (anchor) vector, the top-k most cosine-similar vectors
+    * carrying a DIFFERENT label — "looks like the anchor, isn't the
+    * anchor's class", the pairs an embedding model learns the most
+    * from (the in-batch-negatives upgrade every retrieval trainer
+    * ships). Same scale shape as [[bruteForceTopK]]: the bounded probe
+    * set is broadcast, the corpus is scanned once and never shuffled
+    * for the join, top-k rides a per-probe rank window. At 100 TB the
+    * corpus side swaps in the IVF-routed scan ([[searchIvf]]) without
+    * changing this operator's contract.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, probeFilter: Column,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = prepared(df, idCol, vecCol, Seq(labelCol))
+    val probes = base.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col(labelCol).as("plabel"),
+        col("q").as("pq"), col("norm2").as("pnorm2"))
+    val scored = base.join(broadcast(probes),
+        col("vec_id") =!= col("probe_id") &&
+          col(labelCol) =!= col("plabel"))
+      .select(col("probe_id"), col("plabel"),
+        col("vec_id").as("negative_id"), col(labelCol).as("neg_label"),
+        cosineQ(col("pq"), col("q"), col("pnorm2"), col("norm2"))
+          .as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("negative_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "plabel", "rank", "negative_id", "neg_label",
+        "cosine")
+      .orderBy("probe_id", "rank")
+  }
+
   /** 16-bit random-hyperplane LSH signature: bit j = sign of the dot
     * product with a deterministic integer hyperplane (coefficients from a
     * small LCG so the oracle reproduces them exactly). Cosine-similar

@@ -422,6 +422,27 @@ class CorpusOpsSpec extends AnyFunSuite {
       .forall(_.getAs[Long]("distance") >= 0L))
   }
 
+  test("sourceMixPlan: τ=1/2 weights, integer allocations and " +
+    "epoch micro-units match hand computation") {
+    // source A: 4 docs × 4 tokens = 16; source B: 1 doc × 4 tokens
+    val df = Seq(
+      (1L, "w w w w", "A"), (2L, "w w w w", "A"),
+      (3L, "w w w w", "A"), (4L, "w w w w", "A"),
+      (5L, "x x x x", "B")).toDF("doc_id", "text", "source")
+    val out = CorpusOps.sourceMixPlan(df, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // weights: floor(sqrt(16))*1e6 = 4e6, floor(sqrt(4))*1e6 = 2e6
+    assert(out("A").getAs[Long]("n_tokens") == 16L)
+    assert(out("A").getAs[Long]("weight_q") == 4000000L)
+    assert(out("B").getAs[Long]("weight_q") == 2000000L)
+    // tw = 6e6: A gets 2/3 of the 1M budget, B 1/3 (floored)
+    assert(out("A").getAs[Long]("alloc_tokens") == 666666L)
+    assert(out("B").getAs[Long]("alloc_tokens") == 333333L)
+    // epochs: alloc*1e6 div n_tokens — B repeats ~83,333×
+    assert(out("A").getAs[Long]("epochs_micro") == 666666000000L / 16L)
+    assert(out("B").getAs[Long]("epochs_micro") == 333333000000L / 4L)
+  }
+
   test("substringDedup: cross-doc shared phrase covered exactly, spans " +
     "merge, clean text excises the phrase") {
     // 10-token phrase shared by docs 1/2, embedded in unique contexts:

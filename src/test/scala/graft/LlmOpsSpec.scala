@@ -279,6 +279,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.map(_._2).toSet.subsetOf(Set(1L, 2L)))
   }
 
+  test("hardNegatives: same-label vectors never mined, nearest " +
+    "cross-label wins, k bounds the list") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // probe, label 0
+      (1L, Array(1.0f, 0.05f), 0),  // nearest overall — but same label
+      (2L, Array(0.9f, 0.2f), 1),   // nearest cross-label
+      (3L, Array(0.5f, 0.5f), 1),
+      (4L, Array(-1.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(df, "vec_id", "embedding",
+      "label", col("vec_id") === 0, 2).collect()
+    assert(out.length == 2)
+    // the same-label near-twin is excluded, rank 1 is the cross-label
+    // neighbor, and ranks order by cosine
+    assert(!out.map(_.getAs[Long]("negative_id")).contains(1L))
+    assert(out.head.getAs[Long]("negative_id") == 2L)
+    assert(out.head.getAs[Long]("rank") == 1L)
+    assert(out(1).getAs[Long]("negative_id") == 3L)
+    assert(out.forall(_.getAs[Int]("neg_label") != 0))
+  }
+
   test("recallAtK: identical frames → 1.0, disjoint frames → 0.0") {
     val exact = Seq((0L, 1L), (0L, 2L), (0L, 3L), (50L, 4L), (50L, 5L), (50L, 6L))
       .toDF("probe_id", "neighbor_id")

@@ -32,7 +32,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "q72_ann_recall", "q73_dedup_recall",
     // q135's exact baseline + ADC scan share the ANN family's
     // broadcast-probe inequality join (self-exclusion on vec_id)
-    "q135_pq_adc_recall")
+    "q135_pq_adc_recall",
+    // hard-negative mining is q39's broadcast-probe scan with the
+    // different-label predicate — same bounded build side
+    "q145_hard_negatives")
 
   /** Queries EXCLUDED from the sweep because constructing their result
     * frame executes real side effects (writers, bucketed-table builds,
