@@ -103,6 +103,12 @@ object Bench {
       "q137_audio_features", "q138_audio_phash_dedup",
       "q139_video_frames", "q140_curation_manifest",
       "q141_embedding_drift",
+      // round-14 second tranche: substring-span dedup (rolling-window
+      // scan + one count shuffle), 10-round fixed-point PageRank
+      // (iterative checkpoints — the only multi-job headline entry),
+      // mixing planner (agg-only), hard-negative broadcast-probe scan
+      "q142_substring_dedup", "q143_pagerank", "q144_source_mix",
+      "q145_hard_negatives",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

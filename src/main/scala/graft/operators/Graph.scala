@@ -45,9 +45,17 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty vertex set")
     val base = ((scale * (dampDen - dampNum)) / dampDen) / n
-    val outw = edges.groupBy("src").agg(sum(col("w")).as("ow"))
+    // out-weights and the dangling vertex set are loop-invariant:
+    // persisted ONCE — referenced from inside every iteration, they
+    // would otherwise recompute the full edge derivation per round
+    // (the first formulation paid the source joins 10×)
+    val outw = Caches.persistTracked(
+      edges.groupBy("src").agg(sum(col("w")).as("ow")))
     val e = Caches.persistTracked(edges.join(outw, Seq("src")))
     val nodesP = Caches.persistTracked(nodes)
+    val dangNodes = Caches.persistTracked(
+      nodesP.join(outw.withColumnRenamed("src", "node"),
+        Seq("node"), "left_anti"))
     var rank = nodesP.withColumn("rank", lit(scale / n))
     for (_ <- 1 to iters) {
       val prev = Caches.trackOnly(rank.localCheckpoint())
@@ -59,8 +67,7 @@ object Graph {
       // SINGLE-ROW aggregate crossJoined back under an explicit
       // broadcast (the q73 posture: the nested-loop's build side is
       // exactly one row, so the "loop" is a constant lookup)
-      val dang = prev.join(outw.withColumnRenamed("src", "node"),
-          Seq("node"), "left_anti")
+      val dang = prev.join(dangNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dang"))
         .select(expr(s"dang div $n").as("dshare"))
       rank = nodesP.join(in, Seq("node"), "left")
