@@ -108,7 +108,7 @@ object Bench {
       // (iterative checkpoints — the only multi-job headline entry),
       // mixing planner (agg-only), hard-negative broadcast-probe scan
       "q142_substring_dedup", "q143_pagerank", "q144_source_mix",
-      "q145_hard_negatives",
+      "q145_hard_negatives", "q146_dsir_select",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

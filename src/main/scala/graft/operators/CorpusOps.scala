@@ -672,6 +672,56 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  // ------------------------------------- DSIR importance selection
+
+  /** DSIR-style targeted data selection (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every candidate document by how much its hashed-unigram profile
+    * looks like a TARGET domain rather than the raw pool, and keep the
+    * top-k. This is the third selection pillar next to quality gates
+    * (which are target-agnostic) and dedup (which is similarity to
+    * SELF): "give me the slice of the crawl that reads like my target
+    * corpus".
+    *
+    * Determinism: DSIR's per-feature log-likelihood ratio is replaced
+    * by the integer-quantized count ratio ((tc+1)·10^6) div (rc+1) —
+    * the [[bigramLmScore]] substitution — and a document's score is
+    * the integer sum of per-bucket count×ratio products, so both
+    * engines land on identical BIGINTs (floats appear nowhere).
+    * Monotonicity in "target-likeness per bucket" is what selection
+    * needs; the absolute scale is arbitrary exactly as log-space is.
+    *
+    * Scale shape: two partial-aggregated count shuffles keyed on the
+    * 28-bit feature bucket, a `buckets`-row model table broadcast back
+    * onto per-(doc, bucket) counts, and a distributed
+    * TakeOrderedAndProject top-k — every stage ∝ total tokens, the
+    * model side O(buckets) regardless of corpus size. At trillion-
+    * token scale the ratio table would quantize per-mille to keep the
+    * c×r products inside BIGINT; the gate corpus is orders of
+    * magnitude inside the bound.
+    */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 targetFilter: Column, buckets: Int = 1024,
+                 k: Int = 100): DataFrame = {
+    val tok = Caches.persistTracked(df.select(col(idCol).as("doc_id"),
+        targetFilter.as("is_target"),
+        explode(TextOps.words(col(textCol))).as("wrd"))
+      .withColumn("b", TextOps.hash7(col("wrd")) % buckets))
+    val ratio = tok.groupBy("b").agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("rc"))
+      .select(col("b"), expr("((tc + 1) * 1000000) div (rc + 1)").as("r"))
+    val docB = tok.filter(!col("is_target"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    docB.join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("r")).as("score"),
+        sum(col("c")).as("n_tokens"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "score", "n_tokens")
+  }
+
   // ------------------------------------------- exact-substring dedup
 
   /** Span-level exact-substring dedup — the "Deduplicating Training

@@ -513,7 +513,11 @@ object CorpusQueries {
     "q143_pagerank" -> (Graph.q143PageRank _),
     "q144_source_mix" -> ((s, d) =>
       CorpusOps.sourceMixPlan(Tables.documents(s, d), "doc_id", "text",
-        "source")))
+        "source")),
+    // the 20% target-domain slice follows q94's membership convention
+    "q146_dsir_select" -> ((s, d) =>
+      CorpusOps.dsirSelect(Tables.documents(s, d), "doc_id", "text",
+        col("doc_id") % 10 < 2)))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -1407,5 +1411,31 @@ object CorpusQueries {
         |  (1000000 * weight_q) // tw AS alloc_tokens,
         |  (((1000000 * weight_q) // tw) * 1000000) // n_tokens
         |    AS epochs_micro
-        |FROM t ORDER BY source""".stripMargin)
+        |FROM t ORDER BY source""".stripMargin,
+    // DSIR selection: hashed-unigram buckets via the shared hexFold
+    // md5 fragment (keep in sync with TextOps.hash7), integer count
+    // ratios, top-100 by score
+    "q146_dsir_select" -> (
+      s"""WITH tok AS (
+         |  SELECT doc_id, doc_id % 10 < 2 AS is_target,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS wrd
+         |  FROM documents),
+         |tb AS (
+         |  SELECT doc_id, is_target,
+         |    ${LlmQueries.hexFold.format("wrd")} % 1024 AS b
+         |  FROM tok),
+         |bc AS (
+         |  SELECT b,
+         |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc,
+         |    sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS rc
+         |  FROM tb GROUP BY b),
+         |r AS (SELECT b, ((tc + 1) * 1000000) // (rc + 1) AS r FROM bc),
+         |db AS (SELECT doc_id, b, count(*) AS c FROM tb
+         |       WHERE NOT is_target GROUP BY 1, 2),
+         |s AS (
+         |  SELECT doc_id, CAST(sum(c * r.r) AS BIGINT) AS score,
+         |    CAST(sum(c) AS BIGINT) AS n_tokens
+         |  FROM db JOIN r USING (b) GROUP BY doc_id)
+         |SELECT doc_id, score, n_tokens FROM s
+         |ORDER BY score DESC, doc_id ASC LIMIT 100""".stripMargin))
 }

@@ -12,7 +12,7 @@ import graft.sources.DedupIndex
 object LlmQueries {
 
   /** shared DuckDB fragments */
-  private val hexFold =
+  private[graft] val hexFold =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
       |  list_transform(string_split(substring(md5(%s), 1, 7), ''),
       |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),

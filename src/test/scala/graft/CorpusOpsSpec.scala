@@ -443,6 +443,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out("B").getAs[Long]("epochs_micro") == 333333000000L / 4L)
   }
 
+  test("dsirSelect: target-like raw doc outscores off-target by the " +
+    "exact integer ratios; targets never selected; k bounds output") {
+    val df = Seq(
+      (1L, "good good"),   // target profile
+      (11L, "good good"),  // raw, looks like target
+      (12L, "bad bad"))    // raw, off-target
+      .toDF("doc_id", "text")
+    val out = CorpusOps.dsirSelect(df, "doc_id", "text",
+      col("doc_id") < 10, k = 100)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // bucket(good): tc=2, rc=2 → r = 3e6//3 = 1e6; doc 11 = 2×1e6
+    // bucket(bad):  tc=0, rc=2 → r = 1e6//3 = 333333; doc 12 = 666666
+    assert(out.keySet == Set(11L, 12L))
+    assert(out(11L).getAs[Long]("score") == 2000000L)
+    assert(out(12L).getAs[Long]("score") == 666666L)
+    assert(out(11L).getAs[Long]("n_tokens") == 2L)
+    val top1 = CorpusOps.dsirSelect(df, "doc_id", "text",
+      col("doc_id") < 10, k = 1).collect()
+    assert(top1.length == 1 && top1.head.getLong(0) == 11L)
+  }
+
   test("substringDedup: cross-doc shared phrase covered exactly, spans " +
     "merge, clean text excises the phrase") {
     // 10-token phrase shared by docs 1/2, embedded in unique contexts:
