@@ -693,6 +693,58 @@ object ScaleProbes {
             f"langid_dfcap2_min3_sec=$lidCap%.2f")
         }
 
+      case "r14b-scale" =>
+        // growth-law receipt for the round-14 second tranche:
+        // substringDedup + dsirSelect over the corpus-scale synthetic
+        // text (every 9th doc a boilerplate repeat → dense duplicate
+        // windows, like real web text), and 10-round pageRank over a
+        // synthesized 8-out-degree graph at doubling vertex counts.
+        // Near-doubling times across doublings = linear regime.
+        val sizes = args.drop(1).map(_.toLong) match {
+          case a if a.nonEmpty => a.toSeq
+          case _ => Seq(100000L, 200000L, 400000L)
+        }
+        def synthD(n: Long) = spark.range(n)
+          .select(col("id").as("doc_id"),
+            when(col("id") % 9 === 0,
+              concat_ws(" ", (0 until 30).map(_ => lit("alpha")): _*))
+              .otherwise(concat_ws(" ", (0 until 30).map { i =>
+                element_at(
+                  array(Seq("alpha", "beta", "gamma", "delta", "eps",
+                    "zeta", "eta", "theta").map(lit): _*),
+                  (pmod(col("id") * 31 + i * 7, lit(8)) + 1).cast("int"))
+              }: _*)).as("text"))
+        def synthG(nodes: Long) = {
+          val vs = spark.range(nodes)
+            .select(concat(lit("n"), col("id")).as("node"))
+          val es = spark.range(nodes * 8).select(
+            concat(lit("n"), col("id") % nodes).as("src"),
+            concat(lit("n"), (col("id") * 7 + 3) % nodes).as("dst"),
+            (col("id") % 5 + 1).as("w"))
+          (vs, es)
+        }
+        def noopW(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val w0 = synthD(10000L)
+        noopW(CorpusOps.substringDedup(w0, "doc_id", "text")); Caches.clear()
+        noopW(CorpusOps.dsirSelect(w0, "doc_id", "text",
+          col("doc_id") % 10 < 2)); Caches.clear()
+        val (wv, we) = synthG(10000L)
+        noopW(Graph.pageRank(wv, we, iters = 2)); Caches.clear()
+        for (n <- sizes) {
+          val d = synthD(n)
+          val sub = minOf3(noopW(
+            CorpusOps.substringDedup(d, "doc_id", "text")))
+          val dsir = minOf3(noopW(CorpusOps.dsirSelect(d, "doc_id",
+            "text", col("doc_id") % 10 < 2)))
+          val (vs, es) = synthG(n)
+          val pr = minOf3(noopW(Graph.pageRank(vs, es)))
+          println(f"[probe] r14b-scale: n=$n " +
+            f"substring_dedup_min3_sec=$sub%.2f " +
+            f"dsir_select_min3_sec=$dsir%.2f " +
+            f"pagerank10_min3_sec=$pr%.2f")
+        }
+
       case "zorder-ab" =>
         // the law behind Sinks.writeZOrdered: a fact table laid out by
         // ONE dimension prunes parquet files on that dimension only —
