@@ -109,6 +109,10 @@ object Bench {
       // mixing planner (agg-only), hard-negative broadcast-probe scan
       "q142_substring_dedup", "q143_pagerank", "q144_source_mix",
       "q145_hard_negatives", "q146_dsir_select",
+      // round-14 third tranche: the mix-plan EXECUTOR (two-level
+      // per-source prefix sum) and 5-round label propagation (the
+      // second iterative-checkpoint entry)
+      "q147_mix_execute", "q148_label_prop",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

@@ -672,6 +672,66 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** EXECUTE a [[sourceMixPlan]]: turn the per-source token
+    * allocations into the concrete per-document sampling manifest a
+    * dataloader consumes — which documents to read and HOW MANY times
+    * each (epochs > 1 repeat the source; a fractional final epoch
+    * takes a prefix of it). The plan says "600k tokens of source A";
+    * this says "doc 17 twice, doc 42 once, doc 88 not at all".
+    *
+    * Schedule order within a source is md5(doc_id) — a deterministic
+    * pseudo-random shuffle both engines compute identically — so the
+    * fractional epoch's prefix is an unbiased sample, not a doc_id-
+    * ordered (= crawl-ordered) slice. A document is in the partial
+    * pass iff the tokens scheduled BEFORE it (`sched_prefix`) are
+    * under the remainder `alloc_tokens mod n_tokens`; full epochs add
+    * `alloc_tokens div n_tokens` copies to every doc. Greedy spans:
+    * the doc straddling the remainder boundary ships whole.
+    *
+    * Scale shape: the per-source running sum is the q93 TWO-LEVEL
+    * prefix sum ([[TextOps.sequencePackingByCount]]) — the schedule
+    * key's first two hex chars shard each source into ≤256 ranges
+    * (hex-prefix order IS md5-string order, so shard-local sums +
+    * a broadcast carry compose to the global prefix), keeping any
+    * single task's window state at 1/256th of a source instead of
+    * dragging a monolithic source's every token count through ONE
+    * task. The plan side joins back as a |sources|-row broadcast.
+    */
+  def sourceMixExecute(df: DataFrame, idCol: String, textCol: String,
+                       srcCol: String, budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val plan = sourceMixPlan(df, idCol, textCol, srcCol, budget)
+      .select(col("source"), col("alloc_tokens"), col("n_tokens"))
+    val docs = Caches.persistTracked(df.select(
+        col(srcCol).as("source"), col(idCol).as("doc_id"),
+        size(TextOps.words(col(textCol))).cast("long").as("toks"))
+      .withColumn("sk", md5(col("doc_id").cast("string")))
+      .withColumn("shard", substring(col("sk"), 1, 2)))
+    val wLocal = Window.partitionBy("source", "shard")
+      .orderBy("sk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = docs.withColumn("local_start",
+      coalesce(sum(col("toks")).over(wLocal), lit(0L)))
+    val wCarry = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = docs.groupBy("source", "shard")
+      .agg(sum(col("toks")).as("shard_tok"))
+      .withColumn("carry",
+        coalesce(sum(col("shard_tok")).over(wCarry), lit(0L)))
+      .select("source", "shard", "carry")
+    local.join(broadcast(carry), Seq("source", "shard"))
+      .withColumn("sched_prefix", col("local_start") + col("carry"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("n_copies",
+        expr("alloc_tokens div n_tokens") +
+          when(col("sched_prefix") < expr("alloc_tokens % n_tokens"),
+            lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_copies") > 0)
+      .select(col("source"), col("doc_id"), col("toks"),
+        col("sched_prefix"), col("n_copies"))
+      .orderBy("source", "doc_id")
+  }
+
   // ------------------------------------- DSIR importance selection
 
   /** DSIR-style targeted data selection (Xie et al. 2023, "Data

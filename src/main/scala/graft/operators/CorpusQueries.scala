@@ -517,7 +517,11 @@ object CorpusQueries {
     // the 20% target-domain slice follows q94's membership convention
     "q146_dsir_select" -> ((s, d) =>
       CorpusOps.dsirSelect(Tables.documents(s, d), "doc_id", "text",
-        col("doc_id") % 10 < 2)))
+        col("doc_id") % 10 < 2)),
+    "q147_mix_execute" -> ((s, d) =>
+      CorpusOps.sourceMixExecute(Tables.documents(s, d), "doc_id",
+        "text", "source")),
+    "q148_label_prop" -> (Graph.q148LabelProp _))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -1437,5 +1441,51 @@ object CorpusQueries {
          |    CAST(sum(c) AS BIGINT) AS n_tokens
          |  FROM db JOIN r USING (b) GROUP BY doc_id)
          |SELECT doc_id, score, n_tokens FROM s
-         |ORDER BY score DESC, doc_id ASC LIMIT 100""".stripMargin))
+         |ORDER BY score DESC, doc_id ASC LIMIT 100""".stripMargin),
+    // mix-plan EXECUTOR: q144's plan CTEs, then the md5-shuffled
+    // per-source schedule prefix (single window here == the engine's
+    // two-level prefix sum) drives the per-doc copy counts; window
+    // sums CAST (HUGEINT, the q93 lesson)
+    "q147_mix_execute" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) AS weight_q
+        |  FROM c),
+        |t AS (
+        |  SELECT source, n_tokens, weight_q,
+        |    CAST(sum(weight_q) OVER () AS BIGINT) AS tw
+        |  FROM w),
+        |p AS (
+        |  SELECT source, n_tokens,
+        |    (1000000 * weight_q) // tw AS alloc_tokens
+        |  FROM t),
+        |d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+'))
+        |      AS BIGINT) AS toks
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, toks,
+        |    CAST(coalesce(sum(toks) OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS sched_prefix
+        |  FROM d)
+        |SELECT o.source, o.doc_id, o.toks, o.sched_prefix,
+        |  CAST((p.alloc_tokens // p.n_tokens) +
+        |    (CASE WHEN o.sched_prefix < (p.alloc_tokens % p.n_tokens)
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+        |FROM o JOIN p USING (source)
+        |WHERE (p.alloc_tokens // p.n_tokens) +
+        |  (CASE WHEN o.sched_prefix < (p.alloc_tokens % p.n_tokens)
+        |   THEN 1 ELSE 0 END) > 0
+        |ORDER BY o.source, o.doc_id""".stripMargin,
+    "q148_label_prop" -> Graph.q148OracleSql())
 }

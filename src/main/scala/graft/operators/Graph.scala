@@ -80,14 +80,61 @@ object Graph {
     rank.orderBy("node")
   }
 
-  /** The registered instantiation: the customer↔supplier trade graph
-    * from orders ⋈ lineitem (edge weight = lineitem count per pair,
-    * both directions so the chain is ergodic; vertices prefixed
-    * c/s to disambiguate the overlapping key ranges). Customers who
-    * never ordered are dangling vertices — the redistribution path is
-    * genuinely exercised.
+  /** Synchronous LABEL PROPAGATION (Raghavan et al. 2007) — the
+    * community-detection signal corpus curation uses to group hosts/
+    * domains into site families (mirror farms, link rings, CMS
+    * clusters) before per-community quality decisions. Every node
+    * starts labeled with itself; each round it adopts the label
+    * carrying the LARGEST total in-edge weight among its neighbors'
+    * current labels, ties broken by MIN label — fully deterministic
+    * (classic async LPA breaks ties randomly; this is the
+    * reproducible variant), integer/string-exact, bit-stable at any
+    * parallelism. Fixed `iters` rounds; synchronous LPA can oscillate
+    * on bipartite structure, so the operator contracts a round COUNT,
+    * not convergence (the fixed-point is detectable by frame equality
+    * exactly as [[pageRank]]'s).
+    *
+    * Scale shape per round: one hash join of the label frame on `src`,
+    * one partial-aggregated (dst, label) weight sum, one bounded rank
+    * window (WindowGroupLimit prunes to top-1 per node map-side), one
+    * left join back to carry isolated nodes' labels. The previous
+    * round is referenced TWICE (contribution + carry), so each round
+    * starts from an eager localCheckpoint — the [[pageRank]] lineage
+    * posture, without which the plan doubles per round.
     */
-  def q143PageRank(s: SparkSession, d: String): DataFrame = {
+  def labelProp(nodes: DataFrame, edges: DataFrame,
+                iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Caches.persistTracked(edges)
+    val nodesP = Caches.persistTracked(nodes)
+    var lab = nodesP.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val prev = Caches.trackOnly(lab.localCheckpoint())
+      val contrib = e
+        .join(prev.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(sum(col("w")).as("cw"))
+      val top = contrib
+        .withColumn("rn", row_number().over(Window.partitionBy("node")
+          .orderBy(col("cw").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label").as("nlabel"))
+      lab = prev.join(top, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("nlabel"), col("label")).as("label"))
+    }
+    lab.orderBy("node")
+  }
+
+  /** The shared registered instantiation: the customer↔supplier trade
+    * graph from orders ⋈ lineitem (edge weight = lineitem count per
+    * pair, both directions so the chain is ergodic; vertices prefixed
+    * c/s to disambiguate the overlapping key ranges). Customers who
+    * never ordered are dangling vertices — pageRank's redistribution
+    * path and labelProp's isolated-carry path are genuinely exercised.
+    */
+  private[graft] def tradeGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val nodes = Tables.customer(s, d)
       .select(concat(lit("c"), col("c_custkey")).as("node"))
       .unionByName(Tables.supplier(s, d)
@@ -100,7 +147,17 @@ object Graph {
       .agg(count(lit(1)).as("w"))
     val edges = pairs.unionByName(pairs.select(col("dst").as("src"),
       col("src").as("dst"), col("w")))
+    (nodes, edges)
+  }
+
+  def q143PageRank(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = tradeGraph(s, d)
     pageRank(nodes, edges)
+  }
+
+  def q148LabelProp(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = tradeGraph(s, d)
+    labelProp(nodes, edges)
   }
 
   /** Unrolled-iteration DuckDB oracle (the Bpe.scala generated-CTE
@@ -111,19 +168,24 @@ object Graph {
     * 2^iters times — the SQL-side analogue of the engine's
     * localCheckpoint-per-round requirement.
     */
+  /** The trade graph's CTE head, shared by both graph oracles —
+    * mirrors [[tradeGraph]]. */
+  private val tradeGraphCtes =
+    """WITH nodes AS MATERIALIZED (
+      |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+      |  UNION ALL
+      |  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node FROM supplier),
+      |pairs AS MATERIALIZED (
+      |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |    's' || CAST(l_suppkey AS VARCHAR) AS dst, count(*) AS w
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),
+      |edges AS MATERIALIZED (SELECT src, dst, w FROM pairs
+      |  UNION ALL SELECT dst AS src, src AS dst, w FROM pairs)""".stripMargin
+
   def q143OracleSql(iters: Int = 10): String = {
-    val head =
-      """WITH nodes AS MATERIALIZED (
-        |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
-        |  UNION ALL
-        |  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node FROM supplier),
-        |pairs AS MATERIALIZED (
-        |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-        |    's' || CAST(l_suppkey AS VARCHAR) AS dst, count(*) AS w
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |  GROUP BY 1, 2),
-        |edges AS MATERIALIZED (SELECT src, dst, w FROM pairs
-        |  UNION ALL SELECT dst AS src, src AS dst, w FROM pairs),
+    val head = tradeGraphCtes +
+      """,
         |outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
         |e AS MATERIALIZED (SELECT edges.src, dst, w, ow FROM edges
         |  JOIN outw USING (src)),
@@ -149,5 +211,29 @@ object Graph {
     }.mkString(",\n")
     s"$head,\n$its\nSELECT node, CAST(rank AS BIGINT) AS rank " +
       s"FROM r$iters ORDER BY node"
+  }
+
+  /** Unrolled-iteration DuckDB oracle for [[labelProp]] — every level
+    * `AS MATERIALIZED` for the same dual-reference reason as q143's
+    * (each label frame feeds both the next contribution join and the
+    * isolated-node carry). */
+  def q148OracleSql(iters: Int = 5): String = {
+    val head = tradeGraphCtes +
+      ",\nl0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"
+    val its = (1 to iters).map { k =>
+      val p = s"l${k - 1}"
+      s"""c$k AS MATERIALIZED (
+         |  SELECT dst AS node, label, sum(w) AS cw
+         |  FROM edges JOIN $p ON $p.node = edges.src GROUP BY 1, 2),
+         |t$k AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |      PARTITION BY node ORDER BY cw DESC, label ASC) AS rn
+         |    FROM c$k) WHERE rn = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT $p.node, coalesce(t$k.label, $p.label) AS label
+         |  FROM $p LEFT JOIN t$k ON $p.node = t$k.node)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$its\nSELECT node, label FROM l$iters ORDER BY node"
   }
 }

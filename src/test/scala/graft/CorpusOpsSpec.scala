@@ -443,6 +443,89 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out("B").getAs[Long]("epochs_micro") == 333333000000L / 4L)
   }
 
+  test("sourceMixExecute: partial-pass docs picked in md5 schedule " +
+    "order, straddler ships whole, unscheduled docs dropped") {
+    val df = Seq(
+      (1L, "w w w w", "A"), (2L, "w w w w", "A"),
+      (3L, "w w w w", "A"), (4L, "w w w w", "A"),
+      (5L, "x x x x", "B")).toDF("doc_id", "text", "source")
+    // budget 9: alloc A = (9*4e6)//6e6 = 6, alloc B = (9*2e6)//6e6 = 3.
+    // md5 schedule within A: "4" (a87f…) < "1" (c4ca…) < "2" (c81e…)
+    // < "3" (eccb…) → prefixes 0/4/8/12; rem 6 covers docs 4 and 1
+    // (doc 1 straddles the boundary and ships whole); docs 2/3 are
+    // out. B: rem 3 > prefix 0 → doc 5 once.
+    val out = CorpusOps.sourceMixExecute(df, "doc_id", "text",
+      "source", budget = 9L).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    Caches.clear()
+    assert(out.keySet == Set(1L, 4L, 5L))
+    assert(out(4L).getAs[Long]("sched_prefix") == 0L)
+    assert(out(1L).getAs[Long]("sched_prefix") == 4L)
+    assert(out.values.forall(_.getAs[Long]("n_copies") == 1L))
+  }
+
+  test("sourceMixExecute: epochs > 1 — every doc gets the full-epoch " +
+    "count, remainder prefix gets one more, totals cover the alloc") {
+    val df = Seq(
+      (1L, "w w w w", "A"), (2L, "w w w w", "A"),
+      (3L, "w w w w", "A"), (4L, "w w w w", "A"),
+      (5L, "x x x x", "B")).toDF("doc_id", "text", "source")
+    // default budget 1M: alloc A = 666666 = 41666×16 + 10 → schedule
+    // prefixes 0/4/8 (docs 4/1/2) < 10 get 41667, doc 3 gets 41666;
+    // alloc B = 333333 = 83333×4 + 1 → doc 5 gets 83334
+    val out = CorpusOps.sourceMixExecute(df, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(1) -> r).toMap
+    Caches.clear()
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(4L).getAs[Long]("n_copies") == 41667L)
+    assert(out(1L).getAs[Long]("n_copies") == 41667L)
+    assert(out(2L).getAs[Long]("n_copies") == 41667L)
+    assert(out(3L).getAs[Long]("n_copies") == 41666L)
+    assert(out(5L).getAs[Long]("n_copies") == 83334L)
+    // scheduled tokens cover the allocation, overshooting by at most
+    // one straddling doc per source
+    val a = out.values.filter(_.getString(0) == "A")
+      .map(r => r.getAs[Long]("toks") * r.getAs[Long]("n_copies")).sum
+    assert(a >= 666666L && a < 666666L + 4L)
+  }
+
+  test("sourceMixExecute: two-level prefix sum equals the single-window " +
+    "reference on a multi-shard id spread") {
+    // ids spread across md5 hex-prefix shards; per-doc token counts
+    // vary so prefixes are informative
+    val rows = (1L to 60L).map(i =>
+      (i, ("t " * (1 + (i % 5)).toInt).trim,
+        if (i % 3 == 0) "A" else "B"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val out = CorpusOps.sourceMixExecute(df, "doc_id", "text",
+      "source", budget = 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1))
+        -> (r.getAs[Long]("sched_prefix"), r.getAs[Long]("n_copies")))
+      .toMap
+    Caches.clear()
+    // single-window reference, computed in-test
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val toks = rows.map { case (i, t, s) =>
+      (s, i, t.split("\\s+").length.toLong) }
+    val allocs = {
+      val nt = toks.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val wq = nt.view.mapValues(n =>
+        math.floor(math.sqrt(n.toDouble) * 1e6).toLong).toMap
+      val tw = wq.values.sum
+      nt.keys.map(s => s -> (50L * wq(s) / tw, nt(s))).toMap
+    }
+    val expect = toks.groupBy(_._1).flatMap { case (s, ds) =>
+      val sched = ds.sortBy { case (_, i, _) => (md5hex(i.toString), i) }
+      val prefixes = sched.scanLeft(0L)(_ + _._3)
+      val (alloc, nt) = allocs(s)
+      sched.zip(prefixes).map { case ((_, i, _), p) =>
+        (s, i) -> (p, alloc / nt + (if (p < alloc % nt) 1L else 0L)) }
+    }.filter(_._2._2 > 0L)
+    assert(out == expect)
+  }
+
   test("dsirSelect: target-like raw doc outscores off-target by the " +
     "exact integer ratios; targets never selected; k bounds output") {
     val df = Seq(

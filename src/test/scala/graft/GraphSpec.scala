@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Known-answer + invariance tests for the fixed-point PageRank, and
-  * the join-shape pin the PlanSweepSpec exclusion points at (q143
-  * executes eager per-round checkpoints, so the inventory-wide sweep
-  * skips it and this spec owns its plan posture).
+/** Known-answer + invariance tests for the fixed-point PageRank and
+  * the deterministic label propagation, and the join-shape pins the
+  * PlanSweepSpec exclusions point at (q143/q148 execute eager
+  * per-round checkpoints, so the inventory-wide sweep skips them and
+  * this spec owns their plan posture).
   */
 class GraphSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -88,6 +89,65 @@ class GraphSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin")
       || plan.contains("SortMergeJoin")
       || plan.contains("ShuffledHashJoin"))
+  }
+
+  test("labelProp one round: heaviest in-label wins, no-in-edge nodes " +
+    "keep their own label") {
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val edges = Seq(("a", "c", 2L), ("b", "c", 3L)).toDF("src", "dst", "w")
+    val out = Graph.labelProp(nodes, edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    Caches.clear()
+    assert(out == Map("a" -> "a", "b" -> "b", "c" -> "b"))
+  }
+
+  test("labelProp tie-break: equal weights resolve to the MIN label") {
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val edges = Seq(("a", "c", 2L), ("b", "c", 2L)).toDF("src", "dst", "w")
+    val out = Graph.labelProp(nodes, edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    Caches.clear()
+    assert(out("c") == "a")
+  }
+
+  test("labelProp propagates transitively: a chain's head label reaches " +
+    "the tail in path-length rounds") {
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L)).toDF("src", "dst", "w")
+    val out = Graph.labelProp(nodes, edges, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    Caches.clear()
+    // r1: b <- a, c <- b; r2: c <- (b's r1 label) = a
+    assert(out("a") == "a" && out("b") == "a" && out("c") == "a")
+  }
+
+  test("labelProp is parallelism-invariant") {
+    val nodes = (1 to 40).map(i => s"n$i").toDF("node")
+    val edges = (1 to 40).flatMap { i =>
+      Seq((s"n$i", s"n${i % 40 + 1}", 1L + i % 3),
+        (s"n$i", s"n${(i * 7) % 40 + 1}", 1L))
+    }.toDF("src", "dst", "w")
+    val r1 = Graph.labelProp(nodes, edges.repartition(1), iters = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    Caches.clear()
+    val r7 = Graph.labelProp(nodes, edges.repartition(7), iters = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    Caches.clear()
+    assert(r1.sameElements(r7))
+  }
+
+  test("labelProp per-round plan: no cartesian, no nested loop; the " +
+    "top-1 rank is a bounded window (the PlanSweepSpec exclusion's pin)") {
+    val nodes = Seq("a", "b").toDF("node")
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    val plan = Graph.labelProp(nodes, edges, iters = 1)
+      .queryExecution.executedPlan.toString
+    Caches.clear()
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // rn===1 must prune map-side, not rank everything then filter
+    assert(plan.contains("WindowGroupLimit"))
   }
 
   test("q143 instantiation: full vertex set returned, mass bounded") {

@@ -70,7 +70,8 @@ class PlanSweepSpec extends AnyFunSuite {
     // the returned plans are genuinely join-bearing — the sweep caught
     // q125's first constant-key BNLJ formulation.
     "q123_bpe_merges" -> "BpeSpec (driver-local merge table)",
-    "q143_pagerank" -> "GraphSpec (iterative power-iteration checkpoints; per-round join shape pinned there)")
+    "q143_pagerank" -> "GraphSpec (iterative power-iteration checkpoints; per-round join shape pinned there)",
+    "q148_label_prop" -> "GraphSpec (iterative propagation checkpoints; per-round join shape pinned there)")
 
   /** The detector under test: scan one physical-plan string for the
     * forbidden join shapes. Kept as a pure function so the canary test
