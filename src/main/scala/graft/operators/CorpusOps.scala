@@ -732,6 +732,138 @@ object CorpusOps {
       .orderBy("source", "doc_id")
   }
 
+  /** Compose [[sourceMixExecute]] with the q93 packing arithmetic:
+    * materialize the EPOCH SCHEDULE (every (doc, copy) instance the
+    * manifest orders, fractional epoch last) and cut each source's
+    * token stream into fixed-`seqLen` training sequences — the final
+    * layout job of pretraining prep: plan (q144) → manifest (q147) →
+    * packed shards (this). Per scheduled instance: its token start in
+    * the source's stream, first/last sequence touched, sequence count,
+    * and offset inside the first — exactly [[TextOps
+    * .sequencePackingByCount]]'s contract with (doc, copy) as the
+    * packing unit and schedule order (copy-major, md5-shuffled within
+    * each epoch) as the stream order.
+    *
+    * Scale shape: the copy expansion is a row-local `sequence()`
+    * explode bounded by the token budget (Σ copies ≈ budget/avg_doc —
+    * it can never exceed the budget in scheduled tokens), and the
+    * running sum is the same two-level prefix sum as the manifest's,
+    * sharded on (copy, schedule-key hex prefix) with a broadcast
+    * carry. Nothing here re-reads the corpus text: the manifest
+    * carries the token counts.
+    */
+  def mixPack(df: DataFrame, idCol: String, textCol: String,
+              srcCol: String, budget: Long = 1000000L,
+              seqLen: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val manifest = sourceMixExecute(df, idCol, textCol, srcCol, budget)
+    val expanded = Caches.persistTracked(manifest
+      .select(col("source"), col("doc_id"), col("toks"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .withColumn("sk", md5(col("doc_id").cast("string")))
+      .withColumn("shard", substring(col("sk"), 1, 2)))
+    val wLocal = Window.partitionBy("source", "copy", "shard")
+      .orderBy("sk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = expanded.withColumn("local_start",
+      coalesce(sum(col("toks")).over(wLocal), lit(0L)))
+    val wCarry = Window.partitionBy("source").orderBy("copy", "shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = expanded.groupBy("source", "copy", "shard")
+      .agg(sum(col("toks")).as("st"))
+      .withColumn("carry", coalesce(sum(col("st")).over(wCarry), lit(0L)))
+      .select("source", "copy", "shard", "carry")
+    local.join(broadcast(carry), Seq("source", "copy", "shard"))
+      .withColumn("tok_start", col("local_start") + col("carry"))
+      .withColumn("seq_start", expr(s"tok_start div ${seqLen}L"))
+      .withColumn("seq_end", expr(
+        s"(tok_start + greatest(toks, 1L) - 1) div ${seqLen}L"))
+      .select(col("source"), col("doc_id"), col("copy"), col("toks"),
+        col("tok_start"), col("seq_start"), col("seq_end"),
+        (col("seq_end") - col("seq_start") + 1).as("n_seqs"),
+        expr(s"tok_start % ${seqLen}L").as("seq_offset"))
+      .orderBy("source", "doc_id", "copy")
+  }
+
+  /** Integer-exact BM25 top-k retrieval — the classic query→document
+    * relevance ranking (Robertson/Spärck Jones), the op that mines
+    * query–document training pairs and builds eval candidate pools
+    * from a corpus. Okapi BM25 with k1/b in milli-units and idf in
+    * micro-units, every division a floor div on non-negative operands,
+    * so both engines land on identical BIGINTs:
+    *
+    *   idf_u   = ((2(N − df) + 1) · 10^6) div (2·df + 1)   — the
+    *             (N − df + 0.5)/(df + 0.5) form cleared of halves
+    *   dlnorm‰ = (1000 − b‰) + (b‰ · dl · 1000) div avgdl‰
+    *   denom‰  = tf · 1000 + (k1‰ · dlnorm‰) div 1000
+    *   term    = (idf_u · tf · (1000 + k1‰)) div denom‰
+    *
+    * and a document's score is the integer sum over matched query
+    * terms. Monotone in tf-saturation and idf exactly as float BM25;
+    * the absolute scale is arbitrary, as retrieval only needs order.
+    *
+    * Scale shape: the query-term table broadcasts onto the exploded
+    * corpus tokens FIRST (df and tf are only ever computed for query
+    * terms — the corpus-wide vocabulary never aggregates), per-doc
+    * lengths partial-aggregate, N/avgdl are one bounded driver scalar
+    * (the pageRank-n posture), and top-k per query is a bounded rank
+    * window (WindowGroupLimit). At 10^9+ docs the idf/score products
+    * approach BIGINT range and the micro-units would quantize
+    * per-mille, like [[dsirSelect]]'s note.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(String, String)], k: Int = 10,
+               k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    val toks = Caches.persistTracked(df.select(
+      col(idCol).as("doc_id"),
+      explode(TextOps.words(col(textCol))).as("term")))
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(TextOps.words(col("qtext"))).as("term"))
+      .distinct()
+    // bounded driver scalars: corpus doc count + average doc length
+    val dl = Caches.persistTracked(
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tt"))
+      .head()
+    val n = stats.getLong(0)
+    val avgdlMilli = (stats.getLong(1) * 1000L) / n
+    // df/tf restricted to query terms BEFORE any aggregation
+    val hits = Caches.persistTracked(
+      toks.join(broadcast(qterms), Seq("term")))
+    val dfreq = hits.select("doc_id", "term").distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf_u",
+        expr(s"((2 * (${n}L - df) + 1) * 1000000) div (2 * df + 1)"))
+    val tf = hits.groupBy("query_id", "doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(broadcast(dfreq.select("term", "idf_u")), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("dlnorm_m",
+        expr(s"(1000 - $bMilli) + ($bMilli * dl * 1000) div $avgdlMilli"))
+      .withColumn("denom_m",
+        expr(s"tf * 1000 + ($k1Milli * dlnorm_m) div 1000"))
+      .withColumn("term_score",
+        expr(s"(idf_u * tf * (1000 + $k1Milli)) div denom_m"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term_score")).as("score"),
+        count(lit(1)).as("matched"))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("matched"), col("rn").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------- DSIR importance selection
 
   /** DSIR-style targeted data selection (Xie et al. 2023, "Data

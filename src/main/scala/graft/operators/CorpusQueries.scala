@@ -521,7 +521,16 @@ object CorpusQueries {
     "q147_mix_execute" -> ((s, d) =>
       CorpusOps.sourceMixExecute(Tables.documents(s, d), "doc_id",
         "text", "source")),
-    "q148_label_prop" -> (Graph.q148LabelProp _))
+    "q148_label_prop" -> (Graph.q148LabelProp _),
+    "q149_mix_pack" -> ((s, d) =>
+      CorpusOps.mixPack(Tables.documents(s, d), "doc_id", "text",
+        "source")),
+    // query terms drawn from the corpus vocabulary, plus one
+    // never-matching term ('zzz') pinning the inner-join semantics
+    "q150_bm25_topk" -> ((s, d) =>
+      CorpusOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq(("q1", "join hash"), ("q2", "customer order line"),
+          ("q3", "vector scan zzz")))))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -1487,5 +1496,113 @@ object CorpusQueries {
         |  (CASE WHEN o.sched_prefix < (p.alloc_tokens % p.n_tokens)
         |   THEN 1 ELSE 0 END) > 0
         |ORDER BY o.source, o.doc_id""".stripMargin,
-    "q148_label_prop" -> Graph.q148OracleSql())
+    "q148_label_prop" -> Graph.q148OracleSql(),
+    // mix→pack composition: q147's CTEs + generate_series copy
+    // expansion + the packing floor-divs; the single window mirrors
+    // the engine's two-level prefix sum in (copy, md5) schedule order
+    "q149_mix_pack" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) AS weight_q
+        |  FROM c),
+        |t AS (
+        |  SELECT source, n_tokens, weight_q,
+        |    CAST(sum(weight_q) OVER () AS BIGINT) AS tw
+        |  FROM w),
+        |p AS (
+        |  SELECT source, n_tokens,
+        |    (1000000 * weight_q) // tw AS alloc_tokens
+        |  FROM t),
+        |d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+'))
+        |      AS BIGINT) AS toks
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, toks,
+        |    CAST(coalesce(sum(toks) OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS sched_prefix
+        |  FROM d),
+        |m AS (
+        |  SELECT o.source, o.doc_id, o.toks,
+        |    (p.alloc_tokens // p.n_tokens) +
+        |      (CASE WHEN o.sched_prefix < (p.alloc_tokens % p.n_tokens)
+        |       THEN 1 ELSE 0 END) AS n_copies
+        |  FROM o JOIN p USING (source)),
+        |x AS (
+        |  SELECT source, doc_id, toks,
+        |    unnest(generate_series(1, n_copies)) AS copy
+        |  FROM m WHERE n_copies > 0),
+        |s AS (
+        |  SELECT source, doc_id, toks, CAST(copy AS BIGINT) AS copy,
+        |    CAST(coalesce(sum(toks) OVER (
+        |      PARTITION BY source
+        |      ORDER BY copy, md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tok_start
+        |  FROM x)
+        |SELECT source, doc_id, copy, toks, tok_start,
+        |  tok_start // 512 AS seq_start,
+        |  (tok_start + greatest(toks, 1) - 1) // 512 AS seq_end,
+        |  ((tok_start + greatest(toks, 1) - 1) // 512)
+        |    - (tok_start // 512) + 1 AS n_seqs,
+        |  tok_start % 512 AS seq_offset
+        |FROM s ORDER BY source, doc_id, copy""".stripMargin,
+    // integer-exact Okapi BM25: idf in micro-units, k1/b in
+    // milli-units, floor divs on non-negative operands throughout;
+    // df/tf restricted to query terms; top-10 per query
+    "q150_bm25_topk" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    ('q1', 'join hash'), ('q2', 'customer order line'),
+        |    ('q3', 'vector scan zzz')),
+        |qt AS (
+        |  SELECT DISTINCT query_id,
+        |    unnest(string_split_regex(trim(qtext), '\s+')) AS term
+        |  FROM q),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |av AS (
+        |  SELECT count(*) AS n,
+        |    (CAST(sum(dl) AS BIGINT) * 1000) // count(*) AS avgdl_m
+        |  FROM dl),
+        |hits AS (
+        |  SELECT t.doc_id, qt.query_id, qt.term
+        |  FROM tok t JOIN qt ON t.term = qt.term),
+        |idf AS (
+        |  SELECT term,
+        |    ((2 * ((SELECT n FROM av) - count(DISTINCT doc_id)) + 1)
+        |      * 1000000) // (2 * count(DISTINCT doc_id) + 1) AS idf_u
+        |  FROM hits GROUP BY term),
+        |tf AS (
+        |  SELECT query_id, doc_id, term, count(*) AS tf
+        |  FROM hits GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT tf.query_id, tf.doc_id,
+        |    CAST(sum((idf.idf_u * tf.tf * 2200) //
+        |      (tf.tf * 1000 + (1200 * ((1000 - 750) +
+        |        (750 * dl.dl * 1000) // (SELECT avgdl_m FROM av)))
+        |        // 1000)) AS BIGINT) AS score,
+        |    count(*) AS matched
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id, score, matched,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM sc)
+        |SELECT query_id, doc_id, score,
+        |  CAST(matched AS BIGINT) AS matched, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
 }

@@ -526,6 +526,77 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == expect)
   }
 
+  test("mixPack: epoch-major schedule — gapless per-source token " +
+    "stream, fractional epoch last, straddler spans two sequences") {
+    // single source, ids 1/2 (md5(\"1\") < md5(\"2\")), 4 tokens each;
+    // budget 20 = 2 full epochs of 8 + remainder 4 → doc 1 (first in
+    // schedule) gets a 3rd copy
+    val df = Seq((1L, "w w w w", "A"), (2L, "w w w w", "A"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.mixPack(df, "doc_id", "text", "source",
+      budget = 20L, seqLen = 5L).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        (r.getAs[Long]("tok_start"), r.getAs[Long]("seq_start"),
+          r.getAs[Long]("seq_end"), r.getAs[Long]("seq_offset"))).toMap
+    Caches.clear()
+    assert(out.keySet ==
+      Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L)))
+    // stream order: d1c1 d2c1 | d1c2 d2c2 | d1c3 → starts 0,4,8,12,16
+    assert(out((1L, 1L))._1 == 0L && out((2L, 1L))._1 == 4L)
+    assert(out((1L, 2L))._1 == 8L && out((2L, 2L))._1 == 12L)
+    assert(out((1L, 3L))._1 == 16L)
+    // seqLen 5: the copy starting at 4 straddles sequences 0 and 1
+    assert(out((2L, 1L)) == (4L, 0L, 1L, 4L))
+    // gapless: every start is the previous start + 4
+  }
+
+  test("bm25TopK: integer BM25 matches an in-test reference; tf " +
+    "saturation and idf ordering hold; OOV terms never match; k bounds") {
+    val docs = Seq((1L, "a a b x"), (2L, "a c"), (3L, "b b b"),
+      (4L, "c c c c"))
+    val df = docs.toDF("doc_id", "text")
+    val out = CorpusOps.bm25TopK(df, "doc_id", "text",
+      Seq(("q1", "a b"), ("q2", "zzz")), k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("score"), r.getAs[Long]("matched"),
+          r.getAs[Long]("rank"))).toMap
+    Caches.clear()
+    // integer reference with the operator's published formulas
+    val toks = docs.map { case (i, t) => i -> t.split("\\s+").toSeq }
+    val n = toks.size.toLong
+    val avgdlM = toks.map(_._2.size.toLong).sum * 1000L / n
+    def idfU(term: String) = {
+      val d = toks.count(_._2.contains(term)).toLong
+      (2L * (n - d) + 1L) * 1000000L / (2L * d + 1L)
+    }
+    def score(doc: Long, terms: Seq[String]) = {
+      val dt = toks.toMap.apply(doc)
+      val dl = dt.size.toLong
+      val dlnorm = 250L + 750L * dl * 1000L / avgdlM
+      terms.filter(dt.contains).map { t =>
+        val tf = dt.count(_ == t).toLong
+        idfU(t) * tf * 2200L / (tf * 1000L + 1200L * dlnorm / 1000L)
+      }.sum
+    }
+    // q2's term is OOV: no rows at all
+    assert(out.keys.forall(_._1 == "q1"))
+    // docs 1 (a,b), 2 (a), 3 (b) match; doc 4 (c only) absent
+    assert(out.keySet.map(_._2) == Set(1L, 2L, 3L))
+    for (d <- Seq(1L, 2L, 3L))
+      assert(out(("q1", d))._1 == score(d, Seq("a", "b")))
+    assert(out(("q1", 1L))._2 == 2L) // both terms matched
+    // ranks follow (score desc, doc_id asc) and are 1-based
+    val byRank = out.toSeq.sortBy(_._2._3).map(x => (x._1._2, x._2._1))
+    assert(byRank.sliding(2).forall {
+      case Seq((d1, s1), (d2, s2)) => s1 > s2 || (s1 == s2 && d1 < d2)
+      case _ => true
+    })
+    val top1 = CorpusOps.bm25TopK(df, "doc_id", "text",
+      Seq(("q1", "a b")), k = 1).collect()
+    Caches.clear()
+    assert(top1.length == 1)
+  }
+
   test("dsirSelect: target-like raw doc outscores off-target by the " +
     "exact integer ratios; targets never selected; k bounds output") {
     val df = Seq(
