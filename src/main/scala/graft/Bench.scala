@@ -114,9 +114,10 @@ object Bench {
       // second iterative-checkpoint entry)
       "q147_mix_execute", "q148_label_prop",
       // round-14 fourth tranche: epoch-schedule packing (budget-
-      // bounded copy explode) and integer BM25 retrieval (query-term
-      // broadcast onto the token explode)
-      "q149_mix_pack", "q150_bm25_topk",
+      // bounded copy explode), integer BM25 retrieval (query-term
+      // broadcast onto the token explode), and canonical selection
+      // over q69's clusters
+      "q149_mix_pack", "q150_bm25_topk", "q151_canonical_docs",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

@@ -80,6 +80,12 @@ object LlmQueries {
   def q69DupClusters(s: SparkSession, d: String): DataFrame =
     TextOps.dupClusters(Tables.documents(s, d), "doc_id", "text")
 
+  /** Canonical selection over q69's clusters: keep the longest doc per
+    * component (ties to min doc_id), drop the rest.
+    */
+  def q151CanonicalDocs(s: SparkSession, d: String): DataFrame =
+    TextOps.canonicalPerCluster(Tables.documents(s, d), "doc_id", "text")
+
   /** Incremental ingest screen: the deterministic 20% "new batch"
     * (doc_id % 5 == 4 — scale-invariant, so every SF exercises both
     * sides) near-dup-checked against the other 80% standing corpus.
@@ -454,6 +460,7 @@ object LlmQueries {
     "q54_cosine_lsh" -> (q54CosineLsh _),
     "q68_ann_ivf_nprobe2" -> (q68AnnIvf2 _),
     "q69_dup_clusters" -> (q69DupClusters _),
+    "q151_canonical_docs" -> (q151CanonicalDocs _),
     "q70_simhash_dups" -> (q70SimhashDups _),
     "q71_corpus_filter" -> (q71CorpusFilter _),
     "q72_ann_recall" -> (q72AnnRecall _),
@@ -1133,6 +1140,33 @@ object LlmQueries {
          |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin),
+    // canonical selection = q69's component chain + the longest-doc
+    // (ties to min doc_id) top-1 window per component — edit with q69
+    "q151_canonical_docs" -> (
+      s"""WITH RECURSIVE $shingleBase,
+         |$lshJacCtes,
+         |edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         |symd AS (SELECT a AS src, b AS dst FROM edges
+         |         UNION ALL SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM symd
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN symd s ON r.dst = s.src),
+         |comp AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS comp
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id),
+         |tk AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+'))
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT c.doc_id, c.comp, t.n_tokens,
+         |  (row_number() OVER (PARTITION BY c.comp
+         |    ORDER BY t.n_tokens DESC, c.doc_id ASC) = 1) AS keep
+         |FROM comp c JOIN tk t USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin),
     "q76_winnow_containment" -> (
       s"""WITH $winnowSelCtes,
          |ex AS (SELECT doc_id, unnest(fp) AS h FROM sel),

@@ -380,6 +380,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CANONICAL-document selection per near-dup cluster — the decision
+    * step the clustering exists FOR: of each [[dupClusters]] group,
+    * keep exactly one representative and drop the rest. Policy: the
+    * doc with the MOST tokens wins (the "keep the most complete
+    * version" heuristic of production dedup pipelines — near-dup
+    * groups are typically truncations/mirrors of one page), ties to
+    * the smallest doc_id, so the verdict is fully deterministic.
+    * Output is the per-doc manifest (doc_id, comp, n_tokens, keep) —
+    * the frame a downstream filter or takedown job consumes.
+    *
+    * Scale shape: [[dupClusters]]'s cost dominates (band join + the
+    * edge-subgraph component loop); the selection adds one broadcast-
+    * or-shuffle join of the label frame with the per-doc token counts
+    * and a bounded top-1 rank window per component (WindowGroupLimit).
+    * Singleton docs are their own component and always keep.
+    */
+  def canonicalPerCluster(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.8,
+                          maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(df, idCol, textCol, threshold, maxIters)
+    val toks = df.select(col(idCol).as("doc_id"),
+      size(words(col(textCol))).cast("long").as("n_tokens"))
+    clusters.join(toks, Seq("doc_id"))
+      .withColumn("rn", row_number().over(Window.partitionBy("comp")
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("comp"), col("n_tokens"),
+        (col("rn") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash duplicate CLUSTERS: connected components over the banded
     * hamming-≤-`maxHamming` pairs ([[simhashBandedPairs]]) — the same
     * canonical-doc-per-group step as [[dupClusters]], built on the OTHER

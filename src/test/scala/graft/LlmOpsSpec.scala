@@ -187,6 +187,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("canonicalPerCluster: longest doc wins its cluster, equal lengths " +
+    "tie to min id, singletons always keep") {
+    // cluster {1,2,4}: 1/2 identical (50 tokens), 4 is 1 plus two
+    // appended tokens (52 tokens, shingle jaccard 48/50 = 0.96 ≥ 0.8);
+    // cluster {5,6}: identical texts over a disjoint vocabulary (a
+    // LENGTH TIE — min id must keep); 3 is a singleton
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base), (2L, base), (4L, base + " zz1 zz2"),
+      (5L, other), (6L, other),
+      (3L, "completely different words here that share nothing at all today"))
+      .toDF("doc_id", "text")
+    val out = TextOps.canonicalPerCluster(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Long]("n_tokens"), r.getAs[Boolean]("keep")))
+      .toMap
+    Caches.clear()
+    // longest wins {1,2,4}
+    assert(out(4L) == (1L, 52L, true))
+    assert(!out(1L)._3 && !out(2L)._3)
+    // length tie in {5,6} goes to the min id
+    assert(out(5L) == (5L, 40L, true) && !out(6L)._3)
+    // singleton keeps itself
+    assert(out(3L) == (3L, 10L, true))
+    // exactly one keeper per component
+    assert(out.values.groupBy(_._1).forall(_._2.count(_._3) == 1))
+  }
+
   test("corpusFilter: first-fail cascade, survivor-only dedup") {
     val sentence = "the quick a brown fox jumps"
     val okText = Seq.fill(6)(sentence).mkString(" ")            // 36 tok, en
