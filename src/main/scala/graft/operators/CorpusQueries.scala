@@ -502,6 +502,8 @@ object CorpusQueries {
       (graft.streaming.ReplayParity.q131LateWindowsReplay _),
     "q132_late_asof_replay" ->
       (graft.streaming.ReplayParity.q132LateAsofReplay _),
+    "q152_streaming_sessions_replay" ->
+      (graft.streaming.ReplayParity.q152StreamingSessionsReplay _),
     "q136_streaming_index_ingest" ->
       (graft.streaming.ReplayParity.q136StreamingIndexIngest _),
     "q137_audio_features" -> (q137AudioFeatures _),
@@ -1497,6 +1499,10 @@ object CorpusQueries {
         |   THEN 1 ELSE 0 END) > 0
         |ORDER BY o.source, o.doc_id""".stripMargin,
     "q148_label_prop" -> Graph.q148OracleSql(),
+    // streaming session_window replay ≡ batch gap sessionization —
+    // shares q80's oracle verbatim (the q100↔q79 pattern)
+    "q152_streaming_sessions_replay" ->
+      Temporal.oracle("q80_gap_sessions"),
     // mix→pack composition: q147's CTEs + generate_series copy
     // expansion + the packing floor-divs; the single window mirrors
     // the engine's two-level prefix sum in (copy, md5) schedule order

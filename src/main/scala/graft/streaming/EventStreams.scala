@@ -33,6 +33,39 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Native EVENT-TIME session windows (`session_window` + watermark):
+    * per-user sessions that close after `gapUs` microseconds of
+    * inactivity, with Spark merging the per-batch partial windows in
+    * the state store — the streaming twin of the batch
+    * [[graft.operators.Temporal.gapSessionize]], whose gap rule is
+    * "same session iff next − prev ≤ gapUs". `session_window` merges
+    * windows that OVERLAP (next < prev + gap), so the gap passed to
+    * Spark is gapUs + 1 µs — at microsecond timestamp resolution the
+    * two rules are then identical, boundary case included.
+    *
+    * Append mode: a session row emits only when the event-time
+    * watermark passes its end (last ts + gap), so late-merging can
+    * never re-open an emitted session as long as real gaps stay under
+    * the watermark delay. State per key is the open sessions only —
+    * bounded by activity, never history.
+    */
+  def sessionWindows(events: DataFrame,
+                     gapUs: Long = 4L * 3600 * 1000000,
+                     watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${gapUs + 1} microseconds"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("dur_us"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("dur_us"),
+        col("min_event_id"), col("max_event_id"))
+
   /** STREAM-STREAM interval join: every (click, view) pair by the same
     * user with the view inside the hour before the click — the
     * continuous form of the batch range join (q87's shape), and the one

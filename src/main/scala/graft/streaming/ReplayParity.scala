@@ -210,6 +210,49 @@ object ReplayParity {
     windowedReplay(s, d, slide = Some("30 minutes"),
       sinkName = "g_q112_replay", epochCol = "window_epoch")
 
+  /** q152: [[EventStreams.sessionWindows]] driven through the epoch-day
+    * replay — native `session_window` state merging across real
+    * micro-batch boundaries, gated bit-equal to the batch
+    * [[graft.operators.Temporal.gapSessionize]] (q80's oracle,
+    * verbatim). Parity argument: under ts-ordered day-ascending
+    * arrival no event is late, a session's end (last ts + gap) always
+    * sits ahead of the watermark carried from previous days (so no
+    * session finalizes while a same-user event inside the gap is still
+    * coming — any such event is at most 4 h newer, the watermark a full
+    * day older), and the two `_flush` sentinels (user −1, max + 1/2
+    * days) push the final watermark past every real session's end.
+    * `session_seq` is re-derived on the finalized sink — sessions are
+    * time-disjoint per user, so ranking their starts reproduces the
+    * batch numbering exactly.
+    */
+  def q152StreamingSessionsReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val slice = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"))
+    val maxTsRow = slice.agg(max(col("ts"))).head()
+    val withSentinels =
+      if (maxTsRow.isNullAt(0)) slice
+      else {
+        val maxMs = maxTsRow.getTimestamp(0).getTime
+        val sentinels = Seq(1, 2).map { k =>
+          (-k.toLong, -1L,
+            new java.sql.Timestamp(maxMs + k * 86400000L), "_flush")
+        }.toDF("event_id", "user_id", "ts", "event_type")
+        slice.unionByName(sentinels)
+      }
+    replayThroughFiles(s, withSentinels, "g_q152_replay",
+      in => EventStreams.sessionWindows(in))
+      .filter(col("user_id") >= 0)
+      .withColumn("session_seq", row_number().over(
+        Window.partitionBy("user_id").orderBy("session_start"))
+        .cast("long"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("dur_us"), col("min_event_id"), col("max_event_id"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** q113: [[EventStreams.streamingIntervalJoin]] driven through the
     * epoch-day replay — the stream-stream (two buffered sides) join
     * path, gated against the batch pair join. Parity: an INNER interval

@@ -201,6 +201,42 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(ids.size == 4)
   }
 
+  test("sessionWindows merges across batches, closes at the exact gap " +
+    "boundary like the batch rule, and isolates users") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Timestamp)]
+    val df = in.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStreams.sessionWindows(df).writeStream
+      .format("memory").queryName("sw").outputMode("append").start()
+    in.addData(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-01 13:59:00")), // 3h59m gap: same session
+      (3L, 2L, ts("2024-01-01 10:00:00")),
+      // the batch rule is "same session iff diff ≤ 4h": an exactly-4h
+      // follower must MERGE (the +1µs on the Spark gap is load-bearing)
+      (6L, 3L, ts("2024-01-01 10:00:00")),
+      (7L, 3L, ts("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    in.addData(
+      (4L, 1L, ts("2024-01-01 14:30:00")), // merges user 1's open session
+      (5L, 1L, ts("2024-01-01 23:00:00"))) // 8.5h gap: new session
+    q.processAllAvailable()
+    // flush sentinel: advance the watermark past every session's end
+    in.addData((-1L, -1L, ts("2024-01-04 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sw").filter($"user_id" >= 0).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_events"),
+        r.getAs[Long]("dur_us"), r.getAs[Long]("min_event_id"),
+        r.getAs[Long]("max_event_id"))).toSet
+    assert(rows == Set(
+      (1L, 3L, 16200000000L, 1L, 4L), // 10:00→14:30 across two batches
+      (1L, 1L, 0L, 5L, 5L),
+      (2L, 1L, 0L, 3L, 3L),
+      (3L, 2L, 14400000000L, 6L, 7L))) // exact-boundary merge
+  }
+
   test("sessionize keeps per-user state across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
