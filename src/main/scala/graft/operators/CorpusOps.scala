@@ -655,11 +655,24 @@ object CorpusOps {
     * are partial-aggregated map-side like any groupBy.
     */
   def sourceMixPlan(df: DataFrame, idCol: String, textCol: String,
-                    srcCol: String, budget: Long = 1000000L): DataFrame = {
+                    srcCol: String, budget: Long = 1000000L): DataFrame =
+    mixPlanFromCounts(
+      df.groupBy(col(srcCol).as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.words(col(textCol)))).cast("long")
+            .as("n_tokens")),
+      budget)
+
+  /** [[sourceMixPlan]]'s arithmetic over a PRE-AGGREGATED
+    * (source, n_docs, n_tokens) frame — the executor feeds it the
+    * per-source sums of its already-tokenized docs frame so the corpus
+    * text is scanned (and regex-split) exactly once per job. The
+    * window is over the |sources|-row aggregate, hence the deliberate
+    * single partition.
+    */
+  private def mixPlanFromCounts(counts: DataFrame,
+                                budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(col(srcCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(TextOps.words(col(textCol)))).cast("long").as("n_tokens"))
     counts
       .withColumn("weight_q",
         floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
@@ -699,28 +712,18 @@ object CorpusOps {
     */
   def sourceMixExecute(df: DataFrame, idCol: String, textCol: String,
                        srcCol: String, budget: Long = 1000000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val plan = sourceMixPlan(df, idCol, textCol, srcCol, budget)
-      .select(col("source"), col("alloc_tokens"), col("n_tokens"))
+    // one corpus text scan: the plan's per-source sums derive from the
+    // SAME persisted tokenized frame the schedule is built on
     val docs = Caches.persistTracked(df.select(
         col(srcCol).as("source"), col(idCol).as("doc_id"),
         size(TextOps.words(col(textCol))).cast("long").as("toks"))
       .withColumn("sk", md5(col("doc_id").cast("string")))
       .withColumn("shard", substring(col("sk"), 1, 2)))
-    val wLocal = Window.partitionBy("source", "shard")
-      .orderBy("sk", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = docs.withColumn("local_start",
-      coalesce(sum(col("toks")).over(wLocal), lit(0L)))
-    val wCarry = Window.partitionBy("source").orderBy("shard")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = docs.groupBy("source", "shard")
-      .agg(sum(col("toks")).as("shard_tok"))
-      .withColumn("carry",
-        coalesce(sum(col("shard_tok")).over(wCarry), lit(0L)))
-      .select("source", "shard", "carry")
-    local.join(broadcast(carry), Seq("source", "shard"))
-      .withColumn("sched_prefix", col("local_start") + col("carry"))
+    val plan = mixPlanFromCounts(
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens")), budget)
+      .select(col("source"), col("alloc_tokens"), col("n_tokens"))
+    twoLevelTokenPrefix(docs, Seq("shard"), "sched_prefix")
       .join(broadcast(plan), Seq("source"))
       .withColumn("n_copies",
         expr("alloc_tokens div n_tokens") +
@@ -730,6 +733,37 @@ object CorpusOps {
       .select(col("source"), col("doc_id"), col("toks"),
         col("sched_prefix"), col("n_copies"))
       .orderBy("source", "doc_id")
+  }
+
+  /** The shared TWO-LEVEL prefix sum of the mixing family: the running
+    * `toks` total per `source` stream, ordered (`shardCols`, sk,
+    * doc_id) — shard-local window sums plus a broadcast carry over the
+    * per-shard aggregate, the q93 pattern. `shardCols` must be a
+    * prefix of the intended global order (the executor shards on the
+    * schedule key's hex prefix; the packer on (copy, hex prefix)), so
+    * composing local + carry reproduces the single-window prefix
+    * exactly. Adds `outCol`; every other input column passes through.
+    */
+  private def twoLevelTokenPrefix(df: DataFrame, shardCols: Seq[String],
+                                  outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = "source" +: shardCols
+    val wLocal = Window.partitionBy(keys.map(col): _*)
+      .orderBy("sk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = df.withColumn("g_local_start",
+      coalesce(sum(col("toks")).over(wLocal), lit(0L)))
+    val wCarry = Window.partitionBy("source")
+      .orderBy(shardCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = df.groupBy(keys.map(col): _*)
+      .agg(sum(col("toks")).as("g_shard_tok"))
+      .withColumn("g_carry",
+        coalesce(sum(col("g_shard_tok")).over(wCarry), lit(0L)))
+      .select(keys.map(col) :+ col("g_carry"): _*)
+    local.join(broadcast(carry), keys)
+      .withColumn(outCol, col("g_local_start") + col("g_carry"))
+      .drop("g_local_start", "g_carry")
   }
 
   /** Compose [[sourceMixExecute]] with the q93 packing arithmetic:
@@ -745,17 +779,17 @@ object CorpusOps {
     * each epoch) as the stream order.
     *
     * Scale shape: the copy expansion is a row-local `sequence()`
-    * explode bounded by the token budget (Σ copies ≈ budget/avg_doc —
-    * it can never exceed the budget in scheduled tokens), and the
-    * running sum is the same two-level prefix sum as the manifest's,
-    * sharded on (copy, schedule-key hex prefix) with a broadcast
-    * carry. Nothing here re-reads the corpus text: the manifest
-    * carries the token counts.
+    * explode bounded by the token budget (Σ scheduled tokens per
+    * source = alloc_tokens plus at most ONE straddling doc — the
+    * manifest's greedy-span rule, so Σ copies ≈ budget/avg_doc), and
+    * the running sum is the same two-level prefix sum as the
+    * manifest's, sharded on (copy, schedule-key hex prefix) with a
+    * broadcast carry. Nothing here re-reads the corpus text: the
+    * manifest carries the token counts.
     */
   def mixPack(df: DataFrame, idCol: String, textCol: String,
               srcCol: String, budget: Long = 1000000L,
               seqLen: Long = 512L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val manifest = sourceMixExecute(df, idCol, textCol, srcCol, budget)
     val expanded = Caches.persistTracked(manifest
@@ -763,26 +797,12 @@ object CorpusOps {
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
       .withColumn("sk", md5(col("doc_id").cast("string")))
       .withColumn("shard", substring(col("sk"), 1, 2)))
-    val wLocal = Window.partitionBy("source", "copy", "shard")
-      .orderBy("sk", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = expanded.withColumn("local_start",
-      coalesce(sum(col("toks")).over(wLocal), lit(0L)))
-    val wCarry = Window.partitionBy("source").orderBy("copy", "shard")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = expanded.groupBy("source", "copy", "shard")
-      .agg(sum(col("toks")).as("st"))
-      .withColumn("carry", coalesce(sum(col("st")).over(wCarry), lit(0L)))
-      .select("source", "copy", "shard", "carry")
-    local.join(broadcast(carry), Seq("source", "copy", "shard"))
-      .withColumn("tok_start", col("local_start") + col("carry"))
-      .withColumn("seq_start", expr(s"tok_start div ${seqLen}L"))
-      .withColumn("seq_end", expr(
-        s"(tok_start + greatest(toks, 1L) - 1) div ${seqLen}L"))
+    TextOps.packSpan(
+        twoLevelTokenPrefix(expanded, Seq("copy", "shard"), "tok_start"),
+        "toks", seqLen)
       .select(col("source"), col("doc_id"), col("copy"), col("toks"),
         col("tok_start"), col("seq_start"), col("seq_end"),
-        (col("seq_end") - col("seq_start") + 1).as("n_seqs"),
-        expr(s"tok_start % ${seqLen}L").as("seq_offset"))
+        col("n_seqs"), col("seq_offset"))
       .orderBy("source", "doc_id", "copy")
   }
 
@@ -832,6 +852,7 @@ object CorpusOps {
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tt"))
       .head()
     val n = stats.getLong(0)
+    require(n > 0, "bm25TopK needs a non-empty corpus")
     val avgdlMilli = (stats.getLong(1) * 1000L) / n
     // df/tf restricted to query terms BEFORE any aggregation
     val hits = Caches.persistTracked(

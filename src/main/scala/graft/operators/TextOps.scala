@@ -1263,18 +1263,30 @@ object TextOps {
       .withColumn("carry",
         coalesce(sum(col("shard_tok")).over(wCarry), lit(0L)))
       .select("lang", "shard", "carry")
-    local.join(broadcast(carry), Seq("lang", "shard"))
-      .withColumn("tok_start", col("local_start") + col("carry"))
-      // integer `div`, not floor(double): token offsets are exact longs
-      .withColumn("seq_start", expr(s"tok_start div ${budget}L"))
-      .withColumn("seq_end", expr(
-        s"(tok_start + greatest(n_tokens, 1L) - 1) div ${budget}L"))
+    packSpan(
+        local.join(broadcast(carry), Seq("lang", "shard"))
+          .withColumn("tok_start", col("local_start") + col("carry")),
+        "n_tokens", budget)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("tok_start"),
-        col("seq_start"), col("seq_end"),
-        (col("seq_end") - col("seq_start") + 1).as("n_seqs"),
-        expr(s"tok_start % ${budget}L").as("seq_offset"))
+        col("seq_start"), col("seq_end"), col("n_seqs"), col("seq_offset"))
       .orderBy("lang", "doc_id")
   }
+
+  /** The shared packing arithmetic: given a `tok_start` column and a
+    * per-row token count `tokCol`, add the fixed-`budget` sequence
+    * span columns (seq_start/seq_end/n_seqs/seq_offset). Integer
+    * `div`, not floor(double): token offsets are exact longs; empty
+    * rows (`greatest(tokCol, 1)`) occupy one position so spans are
+    * never inverted. Used by [[sequencePackingByCount]] and
+    * `CorpusOps.mixPack` — one place for the span rule.
+    */
+  private[graft] def packSpan(df: DataFrame, tokCol: String,
+                              budget: Long): DataFrame =
+    df.withColumn("seq_start", expr(s"tok_start div ${budget}L"))
+      .withColumn("seq_end", expr(
+        s"(tok_start + greatest($tokCol, 1L) - 1) div ${budget}L"))
+      .withColumn("n_seqs", col("seq_end") - col("seq_start") + 1)
+      .withColumn("seq_offset", expr(s"tok_start % ${budget}L"))
 
   /** Split-LEAKAGE repair over duplicate clusters: per-doc hash splits
     * put near-identical docs on both sides of the train/test boundary

@@ -54,7 +54,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q129_neardup_deleted" -> "DedupIndexSpec (delete/compact lifecycle; post-compaction plan pinned there)",
     "q130_exact_deleted" -> "DedupIndexSpec (delete/compact lifecycle)",
     "q69_dup_clusters" -> "ComponentsSpec (iterative pointer-jumping checkpoints)",
-    "q151_canonical_docs" -> "ComponentsSpec (q69's component loop) + TextKernelsSpec (selection policy)",
+    "q151_canonical_docs" -> "ComponentsSpec (q69's component loop) + LlmOpsSpec (selection policy)",
     "q53_region_ml" -> "StreamingAndMlSpec (model fit executes on construction)",
     "q100_streaming_asof_replay" -> "EventStreamsSpec (file-backed replay harness)",
     "q106_streaming_windows_replay" -> "EventStreamsSpec (file-backed replay harness)",
