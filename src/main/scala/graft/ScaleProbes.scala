@@ -745,6 +745,52 @@ object ScaleProbes {
             f"pagerank10_min3_sec=$pr%.2f")
         }
 
+      case "r14c-scale" =>
+        // growth-law receipt for the round-14 fourth tranche: BM25
+        // (query-term broadcast onto the token explode — expect the
+        // corpus-linear regime) and mixPack at a FIXED 1M-token budget
+        // (the copy expansion is budget-bounded, so only the one
+        // corpus scan + per-source prefix should grow — the designed
+        // "cost follows the budget, not the corpus" shape).
+        // canonicalPerCluster is deliberately NOT probed on this
+        // synthetic: its every-9th-doc boilerplate makes one giant
+        // all-identical clique, whose C(n,2) verified pairs are the
+        // LSH worst case LshSkewSpec pins at small n — the operator's
+        // cost law is q69's (ngram-ab / planted-graph probes), plus
+        // one join and a top-1 window.
+        val sizes = args.drop(1).map(_.toLong) match {
+          case a if a.nonEmpty => a.toSeq
+          case _ => Seq(100000L, 200000L, 400000L)
+        }
+        def synthD(n: Long) = spark.range(n)
+          .select(col("id").as("doc_id"),
+            when(col("id") % 9 === 0,
+              concat_ws(" ", (0 until 30).map(_ => lit("alpha")): _*))
+              .otherwise(concat_ws(" ", (0 until 30).map { i =>
+                element_at(
+                  array(Seq("alpha", "beta", "gamma", "delta", "eps",
+                    "zeta", "eta", "theta").map(lit): _*),
+                  (pmod(col("id") * 31 + i * 7, lit(8)) + 1).cast("int"))
+              }: _*)).as("text"),
+            concat(lit("s"), col("id") % 10).as("source"))
+        def noopW(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val qs = Seq(("q1", "alpha beta"), ("q2", "gamma delta eps"),
+          ("q3", "zeta zzz"))
+        val w0 = synthD(10000L)
+        noopW(CorpusOps.bm25TopK(w0, "doc_id", "text", qs)); Caches.clear()
+        noopW(CorpusOps.mixPack(w0, "doc_id", "text", "source"))
+        Caches.clear()
+        for (n <- sizes) {
+          val d = synthD(n)
+          val bm = minOf3(noopW(
+            CorpusOps.bm25TopK(d, "doc_id", "text", qs)))
+          val mp = minOf3(noopW(
+            CorpusOps.mixPack(d, "doc_id", "text", "source")))
+          println(f"[probe] r14c-scale: n=$n bm25_min3_sec=$bm%.2f " +
+            f"mixpack_budget1m_min3_sec=$mp%.2f")
+        }
+
       case "zorder-ab" =>
         // the law behind Sinks.writeZOrdered: a fact table laid out by
         // ONE dimension prunes parquet files on that dimension only —
