@@ -550,6 +550,67 @@ class CorpusOpsSpec extends AnyFunSuite {
     // gapless: every start is the previous start + 4
   }
 
+  test("mix family invariants on a seeded random corpus: copy counts, " +
+    "coverage bounds, gapless packing streams") {
+    val rnd = new scala.util.Random(20260814L)
+    val rows = (1L to 300L).map { i =>
+      val toks = 1 + rnd.nextInt(40)
+      (i, Seq.fill(toks)("w").mkString(" "), s"s${rnd.nextInt(4)}")
+    }
+    val df = rows.toDF("doc_id", "text", "source")
+    val budget = 5000L
+    val plan = CorpusOps.sourceMixPlan(df, "doc_id", "text", "source",
+      budget).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("alloc_tokens"), r.getAs[Long]("n_tokens"))).toMap
+    val man = CorpusOps.sourceMixExecute(df, "doc_id", "text", "source",
+      budget).collect()
+    Caches.clear()
+    // allocations never exceed the budget in total
+    assert(plan.values.map(_._1).sum <= budget)
+    for ((src, (alloc, nt)) <- plan) {
+      val docs = man.filter(_.getString(0) == src)
+      // every doc's copy count is full-epochs or full-epochs + 1
+      val full = alloc / nt
+      assert(docs.forall { r =>
+        val c = r.getAs[Long]("n_copies")
+        c == full || c == full + 1
+      })
+      // scheduled tokens cover the allocation, overshooting by less
+      // than one max-length doc (the straddler bound)
+      val sched = docs.map(r =>
+        r.getAs[Long]("toks") * r.getAs[Long]("n_copies")).sum
+      val maxToks =
+        if (docs.isEmpty) 0L else docs.map(_.getAs[Long]("toks")).max
+      assert(sched >= alloc && sched < alloc + math.max(maxToks, 1L))
+    }
+    // packing: per source, tok_starts ordered by (copy, md5 key) form
+    // a GAPLESS stream — each start equals the previous start + toks
+    val packed = CorpusOps.mixPack(df, "doc_id", "text", "source",
+      budget, seqLen = 128L).collect()
+    Caches.clear()
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    packed.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val stream = rs.sortBy(r =>
+        (r.getAs[Long]("copy"), md5hex(r.getLong(1).toString),
+          r.getLong(1)))
+      stream.foldLeft(0L) { (expect, r) =>
+        assert(r.getAs[Long]("tok_start") == expect)
+        expect + r.getAs[Long]("toks")
+      }
+      // span arithmetic holds row-wise
+      assert(rs.forall { r =>
+        val (s, e, o) = (r.getAs[Long]("seq_start"),
+          r.getAs[Long]("seq_end"), r.getAs[Long]("seq_offset"))
+        s == r.getAs[Long]("tok_start") / 128 && e >= s &&
+          o == r.getAs[Long]("tok_start") % 128 &&
+          r.getAs[Long]("n_seqs") == e - s + 1
+      })
+    }
+  }
+
   test("bm25TopK: integer BM25 matches an in-test reference; tf " +
     "saturation and idf ordering hold; OOV terms never match; k bounds") {
     val docs = Seq((1L, "a a b x"), (2L, "a c"), (3L, "b b b"),
