@@ -86,6 +86,22 @@ object LlmQueries {
   def q151CanonicalDocs(s: SparkSession, d: String): DataFrame =
     TextOps.canonicalPerCluster(Tables.documents(s, d), "doc_id", "text")
 
+  /** Snapshot diff between two deterministic generations of the
+    * documents table: old = doc_id % 7 ≠ 3, new = doc_id % 5 ≠ 4 with
+    * every 11th doc's text revised — the CASE is shared verbatim with
+    * the oracle (the q136 planting convention), so both engines agree
+    * on which ids are added/removed/changed.
+    */
+  def q153SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val old = docs.filter(col("doc_id") % 7 =!= 3)
+    val nw = docs.filter(col("doc_id") % 5 =!= 4)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    TextOps.snapshotDiff(old, nw, "doc_id", "text")
+  }
+
   /** Incremental ingest screen: the deterministic 20% "new batch"
     * (doc_id % 5 == 4 — scale-invariant, so every SF exercises both
     * sides) near-dup-checked against the other 80% standing corpus.
@@ -461,6 +477,7 @@ object LlmQueries {
     "q68_ann_ivf_nprobe2" -> (q68AnnIvf2 _),
     "q69_dup_clusters" -> (q69DupClusters _),
     "q151_canonical_docs" -> (q151CanonicalDocs _),
+    "q153_snapshot_diff" -> (q153SnapshotDiff _),
     "q70_simhash_dups" -> (q70SimhashDups _),
     "q71_corpus_filter" -> (q71CorpusFilter _),
     "q72_ann_recall" -> (q72AnnRecall _),
@@ -1355,7 +1372,27 @@ object LlmQueries {
          |FROM embeddings e LEFT JOIN reach r ON r.src = e.vec_id
          |GROUP BY e.vec_id
          |ORDER BY e.vec_id""".stripMargin),
-    "q97_incremental_exact" -> exactScreenSql("doc_id % 5 <> 4"))
+    "q97_incremental_exact" -> exactScreenSql("doc_id % 5 <> 4"),
+    // snapshot diff: full outer on doc_id over map-side md5 digests;
+    // the rev2 CASE is shared verbatim with the engine's planting
+    "q153_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS old_hash
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'
+        |         ELSE text END) AS new_hash
+        |  FROM documents WHERE doc_id % 5 <> 4)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.old_hash IS NOT DISTINCT FROM n.new_hash
+        |         THEN 'unchanged'
+        |       ELSE 'changed' END AS verdict,
+        |  o.old_hash, n.new_hash
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY 1""".stripMargin)
 
   /** The asymmetric near-dup screen oracle (the 20% new batch probed
     * against a standing corpus), parameterized by the standing-side

@@ -265,6 +265,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** SNAPSHOT DIFF manifest — the content-level delta between two
+    * corpus generations (crawl N vs N+1): per doc_id, whether it was
+    * `added`, `removed`, `changed` (same id, different content hash)
+    * or `unchanged` — the decision input every incremental job
+    * (re-embed, re-screen, re-index, takedown) consumes instead of
+    * reprocessing the full snapshot. Null-safe: content equality uses
+    * `<=>`, so two null texts compare `unchanged`, and presence is
+    * tracked by explicit flags rather than hash nullability.
+    *
+    * Scale shape: hashes are computed map-side, so the single
+    * full-outer hash join on doc_id shuffles 32-byte digests, never
+    * text; with both snapshots bucketed by doc_id (the q98 layout)
+    * the join is zero-exchange. Same skew posture as the MERGE: AQE
+    * cannot split a full-outer join, and the defense is the
+    * id-unique-per-snapshot input contract (SCALING.md merge-skew).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("old_hash"), lit(true).as("in_old"))
+    val n = newDf.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("new_hash"), lit(true).as("in_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("verdict",
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(col("old_hash") <=> col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col("doc_id"), col("verdict"), col("old_hash"),
+        col("new_hash"))
+      .orderBy("doc_id")
+  }
+
   /** INCREMENTAL near-dup: screen a NEW batch of documents against the
     * EXISTING corpus — the shape a daily training-data ingest actually
     * runs, where the standing corpus is orders of magnitude larger than

@@ -216,6 +216,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.values.groupBy(_._1).forall(_._2.count(_._3) == 1))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged verdicts, " +
+    "null texts compare unchanged") {
+    val old = Seq((1L, "same"), (2L, "was this"), (3L, "gone"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nw = Seq((1L, "same"), (2L, "now this"), (4L, "fresh"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.snapshotDiff(old, nw, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added", 5L -> "unchanged"))
+  }
+
   test("corpusFilter: first-fail cascade, survivor-only dedup") {
     val sentence = "the quick a brown fox jumps"
     val okText = Seq.fill(6)(sentence).mkString(" ")            // 36 tok, en
