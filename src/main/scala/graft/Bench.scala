@@ -118,7 +118,7 @@ object Bench {
       // broadcast onto the token explode), and canonical selection
       // over q69's clusters
       "q149_mix_pack", "q150_bm25_topk", "q151_canonical_docs",
-      "q153_snapshot_diff",
+      "q153_snapshot_diff", "q154_bm25_indexed",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

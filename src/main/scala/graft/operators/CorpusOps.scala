@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-12 corpus-hardening operators: PII screening, paragraph-level
@@ -835,17 +835,11 @@ object CorpusOps {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                queries: Seq[(String, String)], k: Int = 10,
                k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    import spark.implicits._
-    require(queries.nonEmpty, "bm25TopK needs at least one query")
     val toks = Caches.persistTracked(df.select(
       col(idCol).as("doc_id"),
       explode(TextOps.words(col(textCol))).as("term")))
-    val qterms = queries.toDF("query_id", "qtext")
-      .select(col("query_id"),
-        explode(TextOps.words(col("qtext"))).as("term"))
-      .distinct()
+    val qterms = bm25QueryTerms(spark, queries)
     // bounded driver scalars: corpus doc count + average doc length
     val dl = Caches.persistTracked(
       toks.groupBy("doc_id").agg(count(lit(1)).as("dl")))
@@ -857,13 +851,38 @@ object CorpusOps {
     // df/tf restricted to query terms BEFORE any aggregation
     val hits = Caches.persistTracked(
       toks.join(broadcast(qterms), Seq("term")))
-    val dfreq = hits.select("doc_id", "term").distinct()
+    val dfr = hits.select("doc_id", "term").distinct()
       .groupBy("term")
       .agg(count(lit(1)).as("df"))
-      .withColumn("idf_u",
-        expr(s"((2 * (${n}L - df) + 1) * 1000000) div (2 * df + 1)"))
     val tf = hits.groupBy("query_id", "doc_id", "term")
       .agg(count(lit(1)).as("tf"))
+    bm25Rank(tf, dfr, dl, n, avgdlMilli, k, k1Milli, bMilli)
+  }
+
+  /** The exploded, deduplicated (query_id, term) table both BM25 entry
+    * points broadcast. */
+  private[graft] def bm25QueryTerms(spark: SparkSession,
+      queries: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "BM25 needs at least one query")
+    queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(TextOps.words(col("qtext"))).as("term"))
+      .distinct()
+  }
+
+  /** The shared BM25 scoring tail: given (query_id, doc_id, term, tf),
+    * per-term document frequencies, per-doc lengths and the corpus
+    * scalars, produce the ranked top-k — one place for the integer
+    * arithmetic, consumed by [[bm25TopK]] (inline corpus scan) and
+    * `sources.Bm25Index.search` (standing postings index).
+    */
+  private[graft] def bm25Rank(tf: DataFrame, dfr: DataFrame,
+      dl: DataFrame, n: Long, avgdlMilli: Long, k: Int,
+      k1Milli: Long, bMilli: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = dfr.withColumn("idf_u",
+      expr(s"((2 * (${n}L - df) + 1) * 1000000) div (2 * df + 1)"))
     val scored = tf
       .join(broadcast(dfreq.select("term", "idf_u")), Seq("term"))
       .join(dl, Seq("doc_id"))

@@ -532,7 +532,21 @@ object CorpusQueries {
     "q150_bm25_topk" -> ((s, d) =>
       CorpusOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         Seq(("q1", "join hash"), ("q2", "customer order line"),
-          ("q3", "vector scan zzz")))))
+          ("q3", "vector scan zzz")))),
+    // the standing-retrieval-index lifecycle (the q98/q99 pattern for
+    // BM25): bootstrap 60% + append 40% = the full corpus, so the
+    // indexed search is bit-equal to q150's inline ranker and SHARES
+    // its oracle — same queries verbatim
+    "q154_bm25_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.sources.Bm25Index.write(docs.filter(col("doc_id") % 5 <= 2),
+        "doc_id", "text", "g154")
+      graft.sources.Bm25Index.append(docs.filter(col("doc_id") % 5 >= 3),
+        "doc_id", "text", "g154")
+      graft.sources.Bm25Index.search(s, "g154",
+        Seq(("q1", "join hash"), ("q2", "customer order line"),
+          ("q3", "vector scan zzz")))
+    }))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -1565,8 +1579,14 @@ object CorpusQueries {
         |FROM s ORDER BY source, doc_id, copy""".stripMargin,
     // integer-exact Okapi BM25: idf in micro-units, k1/b in
     // milli-units, floor divs on non-negative operands throughout;
-    // df/tf restricted to query terms; top-10 per query
-    "q150_bm25_topk" ->
+    // df/tf restricted to query terms; top-10 per query. The indexed
+    // twin (q154: bootstrap + append = the full corpus) is bit-equal
+    // and SHARES this SQL — the q98/q92 pattern.
+    "q150_bm25_topk" -> bm25OracleSql,
+    "q154_bm25_indexed" -> bm25OracleSql)
+
+  // lazy: referenced from the oracle map's initializer above
+  private lazy val bm25OracleSql: String =
       """WITH q(query_id, qtext) AS (VALUES
         |    ('q1', 'join hash'), ('q2', 'customer order line'),
         |    ('q3', 'vector scan zzz')),
@@ -1610,5 +1630,5 @@ object CorpusQueries {
         |  FROM sc)
         |SELECT query_id, doc_id, score,
         |  CAST(matched AS BIGINT) AS matched, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 }

@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Caches, CorpusOps, TextOps}
+
+/** Standing RETRIEVAL index for the BM25 ranker — the production piece
+  * [[graft.operators.CorpusOps.bm25TopK]] deliberately leaves out (it
+  * re-tokenizes and re-aggregates the corpus per query batch; fine for
+  * one job, wrong for a serving path over a 100 TB corpus that must
+  * not re-read its text for every query). The [[DedupIndex]] lifecycle
+  * discipline applied to the IR family:
+  *
+  *  - `<prefix>_postings` (term, doc_id, tf, w)  bucketed by term
+  *  - `<prefix>_doclens`  (doc_id, dl, w)        bucketed by doc_id
+  *  - `<prefix>_stats`    (n, tt)                log of signed batch rows
+  *
+  * All three are LOG-STRUCTURED with the DedupIndex weight discipline:
+  * [[append]] writes projections with w = +1, [[delete]] re-derives
+  * the SAME rows with w = -1 (takedowns are row-appends, never
+  * rewrites), and every [[search]] folds liveness with an IN-BUCKET
+  * `sum(w) > 0` aggregate — the postings fold groups on (term, doc_id,
+  * tf) leading with the bucket key, so tombstone filtering costs the
+  * corpus side zero Exchange. The stats log stores signed per-batch
+  * (n, tt) rows whose running sum is the live corpus size — one tiny
+  * scan, no doclens pass at query time.
+  *
+  * [[search]] joins the postings against the broadcast query-term
+  * table FIRST (bucket-key join, no corpus shuffle), computes df over
+  * the matched postings only (in-bucket aggregate on `term`), and
+  * hands the (query_id, doc_id, term, tf) frame to the SHARED
+  * [[CorpusOps.bm25Rank]] scoring tail — bit-equal to the inline
+  * ranker over the same live membership by construction (the
+  * q98-vs-q92 argument: the index IS the corpus projection,
+  * persisted). Single-writer-batch posture like [[DedupIndex]].
+  */
+object Bm25Index {
+
+  val Buckets = 32
+
+  private def postings(p: String) = s"${p}_postings"
+  private def doclens(p: String) = s"${p}_doclens"
+  private def stats(p: String) = s"${p}_stats"
+
+  /** One tokenization per ingest feeds all three tables; a takedown
+    * (w = -1) re-derives rows that match its insert bit-for-bit.
+    */
+  private def writeAll(docs: DataFrame, idCol: String, textCol: String,
+                       prefix: String, w: Int, mode: String): Unit = {
+    val spark = docs.sparkSession
+    val toks = Caches.persistTracked(docs.select(
+      col(idCol).as("doc_id"),
+      explode(TextOps.words(col(textCol))).as("term")))
+    val post = toks.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf")).withColumn("w", lit(w))
+    val dls = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .withColumn("w", lit(w))
+    Sinks.writeBucketed(post, postings(prefix), Seq("term"), Buckets, mode)
+    Sinks.writeBucketed(dls, doclens(prefix), Seq("doc_id"), Buckets, mode)
+    val st = dls.agg((count(lit(1)) * w).as("n"),
+      (coalesce(sum(col("dl")), lit(0L)) * w).as("tt"))
+    if (mode == "overwrite") {
+      spark.sql(s"DROP TABLE IF EXISTS ${stats(prefix)}")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, stats(prefix))
+      loc.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(loc, true)
+    }
+    st.write.mode(mode).saveAsTable(stats(prefix))
+  }
+
+  /** Bootstrap the index from a corpus snapshot; steady state uses
+    * [[append]]/[[delete]] only. */
+  def write(docs: DataFrame, idCol: String, textCol: String,
+            prefix: String): Unit =
+    writeAll(docs, idCol, textCol, prefix, w = 1, mode = "overwrite")
+
+  /** Fold a NEW batch in (id-unique contract: appended doc_ids are
+    * new). Pure row-appends, one file per bucket per batch. */
+  def append(increment: DataFrame, idCol: String, textCol: String,
+             prefix: String): Unit =
+    writeAll(increment, idCol, textCol, prefix, w = 1, mode = "append")
+
+  /** Takedown: append the same projections with w = -1; the search
+    * fold nets them dead and the stats sum shrinks accordingly. */
+  def delete(docs: DataFrame, idCol: String, textCol: String,
+             prefix: String): Unit =
+    writeAll(docs, idCol, textCol, prefix, w = -1, mode = "append")
+
+  private def live(spark: SparkSession, table: String,
+                   dataCols: Seq[String]): DataFrame =
+    spark.table(table)
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("w")).as("net"))
+      .filter(col("net") > 0)
+      .select(dataCols.map(col): _*)
+
+  /** Rank the live index against a query batch — bit-equal to
+    * [[CorpusOps.bm25TopK]] over the same live corpus (the q154 gate).
+    * No corpus text is touched: postings carry tf, doclens carry dl,
+    * and the stats log's running sum yields N/avgdl as one bounded
+    * driver scalar.
+    */
+  def search(spark: SparkSession, prefix: String,
+             queries: Seq[(String, String)], k: Int = 10,
+             k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    val st = spark.table(stats(prefix))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("tt")), lit(0L)).as("tt")).head()
+    val n = st.getLong(0)
+    require(n > 0, "Bm25Index.search needs a non-empty live index")
+    val avgdlMilli = st.getLong(1) * 1000L / n
+    val qterms = CorpusOps.bm25QueryTerms(spark, queries)
+    val qt = qterms.select("term").distinct()
+    val matched = Caches.persistTracked(
+      live(spark, postings(prefix), Seq("term", "doc_id", "tf"))
+        .join(broadcast(qt), Seq("term")))
+    val dfr = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = matched.join(broadcast(qterms), Seq("term"))
+      .select("query_id", "doc_id", "term", "tf")
+    CorpusOps.bm25Rank(tf, dfr,
+      live(spark, doclens(prefix), Seq("doc_id", "dl")),
+      n, avgdlMilli, k, k1Milli, bMilli)
+  }
+}

@@ -658,6 +658,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(top1.length == 1)
   }
 
+  test("Bm25Index: indexed search bit-equal to the inline ranker after " +
+    "bootstrap+append; the delete leg answers as never-inserted") {
+    val docs = Seq((1L, "a a b x"), (2L, "a c"), (3L, "b b b"),
+      (4L, "c c c c"), (5L, "a b c")).toDF("doc_id", "text")
+    val qs = Seq(("q1", "a b"), ("q2", "c zzz"))
+    graft.sources.Bm25Index.write(docs.filter($"doc_id" <= 3),
+      "doc_id", "text", "t154")
+    graft.sources.Bm25Index.append(docs.filter($"doc_id" > 3),
+      "doc_id", "text", "t154")
+    val idx = graft.sources.Bm25Index.search(spark, "t154", qs)
+      .collect().toSeq
+    val inl = CorpusOps.bm25TopK(docs, "doc_id", "text", qs)
+      .collect().toSeq
+    Caches.clear()
+    assert(idx == inl)
+    // takedown of the even docs: the index must answer exactly as if
+    // only the odd docs were ever inserted
+    graft.sources.Bm25Index.delete(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", "t154")
+    val idx2 = graft.sources.Bm25Index.search(spark, "t154", qs)
+      .collect().toSeq
+    val inl2 = CorpusOps.bm25TopK(docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", qs).collect().toSeq
+    Caches.clear()
+    assert(idx2 == inl2)
+  }
+
   test("dsirSelect: target-like raw doc outscores off-target by the " +
     "exact integer ratios; targets never selected; k bounds output") {
     val df = Seq(
