@@ -791,6 +791,46 @@ object ScaleProbes {
             f"mixpack_budget1m_min3_sec=$mp%.2f")
         }
 
+      case "bm25-ab" =>
+        // the law behind sources/Bm25Index: the inline ranker pays the
+        // corpus text scan + tokenize + aggregate on EVERY query
+        // batch; the standing index pays it once at build and serves
+        // each batch from bucketed postings. Both answer bit-equal
+        // (CorpusOpsSpec); this measures the per-batch tax removed.
+        val sizes = args.drop(1).map(_.toLong) match {
+          case a if a.nonEmpty => a.toSeq
+          case _ => Seq(100000L, 400000L)
+        }
+        // 10k-word vocabulary (realistic selectivity: the query terms
+        // are a vanishing fraction of the corpus vocabulary — an
+        // 8-word vocab would make every posting match and hide the
+        // index's pruning entirely)
+        def synthD(n: Long) = spark.range(n)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", (0 until 30).map { i =>
+              concat(lit("w"), pmod(col("id") * 31 + i * 7, lit(10000)))
+            }: _*).as("text"))
+        def noopW(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val qs = Seq(("q1", "w17 w42"), ("q2", "w999 w1234 w5000"),
+          ("q3", "w7777 zzz"))
+        noopW(CorpusOps.bm25TopK(synthD(10000L), "doc_id", "text", qs))
+        Caches.clear()
+        for (n <- sizes) {
+          val d = synthD(n)
+          val inline = minOf3(noopW(
+            CorpusOps.bm25TopK(d, "doc_id", "text", qs)))
+          val t0 = System.nanoTime()
+          graft.sources.Bm25Index.write(d, "doc_id", "text", "gbm25ab")
+          val build = (System.nanoTime() - t0) / 1e9
+          Caches.clear()
+          val indexed = minOf3(noopW(
+            graft.sources.Bm25Index.search(spark, "gbm25ab", qs)))
+          println(f"[probe] bm25-ab: n=$n inline_min3_sec=$inline%.2f " +
+            f"index_build_sec=$build%.2f indexed_min3_sec=$indexed%.2f " +
+            f"per_batch_speedup=${inline / indexed}%.1fx")
+        }
+
       case "zorder-ab" =>
         // the law behind Sinks.writeZOrdered: a fact table laid out by
         // ONE dimension prunes parquet files on that dimension only —

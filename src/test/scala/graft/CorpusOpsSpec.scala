@@ -683,6 +683,17 @@ class CorpusOpsSpec extends AnyFunSuite {
       "doc_id", "text", qs).collect().toSeq
     Caches.clear()
     assert(idx2 == inl2)
+    // the bucketing contract: both liveness folds group leading with
+    // their bucket key, so they plan with ZERO Exchanges — tombstone
+    // filtering never reshuffles the corpus side
+    val pFold = spark.table("t154_postings")
+      .groupBy("term", "doc_id", "tf").agg(sum($"w").as("net"))
+      .queryExecution.executedPlan.toString
+    assert(!pFold.contains("Exchange"), pFold)
+    val dFold = spark.table("t154_doclens")
+      .groupBy("doc_id", "dl").agg(sum($"w").as("net"))
+      .queryExecution.executedPlan.toString
+    assert(!dFold.contains("Exchange"), dFold)
   }
 
   test("dsirSelect: target-like raw doc outscores off-target by the " +
