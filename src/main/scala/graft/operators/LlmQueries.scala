@@ -523,7 +523,19 @@ object LlmQueries {
     // carry a different label
     "q145_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(Tables.embeddings(s, d), "vec_id",
-        "embedding", "label", col("vec_id") % 50 === 0, 5)))
+        "embedding", "label", col("vec_id") % 50 === 0, 5)),
+    // trained Lloyd k-means over the embedding corpus (k=4, 3 rounds —
+    // matched in the generated oracle's unrolled CTE chain)
+    "q155_kmeans" -> ((s, d) =>
+      Similarity.kmeansClusters(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label")),
+    // SemDeDup over the q155 clustering; τ = 3/10 sits inside the
+    // synthetic corpus's within-cluster cosine spread (max ~0.47) so
+    // both keep/drop outcomes appear in the gated output — a real
+    // embedding model runs this at ~0.9+ (the q127 calibration note)
+    "q156_semdedup" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label")))
 
   private val shingleBase =
     """base AS (
@@ -587,6 +599,56 @@ object LlmQueries {
       |  SELECT vec_id, label, q,
       |    CAST(list_sum([q[i]*q[i] for i in range(1, 65)]) AS BIGINT) AS norm2
       |  FROM base)""".stripMargin
+
+  /** q155/q156's shared unrolled Lloyd chain (the Graph/Bpe generated-
+    * oracle pattern), appended after [[embBase]]: c0 = Forgy seeds (the
+    * k smallest vec_ids), then per round r an assignment CTE a_r
+    * (squared-L2 argmin vs c_{r−1}, ties → min cluster — the engine's
+    * lexicographic `array_min`), per-(cluster, dim) integer sums s_r,
+    * floor-mean update u_r (remainder normalized non-negative first so
+    * `//` is exact — the q134 truncate-vs-floor lesson), and the
+    * carried-centroid frame c_r (empty clusters keep their previous
+    * centroid). Ends at `af`: the final assignment carrying (vec_id,
+    * label, q, norm2, cl, dist). Every CTE `AS MATERIALIZED`: each
+    * centroid level is referenced twice (assignment + carry), the q143
+    * dual-reference inlining hazard. Mirrors
+    * [[graft.Similarity.kmeansCentroids]] — edit together.
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    def assignFrom(cenCte: String, cols: String): String =
+      s"""  SELECT $cols, cl, dist FROM (
+         |    SELECT $cols, cl, dist, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+         |    FROM (SELECT ${cols.split(", ").map("n2." + _)
+                      .mkString(", ")}, c.cl,
+         |      CAST(list_sum([(n2.q[i] - c.cen[i]) * (n2.q[i] - c.cen[i])
+         |                     for i in range(1, 65)]) AS BIGINT) AS dist
+         |      FROM n2, $cenCte c)) WHERE rn = 1""".stripMargin
+    val head =
+      s"""c0 AS MATERIALIZED (
+         |  SELECT cl, cen FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+         |      q AS cen FROM n2) WHERE cl < $k)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |${assignFrom(s"c${r - 1}", "vec_id, q")}),
+         |s$r AS MATERIALIZED (
+         |  SELECT cl, d, CAST(sum(v) AS BIGINT) AS s, count(*) AS c
+         |  FROM (SELECT cl, unnest(q) AS v, unnest(range(1, 65)) AS d
+         |        FROM a$r)
+         |  GROUP BY 1, 2),
+         |u$r AS MATERIALIZED (
+         |  SELECT cl, list((s - ((s % c) + c) % c) // c ORDER BY d) AS cen
+         |  FROM s$r GROUP BY cl),
+         |c$r AS MATERIALIZED (
+         |  SELECT p.cl, coalesce(u.cen, p.cen) AS cen
+         |  FROM c${r - 1} p LEFT JOIN u$r u USING (cl))""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rounds,
+       |af AS MATERIALIZED (
+       |${assignFrom(s"c$iters", "vec_id, label, q, norm2")})""".stripMargin
+  }
 
   /** The standing-index lifecycle queries (q98/q99) produce bit-identical
     * answers to their snapshot-rebuild twins (q92/q97) by construction —
@@ -982,6 +1044,36 @@ object LlmQueries {
          |      ORDER BY cosine DESC, negative_id ASC) AS BIGINT) AS rank
          |  FROM scored) t WHERE rank <= 5
          |ORDER BY probe_id, rank""".stripMargin),
+    // trained Lloyd k-means: the unrolled round chain (Forgy seeds →
+    // assign → floor-mean update ×3) ending at the final assignment
+    "q155_kmeans" -> (
+      s"""WITH $embBase,
+         |${kmeansCtes(k = 4, iters = 3)}
+         |SELECT vec_id, label, cl AS cluster, dist FROM af
+         |ORDER BY vec_id""".stripMargin),
+    // SemDeDup over the same chain: within-cluster pairs, integer
+    // threshold test (τ=3/10 ⟺ 100·dot² ≥ 9·‖x‖²‖y‖², dot>0), the
+    // nearer-to-centroid member of each dup pair dropped (min
+    // dominating id reported) — mirrors Similarity.semDedup
+    "q156_semdedup" -> (
+      s"""WITH $embBase,
+         |${kmeansCtes(k = 4, iters = 3)},
+         |dups AS MATERIALIZED (
+         |  SELECT x.vec_id AS a, y.vec_id AS b, x.dist AS xd,
+         |    y.dist AS yd, x.norm2 AS xn, y.norm2 AS yn,
+         |    CAST(list_sum([x.q[i] * y.q[i] for i in range(1, 65)])
+         |      AS BIGINT) AS dot
+         |  FROM af x JOIN af y
+         |    ON x.cl = y.cl AND x.vec_id <> y.vec_id),
+         |dom AS MATERIALIZED (
+         |  SELECT a AS vec_id, min(b) AS dropped_by FROM dups
+         |  WHERE dot > 0 AND 100 * dot * dot >= 9 * xn * yn
+         |    AND (yd > xd OR (yd = xd AND b > a))
+         |  GROUP BY 1)
+         |SELECT af.vec_id, af.label, af.cl AS cluster, af.dist,
+         |  dom.dropped_by IS NULL AS keep, dom.dropped_by
+         |FROM af LEFT JOIN dom USING (vec_id)
+         |ORDER BY af.vec_id""".stripMargin),
     "q40_simhash" -> (
       s"""WITH w AS (
          |  SELECT doc_id,

@@ -624,6 +624,132 @@ object Similarity {
       .orderBy(blockCol)
   }
 
+  /** The squared-L2 distance of the quantized vector column `q` to a
+    * literal centroid, as exact int64: ‖x‖² − 2⟨x,c⟩ + ‖c‖² with the
+    * native dot kernel and the centroid norm folded at plan build. */
+  private def kmeansDist(cen: Array[Long]): Column =
+    col("norm2") - lit(2L) * dotQ(col("q"), typedLit(cen.toSeq)) +
+      lit(cen.map(x => x * x).sum)
+
+  /** Argmin over the centroid literals as a (dist, cl) struct —
+    * lexicographic `array_min` gives nearest-centroid with ties → min
+    * cluster, the PQ assignment idiom ([[pqReconstructed]]). */
+  private def kmeansAssign(cens: Array[Array[Long]]): Column =
+    array_min(array(cens.zipWithIndex.map { case (c, i) =>
+      struct(kmeansDist(c).as("dist"), lit(i).as("cl"))
+    }: _*))
+
+  /** TRAINED k-means (Lloyd) over the quantized embedding space — the
+    * learned coarse clustering the ANN/PQ family has so far stood in
+    * with per-label blocks ([[pqRecall]]'s "deterministic k-means
+    * stand-in"; this is the training loop itself). Fully deterministic
+    * and integer-exact, so the q155 oracle re-derives every round
+    * bit-for-bit: seeds are the quantized vectors of the `k` smallest
+    * ids (deterministic Forgy), assignment is integer squared-L2
+    * argmin (ties → min cluster), each update is a per-dimension
+    * integer floor-mean (`Math.floorDiv` — negative sums FLOOR, the
+    * q134 lesson), and a cluster that loses all members carries its
+    * previous centroid. Fixed `iters` rounds: the round count is the
+    * contract, as in [[graft.Graph.pageRank]].
+    *
+    * Scale shape per round — exactly Spark MLlib's KMeans loop: one
+    * row-local assignment pass over the persisted corpus against
+    * BROADCAST centroid literals (no join; k×dim longs travel in the
+    * plan), one partial-aggregated (cluster, dim) sum shuffle (∝
+    * k×dim rows per partition, never corpus-shaped), and a bounded
+    * k×dim driver collect (the Bpe top-V / SQ8-stats posture).
+    * Lineage depth is CONSTANT in rounds — every round's frame derives
+    * from the persisted base plus literals, so no per-round
+    * checkpoint is needed (contrast q143's dual-referenced rank
+    * frames).
+    */
+  private[graft] def kmeansCentroids(base: DataFrame, k: Int,
+                                     iters: Int): Array[Array[Long]] = {
+    var cens: Array[Array[Long]] = base.orderBy("vec_id").limit(k)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    require(cens.length == k, s"kmeans needs at least k=$k vectors")
+    for (_ <- 1 to iters) {
+      val sums = base
+        .select(kmeansAssign(cens).getField("cl").as("cl"),
+          posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy("cl", "d")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val next = cens.clone()
+      sums.groupBy(_.getInt(0)).foreach { case (cl, rows) =>
+        next(cl) = rows.sortBy(_.getInt(1))
+          .map(r => Math.floorDiv(r.getLong(2), r.getLong(3)))
+      }
+      cens = next
+    }
+    cens
+  }
+
+  /** [[kmeansCentroids]] trained and applied: per-vector final cluster
+    * and exact integer distance — the q155 gate. */
+  def kmeansClusters(df: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String, k: Int = 4,
+                     iters: Int = 3): DataFrame = {
+    val base = Caches.persistTracked(
+      prepared(df, idCol, vecCol, Seq(labelCol)))
+    val cens = kmeansCentroids(base, k, iters)
+    base.select(col("vec_id"), col(labelCol),
+        kmeansAssign(cens).as("a"))
+      .select(col("vec_id"), col(labelCol),
+        col("a.cl").cast("long").as("cluster"), col("a.dist").as("dist"))
+      .orderBy("vec_id")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+    * deduplication scoped by the trained clustering: k-means bounds the
+    * candidate space (pairs form only within a cluster — the paper's
+    * whole point: the corpus-wide quadratic never exists), pairs above
+    * the cosine threshold are semantic duplicates, and of each dup
+    * pair the member CLOSER to its centroid is dropped — the paper's
+    * keep-low-centroid-similarity policy (survivors are the cluster's
+    * diverse rim, not its redundant core), made deterministic with an
+    * id tiebreak. The dominance rule is a static total order on
+    * (dist, vec_id), so the verdict is order-independent and
+    * parallelism-invariant.
+    *
+    * The threshold test is exact integer arithmetic: cos ≥ τ (τ =
+    * tauNum/tauDen, dot > 0) ⟺ tauDen²·dot² ≥ tauNum²·‖x‖²‖y‖² — no
+    * float compare anywhere, so the q156 oracle reproduces the verdict
+    * bit-for-bit. Scale shape: one equi-join on the cluster key (AQE
+    * skew posture; cluster count grows with the corpus at fixed target
+    * cluster size, bounding per-cluster pair counts exactly as the
+    * paper runs it), then a per-doc min aggregate; no all-pairs stage.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               labelCol: String, k: Int = 4, iters: Int = 3,
+               tauNum: Long = 3, tauDen: Long = 10): DataFrame = {
+    val base = Caches.persistTracked(
+      prepared(df, idCol, vecCol, Seq(labelCol)))
+    val cens = kmeansCentroids(base, k, iters)
+    val assigned = Caches.persistTracked(
+      base.select(col("vec_id"), col(labelCol), col("q"), col("norm2"),
+          kmeansAssign(cens).as("a"))
+        .select(col("vec_id"), col(labelCol), col("q"), col("norm2"),
+          col("a.cl").cast("long").as("cluster"),
+          col("a.dist").as("dist")))
+    val dot = dotQ(col("x.q"), col("y.q"))
+    val dom = assigned.as("x").join(assigned.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .filter(dot > 0 &&
+        lit(tauDen * tauDen) * dot * dot >=
+          lit(tauNum * tauNum) * col("x.norm2") * col("y.norm2"))
+      .filter(col("y.dist") > col("x.dist") ||
+        (col("y.dist") === col("x.dist") &&
+          col("y.vec_id") > col("x.vec_id")))
+      .groupBy(col("x.vec_id").as("vec_id"))
+      .agg(min(col("y.vec_id")).as("dropped_by"))
+    assigned.join(dom, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col(labelCol), col("cluster"), col("dist"),
+        col("dropped_by").isNull.as("keep"), col("dropped_by"))
+      .orderBy("vec_id")
+  }
+
   /** Coarse IVF centroids: per-block integer sum vectors (cosine against
     * a sum vector ≡ cosine against the mean — scale invariant, and exact
     * in int arithmetic). Output is the broadcast-sized index table

@@ -1032,4 +1032,59 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(4L)._1.isEmpty && out(4L)._2 == 0L) // undecodable: null row
     Caches.clear()
   }
+
+  test("kmeansClusters: Lloyd rounds converge on separated groups; an " +
+    "empty cluster carries its centroid; ties break to min cluster") {
+    import spark.implicits._
+    // two tight pairs far apart; seeds (the 2 smallest ids) both start
+    // inside group A, and the update rounds still pull cluster 1 onto
+    // group B — the recovery Lloyd is for
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.002f, 0.0f), 0),
+      (3L, Array(10.0f, 10.0f), 1), (4L, Array(10.002f, 10.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeansClusters(df, "vec_id", "embedding",
+        "label", k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._1 == 0L && out(2L)._1 == 0L)
+    assert(out(3L)._1 == 1L && out(4L)._1 == 1L)
+    // final centroids are the integer group means (1,0)/(10001,10000):
+    // every member sits at squared distance exactly 1
+    assert(out.values.forall(_._2 == 1L), s"dists: $out")
+    Caches.clear()
+    // duplicate seeds: ids 1 and 2 are identical, so clusters 0 and 1
+    // seed on the same point; every tie assigns to min cluster, cluster
+    // 1 goes empty and must carry its centroid (no crash, no NaN mean)
+    val dup = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.0f, 0.0f), 0),
+      (3L, Array(10.0f, 10.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val clusters = Similarity.kmeansClusters(dup, "vec_id", "embedding",
+        "label", k = 3, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(clusters == Map(1L -> 0L, 2L -> 0L, 3L -> 2L), s"$clusters")
+    Caches.clear()
+  }
+
+  test("semDedup: within a cluster the dup-pair member nearer the " +
+    "centroid is dropped; orthogonal members survive") {
+    import spark.implicits._
+    // seeds span the groups (ids 1/2); ids 1 and 3 are colinear
+    // (cosine 1.0 ≥ τ) and share a cluster — id 3 ends nearer the
+    // centroid, so the paper's keep-the-rim policy drops it
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.9f, 0.0f), 0), (4L, Array(0.0f, -1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedup(df, "vec_id", "embedding", "label",
+        k = 2, iters = 1).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .toMap
+    assert(out(1L) == (true, None))
+    assert(out(3L) == (false, Some(1L)), s"$out")
+    // orthogonal co-members (cosine 0 < τ) never pair
+    assert(out(2L)._1 && out(4L)._1, s"$out")
+    Caches.clear()
+  }
 }
