@@ -120,9 +120,10 @@ object Bench {
       "q149_mix_pack", "q150_bm25_topk", "q151_canonical_docs",
       "q153_snapshot_diff", "q154_bm25_indexed",
       // round-14 fifth tranche: trained Lloyd k-means (bounded
-      // centroid collects per round) and SemDeDup over its clusters
-      // (the within-cluster pair join)
-      "q155_kmeans", "q156_semdedup",
+      // centroid collects per round), SemDeDup over its clusters
+      // (the within-cluster pair join), and the positional-index
+      // lifecycle (build + takedown + compaction + phrase joins)
+      "q155_kmeans", "q156_semdedup", "q157_phrase_search",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

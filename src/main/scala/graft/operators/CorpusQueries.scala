@@ -546,7 +546,33 @@ object CorpusQueries {
       graft.sources.Bm25Index.search(s, "g154",
         Seq(("q1", "join hash"), ("q2", "customer order line"),
           ("q3", "vector scan zzz")))
+    }),
+    // the positional-index lifecycle end-to-end: bootstrap + append =
+    // the full corpus, then a planted batch is appended AND taken down
+    // (offset ids — the id-unique contract), then the whole index
+    // COMPACTS, then exact-phrase search runs — so the oracle is the
+    // inline positional SQL over the never-planted corpus, and the
+    // registered path exercises delete + compaction + phrase join in
+    // one gate. p3 is a repeated-token phrase (same folded frame
+    // probed at two offsets); p4 never matches (inner chain empties)
+    "q157_phrase_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      graft.sources.Bm25Index.write(docs.filter(col("doc_id") % 5 <= 2),
+        "doc_id", "text", "g157")
+      graft.sources.Bm25Index.append(docs.filter(col("doc_id") % 5 >= 3),
+        "doc_id", "text", "g157")
+      graft.sources.Bm25Index.append(planted, "doc_id", "text", "g157")
+      graft.sources.Bm25Index.delete(planted, "doc_id", "text", "g157")
+      graft.sources.Bm25Index.compact(s, "g157")
+      graft.sources.Bm25Index.phraseSearch(s, "g157", phraseQueries)
     }))
+
+  /** q157's phrase batch — shared verbatim with the oracle generator. */
+  private val phraseQueries = Seq(
+    ("p1", "table hash"), ("p2", "big order scan"), ("p3", "a a"),
+    ("p4", "table hash zzz"))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -1583,7 +1609,44 @@ object CorpusQueries {
     // twin (q154: bootstrap + append = the full corpus) is bit-equal
     // and SHARES this SQL — the q98/q92 pattern.
     "q150_bm25_topk" -> bm25OracleSql,
-    "q154_bm25_indexed" -> bm25OracleSql)
+    "q154_bm25_indexed" -> bm25OracleSql,
+    "q157_phrase_search" -> phraseOracleSql)
+
+  /** Generated inline positional-phrase oracle over the full corpus
+    * (the planted batch in q157 is inserted AND deleted, so the index
+    * must answer as never-planted): zipped-unnest positions (the q142
+    * idiom, 0-based like the engine's posexplode), one CTE per phrase
+    * chaining t₀'s positions through (doc_id, pos + j) equi-joins —
+    * mirrors [[graft.sources.Bm25Index.phraseSearch]], edit together.
+    */
+  private lazy val phraseOracleSql: String = {
+    val per = phraseQueries.zipWithIndex.map { case ((qid, ptext), i) =>
+      val ts = ptext.trim.split("\\s+")
+      val joins = ts.indices.drop(1).map { j =>
+        s"  JOIN tp t$j ON t$j.doc_id = t0.doc_id AND " +
+          s"t$j.pos = t0.pos + $j AND t$j.term = '${ts(j)}'"
+      }.mkString("\n")
+      s"""m$i AS (
+         |  SELECT '$qid' AS query_id, t0.doc_id,
+         |    count(*) AS n_hits, CAST(min(t0.pos) AS BIGINT) AS first_pos
+         |  FROM tp t0
+         |$joins
+         |  WHERE t0.term = '${ts(0)}'
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val union = per.indices.map(i => s"SELECT * FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |tp AS (
+       |  SELECT doc_id, unnest(w) AS term,
+       |    unnest([i for i in range(0, len(w))]) AS pos
+       |  FROM tok),
+       |${per.mkString(",\n")}
+       |$union
+       |ORDER BY query_id, doc_id""".stripMargin
+  }
 
   // lazy: referenced from the oracle map's initializer above
   private lazy val bm25OracleSql: String =

@@ -41,22 +41,30 @@ object Bm25Index {
   private def postings(p: String) = s"${p}_postings"
   private def doclens(p: String) = s"${p}_doclens"
   private def stats(p: String) = s"${p}_stats"
+  private def positions(p: String) = s"${p}_positions"
 
-  /** One tokenization per ingest feeds all three tables; a takedown
-    * (w = -1) re-derives rows that match its insert bit-for-bit.
+  /** One tokenization per ingest feeds all four tables; a takedown
+    * (w = -1) re-derives rows that match its insert bit-for-bit. The
+    * POSITIONAL postings (term, doc_id, pos) are the classic IR
+    * positional index — ~dl rows per doc (vs distinct-term rows for
+    * the tf postings), bucketed by term like the tf table so
+    * [[phraseSearch]]'s per-term probes read pre-partitioned.
     */
   private def writeAll(docs: DataFrame, idCol: String, textCol: String,
                        prefix: String, w: Int, mode: String): Unit = {
     val spark = docs.sparkSession
     val toks = Caches.persistTracked(docs.select(
       col(idCol).as("doc_id"),
-      explode(TextOps.words(col(textCol))).as("term")))
+      posexplode(TextOps.words(col(textCol))).as(Seq("pos", "term"))))
     val post = toks.groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf")).withColumn("w", lit(w))
     val dls = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .withColumn("w", lit(w))
     Sinks.writeBucketed(post, postings(prefix), Seq("term"), Buckets, mode)
     Sinks.writeBucketed(dls, doclens(prefix), Seq("doc_id"), Buckets, mode)
+    Sinks.writeBucketed(toks.select("term", "doc_id", "pos")
+      .withColumn("w", lit(w)),
+      positions(prefix), Seq("term"), Buckets, mode)
     val st = dls.agg((count(lit(1)) * w).as("n"),
       (coalesce(sum(col("dl")), lit(0L)) * w).as("tt"))
     if (mode == "overwrite") {
@@ -132,5 +140,76 @@ object Bm25Index {
     CorpusOps.bm25Rank(tf, dfr,
       live(spark, doclens(prefix), Seq("doc_id", "dl")),
       n, avgdlMilli, k, k1Milli, bMilli)
+  }
+
+  /** EXACT-PHRASE search over the positional postings — the retrieval
+    * feature tf postings cannot answer ("big order scan" as consecutive
+    * tokens, not a bag). Per phrase t₀…tₘ₋₁: the t₀ position list is
+    * the anchor, and each later term joins on (doc_id, pos − j = anchor
+    * pos) — m−1 equi-joins whose inputs are only the QUERY TERMS'
+    * postings, never the corpus (the [[search]] lesson applied: the
+    * driver-side term list pushes into the positions scan as a static
+    * In(term, …) predicate, so parquet row-group pruning over the
+    * term-sorted buckets skips the rest of the vocabulary before the
+    * liveness fold — which commutes with the restriction because its
+    * grouping includes `term`). A phrase with a repeated token probes
+    * the same folded frame at two offsets — correct because position
+    * sets are per-term exact.
+    *
+    * Output per (query_id, matching doc): occurrence count + first
+    * match position. Phrases are a bounded driver-side list (the query
+    * batch contract, as in [[search]]).
+    */
+  def phraseSearch(spark: SparkSession, prefix: String,
+                   phrases: Seq[(String, String)]): DataFrame = {
+    val allTerms = phrases.flatMap(_._2.trim.split("\\s+")).distinct
+    val matched = Caches.persistTracked(
+      spark.table(positions(prefix))
+        .filter(col("term").isin(allTerms: _*))
+        .groupBy("term", "doc_id", "pos")
+        .agg(sum(col("w")).as("net")).filter(col("net") > 0)
+        .select("term", "doc_id", "pos"))
+    val perPhrase = phrases.map { case (qid, ptext) =>
+      val ts = ptext.trim.split("\\s+")
+      val anchor = matched.filter(col("term") === ts(0))
+        .select(col("doc_id"), col("pos"))
+      ts.indices.drop(1).foldLeft(anchor) { (cur, j) =>
+        cur.join(matched.filter(col("term") === ts(j))
+            .select(col("doc_id"), (col("pos") - j).as("pos")),
+          Seq("doc_id", "pos"))
+      }.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          min(col("pos")).cast("long").as("first_pos"))
+        .select(lit(qid).as("query_id"), col("doc_id"), col("n_hits"),
+          col("first_pos"))
+    }
+    perPhrase.reduce(_.unionByName(_)).orderBy("query_id", "doc_id")
+  }
+
+  /** Compact the index's bucketed tables to one file per bucket and
+    * net the stats log to a single row — [[Sinks.compactBucketed]]
+    * plus the stats-specific rewrite (that table is a plain append log
+    * of signed scalars, not bucketed).
+    */
+  def compact(spark: SparkSession, prefix: String): Unit = {
+    Sinks.compactBucketed(spark, postings(prefix), Seq("term"), Buckets)
+    Sinks.compactBucketed(spark, doclens(prefix), Seq("doc_id"), Buckets)
+    Sinks.compactBucketed(spark, positions(prefix), Seq("term"), Buckets)
+    val st = spark.table(stats(prefix))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("tt")), lit(0L)).as("tt"))
+      .coalesce(1)
+    val tmp = stats(prefix) + "_compacting"
+    def purge(table: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, table)
+      loc.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(loc, true)
+    }
+    purge(tmp) // a stale location from a previous session blocks CREATE
+    st.write.mode("overwrite").saveAsTable(tmp)
+    purge(stats(prefix))
+    spark.sql(s"ALTER TABLE $tmp RENAME TO ${stats(prefix)}")
   }
 }

@@ -121,48 +121,14 @@ object DedupIndex {
              prefix: String): Unit =
     writeAll(docs, idCol, textCol, prefix, w = -1, mode = "append")
 
-  /** Net a log-structured table and rewrite it as ONE file per bucket,
-    * preserving the bucket spec — the offline compaction a log-append
-    * table needs on two axes at once: file count (one file per bucket
-    * per batch otherwise grows forever — the small-file explosion) and
-    * physical removal of tombstone-cancelled rows (deleted content
-    * leaves disk, not just the fold). The net aggregate groups on every
-    * data column — bucket key leading, so it runs IN-BUCKET over the
-    * bucketed read — and keeps any row with a nonzero net weight, which
-    * makes compaction semantics-free by construction: every screen
-    * folds `sum(w)` either way, so pre- and post-compaction answers are
-    * bit-equal even for histories this deployment never produces
-    * (double inserts, delete-before-insert).
-    *
-    * The rewrite goes through a temp table + catalog rename (read and
-    * write can't share a location): the explicit
-    * `repartition(Buckets, bucketKey)` pins partition-to-bucket
-    * alignment — repartition's hash IS the bucket hash — so each write
-    * task holds exactly one bucket and emits exactly one file.
-    */
-  private def compactTable(spark: SparkSession, table: String,
-                           bucketCols: Seq[String]): Unit = {
-    val df = spark.table(table)
-    val dataCols = df.columns.filterNot(_ == "w").toSeq
-    val net = df.groupBy(dataCols.map(col): _*)
-      .agg(sum(col("w")).cast("int").as("w"))
-      .filter(col("w") =!= 0)
-      .select(df.columns.toSeq.map(col): _*)
-      .repartition(Buckets, bucketCols.map(col): _*)
-    val tmp = table + "_compacting"
-    save(net, tmp, "overwrite", bucketCols)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath, table)
-    loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-  }
-
-  /** Compact all three of an index's tables — see [[compactTable]]. */
+  /** Compact all three of an index's tables to one file per bucket,
+    * physically dropping tombstone-cancelled rows — the shared
+    * log-structured compaction, [[Sinks.compactBucketed]]. */
   def compact(spark: SparkSession, prefix: String): Unit = {
-    compactTable(spark, bands(prefix), Seq("band", "key"))
-    compactTable(spark, shsets(prefix), Seq("doc_id"))
-    compactTable(spark, hashes(prefix), Seq("content_hash"))
+    Sinks.compactBucketed(spark, bands(prefix), Seq("band", "key"), Buckets)
+    Sinks.compactBucketed(spark, shsets(prefix), Seq("doc_id"), Buckets)
+    Sinks.compactBucketed(spark, hashes(prefix), Seq("content_hash"),
+      Buckets)
   }
 
   /** Live (tombstone-folded) view of a log-structured table: group on

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sink shapes (SURVEY §2.1): the reference's write paths as DataFrame
@@ -92,6 +92,46 @@ object Sinks {
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+  }
+
+  /** Net a log-structured bucketed table (data columns + a signed
+    * weight column `w`) and rewrite it as ONE file per bucket,
+    * preserving the bucket spec — the shared offline compaction of the
+    * standing-index family ([[DedupIndex.compact]], [[Bm25Index
+    * .compact]]): bounds the one-file-per-bucket-per-batch growth AND
+    * physically removes tombstone-cancelled rows (the takedown/GDPR
+    * guarantee that deleted content leaves disk, not just the folds).
+    * The net aggregate groups on every data column — bucket key
+    * leading, so it runs IN-BUCKET over the bucketed read — and keeps
+    * rows with nonzero net weight, which makes compaction semantics-
+    * free by construction: every screen folds `sum(w)` either way, so
+    * pre- and post-compaction answers are bit-equal even for histories
+    * the deployments never produce (double inserts,
+    * delete-before-insert).
+    *
+    * The rewrite goes through a temp table + catalog rename (read and
+    * write can't share a location): the explicit
+    * `repartition(numBuckets, bucketKey)` pins partition-to-bucket
+    * alignment — repartition's hash IS the bucket hash — so each write
+    * task holds exactly one bucket and emits exactly one file.
+    */
+  def compactBucketed(spark: SparkSession, table: String,
+                      bucketCols: Seq[String],
+                      numBuckets: Int = 32): Unit = {
+    val df = spark.table(table)
+    val dataCols = df.columns.filterNot(_ == "w").toSeq
+    val net = df.groupBy(dataCols.map(col): _*)
+      .agg(sum(col("w")).cast("int").as("w"))
+      .filter(col("w") =!= 0)
+      .select(df.columns.toSeq.map(col): _*)
+      .repartition(numBuckets, bucketCols.map(col): _*)
+    val tmp = table + "_compacting"
+    writeBucketed(net, tmp, bucketCols, numBuckets, "overwrite")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table)
+    loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
   /** Morton (Z-order) value: interleave the low `bits` of two

@@ -696,6 +696,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!dFold.contains("Exchange"), dFold)
   }
 
+  test("Bm25Index.phraseSearch: consecutive-position semantics, " +
+    "repeated-token overlap, takedown + compaction equivalence") {
+    val docs = Seq(
+      (1L, "a b c a b"),   // 'a b' twice, 'a b c' once
+      (2L, "b a"),         // reversed order: no 'a b'
+      (3L, "a a a"),       // 'a a' overlaps: two matches
+      (4L, "c c a b x"))   // 'a b' once at pos 2
+      .toDF("doc_id", "text")
+    val ph = Seq(("p1", "a b"), ("p2", "a b c"), ("p3", "a a"),
+      ("p4", "b x zzz"))
+    graft.sources.Bm25Index.write(docs.filter($"doc_id" <= 2),
+      "doc_id", "text", "t157")
+    graft.sources.Bm25Index.append(docs.filter($"doc_id" > 2),
+      "doc_id", "text", "t157")
+    def run() = graft.sources.Bm25Index.phraseSearch(spark, "t157", ph)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val out = run()
+    Caches.clear()
+    assert(out == Map(
+      ("p1", 1L) -> (2L, 0L), ("p1", 4L) -> (1L, 2L),
+      ("p2", 1L) -> (1L, 0L),
+      ("p3", 3L) -> (2L, 0L)), s"$out")
+    // takedown + compaction: screen answers must be bit-equal before
+    // and after, and each bucketed table nets to one file per bucket
+    graft.sources.Bm25Index.delete(docs.filter($"doc_id" === 4L),
+      "doc_id", "text", "t157")
+    val afterDelete = run()
+    Caches.clear()
+    assert(!afterDelete.contains(("p1", 4L)), s"$afterDelete")
+    graft.sources.Bm25Index.compact(spark, "t157")
+    val afterCompact = run()
+    Caches.clear()
+    assert(afterCompact == afterDelete, "compaction changed answers")
+    for (t <- Seq("t157_postings", "t157_doclens", "t157_positions")) {
+      val files = spark.table(t).inputFiles
+      assert(files.length <= graft.sources.Bm25Index.Buckets,
+        s"$t has ${files.length} files after compaction")
+      // tombstone-cancelled rows physically gone: no w = -1 survives
+      // and doc 4's rows left disk
+      assert(spark.table(t).filter($"w" < 0).isEmpty, s"$t keeps tombstones")
+    }
+    assert(spark.table("t157_positions").filter($"doc_id" === 4L).isEmpty)
+    // the stats log nets to a single live row
+    val st = spark.table("t157_stats").collect()
+    assert(st.length == 1 && st.head.getLong(0) == 3L, st.mkString(","))
+  }
+
   test("dsirSelect: target-like raw doc outscores off-target by the " +
     "exact integer ratios; targets never selected; k bounds output") {
     val df = Seq(

@@ -54,6 +54,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q129_neardup_deleted" -> "DedupIndexSpec (delete/compact lifecycle; post-compaction plan pinned there)",
     "q130_exact_deleted" -> "DedupIndexSpec (delete/compact lifecycle)",
     "q154_bm25_indexed" -> "CorpusOpsSpec (bucketed retrieval-index build; indexed==inline + delete leg pinned there)",
+    "q157_phrase_search" -> "CorpusOpsSpec (positional-index build + compaction; phrase joins + delete/compact equivalence pinned there)",
     "q69_dup_clusters" -> "ComponentsSpec (iterative pointer-jumping checkpoints)",
     "q151_canonical_docs" -> "ComponentsSpec (q69's component loop) + LlmOpsSpec (selection policy)",
     "q53_region_ml" -> "StreamingAndMlSpec (model fit executes on construction)",
