@@ -124,6 +124,7 @@ object Bench {
       // (the within-cluster pair join), and the positional-index
       // lifecycle (build + takedown + compaction + phrase joins)
       "q155_kmeans", "q156_semdedup", "q157_phrase_search",
+      "q158_systematic_sample",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

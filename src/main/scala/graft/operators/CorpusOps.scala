@@ -1028,4 +1028,61 @@ object CorpusOps {
           .as("clean_hash"))
       .orderBy("doc_id")
   }
+
+  /** WEIGHTED SYSTEMATIC SAMPLING by token mass — the deterministic
+    * corpus subsampler: order the corpus on the md5 schedule key (the
+    * q147 shuffle convention), lay the docs out as a token stream, and
+    * pick the doc under every stride-`s` boundary (s = ⌊W/m⌋ for a
+    * target of `m` picks). Each doc's pick count is the number of
+    * boundaries inside its token span — selection probability exactly
+    * proportional to length, the size-proportional draw a mixture/
+    * curriculum builder wants, with none of a random sampler's
+    * nondeterminism: the whole draw is integer arithmetic over a
+    * prefix sum, so it is reproducible at any parallelism and has a
+    * bit-exact oracle (q158). Docs spanning multiple boundaries get
+    * multi-counted (n_picked ≥ 2) — the with-replacement convention
+    * weighted samplers share; the final W mod m token tail carries no
+    * boundary (j ≤ m−1), so ceil terms clamp at m and total picks are
+    * EXACTLY m (CorpusOpsSpec pins the identity).
+    *
+    * Scale shape: one pass for the global token total (a bounded
+    * driver scalar, the pageRank-n posture), the q93/q147 TWO-LEVEL
+    * prefix sum (hex-shard-local window sums + a broadcast carry over
+    * the 256 per-shard aggregates — no corpus-wide single-partition
+    * window), then row-local arithmetic. Stride boundaries stay in
+    * int64: every product here is ≤ W + s, never W·m (the ceil is
+    * computed against the stride, not cross-multiplied — at 100 TB,
+    * W·m would need 128-bit).
+    */
+  def systematicSample(df: DataFrame, idCol: String, textCol: String,
+                       m: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Caches.persistTracked(df.select(
+        col(idCol).as("doc_id"),
+        size(TextOps.words(col(textCol))).cast("long").as("toks"))
+      .withColumn("sk", md5(col("doc_id").cast("string")))
+      .withColumn("shard", substring(col("sk"), 1, 2)))
+    val total = base.agg(coalesce(sum(col("toks")), lit(0L)))
+      .head().getLong(0)
+    require(m > 0 && total >= m,
+      s"systematicSample needs total tokens ($total) >= m ($m) > 0")
+    val s = total / m
+    val wLocal = Window.partitionBy("shard").orderBy("sk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("p_local",
+      coalesce(sum(col("toks")).over(wLocal), lit(0L)))
+    // carry: one window over the 256 per-shard aggregates — bounded
+    val carry = base.groupBy("shard").agg(sum(col("toks")).as("st"))
+      .withColumn("carry",
+        coalesce(sum(col("st")).over(Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "carry")
+    local.join(broadcast(carry), Seq("shard"))
+      .withColumn("prefix", col("p_local") + col("carry"))
+      .withColumn("n_picked",
+        least(lit(m), expr(s"(prefix + toks + ${s - 1}) div $s")) -
+          least(lit(m), expr(s"(prefix + ${s - 1}) div $s")))
+      .select("doc_id", "toks", "prefix", "n_picked")
+      .orderBy("doc_id")
+  }
 }

@@ -567,7 +567,11 @@ object CorpusQueries {
       graft.sources.Bm25Index.delete(planted, "doc_id", "text", "g157")
       graft.sources.Bm25Index.compact(s, "g157")
       graft.sources.Bm25Index.phraseSearch(s, "g157", phraseQueries)
-    }))
+    }),
+    // deterministic token-mass systematic sampler, m = 100 picks
+    "q158_systematic_sample" -> ((s, d) =>
+      CorpusOps.systematicSample(Tables.documents(s, d), "doc_id",
+        "text", m = 100)))
 
   /** q157's phrase batch — shared verbatim with the oracle generator. */
   private val phraseQueries = Seq(
@@ -1610,7 +1614,29 @@ object CorpusQueries {
     // and SHARES this SQL — the q98/q92 pattern.
     "q150_bm25_topk" -> bm25OracleSql,
     "q154_bm25_indexed" -> bm25OracleSql,
-    "q157_phrase_search" -> phraseOracleSql)
+    "q157_phrase_search" -> phraseOracleSql,
+    // systematic sampler: single-window prefix in the oracle (the
+    // engine's two-level shard split composes to the same order
+    // because hex-prefix order IS md5-string order — the q147
+    // argument); stride/ceil arithmetic mirrored term for term
+    "q158_systematic_sample" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents),
+        |st AS (SELECT CAST(sum(toks) AS BIGINT) // 100 AS s FROM tok),
+        |pre AS (
+        |  SELECT doc_id, toks,
+        |    coalesce(CAST(sum(toks) OVER (ORDER BY sk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS prefix
+        |  FROM tok)
+        |SELECT doc_id, toks, prefix,
+        |  least(100, (prefix + toks + s - 1) // s)
+        |    - least(100, (prefix + s - 1) // s) AS n_picked
+        |FROM pre, st ORDER BY doc_id""".stripMargin)
 
   /** Generated inline positional-phrase oracle over the full corpus
     * (the planted batch in q157 is inserted AND deleted, so the index

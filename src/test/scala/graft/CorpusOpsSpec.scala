@@ -744,6 +744,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(st.length == 1 && st.head.getLong(0) == 3L, st.mkString(","))
   }
 
+  test("systematicSample: exactly m picks, length-proportional " +
+    "multi-pick, parallelism invariance") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, Seq.fill(50)("t").mkString(" ")), (3L, "x y"),
+      (4L, "p q r s"), (5L, "m n"))
+      .toDF("doc_id", "text")
+    // W = 61, m = 5 → stride 12; every draw places exactly m boundaries
+    val out = CorpusOps.systematicSample(docs, "doc_id", "text", 5)
+      .collect()
+    Caches.clear()
+    assert(out.map(_.getLong(3)).sum == 5L, out.mkString(","))
+    // the 50-token doc spans ≥ 4 stride-12 boundaries wherever the
+    // schedule key lands it — proportional-to-length multi-pick
+    val byId = out.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId(2L) >= 4L, s"$byId")
+    // md5-scheduled integer arithmetic: bit-stable under repartition
+    val out2 = CorpusOps.systematicSample(docs.repartition(7), "doc_id",
+      "text", 5).collect()
+    Caches.clear()
+    assert(out.toSeq == out2.toSeq)
+  }
+
   test("dsirSelect: target-like raw doc outscores off-target by the " +
     "exact integer ratios; targets never selected; k bounds output") {
     val df = Seq(
