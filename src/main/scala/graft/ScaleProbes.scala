@@ -791,6 +791,63 @@ object ScaleProbes {
             f"mixpack_budget1m_min3_sec=$mp%.2f")
         }
 
+      case "r14d-scale" =>
+        // growth-law receipt for the round-14 fifth tranche over
+        // synthetic 64-dim integer-noise embeddings (within-corpus
+        // cosines ~N(0, 1/64), so τ=0.3 admits a thin pair tail —
+        // realistic selectivity, the bm25-ab lesson):
+        //  - kmeansClusters at doubling n, fixed k=8 (the operator's
+        //    contract is COARSE clustering — cost should be linear:
+        //    per round one scan + one k×dim-bounded shuffle);
+        //  - semDedup at fixed n across k=4/16/64 — the 1/k law on
+        //    the within-cluster pair join (the paper's mitigation:
+        //    cluster count grows with the corpus; beyond the literal-
+        //    argmin's O(100)-centroid codegen bound the assignment
+        //    becomes the IVF centroid-table broadcast join, pair
+        //    stage unchanged);
+        //  - systematicSample at doubling n (linear: one scalar agg +
+        //    two-level prefix + row-local arithmetic).
+        val sizes = args.drop(1).map(_.toLong) match {
+          case a if a.nonEmpty => a.toSeq
+          case _ => Seq(50000L, 100000L, 200000L)
+        }
+        def synthE(n: Long) = spark.range(n)
+          .select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)),
+              d => ((pmod(col("id") * 31 + d * 7, lit(201)) - 100)
+                .cast("double") / 100.0).cast("float")).as("embedding"),
+            (col("id") % 10).cast("int").as("label"))
+        def synthD(n: Long) = spark.range(n)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", (0 until 30).map { i =>
+              element_at(
+                array(Seq("alpha", "beta", "gamma", "delta", "eps",
+                  "zeta", "eta", "theta").map(lit): _*),
+                (pmod(col("id") * 31 + i * 7, lit(8)) + 1).cast("int"))
+            }: _*).as("text"))
+        def noopW(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        noopW(Similarity.kmeansClusters(synthE(5000L), "vec_id",
+          "embedding", "label", k = 8)); Caches.clear()
+        noopW(CorpusOps.systematicSample(synthD(5000L), "doc_id",
+          "text", 100)); Caches.clear()
+        for (n <- sizes) {
+          val e = synthE(n)
+          val km = minOf3(noopW(Similarity.kmeansClusters(e, "vec_id",
+            "embedding", "label", k = 8)))
+          val ss = minOf3(noopW(CorpusOps.systematicSample(synthD(n),
+            "doc_id", "text", 1000)))
+          println(f"[probe] r14d-scale: n=$n kmeans8_min3_sec=$km%.2f " +
+            f"systematic_sample_min3_sec=$ss%.2f")
+        }
+        val semN = 20000L
+        for (k <- Seq(4, 16, 64)) {
+          val sd = minOf3(noopW(Similarity.semDedup(synthE(semN),
+            "vec_id", "embedding", "label", k = k, iters = 2)))
+          println(f"[probe] r14d-scale: semdedup n=$semN k=$k " +
+            f"min3_sec=$sd%.2f")
+        }
+
       case "bm25-ab" =>
         // the law behind sources/Bm25Index: the inline ranker pays the
         // corpus text scan + tokenize + aggregate on EVERY query
