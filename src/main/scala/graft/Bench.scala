@@ -125,6 +125,11 @@ object Bench {
       // lifecycle (build + takedown + compaction + phrase joins)
       "q155_kmeans", "q156_semdedup", "q157_phrase_search",
       "q158_systematic_sample",
+      // round-14 sixth tranche: diff-driven BM25 index refresh
+      // (bootstrap + delta ingest + search) and the standing ANN
+      // index lifecycle (mergeable-centroid build + takedown +
+      // compaction + routed search)
+      "q159_index_refresh", "q160_vector_index",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

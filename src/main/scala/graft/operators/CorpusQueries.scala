@@ -531,8 +531,7 @@ object CorpusQueries {
     // never-matching term ('zzz') pinning the inner-join semantics
     "q150_bm25_topk" -> ((s, d) =>
       CorpusOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
-        Seq(("q1", "join hash"), ("q2", "customer order line"),
-          ("q3", "vector scan zzz")))),
+        bm25Queries)),
     // the standing-retrieval-index lifecycle (the q98/q99 pattern for
     // BM25): bootstrap 60% + append 40% = the full corpus, so the
     // indexed search is bit-equal to q150's inline ranker and SHARES
@@ -543,9 +542,7 @@ object CorpusQueries {
         "doc_id", "text", "g154")
       graft.sources.Bm25Index.append(docs.filter(col("doc_id") % 5 >= 3),
         "doc_id", "text", "g154")
-      graft.sources.Bm25Index.search(s, "g154",
-        Seq(("q1", "join hash"), ("q2", "customer order line"),
-          ("q3", "vector scan zzz")))
+      graft.sources.Bm25Index.search(s, "g154", bm25Queries)
     }),
     // the positional-index lifecycle end-to-end: bootstrap + append =
     // the full corpus, then a planted batch is appended AND taken down
@@ -571,12 +568,42 @@ object CorpusQueries {
     // deterministic token-mass systematic sampler, m = 100 picks
     "q158_systematic_sample" -> ((s, d) =>
       CorpusOps.systematicSample(Tables.documents(s, d), "doc_id",
-        "text", m = 100)))
+        "text", m = 100)),
+    // INCREMENTAL index refresh driven by the snapshot-diff manifest
+    // (q153's generation planting shared verbatim): bootstrap the
+    // standing BM25 index on generation 1, diff gen1→gen2, take down
+    // exactly the removed+changed docs and append the added+changed
+    // docs' new text — the refreshed index must answer exactly as one
+    // bootstrapped fresh on gen2 (oracle: the inline ranker over the
+    // gen2 CTE). This is the 100 TB steady state: a republished
+    // corpus refreshes the serving index by touching only the delta,
+    // never re-ingesting the unchanged mass.
+    "q159_index_refresh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gen1 = docs.filter(col("doc_id") % 7 =!= 3)
+        .select("doc_id", "text")
+      val gen2 = docs.filter(col("doc_id") % 5 =!= 4)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .select("doc_id", "text")
+      graft.sources.Bm25Index.write(gen1, "doc_id", "text", "g159")
+      graft.sources.Bm25Index.refreshFromDiff(gen1, gen2, "doc_id",
+        "text", "g159")
+      graft.sources.Bm25Index.search(s, "g159", bm25Queries)
+    }))
 
   /** q157's phrase batch — shared verbatim with the oracle generator. */
   private val phraseQueries = Seq(
     ("p1", "table hash"), ("p2", "big order scan"), ("p3", "a a"),
     ("p4", "table hash zzz"))
+
+  /** q150/q154/q159's query batch — shared verbatim with the oracle
+    * generator ('zzz' never matches, pinning inner-join semantics). */
+  private val bm25Queries = Seq(
+    ("q1", "join hash"), ("q2", "customer order line"),
+    ("q3", "vector scan zzz"))
 
   /** q120: end-to-end driver gate for the Z-ordered writer (the
     * q66/q67 posture for physical layouts): write events through
@@ -1615,6 +1642,13 @@ object CorpusQueries {
     "q150_bm25_topk" -> bm25OracleSql,
     "q154_bm25_indexed" -> bm25OracleSql,
     "q157_phrase_search" -> phraseOracleSql,
+    // the refreshed index answers as one bootstrapped fresh on gen2 —
+    // same inline ranker, corpus CTE = q153's planting CASE verbatim
+    "q159_index_refresh" -> bm25OracleSqlOver(
+      """SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 4""".stripMargin),
     // systematic sampler: single-window prefix in the oracle (the
     // engine's two-level shard split composes to the same order
     // because hex-prefix order IS md5-string order — the q147
@@ -1676,17 +1710,28 @@ object CorpusQueries {
 
   // lazy: referenced from the oracle map's initializer above
   private lazy val bm25OracleSql: String =
-      """WITH q(query_id, qtext) AS (VALUES
-        |    ('q1', 'join hash'), ('q2', 'customer order line'),
-        |    ('q3', 'vector scan zzz')),
+    bm25OracleSqlOver("SELECT doc_id, text FROM documents")
+
+  /** Inline BM25 ranker oracle parameterized by the corpus CTE body —
+    * q150/q154 rank the documents table itself; q159 ranks generation
+    * 2 (q153's planting CASE shared verbatim), because a correctly
+    * refreshed index answers exactly as one bootstrapped on gen2. The
+    * query VALUES are generated from [[bm25Queries]] — edit together
+    * with [[graft.operators.CorpusOps.bm25Rank]].
+    */
+  private def bm25OracleSqlOver(corpusSql: String): String = {
+    val vals = bm25Queries
+      .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    s"""WITH corpus AS ($corpusSql),
+        |q(query_id, qtext) AS (VALUES $vals),
         |qt AS (
         |  SELECT DISTINCT query_id,
-        |    unnest(string_split_regex(trim(qtext), '\s+')) AS term
+        |    unnest(string_split_regex(trim(qtext), '\\s+')) AS term
         |  FROM q),
         |tok AS (
         |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
+        |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+        |  FROM corpus),
         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
         |av AS (
         |  SELECT count(*) AS n,
@@ -1720,4 +1765,5 @@ object CorpusQueries {
         |SELECT query_id, doc_id, score,
         |  CAST(matched AS BIGINT) AS matched, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 }

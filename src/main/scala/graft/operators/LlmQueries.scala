@@ -339,6 +339,34 @@ object LlmQueries {
       "label", col("vec_id") % 50 === 0, 3, nprobe = 2,
       prebuilt = Some(ivfIndex(s, d)))
 
+  /** q160: the standing ANN index lifecycle end-to-end (the q157
+    * posture for vectors) — bootstrap 60% + append 40% = the full
+    * corpus, a planted batch appended AND taken down (offset ids, the
+    * id-unique contract; its signed centroid partials cancel exactly),
+    * then COMPACTION, then the routed search — so the oracle is q68's
+    * inline IVF ranker verbatim over the never-planted corpus, and the
+    * registered path exercises delete + compaction + the mergeable-
+    * centroid fold in one gate.
+    */
+  def q160VectorIndex(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    graft.sources.VectorIndex.write(emb.filter(col("vec_id") % 5 <= 2),
+      "vec_id", "embedding", "label", "g160")
+    graft.sources.VectorIndex.append(emb.filter(col("vec_id") % 5 >= 3),
+      "vec_id", "embedding", "label", "g160")
+    graft.sources.VectorIndex.append(planted,
+      "vec_id", "embedding", "label", "g160")
+    graft.sources.VectorIndex.delete(planted,
+      "vec_id", "embedding", "label", "g160")
+    graft.sources.VectorIndex.compact(s, "g160")
+    graft.sources.VectorIndex.search(s, "g160",
+      Similarity.probes(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0),
+      k = 3, nprobe = 2)
+  }
+
   /** Label-free cosine near-dup via random-hyperplane LSH buckets. */
   def q54CosineLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshNearestNeighbor(Tables.embeddings(s, d), "vec_id", "embedding")
@@ -475,6 +503,7 @@ object LlmQueries {
     "q43_ann_ivf" -> (q43AnnIvf _),
     "q54_cosine_lsh" -> (q54CosineLsh _),
     "q68_ann_ivf_nprobe2" -> (q68AnnIvf2 _),
+    "q160_vector_index" -> (q160VectorIndex _),
     "q69_dup_clusters" -> (q69DupClusters _),
     "q151_canonical_docs" -> (q151CanonicalDocs _),
     "q153_snapshot_diff" -> (q153SnapshotDiff _),
@@ -1159,6 +1188,9 @@ object LlmQueries {
         |FROM d""".stripMargin,
     "q43_ann_ivf" -> ivfOracle(1),
     "q68_ann_ivf_nprobe2" -> ivfOracle(2),
+    // the standing index answers exactly as the inline IVF ranker
+    // over the never-planted corpus — q68's oracle verbatim
+    "q160_vector_index" -> ivfOracle(2),
     "q73_dedup_recall" -> q73Oracle,
     "q74_ivf_centroids" -> (
       s"""WITH $embBase,

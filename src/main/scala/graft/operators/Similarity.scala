@@ -38,6 +38,19 @@ object Similarity {
       .withColumn("norm2", dotQ(col("q"), col("q")))
   }
 
+  /** Bounded probe projection (probe_id, pq, pnorm2) for the standing
+    * [[graft.sources.VectorIndex]] — the same quantized form every
+    * in-process searcher derives internally, exposed so a probe batch
+    * can be prepared once and served against an index that never
+    * re-reads raw vectors. `probeFilter` sees the prepared columns
+    * (vec_id), exactly as in [[ivfTopK]].
+    */
+  def probes(df: DataFrame, idCol: String, vecCol: String,
+             probeFilter: Column): DataFrame =
+    prepared(df, idCol, vecCol).filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("norm2").as("pnorm2"))
+
   /** Nearest neighbor per vector within blocks (e.g. cluster label):
     * pairs only form inside a block, the all-pairs cartesian never
     * exists — but the per-block pair count is still C(block, 2), so
@@ -718,7 +731,12 @@ object Similarity {
     * bit-for-bit. Scale shape: one equi-join on the cluster key (AQE
     * skew posture; cluster count grows with the corpus at fixed target
     * cluster size, bounding per-cluster pair counts exactly as the
-    * paper runs it), then a per-doc min aggregate; no all-pairs stage.
+    * paper runs it — the r14d-scale probe measures the 1/k law), then
+    * a per-doc min aggregate; no all-pairs stage. The literal-argmin
+    * assignment bounds k at O(100) centroids (codegen size); a 100 TB
+    * run wanting k ∝ corpus assigns via the IVF centroid-table
+    * broadcast join instead ([[ivfTopK]]'s routing shape) — the pair
+    * stage is unchanged either way.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                labelCol: String, k: Int = 4, iters: Int = 3,

@@ -186,6 +186,37 @@ object Bm25Index {
     perPhrase.reduce(_.unionByName(_)).orderBy("query_id", "doc_id")
   }
 
+  /** INCREMENTAL refresh from a corpus generation diff — the steady
+    * state of a 100 TB serving index when the corpus is republished
+    * daily: instead of re-ingesting the whole new generation, the
+    * [[graft.operators.TextOps.snapshotDiff]] manifest names exactly
+    * the delta, and the index takes down removed+changed docs (their
+    * OLD text re-derives the tombstone rows bit-for-bit) and appends
+    * added+changed docs' NEW text. Unchanged mass — the bulk at scale
+    * — is never touched: the refresh cost is ∝ |delta|, not |corpus|.
+    * Post-refresh the index answers exactly as one bootstrapped fresh
+    * on `newGen` (the q159 gate; Bm25IndexSpec pins bit-equality).
+    *
+    * Scale shape: the diff is one map-side-digest full-outer join
+    * (md5 hashes shuffle, never text — snapshotDiff's contract); the
+    * two verdict joins are id-equi-joins against the persisted
+    * manifest; ingest itself is the usual per-batch bucketed append.
+    */
+  def refreshFromDiff(oldGen: DataFrame, newGen: DataFrame,
+                      idCol: String, textCol: String,
+                      prefix: String): Unit = {
+    val diff = Caches.persistTracked(
+      TextOps.snapshotDiff(oldGen, newGen, idCol, textCol)
+        .select(col("doc_id"), col("verdict")))
+    def ids(verdicts: String*) =
+      diff.filter(col("verdict").isin(verdicts: _*))
+        .select(col("doc_id").as(idCol))
+    delete(oldGen.join(ids("removed", "changed"), Seq(idCol)),
+      idCol, textCol, prefix)
+    append(newGen.join(ids("added", "changed"), Seq(idCol)),
+      idCol, textCol, prefix)
+  }
+
   /** Compact the index's bucketed tables to one file per bucket and
     * net the stats log to a single row — [[Sinks.compactBucketed]]
     * plus the stats-specific rewrite (that table is a plain append log

@@ -696,6 +696,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!dFold.contains("Exchange"), dFold)
   }
 
+  test("Bm25Index.refreshFromDiff: delta-driven refresh answers exactly " +
+    "as an index bootstrapped fresh on the new generation") {
+    val gen1 = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b d"),
+      (5L, "c d")).toDF("doc_id", "text")
+    // gen2: doc 2 removed, doc 4 added, doc 3 changed, 1/5 unchanged
+    val gen2 = Seq((1L, "a a b"), (3L, "b b e"), (4L, "d d a"),
+      (5L, "c d")).toDF("doc_id", "text")
+    val qs = Seq(("q1", "a b"), ("q2", "d zzz"))
+    graft.sources.Bm25Index.write(gen1, "doc_id", "text", "t159a")
+    graft.sources.Bm25Index.refreshFromDiff(gen1, gen2, "doc_id",
+      "text", "t159a")
+    val refreshed = graft.sources.Bm25Index.search(spark, "t159a", qs)
+      .collect().toSeq
+    graft.sources.Bm25Index.write(gen2, "doc_id", "text", "t159b")
+    val fresh = graft.sources.Bm25Index.search(spark, "t159b", qs)
+      .collect().toSeq
+    Caches.clear()
+    assert(refreshed == fresh)
+    assert(refreshed.nonEmpty)
+    // the delta contract: unchanged docs are never re-ingested — the
+    // postings log carries only the bootstrap rows for them, while a
+    // changed doc carries bootstrap + tombstone + re-insert
+    val rows = spark.table("t159a_postings")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rows")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1L) == 2L) // "a a b": 2 distinct terms, bootstrap only
+    assert(rows(3L) == 6L) // changed: 2 boot + 2 tombstone + 2 new
+  }
+
   test("Bm25Index.phraseSearch: consecutive-position semantics, " +
     "repeated-token overlap, takedown + compaction equivalence") {
     val docs = Seq(

@@ -55,6 +55,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q130_exact_deleted" -> "DedupIndexSpec (delete/compact lifecycle)",
     "q154_bm25_indexed" -> "CorpusOpsSpec (bucketed retrieval-index build; indexed==inline + delete leg pinned there)",
     "q157_phrase_search" -> "CorpusOpsSpec (positional-index build + compaction; phrase joins + delete/compact equivalence pinned there)",
+    "q159_index_refresh" -> "CorpusOpsSpec (diff-driven index refresh; refreshed==fresh-build + delta-only ingest pinned there)",
+    "q160_vector_index" -> "VectorIndexSpec (standing ANN index build; search==ivfTopK + no-shuffle plan pinned there)",
     "q69_dup_clusters" -> "ComponentsSpec (iterative pointer-jumping checkpoints)",
     "q151_canonical_docs" -> "ComponentsSpec (q69's component loop) + LlmOpsSpec (selection policy)",
     "q53_region_ml" -> "StreamingAndMlSpec (model fit executes on construction)",

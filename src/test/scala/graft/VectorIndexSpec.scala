@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.VectorIndex
+
+/** The standing ANN index must answer bit-equal to the inline IVF
+  * ranker over the same live membership at every lifecycle stage
+  * (bootstrap+append, post-takedown, post-compaction), keep the
+  * mergeable-centroid fold exact (net partial sums ≡ one-shot sums —
+  * integer arithmetic), and never shuffle the vectors table at search
+  * time (the 100 TB claim: a probe batch pays its own routing, the
+  * standing corpus is only ever read in place).
+  */
+class VectorIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def emb = Tables.embeddings(spark, d)
+  private def probeF = col("vec_id") % 50 === 0
+  private def probes = Similarity.probes(emb, "vec_id", "embedding", probeF)
+
+  private def inline(corpus: org.apache.spark.sql.DataFrame) =
+    Similarity.ivfTopK(corpus, "vec_id", "embedding", "label",
+      probeF, 3, nprobe = 2)
+
+  private def assertSameRows(a: org.apache.spark.sql.DataFrame,
+                             b: org.apache.spark.sql.DataFrame): Unit = {
+    val (ra, rb) = (a.collect().toSeq, b.collect().toSeq)
+    assert(ra.nonEmpty && ra == rb,
+      s"lifecycle result diverged from inline twin " +
+        s"(${ra.size} vs ${rb.size} rows)")
+  }
+
+  test("bootstrap+append search is bit-equal to the inline IVF ranker; " +
+    "takedown answers as never-inserted; compaction preserves answers") {
+    VectorIndex.write(emb.filter(col("vec_id") % 5 <= 2),
+      "vec_id", "embedding", "label", "tvix")
+    VectorIndex.append(emb.filter(col("vec_id") % 5 >= 3),
+      "vec_id", "embedding", "label", "tvix")
+    assertSameRows(VectorIndex.search(spark, "tvix", probes, 3, 2),
+      inline(emb))
+    Caches.clear()
+    // planted batch in, then out: centroid partials must cancel exactly
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    VectorIndex.append(planted, "vec_id", "embedding", "label", "tvix")
+    VectorIndex.delete(planted, "vec_id", "embedding", "label", "tvix")
+    assertSameRows(VectorIndex.search(spark, "tvix", probes, 3, 2),
+      inline(emb))
+    Caches.clear()
+    // compaction: same answers, one live file per occupied bucket, and
+    // the tombstoned planted rows physically gone
+    VectorIndex.compact(spark, "tvix")
+    assertSameRows(VectorIndex.search(spark, "tvix", probes, 3, 2),
+      inline(emb))
+    Caches.clear()
+    val vec = spark.table("tvix_vectors")
+    assert(vec.filter(col("vec_id") >= 1000000L).count() == 0)
+    assert(vec.filter(col("w") =!= 1).count() == 0)
+    val files = vec.select(input_file_name()).distinct().count()
+    assert(files <= VectorIndex.Buckets, s"$files files after compaction")
+    // the centroid log is netted to one row per block
+    val cent = spark.table("tvix_centroids")
+    assert(cent.count() ==
+      cent.select("block").distinct().count())
+  }
+
+  test("the liveness fold and search plan never shuffle the vectors " +
+    "table (bucketed scan, broadcast routing)") {
+    VectorIndex.write(emb.filter(col("vec_id") % 5 <= 2),
+      "vec_id", "embedding", "label", "tvix2")
+    VectorIndex.append(emb.filter(col("vec_id") % 5 >= 3),
+      "vec_id", "embedding", "label", "tvix2")
+    val fold = spark.table("tvix2_vectors")
+      .groupBy("block", "vec_id", "q", "norm2")
+      .agg(sum(col("w")).as("net"))
+      .queryExecution.executedPlan.toString
+    assert(!fold.contains("Exchange"), fold)
+    val plan = VectorIndex.search(spark, "tvix2", probes, 3, 2)
+      .queryExecution.executedPlan.toString
+    // the only Exchanges in the search plan belong to the probe/window
+    // side; the vectors scan feeds its fold and the broadcast join
+    // directly. Count is pinned loosely: no SortMergeJoin may appear
+    // (the corpus is never co-shuffled against probes).
+    assert(!plan.contains("SortMergeJoin"), plan)
+    Caches.clear()
+  }
+}
