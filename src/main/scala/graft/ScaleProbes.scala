@@ -848,6 +848,72 @@ object ScaleProbes {
             f"min3_sec=$sd%.2f")
         }
 
+      case "r14e-ab" =>
+        // the sixth-tranche laws. (a) refresh-ab: diff-driven index
+        // refresh cost follows the DELTA, never the corpus — vs the
+        // full re-ingest that produces the same index. (b) vecidx-ab:
+        // the standing vector index's routed search vs the inline
+        // ivfTopK, which pays the full-corpus quantize + centroid
+        // aggregation per probe batch (the bm25-ab posture for
+        // vectors). Block count grows with the corpus at fixed ~500
+        // vectors/block — the real IVF posture, so the standing arm's
+        // pushed routed-block predicate has realistic selectivity.
+        val nRef = args.lift(1).map(_.toLong).getOrElse(200000L)
+        // 10k-word vocabulary (the bm25-ab selectivity lesson)
+        def synthDoc(n: Long) = spark.range(n).select(
+          col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(29)),
+            i => concat(lit("w"),
+              pmod(col("id") * 31 + i * 7, lit(10000))))).as("text"))
+        val base = synthDoc(nRef)
+        def gen2(denom: Int) = base.withColumn("text",
+          when(pmod(col("doc_id"), lit(denom)) === 0,
+            concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        def timed(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body
+          val s = (System.nanoTime() - t0) / 1e9; Caches.clear(); s
+        }
+        val fullSec = timed(graft.sources.Bm25Index.write(
+          gen2(64), "doc_id", "text", "abr_full"))
+        for (denom <- Seq(64, 16, 4)) {
+          graft.sources.Bm25Index.write(base, "doc_id", "text",
+            "abr_inc")
+          Caches.clear()
+          val s = timed(graft.sources.Bm25Index.refreshFromDiff(
+            base, gen2(denom), "doc_id", "text", "abr_inc"))
+          println(f"[probe] r14e-ab: refresh n=$nRef delta=1/$denom " +
+            f"refresh_sec=$s%.2f full_reingest_sec=$fullSec%.2f")
+        }
+        def synthV(n: Long, blocks: Int) = spark.range(n).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            d => ((pmod(col("id") * 31 + d * 7, lit(201)) - 100)
+              .cast("double") / 100.0).cast("float")).as("embedding"),
+          pmod(col("id"), lit(blocks)).cast("int").as("label"))
+        def noopV(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        for (nn <- Seq(50000L, 100000L, 200000L)) {
+          val blocks = (nn / 500).toInt
+          val e = synthV(nn, blocks)
+          val probeF = pmod(col("vec_id"), lit(nn / 100)) === 0
+          def inline(): Unit = noopV(Similarity.ivfTopK(e, "vec_id",
+            "embedding", "label", probeF, 3, nprobe = 2))
+          val buildSec = timed(graft.sources.VectorIndex.write(
+            e, "vec_id", "embedding", "label", "abv"))
+          val probes = Similarity.probes(e, "vec_id", "embedding",
+            probeF)
+          def standing(): Unit = noopV(graft.sources.VectorIndex
+            .search(spark, "abv", probes, 3, 2))
+          inline(); Caches.clear(); standing(); Caches.clear()
+          val i3 = minOf3(inline())
+          val s3 = minOf3(standing())
+          println(f"[probe] r14e-ab: vecidx n=$nn blocks=$blocks " +
+            f"inline_min3_sec=$i3%.2f standing_min3_sec=$s3%.2f " +
+            f"build_once_sec=$buildSec%.2f " +
+            f"speedup=${i3 / s3}%.2fx")
+        }
+
       case "bm25-ab" =>
         // the law behind sources/Bm25Index: the inline ranker pays the
         // corpus text scan + tokenize + aggregate on EVERY query

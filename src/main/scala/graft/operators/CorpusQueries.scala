@@ -506,6 +506,8 @@ object CorpusQueries {
       (graft.streaming.ReplayParity.q152StreamingSessionsReplay _),
     "q136_streaming_index_ingest" ->
       (graft.streaming.ReplayParity.q136StreamingIndexIngest _),
+    "q161_streaming_vector_ingest" ->
+      (graft.streaming.ReplayParity.q161StreamingVectorIngest _),
     "q137_audio_features" -> (q137AudioFeatures _),
     "q138_audio_phash_dedup" -> (q138AudioPhashDedup _),
     "q139_video_frames" -> (q139VideoFrames _),
@@ -916,6 +918,45 @@ object CorpusQueries {
         |  c.canonical_id IS NOT NULL AS is_known
         |FROM h LEFT JOIN canon c USING (doc_id)
         |ORDER BY h.doc_id""".stripMargin,
+    // the streaming SEMANTIC vector-ingest loop (q136's discipline
+    // over the standing ANN index; batches = vec_id // 100 arrival
+    // days): a vector is known iff a STRICTLY earlier batch holds a
+    // same-block duplicate at integer cosine ≥ 19/20, canonical = min
+    // such vec_id; same-batch dups stay unknown. Near-random corpus
+    // embeddings never reach the threshold, so cross-batch duplicates
+    // are PLANTED by the same seeded CASE the engine applies (every
+    // 17th vector → one of three per-dim seed formulas — edit with
+    // q161StreamingVectorIngest). The threshold is the exact integer
+    // form 400·dot² ≥ 361·‖x‖²‖y‖² with dot > 0 (no float compare).
+    "q161_streaming_vector_ingest" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, vec_id // 100 AS b,
+        |    CASE WHEN vec_id % 17 = 3 THEN
+        |      [CAST((((vec_id % 3) * 7 + (d-1) * 13) % 201 - 100) * 10
+        |         AS BIGINT) for d in range(1, 65)]
+        |    ELSE list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+        |    END AS q
+        |  FROM embeddings),
+        |n2 AS (
+        |  SELECT vec_id, label, q, b,
+        |    CAST(list_sum([q[i]*q[i] for i in range(1, 65)]) AS BIGINT)
+        |      AS norm2
+        |  FROM base),
+        |dup AS (
+        |  SELECT x.vec_id, y.vec_id AS old_id,
+        |    CAST(list_sum([x.q[i]*y.q[i] for i in range(1, 65)])
+        |      AS BIGINT) AS dot,
+        |    x.norm2 AS nx, y.norm2 AS ny
+        |  FROM n2 x JOIN n2 y ON y.label = x.label AND y.b < x.b),
+        |hit AS (
+        |  SELECT vec_id, min(old_id) AS canonical_id
+        |  FROM dup WHERE dot > 0 AND 400 * dot * dot >= 361 * nx * ny
+        |  GROUP BY 1)
+        |SELECT n2.vec_id, h.canonical_id,
+        |  h.canonical_id IS NOT NULL AS is_known
+        |FROM n2 LEFT JOIN hit h USING (vec_id)
+        |ORDER BY n2.vec_id""".stripMargin,
     // the LATE-DATA as-of gate: the bounded-state machine re-derived
     // over the same planted permutation — per-user state after any
     // processed view set is its (ts, event_id) maximum, so each

@@ -161,6 +161,51 @@ object VectorIndex {
       .select("probe_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** SEMANTIC INGEST SCREEN — the [[DedupIndex]] screen-before-append
+    * posture for vectors: each arriving vector is checked for a
+    * semantic duplicate already LIVE in the index (same block — the
+    * SemDeDup cluster-scoping argument — with cosine ≥ tauNum/tauDen),
+    * reporting `is_known` and the canonical (minimum) live vec_id it
+    * duplicates. The threshold test is EXACT integer arithmetic (the
+    * q156 pattern): dot > 0 ∧ tauDen²·dot² ≥ tauNum²·‖x‖²‖y‖² — no
+    * float compare, so engine and oracle can never disagree at the
+    * boundary. Magnitude guard: |q| ≤ 1000 per dim ⇒ dot² ≤ 4.1e15 and
+    * the default 19/20 multipliers keep both sides under 2e18 < int64.
+    *
+    * Scale shape: the batch's distinct block list is bounded by the
+    * centroid table, so it pushes into the vectors scan as a static
+    * In(block, …) predicate (the [[search]]/[[Bm25Index]] lesson); the
+    * screen join is block-equi against the in-bucket liveness fold —
+    * the standing corpus is read in place, never shuffled, and only
+    * the batch's own blocks are read at all.
+    */
+  def screenSemantic(spark: SparkSession, batch: DataFrame,
+                     idCol: String, vecCol: String, blockCol: String,
+                     prefix: String, tauNum: Long = 19,
+                     tauDen: Long = 20): DataFrame = {
+    val b = Caches.persistTracked(
+      batch.select(col(blockCol).as("block"), col(idCol).as("vec_id"),
+          Similarity.quantize(col(vecCol)).as("q"))
+        .withColumn("norm2", Similarity.dotQ(col("q"), col("q"))))
+    val blocks = b.select("block").distinct()
+      .collect().map(_.get(0)).toSeq
+    val live = spark.table(vectors(prefix))
+      .filter(col("block").isin(blocks: _*))
+      .groupBy("block", "vec_id", "q", "norm2")
+      .agg(sum(col("w")).as("net")).filter(col("net") > 0)
+      .select(col("block"), col("vec_id").as("old_id"),
+        col("q").as("oq"), col("norm2").as("on2"))
+    val dot = Similarity.dotQ(col("q"), col("oq"))
+    val hit = b.join(live, Seq("block"))
+      .filter(dot > 0 &&
+        dot * dot * lit(tauDen * tauDen) >=
+          col("norm2") * col("on2") * lit(tauNum * tauNum))
+      .groupBy("vec_id").agg(min(col("old_id")).as("canonical_id"))
+    b.select("vec_id").join(hit, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("canonical_id"),
+        col("canonical_id").isNotNull.as("is_known"))
+  }
+
   /** Compact: vectors to one live file per bucket
     * ([[Sinks.compactBucketed]] — tombstoned pairs physically drop),
     * centroid log netted to one row per block (w = 1), the

@@ -403,6 +403,68 @@ object ReplayParity {
     }
   }
 
+  /** q161: the streaming SEMANTIC vector-ingest loop — q136's
+    * screen-before-append discipline over the standing
+    * [[graft.sources.VectorIndex]]: embeddings arrive in vec_id-day
+    * micro-batches, each batch is screened for semantic duplicates
+    * already live in the index (same block, integer-cosine ≥ 19/20),
+    * then appended. The corpus's near-random embeddings never reach
+    * the threshold, so cross-batch duplicates are PLANTED: every 17th
+    * vector takes one of three seed embeddings (deterministic per-dim
+    * formula, label untouched — the oracle applies the SAME CASE, edit
+    * together). A vector is known iff a STRICTLY earlier batch holds a
+    * same-block duplicate; canonical = min such vec_id; same-batch
+    * duplicates stay unknown (the screen runs before the append).
+    */
+  def q161StreamingVectorIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VectorIndex
+    val seeded = transform(sequence(lit(0), lit(63)),
+      dd => ((pmod(col("vec_id"), lit(3)) * 7 + dd * 13) % 201 - 100)
+        .cast("double") / 100.0)
+    val emb = when(pmod(col("vec_id"), lit(17)) === 3,
+      seeded.cast("array<float>")).otherwise(col("embedding"))
+    val slice = Tables.embeddings(s, d).select(col("vec_id"),
+      emb.as("embedding"), col("label"))
+    val replayDir = writeDayFiles(slice, expr("vec_id div 100"))
+    val (fs, base) = workArea(s)
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val outDir = new Path(base, s"graft_vecingest_out_$tag")
+    val ckpt = new Path(base, s"graft_vecingest_ckpt_$tag")
+    try {
+      // bootstrap an EMPTY standing index — day one of the deployment
+      VectorIndex.write(slice.limit(0), "vec_id", "embedding", "label",
+        "g161")
+      val in = s.readStream.schema(slice.schema)
+        .option("maxFilesPerTrigger", 1).parquet(replayDir.toString)
+      val q = in.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          VectorIndex.screenSemantic(batch.sparkSession, batch,
+            "vec_id", "embedding", "label", "g161")
+            .write.mode("append").parquet(outDir.toString)
+          VectorIndex.append(batch, "vec_id", "embedding", "label",
+            "g161")
+          graft.Caches.clear() // per-batch ingest projections
+        }.start()
+      q.awaitTermination()
+      val result =
+        if (fs.exists(outDir))
+          s.read.parquet(outDir.toString)
+            .select("vec_id", "canonical_id", "is_known")
+            .orderBy("vec_id")
+        else // empty corpus: no batch ever fired
+          VectorIndex.screenSemantic(s, slice.limit(0), "vec_id",
+            "embedding", "label", "g161")
+      // materialize executor-side BEFORE the sink dirs are reclaimed
+      result.localCheckpoint(true)
+    } finally {
+      fs.delete(replayDir, true)
+      fs.delete(outDir, true)
+      fs.delete(ckpt, true)
+    }
+  }
+
   private def windowedReplay(s: SparkSession, d: String,
                              slide: Option[String], sinkName: String,
                              epochCol: String,

@@ -66,6 +66,33 @@ class VectorIndexSpec extends AnyFunSuite {
       cent.select("block").distinct().count())
   }
 
+  test("screenSemantic: live same-block duplicate found with min-id " +
+    "canonical, cross-block twin invisible, sub-threshold pair clean") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      (0 until 64).map(d => ((seed * 7 + d * 13) % 201 - 100) / 100.0f)
+        .toArray
+    val standing = Seq(
+      (10L, vec(1), 0), (11L, vec(1), 0), // two copies of seed 1, block 0
+      (12L, vec(1), 1),                   // same seed, OTHER block
+      (13L, vec(2), 0)                    // different seed, block 0
+    ).toDF("vec_id", "embedding", "label")
+    VectorIndex.write(standing, "vec_id", "embedding", "label", "tvix3")
+    val batch = Seq(
+      (20L, vec(1), 0), // dup of 10/11 → canonical = min = 10
+      (21L, vec(1), 2), // seed 1 but block 2: no same-block live member
+      (22L, vec(3), 0)  // novel seed: sub-threshold vs seeds 1/2
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorIndex.screenSemantic(spark, batch, "vec_id",
+      "embedding", "label", "tvix3").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), r.getBoolean(2)))
+      .toMap
+    Caches.clear()
+    assert(out(20L) == (Some(10L), true))
+    assert(out(21L) == (None, false))
+    assert(out(22L) == (None, false))
+  }
+
   test("the liveness fold and search plan never shuffle the vectors " +
     "table (bucketed scan, broadcast routing)") {
     VectorIndex.write(emb.filter(col("vec_id") % 5 <= 2),
