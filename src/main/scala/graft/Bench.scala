@@ -126,10 +126,11 @@ object Bench {
       "q155_kmeans", "q156_semdedup", "q157_phrase_search",
       "q158_systematic_sample",
       // round-14 sixth tranche: diff-driven BM25 index refresh
-      // (bootstrap + delta ingest + search) and the standing ANN
-      // index lifecycle (mergeable-centroid build + takedown +
-      // compaction + routed search)
-      "q159_index_refresh", "q160_vector_index",
+      // (bootstrap + delta ingest + search), the standing ANN index
+      // lifecycle (mergeable-centroid build + takedown + compaction +
+      // routed search), and its PQ-coded serving layout (codebook
+      // train + codes log + ADC search)
+      "q159_index_refresh", "q160_vector_index", "q162_pq_index",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

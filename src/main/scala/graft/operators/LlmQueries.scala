@@ -367,6 +367,37 @@ object LlmQueries {
       k = 3, nprobe = 2)
   }
 
+  /** q162: the PQ-CODED standing index lifecycle — the serving layout
+    * a 100 TB vector corpus ships (codes, not vectors, in the standing
+    * table; ~32× smaller). Codebook trained once over the full corpus
+    * (the trainer set), then the q160 lifecycle over the codes log:
+    * bootstrap 60% + append 40% = full corpus, planted batch appended
+    * AND taken down (codes are deterministic integer argmins, so the
+    * tombstones cancel bit-for-bit), compaction, then ADC search —
+    * bit-equal to [[Similarity.pqAdcTopK]] inline over the
+    * never-planted corpus (oracle shares q134/q135's pqCtes).
+    */
+  def q162PqIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VectorIndex
+    val emb = Tables.embeddings(s, d)
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    VectorIndex.trainCodebook(emb, "vec_id", "embedding", "label",
+      "g162")
+    VectorIndex.writeCodes(emb.filter(col("vec_id") % 5 <= 2),
+      "vec_id", "embedding", "label", "g162")
+    VectorIndex.appendCodes(emb.filter(col("vec_id") % 5 >= 3),
+      "vec_id", "embedding", "label", "g162")
+    VectorIndex.appendCodes(planted, "vec_id", "embedding", "label",
+      "g162")
+    VectorIndex.deleteCodes(planted, "vec_id", "embedding", "label",
+      "g162")
+    VectorIndex.compactCodes(s, "g162")
+    VectorIndex.searchAdc(s, "g162",
+      Similarity.probes(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0), k = 3)
+  }
+
   /** Label-free cosine near-dup via random-hyperplane LSH buckets. */
   def q54CosineLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshNearestNeighbor(Tables.embeddings(s, d), "vec_id", "embedding")
@@ -504,6 +535,7 @@ object LlmQueries {
     "q54_cosine_lsh" -> (q54CosineLsh _),
     "q68_ann_ivf_nprobe2" -> (q68AnnIvf2 _),
     "q160_vector_index" -> (q160VectorIndex _),
+    "q162_pq_index" -> (q162PqIndex _),
     "q69_dup_clusters" -> (q69DupClusters _),
     "q151_canonical_docs" -> (q151CanonicalDocs _),
     "q153_snapshot_diff" -> (q153SnapshotDiff _),
@@ -858,6 +890,29 @@ object LlmQueries {
          |  coalesce(h.hits, 0) / 3.0 AS recall
          |FROM pr LEFT JOIN h USING (probe_id)
          |ORDER BY pr.probe_id""".stripMargin,
+    // the PQ-coded standing index answers exactly as the inline ADC
+    // ranker over the never-planted corpus — probe exact, corpus
+    // reconstructed from codes (shares pqCtes with q134/q135, edit
+    // together); cosine is one IEEE division of exact ints (the
+    // ivfOracle argument)
+    "q162_pq_index" ->
+      s"""WITH $embBase,
+         |$pqCtes,
+         |probes AS (SELECT vec_id AS probe_id, q AS pq, norm2 AS pnorm2
+         |           FROM n2 WHERE vec_id % 50 = 0)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM (
+         |  SELECT p.probe_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum([p.pq[i]*c.r[i] for i in range(1, 65)])
+         |      AS BIGINT)
+         |      / (sqrt(p.pnorm2) * sqrt(c.rnorm2)) AS cosine,
+         |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |      CAST(list_sum([p.pq[i]*c.r[i] for i in range(1, 65)])
+         |        AS BIGINT)
+         |        / (sqrt(p.pnorm2) * sqrt(c.rnorm2)) DESC,
+         |      c.vec_id ASC) AS rank
+         |  FROM probes p JOIN rr c ON c.vec_id <> p.probe_id) t
+         |WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
     // asymmetric eval-vs-training screen over the shared hyperplane
     // signature — edit cosSigCte together with q54/q96
     "q127_semantic_decontam" ->

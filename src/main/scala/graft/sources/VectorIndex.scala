@@ -225,6 +225,153 @@ object VectorIndex {
     spark.sql(s"ALTER TABLE $tmp RENAME TO ${centroids(prefix)}")
   }
 
+  // ---------------------------------------------------------------
+  // PQ-CODED layer — the serving layout a 100 TB vector corpus
+  // actually ships: the standing table stores product-quantization
+  // CODES (subspaces × one small int each, ~32× smaller than the
+  // quantized vectors), the codebook is a persisted bounded table,
+  // and search is ADC (probe exact, corpus reconstructed from codes)
+  // — [[graft.Similarity.pqAdcTopK]]'s arithmetic over standing
+  // tables, with the same w = ±1 tombstone lifecycle as the
+  // full-precision layer. Codes are DETERMINISTIC given the codebook
+  // (exact integer argmin), so a takedown re-derives its insert's
+  // rows bit-for-bit, and search over any live membership is
+  // bit-equal to the inline ADC ranker over that membership.
+  // ---------------------------------------------------------------
+
+  val Subspaces = 8
+
+  private def codebookT(p: String) = s"${p}_codebook"
+  private def codesT(p: String) = s"${p}_codes"
+
+  /** Train + persist the PQ codebook over the TRAINER corpus: per
+    * (codeword, dim) floor-normalized integer means (the q134
+    * arithmetic — remainder normalized non-negative so engine and
+    * oracle floor identically on negative sums), codewords = the
+    * trainer's blocks. Rows: (cl, d, cv) — |blocks| × dim, bounded.
+    * Trained ONCE per corpus snapshot; every ingest and search reads
+    * it back (the build/apply split, as BPE and IVF run it).
+    */
+  def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
+                    blockCol: String, prefix: String): Unit = {
+    val spark = df.sparkSession
+    val cb = df
+      .select(col(blockCol).cast("int").as("cl"),
+        Similarity.quantize(col(vecCol)).as("q"))
+      .select(col("cl"), posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy("cl", "d")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("cl"), col("d"),
+        ((col("sv") - pmod(col("sv"), col("cnt"))) / col("cnt"))
+          .cast("long").as("cv"))
+    purge(spark, codebookT(prefix))
+    cb.coalesce(1).write.mode("errorifexists")
+      .saveAsTable(codebookT(prefix))
+  }
+
+  /** The bounded codebook read back: (dim, sorted codeword ids,
+    * id → full-dim codeword vector). */
+  private def loadCodebook(spark: SparkSession, prefix: String)
+      : (Int, Seq[Int], Map[Int, Array[Long]]) = {
+    val rows = spark.table(codebookT(prefix)).collect()
+    require(rows.nonEmpty, s"empty codebook ${codebookT(prefix)}")
+    val dim = rows.map(_.getInt(1)).max + 1
+    val cb = rows.groupBy(_.getInt(0)).map { case (l, rs) =>
+      l -> rs.sortBy(_.getInt(1)).map(_.getLong(2))
+    }
+    (dim, cb.keys.toSeq.sorted, cb)
+  }
+
+  /** One coding pass feeds the codes log; a takedown re-derives the
+    * same codes (exact integer argmin against the persisted codebook)
+    * with w = -1. Codes are bucketed by block like the full-precision
+    * vectors. */
+  private def writeAllCodes(df: DataFrame, idCol: String, vecCol: String,
+                            blockCol: String, prefix: String, w: Int,
+                            mode: String): Unit = {
+    val spark = df.sparkSession
+    val (dim, labels, cb) = loadCodebook(spark, prefix)
+    require(dim % Subspaces == 0, s"dim $dim must split into $Subspaces")
+    val subDim = dim / Subspaces
+    def codeExpr(s: Int) = {
+      val sub = slice(col("q"), s * subDim + 1, subDim)
+      array_min(array(labels.map { l =>
+        val cv = cb(l).slice(s * subDim, (s + 1) * subDim).toSeq
+        struct(
+          (Similarity.dotQ(sub, sub) -
+            lit(2L) * Similarity.dotQ(sub, typedLit(cv)) +
+            lit(cv.map(x => x * x).sum)).as("dist"),
+          lit(l).as("l"))
+      }: _*)).getField("l")
+    }
+    val coded = df
+      .select(col(blockCol).as("block"), col(idCol).as("vec_id"),
+        Similarity.quantize(col(vecCol)).as("q"))
+      .select(col("block"), col("vec_id"),
+        array((0 until Subspaces).map(codeExpr): _*).as("codes"))
+      .withColumn("w", lit(w))
+    Sinks.writeBucketed(coded, codesT(prefix), Seq("block"), Buckets,
+      mode)
+  }
+
+  /** Bootstrap the codes log (codebook must be trained first). */
+  def writeCodes(df: DataFrame, idCol: String, vecCol: String,
+                 blockCol: String, prefix: String): Unit =
+    writeAllCodes(df, idCol, vecCol, blockCol, prefix, w = 1,
+      mode = "overwrite")
+
+  def appendCodes(df: DataFrame, idCol: String, vecCol: String,
+                  blockCol: String, prefix: String): Unit =
+    writeAllCodes(df, idCol, vecCol, blockCol, prefix, w = 1,
+      mode = "append")
+
+  def deleteCodes(df: DataFrame, idCol: String, vecCol: String,
+                  blockCol: String, prefix: String): Unit =
+    writeAllCodes(df, idCol, vecCol, blockCol, prefix, w = -1,
+      mode = "append")
+
+  /** ADC search over the standing codes: probes exact (the
+    * [[graft.Similarity.probes]] projection), corpus reconstructed
+    * row-locally from codes via the broadcast-bounded codebook map —
+    * no raw or full-precision vector is ever read. Bit-equal to
+    * [[graft.Similarity.pqAdcTopK]] over the same live membership
+    * (same argmin codes, same reconstruction, same ranking — the
+    * q162 gate). The probe side broadcasts against the in-bucket
+    * liveness fold; the inequality join is the ANN family's bounded
+    * nested loop (the q39/q135 shape).
+    */
+  def searchAdc(spark: SparkSession, prefix: String, probes: DataFrame,
+                k: Int): DataFrame = {
+    val (dim, labels, cb) = loadCodebook(spark, prefix)
+    val subDim = dim / Subspaces
+    val live = spark.table(codesT(prefix))
+      .groupBy("block", "vec_id", "codes")
+      .agg(sum(col("w")).as("net")).filter(col("net") > 0)
+      .select("vec_id", "codes")
+    val r = concat((0 until Subspaces).map { s =>
+      val subMap = labels.map(l =>
+        l -> cb(l).slice(s * subDim, (s + 1) * subDim).toSeq).toMap
+      element_at(typedLit(subMap), col("codes").getItem(s))
+    }: _*)
+    val recon = live.withColumn("r", r)
+      .withColumn("rnorm2", Similarity.dotQ(col("r"), col("r")))
+    val scored = recon.join(broadcast(probes),
+        col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (Similarity.dotQ(col("pq"), col("r")) /
+          (sqrt(col("pnorm2").cast("double")) *
+            sqrt(col("rnorm2").cast("double")))).as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Compact the codes log to one live file per bucket. */
+  def compactCodes(spark: SparkSession, prefix: String): Unit =
+    Sinks.compactBucketed(spark, codesT(prefix), Seq("block"), Buckets)
+
   private def purge(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(

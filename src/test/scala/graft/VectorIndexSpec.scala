@@ -66,6 +66,36 @@ class VectorIndexSpec extends AnyFunSuite {
       cent.select("block").distinct().count())
   }
 
+  test("PQ codes layer: lifecycle ADC search is bit-equal to the " +
+    "inline pqAdcTopK; takedown answers as never-inserted") {
+    def adcInline(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.pqAdcTopK(corpus, "vec_id", "embedding", "label",
+        probeF, 3).orderBy("probe_id", "rank")
+    VectorIndex.trainCodebook(emb, "vec_id", "embedding", "label",
+      "tpqx")
+    VectorIndex.writeCodes(emb.filter(col("vec_id") % 5 <= 2),
+      "vec_id", "embedding", "label", "tpqx")
+    VectorIndex.appendCodes(emb.filter(col("vec_id") % 5 >= 3),
+      "vec_id", "embedding", "label", "tpqx")
+    assertSameRows(VectorIndex.searchAdc(spark, "tpqx", probes, 3)
+      .orderBy("probe_id", "rank"), adcInline(emb))
+    Caches.clear()
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    VectorIndex.appendCodes(planted, "vec_id", "embedding", "label",
+      "tpqx")
+    VectorIndex.deleteCodes(planted, "vec_id", "embedding", "label",
+      "tpqx")
+    VectorIndex.compactCodes(spark, "tpqx")
+    assertSameRows(VectorIndex.searchAdc(spark, "tpqx", probes, 3)
+      .orderBy("probe_id", "rank"), adcInline(emb))
+    Caches.clear()
+    // post-compaction: tombstoned codes physically gone, net w = 1
+    val codes = spark.table("tpqx_codes")
+    assert(codes.filter(col("vec_id") >= 1000000L).count() == 0)
+    assert(codes.filter(col("w") =!= 1).count() == 0)
+  }
+
   test("screenSemantic: live same-block duplicate found with min-id " +
     "canonical, cross-block twin invisible, sub-threshold pair clean") {
     import spark.implicits._
