@@ -594,6 +594,27 @@ object CorpusQueries {
       graft.sources.Bm25Index.refreshFromDiff(gen1, gen2, "doc_id",
         "text", "g159")
       graft.sources.Bm25Index.search(s, "g159", bm25Queries)
+    }),
+    // incrementally maintained per-source data card (the mergeable-
+    // partial ledger): bootstrap on generation 1, refresh through the
+    // q153 diff manifest (delta-only — unchanged docs contribute
+    // nothing), then the folded profile must equal aggregating gen2
+    // directly (integer sums commute; oracle over the gen2 CTE)
+    "q163_stats_refresh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gen1 = docs.filter(col("doc_id") % 7 =!= 3)
+        .select("doc_id", "text", "source")
+      val gen2 = docs.filter(col("doc_id") % 5 =!= 4)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .select("doc_id", "text", "source")
+      graft.sources.StatsLedger.write(gen1, "doc_id", "text",
+        "source", "g163")
+      graft.sources.StatsLedger.refreshFromDiff(gen1, gen2, "doc_id",
+        "text", "source", "g163")
+      graft.sources.StatsLedger.profile(s, "g163")
     }))
 
   /** q157's phrase batch — shared verbatim with the oracle generator. */
@@ -1683,6 +1704,31 @@ object CorpusQueries {
     "q150_bm25_topk" -> bm25OracleSql,
     "q154_bm25_indexed" -> bm25OracleSql,
     "q157_phrase_search" -> phraseOracleSql,
+    // the refreshed ledger folds to exactly the gen2 aggregation —
+    // q111's sum-mergeable fragments (edit together) over q153's
+    // planting CASE
+    "q163_stats_refresh" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 4),
+        |b AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> list_contains(['the','a','of','and'], x))) AS BIGINT)
+        |      AS n_stop
+        |  FROM corpus)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  round(sum(n_stop) / sum(n_tokens), 6) AS stop_ratio,
+        |  CAST(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_short
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // the refreshed index answers as one bootstrapped fresh on gen2 —
     // same inline ranker, corpus CTE = q153's planting CASE verbatim
     "q159_index_refresh" -> bm25OracleSqlOver(

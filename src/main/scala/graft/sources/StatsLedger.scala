@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Caches, TextOps}
+
+/** Incrementally maintained CORPUS GOVERNANCE STATS — the
+  * [[VectorIndex]] mergeable-partial-aggregate posture applied to the
+  * data-card numbers every 100 TB corpus publishes (per-source doc /
+  * token / char / stopword / short-doc counts, the SUM-mergeable core
+  * of [[graft.CorpusOps.sourceProfile]]): each ingest batch appends
+  * one signed |sources|-row partial, a takedown appends the same
+  * partial with w = -1, and [[profile]] finishes the reduce over the
+  * ledger — the corpus text is read once per batch at ingest and
+  * NEVER again, so the data card is always current at zero recompute
+  * cost. Cross-doc statistics that are not sum-mergeable (duplicate
+  * ranks, flags over them) deliberately stay out: they belong to the
+  * [[DedupIndex]] family, which maintains the hash-level detail.
+  *
+  * [[refreshFromDiff]] is the q159 discipline: a republished corpus
+  * generation updates the ledger through its snapshot-diff manifest —
+  * delete partials re-derived from the removed+changed docs' OLD
+  * text, append partials from the added+changed docs' NEW text; the
+  * unchanged mass contributes nothing. Post-refresh [[profile]] is
+  * bit-equal to aggregating the new generation directly (integer sums
+  * commute; the one ratio divides net integers — the q163 gate).
+  */
+object StatsLedger {
+
+  private def ledger(p: String) = s"${p}_stats_ledger"
+
+  /** One tokenization per batch feeds the partial; a takedown (w = -1)
+    * re-derives rows matching its insert bit-for-bit. */
+  private def writeAll(df: DataFrame, textCol: String, srcCol: String,
+                       prefix: String, w: Int, mode: String): Unit = {
+    val spark = df.sparkSession
+    val partial = df
+      .select(col(srcCol).as("source"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        TextOps.words(col(textCol)).as("wds"))
+      .select(col("source"), col("n_chars"),
+        size(col("wds")).cast("long").as("n_tokens"),
+        size(filter(col("wds"), x => x.isin("the", "a", "of", "and")))
+          .cast("long").as("n_stop"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_stop")).as("n_stop"),
+        sum(when(col("n_tokens") < 20, 1L).otherwise(0L)).as("n_short"))
+      .withColumn("w", lit(w))
+    if (mode == "overwrite") {
+      spark.sql(s"DROP TABLE IF EXISTS ${ledger(prefix)}")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, ledger(prefix))
+      loc.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(loc, true)
+    }
+    partial.coalesce(1).write
+      .mode(if (mode == "overwrite") "errorifexists" else mode)
+      .saveAsTable(ledger(prefix))
+  }
+
+  def write(df: DataFrame, idCol: String, textCol: String,
+            srcCol: String, prefix: String): Unit =
+    writeAll(df, textCol, srcCol, prefix, w = 1, mode = "overwrite")
+
+  def append(df: DataFrame, idCol: String, textCol: String,
+             srcCol: String, prefix: String): Unit =
+    writeAll(df, textCol, srcCol, prefix, w = 1, mode = "append")
+
+  def delete(df: DataFrame, idCol: String, textCol: String,
+             srcCol: String, prefix: String): Unit =
+    writeAll(df, textCol, srcCol, prefix, w = -1, mode = "append")
+
+  /** Update the ledger for a republished corpus generation through
+    * its diff manifest — cost ∝ |delta| text, never |corpus|. */
+  def refreshFromDiff(oldGen: DataFrame, newGen: DataFrame,
+                      idCol: String, textCol: String, srcCol: String,
+                      prefix: String): Unit = {
+    val diff = Caches.persistTracked(
+      TextOps.snapshotDiff(oldGen, newGen, idCol, textCol)
+        .select(col("doc_id"), col("verdict")))
+    def ids(verdicts: String*) =
+      diff.filter(col("verdict").isin(verdicts: _*))
+        .select(col("doc_id").as(idCol))
+    delete(oldGen.join(ids("removed", "changed"), Seq(idCol)),
+      idCol, textCol, srcCol, prefix)
+    append(newGen.join(ids("added", "changed"), Seq(idCol)),
+      idCol, textCol, srcCol, prefix)
+  }
+
+  /** Finish the reduce: the live per-source data card. One scan of a
+    * |sources × batches|-row ledger — no corpus read. */
+  def profile(spark: SparkSession, prefix: String): DataFrame =
+    spark.table(ledger(prefix))
+      .groupBy("source")
+      .agg(sum(col("n_docs") * col("w")).as("n_docs"),
+        sum(col("n_tokens") * col("w")).as("n_tokens"),
+        sum(col("n_chars") * col("w")).as("n_chars"),
+        sum(col("n_stop") * col("w")).as("n_stop"),
+        sum(col("n_short") * col("w")).as("n_short"))
+      .filter(col("n_docs") > 0)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
+        col("n_short"))
+      .orderBy("source")
+}

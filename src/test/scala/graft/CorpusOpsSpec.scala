@@ -725,6 +725,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows(3L) == 6L) // changed: 2 boot + 2 tombstone + 2 new
   }
 
+  test("StatsLedger.refreshFromDiff: delta-maintained data card equals " +
+    "the fresh aggregation of the new generation") {
+    val gen1 = Seq((1L, "the a b", "s1"), (2L, "a c", "s1"),
+      (3L, "b b d", "s2"), (5L, "c d", "s2"))
+      .toDF("doc_id", "text", "source")
+    // doc 2 removed (s1 shrinks), doc 3 changed, doc 4 added (new
+    // source s3), docs 1/5 unchanged
+    val gen2 = Seq((1L, "the a b", "s1"), (3L, "b b e e e", "s2"),
+      (4L, "d d a", "s3"), (5L, "c d", "s2"))
+      .toDF("doc_id", "text", "source")
+    graft.sources.StatsLedger.write(gen1, "doc_id", "text", "source",
+      "t163a")
+    graft.sources.StatsLedger.refreshFromDiff(gen1, gen2, "doc_id",
+      "text", "source", "t163a")
+    val refreshed = graft.sources.StatsLedger.profile(spark, "t163a")
+      .collect().toSeq
+    graft.sources.StatsLedger.write(gen2, "doc_id", "text", "source",
+      "t163b")
+    val fresh = graft.sources.StatsLedger.profile(spark, "t163b")
+      .collect().toSeq
+    Caches.clear()
+    assert(refreshed.nonEmpty && refreshed == fresh)
+    val byS = refreshed.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS == Map("s1" -> 1L, "s2" -> 2L, "s3" -> 1L))
+    // the ledger is bounded partials, not per-doc rows: ≤ 3 batches
+    // (bootstrap, delete, append) × |sources|
+    assert(spark.table("t163a_stats_ledger").count() <= 9)
+  }
+
   test("Bm25Index.phraseSearch: consecutive-position semantics, " +
     "repeated-token overlap, takedown + compaction equivalence") {
     val docs = Seq(
