@@ -874,10 +874,13 @@ object ScaleProbes {
           val t0 = System.nanoTime(); body
           val s = (System.nanoTime() - t0) / 1e9; Caches.clear(); s
         }
+        // untimed warm passes for BOTH arms — a cold first-action
+        // write pays plan codegen+JIT and draws 2.5x high (measured)
+        graft.sources.Bm25Index.write(gen2(64), "doc_id", "text",
+          "abr_full")
+        Caches.clear()
         val fullSec = timed(graft.sources.Bm25Index.write(
           gen2(64), "doc_id", "text", "abr_full"))
-        // untimed warm pass — the first refresh otherwise pays the
-        // diff/ingest plans' codegen+JIT and draws 2.5x high
         graft.sources.Bm25Index.write(base, "doc_id", "text", "abr_inc")
         Caches.clear()
         timed(graft.sources.Bm25Index.refreshFromDiff(base, gen2(64),

@@ -610,8 +610,7 @@ object CorpusQueries {
             concat(col("text"), lit(" rev2")))
             .otherwise(col("text")))
         .select("doc_id", "text", "source")
-      graft.sources.StatsLedger.write(gen1, "doc_id", "text",
-        "source", "g163")
+      graft.sources.StatsLedger.write(gen1, "text", "source", "g163")
       graft.sources.StatsLedger.refreshFromDiff(gen1, gen2, "doc_id",
         "text", "source", "g163")
       graft.sources.StatsLedger.profile(s, "g163")

@@ -382,8 +382,7 @@ object LlmQueries {
     val emb = Tables.embeddings(s, d)
     val planted = emb.filter(col("vec_id") % 7 === 0)
       .withColumn("vec_id", col("vec_id") + 1000000L)
-    VectorIndex.trainCodebook(emb, "vec_id", "embedding", "label",
-      "g162")
+    VectorIndex.trainCodebook(emb, "embedding", "label", "g162")
     VectorIndex.writeCodes(emb.filter(col("vec_id") % 5 <= 2),
       "vec_id", "embedding", "label", "g162")
     VectorIndex.appendCodes(emb.filter(col("vec_id") % 5 >= 3),

@@ -298,6 +298,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Shared DELTA-REFRESH choreography for standing artifacts
+    * ([[graft.sources.Bm25Index.refreshFromDiff]],
+    * [[graft.sources.StatsLedger.refreshFromDiff]]): diff the two
+    * generations on `sig` (the columns the artifact's rows actually
+    * derive from — an artifact keyed on more than text must widen the
+    * signature or a re-attributed row reads 'unchanged' and silently
+    * keeps its stale contribution), then hand the removed+changed OLD
+    * rows to `delete` and the added+changed NEW rows to `append`.
+    * Cost ∝ |delta| plus the digest scan; the unchanged mass is never
+    * re-ingested.
+    */
+  def refreshViaDiff(oldGen: DataFrame, newGen: DataFrame,
+                     idCol: String, sig: Column)(
+                     delete: DataFrame => Unit,
+                     append: DataFrame => Unit): Unit = {
+    val diff = Caches.persistTracked(
+      snapshotDiff(oldGen.withColumn("g_sig", sig),
+          newGen.withColumn("g_sig", sig), idCol, "g_sig")
+        .select(col("doc_id"), col("verdict")))
+    def ids(verdicts: String*) =
+      diff.filter(col("verdict").isin(verdicts: _*))
+        .select(col("doc_id").as(idCol))
+    delete(oldGen.join(ids("removed", "changed"), Seq(idCol)))
+    append(newGen.join(ids("added", "changed"), Seq(idCol)))
+  }
+
   /** INCREMENTAL near-dup: screen a NEW batch of documents against the
     * EXISTING corpus — the shape a daily training-data ingest actually
     * runs, where the standing corpus is orders of magnitude larger than

@@ -67,13 +67,7 @@ object Bm25Index {
       positions(prefix), Seq("term"), Buckets, mode)
     val st = dls.agg((count(lit(1)) * w).as("n"),
       (coalesce(sum(col("dl")), lit(0L)) * w).as("tt"))
-    if (mode == "overwrite") {
-      spark.sql(s"DROP TABLE IF EXISTS ${stats(prefix)}")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.conf.warehousePath, stats(prefix))
-      loc.getFileSystem(spark.sessionState.newHadoopConf())
-        .delete(loc, true)
-    }
+    if (mode == "overwrite") Sinks.purgeTable(spark, stats(prefix))
     st.write.mode(mode).saveAsTable(stats(prefix))
   }
 
@@ -204,18 +198,10 @@ object Bm25Index {
     */
   def refreshFromDiff(oldGen: DataFrame, newGen: DataFrame,
                       idCol: String, textCol: String,
-                      prefix: String): Unit = {
-    val diff = Caches.persistTracked(
-      TextOps.snapshotDiff(oldGen, newGen, idCol, textCol)
-        .select(col("doc_id"), col("verdict")))
-    def ids(verdicts: String*) =
-      diff.filter(col("verdict").isin(verdicts: _*))
-        .select(col("doc_id").as(idCol))
-    delete(oldGen.join(ids("removed", "changed"), Seq(idCol)),
-      idCol, textCol, prefix)
-    append(newGen.join(ids("added", "changed"), Seq(idCol)),
-      idCol, textCol, prefix)
-  }
+                      prefix: String): Unit =
+    TextOps.refreshViaDiff(oldGen, newGen, idCol, col(textCol))(
+      delete(_, idCol, textCol, prefix),
+      append(_, idCol, textCol, prefix))
 
   /** Compact the index's bucketed tables to one file per bucket and
     * net the stats log to a single row — [[Sinks.compactBucketed]]
@@ -231,16 +217,10 @@ object Bm25Index {
         coalesce(sum(col("tt")), lit(0L)).as("tt"))
       .coalesce(1)
     val tmp = stats(prefix) + "_compacting"
-    def purge(table: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.conf.warehousePath, table)
-      loc.getFileSystem(spark.sessionState.newHadoopConf())
-        .delete(loc, true)
-    }
-    purge(tmp) // a stale location from a previous session blocks CREATE
+    // a stale location from a previous session blocks CREATE
+    Sinks.purgeTable(spark, tmp)
     st.write.mode("overwrite").saveAsTable(tmp)
-    purge(stats(prefix))
+    Sinks.purgeTable(spark, stats(prefix))
     spark.sql(s"ALTER TABLE $tmp RENAME TO ${stats(prefix)}")
   }
 }

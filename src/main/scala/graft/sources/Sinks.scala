@@ -76,18 +76,26 @@ object Sinks {
     * parallelism; the non-bucketed side of a join shuffles to exactly
     * this many partitions.
     */
+  /** Drop a warehouse table AND reclaim its location — the shared
+    * purge of every standing-table writer (a DROP alone can leave a
+    * stale location that blocks the next CREATE; see the compaction
+    * temp-table rename). All index/ledger tables live under the
+    * session warehouse path by construction.
+    */
+  def purgeTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table)
+    loc.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(loc, true)
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     numBuckets: Int = 32,
                     mode: String = "overwrite"): Unit = {
     require(bucketCols.nonEmpty, "bucketed write needs at least one key")
     val spark = df.sparkSession
-    if (mode == "overwrite") {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.conf.warehousePath, table)
-      loc.getFileSystem(spark.sessionState.newHadoopConf())
-        .delete(loc, true)
-    }
+    if (mode == "overwrite") purgeTable(spark, table)
     df.write.mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
@@ -127,10 +135,7 @@ object Sinks {
       .repartition(numBuckets, bucketCols.map(col): _*)
     val tmp = table + "_compacting"
     writeBucketed(net, tmp, bucketCols, numBuckets, "overwrite")
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath, table)
-    loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
+    purgeTable(spark, table)
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 

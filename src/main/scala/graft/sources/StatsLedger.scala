@@ -49,46 +49,38 @@ object StatsLedger {
         sum(col("n_stop")).as("n_stop"),
         sum(when(col("n_tokens") < 20, 1L).otherwise(0L)).as("n_short"))
       .withColumn("w", lit(w))
-    if (mode == "overwrite") {
-      spark.sql(s"DROP TABLE IF EXISTS ${ledger(prefix)}")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.conf.warehousePath, ledger(prefix))
-      loc.getFileSystem(spark.sessionState.newHadoopConf())
-        .delete(loc, true)
-    }
+    if (mode == "overwrite") Sinks.purgeTable(spark, ledger(prefix))
     partial.coalesce(1).write
       .mode(if (mode == "overwrite") "errorifexists" else mode)
       .saveAsTable(ledger(prefix))
   }
 
-  def write(df: DataFrame, idCol: String, textCol: String,
-            srcCol: String, prefix: String): Unit =
+  def write(df: DataFrame, textCol: String, srcCol: String,
+            prefix: String): Unit =
     writeAll(df, textCol, srcCol, prefix, w = 1, mode = "overwrite")
 
-  def append(df: DataFrame, idCol: String, textCol: String,
-             srcCol: String, prefix: String): Unit =
+  def append(df: DataFrame, textCol: String, srcCol: String,
+             prefix: String): Unit =
     writeAll(df, textCol, srcCol, prefix, w = 1, mode = "append")
 
-  def delete(df: DataFrame, idCol: String, textCol: String,
-             srcCol: String, prefix: String): Unit =
+  def delete(df: DataFrame, textCol: String, srcCol: String,
+             prefix: String): Unit =
     writeAll(df, textCol, srcCol, prefix, w = -1, mode = "append")
 
   /** Update the ledger for a republished corpus generation through
-    * its diff manifest — cost ∝ |delta| text, never |corpus|. */
+    * its diff manifest — cost ∝ |delta|, never |corpus|. The diff
+    * signature is (text, source) — the ledger's partials derive from
+    * BOTH, so a doc whose source is re-attributed with unchanged text
+    * must read 'changed' (delete under the old source, append under
+    * the new) or the data card silently keeps the stale attribution;
+    * to_json(struct(…)) keeps null text distinct from empty. */
   def refreshFromDiff(oldGen: DataFrame, newGen: DataFrame,
                       idCol: String, textCol: String, srcCol: String,
-                      prefix: String): Unit = {
-    val diff = Caches.persistTracked(
-      TextOps.snapshotDiff(oldGen, newGen, idCol, textCol)
-        .select(col("doc_id"), col("verdict")))
-    def ids(verdicts: String*) =
-      diff.filter(col("verdict").isin(verdicts: _*))
-        .select(col("doc_id").as(idCol))
-    delete(oldGen.join(ids("removed", "changed"), Seq(idCol)),
-      idCol, textCol, srcCol, prefix)
-    append(newGen.join(ids("added", "changed"), Seq(idCol)),
-      idCol, textCol, srcCol, prefix)
-  }
+                      prefix: String): Unit =
+    TextOps.refreshViaDiff(oldGen, newGen, idCol,
+      to_json(struct(col(textCol), col(srcCol))))(
+      delete(_, textCol, srcCol, prefix),
+      append(_, textCol, srcCol, prefix))
 
   /** Finish the reduce: the live per-source data card. One scan of a
     * |sources × batches|-row ledger — no corpus read. */

@@ -252,7 +252,7 @@ object VectorIndex {
     * Trained ONCE per corpus snapshot; every ingest and search reads
     * it back (the build/apply split, as BPE and IVF run it).
     */
-  def trainCodebook(df: DataFrame, idCol: String, vecCol: String,
+  def trainCodebook(df: DataFrame, vecCol: String,
                     blockCol: String, prefix: String): Unit = {
     val spark = df.sparkSession
     val cb = df
@@ -343,6 +343,9 @@ object VectorIndex {
   def searchAdc(spark: SparkSession, prefix: String, probes: DataFrame,
                 k: Int): DataFrame = {
     val (dim, labels, cb) = loadCodebook(spark, prefix)
+    // same guard as the coding path: a retrained non-divisible
+    // codebook must fail loudly, not silently truncate reconstruction
+    require(dim % Subspaces == 0, s"dim $dim must split into $Subspaces")
     val subDim = dim / Subspaces
     val live = spark.table(codesT(prefix))
       .groupBy("block", "vec_id", "codes")
@@ -372,11 +375,6 @@ object VectorIndex {
   def compactCodes(spark: SparkSession, prefix: String): Unit =
     Sinks.compactBucketed(spark, codesT(prefix), Seq("block"), Buckets)
 
-  private def purge(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath, table)
-    loc.getFileSystem(spark.sessionState.newHadoopConf())
-      .delete(loc, true)
-  }
+  private def purge(spark: SparkSession, table: String): Unit =
+    Sinks.purgeTable(spark, table)
 }

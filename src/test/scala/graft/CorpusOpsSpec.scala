@@ -735,14 +735,12 @@ class CorpusOpsSpec extends AnyFunSuite {
     val gen2 = Seq((1L, "the a b", "s1"), (3L, "b b e e e", "s2"),
       (4L, "d d a", "s3"), (5L, "c d", "s2"))
       .toDF("doc_id", "text", "source")
-    graft.sources.StatsLedger.write(gen1, "doc_id", "text", "source",
-      "t163a")
+    graft.sources.StatsLedger.write(gen1, "text", "source", "t163a")
     graft.sources.StatsLedger.refreshFromDiff(gen1, gen2, "doc_id",
       "text", "source", "t163a")
     val refreshed = graft.sources.StatsLedger.profile(spark, "t163a")
       .collect().toSeq
-    graft.sources.StatsLedger.write(gen2, "doc_id", "text", "source",
-      "t163b")
+    graft.sources.StatsLedger.write(gen2, "text", "source", "t163b")
     val fresh = graft.sources.StatsLedger.profile(spark, "t163b")
       .collect().toSeq
     Caches.clear()
@@ -752,6 +750,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     // the ledger is bounded partials, not per-doc rows: ≤ 3 batches
     // (bootstrap, delete, append) × |sources|
     assert(spark.table("t163a_stats_ledger").count() <= 9)
+  }
+
+  test("StatsLedger.refreshFromDiff: a source re-attribution with " +
+    "unchanged text moves the doc between sources (the diff signature " +
+    "covers both columns)") {
+    val gen1 = Seq((1L, "a b c", "s1"), (2L, "d e", "s2"))
+      .toDF("doc_id", "text", "source")
+    val gen2 = Seq((1L, "a b c", "s2"), (2L, "d e", "s2"))
+      .toDF("doc_id", "text", "source")
+    graft.sources.StatsLedger.write(gen1, "text", "source", "t163c")
+    graft.sources.StatsLedger.refreshFromDiff(gen1, gen2, "doc_id",
+      "text", "source", "t163c")
+    val byS = graft.sources.StatsLedger.profile(spark, "t163c")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Caches.clear()
+    assert(byS == Map("s2" -> 2L)) // s1 folds to zero docs and drops
   }
 
   test("Bm25Index.phraseSearch: consecutive-position semantics, " +

@@ -71,8 +71,7 @@ class VectorIndexSpec extends AnyFunSuite {
     def adcInline(corpus: org.apache.spark.sql.DataFrame) =
       Similarity.pqAdcTopK(corpus, "vec_id", "embedding", "label",
         probeF, 3).orderBy("probe_id", "rank")
-    VectorIndex.trainCodebook(emb, "vec_id", "embedding", "label",
-      "tpqx")
+    VectorIndex.trainCodebook(emb, "embedding", "label", "tpqx")
     VectorIndex.writeCodes(emb.filter(col("vec_id") % 5 <= 2),
       "vec_id", "embedding", "label", "tpqx")
     VectorIndex.appendCodes(emb.filter(col("vec_id") % 5 >= 3),
