@@ -187,14 +187,22 @@ object Bm25Index {
     * the delta, and the index takes down removed+changed docs (their
     * OLD text re-derives the tombstone rows bit-for-bit) and appends
     * added+changed docs' NEW text. Unchanged mass — the bulk at scale
-    * — is never touched: the refresh cost is ∝ |delta|, not |corpus|.
-    * Post-refresh the index answers exactly as one bootstrapped fresh
-    * on `newGen` (the q159 gate; Bm25IndexSpec pins bit-equality).
+    * — is never RE-INGESTED: the tokenize/postings/write cost is
+    * ∝ |delta|. Post-refresh the index answers exactly as one
+    * bootstrapped fresh on `newGen` (the q159 gate; CorpusOpsSpec
+    * pins bit-equality).
     *
     * Scale shape: the diff is one map-side-digest full-outer join
     * (md5 hashes shuffle, never text — snapshotDiff's contract); the
     * two verdict joins are id-equi-joins against the persisted
     * manifest; ingest itself is the usual per-batch bucketed append.
+    * Honest cost note (measured, SCALING.md r14e-ab): the diff and
+    * the two join legs are ~4 column-pruned corpus passes, so on
+    * short synthetic docs the refresh only breaks even with a full
+    * re-ingest — it wins where per-row ingest cost dominates (long
+    * real documents, the positional table's ~dl rows per doc), and
+    * unconditionally when the delta arrives as an upstream manifest
+    * ([[delete]]/[[append]] apply directly, no diff scan).
     */
   def refreshFromDiff(oldGen: DataFrame, newGen: DataFrame,
                       idCol: String, textCol: String,
