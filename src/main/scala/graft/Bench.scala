@@ -131,7 +131,7 @@ object Bench {
       // routed search), and its PQ-coded serving layout (codebook
       // train + codes log + ADC search)
       "q159_index_refresh", "q160_vector_index", "q162_pq_index",
-      "q163_stats_refresh",
+      "q163_stats_refresh", "q164_retrieval_eval",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

@@ -859,6 +859,63 @@ object CorpusOps {
     bm25Rank(tf, dfr, dl, n, avgdlMilli, k, k1Milli, bMilli)
   }
 
+  /** RETRIEVAL EVALUATION over the BM25 ranker — the q72/q73 posture
+    * for text retrieval: per query, precision@k, recall and MRR of the
+    * ranked top-k against a DETERMINISTIC relevance oracle (a doc is
+    * relevant iff it contains EVERY distinct query term — the
+    * conjunctive-containment judgment both engines can derive exactly;
+    * a real deployment plugs in editorial judgments, the metric
+    * arithmetic is unchanged). All three metrics are exact integers in
+    * micro-units (hits·10⁶ div k, hits·10⁶ div n_rel, 10⁶ div
+    * first-relevant-rank) — no float appears, so engine and oracle
+    * agree bit-for-bit. A query with no relevant doc (the 'zzz' leg)
+    * reports zeros.
+    *
+    * Scale shape: the ranking is [[bm25TopK]] (query-term-restricted
+    * aggregates); the relevance side restricts the token scan to the
+    * same pushed term list before its distinct — every growing stage
+    * is ∝ matched tokens, the metric join is |queries × k| rows.
+    */
+  def bm25Eval(df: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(String, String)], k: Int = 10,
+               k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = Caches.persistTracked(
+      bm25TopK(df, idCol, textCol, queries, k, k1Milli, bMilli))
+    val qterms = bm25QueryTerms(spark, queries)
+    val nq = qterms.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    val terms = queries.flatMap(_._2.trim.split("\\s+")).distinct
+    val rel = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.words(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .join(broadcast(qterms), Seq("term"))
+      .select("query_id", "doc_id", "term").distinct()
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("nm"))
+      .join(broadcast(nq), Seq("query_id"))
+      .filter(col("nm") === col("n_terms"))
+      .select("query_id", "doc_id")
+    val relStats = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val perQ = ranked.join(rel, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits"), min(col("rank")).as("first_rel"))
+    queries.map(_._1).distinct.toDF("query_id")
+      .join(relStats, Seq("query_id"), "left_outer")
+      .join(perQ, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"coalesce(hits, 0L) * 1000000 div $k").as("p_at_k_micro"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          expr("coalesce(hits, 0L) * 1000000 div n_rel"))
+          .otherwise(lit(0L)).as("recall_micro"),
+        when(col("first_rel").isNotNull,
+          expr("1000000 div first_rel")).otherwise(lit(0L))
+          .as("mrr_micro"))
+      .orderBy("query_id")
+  }
+
   /** The exploded, deduplicated (query_id, term) table both BM25 entry
     * points broadcast. */
   private[graft] def bm25QueryTerms(spark: SparkSession,

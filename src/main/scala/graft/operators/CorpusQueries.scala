@@ -614,7 +614,13 @@ object CorpusQueries {
       graft.sources.StatsLedger.refreshFromDiff(gen1, gen2, "doc_id",
         "text", "source", "g163")
       graft.sources.StatsLedger.profile(s, "g163")
-    }))
+    }),
+    // retrieval evaluation: P@10 / recall / MRR of the BM25 top-10
+    // against the conjunctive-containment relevance judgment (exact
+    // integer micro-units; the 'zzz' query pins the zero-relevant leg)
+    "q164_retrieval_eval" -> ((s, d) =>
+      CorpusOps.bm25Eval(Tables.documents(s, d), "doc_id", "text",
+        bm25Queries)))
 
   /** q157's phrase batch — shared verbatim with the oracle generator. */
   private val phraseQueries = Seq(
@@ -1703,6 +1709,7 @@ object CorpusQueries {
     "q150_bm25_topk" -> bm25OracleSql,
     "q154_bm25_indexed" -> bm25OracleSql,
     "q157_phrase_search" -> phraseOracleSql,
+    "q164_retrieval_eval" -> bm25EvalOracleSql,
     // the refreshed ledger folds to exactly the gen2 aggregation —
     // q111's sum-mergeable fragments (edit together) over q153's
     // planting CASE
@@ -1805,10 +1812,21 @@ object CorpusQueries {
     * query VALUES are generated from [[bm25Queries]] — edit together
     * with [[graft.operators.CorpusOps.bm25Rank]].
     */
-  private def bm25OracleSqlOver(corpusSql: String): String = {
+  private def bm25OracleSqlOver(corpusSql: String): String =
+    s"""WITH ${bm25RankCtesOver(corpusSql)}
+        |SELECT query_id, doc_id, score,
+        |  CAST(matched AS BIGINT) AS matched, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The full ranking chain up to the `r` (ranked) CTE — shared by the
+    * top-k oracles above and q164's retrieval-eval oracle (which
+    * appends relevance/metric CTEs); mirrors
+    * [[graft.CorpusOps.bm25TopK]]/`bm25Rank`, edit together.
+    */
+  private def bm25RankCtesOver(corpusSql: String): String = {
     val vals = bm25Queries
       .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
-    s"""WITH corpus AS ($corpusSql),
+    s"""corpus AS ($corpusSql),
         |q(query_id, qtext) AS (VALUES $vals),
         |qt AS (
         |  SELECT DISTINCT query_id,
@@ -1847,9 +1865,41 @@ object CorpusQueries {
         |  SELECT query_id, doc_id, score, matched,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY score DESC, doc_id ASC) AS rank
-        |  FROM sc)
-        |SELECT query_id, doc_id, score,
-        |  CAST(matched AS BIGINT) AS matched, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |  FROM sc)""".stripMargin
   }
+
+  /** q164: P@10 / recall / MRR of the ranked top-10 against the
+    * conjunctive-containment relevance judgment, all in exact integer
+    * micro-units — appends relevance + metric CTEs to the shared
+    * ranking chain; mirrors [[graft.CorpusOps.bm25Eval]], edit
+    * together.
+    */
+  private lazy val bm25EvalOracleSql: String =
+    s"""WITH ${bm25RankCtesOver("SELECT doc_id, text FROM documents")},
+       |nq AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+       |relc AS (
+       |  SELECT m.query_id, m.doc_id
+       |  FROM (SELECT DISTINCT query_id, doc_id, term FROM hits) m
+       |  JOIN nq USING (query_id)
+       |  GROUP BY m.query_id, m.doc_id, nq.n_terms
+       |  HAVING count(*) = nq.n_terms),
+       |rs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |       FROM relc GROUP BY 1),
+       |hs AS (
+       |  SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits,
+       |    CAST(min(r.rank) AS BIGINT) AS first_rel
+       |  FROM r JOIN relc USING (query_id, doc_id)
+       |  WHERE r.rank <= 10 GROUP BY 1)
+       |SELECT q.query_id,
+       |  coalesce(rs.n_rel, 0) AS n_rel,
+       |  coalesce(hs.hits, 0) AS hits,
+       |  (coalesce(hs.hits, 0) * 1000000) // 10 AS p_at_k_micro,
+       |  CASE WHEN coalesce(rs.n_rel, 0) > 0
+       |       THEN (coalesce(hs.hits, 0) * 1000000) // rs.n_rel
+       |       ELSE 0 END AS recall_micro,
+       |  CASE WHEN hs.first_rel IS NOT NULL
+       |       THEN 1000000 // hs.first_rel ELSE 0 END AS mrr_micro
+       |FROM (SELECT DISTINCT query_id FROM q) q
+       |LEFT JOIN rs USING (query_id) LEFT JOIN hs USING (query_id)
+       |ORDER BY 1""".stripMargin
 }

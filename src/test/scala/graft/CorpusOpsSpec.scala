@@ -768,6 +768,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byS == Map("s2" -> 2L)) // s1 folds to zero docs and drops
   }
 
+  test("bm25Eval: conjunctive relevance, exact micro-unit metrics, " +
+    "zero-relevant query reports zeros") {
+    val docs = Seq((1L, "a b"), (2L, "a b c"), (3L, "a x"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.bm25Eval(docs, "doc_id", "text",
+      Seq(("q1", "a b"), ("q2", "a zzz"))).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    Caches.clear()
+    // q1: docs 1 and 2 contain both terms; both land in the top-10 and
+    // a two-term doc outranks the one-term doc 3, so first_rel = 1
+    assert(out("q1") == (2L, 2L, 200000L, 1000000L, 1000000L))
+    // q2: no doc contains 'zzz' → conjunctive relevance is empty
+    assert(out("q2") == (0L, 0L, 0L, 0L, 0L))
+  }
+
   test("Bm25Index.phraseSearch: consecutive-position semantics, " +
     "repeated-token overlap, takedown + compaction equivalence") {
     val docs = Seq(
