@@ -620,7 +620,42 @@ object CorpusQueries {
     // integer micro-units; the 'zzz' query pins the zero-relevant leg)
     "q164_retrieval_eval" -> ((s, d) =>
       CorpusOps.bm25Eval(Tables.documents(s, d), "doc_id", "text",
-        bm25Queries)))
+        bm25Queries)),
+    // SNIPPET extraction — the serving composition behind every
+    // search result page: phrase hits come from the STANDING
+    // positional index (never a corpus text scan), then only the
+    // matched docs' token arrays are read back to cut a ±3-token
+    // window around the first occurrence. Oracle mirrors the phrase
+    // chain + list slicing (snippetOracleSql — edit together).
+    "q165_phrase_snippets" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      graft.sources.Bm25Index.write(docs, "doc_id", "text", "g165")
+      val hits = graft.sources.Bm25Index.phraseSearch(s, "g165",
+        phraseQueries)
+      val pl = phraseQueries
+        .map { case (q, t) => (q, t.trim.split("\\s+").length) }
+        .toDF("query_id", "plen")
+      hits.join(broadcast(pl), Seq("query_id"))
+        .join(docs.select(col("doc_id"),
+          graft.TextOps.words(col("text")).as("wds")), Seq("doc_id"))
+        .withColumn("st",
+          greatest(lit(1), col("first_pos") + 1 - SnippetWindow)
+            .cast("int"))
+        .withColumn("en",
+          least(size(col("wds")),
+            (col("first_pos") + col("plen") + SnippetWindow)
+              .cast("int")))
+        .select(col("query_id"), col("doc_id"), col("n_hits"),
+          col("first_pos"),
+          array_join(slice(col("wds"), col("st"),
+            greatest(col("en") - col("st") + 1, lit(0))), " ")
+            .as("snippet"))
+        .orderBy("query_id", "doc_id")
+    }))
+
+  /** q165's context half-window in tokens (each side of the match). */
+  private val SnippetWindow = 3
 
   /** q157's phrase batch — shared verbatim with the oracle generator. */
   private val phraseQueries = Seq(
@@ -1710,6 +1745,7 @@ object CorpusQueries {
     "q154_bm25_indexed" -> bm25OracleSql,
     "q157_phrase_search" -> phraseOracleSql,
     "q164_retrieval_eval" -> bm25EvalOracleSql,
+    "q165_phrase_snippets" -> snippetOracleSql,
     // the refreshed ledger folds to exactly the gen2 aggregation —
     // q111's sum-mergeable fragments (edit together) over q153's
     // planting CASE
@@ -1788,6 +1824,46 @@ object CorpusQueries {
          |  GROUP BY 1, 2)""".stripMargin
     }
     val union = per.indices.map(i => s"SELECT * FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |tp AS (
+       |  SELECT doc_id, unnest(w) AS term,
+       |    unnest([i for i in range(0, len(w))]) AS pos
+       |  FROM tok),
+       |${per.mkString(",\n")}
+       |$union
+       |ORDER BY query_id, doc_id""".stripMargin
+  }
+
+  /** q165's generated oracle: the phrase chain ([[phraseOracleSql]]'s
+    * per-phrase CTEs — edit together) joined back to the token lists,
+    * ±3-token window cut with clamped 1-based list slicing.
+    */
+  private lazy val snippetOracleSql: String = {
+    val per = phraseQueries.zipWithIndex.map { case ((qid, ptext), i) =>
+      val ts = ptext.trim.split("\\s+")
+      val joins = ts.indices.drop(1).map { j =>
+        s"  JOIN tp t$j ON t$j.doc_id = t0.doc_id AND " +
+          s"t$j.pos = t0.pos + $j AND t$j.term = '${ts(j)}'"
+      }.mkString("\n")
+      s"""m$i AS (
+         |  SELECT '$qid' AS query_id, t0.doc_id,
+         |    count(*) AS n_hits, CAST(min(t0.pos) AS BIGINT) AS first_pos
+         |  FROM tp t0
+         |$joins
+         |  WHERE t0.term = '${ts(0)}'
+         |  GROUP BY 1, 2),
+         |s$i AS (
+         |  SELECT m.query_id, m.doc_id, m.n_hits, m.first_pos,
+         |    array_to_string(
+         |      k.w[CAST(greatest(1, m.first_pos + 1 - 3) AS BIGINT):
+         |          CAST(least(len(k.w), m.first_pos + ${ts.length} + 3)
+         |            AS BIGINT)], ' ') AS snippet
+         |  FROM m$i m JOIN tok k USING (doc_id))""".stripMargin
+    }
+    val union = per.indices.map(i => s"SELECT * FROM s$i")
       .mkString("\nUNION ALL ")
     s"""WITH tok AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w

@@ -785,6 +785,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out("q2") == (0L, 0L, 0L, 0L, 0L))
   }
 
+  test("phrase snippets: ±3-token window around the first hit, " +
+    "start clamped at the document head") {
+    val docs = Seq((1L, "x y a b c d e f"), (2L, "c d only here c d"))
+      .toDF("doc_id", "text")
+    graft.sources.Bm25Index.write(docs, "doc_id", "text", "t165")
+    val hits = graft.sources.Bm25Index.phraseSearch(spark, "t165",
+      Seq(("p1", "c d"), ("p2", "x y")))
+    val wds = docs.select($"doc_id", TextOps.words($"text").as("wds"))
+    val out = hits.join(wds, Seq("doc_id"))
+      .withColumn("st", greatest(lit(1), $"first_pos" + 1 - 3).cast("int"))
+      .withColumn("en", least(size($"wds"), ($"first_pos" + 2 + 3).cast("int")))
+      .select($"query_id", $"doc_id", $"n_hits", $"first_pos",
+        array_join(slice($"wds", $"st", $"en" - $"st" + 1), " ")
+          .as("snippet"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    Caches.clear()
+    // doc 1 "c d" at pos 4: window [2, 8] → tokens y..f
+    assert(out(("p1", 1L)) == (1L, 4L, "y a b c d e f"))
+    // doc 2 "c d" first at pos 0, twice: start clamps to the head
+    assert(out(("p1", 2L)) == (2L, 0L, "c d only here c"))
+    // doc 1 "x y" at pos 0: start clamped, end = 0+2+3
+    assert(out(("p2", 1L)) == (1L, 0L, "x y a b c"))
+  }
+
   test("Bm25Index.phraseSearch: consecutive-position semantics, " +
     "repeated-token overlap, takedown + compaction equivalence") {
     val docs = Seq(

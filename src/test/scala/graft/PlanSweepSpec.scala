@@ -59,6 +59,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q160_vector_index" -> "VectorIndexSpec (standing ANN index build; search==ivfTopK + no-shuffle plan pinned there)",
     "q162_pq_index" -> "VectorIndexSpec (PQ codes-log build; searchAdc==pqAdcTopK pinned there; the ADC inequality join is the whitelisted q135 shape)",
     "q163_stats_refresh" -> "CorpusOpsSpec (ledger lifecycle; refreshed==fresh aggregation + bounded-partials pinned there)",
+    "q165_phrase_snippets" -> "CorpusOpsSpec (positional-index build; snippet windows + clamping pinned there)",
     "q69_dup_clusters" -> "ComponentsSpec (iterative pointer-jumping checkpoints)",
     "q151_canonical_docs" -> "ComponentsSpec (q69's component loop) + LlmOpsSpec (selection policy)",
     "q53_region_ml" -> "StreamingAndMlSpec (model fit executes on construction)",
