@@ -132,7 +132,7 @@ object Bench {
       // train + codes log + ADC search)
       "q159_index_refresh", "q160_vector_index", "q162_pq_index",
       "q163_stats_refresh", "q164_retrieval_eval",
-      "q165_phrase_snippets",
+      "q165_phrase_snippets", "q166_fuzzy_vocab",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

@@ -1142,4 +1142,65 @@ object CorpusOps {
       .select("doc_id", "toks", "prefix", "n_picked")
       .orderBy("doc_id")
   }
+
+  /** TYPO-TOLERANT vocabulary match — the deletion-neighborhood
+    * (SymSpell-style) candidate index: every corpus vocabulary term and
+    * every query term is expanded to its depth-1 deletion neighborhood
+    * (the term plus each single-character deletion), candidates form by
+    * an EQUI-join on the shared variant, and an exact Levenshtein ≤ 1
+    * verify makes the answer exact. Two strings at edit distance ≤ 1
+    * always share a depth-1 deletion variant (equal → the term itself;
+    * substitution → delete the differing position on both sides;
+    * insert/delete → the shorter string is itself a variant of the
+    * longer), so the candidate stage loses nothing and the verify
+    * removes the false positives (distinct variants at distance 2,
+    * e.g. transpositions) — never a vocab × query cross product.
+    *
+    * Output per (query_id, matched term): the term's document
+    * frequency and the exact distance. Distances stay integers; no
+    * float appears anywhere (bit-exact DuckDB oracle, q166).
+    *
+    * Scale shape: the vocabulary fold is one (term, doc_id) distinct
+    * aggregate over the token explode (partial-aggregated, ∝ corpus
+    * tokens); the variant table is |vocab| × (len+1) rows of short
+    * strings — the classic SymSpell space trade, and the natural
+    * standing-table candidate under the Bm25Index lifecycle for a
+    * corpus that is indexed once and probed often; the query side is a
+    * broadcast of |queries| × (len+1) rows, so the candidate join
+    * shuffles nothing but the vocabulary variants.
+    */
+  def fuzzyVocabMatch(df: DataFrame, idCol: String, textCol: String,
+                      queries: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "fuzzyVocabMatch needs at least one query")
+    val vocab = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.words(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val vv = vocab.select(col("term"), col("df"),
+      explode(delNeighborhood(col("term"))).as("variant"))
+    val qv = queries.toDF("query_id", "qterm")
+      .select(col("query_id"), col("qterm"),
+        explode(delNeighborhood(col("qterm"))).as("variant"))
+    vv.join(broadcast(qv), Seq("variant"))
+      .select("query_id", "qterm", "term", "df").distinct()
+      .withColumn("dist",
+        levenshtein(col("term"), col("qterm")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("query_id", "term", "df", "dist")
+      .orderBy("query_id", "term")
+  }
+
+  /** Depth-1 deletion neighborhood: the term itself plus every
+    * single-character deletion, deduplicated (repeated characters
+    * collapse, e.g. "aa" → ["aa", "a"]). Requires non-empty input
+    * (callers filter; sequence(1, 0) would run backwards).
+    */
+  private def delNeighborhood(t: Column): Column =
+    array_union(array(t),
+      transform(sequence(lit(1), length(t)), i =>
+        concat(t.substr(lit(1), i - 1),
+          t.substr(i + 1, length(t) - i))))
 }

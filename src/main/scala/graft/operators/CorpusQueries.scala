@@ -652,10 +652,26 @@ object CorpusQueries {
             greatest(col("en") - col("st") + 1, lit(0))), " ")
             .as("snippet"))
         .orderBy("query_id", "doc_id")
-    }))
+    }),
+    // TYPO-TOLERANT vocab match — deletion-neighborhood candidates
+    // (equi-join, never vocab × query) + exact Levenshtein ≤ 1 verify.
+    // Query batch shared verbatim with the oracle (fuzzyQueries /
+    // fuzzyOracleSql — edit together).
+    "q166_fuzzy_vocab" -> ((s, d) =>
+      CorpusOps.fuzzyVocabMatch(Tables.documents(s, d), "doc_id",
+        "text", fuzzyQueries)))
 
   /** q165's context half-window in tokens (each side of the match). */
   private val SnippetWindow = 3
+
+  /** q166's query batch — one leg per edit type against the corpus
+    * vocabulary: insertion (querry→query), substitution (scam→scan),
+    * deletion (tble→table), exact (sort), multi-match (sow→slow/row),
+    * and a no-match leg (zzzzz). Shared verbatim with the oracle.
+    */
+  private val fuzzyQueries = Seq(
+    ("f1", "querry"), ("f2", "scam"), ("f3", "tble"),
+    ("f4", "sort"), ("f5", "sow"), ("f6", "zzzzz"))
 
   /** q157's phrase batch — shared verbatim with the oracle generator. */
   private val phraseQueries = Seq(
@@ -1746,6 +1762,7 @@ object CorpusQueries {
     "q157_phrase_search" -> phraseOracleSql,
     "q164_retrieval_eval" -> bm25EvalOracleSql,
     "q165_phrase_snippets" -> snippetOracleSql,
+    "q166_fuzzy_vocab" -> fuzzyOracleSql,
     // the refreshed ledger folds to exactly the gen2 aggregation —
     // q111's sum-mergeable fragments (edit together) over q153's
     // planting CASE
@@ -1875,6 +1892,27 @@ object CorpusQueries {
        |${per.mkString(",\n")}
        |$union
        |ORDER BY query_id, doc_id""".stripMargin
+  }
+
+  /** q166's generated oracle: the oracle side can afford the small
+    * vocab × query Levenshtein scan (the query batch is bounded) —
+    * the ENGINE may not, which is the point of the deletion index.
+    */
+  private lazy val fuzzyOracleSql: String = {
+    val vals = fuzzyQueries
+      .map { case (id, t) => s"('$id', '$t')" }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       |  WHERE length(term) > 0 GROUP BY 1),
+       |q(query_id, qterm) AS (VALUES $vals)
+       |SELECT q.query_id, v.term, v.df,
+       |  CAST(levenshtein(v.term, q.qterm) AS BIGINT) AS dist
+       |FROM vocab v JOIN q ON levenshtein(v.term, q.qterm) <= 1
+       |ORDER BY query_id, term""".stripMargin
   }
 
   // lazy: referenced from the oracle map's initializer above

@@ -810,6 +810,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(("p2", 1L)) == (1L, 0L, "x y a b c"))
   }
 
+  test("fuzzy vocab match: each edit type matches at distance 1, " +
+    "transpositions and distance-2 edits are excluded") {
+    val docs = Seq(
+      (1L, "query table scan"), (2L, "query scan"), (3L, "aa"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.fuzzyVocabMatch(docs, "doc_id", "text",
+      Seq(("i", "querry"), ("s", "scam"), ("d", "tble"),
+        ("e", "scan"), ("t", "tabel"), ("n", "zzzzz")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // insertion: querry → query (df 2, dist 1)
+    assert(out(("i", "query")) == (2L, 1L))
+    // substitution: scam → scan
+    assert(out(("s", "scan")) == (2L, 1L))
+    // deletion: tble → table
+    assert(out(("d", "table")) == (1L, 1L))
+    // exact: scan → scan at dist 0
+    assert(out(("e", "scan")) == (2L, 0L))
+    // transposition (tabel↔table) is Levenshtein 2: excluded, and the
+    // no-match leg is empty — no other pairs survive
+    assert(out.size == 4)
+  }
+
   test("Bm25Index.phraseSearch: consecutive-position semantics, " +
     "repeated-token overlap, takedown + compaction equivalence") {
     val docs = Seq(
