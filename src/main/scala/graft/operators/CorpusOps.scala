@@ -936,11 +936,21 @@ object CorpusOps {
     */
   private[graft] def bm25Rank(tf: DataFrame, dfr: DataFrame,
       dl: DataFrame, n: Long, avgdlMilli: Long, k: Int,
+      k1Milli: Long, bMilli: Long): DataFrame =
+    bm25RankTail(
+      bm25Scores(tf, dfr, dl, n, avgdlMilli, k1Milli, bMilli), k)
+
+  /** The scoring half of [[bm25Rank]]: every (query, doc) pair's
+    * integer micro-unit score, BEFORE the top-k cut — split out so
+    * `sources.Bm25Index.searchWithProximity` can add its proximity
+    * boost to the full scored set (boosting after the cut would let a
+    * boosted rank-k+1 doc be wrongly dropped). */
+  private[graft] def bm25Scores(tf: DataFrame, dfr: DataFrame,
+      dl: DataFrame, n: Long, avgdlMilli: Long,
       k1Milli: Long, bMilli: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dfreq = dfr.withColumn("idf_u",
       expr(s"((2 * (${n}L - df) + 1) * 1000000) div (2 * df + 1)"))
-    val scored = tf
+    tf
       .join(broadcast(dfreq.select("term", "idf_u")), Seq("term"))
       .join(dl, Seq("doc_id"))
       .withColumn("dlnorm_m",
@@ -952,6 +962,11 @@ object CorpusOps {
       .groupBy("query_id", "doc_id")
       .agg(sum(col("term_score")).as("score"),
         count(lit(1)).as("matched"))
+  }
+
+  /** The per-query top-k cut shared by every BM25-shaped ranker. */
+  private[graft] def bm25RankTail(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     scored.withColumn("rn", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("doc_id").asc)))

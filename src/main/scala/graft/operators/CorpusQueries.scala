@@ -659,7 +659,32 @@ object CorpusQueries {
     // fuzzyOracleSql — edit together).
     "q166_fuzzy_vocab" -> ((s, d) =>
       CorpusOps.fuzzyVocabMatch(Tables.documents(s, d), "doc_id",
-        "text", fuzzyQueries)))
+        "text", fuzzyQueries)),
+    // PROXIMITY (NEAR-k) search over the standing positional index:
+    // all distinct query terms within a 6-token window, any order —
+    // batch shared verbatim with the oracle (proxQueries /
+    // proxOracleSql — edit together). Bootstrap + append = the full
+    // corpus, the q154 lifecycle posture.
+    "q167_proximity_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.sources.Bm25Index.write(docs.filter(col("doc_id") % 5 <= 2),
+        "doc_id", "text", "g167")
+      graft.sources.Bm25Index.append(docs.filter(col("doc_id") % 5 >= 3),
+        "doc_id", "text", "g167")
+      graft.sources.Bm25Index.proximitySearch(s, "g167", proxQueries,
+        ProxWin)
+    }),
+    // PHRASE-AWARE ranking: BM25 + flat proximity boost for docs whose
+    // distinct query terms sit within the window — boost applied to
+    // the full scored set BEFORE the top-k cut; integer micro-units
+    // end-to-end (bm25Queries shared with q150/q154, so the 'zzz' leg
+    // pins the no-boost path)
+    "q168_proximity_ranked" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.sources.Bm25Index.write(docs, "doc_id", "text", "g168")
+      graft.sources.Bm25Index.searchWithProximity(s, "g168",
+        bm25Queries, k = 10, win = ProxWin, boostMicro = ProxBoost)
+    }))
 
   /** q165's context half-window in tokens (each side of the match). */
   private val SnippetWindow = 3
@@ -677,6 +702,18 @@ object CorpusQueries {
   private val phraseQueries = Seq(
     ("p1", "table hash"), ("p2", "big order scan"), ("p3", "a a"),
     ("p4", "table hash zzz"))
+
+  /** q167's proximity batch — any-order two-term, three-term,
+    * single-term (every occurrence is a window), repeated-token (the
+    * distinct-term contract), and never-matching legs. Shared verbatim
+    * with [[proxOracleSql]] — edit together. */
+  private val proxQueries = Seq(
+    ("x1", "hash table"), ("x2", "customer order line"),
+    ("x3", "scan"), ("x4", "order order"), ("x5", "table zzz"))
+
+  /** q167/q168's window size (tokens) and q168's flat boost (micro). */
+  private val ProxWin = 6
+  private val ProxBoost = 500000L
 
   /** q150/q154/q159's query batch — shared verbatim with the oracle
     * generator ('zzz' never matches, pinning inner-join semantics). */
@@ -1763,6 +1800,8 @@ object CorpusQueries {
     "q164_retrieval_eval" -> bm25EvalOracleSql,
     "q165_phrase_snippets" -> snippetOracleSql,
     "q166_fuzzy_vocab" -> fuzzyOracleSql,
+    "q167_proximity_search" -> proxOracleSql,
+    "q168_proximity_ranked" -> proxRankedOracleSql,
     // the refreshed ledger folds to exactly the gen2 aggregation —
     // q111's sum-mergeable fragments (edit together) over q153's
     // planting CASE
@@ -1852,6 +1891,109 @@ object CorpusQueries {
        |${per.mkString(",\n")}
        |$union
        |ORDER BY query_id, doc_id""".stripMargin
+  }
+
+  /** One proximity-tuple CTE per query (the [[phraseOracleSql]]
+    * pattern with range predicates): t₀ anchors, each later DISTINCT
+    * term joins on doc_id with |posⱼ − pos₀| ≤ win−1, the exact span
+    * test lands in WHERE — mirrors
+    * [[graft.sources.Bm25Index.proximitySearch]], edit together.
+    * `body` renders each per-query select list/grouping (full counts
+    * for q167, presence-only for q168's boost join).
+    */
+  private def proxTupleCte(name: String, qid: String, terms: Seq[String],
+                           win: Int, select: String): String = {
+    val ts = terms.distinct
+    val joins = ts.indices.drop(1).map { j =>
+      s"  JOIN tpp t$j ON t$j.doc_id = t0.doc_id AND " +
+        s"t$j.term = '${ts(j)}' AND abs(t$j.pos - t0.pos) <= ${win - 1}"
+    }.mkString("\n")
+    val ps = ts.indices.map(j => s"t$j.pos").mkString(", ")
+    // greatest/least are variadic ≥ 2 args; a single-term query has
+    // span 0 by construction, so the predicate drops entirely
+    val spanPred = if (ts.length == 1) ""
+      else s"\n    AND greatest($ps) - least($ps) <= ${win - 1}"
+    s"""$name AS (
+       |  SELECT '$qid' AS query_id, t0.doc_id$select
+       |  FROM tpp t0
+       |$joins
+       |  WHERE t0.term = '${ts(0)}'$spanPred
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The window-start expression for a query's distinct-term tuple. */
+  private def proxStart(nTerms: Int): String =
+    if (nTerms == 1) "t0.pos"
+    else "least(" + (0 until nTerms).map(j => s"t$j.pos")
+      .mkString(", ") + ")"
+
+  /** The positional-token CTEs shared by the proximity oracles (named
+    * apart from [[bm25RankCtesOver]]'s `tok`, which q168 also uses).
+    * Lazy for the oracle-map object-init ordering (the centCtes
+    * lesson: the map's initializer forces the lazy oracle strings
+    * before later-declared plain vals assign). */
+  private lazy val proxTokCtes =
+    """tokp AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |tpp AS (
+      |  SELECT doc_id, unnest(w) AS term,
+      |    unnest([i for i in range(0, len(w))]) AS pos
+      |  FROM tokp)""".stripMargin
+
+  /** q167's generated oracle: per-query proximity tuple counts +
+    * earliest window start over the full corpus (bootstrap + append =
+    * the full corpus, so the index answers as the inline positional
+    * SQL). */
+  private lazy val proxOracleSql: String = {
+    val per = proxQueries.zipWithIndex.map { case ((qid, qtext), i) =>
+      val m = qtext.trim.split("\\s+").distinct.length
+      proxTupleCte(s"m$i", qid, qtext.trim.split("\\s+").toSeq, ProxWin,
+        select = s""",
+             |    count(*) AS n_windows,
+             |    CAST(min(${proxStart(m)}) AS BIGINT) AS first_start"""
+          .stripMargin)
+    }
+    val union = per.indices.map(i => s"SELECT * FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $proxTokCtes,
+       |${per.mkString(",\n")}
+       |$union
+       |ORDER BY query_id, doc_id""".stripMargin
+  }
+
+  /** q168's generated oracle: the shared BM25 ranking chain up to `sc`
+    * ([[bm25RankCtesOver]] — q150/q154's arithmetic verbatim), plus
+    * per-query window-presence CTEs, the flat boost added BEFORE the
+    * top-k cut, and the re-rank — mirrors
+    * [[graft.sources.Bm25Index.searchWithProximity]], edit together.
+    */
+  private lazy val proxRankedOracleSql: String = {
+    val per = bm25Queries.zipWithIndex.map { case ((qid, qtext), i) =>
+      proxTupleCte(s"w$i", qid, qtext.trim.split("\\s+").toSeq, ProxWin,
+        select = "")
+    }
+    val union = per.indices.map(i => s"SELECT * FROM w$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bm25RankCtesOver("SELECT doc_id, text FROM documents")},
+       |$proxTokCtes,
+       |${per.mkString(",\n")},
+       |px AS ($union),
+       |sc2 AS (
+       |  SELECT sc.query_id, sc.doc_id,
+       |    sc.score + CASE WHEN px.doc_id IS NOT NULL
+       |      THEN $ProxBoost ELSE 0 END AS score,
+       |    sc.matched
+       |  FROM sc LEFT JOIN px
+       |    ON sc.query_id = px.query_id AND sc.doc_id = px.doc_id),
+       |r2 AS (
+       |  SELECT query_id, doc_id, score, matched,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM sc2)
+       |SELECT query_id, doc_id, score,
+       |  CAST(matched AS BIGINT) AS matched, CAST(rank AS BIGINT) AS rank
+       |FROM r2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   /** q165's generated oracle: the phrase chain ([[phraseOracleSql]]'s

@@ -397,6 +397,92 @@ object LlmQueries {
         col("vec_id") % 50 === 0), k = 3)
   }
 
+  /** q169: the LEARNED-ROUTING standing ANN index — the composition
+    * the r14 verdict named as missing: blocks assigned by the TRAINED
+    * coarse quantizer (q155's Lloyd k-means, persisted as the
+    * `_coarse` table) instead of caller-supplied labels. Same full
+    * lifecycle as q160 (bootstrap 60% + append 40%, planted batch in
+    * and out — the learned assignment is deterministic given the
+    * persisted quantizer, so tombstones cancel bit-for-bit — then
+    * compaction), then the routed nprobe-2 search. Oracle: the
+    * unrolled Lloyd chain → per-cluster sum-vector centroids →
+    * routing → top-3, i.e. the inline kmeans-routed ranker re-derived
+    * bit-for-bit.
+    */
+  def q169LearnedVectorIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VectorIndex
+    val emb = Tables.embeddings(s, d)
+    VectorIndex.trainCoarse(emb, "vec_id", "embedding", "g169",
+      k = 4, iters = 3)
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    VectorIndex.writeLearned(emb.filter(col("vec_id") % 5 <= 2),
+      "vec_id", "embedding", "g169")
+    VectorIndex.appendLearned(emb.filter(col("vec_id") % 5 >= 3),
+      "vec_id", "embedding", "g169")
+    VectorIndex.appendLearned(planted, "vec_id", "embedding", "g169")
+    VectorIndex.deleteLearned(planted, "vec_id", "embedding", "g169")
+    VectorIndex.compact(s, "g169")
+    VectorIndex.search(s, "g169",
+      Similarity.probes(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0), k = 3, nprobe = 2)
+  }
+
+  /** q170: recall@3 of the learned-routed standing index (nprobe 1
+    * and 2) against the exact brute-force baseline — the q72
+    * evaluation shape over the q169 index, so the learned quantizer's
+    * routing quality is a REPORTED number, not an assumption.
+    */
+  def q170LearnedRecall(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VectorIndex
+    val emb = Tables.embeddings(s, d)
+    val probe = col("vec_id") % 50 === 0
+    VectorIndex.trainCoarse(emb, "vec_id", "embedding", "g170",
+      k = 4, iters = 3)
+    VectorIndex.writeLearned(emb, "vec_id", "embedding", "g170")
+    val probes = Similarity.probes(emb, "vec_id", "embedding", probe)
+    val exact = Caches.persistTracked(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 3))
+    def r(np: Int) = Similarity.recallAtK(exact,
+      VectorIndex.search(s, "g170", probes, 3, np), 3)
+    r(1).select(col("probe_id"), col("hits").as("hits_np1"),
+        col("recall").as("recall_np1"))
+      .join(r(2).select(col("probe_id"), col("hits").as("hits_np2"),
+        col("recall").as("recall_np2")), Seq("probe_id"))
+      .orderBy("probe_id")
+  }
+
+  /** q171: the PQ-coded standing index with codewords = the LEARNED
+    * clusters (the verdict's "train the PQ codebooks per learned
+    * cluster" composition): coarse quantizer trained, codebook
+    * trained per learned cluster, then the full q162 codes lifecycle
+    * (bootstrap + append + planted in/out + compaction) and the ADC
+    * search — bit-equal to the inline ADC ranker whose codebook is
+    * derived from the unrolled Lloyd assignment (oracle shares the
+    * parameterized pqCtes over the af-cluster frame).
+    */
+  def q171LearnedPqIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VectorIndex
+    val emb = Tables.embeddings(s, d)
+    VectorIndex.trainCoarse(emb, "vec_id", "embedding", "g171",
+      k = 4, iters = 3)
+    VectorIndex.trainCodebookLearned(emb, "embedding", "g171")
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    VectorIndex.writeCodesLearned(emb.filter(col("vec_id") % 5 <= 2),
+      "vec_id", "embedding", "g171")
+    VectorIndex.appendCodesLearned(emb.filter(col("vec_id") % 5 >= 3),
+      "vec_id", "embedding", "g171")
+    VectorIndex.appendCodesLearned(planted, "vec_id", "embedding",
+      "g171")
+    VectorIndex.deleteCodesLearned(planted, "vec_id", "embedding",
+      "g171")
+    VectorIndex.compactCodes(s, "g171")
+    VectorIndex.searchAdc(s, "g171",
+      Similarity.probes(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0), k = 3)
+  }
+
   /** Label-free cosine near-dup via random-hyperplane LSH buckets. */
   def q54CosineLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshNearestNeighbor(Tables.embeddings(s, d), "vec_id", "embedding")
@@ -535,6 +621,9 @@ object LlmQueries {
     "q68_ann_ivf_nprobe2" -> (q68AnnIvf2 _),
     "q160_vector_index" -> (q160VectorIndex _),
     "q162_pq_index" -> (q162PqIndex _),
+    "q169_learned_vector_index" -> (q169LearnedVectorIndex _),
+    "q170_learned_recall" -> (q170LearnedRecall _),
+    "q171_learned_pq_index" -> (q171LearnedPqIndex _),
     "q69_dup_clusters" -> (q69DupClusters _),
     "q151_canonical_docs" -> (q151CanonicalDocs _),
     "q153_snapshot_diff" -> (q153SnapshotDiff _),
@@ -709,6 +798,22 @@ object LlmQueries {
        |af AS MATERIALIZED (
        |${assignFrom(s"c$iters", "vec_id, label, q, norm2")})""".stripMargin
   }
+
+  /** Per-LEARNED-cluster sum-vector centroid CTEs over [[kmeansCtes]]'s
+    * final assignment `af` — [[centCtes]]'s shape with label → cl;
+    * shared by the q169/q170 oracles (edit together). */
+  private lazy val learnedCentCtes: String =
+    """lcent AS (
+      |  SELECT cl AS block, list(s ORDER BY i) AS cq
+      |  FROM (
+      |    SELECT cl, i, CAST(sum(v) AS BIGINT) AS s
+      |    FROM (SELECT cl, unnest(q) AS v,
+      |                 unnest(range(1, 65)) AS i FROM af) z
+      |    GROUP BY cl, i) g
+      |  GROUP BY cl),
+      |lcn AS (SELECT block, cq,
+      |         CAST(list_sum([cq[i]*cq[i] for i in range(1, 65)]) AS BIGINT)
+      |           AS cnorm2 FROM lcent)""".stripMargin
 
   /** The standing-index lifecycle queries (q98/q99) produce bit-identical
     * answers to their snapshot-rebuild twins (q92/q97) by construction —
@@ -1245,6 +1350,114 @@ object LlmQueries {
     // the standing index answers exactly as the inline IVF ranker
     // over the never-planted corpus — q68's oracle verbatim
     "q160_vector_index" -> ivfOracle(2),
+    // the LEARNED-routing standing index: unrolled Lloyd chain →
+    // per-cluster sum-vector centroids → nprobe-2 routing → top-3
+    // (the inline kmeans-routed ranker; ivfOracle's shape with
+    // label → learned cluster, the never-planted corpus)
+    "q169_learned_vector_index" -> (
+      s"""WITH $embBase,
+         |${kmeansCtes(k = 4, iters = 3)},
+         |$learnedCentCtes,
+         |probes AS (SELECT vec_id AS probe_id, q AS pq, norm2 AS pnorm2
+         |           FROM n2 WHERE vec_id % 50 = 0),
+         |routed AS (
+         |  SELECT probe_id, pq, pnorm2, block FROM (
+         |    SELECT p.probe_id, p.pq, p.pnorm2, c.block,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        CAST(list_sum([p.pq[i]*c.cq[i] for i in range(1, 65)]) AS BIGINT)
+         |          / (sqrt(p.pnorm2) * sqrt(c.cnorm2)) DESC, c.block ASC) AS rn
+         |    FROM probes p CROSS JOIN lcn c) t WHERE rn <= 2),
+         |scored AS (
+         |  SELECT r.probe_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum([r.pq[i]*c.q[i] for i in range(1, 65)]) AS BIGINT)
+         |      / (sqrt(r.pnorm2) * sqrt(c.norm2)) AS cosine
+         |  FROM routed r JOIN af c
+         |    ON c.cl = r.block AND c.vec_id <> r.probe_id)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM (
+         |  SELECT probe_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM scored) t WHERE rank <= 3""".stripMargin),
+    // recall@3 of the learned-routed index vs brute force — q72's
+    // oracle shape with the label routing replaced by the af clusters
+    "q170_learned_recall" -> (
+      s"""WITH $embBase,
+         |${kmeansCtes(k = 4, iters = 3)},
+         |$learnedCentCtes,
+         |probes AS (SELECT vec_id AS probe_id, q AS pq, norm2 AS pnorm2
+         |           FROM n2 WHERE vec_id % 50 = 0),
+         |ex AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.probe_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        CAST(list_sum([p.pq[i]*c.q[i] for i in range(1, 65)]) AS BIGINT)
+         |          / (sqrt(p.pnorm2) * sqrt(c.norm2)) DESC, c.vec_id ASC) AS rank
+         |    FROM probes p JOIN n2 c ON c.vec_id <> p.probe_id) t
+         |  WHERE rank <= 3),
+         |routed AS (
+         |  SELECT probe_id, pq, pnorm2, block, rn FROM (
+         |    SELECT p.probe_id, p.pq, p.pnorm2, c.block,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        CAST(list_sum([p.pq[i]*c.cq[i] for i in range(1, 65)]) AS BIGINT)
+         |          / (sqrt(p.pnorm2) * sqrt(c.cnorm2)) DESC, c.block ASC) AS rn
+         |    FROM probes p CROSS JOIN lcn c) t WHERE rn <= 2),
+         |ivf1 AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT r.probe_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY r.probe_id ORDER BY
+         |        CAST(list_sum([r.pq[i]*c.q[i] for i in range(1, 65)]) AS BIGINT)
+         |          / (sqrt(r.pnorm2) * sqrt(c.norm2)) DESC, c.vec_id ASC) AS rank
+         |    FROM routed r JOIN af c
+         |      ON c.cl = r.block AND c.vec_id <> r.probe_id
+         |    WHERE r.rn <= 1) t
+         |  WHERE rank <= 3),
+         |ivf2 AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT r.probe_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY r.probe_id ORDER BY
+         |        CAST(list_sum([r.pq[i]*c.q[i] for i in range(1, 65)]) AS BIGINT)
+         |          / (sqrt(r.pnorm2) * sqrt(c.norm2)) DESC, c.vec_id ASC) AS rank
+         |    FROM routed r JOIN af c
+         |      ON c.cl = r.block AND c.vec_id <> r.probe_id
+         |    WHERE r.rn <= 2) t
+         |  WHERE rank <= 3),
+         |h1 AS (SELECT e.probe_id, count(*) AS hits FROM ex e
+         |       JOIN ivf1 i ON i.probe_id = e.probe_id
+         |                  AND i.neighbor_id = e.neighbor_id GROUP BY 1),
+         |h2 AS (SELECT e.probe_id, count(*) AS hits FROM ex e
+         |       JOIN ivf2 i ON i.probe_id = e.probe_id
+         |                  AND i.neighbor_id = e.neighbor_id GROUP BY 1),
+         |pr AS (SELECT DISTINCT probe_id FROM ex)
+         |SELECT pr.probe_id,
+         |  coalesce(h1.hits, 0) AS hits_np1,
+         |  coalesce(h1.hits, 0) / 3.0 AS recall_np1,
+         |  coalesce(h2.hits, 0) AS hits_np2,
+         |  coalesce(h2.hits, 0) / 3.0 AS recall_np2
+         |FROM pr LEFT JOIN h1 USING (probe_id) LEFT JOIN h2 USING (probe_id)
+         |ORDER BY pr.probe_id""".stripMargin),
+    // the learned-codeword PQ index: q162's ADC tail over the
+    // parameterized pqCtes whose codebook derives from the af
+    // clusters instead of the caller labels
+    "q171_learned_pq_index" -> (
+      s"""WITH $embBase,
+         |${kmeansCtes(k = 4, iters = 3)},
+         |n2l AS (SELECT vec_id, cl AS label, q, norm2 FROM af),
+         |${pqCtesFrom("n2l")},
+         |probes AS (SELECT vec_id AS probe_id, q AS pq, norm2 AS pnorm2
+         |           FROM n2 WHERE vec_id % 50 = 0)
+         |SELECT probe_id, rank, neighbor_id, cosine FROM (
+         |  SELECT p.probe_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum([p.pq[i]*c.r[i] for i in range(1, 65)])
+         |      AS BIGINT)
+         |      / (sqrt(p.pnorm2) * sqrt(c.rnorm2)) AS cosine,
+         |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |      CAST(list_sum([p.pq[i]*c.r[i] for i in range(1, 65)])
+         |        AS BIGINT)
+         |        / (sqrt(p.pnorm2) * sqrt(c.rnorm2)) DESC,
+         |      c.vec_id ASC) AS rank
+         |  FROM probes p JOIN rr c ON c.vec_id <> p.probe_id) t
+         |WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin),
     "q73_dedup_recall" -> q73Oracle,
     "q74_ivf_centroids" -> (
       s"""WITH $embBase,
@@ -1637,10 +1850,16 @@ object LlmQueries {
     * zero on negatives while the engine floors); edit together.
     * Expects [[embBase]] upstream.
     */
-  private lazy val pqCtes: String =
-    """pqex AS (SELECT vec_id, label, unnest(q) AS v,
+  private lazy val pqCtes: String = pqCtesFrom("n2")
+
+  /** The PQ codebook/assign/reconstruct chain parameterized by its
+    * source CTE (columns vec_id, label, q, norm2): q134/q135/q162 run
+    * it over `n2` (codewords = caller labels), q171 over the
+    * af-cluster frame (codewords = the learned clusters). */
+  private def pqCtesFrom(src: String): String =
+    s"""pqex AS (SELECT vec_id, label, unnest(q) AS v,
       |         unnest(range(1, 65)) AS d
-      |       FROM n2),
+      |       FROM $src),
       |cb AS (SELECT label AS cl, d,
       |         (CAST(sum(v) AS BIGINT)
       |          - ((CAST(sum(v) AS BIGINT) % count(*)) + count(*))
@@ -1653,7 +1872,7 @@ object LlmQueries {
       |    list_sum([(n.q[s*8+j] - c.cvec[s*8+j])
       |              * (n.q[s*8+j] - c.cvec[s*8+j])
       |              for j in range(1, 9)]) AS dist
-      |  FROM n2 n, cbl c, range(0, 8) t(s)),
+      |  FROM $src n, cbl c, range(0, 8) t(s)),
       |asg AS (
       |  SELECT vec_id, s, cl FROM (
       |    SELECT vec_id, s, cl,
@@ -1674,7 +1893,7 @@ object LlmQueries {
       |      - 2 * list_sum([n.q[i]*r[i] for i in range(1, 65)])
       |      + list_sum([r[i]*r[i] for i in range(1, 65)]) AS BIGINT)
       |      AS recon_err2
-      |  FROM n2 n JOIN rl USING (vec_id))""".stripMargin
+      |  FROM $src n JOIN rl USING (vec_id))""".stripMargin
 
   /** The hyperplane-signature CTE alone (q127's asymmetric screen
     * joins eval against corpus on it without the symmetric pair stage)

@@ -698,6 +698,33 @@ object Similarity {
     cens
   }
 
+  /** [[kmeansCentroids]] trained over its own prepared base — the
+    * coarse-quantizer TRAINING entry the standing vector index
+    * persists ([[graft.sources.VectorIndex.trainCoarse]]); returns
+    * the k×dim centroid matrix (a bounded driver object, the BPE
+    * top-V posture). */
+  private[graft] def trainKmeans(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): Array[Array[Long]] = {
+    val base = Caches.persistTracked(prepared(df, idCol, vecCol))
+    kmeansCentroids(base, k, iters)
+  }
+
+  /** Row-local nearest-centroid id for an arbitrary quantized-vector
+    * column — [[kmeansAssign]] generalized off the prepared-frame
+    * column names, with the constant ‖x‖² term dropped (the argmin is
+    * invariant to it and ties still break to min cluster, so the
+    * assignment matches [[kmeansClusters]] exactly). Pure Column
+    * arithmetic against centroid literals: stays in whole-stage
+    * codegen, no join. */
+  private[graft] def assignToCentroids(cens: Array[Array[Long]],
+      q: Column): Column =
+    array_min(array(cens.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(c.map(x => x * x).sum) - lit(2L) * dotQ(q, typedLit(c.toSeq)))
+          .as("dist"),
+        lit(i).as("cl"))
+    }: _*)).getField("cl")
+
   /** [[kmeansCentroids]] trained and applied: per-vector final cluster
     * and exact integer distance — the q155 gate. */
   def kmeansClusters(df: DataFrame, idCol: String, vecCol: String,

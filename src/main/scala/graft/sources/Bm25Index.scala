@@ -11,11 +11,12 @@ import graft.{Caches, CorpusOps, TextOps}
   * not re-read its text for every query). The [[DedupIndex]] lifecycle
   * discipline applied to the IR family:
   *
-  *  - `<prefix>_postings` (term, doc_id, tf, w)  bucketed by term
-  *  - `<prefix>_doclens`  (doc_id, dl, w)        bucketed by doc_id
-  *  - `<prefix>_stats`    (n, tt)                log of signed batch rows
+  *  - `<prefix>_postings` (term, doc_id, tf, w, b)  bucketed by term
+  *  - `<prefix>_doclens`  (doc_id, dl, w, b)        bucketed by doc_id
+  *  - `<prefix>_positions`(term, doc_id, pos, w, b) bucketed by term
+  *  - `<prefix>_stats`    (n, tt, w, b)             log of signed batch rows
   *
-  * All three are LOG-STRUCTURED with the DedupIndex weight discipline:
+  * All four are LOG-STRUCTURED with the DedupIndex weight discipline:
   * [[append]] writes projections with w = +1, [[delete]] re-derives
   * the SAME rows with w = -1 (takedowns are row-appends, never
   * rewrites), and every [[search]] folds liveness with an IN-BUCKET
@@ -24,6 +25,16 @@ import graft.{Caches, CorpusOps, TextOps}
   * corpus side zero Exchange. The stats log stores signed per-batch
   * (n, tt) rows whose running sum is the live corpus size — one tiny
   * scan, no doclens pass at query time.
+  *
+  * Every batch is ATOMIC via the [[Generations]] manifest: the four
+  * tables' rows carry one batch id `b`, made visible by a single
+  * commit-row append — so a crash mid-ingest (or between
+  * [[refreshFromDiff]]'s takedown and re-append legs, which share ONE
+  * batch id) leaves readers on the previous consistent state, never on
+  * three-of-four tables or a half-applied refresh. [[compact]] builds
+  * the next table GENERATION fully before the one-row flip — readers
+  * keep answering from the old generation throughout (GenerationsSpec
+  * pins the equality), replacing the old purge-then-rename window.
   *
   * [[search]] joins the postings against the broadcast query-term
   * table FIRST (bucket-key join, no corpus shuffle), computes df over
@@ -38,20 +49,29 @@ object Bm25Index {
 
   val Buckets = 32
 
-  private def postings(p: String) = s"${p}_postings"
-  private def doclens(p: String) = s"${p}_doclens"
-  private def stats(p: String) = s"${p}_stats"
-  private def positions(p: String) = s"${p}_positions"
+  private[graft] val Logicals =
+    Seq("postings", "doclens", "positions", "stats")
+
+  private def bucketColsOf(logical: String): Seq[String] = logical match {
+    case "postings" | "positions" => Seq("term")
+    case _                        => Seq("doc_id")
+  }
+
+  private def phys(prefix: String, logical: String, gen: Long): String =
+    Generations.physical(prefix, logical, gen)
 
   /** One tokenization per ingest feeds all four tables; a takedown
     * (w = -1) re-derives rows that match its insert bit-for-bit. The
     * POSITIONAL postings (term, doc_id, pos) are the classic IR
     * positional index — ~dl rows per doc (vs distinct-term rows for
     * the tf postings), bucketed by term like the tf table so
-    * [[phraseSearch]]'s per-term probes read pre-partitioned.
+    * [[phraseSearch]]'s per-term probes read pre-partitioned. Rows are
+    * stamped with manifest batch id `b`; callers own the intent/commit
+    * bracket.
     */
   private def writeAll(docs: DataFrame, idCol: String, textCol: String,
-                       prefix: String, w: Int, mode: String): Unit = {
+                       prefix: String, w: Int, gen: Long, b: Long,
+                       mode: String): Unit = {
     val spark = docs.sparkSession
     val toks = Caches.persistTracked(docs.select(
       col(idCol).as("doc_id"),
@@ -60,42 +80,85 @@ object Bm25Index {
       .agg(count(lit(1)).as("tf")).withColumn("w", lit(w))
     val dls = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .withColumn("w", lit(w))
-    Sinks.writeBucketed(post, postings(prefix), Seq("term"), Buckets, mode)
-    Sinks.writeBucketed(dls, doclens(prefix), Seq("doc_id"), Buckets, mode)
+    Sinks.writeBucketed(post.withColumn("b", lit(b)),
+      phys(prefix, "postings", gen), Seq("term"), Buckets, mode)
+    Sinks.writeBucketed(dls.withColumn("b", lit(b)),
+      phys(prefix, "doclens", gen), Seq("doc_id"), Buckets, mode)
     Sinks.writeBucketed(toks.select("term", "doc_id", "pos")
-      .withColumn("w", lit(w)),
-      positions(prefix), Seq("term"), Buckets, mode)
+      .withColumn("w", lit(w)).withColumn("b", lit(b)),
+      phys(prefix, "positions", gen), Seq("term"), Buckets, mode)
     val st = dls.agg((count(lit(1)) * w).as("n"),
       (coalesce(sum(col("dl")), lit(0L)) * w).as("tt"))
-    if (mode == "overwrite") Sinks.purgeTable(spark, stats(prefix))
-    st.write.mode(mode).saveAsTable(stats(prefix))
+      .withColumn("w", lit(w)).withColumn("b", lit(b))
+    if (mode == "overwrite")
+      Sinks.purgeTable(spark, phys(prefix, "stats", gen))
+    st.write.mode(if (mode == "overwrite") "errorifexists" else mode)
+      .saveAsTable(phys(prefix, "stats", gen))
   }
 
   /** Bootstrap the index from a corpus snapshot; steady state uses
     * [[append]]/[[delete]] only. */
   def write(docs: DataFrame, idCol: String, textCol: String,
-            prefix: String): Unit =
-    writeAll(docs, idCol, textCol, prefix, w = 1, mode = "overwrite")
+            prefix: String): Unit = {
+    val spark = docs.sparkSession
+    Generations.beginBootstrap(spark, prefix)
+    writeAll(docs, idCol, textCol, prefix, w = 1, gen = 0L, b = 0L,
+      mode = "overwrite")
+    Generations.commit(spark, prefix, 0L, 0L)
+  }
 
   /** Fold a NEW batch in (id-unique contract: appended doc_ids are
-    * new). Pure row-appends, one file per bucket per batch. */
+    * new). Pure row-appends, one file per bucket per batch; all four
+    * tables flip visible together on the single commit row. */
   def append(increment: DataFrame, idCol: String, textCol: String,
              prefix: String): Unit =
-    writeAll(increment, idCol, textCol, prefix, w = 1, mode = "append")
+    appendBatch(increment, idCol, textCol, prefix, w = 1)
 
   /** Takedown: append the same projections with w = -1; the search
     * fold nets them dead and the stats sum shrinks accordingly. */
   def delete(docs: DataFrame, idCol: String, textCol: String,
              prefix: String): Unit =
-    writeAll(docs, idCol, textCol, prefix, w = -1, mode = "append")
+    appendBatch(docs, idCol, textCol, prefix, w = -1)
 
-  private def live(spark: SparkSession, table: String,
+  private def appendBatch(docs: DataFrame, idCol: String, textCol: String,
+                          prefix: String, w: Int): Unit = {
+    val spark = docs.sparkSession
+    val (g, b) = Generations.beginBatch(spark, prefix)
+    writeAll(docs, idCol, textCol, prefix, w, g, b, mode = "append")
+    Generations.commit(spark, prefix, g, b)
+  }
+
+  /** [[append]] WITHOUT the commit row — the simulated writer crash
+    * GenerationsSpec drives; the rows stay invisible forever. */
+  private[graft] def appendUncommitted(docs: DataFrame, idCol: String,
+                                       textCol: String,
+                                       prefix: String): (Long, Long) = {
+    val (g, b) = Generations.beginBatch(docs.sparkSession, prefix)
+    writeAll(docs, idCol, textCol, prefix, w = 1, g, b, mode = "append")
+    (g, b)
+  }
+
+  /** Live fold of a log table at the resolved committed state. */
+  private def live(spark: SparkSession, prefix: String, logical: String,
+                   st: (Long, Seq[Long]),
                    dataCols: Seq[String]): DataFrame =
-    spark.table(table)
+    spark.table(phys(prefix, logical, st._1))
+      .filter(col("b").isin(st._2: _*))
       .groupBy(dataCols.map(col): _*)
       .agg(sum(col("w")).as("net"))
       .filter(col("net") > 0)
       .select(dataCols.map(col): _*)
+
+  /** The stats log's running sum at the committed state: (live N, live
+    * total tokens) — one bounded scalar read. */
+  private def liveStats(spark: SparkSession, prefix: String,
+                        st: (Long, Seq[Long])): (Long, Long) = {
+    val r = spark.table(phys(prefix, "stats", st._1))
+      .filter(col("b").isin(st._2: _*))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("tt")), lit(0L)).as("tt")).head()
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Rank the live index against a query batch — bit-equal to
     * [[CorpusOps.bm25TopK]] over the same live corpus (the q154 gate).
@@ -106,12 +169,19 @@ object Bm25Index {
   def search(spark: SparkSession, prefix: String,
              queries: Seq[(String, String)], k: Int = 10,
              k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
-    val st = spark.table(stats(prefix))
-      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
-        coalesce(sum(col("tt")), lit(0L)).as("tt")).head()
-    val n = st.getLong(0)
+    val (tf, dfr, dl, n, avgdlMilli) = rankInputs(spark, prefix, queries)
+    CorpusOps.bm25Rank(tf, dfr, dl, n, avgdlMilli, k, k1Milli, bMilli)
+  }
+
+  /** The shared ranking head of [[search]] and [[searchWithProximity]]:
+    * (query-term tf frame, df frame, live doclens, live N, avgdl). */
+  private def rankInputs(spark: SparkSession, prefix: String,
+                         queries: Seq[(String, String)])
+      : (DataFrame, DataFrame, DataFrame, Long, Long) = {
+    val st = Generations.committedState(spark, prefix)
+    val (n, tt) = liveStats(spark, prefix, st)
     require(n > 0, "Bm25Index.search needs a non-empty live index")
-    val avgdlMilli = st.getLong(1) * 1000L / n
+    val avgdlMilli = tt * 1000L / n
     val qterms = CorpusOps.bm25QueryTerms(spark, queries)
     // the index LOOKUP: query terms are a bounded driver-side list, so
     // they push into the postings scan as a STATIC In(term, …) filter
@@ -123,7 +193,8 @@ object Bm25Index {
     // because the fold's grouping includes `term`.
     val terms = queries.flatMap(_._2.trim.split("\\s+")).distinct
     val matched = Caches.persistTracked(
-      spark.table(postings(prefix))
+      spark.table(phys(prefix, "postings", st._1))
+        .filter(col("b").isin(st._2: _*))
         .filter(col("term").isin(terms: _*))
         .groupBy("term", "doc_id", "tf")
         .agg(sum(col("w")).as("net")).filter(col("net") > 0)
@@ -131,9 +202,115 @@ object Bm25Index {
     val dfr = matched.groupBy("term").agg(count(lit(1)).as("df"))
     val tf = matched.join(broadcast(qterms), Seq("term"))
       .select("query_id", "doc_id", "term", "tf")
-    CorpusOps.bm25Rank(tf, dfr,
-      live(spark, doclens(prefix), Seq("doc_id", "dl")),
-      n, avgdlMilli, k, k1Milli, bMilli)
+    (tf, dfr, live(spark, prefix, "doclens", st, Seq("doc_id", "dl")),
+      n, avgdlMilli)
+  }
+
+  /** PROXIMITY (NEAR-k) search over the positional postings — the
+    * retrieval feature between bag-of-words [[search]] and exact
+    * [[phraseSearch]]: a document matches when ALL the query's
+    * DISTINCT terms occur within a `win`-token window, in ANY order
+    * (span = max(pos) − min(pos) ≤ win − 1). Per (query, doc) the
+    * output counts the satisfying position TUPLES (one position per
+    * distinct term — the deterministic tuple semantics both engines
+    * derive exactly) and the earliest window start.
+    *
+    * Scale shape — the [[phraseSearch]] argument with a bounded fan:
+    * inputs are only the query terms' live positions
+    * ([[livePositions]]'s static-In pushdown; the corpus is never
+    * scanned), chained as m−1 doc_id equi-joins. Each step filters to
+    * |pos_j − anchor| ≤ win − 1 IMMEDIATELY (a necessary condition of
+    * the final span test), so the per-anchor intermediate is capped at
+    * win positions per term — the tuple frame grows ∝ tf₀·winᵐ⁻¹,
+    * never the unbounded per-doc cross product. The exact span filter
+    * lands after the last join.
+    */
+  def proximitySearch(spark: SparkSession, prefix: String,
+                      queries: Seq[(String, String)],
+                      win: Int): DataFrame =
+    proximityHits(spark, prefix, queries, win)
+      .orderBy("query_id", "doc_id")
+
+  /** [[proximitySearch]] without the presentation sort — the form
+    * [[searchWithProximity]] consumes (a sort under a join is a wasted
+    * range Exchange). */
+  private def proximityHits(spark: SparkSession, prefix: String,
+                            queries: Seq[(String, String)],
+                            win: Int): DataFrame = {
+    require(win >= 1, s"window must be >= 1 token, got $win")
+    val allTerms = queries.flatMap(_._2.trim.split("\\s+")).distinct
+    val matched = Caches.persistTracked(
+      livePositions(spark, prefix, allTerms))
+    val perQuery = queries.map { case (qid, qtext) =>
+      val ts = qtext.trim.split("\\s+").distinct
+      val anchor = matched.filter(col("term") === ts(0))
+        .select(col("doc_id"), col("pos").as("p0"))
+      val tuples = ts.indices.drop(1).foldLeft(anchor) { (cur, j) =>
+        cur.join(matched.filter(col("term") === ts(j))
+            .select(col("doc_id"), col("pos").as(s"p$j")),
+          Seq("doc_id"))
+          .filter(abs(col(s"p$j") - col("p0")) <= win - 1)
+      }
+      val ps = ts.indices.map(j => col(s"p$j"))
+      val (span, start) =
+        if (ts.length == 1) (lit(0L), col("p0"))
+        else (greatest(ps: _*) - least(ps: _*), least(ps: _*))
+      tuples.filter(span <= win - 1)
+        .select(col("doc_id"), start.as("wstart"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          min(col("wstart")).cast("long").as("first_start"))
+        .select(lit(qid).as("query_id"), col("doc_id"),
+          col("n_windows"), col("first_start"))
+    }
+    perQuery.reduce(_.unionByName(_))
+  }
+
+  /** PHRASE-AWARE ranking: [[search]]'s BM25 score plus a flat
+    * `boostMicro` for documents where all the query's distinct terms
+    * sit within a `win`-token window ([[proximitySearch]]'s
+    * within-window judgment) — the standard second-stage signal every
+    * search deployment layers over bag-of-words ranking. The boost is
+    * added to the FULL scored set before the top-k cut (a boosted doc
+    * can enter the top-k from below), and stays exact integer
+    * micro-units end-to-end, so the oracle reproduces every rank
+    * bit-for-bit. Proximity-boosted docs necessarily matched every
+    * query term, so the left join onto the scored set loses nothing.
+    */
+  def searchWithProximity(spark: SparkSession, prefix: String,
+                          queries: Seq[(String, String)], k: Int = 10,
+                          win: Int = 8, boostMicro: Long = 500000L,
+                          k1Milli: Long = 1200L,
+                          bMilli: Long = 750L): DataFrame = {
+    val (tf, dfr, dl, n, avgdlMilli) = rankInputs(spark, prefix, queries)
+    val scored = CorpusOps.bm25Scores(tf, dfr, dl, n, avgdlMilli,
+      k1Milli, bMilli)
+    val prox = proximityHits(spark, prefix, queries, win)
+      .select(col("query_id"), col("doc_id"), lit(boostMicro).as("bst"))
+    val boosted = scored
+      .join(broadcast(prox), Seq("query_id", "doc_id"), "left_outer")
+      .select(col("query_id"), col("doc_id"),
+        (col("score") + coalesce(col("bst"), lit(0L))).as("score"),
+        col("matched"))
+    CorpusOps.bm25RankTail(boosted, k)
+  }
+
+  /** The live positional postings restricted to a bounded term list —
+    * the shared head of [[phraseSearch]] and proximity search: the
+    * driver-side term list pushes into the positions scan as a static
+    * In(term, …) predicate, so parquet row-group pruning over the
+    * term-sorted buckets skips the rest of the vocabulary before the
+    * liveness fold — which commutes with the restriction because its
+    * grouping includes `term`. */
+  private def livePositions(spark: SparkSession, prefix: String,
+                            terms: Seq[String]): DataFrame = {
+    val st = Generations.committedState(spark, prefix)
+    spark.table(phys(prefix, "positions", st._1))
+      .filter(col("b").isin(st._2: _*))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term", "doc_id", "pos")
+      .agg(sum(col("w")).as("net")).filter(col("net") > 0)
+      .select("term", "doc_id", "pos")
   }
 
   /** EXACT-PHRASE search over the positional postings — the retrieval
@@ -141,14 +318,10 @@ object Bm25Index {
     * tokens, not a bag). Per phrase t₀…tₘ₋₁: the t₀ position list is
     * the anchor, and each later term joins on (doc_id, pos − j = anchor
     * pos) — m−1 equi-joins whose inputs are only the QUERY TERMS'
-    * postings, never the corpus (the [[search]] lesson applied: the
-    * driver-side term list pushes into the positions scan as a static
-    * In(term, …) predicate, so parquet row-group pruning over the
-    * term-sorted buckets skips the rest of the vocabulary before the
-    * liveness fold — which commutes with the restriction because its
-    * grouping includes `term`). A phrase with a repeated token probes
-    * the same folded frame at two offsets — correct because position
-    * sets are per-term exact.
+    * postings, never the corpus ([[livePositions]]'s static-In
+    * restriction). A phrase with a repeated token probes the same
+    * folded frame at two offsets — correct because position sets are
+    * per-term exact.
     *
     * Output per (query_id, matching doc): occurrence count + first
     * match position. Phrases are a bounded driver-side list (the query
@@ -158,11 +331,7 @@ object Bm25Index {
                    phrases: Seq[(String, String)]): DataFrame = {
     val allTerms = phrases.flatMap(_._2.trim.split("\\s+")).distinct
     val matched = Caches.persistTracked(
-      spark.table(positions(prefix))
-        .filter(col("term").isin(allTerms: _*))
-        .groupBy("term", "doc_id", "pos")
-        .agg(sum(col("w")).as("net")).filter(col("net") > 0)
-        .select("term", "doc_id", "pos"))
+      livePositions(spark, prefix, allTerms))
     val perPhrase = phrases.map { case (qid, ptext) =>
       val ts = ptext.trim.split("\\s+")
       val anchor = matched.filter(col("term") === ts(0))
@@ -190,7 +359,9 @@ object Bm25Index {
     * — is never RE-INGESTED: the tokenize/postings/write cost is
     * ∝ |delta|. Post-refresh the index answers exactly as one
     * bootstrapped fresh on `newGen` (the q159 gate; CorpusOpsSpec
-    * pins bit-equality).
+    * pins bit-equality). Both legs share ONE manifest batch id and ONE
+    * commit row, so the refresh is all-or-nothing: no reader ever sees
+    * the takedowns applied without the re-appends.
     *
     * Scale shape: the diff is one map-side-digest full-outer join
     * (md5 hashes shuffle, never text — snapshotDiff's contract); the
@@ -206,29 +377,43 @@ object Bm25Index {
     */
   def refreshFromDiff(oldGen: DataFrame, newGen: DataFrame,
                       idCol: String, textCol: String,
-                      prefix: String): Unit =
+                      prefix: String): Unit = {
+    val spark = oldGen.sparkSession
+    val (g, b) = Generations.beginBatch(spark, prefix)
     TextOps.refreshViaDiff(oldGen, newGen, idCol, col(textCol))(
-      delete(_, idCol, textCol, prefix),
-      append(_, idCol, textCol, prefix))
+      writeAll(_, idCol, textCol, prefix, w = -1, g, b, mode = "append"),
+      writeAll(_, idCol, textCol, prefix, w = 1, g, b, mode = "append"))
+    Generations.commit(spark, prefix, g, b)
+  }
 
-  /** Compact the index's bucketed tables to one file per bucket and
-    * net the stats log to a single row — [[Sinks.compactBucketed]]
-    * plus the stats-specific rewrite (that table is a plain append log
-    * of signed scalars, not bucketed).
+  /** Compact the index's four tables into the NEXT generation — one
+    * file per bucket, stats netted to a single row — then flip with
+    * one commit and GC the old generation. Readers resolve the old
+    * tables until the flip; an interrupted compaction leaves the index
+    * exactly as it was (GenerationsSpec pins both).
     */
   def compact(spark: SparkSession, prefix: String): Unit = {
-    Sinks.compactBucketed(spark, postings(prefix), Seq("term"), Buckets)
-    Sinks.compactBucketed(spark, doclens(prefix), Seq("doc_id"), Buckets)
-    Sinks.compactBucketed(spark, positions(prefix), Seq("term"), Buckets)
-    val st = spark.table(stats(prefix))
-      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
-        coalesce(sum(col("tt")), lit(0L)).as("tt"))
-      .coalesce(1)
-    val tmp = stats(prefix) + "_compacting"
-    // a stale location from a previous session blocks CREATE
-    Sinks.purgeTable(spark, tmp)
-    st.write.mode("overwrite").saveAsTable(tmp)
-    Sinks.purgeTable(spark, stats(prefix))
-    spark.sql(s"ALTER TABLE $tmp RENAME TO ${stats(prefix)}")
+    val ng = buildNextGeneration(spark, prefix)
+    Generations.commit(spark, prefix, ng, 0L)
+    Generations.gc(spark, prefix, ng, Logicals)
+  }
+
+  /** Compaction's build phase (intent + next-generation tables, NO
+    * commit) — split out for GenerationsSpec's interleaved reads. */
+  private[graft] def buildNextGeneration(spark: SparkSession,
+                                         prefix: String): Long = {
+    val st @ (gen, bs) = Generations.committedState(spark, prefix)
+    val ng = Generations.beginGeneration(spark, prefix)
+    for (logical <- Seq("postings", "doclens", "positions"))
+      Sinks.compactBucketedTo(spark, phys(prefix, logical, gen),
+        phys(prefix, logical, ng), bucketColsOf(logical), Buckets, bs)
+    val (n, tt) = liveStats(spark, prefix, st)
+    val s = spark
+    import s.implicits._
+    val tgt = phys(prefix, "stats", ng)
+    Sinks.purgeTable(spark, tgt)
+    Seq((n, tt, 1, 0L)).toDF("n", "tt", "w", "b")
+      .coalesce(1).write.mode("errorifexists").saveAsTable(tgt)
+    ng
   }
 }

@@ -46,7 +46,12 @@ import graft.{Caches, TextOps}
   * the never-inserted-corpus oracle).
   *
   * Single-writer-batch posture, like [[Sinks.constrainedAppend]]:
-  * concurrent appends would need a transactional table format.
+  * concurrent appends would need a transactional table format. What IS
+  * transactional — via the [[Generations]] manifest every read and
+  * write brackets — is each batch against readers and crashes: a
+  * multi-table ingest or takedown becomes visible through one commit
+  * row, and [[compact]] builds the next table generation fully before
+  * flipping, so a reader never sees a missing table or half a batch.
   */
 object DedupIndex {
 
@@ -56,9 +61,7 @@ object DedupIndex {
     */
   val Buckets = 32
 
-  private def bands(prefix: String) = s"${prefix}_bands"
-  private def shsets(prefix: String) = s"${prefix}_shsets"
-  private def hashes(prefix: String) = s"${prefix}_hashes"
+  private[graft] val Logicals = Seq("bands", "shsets", "hashes")
 
   /** The per-increment hashing pass shared by [[write]], [[append]]
     * and [[delete]]: one persisted projection feeds the band rows, the
@@ -77,16 +80,24 @@ object DedupIndex {
       sh.select("content_hash", "doc_id").withColumn("w", lit(w)))
   }
 
-  private def save(df: DataFrame, table: String, mode: String,
-                   bucketCols: Seq[String]): Unit =
-    Sinks.writeBucketed(df, table, bucketCols, Buckets, mode)
+  private def bucketColsOf(logical: String): Seq[String] = logical match {
+    case "bands"  => Seq("band", "key")
+    case "shsets" => Seq("doc_id")
+    case _        => Seq("content_hash")
+  }
 
+  /** Write one batch's rows — stamped with its manifest batch id `b` —
+    * into generation `gen`'s physical tables. Callers own the
+    * intent/commit bracket ([[Generations]]); rows written here are
+    * invisible until the commit row lands. */
   private def writeAll(docs: DataFrame, idCol: String, textCol: String,
-                       prefix: String, w: Int, mode: String): Unit = {
-    val (b, s, h) = project(docs, idCol, textCol, w)
-    save(b, bands(prefix), mode, Seq("band", "key"))
-    save(s, shsets(prefix), mode, Seq("doc_id"))
-    save(h, hashes(prefix), mode, Seq("content_hash"))
+                       prefix: String, w: Int, gen: Long, b: Long,
+                       mode: String): Unit = {
+    val (bn, s, h) = project(docs, idCol, textCol, w)
+    for ((df, logical) <- Seq(bn -> "bands", s -> "shsets", h -> "hashes"))
+      Sinks.writeBucketed(df.withColumn("b", lit(b)),
+        Generations.physical(prefix, logical, gen),
+        bucketColsOf(logical), Buckets, mode)
   }
 
   /** (Re)build the standing index from a corpus snapshot — the one-time
@@ -95,18 +106,26 @@ object DedupIndex {
     * increments fold in via [[append]], takedowns via [[delete]].
     */
   def write(docs: DataFrame, idCol: String, textCol: String,
-            prefix: String): Unit =
-    writeAll(docs, idCol, textCol, prefix, w = 1, mode = "overwrite")
+            prefix: String): Unit = {
+    val spark = docs.sparkSession
+    Generations.beginBootstrap(spark, prefix)
+    writeAll(docs, idCol, textCol, prefix, w = 1, gen = 0L, b = 0L,
+      mode = "overwrite")
+    Generations.commit(spark, prefix, 0L, 0L)
+  }
 
   /** Fold an accepted increment into the standing index. Appends only —
     * each batch adds one file per bucket and the corpus is never
     * rewritten; Spark unions bucket files at read, so the bucketed
-    * read-side guarantee survives any number of appends. Run
-    * [[compact]] periodically to bound the accumulated file count.
+    * read-side guarantee survives any number of appends. The batch is
+    * ATOMIC: all three tables' rows carry one manifest batch id, made
+    * visible by a single commit-row append — a crash mid-write leaves
+    * only invisible orphans ([[Generations]]). Run [[compact]]
+    * periodically to bound the accumulated file count.
     */
   def append(increment: DataFrame, idCol: String, textCol: String,
              prefix: String): Unit =
-    writeAll(increment, idCol, textCol, prefix, w = 1, mode = "append")
+    appendBatch(increment, idCol, textCol, prefix, w = 1)
 
   /** Remove documents from the standing index — the takedown/GDPR path.
     * The caller supplies the SAME (id, text) rows it inserted (a
@@ -119,28 +138,69 @@ object DedupIndex {
     */
   def delete(docs: DataFrame, idCol: String, textCol: String,
              prefix: String): Unit =
-    writeAll(docs, idCol, textCol, prefix, w = -1, mode = "append")
+    appendBatch(docs, idCol, textCol, prefix, w = -1)
 
-  /** Compact all three of an index's tables to one file per bucket,
-    * physically dropping tombstone-cancelled rows — the shared
-    * log-structured compaction, [[Sinks.compactBucketed]]. */
-  def compact(spark: SparkSession, prefix: String): Unit = {
-    Sinks.compactBucketed(spark, bands(prefix), Seq("band", "key"), Buckets)
-    Sinks.compactBucketed(spark, shsets(prefix), Seq("doc_id"), Buckets)
-    Sinks.compactBucketed(spark, hashes(prefix), Seq("content_hash"),
-      Buckets)
+  private def appendBatch(docs: DataFrame, idCol: String, textCol: String,
+                          prefix: String, w: Int): Unit = {
+    val spark = docs.sparkSession
+    val (g, b) = Generations.beginBatch(spark, prefix)
+    writeAll(docs, idCol, textCol, prefix, w, g, b, mode = "append")
+    Generations.commit(spark, prefix, g, b)
   }
 
-  /** Live (tombstone-folded) view of a log-structured table: group on
-    * the data columns — bucket key leading — and keep net weight > 0.
-    * The grouping keys are a superset of the bucket key, so the
+  /** [[append]] WITHOUT the commit row — the simulated writer crash
+    * GenerationsSpec drives: the rows land on disk but stay invisible
+    * to every screen, and the allocated batch id is never reused. */
+  private[graft] def appendUncommitted(docs: DataFrame, idCol: String,
+                                       textCol: String,
+                                       prefix: String): (Long, Long) = {
+    val (g, b) = Generations.beginBatch(docs.sparkSession, prefix)
+    writeAll(docs, idCol, textCol, prefix, w = 1, g, b, mode = "append")
+    (g, b)
+  }
+
+  /** Compact all three of an index's tables to one file per bucket,
+    * physically dropping tombstone-cancelled rows and crashed batches'
+    * orphans. The rewrite lands in the NEXT generation's tables while
+    * readers keep the current one; ONE manifest commit row flips
+    * visibility, then the old generation is garbage-collected — no
+    * missing-table or mixed-generation window at any point
+    * (GenerationsSpec pins search-during-compaction equality). */
+  def compact(spark: SparkSession, prefix: String): Unit = {
+    val ng = buildNextGeneration(spark, prefix)
+    Generations.commit(spark, prefix, ng, 0L)
+    Generations.gc(spark, prefix, ng, Logicals)
+  }
+
+  /** Compaction's build phase only (intent + full next-generation
+    * write, NO commit) — split out so GenerationsSpec can interleave
+    * reads and simulate the crash-before-commit. */
+  private[graft] def buildNextGeneration(spark: SparkSession,
+                                         prefix: String): Long = {
+    val (gen, bs) = Generations.committedState(spark, prefix)
+    val ng = Generations.beginGeneration(spark, prefix)
+    for (logical <- Logicals)
+      Sinks.compactBucketedTo(spark,
+        Generations.physical(prefix, logical, gen),
+        Generations.physical(prefix, logical, ng),
+        bucketColsOf(logical), Buckets, bs)
+    ng
+  }
+
+  /** Live (tombstone-folded) view of a log-structured table at the
+    * resolved committed state: visible batches only, group on the data
+    * columns — bucket key leading — and keep net weight > 0. The batch
+    * filter is a static IN over a bounded list (it reaches the parquet
+    * scan); the grouping keys are a superset of the bucket key, so the
     * aggregate satisfies its distribution from the bucketed read and
     * plans ZERO Exchange; output partitioning stays on the bucket key,
     * which is exactly what the downstream screen join needs.
     */
-  private def live(spark: SparkSession, table: String,
+  private def live(spark: SparkSession, prefix: String, logical: String,
+                   st: (Long, Seq[Long]),
                    dataCols: Seq[String]): DataFrame =
-    spark.table(table)
+    spark.table(Generations.physical(prefix, logical, st._1))
+      .filter(col("b").isin(st._2: _*))
       .groupBy(dataCols.map(col): _*)
       .agg(sum(col("w")).as("net"))
       .filter(col("net") > 0)
@@ -157,12 +217,13 @@ object DedupIndex {
   def screenNearDup(spark: SparkSession, batch: DataFrame, idCol: String,
                     textCol: String, prefix: String,
                     threshold: Double = 0.8): DataFrame = {
+    val st = Generations.committedState(spark, prefix)
     val newSh = Caches.persistTracked(batch.select(col(idCol).as("doc_id"),
       TextOps.hashedShingleSet(col(textCol)).as("shset")))
     TextOps.incrementalNearDupProbe(
-      live(spark, bands(prefix), Seq("band", "key", "doc_id"))
+      live(spark, prefix, "bands", st, Seq("band", "key", "doc_id"))
         .select(col("doc_id").as("old_id"), col("band"), col("key")),
-      live(spark, shsets(prefix), Seq("doc_id", "shset")),
+      live(spark, prefix, "shsets", st, Seq("doc_id", "shset")),
       newSh, threshold)
   }
 
@@ -176,7 +237,9 @@ object DedupIndex {
     */
   def screenExact(spark: SparkSession, batch: DataFrame, idCol: String,
                   textCol: String, prefix: String): DataFrame = {
-    val oldCanon = live(spark, hashes(prefix), Seq("content_hash", "doc_id"))
+    val st = Generations.committedState(spark, prefix)
+    val oldCanon = live(spark, prefix, "hashes", st,
+        Seq("content_hash", "doc_id"))
       .groupBy("content_hash").agg(min(col("doc_id")).as("canonical_id"))
     batch.select(col(idCol).as("doc_id"),
         md5(col(textCol)).as("content_hash"))

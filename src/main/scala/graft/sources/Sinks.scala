@@ -103,13 +103,15 @@ object Sinks {
   }
 
   /** Net a log-structured bucketed table (data columns + a signed
-    * weight column `w`) and rewrite it as ONE file per bucket,
-    * preserving the bucket spec — the shared offline compaction of the
-    * standing-index family ([[DedupIndex.compact]], [[Bm25Index
-    * .compact]]): bounds the one-file-per-bucket-per-batch growth AND
-    * physically removes tombstone-cancelled rows (the takedown/GDPR
-    * guarantee that deleted content leaves disk, not just the folds).
-    * The net aggregate groups on every data column — bucket key
+    * weight column `w` + a batch-epoch column `b`) and rewrite it as
+    * ONE file per bucket under a NEW name, preserving the bucket spec —
+    * the shared offline compaction of the standing-index family
+    * ([[DedupIndex.compact]], [[Bm25Index.compact]]): bounds the
+    * one-file-per-bucket-per-batch growth AND physically removes
+    * tombstone-cancelled rows (the takedown/GDPR guarantee that deleted
+    * content leaves disk, not just the folds) AND drops orphan rows of
+    * crashed, never-committed batches (only `visibleB` batches are
+    * read). The net aggregate groups on every data column — bucket key
     * leading, so it runs IN-BUCKET over the bucketed read — and keeps
     * rows with nonzero net weight, which makes compaction semantics-
     * free by construction: every screen folds `sum(w)` either way, so
@@ -117,26 +119,30 @@ object Sinks {
     * the deployments never produce (double inserts,
     * delete-before-insert).
     *
-    * The rewrite goes through a temp table + catalog rename (read and
-    * write can't share a location): the explicit
-    * `repartition(numBuckets, bucketKey)` pins partition-to-bucket
-    * alignment — repartition's hash IS the bucket hash — so each write
-    * task holds exactly one bucket and emits exactly one file.
+    * Writing into `to` (the next generation's physical name,
+    * [[Generations.physical]]) instead of renaming over `from` is what
+    * removes the old missing-table window: readers keep resolving the
+    * previous generation until its [[Generations.commit]] row lands —
+    * the source table is never dropped here (that is post-commit
+    * [[Generations.gc]]). The explicit `repartition(numBuckets,
+    * bucketKey)` pins partition-to-bucket alignment — repartition's
+    * hash IS the bucket hash — so each write task holds exactly one
+    * bucket and emits exactly one file. The compacted rows restart at
+    * batch b = 0, the new generation's bootstrap batch.
     */
-  def compactBucketed(spark: SparkSession, table: String,
-                      bucketCols: Seq[String],
-                      numBuckets: Int = 32): Unit = {
-    val df = spark.table(table)
-    val dataCols = df.columns.filterNot(_ == "w").toSeq
-    val net = df.groupBy(dataCols.map(col): _*)
+  def compactBucketedTo(spark: SparkSession, from: String, to: String,
+                        bucketCols: Seq[String], numBuckets: Int,
+                        visibleB: Seq[Long]): Unit = {
+    val df = spark.table(from)
+    val dataCols = df.columns.filterNot(c => c == "w" || c == "b").toSeq
+    val net = df.filter(col("b").isin(visibleB: _*))
+      .groupBy(dataCols.map(col): _*)
       .agg(sum(col("w")).cast("int").as("w"))
       .filter(col("w") =!= 0)
+      .withColumn("b", lit(0L))
       .select(df.columns.toSeq.map(col): _*)
       .repartition(numBuckets, bucketCols.map(col): _*)
-    val tmp = table + "_compacting"
-    writeBucketed(net, tmp, bucketCols, numBuckets, "overwrite")
-    purgeTable(spark, table)
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    writeBucketed(net, to, bucketCols, numBuckets, "overwrite")
   }
 
   /** Morton (Z-order) value: interleave the low `bits` of two

@@ -27,12 +27,17 @@ import graft.{Caches, TextOps}
   */
 object StatsLedger {
 
-  private def ledger(p: String) = s"${p}_stats_ledger"
+  private[graft] val Logicals = Seq("stats_ledger")
+
+  private def ledger(prefix: String, gen: Long): String =
+    Generations.physical(prefix, "stats_ledger", gen)
 
   /** One tokenization per batch feeds the partial; a takedown (w = -1)
-    * re-derives rows matching its insert bit-for-bit. */
+    * re-derives rows matching its insert bit-for-bit. Rows carry the
+    * manifest batch id `b`; callers own the intent/commit bracket. */
   private def writeAll(df: DataFrame, textCol: String, srcCol: String,
-                       prefix: String, w: Int, mode: String): Unit = {
+                       prefix: String, w: Int, gen: Long, b: Long,
+                       mode: String): Unit = {
     val spark = df.sparkSession
     val partial = df
       .select(col(srcCol).as("source"),
@@ -48,24 +53,37 @@ object StatsLedger {
         sum(col("n_chars")).as("n_chars"),
         sum(col("n_stop")).as("n_stop"),
         sum(when(col("n_tokens") < 20, 1L).otherwise(0L)).as("n_short"))
-      .withColumn("w", lit(w))
-    if (mode == "overwrite") Sinks.purgeTable(spark, ledger(prefix))
+      .withColumn("w", lit(w)).withColumn("b", lit(b))
+    if (mode == "overwrite") Sinks.purgeTable(spark, ledger(prefix, gen))
     partial.coalesce(1).write
       .mode(if (mode == "overwrite") "errorifexists" else mode)
-      .saveAsTable(ledger(prefix))
+      .saveAsTable(ledger(prefix, gen))
   }
 
   def write(df: DataFrame, textCol: String, srcCol: String,
-            prefix: String): Unit =
-    writeAll(df, textCol, srcCol, prefix, w = 1, mode = "overwrite")
+            prefix: String): Unit = {
+    val spark = df.sparkSession
+    Generations.beginBootstrap(spark, prefix)
+    writeAll(df, textCol, srcCol, prefix, w = 1, gen = 0L, b = 0L,
+      mode = "overwrite")
+    Generations.commit(spark, prefix, 0L, 0L)
+  }
 
   def append(df: DataFrame, textCol: String, srcCol: String,
              prefix: String): Unit =
-    writeAll(df, textCol, srcCol, prefix, w = 1, mode = "append")
+    appendBatch(df, textCol, srcCol, prefix, w = 1)
 
   def delete(df: DataFrame, textCol: String, srcCol: String,
              prefix: String): Unit =
-    writeAll(df, textCol, srcCol, prefix, w = -1, mode = "append")
+    appendBatch(df, textCol, srcCol, prefix, w = -1)
+
+  private def appendBatch(df: DataFrame, textCol: String, srcCol: String,
+                          prefix: String, w: Int): Unit = {
+    val spark = df.sparkSession
+    val (g, b) = Generations.beginBatch(spark, prefix)
+    writeAll(df, textCol, srcCol, prefix, w, g, b, mode = "append")
+    Generations.commit(spark, prefix, g, b)
+  }
 
   /** Update the ledger for a republished corpus generation through
     * its diff manifest — cost ∝ |delta|, never |corpus|. The diff
@@ -76,16 +94,47 @@ object StatsLedger {
     * to_json(struct(…)) keeps null text distinct from empty. */
   def refreshFromDiff(oldGen: DataFrame, newGen: DataFrame,
                       idCol: String, textCol: String, srcCol: String,
-                      prefix: String): Unit =
+                      prefix: String): Unit = {
+    val spark = oldGen.sparkSession
+    // both legs share ONE manifest batch id and ONE commit row — the
+    // refresh is all-or-nothing against readers and crashes
+    val (g, b) = Generations.beginBatch(spark, prefix)
     TextOps.refreshViaDiff(oldGen, newGen, idCol,
       to_json(struct(col(textCol), col(srcCol))))(
-      delete(_, textCol, srcCol, prefix),
-      append(_, textCol, srcCol, prefix))
+      writeAll(_, textCol, srcCol, prefix, w = -1, g, b, mode = "append"),
+      writeAll(_, textCol, srcCol, prefix, w = 1, g, b, mode = "append"))
+    Generations.commit(spark, prefix, g, b)
+  }
+
+  /** Compact the ledger into the next generation: one netted row per
+    * source, then the one-row flip + GC (the [[Bm25Index.compact]]
+    * stats posture). */
+  def compact(spark: SparkSession, prefix: String): Unit = {
+    val (gen, bs) = Generations.committedState(spark, prefix)
+    val ng = Generations.beginGeneration(spark, prefix)
+    val net = spark.table(ledger(prefix, gen))
+      .filter(col("b").isin(bs: _*))
+      .groupBy("source")
+      .agg(sum(col("n_docs") * col("w")).as("n_docs"),
+        sum(col("n_tokens") * col("w")).as("n_tokens"),
+        sum(col("n_chars") * col("w")).as("n_chars"),
+        sum(col("n_stop") * col("w")).as("n_stop"),
+        sum(col("n_short") * col("w")).as("n_short"))
+      .filter(col("n_docs") =!= 0)
+      .withColumn("w", lit(1)).withColumn("b", lit(0L))
+    val tgt = ledger(prefix, ng)
+    Sinks.purgeTable(spark, tgt)
+    net.coalesce(1).write.mode("errorifexists").saveAsTable(tgt)
+    Generations.commit(spark, prefix, ng, 0L)
+    Generations.gc(spark, prefix, ng, Logicals)
+  }
 
   /** Finish the reduce: the live per-source data card. One scan of a
     * |sources × batches|-row ledger — no corpus read. */
-  def profile(spark: SparkSession, prefix: String): DataFrame =
-    spark.table(ledger(prefix))
+  def profile(spark: SparkSession, prefix: String): DataFrame = {
+    val (gen, bs) = Generations.committedState(spark, prefix)
+    spark.table(ledger(prefix, gen))
+      .filter(col("b").isin(bs: _*))
       .groupBy("source")
       .agg(sum(col("n_docs") * col("w")).as("n_docs"),
         sum(col("n_tokens") * col("w")).as("n_tokens"),
@@ -98,4 +147,5 @@ object StatsLedger {
         round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
         col("n_short"))
       .orderBy("source")
+  }
 }

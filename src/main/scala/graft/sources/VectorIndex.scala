@@ -13,8 +13,8 @@ import graft.{Caches, Similarity}
   * form; [[graft.Similarity.buildIvf]] persists centroids but still
   * scans the raw corpus per search and has no takedown path):
   *
-  *  - `<prefix>_vectors`   (block, vec_id, q, norm2, w)  bucketed by block
-  *  - `<prefix>_centroids` (block, cq, cnt, w)           per-batch log
+  *  - `<prefix>_vectors`   (block, vec_id, q, norm2, w, b) bucketed by block
+  *  - `<prefix>_centroids` (block, cq, cnt, w, b)           per-batch log
   *
   * Both tables are LOG-STRUCTURED with the w = ±1 weight discipline:
   * [[append]] writes the batch's quantized vectors plus its PER-BLOCK
@@ -29,6 +29,15 @@ import graft.{Caches, Similarity}
   * This is the partial-aggregation-as-index-rows posture: the index
   * maintains the map-side combine output, and search finishes the
   * reduce over a |blocks × batches|-row table instead of the corpus.
+  *
+  * Every batch is ATOMIC via the [[Generations]] manifest (rows stamped
+  * with batch id `b`, one commit-row flip): a crash between the vectors
+  * write and the centroid-partial write can never leave readers with
+  * vectors whose block has no centroid mass (or vice versa), and
+  * [[compact]] builds the next table generation fully before the
+  * one-row flip — no purge-then-rename window. The PQ codes layer has
+  * its own independent manifest (`<prefix>_pq`), since the two layers
+  * have independent lifecycles.
   *
   * [[search]] is [[graft.Similarity.ivfTopK]]'s routed shape against
   * the standing tables: probes broadcast against the folded centroids
@@ -46,21 +55,25 @@ object VectorIndex {
 
   val Buckets = 16
 
-  private def vectors(p: String) = s"${p}_vectors"
-  private def centroids(p: String) = s"${p}_centroids"
+  private[graft] val Logicals = Seq("vectors", "centroids")
+
+  private def phys(prefix: String, logical: String, gen: Long): String =
+    Generations.physical(prefix, logical, gen)
 
   /** One quantization pass feeds both tables; a takedown (w = -1)
-    * re-derives rows matching its insert bit-for-bit. */
+    * re-derives rows matching its insert bit-for-bit. Rows carry the
+    * manifest batch id `b`; callers own the intent/commit bracket. */
   private def writeAll(df: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, prefix: String, w: Int,
-                       mode: String): Unit = {
+                       gen: Long, b: Long, mode: String): Unit = {
     val spark = df.sparkSession
     val vecs = Caches.persistTracked(
       df.select(col(blockCol).as("block"), col(idCol).as("vec_id"),
           Similarity.quantize(col(vecCol)).as("q"))
         .withColumn("norm2", Similarity.dotQ(col("q"), col("q"))))
-    Sinks.writeBucketed(vecs.withColumn("w", lit(w)),
-      vectors(prefix), Seq("block"), Buckets, mode)
+    Sinks.writeBucketed(
+      vecs.withColumn("w", lit(w)).withColumn("b", lit(b)),
+      phys(prefix, "vectors", gen), Seq("block"), Buckets, mode)
     val partial = vecs
       .select(col("block"), posexplode(col("q")).as(Seq("pos", "v")))
       .groupBy("block", "pos").agg(sum("v").as("s"))
@@ -70,39 +83,56 @@ object VectorIndex {
         p => p.getField("s")).as("cq"))
       .join(vecs.groupBy("block").agg(count(lit(1)).as("cnt")),
         Seq("block"))
-      .withColumn("w", lit(w))
-    if (mode == "overwrite") purge(spark, centroids(prefix))
+      .withColumn("w", lit(w)).withColumn("b", lit(b))
+    val tgt = phys(prefix, "centroids", gen)
+    if (mode == "overwrite") Sinks.purgeTable(spark, tgt)
     partial.write.mode(if (mode == "overwrite") "errorifexists" else mode)
-      .saveAsTable(centroids(prefix))
+      .saveAsTable(tgt)
   }
 
   /** Bootstrap from a corpus snapshot; steady state is
     * [[append]]/[[delete]] only. */
   def write(df: DataFrame, idCol: String, vecCol: String,
-            blockCol: String, prefix: String): Unit =
-    writeAll(df, idCol, vecCol, blockCol, prefix, w = 1,
-      mode = "overwrite")
+            blockCol: String, prefix: String): Unit = {
+    val spark = df.sparkSession
+    Generations.beginBootstrap(spark, prefix)
+    writeAll(df, idCol, vecCol, blockCol, prefix, w = 1, gen = 0L,
+      b = 0L, mode = "overwrite")
+    Generations.commit(spark, prefix, 0L, 0L)
+  }
 
   /** Fold a new batch in (id-unique contract: appended vec_ids are
     * new). Pure row-appends — one file per bucket per batch plus a
-    * |blocks|-row centroid partial. */
+    * |blocks|-row centroid partial; both flip visible on one commit. */
   def append(df: DataFrame, idCol: String, vecCol: String,
              blockCol: String, prefix: String): Unit =
-    writeAll(df, idCol, vecCol, blockCol, prefix, w = 1, mode = "append")
+    appendBatch(df, idCol, vecCol, blockCol, prefix, w = 1)
 
   /** Takedown: the same projections with w = -1 — the centroid
     * partial cancels the insert's exactly (integer sums). */
   def delete(df: DataFrame, idCol: String, vecCol: String,
              blockCol: String, prefix: String): Unit =
-    writeAll(df, idCol, vecCol, blockCol, prefix, w = -1, mode = "append")
+    appendBatch(df, idCol, vecCol, blockCol, prefix, w = -1)
 
-  /** Finish the centroid reduce over the signed partial log: blocks
-    * with a live member count, their net sum vector and its norm. The
-    * log is |blocks × batches| rows — broadcast-sized by construction.
+  private def appendBatch(df: DataFrame, idCol: String, vecCol: String,
+                          blockCol: String, prefix: String,
+                          w: Int): Unit = {
+    val spark = df.sparkSession
+    val (g, b) = Generations.beginBatch(spark, prefix)
+    writeAll(df, idCol, vecCol, blockCol, prefix, w, g, b,
+      mode = "append")
+    Generations.commit(spark, prefix, g, b)
+  }
+
+  /** Finish the centroid reduce over the signed partial log at the
+    * resolved committed state: blocks with a live member count, their
+    * net sum vector and its norm. The log is |blocks × batches| rows —
+    * broadcast-sized by construction.
     */
-  private def liveCentroids(spark: SparkSession,
-                            prefix: String): DataFrame =
-    spark.table(centroids(prefix))
+  private def liveCentroids(spark: SparkSession, prefix: String,
+                            st: (Long, Seq[Long])): DataFrame =
+    spark.table(phys(prefix, "centroids", st._1))
+      .filter(col("b").isin(st._2: _*))
       .select(col("block"), col("w"), col("cnt"),
         posexplode(col("cq")).as(Seq("pos", "v")))
       .groupBy("block", "pos")
@@ -115,6 +145,20 @@ object VectorIndex {
         p => p.getField("s")).as("cq"))
       .withColumn("cnorm2", Similarity.dotQ(col("cq"), col("cq")))
 
+  /** The live vectors of a bounded block list — the batch-visibility
+    * and tombstone fold behind [[search]] and [[screenSemantic]]: both
+    * static IN filters reach the parquet scan, then the fold runs
+    * in-bucket (its grouping leads with `block`). */
+  private def liveVectors(spark: SparkSession, prefix: String,
+                          st: (Long, Seq[Long]),
+                          blocks: Seq[Any]): DataFrame =
+    spark.table(phys(prefix, "vectors", st._1))
+      .filter(col("b").isin(st._2: _*))
+      .filter(col("block").isin(blocks: _*))
+      .groupBy("block", "vec_id", "q", "norm2")
+      .agg(sum(col("w")).as("net")).filter(col("net") > 0)
+      .select("block", "vec_id", "q", "norm2")
+
   /** Route + rank a bounded probe batch (probe_id, pq, pnorm2 — see
     * [[graft.Similarity.probes]]) against the live index: nprobe
     * nearest centroids per probe by exact integer cosine, then top-k
@@ -125,7 +169,8 @@ object VectorIndex {
     */
   def search(spark: SparkSession, prefix: String, probes: DataFrame,
              k: Int, nprobe: Int = 1): DataFrame = {
-    val cent = liveCentroids(spark, prefix)
+    val st = Generations.committedState(spark, prefix)
+    val cent = liveCentroids(spark, prefix, st)
     val wc = Window.partitionBy("probe_id")
       .orderBy(col("ccos").desc, col("block").asc)
     val routed = Caches.persistTracked(
@@ -144,11 +189,7 @@ object VectorIndex {
     // because the fold's grouping includes `block`.
     val routedBlocks = routed.select("block").distinct()
       .collect().map(_.get(0)).toSeq
-    val live = spark.table(vectors(prefix))
-      .filter(col("block").isin(routedBlocks: _*))
-      .groupBy("block", "vec_id", "q", "norm2")
-      .agg(sum(col("w")).as("net")).filter(col("net") > 0)
-      .select("block", "vec_id", "q", "norm2")
+    val live = liveVectors(spark, prefix, st, routedBlocks)
     val scored = live.join(broadcast(routed), Seq("block"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
@@ -183,16 +224,14 @@ object VectorIndex {
                      idCol: String, vecCol: String, blockCol: String,
                      prefix: String, tauNum: Long = 19,
                      tauDen: Long = 20): DataFrame = {
+    val st = Generations.committedState(spark, prefix)
     val b = Caches.persistTracked(
       batch.select(col(blockCol).as("block"), col(idCol).as("vec_id"),
           Similarity.quantize(col(vecCol)).as("q"))
         .withColumn("norm2", Similarity.dotQ(col("q"), col("q"))))
     val blocks = b.select("block").distinct()
       .collect().map(_.get(0)).toSeq
-    val live = spark.table(vectors(prefix))
-      .filter(col("block").isin(blocks: _*))
-      .groupBy("block", "vec_id", "q", "norm2")
-      .agg(sum(col("w")).as("net")).filter(col("net") > 0)
+    val live = liveVectors(spark, prefix, st, blocks)
       .select(col("block"), col("vec_id").as("old_id"),
         col("q").as("oq"), col("norm2").as("on2"))
     val dot = Similarity.dotQ(col("q"), col("oq"))
@@ -206,24 +245,139 @@ object VectorIndex {
         col("canonical_id").isNotNull.as("is_known"))
   }
 
-  /** Compact: vectors to one live file per bucket
-    * ([[Sinks.compactBucketed]] — tombstoned pairs physically drop),
-    * centroid log netted to one row per block (w = 1), the
-    * [[Bm25Index.compact]] stats posture. */
+  /** Compact into the NEXT generation: vectors to one live file per
+    * bucket (tombstoned pairs and uncommitted orphans physically
+    * drop), centroid log netted to one row per block — then the
+    * one-row manifest flip and post-commit GC. Readers resolve the old
+    * generation until the flip. */
   def compact(spark: SparkSession, prefix: String): Unit = {
-    Sinks.compactBucketed(spark, vectors(prefix), Seq("block"), Buckets)
-    val net = liveCentroids(spark, prefix)
-      .join(spark.table(centroids(prefix))
+    val ng = buildNextGeneration(spark, prefix)
+    Generations.commit(spark, prefix, ng, 0L)
+    Generations.gc(spark, prefix, ng, Logicals)
+  }
+
+  /** Compaction's build phase (intent + next-generation tables, NO
+    * commit) — split out for GenerationsSpec's interleaved reads. */
+  private[graft] def buildNextGeneration(spark: SparkSession,
+                                         prefix: String): Long = {
+    val st @ (gen, bs) = Generations.committedState(spark, prefix)
+    val ng = Generations.beginGeneration(spark, prefix)
+    Sinks.compactBucketedTo(spark, phys(prefix, "vectors", gen),
+      phys(prefix, "vectors", ng), Seq("block"), Buckets, bs)
+    val net = liveCentroids(spark, prefix, st)
+      .join(spark.table(phys(prefix, "centroids", gen))
+          .filter(col("b").isin(bs: _*))
           .groupBy("block")
           .agg(sum(col("cnt") * col("w")).as("cnt")),
         Seq("block"))
-      .select(col("block"), col("cq"), col("cnt"), lit(1).as("w"))
-    val tmp = centroids(prefix) + "_compacting"
-    purge(spark, tmp)
-    net.coalesce(1).write.mode("overwrite").saveAsTable(tmp)
-    purge(spark, centroids(prefix))
-    spark.sql(s"ALTER TABLE $tmp RENAME TO ${centroids(prefix)}")
+      .select(col("block"), col("cq"), col("cnt"), lit(1).as("w"),
+        lit(0L).as("b"))
+    val tgt = phys(prefix, "centroids", ng)
+    Sinks.purgeTable(spark, tgt)
+    net.coalesce(1).write.mode("errorifexists").saveAsTable(tgt)
+    ng
   }
+
+  // ---------------------------------------------------------------
+  // LEARNED coarse routing — blocks assigned by the TRAINED quantizer
+  // (graft.Similarity's Lloyd k-means) instead of a caller-supplied
+  // label column: the composition a real 100 TB vector index runs,
+  // where the coarse centroids are learned from the corpus and every
+  // ingested vector routes to its nearest one. The quantizer is
+  // trained ONCE and persisted as a bounded (cl, d, cv) table (the
+  // PQ-codebook posture); assignment is a row-local integer argmin
+  // against centroid literals — deterministic given the table, so a
+  // takedown re-derives its insert's block bit-for-bit and the whole
+  // w = ±1 lifecycle carries over unchanged. Search needs no learned
+  // variant: the standing mergeable-centroid log now simply tracks
+  // the learned clusters (q169 pins the equivalence to the inline
+  // kmeans-routed ranker; q170 reports recall@k vs brute force).
+  // ---------------------------------------------------------------
+
+  private def coarseT(p: String) = s"${p}_coarse"
+
+  /** Train + persist the coarse quantizer over the trainer corpus:
+    * k×dim rows (cl, d, cv) — Lloyd k-means' final centroids
+    * ([[graft.Similarity.kmeansClusters]]'s arithmetic, the q155
+    * gate). Train-once posture like [[trainCodebook]], BEFORE the
+    * learned bootstrap. */
+  def trainCoarse(df: DataFrame, idCol: String, vecCol: String,
+                  prefix: String, k: Int = 4, iters: Int = 3): Unit = {
+    val spark = df.sparkSession
+    val cens = Similarity.trainKmeans(df, idCol, vecCol, k, iters)
+    val s = spark
+    import s.implicits._
+    val rows = for {
+      (c, cl) <- cens.zipWithIndex.toSeq
+      (v, d) <- c.zipWithIndex.toSeq
+    } yield (cl, d, v)
+    Sinks.purgeTable(spark, coarseT(prefix))
+    rows.toDF("cl", "d", "cv").coalesce(1).write
+      .mode("errorifexists").saveAsTable(coarseT(prefix))
+  }
+
+  /** The bounded coarse table read back as the centroid matrix. */
+  private def loadCoarse(spark: SparkSession,
+                         prefix: String): Array[Array[Long]] = {
+    val rows = spark.table(coarseT(prefix)).collect()
+    require(rows.nonEmpty, s"empty coarse quantizer ${coarseT(prefix)}")
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getLong(2)).toArray).toArray
+  }
+
+  /** The learned-routing projection: block = nearest trained centroid
+    * of the row's quantized vector (row-local argmin, stays in
+    * codegen — no join, no shuffle). */
+  private def withLearnedBlock(df: DataFrame, vecCol: String,
+                               prefix: String): DataFrame = {
+    val cens = loadCoarse(df.sparkSession, prefix)
+    df.withColumn("_lblock",
+      Similarity.assignToCentroids(cens,
+        Similarity.quantize(col(vecCol))).cast("long"))
+  }
+
+  /** [[write]]/[[append]]/[[delete]] with the block assigned by the
+    * trained coarse quantizer ([[trainCoarse]] must run first). */
+  def writeLearned(df: DataFrame, idCol: String, vecCol: String,
+                   prefix: String): Unit =
+    write(withLearnedBlock(df, vecCol, prefix), idCol, vecCol,
+      "_lblock", prefix)
+
+  def appendLearned(df: DataFrame, idCol: String, vecCol: String,
+                    prefix: String): Unit =
+    append(withLearnedBlock(df, vecCol, prefix), idCol, vecCol,
+      "_lblock", prefix)
+
+  def deleteLearned(df: DataFrame, idCol: String, vecCol: String,
+                    prefix: String): Unit =
+    delete(withLearnedBlock(df, vecCol, prefix), idCol, vecCol,
+      "_lblock", prefix)
+
+  /** [[trainCodebook]] with codewords = the LEARNED clusters instead
+    * of caller labels — the r14 verdict's second missing composition:
+    * the PQ codebook of a production index is trained per coarse
+    * cluster, so reconstruction quality tracks the actual routing
+    * geometry. */
+  def trainCodebookLearned(df: DataFrame, vecCol: String,
+                           prefix: String): Unit =
+    trainCodebook(withLearnedBlock(df, vecCol, prefix), vecCol,
+      "_lblock", prefix)
+
+  /** The codes lifecycle under learned routing. */
+  def writeCodesLearned(df: DataFrame, idCol: String, vecCol: String,
+                        prefix: String): Unit =
+    writeCodes(withLearnedBlock(df, vecCol, prefix), idCol, vecCol,
+      "_lblock", prefix)
+
+  def appendCodesLearned(df: DataFrame, idCol: String, vecCol: String,
+                         prefix: String): Unit =
+    appendCodes(withLearnedBlock(df, vecCol, prefix), idCol, vecCol,
+      "_lblock", prefix)
+
+  def deleteCodesLearned(df: DataFrame, idCol: String, vecCol: String,
+                         prefix: String): Unit =
+    deleteCodes(withLearnedBlock(df, vecCol, prefix), idCol, vecCol,
+      "_lblock", prefix)
 
   // ---------------------------------------------------------------
   // PQ-CODED layer — the serving layout a 100 TB vector corpus
@@ -236,21 +390,27 @@ object VectorIndex {
   // full-precision layer. Codes are DETERMINISTIC given the codebook
   // (exact integer argmin), so a takedown re-derives its insert's
   // rows bit-for-bit, and search over any live membership is
-  // bit-equal to the inline ADC ranker over that membership.
+  // bit-equal to the inline ADC ranker over that membership. The
+  // layer keeps its OWN manifest (`<prefix>_pq`): codes + codebook
+  // move through generations together, independently of the
+  // full-precision tables.
   // ---------------------------------------------------------------
 
   val Subspaces = 8
 
-  private def codebookT(p: String) = s"${p}_codebook"
-  private def codesT(p: String) = s"${p}_codes"
+  private def pqPrefix(p: String) = s"${p}_pq"
+  private[graft] val PqLogicals = Seq("codes", "codebook")
 
   /** Train + persist the PQ codebook over the TRAINER corpus: per
     * (codeword, dim) floor-normalized integer means (the q134
     * arithmetic — remainder normalized non-negative so engine and
     * oracle floor identically on negative sums), codewords = the
     * trainer's blocks. Rows: (cl, d, cv) — |blocks| × dim, bounded.
-    * Trained ONCE per corpus snapshot; every ingest and search reads
-    * it back (the build/apply split, as BPE and IVF run it).
+    * Trained ONCE per corpus snapshot, BEFORE [[writeCodes]]'s
+    * bootstrap (it writes the generation-0 name directly; compaction
+    * carries the codebook forward into each new generation, so codes
+    * and the codebook they were argmin'd against always travel
+    * together).
     */
   def trainCodebook(df: DataFrame, vecCol: String,
                     blockCol: String, prefix: String): Unit = {
@@ -264,17 +424,18 @@ object VectorIndex {
       .select(col("cl"), col("d"),
         ((col("sv") - pmod(col("sv"), col("cnt"))) / col("cnt"))
           .cast("long").as("cv"))
-    purge(spark, codebookT(prefix))
-    cb.coalesce(1).write.mode("errorifexists")
-      .saveAsTable(codebookT(prefix))
+    val tgt = phys(pqPrefix(prefix), "codebook", 0L)
+    Sinks.purgeTable(spark, tgt)
+    cb.coalesce(1).write.mode("errorifexists").saveAsTable(tgt)
   }
 
-  /** The bounded codebook read back: (dim, sorted codeword ids,
-    * id → full-dim codeword vector). */
-  private def loadCodebook(spark: SparkSession, prefix: String)
+  /** The bounded codebook of generation `gen` read back: (dim, sorted
+    * codeword ids, id → full-dim codeword vector). */
+  private def loadCodebook(spark: SparkSession, prefix: String, gen: Long)
       : (Int, Seq[Int], Map[Int, Array[Long]]) = {
-    val rows = spark.table(codebookT(prefix)).collect()
-    require(rows.nonEmpty, s"empty codebook ${codebookT(prefix)}")
+    val tbl = phys(pqPrefix(prefix), "codebook", gen)
+    val rows = spark.table(tbl).collect()
+    require(rows.nonEmpty, s"empty codebook $tbl")
     val dim = rows.map(_.getInt(1)).max + 1
     val cb = rows.groupBy(_.getInt(0)).map { case (l, rs) =>
       l -> rs.sortBy(_.getInt(1)).map(_.getLong(2))
@@ -285,12 +446,12 @@ object VectorIndex {
   /** One coding pass feeds the codes log; a takedown re-derives the
     * same codes (exact integer argmin against the persisted codebook)
     * with w = -1. Codes are bucketed by block like the full-precision
-    * vectors. */
+    * vectors and stamped with the manifest batch id. */
   private def writeAllCodes(df: DataFrame, idCol: String, vecCol: String,
                             blockCol: String, prefix: String, w: Int,
-                            mode: String): Unit = {
+                            gen: Long, b: Long, mode: String): Unit = {
     val spark = df.sparkSession
-    val (dim, labels, cb) = loadCodebook(spark, prefix)
+    val (dim, labels, cb) = loadCodebook(spark, prefix, gen)
     require(dim % Subspaces == 0, s"dim $dim must split into $Subspaces")
     val subDim = dim / Subspaces
     def codeExpr(s: Int) = {
@@ -309,26 +470,38 @@ object VectorIndex {
         Similarity.quantize(col(vecCol)).as("q"))
       .select(col("block"), col("vec_id"),
         array((0 until Subspaces).map(codeExpr): _*).as("codes"))
-      .withColumn("w", lit(w))
-    Sinks.writeBucketed(coded, codesT(prefix), Seq("block"), Buckets,
-      mode)
+      .withColumn("w", lit(w)).withColumn("b", lit(b))
+    Sinks.writeBucketed(coded, phys(pqPrefix(prefix), "codes", gen),
+      Seq("block"), Buckets, mode)
   }
 
   /** Bootstrap the codes log (codebook must be trained first). */
   def writeCodes(df: DataFrame, idCol: String, vecCol: String,
-                 blockCol: String, prefix: String): Unit =
-    writeAllCodes(df, idCol, vecCol, blockCol, prefix, w = 1,
-      mode = "overwrite")
+                 blockCol: String, prefix: String): Unit = {
+    val spark = df.sparkSession
+    Generations.beginBootstrap(spark, pqPrefix(prefix))
+    writeAllCodes(df, idCol, vecCol, blockCol, prefix, w = 1, gen = 0L,
+      b = 0L, mode = "overwrite")
+    Generations.commit(spark, pqPrefix(prefix), 0L, 0L)
+  }
 
   def appendCodes(df: DataFrame, idCol: String, vecCol: String,
                   blockCol: String, prefix: String): Unit =
-    writeAllCodes(df, idCol, vecCol, blockCol, prefix, w = 1,
-      mode = "append")
+    appendCodesBatch(df, idCol, vecCol, blockCol, prefix, w = 1)
 
   def deleteCodes(df: DataFrame, idCol: String, vecCol: String,
                   blockCol: String, prefix: String): Unit =
-    writeAllCodes(df, idCol, vecCol, blockCol, prefix, w = -1,
+    appendCodesBatch(df, idCol, vecCol, blockCol, prefix, w = -1)
+
+  private def appendCodesBatch(df: DataFrame, idCol: String,
+                               vecCol: String, blockCol: String,
+                               prefix: String, w: Int): Unit = {
+    val spark = df.sparkSession
+    val (g, b) = Generations.beginBatch(spark, pqPrefix(prefix))
+    writeAllCodes(df, idCol, vecCol, blockCol, prefix, w, g, b,
       mode = "append")
+    Generations.commit(spark, pqPrefix(prefix), g, b)
+  }
 
   /** ADC search over the standing codes: probes exact (the
     * [[graft.Similarity.probes]] projection), corpus reconstructed
@@ -342,12 +515,14 @@ object VectorIndex {
     */
   def searchAdc(spark: SparkSession, prefix: String, probes: DataFrame,
                 k: Int): DataFrame = {
-    val (dim, labels, cb) = loadCodebook(spark, prefix)
+    val st = Generations.committedState(spark, pqPrefix(prefix))
+    val (dim, labels, cb) = loadCodebook(spark, prefix, st._1)
     // same guard as the coding path: a retrained non-divisible
     // codebook must fail loudly, not silently truncate reconstruction
     require(dim % Subspaces == 0, s"dim $dim must split into $Subspaces")
     val subDim = dim / Subspaces
-    val live = spark.table(codesT(prefix))
+    val live = spark.table(phys(pqPrefix(prefix), "codes", st._1))
+      .filter(col("b").isin(st._2: _*))
       .groupBy("block", "vec_id", "codes")
       .agg(sum(col("w")).as("net")).filter(col("net") > 0)
       .select("vec_id", "codes")
@@ -371,10 +546,19 @@ object VectorIndex {
       .select("probe_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** Compact the codes log to one live file per bucket. */
-  def compactCodes(spark: SparkSession, prefix: String): Unit =
-    Sinks.compactBucketed(spark, codesT(prefix), Seq("block"), Buckets)
-
-  private def purge(spark: SparkSession, table: String): Unit =
-    Sinks.purgeTable(spark, table)
+  /** Compact the codes log into the next generation (codebook copied
+    * forward — codes and their codebook travel together), then the
+    * one-row flip + GC. */
+  def compactCodes(spark: SparkSession, prefix: String): Unit = {
+    val (gen, bs) = Generations.committedState(spark, pqPrefix(prefix))
+    val ng = Generations.beginGeneration(spark, pqPrefix(prefix))
+    Sinks.compactBucketedTo(spark, phys(pqPrefix(prefix), "codes", gen),
+      phys(pqPrefix(prefix), "codes", ng), Seq("block"), Buckets, bs)
+    val cbTgt = phys(pqPrefix(prefix), "codebook", ng)
+    Sinks.purgeTable(spark, cbTgt)
+    spark.table(phys(pqPrefix(prefix), "codebook", gen))
+      .coalesce(1).write.mode("errorifexists").saveAsTable(cbTgt)
+    Generations.commit(spark, pqPrefix(prefix), ng, 0L)
+    Generations.gc(spark, pqPrefix(prefix), ng, PqLogicals)
+  }
 }

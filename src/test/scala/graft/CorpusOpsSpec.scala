@@ -868,7 +868,12 @@ class CorpusOpsSpec extends AnyFunSuite {
     val afterCompact = run()
     Caches.clear()
     assert(afterCompact == afterDelete, "compaction changed answers")
-    for (t <- Seq("t157_postings", "t157_doclens", "t157_positions")) {
+    // compaction landed in the next generation's tables — resolve them
+    // through the manifest
+    def phys(l: String) =
+      graft.sources.Generations.physicalFor(spark, "t157", l)
+    for (l <- Seq("postings", "doclens", "positions")) {
+      val t = phys(l)
       val files = spark.table(t).inputFiles
       assert(files.length <= graft.sources.Bm25Index.Buckets,
         s"$t has ${files.length} files after compaction")
@@ -876,10 +881,72 @@ class CorpusOpsSpec extends AnyFunSuite {
       // and doc 4's rows left disk
       assert(spark.table(t).filter($"w" < 0).isEmpty, s"$t keeps tombstones")
     }
-    assert(spark.table("t157_positions").filter($"doc_id" === 4L).isEmpty)
+    assert(spark.table(phys("positions")).filter($"doc_id" === 4L).isEmpty)
     // the stats log nets to a single live row
-    val st = spark.table("t157_stats").collect()
+    val st = spark.table(phys("stats")).collect()
     assert(st.length == 1 && st.head.getLong(0) == 3L, st.mkString(","))
+  }
+
+  test("proximitySearch: any-order within-window tuples, over-slop " +
+    "excluded, distinct-term contract, multi-tuple counting") {
+    val docs = Seq(
+      (1L, "a x b"),       // span 2: in-window at win 3
+      (2L, "b y y a"),     // reversed, span 3: in-window only at win 4
+      (3L, "a y y y b"),   // span 4: outside both windows
+      (4L, "a a b"))       // two anchors → two tuples at win 3
+      .toDF("doc_id", "text")
+    graft.sources.Bm25Index.write(docs, "doc_id", "text", "t167")
+    def run(win: Int) = graft.sources.Bm25Index.proximitySearch(
+      spark, "t167", Seq(("x1", "a b"), ("x2", "a a"), ("x3", "a zzz")),
+      win).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val w3 = run(3)
+    Caches.clear()
+    assert(w3(("x1", 1L)) == (1L, 0L))
+    assert(!w3.contains(("x1", 2L)), "over-slop reversed pair leaked")
+    assert(!w3.contains(("x1", 3L)), "span-4 pair leaked at win 3")
+    assert(w3(("x1", 4L)) == (2L, 0L), "two anchors = two tuples")
+    // "a a" collapses to the distinct term: every occurrence a window
+    assert(w3(("x2", 4L)) == (2L, 0L))
+    assert(w3(("x2", 2L)) == (1L, 3L))
+    assert(!w3.keys.exists(_._1 == "x3"), "never-matching term leaked")
+    val w4 = run(4)
+    Caches.clear()
+    assert(w4(("x1", 2L)) == (1L, 0L), "any-order within win 4 missed")
+    assert(!w4.contains(("x1", 3L)), "span-4 pair leaked at win 4")
+  }
+
+  test("searchWithProximity: the boost is applied BEFORE the top-k cut " +
+    "(a window doc enters k=1 from rank 2) and zero boost degenerates " +
+    "to plain search") {
+    // doc 2 outscores doc 1 on plain BM25 (tf 3 vs 1 dominates its dl
+    // penalty) but has no 2-token window of {a, b}; doc 1 does
+    val docs = Seq((1L, "a b"), (2L, "a a a c b b b"))
+      .toDF("doc_id", "text")
+    graft.sources.Bm25Index.write(docs, "doc_id", "text", "t168")
+    val qs = Seq(("q1", "a b"))
+    val base = graft.sources.Bm25Index.search(spark, "t168", qs)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val baseTop = graft.sources.Bm25Index.search(spark, "t168", qs, k = 1)
+      .collect().map(_.getLong(1)).toSeq
+    assert(baseTop == Seq(2L), s"fixture: expected doc 2 on top, $baseTop")
+    val boosted = graft.sources.Bm25Index.searchWithProximity(
+      spark, "t168", qs, k = 1, win = 2, boostMicro = 500000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    Caches.clear()
+    assert(boosted.map(_._1) == Seq(1L),
+      s"boost did not lift the window doc into k=1: $boosted")
+    assert(boosted.head._2 == base(1L) + 500000L,
+      "boosted score is not base + boostMicro")
+    // boost 0: bit-equal to the plain ranker
+    val zero = graft.sources.Bm25Index.searchWithProximity(
+      spark, "t168", qs, k = 10, win = 2, boostMicro = 0L)
+      .collect().toSeq
+    val plain = graft.sources.Bm25Index.search(spark, "t168", qs)
+      .collect().toSeq
+    Caches.clear()
+    assert(zero == plain, "zero boost diverged from plain search")
   }
 
   test("systematicSample: exactly m picks, length-proportional " +

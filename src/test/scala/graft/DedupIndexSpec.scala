@@ -139,13 +139,16 @@ class DedupIndexSpec extends AnyFunSuite {
     val exact0 = DedupIndex.screenExact(spark, batch, "doc_id", "text",
       delPrefix).collect().toSeq
     DedupIndex.compact(spark, delPrefix)
-    // three write generations (bootstrap, append, tombstones) collapse
-    // to exactly one file per bucket in every table
+    // three write batches (bootstrap, append, tombstones) collapse
+    // to exactly one file per bucket in every table — compaction now
+    // lands in the NEXT generation's physical tables, resolved
+    // through the manifest
     for (t <- Seq("bands", "shsets", "hashes")) {
-      val loc = new java.io.File(s"spark-warehouse/${delPrefix}_$t")
+      val phys = graft.sources.Generations.physicalFor(spark, delPrefix, t)
+      val loc = new java.io.File(s"spark-warehouse/$phys")
       val files = loc.listFiles().filter(_.getName.endsWith(".parquet"))
       assert(files.length == DedupIndex.Buckets,
-        s"${delPrefix}_$t: expected ${DedupIndex.Buckets} files " +
+        s"$phys: expected ${DedupIndex.Buckets} files " +
           s"(one per bucket), found ${files.length}")
     }
     // tombstone-cancelled rows are physically GONE, not just folded:
@@ -153,7 +156,8 @@ class DedupIndexSpec extends AnyFunSuite {
     val liveRows = Tables.documents(spark, d)
       .filter(col("doc_id") % 5 <= 2 || col("doc_id") % 10 === 8)
       .count()
-    assert(spark.table(s"${delPrefix}_hashes").count() == liveRows,
+    assert(spark.table(graft.sources.Generations
+        .physicalFor(spark, delPrefix, "hashes")).count() == liveRows,
       "compaction left non-live rows on disk")
     val near1 = DedupIndex.screenNearDup(spark, batch, "doc_id", "text",
       delPrefix).collect().toSeq

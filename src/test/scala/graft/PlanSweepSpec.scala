@@ -81,7 +81,12 @@ class PlanSweepSpec extends AnyFunSuite {
     // q125's first constant-key BNLJ formulation.
     "q123_bpe_merges" -> "BpeSpec (driver-local merge table)",
     "q143_pagerank" -> "GraphSpec (iterative power-iteration checkpoints; per-round join shape pinned there)",
-    "q148_label_prop" -> "GraphSpec (iterative propagation checkpoints; per-round join shape pinned there)")
+    "q148_label_prop" -> "GraphSpec (iterative propagation checkpoints; per-round join shape pinned there)",
+    "q167_proximity_search" -> "CorpusOpsSpec (positional-index build; proximity-chain semantics pinned there)",
+    "q168_proximity_ranked" -> "CorpusOpsSpec (positional-index build; boost-before-cut pinned there)",
+    "q169_learned_vector_index" -> "VectorIndexSpec (learned-routing index build; search==ivfTopK-over-learned-blocks pinned there)",
+    "q170_learned_recall" -> "VectorIndexSpec (learned-routing index build; recall join is the whitelisted q72 shape)",
+    "q171_learned_pq_index" -> "VectorIndexSpec (learned-codeword PQ build; the ADC inequality join is the whitelisted q135 shape)")
 
   /** The detector under test: scan one physical-plan string for the
     * forbidden join shapes. Kept as a pure function so the canary test

@@ -55,13 +55,15 @@ class VectorIndexSpec extends AnyFunSuite {
     assertSameRows(VectorIndex.search(spark, "tvix", probes, 3, 2),
       inline(emb))
     Caches.clear()
-    val vec = spark.table("tvix_vectors")
+    val vec = spark.table(graft.sources.Generations
+      .physicalFor(spark, "tvix", "vectors"))
     assert(vec.filter(col("vec_id") >= 1000000L).count() == 0)
     assert(vec.filter(col("w") =!= 1).count() == 0)
     val files = vec.select(input_file_name()).distinct().count()
     assert(files <= VectorIndex.Buckets, s"$files files after compaction")
     // the centroid log is netted to one row per block
-    val cent = spark.table("tvix_centroids")
+    val cent = spark.table(graft.sources.Generations
+      .physicalFor(spark, "tvix", "centroids"))
     assert(cent.count() ==
       cent.select("block").distinct().count())
   }
@@ -90,9 +92,40 @@ class VectorIndexSpec extends AnyFunSuite {
       .orderBy("probe_id", "rank"), adcInline(emb))
     Caches.clear()
     // post-compaction: tombstoned codes physically gone, net w = 1
-    val codes = spark.table("tpqx_codes")
+    val codes = spark.table(graft.sources.Generations
+      .physicalFor(spark, "tpqx_pq", "codes"))
     assert(codes.filter(col("vec_id") >= 1000000L).count() == 0)
     assert(codes.filter(col("w") =!= 1).count() == 0)
+  }
+
+  test("learned routing: trained-quantizer blocks make the standing " +
+    "index bit-equal to the inline kmeans-routed ranker, and learned " +
+    "PQ codes equal inline ADC over the learned clusters") {
+    VectorIndex.trainCoarse(emb, "vec_id", "embedding", "tvl",
+      k = 4, iters = 3)
+    VectorIndex.writeLearned(emb.filter(col("vec_id") % 5 <= 2),
+      "vec_id", "embedding", "tvl")
+    VectorIndex.appendLearned(emb.filter(col("vec_id") % 5 >= 3),
+      "vec_id", "embedding", "tvl")
+    // the inline twin: assign clusters with the SAME Lloyd training,
+    // then route the plain IVF ranker on them
+    val withCl = emb.join(
+      Similarity.kmeansClusters(emb, "vec_id", "embedding", "label",
+        k = 4, iters = 3).select(col("vec_id"), col("cluster")),
+      Seq("vec_id"))
+    assertSameRows(VectorIndex.search(spark, "tvl", probes, 3, 2),
+      Similarity.ivfTopK(withCl, "vec_id", "embedding", "cluster",
+        probeF, 3, nprobe = 2))
+    Caches.clear()
+    // the PQ layer with codewords = learned clusters
+    VectorIndex.trainCodebookLearned(emb, "embedding", "tvl")
+    VectorIndex.writeCodesLearned(emb, "vec_id", "embedding", "tvl")
+    assertSameRows(
+      VectorIndex.searchAdc(spark, "tvl", probes, 3)
+        .orderBy("probe_id", "rank"),
+      Similarity.pqAdcTopK(withCl, "vec_id", "embedding", "cluster",
+        probeF, 3).orderBy("probe_id", "rank"))
+    Caches.clear()
   }
 
   test("screenSemantic: live same-block duplicate found with min-id " +
