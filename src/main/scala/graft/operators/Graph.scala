@@ -36,29 +36,31 @@ object Graph {
     * @param edges  columns `src`, `dst`, `w` (long weight > 0)
     * @return (node, rank) — rank in integer micro-mass units
     */
-  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 10,
-               dampNum: Long = 85, dampDen: Long = 100,
-               scale: Long = 1000000000000L): DataFrame = {
-    val spark = nodes.sparkSession
+  /** The loop-invariant frames + one power-iteration step, shared by
+    * the fixed-round [[pageRank]] and the converging
+    * [[pageRankFixedPoint]]: out-weights and the dangling vertex set
+    * are persisted ONCE — referenced from inside every iteration, they
+    * would otherwise recompute the full edge derivation per round (the
+    * first formulation paid the source joins 10×). */
+  private class PrLoop(nodes: DataFrame, edges: DataFrame,
+                       dampNum: Long, dampDen: Long, scale: Long) {
     // bounded driver scalar: the vertex COUNT (one long), needed to
     // fix the integer base share — same posture as langid's minLang
-    val n = nodes.count()
+    val n: Long = nodes.count()
     require(n > 0, "pageRank needs a non-empty vertex set")
-    val base = ((scale * (dampDen - dampNum)) / dampDen) / n
-    // out-weights and the dangling vertex set are loop-invariant:
-    // persisted ONCE — referenced from inside every iteration, they
-    // would otherwise recompute the full edge derivation per round
-    // (the first formulation paid the source joins 10×)
-    val outw = Caches.persistTracked(
+    private val base = ((scale * (dampDen - dampNum)) / dampDen) / n
+    private val outw = Caches.persistTracked(
       edges.groupBy("src").agg(sum(col("w")).as("ow")))
-    val e = Caches.persistTracked(edges.join(outw, Seq("src")))
-    val nodesP = Caches.persistTracked(nodes)
-    val dangNodes = Caches.persistTracked(
+    private val e = Caches.persistTracked(edges.join(outw, Seq("src")))
+    val nodesP: DataFrame = Caches.persistTracked(nodes)
+    private val dangNodes = Caches.persistTracked(
       nodesP.join(outw.withColumnRenamed("src", "node"),
         Seq("node"), "left_anti"))
-    var rank = nodesP.withColumn("rank", lit(scale / n))
-    for (_ <- 1 to iters) {
-      val prev = Caches.trackOnly(rank.localCheckpoint())
+
+    val uniformRank: DataFrame =
+      nodesP.withColumn("rank", lit(scale / n))
+
+    def step(prev: DataFrame): DataFrame = {
       val in = e.join(prev.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           expr("(rank * w) div ow").as("c"))
@@ -70,14 +72,96 @@ object Graph {
       val dang = prev.join(dangNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dang"))
         .select(expr(s"dang div $n").as("dshare"))
-      rank = nodesP.join(in, Seq("node"), "left")
+      nodesP.join(in, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit(base) + expr(
             s"($dampNum * (coalesce(inr, 0L) + dshare)) div $dampDen"))
             .as("rank"))
     }
+  }
+
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 10,
+               dampNum: Long = 85, dampDen: Long = 100,
+               scale: Long = 1000000000000L): DataFrame = {
+    val loop = new PrLoop(nodes, edges, dampNum, dampDen, scale)
+    var rank = loop.uniformRank
+    for (_ <- 1 to iters) {
+      val prev = Caches.trackOnly(rank.localCheckpoint())
+      rank = loop.step(prev)
+    }
     rank.orderBy("node")
+  }
+
+  /** Power iteration to the integer LIMIT CYCLE — the converging form
+    * the incremental/warm-start path needs. The floor-div update map is
+    * deterministic over a finite state space, so the trajectory always
+    * enters a cycle; damping contracts the real-arithmetic dynamics
+    * (all eigenvalues ≤ 0.85 in modulus), so the cycle lives within
+    * floor-noise (tens of micro-units out of 10^12) of the real fixed
+    * point. On a BIPARTITE graph (the trade graph is one: customers ↔
+    * suppliers) the −0.85 eigenmode sustains a ±few-unit PERIOD-2
+    * oscillation that never damps to an exact fixed point — probed
+    * empirically: the full sf0.001 trade graph fixes at round 140, the
+    * 6/7-edge variant 2-cycles at round 146 with 99 coordinates
+    * oscillating by ≤ 17 units. Convergence is therefore declared on
+    * the TWO-STEP map (frame equality of round t vs t−2 — catches both
+    * period 1 and 2; one bounded count action per round, the
+    * kmeans-collect posture) and the returned ranks are the elementwise
+    * MIN over the final two states: deterministic, independent of which
+    * cycle element the loop stops on, identity at a true fixed point.
+    *
+    * `init` warm-starts from a previous generation's converged ranks:
+    * carried-over nodes keep their rank, new nodes seed at the uniform
+    * share. The limit cycle does not depend on the seed (GraphSpec pins
+    * warm ≡ cold bit-equal on a republished graph), only the ROUND
+    * COUNT does — and since contraction is geometric, rounds scale with
+    * log(initial error): a republished 100 TB link graph whose ranks
+    * moved little re-converges from last generation's state in fewer
+    * rounds instead of paying the full log(scale)/log(1/damp) ≈ 170
+    * cold rounds from uniform.
+    *
+    * @return (canonical converged ranks, rounds actually run)
+    */
+  def pageRankFixedPoint(nodes: DataFrame, edges: DataFrame,
+                         init: Option[DataFrame] = None,
+                         maxIters: Int = 400, dampNum: Long = 85,
+                         dampDen: Long = 100,
+                         scale: Long = 1000000000000L)
+      : (DataFrame, Int) = {
+    val loop = new PrLoop(nodes, edges, dampNum, dampDen, scale)
+    val seed = init match {
+      case None => loop.uniformRank
+      case Some(prevRanks) =>
+        loop.nodesP.join(
+            prevRanks.withColumnRenamed("rank", "prev_rank"),
+            Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("prev_rank"), lit(scale / loop.n)).as("rank"))
+    }
+    var prev2: DataFrame = null
+    var rank = Caches.trackOnly(seed.localCheckpoint())
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      val next = Caches.trackOnly(loop.step(rank).localCheckpoint())
+      rounds += 1
+      // two-step frame equality = period ≤ 2 limit cycle reached
+      converged = prev2 != null && next
+        .join(prev2.withColumnRenamed("rank", "prank"), Seq("node"))
+        .filter(col("rank") =!= col("prank"))
+        .limit(1).count() == 0L
+      prev2 = rank
+      rank = next
+    }
+    require(converged,
+      s"pageRankFixedPoint did not converge within $maxIters rounds")
+    // canonical cycle representative: elementwise min over the final
+    // two states — the same frame whichever cycle element we stop on
+    val canon = rank
+      .join(prev2.withColumnRenamed("rank", "prank"), Seq("node"))
+      .select(col("node"), least(col("rank"), col("prank")).as("rank"))
+    (canon.orderBy("node"), rounds)
   }
 
   /** Synchronous LABEL PROPAGATION (Raghavan et al. 2007) — the
@@ -155,6 +239,49 @@ object Graph {
     pageRank(nodes, edges)
   }
 
+  /** The previous GENERATION of the trade graph: the same construction
+    * minus the orders in one residue class — the republished-corpus
+    * stand-in every incremental family diffs against (q153's posture
+    * applied to edges). Same vertex set: a republish changes link
+    * structure, not the entity universe. */
+  private[graft] def tradeGraphGen1(s: SparkSession, d: String)
+      : DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 7 =!= 3)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    pairs.unionByName(pairs.select(col("dst").as("src"),
+      col("src").as("dst"), col("w")))
+  }
+
+  /** q172's working scale: 10^8 micro-units. Rounds-to-converge grow
+    * with log(scale) (geometric 0.85 contraction ⇒ ~14 rounds per
+    * decade), so the registered refresh lifecycle runs ~60 gen1 + ~12
+    * warm rounds here instead of ~130 + ~75 at 10^12 — same dynamics,
+    * same gate, a third of the wall. */
+  private[graft] val RefreshScale = 100000000L
+
+  /** INCREMENTAL PAGERANK REFRESH — the full republish lifecycle: the
+    * previous generation's graph is converged to its limit cycle, then
+    * the republished (full) graph re-converges WARM-STARTED from those
+    * ranks. Warm and cold reach the bit-identical canonical cycle (the
+    * contraction's basin is global); only the round count differs —
+    * measured on this data: 16 warm vs 141 cold at sf0.001/10^12,
+    * 12 vs ~59 at sf0.01/10^8 (GraphSpec pins equality + the saving).
+    * The driver-facing result is the refreshed canonical ranks. */
+  def q172PageRankRefresh(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = tradeGraph(s, d)
+    val (gen1, _) = pageRankFixedPoint(nodes, tradeGraphGen1(s, d),
+      scale = RefreshScale)
+    val ranks1 = Caches.persistTracked(gen1)
+    val (refreshed, _) = pageRankFixedPoint(nodes, edges,
+      init = Some(ranks1), scale = RefreshScale)
+    refreshed
+  }
+
   def q148LabelProp(s: SparkSession, d: String): DataFrame = {
     val (nodes, edges) = tradeGraph(s, d)
     labelProp(nodes, edges)
@@ -211,6 +338,73 @@ object Graph {
     }.mkString(",\n")
     s"$head,\n$its\nSELECT node, CAST(rank AS BIGINT) AS rank " +
       s"FROM r$iters ORDER BY node"
+  }
+
+  /** One unrolled power-iteration chain for [[q172OracleSql]]:
+    * `<p>0` is the seed level (provided by the caller), `<p>1..<p>iters`
+    * mirror [[PrLoop.step]]'s integer arithmetic over edge table
+    * `edgesCte`, via per-chain `outw_<p>`/`e_<p>` frames. Every level
+    * `AS MATERIALIZED` — q143's dual-reference reason. */
+  private def prChainSql(p: String, edgesCte: String, iters: Int,
+                         scale: Long): String =
+    s"""outw_$p AS MATERIALIZED (
+       |  SELECT src, sum(w) AS ow FROM $edgesCte GROUP BY src),
+       |e_$p AS MATERIALIZED (SELECT $edgesCte.src, dst, w, ow
+       |  FROM $edgesCte JOIN outw_$p USING (src)),
+       |base_$p AS MATERIALIZED (
+       |  SELECT (($scale * 15) // 100) // n AS b FROM nn)""".stripMargin +
+      ",\n" + (1 to iters).map { k =>
+        val prev = s"$p${k - 1}"
+        s"""i$p$k AS MATERIALIZED (
+           |  SELECT dst AS node, sum((r.rank * e.w) // e.ow) AS inr
+           |  FROM e_$p e JOIN $prev r ON r.node = e.src GROUP BY dst),
+           |d$p$k AS MATERIALIZED (
+           |  SELECT coalesce(sum(rank), 0) //
+           |    (SELECT n FROM nn) AS dshare
+           |  FROM $prev LEFT JOIN outw_$p ON $prev.node = outw_$p.src
+           |  WHERE outw_$p.src IS NULL),
+           |$p$k AS MATERIALIZED (
+           |  SELECT n0.node, (SELECT b FROM base_$p) +
+           |    (85 * (coalesce(i.inr, 0) + (SELECT dshare FROM d$p$k)))
+           |      // 100 AS rank
+           |  FROM nodes n0 LEFT JOIN i$p$k i ON n0.node = i.node)""".stripMargin
+      }.mkString(",\n")
+
+  /** q172's generated oracle — how a STATIC unroll gates a DYNAMICALLY
+    * converging engine loop: once the trajectory enters its period ≤ 2
+    * cycle {x, y}, every later pair of consecutive levels IS {x, y}, so
+    * `least(r_T, r_{T-1})` is the same frame for EVERY T at-or-past
+    * entry — including the engine's dynamic stop round and this
+    * oracle's fixed over-unroll. `t1`/`t2` only need to be ≥ the entry
+    * rounds at the verify scale (measured: 59 gen1 / 12 warm at sf0.01,
+    * 10^8 scale; 70/25 leaves margin). Chain A converges the gen1
+    * graph from uniform, `seed_w` canonicalizes it, chain B re-runs the
+    * full graph warm-started from it — mirroring [[q172PageRankRefresh]]
+    * step for step in the same integer floor-div arithmetic. */
+  def q172OracleSql(t1: Int = 70, t2: Int = 25,
+                    scale: Long = RefreshScale): String = {
+    val head = tradeGraphCtes +
+      s""",
+         |pairs_g1 AS MATERIALIZED (
+         |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS dst, count(*) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderkey % 7 <> 3
+         |  GROUP BY 1, 2),
+         |edges_g1 AS MATERIALIZED (SELECT src, dst, w FROM pairs_g1
+         |  UNION ALL SELECT dst AS src, src AS dst, w FROM pairs_g1),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         |g0 AS MATERIALIZED (
+         |  SELECT node, (SELECT $scale // n FROM nn) AS rank FROM nodes)""".stripMargin
+    val chainA = prChainSql("g", "edges_g1", t1, scale)
+    val seed =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT a.node, least(a.rank, b.rank) AS rank
+         |  FROM g$t1 a JOIN g${t1 - 1} b USING (node))""".stripMargin
+    val chainB = prChainSql("w", "edges", t2, scale)
+    s"$head,\n$chainA,\n$seed,\n$chainB\n" +
+      s"SELECT a.node, CAST(least(a.rank, b.rank) AS BIGINT) AS rank " +
+      s"FROM w$t2 a JOIN w${t2 - 1} b USING (node) ORDER BY a.node"
   }
 
   /** Unrolled-iteration DuckDB oracle for [[labelProp]] — every level

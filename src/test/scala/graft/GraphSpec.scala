@@ -158,4 +158,41 @@ class GraphSpec extends AnyFunSuite {
     val total = rows.map(_.getLong(1)).sum
     assert(total <= S && total > S / 2)
   }
+
+  test("fixed point: warm-start from the previous generation's ranks " +
+    "is bit-equal to the cold limit cycle, in fewer rounds") {
+    val d = "/root/testdata/sf0.001"
+    val (nodes, edges) = Graph.tradeGraph(spark, d)
+    val (gen1, _) = Graph.pageRankFixedPoint(nodes,
+      Graph.tradeGraphGen1(spark, d), scale = Graph.RefreshScale)
+    val ranks1 = Caches.persistTracked(gen1)
+    ranks1.count()
+    val (coldDf, coldRounds) = Graph.pageRankFixedPoint(nodes, edges,
+      scale = Graph.RefreshScale)
+    val cold = coldDf.collect().map(r => (r.getString(0), r.getLong(1)))
+    val (warmDf, warmRounds) = Graph.pageRankFixedPoint(nodes, edges,
+      init = Some(ranks1), scale = Graph.RefreshScale)
+    val warm = warmDf.collect().map(r => (r.getString(0), r.getLong(1)))
+    Caches.clear()
+    // seed-independence of the canonical cycle — the refresh gate
+    assert(warm.sameElements(cold))
+    // the point of warm-starting: rounds ∝ log(initial error), and the
+    // gen1→gen2 rank delta is far smaller than the uniform seed's
+    assert(warmRounds < coldRounds,
+      s"warm=$warmRounds should be < cold=$coldRounds")
+  }
+
+  test("canonical cycle output: a true fixed point passes through " +
+    "(least of two equal states) — hand graph") {
+    val nodes = Seq("a", "b").toDF("node")
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    // symmetric 2-node graph fixes exactly at scale/2 (first test);
+    // the converging variant must land there too and report rounds
+    val (out, rounds) = Graph.pageRankFixedPoint(nodes, edges)
+    val m = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Caches.clear()
+    assert(m("a") == S / 2 && m("b") == S / 2)
+    assert(rounds >= 2) // needs two levels before the two-step check
+  }
 }
