@@ -10,6 +10,70 @@ import org.apache.spark.sql.functions._
   * (q120). Numbering continues the gap-free registry: q101–q121, all
   * registered in this file's `all`/`oracle` maps.
   */
+/** The mix→pack oracle chain up to the scheduled-instance frame
+  * `<pre>s` (tok_start assigned), generated over an arbitrary corpus
+  * CTE/table (must expose source, doc_id, text) with a CTE-name prefix
+  * so a composing oracle (q174) can splice it after fragments that
+  * already use the bare names — q149 appends the packing projection,
+  * q173 the per-shard grouping; edit with q147's plan CTEs. Lives in
+  * its own dependency-free object: both CorpusQueries and LlmQueries
+  * splice it, and a def on either would re-create the
+  * object-initialization CYCLE this factoring removed (LlmQueries init
+  * → CorpusQueries init → LlmQueries.oracle still null → NPE — hit in
+  * r15, hence this home). The `\\s+` is doubled: s-interpolation. */
+private[graft] object MixPackSql {
+  def ctesOver(corpus: String, pre: String): String =
+    s"""${pre}c AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+       |      AS BIGINT) AS n_tokens
+       |  FROM $corpus GROUP BY source),
+       |${pre}w AS (
+       |  SELECT source, n_tokens,
+       |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+       |      AS BIGINT) AS weight_q
+       |  FROM ${pre}c),
+       |${pre}t AS (
+       |  SELECT source, n_tokens, weight_q,
+       |    CAST(sum(weight_q) OVER () AS BIGINT) AS tw
+       |  FROM ${pre}w),
+       |${pre}p AS (
+       |  SELECT source, n_tokens,
+       |    (1000000 * weight_q) // tw AS alloc_tokens
+       |  FROM ${pre}t),
+       |${pre}d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+'))
+       |      AS BIGINT) AS toks
+       |  FROM $corpus),
+       |${pre}o AS (
+       |  SELECT source, doc_id, toks,
+       |    CAST(coalesce(sum(toks) OVER (
+       |      PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS sched_prefix
+       |  FROM ${pre}d),
+       |${pre}m AS (
+       |  SELECT o.source, o.doc_id, o.toks,
+       |    (p.alloc_tokens // p.n_tokens) +
+       |      (CASE WHEN o.sched_prefix < (p.alloc_tokens % p.n_tokens)
+       |       THEN 1 ELSE 0 END) AS n_copies
+       |  FROM ${pre}o o JOIN ${pre}p p USING (source)),
+       |${pre}x AS (
+       |  SELECT source, doc_id, toks,
+       |    unnest(generate_series(1, n_copies)) AS copy
+       |  FROM ${pre}m WHERE n_copies > 0),
+       |${pre}s AS (
+       |  SELECT source, doc_id, toks, CAST(copy AS BIGINT) AS copy,
+       |    CAST(coalesce(sum(toks) OVER (
+       |      PARTITION BY source
+       |      ORDER BY copy, md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tok_start
+       |  FROM ${pre}x)""".stripMargin
+}
+
 object CorpusQueries {
 
   /** Deterministic PII augmentation shared by the Spark query and the
@@ -526,6 +590,14 @@ object CorpusQueries {
       CorpusOps.sourceMixExecute(Tables.documents(s, d), "doc_id",
         "text", "source")),
     "q148_label_prop" -> (Graph.q148LabelProp _),
+    // converge the previous-generation graph, then warm-start the
+    // republished one from its ranks — the full incremental-refresh
+    // lifecycle; bit-equal to a cold run (GraphSpec), rounds ∝ log of
+    // the rank delta instead of log(scale)
+    "q172_pagerank_refresh" -> (Graph.q172PageRankRefresh _),
+    // the delivery leg: q149's schedule written as real shard FILES,
+    // result = per-file manifest re-derived from the read-back
+    "q173_shard_writer" -> (q173ShardWriter _),
     "q149_mix_pack" -> ((s, d) =>
       CorpusOps.mixPack(Tables.documents(s, d), "doc_id", "text",
         "source")),
@@ -729,6 +801,62 @@ object CorpusQueries {
     * disk, never rows. The selective read exercises the pruned path
     * the zorder-ab probe measures.
     */
+  /** q173's shard granularity: 16 seqLen-512 sequences per shard file
+    * (~8k tokens each at test scale; a deployment sizes this to its
+    * dataloader's file budget — the arithmetic is granularity-blind).
+    * An instance is assigned to the shard its FIRST sequence lands in,
+    * so a straddling instance's tail spills into the next shard's
+    * sequence range but its bytes ship once — the manifest's
+    * seq_start/seq_end span is what the loader stitches with. */
+  private val seqsPerShard = 16L
+
+  /** SHARD-WRITER leg — materialize q149's packed sequences as REAL
+    * partitioned files (the q67 write-then-read-back posture at the
+    * delivery end of the pipeline): mixPack's manifest gains a
+    * shard_id, lands via [[graft.sources.Sinks.writeShards]] (one file
+    * per (source, shard) dir), and the registered result is the
+    * per-file manifest REDERIVED FROM THE FILES READ BACK — instance
+    * count, token mass, sequence span, and an order-canonical content
+    * md5 — so the oracle (q149's chain + shard grouping) passing
+    * proves the write→read roundtrip preserved every instance row.
+    */
+  private def q173ShardWriter(s: SparkSession, d: String): DataFrame = {
+    val packed = CorpusOps.mixPack(Tables.documents(s, d), "doc_id",
+        "text", "source")
+      .withColumn("shard_id", expr(s"seq_start div $seqsPerShard"))
+    // per-process discriminator — the q120 concurrent-harness argument
+    val path = "/tmp/graft_shards_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_p" + ProcessHandle.current().pid()
+    graft.TmpDirs.deleteOnExit(path)
+    graft.sources.Sinks.writeShards(packed, path,
+      Seq("source", "shard_id"))
+    shardManifest(s.read.parquet(path))
+  }
+
+  /** The per-file manifest contract shared by the registered read-back
+    * and SinksSpec's written-vs-expected pin: one row per (source,
+    * shard) with an order-canonical md5 over the instance rows
+    * ((doc_id, copy) is unique, so the array_sort order is total and
+    * matches the oracle's string_agg ORDER BY). */
+  private[graft] def shardManifest(back: DataFrame): DataFrame =
+    back.groupBy(col("source"), col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_instances"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("seq_start")).as("first_seq"),
+        max(col("seq_end")).as("last_seq"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("copy"),
+            col("tok_start"), col("toks"), col("seq_offset")))),
+          x => concat_ws(":",
+            x.getField("doc_id").cast("string"),
+            x.getField("copy").cast("string"),
+            x.getField("tok_start").cast("string"),
+            x.getField("toks").cast("string"),
+            x.getField("seq_offset").cast("string")))))
+          .as("content_hash"))
+      .orderBy("source", "shard_id")
+
   private def q120ZorderRoundtrip(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
       expr("(unix_timestamp(ts) div 3600) * 3600").as("hour_epoch"))
@@ -859,6 +987,11 @@ object CorpusQueries {
       |    CAST(list_sum(list_transform(smp, x -> x*x)) AS BIGINT)
       |      AS sum_sq
       |  FROM aw)""".stripMargin
+
+  /** The canonical instantiation over the raw documents table (q149 /
+    * q173). */
+  private lazy val mixPackCtes: String =
+    "WITH " + MixPackSql.ctesOver("documents", "")
 
   val oracle: Map[String, String] = Map(
     "q101_pii_screen" ->
@@ -1630,6 +1763,10 @@ object CorpusQueries {
         |FROM tok k LEFT JOIN sp s USING (doc_id) LEFT JOIN cl USING (doc_id)
         |ORDER BY k.doc_id""".stripMargin,
     "q143_pagerank" -> Graph.q143OracleSql(),
+    // static over-unroll + least-of-last-two gates the dynamically
+    // converging warm-start loop: past cycle entry every consecutive
+    // level pair is the same {x, y} (see Graph.q172OracleSql)
+    "q172_pagerank_refresh" -> Graph.q172OracleSql(),
     // temperature mixing plan: τ=1/2 via sqrt (correctly rounded in
     // both engines), then integer floor-divisions; windowed sums CAST
     // — DuckDB sums BIGINT into HUGEINT (the q93 lesson)
@@ -1729,66 +1866,46 @@ object CorpusQueries {
     // shares q80's oracle verbatim (the q100↔q79 pattern)
     "q152_streaming_sessions_replay" ->
       Temporal.oracle("q80_gap_sessions"),
-    // mix→pack composition: q147's CTEs + generate_series copy
-    // expansion + the packing floor-divs; the single window mirrors
-    // the engine's two-level prefix sum in (copy, md5) schedule order
+    // mix→pack composition (the chain is factored as mixPackCtes —
+    // shared with q173's shard grouping, edit together): q147's CTEs
+    // + generate_series copy expansion + the packing floor-divs; the
+    // single window mirrors the engine's two-level prefix sum in
+    // (copy, md5) schedule order
     "q149_mix_pack" ->
-      """WITH c AS (
-        |  SELECT source, count(*) AS n_docs,
-        |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
-        |      AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source),
-        |w AS (
-        |  SELECT source, n_tokens,
-        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
-        |      AS BIGINT) AS weight_q
-        |  FROM c),
-        |t AS (
-        |  SELECT source, n_tokens, weight_q,
-        |    CAST(sum(weight_q) OVER () AS BIGINT) AS tw
-        |  FROM w),
-        |p AS (
-        |  SELECT source, n_tokens,
-        |    (1000000 * weight_q) // tw AS alloc_tokens
-        |  FROM t),
-        |d AS (
-        |  SELECT source, doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+'))
-        |      AS BIGINT) AS toks
-        |  FROM documents),
-        |o AS (
-        |  SELECT source, doc_id, toks,
-        |    CAST(coalesce(sum(toks) OVER (
-        |      PARTITION BY source
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS sched_prefix
-        |  FROM d),
-        |m AS (
-        |  SELECT o.source, o.doc_id, o.toks,
-        |    (p.alloc_tokens // p.n_tokens) +
-        |      (CASE WHEN o.sched_prefix < (p.alloc_tokens % p.n_tokens)
-        |       THEN 1 ELSE 0 END) AS n_copies
-        |  FROM o JOIN p USING (source)),
-        |x AS (
-        |  SELECT source, doc_id, toks,
-        |    unnest(generate_series(1, n_copies)) AS copy
-        |  FROM m WHERE n_copies > 0),
-        |s AS (
-        |  SELECT source, doc_id, toks, CAST(copy AS BIGINT) AS copy,
-        |    CAST(coalesce(sum(toks) OVER (
-        |      PARTITION BY source
-        |      ORDER BY copy, md5(CAST(doc_id AS VARCHAR)), doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS tok_start
-        |  FROM x)
-        |SELECT source, doc_id, copy, toks, tok_start,
-        |  tok_start // 512 AS seq_start,
-        |  (tok_start + greatest(toks, 1) - 1) // 512 AS seq_end,
-        |  ((tok_start + greatest(toks, 1) - 1) // 512)
-        |    - (tok_start // 512) + 1 AS n_seqs,
-        |  tok_start % 512 AS seq_offset
-        |FROM s ORDER BY source, doc_id, copy""".stripMargin,
+      s"""$mixPackCtes
+         |SELECT source, doc_id, copy, toks, tok_start,
+         |  tok_start // 512 AS seq_start,
+         |  (tok_start + greatest(toks, 1) - 1) // 512 AS seq_end,
+         |  ((tok_start + greatest(toks, 1) - 1) // 512)
+         |    - (tok_start // 512) + 1 AS n_seqs,
+         |  tok_start % 512 AS seq_offset
+         |FROM s ORDER BY source, doc_id, copy""".stripMargin,
+    // shard-writer read-back: q149's chain + per-(source, shard)
+    // grouping with the order-canonical content md5 (string_agg
+    // ORDER BY doc_id, copy == the engine's array_sort order —
+    // (doc_id, copy) is unique within a shard)
+    "q173_shard_writer" ->
+      s"""$mixPackCtes,
+         |pk AS (
+         |  SELECT source, doc_id, copy, toks, tok_start,
+         |    tok_start // 512 AS seq_start,
+         |    (tok_start + greatest(toks, 1) - 1) // 512 AS seq_end,
+         |    tok_start % 512 AS seq_offset
+         |  FROM s)
+         |SELECT source,
+         |  CAST(seq_start // 16 AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_instances,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(min(seq_start) AS BIGINT) AS first_seq,
+         |  CAST(max(seq_end) AS BIGINT) AS last_seq,
+         |  md5(string_agg(
+         |    CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)
+         |      || ':' || CAST(tok_start AS VARCHAR) || ':'
+         |      || CAST(toks AS VARCHAR) || ':'
+         |      || CAST(seq_offset AS VARCHAR),
+         |    ',' ORDER BY doc_id, copy)) AS content_hash
+         |FROM pk GROUP BY source, seq_start // 16
+         |ORDER BY source, shard_id""".stripMargin,
     // integer-exact Okapi BM25: idf in micro-units, k1/b in
     // milli-units, floor divs on non-negative operands throughout;
     // df/tf restricted to query terms; top-10 per query. The indexed

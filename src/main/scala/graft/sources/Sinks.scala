@@ -145,6 +145,26 @@ object Sinks {
     writeBucketed(net, to, bucketCols, numBuckets, "overwrite")
   }
 
+  /** PACKED-SHARD writer — the delivery leg of the mix→pack pipeline:
+    * the packed-instance manifest lands as REAL partitioned files, one
+    * parquet file per shard directory, the layout a trainer's
+    * dataloader consumes. `repartition` on the partition keys
+    * co-locates each shard's rows in one task, so `partitionBy` emits
+    * exactly ONE file per shard dir (the compactBucketedTo alignment
+    * argument); a shard is bounded by the packer's seqs-per-shard
+    * contract, so each file is a bounded delivery unit and the
+    * repartition width = shard count — the dimension that scales out
+    * with the corpus. Overwrite mode: a re-run replaces the delivery
+    * atomically at the directory level (the generation-manifest
+    * discipline applies when shards need concurrent-reader safety).
+    */
+  def writeShards(df: DataFrame, path: String,
+                  parts: Seq[String]): Unit = {
+    require(parts.nonEmpty, "shard write needs at least one key")
+    df.repartition(parts.map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(path)
+  }
+
   /** Morton (Z-order) value: interleave the low `bits` of two
     * non-negative int columns, a in the even positions, b in the odd —
     * pure Column arithmetic (shift/and/or), stays in whole-stage

@@ -92,4 +92,46 @@ class SourcesSinksSpec extends AnyFunSuite {
       .collect().head
     assert(r.getDouble(0) == 9.0 && r.getString(1) == "b" && r.isNullAt(2))
   }
+
+  test("writeShards: one file per (source, shard) dir, per-shard token " +
+    "mass within the straddle bound, read-back manifest lossless") {
+    val dir = "/tmp/graft_sink_shards_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    val packed = CorpusOps.mixPack(
+        Tables.documents(spark, "/root/testdata/sf0.001"),
+        "doc_id", "text", "source")
+      .withColumn("shard_id", expr("seq_start div 16"))
+    val expected = CorpusQueries.shardManifest(packed).collect()
+    Sinks.writeShards(packed, dir, Seq("source", "shard_id"))
+    // exactly ONE parquet data file per shard directory — the
+    // delivery-unit contract (repartition-aligned partitionBy)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("source="))
+      .flatMap(_.listFiles())
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+    assert(shardDirs.nonEmpty)
+    for (sd <- shardDirs) {
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${sd.getName}: ${files.length} files")
+    }
+    val back = spark.read.parquet(dir)
+    // per-shard token budget: 16 sequences × 512 tokens, plus at most
+    // one straddling instance's spill (assignment is by FIRST sequence)
+    val maxToks = packed.agg(max(col("toks"))).head().getLong(0)
+    val over = back.groupBy("source", "shard_id")
+      .agg(sum(col("toks")).as("tok_mass"))
+      .filter(col("tok_mass") > 16L * 512L + maxToks)
+      .count()
+    assert(over == 0L)
+    // lossless roundtrip: manifest from the files == manifest from the
+    // in-memory frame, row for row (content hash included)
+    val got = CorpusQueries.shardManifest(back).collect()
+    assert(got.map(_.toString).sameElements(expected.map(_.toString)))
+    Caches.clear()
+    rm(new java.io.File(dir))
+  }
 }
