@@ -926,6 +926,55 @@ object ScaleProbes {
             f"speedup=${i3 / s3}%.2fx")
         }
 
+      case "r15a-ab" =>
+        // the r14e-ab crossover question, answered: refresh measured
+        // ≈ break-even on 30-token synthetic docs because the ~4
+        // column-pruned corpus passes of the diff dominate when
+        // per-row ingest is trivial. On LONG documents the ingest
+        // cost is ∝ tokens (positional rows ∝ dl) while the diff
+        // stays ∝ docs (32-byte digests) — this probe re-runs the
+        // same A/B at ~1k-token docs, where the claimed 100 TB
+        // steady-state win must either materialize or reshape
+        // refreshFromDiff.
+        val nLd = args.lift(1).map(_.toLong).getOrElse(10000L)
+        val ldToks = args.lift(2).map(_.toInt).getOrElse(1000)
+        def synthLong(n: Long) = spark.range(n).select(
+          col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(ldToks - 1)),
+            i => concat(lit("w"),
+              pmod(col("id") * 31 + i * 7, lit(10000))))).as("text"))
+        val baseLd = synthLong(nLd)
+        def gen2Ld(denom: Int) = baseLd.withColumn("text",
+          when(pmod(col("doc_id"), lit(denom)) === 0,
+            concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        def timedLd(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body
+          val s = (System.nanoTime() - t0) / 1e9; Caches.clear(); s
+        }
+        // warm BOTH arms untimed (the r14e-ab lesson)
+        graft.sources.Bm25Index.write(gen2Ld(64), "doc_id", "text",
+          "abl_full")
+        Caches.clear()
+        val fullLd = timedLd(graft.sources.Bm25Index.write(
+          gen2Ld(64), "doc_id", "text", "abl_full"))
+        graft.sources.Bm25Index.write(baseLd, "doc_id", "text",
+          "abl_inc")
+        Caches.clear()
+        timedLd(graft.sources.Bm25Index.refreshFromDiff(baseLd,
+          gen2Ld(64), "doc_id", "text", "abl_inc"))
+        for (denom <- Seq(64, 16, 4)) {
+          graft.sources.Bm25Index.write(baseLd, "doc_id", "text",
+            "abl_inc")
+          Caches.clear()
+          val s = timedLd(graft.sources.Bm25Index.refreshFromDiff(
+            baseLd, gen2Ld(denom), "doc_id", "text", "abl_inc"))
+          println(f"[probe] r15a-ab: refresh n=$nLd dl=$ldToks " +
+            f"delta=1/$denom refresh_sec=$s%.2f " +
+            f"full_reingest_sec=$fullLd%.2f " +
+            f"speedup=${fullLd / s}%.2fx")
+        }
+
       case "bm25-ab" =>
         // the law behind sources/Bm25Index: the inline ranker pays the
         // corpus text scan + tokenize + aggregate on EVERY query

@@ -126,6 +126,35 @@ object LlmQueries {
     TextOps.decontaminate(Tables.documents(s, d), "doc_id", "text",
       col("doc_id") % 25 === 0)
 
+  /** END-TO-END CURATION composition — the full-text handoff gate the
+    * per-stage queries don't cover: quality filter (q71's gates) ∩
+    * canonical-dup keepers (q151) ∩ not-contaminated (q94's screen,
+    * eval suite excluded from training outright), then the mix→pack
+    * layout (q144→q147→q149) over exactly that curated corpus. Each
+    * gate votes on the full corpus (semi/anti joins on doc_id — the
+    * one-pass-per-gate shape that parallelizes at 100 TB); the packed
+    * manifest is the deliverable a trainer consumes. The oracle chains
+    * the same factored CTE fragments, so a drift in any stage's COLUMN
+    * CONTRACT (reason/keep/train_id names, the curated projection)
+    * breaks this gate even while every per-stage gate stays green.
+    */
+  def q174CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = TextOps.corpusFilter(docs, "doc_id", "text")
+      .filter(col("reason") === "kept").select("doc_id")
+    val canon = TextOps.canonicalPerCluster(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+    val contam = TextOps.decontaminate(docs, "doc_id", "text",
+        col("doc_id") % 25 === 0)
+      .select(col("train_id").as("doc_id")).distinct()
+    val cur = docs
+      .filter(col("doc_id") % 25 =!= 0)
+      .join(kept, Seq("doc_id"), "left_semi")
+      .join(canon, Seq("doc_id"), "left_semi")
+      .join(contam, Seq("doc_id"), "left_anti")
+    CorpusOps.mixPack(cur, "doc_id", "text", "source")
+  }
+
   /** Gopher-style repetition/boilerplate signals per document. */
   def q95RepetitionStats(s: SparkSession, d: String): DataFrame =
     TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")
@@ -641,6 +670,7 @@ object LlmQueries {
     "q92_incremental_neardup" -> (q92IncrementalNeardup _),
     "q93_sequence_packing" -> (q93SequencePacking _),
     "q94_decontaminate" -> (q94Decontaminate _),
+    "q174_curation_pipeline" -> (q174CurationPipeline _),
     "q95_repetition_stats" -> (q95RepetitionStats _),
     "q96_semantic_clusters" -> (q96SemanticClusters _),
     "q97_incremental_exact" -> (q97IncrementalExact _),
@@ -1720,6 +1750,88 @@ object LlmQueries {
          |  ROUND(shared / n_eval, 6) AS eval_coverage
          |FROM hits JOIN sz USING (eval_id)
          |ORDER BY train_id, eval_id""".stripMargin),
+    // the end-to-end curation composition: q71's gate chain (CTEs
+    // renamed f* — the bare w/m/g/d names collide with the spliced
+    // fragments), q151's recursive component chain + selection,
+    // q94's containment screen, then the PREFIXED mix→pack chain
+    // (MixPackSql.ctesOver) over the curated corpus — edit with
+    // q71/q151/q94/q149
+    "q174_curation_pipeline" -> (
+      s"""WITH RECURSIVE $shingleBase,
+         |$lshJacCtes,
+         |edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+         |symd AS (SELECT a AS src, b AS dst FROM edges
+         |         UNION ALL SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM symd
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN symd s ON r.dst = s.src),
+         |comp AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS comp
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id),
+         |tk AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+'))
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |canon AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id, row_number() OVER (PARTITION BY c.comp
+         |      ORDER BY t.n_tokens DESC, c.doc_id ASC) AS rn
+         |    FROM comp c JOIN tk t USING (doc_id)) WHERE rn = 1),
+         |fw AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |fm AS (
+         |  SELECT doc_id,
+         |    len(w) AS n_tokens,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+         |      / len(w) AS avg_tok_len,
+         |    len(list_filter(w, x -> x IN ('the','a','of','and','in')))
+         |      / len(w) AS stop_ratio,
+         |    CASE WHEN len(list_filter(w, x -> x IN ('the','a'))) * 20 >= len(w)
+         |         THEN 'en' ELSE 'unknown' END AS predicted,
+         |    md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp
+         |  FROM fw),
+         |fg AS (
+         |  SELECT doc_id, fp,
+         |    CASE WHEN n_tokens < 30 THEN 'too_short'
+         |         WHEN avg_tok_len * 0.5 + stop_ratio * 2.0
+         |              + least(n_tokens, 100) / 100.0 < 2.8 THEN 'low_quality'
+         |         WHEN predicted <> 'en' THEN 'non_english' END AS gate
+         |  FROM fm),
+         |fd AS (
+         |  SELECT doc_id, gate,
+         |    sum(CASE WHEN gate IS NULL THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY fp ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS earlier
+         |  FROM fg),
+         |kept AS (
+         |  SELECT doc_id FROM fd
+         |  WHERE gate IS NULL AND coalesce(earlier, 0) = 0),
+         |$winnowSelCtes,
+         |ex AS (SELECT doc_id, unnest(fp) AS h FROM sel),
+         |contam AS (
+         |  SELECT DISTINCT train_id AS doc_id FROM (
+         |    SELECT t.doc_id AS train_id, e.doc_id AS eval_id
+         |    FROM ex t JOIN ex e ON t.h = e.h
+         |    WHERE t.doc_id % 25 <> 0 AND e.doc_id % 25 = 0
+         |    GROUP BY 1, 2 HAVING count(*) >= 4)),
+         |cur AS (
+         |  SELECT d0.source, d0.doc_id, d0.text FROM documents d0
+         |  JOIN kept USING (doc_id) JOIN canon USING (doc_id)
+         |  WHERE d0.doc_id % 25 <> 0
+         |    AND d0.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |${MixPackSql.ctesOver("cur", "mp_")}
+         |SELECT source, doc_id, copy, toks, tok_start,
+         |  tok_start // 512 AS seq_start,
+         |  (tok_start + greatest(toks, 1) - 1) // 512 AS seq_end,
+         |  ((tok_start + greatest(toks, 1) - 1) // 512)
+         |    - (tok_start // 512) + 1 AS n_seqs,
+         |  tok_start % 512 AS seq_offset
+         |FROM mp_s ORDER BY source, doc_id, copy""".stripMargin),
     "q95_repetition_stats" -> (
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
