@@ -141,6 +141,12 @@ object Bench {
       "q167_proximity_search", "q168_proximity_ranked",
       "q169_learned_vector_index", "q170_learned_recall",
       "q171_learned_pq_index",
+      // round-15 second tranche: the end-to-end curation composition
+      // (quality ∩ canonical ∩ decontaminated → mix→pack) — the
+      // full-text pipeline cost in one number; q172 (iterative
+      // refresh lifecycle) and q173 (shard writer) are floor-table
+      // entries like the other harness/writer shapes
+      "q174_curation_pipeline",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

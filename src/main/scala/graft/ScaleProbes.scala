@@ -943,14 +943,36 @@ object ScaleProbes {
           concat_ws(" ", transform(sequence(lit(0), lit(ldToks - 1)),
             i => concat(lit("w"),
               pmod(col("id") * 31 + i * 7, lit(10000))))).as("text"))
-        val baseLd = synthLong(nLd)
-        def gen2Ld(denom: Int) = baseLd.withColumn("text",
-          when(pmod(col("doc_id"), lit(denom)) === 0,
-            concat(col("text"), lit(" rev2")))
-            .otherwise(col("text")))
+        // materialize the corpora to PARQUET first — the deployment
+        // shape. The first r15a draw generated the synthetic text
+        // inline, so refresh's multiple column-pruned corpus passes
+        // re-paid the 1000-element transform per pass while the
+        // re-ingest arm paid it once: a probe artifact, not the law.
+        val ldDir = "/tmp/graft_r15a_corpus"
+        synthLong(nLd).write.mode("overwrite").parquet(s"$ldDir/base")
+        synthLong(nLd).withColumn("text",
+            when(pmod(col("doc_id"), lit(64)) === 0,
+              concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")))
+          .write.mode("overwrite").parquet(s"$ldDir/gen2_64")
+        for (denom <- Seq(16, 4))
+          synthLong(nLd).withColumn("text",
+              when(pmod(col("doc_id"), lit(denom)) === 0,
+                concat(col("text"), lit(" rev2")))
+                .otherwise(col("text")))
+            .write.mode("overwrite").parquet(s"$ldDir/gen2_$denom")
+        graft.TmpDirs.deleteOnExit(ldDir)
+        val baseLd = spark.read.parquet(s"$ldDir/base")
+        def gen2Ld(denom: Int) =
+          spark.read.parquet(s"$ldDir/gen2_$denom")
         def timedLd(body: => Unit): Double = {
-          val t0 = System.nanoTime(); body
-          val s = (System.nanoTime() - t0) / 1e9; Caches.clear(); s
+          def one(): Double = {
+            val t0 = System.nanoTime(); body
+            val s = (System.nanoTime() - t0) / 1e9; Caches.clear(); s
+          }
+          // min-of-2: the first r15a draw's 26-vs-16 s inversion
+          // between adjacent deltas was single-shot noise
+          math.min(one(), one())
         }
         // warm BOTH arms untimed (the r14e-ab lesson)
         graft.sources.Bm25Index.write(gen2Ld(64), "doc_id", "text",

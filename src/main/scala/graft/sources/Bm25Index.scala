@@ -367,13 +367,16 @@ object Bm25Index {
     * (md5 hashes shuffle, never text — snapshotDiff's contract); the
     * two verdict joins are id-equi-joins against the persisted
     * manifest; ingest itself is the usual per-batch bucketed append.
-    * Honest cost note (measured, SCALING.md r14e-ab): the diff and
-    * the two join legs are ~4 column-pruned corpus passes, so on
-    * short synthetic docs the refresh only breaks even with a full
-    * re-ingest — it wins where per-row ingest cost dominates (long
-    * real documents, the positional table's ~dl rows per doc), and
-    * unconditionally when the delta arrives as an upstream manifest
-    * ([[delete]]/[[append]] apply directly, no diff scan).
+    * Honest cost note (measured, SCALING.md r14e-ab + r15a-ab): the
+    * diff and the two join legs are ~|docs|-proportional corpus
+    * passes, so on SHORT docs (200k×30-token parquet corpus) refresh
+    * runs 0.6× a full re-ingest — and on LONG docs (10k×1k-token),
+    * where ingest cost ∝ tokens dominates (the positional table's
+    * ~dl rows per doc), it wins 2.1× at 1/64–1/16 deltas and 1.4×
+    * even at a 1/4 delta. The applicability condition is the
+    * tokens-per-doc ratio, and it wins unconditionally when the
+    * delta arrives as an upstream manifest ([[delete]]/[[append]]
+    * apply directly, no diff scan).
     */
   def refreshFromDiff(oldGen: DataFrame, newGen: DataFrame,
                       idCol: String, textCol: String,
