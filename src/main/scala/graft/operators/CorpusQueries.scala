@@ -242,23 +242,7 @@ object CorpusQueries {
     // build via NESTED HOF lambdas (8 × 9 grid), not 216 unrolled hex
     // slots — the codegen-size lesson from q138's first cut
     type C = org.apache.spark.sql.Column
-    def base(r: C, c: C) = {
-      val m = g + r * 7 + c * 13
-      lit(1) + pmod(g * 31 + m * m, lit(254))
-    }
-    def alt(r: C, c: C) = {
-      val m = g * 3 + r * 11 + c * 17 + lit(7)
-      lit(1) + pmod(g * 53 + m * m + lit(137), lit(254))
-    }
-    def pix(r: C, c: C): C = {
-      val b = base(r, c)
-      val b1 = base(r, lit(1))
-      val flipped = when(c === 0 && r <= 2,
-        when(base(r, lit(0)) > b1, b1 - 1).otherwise(b1 + 1))
-        .otherwise(b)
-      when(v === 0, b).when(v === 1, b + 1)
-        .when(v === 2, flipped).otherwise(alt(r, c))
-    }
+    def pix(r: C, c: C): C = fixturePix(g, v)(r, c)
     def hb(x: C) = lpad(hex(x), 2, "0")
     // 14-byte file header ("BM", size 278, data offset 54) + 40-byte
     // BITMAPINFOHEADER (9×8, 1 plane, 24 bpp, uncompressed), all
@@ -275,6 +259,133 @@ object CorpusQueries {
     Multimodal.imagePhashDedup(
       Tables.documents(s, d).select(col("doc_id"), content.as("content")))
       .orderBy("doc_id")
+  }
+
+  /** q176: PNG PIXEL-level image dedup — the q133 gate re-run through
+    * a COMPRESSED container. Each doc's 9×8 grayscale image (the SAME
+    * [[fixturePix]] formulas as q133, so the two queries share one
+    * oracle) is synthesized as a SPEC-TRUE PNG byte stream entirely in
+    * Column arithmetic: signature, IHDR (constant incl. its CRC32), an
+    * IDAT whose zlib stream uses a STORED deflate block (BFINAL=1,
+    * BTYPE=00 — LEN/NLEN/raw bytes; java.util.zip.Inflater handles
+    * stored blocks natively) wrapping scanlines that CYCLE THROUGH ALL
+    * FIVE FILTER TYPES (row r uses filter r mod 5, each encoded by its
+    * spec formula — Sub/Up/Average/Paeth deltas mod 256), the raw
+    * stream's real ADLER32 (two running sums mod 65521) and the
+    * chunk's real CRC32 (the bitwise reflected-polynomial loop as
+    * nested HOF aggregates — loops, not unrolled slots, the q138
+    * codegen lesson), both computed in Column arithmetic. The decoder
+    * ([[graft.Multimodal.decodePngGray]]) verifies every CRC, inflates
+    * (Inflater checks the adler), and reconstructs all five filters —
+    * so a wrong checksum formula, a filter slip, or a chunk-walk bug
+    * each break the gate. Expected output is BIT-IDENTICAL to q133's
+    * (same pixels, same dHash pipeline): the gate isolates exactly the
+    * PNG decode path.
+    */
+  def q176PngPixelDedup(s: SparkSession, d: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    val v = pmod(col("doc_id"), lit(4))
+    type C = org.apache.spark.sql.Column
+    def pix(r: C, c: C): C = fixturePix(g, v)(r, c)
+    // scanline encoding per PNG spec §9 (bpp = 1; absent neighbors = 0)
+    def enc(r: C, c: C): C = {
+      val p = pix(r, c)
+      val left = when(c === 0, lit(0)).otherwise(pix(r, c - 1))
+      val up = when(r === 0, lit(0)).otherwise(pix(r - 1, c))
+      val ul = when(r === 0 || c === 0, lit(0))
+        .otherwise(pix(r - 1, c - 1))
+      val q = left + up - ul
+      val paeth = when(abs(q - left) <= abs(q - up) &&
+          abs(q - left) <= abs(q - ul), left)
+        .when(abs(q - up) <= abs(q - ul), up)
+        .otherwise(ul)
+      val f = pmod(r, lit(5))
+      when(f === 0, p)
+        .when(f === 1, pmod(p - left, lit(256)))
+        .when(f === 2, pmod(p - up, lit(256)))
+        .when(f === 3, pmod(p - shiftright(left + up, 1), lit(256)))
+        .otherwise(pmod(p - paeth, lit(256)))
+        .cast("int")
+    }
+    // 8 rows × (1 filter byte + 9 encoded bytes) = 80 raw bytes
+    val rawBytes = flatten(transform(sequence(lit(0), lit(7)), r =>
+      concat(array(pmod(r, lit(5)).cast("int")),
+        transform(sequence(lit(0), lit(8)), c => enc(r, c)))))
+    // ADLER32 of the raw stream: s1 = 1 + Σd, s2 = n·1 + Σ(n−j+1)·d_j
+    // (= Σ of the running s1), both mod 65521 (RFC 1950 §8.2)
+    val s1 = pmod(lit(1L) +
+      aggregate(rawBytes, lit(0L), (a, x) => a + x), lit(65521L))
+    val s2 = pmod(lit(80L) +
+      aggregate(zip_with(rawBytes, sequence(lit(1), lit(80)),
+        (dd, j) => dd.cast("long") * (lit(81) - j).cast("long")),
+        lit(0L), (a, x) => a + x), lit(65521L))
+    val adler = s2 * 65536L + s1
+    def adlerByte(k: Int) =
+      shiftright(adler, 8 * k).bitwiseAND(lit(255L)).cast("int")
+    // zlib: 78 01 header, stored block (01, LEN=80 LE, NLEN), raw,
+    // adler32 BE — 91 bytes total, so the IDAT length is 0x5B
+    val zlibBytes = concat(
+      array(lit(0x78), lit(0x01), lit(0x01), lit(0x50), lit(0x00),
+        lit(0xAF), lit(0xFF)),
+      rawBytes,
+      array(adlerByte(3), adlerByte(2), adlerByte(1), adlerByte(0)))
+    // CRC32 over "IDAT" + zlib bytes: the reflected-polynomial bitwise
+    // loop (ISO 3309), one inner 8-step aggregate per byte
+    val crcInput = concat(
+      array(lit(0x49), lit(0x44), lit(0x41), lit(0x54)), zlibBytes)
+    val crc = aggregate(crcInput, lit(0xFFFFFFFFL), (acc, b) =>
+      aggregate(sequence(lit(1), lit(8)),
+        acc.bitwiseXOR(b.cast("long")),
+        (x, _) => shiftrightunsigned(x, 1).bitwiseXOR(
+          when(x.bitwiseAND(lit(1L)) === 1L, lit(0xEDB88320L))
+            .otherwise(lit(0L)))))
+      .bitwiseXOR(lit(0xFFFFFFFFL))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"),
+      // IHDR: 9×8, depth 8, color type 0, no interlace — constant
+      // chunk, constant CRC (derived once from the spec polynomial)
+      lit("0000000D49484452000000090000000808000000000EA68A69"),
+      lit("0000005B49444154"),
+      concat_ws("", transform(zlibBytes,
+        b => lpad(hex(b.cast("long")), 2, "0"))),
+      lpad(hex(crc), 8, "0"),
+      lit("0000000049454E44AE426082"))
+    Multimodal.pngPhashDedup(
+      Tables.documents(s, d).select(col("doc_id"),
+        unhex(pngHex).as("content")))
+      .orderBy("doc_id")
+  }
+
+  /** The shared 9×8 fixture PIXEL FORMULAS — one definition consumed
+    * by the q133 BMP synthesizer, the q176 PNG synthesizer, AND
+    * mirrored in the oracle's `px` CTE (imagePhashCtes — edit all
+    * three together): per group g the four variants are the base
+    * quadratic mix, +1 uniform brightness (perceptual dup, hamming 0),
+    * three leftmost-column comparisons inverted (exactly hamming 3),
+    * and an independently-seeded distinct image. Quadratic, not
+    * linear: a linear ramp's adjacent-column differences are constant
+    * and every group's hash collides (the q133 lesson).
+    */
+  private def fixturePix(g: org.apache.spark.sql.Column,
+                         v: org.apache.spark.sql.Column)(
+      r: org.apache.spark.sql.Column,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    type C = org.apache.spark.sql.Column
+    def base(r: C, c: C) = {
+      val m = g + r * 7 + c * 13
+      lit(1) + pmod(g * 31 + m * m, lit(254))
+    }
+    def alt(r: C, c: C) = {
+      val m = g * 3 + r * 11 + c * 17 + lit(7)
+      lit(1) + pmod(g * 53 + m * m + lit(137), lit(254))
+    }
+    val b = base(r, c)
+    val b1 = base(r, lit(1))
+    val flipped = when(c === 0 && r <= 2,
+      when(base(r, lit(0)) > b1, b1 - 1).otherwise(b1 + 1))
+      .otherwise(b)
+    when(v === 0, b).when(v === 1, b + 1)
+      .when(v === 2, flipped).otherwise(alt(r, c))
   }
 
   // -------- little-endian hex builders shared by the binary-fixture
@@ -556,6 +667,7 @@ object CorpusQueries {
       CorpusOps.vocabEncode(Tables.documents(s, d), "doc_id", "text")),
     "q122_jpeg_meta" -> (q122JpegMeta _),
     "q133_image_phash_dedup" -> (q133ImagePhashDedup _),
+    "q176_png_pixel_dedup" -> (q176PngPixelDedup _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
     "q124_bpe_encode" -> (Bpe.q124BpeEncode _),
     "q125_langid_trigram" -> ((s, d) =>
@@ -595,6 +707,17 @@ object CorpusQueries {
     // lifecycle; bit-equal to a cold run (GraphSpec), rounds ∝ log of
     // the rank delta instead of log(scale)
     "q172_pagerank_refresh" -> (Graph.q172PageRankRefresh _),
+    // the STANDING rank index: q172's lifecycle through the
+    // generation-manifest commit protocol — bootstrap gen1, refresh
+    // to the republished graph, serve the committed generation;
+    // bit-equal to the inline refresh, so it SHARES q172's oracle
+    "q175_rank_index" -> ((s, d) => {
+      val (nodes, edges) = Graph.tradeGraph(s, d)
+      graft.sources.RankIndex.bootstrap(nodes,
+        Graph.tradeGraphGen1(s, d), "rankix")
+      graft.sources.RankIndex.refresh(nodes, edges, "rankix")
+      graft.sources.RankIndex.ranks(s, "rankix").orderBy("node")
+    }),
     // the delivery leg: q149's schedule written as real shard FILES,
     // result = per-file manifest re-derived from the read-back
     "q173_shard_writer" -> (q173ShardWriter _),
@@ -963,6 +1086,16 @@ object CorpusQueries {
       |        max(CASE WHEN rn = 1 THEN partner END) AS best_partner,
       |        max(CASE WHEN rn = 1 THEN hamming END) AS best_hamming
       |        FROM irk GROUP BY 1)""".stripMargin
+
+  /** The image-dedup oracle shared verbatim by q133 (BMP) and q176
+    * (PNG) — identical pixels through [[fixturePix]], identical dHash
+    * pipeline; only the container differs. */
+  private lazy val imagePhashOracle: String =
+    s"""WITH $imagePhashCtes
+       |SELECT h.doc_id, h.phash,
+       |  coalesce(n_dups, 0) AS n_dups, best_partner, best_hamming
+       |FROM ihs h LEFT JOIN ibest USING (doc_id)
+       |ORDER BY h.doc_id""".stripMargin
 
   /** The q137 waveform→features CTE chain (CTE names prefixed a*),
     * ending at `af` (doc_id, v, n, smp, sum_sq) — shared by the q137
@@ -1670,12 +1803,12 @@ object CorpusQueries {
     // all-pairs hamming <= 3 equals the engine's banded candidate set
     // by pigeonhole. Powers of two accumulate in HUGEINT then wrap to
     // the engine's two's-complement long (BIGINT << 63 would overflow)
-    "q133_image_phash_dedup" ->
-      s"""WITH $imagePhashCtes
-         |SELECT h.doc_id, h.phash,
-         |  coalesce(n_dups, 0) AS n_dups, best_partner, best_hamming
-         |FROM ihs h LEFT JOIN ibest USING (doc_id)
-         |ORDER BY h.doc_id""".stripMargin,
+    "q133_image_phash_dedup" -> imagePhashOracle,
+    // q176 produces BIT-IDENTICAL output to q133 — same fixturePix
+    // pixels, same dHash pipeline, PNG container instead of BMP — so
+    // it shares the oracle verbatim (the q98/q99 pattern); the gate
+    // isolates the PNG decode path
+    "q176_png_pixel_dedup" -> imagePhashOracle,
     // the cross-modal curation manifest: text + image-dup + audio
     // signals composed under ONE verdict — shares imagePhashCtes and
     // audioFeatureCtes verbatim with q133/q137; edit all three
@@ -1767,6 +1900,9 @@ object CorpusQueries {
     // converging warm-start loop: past cycle entry every consecutive
     // level pair is the same {x, y} (see Graph.q172OracleSql)
     "q172_pagerank_refresh" -> Graph.q172OracleSql(),
+    // the standing rank index answers exactly as the inline refresh
+    // lifecycle — q172's oracle verbatim (the q98/q99 pattern)
+    "q175_rank_index" -> Graph.q172OracleSql(),
     // temperature mixing plan: τ=1/2 via sqrt (correctly rounded in
     // both engines), then integer floor-divisions; windowed sums CAST
     // — DuckDB sums BIGINT into HUGEINT (the q93 lesson)
