@@ -143,10 +143,12 @@ object Bench {
       "q171_learned_pq_index",
       // round-15 second tranche: the end-to-end curation composition
       // (quality ∩ canonical ∩ decontaminated → mix→pack) — the
-      // full-text pipeline cost in one number; q172 (iterative
-      // refresh lifecycle) and q173 (shard writer) are floor-table
+      // full-text pipeline cost in one number — and the PNG pixel
+      // decode gate (CRC-verified chunk walk + inflate + all-five
+      // filter reconstruction, q133's sibling); q172/q175 (iterative
+      // refresh lifecycles) and q173 (shard writer) are floor-table
       // entries like the other harness/writer shapes
-      "q174_curation_pipeline",
+      "q174_curation_pipeline", "q176_png_pixel_dedup",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

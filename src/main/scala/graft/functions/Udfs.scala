@@ -88,6 +88,14 @@ object Udfs {
   val bmpPhash: UserDefinedFunction =
     udf(graft.Multimodal.bmpDHash _)
 
+  /** Perceptual 64-bit dHash over a grayscale-8 PNG payload (full
+    * chunk-CRC + inflate + filter reconstruction); null for
+    * undecodable/unsupported containers. Kernel:
+    * [[graft.Multimodal.pngDHash]].
+    */
+  val pngPhash: UserDefinedFunction =
+    udf(graft.Multimodal.pngDHash _)
+
   /** PCM 16-bit WAV sample array; null for undecodable/non-PCM-16
     * payloads. Kernel: [[graft.Multimodal.decodeWavSamples]]; feature
     * math runs Spark-side over the array (HOFs, codegen'd).

@@ -523,6 +523,105 @@ object Multimodal {
     Some(out)
   }
 
+  /** REAL pixel decode for 8-bit GRAYSCALE PNG — the second lossless
+    * container upgraded from metadata to CONTENT (decodeBmpGray's
+    * posture): full chunk walk with CRC32 verification (java.util.zip
+    * .CRC32 over type+data, PNG spec §5.3 — a corrupted chunk returns
+    * None, never garbage pixels), concatenated IDAT inflate through
+    * java.util.zip.Inflater (the zlib wrapper's ADLER32 is verified by
+    * the inflater itself), then per-row filter reconstruction for ALL
+    * FIVE filter types (None/Sub/Up/Average/Paeth, spec §9 — bpp = 1
+    * for grayscale-8, so `left` is the previous byte). Returns the
+    * grayscale matrix (rows top-down, PNG's storage order) or None for
+    * anything malformed or outside the supported shape (bit depth 8,
+    * color type 0, no interlace) — color types and interlacing stay
+    * behind honest gates, but the decode path itself (chunking, CRCs,
+    * DEFLATE, filters) is the real format, not a stub: any
+    * spec-conforming grayscale-8 PNG decodes, whatever produced it.
+    * JPEG pixels (entropy coding) remain the documented codec stub.
+    */
+  def decodePngGray(bytes: Array[Byte]): Option[Array[Array[Int]]] = {
+    val meta = decodePngHeader(bytes) match {
+      case Some(m) if m.bits_per_pixel == 8 => m
+      case _ => return None
+    }
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    // IHDR color type must be 0 (grayscale), standard compression and
+    // filter method, no interlace — the header decode validated
+    // dims/bit depth; these live at fixed offsets in the first chunk
+    if (bytes.length < 33 || bytes(25) != 0 || bytes(26) != 0 ||
+      bytes(27) != 0 || bytes(28) != 0) return None
+    val (w, h) = (meta.width, meta.height)
+    if (w <= 0 || h <= 0 || w.toLong * h > 16L * 1024 * 1024) return None
+    // chunk walk: verify every CRC, concatenate IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var o = 8
+    var sawEnd = false
+    while (!sawEnd) {
+      if (o + 8 > bytes.length) return None
+      val len = be32(o)
+      if (len < 0 || len > Int.MaxValue - 12 ||
+        o + 12 + len > bytes.length) return None
+      val typ = new String(bytes, o + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, o + 4, 4 + len.toInt)
+      if (crc.getValue != be32(o + 8 + len.toInt)) return None
+      if (typ == "IDAT") idat.write(bytes, o + 8, len.toInt)
+      else if (typ == "IEND") sawEnd = true
+      o += 12 + len.toInt
+    }
+    val raw = new Array[Byte](h * (1 + w))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // filter reconstruction, bpp = 1 (spec §9: absent neighbors = 0)
+    val out = Array.ofDim[Int](h, w)
+    var r = 0
+    while (r < h) {
+      val f = raw(r * (1 + w)) & 0xff
+      if (f > 4) return None
+      var c = 0
+      while (c < w) {
+        val x = raw(r * (1 + w) + 1 + c) & 0xff
+        val left = if (c > 0) out(r)(c - 1) else 0
+        val up = if (r > 0) out(r - 1)(c) else 0
+        val ul = if (r > 0 && c > 0) out(r - 1)(c - 1) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => // Paeth §9.4
+            val p = left + up - ul
+            val (pa, pb, pc) =
+              (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        out(r)(c) = (x + pred) & 0xff
+        c += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** [[decodePngGray]] ∘ [[dHash64]] — the q176 kernel (the bmpDHash
+    * sibling for the compressed lossless container). */
+  def pngDHash(bytes: Array[Byte]): Option[Long] =
+    decodePngGray(bytes).flatMap(dHash64)
+
   /** 64-bit difference hash (dHash) over a grayscale matrix — the
     * standard perceptual fingerprint for image near-dup at corpus
     * scale: integer box-average the image onto a 9-wide × 8-tall grid
@@ -650,6 +749,18 @@ object Multimodal {
                       contentCol: String = "content",
                       maxHamming: Int = 3): DataFrame =
     phashDedup(media, idCol, contentCol, graft.functions.Udfs.bmpPhash(_),
+      nBands = 4, bandBits = 16, maxHamming = maxHamming)
+
+  /** Image near-dup over grayscale-8 PNG payloads — [[imagePhashDedup]]
+    * with the [[pngDHash]] kernel (q176's gate): the same 64-bit dHash
+    * and 4×16-bit banding, so PNG- and BMP-sourced prints interoperate
+    * in one dedup space (a corpus mixes containers; the hash is over
+    * PIXELS, not bytes).
+    */
+  def pngPhashDedup(media: DataFrame, idCol: String = "doc_id",
+                    contentCol: String = "content",
+                    maxHamming: Int = 3): DataFrame =
+    phashDedup(media, idCol, contentCol, graft.functions.Udfs.pngPhash(_),
       nBands = 4, bandBits = 16, maxHamming = maxHamming)
 
   /** Audio near-dup over PCM-16 WAV payloads: 32-bit energy-delta

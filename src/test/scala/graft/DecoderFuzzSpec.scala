@@ -16,6 +16,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "wav header" -> Multimodal.decodeWavHeader _,
     "wav samples" -> Multimodal.decodeWavSamples _,
     "png header" -> Multimodal.decodePngHeader _,
+    "png gray" -> Multimodal.decodePngGray _,
+    "png dhash" -> Multimodal.pngDHash _,
     "bmp header" -> Multimodal.decodeBmpHeader _,
     "bmp gray" -> Multimodal.decodeBmpGray _,
     "jpeg header" -> Multimodal.decodeJpegHeader _,
@@ -57,6 +59,30 @@ class DecoderFuzzSpec extends AnyFunSuite {
       }
       bb.array()
     }
+    val png = {
+      val raw = new Array[Byte](8 * 10)
+      for (r <- 0 until 8; c <- 0 until 9)
+        raw(r * 10 + 1 + c) = ((r * 29 + c * 53) % 255).toByte
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val zbuf = new Array[Byte](raw.length + 64)
+      val zlen = defl.deflate(zbuf); defl.end()
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val crc = new java.util.zip.CRC32()
+        val tb = typ.getBytes("US-ASCII")
+        crc.update(tb); crc.update(data)
+        java.nio.ByteBuffer.allocate(12 + data.length)
+          .putInt(data.length).put(tb).put(data)
+          .putInt(crc.getValue.toInt).array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(9).putInt(8)
+        .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .put(0.toByte).array()
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.take(zlen)) ++
+        chunk("IEND", Array.empty[Byte])
+    }
     val jpeg = {
       val bb = java.nio.ByteBuffer.allocate(39)
       bb.putShort(0xFFD8.toShort)
@@ -68,7 +94,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
       bb.put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
       bb.array()
     }
-    Seq(wav, bmp, jpeg)
+    Seq(wav, bmp, png, jpeg)
   }
 
   test("random bytes never throw in any decoder") {
@@ -117,7 +143,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
       bb.array().copyToArray(m, off)
       m
     }
-    val Seq(wav, bmp, _) = fixtures
+    val Seq(wav, bmp, _, _) = fixtures
     for (v <- Seq(Int.MaxValue, Int.MinValue, -1, 0)) {
       // RIFF chunk-size fields (fmt at 16, data at 40)
       Multimodal.decodeWavSamples(patchInt(wav, 16, v))

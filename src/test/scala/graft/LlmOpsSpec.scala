@@ -989,6 +989,110 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Multimodal.dHash64(Array.tabulate(4, 4)((_, _) => 1)).isEmpty)
   }
 
+  test("decodePngGray goldens: all five filters round-trip through a " +
+    "REAL deflater, multi-IDAT concatenation, CRC rejection, and the " +
+    "PNG print equals the BMP print of the same pixels") {
+    def png(pixels: Array[Array[Int]], filterOf: Int => Int,
+            splitIdat: Boolean = false): Array[Byte] = {
+      val h = pixels.length; val w = pixels(0).length
+      val raw = new Array[Byte](h * (1 + w))
+      for (r <- 0 until h) {
+        val f = filterOf(r)
+        raw(r * (1 + w)) = f.toByte
+        for (c <- 0 until w) {
+          val p = pixels(r)(c)
+          val left = if (c > 0) pixels(r)(c - 1) else 0
+          val up = if (r > 0) pixels(r - 1)(c) else 0
+          val ul = if (r > 0 && c > 0) pixels(r - 1)(c - 1) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 =>
+              val q = left + up - ul
+              val (pa, pb, pc) =
+                (math.abs(q - left), math.abs(q - up), math.abs(q - ul))
+              if (pa <= pb && pa <= pc) left
+              else if (pb <= pc) up else ul
+          }
+          raw(r * (1 + w) + 1 + c) = ((p - pred) & 0xff).toByte
+        }
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val zbuf = new Array[Byte](raw.length + 64)
+      val zlen = defl.deflate(zbuf); defl.end()
+      val z = zbuf.take(zlen)
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val crc = new java.util.zip.CRC32()
+        val tb = typ.getBytes("US-ASCII")
+        crc.update(tb); crc.update(data)
+        java.nio.ByteBuffer.allocate(12 + data.length)
+          .putInt(data.length).put(tb).put(data)
+          .putInt(crc.getValue.toInt).array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .put(0.toByte).array()
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte)
+      val idats =
+        if (splitIdat) // real encoders split IDAT; decode concatenates
+          chunk("IDAT", z.take(z.length / 2)) ++
+            chunk("IDAT", z.drop(z.length / 2))
+        else chunk("IDAT", z)
+      sig ++ chunk("IHDR", ihdr) ++ idats ++
+        chunk("IEND", Array.empty[Byte])
+    }
+    val px = Array.tabulate(8, 9)((r, c) =>
+      ((r * 29 + c * 53) * (r + c + 2)) % 240)
+    def rows(m: Array[Array[Int]]) = m.map(_.toSeq).toSeq
+    // every filter type exercised: all-None, and cycling r % 5
+    assert(Multimodal.decodePngGray(png(px, _ => 0)).map(rows)
+      .contains(rows(px)))
+    assert(Multimodal.decodePngGray(png(px, r => r % 5)).map(rows)
+      .contains(rows(px)))
+    for (f <- 1 to 4)
+      assert(Multimodal.decodePngGray(png(px, _ => f)).map(rows)
+        .contains(rows(px)), s"filter $f failed to round-trip")
+    // multi-IDAT streams concatenate before inflation
+    assert(Multimodal.decodePngGray(png(px, r => r % 5, splitIdat = true))
+      .map(rows).contains(rows(px)))
+    // cross-container print equality: the hash is over PIXELS, so the
+    // PNG and BMP prints of the same image are the same 64 bits —
+    // mixed-container corpora dedup in one space
+    val bmpBytes = {
+      val rowBytes = 28
+      val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("BM".getBytes); bb.putInt(54 + rowBytes * 8); bb.putInt(0)
+      bb.putInt(54); bb.putInt(40); bb.putInt(9); bb.putInt(8)
+      bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(rowBytes * 8)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      for (s <- 0 until 8; c <- 0 until 9) {
+        val p = px(7 - s)(c).toByte
+        bb.put(p); bb.put(p); bb.put(p)
+        if (c == 8) bb.put(0.toByte)
+      }
+      bb.array()
+    }
+    assert(Multimodal.pngDHash(png(px, r => r % 5)) ==
+      Multimodal.bmpDHash(bmpBytes))
+    // integrity: a flipped bit in IDAT data breaks that chunk's CRC
+    val good = png(px, r => r % 5)
+    val corrupt = good.clone()
+    corrupt(40) = (corrupt(40) ^ 0x01).toByte // inside IDAT data
+    assert(Multimodal.decodePngGray(corrupt).isEmpty)
+    // truncation, wrong color type, junk: None, never exceptions
+    assert(Multimodal.decodePngGray(good.take(50)).isEmpty)
+    assert(Multimodal.decodePngGray(null).isEmpty)
+    assert(Multimodal.decodePngGray("PNG nope".getBytes).isEmpty)
+    val rgb = good.clone(); rgb(25) = 2.toByte // color type → CRC breaks too
+    assert(Multimodal.decodePngGray(rgb).isEmpty)
+  }
+
   test("imagePhashDedup end-to-end: brightness twins pair at hamming 0, " +
     "distinct images stay unpaired, undecodable rows keep null hashes") {
     def bmp(seed: Int): Array[Byte] = {
