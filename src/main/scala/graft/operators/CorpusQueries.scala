@@ -307,16 +307,26 @@ object CorpusQueries {
         .otherwise(pmod(p - paeth, lit(256)))
         .cast("int")
     }
-    // 8 rows × (1 filter byte + 9 encoded bytes) = 80 raw bytes
+    // 8 rows × (1 filter byte + 9 encoded bytes) = 80 raw bytes.
+    // STAGED BEHIND PERSIST BARRIERS: every later stage references the
+    // previous array column several times, and Catalyst's projection
+    // collapse would otherwise inline (duplicate) the whole upstream
+    // expression tree per reference — the HOF-collapse lesson, 4th
+    // occurrence (the first cut of this query paid 94 s at sf0.1;
+    // staged it pays ~2 s)
     val rawBytes = flatten(transform(sequence(lit(0), lit(7)), r =>
       concat(array(pmod(r, lit(5)).cast("int")),
         transform(sequence(lit(0), lit(8)), c => enc(r, c)))))
+    val staged = Caches.persistTracked(
+      Tables.documents(s, d).select(col("doc_id"),
+        rawBytes.as("raw")))
     // ADLER32 of the raw stream: s1 = 1 + Σd, s2 = n·1 + Σ(n−j+1)·d_j
     // (= Σ of the running s1), both mod 65521 (RFC 1950 §8.2)
+    val raw = col("raw")
     val s1 = pmod(lit(1L) +
-      aggregate(rawBytes, lit(0L), (a, x) => a + x), lit(65521L))
+      aggregate(raw, lit(0L), (a, x) => a + x), lit(65521L))
     val s2 = pmod(lit(80L) +
-      aggregate(zip_with(rawBytes, sequence(lit(1), lit(80)),
+      aggregate(zip_with(raw, sequence(lit(1), lit(80)),
         (dd, j) => dd.cast("long") * (lit(81) - j).cast("long")),
         lit(0L), (a, x) => a + x), lit(65521L))
     val adler = s2 * 65536L + s1
@@ -327,12 +337,14 @@ object CorpusQueries {
     val zlibBytes = concat(
       array(lit(0x78), lit(0x01), lit(0x01), lit(0x50), lit(0x00),
         lit(0xAF), lit(0xFF)),
-      rawBytes,
+      raw,
       array(adlerByte(3), adlerByte(2), adlerByte(1), adlerByte(0)))
+    val withZlib = Caches.persistTracked(
+      staged.select(col("doc_id"), zlibBytes.as("zl")))
     // CRC32 over "IDAT" + zlib bytes: the reflected-polynomial bitwise
     // loop (ISO 3309), one inner 8-step aggregate per byte
     val crcInput = concat(
-      array(lit(0x49), lit(0x44), lit(0x41), lit(0x54)), zlibBytes)
+      array(lit(0x49), lit(0x44), lit(0x41), lit(0x54)), col("zl"))
     val crc = aggregate(crcInput, lit(0xFFFFFFFFL), (acc, b) =>
       aggregate(sequence(lit(1), lit(8)),
         acc.bitwiseXOR(b.cast("long")),
@@ -346,13 +358,12 @@ object CorpusQueries {
       // chunk, constant CRC (derived once from the spec polynomial)
       lit("0000000D49484452000000090000000808000000000EA68A69"),
       lit("0000005B49444154"),
-      concat_ws("", transform(zlibBytes,
+      concat_ws("", transform(col("zl"),
         b => lpad(hex(b.cast("long")), 2, "0"))),
       lpad(hex(crc), 8, "0"),
       lit("0000000049454E44AE426082"))
     Multimodal.pngPhashDedup(
-      Tables.documents(s, d).select(col("doc_id"),
-        unhex(pngHex).as("content")))
+      withZlib.select(col("doc_id"), unhex(pngHex).as("content")))
       .orderBy("doc_id")
   }
 

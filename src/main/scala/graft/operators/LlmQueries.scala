@@ -396,6 +396,39 @@ object LlmQueries {
       k = 3, nprobe = 2)
   }
 
+  /** q177: DIFF-DRIVEN refresh of the standing ANN index — the q159
+    * discipline for vectors, completing the delta path across every
+    * index family. The OLD generation is constructed so the diff
+    * exercises all three verdicts and the FINAL state is exactly the
+    * plain embeddings table: gen1 = 6/7 of the corpus with every 11th
+    * vector perturbed (+1/4 on every dim — the republish "re-embeds"
+    * them back to clean), plus id-shifted negated extras the republish
+    * REMOVES; gen2 = the raw table. Bootstrap gen1, refreshFromDiff to
+    * gen2 (one atomic batch: tombstones from gen1's rows, appends from
+    * gen2's), search — bit-equal to q160's compacted lifecycle over
+    * the same corpus, so it SHARES ivfOracle(2) verbatim and the gate
+    * isolates the diff/tombstone arithmetic.
+    */
+  def q177VectorRefresh(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VectorIndex
+    val emb = Tables.embeddings(s, d)
+    val gen1 = emb.filter(col("vec_id") % 7 =!= 3)
+      .withColumn("embedding",
+        when(col("vec_id") % 11 === 0,
+          transform(col("embedding"), x => x + lit(0.25f)))
+          .otherwise(col("embedding")))
+      .unionByName(emb.filter(col("vec_id") % 9 === 2)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => -x).as("embedding")))
+    VectorIndex.write(gen1, "vec_id", "embedding", "label", "g177")
+    VectorIndex.refreshFromDiff(gen1, emb, "vec_id", "embedding",
+      "label", "g177")
+    VectorIndex.search(s, "g177",
+      Similarity.probes(emb, "vec_id", "embedding",
+        col("vec_id") % 50 === 0),
+      k = 3, nprobe = 2)
+  }
+
   /** q162: the PQ-CODED standing index lifecycle — the serving layout
     * a 100 TB vector corpus ships (codes, not vectors, in the standing
     * table; ~32× smaller). Codebook trained once over the full corpus
@@ -649,6 +682,7 @@ object LlmQueries {
     "q54_cosine_lsh" -> (q54CosineLsh _),
     "q68_ann_ivf_nprobe2" -> (q68AnnIvf2 _),
     "q160_vector_index" -> (q160VectorIndex _),
+    "q177_vector_refresh" -> (q177VectorRefresh _),
     "q162_pq_index" -> (q162PqIndex _),
     "q169_learned_vector_index" -> (q169LearnedVectorIndex _),
     "q170_learned_recall" -> (q170LearnedRecall _),
@@ -1380,6 +1414,9 @@ object LlmQueries {
     // the standing index answers exactly as the inline IVF ranker
     // over the never-planted corpus — q68's oracle verbatim
     "q160_vector_index" -> ivfOracle(2),
+    // diff-refreshed index's final state = the plain corpus — q160's
+    // oracle verbatim; the gate isolates the diff/tombstone legs
+    "q177_vector_refresh" -> ivfOracle(2),
     // the LEARNED-routing standing index: unrolled Lloyd chain →
     // per-cluster sum-vector centroids → nprobe-2 routing → top-3
     // (the inline kmeans-routed ranker; ivfOracle's shape with

@@ -124,6 +124,37 @@ object VectorIndex {
     Generations.commit(spark, prefix, g, b)
   }
 
+  /** INCREMENTAL refresh from a vector-corpus generation diff — the
+    * [[Bm25Index.refreshFromDiff]] discipline for embeddings, closing
+    * the one index family that lacked its delta path: the
+    * [[graft.TextOps.refreshViaDiff]] manifest (content signature =
+    * md5 over the canonically rendered vector — digests shuffle, never
+    * embeddings) names exactly the republish delta; removed+changed
+    * vectors re-derive their w = −1 projections from the OLD
+    * generation's rows (the signed centroid partial cancels the
+    * original insert's exactly — integer sums), added+changed append
+    * the NEW rows. Both legs share ONE batch id and ONE commit row —
+    * the refresh is all-or-nothing against readers and crashes, and
+    * post-refresh the index answers exactly as one bootstrapped fresh
+    * on `newGen` (the q177 gate shares q160's oracle). Cost ∝ |delta|
+    * vectors plus the digest diff; unchanged mass is never re-ingested
+    * or re-summed.
+    */
+  def refreshFromDiff(oldGen: DataFrame, newGen: DataFrame,
+                      idCol: String, vecCol: String, blockCol: String,
+                      prefix: String): Unit = {
+    val spark = oldGen.sparkSession
+    val (g, b) = Generations.beginBatch(spark, prefix)
+    val sig = md5(concat_ws(",",
+      transform(col(vecCol), x => x.cast("string"))))
+    graft.TextOps.refreshViaDiff(oldGen, newGen, idCol, sig)(
+      writeAll(_, idCol, vecCol, blockCol, prefix, w = -1, g, b,
+        mode = "append"),
+      writeAll(_, idCol, vecCol, blockCol, prefix, w = 1, g, b,
+        mode = "append"))
+    Generations.commit(spark, prefix, g, b)
+  }
+
   /** Finish the centroid reduce over the signed partial log at the
     * resolved committed state: blocks with a live member count, their
     * net sum vector and its norm. The log is |blocks × batches| rows —

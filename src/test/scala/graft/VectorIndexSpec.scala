@@ -68,6 +68,40 @@ class VectorIndexSpec extends AnyFunSuite {
       cent.select("block").distinct().count())
   }
 
+  test("refreshFromDiff: refreshed index answers as one bootstrapped " +
+    "fresh on the new generation; ingest is delta-proportional") {
+    // gen1 = the q177 construction: subset + perturbed + extras
+    val gen1 = emb.filter(col("vec_id") % 7 =!= 3)
+      .withColumn("embedding",
+        when(col("vec_id") % 11 === 0,
+          transform(col("embedding"), x => x + lit(0.25f)))
+          .otherwise(col("embedding")))
+      .unionByName(emb.filter(col("vec_id") % 9 === 2)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => -x).as("embedding")))
+    VectorIndex.write(gen1, "vec_id", "embedding", "label", "tvrf")
+    VectorIndex.refreshFromDiff(gen1, emb, "vec_id", "embedding",
+      "label", "tvrf")
+    assertSameRows(VectorIndex.search(spark, "tvrf", probes, 3, 2),
+      inline(emb))
+    Caches.clear()
+    // delta-proportional: the refresh batch (b = 1) carries only the
+    // removed extras' tombstones + changed pairs (±1) + added rows —
+    // never the unchanged bulk
+    val vec = spark.table(graft.sources.Generations
+      .physicalFor(spark, "tvrf", "vectors"))
+    val total = emb.count()
+    val added = emb.filter(col("vec_id") % 7 === 3).count()
+    val changed = emb.filter(col("vec_id") % 7 =!= 3 &&
+      col("vec_id") % 11 === 0).count()
+    val removed = emb.filter(col("vec_id") % 9 === 2).count()
+    val batchRows = vec.filter(col("b") === 1L).count()
+    assert(batchRows == added + 2 * changed + removed,
+      s"refresh batch carried $batchRows rows")
+    assert(batchRows < total, "refresh re-ingested the unchanged bulk")
+    Caches.clear()
+  }
+
   test("PQ codes layer: lifecycle ADC search is bit-equal to the " +
     "inline pqAdcTopK; takedown answers as never-inserted") {
     def adcInline(corpus: org.apache.spark.sql.DataFrame) =
