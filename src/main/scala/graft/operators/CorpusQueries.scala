@@ -722,6 +722,9 @@ object CorpusQueries {
     // generation-manifest commit protocol — bootstrap gen1, refresh
     // to the republished graph, serve the committed generation;
     // bit-equal to the inline refresh, so it SHARES q172's oracle
+    // converging community refresh: gen1 communities warm-start the
+    // republished graph's LPA — the q172 lifecycle for labels
+    "q178_labelprop_refresh" -> (Graph.q178LabelPropRefresh _),
     "q175_rank_index" -> ((s, d) => {
       val (nodes, edges) = Graph.tradeGraph(s, d)
       graft.sources.RankIndex.bootstrap(nodes,
@@ -1914,6 +1917,9 @@ object CorpusQueries {
     // the standing rank index answers exactly as the inline refresh
     // lifecycle — q172's oracle verbatim (the q98/q99 pattern)
     "q175_rank_index" -> Graph.q172OracleSql(),
+    // static over-unroll + least-of-last-two replays the converging
+    // warm-started LPA (see Graph.q178OracleSql)
+    "q178_labelprop_refresh" -> Graph.q178OracleSql(),
     // temperature mixing plan: τ=1/2 via sqrt (correctly rounded in
     // both engines), then integer floor-divisions; windowed sums CAST
     // — DuckDB sums BIGINT into HUGEINT (the q93 lesson)

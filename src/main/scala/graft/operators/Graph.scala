@@ -186,14 +186,15 @@ object Graph {
     * starts from an eager localCheckpoint — the [[pageRank]] lineage
     * posture, without which the plan doubles per round.
     */
-  def labelProp(nodes: DataFrame, edges: DataFrame,
-                iters: Int = 5): DataFrame = {
+  /** The label-propagation step, shared by the fixed-round
+    * [[labelProp]] and the converging [[labelPropFixedPoint]] — the
+    * PrLoop factoring for the community family. */
+  private class LpLoop(nodes: DataFrame, edges: DataFrame) {
     import org.apache.spark.sql.expressions.Window
-    val e = Caches.persistTracked(edges)
-    val nodesP = Caches.persistTracked(nodes)
-    var lab = nodesP.withColumn("label", col("node"))
-    for (_ <- 1 to iters) {
-      val prev = Caches.trackOnly(lab.localCheckpoint())
+    private val e = Caches.persistTracked(edges)
+    val nodesP: DataFrame = Caches.persistTracked(nodes)
+    val selfLabels: DataFrame = nodesP.withColumn("label", col("node"))
+    def step(prev: DataFrame): DataFrame = {
       val contrib = e
         .join(prev.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
@@ -203,11 +204,78 @@ object Graph {
           .orderBy(col("cw").desc, col("label").asc)))
         .filter(col("rn") === 1)
         .select(col("node"), col("label").as("nlabel"))
-      lab = prev.join(top, Seq("node"), "left")
+      prev.join(top, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("nlabel"), col("label")).as("label"))
     }
+  }
+
+  def labelProp(nodes: DataFrame, edges: DataFrame,
+                iters: Int = 5): DataFrame = {
+    val loop = new LpLoop(nodes, edges)
+    var lab = loop.selfLabels
+    for (_ <- 1 to iters) {
+      val prev = Caches.trackOnly(lab.localCheckpoint())
+      lab = loop.step(prev)
+    }
     lab.orderBy("node")
+  }
+
+  /** Synchronous LPA run to its LIMIT CYCLE — the converging form the
+    * community-refresh path needs, under the [[pageRankFixedPoint]]
+    * discipline: the update map is deterministic over a finite label
+    * space, synchronous LPA famously 2-cycles on bipartite structure
+    * (its own scaladoc's caveat — the trade graph IS bipartite), so
+    * convergence is the TWO-STEP frame equality and the canonical
+    * output is the elementwise least() over the final cycle pair
+    * (string min — deterministic whichever element the loop stops on).
+    *
+    * Unlike PageRank's global contraction, LPA has MANY fixed points
+    * (any labeling where every node carries its weighted neighborhood
+    * majority), so a warm start converges to ITS OWN nearby fixed
+    * point, not necessarily the cold one — that is the semantics a
+    * community REFRESH wants (stable community identity across
+    * republishes: labels don't spontaneously re-shuffle because the
+    * seed changed) and the reason the q178 gate replays the exact
+    * dynamics via the static over-unroll oracle rather than asserting
+    * warm ≡ cold. `init` carries the previous generation's labels;
+    * new nodes seed with themselves.
+    *
+    * @return (canonical converged labels, rounds actually run)
+    */
+  def labelPropFixedPoint(nodes: DataFrame, edges: DataFrame,
+                          init: Option[DataFrame] = None,
+                          maxIters: Int = 60): (DataFrame, Int) = {
+    val loop = new LpLoop(nodes, edges)
+    val seed = init match {
+      case None => loop.selfLabels
+      case Some(prevLabels) =>
+        loop.nodesP.join(
+            prevLabels.withColumnRenamed("label", "prev_label"),
+            Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("prev_label"), col("node")).as("label"))
+    }
+    var prev2: DataFrame = null
+    var lab = Caches.trackOnly(seed.localCheckpoint())
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      val next = Caches.trackOnly(loop.step(lab).localCheckpoint())
+      rounds += 1
+      converged = prev2 != null && next
+        .join(prev2.withColumnRenamed("label", "plabel"), Seq("node"))
+        .filter(col("label") =!= col("plabel"))
+        .limit(1).count() == 0L
+      prev2 = lab
+      lab = next
+    }
+    require(converged,
+      s"labelPropFixedPoint did not converge within $maxIters rounds")
+    val canon = lab
+      .join(prev2.withColumnRenamed("label", "plabel"), Seq("node"))
+      .select(col("node"), least(col("label"), col("plabel")).as("label"))
+    (canon.orderBy("node"), rounds)
   }
 
   /** The shared registered instantiation: the customer↔supplier trade
@@ -285,6 +353,20 @@ object Graph {
   def q148LabelProp(s: SparkSession, d: String): DataFrame = {
     val (nodes, edges) = tradeGraph(s, d)
     labelProp(nodes, edges)
+  }
+
+  /** INCREMENTAL COMMUNITY refresh — the q172 lifecycle for labels:
+    * converge the previous generation's communities, then re-converge
+    * the republished graph warm-started from them (2–3 rounds vs 6–7
+    * cold, measured — and community identities stay stable across the
+    * republish instead of re-deriving from scratch). */
+  def q178LabelPropRefresh(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = tradeGraph(s, d)
+    val (gen1, _) = labelPropFixedPoint(nodes, tradeGraphGen1(s, d))
+    val lab1 = Caches.persistTracked(gen1)
+    val (refreshed, _) = labelPropFixedPoint(nodes, edges,
+      init = Some(lab1))
+    refreshed
   }
 
   /** Unrolled-iteration DuckDB oracle (the Bpe.scala generated-CTE
@@ -405,6 +487,57 @@ object Graph {
     s"$head,\n$chainA,\n$seed,\n$chainB\n" +
       s"SELECT a.node, CAST(least(a.rank, b.rank) AS BIGINT) AS rank " +
       s"FROM w$t2 a JOIN w${t2 - 1} b USING (node) ORDER BY a.node"
+  }
+
+  /** One unrolled LPA chain for [[q178OracleSql]] — the [[prChainSql]]
+    * pattern for labels: `<p>0` is the caller-provided seed level,
+    * levels mirror [[LpLoop.step]]. */
+  private def lpChainSql(p: String, edgesCte: String,
+                         iters: Int): String =
+    (1 to iters).map { k =>
+      val prev = s"$p${k - 1}"
+      s"""c$p$k AS MATERIALIZED (
+         |  SELECT dst AS node, label, sum(w) AS cw
+         |  FROM $edgesCte JOIN $prev ON $prev.node = $edgesCte.src
+         |  GROUP BY 1, 2),
+         |t$p$k AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |      PARTITION BY node ORDER BY cw DESC, label ASC) AS rn
+         |    FROM c$p$k) WHERE rn = 1),
+         |$p$k AS MATERIALIZED (
+         |  SELECT $prev.node, coalesce(t$p$k.label, $prev.label) AS label
+         |  FROM $prev LEFT JOIN t$p$k ON $prev.node = t$p$k.node)""".stripMargin
+    }.mkString(",\n")
+
+  /** q178's generated oracle — the [[q172OracleSql]] static-over-unroll
+    * trick for the community family: chain A converges the gen1 graph
+    * from self labels (T1 past the measured entry round — 6–7 at both
+    * driver scales), `ls0` canonicalizes via least-of-last-two, chain B
+    * re-runs the full graph warm-started from it. Valid at any unroll
+    * depth past cycle entry: consecutive levels in the cycle are the
+    * same {x, y} pair. */
+  def q178OracleSql(t1: Int = 14, t2: Int = 10): String = {
+    val head = tradeGraphCtes +
+      s""",
+         |pairs_g1 AS MATERIALIZED (
+         |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS dst, count(*) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderkey % 7 <> 3
+         |  GROUP BY 1, 2),
+         |edges_g1 AS MATERIALIZED (SELECT src, dst, w FROM pairs_g1
+         |  UNION ALL SELECT dst AS src, src AS dst, w FROM pairs_g1),
+         |lg0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""".stripMargin
+    val chainA = lpChainSql("lg", "edges_g1", t1)
+    val seed =
+      s"""ls0 AS MATERIALIZED (
+         |  SELECT a.node, least(a.label, b.label) AS label
+         |  FROM lg$t1 a JOIN lg${t1 - 1} b USING (node))""".stripMargin
+    val chainB = lpChainSql("ls", "edges", t2)
+    s"$head,\n$chainA,\n$seed,\n$chainB\n" +
+      s"SELECT a.node, least(a.label, b.label) AS label " +
+      s"FROM ls$t2 a JOIN ls${t2 - 1} b USING (node) ORDER BY a.node"
   }
 
   /** Unrolled-iteration DuckDB oracle for [[labelProp]] — every level

@@ -182,6 +182,30 @@ class GraphSpec extends AnyFunSuite {
       s"warm=$warmRounds should be < cold=$coldRounds")
   }
 
+  test("labelPropFixedPoint: the symmetric two-node graph 2-cycles " +
+    "(labels swap every round) and canonicalizes to the min label; " +
+    "warm start from the previous generation converges in fewer rounds") {
+    val nodes = Seq("a", "b").toDF("node")
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    // sync LPA oscillates here: a:=b, b:=a each round — the honest
+    // bipartite worst case; the canonical least() collapses the cycle
+    val (out, _) = Graph.labelPropFixedPoint(nodes, edges)
+    val m = out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    Caches.clear()
+    assert(m == Map("a" -> "a", "b" -> "a"))
+    // warm saving on the real trade graph
+    val d = "/root/testdata/sf0.001"
+    val (n2, e2) = Graph.tradeGraph(spark, d)
+    val (g1, _) = Graph.labelPropFixedPoint(n2,
+      Graph.tradeGraphGen1(spark, d))
+    val lab1 = Caches.persistTracked(g1); lab1.count()
+    val (_, cold) = Graph.labelPropFixedPoint(n2, e2)
+    val (_, warm) = Graph.labelPropFixedPoint(n2, e2, init = Some(lab1))
+    Caches.clear()
+    assert(warm < cold, s"warm=$warm should be < cold=$cold")
+  }
+
   test("canonical cycle output: a true fixed point passes through " +
     "(least of two equal states) — hand graph") {
     val nodes = Seq("a", "b").toDF("node")

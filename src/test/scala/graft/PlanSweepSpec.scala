@@ -91,7 +91,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q173_shard_writer" -> "SourcesSinksSpec (shard-file writer — construction writes the delivery files; one-file-per-dir + token budget pinned there; the packing plan is swept via q149)",
     "q174_curation_pipeline" -> "ComponentsSpec (q69's component loop runs at construction) + the per-stage specs; the mix-pack plan is swept via q149 and the stage plans via q71/q94",
     "q175_rank_index" -> "RankIndexSpec (generation-manifest rank lifecycle — construction converges and commits; the per-round join shape is q143's, pinned in GraphSpec)",
-    "q177_vector_refresh" -> "VectorIndexSpec (diff-driven index refresh — construction bootstraps + refreshes; refreshed==fresh + delta-only ingest pinned there; the search plan is q160's)")
+    "q177_vector_refresh" -> "VectorIndexSpec (diff-driven index refresh — construction bootstraps + refreshes; refreshed==fresh + delta-only ingest pinned there; the search plan is q160's)",
+    "q178_labelprop_refresh" -> "GraphSpec (converging LPA checkpoints — construction runs the gen1+warm lifecycle; per-round join shape is q148's, pinned there)")
 
   /** The detector under test: scan one physical-plan string for the
     * forbidden join shapes. Kept as a pure function so the canary test
