@@ -149,6 +149,7 @@ object Bench {
       // refresh lifecycles) and q173 (shard writer) are floor-table
       // entries like the other harness/writer shapes
       "q174_curation_pipeline", "q176_png_pixel_dedup",
+      "q179_mulaw_features",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

@@ -480,6 +480,68 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q179: G.711 µ-LAW audio decode under a full driver gate — the
+    * audio modality's first real CODEC (PCM-16 is a layout, µ-law is
+    * a companding transform): four deterministic variants per doc_id
+    * group synthesized as genuine format-7 mono WAV byte streams
+    * (base companded bytes from doc_id arithmetic; a planted 0xFF run
+    * — µ-law digital silence, decoding to exactly 0; planted 0x00 /
+    * 0x80 extremes decoding to the published ±32124 full-scale
+    * values; and a raw-text non-WAV that must decode to an all-null
+    * row), expanded by [[graft.Multimodal.mulawExpand]] inside the
+    * shared decodeWavSamples walk, features computed Spark-side over
+    * the expanded array. The oracle re-derives the expansion formula
+    * itself (complement, bias-132 mantissa, exponent shift, sign) in
+    * SQL — a wrong shift, bias, or sign convention breaks the gate on
+    * every row.
+    */
+  def q179MulawFeatures(s: SparkSession, d: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    val v = pmod(col("doc_id"), lit(4))
+    val n = (lit(40) + pmod(col("doc_id"), lit(20))).cast("int")
+    def ub(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(v === 1 && i >= 10 && i < 20, lit(0xFF))
+        .when(v === 2 && pmod(i, lit(16)) === 0, lit(0x00))
+        .when(v === 2 && pmod(i, lit(16)) === 8, lit(0x80))
+        .otherwise(pmod(g * 7 + i * 13 + v * 31, lit(256)))
+    val byteHexStr = concat_ws("",
+      transform(sequence(lit(0), n - 1),
+        i => lpad(hex(ub(i).cast("long")), 2, "0")))
+    // RIFF/WAVE: fmt16 with audioFormat 7 (µ-law), mono, 8 kHz,
+    // byte rate 8000, block align 1, 8 bits; data size = N bytes
+    val payloadHex = concat(
+      lit("52494646"), le32hex(lit(36) + n), lit("57415645"),
+      lit("666D7420" + "10000000" + "0700" + "0100" +
+        "401F0000" + "401F0000" + "0100" + "0800"),
+      lit("64617461"), le32hex(n), byteHexStr)
+    val content = when(v === 3, col("text").cast("binary"))
+      .otherwise(unhex(payloadHex))
+    val smp = graft.functions.Udfs.wavSamples(content)
+    val sumSq = aggregate(col("smp"), lit(0L),
+      (acc, x) => acc + x.cast("long") * x.cast("long"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), smp.as("smp"))
+      .select(col("doc_id"),
+        size(col("smp")).cast("long").as("n_samples"),
+        array_max(transform(col("smp"), x => abs(x))).cast("long")
+          .as("peak"),
+        sumSq.as("sum_sq"),
+        size(filter(col("smp"), x => x === 0)).cast("long")
+          .as("silence_n"),
+        size(filter(col("smp"),
+          x => abs(x) === 32124)).cast("long").as("extreme_n"),
+        round(sqrt(sumSq.cast("double") / size(col("smp"))), 6).as("rms"))
+      .select(col("doc_id"),
+        // the q137 sizeOfNull guard: normalize undecodable rows to
+        // null under either legacy config
+        when(col("n_samples") >= 0, col("n_samples")).as("n_samples"),
+        col("peak"), col("sum_sq"),
+        when(col("n_samples") >= 0, col("silence_n")).as("silence_n"),
+        when(col("n_samples") >= 0, col("extreme_n")).as("extreme_n"),
+        col("rms"))
+      .orderBy("doc_id")
+  }
+
   /** q138: AUDIO perceptual-hash dedup — q133's pixel move completed
     * for the audio modality: four deterministic PCM-16 WAV variants
     * per doc_id group (base waveform; ×2 AMPLITUDE twin — every
@@ -679,6 +741,7 @@ object CorpusQueries {
     "q122_jpeg_meta" -> (q122JpegMeta _),
     "q133_image_phash_dedup" -> (q133ImagePhashDedup _),
     "q176_png_pixel_dedup" -> (q176PngPixelDedup _),
+    "q179_mulaw_features" -> (q179MulawFeatures _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
     "q124_bpe_encode" -> (Bpe.q124BpeEncode _),
     "q125_langid_trigram" -> ((s, d) =>
@@ -1823,6 +1886,50 @@ object CorpusQueries {
     // it shares the oracle verbatim (the q98/q99 pattern); the gate
     // isolates the PNG decode path
     "q176_png_pixel_dedup" -> imagePhashOracle,
+    // µ-law: the oracle re-derives the companded bytes AND the G.711
+    // expansion formula (255−u complement, bias-132 mantissa, exponent
+    // shift, sign) — edit with q179MulawFeatures and mulawExpand
+    "q179_mulaw_features" ->
+      """WITH md AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+        |    40 + doc_id % 20 AS n
+        |  FROM documents),
+        |mb AS (
+        |  SELECT doc_id, v, n,
+        |    [CASE WHEN v = 1 AND i >= 11 AND i <= 20 THEN 255
+        |          WHEN v = 2 AND (i-1) % 16 = 0 THEN 0
+        |          WHEN v = 2 AND (i-1) % 16 = 8 THEN 128
+        |          ELSE (g*7 + (i-1)*13 + v*31) % 256 END
+        |     for i in range(1, n + 1)] AS ub
+        |  FROM md),
+        |ms AS (
+        |  SELECT doc_id, v, n,
+        |    list_transform(ub, u ->
+        |      CASE WHEN ((255 - u) & 128) = 128
+        |        THEN 132 - ((((255 - u) & 15) * 8 + 132)
+        |          * (1 << (((255 - u) & 112) // 16)))
+        |        ELSE (((255 - u) & 15) * 8 + 132)
+        |          * (1 << (((255 - u) & 112) // 16)) - 132 END) AS smp
+        |  FROM mb)
+        |SELECT doc_id,
+        |  CASE WHEN v = 3 THEN NULL ELSE CAST(n AS BIGINT) END
+        |    AS n_samples,
+        |  CASE WHEN v = 3 THEN NULL ELSE
+        |    CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT)
+        |    END AS peak,
+        |  CASE WHEN v = 3 THEN NULL ELSE
+        |    CAST(list_sum(list_transform(smp, x -> x*x)) AS BIGINT)
+        |    END AS sum_sq,
+        |  CASE WHEN v = 3 THEN NULL ELSE
+        |    CAST(len(list_filter(smp, x -> x = 0)) AS BIGINT)
+        |    END AS silence_n,
+        |  CASE WHEN v = 3 THEN NULL ELSE
+        |    CAST(len(list_filter(smp, x -> abs(x) = 32124)) AS BIGINT)
+        |    END AS extreme_n,
+        |  CASE WHEN v = 3 THEN NULL ELSE
+        |    round(sqrt(CAST(list_sum(list_transform(smp, x -> x*x))
+        |      AS DOUBLE) / n), 6) END AS rms
+        |FROM ms ORDER BY doc_id""".stripMargin,
     // the cross-modal curation manifest: text + image-dup + audio
     // signals composed under ONE verdict — shares imagePhashCtes and
     // audioFeatureCtes verbatim with q133/q137; edit all three

@@ -168,31 +168,57 @@ object Multimodal {
       new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var off = 12L
-    var ok16 = false
+    var fmt = -1
+    var bits = -1
     while (off + 8 <= bytes.length) {
       val o = off.toInt
       val id = tag(o)
       val sz = le32(o + 4)
       if (id == "fmt ") {
         if (sz < 16 || o + 8 + 16 > bytes.length) return None
-        // audioFormat 1 = PCM; 16 bits per sample
-        ok16 = le16(o + 8) == 1 && le16(o + 22) == 16
+        fmt = le16(o + 8)
+        bits = le16(o + 22)
       } else if (id == "data") {
-        if (!ok16) return None // fmt must precede data (RIFF practice)
         val start = o + 8
         val avail = math.min(sz, (bytes.length - start).toLong)
-        val n = (avail / 2).toInt
-        val out = new Array[Int](n)
-        var i = 0
-        while (i < n) {
-          out(i) = (le16(start + 2 * i) << 16) >> 16 // sign-extend int16
-          i += 1
-        }
-        return Some(out)
+        // audioFormat 1 = linear PCM-16 (fmt must precede data — RIFF
+        // practice); audioFormat 7 = G.711 µ-law, a REAL telephony
+        // codec decoded by pure integer expansion (ITU-T G.711 /
+        // the classic Sun g711.c): complement, then
+        // t = ((mantissa·8) + 132) << exponent, sign from bit 7
+        if (fmt == 1 && bits == 16) {
+          val n = (avail / 2).toInt
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) = (le16(start + 2 * i) << 16) >> 16 // sign-extend
+            i += 1
+          }
+          return Some(out)
+        } else if (fmt == 7 && bits == 8) {
+          val n = avail.toInt
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) = mulawExpand(bytes(start + i) & 0xff)
+            i += 1
+          }
+          return Some(out)
+        } else return None
       }
       off += 8L + sz + (sz & 1L)
     }
     None
+  }
+
+  /** ITU-T G.711 µ-law byte → linear PCM sample (±32124 full scale):
+    * the standard integer expansion — complement, bias-132 mantissa,
+    * 3-bit exponent shift, sign from bit 7. 0x00 → −32124, 0x80 →
+    * +32124, 0xFF/0x7F → 0 (LlmOpsSpec pins the published values). */
+  def mulawExpand(u: Int): Int = {
+    val v = ~u & 0xff
+    val t = (((v & 0x0f) << 3) + 0x84) << ((v & 0x70) >> 4)
+    if ((v & 0x80) != 0) 0x84 - t else t - 0x84
   }
 
   /** Attach real WAV metadata to the audio rows of a media table; other

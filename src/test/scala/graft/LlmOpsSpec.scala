@@ -989,6 +989,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Multimodal.dHash64(Array.tabulate(4, 4)((_, _) => 1)).isEmpty)
   }
 
+  test("mulawExpand goldens + format-7 WAV decode end-to-end") {
+    // published G.711 values: full-scale endpoints, digital silence,
+    // and mid-range spot checks against the reference expansion
+    val golden = Seq(0x00 -> -32124, 0x80 -> 32124, 0xFF -> 0,
+      0x7F -> 0, 0x55 -> -716, 0xAB -> 5116, 0x10 -> -15996,
+      0xE3 -> 324)
+    for ((u, s) <- golden)
+      assert(Multimodal.mulawExpand(u) == s, f"mulaw 0x$u%02X")
+    // a genuine format-7 WAV round-trips through the shared chunk walk
+    val bytes = (0 until 48).map(i => ((i * 37) % 256).toByte).toArray
+    val bb = java.nio.ByteBuffer.allocate(44 + bytes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + bytes.length)
+    bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(7) // µ-law
+    bb.putShort(1); bb.putInt(8000); bb.putInt(8000); bb.putShort(1)
+    bb.putShort(8)
+    bb.put("data".getBytes); bb.putInt(bytes.length); bb.put(bytes)
+    val out = Multimodal.decodeWavSamples(bb.array()).get
+    assert(out.length == bytes.length)
+    assert(out.toSeq == bytes.toSeq.map(b =>
+      Multimodal.mulawExpand(b & 0xff)))
+    // unsupported format/bit combinations still reject cleanly
+    val bad = bb.array().clone(); bad(20) = 3 // format 3 = IEEE float
+    assert(Multimodal.decodeWavSamples(bad).isEmpty)
+  }
+
   test("decodePngGray goldens: all five filters round-trip through a " +
     "REAL deflater, multi-IDAT concatenation, CRC rejection, and the " +
     "PNG print equals the BMP print of the same pixels") {
