@@ -149,7 +149,10 @@ object Bench {
       // refresh lifecycles) and q173 (shard writer) are floor-table
       // entries like the other harness/writer shapes
       "q174_curation_pipeline", "q176_png_pixel_dedup",
-      "q179_mulaw_features",
+      "q179_mulaw_features", "q180_png_rgb_dedup",
+      // diff-driven ANN refresh (bootstrap + diff + atomic batch +
+      // routed search) — q159's posture for vectors
+      "q177_vector_refresh",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

@@ -367,6 +367,97 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q180: TRUECOLOR PNG pixel dedup — q176's gate re-run through the
+    * 3-channel decode path. Each pixel splits into channels
+    * (pix−1, pix, pix+1) — (255,255,255) at the clamp — whose integer
+    * average is EXACTLY [[fixturePix]] again ((3p)/3 = p), so the
+    * decoded grays, the dHash pipeline, and therefore the ORACLE are
+    * q133/q176's verbatim while the bytes exercise genuinely new
+    * machinery: bpp-3 filter reconstruction (`left` = the same channel
+    * of the previous pixel, 3 bytes back), 224-byte scanl ine stride,
+    * and the channel→gray average. Same spec-true synthesis as q176
+    * (stored-block deflate, Column-computed Adler32/CRC32), same
+    * persist-barrier staging.
+    */
+  def q180PngRgbDedup(s: SparkSession, d: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    val v = pmod(col("doc_id"), lit(4))
+    type C = org.apache.spark.sql.Column
+    def pix(r: C, c: C): C = fixturePix(g, v)(r, c)
+    // channel ch ∈ {0,1,2} of pixel (r, c): p−1 / p / p+1, clamped
+    // to all-p at the 255 ceiling — integer average is p either way
+    def chanv(r: C, c: C, ch: Int): C = {
+      val p = pix(r, c)
+      when(p === 255, p).otherwise(p + lit(ch - 1))
+    }
+    def enc(r: C, c: C, ch: Int): C = {
+      val p = chanv(r, c, ch)
+      val left = when(c === 0, lit(0)).otherwise(chanv(r, c - 1, ch))
+      val up = when(r === 0, lit(0)).otherwise(chanv(r - 1, c, ch))
+      val ul = when(r === 0 || c === 0, lit(0))
+        .otherwise(chanv(r - 1, c - 1, ch))
+      val q = left + up - ul
+      val paeth = when(abs(q - left) <= abs(q - up) &&
+          abs(q - left) <= abs(q - ul), left)
+        .when(abs(q - up) <= abs(q - ul), up)
+        .otherwise(ul)
+      val f = pmod(r, lit(5))
+      when(f === 0, p)
+        .when(f === 1, pmod(p - left, lit(256)))
+        .when(f === 2, pmod(p - up, lit(256)))
+        .when(f === 3, pmod(p - shiftright(left + up, 1), lit(256)))
+        .otherwise(pmod(p - paeth, lit(256)))
+        .cast("int")
+    }
+    // 8 rows × (1 filter byte + 9 px × 3 channels) = 224 raw bytes
+    val rawBytes = flatten(transform(sequence(lit(0), lit(7)), r =>
+      concat(array(pmod(r, lit(5)).cast("int")),
+        flatten(transform(sequence(lit(0), lit(8)), c =>
+          array(enc(r, c, 0), enc(r, c, 1), enc(r, c, 2)))))))
+    val staged = Caches.persistTracked(
+      Tables.documents(s, d).select(col("doc_id"),
+        rawBytes.as("raw")))
+    val raw = col("raw")
+    val s1 = pmod(lit(1L) +
+      aggregate(raw, lit(0L), (a, x) => a + x), lit(65521L))
+    val s2 = pmod(lit(224L) +
+      aggregate(zip_with(raw, sequence(lit(1), lit(224)),
+        (dd, j) => dd.cast("long") * (lit(225) - j).cast("long")),
+        lit(0L), (a, x) => a + x), lit(65521L))
+    val adler = s2 * 65536L + s1
+    def adlerByte(k: Int) =
+      shiftright(adler, 8 * k).bitwiseAND(lit(255L)).cast("int")
+    // stored block: LEN = 224 LE, NLEN = ~224; zlib total 235 = 0xEB
+    val zlibBytes = concat(
+      array(lit(0x78), lit(0x01), lit(0x01), lit(0xE0), lit(0x00),
+        lit(0x1F), lit(0xFF)),
+      raw,
+      array(adlerByte(3), adlerByte(2), adlerByte(1), adlerByte(0)))
+    val withZlib = Caches.persistTracked(
+      staged.select(col("doc_id"), zlibBytes.as("zl")))
+    val crcInput = concat(
+      array(lit(0x49), lit(0x44), lit(0x41), lit(0x54)), col("zl"))
+    val crc = aggregate(crcInput, lit(0xFFFFFFFFL), (acc, b) =>
+      aggregate(sequence(lit(1), lit(8)),
+        acc.bitwiseXOR(b.cast("long")),
+        (x, _) => shiftrightunsigned(x, 1).bitwiseXOR(
+          when(x.bitwiseAND(lit(1L)) === 1L, lit(0xEDB88320L))
+            .otherwise(lit(0L)))))
+      .bitwiseXOR(lit(0xFFFFFFFFL))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"),
+      // IHDR: 9×8, depth 8, COLOR TYPE 2 — constant chunk + CRC
+      lit("0000000D4948445200000009000000080802000000A4AF42E2"),
+      lit("000000EB49444154"),
+      concat_ws("", transform(col("zl"),
+        b => lpad(hex(b.cast("long")), 2, "0"))),
+      lpad(hex(crc), 8, "0"),
+      lit("0000000049454E44AE426082"))
+    Multimodal.pngPhashDedup(
+      withZlib.select(col("doc_id"), unhex(pngHex).as("content")))
+      .orderBy("doc_id")
+  }
+
   /** The shared 9×8 fixture PIXEL FORMULAS — one definition consumed
     * by the q133 BMP synthesizer, the q176 PNG synthesizer, AND
     * mirrored in the oracle's `px` CTE (imagePhashCtes — edit all
@@ -742,6 +833,7 @@ object CorpusQueries {
     "q133_image_phash_dedup" -> (q133ImagePhashDedup _),
     "q176_png_pixel_dedup" -> (q176PngPixelDedup _),
     "q179_mulaw_features" -> (q179MulawFeatures _),
+    "q180_png_rgb_dedup" -> (q180PngRgbDedup _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
     "q124_bpe_encode" -> (Bpe.q124BpeEncode _),
     "q125_langid_trigram" -> ((s, d) =>
@@ -1886,6 +1978,9 @@ object CorpusQueries {
     // it shares the oracle verbatim (the q98/q99 pattern); the gate
     // isolates the PNG decode path
     "q176_png_pixel_dedup" -> imagePhashOracle,
+    // truecolor channels average back to exactly the q133 grays —
+    // same oracle again; the gate isolates the bpp-3 decode path
+    "q180_png_rgb_dedup" -> imagePhashOracle,
     // µ-law: the oracle re-derives the companded bytes AND the G.711
     // expansion formula (255−u complement, bias-132 mantissa, exponent
     // shift, sign) — edit with q179MulawFeatures and mulawExpand

@@ -556,29 +556,34 @@ object Multimodal {
     * None, never garbage pixels), concatenated IDAT inflate through
     * java.util.zip.Inflater (the zlib wrapper's ADLER32 is verified by
     * the inflater itself), then per-row filter reconstruction for ALL
-    * FIVE filter types (None/Sub/Up/Average/Paeth, spec §9 — bpp = 1
-    * for grayscale-8, so `left` is the previous byte). Returns the
+    * FIVE filter types (None/Sub/Up/Average/Paeth, spec §9 — `left` is
+    * the channel byte bpp positions back). Supports GRAYSCALE-8
+    * (color type 0, bpp 1) and TRUECOLOR-8 (color type 2, bpp 3 —
+    * gray = (r+g+b)/3, the decodeBmpGray convention). Returns the
     * grayscale matrix (rows top-down, PNG's storage order) or None for
-    * anything malformed or outside the supported shape (bit depth 8,
-    * color type 0, no interlace) — color types and interlacing stay
-    * behind honest gates, but the decode path itself (chunking, CRCs,
-    * DEFLATE, filters) is the real format, not a stub: any
-    * spec-conforming grayscale-8 PNG decodes, whatever produced it.
-    * JPEG pixels (entropy coding) remain the documented codec stub.
+    * anything malformed or outside the supported shape (palette/alpha
+    * color types, 16-bit depth, interlace stay behind honest gates) —
+    * the decode path itself (chunking, CRCs, DEFLATE, filters) is the
+    * real format, not a stub: any spec-conforming gray-8 or rgb-8 PNG
+    * decodes, whatever produced it. JPEG pixels (entropy coding)
+    * remain the documented codec stub.
     */
   def decodePngGray(bytes: Array[Byte]): Option[Array[Array[Int]]] = {
     val meta = decodePngHeader(bytes) match {
-      case Some(m) if m.bits_per_pixel == 8 => m
+      // grayscale-8 (color type 0, 8 bpp) or truecolor-8 (type 2,
+      // 24 bpp) — both lossless, both honestly decodable in pure JVM
+      case Some(m) if m.bits_per_pixel == 8 || m.bits_per_pixel == 24 => m
       case _ => return None
     }
     def be32(o: Int): Long =
       ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
         ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
-    // IHDR color type must be 0 (grayscale), standard compression and
-    // filter method, no interlace — the header decode validated
-    // dims/bit depth; these live at fixed offsets in the first chunk
-    if (bytes.length < 33 || bytes(25) != 0 || bytes(26) != 0 ||
-      bytes(27) != 0 || bytes(28) != 0) return None
+    // IHDR color type 0 (grayscale, bpp 1) or 2 (truecolor, bpp 3),
+    // standard compression and filter method, no interlace — the
+    // header decode validated dims/bit depth; fixed first-chunk offsets
+    if (bytes.length < 33 || (bytes(25) != 0 && bytes(25) != 2) ||
+      bytes(26) != 0 || bytes(27) != 0 || bytes(28) != 0) return None
+    val bpp = if (bytes(25) == 2) 3 else 1
     val (w, h) = (meta.width, meta.height)
     if (w <= 0 || h <= 0 || w.toLong * h > 16L * 1024 * 1024) return None
     // chunk walk: verify every CRC, concatenate IDAT payloads
@@ -598,7 +603,8 @@ object Multimodal {
       else if (typ == "IEND") sawEnd = true
       o += 12 + len.toInt
     }
-    val raw = new Array[Byte](h * (1 + w))
+    val stride = 1 + w * bpp
+    val raw = new Array[Byte](h * stride)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -612,18 +618,21 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // filter reconstruction, bpp = 1 (spec §9: absent neighbors = 0)
-    val out = Array.ofDim[Int](h, w)
+    // filter reconstruction over CHANNEL BYTES (spec §9: `left` is the
+    // byte bpp positions back — the same channel of the previous
+    // pixel; absent neighbors = 0), then gray = (r + g + b) / 3 for
+    // truecolor (the decodeBmpGray convention) or the byte itself
+    val chan = Array.ofDim[Int](h, w * bpp)
     var r = 0
     while (r < h) {
-      val f = raw(r * (1 + w)) & 0xff
+      val f = raw(r * stride) & 0xff
       if (f > 4) return None
       var c = 0
-      while (c < w) {
-        val x = raw(r * (1 + w) + 1 + c) & 0xff
-        val left = if (c > 0) out(r)(c - 1) else 0
-        val up = if (r > 0) out(r - 1)(c) else 0
-        val ul = if (r > 0 && c > 0) out(r - 1)(c - 1) else 0
+      while (c < w * bpp) {
+        val x = raw(r * stride + 1 + c) & 0xff
+        val left = if (c >= bpp) chan(r)(c - bpp) else 0
+        val up = if (r > 0) chan(r - 1)(c) else 0
+        val ul = if (r > 0 && c >= bpp) chan(r - 1)(c - bpp) else 0
         val pred = f match {
           case 0 => 0
           case 1 => left
@@ -635,7 +644,20 @@ object Multimodal {
               (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
             if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
         }
-        out(r)(c) = (x + pred) & 0xff
+        chan(r)(c) = (x + pred) & 0xff
+        c += 1
+      }
+      r += 1
+    }
+    val out = Array.ofDim[Int](h, w)
+    r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        out(r)(c) =
+          if (bpp == 1) chan(r)(c)
+          else (chan(r)(3 * c) + chan(r)(3 * c + 1) +
+            chan(r)(3 * c + 2)) / 3
         c += 1
       }
       r += 1

@@ -1120,6 +1120,69 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodePngGray(rgb).isEmpty)
   }
 
+  test("decodePngGray truecolor: bpp-3 filter reconstruction (left = " +
+    "3 bytes back) round-trips all filters; gray = channel average") {
+    def pngRgb(chan: (Int, Int, Int) => Int, w: Int, h: Int,
+               filterOf: Int => Int): Array[Byte] = {
+      val stride = 1 + 3 * w
+      val raw = new Array[Byte](h * stride)
+      def cv(r: Int, c: Int, k: Int) =
+        if (r < 0 || c < 0) 0 else chan(r, c, k)
+      for (r <- 0 until h) {
+        val f = filterOf(r)
+        raw(r * stride) = f.toByte
+        for (c <- 0 until w; k <- 0 until 3) {
+          val p = cv(r, c, k)
+          val left = cv(r, c - 1, k)
+          val up = cv(r - 1, c, k)
+          val ul = cv(r - 1, c - 1, k)
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 =>
+              val q = left + up - ul
+              val (pa, pb, pc) =
+                (math.abs(q - left), math.abs(q - up), math.abs(q - ul))
+              if (pa <= pb && pa <= pc) left
+              else if (pb <= pc) up else ul
+          }
+          raw(r * stride + 1 + 3 * c + k) = ((p - pred) & 0xff).toByte
+        }
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val zbuf = new Array[Byte](raw.length + 64)
+      val zlen = defl.deflate(zbuf); defl.end()
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val crc = new java.util.zip.CRC32()
+        val tb = typ.getBytes("US-ASCII")
+        crc.update(tb); crc.update(data)
+        java.nio.ByteBuffer.allocate(12 + data.length)
+          .putInt(data.length).put(tb).put(data)
+          .putInt(crc.getValue.toInt).array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+        .put(0.toByte).array()
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.take(zlen)) ++
+        chunk("IEND", Array.empty[Byte])
+    }
+    // channels deliberately distinct so a channel-order or stride slip
+    // changes the average
+    def chan(r: Int, c: Int, k: Int) =
+      (((r * 29 + c * 53) * (r + c + 2)) % 200) + k * 15
+    val expected = Seq.tabulate(8, 9)((r, c) =>
+      (chan(r, c, 0) + chan(r, c, 1) + chan(r, c, 2)) / 3)
+    for (fs <- Seq((_: Int) => 0, (r: Int) => r % 5))
+      assert(Multimodal.decodePngGray(pngRgb(chan, 9, 8, fs))
+        .map(_.map(_.toSeq).toSeq).contains(expected),
+        "truecolor decode diverged")
+  }
+
   test("imagePhashDedup end-to-end: brightness twins pair at hamming 0, " +
     "distinct images stay unpaired, undecodable rows keep null hashes") {
     def bmp(seed: Int): Array[Byte] = {
