@@ -150,6 +150,7 @@ object Bench {
       // entries like the other harness/writer shapes
       "q174_curation_pipeline", "q176_png_pixel_dedup",
       "q179_mulaw_features", "q180_png_rgb_dedup",
+      "q181_cross_container_dedup",
       // diff-driven ANN refresh (bootstrap + diff + atomic batch +
       // routed search) — q159's posture for vectors
       "q177_vector_refresh",

@@ -96,6 +96,13 @@ object Udfs {
   val pngPhash: UserDefinedFunction =
     udf(graft.Multimodal.pngDHash _)
 
+  /** Container-sniffing perceptual dHash (PNG either color type, or
+    * BMP) — the cross-container dedup kernel. Kernel:
+    * [[graft.Multimodal.imageDHash]].
+    */
+  val imagePhash: UserDefinedFunction =
+    udf(graft.Multimodal.imageDHash _)
+
   /** PCM 16-bit WAV sample array; null for undecodable/non-PCM-16
     * payloads. Kernel: [[graft.Multimodal.decodeWavSamples]]; feature
     * math runs Spark-side over the array (HOFs, codegen'd).

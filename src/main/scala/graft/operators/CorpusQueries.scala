@@ -241,13 +241,22 @@ object CorpusQueries {
     // while staying exact small-integer math in both engines. Pixels
     // build via NESTED HOF lambdas (8 × 9 grid), not 216 unrolled hex
     // slots — the codegen-size lesson from q138's first cut
+    Multimodal.imagePhashDedup(
+      Tables.documents(s, d).select(col("doc_id"),
+        bmpContent(fixturePix(g, v)).as("content")))
+      .orderBy("doc_id")
+  }
+
+  /** Genuine 24-bpp BMP bytes for a 9×8 pixel formula — q133's
+    * builder, shared with q181's cross-container fixture: 14-byte file
+    * header ("BM", size 278, data offset 54) + 40-byte
+    * BITMAPINFOHEADER (9×8, 1 plane, 24 bpp, uncompressed), then 8
+    * stored rows BOTTOM-UP, each 9 BGR gray triples + 1 pad byte. */
+  private def bmpContent(pix: (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
     type C = org.apache.spark.sql.Column
-    def pix(r: C, c: C): C = fixturePix(g, v)(r, c)
     def hb(x: C) = lpad(hex(x), 2, "0")
-    // 14-byte file header ("BM", size 278, data offset 54) + 40-byte
-    // BITMAPINFOHEADER (9×8, 1 plane, 24 bpp, uncompressed), all
-    // little-endian literals; then 8 stored rows BOTTOM-UP, each 9 BGR
-    // gray triples + 1 pad byte (27 → 28)
     val header = lit("424D1601000000000000360000002800000009000000" +
       "080000000100180000000000E000000000000000000000000000000000000000")
     val pixels = concat_ws("",
@@ -255,10 +264,41 @@ object CorpusQueries {
         concat(concat_ws("", transform(sequence(lit(0), lit(8)), c => {
           val p = hb(pix(r, c)); concat(p, p, p)
         })), lit("00"))))
-    val content = unhex(concat(header, pixels))
-    Multimodal.imagePhashDedup(
-      Tables.documents(s, d).select(col("doc_id"), content.as("content")))
-      .orderBy("doc_id")
+    unhex(concat(header, pixels))
+  }
+
+  /** q181: CROSS-CONTAINER image dedup — the production scenario the
+    * pixel-level hash exists for: the SAME image delivered as a BMP by
+    * one source, a grayscale PNG by another, and a truecolor PNG by a
+    * third (the classic re-encoded duplicate that byte/content-hash
+    * dedup can never pair) must collapse to one hamming-0 clique,
+    * found by ONE container-sniffing print
+    * ([[graft.Multimodal.imageDHash]]) under the shared banded
+    * pipeline. Per group: v 0–2 carry the IDENTICAL base image in the
+    * three containers; v 3 is the independent alt image (BMP). The
+    * oracle derives hashes from the pixels alone — container-blind by
+    * construction — so any decode-path divergence between the three
+    * byte formats breaks the gate.
+    */
+  def q181CrossContainerDedup(s: SparkSession, d: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    val v = pmod(col("doc_id"), lit(4))
+    // v 0–2: the group's base image; v 3: the alt image
+    val pix = fixturePix(g, when(v === 3, lit(3)).otherwise(lit(0))) _
+    val docs = Tables.documents(s, d)
+    val gray = pngContent(docs, pix, rgb = false)
+      .withColumnRenamed("content", "png_gray")
+    val rgb = pngContent(docs, pix, rgb = true)
+      .withColumnRenamed("content", "png_rgb")
+    val mixed = docs.select(col("doc_id"),
+        bmpContent(pix).as("bmp"))
+      .join(gray, Seq("doc_id"))
+      .join(rgb, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(v === 1, col("png_gray"))
+          .when(v === 2, col("png_rgb"))
+          .otherwise(col("bmp")).as("content"))
+    Multimodal.anyImagePhashDedup(mixed).orderBy("doc_id")
   }
 
   /** q176: PNG PIXEL-level image dedup — the q133 gate re-run through
@@ -285,111 +325,46 @@ object CorpusQueries {
   def q176PngPixelDedup(s: SparkSession, d: String): DataFrame = {
     val g = expr("doc_id div 4")
     val v = pmod(col("doc_id"), lit(4))
-    type C = org.apache.spark.sql.Column
-    def pix(r: C, c: C): C = fixturePix(g, v)(r, c)
-    // scanline encoding per PNG spec §9 (bpp = 1; absent neighbors = 0)
-    def enc(r: C, c: C): C = {
-      val p = pix(r, c)
-      val left = when(c === 0, lit(0)).otherwise(pix(r, c - 1))
-      val up = when(r === 0, lit(0)).otherwise(pix(r - 1, c))
-      val ul = when(r === 0 || c === 0, lit(0))
-        .otherwise(pix(r - 1, c - 1))
-      val q = left + up - ul
-      val paeth = when(abs(q - left) <= abs(q - up) &&
-          abs(q - left) <= abs(q - ul), left)
-        .when(abs(q - up) <= abs(q - ul), up)
-        .otherwise(ul)
-      val f = pmod(r, lit(5))
-      when(f === 0, p)
-        .when(f === 1, pmod(p - left, lit(256)))
-        .when(f === 2, pmod(p - up, lit(256)))
-        .when(f === 3, pmod(p - shiftright(left + up, 1), lit(256)))
-        .otherwise(pmod(p - paeth, lit(256)))
-        .cast("int")
-    }
-    // 8 rows × (1 filter byte + 9 encoded bytes) = 80 raw bytes.
-    // STAGED BEHIND PERSIST BARRIERS: every later stage references the
-    // previous array column several times, and Catalyst's projection
-    // collapse would otherwise inline (duplicate) the whole upstream
-    // expression tree per reference — the HOF-collapse lesson, 4th
-    // occurrence (the first cut of this query paid 94 s at sf0.1;
-    // staged it pays ~2 s)
-    val rawBytes = flatten(transform(sequence(lit(0), lit(7)), r =>
-      concat(array(pmod(r, lit(5)).cast("int")),
-        transform(sequence(lit(0), lit(8)), c => enc(r, c)))))
-    val staged = Caches.persistTracked(
-      Tables.documents(s, d).select(col("doc_id"),
-        rawBytes.as("raw")))
-    // ADLER32 of the raw stream: s1 = 1 + Σd, s2 = n·1 + Σ(n−j+1)·d_j
-    // (= Σ of the running s1), both mod 65521 (RFC 1950 §8.2)
-    val raw = col("raw")
-    val s1 = pmod(lit(1L) +
-      aggregate(raw, lit(0L), (a, x) => a + x), lit(65521L))
-    val s2 = pmod(lit(80L) +
-      aggregate(zip_with(raw, sequence(lit(1), lit(80)),
-        (dd, j) => dd.cast("long") * (lit(81) - j).cast("long")),
-        lit(0L), (a, x) => a + x), lit(65521L))
-    val adler = s2 * 65536L + s1
-    def adlerByte(k: Int) =
-      shiftright(adler, 8 * k).bitwiseAND(lit(255L)).cast("int")
-    // zlib: 78 01 header, stored block (01, LEN=80 LE, NLEN), raw,
-    // adler32 BE — 91 bytes total, so the IDAT length is 0x5B
-    val zlibBytes = concat(
-      array(lit(0x78), lit(0x01), lit(0x01), lit(0x50), lit(0x00),
-        lit(0xAF), lit(0xFF)),
-      raw,
-      array(adlerByte(3), adlerByte(2), adlerByte(1), adlerByte(0)))
-    val withZlib = Caches.persistTracked(
-      staged.select(col("doc_id"), zlibBytes.as("zl")))
-    // CRC32 over "IDAT" + zlib bytes: the reflected-polynomial bitwise
-    // loop (ISO 3309), one inner 8-step aggregate per byte
-    val crcInput = concat(
-      array(lit(0x49), lit(0x44), lit(0x41), lit(0x54)), col("zl"))
-    val crc = aggregate(crcInput, lit(0xFFFFFFFFL), (acc, b) =>
-      aggregate(sequence(lit(1), lit(8)),
-        acc.bitwiseXOR(b.cast("long")),
-        (x, _) => shiftrightunsigned(x, 1).bitwiseXOR(
-          when(x.bitwiseAND(lit(1L)) === 1L, lit(0xEDB88320L))
-            .otherwise(lit(0L)))))
-      .bitwiseXOR(lit(0xFFFFFFFFL))
-    val pngHex = concat(
-      lit("89504E470D0A1A0A"),
-      // IHDR: 9×8, depth 8, color type 0, no interlace — constant
-      // chunk, constant CRC (derived once from the spec polynomial)
-      lit("0000000D49484452000000090000000808000000000EA68A69"),
-      lit("0000005B49444154"),
-      concat_ws("", transform(col("zl"),
-        b => lpad(hex(b.cast("long")), 2, "0"))),
-      lpad(hex(crc), 8, "0"),
-      lit("0000000049454E44AE426082"))
     Multimodal.pngPhashDedup(
-      withZlib.select(col("doc_id"), unhex(pngHex).as("content")))
+      pngContent(Tables.documents(s, d), fixturePix(g, v),
+        rgb = false))
       .orderBy("doc_id")
   }
 
-  /** q180: TRUECOLOR PNG pixel dedup — q176's gate re-run through the
-    * 3-channel decode path. Each pixel splits into channels
-    * (pix−1, pix, pix+1) — (255,255,255) at the clamp — whose integer
-    * average is EXACTLY [[fixturePix]] again ((3p)/3 = p), so the
-    * decoded grays, the dHash pipeline, and therefore the ORACLE are
-    * q133/q176's verbatim while the bytes exercise genuinely new
-    * machinery: bpp-3 filter reconstruction (`left` = the same channel
-    * of the previous pixel, 3 bytes back), 224-byte scanl ine stride,
-    * and the channel→gray average. Same spec-true synthesis as q176
-    * (stored-block deflate, Column-computed Adler32/CRC32), same
-    * persist-barrier staging.
-    */
-  def q180PngRgbDedup(s: SparkSession, d: String): DataFrame = {
-    val g = expr("doc_id div 4")
-    val v = pmod(col("doc_id"), lit(4))
+  /** Spec-true PNG content synthesis shared by q176 (grayscale), q180
+    * (truecolor) and q181 (cross-container): the given pixel formula
+    * becomes a complete PNG byte stream per doc — signature, constant
+    * IHDR (incl. its CRC, derived once from the spec polynomial), an
+    * IDAT whose zlib stream is a STORED deflate block wrapping
+    * scanlines that cycle all five filter types, the raw stream's
+    * Adler32 (two running sums mod 65521, RFC 1950 §8.2) and the
+    * chunk's CRC32 (the ISO 3309 reflected-polynomial bitwise loop as
+    * nested HOF aggregates), IEND. For `rgb` the pixel splits into
+    * channels (p−1, p, p+1) — all-p at the 255 clamp — whose integer
+    * average reconstructs exactly p, and filters encode per CHANNEL
+    * byte (spec §9 bpp semantics). STAGED BEHIND PERSIST BARRIERS:
+    * every later stage references the previous array column several
+    * times, and projection collapse would otherwise duplicate the
+    * whole upstream expression tree per reference — the HOF-collapse
+    * lesson, 4th occurrence (the unstaged first cut paid 94 s at
+    * sf0.1; staged, ~2 s).
+    * @return (doc_id, content) */
+  private def pngContent(docs: DataFrame,
+                         pix: (org.apache.spark.sql.Column,
+                           org.apache.spark.sql.Column) =>
+                           org.apache.spark.sql.Column,
+                         rgb: Boolean): DataFrame = {
     type C = org.apache.spark.sql.Column
-    def pix(r: C, c: C): C = fixturePix(g, v)(r, c)
-    // channel ch ∈ {0,1,2} of pixel (r, c): p−1 / p / p+1, clamped
-    // to all-p at the 255 ceiling — integer average is p either way
-    def chanv(r: C, c: C, ch: Int): C = {
-      val p = pix(r, c)
-      when(p === 255, p).otherwise(p + lit(ch - 1))
-    }
+    val nChan = if (rgb) 3 else 1
+    val n = 8 * (1 + 9 * nChan) // raw scanline bytes
+    def chanv(r: C, c: C, ch: Int): C =
+      if (!rgb) pix(r, c)
+      else {
+        val p = pix(r, c)
+        when(p === 255, p).otherwise(p + lit(ch - 1))
+      }
+    // scanline encoding per PNG spec §9 (absent neighbors = 0; `left`
+    // is the same channel of the previous pixel)
     def enc(r: C, c: C, ch: Int): C = {
       val p = chanv(r, c, ch)
       val left = when(c === 0, lit(0)).otherwise(chanv(r, c - 1, ch))
@@ -409,28 +384,29 @@ object CorpusQueries {
         .otherwise(pmod(p - paeth, lit(256)))
         .cast("int")
     }
-    // 8 rows × (1 filter byte + 9 px × 3 channels) = 224 raw bytes
     val rawBytes = flatten(transform(sequence(lit(0), lit(7)), r =>
       concat(array(pmod(r, lit(5)).cast("int")),
-        flatten(transform(sequence(lit(0), lit(8)), c =>
-          array(enc(r, c, 0), enc(r, c, 1), enc(r, c, 2)))))))
+        if (rgb)
+          flatten(transform(sequence(lit(0), lit(8)), c =>
+            array(enc(r, c, 0), enc(r, c, 1), enc(r, c, 2))))
+        else transform(sequence(lit(0), lit(8)), c => enc(r, c, 1)))))
     val staged = Caches.persistTracked(
-      Tables.documents(s, d).select(col("doc_id"),
-        rawBytes.as("raw")))
+      docs.select(col("doc_id"), rawBytes.as("raw")))
     val raw = col("raw")
     val s1 = pmod(lit(1L) +
       aggregate(raw, lit(0L), (a, x) => a + x), lit(65521L))
-    val s2 = pmod(lit(224L) +
-      aggregate(zip_with(raw, sequence(lit(1), lit(224)),
-        (dd, j) => dd.cast("long") * (lit(225) - j).cast("long")),
+    val s2 = pmod(lit(n.toLong) +
+      aggregate(zip_with(raw, sequence(lit(1), lit(n)),
+        (dd, j) => dd.cast("long") * (lit(n + 1) - j).cast("long")),
         lit(0L), (a, x) => a + x), lit(65521L))
     val adler = s2 * 65536L + s1
     def adlerByte(k: Int) =
       shiftright(adler, 8 * k).bitwiseAND(lit(255L)).cast("int")
-    // stored block: LEN = 224 LE, NLEN = ~224; zlib total 235 = 0xEB
+    // stored deflate block: 78 01, BFINAL|stored, LEN le16, NLEN le16
     val zlibBytes = concat(
-      array(lit(0x78), lit(0x01), lit(0x01), lit(0xE0), lit(0x00),
-        lit(0x1F), lit(0xFF)),
+      array(lit(0x78), lit(0x01), lit(0x01),
+        lit(n & 0xff), lit((n >> 8) & 0xff),
+        lit(~n & 0xff), lit((~n >> 8) & 0xff)),
       raw,
       array(adlerByte(3), adlerByte(2), adlerByte(1), adlerByte(0)))
     val withZlib = Caches.persistTracked(
@@ -444,17 +420,37 @@ object CorpusQueries {
           when(x.bitwiseAND(lit(1L)) === 1L, lit(0xEDB88320L))
             .otherwise(lit(0L)))))
       .bitwiseXOR(lit(0xFFFFFFFFL))
+    val ihdrHex =
+      if (rgb) "0000000D4948445200000009000000080802000000A4AF42E2"
+      else "0000000D49484452000000090000000808000000000EA68A69"
     val pngHex = concat(
       lit("89504E470D0A1A0A"),
-      // IHDR: 9×8, depth 8, COLOR TYPE 2 — constant chunk + CRC
-      lit("0000000D4948445200000009000000080802000000A4AF42E2"),
-      lit("000000EB49444154"),
+      lit(ihdrHex),
+      lit("%08X".format(n + 11) + "49444154"),
       concat_ws("", transform(col("zl"),
         b => lpad(hex(b.cast("long")), 2, "0"))),
       lpad(hex(crc), 8, "0"),
       lit("0000000049454E44AE426082"))
+    withZlib.select(col("doc_id"), unhex(pngHex).as("content"))
+  }
+
+  /** q180: TRUECOLOR PNG pixel dedup — q176's gate re-run through the
+    * 3-channel decode path. Each pixel splits into channels
+    * (pix−1, pix, pix+1) — (255,255,255) at the clamp — whose integer
+    * average is EXACTLY [[fixturePix]] again ((3p)/3 = p), so the
+    * decoded grays, the dHash pipeline, and therefore the ORACLE are
+    * q133/q176's verbatim while the bytes exercise genuinely new
+    * machinery: bpp-3 filter reconstruction (`left` = the same channel
+    * of the previous pixel, 3 bytes back), 224-byte scanl ine stride,
+    * and the channel→gray average. Same spec-true synthesis as q176
+    * (stored-block deflate, Column-computed Adler32/CRC32), same
+    * persist-barrier staging.
+    */
+  def q180PngRgbDedup(s: SparkSession, d: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    val v = pmod(col("doc_id"), lit(4))
     Multimodal.pngPhashDedup(
-      withZlib.select(col("doc_id"), unhex(pngHex).as("content")))
+      pngContent(Tables.documents(s, d), fixturePix(g, v), rgb = true))
       .orderBy("doc_id")
   }
 
@@ -834,6 +830,7 @@ object CorpusQueries {
     "q176_png_pixel_dedup" -> (q176PngPixelDedup _),
     "q179_mulaw_features" -> (q179MulawFeatures _),
     "q180_png_rgb_dedup" -> (q180PngRgbDedup _),
+    "q181_cross_container_dedup" -> (q181CrossContainerDedup _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
     "q124_bpe_encode" -> (Bpe.q124BpeEncode _),
     "q125_langid_trigram" -> ((s, d) =>
@@ -1201,28 +1198,11 @@ object CorpusQueries {
     * HUGEINT then wrap to the engine's two's-complement long
     * (BIGINT << 63 overflows).
     */
-  private lazy val imagePhashCtes: String =
-    """imgd AS (
-      |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v
-      |  FROM documents),
-      |px AS (
-      |  SELECT doc_id, r, c,
-      |    CASE
-      |      WHEN v = 3 THEN 1 + (g*53
-      |        + (g*3 + r*11 + c*17 + 7)*(g*3 + r*11 + c*17 + 7)
-      |        + 137) % 254
-      |      WHEN v = 2 AND c = 0 AND r <= 2 THEN
-      |        CASE WHEN 1 + (g*31 + (g + r*7)*(g + r*7)) % 254
-      |                  > 1 + (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
-      |             THEN (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
-      |             ELSE 2 + (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
-      |             END
-      |      WHEN v = 1 THEN 2 + (g*31
-      |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254
-      |      ELSE 1 + (g*31
-      |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254 END AS pv
-      |  FROM imgd, range(8) t1(r), range(9) t2(c)),
-      |bits AS (
+  /** dHash + banded-pair tail shared by every image-dedup oracle
+    * (q133/q176/q180 via [[imagePhashCtes]], q181 via its own px):
+    * consumes a `px(doc_id, r, c, pv)` level. */
+  private lazy val dHashChainCtes: String =
+    """bits AS (
       |  SELECT a.doc_id, a.r*8 + a.c AS b,
       |    CASE WHEN a.pv > x.pv THEN 1 ELSE 0 END AS bit
       |  FROM px a JOIN px x ON a.doc_id = x.doc_id AND a.r = x.r
@@ -1256,15 +1236,63 @@ object CorpusQueries {
       |        max(CASE WHEN rn = 1 THEN hamming END) AS best_hamming
       |        FROM irk GROUP BY 1)""".stripMargin
 
-  /** The image-dedup oracle shared verbatim by q133 (BMP) and q176
-    * (PNG) — identical pixels through [[fixturePix]], identical dHash
-    * pipeline; only the container differs. */
+  /** The q133-variant pixel levels (mirrors [[fixturePix]] — edit
+    * together), composed with [[dHashChainCtes]]. */
+  private lazy val imagePhashCtes: String =
+    s"""imgd AS (
+       |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, r, c,
+       |    CASE
+       |      WHEN v = 3 THEN 1 + (g*53
+       |        + (g*3 + r*11 + c*17 + 7)*(g*3 + r*11 + c*17 + 7)
+       |        + 137) % 254
+       |      WHEN v = 2 AND c = 0 AND r <= 2 THEN
+       |        CASE WHEN 1 + (g*31 + (g + r*7)*(g + r*7)) % 254
+       |                  > 1 + (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
+       |             THEN (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
+       |             ELSE 2 + (g*31 + (g + r*7 + 13)*(g + r*7 + 13)) % 254
+       |             END
+       |      WHEN v = 1 THEN 2 + (g*31
+       |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254
+       |      ELSE 1 + (g*31
+       |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254 END AS pv
+       |  FROM imgd, range(8) t1(r), range(9) t2(c)),
+       |$dHashChainCtes""".stripMargin
+
+  private val imagePhashTail: String =
+    """SELECT h.doc_id, h.phash,
+      |  coalesce(n_dups, 0) AS n_dups, best_partner, best_hamming
+      |FROM ihs h LEFT JOIN ibest USING (doc_id)
+      |ORDER BY h.doc_id""".stripMargin
+
+  /** The image-dedup oracle shared verbatim by q133 (BMP), q176
+    * (gray PNG) and q180 (truecolor PNG) — identical pixels through
+    * [[fixturePix]], identical dHash pipeline; only the container
+    * differs. */
   private lazy val imagePhashOracle: String =
-    s"""WITH $imagePhashCtes
-       |SELECT h.doc_id, h.phash,
-       |  coalesce(n_dups, 0) AS n_dups, best_partner, best_hamming
-       |FROM ihs h LEFT JOIN ibest USING (doc_id)
-       |ORDER BY h.doc_id""".stripMargin
+    s"WITH $imagePhashCtes\n$imagePhashTail"
+
+  /** q181's oracle: the SAME image per group for v ∈ {0,1,2} (the
+    * base formula) — the three container deliveries must hash
+    * identically, so every group forms a 3-member hamming-0 clique —
+    * and the independent alt image for v = 3. */
+  private lazy val crossContainerOracle: String =
+    s"""WITH imgd AS (
+       |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, r, c,
+       |    CASE
+       |      WHEN v = 3 THEN 1 + (g*53
+       |        + (g*3 + r*11 + c*17 + 7)*(g*3 + r*11 + c*17 + 7)
+       |        + 137) % 254
+       |      ELSE 1 + (g*31
+       |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254 END AS pv
+       |  FROM imgd, range(8) t1(r), range(9) t2(c)),
+       |$dHashChainCtes
+       |$imagePhashTail""".stripMargin
 
   /** The q137 waveform→features CTE chain (CTE names prefixed a*),
     * ending at `af` (doc_id, v, n, smp, sum_sq) — shared by the q137
@@ -1981,6 +2009,8 @@ object CorpusQueries {
     // truecolor channels average back to exactly the q133 grays —
     // same oracle again; the gate isolates the bpp-3 decode path
     "q180_png_rgb_dedup" -> imagePhashOracle,
+    // container-blind by construction: hashes derive from pixels alone
+    "q181_cross_container_dedup" -> crossContainerOracle,
     // µ-law: the oracle re-derives the companded bytes AND the G.711
     // expansion formula (255−u complement, bias-132 mantissa, exponent
     // shift, sign) — edit with q179MulawFeatures and mulawExpand

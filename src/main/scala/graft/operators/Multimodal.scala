@@ -670,6 +670,15 @@ object Multimodal {
   def pngDHash(bytes: Array[Byte]): Option[Long] =
     decodePngGray(bytes).flatMap(dHash64)
 
+  /** Container-sniffing image print: BMP or PNG (either color type) →
+    * the SAME 64-bit dHash, because the hash is over pixels, not bytes
+    * — the kernel behind cross-container dedup (q181): the classic
+    * re-encoded duplicate (one image delivered as BMP by one source
+    * and PNG by another) pairs at hamming 0. Sniff order follows
+    * [[decodeImageHeader]]. */
+  def imageDHash(bytes: Array[Byte]): Option[Long] =
+    decodePngGray(bytes).orElse(decodeBmpGray(bytes)).flatMap(dHash64)
+
   /** 64-bit difference hash (dHash) over a grayscale matrix — the
     * standard perceptual fingerprint for image near-dup at corpus
     * scale: integer box-average the image onto a 9-wide × 8-tall grid
@@ -809,6 +818,17 @@ object Multimodal {
                     contentCol: String = "content",
                     maxHamming: Int = 3): DataFrame =
     phashDedup(media, idCol, contentCol, graft.functions.Udfs.pngPhash(_),
+      nBands = 4, bandBits = 16, maxHamming = maxHamming)
+
+  /** Cross-container image near-dup: the [[imageDHash]] sniffing
+    * kernel under the same banded pipeline — one dedup space for a
+    * corpus that mixes BMP and PNG deliveries of the same content
+    * (q181's gate). */
+  def anyImagePhashDedup(media: DataFrame, idCol: String = "doc_id",
+                         contentCol: String = "content",
+                         maxHamming: Int = 3): DataFrame =
+    phashDedup(media, idCol, contentCol,
+      graft.functions.Udfs.imagePhash(_),
       nBands = 4, bandBits = 16, maxHamming = maxHamming)
 
   /** Audio near-dup over PCM-16 WAV payloads: 32-bit energy-delta
