@@ -441,7 +441,7 @@ object CorpusQueries {
     * decoded grays, the dHash pipeline, and therefore the ORACLE are
     * q133/q176's verbatim while the bytes exercise genuinely new
     * machinery: bpp-3 filter reconstruction (`left` = the same channel
-    * of the previous pixel, 3 bytes back), 224-byte scanl ine stride,
+    * of the previous pixel, 3 bytes back), 224-byte scanline stride,
     * and the channel→gray average. Same spec-true synthesis as q176
     * (stored-block deflate, Column-computed Adler32/CRC32), same
     * persist-barrier staging.
