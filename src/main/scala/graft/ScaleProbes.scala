@@ -926,6 +926,53 @@ object ScaleProbes {
             f"speedup=${i3 / s3}%.2fx")
         }
 
+      case "r15b-scale" =>
+        // the graph-refresh growth law: cold vs warm convergence as
+        // the graph grows. The claim under test: warm ROUNDS stay flat
+        // (∝ log of the gen1→gen2 rank delta, independent of |V|)
+        // while cold rounds stay at the log(scale) ceiling — so the
+        // warm/cold wall ratio holds at any size, because per-round
+        // cost is the same join for both arms.
+        val nvs = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
+          else Seq(2000L, 8000L, 32000L)
+        def synthNodes(nv: Long) = spark.range(nv)
+          .select(concat(lit("n"), col("id")).as("node"))
+        def synthEdges(nv: Long, full: Boolean) = {
+          val base = spark.range(nv)
+            .filter(lit(full) || pmod(col("id"), lit(7)) =!= 3)
+          val pairs = Seq((7L, 1L), (13L, 5L), (3L, 11L)).map {
+            case (k, c) => base.select(
+              concat(lit("n"), col("id")).as("src"),
+              concat(lit("n"), pmod(col("id") * k + c, lit(nv))).as("dst"),
+              (pmod(col("id"), lit(3)) + 1).as("w"))
+          }.reduce(_.unionByName(_))
+          pairs.unionByName(pairs.select(col("dst").as("src"),
+            col("src").as("dst"), col("w")))
+        }
+        for (nv <- nvs) {
+          val nodes = synthNodes(nv)
+          val t0 = System.nanoTime()
+          val (r1, k1) = Graph.pageRankFixedPoint(nodes,
+            synthEdges(nv, full = false), scale = Graph.RefreshScale)
+          val ranks1 = Caches.persistTracked(r1); ranks1.count()
+          val t1 = System.nanoTime()
+          val (rc, kc) = Graph.pageRankFixedPoint(nodes,
+            synthEdges(nv, full = true), scale = Graph.RefreshScale)
+          rc.write.format("noop").mode("overwrite").save()
+          val t2 = System.nanoTime()
+          val (rw, kw) = Graph.pageRankFixedPoint(nodes,
+            synthEdges(nv, full = true), init = Some(ranks1),
+            scale = Graph.RefreshScale)
+          rw.write.format("noop").mode("overwrite").save()
+          val t3 = System.nanoTime()
+          println(f"[probe] r15b-scale: nv=$nv gen1_rounds=$k1 " +
+            f"(${(t1 - t0) / 1e9}%.1f s) cold_rounds=$kc " +
+            f"(${(t2 - t1) / 1e9}%.1f s) warm_rounds=$kw " +
+            f"(${(t3 - t2) / 1e9}%.1f s) " +
+            f"wall_speedup=${(t2 - t1).toDouble / (t3 - t2)}%.1fx")
+          Caches.clear()
+        }
+
       case "r15a-ab" =>
         // the r14e-ab crossover question, answered: refresh measured
         // ≈ break-even on 30-token synthetic docs because the ~4
