@@ -1012,32 +1012,40 @@ object ScaleProbes {
         val baseLd = spark.read.parquet(s"$ldDir/base")
         def gen2Ld(denom: Int) =
           spark.read.parquet(s"$ldDir/gen2_$denom")
-        def timedLd(body: => Unit): Double = {
+        // min-of-2 with an UNTIMED reset before EACH sample: the
+        // bodies are stateful (refreshFromDiff applies its diff onto
+        // the index — re-running it on an already-refreshed index
+        // times a different workload state: an extra log batch, stats
+        // double-applied), so each sample must start from the same
+        // bootstrapped state, not from the previous sample's output.
+        // (The first r15a draw's 26-vs-16 s inversion between adjacent
+        // deltas was single-shot noise — hence min-of-2 at all.)
+        def timedLd(prep: => Unit)(body: => Unit): Double = {
           def one(): Double = {
+            prep; Caches.clear()
             val t0 = System.nanoTime(); body
             val s = (System.nanoTime() - t0) / 1e9; Caches.clear(); s
           }
-          // min-of-2: the first r15a draw's 26-vs-16 s inversion
-          // between adjacent deltas was single-shot noise
           math.min(one(), one())
         }
         // warm BOTH arms untimed (the r14e-ab lesson)
         graft.sources.Bm25Index.write(gen2Ld(64), "doc_id", "text",
           "abl_full")
         Caches.clear()
-        val fullLd = timedLd(graft.sources.Bm25Index.write(
+        val fullLd = timedLd(())(graft.sources.Bm25Index.write(
           gen2Ld(64), "doc_id", "text", "abl_full"))
         graft.sources.Bm25Index.write(baseLd, "doc_id", "text",
           "abl_inc")
         Caches.clear()
-        timedLd(graft.sources.Bm25Index.refreshFromDiff(baseLd,
-          gen2Ld(64), "doc_id", "text", "abl_inc"))
+        timedLd(graft.sources.Bm25Index.write(baseLd, "doc_id",
+          "text", "abl_inc"))(
+          graft.sources.Bm25Index.refreshFromDiff(baseLd,
+            gen2Ld(64), "doc_id", "text", "abl_inc"))
         for (denom <- Seq(64, 16, 4)) {
-          graft.sources.Bm25Index.write(baseLd, "doc_id", "text",
-            "abl_inc")
-          Caches.clear()
-          val s = timedLd(graft.sources.Bm25Index.refreshFromDiff(
-            baseLd, gen2Ld(denom), "doc_id", "text", "abl_inc"))
+          val s = timedLd(graft.sources.Bm25Index.write(baseLd,
+            "doc_id", "text", "abl_inc"))(
+            graft.sources.Bm25Index.refreshFromDiff(
+              baseLd, gen2Ld(denom), "doc_id", "text", "abl_inc"))
           println(f"[probe] r15a-ab: refresh n=$nLd dl=$ldToks " +
             f"delta=1/$denom refresh_sec=$s%.2f " +
             f"full_reingest_sec=$fullLd%.2f " +

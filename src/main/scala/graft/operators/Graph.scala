@@ -32,6 +32,23 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Explicitly release a localCheckpoint's storage blocks — the
+    * iterative loops' retention fix: a ~140-round convergence would
+    * otherwise hold every round's full rank/label frame (registered
+    * via Caches until the caller's clear()) when only the last two
+    * states are ever referenced again. An eagerly-checkpointed
+    * Dataset's plan is a LogicalRDD over the persisted RDD; freeing
+    * that RDD as the state leaves the (prev2, rank) window caps loop
+    * storage at O(|V|), not O(rounds × |V|). Safe: the next state is
+    * itself an eager checkpoint, so no later plan references the
+    * freed one. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** @param nodes one column `node` (string), the full vertex set
     * @param edges  columns `src`, `dst`, `w` (long weight > 0)
     * @return (node, rank) — rank in integer micro-mass units
@@ -86,10 +103,16 @@ object Graph {
                scale: Long = 1000000000000L): DataFrame = {
     val loop = new PrLoop(nodes, edges, dampNum, dampDen, scale)
     var rank = loop.uniformRank
+    var last: DataFrame = null
     for (_ <- 1 to iters) {
-      val prev = Caches.trackOnly(rank.localCheckpoint())
+      val prev = rank.localCheckpoint() // eager: materializes off `last`
+      if (last != null) freeCheckpoint(last)
+      last = prev
       rank = loop.step(prev)
     }
+    // the returned plan references only the FINAL checkpoint — keep it
+    // under the registry lifecycle, all earlier rounds already freed
+    if (last != null) Caches.trackOnly(last)
     rank.orderBy("node")
   }
 
@@ -140,22 +163,30 @@ object Graph {
             coalesce(col("prev_rank"), lit(scale / loop.n)).as("rank"))
     }
     var prev2: DataFrame = null
-    var rank = Caches.trackOnly(seed.localCheckpoint())
+    var rank = seed.localCheckpoint()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIters) {
-      val next = Caches.trackOnly(loop.step(rank).localCheckpoint())
+      val next = loop.step(rank).localCheckpoint()
       rounds += 1
       // two-step frame equality = period ≤ 2 limit cycle reached
       converged = prev2 != null && next
         .join(prev2.withColumnRenamed("rank", "prank"), Seq("node"))
         .filter(col("rank") =!= col("prank"))
         .limit(1).count() == 0L
+      // the state leaving the 2-state window is never referenced again
+      // (the check above used it; the canonical tail uses only the
+      // final pair) — free its blocks NOW instead of retaining all
+      // ~rounds checkpoints until the caller's Caches.clear()
+      val old = prev2
       prev2 = rank
       rank = next
+      if (old != null) freeCheckpoint(old)
     }
     require(converged,
       s"pageRankFixedPoint did not converge within $maxIters rounds")
+    Caches.trackOnly(rank)
+    Caches.trackOnly(prev2)
     // canonical cycle representative: elementwise min over the final
     // two states — the same frame whichever cycle element we stop on
     val canon = rank
@@ -214,10 +245,14 @@ object Graph {
                 iters: Int = 5): DataFrame = {
     val loop = new LpLoop(nodes, edges)
     var lab = loop.selfLabels
+    var last: DataFrame = null
     for (_ <- 1 to iters) {
-      val prev = Caches.trackOnly(lab.localCheckpoint())
+      val prev = lab.localCheckpoint() // eager: materializes off `last`
+      if (last != null) freeCheckpoint(last)
+      last = prev
       lab = loop.step(prev)
     }
+    if (last != null) Caches.trackOnly(last)
     lab.orderBy("node")
   }
 
@@ -257,21 +292,27 @@ object Graph {
             coalesce(col("prev_label"), col("node")).as("label"))
     }
     var prev2: DataFrame = null
-    var lab = Caches.trackOnly(seed.localCheckpoint())
+    var lab = seed.localCheckpoint()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIters) {
-      val next = Caches.trackOnly(loop.step(lab).localCheckpoint())
+      val next = loop.step(lab).localCheckpoint()
       rounds += 1
       converged = prev2 != null && next
         .join(prev2.withColumnRenamed("label", "plabel"), Seq("node"))
         .filter(col("label") =!= col("plabel"))
         .limit(1).count() == 0L
+      // free the state leaving the 2-state window — the pageRank
+      // fixed-point retention argument, identically
+      val old = prev2
       prev2 = lab
       lab = next
+      if (old != null) freeCheckpoint(old)
     }
     require(converged,
       s"labelPropFixedPoint did not converge within $maxIters rounds")
+    Caches.trackOnly(lab)
+    Caches.trackOnly(prev2)
     val canon = lab
       .join(prev2.withColumnRenamed("label", "plabel"), Seq("node"))
       .select(col("node"), least(col("label"), col("plabel")).as("label"))

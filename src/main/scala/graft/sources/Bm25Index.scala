@@ -169,16 +169,22 @@ object Bm25Index {
   def search(spark: SparkSession, prefix: String,
              queries: Seq[(String, String)], k: Int = 10,
              k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
-    val (tf, dfr, dl, n, avgdlMilli) = rankInputs(spark, prefix, queries)
+    val st = Generations.committedState(spark, prefix)
+    val (tf, dfr, dl, n, avgdlMilli) =
+      rankInputs(spark, prefix, queries, st)
     CorpusOps.bm25Rank(tf, dfr, dl, n, avgdlMilli, k, k1Milli, bMilli)
   }
 
   /** The shared ranking head of [[search]] and [[searchWithProximity]]:
-    * (query-term tf frame, df frame, live doclens, live N, avgdl). */
+    * (query-term tf frame, df frame, live doclens, live N, avgdl).
+    * Takes the RESOLVED committed state — callers resolve the manifest
+    * exactly once per operation (the documented invariant: a commit or
+    * compaction flip landing between two resolves of one operation
+    * would hand back a torn read, half old state, half new). */
   private def rankInputs(spark: SparkSession, prefix: String,
-                         queries: Seq[(String, String)])
+                         queries: Seq[(String, String)],
+                         st: (Long, Seq[Long]))
       : (DataFrame, DataFrame, DataFrame, Long, Long) = {
-    val st = Generations.committedState(spark, prefix)
     val (n, tt) = liveStats(spark, prefix, st)
     require(n > 0, "Bm25Index.search needs a non-empty live index")
     val avgdlMilli = tt * 1000L / n
@@ -228,19 +234,30 @@ object Bm25Index {
   def proximitySearch(spark: SparkSession, prefix: String,
                       queries: Seq[(String, String)],
                       win: Int): DataFrame =
-    proximityHits(spark, prefix, queries, win)
+    proximityHits(spark, prefix, queries, win,
+      Generations.committedState(spark, prefix))
       .orderBy("query_id", "doc_id")
 
   /** [[proximitySearch]] without the presentation sort — the form
     * [[searchWithProximity]] consumes (a sort under a join is a wasted
-    * range Exchange). */
+    * range Exchange). Takes the resolved committed state like
+    * [[rankInputs]] — one manifest resolve per public operation. */
   private def proximityHits(spark: SparkSession, prefix: String,
                             queries: Seq[(String, String)],
-                            win: Int): DataFrame = {
+                            win: Int,
+                            st: (Long, Seq[Long])): DataFrame = {
     require(win >= 1, s"window must be >= 1 token, got $win")
+    // unguarded public inputs: an empty batch would make the final
+    // reduce throw deep in the plan, and a whitespace-only query text
+    // would silently probe the empty-string term — reject both here
+    require(queries.nonEmpty, "proximity search needs a non-empty " +
+      "query batch")
+    queries.foreach { case (qid, qtext) =>
+      require(qtext.trim.nonEmpty,
+        s"proximity search query '$qid' has empty text") }
     val allTerms = queries.flatMap(_._2.trim.split("\\s+")).distinct
     val matched = Caches.persistTracked(
-      livePositions(spark, prefix, allTerms))
+      livePositions(spark, prefix, allTerms, st))
     val perQuery = queries.map { case (qid, qtext) =>
       val ts = qtext.trim.split("\\s+").distinct
       val anchor = matched.filter(col("term") === ts(0))
@@ -282,10 +299,17 @@ object Bm25Index {
                           win: Int = 8, boostMicro: Long = 500000L,
                           k1Milli: Long = 1200L,
                           bMilli: Long = 750L): DataFrame = {
-    val (tf, dfr, dl, n, avgdlMilli) = rankInputs(spark, prefix, queries)
+    // ONE manifest resolve feeds both the BM25 leg and the proximity
+    // leg: resolving twice would let a commit/compaction flip land
+    // between them (scores from one committed state, boosts from
+    // another — and post-flip GC could drop the first leg's tables
+    // while its lazy plan still references them)
+    val st = Generations.committedState(spark, prefix)
+    val (tf, dfr, dl, n, avgdlMilli) =
+      rankInputs(spark, prefix, queries, st)
     val scored = CorpusOps.bm25Scores(tf, dfr, dl, n, avgdlMilli,
       k1Milli, bMilli)
-    val prox = proximityHits(spark, prefix, queries, win)
+    val prox = proximityHits(spark, prefix, queries, win, st)
       .select(col("query_id"), col("doc_id"), lit(boostMicro).as("bst"))
     val boosted = scored
       .join(broadcast(prox), Seq("query_id", "doc_id"), "left_outer")
@@ -301,17 +325,17 @@ object Bm25Index {
     * In(term, …) predicate, so parquet row-group pruning over the
     * term-sorted buckets skips the rest of the vocabulary before the
     * liveness fold — which commutes with the restriction because its
-    * grouping includes `term`. */
+    * grouping includes `term`. Takes the resolved committed state —
+    * the resolve-once-per-operation invariant. */
   private def livePositions(spark: SparkSession, prefix: String,
-                            terms: Seq[String]): DataFrame = {
-    val st = Generations.committedState(spark, prefix)
+                            terms: Seq[String],
+                            st: (Long, Seq[Long])): DataFrame =
     spark.table(phys(prefix, "positions", st._1))
       .filter(col("b").isin(st._2: _*))
       .filter(col("term").isin(terms: _*))
       .groupBy("term", "doc_id", "pos")
       .agg(sum(col("w")).as("net")).filter(col("net") > 0)
       .select("term", "doc_id", "pos")
-  }
 
   /** EXACT-PHRASE search over the positional postings — the retrieval
     * feature tf postings cannot answer ("big order scan" as consecutive
@@ -331,7 +355,8 @@ object Bm25Index {
                    phrases: Seq[(String, String)]): DataFrame = {
     val allTerms = phrases.flatMap(_._2.trim.split("\\s+")).distinct
     val matched = Caches.persistTracked(
-      livePositions(spark, prefix, allTerms))
+      livePositions(spark, prefix, allTerms,
+        Generations.committedState(spark, prefix)))
     val perPhrase = phrases.map { case (qid, ptext) =>
       val ts = ptext.trim.split("\\s+")
       val anchor = matched.filter(col("term") === ts(0))
