@@ -138,6 +138,15 @@ object Bm25Index {
     (g, b)
   }
 
+  /** Write one batch's rows under a PRE-CLAIMED (gen, b) without
+    * committing — the step-interleaved two-writer GenerationsSpec
+    * drives claim → write → commit as separate steps; production
+    * writers use [[append]]/[[delete]]. */
+  private[graft] def writeClaimed(docs: DataFrame, idCol: String,
+                                  textCol: String, prefix: String,
+                                  g: Long, b: Long): Unit =
+    writeAll(docs, idCol, textCol, prefix, w = 1, g, b, mode = "append")
+
   /** Live fold of a log table at the resolved committed state. */
   private def live(spark: SparkSession, prefix: String, logical: String,
                    st: (Long, Seq[Long]),
@@ -420,10 +429,11 @@ object Bm25Index {
     * tables until the flip; an interrupted compaction leaves the index
     * exactly as it was (GenerationsSpec pins both).
     */
-  def compact(spark: SparkSession, prefix: String): Unit = {
+  def compact(spark: SparkSession, prefix: String,
+              retain: Int = 0): Unit = {
     val ng = buildNextGeneration(spark, prefix)
     Generations.commit(spark, prefix, ng, 0L)
-    Generations.gc(spark, prefix, ng, Logicals)
+    Generations.gc(spark, prefix, ng, Logicals, retain)
   }
 
   /** Compaction's build phase (intent + next-generation tables, NO

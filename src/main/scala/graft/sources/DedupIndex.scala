@@ -166,10 +166,11 @@ object DedupIndex {
     * visibility, then the old generation is garbage-collected — no
     * missing-table or mixed-generation window at any point
     * (GenerationsSpec pins search-during-compaction equality). */
-  def compact(spark: SparkSession, prefix: String): Unit = {
+  def compact(spark: SparkSession, prefix: String,
+              retain: Int = 0): Unit = {
     val ng = buildNextGeneration(spark, prefix)
     Generations.commit(spark, prefix, ng, 0L)
-    Generations.gc(spark, prefix, ng, Logicals)
+    Generations.gc(spark, prefix, ng, Logicals, retain)
   }
 
   /** Compaction's build phase only (intent + full next-generation

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** ATOMIC COMMIT for the standing-index family — the missing
@@ -9,27 +10,42 @@ import org.apache.spark.sql.SparkSession
   * reid/pipelines/property.py:96-126; at corpus scale the same guarantee
   * comes from a manifest, which is how Delta/Iceberg commit).
   *
-  * One tiny `<prefix>_manifest` table per index records the commit log:
-  * rows (gen, b, state) where `gen` is a physical-table GENERATION
-  * (compaction rewrites into a NEW generation's tables and flips here),
-  * `b` is a BATCH id within a generation (every ingest/takedown/refresh
-  * stamps its rows with one `b`), and `state` is `intent` (allocated,
-  * data may be partially written) or `commit` (fully written, visible).
+  * One tiny `<prefix>_manifest` DIRECTORY per index records the commit
+  * log as zero-byte MARKER FILES named `<state>_g<gen>_b<b>`, where
+  * `gen` is a physical-table GENERATION (compaction rewrites into a NEW
+  * generation's tables and flips here), `b` is a BATCH id within a
+  * generation (every ingest/takedown/refresh stamps its rows with one
+  * `b`), and `state` is `intent` (id claimed, data may be partially
+  * written) or `commit` (fully written, visible). Marker files instead
+  * of a catalog table (the r15 layout) because the manifest is pure
+  * driver-side metadata: every protocol step is one atomic file
+  * create/list — no Spark job — so the per-batch fixed cost that
+  * dominated the r15 lifecycle timings (two 1-row table-write jobs +
+  * a collect per batch) drops to filesystem latency. This is exactly
+  * the Delta/Iceberg posture: the transaction log is files, only the
+  * data is tables.
   *
-  * The protocol — single WRITER, any number of readers:
+  * The protocol — CONCURRENT writers, any number of readers:
   *
-  *  1. a writer first appends an `intent` row (allocating a fresh `b`
-  *     or `gen` that no future writer will reuse, even after a crash),
+  *  1. a writer CLAIMS a fresh `b` (or `gen`) by atomically creating
+  *     its `intent` marker with exclusive create (O_EXCL): the first
+  *     candidate is one past every id the writer can list, and when
+  *     two writers race to the same candidate the create arbitrates —
+  *     exactly one wins, the loser probes upward and claims the next
+  *     free id ([[claimBatchFrom]]; GenerationsSpec interleaves two
+  *     writers step by step). Claimed ids are never reused, even after
+  *     a crash: the marker file persists,
   *  2. writes ALL its data rows stamped with that (gen, b) — across
   *     however many physical tables the index keeps,
-  *  3. commits by appending ONE `commit` manifest row.
+  *  3. commits by creating ONE `commit` marker.
   *
-  * Readers resolve the manifest ONCE per operation: current generation
-  * = max gen carrying a commit, visible batches = that generation's
-  * committed `b` list — then filter every table scan to
-  * `b IN (visible)`. The batch list is bounded (it grows only until the
-  * next compaction resets it), so the predicate reaches the parquet
-  * scan as a static filter. Consequences:
+  * Readers resolve the manifest ONCE per operation ([[committedState]]:
+  * one bounded directory listing): current generation = max gen
+  * carrying a commit, visible batches = that generation's committed `b`
+  * list — then filter every table scan to `b IN (visible)`. The batch
+  * list is bounded (it grows only until the next compaction resets it),
+  * so the predicate reaches the parquet scan as a static filter.
+  * Consequences:
   *
   *  - a crash between steps 2 and 3 leaves orphan rows that are
   *    INVISIBLE forever (their `b` is never committed and never
@@ -39,20 +55,22 @@ import org.apache.spark.sql.SparkSession
   *    all-or-nothing — no reader ever sees a half-applied batch;
   *  - compaction builds the ENTIRE next generation's tables while
   *    readers keep resolving the old one, then flips visibility with
-  *    the single commit-row append — no purge-then-rename window, the
-  *    index is never missing or mixed-generation (GenerationsSpec
+  *    the single commit-marker create — no purge-then-rename window,
+  *    the index is never missing or mixed-generation (GenerationsSpec
   *    simulates the interrupted compaction);
-  *  - old generations are garbage-collected AFTER the flip ([[gc]]);
-  *    a crash before GC leaves unreferenced tables, never an
-  *    inconsistent read. Immediate GC assumes no reader is still
-  *    mid-scan on the old generation — a deployment with long-running
-  *    readers defers GC by a retention window, exactly as Delta VACUUM
-  *    does.
+  *  - old generations are garbage-collected AFTER the flip ([[gc]]),
+  *    which also deletes their dead manifest markers — the manifest
+  *    stays bounded at (current generation's batches + retained
+  *    generations) no matter how many micro-batches streaming ingest
+  *    appends. `retain` keeps the newest N pre-flip generations on
+  *    disk for readers still mid-scan on them (the Delta VACUUM
+  *    retention knob); retain = 0 is the immediate-GC posture.
   *
-  * The one-row commit append is atomic under parquet's task-commit
-  * rename on HDFS/local file systems; an object store without atomic
-  * rename wants the manifest on a consistent catalog (the same caveat
-  * every file-format transaction log carries).
+  * Marker creates are atomic on HDFS and POSIX local filesystems; an
+  * object store without atomic exclusive create wants the manifest on
+  * a consistent catalog (the same caveat every file-format transaction
+  * log carries — Delta on S3 uses a coordination service for exactly
+  * this step).
   */
 object Generations {
 
@@ -70,61 +88,101 @@ object Generations {
                   logical: String): String =
     physical(prefix, logical, committedState(spark, prefix)._1)
 
-  private def rows(spark: SparkSession,
-                   prefix: String): Seq[(Long, Long, String)] =
-    spark.table(manifestT(prefix)).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+  // ----------------------------------------------- marker-file storage
 
-  private def writeRow(spark: SparkSession, prefix: String, gen: Long,
-                       b: Long, state: String, mode: String): Unit = {
-    val s = spark
-    import s.implicits._
-    Seq((gen, b, state)).toDF("gen", "b", "state")
-      .coalesce(1).write.mode(mode).saveAsTable(manifestT(prefix))
+  private def dir(spark: SparkSession, prefix: String): Path =
+    new Path(spark.sessionState.conf.warehousePath, manifestT(prefix))
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private val Marker = "(intent|commit)_g(\\d+)_b(\\d+)".r
+
+  private def marker(spark: SparkSession, prefix: String, gen: Long,
+                     b: Long, state: String): Path =
+    new Path(dir(spark, prefix), s"${state}_g${gen}_b$b")
+
+  /** The full manifest: (gen, b, state) rows parsed from marker names —
+    * one bounded directory listing, no Spark job. */
+  private[graft] def rows(spark: SparkSession,
+                          prefix: String): Seq[(Long, Long, String)] = {
+    val d = dir(spark, prefix)
+    val f = fsOf(spark, d)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.flatMap(_.getPath.getName match {
+      case Marker(state, g, b) => Some((g.toLong, b.toLong, state))
+      case _ => None
+    })
   }
 
-  /** Start a fresh index: reset the manifest and record the bootstrap
-    * intent (gen 0, batch 0). Until [[commit]] lands the index has no
-    * committed generation and readers refuse it — bootstrap is the one
-    * write with nothing prior to stay readable. */
-  def beginBootstrap(spark: SparkSession, prefix: String): Unit = {
+  /** Atomically create a marker with exclusive create; false when it
+    * already exists — a concurrent writer won this id. */
+  private def tryCreate(spark: SparkSession, prefix: String, gen: Long,
+                        b: Long, state: String): Boolean = {
+    val p = marker(spark, prefix, gen, b, state)
+    val f = fsOf(spark, p)
+    try { f.create(p, false).close(); true }
+    catch { case e: java.io.IOException =>
+      if (f.exists(p)) false else throw e }
+  }
+
+  // ------------------------------------------------------ the protocol
+
+  /** Start a fresh index: reset the manifest (and any legacy catalog
+    * table holding its location). Until [[commit]] lands the index has
+    * no committed generation and readers refuse it, so bootstrap needs
+    * no intent marker — it is the one write with nothing prior to stay
+    * readable, and its invisibility-until-commit is structural. */
+  def beginBootstrap(spark: SparkSession, prefix: String): Unit =
     Sinks.purgeTable(spark, manifestT(prefix))
-    writeRow(spark, prefix, 0L, 0L, "intent", "errorifexists")
+
+  /** Claim the first free batch id at or past `startB` in generation
+    * `g` — the arbitration loop, split out so GenerationsSpec can
+    * drive two writers from the SAME starting candidate (the state a
+    * concurrent listing produces): exactly one wins each id, the
+    * loser detects the collision and retries upward. */
+  private[graft] def claimBatchFrom(spark: SparkSession, prefix: String,
+                                    g: Long, startB: Long): Long = {
+    var b = startB
+    while (!tryCreate(spark, prefix, g, b, "intent")) b += 1
+    b
   }
 
-  /** Allocate the next batch id in the current committed generation and
-    * record its intent. Crashed allocations are never reused: the max
-    * runs over intents too. */
+  /** Allocate the next batch id in the current committed generation via
+    * the atomic intent-marker claim. Crashed allocations are never
+    * reused: their markers persist and the claim probes past them. */
   def beginBatch(spark: SparkSession, prefix: String): (Long, Long) = {
     val rs = rows(spark, prefix)
     val committed = rs.filter(_._3 == "commit").map(_._1)
     require(committed.nonEmpty,
       s"${manifestT(prefix)}: no committed generation to append to")
     val g = committed.max
-    val b = rs.filter(_._1 == g).map(_._2).max + 1
-    writeRow(spark, prefix, g, b, "intent", "append")
-    (g, b)
+    (g, claimBatchFrom(spark, prefix, g,
+      rs.filter(_._1 == g).map(_._2).max + 1))
   }
 
-  /** Allocate the next generation (for compaction's full rewrite) and
-    * record its intent. */
+  /** Allocate the next generation (for compaction's full rewrite) via
+    * the same claim loop — two concurrent compactions can never build
+    * into the same generation's tables. */
   def beginGeneration(spark: SparkSession, prefix: String): Long = {
     val rs = rows(spark, prefix)
     require(rs.exists(_._3 == "commit"),
       s"${manifestT(prefix)}: no committed generation to compact")
-    val ng = rs.map(_._1).max + 1
-    writeRow(spark, prefix, ng, 0L, "intent", "append")
+    var ng = rs.map(_._1).max + 1
+    while (!tryCreate(spark, prefix, ng, 0L, "intent")) ng += 1
     ng
   }
 
-  /** The commit point: ONE appended row makes batch `b` of `gen` (and,
-    * if it is a new generation's first, the whole generation) visible. */
+  /** The commit point: ONE created marker makes batch `b` of `gen`
+    * (and, if it is a new generation's first, the whole generation)
+    * visible. */
   def commit(spark: SparkSession, prefix: String, gen: Long,
              b: Long): Unit =
-    writeRow(spark, prefix, gen, b, "commit", "append")
+    require(tryCreate(spark, prefix, gen, b, "commit"),
+      s"${manifestT(prefix)}: batch g${gen}_b$b committed twice")
 
   /** Reader resolution: (current committed generation, its visible
-    * batch ids, sorted). One bounded manifest collect per operation. */
+    * batch ids, sorted). One bounded directory listing per operation. */
   def committedState(spark: SparkSession,
                      prefix: String): (Long, Seq[Long]) = {
     val committed = rows(spark, prefix).filter(_._3 == "commit")
@@ -134,12 +192,37 @@ object Generations {
     (g, committed.filter(_._1 == g).map(_._2).distinct.sorted)
   }
 
-  /** Drop every non-current generation's physical tables (committed
-    * predecessors AND crashed intents). Runs strictly AFTER the flip;
-    * idempotent, so a crash mid-GC just re-runs later. */
+  /** Drop superseded generations' physical tables AND their dead
+    * manifest markers. Runs strictly AFTER the flip; idempotent, so a
+    * crash mid-GC just re-runs later.
+    *
+    *  - `retain` keeps the newest N committed generations BELOW
+    *    `keepGen` on disk (markers and tables), so a reader that
+    *    resolved its state before the flip still completes its scan —
+    *    the Delta VACUUM retention window; retain = 0 reproduces
+    *    immediate GC.
+    *  - Only generations BELOW `keepGen` are touched: an intent above
+    *    it is a concurrent compaction mid-build (or its crash residue),
+    *    whose claim must stay so its number is never reused while its
+    *    tables may exist; it is reclaimed by the gc after the NEXT
+    *    flip passes it.
+    *  - Deleting dropped generations' markers IS the manifest
+    *    compaction: the listing stays bounded at the current
+    *    generation's batches + retained history, no matter how many
+    *    micro-batches streaming ingest appended before the flip
+    *    (GenerationsSpec pins the bound).
+    */
   def gc(spark: SparkSession, prefix: String, keepGen: Long,
-         logicals: Seq[String]): Unit =
-    rows(spark, prefix).map(_._1).distinct.filter(_ != keepGen)
-      .foreach(g => logicals.foreach(l =>
-        Sinks.purgeTable(spark, physical(prefix, l, g))))
+         logicals: Seq[String], retain: Int = 0): Unit = {
+    val rs = rows(spark, prefix)
+    val retained = rs.filter(r => r._3 == "commit" && r._1 < keepGen)
+      .map(_._1).distinct.sorted.takeRight(retain).toSet
+    val drop = rs.map(_._1).distinct
+      .filter(g => g < keepGen && !retained(g))
+    drop.foreach(g => logicals.foreach(l =>
+      Sinks.purgeTable(spark, physical(prefix, l, g))))
+    val f = fsOf(spark, dir(spark, prefix))
+    rs.filter(r => drop.contains(r._1)).foreach { case (g, b, st) =>
+      f.delete(marker(spark, prefix, g, b, st), false) }
+  }
 }

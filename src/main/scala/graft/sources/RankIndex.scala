@@ -50,7 +50,8 @@ object RankIndex {
     * (and any crashed intents) are GC'd.
     * @return rounds the warm convergence ran */
   def refresh(nodes: DataFrame, newEdges: DataFrame, prefix: String,
-              scale: Long = Graph.RefreshScale): Int = {
+              scale: Long = Graph.RefreshScale,
+              retain: Int = 0): Int = {
     val spark = nodes.sparkSession
     val prev = ranks(spark, prefix)
     val ng = Generations.beginGeneration(spark, prefix)
@@ -60,7 +61,7 @@ object RankIndex {
     Sinks.purgeTable(spark, t) // a crashed intent may have left one
     r.write.mode("overwrite").saveAsTable(t)
     Generations.commit(spark, prefix, ng, 0L)
-    Generations.gc(spark, prefix, ng, logicals)
+    Generations.gc(spark, prefix, ng, logicals, retain)
     Caches.clear()
     rounds
   }

@@ -109,7 +109,8 @@ object StatsLedger {
   /** Compact the ledger into the next generation: one netted row per
     * source, then the one-row flip + GC (the [[Bm25Index.compact]]
     * stats posture). */
-  def compact(spark: SparkSession, prefix: String): Unit = {
+  def compact(spark: SparkSession, prefix: String,
+              retain: Int = 0): Unit = {
     val (gen, bs) = Generations.committedState(spark, prefix)
     val ng = Generations.beginGeneration(spark, prefix)
     val net = spark.table(ledger(prefix, gen))
@@ -126,7 +127,7 @@ object StatsLedger {
     Sinks.purgeTable(spark, tgt)
     net.coalesce(1).write.mode("errorifexists").saveAsTable(tgt)
     Generations.commit(spark, prefix, ng, 0L)
-    Generations.gc(spark, prefix, ng, Logicals)
+    Generations.gc(spark, prefix, ng, Logicals, retain)
   }
 
   /** Finish the reduce: the live per-source data card. One scan of a

@@ -281,10 +281,11 @@ object VectorIndex {
     * drop), centroid log netted to one row per block — then the
     * one-row manifest flip and post-commit GC. Readers resolve the old
     * generation until the flip. */
-  def compact(spark: SparkSession, prefix: String): Unit = {
+  def compact(spark: SparkSession, prefix: String,
+              retain: Int = 0): Unit = {
     val ng = buildNextGeneration(spark, prefix)
     Generations.commit(spark, prefix, ng, 0L)
-    Generations.gc(spark, prefix, ng, Logicals)
+    Generations.gc(spark, prefix, ng, Logicals, retain)
   }
 
   /** Compaction's build phase (intent + next-generation tables, NO
@@ -580,7 +581,8 @@ object VectorIndex {
   /** Compact the codes log into the next generation (codebook copied
     * forward — codes and their codebook travel together), then the
     * one-row flip + GC. */
-  def compactCodes(spark: SparkSession, prefix: String): Unit = {
+  def compactCodes(spark: SparkSession, prefix: String,
+                   retain: Int = 0): Unit = {
     val (gen, bs) = Generations.committedState(spark, pqPrefix(prefix))
     val ng = Generations.beginGeneration(spark, pqPrefix(prefix))
     Sinks.compactBucketedTo(spark, phys(pqPrefix(prefix), "codes", gen),
@@ -590,6 +592,6 @@ object VectorIndex {
     spark.table(phys(pqPrefix(prefix), "codebook", gen))
       .coalesce(1).write.mode("errorifexists").saveAsTable(cbTgt)
     Generations.commit(spark, pqPrefix(prefix), ng, 0L)
-    Generations.gc(spark, pqPrefix(prefix), ng, PqLogicals)
+    Generations.gc(spark, pqPrefix(prefix), ng, PqLogicals, retain)
   }
 }

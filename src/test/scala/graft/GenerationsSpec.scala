@@ -116,6 +116,107 @@ class GenerationsSpec extends AnyFunSuite {
     Caches.clear()
   }
 
+  test("two concurrent writers: the atomic intent-marker claim " +
+    "arbitrates batch ids — the loser detects the collision and " +
+    "retries upward; both batches land without overlap, whichever " +
+    "commits first") {
+    val p = "tgen5"
+    Bm25Index.write(docs.filter(col("doc_id") % 5 === 0), "doc_id",
+      "text", p)
+    // both writers listed the SAME manifest state and computed the
+    // same first candidate (1) — the exclusive create arbitrates:
+    // exactly one wins id 1, the loser detects the existing marker
+    // and claims the next free id
+    val bA = Generations.claimBatchFrom(spark, p, 0L, 1L)
+    val bB = Generations.claimBatchFrom(spark, p, 0L, 1L)
+    assert(bA == 1L && bB == 2L,
+      s"claim arbitration failed: A=$bA B=$bB")
+    // step-interleaved bodies: A writes, B writes, B commits FIRST
+    val dA = docs.filter(col("doc_id") % 5 === 1)
+    val dB = docs.filter(col("doc_id") % 5 === 2)
+    Bm25Index.writeClaimed(dA, "doc_id", "text", p, 0L, bA)
+    Bm25Index.writeClaimed(dB, "doc_id", "text", p, 0L, bB)
+    Generations.commit(spark, p, 0L, bB)
+    def run() = Bm25Index.search(spark, p, qs).collect().toSeq
+    // B visible, A (written but uncommitted) invisible
+    assert(Generations.committedState(spark, p) == (0L -> Seq(0L, bB)))
+    assert(run() == CorpusOps.bm25TopK(
+      docs.filter(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 2),
+      "doc_id", "text", qs).collect().toSeq,
+      "uncommitted concurrent batch leaked into search")
+    Caches.clear()
+    // A commits out of order — both batches now visible exactly once
+    Generations.commit(spark, p, 0L, bA)
+    assert(Generations.committedState(spark, p) ==
+      (0L -> Seq(0L, bA, bB)))
+    assert(run() == CorpusOps.bm25TopK(
+      docs.filter(col("doc_id") % 5 <= 2), "doc_id", "text", qs)
+      .collect().toSeq, "interleaved writers diverged from inline")
+    Caches.clear()
+  }
+
+  test("retention-windowed GC: a reader pinned on the pre-flip " +
+    "generation still completes under retain = 1; retain = 0 " +
+    "reproduces immediate GC") {
+    val p = "tgen6"
+    DedupIndex.write(docs.filter(col("doc_id") % 5 <= 1), "doc_id",
+      "text", p)
+    DedupIndex.append(docs.filter(col("doc_id") % 5 === 2), "doc_id",
+      "text", p)
+    def screen() = DedupIndex.screenExact(spark,
+      docs.filter(col("doc_id") % 5 === 4), "doc_id", "text", p)
+      .collect().toSeq
+    val before = screen()
+    val (gOld, _) = Generations.committedState(spark, p)
+    val oldPhys = Generations.physical(p, "hashes", gOld)
+    DedupIndex.compact(spark, p, retain = 1)
+    val (g1, _) = Generations.committedState(spark, p)
+    assert(g1 > gOld)
+    // the pre-flip generation survived the flip: a reader that
+    // resolved its state before the compaction finishes its scan
+    assert(spark.table(oldPhys).count() > 0,
+      "retain = 1 dropped the previous generation")
+    assert(screen() == before, "answers diverged across retained GC")
+    Caches.clear()
+    // the next compaction with retain = 0 drops ALL predecessors
+    DedupIndex.compact(spark, p, retain = 0)
+    assert(!spark.catalog.tableExists(oldPhys),
+      "retain = 0 kept a superseded generation")
+    assert(!spark.catalog.tableExists(
+      Generations.physical(p, "hashes", g1)),
+      "retain = 0 kept the immediately-preceding generation")
+    assert(screen() == before, "answers diverged after immediate GC")
+    Caches.clear()
+  }
+
+  test("the manifest stays bounded: micro-batch appends grow it two " +
+    "markers per batch, compaction GC resets it to the surviving " +
+    "generation's markers") {
+    val p = "tgen7"
+    DedupIndex.write(docs.filter(col("doc_id") % 10 === 0), "doc_id",
+      "text", p)
+    // bootstrap is ONE marker (its commit): invisibility-until-commit
+    // is structural when no committed generation exists yet
+    assert(Generations.rows(spark, p).size == 1)
+    for (i <- 1 to 4)
+      DedupIndex.append(docs.filter(col("doc_id") % 10 === i),
+        "doc_id", "text", p)
+    // intent + commit per append
+    assert(Generations.rows(spark, p).size == 1 + 2 * 4)
+    def screen() = DedupIndex.screenExact(spark,
+      docs.filter(col("doc_id") % 5 === 4), "doc_id", "text", p)
+      .collect().toSeq
+    val before = screen()
+    DedupIndex.compact(spark, p)
+    // the compacted generation's intent + commit only — dead history
+    // deleted with its generations, so streaming ingest cannot grow
+    // the manifest without bound
+    assert(Generations.rows(spark, p).size == 2,
+      s"manifest not compacted: ${Generations.rows(spark, p)}")
+    assert(screen() == before, "manifest compaction changed answers")
+    Caches.clear()
+  }
+
   test("refreshFromDiff is all-or-nothing: its takedown and re-append " +
     "legs share one batch id and flip together") {
     import spark.implicits._
