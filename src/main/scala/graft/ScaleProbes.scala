@@ -1092,6 +1092,24 @@ object ScaleProbes {
             f"per_batch_speedup=${inline / indexed}%.1fx")
         }
 
+      case "img-synth" =>
+        // the SYNTHESIS half of the staged image gates: q176/q180/
+        // q181 now time read → decode → dedup over parquet-staged
+        // bytes (the deployment shape — stored content, not re-derived
+        // per scan); this probe times what they no longer pay — the
+        // spec-true PNG/BMP byte generation in Column arithmetic,
+        // including the CRC32/Adler32 HOF loops — so a regression in
+        // the generators stays measurable instead of hiding in (or
+        // polluting) the decode rows.
+        val imgDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        for (name <- Seq("png_gray", "png_rgb", "cross_container")) {
+          val sec = minOf3(
+            CorpusQueries.imageFixture(spark, imgDir, name)
+              .write.format("noop").mode("overwrite").save())
+          println(f"[probe] img-synth: $name sf=$imgDir " +
+            f"synth_sec=$sec%.2f")
+        }
+
       case "zorder-ab" =>
         // the law behind Sinks.writeZOrdered: a fact table laid out by
         // ONE dimension prunes parquet files on that dimension only —
