@@ -80,6 +80,24 @@ object LlmQueries {
   def q69DupClusters(s: SparkSession, d: String): DataFrame =
     TextOps.dupClusters(Tables.documents(s, d), "doc_id", "text")
 
+  /** q183: INCREMENTAL dup-cluster refresh — the full republish
+    * lifecycle for the component family (q172/q178's posture): the
+    * previous corpus generation (doc_id % 4 ≠ 3 — an additions-only
+    * predecessor: every gen1 pair survives into the full corpus, the
+    * [[graft.TextOps.dupClustersRefresh]] validity contract) is
+    * clustered cold, then the FULL corpus re-clusters warm-started
+    * from those labels as hint edges. Refreshed ≡ cold bit-equal
+    * (min-label's fixed point is unique — no limit-cycle caveat), so
+    * the oracle is q69's recursive-CTE chain verbatim; the round
+    * saving is ComponentsSpec's pin.
+    */
+  def q183ClustersRefresh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val gen1Labels = Caches.persistTracked(TextOps.dupClusters(
+      docs.filter(col("doc_id") % 4 =!= 3), "doc_id", "text"))
+    TextOps.dupClustersRefresh(docs, gen1Labels, "doc_id", "text")
+  }
+
   /** Canonical selection over q69's clusters: keep the longest doc per
     * component (ties to min doc_id), drop the rest.
     */
@@ -688,6 +706,7 @@ object LlmQueries {
     "q170_learned_recall" -> (q170LearnedRecall _),
     "q171_learned_pq_index" -> (q171LearnedPqIndex _),
     "q69_dup_clusters" -> (q69DupClusters _),
+    "q183_clusters_refresh" -> (q183ClustersRefresh _),
     "q151_canonical_docs" -> (q151CanonicalDocs _),
     "q153_snapshot_diff" -> (q153SnapshotDiff _),
     "q70_simhash_dups" -> (q70SimhashDups _),
@@ -789,6 +808,27 @@ object LlmQueries {
   /** Shared LSH CTE chain (hashed shingle sets → signatures → bands →
     * verified pairs → jaccard); consumed by q36 and q69.
     */
+  /** The cold dup-cluster chain (recursive reachability over verified
+    * LSH pairs at Jaccard ≥ 0.8) — shared verbatim by q69 and by q183
+    * (whose warm-started engine path is bit-equal to cold by the
+    * additions-only hint-edge argument). Edit with q151, whose oracle
+    * embeds the same chain. */
+  private lazy val dupClustersOracle: String =
+    s"""WITH RECURSIVE $shingleBase,
+       |$lshJacCtes,
+       |edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
+       |symd AS (SELECT a AS src, b AS dst FROM edges
+       |         UNION ALL SELECT b, a FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM symd
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN symd s ON r.dst = s.src)
+       |SELECT d.doc_id,
+       |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS comp
+       |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   private lazy val lshJacCtes: String =
     s"""$lshSigBandCtes,
        |pairs AS (
@@ -1600,21 +1640,13 @@ object LlmQueries {
          |SELECT s.doc_id, s.simhash, coalesce(b.n_dups, 0) AS n_dups,
          |  b.best_partner, b.best_hamming
          |FROM sims s LEFT JOIN best b USING (doc_id)""".stripMargin),
-    "q69_dup_clusters" -> (
-      s"""WITH RECURSIVE $shingleBase,
-         |$lshJacCtes,
-         |edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.8),
-         |symd AS (SELECT a AS src, b AS dst FROM edges
-         |         UNION ALL SELECT b, a FROM edges),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM symd
-         |  UNION
-         |  SELECT r.src, s.dst FROM reach r JOIN symd s ON r.dst = s.src)
-         |SELECT d.doc_id,
-         |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS comp
-         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-         |GROUP BY d.doc_id
-         |ORDER BY d.doc_id""".stripMargin),
+    "q69_dup_clusters" -> dupClustersOracle,
+    // the warm-started refresh is BIT-EQUAL to the cold clustering by
+    // construction (hint edges live inside the new transitive closure
+    // — TextOps.dupClustersRefresh's additions-only contract), so the
+    // gate is the cold chain verbatim: any divergence the warm start
+    // introduced would hash-mismatch here
+    "q183_clusters_refresh" -> dupClustersOracle,
     // canonical selection = q69's component chain + the longest-doc
     // (ties to min doc_id) top-1 window per component — edit with q69
     "q151_canonical_docs" -> (

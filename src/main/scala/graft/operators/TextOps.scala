@@ -439,6 +439,67 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL dup-cluster refresh — warm-starting the
+    * [[components]] loop from a PREVIOUS generation's cluster labels,
+    * the last iterative operator still recomputing cold on republish
+    * (the graph family got this in r15). The previous labels enter as
+    * HINT EDGES: every clustered doc gains an edge to its old
+    * component representative, so each old cluster arrives already
+    * collapsed to a star (diameter ≤ 2) and the min-label loop spends
+    * its rounds only on structure the republish actually CHANGED —
+    * the round count drops from O(log max-cluster-diameter) toward
+    * the diff's local diameter (componentsIters' rounds output;
+    * ComponentsSpec pins the saving).
+    *
+    * Validity contract — ADDITIONS-ONLY republish (new pair set ⊇
+    * old): a hint edge (doc → old comp) connects two docs that were
+    * connected in the old graph, hence still are, so hints are inside
+    * the new transitive closure and components(adj ∪ hints) ≡
+    * components(adj) BIT-EQUAL — min-label has a true unique fixed
+    * point, no limit-cycle caveat. That is the corpus-growth steady
+    * state (new docs arrive, old content persists). Removals can
+    * split clusters and make an old label a foreign attractor — a
+    * takedown-bearing republish recomputes cold (or screens the
+    * affected components first), exactly as the scaladoc of the
+    * monotone union-find family warns everywhere.
+    *
+    * @param prevLabels (doc_id, comp) from the previous generation's
+    *                   [[dupClusters]] run
+    * @return (doc_id, comp) over `df`, bit-equal to a cold
+    *         [[dupClusters]] of the same corpus
+    */
+  def dupClustersRefresh(df: DataFrame, prevLabels: DataFrame,
+                         idCol: String, textCol: String,
+                         threshold: Double = 0.8,
+                         maxIters: Int = 20): DataFrame =
+    dupClustersRefreshIters(df, prevLabels, idCol, textCol, threshold,
+      maxIters)._1
+
+  /** [[dupClustersRefresh]] plus the rounds the warm loop ran — the
+    * ComponentsSpec hook, mirroring [[componentsIters]]. */
+  private[graft] def dupClustersRefreshIters(
+      df: DataFrame, prevLabels: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      maxIters: Int): (DataFrame, Int) = {
+    val (_, pairs) = lshVerifiedPairs(df, idCol, textCol)
+    val adj = Caches.persistTracked(
+      symmetrize(pairs.filter(col("jaccard") >= threshold), "src", "dst"))
+    // hint edges: only genuinely-clustered docs (comp == doc_id rows
+    // are singletons and carry no information); symmetrized like every
+    // adjacency this loop consumes
+    val hints = prevLabels.filter(col("comp") =!= col("doc_id"))
+      .select(col("doc_id").as("src"), col("comp").as("dst"))
+    val adjWarm = adj.unionByName(hints)
+      .unionByName(hints.select(col("dst").as("src"),
+        col("src").as("dst")))
+    val (labels, rounds) = componentsIters(adjWarm, maxIters)
+    (df.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+      .orderBy("doc_id"), rounds)
+  }
+
   /** CANONICAL-document selection per near-dup cluster — the decision
     * step the clustering exists FOR: of each [[dupClusters]] group,
     * keep exactly one representative and drop the rest. Policy: the

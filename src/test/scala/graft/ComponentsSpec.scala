@@ -51,6 +51,73 @@ class ComponentsSpec extends AnyFunSuite {
     assert(rounds <= 13, s"took $rounds rounds")
   }
 
+  test("warm-started refresh: hint edges from a previous generation's " +
+    "labels are bit-equal to cold and cut the round count on an " +
+    "additions-only republish") {
+    // gen1: the 1024-edge path alone (its component min is 3000);
+    // the republish ADDS the 3000-spoke star on 0 — gen1's pairs all
+    // survive, the additions-only contract dupClustersRefresh names
+    val path = (3000L until 4024L).map(i => (i, i + 1))
+    val star = (1L to 3000L).map(i => (0L, i))
+    val (g1Df, _) = TextOps.componentsIters(sym(path), maxIters = 13)
+    val g1 = try g1Df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      finally Caches.clear()
+    assert(g1.forall(_._2 == 3000L))
+    val hintEdges = g1.filter { case (d, c) => d != c }
+      .map { case (d, c) => (d, c) }
+    val (coldDf, rCold) =
+      TextOps.componentsIters(sym(star ++ path), maxIters = 13)
+    val cold = try coldDf.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally Caches.clear()
+    val (warmDf, rWarm) = TextOps.componentsIters(
+      sym(star ++ path ++ hintEdges), maxIters = 13)
+    val warm = try warmDf.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally Caches.clear()
+    assert(warm == cold, "warm-started labels diverged from cold")
+    assert(cold.values.forall(_ == 0L))
+    // gen1's diameter-1026 chain arrives pre-collapsed to a star, so
+    // the warm loop only propagates the NEW structure (the one hop
+    // star ↔ path): rounds drop from ~log2(diameter) to a constant
+    assert(rWarm < rCold,
+      s"warm start saved nothing: $rWarm vs $rCold rounds")
+    assert(rWarm <= 3, s"warm refresh took $rWarm rounds")
+  }
+
+  test("dupClustersRefresh end-to-end: refreshed labels over a grown " +
+    "corpus are bit-equal to a cold dupClusters run") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu"
+    val t2 = "one two three four five six seven eight nine ten " +
+      "eleven twelve"
+    val docs = Seq(
+      (1L, t1), (2L, t1), (3L, t1), // a 3-clique of exact dups
+      (4L, t2), (5L, t2),           // a pair
+      (6L, "unique text first solitary document body here now " +
+        "with padding tokens"),
+      (7L, "another unique second solitary document body here " +
+        "now with padding"),
+      (8L, "third unique solitary document body entirely its own " +
+        "tokens here")).toDF("doc_id", "text")
+    // gen1 = the corpus before docs 3/7 arrived (additions-only)
+    val gen1 = docs.filter(col("doc_id") =!= 3L && col("doc_id") =!= 7L)
+    val lab1 = Caches.persistTracked(
+      TextOps.dupClusters(gen1, "doc_id", "text"))
+    val (warmDf, _) = TextOps.dupClustersRefreshIters(docs, lab1,
+      "doc_id", "text", 0.8, 20)
+    val warm = try warmDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+      finally Caches.clear()
+    val cold = try TextOps.dupClusters(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      finally Caches.clear()
+    assert(warm.toSeq == cold.toSeq,
+      s"refresh diverged: ${warm.toSeq} vs ${cold.toSeq}")
+    assert(warm.toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 4L, 6L -> 6L, 7L -> 7L, 8L -> 8L))
+  }
+
   test("near-clique components converge in one round, skipping the jump join") {
     // the common near-dup case: the seed (least of self and neighbor
     // min) is already the fixpoint, so round 1 is pure convergence

@@ -61,6 +61,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q163_stats_refresh" -> "CorpusOpsSpec (ledger lifecycle; refreshed==fresh aggregation + bounded-partials pinned there)",
     "q165_phrase_snippets" -> "CorpusOpsSpec (positional-index build; snippet windows + clamping pinned there)",
     "q69_dup_clusters" -> "ComponentsSpec (iterative pointer-jumping checkpoints)",
+    "q183_clusters_refresh" -> "ComponentsSpec (q69's component loop, run twice: gen1 cold + warm-started refresh; the warm-vs-cold equality and round saving are pinned there)",
     "q151_canonical_docs" -> "ComponentsSpec (q69's component loop) + LlmOpsSpec (selection policy)",
     "q53_region_ml" -> "StreamingAndMlSpec (model fit executes on construction)",
     "q100_streaming_asof_replay" -> "EventStreamsSpec (file-backed replay harness)",
