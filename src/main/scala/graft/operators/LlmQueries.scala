@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.DedupIndex
 
@@ -563,6 +563,100 @@ object LlmQueries {
         col("vec_id") % 50 === 0), k = 3)
   }
 
+  /** q182: DRIFT-TRIGGERED QUANTIZER RE-TRAINING — the loop wiring
+    * q141's drift metric to q169's learned routing (the r15 verdict's
+    * open end: a static quantizer silently degrades recall as the
+    * corpus distribution moves). Both generations are deterministic
+    * RE-EMBEDDINGS of the corpus — the scenario where the embedding
+    * MODEL changed: a 20.0 spike marks each vector's cluster (gen1:
+    * dim 16·(vec_id mod 4); gen2: dim 16·((vec_id + vec_id÷4) mod 4)
+    * + 8 — the new classes CROSS-CUT the old and live on disjoint
+    * dims) over a shared pseudo-random residual
+    * ((vec_id·31 + i·7) mod 2001 − 1000)/1000, all integer-exact
+    * through quantization (float32(k/1000)·1000 rounds back to k).
+    * The degradation is STRUCTURAL, independent of the real
+    * embedding values (only vec_id/label are read): stale centroids
+    * ≈ the four old spike dims, so routing a gen2 vector reduces to
+    * argmax over its RESIDUALS at those dims — pseudo-random per
+    * vector, uncorrelated with the new classes — while true top-3
+    * sets are new-class-internal; probed blocks miss them and
+    * nprobe-1 recall@3 collapses (measured 0.23 at the verify scale).
+    * The drift gate
+    * (min per-label drift_cos between generations) crosses its 0.9
+    * threshold → [[graft.sources.VectorIndex.reroute]] re-trains on
+    * the drifted corpus and rebuilds routing as a NEW index
+    * generation (retain = 1 keeps the stale generation for the
+    * pinned pre-flip reader — this query's own stale leg); Forgy
+    * seeds (vec_ids 0–3) cover all four spike classes, so the
+    * re-trained clusters recover the true structure and recall
+    * recovers. Output per probe: recall@3 stale vs re-routed, plus
+    * the drift minimum and the trigger verdict. Both legs are
+    * oracled bit-for-bit via two unrolled Lloyd chains (the q155
+    * discipline) — and the TRIGGER is gated too: if it failed to
+    * fire, the engine's "new" leg would still be the stale ranking
+    * and hash-mismatch the oracle's re-trained one.
+    */
+  /** The q182 re-embedding: spike marker at `spikeDim` over the
+    * shared pseudo-random residual — one generator, two generations
+    * (VectorIndexSpec drives the same pair). */
+  private[graft] def reEmbedded(emb: DataFrame,
+                                spikeDim: Column): DataFrame =
+    emb.withColumn("embedding",
+      transform(col("embedding"), (_, i) =>
+        when(i === spikeDim, lit(20.0f))
+          .otherwise(((pmod(col("vec_id") * 31 + i.cast("long") * 7,
+            lit(2001L)) - 1000L) / lit(1000.0)).cast("float"))))
+
+  private[graft] def q182Gen1(emb: DataFrame): DataFrame =
+    reEmbedded(emb, pmod(col("vec_id"), lit(4)).cast("int") * 16)
+
+  private[graft] def q182Gen2(emb: DataFrame): DataFrame =
+    reEmbedded(emb,
+      pmod(col("vec_id") + expr("vec_id div 4"), lit(4)).cast("int")
+        * 16 + 8)
+
+  def q182DriftReroute(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.VectorIndex
+    val emb = Tables.embeddings(s, d)
+    val gen1 = Caches.persistTracked(q182Gen1(emb))
+    val drifted = Caches.persistTracked(q182Gen2(emb))
+    // gen1-trained quantizer routes the republished (drifted) corpus
+    VectorIndex.trainCoarse(gen1, "vec_id", "embedding", "g182",
+      k = 4, iters = 3)
+    VectorIndex.writeLearned(drifted, "vec_id", "embedding", "g182")
+    val isProbe = col("vec_id") % 50 === 0
+    val probes = Similarity.probes(drifted, "vec_id", "embedding",
+      isProbe)
+    val exact = Caches.persistTracked(Similarity.bruteForceTopK(
+      drifted, "vec_id", "embedding", isProbe, 3))
+    val stale = Similarity.recallAtK(exact,
+      VectorIndex.search(s, "g182", probes, 3, nprobe = 1), 3)
+      .select(col("probe_id"), col("hits").as("hits_stale"),
+        col("recall").as("recall_stale"))
+    // the drift gate: q141's metric between the two generations —
+    // the new side's vec_ids are offset past the id space so the
+    // is_new predicate survives embeddingDrift's prepared projection
+    // (which keeps only vec_id/q/label)
+    val NewIdBase = 1000000000L
+    val both = gen1.unionByName(drifted.withColumn("vec_id",
+      col("vec_id") + NewIdBase))
+    val driftMin = Similarity.embeddingDrift(both, "vec_id",
+      "embedding", "label", col("vec_id") >= NewIdBase)
+      .agg(min(col("drift_cos"))).head().getDouble(0)
+    val rerouted = driftMin < 0.9
+    if (rerouted)
+      VectorIndex.reroute(drifted, "vec_id", "embedding", "g182",
+        k = 4, iters = 3, retain = 1)
+    val fresh = Similarity.recallAtK(exact,
+      VectorIndex.search(s, "g182", probes, 3, nprobe = 1), 3)
+      .select(col("probe_id"), col("hits").as("hits_new"),
+        col("recall").as("recall_new"))
+    stale.join(fresh, Seq("probe_id"))
+      .withColumn("drift_min", lit(driftMin))
+      .withColumn("rerouted", lit(rerouted))
+      .orderBy("probe_id")
+  }
+
   /** Label-free cosine near-dup via random-hyperplane LSH buckets. */
   def q54CosineLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshNearestNeighbor(Tables.embeddings(s, d), "vec_id", "embedding")
@@ -705,6 +799,7 @@ object LlmQueries {
     "q169_learned_vector_index" -> (q169LearnedVectorIndex _),
     "q170_learned_recall" -> (q170LearnedRecall _),
     "q171_learned_pq_index" -> (q171LearnedPqIndex _),
+    "q182_drift_reroute" -> (q182DriftReroute _),
     "q69_dup_clusters" -> (q69DupClusters _),
     "q183_clusters_refresh" -> (q183ClustersRefresh _),
     "q151_canonical_docs" -> (q151CanonicalDocs _),
@@ -867,57 +962,179 @@ object LlmQueries {
     * dual-reference inlining hazard. Mirrors
     * [[graft.Similarity.kmeansCentroids]] — edit together.
     */
-  private def kmeansCtes(k: Int, iters: Int): String = {
-    def assignFrom(cenCte: String, cols: String): String =
-      s"""  SELECT $cols, cl, dist FROM (
-         |    SELECT $cols, cl, dist, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
-         |    FROM (SELECT ${cols.split(", ").map("n2." + _)
-                      .mkString(", ")}, c.cl,
-         |      CAST(list_sum([(n2.q[i] - c.cen[i]) * (n2.q[i] - c.cen[i])
-         |                     for i in range(1, 65)]) AS BIGINT) AS dist
-         |      FROM n2, $cenCte c)) WHERE rn = 1""".stripMargin
+  /** One argmin-assignment SELECT body: rows of `src` labeled with
+    * their nearest centroid from `cenCte` (squared-L2, ties → min
+    * cluster — the engine's lexicographic `array_min`). Shared by
+    * [[kmeansCtes]]' per-round assignment and by q182's
+    * cross-generation assignments (drifted corpus vs stale/fresh
+    * centroids). */
+  private def kmeansAssignSql(src: String, cenCte: String,
+                              cols: String): String =
+    s"""  SELECT $cols, cl, dist FROM (
+       |    SELECT $cols, cl, dist, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist ASC, cl ASC) AS rn
+       |    FROM (SELECT ${cols.split(", ").map(s"$src." + _)
+                    .mkString(", ")}, c.cl,
+       |      CAST(list_sum([($src.q[i] - c.cen[i]) * ($src.q[i] - c.cen[i])
+       |                     for i in range(1, 65)]) AS BIGINT) AS dist
+       |      FROM $src, $cenCte c)) WHERE rn = 1""".stripMargin
+
+  /** The unrolled Lloyd TRAINING chain over `src` with CTE names
+    * prefixed `p` (c<p>0 … c<p>iters) — [[kmeansCtes]] instantiates
+    * it once over n2 with the empty prefix; q182's two-generation
+    * oracle runs it twice (stale over n2, re-trained over the drifted
+    * n2d). */
+  private def kmeansChainCtes(src: String, p: String, k: Int,
+                              iters: Int): String = {
     val head =
-      s"""c0 AS MATERIALIZED (
+      s"""c${p}0 AS MATERIALIZED (
          |  SELECT cl, cen FROM (
          |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
-         |      q AS cen FROM n2) WHERE cl < $k)""".stripMargin
+         |      q AS cen FROM $src) WHERE cl < $k)""".stripMargin
     val rounds = (1 to iters).map { r =>
-      s"""a$r AS MATERIALIZED (
-         |${assignFrom(s"c${r - 1}", "vec_id, q")}),
-         |s$r AS MATERIALIZED (
+      s"""a$p$r AS MATERIALIZED (
+         |${kmeansAssignSql(src, s"c$p${r - 1}", "vec_id, q")}),
+         |s$p$r AS MATERIALIZED (
          |  SELECT cl, d, CAST(sum(v) AS BIGINT) AS s, count(*) AS c
          |  FROM (SELECT cl, unnest(q) AS v, unnest(range(1, 65)) AS d
-         |        FROM a$r)
+         |        FROM a$p$r)
          |  GROUP BY 1, 2),
-         |u$r AS MATERIALIZED (
+         |u$p$r AS MATERIALIZED (
          |  SELECT cl, list((s - ((s % c) + c) % c) // c ORDER BY d) AS cen
-         |  FROM s$r GROUP BY cl),
-         |c$r AS MATERIALIZED (
+         |  FROM s$p$r GROUP BY cl),
+         |c$p$r AS MATERIALIZED (
          |  SELECT p.cl, coalesce(u.cen, p.cen) AS cen
-         |  FROM c${r - 1} p LEFT JOIN u$r u USING (cl))""".stripMargin
+         |  FROM c$p${r - 1} p LEFT JOIN u$p$r u USING (cl))""".stripMargin
     }.mkString(",\n")
-    s"""$head,
-       |$rounds,
-       |af AS MATERIALIZED (
-       |${assignFrom(s"c$iters", "vec_id, label, q, norm2")})""".stripMargin
+    s"$head,\n$rounds"
   }
+
+  private def kmeansCtes(k: Int, iters: Int): String =
+    s"""${kmeansChainCtes("n2", "", k, iters)},
+       |af AS MATERIALIZED (
+       |${kmeansAssignSql("n2", s"c$iters", "vec_id, label, q, norm2")})""".stripMargin
 
   /** Per-LEARNED-cluster sum-vector centroid CTEs over [[kmeansCtes]]'s
     * final assignment `af` — [[centCtes]]'s shape with label → cl;
     * shared by the q169/q170 oracles (edit together). */
+  private def learnedCentCtesFrom(src: String, p: String): String =
+    s"""lcent$p AS (
+       |  SELECT cl AS block, list(s ORDER BY i) AS cq
+       |  FROM (
+       |    SELECT cl, i, CAST(sum(v) AS BIGINT) AS s
+       |    FROM (SELECT cl, unnest(q) AS v,
+       |                 unnest(range(1, 65)) AS i FROM $src) z
+       |    GROUP BY cl, i) g
+       |  GROUP BY cl),
+       |lcn$p AS (SELECT block, cq,
+       |         CAST(list_sum([cq[i]*cq[i] for i in range(1, 65)]) AS BIGINT)
+       |           AS cnorm2 FROM lcent$p)""".stripMargin
+
   private lazy val learnedCentCtes: String =
-    """lcent AS (
-      |  SELECT cl AS block, list(s ORDER BY i) AS cq
-      |  FROM (
-      |    SELECT cl, i, CAST(sum(v) AS BIGINT) AS s
-      |    FROM (SELECT cl, unnest(q) AS v,
-      |                 unnest(range(1, 65)) AS i FROM af) z
-      |    GROUP BY cl, i) g
-      |  GROUP BY cl),
-      |lcn AS (SELECT block, cq,
-      |         CAST(list_sum([cq[i]*cq[i] for i in range(1, 65)]) AS BIGINT)
-      |           AS cnorm2 FROM lcent)""".stripMargin
+    learnedCentCtesFrom("af", "")
+
+  /** q182's two-generation oracle: both deterministic re-embeddings
+    * re-derived from vec_id alone (n2g1: spike 16·(vec_id mod 4);
+    * n2d: spike 16·((vec_id + vec_id÷4) mod 4) + 8 — mirror the
+    * engine's [[reEmbedded]] exactly, integer-exact through
+    * quantization), the STALE leg (Lloyd chain `g` trained over
+    * n2g1, drifted corpus assigned against cg3, routed nprobe-1
+    * top-3) and the RE-TRAINED leg (chain `h` over n2d, assigned
+    * against ch3) — both scored against the brute-force top-3 over
+    * n2d, plus the per-label drift minimum (q141's metric between
+    * the generations) and the trigger verdict. The engine's trigger
+    * is gated through the NEW leg: had it failed to fire, hits_new
+    * would still be the stale ranking and hash-mismatch. */
+  private lazy val q182OracleSql: String = {
+    def routedLeg(p: String, afCte: String): String =
+      s"""routed$p AS (
+         |  SELECT probe_id, pq, pnorm2, block FROM (
+         |    SELECT p.probe_id, p.pq, p.pnorm2, c.block,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        CAST(list_sum([p.pq[i]*c.cq[i] for i in range(1, 65)]) AS BIGINT)
+         |          / (sqrt(p.pnorm2) * sqrt(c.cnorm2)) DESC, c.block ASC) AS rn
+         |    FROM probes p CROSS JOIN lcn$p c) t WHERE rn <= 1),
+         |ivf$p AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT r.probe_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY r.probe_id ORDER BY
+         |        CAST(list_sum([r.pq[i]*c.q[i] for i in range(1, 65)]) AS BIGINT)
+         |          / (sqrt(r.pnorm2) * sqrt(c.norm2)) DESC, c.vec_id ASC) AS rank
+         |    FROM routed$p r JOIN $afCte c
+         |      ON c.cl = r.block AND c.vec_id <> r.probe_id) t
+         |  WHERE rank <= 3),
+         |h$p AS (SELECT e.probe_id, count(*) AS hits FROM ex e
+         |       JOIN ivf$p i ON i.probe_id = e.probe_id
+         |                   AND i.neighbor_id = e.neighbor_id GROUP BY 1)""".stripMargin
+    s"""WITH n2g1 AS MATERIALIZED (
+       |  SELECT vec_id, label, q,
+       |    CAST(list_sum([q[i]*q[i] for i in range(1, 65)]) AS BIGINT)
+       |      AS norm2
+       |  FROM (
+       |    SELECT vec_id, label,
+       |      [CASE WHEN i = (vec_id % 4) * 16 + 1 THEN 20000
+       |            ELSE ((vec_id * 31 + (i - 1) * 7) % 2001) - 1000
+       |       END for i in range(1, 65)] AS q
+       |    FROM embeddings) b1),
+       |n2d AS MATERIALIZED (
+       |  SELECT vec_id, label, q,
+       |    CAST(list_sum([q[i]*q[i] for i in range(1, 65)]) AS BIGINT)
+       |      AS norm2
+       |  FROM (
+       |    SELECT vec_id, label,
+       |      [CASE WHEN i = ((vec_id + vec_id // 4) % 4) * 16 + 9 THEN 20000
+       |            ELSE ((vec_id * 31 + (i - 1) * 7) % 2001) - 1000
+       |       END for i in range(1, 65)] AS q
+       |    FROM embeddings) b0),
+       |${kmeansChainCtes("n2g1", "g", 4, 3)},
+       |afs AS MATERIALIZED (
+       |${kmeansAssignSql("n2d", "cg3", "vec_id, q, norm2")}),
+       |${kmeansChainCtes("n2d", "h", 4, 3)},
+       |afn AS MATERIALIZED (
+       |${kmeansAssignSql("n2d", "ch3", "vec_id, q, norm2")}),
+       |${learnedCentCtesFrom("afs", "s")},
+       |${learnedCentCtesFrom("afn", "n")},
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS probe_id, q AS pq, norm2 AS pnorm2
+       |  FROM n2d WHERE vec_id % 50 = 0),
+       |ex AS MATERIALIZED (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.probe_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+       |        CAST(list_sum([p.pq[i]*c.q[i] for i in range(1, 65)]) AS BIGINT)
+       |          / (sqrt(p.pnorm2) * sqrt(c.norm2)) DESC, c.vec_id ASC) AS rank
+       |    FROM probes p JOIN n2d c ON c.vec_id <> p.probe_id) t
+       |  WHERE rank <= 3),
+       |${routedLeg("s", "afs")},
+       |${routedLeg("n", "afn")},
+       |da AS (SELECT label, d, CAST(sum(v) AS BIGINT) AS sa
+       |       FROM (SELECT label, unnest(q) AS v,
+       |             unnest(range(1, 65)) AS d FROM n2g1) GROUP BY 1, 2),
+       |db AS (SELECT label, d, CAST(sum(v) AS BIGINT) AS sb
+       |       FROM (SELECT label, unnest(q) AS v,
+       |             unnest(range(1, 65)) AS d FROM n2d) GROUP BY 1, 2),
+       |dl AS (
+       |  SELECT a.label, list(a.sa ORDER BY a.d) AS ca,
+       |         list(b.sb ORDER BY b.d) AS cb
+       |  FROM da a JOIN db b ON a.label = b.label AND a.d = b.d
+       |  GROUP BY a.label),
+       |dm AS (
+       |  SELECT min(round(
+       |    CAST(list_sum([ca[i]*cb[i] for i in range(1, 65)]) AS BIGINT)
+       |    / (sqrt(CAST(list_sum([ca[i]*ca[i] for i in range(1, 65)]) AS BIGINT))
+       |     * sqrt(CAST(list_sum([cb[i]*cb[i] for i in range(1, 65)]) AS BIGINT))),
+       |    6)) AS drift_min FROM dl),
+       |pr AS (SELECT DISTINCT probe_id FROM ex)
+       |SELECT pr.probe_id,
+       |  coalesce(hs.hits, 0) AS hits_stale,
+       |  coalesce(hs.hits, 0) / 3.0 AS recall_stale,
+       |  coalesce(hn.hits, 0) AS hits_new,
+       |  coalesce(hn.hits, 0) / 3.0 AS recall_new,
+       |  (SELECT drift_min FROM dm) AS drift_min,
+       |  TRUE AS rerouted
+       |FROM pr LEFT JOIN hs USING (probe_id) LEFT JOIN hn USING (probe_id)
+       |ORDER BY pr.probe_id""".stripMargin
+  }
 
   /** The standing-index lifecycle queries (q98/q99) produce bit-identical
     * answers to their snapshot-rebuild twins (q92/q97) by construction —
@@ -1565,6 +1782,7 @@ object LlmQueries {
          |  FROM probes p JOIN rr c ON c.vec_id <> p.probe_id) t
          |WHERE rank <= 3
          |ORDER BY probe_id, rank""".stripMargin),
+    "q182_drift_reroute" -> q182OracleSql,
     "q73_dedup_recall" -> q73Oracle,
     "q74_ivf_centroids" -> (
       s"""WITH $embBase,

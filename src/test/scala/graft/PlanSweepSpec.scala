@@ -88,6 +88,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q169_learned_vector_index" -> "VectorIndexSpec (learned-routing index build; search==ivfTopK-over-learned-blocks pinned there)",
     "q170_learned_recall" -> "VectorIndexSpec (learned-routing index build; recall join is the whitelisted q72 shape)",
     "q171_learned_pq_index" -> "VectorIndexSpec (learned-codeword PQ build; the ADC inequality join is the whitelisted q135 shape)",
+    "q182_drift_reroute" -> "VectorIndexSpec (stale-routed build + drift-gated reroute run at construction; both search legs are the q169 routed shape, the recall joins the whitelisted q72 shape)",
     "q172_pagerank_refresh" -> "GraphSpec (converging power-iteration checkpoints — constructing the frame runs the full gen1+warm lifecycle; per-round join shape is q143's, pinned there)",
     "q173_shard_writer" -> "SourcesSinksSpec (shard-file writer — construction writes the delivery files; one-file-per-dir + token budget pinned there; the packing plan is swept via q149)",
     "q174_curation_pipeline" -> "ComponentsSpec (q69's component loop runs at construction) + the per-stage specs; the mix-pack plan is swept via q149 and the stage plans via q71/q94",

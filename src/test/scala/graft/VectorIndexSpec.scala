@@ -162,6 +162,40 @@ class VectorIndexSpec extends AnyFunSuite {
     Caches.clear()
   }
 
+  test("drift-triggered reroute: stale routing degrades recall@3 on " +
+    "the shifted corpus, the re-trained generation recovers it, and " +
+    "the stale generation survives under retain = 1") {
+    import graft.sources.Generations
+    val p = "tvr"
+    // the q182 re-embedding pair: old-model and new-model generations
+    val gen1 = Caches.persistTracked(LlmQueries.q182Gen1(emb))
+    val drifted = Caches.persistTracked(LlmQueries.q182Gen2(emb))
+    VectorIndex.trainCoarse(gen1, "vec_id", "embedding", p,
+      k = 4, iters = 3)
+    VectorIndex.writeLearned(drifted, "vec_id", "embedding", p)
+    val dprobes = Similarity.probes(drifted, "vec_id", "embedding",
+      probeF)
+    val exact = Caches.persistTracked(Similarity.bruteForceTopK(
+      drifted, "vec_id", "embedding", probeF, 3))
+    def avgRecall() = Similarity.recallAtK(exact,
+      VectorIndex.search(spark, p, dprobes, 3, 1), 3)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    val stale = avgRecall()
+    val (gOld, _) = Generations.committedState(spark, p)
+    VectorIndex.reroute(drifted, "vec_id", "embedding", p,
+      k = 4, iters = 3, retain = 1)
+    val fresh = avgRecall()
+    assert(fresh > stale,
+      f"reroute did not recover recall: stale=$stale%.3f fresh=$fresh%.3f")
+    assert(fresh > 0.9, f"re-trained recall too low: $fresh%.3f")
+    assert(stale < 0.5, f"planted drift did not degrade: $stale%.3f")
+    // retention: the stale-routed generation's tables survived the flip
+    assert(spark.catalog.tableExists(
+      Generations.physical(p, "vectors", gOld)),
+      "retain = 1 dropped the stale generation")
+    Caches.clear()
+  }
+
   test("screenSemantic: live same-block duplicate found with min-id " +
     "canonical, cross-block twin invisible, sub-threshold pair clean") {
     import spark.implicits._
