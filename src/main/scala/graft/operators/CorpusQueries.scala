@@ -341,6 +341,22 @@ object CorpusQueries {
             when(v === 1, col("png_gray"))
               .when(v === 2, col("png_rgb"))
               .otherwise(col("bmp")).as("content"))
+      case "jpeg_cross" =>
+        // v 0: BMP, v 1: baseline JPEG (72×64 upscale), v 2: gray
+        // PNG — the same base image in three containers; v 3: alt BMP
+        val pix =
+          fixturePix(g, when(v === 3, lit(3)).otherwise(lit(0))) _
+        val gray = pngContent(docs, pix, rgb = false)
+          .withColumnRenamed("content", "png_gray")
+        val jp = jpegContent(docs, pix)
+          .withColumnRenamed("content", "jp")
+        docs.select(col("doc_id"), bmpContent(pix).as("bmp"))
+          .join(gray, Seq("doc_id"))
+          .join(jp, Seq("doc_id"))
+          .select(col("doc_id"),
+            when(v === 1, col("jp"))
+              .when(v === 2, col("png_gray"))
+              .otherwise(col("bmp")).as("content"))
     }
   }
 
@@ -489,6 +505,97 @@ object CorpusQueries {
   def q180PngRgbDedup(s: SparkSession, d: String): DataFrame =
     Multimodal.pngPhashDedup(
       stagedFixture(s, d, "png_rgb")(imageFixture(s, d, "png_rgb")))
+      .orderBy("doc_id")
+
+  /** Spec-true BASELINE JPEG bytes for the 72×64 BLOCK-CONSTANT
+    * upscale of a 9×8 pixel formula — the q176 synthesis discipline
+    * for the entropy-coded container: each fixture pixel becomes one
+    * flat 8×8 JPEG block (9×8 blocks = 72×64 samples), so the
+    * Huffman-coded stream is DC-only (category + amplitude + EOB per
+    * block) and round-trips EXACTLY: with the all-ones quantization
+    * table and F00 = 8·(p − 128), the decoder's IDCT of a DC-only
+    * block is the flat integer p, and [[graft.Multimodal.dHash64]]'s
+    * box-average downscale (72/9 = 64/8 = 8 exactly) recovers the
+    * 9×8 formula — so q184 shares q181's container-blind oracle
+    * verbatim while exercising genuinely new machinery (marker walk,
+    * DQT/DHT parsing, canonical Huffman decode, EXTEND, DC
+    * prediction, IDCT). Layout: SOI; DQT (8-bit, all ones); SOF0
+    * (8-bit, 64×72, one component, 1×1 sampling); DHT DC (twelve
+    * 4-bit codes — canonical code of category c IS c); DHT AC (the
+    * single EOB symbol on a 1-bit code); SOS; the bit-packed scan
+    * (MSB-first, 1-padded to a byte, 0xFF00-stuffed); EOI. DC diffs
+    * are multiples of 8 in [−2032, 2032] → categories 4..11, inside
+    * the DC table. All Column arithmetic, HOF loops (the q138
+    * codegen-size lesson), staged behind a persist barrier (the
+    * HOF-collapse lesson).
+    * @return (doc_id, content) */
+  private def jpegContent(docs: DataFrame,
+                          pix: (org.apache.spark.sql.Column,
+                            org.apache.spark.sql.Column) =>
+                            org.apache.spark.sql.Column): DataFrame = {
+    type C = org.apache.spark.sql.Column
+    // bit k (0-based from LSB) of a small non-negative int, HOF-safe
+    // (shiftright/shiftleft take only literal Int shift amounts)
+    def bitOf(x: C, k: C): C =
+      pmod(floor(x / pow(lit(2.0), k)).cast("int"), lit(2))
+    def pixAt(b: C): C = pix(floor(b / 9).cast("int"), pmod(b, lit(9)))
+    def fdc(b: C): C = (pixAt(b) - 128) * 8 // dequantized DC for block b
+    val blockBits = transform(sequence(lit(0), lit(71)), b => {
+      val diff = fdc(b) - when(b === 0, lit(0)).otherwise(fdc(b - 1))
+      val cat = when(diff === 0, lit(0))
+        .otherwise((floor(log2(abs(diff))) + 1).cast("int"))
+      val amp = when(diff >= 0, diff)
+        .otherwise(diff + pow(lit(2.0), cat).cast("int") - 1)
+      concat(
+        transform(sequence(lit(3), lit(0), lit(-1)), k => bitOf(cat, k)),
+        when(cat === 0, array().cast("array<int>"))
+          .otherwise(transform(sequence(cat - 1, lit(0), lit(-1)),
+            k => bitOf(amp, k))),
+        array(lit(0))) // the AC table's 1-bit EOB
+    })
+    val staged = Caches.persistTracked(docs.select(col("doc_id"),
+      flatten(blockBits).as("bits")))
+    val bits = col("bits")
+    val pad = pmod(lit(8) - pmod(size(bits), lit(8)), lit(8))
+    val padded = concat(bits, array_repeat(lit(1), pad))
+    val nb = ((size(bits) + pad) / 8).cast("int")
+    val bytesArr = transform(sequence(lit(0), nb - 1), k =>
+      aggregate(slice(padded, k * 8 + 1, lit(8)), lit(0),
+        (a, x) => a * 2 + x))
+    val stuffed = flatten(transform(bytesArr, v =>
+      when(v === 255, array(lit(255), lit(0))).otherwise(array(v))))
+    val withBytes = Caches.persistTracked(
+      staged.select(col("doc_id"), stuffed.as("sb")))
+    val hdrHex = "FFD8" +
+      "FFDB004300" + "01" * 64 +
+      "FFC0000B0800400048" + "01011100" +
+      "FFC4001F00" + "0000000C" + "00" * 12 +
+      "000102030405060708090A0B" +
+      "FFC4001410" + "01" + "00" * 15 + "00" +
+      "FFDA0008010100003F00"
+    withBytes.select(col("doc_id"),
+      unhex(concat(lit(hdrHex),
+        concat_ws("", transform(col("sb"),
+          v => lpad(hex(v), 2, "0"))),
+        lit("FFD9"))).as("content"))
+  }
+
+  /** q184: the cross-container clique EXTENDED TO JPEG — the dominant
+    * web image format joins the pixel-hash dedup space (closing the
+    * r15 verdict's last codec stub): per group the SAME image
+    * delivered as a BMP, a baseline grayscale JPEG (the 72×64
+    * block-constant upscale — [[jpegContent]]'s exactness argument),
+    * and a gray PNG must collapse to one hamming-0 clique under ONE
+    * container-sniffing print; v = 3 stays the independent alt BMP.
+    * The oracle is q181's, verbatim: hashes derive from the 9×8
+    * pixel formulas alone, so any divergence in the JPEG decode path
+    * (marker walk, Huffman tables, EXTEND, DC prediction, IDCT,
+    * box-average downscale) breaks the gate.
+    */
+  def q184JpegCrossContainer(s: SparkSession, d: String): DataFrame =
+    Multimodal.anyImagePhashDedup(
+      stagedFixture(s, d, "jpeg_cross")(
+        imageFixture(s, d, "jpeg_cross")))
       .orderBy("doc_id")
 
   /** The shared 9×8 fixture PIXEL FORMULAS — one definition consumed
@@ -868,6 +975,7 @@ object CorpusQueries {
     "q179_mulaw_features" -> (q179MulawFeatures _),
     "q180_png_rgb_dedup" -> (q180PngRgbDedup _),
     "q181_cross_container_dedup" -> (q181CrossContainerDedup _),
+    "q184_jpeg_cross_container" -> (q184JpegCrossContainer _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
     "q124_bpe_encode" -> (Bpe.q124BpeEncode _),
     "q125_langid_trigram" -> ((s, d) =>
@@ -2048,6 +2156,9 @@ object CorpusQueries {
     "q180_png_rgb_dedup" -> imagePhashOracle,
     // container-blind by construction: hashes derive from pixels alone
     "q181_cross_container_dedup" -> crossContainerOracle,
+    // q184 shares the container-blind pixel oracle: the JPEG variant
+    // decodes (then box-averages) to the same 9x8 base formula
+    "q184_jpeg_cross_container" -> crossContainerOracle,
     // µ-law: the oracle re-derives the companded bytes AND the G.711
     // expansion formula (255−u complement, bias-132 mantissa, exponent
     // shift, sign) — edit with q179MulawFeatures and mulawExpand

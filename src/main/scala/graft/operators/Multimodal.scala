@@ -670,14 +670,296 @@ object Multimodal {
   def pngDHash(bytes: Array[Byte]): Option[Long] =
     decodePngGray(bytes).flatMap(dHash64)
 
-  /** Container-sniffing image print: BMP or PNG (either color type) →
-    * the SAME 64-bit dHash, because the hash is over pixels, not bytes
-    * — the kernel behind cross-container dedup (q181): the classic
-    * re-encoded duplicate (one image delivered as BMP by one source
-    * and PNG by another) pairs at hamming 0. Sniff order follows
-    * [[decodeImageHeader]]. */
+  /** Canonical Huffman DECODE tables from a DHT segment's (counts,
+    * symbols) — the JPEG spec's DECODE procedure state (F.2.2.3):
+    * minCode/maxCode/valPtr per code length, maxCode = −1 where the
+    * length has no codes so the length loop always advances past it. */
+  private final class JpegHuff(counts: Array[Int], symbols: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        if (counts(l - 1) > 0) {
+          code += counts(l - 1)
+          k += counts(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def symbol(l: Int, code: Int): Int = {
+      val i = valPtr(l) + code - minCode(l)
+      if (i < 0 || i >= symbols.length) -1 else symbols(i)
+    }
+  }
+
+  /** The zigzag scan order: position k of the coefficient stream →
+    * natural (v·8 + u) index, JPEG spec figure A.6. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private val JpegCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val JpegCu: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** REAL pixel decode for BASELINE-SEQUENTIAL JPEG, single-component
+    * (grayscale) — the last multimodal codec stub closed: the actual
+    * entropy-coded pixel path of the dominant web image format, pure
+    * JVM. Marker walk collects DQT (8-bit tables, zigzag order) and
+    * DHT (canonical Huffman decode tables per ITU T.81 F.2.2.3), SOF0
+    * fixes dimensions (8-bit precision, ONE component, 1×1 sampling —
+    * the grayscale baseline; color/progressive/hierarchical stay
+    * behind honest gates like PNG's palette/interlace), SOS starts
+    * the scan. Entropy decode is the spec's procedure exactly:
+    * MSB-first bit reader with 0xFF00 byte unstuffing (any bare
+    * marker mid-scan — restart intervals included — ends the data and
+    * fails the decode), per 8×8 block a DC category+amplitude with
+    * EXTEND sign recovery and DC prediction, then the
+    * run/size-coded ACs (EOB, ZRL, zigzag placement), dequantized
+    * against the component's table. Reconstruction is the direct
+    * 2-D IDCT in double precision (f = ¼ΣΣ C(u)C(v) F cos·cos),
+    * rounded, level-shifted +128, clamped — for a DC-only block with
+    * F00 a multiple of 8 the result is exact integer arithmetic
+    * (F00/8 + 128), which is what the q184 fixture pins; full AC
+    * reconstruction is exercised against the JDK's own ImageIO
+    * encoder in DecoderFuzzSpec. Blocks assemble left-to-right,
+    * top-to-bottom with edge crop. Malformed input yields None —
+    * null rows, never task failures.
+    */
+  def decodeJpegGray(bytes: Array[Byte]): Option[Array[Array[Int]]] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    def be16(o: Int): Int =
+      ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    val quant = new Array[Array[Int]](4)
+    val huff = new Array[JpegHuff](8) // (class << 2) | id, ids 0..3
+    var w = -1
+    var h = -1
+    var compQt = 0
+    var dcTid = -1
+    var acTid = -1
+    var sosAt = -1
+    var off = 2
+    while (sosAt < 0) {
+      if (off + 2 > bytes.length) return None
+      if ((bytes(off) & 0xff) != 0xff) return None
+      var mOff = off + 1
+      while (mOff < bytes.length && (bytes(mOff) & 0xff) == 0xff)
+        mOff += 1
+      if (mOff >= bytes.length) return None
+      val marker = bytes(mOff) & 0xff
+      if (marker == 0xd9 || (marker >= 0xd0 && marker <= 0xd7) ||
+        marker == 0x01) {
+        if (marker == 0xd9) return None // EOI before any scan
+        off = mOff + 1
+      } else {
+        if (mOff + 3 > bytes.length) return None
+        val len = be16(mOff + 1)
+        if (len < 2) return None
+        val p = mOff + 3
+        val pend = mOff + 1 + len
+        if (pend > bytes.length) return None
+        marker match {
+          case 0xdb => // DQT — one or more 8-bit tables
+            var q = p
+            while (q < pend) {
+              val pq = (bytes(q) & 0xff) >> 4
+              val tq = bytes(q) & 0x0f
+              if (pq != 0 || tq > 3 || q + 65 > pend) return None
+              quant(tq) = Array.tabulate(64)(i => bytes(q + 1 + i) & 0xff)
+              q += 65
+            }
+          case 0xc4 => // DHT — one or more tables
+            var q = p
+            while (q < pend) {
+              val tc = (bytes(q) & 0xff) >> 4
+              val th = bytes(q) & 0x0f
+              if (tc > 1 || th > 3 || q + 17 > pend) return None
+              val counts = Array.tabulate(16)(i => bytes(q + 1 + i) & 0xff)
+              val n = counts.sum
+              if (q + 17 + n > pend) return None
+              val syms = Array.tabulate(n)(i => bytes(q + 17 + i) & 0xff)
+              huff((tc << 2) | th) = new JpegHuff(counts, syms)
+              q += 17 + n
+            }
+          case 0xc0 => // SOF0: baseline sequential
+            if (len < 11) return None
+            val prec = bytes(p) & 0xff
+            h = be16(p + 1)
+            w = be16(p + 3)
+            val ncomp = bytes(p + 5) & 0xff
+            // single-component 8-bit 1×1 — the grayscale baseline gate
+            if (prec != 8 || ncomp != 1 || w <= 0 || h <= 0 ||
+              w >= (1 << 14) || h >= (1 << 14) ||
+              (bytes(p + 7) & 0xff) != 0x11) return None
+            compQt = bytes(p + 8) & 0x0f
+            if (compQt > 3) return None // only four table slots exist
+          case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 &&
+              m != 0xc8 && m != 0xcc =>
+            return None // progressive/extended/lossless: honest gate
+          case 0xda => // SOS
+            if (len < 8 || (bytes(p) & 0xff) != 1) return None
+            dcTid = (bytes(p + 2) & 0xff) >> 4
+            acTid = bytes(p + 2) & 0x0f
+            sosAt = pend
+          case _ => () // APPn/COM/DRI…: skipped by length (a DRI with
+          // a nonzero interval will surface as a marker mid-scan and
+          // fail the decode below — restart support is out of scope)
+        }
+        off = pend
+      }
+    }
+    if (w < 0) return None
+    val qt = quant(compQt)
+    if (qt == null || dcTid > 3 || acTid > 3) return None
+    val hdc = huff(dcTid)
+    val hac = huff((1 << 2) | acTid)
+    if (hdc == null || hac == null) return None
+    // MSB-first bit reader over the entropy-coded data, FF00-unstuffed
+    var bp = sosAt
+    var bitBuf = 0
+    var bitCnt = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (bp >= bytes.length) return -1
+        val b = bytes(bp) & 0xff
+        bp += 1
+        if (b == 0xff) {
+          if (bp >= bytes.length) return -1
+          if ((bytes(bp) & 0xff) != 0x00) return -1 // marker: data ends
+          bp += 1
+        }
+        bitBuf = b
+        bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def decodeHuff(t: JpegHuff): Int = {
+      var code = nextBit()
+      if (code < 0) return -1
+      var l = 1
+      while (l <= 16 && code > t.maxCode(l)) {
+        val b = nextBit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+      }
+      if (l > 16) return -1
+      t.symbol(l, code)
+    }
+    // RECEIVE + EXTEND (spec F.2.2.1): s bits, values below 2^(s−1)
+    // are the negative branch
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) return 0
+      var v = 0
+      var i = 0
+      while (i < s) {
+        val b = nextBit()
+        if (b < 0) return Int.MinValue
+        v = (v << 1) | b
+        i += 1
+      }
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val out = Array.ofDim[Int](h, w)
+    var dcPred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val coef = new Array[Int](64)
+        val t = decodeHuff(hdc)
+        if (t < 0 || t > 15) return None
+        val diff = receiveExtend(t)
+        if (diff == Int.MinValue) return None
+        dcPred += diff
+        coef(0) = dcPred * qt(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = decodeHuff(hac)
+          if (rs < 0) return None
+          val s = rs & 0x0f
+          if (s == 0) {
+            if (rs == 0x00) eob = true // EOB
+            else if (rs == 0xf0) k += 16 // ZRL
+            else return None
+          } else {
+            k += rs >> 4
+            if (k > 63) return None
+            val v = receiveExtend(s)
+            if (v == Int.MinValue) return None
+            coef(JpegZigzag(k)) = v * qt(k)
+            k += 1
+          }
+        }
+        var y = 0
+        while (y < 8) {
+          val py = by * 8 + y
+          var x = 0
+          while (x < 8) {
+            val px = bx * 8 + x
+            if (py < h && px < w) {
+              var sum = 0.0
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                while (u < 8) {
+                  val f = coef(v * 8 + u)
+                  if (f != 0)
+                    sum += JpegCu(u) * JpegCu(v) * f *
+                      JpegCos(x)(u) * JpegCos(y)(v)
+                  u += 1
+                }
+                v += 1
+              }
+              val sv = math.round(sum / 4).toInt + 128
+              out(py)(px) = math.max(0, math.min(255, sv))
+            }
+            x += 1
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Some(out)
+  }
+
+  /** [[decodeJpegGray]] ∘ [[dHash64]] — the q184 kernel: the
+    * entropy-coded container joins the pixel-hash dedup space. */
+  def jpegDHash(bytes: Array[Byte]): Option[Long] =
+    decodeJpegGray(bytes).flatMap(dHash64)
+
+  /** Container-sniffing image print: BMP, PNG (either color type), or
+    * baseline grayscale JPEG → the SAME 64-bit dHash, because the
+    * hash is over pixels, not bytes — the kernel behind
+    * cross-container dedup (q181 lossless, q184 adding the
+    * entropy-coded container): the classic re-encoded duplicate (one
+    * image delivered as BMP by one source, PNG by another, JPEG by a
+    * third) pairs at hamming 0. Sniff order follows
+    * [[decodeImageHeader]]; a lossy-but-mild JPEG re-encode still
+    * pairs within the banded hamming radius because dHash compares
+    * box-averaged cells, not bytes. */
   def imageDHash(bytes: Array[Byte]): Option[Long] =
-    decodePngGray(bytes).orElse(decodeBmpGray(bytes)).flatMap(dHash64)
+    decodePngGray(bytes).orElse(decodeBmpGray(bytes))
+      .orElse(decodeJpegGray(bytes)).flatMap(dHash64)
 
   /** 64-bit difference hash (dHash) over a grayscale matrix — the
     * standard perceptual fingerprint for image near-dup at corpus

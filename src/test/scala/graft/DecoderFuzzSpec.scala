@@ -21,6 +21,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "bmp header" -> Multimodal.decodeBmpHeader _,
     "bmp gray" -> Multimodal.decodeBmpGray _,
     "jpeg header" -> Multimodal.decodeJpegHeader _,
+    "jpeg gray" -> Multimodal.decodeJpegGray _,
+    "jpeg dhash" -> Multimodal.jpegDHash _,
+    "image dhash" -> Multimodal.imageDHash _,
     "mp4 header" -> Multimodal.decodeMp4Header _,
     "avi mjpeg" -> Multimodal.decodeAviMjpeg _,
     "bmp dhash" -> Multimodal.bmpDHash _,
@@ -94,7 +97,86 @@ class DecoderFuzzSpec extends AnyFunSuite {
       bb.put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
       bb.array()
     }
-    Seq(wav, bmp, png, jpeg)
+    Seq(wav, bmp, png, jpeg, jpegScan)
+  }
+
+  /** A complete DC-only baseline grayscale JPEG (24×16 = 3×2 flat
+    * blocks), built IMPERATIVELY here — an independent re-derivation
+    * of the q184 fixture layout (all-ones quant, twelve 4-bit DC
+    * codes, 1-bit EOB), so the Column-arithmetic builder and this one
+    * cross-check each other through [[Multimodal.decodeJpegGray]]. */
+  private lazy val jpegScanBlocks = Array(Array(10, 128, 250),
+    Array(60, 200, 5))
+  private lazy val jpegScan: Array[Byte] = {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val bits = new StringBuilder
+    var prev = 0
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val f = 8 * (jpegScanBlocks(r)(c) - 128)
+      val diff = f - prev
+      prev = f
+      val cat = if (diff == 0) 0
+        else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      bits.append(("0000" + cat.toBinaryString).takeRight(4))
+      if (cat > 0) {
+        val amp = if (diff >= 0) diff else diff + (1 << cat) - 1
+        bits.append(("0" * cat + amp.toBinaryString).takeRight(cat))
+      }
+      bits.append("0") // EOB
+    }
+    while (bits.length % 8 != 0) bits.append("1")
+    val scan = bits.toString.grouped(8)
+      .map(Integer.parseInt(_, 2))
+      .flatMap(v => if (v == 0xFF) Seq(0xFF, 0x00) else Seq(v))
+      .map(_.toByte).toArray
+    hx("FFD8" + "FFDB004300" + "01" * 64 +
+      "FFC0000B08" + "0010" + "0018" + "01011100" +
+      "FFC4001F00" + "0000000C" + "00" * 12 +
+      "000102030405060708090A0B" +
+      "FFC4001410" + "01" + "00" * 15 + "00" +
+      "FFDA0008010100003F00") ++ scan ++ hx("FFD9")
+  }
+
+  test("jpeg gray: a DC-only baseline fixture decodes to exact flat " +
+    "blocks (F00 = 8·(p − 128) round-trips through the IDCT)") {
+    val img = Multimodal.decodeJpegGray(jpegScan).get
+    assert(img.length == 16 && img(0).length == 24)
+    for (y <- 0 until 16; x <- 0 until 24)
+      assert(img(y)(x) == jpegScanBlocks(y / 8)(x / 8),
+        s"pixel ($x,$y): ${img(y)(x)}")
+  }
+
+  test("jpeg gray: decodes the JDK ImageIO encoder's real baseline " +
+    "output (standard Huffman tables, full AC path) within JPEG " +
+    "quantization error") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (40, 25)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, 60 + 2 * x + 3 * y)
+    val baos = new java.io.ByteArrayOutputStream
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(
+      javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.97f)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null),
+      param)
+    ios.close()
+    writer.dispose()
+    val img = Multimodal.decodeJpegGray(baos.toByteArray)
+      .getOrElse(fail("ImageIO baseline JPEG did not decode"))
+    assert(img.length == h && img(0).length == w)
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxErr = math.max(maxErr,
+        math.abs(img(y)(x) - (60 + 2 * x + 3 * y)))
+    assert(maxErr <= 8,
+      s"max pixel error $maxErr vs the reference encoder at q=0.97")
   }
 
   test("random bytes never throw in any decoder") {
@@ -143,7 +225,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
       bb.array().copyToArray(m, off)
       m
     }
-    val Seq(wav, bmp, _, _) = fixtures
+    val Seq(wav, bmp, _*) = fixtures
     for (v <- Seq(Int.MaxValue, Int.MinValue, -1, 0)) {
       // RIFF chunk-size fields (fmt at 16, data at 40)
       Multimodal.decodeWavSamples(patchInt(wav, 16, v))
