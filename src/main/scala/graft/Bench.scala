@@ -154,6 +154,13 @@ object Bench {
       // diff-driven ANN refresh (bootstrap + diff + atomic batch +
       // routed search) — q159's posture for vectors
       "q177_vector_refresh",
+      // round-16: drift-triggered quantizer re-training (two Lloyd
+      // trainings + stale/re-routed search legs + brute-force eval),
+      // warm-started dup-cluster refresh (two component loops over
+      // the LSH pair path), and the baseline-JPEG cross-container
+      // clique (entropy decode joins the pixel-hash dedup space)
+      "q182_drift_reroute", "q183_clusters_refresh",
+      "q184_jpeg_cross_container",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",
