@@ -713,27 +713,35 @@ object Multimodal {
   private val JpegCu: Array[Double] =
     Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
 
-  /** REAL pixel decode for BASELINE-SEQUENTIAL JPEG, single-component
-    * (grayscale) — the last multimodal codec stub closed: the actual
-    * entropy-coded pixel path of the dominant web image format, pure
-    * JVM. Marker walk collects DQT (8-bit tables, zigzag order) and
-    * DHT (canonical Huffman decode tables per ITU T.81 F.2.2.3), SOF0
-    * fixes dimensions (8-bit precision, ONE component, 1×1 sampling —
-    * the grayscale baseline; color/progressive/hierarchical stay
-    * behind honest gates like PNG's palette/interlace), SOS starts
-    * the scan. Entropy decode is the spec's procedure exactly:
-    * MSB-first bit reader with 0xFF00 byte unstuffing (any bare
-    * marker mid-scan — restart intervals included — ends the data and
-    * fails the decode), per 8×8 block a DC category+amplitude with
-    * EXTEND sign recovery and DC prediction, then the
-    * run/size-coded ACs (EOB, ZRL, zigzag placement), dequantized
-    * against the component's table. Reconstruction is the direct
-    * 2-D IDCT in double precision (f = ¼ΣΣ C(u)C(v) F cos·cos),
-    * rounded, level-shifted +128, clamped — for a DC-only block with
-    * F00 a multiple of 8 the result is exact integer arithmetic
-    * (F00/8 + 128), which is what the q184 fixture pins; full AC
-    * reconstruction is exercised against the JDK's own ImageIO
-    * encoder in DecoderFuzzSpec. Blocks assemble left-to-right,
+  /** REAL pixel decode for BASELINE-SEQUENTIAL JPEG — the last
+    * multimodal codec stub closed: the actual entropy-coded pixel
+    * path of the dominant web image format, pure JVM. Supports the
+    * shapes real encoders emit: single-component GRAYSCALE and
+    * 3-component YCbCr COLOR in one interleaved scan, with sampling
+    * factors 1–2 per axis — i.e. 4:4:4, 4:2:2 and the web-default
+    * 4:2:0 (progressive, arithmetic coding, restart intervals and
+    * hierarchical stay behind honest gates, like PNG's
+    * palette/interlace). The marker walk collects DQT (8-bit tables,
+    * zigzag order) and DHT (canonical Huffman decode tables per ITU
+    * T.81 F.2.2.3); SOF0 fixes dimensions and per-component sampling
+    * and quant-table ids; SOS binds each scan component's DC/AC
+    * tables and starts the entropy data. Entropy decode is the
+    * spec's procedure exactly: MSB-first bit reader with 0xFF00 byte
+    * unstuffing (any bare marker mid-scan ends the data and fails
+    * the decode), MCUs of H×V blocks per component in scan order,
+    * per block a DC category+amplitude with EXTEND sign recovery and
+    * per-component DC prediction, then the run/size-coded ACs (EOB,
+    * ZRL, zigzag placement), dequantized against the component's
+    * table. Reconstruction is the direct 2-D IDCT in double
+    * precision (f = ¼ΣΣ C(u)C(v) F cos·cos), rounded,
+    * level-shifted +128, clamped — for a DC-only block with F00 a
+    * multiple of 8 the result is exact integer arithmetic
+    * (F00/8 + 128), which is what the q184 fixture pins; full AC and
+    * 4:2:0 color reconstruction are exercised against the JDK's own
+    * ImageIO encoder in DecoderFuzzSpec. The returned gray matrix is
+    * the LUMA plane (for color, chroma blocks are entropy-decoded to
+    * keep bit-stream position, then discarded — a perceptual-hash
+    * pipeline needs exactly luma); blocks assemble left-to-right,
     * top-to-bottom with edge crop. Malformed input yields None —
     * null rows, never task failures.
     */
@@ -747,9 +755,13 @@ object Multimodal {
     val huff = new Array[JpegHuff](8) // (class << 2) | id, ids 0..3
     var w = -1
     var h = -1
-    var compQt = 0
-    var dcTid = -1
-    var acTid = -1
+    var nc = 0
+    val compId = new Array[Int](3)
+    val compH = new Array[Int](3)
+    val compV = new Array[Int](3)
+    val compQt = new Array[Int](3)
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
     var sosAt = -1
     var off = 2
     while (sosAt < 0) {
@@ -795,24 +807,42 @@ object Multimodal {
               q += 17 + n
             }
           case 0xc0 => // SOF0: baseline sequential
-            if (len < 11) return None
+            if (len < 8) return None
             val prec = bytes(p) & 0xff
             h = be16(p + 1)
             w = be16(p + 3)
-            val ncomp = bytes(p + 5) & 0xff
-            // single-component 8-bit 1×1 — the grayscale baseline gate
-            if (prec != 8 || ncomp != 1 || w <= 0 || h <= 0 ||
+            nc = bytes(p + 5) & 0xff
+            if (prec != 8 || (nc != 1 && nc != 3) || w <= 0 || h <= 0 ||
               w >= (1 << 14) || h >= (1 << 14) ||
-              (bytes(p + 7) & 0xff) != 0x11) return None
-            compQt = bytes(p + 8) & 0x0f
-            if (compQt > 3) return None // only four table slots exist
+              len < 8 + 3 * nc) return None
+            var c = 0
+            while (c < nc) {
+              val o = p + 6 + 3 * c
+              compId(c) = bytes(o) & 0xff
+              compH(c) = (bytes(o + 1) & 0xff) >> 4
+              compV(c) = bytes(o + 1) & 0x0f
+              compQt(c) = bytes(o + 2) & 0x0f
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 ||
+                compV(c) > 2 || compQt(c) > 3) return None
+              c += 1
+            }
           case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 &&
               m != 0xc8 && m != 0xcc =>
             return None // progressive/extended/lossless: honest gate
-          case 0xda => // SOS
-            if (len < 8 || (bytes(p) & 0xff) != 1) return None
-            dcTid = (bytes(p + 2) & 0xff) >> 4
-            acTid = bytes(p + 2) & 0x0f
+          case 0xda => // SOS: one interleaved scan of all components
+            if (nc == 0 || len < 6 + 2 * nc ||
+              (bytes(p) & 0xff) != nc) return None
+            var sc = 0
+            while (sc < nc) {
+              val cs = bytes(p + 1 + 2 * sc) & 0xff
+              // scan components must arrive in SOF order (the layout
+              // every baseline encoder emits)
+              if (cs != compId(sc)) return None
+              compDc(sc) = (bytes(p + 2 + 2 * sc) & 0xff) >> 4
+              compAc(sc) = bytes(p + 2 + 2 * sc) & 0x0f
+              if (compDc(sc) > 3 || compAc(sc) > 3) return None
+              sc += 1
+            }
             sosAt = pend
           case _ => () // APPn/COM/DRI…: skipped by length (a DRI with
           // a nonzero interval will surface as a marker mid-scan and
@@ -822,11 +852,14 @@ object Multimodal {
       }
     }
     if (w < 0) return None
-    val qt = quant(compQt)
-    if (qt == null || dcTid > 3 || acTid > 3) return None
-    val hdc = huff(dcTid)
-    val hac = huff((1 << 2) | acTid)
-    if (hdc == null || hac == null) return None
+    var c = 0
+    while (c < nc) {
+      if (quant(compQt(c)) == null || huff(compDc(c)) == null ||
+        huff((1 << 2) | compAc(c)) == null) return None
+      c += 1
+    }
+    val hmax = (0 until nc).map(compH).max
+    val vmax = (0 until nc).map(compV).max
     // MSB-first bit reader over the entropy-coded data, FF00-unstuffed
     var bp = sosAt
     var bitBuf = 0
@@ -874,72 +907,122 @@ object Multimodal {
       }
       if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
     }
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val out = Array.ofDim[Int](h, w)
-    var dcPred = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        val coef = new Array[Int](64)
-        val t = decodeHuff(hdc)
-        if (t < 0 || t > 15) return None
-        val diff = receiveExtend(t)
-        if (diff == Int.MinValue) return None
-        dcPred += diff
-        coef(0) = dcPred * qt(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = decodeHuff(hac)
-          if (rs < 0) return None
-          val s = rs & 0x0f
-          if (s == 0) {
-            if (rs == 0x00) eob = true // EOB
-            else if (rs == 0xf0) k += 16 // ZRL
-            else return None
-          } else {
-            k += rs >> 4
-            if (k > 63) return None
-            val v = receiveExtend(s)
-            if (v == Int.MinValue) return None
-            coef(JpegZigzag(k)) = v * qt(k)
-            k += 1
-          }
-        }
-        var y = 0
-        while (y < 8) {
-          val py = by * 8 + y
-          var x = 0
-          while (x < 8) {
-            val px = bx * 8 + x
-            if (py < h && px < w) {
-              var sum = 0.0
-              var v = 0
-              while (v < 8) {
-                var u = 0
-                while (u < 8) {
-                  val f = coef(v * 8 + u)
-                  if (f != 0)
-                    sum += JpegCu(u) * JpegCu(v) * f *
-                      JpegCos(x)(u) * JpegCos(y)(v)
-                  u += 1
+    // luma geometry: component 0 at full sampling covers the image;
+    // a luma sampled below hmax/vmax covers a scaled grid and the
+    // final matrix upsamples by pixel replication (nearest neighbor)
+    val lw = (w * compH(0) + hmax - 1) / hmax
+    val lh = (h * compV(0) + vmax - 1) / vmax
+    val luma = Array.ofDim[Int](lh, lw)
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val dcPred = new Array[Int](3)
+    val coef = new Array[Int](64)
+    val block = Array.ofDim[Int](8, 8)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var ci = 0
+        while (ci < nc) {
+          val qt = quant(compQt(ci))
+          val hdc = huff(compDc(ci))
+          val hac = huff((1 << 2) | compAc(ci))
+          var vi = 0
+          while (vi < compV(ci)) {
+            var hi = 0
+            while (hi < compH(ci)) {
+              java.util.Arrays.fill(coef, 0)
+              val t = decodeHuff(hdc)
+              if (t < 0 || t > 15) return None
+              val diff = receiveExtend(t)
+              if (diff == Int.MinValue) return None
+              dcPred(ci) += diff
+              coef(0) = dcPred(ci) * qt(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = decodeHuff(hac)
+                if (rs < 0) return None
+                val s = rs & 0x0f
+                if (s == 0) {
+                  if (rs == 0x00) eob = true // EOB
+                  else if (rs == 0xf0) k += 16 // ZRL
+                  else return None
+                } else {
+                  k += rs >> 4
+                  if (k > 63) return None
+                  val v = receiveExtend(s)
+                  if (v == Int.MinValue) return None
+                  coef(JpegZigzag(k)) = v * qt(k)
+                  k += 1
                 }
-                v += 1
               }
-              val sv = math.round(sum / 4).toInt + 128
-              out(py)(px) = math.max(0, math.min(255, sv))
+              // only the luma plane is reconstructed; chroma blocks
+              // were entropy-decoded above purely to keep stream sync
+              if (ci == 0) {
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    var sum = 0.0
+                    var v = 0
+                    while (v < 8) {
+                      var u = 0
+                      while (u < 8) {
+                        val f = coef(v * 8 + u)
+                        if (f != 0)
+                          sum += JpegCu(u) * JpegCu(v) * f *
+                            JpegCos(x)(u) * JpegCos(y)(v)
+                        u += 1
+                      }
+                      v += 1
+                    }
+                    val sv = math.round(sum / 4).toInt + 128
+                    block(y)(x) = math.max(0, math.min(255, sv))
+                    x += 1
+                  }
+                  y += 1
+                }
+                val bx0 = (mx * compH(0) + hi) * 8
+                val by0 = (my * compV(0) + vi) * 8
+                var yy = 0
+                while (yy < 8) {
+                  val py = by0 + yy
+                  if (py < lh) {
+                    var xx = 0
+                    while (xx < 8) {
+                      val px = bx0 + xx
+                      if (px < lw) luma(py)(px) = block(yy)(xx)
+                      xx += 1
+                    }
+                  }
+                  yy += 1
+                }
+              }
+              hi += 1
             }
-            x += 1
+            vi += 1
           }
-          y += 1
+          ci += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    Some(out)
+    if (lw == w && lh == h) Some(luma)
+    else { // sub-sampled luma (unusual, but legal): replicate up
+      val out = Array.ofDim[Int](h, w)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y)(x) = luma(y * compV(0) / vmax)(x * compH(0) / hmax)
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    }
   }
 
   /** [[decodeJpegGray]] ∘ [[dHash64]] — the q184 kernel: the

@@ -179,6 +179,48 @@ class DecoderFuzzSpec extends AnyFunSuite {
       s"max pixel error $maxErr vs the reference encoder at q=0.97")
   }
 
+  test("jpeg gray: decodes the JDK ImageIO encoder's COLOR output " +
+    "(interleaved YCbCr, subsampled chroma) to the luma plane " +
+    "within JPEG quantization error") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (37, 22) // odd dims: exercises MCU edge crop
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    def rgb(x: Int, y: Int) =
+      (40 + 4 * x, 30 + 5 * y, 90 + 2 * x + 2 * y) // smooth ramps
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val baos = new java.io.ByteArrayOutputStream
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(
+      javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.97f)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null),
+      param)
+    ios.close()
+    writer.dispose()
+    val bytes = baos.toByteArray
+    // must really be a 3-component frame (the encoder writes YCbCr)
+    assert(Multimodal.decodeJpegHeader(bytes)
+      .exists(_.bits_per_pixel == 24), "expected a color JPEG")
+    val img = Multimodal.decodeJpegGray(bytes)
+      .getOrElse(fail("ImageIO color baseline JPEG did not decode"))
+    assert(img.length == h && img(0).length == w)
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      val luma = math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt
+      maxErr = math.max(maxErr, math.abs(img(y)(x) - luma))
+    }
+    assert(maxErr <= 8,
+      s"max luma error $maxErr vs BT.601 of the source at q=0.97")
+  }
+
   test("random bytes never throw in any decoder") {
     val rng = new scala.util.Random(0xBADC0DE)
     for (_ <- 0 until 400; (name, dec) <- decoders) {
