@@ -183,8 +183,16 @@ object Graph {
       rank = next
       if (old != null) freeCheckpoint(old)
     }
-    require(converged,
-      s"pageRankFixedPoint did not converge within $maxIters rounds")
+    if (!converged) {
+      // failure path: the last two checkpoints are persisted but not
+      // yet tracked (earlier rounds were eagerly freed) — release them
+      // before throwing or they outlive the caller's Caches.clear()
+      freeCheckpoint(rank)
+      if (prev2 != null) freeCheckpoint(prev2)
+      throw new IllegalArgumentException(
+        s"requirement failed: pageRankFixedPoint did not converge " +
+        s"within $maxIters rounds")
+    }
     Caches.trackOnly(rank)
     Caches.trackOnly(prev2)
     // canonical cycle representative: elementwise min over the final
@@ -309,8 +317,14 @@ object Graph {
       lab = next
       if (old != null) freeCheckpoint(old)
     }
-    require(converged,
-      s"labelPropFixedPoint did not converge within $maxIters rounds")
+    if (!converged) {
+      // same failure-path release as pageRankFixedPoint
+      freeCheckpoint(lab)
+      if (prev2 != null) freeCheckpoint(prev2)
+      throw new IllegalArgumentException(
+        s"requirement failed: labelPropFixedPoint did not converge " +
+        s"within $maxIters rounds")
+    }
     Caches.trackOnly(lab)
     Caches.trackOnly(prev2)
     val canon = lab

@@ -66,13 +66,71 @@ import org.apache.spark.sql.SparkSession
   *    disk for readers still mid-scan on them (the Delta VACUUM
   *    retention knob); retain = 0 is the immediate-GC posture.
   *
-  * Marker creates are atomic on HDFS and POSIX local filesystems; an
-  * object store without atomic exclusive create wants the manifest on
-  * a consistent catalog (the same caveat every file-format transaction
-  * log carries — Delta on S3 uses a coordination service for exactly
-  * this step).
+  * The arbitration rests on ONE primitive — atomic exclusive create —
+  * extracted behind [[ClaimPrimitive]] so the store requirement is a
+  * small, swappable, TESTABLE contract instead of prose. The default
+  * ([[ClaimPrimitive.Exclusive]]) is atomic on HDFS (create with
+  * overwrite=false is a namenode-arbitrated namespace op) and on local
+  * `file:` paths (routed through java.nio O_EXCL — Hadoop's
+  * RawLocalFileSystem would NOT do: its create(p, false) is an
+  * exists() check followed by a plain truncating open, so two truly
+  * concurrent racers can both "win"). An object store without atomic
+  * exclusive create (classic S3) must plug a conditional-write
+  * primitive (If-None-Match PUT) or keep the manifest on a consistent
+  * catalog — the same caveat every file-format transaction log
+  * carries; GenerationsSpec makes the failure mode executable with a
+  * deliberately non-atomic [[ClaimPrimitive]].
   */
 object Generations {
+
+  /** The atomic claim primitive: create `p` iff absent, atomically —
+    * exactly one of N concurrent callers returns true. Everything the
+    * concurrent-writer protocol guarantees reduces to this contract
+    * holding on the manifest's filesystem. */
+  trait ClaimPrimitive {
+    def claim(fs: FileSystem, p: Path): Boolean
+  }
+
+  object ClaimPrimitive {
+    /** Default: true O_EXCL semantics.
+      *  - `file:` scheme → java.nio.file.Files.createFile, which maps
+      *    to open(O_CREAT|O_EXCL) — kernel-arbitrated. (Hadoop's local
+      *    FS create(p, overwrite=false) is exists()-then-open: a TOCTOU
+      *    window two concurrent writers can both pass.)
+      *  - other schemes → FileSystem.create(p, overwrite=false), which
+      *    HDFS implements as an atomic namespace operation. */
+    object Exclusive extends ClaimPrimitive {
+      def claim(fs: FileSystem, p: Path): Boolean =
+        if (fs.getScheme == "file") {
+          val local = java.nio.file.Paths.get(p.toUri.getPath)
+          java.nio.file.Files.createDirectories(local.getParent)
+          try { java.nio.file.Files.createFile(local); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else {
+          try { fs.create(p, false).close(); true }
+          catch { case e: java.io.IOException =>
+            if (fs.exists(p)) false else throw e }
+        }
+    }
+
+    /** A deliberately NON-atomic claim — exists() then plain create,
+      * the semantics of a store without conditional writes. Exists so
+      * GenerationsSpec can DEMONSTRATE the documented object-store
+      * failure (two racers both claiming one id) instead of merely
+      * asserting it in scaladoc. Never used outside tests. */
+    class NonAtomicSimulation(interleave: () => Unit)
+        extends ClaimPrimitive {
+      def claim(fs: FileSystem, p: Path): Boolean =
+        if (fs.exists(p)) false
+        else { interleave(); fs.create(p, true).close(); true }
+    }
+  }
+
+  /** The primitive in force — swappable by tests only. */
+  private[graft] var claimPrimitive: ClaimPrimitive =
+    ClaimPrimitive.Exclusive
 
   def manifestT(prefix: String): String = s"${prefix}_manifest"
 
@@ -115,15 +173,12 @@ object Generations {
     })
   }
 
-  /** Atomically create a marker with exclusive create; false when it
-    * already exists — a concurrent writer won this id. */
+  /** Atomically create a marker via the pluggable [[ClaimPrimitive]];
+    * false when it already exists — a concurrent writer won this id. */
   private def tryCreate(spark: SparkSession, prefix: String, gen: Long,
                         b: Long, state: String): Boolean = {
     val p = marker(spark, prefix, gen, b, state)
-    val f = fsOf(spark, p)
-    try { f.create(p, false).close(); true }
-    catch { case e: java.io.IOException =>
-      if (f.exists(p)) false else throw e }
+    claimPrimitive.claim(fsOf(spark, p), p)
   }
 
   // ------------------------------------------------------ the protocol
@@ -150,7 +205,9 @@ object Generations {
 
   /** Allocate the next batch id in the current committed generation via
     * the atomic intent-marker claim. Crashed allocations are never
-    * reused: their markers persist and the claim probes past them. */
+    * reused: their markers persist and the claim probes past them
+    * (until [[gc]] reaps the ones a later commit makes safe to drop —
+    * see the orphaned-intent note there). */
   def beginBatch(spark: SparkSession, prefix: String): (Long, Long) = {
     val rs = rows(spark, prefix)
     val committed = rs.filter(_._3 == "commit").map(_._1)
@@ -224,5 +281,27 @@ object Generations {
     val f = fsOf(spark, dir(spark, prefix))
     rs.filter(r => drop.contains(r._1)).foreach { case (g, b, st) =>
       f.delete(marker(spark, prefix, g, b, st), false) }
+    // ORPHANED-INTENT reaping within the surviving generation: a
+    // crash-looping writer leaves an intent marker per attempt, and
+    // without this the manifest grows one file per crash forever. An
+    // intent with no commit is safe to delete once SOME LATER batch of
+    // the same generation committed: future claims probe from
+    // max(all markers)+1 ≥ that commit's id + 1, so the reaped id can
+    // never be reallocated (its invisible data rows stay invisible and
+    // are physically dropped at the next compaction, exactly as
+    // before). Tail orphans — above every commit — must stay: deleting
+    // them would free their id for reuse while their rows may exist.
+    // A LIVE slow writer below the max commit may lose its intent
+    // marker here; its own commit still lands and is honored — the
+    // intent's only job was claim arbitration, already done.
+    val keep = rs.filter(_._1 == keepGen)
+    val committedB = keep.filter(_._3 == "commit").map(_._2)
+    if (committedB.nonEmpty) {
+      val maxCommitted = committedB.max
+      keep.filter(r => r._3 == "intent" && r._2 < maxCommitted &&
+          !committedB.contains(r._2))
+        .foreach { case (g, b, st) =>
+          f.delete(marker(spark, prefix, g, b, st), false) }
+    }
   }
 }

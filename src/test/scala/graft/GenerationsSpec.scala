@@ -217,6 +217,67 @@ class GenerationsSpec extends AnyFunSuite {
     Caches.clear()
   }
 
+  test("orphaned-intent GC: crash-looping claims are reaped once a " +
+    "later batch commits — the manifest stays bounded and reaped ids " +
+    "are never reallocated") {
+    val p = "tgen8"
+    DedupIndex.write(docs.filter(col("doc_id") % 10 === 0), "doc_id",
+      "text", p)
+    def screen() = DedupIndex.screenExact(spark,
+      docs.filter(col("doc_id") % 5 === 4), "doc_id", "text", p)
+      .collect().toSeq
+    // five crash-looping writers: each claims an intent, writes
+    // nothing, never commits — exactly the residue ADVICE flagged as
+    // growing the manifest forever
+    val orphans = (1 to 5).map(_ =>
+      Generations.beginBatch(spark, p)._2)
+    assert(orphans == (1L to 5L), s"claims not sequential: $orphans")
+    // a later writer succeeds at a HIGHER id — that commit is what
+    // makes the orphans safe to reap
+    DedupIndex.append(docs.filter(col("doc_id") % 10 === 1), "doc_id",
+      "text", p)
+    assert(Generations.rows(spark, p).size == 1 + 5 + 2)
+    val before = screen()
+    Generations.gc(spark, p,
+      Generations.committedState(spark, p)._1, DedupIndex.Logicals)
+    // bootstrap commit + the live batch's intent/commit survive; the
+    // five orphans are gone — bounded at O(live), not O(crashes)
+    val after = Generations.rows(spark, p)
+    assert(after.size == 3, s"orphaned intents not reaped: $after")
+    assert(screen() == before, "orphan reaping changed answers")
+    // a reaped id can never be reallocated: the next claim probes
+    // from past the surviving max, not into the reaped range
+    val (_, b) = Generations.beginBatch(spark, p)
+    assert(b == 7L, s"reaped id reallocated: next claim got $b")
+    Caches.clear()
+  }
+
+  test("claim-primitive trait boundary: a store WITHOUT atomic " +
+    "exclusive create lets two interleaved racers claim the same " +
+    "batch id — the documented object-store failure, executable") {
+    val p = "tgen9"
+    var bB = -1L
+    var fired = false
+    val saved = Generations.claimPrimitive
+    try {
+      // writer A's claim is paused between its exists() probe and its
+      // create; writer B races the SAME candidate in that window
+      Generations.claimPrimitive =
+        new Generations.ClaimPrimitive.NonAtomicSimulation(() => {
+          if (!fired) {
+            fired = true
+            bB = Generations.claimBatchFrom(spark, p, 0L, 1L)
+          }
+        })
+      val bA = Generations.claimBatchFrom(spark, p, 0L, 1L)
+      // BOTH writers believe they own batch 1 — the torn state the
+      // atomic primitive exists to prevent (contrast the two-writer
+      // test above, where the default primitive yields 1 and 2)
+      assert(bA == 1L && bB == 1L,
+        s"expected the double-claim failure: A=$bA B=$bB")
+    } finally { Generations.claimPrimitive = saved }
+  }
+
   test("refreshFromDiff is all-or-nothing: its takedown and re-append " +
     "legs share one batch id and flip together") {
     import spark.implicits._
