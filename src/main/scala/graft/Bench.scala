@@ -161,6 +161,9 @@ object Bench {
       // clique (entropy decode joins the pixel-hash dedup space)
       "q182_drift_reroute", "q183_clusters_refresh",
       "q184_jpeg_cross_container",
+      // round-17: restart-interval + progressive JPEG entropy layouts
+      // and palette-8 PNG joining the container-blind clique
+      "q185_jpeg_modes_dedup", "q186_palette_png_dedup",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

@@ -357,6 +357,44 @@ object CorpusQueries {
             when(v === 1, col("jp"))
               .when(v === 2, col("png_gray"))
               .otherwise(col("bmp")).as("content"))
+      case "png_palette" =>
+        // v 0: BMP, v 1: gray PNG, v 2: PALETTE-8 PNG (XOR-permuted
+        // PLTE) — the same base image; v 3: alt BMP
+        val pix =
+          fixturePix(g, when(v === 3, lit(3)).otherwise(lit(0))) _
+        val gray = pngContent(docs, pix, rgb = false)
+          .withColumnRenamed("content", "png_gray")
+        val pal = pngContent(docs, pix, rgb = false, palette = true)
+          .withColumnRenamed("content", "png_pal")
+        docs.select(col("doc_id"), bmpContent(pix).as("bmp"))
+          .join(gray, Seq("doc_id"))
+          .join(pal, Seq("doc_id"))
+          .select(col("doc_id"),
+            when(v === 1, col("png_gray"))
+              .when(v === 2, col("png_pal"))
+              .otherwise(col("bmp")).as("content"))
+      case "jpeg_modes" =>
+        // v 0: baseline JPEG, v 1: restart-interval JPEG (DRI + RSTn),
+        // v 2: PROGRESSIVE JPEG (SOF2, DC scan + EOB-run AC scan) —
+        // the same base image through three entropy-coding layouts of
+        // one format; v 3: alt BMP
+        val pix =
+          fixturePix(g, when(v === 3, lit(3)).otherwise(lit(0))) _
+        val jb = jpegContent(docs, pix)
+          .withColumnRenamed("content", "jb")
+        val jr = jpegContent(docs, pix, mode = "restart")
+          .withColumnRenamed("content", "jr")
+        val jp = jpegContent(docs, pix, mode = "progressive")
+          .withColumnRenamed("content", "jp")
+        docs.select(col("doc_id"), bmpContent(pix).as("bmp"))
+          .join(jb, Seq("doc_id"))
+          .join(jr, Seq("doc_id"))
+          .join(jp, Seq("doc_id"))
+          .select(col("doc_id"),
+            when(v === 0, col("jb"))
+              .when(v === 1, col("jr"))
+              .when(v === 2, col("jp"))
+              .otherwise(col("bmp")).as("content"))
     }
   }
 
@@ -405,16 +443,47 @@ object CorpusQueries {
     * lesson, 4th occurrence (the unstaged first cut paid 94 s at
     * sf0.1; staged, ~2 s).
     * @return (doc_id, content) */
+  /** A complete PNG chunk (length + type + payload + CRC32) as hex —
+    * for the CONSTANT chunks of the palette fixture (IHDR variant,
+    * the 256-entry PLTE). Constants are driver-side like the existing
+    * literal IHDR hex; only per-row data (IDAT payload, its Adler32
+    * and CRC32) stays Column arithmetic. */
+  private def pngChunkHex(typ: String, payload: Array[Byte]): String = {
+    val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb)
+    crc.update(payload)
+    "%08X".format(payload.length) +
+      tb.map(b => "%02X".format(b & 0xff)).mkString +
+      payload.map(b => "%02X".format(b & 0xff)).mkString +
+      "%08X".format(crc.getValue)
+  }
+
+  /** The palette fixture's PLTE: entry i = gray (i ^ 0xA5) on all
+    * three channels — a self-inverse permutation, so the encoder's
+    * index for gray p is p ^ 0xA5 and a decoder that skips the lookup
+    * (or swaps index/value) produces visibly different grays. */
+  private lazy val xorPlteHex: String = pngChunkHex("PLTE",
+    (0 until 256).flatMap(i =>
+      Seq.fill(3)((i ^ 0xA5).toByte)).toArray)
+
   private def pngContent(docs: DataFrame,
                          pix: (org.apache.spark.sql.Column,
                            org.apache.spark.sql.Column) =>
                            org.apache.spark.sql.Column,
-                         rgb: Boolean): DataFrame = {
+                         rgb: Boolean,
+                         palette: Boolean = false): DataFrame = {
     type C = org.apache.spark.sql.Column
     val nChan = if (rgb) 3 else 1
     val n = 8 * (1 + 9 * nChan) // raw scanline bytes
+    // palette mode: the raw byte is an INDEX into a non-trivial
+    // (XOR-permuted) PLTE whose entry i is gray i^0xA5 — the encoder
+    // writes index p^0xA5, so the decoder's lookup reconstructs
+    // exactly p, and an index/value swap anywhere breaks the gate
+    // (an identity palette would not catch it)
     def chanv(r: C, c: C, ch: Int): C =
-      if (!rgb) pix(r, c)
+      if (palette) pix(r, c).bitwiseXOR(lit(0xA5))
+      else if (!rgb) pix(r, c)
       else {
         val p = pix(r, c)
         when(p === 255, p).otherwise(p + lit(ch - 1))
@@ -477,11 +546,14 @@ object CorpusQueries {
             .otherwise(lit(0L)))))
       .bitwiseXOR(lit(0xFFFFFFFFL))
     val ihdrHex =
-      if (rgb) "0000000D4948445200000009000000080802000000A4AF42E2"
+      if (palette) pngChunkHex("IHDR",
+        Array[Byte](0, 0, 0, 9, 0, 0, 0, 8, 8, 3, 0, 0, 0))
+      else if (rgb) "0000000D4948445200000009000000080802000000A4AF42E2"
       else "0000000D49484452000000090000000808000000000EA68A69"
     val pngHex = concat(
       lit("89504E470D0A1A0A"),
       lit(ihdrHex),
+      lit(if (palette) xorPlteHex else ""),
       lit("%08X".format(n + 11) + "49444154"),
       concat_ws("", transform(col("zl"),
         b => lpad(hex(b.cast("long")), 2, "0"))),
@@ -532,7 +604,8 @@ object CorpusQueries {
   private def jpegContent(docs: DataFrame,
                           pix: (org.apache.spark.sql.Column,
                             org.apache.spark.sql.Column) =>
-                            org.apache.spark.sql.Column): DataFrame = {
+                            org.apache.spark.sql.Column,
+                          mode: String = "baseline"): DataFrame = {
     type C = org.apache.spark.sql.Column
     // bit k (0-based from LSB) of a small non-negative int, HOF-safe
     // (shiftright/shiftleft take only literal Int shift amounts)
@@ -540,8 +613,14 @@ object CorpusQueries {
       pmod(floor(x / pow(lit(2.0), k)).cast("int"), lit(2))
     def pixAt(b: C): C = pix(floor(b / 9).cast("int"), pmod(b, lit(9)))
     def fdc(b: C): C = (pixAt(b) - 128) * 8 // dequantized DC for block b
+    // DC prediction resets at block 0 — and, in restart mode, at every
+    // 8-block segment start (the decoder resets dcPred per RSTn);
+    // progressive scans carry no per-block EOB (the AC band lives in
+    // its own scan)
     val blockBits = transform(sequence(lit(0), lit(71)), b => {
-      val diff = fdc(b) - when(b === 0, lit(0)).otherwise(fdc(b - 1))
+      val segStart =
+        if (mode == "restart") pmod(b, lit(8)) === 0 else b === 0
+      val diff = fdc(b) - when(segStart, lit(0)).otherwise(fdc(b - 1))
       val cat = when(diff === 0, lit(0))
         .otherwise((floor(log2(abs(diff))) + 1).cast("int"))
       val amp = when(diff >= 0, diff)
@@ -551,33 +630,74 @@ object CorpusQueries {
         when(cat === 0, array().cast("array<int>"))
           .otherwise(transform(sequence(cat - 1, lit(0), lit(-1)),
             k => bitOf(amp, k))),
-        array(lit(0))) // the AC table's 1-bit EOB
+        if (mode == "progressive") array().cast("array<int>")
+        else array(lit(0))) // the AC table's 1-bit EOB
     })
+    // staged UNflattened so restart mode can regroup by segment behind
+    // the persist barrier (the HOF-collapse lesson)
     val staged = Caches.persistTracked(docs.select(col("doc_id"),
-      flatten(blockBits).as("bits")))
-    val bits = col("bits")
-    val pad = pmod(lit(8) - pmod(size(bits), lit(8)), lit(8))
-    val padded = concat(bits, array_repeat(lit(1), pad))
-    val nb = ((size(bits) + pad) / 8).cast("int")
-    val bytesArr = transform(sequence(lit(0), nb - 1), k =>
-      aggregate(slice(padded, k * 8 + 1, lit(8)), lit(0),
-        (a, x) => a * 2 + x))
-    val stuffed = flatten(transform(bytesArr, v =>
-      when(v === 255, array(lit(255), lit(0))).otherwise(array(v))))
+      blockBits.as("blk")))
+    // 1-padded MSB-first byte packing + 0xFF00 stuffing of a bit array
+    def packBits(bits: C): C = {
+      val pad = pmod(lit(8) - pmod(size(bits), lit(8)), lit(8))
+      val padded = concat(bits, array_repeat(lit(1), pad))
+      val nb = ((size(bits) + pad) / 8).cast("int")
+      val bytesArr = transform(sequence(lit(0), nb - 1), k =>
+        aggregate(slice(padded, k * 8 + 1, lit(8)), lit(0),
+          (a, x) => a * 2 + x))
+      flatten(transform(bytesArr, v =>
+        when(v === 255, array(lit(255), lit(0))).otherwise(array(v))))
+    }
+    val scanBytes = mode match {
+      case "restart" =>
+        // nine 8-block segments, each byte-aligned, joined by the
+        // cycling RST0..RST7 re-sync markers (none after the last)
+        flatten(transform(sequence(lit(0), lit(8)), seg => {
+          val segBits = flatten(transform(
+            sequence(seg * 8, seg * 8 + 7),
+            b => element_at(col("blk"), b + 1)))
+          val sb = packBits(segBits)
+          when(seg < 8, concat(sb, array(lit(255), lit(208) + seg)))
+            .otherwise(sb)
+        }))
+      case _ => packBits(flatten(col("blk")))
+    }
     val withBytes = Caches.persistTracked(
-      staged.select(col("doc_id"), stuffed.as("sb")))
-    val hdrHex = "FFD8" +
+      staged.select(col("doc_id"), scanBytes.as("sb")))
+    val dqtDhtHex =
       "FFDB004300" + "01" * 64 +
-      "FFC0000B0800400048" + "01011100" +
       "FFC4001F00" + "0000000C" + "00" * 12 +
-      "000102030405060708090A0B" +
-      "FFC4001410" + "01" + "00" * 15 + "00" +
-      "FFDA0008010100003F00"
-    withBytes.select(col("doc_id"),
-      unhex(concat(lit(hdrHex),
-        concat_ws("", transform(col("sb"),
-          v => lpad(hex(v), 2, "0"))),
-        lit("FFD9"))).as("content"))
+      "000102030405060708090A0B"
+    val sbHex = concat_ws("", transform(col("sb"),
+      (v: C) => lpad(hex(v), 2, "0")))
+    val contentHex = mode match {
+      case "progressive" =>
+        // SOF2; the AC Huffman table's single symbol is EOB6 (0x60):
+        // one 1-bit code + 6 appended bits = a 72-block EOB run, so
+        // the whole AC band is ONE constant byte (0 0010001₂ = 0x11,
+        // 1-padded) in its own spectral-selection scan — the minimal
+        // spec-true progressive stream exercising DC-first decode,
+        // multi-scan table persistence, and EOB-run accounting
+        concat(lit("FFD8" + dqtDhtHex +
+          "FFC2000B0800400048" + "01011100" +
+          "FFC4001410" + "01" + "00" * 15 + "60" +
+          "FFDA0008010100000000"), // DC scan: Ss=Se=0, AhAl=0
+          sbHex,
+          lit("FFDA0008010100013F00" + // AC scan: Ss=1, Se=63
+            "11" + "FFD9"))
+      case "restart" =>
+        concat(lit("FFD8" + dqtDhtHex +
+          "FFC0000B0800400048" + "01011100" +
+          "FFC4001410" + "01" + "00" * 15 + "00" +
+          "FFDD00040008" + // DRI: restart every 8 MCUs
+          "FFDA0008010100003F00"), sbHex, lit("FFD9"))
+      case _ =>
+        concat(lit("FFD8" + dqtDhtHex +
+          "FFC0000B0800400048" + "01011100" +
+          "FFC4001410" + "01" + "00" * 15 + "00" +
+          "FFDA0008010100003F00"), sbHex, lit("FFD9"))
+    }
+    withBytes.select(col("doc_id"), unhex(contentHex).as("content"))
   }
 
   /** q184: the cross-container clique EXTENDED TO JPEG — the dominant
@@ -596,6 +716,38 @@ object CorpusQueries {
     Multimodal.anyImagePhashDedup(
       stagedFixture(s, d, "jpeg_cross")(
         imageFixture(s, d, "jpeg_cross")))
+      .orderBy("doc_id")
+
+  /** q185: JPEG ENTROPY-LAYOUT dedup — the q184 clique re-cut inside
+    * one format: per group the SAME image as a plain baseline stream,
+    * a RESTART-INTERVAL stream (DRI + RSTn re-sync, DC prediction
+    * reset per segment — the layout every camera emits), and a
+    * PROGRESSIVE stream (SOF2: a DC spectral scan plus an EOB-run AC
+    * scan — the layout web optimizers emit) must collapse to one
+    * hamming-0 clique; v = 3 stays the independent alt BMP. The
+    * oracle is q181/q184's container-blind chain verbatim: hashes
+    * derive from the 9×8 pixel formulas alone, so any divergence in
+    * restart re-sync, multi-scan table persistence, progressive DC
+    * decode, or EOB-run accounting breaks the gate.
+    */
+  def q185JpegModesDedup(s: SparkSession, d: String): DataFrame =
+    Multimodal.anyImagePhashDedup(
+      stagedFixture(s, d, "jpeg_modes")(
+        imageFixture(s, d, "jpeg_modes")))
+      .orderBy("doc_id")
+
+  /** q186: PALETTE-8 PNG joins the container-blind clique — the last
+    * common web PNG shape behind an honest gate (color type 3:
+    * filters reconstruct index bytes, the CRC-verified PLTE maps
+    * indices to RGB). The fixture's palette is the XOR-permuted gray
+    * ramp (entry i = gray i^0xA5, index = pixel^0xA5), so skipping
+    * the lookup or swapping index/value changes every gray and breaks
+    * the clique. Oracle: q181's container-blind chain verbatim.
+    */
+  def q186PalettePngDedup(s: SparkSession, d: String): DataFrame =
+    Multimodal.anyImagePhashDedup(
+      stagedFixture(s, d, "png_palette")(
+        imageFixture(s, d, "png_palette")))
       .orderBy("doc_id")
 
   /** The shared 9×8 fixture PIXEL FORMULAS — one definition consumed
@@ -976,6 +1128,8 @@ object CorpusQueries {
     "q180_png_rgb_dedup" -> (q180PngRgbDedup _),
     "q181_cross_container_dedup" -> (q181CrossContainerDedup _),
     "q184_jpeg_cross_container" -> (q184JpegCrossContainer _),
+    "q185_jpeg_modes_dedup" -> (q185JpegModesDedup _),
+    "q186_palette_png_dedup" -> (q186PalettePngDedup _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
     "q124_bpe_encode" -> (Bpe.q124BpeEncode _),
     "q125_langid_trigram" -> ((s, d) =>
@@ -2159,6 +2313,10 @@ object CorpusQueries {
     // q184 shares the container-blind pixel oracle: the JPEG variant
     // decodes (then box-averages) to the same 9x8 base formula
     "q184_jpeg_cross_container" -> crossContainerOracle,
+    // q185 shares it too: restart-interval and progressive members
+    // decode to the same pixels, so the expected cliques are q181's
+    "q185_jpeg_modes_dedup" -> crossContainerOracle,
+    "q186_palette_png_dedup" -> crossContainerOracle,
     // µ-law: the oracle re-derives the companded bytes AND the G.711
     // expansion formula (255−u complement, bias-132 mantissa, exponent
     // shift, sign) — edit with q179MulawFeatures and mulawExpand

@@ -558,11 +558,14 @@ object Multimodal {
     * the inflater itself), then per-row filter reconstruction for ALL
     * FIVE filter types (None/Sub/Up/Average/Paeth, spec §9 — `left` is
     * the channel byte bpp positions back). Supports GRAYSCALE-8
-    * (color type 0, bpp 1) and TRUECOLOR-8 (color type 2, bpp 3 —
-    * gray = (r+g+b)/3, the decodeBmpGray convention). Returns the
+    * (color type 0, bpp 1), TRUECOLOR-8 (color type 2, bpp 3 —
+    * gray = (r+g+b)/3, the decodeBmpGray convention), and PALETTE-8
+    * (color type 3, bpp 1: filters reconstruct INDEX bytes, then the
+    * CRC-verified PLTE chunk maps each index to its RGB triple —
+    * missing palette or out-of-range index returns None). Returns the
     * grayscale matrix (rows top-down, PNG's storage order) or None for
-    * anything malformed or outside the supported shape (palette/alpha
-    * color types, 16-bit depth, interlace stay behind honest gates) —
+    * anything malformed or outside the supported shape (alpha color
+    * types, sub-8/16-bit depth, interlace stay behind honest gates) —
     * the decode path itself (chunking, CRCs, DEFLATE, filters) is the
     * real format, not a stub: any spec-conforming gray-8 or rgb-8 PNG
     * decodes, whatever produced it. JPEG pixels (entropy coding)
@@ -578,16 +581,21 @@ object Multimodal {
     def be32(o: Int): Long =
       ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
         ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
-    // IHDR color type 0 (grayscale, bpp 1) or 2 (truecolor, bpp 3),
-    // standard compression and filter method, no interlace — the
-    // header decode validated dims/bit depth; fixed first-chunk offsets
-    if (bytes.length < 33 || (bytes(25) != 0 && bytes(25) != 2) ||
+    // IHDR color type 0 (grayscale, bpp 1), 2 (truecolor, bpp 3) or
+    // 3 (palette, bpp 1 index bytes), standard compression and filter
+    // method, no interlace — the header decode validated dims/bit
+    // depth; fixed first-chunk offsets
+    if (bytes.length < 33 ||
+      (bytes(25) != 0 && bytes(25) != 2 && bytes(25) != 3) ||
       bytes(26) != 0 || bytes(27) != 0 || bytes(28) != 0) return None
-    val bpp = if (bytes(25) == 2) 3 else 1
+    val colorType = bytes(25).toInt
+    val bpp = if (colorType == 2) 3 else 1
     val (w, h) = (meta.width, meta.height)
     if (w <= 0 || h <= 0 || w.toLong * h > 16L * 1024 * 1024) return None
-    // chunk walk: verify every CRC, concatenate IDAT payloads
+    // chunk walk: verify every CRC, concatenate IDAT payloads, and
+    // capture the palette (≤ 256 RGB triples, at most one PLTE)
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var o = 8
     var sawEnd = false
     while (!sawEnd) {
@@ -600,9 +608,16 @@ object Multimodal {
       crc.update(bytes, o + 4, 4 + len.toInt)
       if (crc.getValue != be32(o + 8 + len.toInt)) return None
       if (typ == "IDAT") idat.write(bytes, o + 8, len.toInt)
+      else if (typ == "PLTE") {
+        if (plte != null || len == 0 || len % 3 != 0 || len > 768)
+          return None
+        plte = java.util.Arrays.copyOfRange(bytes, o + 8,
+          o + 8 + len.toInt)
+      }
       else if (typ == "IEND") sawEnd = true
       o += 12 + len.toInt
     }
+    if (colorType == 3 && plte == null) return None
     val stride = 1 + w * bpp
     val raw = new Array[Byte](h * stride)
     val inf = new java.util.zip.Inflater()
@@ -655,7 +670,13 @@ object Multimodal {
       var c = 0
       while (c < w) {
         out(r)(c) =
-          if (bpp == 1) chan(r)(c)
+          if (colorType == 3) { // palette lookup, then the same
+            val i = chan(r)(c) // (r+g+b)/3 gray convention
+            if (3 * i + 2 >= plte.length) return None
+            ((plte(3 * i) & 0xff) + (plte(3 * i + 1) & 0xff) +
+              (plte(3 * i + 2) & 0xff)) / 3
+          }
+          else if (bpp == 1) chan(r)(c)
           else (chan(r)(3 * c) + chan(r)(3 * c + 1) +
             chan(r)(3 * c + 2)) / 3
         c += 1
@@ -713,37 +734,47 @@ object Multimodal {
   private val JpegCu: Array[Double] =
     Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
 
-  /** REAL pixel decode for BASELINE-SEQUENTIAL JPEG — the last
-    * multimodal codec stub closed: the actual entropy-coded pixel
-    * path of the dominant web image format, pure JVM. Supports the
-    * shapes real encoders emit: single-component GRAYSCALE and
-    * 3-component YCbCr COLOR in one interleaved scan, with sampling
-    * factors 1–2 per axis — i.e. 4:4:4, 4:2:2 and the web-default
-    * 4:2:0 (progressive, arithmetic coding, restart intervals and
-    * hierarchical stay behind honest gates, like PNG's
-    * palette/interlace). The marker walk collects DQT (8-bit tables,
+  /** REAL pixel decode for JPEG — the actual entropy-coded pixel path
+    * of the dominant web image format, pure JVM. Supports the shapes
+    * real encoders emit: BASELINE SEQUENTIAL (SOF0) — single-component
+    * grayscale and 3-component YCbCr in one interleaved scan, sampling
+    * factors 1–2 per axis (4:4:4, 4:2:2, the web-default 4:2:0) — AND
+    * PROGRESSIVE (SOF2) multi-scan streams with spectral selection and
+    * successive approximation (T.81 annex G: DC-first/DC-refine scans,
+    * per-component AC-first/AC-refine scans with EOB-run coding), plus
+    * RESTART INTERVALS (DRI + RSTn re-sync; DC prediction and EOB runs
+    * reset per restart segment) in both modes. Arithmetic coding,
+    * hierarchical, and lossless stay behind honest gates, like PNG's
+    * 16-bit/interlace. The marker walk collects DQT (8-bit tables,
     * zigzag order) and DHT (canonical Huffman decode tables per ITU
-    * T.81 F.2.2.3); SOF0 fixes dimensions and per-component sampling
-    * and quant-table ids; SOS binds each scan component's DC/AC
-    * tables and starts the entropy data. Entropy decode is the
-    * spec's procedure exactly: MSB-first bit reader with 0xFF00 byte
-    * unstuffing (any bare marker mid-scan ends the data and fails
-    * the decode), MCUs of H×V blocks per component in scan order,
-    * per block a DC category+amplitude with EXTEND sign recovery and
-    * per-component DC prediction, then the run/size-coded ACs (EOB,
-    * ZRL, zigzag placement), dequantized against the component's
-    * table. Reconstruction is the direct 2-D IDCT in double
-    * precision (f = ¼ΣΣ C(u)C(v) F cos·cos), rounded,
-    * level-shifted +128, clamped — for a DC-only block with F00 a
-    * multiple of 8 the result is exact integer arithmetic
-    * (F00/8 + 128), which is what the q184 fixture pins; full AC and
-    * 4:2:0 color reconstruction are exercised against the JDK's own
-    * ImageIO encoder in DecoderFuzzSpec. The returned gray matrix is
-    * the LUMA plane (for color, chroma blocks are entropy-decoded to
-    * keep bit-stream position, then discarded — a perceptual-hash
-    * pipeline needs exactly luma); blocks assemble left-to-right,
-    * top-to-bottom with edge crop. Malformed input yields None —
-    * null rows, never task failures.
+    * T.81 F.2.2.3) — in progressive streams tables may be redefined
+    * between scans, so the walk continues across every SOS until EOI.
+    * SOF fixes dimensions, per-component sampling and quant ids; each
+    * SOS binds its scan components' entropy tables and spectral band.
+    * A single-component scan is NON-interleaved per T.81 A.2: the MCU
+    * is one data unit tiling the component's own block grid in raster
+    * order and the SOF sampling factors are IGNORED (libjpeg does the
+    * same — some encoders keep luma's default 2x2 factors when writing
+    * grayscale, and honoring them would decode in the wrong block
+    * order). Entropy decode is the spec's procedure exactly: MSB-first
+    * bit reader with 0xFF00 byte unstuffing (a bare non-RST marker
+    * mid-scan ends the data and fails the decode), per block a DC
+    * category+amplitude with EXTEND sign recovery and per-component DC
+    * prediction, run/size-coded ACs (EOB, ZRL, zigzag placement);
+    * progressive refinement follows G.1.2.3's correction-bit
+    * algorithm. Reconstruction is the direct 2-D IDCT in double
+    * precision (f = ¼ΣΣ C(u)C(v) F cos·cos), rounded, level-shifted
+    * +128, clamped — for a DC-only block with F00 a multiple of 8 the
+    * result is exact integer arithmetic (F00/8 + 128), which is what
+    * the q184/q185 fixtures pin; full AC, 4:2:0 color, and the JDK
+    * encoder's own progressive scan script are exercised against
+    * ImageIO in DecoderFuzzSpec. The returned gray matrix is the LUMA
+    * plane: for color, chroma blocks are entropy-decoded only to keep
+    * bit-stream position in interleaved scans, and chroma-only
+    * progressive scans are skipped by marker-scan (their data is
+    * self-contained — a perceptual-hash pipeline needs exactly luma);
+    * blocks assemble left-to-right, top-to-bottom with edge crop.
+    * Malformed input yields None — null rows, never task failures.
     */
   def decodeJpegGray(bytes: Array[Byte]): Option[Array[Array[Int]]] = {
     if (bytes == null || bytes.length < 4) return None
@@ -756,15 +787,499 @@ object Multimodal {
     var w = -1
     var h = -1
     var nc = 0
+    var progressive = false
+    var restartInt = 0
     val compId = new Array[Int](3)
     val compH = new Array[Int](3)
     val compV = new Array[Int](3)
     val compQt = new Array[Int](3)
     val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
-    var sosAt = -1
+    // geometry, fixed once SOF parses
+    var hmax = 1; var vmax = 1
+    var mcusX = 0; var mcusY = 0
+    var lw = 0; var lh = 0       // luma sample dims (pre-upsample)
+    var bwPad = 0; var bhPad = 0 // luma block grid padded to MCUs
+    // progressive: the luma coefficient store, (bwPad*bhPad) blocks
+    var lumaCoef: Array[Int] = null
+    var luma: Array[Array[Int]] = null
+
+    // ------- entropy bit reader, re-armed at each scan's data start
+    var bp = 0
+    var bitBuf = 0
+    var bitCnt = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (bp >= bytes.length) return -1
+        val b = bytes(bp) & 0xff
+        bp += 1
+        if (b == 0xff) {
+          if (bp >= bytes.length) return -1
+          if ((bytes(bp) & 0xff) != 0x00) return -1 // marker: data ends
+          bp += 1
+        }
+        bitBuf = b
+        bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def decodeHuffT(t: JpegHuff): Int = {
+      var code = nextBit()
+      if (code < 0) return -1
+      var l = 1
+      while (l <= 16 && code > t.maxCode(l)) {
+        val b = nextBit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+      }
+      if (l > 16) return -1
+      t.symbol(l, code)
+    }
+    def receiveBits(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) {
+        val b = nextBit()
+        if (b < 0) return Int.MinValue
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
+    // RECEIVE + EXTEND (spec F.2.2.1): s bits, values below 2^(s−1)
+    // are the negative branch
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) return 0
+      val v = receiveBits(s)
+      if (v == Int.MinValue) return Int.MinValue
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+    // byte-align and consume the expected RSTm at a restart boundary
+    def restartMarker(idx: Int): Boolean = {
+      bitCnt = 0
+      if (bp + 1 >= bytes.length) return false
+      if ((bytes(bp) & 0xff) != 0xff) return false
+      if ((bytes(bp + 1) & 0xff) != 0xd0 + (idx & 7)) return false
+      bp += 2
+      true
+    }
+    // first bare marker at/after `start` — stuffed FF00 and RSTn are
+    // entropy data; used to find a scan's end without decoding it
+    def nextMarkerFrom(start: Int): Int = {
+      var q = start
+      var found = -1
+      while (found < 0 && q + 1 < bytes.length) {
+        if ((bytes(q) & 0xff) == 0xff) {
+          val m = bytes(q + 1) & 0xff
+          if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) q += 2
+          else found = q
+        } else q += 1
+      }
+      found
+    }
+
+    // ------- shared reconstruction pieces
+    val dcPred = new Array[Int](3)
+    var eobrun = 0
+    val block = Array.ofDim[Int](8, 8)
+    def idctInto(coef: Array[Int]): Unit = {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var sum = 0.0
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              val f = coef(v * 8 + u)
+              if (f != 0)
+                sum += JpegCu(u) * JpegCu(v) * f *
+                  JpegCos(x)(u) * JpegCos(y)(v)
+              u += 1
+            }
+            v += 1
+          }
+          val sv = math.round(sum / 4).toInt + 128
+          block(y)(x) = math.max(0, math.min(255, sv))
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    // ------- the baseline-sequential scan: one interleaved pass
+    // building the luma plane directly (coefficients never buffered)
+    def baselineScanBody(): Boolean = {
+      java.util.Arrays.fill(dcPred, 0)
+      val coef = new Array[Int](64)
+      var mcu = 0
+      var rst = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInt > 0 && mcu > 0 && mcu % restartInt == 0) {
+            if (!restartMarker(rst)) return false
+            rst += 1
+            java.util.Arrays.fill(dcPred, 0)
+          }
+          var ci = 0
+          while (ci < nc) {
+            val qt = quant(compQt(ci))
+            val hdc = huff(compDc(ci))
+            val hac = huff((1 << 2) | compAc(ci))
+            var vi = 0
+            while (vi < compV(ci)) {
+              var hi = 0
+              while (hi < compH(ci)) {
+                java.util.Arrays.fill(coef, 0)
+                val t = decodeHuffT(hdc)
+                if (t < 0 || t > 15) return false
+                val diff = receiveExtend(t)
+                if (diff == Int.MinValue) return false
+                dcPred(ci) += diff
+                coef(0) = dcPred(ci) * qt(0)
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob) {
+                  val rs = decodeHuffT(hac)
+                  if (rs < 0) return false
+                  val s = rs & 0x0f
+                  if (s == 0) {
+                    if (rs == 0x00) eob = true // EOB
+                    else if (rs == 0xf0) k += 16 // ZRL
+                    else return false
+                  } else {
+                    k += rs >> 4
+                    if (k > 63) return false
+                    val v = receiveExtend(s)
+                    if (v == Int.MinValue) return false
+                    coef(JpegZigzag(k)) = v * qt(k)
+                    k += 1
+                  }
+                }
+                // only the luma plane is reconstructed; chroma blocks
+                // were entropy-decoded above purely to keep stream sync
+                if (ci == 0) {
+                  idctInto(coef)
+                  val bx0 = (mx * compH(0) + hi) * 8
+                  val by0 = (my * compV(0) + vi) * 8
+                  var yy = 0
+                  while (yy < 8) {
+                    val py = by0 + yy
+                    if (py < lh) {
+                      var xx = 0
+                      while (xx < 8) {
+                        val px = bx0 + xx
+                        if (px < lw) luma(py)(px) = block(yy)(xx)
+                        xx += 1
+                      }
+                    }
+                    yy += 1
+                  }
+                }
+                hi += 1
+              }
+              vi += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+      true
+    }
+
+    // ------- progressive scan bodies (luma coefficients accumulate
+    // in lumaCoef; chroma is decoded only to keep stream position)
+    def progDcFirst(scanComp: Array[Int], ns: Int, al: Int): Boolean = {
+      var c = 0
+      while (c < ns) {
+        if (huff(compDc(scanComp(c))) == null) return false
+        c += 1
+      }
+      var unit = 0
+      var rst = 0
+      def boundary(): Boolean = {
+        if (restartInt > 0 && unit > 0 && unit % restartInt == 0) {
+          if (!restartMarker(rst)) return false
+          rst += 1
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        true
+      }
+      if (ns == 1) {
+        val ci = scanComp(0) // == 0 (luma): chroma scans were skipped
+        val bw = (lw + 7) / 8
+        val bh = (lh + 7) / 8
+        val hdc = huff(compDc(ci))
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            if (!boundary()) return false
+            val t = decodeHuffT(hdc)
+            if (t < 0 || t > 15) return false
+            val diff = receiveExtend(t)
+            if (diff == Int.MinValue) return false
+            dcPred(ci) += diff
+            lumaCoef((by * bwPad + bx) * 64) = dcPred(ci) << al
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      } else {
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            if (!boundary()) return false
+            var sc = 0
+            while (sc < ns) {
+              val ci = scanComp(sc)
+              val hdc = huff(compDc(ci))
+              var vi = 0
+              while (vi < compV(ci)) {
+                var hi = 0
+                while (hi < compH(ci)) {
+                  val t = decodeHuffT(hdc)
+                  if (t < 0 || t > 15) return false
+                  val diff = receiveExtend(t)
+                  if (diff == Int.MinValue) return false
+                  dcPred(ci) += diff
+                  if (ci == 0)
+                    lumaCoef(((my * compV(0) + vi) * bwPad +
+                      mx * compH(0) + hi) * 64) = dcPred(ci) << al
+                  hi += 1
+                }
+                vi += 1
+              }
+              sc += 1
+            }
+            unit += 1
+            mx += 1
+          }
+          my += 1
+        }
+      }
+      true
+    }
+    def progDcRefine(scanComp: Array[Int], ns: Int, al: Int): Boolean = {
+      // one appended bit per coded block, no Huffman state
+      var unit = 0
+      var rst = 0
+      def boundary(): Boolean = {
+        if (restartInt > 0 && unit > 0 && unit % restartInt == 0) {
+          if (!restartMarker(rst)) return false
+          rst += 1
+        }
+        true
+      }
+      if (ns == 1) {
+        val bw = (lw + 7) / 8
+        val bh = (lh + 7) / 8
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            if (!boundary()) return false
+            val b = nextBit()
+            if (b < 0) return false
+            if (b == 1) lumaCoef((by * bwPad + bx) * 64) |= (1 << al)
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      } else {
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            if (!boundary()) return false
+            var sc = 0
+            while (sc < ns) {
+              val ci = scanComp(sc)
+              var vi = 0
+              while (vi < compV(ci)) {
+                var hi = 0
+                while (hi < compH(ci)) {
+                  val b = nextBit()
+                  if (b < 0) return false
+                  if (ci == 0 && b == 1)
+                    lumaCoef(((my * compV(0) + vi) * bwPad +
+                      mx * compH(0) + hi) * 64) |= (1 << al)
+                  hi += 1
+                }
+                vi += 1
+              }
+              sc += 1
+            }
+            unit += 1
+            mx += 1
+          }
+          my += 1
+        }
+      }
+      true
+    }
+    def progAcFirst(ci: Int, ss: Int, se: Int, al: Int): Boolean = {
+      val hac = huff((1 << 2) | compAc(ci))
+      if (hac == null) return false
+      val bw = (lw + 7) / 8
+      val bh = (lh + 7) / 8
+      var unit = 0
+      var rst = 0
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          if (restartInt > 0 && unit > 0 && unit % restartInt == 0) {
+            if (!restartMarker(rst)) return false
+            rst += 1
+            eobrun = 0
+          }
+          val o = (by * bwPad + bx) * 64
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var brk = false
+            while (k <= se && !brk) {
+              val rs = decodeHuffT(hac)
+              if (rs < 0) return false
+              val r = rs >> 4
+              val s = rs & 0x0f
+              if (s == 0) {
+                if (r != 15) { // EOBn: run of (1<<r)+bits blocks,
+                  eobrun = (1 << r) - 1 // current block included
+                  if (r > 0) {
+                    val v = receiveBits(r)
+                    if (v == Int.MinValue) return false
+                    eobrun += v
+                  }
+                  brk = true
+                } else k += 16 // ZRL
+              } else {
+                k += r
+                if (k > se) return false
+                val v = receiveExtend(s)
+                if (v == Int.MinValue) return false
+                lumaCoef(o + JpegZigzag(k)) = v << al
+                k += 1
+              }
+            }
+          }
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+      true
+    }
+    def progAcRefine(ci: Int, ss: Int, se: Int, al: Int): Boolean = {
+      // G.1.2.3's correction-bit procedure (the libjpeg structure):
+      // nonzero-history coefficients read one correction bit wherever
+      // the scan passes them; zero-history coefficients receive new
+      // ±(1<<al) values placed by run length; during an EOB run every
+      // block still reads correction bits for its nonzero history
+      val hac = huff((1 << 2) | compAc(ci))
+      if (hac == null) return false
+      val p1 = 1 << al
+      val m1 = -(1 << al)
+      val bw = (lw + 7) / 8
+      val bh = (lh + 7) / 8
+      var unit = 0
+      var rst = 0
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          if (restartInt > 0 && unit > 0 && unit % restartInt == 0) {
+            if (!restartMarker(rst)) return false
+            rst += 1
+            eobrun = 0
+          }
+          val o = (by * bwPad + bx) * 64
+          var k = ss
+          if (eobrun == 0) {
+            var brk = false
+            while (k <= se && !brk) {
+              val rs = decodeHuffT(hac)
+              if (rs < 0) return false
+              var r = rs >> 4
+              var s = rs & 0x0f
+              if (s != 0) {
+                if (s != 1) return false // refinement codes only ±1
+                val b = nextBit()
+                if (b < 0) return false
+                s = if (b == 1) p1 else m1
+              } else if (r != 15) { // EOBn: total run incl. current —
+                eobrun = 1 << r     // the tail below corrects + counts
+                if (r > 0) {        // this block off
+                  val v = receiveBits(r)
+                  if (v == Int.MinValue) return false
+                  eobrun += v
+                }
+                brk = true
+              }
+              if (!brk) {
+                // advance to the (r+1)-th zero-history slot, emitting
+                // correction bits over nonzero history on the way;
+                // ZRL (s==0, r==15) stops at the 16th zero and places
+                // nothing
+                var placed = false
+                while (k <= se && !placed) {
+                  val z = o + JpegZigzag(k)
+                  if (lumaCoef(z) != 0) {
+                    val b = nextBit()
+                    if (b < 0) return false
+                    if (b == 1 && (lumaCoef(z) & p1) == 0)
+                      lumaCoef(z) += (if (lumaCoef(z) >= 0) p1 else m1)
+                    k += 1
+                  } else if (r == 0) {
+                    if (s != 0) lumaCoef(z) = s
+                    placed = true
+                    k += 1
+                  } else {
+                    r -= 1
+                    k += 1
+                  }
+                }
+              }
+            }
+          }
+          if (eobrun > 0) {
+            while (k <= se) {
+              val z = o + JpegZigzag(k)
+              if (lumaCoef(z) != 0) {
+                val b = nextBit()
+                if (b < 0) return false
+                if (b == 1 && (lumaCoef(z) & p1) == 0)
+                  lumaCoef(z) += (if (lumaCoef(z) >= 0) p1 else m1)
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+      true
+    }
+
+    // ------------------------------------------------ the marker walk
     var off = 2
-    while (sosAt < 0) {
+    var sawScan = false
+    var done = false
+    while (!done) {
       if (off + 2 > bytes.length) return None
       if ((bytes(off) & 0xff) != 0xff) return None
       var mOff = off + 1
@@ -772,10 +1287,11 @@ object Multimodal {
         mOff += 1
       if (mOff >= bytes.length) return None
       val marker = bytes(mOff) & 0xff
-      if (marker == 0xd9 || (marker >= 0xd0 && marker <= 0xd7) ||
-        marker == 0x01) {
-        if (marker == 0xd9) return None // EOI before any scan
-        off = mOff + 1
+      if (marker == 0xd9) { // EOI: legal end only for multi-scan
+        if (!(progressive && sawScan)) return None
+        done = true
+      } else if ((marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+        off = mOff + 1 // standalone RST/TEM outside a scan: skip
       } else {
         if (mOff + 3 > bytes.length) return None
         val len = be16(mOff + 1)
@@ -783,6 +1299,7 @@ object Multimodal {
         val p = mOff + 3
         val pend = mOff + 1 + len
         if (pend > bytes.length) return None
+        off = pend
         marker match {
           case 0xdb => // DQT — one or more 8-bit tables
             var q = p
@@ -806,7 +1323,12 @@ object Multimodal {
               huff((tc << 2) | th) = new JpegHuff(counts, syms)
               q += 17 + n
             }
-          case 0xc0 => // SOF0: baseline sequential
+          case 0xdd => // DRI — restart interval in MCUs
+            if (len != 4) return None
+            restartInt = be16(p)
+          case fm if fm == 0xc0 || fm == 0xc2 => // SOF0 / SOF2
+            if (nc != 0) return None // one frame only
+            progressive = fm == 0xc2
             if (len < 8) return None
             val prec = bytes(p) & 0xff
             h = be16(p + 1)
@@ -826,190 +1348,141 @@ object Multimodal {
                 compV(c) > 2 || compQt(c) > 3) return None
               c += 1
             }
-          case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 &&
+            // single-component frame: factors are ignored everywhere
+            // (every scan is non-interleaved per T.81 A.2) — normalize
+            // them so the geometry below needs no special case
+            if (nc == 1) { compH(0) = 1; compV(0) = 1 }
+            hmax = (0 until nc).map(compH).max
+            vmax = (0 until nc).map(compV).max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            lw = (w * compH(0) + hmax - 1) / hmax
+            lh = (h * compV(0) + vmax - 1) / vmax
+            bwPad = mcusX * compH(0)
+            bhPad = mcusY * compV(0)
+            if (progressive) {
+              // coefficient store: bound the allocation (64 ints per
+              // padded block ≈ 4 bytes/sample) — a hash pipeline has
+              // no business buffering a >16-megapixel coefficient
+              // plane per row
+              if (bwPad.toLong * bhPad * 64 > (1L << 24)) return None
+              lumaCoef = new Array[Int](bwPad * bhPad * 64)
+            }
+          case m if m >= 0xc1 && m <= 0xcf && m != 0xc2 && m != 0xc4 &&
               m != 0xc8 && m != 0xcc =>
-            return None // progressive/extended/lossless: honest gate
-          case 0xda => // SOS: one interleaved scan of all components
-            if (nc == 0 || len < 6 + 2 * nc ||
-              (bytes(p) & 0xff) != nc) return None
+            return None // extended/arithmetic/lossless: honest gate
+          case 0xda => // SOS
+            if (nc == 0) return None
+            val ns = bytes(p) & 0xff
+            if (ns < 1 || ns > nc || len < 6 + 2 * ns) return None
+            val scanComp = new Array[Int](ns)
             var sc = 0
-            while (sc < nc) {
+            var prevCi = -1
+            while (sc < ns) {
               val cs = bytes(p + 1 + 2 * sc) & 0xff
-              // scan components must arrive in SOF order (the layout
-              // every baseline encoder emits)
-              if (cs != compId(sc)) return None
-              compDc(sc) = (bytes(p + 2 + 2 * sc) & 0xff) >> 4
-              compAc(sc) = bytes(p + 2 + 2 * sc) & 0x0f
-              if (compDc(sc) > 3 || compAc(sc) > 3) return None
+              val ci = (0 until nc).indexWhere(compId(_) == cs)
+              // scan components must arrive in SOF order, no dups
+              if (ci < 0 || ci <= prevCi) return None
+              prevCi = ci
+              scanComp(sc) = ci
+              compDc(ci) = (bytes(p + 2 + 2 * sc) & 0xff) >> 4
+              compAc(ci) = bytes(p + 2 + 2 * sc) & 0x0f
+              if (compDc(ci) > 3 || compAc(ci) > 3) return None
               sc += 1
             }
-            sosAt = pend
-          case _ => () // APPn/COM/DRI…: skipped by length (a DRI with
-          // a nonzero interval will surface as a marker mid-scan and
-          // fail the decode below — restart support is out of scope)
-        }
-        off = pend
-      }
-    }
-    if (w < 0) return None
-    var c = 0
-    while (c < nc) {
-      if (quant(compQt(c)) == null || huff(compDc(c)) == null ||
-        huff((1 << 2) | compAc(c)) == null) return None
-      c += 1
-    }
-    val hmax = (0 until nc).map(compH).max
-    val vmax = (0 until nc).map(compV).max
-    // MSB-first bit reader over the entropy-coded data, FF00-unstuffed
-    var bp = sosAt
-    var bitBuf = 0
-    var bitCnt = 0
-    def nextBit(): Int = {
-      if (bitCnt == 0) {
-        if (bp >= bytes.length) return -1
-        val b = bytes(bp) & 0xff
-        bp += 1
-        if (b == 0xff) {
-          if (bp >= bytes.length) return -1
-          if ((bytes(bp) & 0xff) != 0x00) return -1 // marker: data ends
-          bp += 1
-        }
-        bitBuf = b
-        bitCnt = 8
-      }
-      bitCnt -= 1
-      (bitBuf >> bitCnt) & 1
-    }
-    def decodeHuff(t: JpegHuff): Int = {
-      var code = nextBit()
-      if (code < 0) return -1
-      var l = 1
-      while (l <= 16 && code > t.maxCode(l)) {
-        val b = nextBit()
-        if (b < 0) return -1
-        code = (code << 1) | b
-        l += 1
-      }
-      if (l > 16) return -1
-      t.symbol(l, code)
-    }
-    // RECEIVE + EXTEND (spec F.2.2.1): s bits, values below 2^(s−1)
-    // are the negative branch
-    def receiveExtend(s: Int): Int = {
-      if (s == 0) return 0
-      var v = 0
-      var i = 0
-      while (i < s) {
-        val b = nextBit()
-        if (b < 0) return Int.MinValue
-        v = (v << 1) | b
-        i += 1
-      }
-      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
-    }
-    // luma geometry: component 0 at full sampling covers the image;
-    // a luma sampled below hmax/vmax covers a scaled grid and the
-    // final matrix upsamples by pixel replication (nearest neighbor)
-    val lw = (w * compH(0) + hmax - 1) / hmax
-    val lh = (h * compV(0) + vmax - 1) / vmax
-    val luma = Array.ofDim[Int](lh, lw)
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    val dcPred = new Array[Int](3)
-    val coef = new Array[Int](64)
-    val block = Array.ofDim[Int](8, 8)
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        var ci = 0
-        while (ci < nc) {
-          val qt = quant(compQt(ci))
-          val hdc = huff(compDc(ci))
-          val hac = huff((1 << 2) | compAc(ci))
-          var vi = 0
-          while (vi < compV(ci)) {
-            var hi = 0
-            while (hi < compH(ci)) {
-              java.util.Arrays.fill(coef, 0)
-              val t = decodeHuff(hdc)
-              if (t < 0 || t > 15) return None
-              val diff = receiveExtend(t)
-              if (diff == Int.MinValue) return None
-              dcPred(ci) += diff
-              coef(0) = dcPred(ci) * qt(0)
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = decodeHuff(hac)
-                if (rs < 0) return None
-                val s = rs & 0x0f
-                if (s == 0) {
-                  if (rs == 0x00) eob = true // EOB
-                  else if (rs == 0xf0) k += 16 // ZRL
-                  else return None
-                } else {
-                  k += rs >> 4
-                  if (k > 63) return None
-                  val v = receiveExtend(s)
-                  if (v == Int.MinValue) return None
-                  coef(JpegZigzag(k)) = v * qt(k)
-                  k += 1
-                }
+            val ss = bytes(p + 1 + 2 * ns) & 0xff
+            val se = bytes(p + 2 + 2 * ns) & 0xff
+            val ah = (bytes(p + 3 + 2 * ns) & 0xff) >> 4
+            val al = bytes(p + 3 + 2 * ns) & 0x0f
+            sawScan = true
+            if (!progressive) {
+              // baseline: exactly one full interleaved scan
+              if (ns != nc || ss != 0 || se != 63 || ah != 0 || al != 0)
+                return None
+              var c = 0
+              while (c < nc) {
+                if (quant(compQt(c)) == null || huff(compDc(c)) == null ||
+                  huff((1 << 2) | compAc(c)) == null) return None
+                c += 1
               }
-              // only the luma plane is reconstructed; chroma blocks
-              // were entropy-decoded above purely to keep stream sync
-              if (ci == 0) {
-                var y = 0
-                while (y < 8) {
-                  var x = 0
-                  while (x < 8) {
-                    var sum = 0.0
-                    var v = 0
-                    while (v < 8) {
-                      var u = 0
-                      while (u < 8) {
-                        val f = coef(v * 8 + u)
-                        if (f != 0)
-                          sum += JpegCu(u) * JpegCu(v) * f *
-                            JpegCos(x)(u) * JpegCos(y)(v)
-                        u += 1
-                      }
-                      v += 1
-                    }
-                    val sv = math.round(sum / 4).toInt + 128
-                    block(y)(x) = math.max(0, math.min(255, sv))
-                    x += 1
-                  }
-                  y += 1
-                }
-                val bx0 = (mx * compH(0) + hi) * 8
-                val by0 = (my * compV(0) + vi) * 8
-                var yy = 0
-                while (yy < 8) {
-                  val py = by0 + yy
-                  if (py < lh) {
-                    var xx = 0
-                    while (xx < 8) {
-                      val px = bx0 + xx
-                      if (px < lw) luma(py)(px) = block(yy)(xx)
-                      xx += 1
-                    }
-                  }
-                  yy += 1
-                }
+              bp = pend; bitCnt = 0
+              luma = Array.ofDim[Int](lh, lw)
+              if (!baselineScanBody()) return None
+              done = true
+            } else {
+              // progressive scan-shape validation (T.81 G.1)
+              if (ss == 0 && se != 0) return None // DC band is 0..0
+              if (ss > 0 && (ns != 1 || se < ss || se > 63))
+                return None // AC bands are non-interleaved
+              if (ah > 13 || al > 13) return None
+              if (!scanComp.contains(0)) {
+                // chroma-only scan: self-contained entropy data the
+                // luma plane never needs — skip to the next marker
+                val nm = nextMarkerFrom(pend)
+                if (nm < 0) return None
+                off = nm
+              } else {
+                bp = pend; bitCnt = 0; eobrun = 0
+                java.util.Arrays.fill(dcPred, 0)
+                val ok =
+                  if (ss == 0 && ah == 0) progDcFirst(scanComp, ns, al)
+                  else if (ss == 0) progDcRefine(scanComp, ns, al)
+                  else if (ah == 0) progAcFirst(scanComp(0), ss, se, al)
+                  else progAcRefine(scanComp(0), ss, se, al)
+                if (!ok) return None
+                val nm = nextMarkerFrom(bp)
+                if (nm < 0) return None
+                off = nm
               }
-              hi += 1
             }
-            vi += 1
-          }
-          ci += 1
+          case _ => () // APPn/COM/DNL…: skipped by length
         }
-        mx += 1
       }
-      my += 1
     }
-    if (lw == w && lh == h) Some(luma)
+
+    if (!sawScan || w < 0) return None
+    if (progressive) {
+      // dequantize + IDCT the accumulated luma coefficient plane
+      // (progressive stores raw scaled coefficients; quantization is
+      // applied at output, with the zigzag-ordered table mapped to
+      // natural order once)
+      val qt = quant(compQt(0))
+      if (qt == null) return None
+      val qnat = new Array[Int](64)
+      var k = 0
+      while (k < 64) { qnat(JpegZigzag(k)) = qt(k); k += 1 }
+      luma = Array.ofDim[Int](lh, lw)
+      val deq = new Array[Int](64)
+      val bw = (lw + 7) / 8
+      val bh = (lh + 7) / 8
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val o = (by * bwPad + bx) * 64
+          var j = 0
+          while (j < 64) { deq(j) = lumaCoef(o + j) * qnat(j); j += 1 }
+          idctInto(deq)
+          var yy = 0
+          while (yy < 8) {
+            val py = by * 8 + yy
+            if (py < lh) {
+              var xx = 0
+              while (xx < 8) {
+                val px = bx * 8 + xx
+                if (px < lw) luma(py)(px) = block(yy)(xx)
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    if (luma == null) None
+    else if (lw == w && lh == h) Some(luma)
     else { // sub-sampled luma (unusual, but legal): replicate up
       val out = Array.ofDim[Int](h, w)
       var y = 0

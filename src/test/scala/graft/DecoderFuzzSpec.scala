@@ -221,6 +221,189 @@ class DecoderFuzzSpec extends AnyFunSuite {
       s"max luma error $maxErr vs BT.601 of the source at q=0.97")
   }
 
+  test("jpeg gray: a grayscale SOF declaring 2x2 sampling factors " +
+    "still decodes in raster block order (T.81 A.2: a single-" +
+    "component scan is non-interleaved, factors ignored)") {
+    // same stream as jpegScan but the SOF component byte says 2x2 —
+    // some encoders keep luma's default factors when writing gray
+    val mutated = jpegScan.clone()
+    // SOF0 payload: FFC0 000B 08 0010 0018 01 [id=01 hv=11 tq=00];
+    // the hv byte is 2 before the end of the 0x0B-long segment
+    val sofAt = {
+      var i = 2
+      while (!((mutated(i) & 0xff) == 0xff &&
+        (mutated(i + 1) & 0xff) == 0xc0)) i += 1
+      i
+    }
+    // marker(2) + len(2) + prec(1) + h(2) + w(2) + nc(1) + id(1)
+    val hvAt = sofAt + 11
+    assert((mutated(hvAt) & 0xff) == 0x11, "fixture layout moved")
+    mutated(hvAt) = 0x22.toByte
+    val img = Multimodal.decodeJpegGray(mutated)
+      .getOrElse(fail("2x2-factor grayscale JPEG did not decode"))
+    assert(img.length == 16 && img(0).length == 24)
+    for (y <- 0 until 16; x <- 0 until 24)
+      assert(img(y)(x) == jpegScanBlocks(y / 8)(x / 8),
+        s"pixel ($x,$y): ${img(y)(x)} — block order scrambled")
+  }
+
+  /** jpegScan re-encoded with a RESTART INTERVAL of 2 MCUs: DRI
+    * before SOS, the scan split into byte-aligned segments joined by
+    * RST0/RST1, DC prediction reset per segment — the re-sync layout
+    * every camera emits. */
+  private lazy val jpegScanRestart: Array[Byte] = {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def segBytes(blocks: Seq[Int]): Array[Byte] = {
+      val bits = new StringBuilder
+      var prev = 0
+      for (p <- blocks) {
+        val f = 8 * (p - 128)
+        val diff = f - prev
+        prev = f
+        val cat = if (diff == 0) 0
+          else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        bits.append(("0000" + cat.toBinaryString).takeRight(4))
+        if (cat > 0) {
+          val amp = if (diff >= 0) diff else diff + (1 << cat) - 1
+          bits.append(("0" * cat + amp.toBinaryString).takeRight(cat))
+        }
+        bits.append("0") // EOB
+      }
+      while (bits.length % 8 != 0) bits.append("1")
+      bits.toString.grouped(8).map(Integer.parseInt(_, 2))
+        .flatMap(v => if (v == 0xFF) Seq(0xFF, 0x00) else Seq(v))
+        .map(_.toByte).toArray
+    }
+    val raster = for (r <- 0 until 2; c <- 0 until 3)
+      yield jpegScanBlocks(r)(c)
+    val segs = raster.grouped(2).map(segBytes).toSeq
+    val scan = segs.zipWithIndex.map { case (s, i) =>
+      if (i < segs.size - 1)
+        s ++ Array(0xFF.toByte, (0xD0 + (i % 8)).toByte)
+      else s
+    }.reduce(_ ++ _)
+    hx("FFD8" + "FFDB004300" + "01" * 64 +
+      "FFC0000B08" + "0010" + "0018" + "01011100" +
+      "FFC4001F00" + "0000000C" + "00" * 12 +
+      "000102030405060708090A0B" +
+      "FFC4001410" + "01" + "00" * 15 + "00" +
+      "FFDD00040002" + // DRI: restart every 2 MCUs
+      "FFDA0008010100003F00") ++ scan ++ hx("FFD9")
+  }
+
+  test("jpeg gray: restart intervals (DRI + RSTn) re-sync and reset " +
+    "DC prediction — the segmented fixture decodes to the same " +
+    "blocks as its unsegmented twin") {
+    val img = Multimodal.decodeJpegGray(jpegScanRestart)
+      .getOrElse(fail("restart-interval JPEG did not decode"))
+    assert(img.length == 16 && img(0).length == 24)
+    for (y <- 0 until 16; x <- 0 until 24)
+      assert(img(y)(x) == jpegScanBlocks(y / 8)(x / 8),
+        s"pixel ($x,$y): ${img(y)(x)}")
+  }
+
+  private def imageIoJpeg(bi: java.awt.image.BufferedImage,
+                          progressive: Boolean): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(
+      javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.97f)
+    if (progressive)
+      param.setProgressiveMode(
+        javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null),
+      param)
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  private def isSof2(bytes: Array[Byte]): Boolean =
+    bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+
+  test("jpeg gray: decodes the JDK ImageIO encoder's PROGRESSIVE " +
+    "grayscale output (the encoder's own multi-scan script: DC " +
+    "first/refine, AC spectral selection + successive approximation) " +
+    "within JPEG quantization error") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (41, 26) // odd dims: MCU edge crop under SOF2
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, 55 + 3 * x + 2 * y)
+    val bytes = imageIoJpeg(bi, progressive = true)
+    assert(isSof2(bytes), "ImageIO did not write a progressive frame")
+    val img = Multimodal.decodeJpegGray(bytes)
+      .getOrElse(fail("ImageIO progressive JPEG did not decode"))
+    assert(img.length == h && img(0).length == w)
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxErr = math.max(maxErr,
+        math.abs(img(y)(x) - (55 + 3 * x + 2 * y)))
+    assert(maxErr <= 8,
+      s"max pixel error $maxErr vs the progressive encoder at q=0.97")
+  }
+
+  test("jpeg gray: decodes the JDK ImageIO encoder's PROGRESSIVE " +
+    "COLOR output (interleaved DC scans, per-component AC scans — " +
+    "chroma-only scans skipped by marker-scan) to the luma plane " +
+    "within JPEG quantization error") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (37, 22)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    def rgb(x: Int, y: Int) =
+      (40 + 4 * x, 30 + 5 * y, 90 + 2 * x + 2 * y)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bytes = imageIoJpeg(bi, progressive = true)
+    assert(isSof2(bytes), "ImageIO did not write a progressive frame")
+    val img = Multimodal.decodeJpegGray(bytes)
+      .getOrElse(fail("ImageIO progressive color JPEG did not decode"))
+    assert(img.length == h && img(0).length == w)
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      val luma = math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt
+      maxErr = math.max(maxErr, math.abs(img(y)(x) - luma))
+    }
+    assert(maxErr <= 8,
+      s"max luma error $maxErr vs BT.601 of the source at q=0.97")
+  }
+
+  test("png gray: decodes the JDK ImageIO encoder's PALETTE-8 output " +
+    "(color type 3, PLTE lookup) to exact grays") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val (w, h) = (23, 14)
+    // a deliberately permuted palette: entry i is gray (i*7)%256, so
+    // index != gray and a skipped lookup is visible
+    val grays = Array.tabulate(256)(i => ((i * 7) % 256).toByte)
+    val icm = new IndexColorModel(8, 256, grays, grays, grays)
+    val bi = new BufferedImage(w, h,
+      BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, (x * 5 + y * 11) % 256)
+    val baos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(bi, "png", baos)
+    val bytes = baos.toByteArray
+    assert((bytes(25) & 0xff) == 3, "ImageIO did not write color type 3")
+    val img = Multimodal.decodePngGray(bytes)
+      .getOrElse(fail("ImageIO palette PNG did not decode"))
+    assert(img.length == h && img(0).length == w)
+    for (y <- 0 until h; x <- 0 until w) {
+      val expected = ((x * 5 + y * 11) % 256 * 7) % 256
+      assert(img(y)(x) == expected,
+        s"pixel ($x,$y): ${img(y)(x)} != $expected — PLTE lookup wrong")
+    }
+  }
+
   test("random bytes never throw in any decoder") {
     val rng = new scala.util.Random(0xBADC0DE)
     for (_ <- 0 until 400; (name, dec) <- decoders) {
