@@ -161,9 +161,11 @@ object Bench {
       // clique (entropy decode joins the pixel-hash dedup space)
       "q182_drift_reroute", "q183_clusters_refresh",
       "q184_jpeg_cross_container",
-      // round-17: restart-interval + progressive JPEG entropy layouts
-      // and palette-8 PNG joining the container-blind clique
+      // round-17: restart-interval + progressive JPEG entropy layouts,
+      // palette-8 PNG joining the container-blind clique, and the
+      // partial-compaction lifecycle (touched-bucket rewrite)
       "q185_jpeg_modes_dedup", "q186_palette_png_dedup",
+      "q187_partial_compact",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",
@@ -271,6 +273,33 @@ object Bench {
     println(json(spreadJson(25.0), 25))
     Files.writeString(Paths.get("bench_out.json"),
       json(spreadJson(0.0), 0) + "\n")
+    // regression autodiff, wired into every FULL bench run (the r16
+    // verdict gap: the tool existed but its artifact was never
+    // produced): diff against the newest committed BENCH_OUT_r{N}.json
+    // snapshot, write BENCH_DIFF_r{N+1}.json (empty `flagged` is the
+    // pass) AND snapshot this run's complete map as
+    // BENCH_OUT_r{N+1}.json so the next round diffs against it (the
+    // driver's BENCH_r{N}.json keeps only a truncated stdout tail —
+    // r16's full map was lost exactly that way). Subset runs
+    // (SPARK_GRAFT_BENCH_QUERIES) neither diff nor snapshot.
+    if (sys.env.get("SPARK_GRAFT_BENCH_QUERIES").isEmpty) {
+      val prevSnap = {
+        val rx = "BENCH_OUT_r(\\d+)\\.json".r
+        val here = new java.io.File(".").listFiles()
+        if (here == null) None
+        else here.flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f.getName))
+          case _ => None
+        }).sortBy(-_._1).headOption
+      }
+      prevSnap.foreach { case (n, prev) =>
+        graft.tools.BenchDiff.main(Array(prev, "bench_out.json",
+          s"BENCH_DIFF_r${n + 1}.json"))
+        Files.copy(Paths.get("bench_out.json"),
+          Paths.get(s"BENCH_OUT_r${n + 1}.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1208,12 +1208,17 @@ object CorpusQueries {
     }),
     // the positional-index lifecycle end-to-end: bootstrap + append =
     // the full corpus, then a planted batch is appended AND taken down
-    // (offset ids — the id-unique contract), then the whole index
-    // COMPACTS, then exact-phrase search runs — so the oracle is the
-    // inline positional SQL over the never-planted corpus, and the
-    // registered path exercises delete + compaction + phrase join in
-    // one gate. p3 is a repeated-token phrase (same folded frame
-    // probed at two offsets); p4 never matches (inner chain empties)
+    // (offset ids — the id-unique contract), then the THRESHOLD
+    // compaction policy runs — the planted batch leaves 2/9 dead row
+    // mass, under the 30% gate, so the corpus-proportional rewrite is
+    // SKIPPED and search folds the delete log (bit-equal answers; the
+    // r16 verdict's ask: maintenance cost must track dead mass, not
+    // corpus size — the full-rewrite path stays gated by
+    // GenerationsSpec and q129/q130, the partial path by q187) — then
+    // exact-phrase search runs, so the oracle is the inline positional
+    // SQL over the never-planted corpus. p3 is a repeated-token phrase
+    // (same folded frame probed at two offsets); p4 never matches
+    // (inner chain empties)
     "q157_phrase_search" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val planted = docs.filter(col("doc_id") % 7 === 0)
@@ -1224,8 +1229,29 @@ object CorpusQueries {
         "doc_id", "text", "g157")
       graft.sources.Bm25Index.append(planted, "doc_id", "text", "g157")
       graft.sources.Bm25Index.delete(planted, "doc_id", "text", "g157")
-      graft.sources.Bm25Index.compact(s, "g157")
+      val ran = graft.sources.Bm25Index.compactIfStale(s, "g157",
+        gatePct = 30L)
+      require(!ran, "q157: 2/9 dead mass crossed the 30% gate — " +
+        "the threshold arithmetic moved")
       graft.sources.Bm25Index.phraseSearch(s, "g157", phraseQueries)
+    }),
+    // PARTIAL compaction gate: bootstrap a fifth of the corpus, take
+    // down a narrow slice (doc_id % 500 — a handful of docs), then
+    // compactPartial rewrites ONLY the tombstoned buckets (physical
+    // removal at cost ∝ touched mass) and copies the rest's files
+    // byte-for-byte, carrying their batch visibility across the b0
+    // flip. Search over the partially-compacted index must equal the
+    // inline ranker over the live corpus — the oracle is the q150
+    // template over the surviving slice.
+    "q187_partial_compact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fifth = docs.filter(col("doc_id") % 5 === 0)
+      graft.sources.Bm25Index.write(fifth, "doc_id", "text", "g187")
+      graft.sources.Bm25Index.delete(
+        fifth.filter(col("doc_id") % 500 === 0), "doc_id", "text",
+        "g187")
+      graft.sources.Bm25Index.compactPartial(s, "g187")
+      graft.sources.Bm25Index.search(s, "g187", bm25Queries)
     }),
     // deterministic token-mass systematic sampler, m = 100 picks
     "q158_systematic_sample" -> ((s, d) =>
@@ -2637,6 +2663,12 @@ object CorpusQueries {
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // the refreshed index answers as one bootstrapped fresh on gen2 —
     // same inline ranker, corpus CTE = q153's planting CASE verbatim
+    // the live corpus after q187's narrow takedown — partial
+    // compaction is semantics-free, so the index answers as the
+    // inline ranker over the survivors
+    "q187_partial_compact" -> bm25OracleSqlOver(
+      "SELECT doc_id, text FROM documents " +
+        "WHERE doc_id % 5 = 0 AND doc_id % 500 <> 0"),
     "q159_index_refresh" -> bm25OracleSqlOver(
       """SELECT doc_id,
         |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'

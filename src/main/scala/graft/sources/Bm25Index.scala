@@ -436,6 +436,78 @@ object Bm25Index {
     Generations.gc(spark, prefix, ng, Logicals, retain)
   }
 
+  /** Dead-row fraction of the log, in percent — one bounded stats-log
+    * scan: gross row mass ∝ Σ|n| (inserts AND tombstones both append
+    * their row counts), live mass ∝ Σn, dead fraction = 1 − net/gross.
+    * The compaction-policy signal: a full rewrite is worth its
+    * corpus-proportional cost only when it reclaims a real fraction of
+    * the log. */
+  def deadFractionPct(spark: SparkSession, prefix: String): Long = {
+    val st = Generations.committedState(spark, prefix)
+    val r = spark.table(phys(prefix, "stats", st._1))
+      .filter(col("b").isin(st._2: _*))
+      .agg(coalesce(sum(abs(col("n"))), lit(0L)).as("gross"),
+        coalesce(sum(col("n")), lit(0L)).as("net")).head()
+    val (gross, net) = (r.getLong(0), r.getLong(1))
+    if (gross <= 0) 0L else (gross - net) * 100L / gross
+  }
+
+  /** THRESHOLD compaction — the steady-state maintenance policy the
+    * r16 verdict asked for: q157's lifecycle paid a FULL index rewrite
+    * for a one-batch delete log, a cost ∝ corpus that at 100 TB
+    * dominates the maintenance budget while reclaiming almost nothing.
+    * Search correctness never depends on compaction (every read folds
+    * the delete log — `sum(w) > 0`), so below the gate the rewrite is
+    * simply SKIPPED; above it the usual full [[compact]] runs.
+    * @return true when a compaction actually ran */
+  def compactIfStale(spark: SparkSession, prefix: String,
+                     gatePct: Long = 25L, retain: Int = 0): Boolean = {
+    val stale = deadFractionPct(spark, prefix) >= gatePct
+    if (stale) compact(spark, prefix, retain)
+    stale
+  }
+
+  /** PARTIAL compaction — rewrite only the buckets the delete log
+    * touched ([[Sinks.partialCompactBucketedTo]]): tombstoned buckets
+    * net-fold into the next generation (physical removal — the
+    * takedown/GDPR guarantee — at cost ∝ touched mass), every other
+    * bucket's files are COPIED byte-for-byte, and the old generation's
+    * batch ids are carried over as pre-flip commits so the copied
+    * rows stay visible — the b0 commit is the single atomic flip
+    * (committedState's rule; a reader racing the carry-over never
+    * sees a torn batch list). Stats rows are copied with their
+    * original batch ids (the log is tiny). Honest shape note: the win
+    * is structural for the doc-keyed doclens; for the term-keyed
+    * postings/positions a takedown of ordinary documents touches most
+    * term buckets and partial ≈ full — [[compactIfStale]] is the
+    * policy for that shape.
+    * @return rewritten-bucket count per logical table (spec gate) */
+  def compactPartial(spark: SparkSession, prefix: String,
+                     retain: Int = 0): Map[String, Int] = {
+    val st @ (gen, bs) = Generations.committedState(spark, prefix)
+    val ng = Generations.beginGeneration(spark, prefix)
+    val counts = (for (logical <- Seq("postings", "doclens", "positions"))
+      yield {
+        val touched = Sinks.tombstonedBuckets(spark,
+          phys(prefix, logical, gen), bucketColsOf(logical), Buckets, bs)
+        Sinks.partialCompactBucketedTo(spark,
+          phys(prefix, logical, gen), phys(prefix, logical, ng),
+          bucketColsOf(logical), Buckets, bs, touched)
+        logical -> touched.size
+      }).toMap
+    val tgt = phys(prefix, "stats", ng)
+    Sinks.purgeTable(spark, tgt)
+    spark.table(phys(prefix, "stats", gen))
+      .filter(col("b").isin(bs: _*))
+      .coalesce(1).write.mode("errorifexists").saveAsTable(tgt)
+    // carry the old batch visibility over, THEN flip on b0
+    bs.filter(_ != 0L).foreach(b =>
+      Generations.commit(spark, prefix, ng, b))
+    Generations.commit(spark, prefix, ng, 0L)
+    Generations.gc(spark, prefix, ng, Logicals, retain)
+    counts
+  }
+
   /** Compaction's build phase (intent + next-generation tables, NO
     * commit) — split out for GenerationsSpec's interleaved reads. */
   private[graft] def buildNextGeneration(spark: SparkSession,

@@ -210,10 +210,15 @@ object Generations {
     * see the orphaned-intent note there). */
   def beginBatch(spark: SparkSession, prefix: String): (Long, Long) = {
     val rs = rows(spark, prefix)
-    val committed = rs.filter(_._3 == "commit").map(_._1)
-    require(committed.nonEmpty,
+    // the CURRENT generation is the flipped (b0-committed) max — the
+    // committedState rule: appending into a generation still being
+    // built by a partial compaction would hand that compaction's file
+    // copy a moving target
+    val flipped = rs.filter(r => r._3 == "commit" && r._2 == 0L)
+      .map(_._1)
+    require(flipped.nonEmpty,
       s"${manifestT(prefix)}: no committed generation to append to")
-    val g = committed.max
+    val g = flipped.max
     (g, claimBatchFrom(spark, prefix, g,
       rs.filter(_._1 == g).map(_._2).max + 1))
   }
@@ -239,13 +244,24 @@ object Generations {
       s"${manifestT(prefix)}: batch g${gen}_b$b committed twice")
 
   /** Reader resolution: (current committed generation, its visible
-    * batch ids, sorted). One bounded directory listing per operation. */
+    * batch ids, sorted). One bounded directory listing per operation.
+    *
+    * The CURRENT generation is the max gen whose batch-0 commit exists
+    * — b = 0 is every generation's bootstrap/flip batch (bootstrap and
+    * every compaction commit it), so the b0 marker IS the atomic
+    * generation switch. This matters for PARTIAL compaction, which
+    * carries the old generation's batch ids into the new one: those
+    * carry-over commits land FIRST and stay invisible (no b0 yet), and
+    * the single b0 create flips the whole batch set at once — without
+    * the rule, a reader racing the carry-over creates would adopt the
+    * new generation with a torn, partial batch list. */
   def committedState(spark: SparkSession,
                      prefix: String): (Long, Seq[Long]) = {
     val committed = rows(spark, prefix).filter(_._3 == "commit")
-    require(committed.nonEmpty,
+    val flipped = committed.filter(_._2 == 0L).map(_._1)
+    require(flipped.nonEmpty,
       s"${manifestT(prefix)}: no committed generation")
-    val g = committed.map(_._1).max
+    val g = flipped.max
     (g, committed.filter(_._1 == g).map(_._2).distinct.sorted)
   }
 

@@ -145,6 +145,89 @@ object Sinks {
     writeBucketed(net, to, bucketCols, numBuckets, "overwrite")
   }
 
+  /** Spark's bucket id of a bucketed-table data file name
+    * (`part-00000-<uuid>_00017.c000.snappy.parquet` → 17), −1 for
+    * non-data entries (_SUCCESS). The `_NNNNN` group before the `.cNNN`
+    * writer suffix is the id bucketBy encodes in every file name. */
+  private def bucketIdOf(name: String): Int =
+    "_(\\d+)\\.c\\d+".r.findAllMatchIn(name).toSeq.lastOption
+      .map(_.group(1).toInt).getOrElse(-1)
+
+  /** Bucket ids holding at least one TOMBSTONE (w < 0) row among the
+    * visible batches — the touched set [[partialCompactBucketedTo]]
+    * rewrites. Bucket id = pmod(hash(keys), n): the same Murmur3 the
+    * bucketed write uses (the repartition-alignment argument), so the
+    * predicate computes real bucket membership. Bounded collect
+    * (≤ numBuckets ints). */
+  def tombstonedBuckets(spark: SparkSession, table: String,
+                        bucketCols: Seq[String], numBuckets: Int,
+                        visibleB: Seq[Long]): Seq[Int] =
+    spark.table(table)
+      .filter(col("b").isin(visibleB: _*) && col("w") < 0)
+      .select(pmod(hash(bucketCols.map(col): _*), lit(numBuckets))
+        .as("bk"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  /** PARTIAL compaction — the delta-proportional sibling of
+    * [[compactBucketedTo]]: rewrite ONLY `buckets` (net-fold over
+    * `visibleB`, survivors restamped b = 0, one file per touched
+    * bucket) and COPY every other bucket's files into the new table's
+    * directory byte-for-byte, names preserved (the `_NNNNN` bucket id
+    * in the file name is the bucket spec's, identical across
+    * generations). Rewrite cost tracks the TOMBSTONED mass, not the
+    * corpus — the 100 TB steady state where a day's takedowns touch a
+    * sliver of a doc-keyed table. The caller must make the copied
+    * rows' original batch ids visible in the new generation (carry
+    * their commits over BEFORE the b0 flip — the committedState b0
+    * rule keeps the carry-over invisible until the flip); orphan rows
+    * riding along in copied files stay invisible exactly as before
+    * (their b is never committed). Untouched buckets keep their
+    * one-file-per-batch layout — partial compaction bounds tombstone
+    * mass, FULL compaction bounds file count; a maintenance schedule
+    * alternates them by [[graft.sources.Bm25Index.deadFractionPct]]-
+    * style gates.
+    *
+    * Degradation note (honest): for TERM-keyed tables a deleted doc
+    * touches one bucket per distinct term, so a takedown of ordinary
+    * documents tombstones most term buckets and partial ≈ full; the
+    * win is structural for ID-keyed tables (doclens, dedup hashes),
+    * where touched buckets ∝ deleted docs. */
+  def partialCompactBucketedTo(spark: SparkSession, from: String,
+                               to: String, bucketCols: Seq[String],
+                               numBuckets: Int, visibleB: Seq[Long],
+                               buckets: Seq[Int]): Unit = {
+    val df = spark.table(from)
+    val dataCols = df.columns.filterNot(c => c == "w" || c == "b").toSeq
+    val bk = pmod(hash(bucketCols.map(col): _*), lit(numBuckets))
+    val inTouched =
+      if (buckets.isEmpty) lit(false) else bk.isin(buckets: _*)
+    val net = df.filter(col("b").isin(visibleB: _*) && inTouched)
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("w")).cast("int").as("w"))
+      .filter(col("w") =!= 0)
+      .withColumn("b", lit(0L))
+      .select(df.columns.toSeq.map(col): _*)
+      .repartition(numBuckets, bucketCols.map(col): _*)
+    writeBucketed(net, to, bucketCols, numBuckets, "overwrite")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath)
+    val srcDir = new org.apache.hadoop.fs.Path(wh, from)
+    val dstDir = new org.apache.hadoop.fs.Path(wh, to)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = srcDir.getFileSystem(conf)
+    val touched = buckets.toSet
+    fs.listStatus(srcDir).foreach { st =>
+      val bid = bucketIdOf(st.getPath.getName)
+      if (bid >= 0 && !touched(bid))
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(dstDir, st.getPath.getName),
+          false, conf)
+    }
+    // the writeBucketed above registered the table; the out-of-band
+    // copies need the cached file listing dropped
+    spark.catalog.refreshTable(to)
+  }
+
   /** PACKED-SHARD writer — the delivery leg of the mix→pack pipeline:
     * the packed-instance manifest lands as REAL partitioned files, one
     * parquet file per shard directory, the layout a trainer's

@@ -256,6 +256,7 @@ class GenerationsSpec extends AnyFunSuite {
     "exclusive create lets two interleaved racers claim the same " +
     "batch id — the documented object-store failure, executable") {
     val p = "tgen9"
+    Generations.beginBootstrap(spark, p) // clean slate across sbt runs
     var bB = -1L
     var fired = false
     val saved = Generations.claimPrimitive
@@ -273,9 +274,62 @@ class GenerationsSpec extends AnyFunSuite {
       // BOTH writers believe they own batch 1 — the torn state the
       // atomic primitive exists to prevent (contrast the two-writer
       // test above, where the default primitive yields 1 and 2)
-      assert(bA == 1L && bB == 1L,
+      assert(bA == 1L && bB == 1L && bA == bB,
         s"expected the double-claim failure: A=$bA B=$bB")
     } finally { Generations.claimPrimitive = saved }
+  }
+
+  test("partial compaction: a small delete log rewrites ONLY the " +
+    "tombstoned buckets, copies the rest's files byte-for-byte, and " +
+    "answers stay bit-equal across the b0 flip") {
+    import spark.implicits._
+    // tiny-vocab corpus so the deleted doc's terms pin a SMALL touched
+    // set: doc 3's vocab is {qq, rr} — at most 2 postings buckets —
+    // and one doc_id — at most 1 doclens bucket
+    val corpus = Seq((1L, "aa bb cc dd"), (2L, "aa cc ee"),
+      (3L, "qq rr qq"), (4L, "bb dd ff"), (5L, "ee ff aa"))
+      .toDF("doc_id", "text")
+    val p = "tgen10"
+    Bm25Index.write(corpus, "doc_id", "text", p)
+    Bm25Index.delete(corpus.filter($"doc_id" === 3L), "doc_id",
+      "text", p)
+    val qs2 = Seq(("q1", "aa ff"), ("q2", "qq"))
+    def run() = Bm25Index.search(spark, p, qs2).collect().toSeq
+    val before = run()
+    assert(before.nonEmpty)
+    val oldFiles = spark.table(s"${p}_doclens").inputFiles.toSet
+    val rewritten = Bm25Index.compactPartial(spark, p)
+    // the touched sets are delta-sized, not corpus-sized
+    assert(rewritten("doclens") <= 1,
+      s"doclens rewrote ${rewritten("doclens")} buckets for one doc")
+    assert(rewritten("postings") <= 2 && rewritten("positions") <= 2,
+      s"term tables rewrote $rewritten buckets for a 2-term doc")
+    assert(run() == before, "answers diverged across partial compaction")
+    // untouched buckets' files were CARRIED, not rewritten: the new
+    // generation's doclens reads mostly the byte-identical file names
+    val (g, bs) = Generations.committedState(spark, p)
+    assert(g > 0L, "partial compaction did not flip a new generation")
+    // the old batch ids stayed visible (carried commits + b0 flip)
+    assert(bs.contains(0L) && bs.size >= 2,
+      s"carried batch visibility lost: $bs")
+    val newFiles = spark.table(
+      Generations.physicalFor(spark, p, "doclens")).inputFiles
+    val carried = newFiles.count(f =>
+      oldFiles.exists(of => of.split("/").last == f.split("/").last))
+    assert(carried > 0, "no doclens files were carried over")
+    // physical removal happened where it should: doc 3's tombstone
+    // and insert rows are gone from the rewritten bucket
+    val livePost = spark.table(
+      Generations.physicalFor(spark, p, "postings"))
+    assert(livePost.filter($"term" === "qq").count() == 0,
+      "tombstoned rows survived the touched-bucket rewrite")
+    // and the index keeps working for later appends (b0-flip rule:
+    // the carried generation is the current one)
+    Bm25Index.append(Seq((6L, "aa qq")).toDF("doc_id", "text"),
+      "doc_id", "text", p)
+    val after = Bm25Index.search(spark, p, qs2).collect().toSeq
+    assert(after != before, "post-compaction append was not visible")
+    Caches.clear()
   }
 
   test("refreshFromDiff is all-or-nothing: its takedown and re-append " +

@@ -55,6 +55,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q130_exact_deleted" -> "DedupIndexSpec (delete/compact lifecycle)",
     "q154_bm25_indexed" -> "CorpusOpsSpec (bucketed retrieval-index build; indexed==inline + delete leg pinned there)",
     "q157_phrase_search" -> "CorpusOpsSpec (positional-index build + compaction; phrase joins + delete/compact equivalence pinned there)",
+    "q187_partial_compact" -> "GenerationsSpec (partial compaction: touched-bucket rewrite + file carry-over + b0 flip pinned there); the search plan is q154's",
     "q159_index_refresh" -> "CorpusOpsSpec (diff-driven index refresh; refreshed==fresh-build + delta-only ingest pinned there)",
     "q160_vector_index" -> "VectorIndexSpec (standing ANN index build; search==ivfTopK + no-shuffle plan pinned there)",
     "q162_pq_index" -> "VectorIndexSpec (PQ codes-log build; searchAdc==pqAdcTopK pinned there; the ADC inequality join is the whitelisted q135 shape)",
