@@ -228,15 +228,18 @@ object Bench {
             -1.0
         } finally Caches.clear() // don't carry cached blocks across queries
       }
-      // Spread-gated re-run (r15): a row whose best-N spread exceeds
-      // 150% re-times up to 3 extra iterations and records only the N
-      // fastest samples — a one-off system-noise outlier (GC pause,
-      // page-cache eviction) drops out instead of poisoning the
-      // published spread, so round-over-round deltas stay
-      // interpretable (BENCH_r14 recorded spreads to 730% that were
-      // pure box noise). The min is unchanged by trimming; the spread
-      // becomes the spread of the retained samples. Methodology noted
-      // in SCALING.md's noise section.
+      // Spread-gated re-run (r15, gate tightened r17: 150% → 80%): a
+      // row whose best-N spread exceeds the gate re-times up to 3
+      // extra iterations and records only the N fastest samples — a
+      // one-off system-noise outlier (GC pause, page-cache eviction)
+      // drops out instead of poisoning the published spread, so
+      // round-over-round deltas stay interpretable (BENCH_r14
+      // recorded spreads to 730% that were pure box noise; r16 still
+      // published 90–145% on q73/q77/q90, wide enough to hide a real
+      // 1.5× move from BenchDiff's <50%-spread signal filter). The
+      // min is unchanged by trimming; the spread becomes the spread
+      // of the retained samples. Methodology in SCALING.md's noise
+      // section.
       def trimmedSpread(ts: Seq[Double]): Double = {
         val b = ts.sorted.take(iterations)
         (b.max / b.min - 1) * 100
@@ -244,7 +247,7 @@ object Bench {
       var times = (1 to iterations).map(_ => once())
       var extra = 0
       while (times.forall(_ >= 0) && extra < 3 &&
-          trimmedSpread(times) > 150.0) {
+          trimmedSpread(times) > 80.0) {
         times = times :+ once()
         extra += 1
       }

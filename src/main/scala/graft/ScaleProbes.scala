@@ -86,6 +86,47 @@ object ScaleProbes {
         println(f"[probe] components: vertices=$n edges=${spokes + pathLen} " +
           f"diameter=${pathLen + 2} rounds=$rounds min3_sec=$sec%.2f")
 
+      case "stars-ab" =>
+        // min-label propagation vs large-star/small-star on the same
+        // giant component (star + long path) — the r17 fallback's
+        // growth-law record for SCALING.md: rounds AND wall-clock at
+        // probe scale, where propagation's pointer-jump self-join
+        // funnels the whole component through one label partition
+        val spokes = args.lift(1).map(_.toInt).getOrElse(200000)
+        val pathLen = args.lift(2).map(_.toInt).getOrElse(16384)
+        val star = spark.range(1, spokes + 1L)
+          .select(lit(0L).as("src"), col("id").as("dst"))
+        val path = spark.range(spokes, spokes + pathLen.toLong)
+          .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        val e = star.unionByName(path)
+        val adj = e.unionByName(
+          e.select(col("dst").as("src"), col("src").as("dst")))
+        val n = spokes + pathLen + 1
+        def check(labels: org.apache.spark.sql.DataFrame): Unit = {
+          val agg = labels.agg(count(lit(1)),
+            sum(when(col("comp") =!= 0L, 1L).otherwise(0L))).head()
+          require(agg.getLong(0) == n,
+            s"label table has ${agg.getLong(0)} vertices, expected $n")
+          require(agg.getLong(1) == 0,
+            s"${agg.getLong(1)} vertices off the component min")
+        }
+        var rProp = -1
+        val secProp = minOf3 {
+          val (labels, r) = TextOps.componentsIters(adj, maxIters = 40)
+          rProp = r
+          check(labels)
+        }
+        var rStars = -1
+        val secStars = minOf3 {
+          val (labels, r) =
+            TextOps.componentsStarsIters(adj, maxIters = 40)
+          rStars = r
+          check(labels)
+        }
+        println(f"[probe] stars-ab: vertices=$n diameter=${pathLen + 2} " +
+          f"prop_rounds=$rProp prop_min3_sec=$secProp%.2f " +
+          f"stars_rounds=$rStars stars_min3_sec=$secStars%.2f")
+
       case "bucketed-merge" =>
         val sfDir = args.lift(1).getOrElse(
           sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))

@@ -651,6 +651,103 @@ object TextOps {
     (labels, iter)
   }
 
+  /** LARGE-STAR / SMALL-STAR connected components — the GIANT-
+    * component fallback [[components]]' scaladoc has promised since
+    * r12, now real (the alternating star algorithm of Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond"). Where
+    * min-label propagation carries a LABEL TABLE and pays a pointer-
+    * jump self-join keyed on the label — so one giant component
+    * funnels its whole row mass through the hot label's partition
+    * every round — the star operations rewrite the EDGE LIST itself:
+    *
+    *  - LARGE-STAR: every edge (u, v), v > u, re-hangs v onto
+    *    m(u) = min(Γ(u) ∪ u) — one map-side-combinable min aggregate
+    *    plus one equi-join of the edge list with the m table.
+    *  - SMALL-STAR: every canonical edge (a, b), a < b, re-hangs a
+    *    (and b) onto m(b) = min over b's smaller neighbors — the same
+    *    two shapes on the other orientation.
+    *
+    * Both keep per-key reduce work bounded by CURRENT degree, the min
+    * is partially aggregated map-side, and the one potentially-skewed
+    * equi-join (everything hanging off a star center) is a plain
+    * shuffle join AQE's skew split handles — there is no label-keyed
+    * self-join anywhere. Alternating rounds converge to min-rooted
+    * STARS in O(log n) rounds on ANY topology, including the
+    * boilerplate-web shape (one giant chain-y component) that skews
+    * the propagation loop. The fixed point's labels are exactly
+    * [[components]]': the unique per-component min — ComponentsSpec
+    * pins bit-equality on every shared fixture.
+    *
+    * OPT-IN policy (the 100 TB call): near-dup clusters are
+    * near-cliques where min-label converges in 1–2 rounds with a
+    * smaller constant factor, so [[components]] stays the default;
+    * switch here when the corpus is known boilerplate-heavy — the
+    * operational signal is the previous generation's label histogram
+    * (one component holding a double-digit corpus share), or a
+    * propagation round whose hot-label partition spills.
+    */
+  private[graft] def componentsStars(adj: DataFrame,
+                                     maxIters: Int): DataFrame =
+    componentsStarsIters(adj, maxIters)._1
+
+  /** [[componentsStars]] plus rounds run (one round = LS + SS) — the
+    * ComponentsSpec/ScaleProbes hook, mirroring [[componentsIters]]. */
+  private[graft] def componentsStarsIters(adj: DataFrame, maxIters: Int)
+      : (DataFrame, Int) = {
+    // state: the CANONICAL undirected edge set (a < b, deduped), one
+    // eager localCheckpoint per round (each round reads its
+    // predecessor several times — the componentsIters lineage posture)
+    var edges = Caches.trackOnly(adj
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint())
+    var cnt = edges.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // LARGE-STAR over the symmetric view: m(u) = min(Γ(u) ∪ u);
+      // every edge (a, b) becomes (m(a), b) — m(a) ≤ a < b keeps the
+      // canonical orientation for free
+      val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      val mL = sym.groupBy("src").agg(min(col("dst")).as("nmin"))
+        .select(col("src").as("a"),
+          least(col("src"), col("nmin")).as("m"))
+      val ls = Caches.trackOnly(edges.join(mL, Seq("a"))
+        .select(col("m").as("a"), col("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint())
+      // SMALL-STAR on LS's output: per b, m = min of its smaller
+      // neighbors; (a, b) becomes (m, a) [a ≠ m] plus the (m, b) spine
+      val mS = ls.groupBy("b").agg(min(col("a")).as("m"))
+      val next = Caches.trackOnly(
+        ls.join(mS, Seq("b"))
+          .filter(col("a") =!= col("m"))
+          .select(col("m").as("a"), col("a").as("b"))
+          .unionByName(mS.select(col("m").as("a"), col("b")))
+          .distinct()
+          .localCheckpoint())
+      val nextCnt = next.count()
+      // fixed point = edge-set equality (both sides canonical + distinct)
+      converged = nextCnt == cnt &&
+        next.exceptAll(edges).limit(1).count() == 0L
+      edges = next
+      cnt = nextCnt
+      iter += 1
+    }
+    require(converged,
+      s"componentsStars did not converge within $maxIters rounds")
+    // stars: root r carries (r, v) edges only — every vertex labels as
+    // min(self, min neighbor), the [[components]] seed formula
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    (sym.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nmin")).as("comp")), iter)
+  }
+
   /** 28-bit SimHash over distinct words (single unsalted hash; the
     * explode → signed-bit-sum aggregates are map-side combinable, and
     * the hash runs once per word — a nested higher-order-function form

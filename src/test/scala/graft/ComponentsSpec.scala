@@ -51,6 +51,57 @@ class ComponentsSpec extends AnyFunSuite {
     assert(rounds <= 13, s"took $rounds rounds")
   }
 
+  private def runStars(edges: Seq[(Long, Long)],
+                       maxIters: Int): (Map[Long, Long], Int) =
+    try {
+      val (df, rounds) = TextOps.componentsStarsIters(sym(edges), maxIters)
+      (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+    } finally Caches.clear()
+
+  test("large-star/small-star: bit-equal labels to min-label " +
+    "propagation on every shared fixture") {
+    val fixtures = Seq(
+      (0L until 32L).map(i => (i, i + 1)),              // long path
+      (1L to 50L).map(i => (0L, i)),                    // star
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+        (21L, 22L), (22L, 20L)),                        // disjoint mix
+      (0L until 12L).flatMap(i =>
+        (i + 1 until 12L).map(j => (i, j))))            // clique
+    for (f <- fixtures) {
+      val viaProp = run(f, maxIters = 20)
+      val (viaStars, _) = runStars(f, maxIters = 20)
+      assert(viaStars == viaProp,
+        s"stars diverged from propagation on ${f.take(3)}…")
+    }
+  }
+
+  test("large-star/small-star: the adversarial giant chain+clique " +
+    "component converges within O(log n) rounds with min-rooted " +
+    "labels — the boilerplate-web shape the fallback exists for") {
+    // one giant component: a 2048-edge chain whose tail fans into a
+    // 64-clique, plus a 3000-spoke star on the head — 5100+ vertices,
+    // diameter > 2000. log2(n) ≈ 12.3; the star alternation must land
+    // within a small constant of it, where plain propagation would
+    // need thousands of rounds.
+    val chain = (0L until 2048L).map(i => (i, i + 1))
+    val clique = (2048L until 2112L).flatMap(i =>
+      (i + 1 to 2112L).map(j => (i, j)))
+    val star = (1L to 3000L).map(i => (0L, 10000L + i))
+    val (labels, rounds) =
+      runStars(chain ++ clique ++ star, maxIters = 18)
+    assert(labels.size == 2113 + 3000)
+    assert(labels.values.forall(_ == 0L),
+      s"non-min labels: ${labels.filter(_._2 != 0L).take(5)}")
+    assert(rounds <= 18, s"took $rounds rounds")
+  }
+
+  test("large-star/small-star: non-convergence raises instead of " +
+    "returning a half-collapsed edge set") {
+    intercept[IllegalArgumentException] {
+      runStars((0L until 4096L).map(i => (i, i + 1)), maxIters = 1)
+    }
+  }
+
   test("warm-started refresh: hint edges from a previous generation's " +
     "labels are bit-equal to cold and cut the round count on an " +
     "additions-only republish") {
