@@ -165,7 +165,7 @@ object Bench {
       // palette-8 PNG joining the container-blind clique, and the
       // partial-compaction lifecycle (touched-bucket rewrite)
       "q185_jpeg_modes_dedup", "q186_palette_png_dedup",
-      "q187_partial_compact",
+      "q187_partial_compact", "q188_partial_dedup_compact",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

@@ -127,6 +127,69 @@ object ScaleProbes {
           f"prop_rounds=$rProp prop_min3_sec=$secProp%.2f " +
           f"stars_rounds=$rStars stars_min3_sec=$secStars%.2f")
 
+      case "partial-ab" =>
+        // full vs PARTIAL compaction after a narrow takedown — the r17
+        // law: partial cost must track the takedown, not the corpus.
+        // One-shot write timings, so both arms get an UNTIMED warm
+        // lifecycle first and each timed arm is min-of-2 (the r14e/
+        // r15a lesson); the index is rebuilt fresh per timing because
+        // compaction consumes its input generation.
+        val sfDir = args.lift(1).getOrElse(
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        val nDel = args.lift(2).map(_.toInt).getOrElse(5)
+        val rep = args.lift(3).map(_.toInt).getOrElse(1)
+        // replication > 1: scale the corpus by cross-joining with a
+        // range and offsetting ids — PARQUET-BACKED first (the r15a-ab
+        // lesson: inline synthesis re-pays generation per pass and
+        // poisons A/B write timings)
+        val docs =
+          if (rep <= 1) graft.Tables.documents(spark, sfDir)
+          else {
+            val p = "/tmp/graft_pab_corpus_" + rep + "_" +
+              ProcessHandle.current().pid()
+            graft.Tables.documents(spark, sfDir)
+              .crossJoin(spark.range(rep).select(col("id").as("r")))
+              .select((col("doc_id") + col("r") * 10000000L).as("doc_id"),
+                col("text"))
+              .write.mode("overwrite").parquet(p)
+            graft.TmpDirs.deleteOnExit(p)
+            spark.read.parquet(p)
+          }
+        val victims = docs.orderBy("doc_id").limit(nDel)
+          .select("doc_id", "text")
+        def build(pfx: String): Unit = {
+          graft.sources.DedupIndex.write(docs, "doc_id", "text", pfx)
+          graft.sources.DedupIndex.delete(victims, "doc_id", "text", pfx)
+        }
+        // warm both arms untimed
+        build("pab_w"); graft.sources.DedupIndex.compact(spark, "pab_w")
+        Caches.clear()
+        build("pab_x")
+        graft.sources.DedupIndex.compactPartial(spark, "pab_x")
+        Caches.clear()
+        def twice(body: => Unit): Unit =
+          (1 to 2).foreach { _ => body; Caches.clear() }
+        var full = Double.MaxValue
+        var part = Double.MaxValue
+        var touched: Map[String, Int] = Map.empty
+        twice {
+          // rebuild outside the clock: time ONLY the maintenance pass
+          build("pab_f")
+          val t0 = System.nanoTime()
+          graft.sources.DedupIndex.compact(spark, "pab_f")
+          full = math.min(full, (System.nanoTime() - t0) / 1e9)
+        }
+        twice {
+          build("pab_p")
+          val t0 = System.nanoTime()
+          touched = graft.sources.DedupIndex.compactPartial(spark, "pab_p")
+          part = math.min(part, (System.nanoTime() - t0) / 1e9)
+        }
+        val n = docs.count()
+        println(f"[probe] partial-ab: corpus=$n deleted=$nDel " +
+          f"touched=$touched full_min2_sec=$full%.2f " +
+          f"partial_min2_sec=$part%.2f ratio=${full / part}%.2f")
+
       case "bucketed-merge" =>
         val sfDir = args.lift(1).getOrElse(
           sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))

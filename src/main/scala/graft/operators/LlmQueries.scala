@@ -262,6 +262,31 @@ object LlmQueries {
       "doc_id", "text", "g130")
   }
 
+  /** The PARTIAL-compaction arm of the lifecycle (r17): same
+    * bootstrap + append as q130, but the takedown is NARROW
+    * (doc_id % 500 == 3 — a handful of docs, the real takedown shape)
+    * and the maintenance pass is [[DedupIndex.compactPartial]]:
+    * physical removal rewrites only the tombstoned buckets (≤ K per
+    * id-keyed table for K deleted docs) while every other bucket's
+    * files carry over byte-for-byte with their batch visibility. The
+    * screen must still answer exactly as the never-inserted-corpus
+    * oracle over the live set — a leaked tombstone, a dropped carried
+    * row, or a torn batch list across the b0 flip all fail the hash
+    * gate.
+    */
+  def q188PartialDedupCompact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    DedupIndex.write(docs.filter(col("doc_id") % 5 <= 2),
+      "doc_id", "text", "g188")
+    DedupIndex.append(docs.filter(col("doc_id") % 5 === 3),
+      "doc_id", "text", "g188")
+    DedupIndex.delete(docs.filter(col("doc_id") % 500 === 3),
+      "doc_id", "text", "g188")
+    DedupIndex.compactPartial(s, "g188")
+    DedupIndex.screenExact(s, docs.filter(col("doc_id") % 5 === 4),
+      "doc_id", "text", "g188")
+  }
+
   /** Semantic (embedding-space) duplicate clusters at cosine ≥ 0.25 —
     * the threshold that exercises multi-member components on the
     * synthetic embeddings (their banded pairs top out near 0.35; a
@@ -826,6 +851,7 @@ object LlmQueries {
     "q99_exact_indexed" -> (q99ExactIndexed _),
     "q129_neardup_deleted" -> (q129NeardupDeleted _),
     "q130_exact_deleted" -> (q130ExactDeleted _),
+    "q188_partial_dedup_compact" -> (q188PartialDedupCompact _),
     "q126_sq8_recall" -> ((s, d) =>
       Similarity.sq8Recall(Tables.embeddings(s, d), "vec_id",
         "embedding", "label")),
@@ -1151,6 +1177,9 @@ object LlmQueries {
       neardupScreenSql("y.doc_id % 5 <= 2 OR y.doc_id % 10 = 8"),
     "q130_exact_deleted" ->
       exactScreenSql("doc_id % 5 <= 2 OR doc_id % 10 = 8"),
+    // q188: live set = bootstrap + append minus the NARROW takedown
+    "q188_partial_dedup_compact" ->
+      exactScreenSql("doc_id % 5 <> 4 AND doc_id % 500 <> 3"),
     // SQ8 quantization fidelity: codes/reconstructions are positive
     // integer floor-divisions (// here, exact double-div+floor in the
     // engine — quotients sit ≥ 1/span from any integer, far above one

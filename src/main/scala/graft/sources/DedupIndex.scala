@@ -173,6 +173,45 @@ object DedupIndex {
     Generations.gc(spark, prefix, ng, Logicals, retain)
   }
 
+  /** PARTIAL compaction — the takedown-proportional maintenance pass
+    * ([[Sinks.partialCompactBucketedTo]]; [[Bm25Index.compactPartial]]
+    * is the sibling): rewrite only the buckets the delete log touched,
+    * copy every other bucket's files byte-for-byte into the next
+    * generation, carry the old batch ids across as pre-flip commits,
+    * flip on the b0 commit. For THIS index the win is structural in
+    * all three tables — they are keyed by content_hash / doc_id /
+    * (band, key), so a takedown of K docs tombstones at most K, K,
+    * and K·bands buckets respectively, independent of corpus size:
+    * the physical-removal (GDPR) pass WRITES ∝ the takedown, not the
+    * corpus. Honest wall-clock caveat (SCALING.md partial-ab): below
+    * ~10M rows the pass is job-overhead-bound and partial LOSES to a
+    * straight full rewrite (~0.77×); the win needs rewrite work ≫
+    * fixed job cost and bucket counts ≫ deletes × bands — the 100 TB
+    * regime, not a 32-bucket local index. Untouched buckets keep
+    * their one-file-per-batch layout; a periodic FULL [[compact]]
+    * still bounds file count.
+    * @return rewritten-bucket count per logical table (spec gate) */
+  def compactPartial(spark: SparkSession, prefix: String,
+                     retain: Int = 0): Map[String, Int] = {
+    val (gen, bs) = Generations.committedState(spark, prefix)
+    val ng = Generations.beginGeneration(spark, prefix)
+    val counts = (for (logical <- Logicals) yield {
+      val touched = Sinks.tombstonedBuckets(spark,
+        Generations.physical(prefix, logical, gen),
+        bucketColsOf(logical), Buckets, bs)
+      Sinks.partialCompactBucketedTo(spark,
+        Generations.physical(prefix, logical, gen),
+        Generations.physical(prefix, logical, ng),
+        bucketColsOf(logical), Buckets, bs, touched)
+      logical -> touched.size
+    }).toMap
+    bs.filter(_ != 0L).foreach(b =>
+      Generations.commit(spark, prefix, ng, b))
+    Generations.commit(spark, prefix, ng, 0L)
+    Generations.gc(spark, prefix, ng, Logicals, retain)
+    counts
+  }
+
   /** Compaction's build phase only (intent + full next-generation
     * write, NO commit) — split out so GenerationsSpec can interleave
     * reads and simulate the crash-before-commit. */

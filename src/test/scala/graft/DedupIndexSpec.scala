@@ -191,4 +191,47 @@ class DedupIndexSpec extends AnyFunSuite {
         s"post-compaction exact screen corpus side shuffled:\n$exact")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("partial compaction: a one-doc takedown rewrites at most its " +
+    "own buckets (≤ 1 per id-keyed table, ≤ bands for the band " +
+    "table), removes the dead rows physically, and screens stay " +
+    "bit-equal to a full compact") {
+    val p = "tpar"
+    val docs = Tables.documents(spark, d)
+    DedupIndex.write(docs.filter(col("doc_id") % 5 <= 2), "doc_id",
+      "text", p)
+    DedupIndex.append(docs.filter(col("doc_id") % 5 === 3), "doc_id",
+      "text", p)
+    // exactly ONE takedown doc — the narrow GDPR shape the partial
+    // pass exists for
+    val victim = docs.filter(col("doc_id") % 5 === 3).limit(1)
+      .select("doc_id", "text")
+    val victimId = victim.head().getLong(0)
+    DedupIndex.delete(victim, "doc_id", "text", p)
+    def near() = DedupIndex.screenNearDup(spark, batch, "doc_id",
+      "text", p).collect().toSeq
+    def exact() = DedupIndex.screenExact(spark, batch, "doc_id",
+      "text", p).collect().toSeq
+    val (near0, exact0) = (near(), exact())
+    val rewritten = DedupIndex.compactPartial(spark, p)
+    // touched sets are TAKEDOWN-sized: one hash bucket, one shset
+    // bucket, at most one band bucket per band of the victim
+    assert(rewritten("hashes") <= 1 && rewritten("shsets") <= 1,
+      s"id-keyed tables over-rewrote: $rewritten")
+    assert(rewritten("bands") < DedupIndex.Buckets,
+      s"band table rewrote every bucket for one doc: $rewritten")
+    assert(near() == near0, "near screen diverged across partial compact")
+    assert(exact() == exact0, "exact screen diverged across partial compact")
+    // physical removal where it should: the victim's hash row is gone
+    // from the rewritten bucket (and from the live fold, trivially)
+    val physH = graft.sources.Generations.physicalFor(spark, p, "hashes")
+    assert(spark.table(physH).filter(col("doc_id") === victimId)
+        .groupBy("content_hash", "doc_id")
+        .agg(sum(col("w")).as("net")).filter(col("net") > 0).isEmpty,
+      "victim still live after partial compact")
+    assert(spark.table(physH)
+        .filter(col("doc_id") === victimId && col("w") < 0).isEmpty,
+      "victim's tombstone rows survived the touched-bucket rewrite")
+    Caches.clear()
+  }
 }

@@ -53,6 +53,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q99_exact_indexed" -> "DedupIndexSpec (bucketed index build)",
     "q129_neardup_deleted" -> "DedupIndexSpec (delete/compact lifecycle; post-compaction plan pinned there)",
     "q130_exact_deleted" -> "DedupIndexSpec (delete/compact lifecycle)",
+    "q188_partial_dedup_compact" -> "DedupIndexSpec (partial-compaction lifecycle: touched-bucket counts + full-compact equality pinned there)",
     "q154_bm25_indexed" -> "CorpusOpsSpec (bucketed retrieval-index build; indexed==inline + delete leg pinned there)",
     "q157_phrase_search" -> "CorpusOpsSpec (positional-index build + compaction; phrase joins + delete/compact equivalence pinned there)",
     "q187_partial_compact" -> "GenerationsSpec (partial compaction: touched-bucket rewrite + file carry-over + b0 flip pinned there); the search plan is q154's",
