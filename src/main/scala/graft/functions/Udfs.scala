@@ -80,6 +80,18 @@ object Udfs {
   val decodeJpeg: UserDefinedFunction =
     udf(graft.Multimodal.decodeJpegHeader _)
 
+  /** EXIF (APP1) metadata decode: orientation / camera model / capture
+    * datetime from the embedded TIFF IFD walk, either byte order; null
+    * where the container carries no Exif. Kernel:
+    * [[graft.Multimodal.decodeJpegExif]]. */
+  val decodeExif: UserDefinedFunction =
+    udf(graft.Multimodal.decodeJpegExif _)
+
+  /** Orientation-normalized perceptual print: decode, apply the EXIF
+    * rotation, then dHash — [[graft.Multimodal.orientedImageDHash]]. */
+  val orientedImagePhash: UserDefinedFunction =
+    udf(graft.Multimodal.orientedImageDHash _)
+
   /** Perceptual 64-bit dHash over an uncompressed-BMP payload; null
     * for undecodable/unsupported containers. Kernel:
     * [[graft.Multimodal.bmpDHash]] (pixel decode + integer box-average

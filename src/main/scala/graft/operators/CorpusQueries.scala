@@ -357,6 +357,36 @@ object CorpusQueries {
             when(v === 1, col("jp"))
               .when(v === 2, col("png_gray"))
               .otherwise(col("bmp")).as("content"))
+      case "jpeg_oriented" =>
+        // v 0: plain BMP (no EXIF — identity orientation); v 1: JPEG
+        // stored rotated 90°CCW, tagged orientation 6; v 2: JPEG
+        // stored rotated 90°CW, tagged orientation 8 — all the SAME
+        // base image after display normalization; v 3: alt BMP
+        val pix =
+          fixturePix(g, when(v === 3, lit(3)).otherwise(lit(0))) _
+        val j6 = jpegContent(docs, pix, exif = true, orient = 6)
+          .withColumnRenamed("content", "j6")
+        val j8 = jpegContent(docs, pix, exif = true, orient = 8)
+          .withColumnRenamed("content", "j8")
+        docs.select(col("doc_id"), bmpContent(pix).as("bmp"))
+          .join(j6, Seq("doc_id"))
+          .join(j8, Seq("doc_id"))
+          .select(col("doc_id"),
+            when(v === 1, col("j6"))
+              .when(v === 2, col("j8"))
+              .otherwise(col("bmp")).as("content"))
+      case "jpeg_exif" =>
+        // every 7th doc carries NO Exif (the None leg); the rest embed
+        // an APP1 with doc_id-derived orientation/model/datetime
+        val pix = fixturePix(g, lit(0)) _
+        val plain = jpegContent(docs, pix)
+          .withColumnRenamed("content", "jp")
+        val withEx = jpegContent(docs, pix, exif = true)
+          .withColumnRenamed("content", "je")
+        plain.join(withEx, Seq("doc_id"))
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, col("jp"))
+              .otherwise(col("je")).as("content"))
       case "png_palette" =>
         // v 0: BMP, v 1: gray PNG, v 2: PALETTE-8 PNG (XOR-permuted
         // PLTE) — the same base image; v 3: alt BMP
@@ -605,13 +635,32 @@ object CorpusQueries {
                           pix: (org.apache.spark.sql.Column,
                             org.apache.spark.sql.Column) =>
                             org.apache.spark.sql.Column,
-                          mode: String = "baseline"): DataFrame = {
+                          mode: String = "baseline",
+                          exif: Boolean = false,
+                          orient: Int = 0): DataFrame = {
     type C = org.apache.spark.sql.Column
     // bit k (0-based from LSB) of a small non-negative int, HOF-safe
     // (shiftright/shiftleft take only literal Int shift amounts)
     def bitOf(x: C, k: C): C =
       pmod(floor(x / pow(lit(2.0), k)).cast("int"), lit(2))
-    def pixAt(b: C): C = pix(floor(b / 9).cast("int"), pmod(b, lit(9)))
+    // `orient` 6/8: store the base image ROTATED (the camera-native
+    // layout phones emit) and tag the EXIF orientation so display
+    // normalization recovers it exactly — stored grid is 8 blocks per
+    // row x 9 rows (64x72 samples); 6 stores rotate90CCW(base)
+    // (stored(i,j) = base(j, 8-i)), 8 stores rotate90CW(base)
+    // (stored(i,j) = base(7-j, i)). Rotation maps block-constant 8x8
+    // blocks to 8x8 blocks, so DC-exactness is untouched.
+    require(orient == 0 || ((orient == 6 || orient == 8) && exif),
+      s"jpegContent: orient=$orient needs exif=true and 6|8")
+    def pixAt(b: C): C = orient match {
+      case 6 => pix(pmod(b, lit(8)), lit(8) - floor(b / 8).cast("int"))
+      case 8 => pix(lit(7) - pmod(b, lit(8)), floor(b / 8).cast("int"))
+      case _ => pix(floor(b / 9).cast("int"), pmod(b, lit(9)))
+    }
+    // SOF dims: height then width, big-endian (base 64x72; rotated
+    // storage 72x64)
+    val dimsHex = if (orient == 6 || orient == 8) "00480040"
+      else "00400048"
     def fdc(b: C): C = (pixAt(b) - 128) * 8 // dequantized DC for block b
     // DC prediction resets at block 0 — and, in restart mode, at every
     // 8-block segment start (the decoder resets dcPred per RSTn);
@@ -637,6 +686,41 @@ object CorpusQueries {
     // the persist barrier (the HOF-collapse lesson)
     val staged = Caches.persistTracked(docs.select(col("doc_id"),
       blockBits.as("blk")))
+    // optional APP1 Exif segment (II little-endian TIFF, IFD0 with
+    // Model/Orientation/DateTime — tags ascending per the spec): all
+    // offsets are constants of the fixed layout (IFD at 8, data at
+    // 50/55), only the three field values derive from doc_id; the
+    // dt string hex-encodes via cast-to-binary (ASCII-safe)
+    val exifHex: org.apache.spark.sql.Column = {
+      // a forced-rotation fixture tags its actual orientation; the
+      // metadata gate (q189) derives it from doc_id
+      val orientC =
+        (if (orient > 0) lit(orient)
+         else lit(1) + pmod(col("doc_id"), lit(8))).cast("int")
+      val modelDigit = pmod(col("doc_id"), lit(5)).cast("int")
+      val dt = concat(lit("2024:01:"),
+        lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+        lit(" "),
+        lpad(pmod(col("doc_id"), lit(24)).cast("string"), 2, "0"),
+        lit(":"),
+        lpad(pmod(col("doc_id"), lit(60)).cast("string"), 2, "0"),
+        lit(":"),
+        lpad(pmod(col("doc_id") * 7, lit(60)).cast("string"), 2, "0"))
+      concat(
+        lit("FFE10053457869660000" + // APP1, len 83, "Exif\0\0"
+          "49492A0008000000" +       // "II", 42, IFD0 at 8
+          "0300" +                   // 3 entries
+          "100102000500000032000000" + // Model: ASCII x5 @ 50
+          "1201030001000000"),       // Orientation: SHORT x1 inline
+        lpad(hex(orientC), 2, "0"), lit("000000"),
+        lit("320102001400000037000000" + // DateTime: ASCII x20 @ 55
+          "00000000" +               // no next IFD
+          "63616D"),                 // "cam"
+        lpad(hex(lit(48) + modelDigit), 2, "0"), lit("00"),
+        hex(dt.cast("binary")), lit("00"))
+    }
+    val lead: org.apache.spark.sql.Column =
+      if (exif) concat(lit("FFD8"), exifHex) else lit("FFD8")
     // 1-padded MSB-first byte packing + 0xFF00 stuffing of a bit array
     def packBits(bits: C): C = {
       val pad = pmod(lit(8) - pmod(size(bits), lit(8)), lit(8))
@@ -678,22 +762,22 @@ object CorpusQueries {
         // 1-padded) in its own spectral-selection scan — the minimal
         // spec-true progressive stream exercising DC-first decode,
         // multi-scan table persistence, and EOB-run accounting
-        concat(lit("FFD8" + dqtDhtHex +
-          "FFC2000B0800400048" + "01011100" +
+        concat(lead, lit(dqtDhtHex +
+          "FFC2000B08" + dimsHex + "01011100" +
           "FFC4001410" + "01" + "00" * 15 + "60" +
           "FFDA0008010100000000"), // DC scan: Ss=Se=0, AhAl=0
           sbHex,
           lit("FFDA0008010100013F00" + // AC scan: Ss=1, Se=63
             "11" + "FFD9"))
       case "restart" =>
-        concat(lit("FFD8" + dqtDhtHex +
-          "FFC0000B0800400048" + "01011100" +
+        concat(lead, lit(dqtDhtHex +
+          "FFC0000B08" + dimsHex + "01011100" +
           "FFC4001410" + "01" + "00" * 15 + "00" +
           "FFDD00040008" + // DRI: restart every 8 MCUs
           "FFDA0008010100003F00"), sbHex, lit("FFD9"))
       case _ =>
-        concat(lit("FFD8" + dqtDhtHex +
-          "FFC0000B0800400048" + "01011100" +
+        concat(lead, lit(dqtDhtHex +
+          "FFC0000B08" + dimsHex + "01011100" +
           "FFC4001410" + "01" + "00" * 15 + "00" +
           "FFDA0008010100003F00"), sbHex, lit("FFD9"))
     }
@@ -748,6 +832,48 @@ object CorpusQueries {
     Multimodal.anyImagePhashDedup(
       stagedFixture(s, d, "png_palette")(
         imageFixture(s, d, "png_palette")))
+      .orderBy("doc_id")
+
+  /** q189: EXIF metadata extraction under a full driver gate — the
+    * q122 posture for the APP1/TIFF walk: per doc a spec-true Exif
+    * segment (II little-endian TIFF, IFD0 with Model / Orientation /
+    * DateTime in tag order, inline SHORT + offset ASCII values) whose
+    * three field values derive from doc_id, so the oracle re-derives
+    * them ARITHMETICALLY and a parser regression (wrong byte order,
+    * misapplied offset base, missed inline rule, NUL retained) breaks
+    * the hash gate. Every 7th doc carries no Exif and must yield the
+    * all-null row, never a sentinel. Orientation matters to this
+    * pipeline beyond metadata: a dHash over un-rotated pixels
+    * mis-pairs the rotated deliveries of one photo, so the screen
+    * before perceptual hashing reads exactly this field.
+    */
+  /** q191: ORIENTATION-NORMALIZED cross-container dedup — the reason
+    * q189's EXIF walk exists: phones store the sensor's native pixel
+    * layout plus an orientation tag instead of rotating, so the SAME
+    * photo arrives as a plain upright BMP from one mirror and as
+    * 90°-rotated JPEG pixels + orientation 6/8 from another — shapes
+    * a raw-pixel hash structurally cannot pair (a 90° rotation
+    * permutes the dHash grid). [[graft.Multimodal.orientedImageDHash]]
+    * applies the EXIF rotation before hashing, so each group must
+    * collapse to one hamming-0 clique; the oracle stays q181's
+    * container-blind chain verbatim because normalization recovers
+    * the base pixels EXACTLY (rotation is an index permutation of
+    * block-constant DC-exact pixels).
+    */
+  def q191OrientedDedup(s: SparkSession, d: String): DataFrame =
+    Multimodal.orientedImagePhashDedup(
+      stagedFixture(s, d, "jpeg_oriented")(
+        imageFixture(s, d, "jpeg_oriented")))
+      .orderBy("doc_id")
+
+  def q189ExifMeta(s: SparkSession, d: String): DataFrame =
+    stagedFixture(s, d, "jpeg_exif")(imageFixture(s, d, "jpeg_exif"))
+      .select(col("doc_id"),
+        graft.functions.Udfs.decodeExif(col("content")).as("e"))
+      .select(col("doc_id"),
+        col("e.orientation").cast("long").as("exif_orientation"),
+        col("e.model").as("exif_model"),
+        col("e.datetime").as("exif_datetime"))
       .orderBy("doc_id")
 
   /** The shared 9×8 fixture PIXEL FORMULAS — one definition consumed
@@ -1130,6 +1256,8 @@ object CorpusQueries {
     "q184_jpeg_cross_container" -> (q184JpegCrossContainer _),
     "q185_jpeg_modes_dedup" -> (q185JpegModesDedup _),
     "q186_palette_png_dedup" -> (q186PalettePngDedup _),
+    "q189_exif_meta" -> (q189ExifMeta _),
+    "q191_oriented_dedup" -> (q191OrientedDedup _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
     "q124_bpe_encode" -> (Bpe.q124BpeEncode _),
     "q125_langid_trigram" -> ((s, d) =>
@@ -1144,6 +1272,12 @@ object CorpusQueries {
       (graft.streaming.ReplayParity.q152StreamingSessionsReplay _),
     "q136_streaming_index_ingest" ->
       (graft.streaming.ReplayParity.q136StreamingIndexIngest _),
+    // the r17 maintenance-policy loop: append + rapid-retraction
+    // takedown + threshold compaction per micro-batch; the oracle is
+    // the inline ranker over the never-retracted corpus
+    "q190_streaming_maintenance" -> ((s, d) =>
+      graft.streaming.ReplayParity.q190StreamingIndexMaintenance(
+        s, d, bm25Queries)),
     "q161_streaming_vector_ingest" ->
       (graft.streaming.ReplayParity.q161StreamingVectorIngest _),
     "q137_audio_features" -> (q137AudioFeatures _),
@@ -2358,6 +2492,27 @@ object CorpusQueries {
     // decode to the same pixels, so the expected cliques are q181's
     "q185_jpeg_modes_dedup" -> crossContainerOracle,
     "q186_palette_png_dedup" -> crossContainerOracle,
+    // q191 shares the container-blind pixel oracle: orientation
+    // normalization recovers the base pixels exactly, so expected
+    // cliques are q181's
+    "q191_oriented_dedup" -> crossContainerOracle,
+    // q189: the fields re-derive arithmetically from doc_id; the %7
+    // leg pins the no-Exif null row
+    "q189_exif_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE 1 + doc_id % 8 END AS exif_orientation,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE 'cam' || CAST(doc_id % 5 AS VARCHAR)
+        |       END AS exif_model,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE '2024:01:' ||
+        |         lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+        |         ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+        |         ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') ||
+        |         ':' || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+        |       END AS exif_datetime
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // µ-law: the oracle re-derives the companded bytes AND the G.711
     // expansion formula (255−u complement, bias-132 mantissa, exponent
     // shift, sign) — edit with q179MulawFeatures and mulawExpand
@@ -2678,6 +2833,11 @@ object CorpusQueries {
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // the refreshed index answers as one bootstrapped fresh on gen2 —
     // same inline ranker, corpus CTE = q153's planting CASE verbatim
+    // the maintenance-policy loop's live set: every batch's rapid-
+    // retraction slice is taken down in-batch, so the final index
+    // answers as the inline ranker over the never-retracted corpus
+    "q190_streaming_maintenance" -> bm25OracleSqlOver(
+      "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 6"),
     // the live corpus after q187's narrow takedown — partial
     // compaction is semantics-free, so the index answers as the
     // inline ranker over the survivors

@@ -400,6 +400,129 @@ object Multimodal {
       .orElse(decodeJpegHeader(bytes).map(j =>
         ImgMeta(j.format, j.width, j.height, j.bits_per_pixel)))
 
+  /** The EXIF fields a curation pipeline actually consumes: ORIENTATION
+    * (a perceptual hash over un-rotated pixels mis-pairs the 3/6/8
+    * rotations of one photo), capture DATETIME (temporal dedup /
+    * freshness), camera MODEL (source profiling). All Options — a tag
+    * a camera didn't write is null, never a sentinel. */
+  case class ExifMeta(orientation: Option[Int], model: Option[String],
+                      datetime: Option[String])
+
+  /** EXIF (APP1) metadata decode — the TIFF IFD walk inside the JPEG
+    * container, pure JVM like every decoder here: find the APP1
+    * segment whose payload opens "Exif\0\0" (skipping other segments
+    * by length), then parse the embedded TIFF: byte-order mark ("II"
+    * little / "MM" big — BOTH real: phones write II, classic cameras
+    * MM), magic 42, IFD0 offset; IFD0 entries are 12 bytes (tag, type,
+    * count, value-or-offset — values ≤ 4 bytes sit INLINE,
+    * left-justified in the stated byte order; longer values live at an
+    * offset relative to the TIFF header, NOT the file). Extracted
+    * tags: 0x0112 Orientation (SHORT), 0x0110 Model (ASCII,
+    * NUL-stripped), 0x0132 DateTime (ASCII "YYYY:MM:DD HH:MM:SS").
+    * Reaching SOS/EOI without an Exif APP1, a malformed TIFF, or
+    * out-of-bounds offsets yield None — null rows, never task
+    * failures; bounds are checked per read because EXIF offsets are
+    * attacker-controlled in crawled data (DecoderFuzzSpec's mutation
+    * sweeps cover this decoder too). */
+  def decodeJpegExif(bytes: Array[Byte]): Option[ExifMeta] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    def be16(o: Int): Int =
+      ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    var off = 2
+    while (off + 4 <= bytes.length) {
+      if ((bytes(off) & 0xff) != 0xff) return None
+      var mOff = off + 1
+      while (mOff < bytes.length && (bytes(mOff) & 0xff) == 0xff)
+        mOff += 1
+      if (mOff + 1 >= bytes.length) return None
+      val marker = bytes(mOff) & 0xff
+      marker match {
+        case 0xd9 | 0xda => return None // scan/EOI: no Exif present
+        case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+          off = mOff + 1
+        case _ =>
+          if (mOff + 3 >= bytes.length) return None
+          val len = be16(mOff + 1)
+          if (len < 2 || mOff + 1 + len > bytes.length) return None
+          val p = mOff + 3
+          if (marker == 0xe1 && len >= 16 &&
+            bytes(p) == 'E' && bytes(p + 1) == 'x' &&
+            bytes(p + 2) == 'i' && bytes(p + 3) == 'f' &&
+            bytes(p + 4) == 0 && bytes(p + 5) == 0)
+            return parseExifTiff(bytes, p + 6, mOff + 1 + len)
+          off = mOff + 1 + len
+      }
+    }
+    None
+  }
+
+  /** The TIFF IFD0 walk of [[decodeJpegExif]] — `t0` is the TIFF
+    * header start (all EXIF offsets are relative to it), `end` the
+    * APP1 segment end (the hard bound every read checks). */
+  private def parseExifTiff(bytes: Array[Byte], t0: Int,
+                            end: Int): Option[ExifMeta] = {
+    if (t0 + 8 > end) return None
+    val little =
+      bytes(t0) == 'I'.toByte && bytes(t0 + 1) == 'I'.toByte
+    val big =
+      bytes(t0) == 'M'.toByte && bytes(t0 + 1) == 'M'.toByte
+    if (!little && !big) return None
+    def u16(o: Int): Int =
+      if (o < t0 || o + 2 > end) -1
+      else if (little) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o < t0 || o + 4 > end) -1L
+      else if (little)
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    if (u16(t0 + 2) != 42) return None
+    val ifd0 = u32(t0 + 4)
+    if (ifd0 < 8 || t0 + ifd0 + 2 > end) return None
+    val d0 = t0 + ifd0.toInt
+    val n = u16(d0)
+    if (n < 0 || n > 512 || d0 + 2 + 12 * n > end) return None
+    var orientation: Option[Int] = None
+    var model: Option[String] = None
+    var datetime: Option[String] = None
+    def ascii(e: Int, cnt: Long): Option[String] = {
+      if (cnt < 1 || cnt > 4096) return None
+      val o = if (cnt <= 4) e + 8
+        else {
+          val rel = u32(e + 8)
+          if (rel < 0) return None
+          t0 + rel.toInt
+        }
+      if (o < t0 || o + cnt > end) return None
+      val raw = new String(bytes, o, cnt.toInt,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      Some(raw.takeWhile(_ != 0.toChar))
+    }
+    var i = 0
+    while (i < n) {
+      val e = d0 + 2 + 12 * i
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val cnt = u32(e + 4)
+      tag match {
+        case 0x0112 if typ == 3 && cnt == 1 =>
+          // SHORT, inline: the value sits in the FIRST two bytes of
+          // the value field, in the stated byte order
+          val v = u16(e + 8)
+          if (v >= 1 && v <= 8) orientation = Some(v)
+        case 0x0110 if typ == 2 => model = ascii(e, cnt)
+        case 0x0132 if typ == 2 => datetime = ascii(e, cnt)
+        case _ => ()
+      }
+      i += 1
+    }
+    Some(ExifMeta(orientation, model, datetime))
+  }
+
   /** Real decoded-video metadata: ISO BMFF (MP4) container fields. */
   case class VideoMeta(format: String, major_brand: String,
                        timescale: Int, duration_units: Long,
@@ -1517,6 +1640,48 @@ object Multimodal {
     decodePngGray(bytes).orElse(decodeBmpGray(bytes))
       .orElse(decodeJpegGray(bytes)).flatMap(dHash64)
 
+  /** EXIF-orientation normalization of a decoded gray matrix — the
+    * eight spec values map the STORED sample grid to its display
+    * orientation (value 6: rotate stored 90° clockwise; 8: counter-
+    * clockwise; 3: 180°; 2/4 mirrors; 5/7 transposes). A perceptual
+    * hash computed over un-normalized pixels mis-pairs the rotated
+    * deliveries of one photo — phones write the sensor's native
+    * orientation plus this tag rather than rotating pixels — so the
+    * dedup kernel must display-normalize first. Pure index
+    * permutation: exact, lossless, value-preserving; unknown values
+    * pass through unchanged. */
+  def normalizeOrientation(gray: Array[Array[Int]],
+                           o: Int): Array[Array[Int]] = {
+    if (gray == null || gray.length == 0 || gray(0).length == 0)
+      return gray
+    val h = gray.length
+    val w = gray(0).length
+    o match {
+      case 2 => Array.tabulate(h, w)((r, c) => gray(r)(w - 1 - c))
+      case 3 => Array.tabulate(h, w)((r, c) => gray(h - 1 - r)(w - 1 - c))
+      case 4 => Array.tabulate(h, w)((r, c) => gray(h - 1 - r)(c))
+      case 5 => Array.tabulate(w, h)((r, c) => gray(c)(r))
+      case 6 => Array.tabulate(w, h)((r, c) => gray(h - 1 - c)(r))
+      case 7 => Array.tabulate(w, h)((r, c) => gray(h - 1 - c)(w - 1 - r))
+      case 8 => Array.tabulate(w, h)((r, c) => gray(c)(w - 1 - r))
+      case _ => gray
+    }
+  }
+
+  /** ORIENTATION-AWARE container-sniffing image print — [[imageDHash]]
+    * with the EXIF rotation applied before hashing: a photo delivered
+    * as a plain BMP by one mirror and as a camera-native JPEG
+    * (rotated pixels + orientation tag) by another must pair at
+    * hamming 0, which the raw-pixel hash structurally cannot do for
+    * the 90°-rotated shapes. PNG/BMP carry no EXIF (identity);
+    * JPEG's orientation defaults to 1 when absent. */
+  def orientedImageDHash(bytes: Array[Byte]): Option[Long] =
+    decodePngGray(bytes).map((_, 1))
+      .orElse(decodeBmpGray(bytes).map((_, 1)))
+      .orElse(decodeJpegGray(bytes).map(g =>
+        (g, decodeJpegExif(bytes).flatMap(_.orientation).getOrElse(1))))
+      .flatMap { case (g, o) => dHash64(normalizeOrientation(g, o)) }
+
   /** 64-bit difference hash (dHash) over a grayscale matrix — the
     * standard perceptual fingerprint for image near-dup at corpus
     * scale: integer box-average the image onto a 9-wide × 8-tall grid
@@ -1667,6 +1832,15 @@ object Multimodal {
                          maxHamming: Int = 3): DataFrame =
     phashDedup(media, idCol, contentCol,
       graft.functions.Udfs.imagePhash(_),
+      nBands = 4, bandBits = 16, maxHamming = maxHamming)
+
+  /** [[anyImagePhashDedup]] with EXIF-orientation normalization in the
+    * print ([[orientedImageDHash]]) — the q191 kernel. */
+  def orientedImagePhashDedup(media: DataFrame, idCol: String = "doc_id",
+                              contentCol: String = "content",
+                              maxHamming: Int = 3): DataFrame =
+    phashDedup(media, idCol, contentCol,
+      graft.functions.Udfs.orientedImagePhash(_),
       nBands = 4, bandBits = 16, maxHamming = maxHamming)
 
   /** Audio near-dup over PCM-16 WAV payloads: 32-bit energy-delta

@@ -403,6 +403,70 @@ object ReplayParity {
     }
   }
 
+  /** q190: the retrieval index's MAINTENANCE POLICY under streaming —
+    * q136's ingest-loop posture with the r17 compaction policy in the
+    * loop: documents arrive in doc_id-day micro-batches; each batch
+    * APPENDS into the standing [[graft.sources.Bm25Index]], immediately
+    * TAKES DOWN its rapid-retraction slice (doc_id % 10 == 6 — the
+    * upload-then-delete shape moderation queues produce), then runs
+    * [[graft.sources.Bm25Index.compactIfStale]]: the dead-row fraction
+    * read from the stats log decides whether the rewrite is worth its
+    * cost. The dynamics make BOTH outcomes structural, not staged: the
+    * first batch lands at 20/110 ≈ 18% dead (≥ the 15% gate → FIRES),
+    * compaction resets dead mass to zero, and the following batches
+    * re-accumulate below the gate for several batches (10%, 12.9%,
+    * 14.3% → SKIPS) before crossing again — the body asserts at least
+    * one fire (and one skip when ≥ 2 batches ran), so a policy that
+    * never evaluates cannot pass. The final search must answer exactly
+    * as the inline ranker over the never-retracted corpus
+    * (doc_id % 10 <> 6): compaction is semantics-free and the fold
+    * discipline holds across every policy decision.
+    */
+  def q190StreamingIndexMaintenance(s: SparkSession, d: String,
+      queries: Seq[(String, String)]): DataFrame = {
+    import graft.sources.Bm25Index
+    val slice = Tables.documents(s, d).select(col("doc_id"),
+      expr("timestamp_seconds((doc_id div 100) * 86400)").as("ts"),
+      col("text"))
+    val replayDir = writeDayFiles(slice)
+    val (fs, base) = workArea(s)
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val ckpt = new Path(base, s"graft_maint_ckpt_$tag")
+    try {
+      // day-one bootstrap: an empty index
+      Bm25Index.write(slice.limit(0).select("doc_id", "text"),
+        "doc_id", "text", "g190")
+      var fired = 0
+      var skipped = 0
+      var batches = 0
+      val in = s.readStream.schema(slice.schema)
+        .option("maxFilesPerTrigger", 1).parquet(replayDir.toString)
+      val q = in.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.select("doc_id", "text")
+          Bm25Index.append(b, "doc_id", "text", "g190")
+          Bm25Index.delete(b.filter(pmod(col("doc_id"), lit(10)) === 6),
+            "doc_id", "text", "g190")
+          if (Bm25Index.compactIfStale(batch.sparkSession, "g190",
+            gatePct = 15L)) fired += 1
+          else skipped += 1
+          batches += 1
+          graft.Caches.clear() // per-batch ingest projections
+        }.start()
+      q.awaitTermination()
+      require(batches == 0 || fired >= 1,
+        s"maintenance policy never fired across $batches batches")
+      require(batches < 2 || skipped >= 1,
+        s"maintenance policy never skipped across $batches batches")
+      Bm25Index.search(s, "g190", queries)
+    } finally {
+      fs.delete(replayDir, true)
+      fs.delete(ckpt, true)
+    }
+  }
+
   /** q161: the streaming SEMANTIC vector-ingest loop — q136's
     * screen-before-append discipline over the standing
     * [[graft.sources.VectorIndex]]: embeddings arrive in vec_id-day

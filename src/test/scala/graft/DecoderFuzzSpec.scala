@@ -23,6 +23,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "jpeg header" -> Multimodal.decodeJpegHeader _,
     "jpeg gray" -> Multimodal.decodeJpegGray _,
     "jpeg dhash" -> Multimodal.jpegDHash _,
+    "jpeg exif" -> Multimodal.decodeJpegExif _,
     "image dhash" -> Multimodal.imageDHash _,
     "mp4 header" -> Multimodal.decodeMp4Header _,
     "avi mjpeg" -> Multimodal.decodeAviMjpeg _,
@@ -402,6 +403,59 @@ class DecoderFuzzSpec extends AnyFunSuite {
       assert(img(y)(x) == expected,
         s"pixel ($x,$y): ${img(y)(x)} != $expected — PLTE lookup wrong")
     }
+  }
+
+  test("jpeg exif: decodes a BIG-ENDIAN (MM) TIFF with an offset " +
+    "model string and inline orientation — the classic-camera byte " +
+    "order the fixtures' II variant never exercises") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // APP1: MM TIFF, IFD0 @8 with Orientation (inline SHORT, 6) and
+    // Model ("NikonX\0" 7 bytes @ offset 38); minimal SOF/SOS absent —
+    // the walker returns at APP1, so nothing more is needed
+    val app1 =
+      "4D4D002A00000008" + // "MM", 42, IFD0 at 8
+      "0002" +             // 2 entries
+      "0110" + "0002" + "00000007" + "00000026" + // Model @ 0x26=38
+      "0112" + "0003" + "00000001" + "00060000" + // Orientation = 6
+      "00000000" +
+      "4E696B6F6E5800"     // "NikonX\0"
+    val payload = "457869660000" + app1
+    val len = payload.length / 2 + 2
+    val bytes = hx("FFD8" + "FFE1" + "%04X".format(len) + payload +
+      "FFD9")
+    val m = Multimodal.decodeJpegExif(bytes)
+      .getOrElse(fail("MM-order Exif did not decode"))
+    assert(m.orientation.contains(6), s"orientation: ${m.orientation}")
+    assert(m.model.contains("NikonX"), s"model: ${m.model}")
+    assert(m.datetime.isEmpty, "datetime invented from nothing")
+    // and a stream with no APP1 at all yields None, not a sentinel
+    assert(Multimodal.decodeJpegExif(jpegScan).isEmpty)
+  }
+
+  test("exif orientation normalization: all eight values permute an " +
+    "asymmetric matrix exactly per spec, and the rotation pairs " +
+    "invert each other") {
+    val m = Array(Array(1, 2, 3), Array(4, 5, 6)) // 2x3, no symmetry
+    def n(o: Int) = Multimodal.normalizeOrientation(m, o).map(_.toSeq).toSeq
+    assert(n(1) == Seq(Seq(1, 2, 3), Seq(4, 5, 6)))
+    assert(n(2) == Seq(Seq(3, 2, 1), Seq(6, 5, 4)), "mirror H")
+    assert(n(3) == Seq(Seq(6, 5, 4), Seq(3, 2, 1)), "rot180")
+    assert(n(4) == Seq(Seq(4, 5, 6), Seq(1, 2, 3)), "mirror V")
+    assert(n(5) == Seq(Seq(1, 4), Seq(2, 5), Seq(3, 6)), "transpose")
+    assert(n(6) == Seq(Seq(4, 1), Seq(5, 2), Seq(6, 3)), "rot90 CW")
+    assert(n(7) == Seq(Seq(6, 3), Seq(5, 2), Seq(4, 1)), "transverse")
+    assert(n(8) == Seq(Seq(3, 6), Seq(2, 5), Seq(1, 4)), "rot90 CCW")
+    // the fixture contract: a camera stores CCW(base) + tag 6 (or
+    // CW(base) + tag 8) and normalization recovers base exactly
+    def eq(a: Array[Array[Int]]) = a.map(_.toSeq).toSeq
+    assert(eq(Multimodal.normalizeOrientation(
+      Multimodal.normalizeOrientation(m, 8), 6)) == eq(m))
+    assert(eq(Multimodal.normalizeOrientation(
+      Multimodal.normalizeOrientation(m, 6), 8)) == eq(m))
+    // no EXIF → identity print: oriented hash equals the raw hash
+    assert(Multimodal.orientedImageDHash(jpegScan) ==
+      Multimodal.imageDHash(jpegScan))
   }
 
   test("random bytes never throw in any decoder") {

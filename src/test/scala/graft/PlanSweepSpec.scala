@@ -74,6 +74,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q132_late_asof_replay" -> "EventStreamsSpec (late-planted replay harness)",
     "q152_streaming_sessions_replay" -> "EventStreamsSpec (file-backed replay harness)",
     "q136_streaming_index_ingest" -> "DedupIndexSpec owns the screen plans (foreachBatch ingest-loop harness)",
+    "q190_streaming_maintenance" -> "CorpusOpsSpec owns the search plans; GenerationsSpec the compaction (foreachBatch maintenance-loop harness with the threshold policy inline)",
     "q161_streaming_vector_ingest" -> "VectorIndexSpec owns the screen plans (foreachBatch ingest-loop harness)",
     // q123's returned frame is a driver-local merge table (toDF of the
     // learned rules) — a LocalTableScan can never contain the swept
