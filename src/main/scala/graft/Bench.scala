@@ -167,6 +167,7 @@ object Bench {
       "q185_jpeg_modes_dedup", "q186_palette_png_dedup",
       "q187_partial_compact", "q188_partial_dedup_compact",
       "q189_exif_meta", "q191_oriented_dedup",
+      "q192_stars_clusters",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

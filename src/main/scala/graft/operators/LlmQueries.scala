@@ -304,6 +304,33 @@ object LlmQueries {
   def q75SimhashClusters(s: SparkSession, d: String): DataFrame =
     TextOps.simhashDupClusters(Tables.documents(s, d), "doc_id", "text")
 
+  /** q192: q75's clustering routed through the LARGE-STAR/SMALL-STAR
+    * fallback ([[graft.TextOps.componentsStars]]) — the giant-
+    * component path's full oracle gate: labels must be bit-equal to
+    * min-label propagation's (the unique per-component min), so the
+    * two queries share one oracle and any divergence in the star
+    * rewrite (a dropped vertex, a torn alternation) hash-mismatches.
+    */
+  def q192StarsClusters(s: SparkSession, d: String): DataFrame =
+    TextOps.simhashDupClusters(Tables.documents(s, d), "doc_id", "text",
+      stars = true)
+
+  /** The shared q75/q192 oracle: transitive closure over the banded
+    * hamming pairs, component id = reachable min. */
+  private lazy val simhashClustersOracle: String =
+    s"""WITH RECURSIVE $simhashHamCtes,
+       |symd AS (SELECT a AS src, b AS dst FROM ham
+       |         UNION ALL SELECT b, a FROM ham),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM symd
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN symd s ON r.dst = s.src)
+       |SELECT d.doc_id,
+       |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS comp
+       |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** n-gram Jaccard best partner within (lang, source) blocks.
     *
     * REGISTERED execution: the inverted-index form — pairs materialize
@@ -835,6 +862,7 @@ object LlmQueries {
     "q73_dedup_recall" -> (q73DedupRecall _),
     "q74_ivf_centroids" -> (q74IvfCentroids _),
     "q75_simhash_clusters" -> (q75SimhashClusters _),
+    "q192_stars_clusters" -> (q192StarsClusters _),
     "q76_winnow_containment" -> (q76Containment _),
     "q77_split_report" -> (q77SplitReport _),
     "q78_split_leakage" -> (q78SplitLeakage _),
@@ -1938,19 +1966,10 @@ object LlmQueries {
          |             JOIN sz sb ON sb.doc_id = p.b
          |WHERE p.shared / least(sa.n, sb.n) >= 0.5
          |ORDER BY p.a, p.b""".stripMargin),
-    "q75_simhash_clusters" -> (
-      s"""WITH RECURSIVE $simhashHamCtes,
-         |symd AS (SELECT a AS src, b AS dst FROM ham
-         |         UNION ALL SELECT b, a FROM ham),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM symd
-         |  UNION
-         |  SELECT r.src, s.dst FROM reach r JOIN symd s ON r.dst = s.src)
-         |SELECT d.doc_id,
-         |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS comp
-         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-         |GROUP BY d.doc_id
-         |ORDER BY d.doc_id""".stripMargin),
+    "q75_simhash_clusters" -> simhashClustersOracle,
+    // q192 runs the SAME clustering through the large-star/small-star
+    // fallback — bit-equal labels by construction, oracle shared
+    "q192_stars_clusters" -> simhashClustersOracle,
     "q77_split_report" -> (
       s"""WITH b AS (
          |  SELECT

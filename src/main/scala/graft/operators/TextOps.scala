@@ -543,12 +543,18 @@ object TextOps {
     * own id.
     */
   def simhashDupClusters(df: DataFrame, idCol: String, textCol: String,
-                         maxHamming: Int = 3, maxIters: Int = 20)
+                         maxHamming: Int = 3, maxIters: Int = 20,
+                         stars: Boolean = false)
       : DataFrame = {
     val (_, ham) = simhashBandedPairs(df, idCol, textCol, maxHamming)
     val adj = Caches.persistTracked(
       symmetrize(ham.select("a", "b"), "src", "dst"))
-    val labels = components(adj, maxIters)
+    // `stars` routes the component step through the large-star/
+    // small-star fallback ([[componentsStars]] — bit-equal labels,
+    // the boilerplate-heavy-corpus policy); min-label propagation
+    // stays the near-clique default
+    val labels = if (stars) componentsStars(adj, maxIters)
+      else components(adj, maxIters)
     df.select(col(idCol).as("doc_id"))
       .join(labels, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
