@@ -286,8 +286,12 @@ object Bench {
     // BENCH_OUT_r{N+1}.json so the next round diffs against it (the
     // driver's BENCH_r{N}.json keeps only a truncated stdout tail —
     // r16's full map was lost exactly that way). Subset runs
-    // (SPARK_GRAFT_BENCH_QUERIES) neither diff nor snapshot.
-    if (sys.env.get("SPARK_GRAFT_BENCH_QUERIES").isEmpty) {
+    // (SPARK_GRAFT_BENCH_QUERIES) neither diff nor snapshot; neither
+    // does a run with errors — errored queries report -1 timings, and
+    // a failed run silently becoming the baseline would poison every
+    // later diff.
+    if (sys.env.get("SPARK_GRAFT_BENCH_QUERIES").isEmpty &&
+        errors.isEmpty) {
       val prevSnap = {
         val rx = "BENCH_OUT_r(\\d+)\\.json".r
         val here = new java.io.File(".").listFiles()

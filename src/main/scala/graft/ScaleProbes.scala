@@ -138,6 +138,11 @@ object ScaleProbes {
           sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
         val nDel = args.lift(2).map(_.toInt).getOrElse(5)
         val rep = args.lift(3).map(_.toInt).getOrElse(1)
+        // bucket count (r18): the touched-share law needs deployment-
+        // sized counts — at 32 a 5-doc takedown's 16 bands touch half
+        // the band table; at 256+ the share drops ∝ 1/buckets
+        val nBuckets = args.lift(4).map(_.toInt)
+          .getOrElse(graft.sources.DedupIndex.Buckets)
         // replication > 1: scale the corpus by cross-joining with a
         // range and offsetting ids — PARQUET-BACKED first (the r15a-ab
         // lesson: inline synthesis re-pays generation per pass and
@@ -158,7 +163,8 @@ object ScaleProbes {
         val victims = docs.orderBy("doc_id").limit(nDel)
           .select("doc_id", "text")
         def build(pfx: String): Unit = {
-          graft.sources.DedupIndex.write(docs, "doc_id", "text", pfx)
+          graft.sources.DedupIndex.write(docs, "doc_id", "text", pfx,
+            buckets = nBuckets)
           graft.sources.DedupIndex.delete(victims, "doc_id", "text", pfx)
         }
         // warm both arms untimed
@@ -187,7 +193,7 @@ object ScaleProbes {
         }
         val n = docs.count()
         println(f"[probe] partial-ab: corpus=$n deleted=$nDel " +
-          f"touched=$touched full_min2_sec=$full%.2f " +
+          f"buckets=$nBuckets touched=$touched full_min2_sec=$full%.2f " +
           f"partial_min2_sec=$part%.2f ratio=${full / part}%.2f")
 
       case "bucketed-merge" =>

@@ -1515,7 +1515,14 @@ object CorpusQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedIndex(s: SparkSession, d: String): String =
     sharedIndexes.computeIfAbsent(d, _ => {
-      val p = "gshr" + math.abs(d.hashCode).toString
+      // prefix from the SANITIZED dataset path, not its hashCode: two
+      // dirs colliding on hashCode would silently serve the serving
+      // gates from the wrong corpus, and abs(Int.MinValue) is negative
+      // (an invalid table name). The sanitized path is injective up to
+      // non-alphanumeric runs — distinct test dirs stay distinct.
+      val p = "gshr_" +
+        d.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+          .replaceAll("^_+|_+$", "")
       graft.sources.Bm25Index.write(Tables.documents(s, d), "doc_id",
         "text", p)
       p

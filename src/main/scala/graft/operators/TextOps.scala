@@ -599,6 +599,26 @@ object TextOps {
   /** [[components]] plus the number of rounds the loop ran — the hook
     * ComponentsSpec and ScaleProbes use to pin O(log diameter)
     * convergence as an assertion, not a comment.
+    *
+    * AUTO-FALLBACK (r18): exhausting `maxIters` no longer throws —
+    * non-convergence at the round bound IS the operational signal the
+    * fallback's scaladoc names (a component family whose diameter
+    * outruns min-label's budget: the boilerplate-web giant), and at
+    * 100 TB a throw after maxIters shuffles is the worst possible
+    * answer. The loop hands off to [[componentsStarsIters]] WARM: the
+    * partial labels enter as hint edges (label(u) is always a vertex
+    * reachable from u, so label edges stay inside the true components
+    * and components(adj ∪ hints) ≡ components(adj) — the
+    * [[dupClustersRefresh]] validity argument with the hints coming
+    * from this run instead of a previous generation), which means the
+    * star rounds start from chains the propagation already halved
+    * maxIters times. Labels stay bit-equal to a converged min-label
+    * run by the star algorithm's own fixpoint (the per-component min);
+    * ComponentsSpec pins the equality on an adversarial graph that
+    * exceeds the min-label budget. The returned round count is
+    * maxIters + the star rounds. The star leg gets its own `maxIters`
+    * budget and retains the raise — two algorithms both failing a
+    * generous bound is a real pathology, not a policy choice.
     */
   private[graft] def componentsIters(adj: DataFrame, maxIters: Int)
       : (DataFrame, Int) = {
@@ -652,9 +672,20 @@ object TextOps {
       }
       iter += 1
     }
-    require(converged,
-      s"components did not converge within $maxIters iterations")
-    (labels, iter)
+    if (converged) (labels, iter)
+    else {
+      // warm star handoff: current labels as (symmetrized) hint edges —
+      // each partially-collapsed chain arrives pre-shortened, so the
+      // star loop resumes from where propagation got to, not from zero
+      val hints = labels.select(col("doc_id").as("src"),
+          col("comp").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val adjWarm = adj.unionByName(hints)
+        .unionByName(hints.select(col("dst").as("src"),
+          col("src").as("dst")))
+      val (starLabels, starRounds) = componentsStarsIters(adjWarm, maxIters)
+      (starLabels, iter + starRounds)
+    }
   }
 
   /** LARGE-STAR / SMALL-STAR connected components — the GIANT-

@@ -47,7 +47,19 @@ import graft.{Caches, CorpusOps, TextOps}
   */
 object Bm25Index {
 
+  /** DEFAULT bucket count — [[write]] takes the actual count and pins
+    * it in the generation manifest ([[Generations.setBuckets]]); every
+    * later append/delete/compaction resolves the writer's count from
+    * there (the [[DedupIndex.Buckets]] rationale: bucket-id math must
+    * use the count the files were written with, and the
+    * partial-compaction touched-share law needs deployment-sized
+    * counts, not a constant). */
   val Buckets = 32
+
+  /** The pinned bucket count of an existing index (pre-knob indexes
+    * default to [[Buckets]], which is what their writers used). */
+  private def bucketsOf(spark: SparkSession, prefix: String): Int =
+    Generations.bucketsOf(spark, prefix, Buckets)
 
   private[graft] val Logicals =
     Seq("postings", "doclens", "positions", "stats")
@@ -71,7 +83,7 @@ object Bm25Index {
     */
   private def writeAll(docs: DataFrame, idCol: String, textCol: String,
                        prefix: String, w: Int, gen: Long, b: Long,
-                       mode: String): Unit = {
+                       mode: String, nb: Int): Unit = {
     val spark = docs.sparkSession
     val toks = Caches.persistTracked(docs.select(
       col(idCol).as("doc_id"),
@@ -81,12 +93,12 @@ object Bm25Index {
     val dls = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .withColumn("w", lit(w))
     Sinks.writeBucketed(post.withColumn("b", lit(b)),
-      phys(prefix, "postings", gen), Seq("term"), Buckets, mode)
+      phys(prefix, "postings", gen), Seq("term"), nb, mode)
     Sinks.writeBucketed(dls.withColumn("b", lit(b)),
-      phys(prefix, "doclens", gen), Seq("doc_id"), Buckets, mode)
+      phys(prefix, "doclens", gen), Seq("doc_id"), nb, mode)
     Sinks.writeBucketed(toks.select("term", "doc_id", "pos")
       .withColumn("w", lit(w)).withColumn("b", lit(b)),
-      phys(prefix, "positions", gen), Seq("term"), Buckets, mode)
+      phys(prefix, "positions", gen), Seq("term"), nb, mode)
     val st = dls.agg((count(lit(1)) * w).as("n"),
       (coalesce(sum(col("dl")), lit(0L)) * w).as("tt"))
       .withColumn("w", lit(w)).withColumn("b", lit(b))
@@ -99,11 +111,12 @@ object Bm25Index {
   /** Bootstrap the index from a corpus snapshot; steady state uses
     * [[append]]/[[delete]] only. */
   def write(docs: DataFrame, idCol: String, textCol: String,
-            prefix: String): Unit = {
+            prefix: String, buckets: Int = Buckets): Unit = {
     val spark = docs.sparkSession
     Generations.beginBootstrap(spark, prefix)
+    Generations.setBuckets(spark, prefix, buckets)
     writeAll(docs, idCol, textCol, prefix, w = 1, gen = 0L, b = 0L,
-      mode = "overwrite")
+      mode = "overwrite", nb = buckets)
     Generations.commit(spark, prefix, 0L, 0L)
   }
 
@@ -124,7 +137,8 @@ object Bm25Index {
                           prefix: String, w: Int): Unit = {
     val spark = docs.sparkSession
     val (g, b) = Generations.beginBatch(spark, prefix)
-    writeAll(docs, idCol, textCol, prefix, w, g, b, mode = "append")
+    writeAll(docs, idCol, textCol, prefix, w, g, b, mode = "append",
+      nb = bucketsOf(spark, prefix))
     Generations.commit(spark, prefix, g, b)
   }
 
@@ -133,8 +147,10 @@ object Bm25Index {
   private[graft] def appendUncommitted(docs: DataFrame, idCol: String,
                                        textCol: String,
                                        prefix: String): (Long, Long) = {
-    val (g, b) = Generations.beginBatch(docs.sparkSession, prefix)
-    writeAll(docs, idCol, textCol, prefix, w = 1, g, b, mode = "append")
+    val spark = docs.sparkSession
+    val (g, b) = Generations.beginBatch(spark, prefix)
+    writeAll(docs, idCol, textCol, prefix, w = 1, g, b, mode = "append",
+      nb = bucketsOf(spark, prefix))
     (g, b)
   }
 
@@ -145,7 +161,8 @@ object Bm25Index {
   private[graft] def writeClaimed(docs: DataFrame, idCol: String,
                                   textCol: String, prefix: String,
                                   g: Long, b: Long): Unit =
-    writeAll(docs, idCol, textCol, prefix, w = 1, g, b, mode = "append")
+    writeAll(docs, idCol, textCol, prefix, w = 1, g, b, mode = "append",
+      nb = bucketsOf(docs.sparkSession, prefix))
 
   /** Live fold of a log table at the resolved committed state. */
   private def live(spark: SparkSession, prefix: String, logical: String,
@@ -416,10 +433,13 @@ object Bm25Index {
                       idCol: String, textCol: String,
                       prefix: String): Unit = {
     val spark = oldGen.sparkSession
+    val nb = bucketsOf(spark, prefix)
     val (g, b) = Generations.beginBatch(spark, prefix)
     TextOps.refreshViaDiff(oldGen, newGen, idCol, col(textCol))(
-      writeAll(_, idCol, textCol, prefix, w = -1, g, b, mode = "append"),
-      writeAll(_, idCol, textCol, prefix, w = 1, g, b, mode = "append"))
+      writeAll(_, idCol, textCol, prefix, w = -1, g, b, mode = "append",
+        nb),
+      writeAll(_, idCol, textCol, prefix, w = 1, g, b, mode = "append",
+        nb))
     Generations.commit(spark, prefix, g, b)
   }
 
@@ -475,31 +495,48 @@ object Bm25Index {
     * batch ids are carried over as pre-flip commits so the copied
     * rows stay visible — the b0 commit is the single atomic flip
     * (committedState's rule; a reader racing the carry-over never
-    * sees a torn batch list). Stats rows are copied with their
-    * original batch ids (the log is tiny). Honest shape note: the win
-    * is structural for the doc-keyed doclens; for the term-keyed
-    * postings/positions a takedown of ordinary documents touches most
-    * term buckets and partial ≈ full — [[compactIfStale]] is the
-    * policy for that shape.
+    * sees a torn batch list). The stats log is rewritten NETTED to
+    * one live row (the [[buildNextGeneration]] form): the touched-
+    * bucket fold physically removed every tombstone-cancelled row —
+    * tombstones live only in touched buckets by definition — so the
+    * post-partial dead fraction IS zero, and copying the signed log
+    * verbatim would leave [[deadFractionPct]] reporting the
+    * pre-compaction figure, letting a later [[compactIfStale]] fire a
+    * redundant corpus-proportional full rewrite. Honest shape note:
+    * the win is structural for the doc-keyed doclens; for the
+    * term-keyed postings/positions a takedown of ordinary documents
+    * touches most term buckets and partial ≈ full —
+    * [[compactIfStale]] is the policy for that shape.
     * @return rewritten-bucket count per logical table (spec gate) */
   def compactPartial(spark: SparkSession, prefix: String,
                      retain: Int = 0): Map[String, Int] = {
     val st @ (gen, bs) = Generations.committedState(spark, prefix)
+    val nb = bucketsOf(spark, prefix)
     val ng = Generations.beginGeneration(spark, prefix)
     val counts = (for (logical <- Seq("postings", "doclens", "positions"))
       yield {
         val touched = Sinks.tombstonedBuckets(spark,
-          phys(prefix, logical, gen), bucketColsOf(logical), Buckets, bs)
+          phys(prefix, logical, gen), bucketColsOf(logical), nb, bs)
         Sinks.partialCompactBucketedTo(spark,
           phys(prefix, logical, gen), phys(prefix, logical, ng),
-          bucketColsOf(logical), Buckets, bs, touched)
+          bucketColsOf(logical), nb, bs, touched)
         logical -> touched.size
       }).toMap
+    val (n, tt) = liveStats(spark, prefix, st)
+    val s = spark
+    import s.implicits._
     val tgt = phys(prefix, "stats", ng)
     Sinks.purgeTable(spark, tgt)
-    spark.table(phys(prefix, "stats", gen))
-      .filter(col("b").isin(bs: _*))
+    Seq((n, tt, 1, 0L)).toDF("n", "tt", "w", "b")
       .coalesce(1).write.mode("errorifexists").saveAsTable(tgt)
+    // SINGLE-MAINTENANCE-WRITER guard before the flip — the
+    // [[DedupIndex.compactPartial]] rationale: a batch committed into
+    // the old generation after the snapshot would be silently dropped
+    // by the carry; abort instead (no b0 lands, readers keep the old
+    // generation, the orphaned tables are GC'd after a later flip).
+    require(Generations.committedState(spark, prefix) == st,
+      s"$prefix: a batch committed during partial compaction — " +
+        "aborting the flip (single-maintenance-writer contract)")
     // carry the old batch visibility over, THEN flip on b0
     bs.filter(_ != 0L).foreach(b =>
       Generations.commit(spark, prefix, ng, b))
@@ -513,10 +550,11 @@ object Bm25Index {
   private[graft] def buildNextGeneration(spark: SparkSession,
                                          prefix: String): Long = {
     val st @ (gen, bs) = Generations.committedState(spark, prefix)
+    val nb = bucketsOf(spark, prefix)
     val ng = Generations.beginGeneration(spark, prefix)
     for (logical <- Seq("postings", "doclens", "positions"))
       Sinks.compactBucketedTo(spark, phys(prefix, logical, gen),
-        phys(prefix, logical, ng), bucketColsOf(logical), Buckets, bs)
+        phys(prefix, logical, ng), bucketColsOf(logical), nb, bs)
     val (n, tt) = liveStats(spark, prefix, st)
     val s = spark
     import s.implicits._

@@ -55,11 +55,24 @@ import graft.{Caches, TextOps}
   */
 object DedupIndex {
 
-  /** Bucket count: sized to the local parallelism; on a real cluster
-    * this is a deployment knob (buckets ≥ executor cores, and the
-    * probe side's shuffle lands on exactly this many partitions).
+  /** DEFAULT bucket count: sized to the local parallelism; on a real
+    * cluster this is a deployment knob (buckets ≥ executor cores, and
+    * the probe side's shuffle lands on exactly this many partitions).
+    * [[write]] takes the actual count and PINS it in the generation
+    * manifest ([[Generations.setBuckets]]); every later append/delete/
+    * compaction resolves the writer's count from there — a reader or
+    * maintenance pass guessing a different count would compute wrong
+    * bucket ids. The partial-compaction law (SCALING.md partial-ab:
+    * touched share ≈ deletes × bands / buckets) is unsatisfiable with
+    * a constant 32 at 100 TB — deployments size this into the
+    * thousands.
     */
   val Buckets = 32
+
+  /** The pinned bucket count of an existing index (pre-knob indexes
+    * default to [[Buckets]], which is what their writers used). */
+  private def bucketsOf(spark: SparkSession, prefix: String): Int =
+    Generations.bucketsOf(spark, prefix, Buckets)
 
   private[graft] val Logicals = Seq("bands", "shsets", "hashes")
 
@@ -92,12 +105,12 @@ object DedupIndex {
     * invisible until the commit row lands. */
   private def writeAll(docs: DataFrame, idCol: String, textCol: String,
                        prefix: String, w: Int, gen: Long, b: Long,
-                       mode: String): Unit = {
+                       mode: String, nb: Int): Unit = {
     val (bn, s, h) = project(docs, idCol, textCol, w)
     for ((df, logical) <- Seq(bn -> "bands", s -> "shsets", h -> "hashes"))
       Sinks.writeBucketed(df.withColumn("b", lit(b)),
         Generations.physical(prefix, logical, gen),
-        bucketColsOf(logical), Buckets, mode)
+        bucketColsOf(logical), nb, mode)
   }
 
   /** (Re)build the standing index from a corpus snapshot — the one-time
@@ -106,11 +119,12 @@ object DedupIndex {
     * increments fold in via [[append]], takedowns via [[delete]].
     */
   def write(docs: DataFrame, idCol: String, textCol: String,
-            prefix: String): Unit = {
+            prefix: String, buckets: Int = Buckets): Unit = {
     val spark = docs.sparkSession
     Generations.beginBootstrap(spark, prefix)
+    Generations.setBuckets(spark, prefix, buckets)
     writeAll(docs, idCol, textCol, prefix, w = 1, gen = 0L, b = 0L,
-      mode = "overwrite")
+      mode = "overwrite", nb = buckets)
     Generations.commit(spark, prefix, 0L, 0L)
   }
 
@@ -144,7 +158,8 @@ object DedupIndex {
                           prefix: String, w: Int): Unit = {
     val spark = docs.sparkSession
     val (g, b) = Generations.beginBatch(spark, prefix)
-    writeAll(docs, idCol, textCol, prefix, w, g, b, mode = "append")
+    writeAll(docs, idCol, textCol, prefix, w, g, b, mode = "append",
+      nb = bucketsOf(spark, prefix))
     Generations.commit(spark, prefix, g, b)
   }
 
@@ -154,8 +169,10 @@ object DedupIndex {
   private[graft] def appendUncommitted(docs: DataFrame, idCol: String,
                                        textCol: String,
                                        prefix: String): (Long, Long) = {
-    val (g, b) = Generations.beginBatch(docs.sparkSession, prefix)
-    writeAll(docs, idCol, textCol, prefix, w = 1, g, b, mode = "append")
+    val spark = docs.sparkSession
+    val (g, b) = Generations.beginBatch(spark, prefix)
+    writeAll(docs, idCol, textCol, prefix, w = 1, g, b, mode = "append",
+      nb = bucketsOf(spark, prefix))
     (g, b)
   }
 
@@ -193,18 +210,33 @@ object DedupIndex {
     * @return rewritten-bucket count per logical table (spec gate) */
   def compactPartial(spark: SparkSession, prefix: String,
                      retain: Int = 0): Map[String, Int] = {
-    val (gen, bs) = Generations.committedState(spark, prefix)
+    val st @ (gen, bs) = Generations.committedState(spark, prefix)
+    val nb = bucketsOf(spark, prefix)
     val ng = Generations.beginGeneration(spark, prefix)
     val counts = (for (logical <- Logicals) yield {
       val touched = Sinks.tombstonedBuckets(spark,
         Generations.physical(prefix, logical, gen),
-        bucketColsOf(logical), Buckets, bs)
+        bucketColsOf(logical), nb, bs)
       Sinks.partialCompactBucketedTo(spark,
         Generations.physical(prefix, logical, gen),
         Generations.physical(prefix, logical, ng),
-        bucketColsOf(logical), Buckets, bs, touched)
+        bucketColsOf(logical), nb, bs, touched)
       logical -> touched.size
     }).toMap
+    // SINGLE-MAINTENANCE-WRITER guard (shared posture with full
+    // compact, but the batch-id carry here makes the window look safe
+    // when it is not): a batch committed into the OLD generation after
+    // the snapshot had its files neither folded nor reliably carried —
+    // re-list immediately before the flip and ABORT rather than
+    // silently dropping it. The abort is safe by construction: no b0
+    // commit ever lands, readers stay on the old generation, and the
+    // orphaned next-generation tables are GC'd after a later flip.
+    // (The re-list shrinks the race window from the whole compaction
+    // to one FS roundtrip; true concurrent append+compact needs a
+    // lock service or a CAS on the flip itself.)
+    require(Generations.committedState(spark, prefix) == st,
+      s"$prefix: a batch committed during partial compaction — " +
+        "aborting the flip (single-maintenance-writer contract)")
     bs.filter(_ != 0L).foreach(b =>
       Generations.commit(spark, prefix, ng, b))
     Generations.commit(spark, prefix, ng, 0L)
@@ -218,12 +250,13 @@ object DedupIndex {
   private[graft] def buildNextGeneration(spark: SparkSession,
                                          prefix: String): Long = {
     val (gen, bs) = Generations.committedState(spark, prefix)
+    val nb = bucketsOf(spark, prefix)
     val ng = Generations.beginGeneration(spark, prefix)
     for (logical <- Logicals)
       Sinks.compactBucketedTo(spark,
         Generations.physical(prefix, logical, gen),
         Generations.physical(prefix, logical, ng),
-        bucketColsOf(logical), Buckets, bs)
+        bucketColsOf(logical), nb, bs)
     ng
   }
 

@@ -126,6 +126,59 @@ object Generations {
         if (fs.exists(p)) false
         else { interleave(); fs.create(p, true).close(); true }
     }
+
+    /** CONDITIONAL-WRITE arbitration — the deployment alternative for
+      * stores without O_EXCL create but with an atomic no-overwrite
+      * PUBLISH primitive (the trait's raison d'être beyond POSIX):
+      * stage a writer-unique proposal file (plain create — uniqueness
+      * comes from the UUID in the NAME, so staging needs no atomicity
+      * at all), then publish it onto the claim path with one
+      * compare-and-swap-shaped call:
+      *
+      *  - `file:` scheme → link(2) via Files.createLink, which fails
+      *    EEXIST atomically in the kernel — the classic NFS-safe
+      *    lockfile protocol (O_EXCL was historically unreliable over
+      *    NFSv2, links never were);
+      *  - other schemes → FileSystem.rename(tmp, p), which HDFS
+      *    arbitrates in the namenode: dest-exists rename returns
+      *    false without touching either path. An object store maps
+      *    the same slot to a conditional PUT (If-None-Match: *).
+      *
+      * Unlike [[NonAtomicSimulation]] there is NO exists() probe
+      * anywhere in the protocol — the publish call itself arbitrates —
+      * so the TOCTOU window the test double demonstrates structurally
+      * cannot exist: GenerationsSpec drives two writers through the
+      * same adversarial interleave points (the `interleave` hook runs
+      * between stage and publish, the widest possible race window)
+      * and exactly one wins. The staged proposal is deleted win or
+      * lose; a crash between stage and publish leaves a `.claim.` tmp
+      * that [[gc]]'s marker parser already ignores. */
+    class RenameCas(interleave: () => Unit = () => ())
+        extends ClaimPrimitive {
+      def claim(fs: FileSystem, p: Path): Boolean = {
+        val tmp = new Path(p.getParent,
+          p.getName + ".claim." + java.util.UUID.randomUUID().toString)
+        if (fs.getScheme == "file") {
+          val lt = java.nio.file.Paths.get(tmp.toUri.getPath)
+          java.nio.file.Files.createDirectories(lt.getParent)
+          java.nio.file.Files.write(lt, Array.emptyByteArray)
+        } else fs.create(tmp, true).close()
+        interleave()
+        val won =
+          if (fs.getScheme == "file") {
+            try {
+              java.nio.file.Files.createLink(
+                java.nio.file.Paths.get(p.toUri.getPath),
+                java.nio.file.Paths.get(tmp.toUri.getPath))
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
+          } else fs.rename(tmp, p)
+        fs.delete(tmp, false)
+        won
+      }
+    }
   }
 
   /** The primitive in force — swappable by tests only. */
@@ -190,6 +243,38 @@ object Generations {
     * readable, and its invisibility-until-commit is structural. */
   def beginBootstrap(spark: SparkSession, prefix: String): Unit =
     Sinks.purgeTable(spark, manifestT(prefix))
+
+  // ------------------------------------------- writer-pinned settings
+
+  private val BucketsMarker = "buckets_(\\d+)".r
+
+  /** Persist the WRITER's bucket count in the manifest — the layout
+    * knob every later reader and maintenance pass MUST follow (a
+    * reader folding with the wrong count would compute wrong bucket
+    * ids in [[Sinks.tombstonedBuckets]] and partial compaction would
+    * rewrite the wrong files). Written once at bootstrap, immutable
+    * for the index's lifetime ([[gc]] never touches it — changing the
+    * count means re-bucketing every table, i.e. a fresh bootstrap).
+    * One marker file, same discipline as the commit log. */
+  def setBuckets(spark: SparkSession, prefix: String, n: Int): Unit = {
+    require(n >= 1, s"bucket count must be >= 1, got $n")
+    val p = new Path(dir(spark, prefix), s"buckets_$n")
+    require(claimPrimitive.claim(fsOf(spark, p), p),
+      s"${manifestT(prefix)}: bucket count already pinned")
+  }
+
+  /** The writer-pinned bucket count, or `default` for indexes
+    * bootstrapped before the marker existed (their writers used the
+    * compile-time default — the counts agree by construction). */
+  def bucketsOf(spark: SparkSession, prefix: String,
+                default: Int): Int = {
+    val d = dir(spark, prefix)
+    val f = fsOf(spark, d)
+    if (!f.exists(d)) default
+    else f.listStatus(d).toSeq.map(_.getPath.getName).collectFirst {
+      case BucketsMarker(n) => n.toInt
+    }.getOrElse(default)
+  }
 
   /** Claim the first free batch id at or past `startB` in generation
     * `g` — the arbitration loop, split out so GenerationsSpec can

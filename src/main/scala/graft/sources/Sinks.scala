@@ -181,7 +181,13 @@ object Sinks {
     * their commits over BEFORE the b0 flip — the committedState b0
     * rule keeps the carry-over invisible until the flip); orphan rows
     * riding along in copied files stay invisible exactly as before
-    * (their b is never committed). Untouched buckets keep their
+    * (their b is never committed). SINGLE-MAINTENANCE-WRITER contract:
+    * the fold and the carry both read a point-in-time snapshot of the
+    * source, so a batch committed concurrently would be silently
+    * dropped from the new generation — callers must re-resolve
+    * [[Generations.committedState]] immediately before their b0 flip
+    * and abort on drift (both index compactPartial impls do).
+    * Untouched buckets keep their
     * one-file-per-batch layout — partial compaction bounds tombstone
     * mass, FULL compaction bounds file count; a maintenance schedule
     * alternates them by [[graft.sources.Bm25Index.deadFractionPct]]-

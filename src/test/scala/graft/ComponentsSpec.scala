@@ -191,7 +191,33 @@ class ComponentsSpec extends AnyFunSuite {
       30L -> 30L, 31L -> 30L, 32L -> 30L))
   }
 
-  test("non-convergence raises instead of emitting a half-propagated labeling") {
+  test("min-label budget exhaustion auto-falls back to large-star/" +
+    "small-star and converges with the component-min labels") {
+    // a 16384-edge path needs ~log2(2^14)+3 ≈ 17 pointer-jumped
+    // rounds — the adversarial graph that exceeds min-label's budget
+    // of 10. The fallback hands the partial labels to the star loop
+    // as hint edges (chains already halved 2^10 times, so the
+    // residual structure is ~16 hops) and must converge inside the
+    // star leg's own 10-round budget with labels bit-equal to a
+    // converged run: every vertex at the component min, 0.
+    val (labelsDf, rounds) = TextOps.componentsIters(
+      sym((0L until 16384L).map(i => (i, i + 1))), maxIters = 10)
+    val labels =
+      try labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally Caches.clear()
+    assert(labels.size == 16385)
+    assert(labels.values.forall(_ == 0L),
+      s"non-min labels: ${labels.filter(_._2 != 0L).take(5)}")
+    assert(rounds > 10,
+      s"fallback never engaged — min-label claimed convergence in " +
+        s"$rounds rounds")
+  }
+
+  test("non-convergence of BOTH algorithms raises instead of emitting " +
+    "a half-propagated labeling") {
+    // budget 1 exhausts min-label on a 64-path AND the warm star leg
+    // (the residual chain still needs several alternations) — the
+    // retained backstop for a genuinely pathological bound
     val ex = intercept[IllegalArgumentException] {
       run((0L until 64L).map(i => (i, i + 1)), maxIters = 1)
     }

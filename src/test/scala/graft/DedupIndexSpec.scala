@@ -234,4 +234,49 @@ class DedupIndexSpec extends AnyFunSuite {
       "victim's tombstone rows survived the touched-bucket rewrite")
     Caches.clear()
   }
+
+  test("writer-pinned bucket count: a non-default count threads " +
+    "through append/delete/partial+full compaction — bucket-id math " +
+    "and file counts follow the manifest, screens stay bit-equal") {
+    val p = "tbk8"
+    val nb = 8
+    val docs = Tables.documents(spark, d)
+    DedupIndex.write(docs.filter(col("doc_id") % 5 <= 2), "doc_id",
+      "text", p, buckets = nb)
+    assert(graft.sources.Generations.bucketsOf(spark, p, -1) == nb,
+      "bootstrap did not pin the bucket count in the manifest")
+    // append and delete must resolve the pinned 8, not the default 32
+    // — a mismatched count would write files whose NAME-encoded bucket
+    // id disagrees with the fold's hash math and the partial pass
+    // below would rewrite the wrong files, leaving tombstones live
+    DedupIndex.append(docs.filter(col("doc_id") % 5 === 3), "doc_id",
+      "text", p)
+    val victim = docs.filter(col("doc_id") % 5 === 3).limit(1)
+      .select("doc_id", "text")
+    val victimId = victim.head().getLong(0)
+    DedupIndex.delete(victim, "doc_id", "text", p)
+    def near() = DedupIndex.screenNearDup(spark, batch, "doc_id",
+      "text", p).collect().toSeq
+    val near0 = near()
+    val rewritten = DedupIndex.compactPartial(spark, p)
+    assert(rewritten.values.forall(_ <= nb), s"over-rewrote: $rewritten")
+    val physH = graft.sources.Generations.physicalFor(spark, p, "hashes")
+    assert(spark.table(physH)
+        .filter(col("doc_id") === victimId && col("w") < 0).isEmpty,
+      "tombstone survived — partial pass used the wrong bucket count")
+    assert(near() == near0,
+      "screen diverged across partial compact at 8 buckets")
+    DedupIndex.compact(spark, p)
+    for (t <- Seq("bands", "shsets", "hashes")) {
+      val phys = graft.sources.Generations.physicalFor(spark, p, t)
+      val files = new java.io.File(s"spark-warehouse/$phys")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == nb,
+        s"$phys: expected $nb files (one per pinned bucket), " +
+          s"found ${files.length}")
+    }
+    assert(near() == near0,
+      "screen diverged across full compact at 8 buckets")
+    Caches.clear()
+  }
 }

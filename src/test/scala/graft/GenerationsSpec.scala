@@ -279,6 +279,54 @@ class GenerationsSpec extends AnyFunSuite {
     } finally { Generations.claimPrimitive = saved }
   }
 
+  test("RenameCas conditional-write claim: the SAME adversarial " +
+    "interleave that double-claims under the non-atomic double " +
+    "yields exactly one winner — the publish call itself arbitrates, " +
+    "no exists() probe exists to race") {
+    val p = "tgen10"
+    Generations.beginBootstrap(spark, p)
+    var bB = -1L
+    var fired = false
+    val saved = Generations.claimPrimitive
+    try {
+      // writer A is paused between STAGING its proposal and PUBLISHING
+      // it — the widest possible window; writer B runs a complete
+      // claim of the same candidate inside it and must win, leaving A
+      // to detect the loss at publish and retry upward
+      Generations.claimPrimitive =
+        new Generations.ClaimPrimitive.RenameCas(() => {
+          if (!fired) {
+            fired = true
+            bB = Generations.claimBatchFrom(spark, p, 0L, 1L)
+          }
+        })
+      val bA = Generations.claimBatchFrom(spark, p, 0L, 1L)
+      assert(bB == 1L && bA == 2L,
+        s"CAS arbitration failed: A=$bA B=$bB")
+    } finally { Generations.claimPrimitive = saved }
+  }
+
+  test("the full index lifecycle stays green under the conditional-" +
+    "write primitive: bootstrap/append/compact/search all claim " +
+    "through RenameCas") {
+    val saved = Generations.claimPrimitive
+    try {
+      Generations.claimPrimitive =
+        new Generations.ClaimPrimitive.RenameCas()
+      val p = "tgen11"
+      Bm25Index.write(docs.filter(col("doc_id") % 5 <= 2), "doc_id",
+        "text", p)
+      Bm25Index.append(docs.filter(col("doc_id") % 5 === 3), "doc_id",
+        "text", p)
+      Bm25Index.compact(spark, p)
+      assert(Bm25Index.search(spark, p, qs).collect().toSeq ==
+        CorpusOps.bm25TopK(docs.filter(col("doc_id") % 5 <= 3),
+          "doc_id", "text", qs).collect().toSeq,
+        "lifecycle under RenameCas diverged from inline")
+      Caches.clear()
+    } finally { Generations.claimPrimitive = saved }
+  }
+
   test("partial compaction: a small delete log rewrites ONLY the " +
     "tombstoned buckets, copies the rest's files byte-for-byte, and " +
     "answers stay bit-equal across the b0 flip") {
