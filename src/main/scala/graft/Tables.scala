@@ -15,6 +15,16 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** A valid, collision-free warehouse-table prefix for a per-dataset
+    * shared standing build (the q165/q169 staged-index discipline):
+    * tag + the SANITIZED dataset path — injective up to
+    * non-alphanumeric runs, so distinct dirs never alias (an earlier
+    * hashCode-based prefix could collide, and abs(Int.MinValue) is
+    * negative). */
+  private[graft] def tablePrefix(tag: String, d: String): String =
+    tag + "_" + d.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

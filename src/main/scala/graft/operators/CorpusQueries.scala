@@ -403,6 +403,40 @@ object CorpusQueries {
             when(v === 1, col("png_gray"))
               .when(v === 2, col("png_pal"))
               .otherwise(col("bmp")).as("content"))
+      case "png_depths" =>
+        // its own 5-way split (doc_id % 5): v 0 BMP, v 1
+        // ADAM7-INTERLACED gray-8 PNG, v 2 16-BIT gray PNG — all the
+        // BASE image, so the interlaced and 16-bit members join the
+        // BMP ground truth's hamming-0 clique; v 3 4-BIT gray PNG of
+        // the QUANTIZED base ((p div 16)·17 — the exact 255/15 scale
+        // roundtrip), v 4 BMP of the same quantized image: the 4-bit
+        // member's cross-container hamming-0 twin
+        val g5 = expr("doc_id div 5")
+        val base = fixturePix(g5, lit(0)) _
+        def quant(r: org.apache.spark.sql.Column,
+                  c: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column = {
+          val p = base(r, c)
+          ((p - pmod(p, lit(16))) / lit(16)).cast("int") * 17
+        }
+        val v5 = pmod(col("doc_id"), lit(5))
+        val pi = pngContentDepth(docs, base, "adam7")
+          .withColumnRenamed("content", "p_i")
+        val p16 = pngContentDepth(docs, base, "g16")
+          .withColumnRenamed("content", "p_16")
+        val p4 = pngContentDepth(docs, base, "g4")
+          .withColumnRenamed("content", "p_4")
+        docs.select(col("doc_id"), bmpContent(base).as("bmp"),
+            bmpContent(quant).as("bmpq"))
+          .join(pi, Seq("doc_id"))
+          .join(p16, Seq("doc_id"))
+          .join(p4, Seq("doc_id"))
+          .select(col("doc_id"),
+            when(v5 === 1, col("p_i"))
+              .when(v5 === 2, col("p_16"))
+              .when(v5 === 3, col("p_4"))
+              .when(v5 === 4, col("bmpq"))
+              .otherwise(col("bmp")).as("content"))
       case "jpeg_modes" =>
         // v 0: baseline JPEG, v 1: restart-interval JPEG (DRI + RSTn),
         // v 2: PROGRESSIVE JPEG (SOF2, DC scan + EOB-run AC scan) —
@@ -547,6 +581,22 @@ object CorpusQueries {
         else transform(sequence(lit(0), lit(8)), c => enc(r, c, 1)))))
     val staged = Caches.persistTracked(
       docs.select(col("doc_id"), rawBytes.as("raw")))
+    val ihdrHex =
+      if (palette) pngChunkHex("IHDR",
+        Array[Byte](0, 0, 0, 9, 0, 0, 0, 8, 8, 3, 0, 0, 0))
+      else if (rgb) "0000000D4948445200000009000000080802000000A4AF42E2"
+      else "0000000D49484452000000090000000808000000000EA68A69"
+    pngAssemble(staged, n, ihdrHex, if (palette) xorPlteHex else "")
+  }
+
+  /** The shared PNG assembly tail — raw scanline stream (a `raw`
+    * int-array column on `staged`) → STORED-deflate zlib (Adler32 as
+    * two running sums, RFC 1950 §8.2), IDAT CRC32 (the ISO 3309
+    * reflected-polynomial loop), constant IHDR/PLTE hex — factored
+    * out of [[pngContent]] so the depth/interlace fixture variants
+    * ([[pngContentDepth]]) reuse the checksum machinery verbatim. */
+  private def pngAssemble(staged: DataFrame, n: Int, ihdrHex: String,
+                          plteHex: String = ""): DataFrame = {
     val raw = col("raw")
     val s1 = pmod(lit(1L) +
       aggregate(raw, lit(0L), (a, x) => a + x), lit(65521L))
@@ -575,21 +625,130 @@ object CorpusQueries {
           when(x.bitwiseAND(lit(1L)) === 1L, lit(0xEDB88320L))
             .otherwise(lit(0L)))))
       .bitwiseXOR(lit(0xFFFFFFFFL))
-    val ihdrHex =
-      if (palette) pngChunkHex("IHDR",
-        Array[Byte](0, 0, 0, 9, 0, 0, 0, 8, 8, 3, 0, 0, 0))
-      else if (rgb) "0000000D4948445200000009000000080802000000A4AF42E2"
-      else "0000000D49484452000000090000000808000000000EA68A69"
     val pngHex = concat(
       lit("89504E470D0A1A0A"),
       lit(ihdrHex),
-      lit(if (palette) xorPlteHex else ""),
+      lit(plteHex),
       lit("%08X".format(n + 11) + "49444154"),
       concat_ws("", transform(col("zl"),
         b => lpad(hex(b.cast("long")), 2, "0"))),
       lpad(hex(crc), 8, "0"),
       lit("0000000049454E44AE426082"))
     withZlib.select(col("doc_id"), unhex(pngHex).as("content"))
+  }
+
+  /** Spec-true PNG synthesis for the DEPTH/INTERLACE shapes q193
+    * gates (the [[pngContent]] machinery at the other corners of the
+    * IHDR matrix; 9×8 grayscale fixture geometry throughout):
+    *
+    *  - `adam7`: gray-8 INTERLACED — the seven-pass scanline order
+    *    (spec §8.2) with per-pass filter semantics (each pass filters
+    *    against its OWN previous row/pixel), filters cycling over the
+    *    global scanline index so all five appear;
+    *  - `g16`: gray 16-bit — each sample is (pix << 8) | (255 − pix):
+    *    a decoder taking the LOW byte produces visibly different
+    *    grays, so the truncation direction is gated; filters run at
+    *    bpp = 2 (high and low bytes filter against their own lane);
+    *  - `g4`: gray 4-bit of the QUANTIZED image (sample q = pix div
+    *    16, decoded gray q·17 — the exact 255/15 scale roundtrip):
+    *    two samples per byte MSB-first, odd width so the last byte
+    *    carries pad bits, filters at bpp = 1 over the PACKED bytes.
+    *
+    * The pass/row/filter geometry is STATIC for the fixed fixture
+    * dims, so the builder emits one literal-indexed expression per
+    * byte — same codegen shape as the BMP builder. */
+  private def pngContentDepth(docs: DataFrame,
+                              pix: (org.apache.spark.sql.Column,
+                                org.apache.spark.sql.Column) =>
+                                org.apache.spark.sql.Column,
+                              mode: String): DataFrame = {
+    type C = org.apache.spark.sql.Column
+    def filt(f: Int, p: C, left: C, up: C, ul: C): C = f match {
+      case 0 => p.cast("int")
+      case 1 => pmod(p - left, lit(256)).cast("int")
+      case 2 => pmod(p - up, lit(256)).cast("int")
+      case 3 => pmod(p - shiftright(left + up, 1), lit(256)).cast("int")
+      case _ =>
+        val q = left + up - ul
+        val paeth = when(abs(q - left) <= abs(q - up) &&
+            abs(q - left) <= abs(q - ul), left)
+          .when(abs(q - up) <= abs(q - ul), up)
+          .otherwise(ul)
+        pmod(p - paeth, lit(256)).cast("int")
+    }
+    // each mode yields (scanline byte arrays, ihdr payload)
+    val (rowArrays, ihdr): (Seq[C], Array[Byte]) = mode match {
+      case "adam7" =>
+        val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+          (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        var rowIdx = 0
+        val rows = passes.flatMap { case (xs, ys, xst, yst) =>
+          val cs = xs until 9 by xst
+          val rs = ys until 8 by yst
+          if (cs.isEmpty || rs.isEmpty) Nil
+          else rs.zipWithIndex.map { case (y, pr) =>
+            val f = rowIdx % 5
+            rowIdx += 1
+            val cells = cs.zipWithIndex.map { case (x, pc) =>
+              filt(f, pix(lit(y), lit(x)),
+                if (pc > 0) pix(lit(y), lit(x - xst)) else lit(0),
+                if (pr > 0) pix(lit(y - yst), lit(x)) else lit(0),
+                if (pr > 0 && pc > 0) pix(lit(y - yst), lit(x - xst))
+                else lit(0))
+            }
+            array(lit(f).cast("int") +: cells: _*)
+          }
+        }
+        (rows, Array[Byte](0, 0, 0, 9, 0, 0, 0, 8, 8, 0, 0, 0, 1))
+      case "g16" =>
+        def b16(y: Int, x: Int, k: Int): C =
+          if (k == 0) pix(lit(y), lit(x))
+          else lit(255) - pix(lit(y), lit(x))
+        val rows = (0 until 8).map { y =>
+          val f = y % 5
+          val cells = (0 until 9).flatMap { x =>
+            Seq(0, 1).map { k =>
+              filt(f, b16(y, x, k),
+                if (x > 0) b16(y, x - 1, k) else lit(0),
+                if (y > 0) b16(y - 1, x, k) else lit(0),
+                if (y > 0 && x > 0) b16(y - 1, x - 1, k) else lit(0))
+            }
+          }
+          array(lit(f).cast("int") +: cells: _*)
+        }
+        (rows, Array[Byte](0, 0, 0, 9, 0, 0, 0, 8, 16, 0, 0, 0, 0))
+      case "g4" =>
+        def q4(y: Int, x: Int): C = {
+          val p = pix(lit(y), lit(x))
+          (p - pmod(p, lit(16))) / lit(16)
+        }
+        def packed(y: Int, j: Int): C =
+          if (j == 4) q4(y, 8) * 16
+          else q4(y, 2 * j) * 16 + q4(y, 2 * j + 1)
+        val rows = (0 until 8).map { y =>
+          val f = y % 5
+          val cells = (0 until 5).map { j =>
+            filt(f, packed(y, j),
+              if (j > 0) packed(y, j - 1) else lit(0),
+              if (y > 0) packed(y - 1, j) else lit(0),
+              if (y > 0 && j > 0) packed(y - 1, j - 1) else lit(0))
+          }
+          array(lit(f).cast("int") +: cells: _*)
+        }
+        (rows, Array[Byte](0, 0, 0, 9, 0, 0, 0, 8, 4, 0, 0, 0, 0))
+      case other =>
+        throw new IllegalArgumentException(s"unknown PNG mode $other")
+    }
+    val rawBytes = concat(rowArrays: _*)
+    // raw length: scanline count + sample bytes — static per mode
+    val rawLen = mode match {
+      case "adam7" => 15 + 72      // 15 pass rows, 72 samples
+      case "g16" => 8 * (1 + 18)   // 8 rows of 18 sample bytes
+      case _ => 8 * (1 + 5)        // 8 rows of 5 packed bytes
+    }
+    val staged = Caches.persistTracked(
+      docs.select(col("doc_id"), rawBytes.as("raw")))
+    pngAssemble(staged, rawLen, pngChunkHex("IHDR", ihdr))
   }
 
   /** q180: TRUECOLOR PNG pixel dedup — q176's gate re-run through the
@@ -832,6 +991,25 @@ object CorpusQueries {
     Multimodal.anyImagePhashDedup(
       stagedFixture(s, d, "png_palette")(
         imageFixture(s, d, "png_palette")))
+      .orderBy("doc_id")
+
+  /** q193: the PNG DEPTH/INTERLACE matrix joins the container-blind
+    * clique — the last honest PNG gates closed (r17 verdict item 4):
+    * an ADAM7-interlaced member and a 16-bit member decode to the
+    * BASE image exactly (interlace is a pass re-order; 16-bit
+    * truncates to its high byte, and the fixture's low byte is
+    * 255−pix so taking the wrong byte breaks the clique), pairing
+    * hamming-0 with the BMP ground truth; the 4-BIT member stores the
+    * quantized base ((p div 16)·17 — the exact sub-8 scale roundtrip)
+    * and must pair hamming-0 with its own BMP twin of the same
+    * quantized image, proving the bit-unpack + scale path against a
+    * container with no bit packing at all. Oracle: the shared dHash
+    * chain over the v-selected pixel formulas.
+    */
+  def q193PngDepths(s: SparkSession, d: String): DataFrame =
+    Multimodal.anyImagePhashDedup(
+      stagedFixture(s, d, "png_depths")(
+        imageFixture(s, d, "png_depths")))
       .orderBy("doc_id")
 
   /** q189: EXIF metadata extraction under a full driver gate — the
@@ -1256,6 +1434,7 @@ object CorpusQueries {
     "q184_jpeg_cross_container" -> (q184JpegCrossContainer _),
     "q185_jpeg_modes_dedup" -> (q185JpegModesDedup _),
     "q186_palette_png_dedup" -> (q186PalettePngDedup _),
+    "q193_png_depths" -> (q193PngDepths _),
     "q189_exif_meta" -> (q189ExifMeta _),
     "q191_oriented_dedup" -> (q191OrientedDedup _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
@@ -1515,14 +1694,11 @@ object CorpusQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sharedIndex(s: SparkSession, d: String): String =
     sharedIndexes.computeIfAbsent(d, _ => {
-      // prefix from the SANITIZED dataset path, not its hashCode: two
-      // dirs colliding on hashCode would silently serve the serving
-      // gates from the wrong corpus, and abs(Int.MinValue) is negative
-      // (an invalid table name). The sanitized path is injective up to
-      // non-alphanumeric runs — distinct test dirs stay distinct.
-      val p = "gshr_" +
-        d.toLowerCase.replaceAll("[^a-z0-9]+", "_")
-          .replaceAll("^_+|_+$", "")
+      // prefix from the SANITIZED dataset path (Tables.tablePrefix),
+      // not its hashCode: two dirs colliding on hashCode would
+      // silently serve the serving gates from the wrong corpus, and
+      // abs(Int.MinValue) is negative (an invalid table name)
+      val p = Tables.tablePrefix("gshr", d)
       graft.sources.Bm25Index.write(Tables.documents(s, d), "doc_id",
         "text", p)
       p
@@ -1769,6 +1945,25 @@ object CorpusQueries {
        |      WHEN v = 3 THEN 1 + (g*53
        |        + (g*3 + r*11 + c*17 + 7)*(g*3 + r*11 + c*17 + 7)
        |        + 137) % 254
+       |      ELSE 1 + (g*31
+       |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254 END AS pv
+       |  FROM imgd, range(8) t1(r), range(9) t2(c)),
+       |$dHashChainCtes
+       |$imagePhashTail""".stripMargin
+
+  /** q193's oracle: the same image for v ∈ {0,1,2} (BMP, interlaced
+    * PNG, 16-bit PNG of the base) and the QUANTIZED image for
+    * v ∈ {3,4} (4-bit PNG + its BMP twin) — mirrors the png_depths
+    * fixture's v split; shares [[dHashChainCtes]] and the tail. */
+  private lazy val pngDepthsOracle: String =
+    s"""WITH imgd AS (
+       |  SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, r, c,
+       |    CASE
+       |      WHEN v >= 3 THEN ((1 + (g*31
+       |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254) // 16) * 17
        |      ELSE 1 + (g*31
        |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254 END AS pv
        |  FROM imgd, range(8) t1(r), range(9) t2(c)),
@@ -2499,6 +2694,7 @@ object CorpusQueries {
     // decode to the same pixels, so the expected cliques are q181's
     "q185_jpeg_modes_dedup" -> crossContainerOracle,
     "q186_palette_png_dedup" -> crossContainerOracle,
+    "q193_png_depths" -> pngDepthsOracle,
     // q191 shares the container-blind pixel oracle: orientation
     // normalization recovers the base pixels exactly, so expected
     // cliques are q181's

@@ -541,11 +541,35 @@ object LlmQueries {
     * routing → top-3, i.e. the inline kmeans-routed ranker re-derived
     * bit-for-bit.
     */
+  /** The per-dataset SHARED learned-ANN build (the q165/q167/q168
+    * staged-index discipline applied to the vector family): ONE coarse
+    * quantizer trained (Lloyd k=4 iters=3 over the full embedding
+    * table — deterministic, so every consumer would derive the
+    * bit-identical centroids) and ONE full-corpus learned index
+    * written per dataset dir. q170's recall eval searches the shared
+    * index directly (it gates ROUTING QUALITY, not the build — the
+    * build lifecycle is q169's subject); q169/q171 reuse only the
+    * trained quantizer ([[graft.sources.VectorIndex.reuseCoarse]], a
+    * bounded-table copy) because their gates ARE the lifecycle over
+    * their own prefixes. Keyed by dataset dir like sharedIndexes, so
+    * warmup and timed SF never share tables. */
+  private val sharedLearnedIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedLearned(s: SparkSession, d: String): String =
+    sharedLearnedIdx.computeIfAbsent(d, _ => {
+      import graft.sources.VectorIndex
+      val p = Tables.tablePrefix("glrn", d)
+      val emb = Tables.embeddings(s, d)
+      VectorIndex.trainCoarse(emb, "vec_id", "embedding", p,
+        k = 4, iters = 3)
+      VectorIndex.writeLearned(emb, "vec_id", "embedding", p)
+      p
+    })
+
   def q169LearnedVectorIndex(s: SparkSession, d: String): DataFrame = {
     import graft.sources.VectorIndex
     val emb = Tables.embeddings(s, d)
-    VectorIndex.trainCoarse(emb, "vec_id", "embedding", "g169",
-      k = 4, iters = 3)
+    VectorIndex.reuseCoarse(s, sharedLearned(s, d), "g169")
     val planted = emb.filter(col("vec_id") % 7 === 0)
       .withColumn("vec_id", col("vec_id") + 1000000L)
     VectorIndex.writeLearned(emb.filter(col("vec_id") % 5 <= 2),
@@ -569,14 +593,14 @@ object LlmQueries {
     import graft.sources.VectorIndex
     val emb = Tables.embeddings(s, d)
     val probe = col("vec_id") % 50 === 0
-    VectorIndex.trainCoarse(emb, "vec_id", "embedding", "g170",
-      k = 4, iters = 3)
-    VectorIndex.writeLearned(emb, "vec_id", "embedding", "g170")
+    // the shared full-corpus learned index — q170 gates routing
+    // quality against brute force, not the build (q169's subject)
+    val idx = sharedLearned(s, d)
     val probes = Similarity.probes(emb, "vec_id", "embedding", probe)
     val exact = Caches.persistTracked(
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", probe, 3))
     def r(np: Int) = Similarity.recallAtK(exact,
-      VectorIndex.search(s, "g170", probes, 3, np), 3)
+      VectorIndex.search(s, idx, probes, 3, np), 3)
     r(1).select(col("probe_id"), col("hits").as("hits_np1"),
         col("recall").as("recall_np1"))
       .join(r(2).select(col("probe_id"), col("hits").as("hits_np2"),
@@ -596,8 +620,7 @@ object LlmQueries {
   def q171LearnedPqIndex(s: SparkSession, d: String): DataFrame = {
     import graft.sources.VectorIndex
     val emb = Tables.embeddings(s, d)
-    VectorIndex.trainCoarse(emb, "vec_id", "embedding", "g171",
-      k = 4, iters = 3)
+    VectorIndex.reuseCoarse(s, sharedLearned(s, d), "g171")
     VectorIndex.trainCodebookLearned(emb, "embedding", "g171")
     val planted = emb.filter(col("vec_id") % 7 === 0)
       .withColumn("vec_id", col("vec_id") + 1000000L)

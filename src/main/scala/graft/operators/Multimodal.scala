@@ -685,34 +685,53 @@ object Multimodal {
     * gray = (r+g+b)/3, the decodeBmpGray convention), and PALETTE-8
     * (color type 3, bpp 1: filters reconstruct INDEX bytes, then the
     * CRC-verified PLTE chunk maps each index to its RGB triple —
-    * missing palette or out-of-range index returns None). Returns the
-    * grayscale matrix (rows top-down, PNG's storage order) or None for
+    * missing palette or out-of-range index returns None). Since r18
+    * the full non-alpha shape matrix decodes: every legal BIT DEPTH
+    * (gray 1/2/4/8/16, truecolor 8/16, palette 1/2/4/8 — sub-8
+    * samples are MSB-first bit-unpacked AFTER the byte-level filter
+    * pass, spec §7.2, and scale to 8-bit gray by v·255/(2^d−1),
+    * exact integers; 16-bit samples TRUNCATE to their high byte for
+    * the 8-bit gray print) and ADAM7 INTERLACE (spec §8.2: seven
+    * independently-filtered sub-images in one deflate stream,
+    * de-interlaced by the static offset/step scatter — a pass
+    * re-order, exactly as cheap as it sounds). Returns the grayscale
+    * matrix (rows top-down, PNG's storage order) or None for
     * anything malformed or outside the supported shape (alpha color
-    * types, sub-8/16-bit depth, interlace stay behind honest gates) —
-    * the decode path itself (chunking, CRCs, DEFLATE, filters) is the
-    * real format, not a stub: any spec-conforming gray-8 or rgb-8 PNG
-    * decodes, whatever produced it. JPEG pixels (entropy coding)
-    * remain the documented codec stub.
+    * types stay behind honest gates) — the decode path itself
+    * (chunking, CRCs, DEFLATE, filters, unpacking, de-interlacing)
+    * is the real format, not a stub: any spec-conforming non-alpha
+    * PNG decodes, whatever produced it (DecoderFuzzSpec feeds it the
+    * JDK ImageIO encoder's interlaced/16-bit/palette-4 output). JPEG
+    * pixels (entropy coding) remain the documented codec stub.
     */
   def decodePngGray(bytes: Array[Byte]): Option[Array[Array[Int]]] = {
     val meta = decodePngHeader(bytes) match {
-      // grayscale-8 (color type 0, 8 bpp) or truecolor-8 (type 2,
-      // 24 bpp) — both lossless, both honestly decodable in pure JVM
-      case Some(m) if m.bits_per_pixel == 8 || m.bits_per_pixel == 24 => m
+      case Some(m) => m
       case _ => return None
     }
     def be32(o: Int): Long =
       ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
         ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
-    // IHDR color type 0 (grayscale, bpp 1), 2 (truecolor, bpp 3) or
-    // 3 (palette, bpp 1 index bytes), standard compression and filter
-    // method, no interlace — the header decode validated dims/bit
-    // depth; fixed first-chunk offsets
-    if (bytes.length < 33 ||
-      (bytes(25) != 0 && bytes(25) != 2 && bytes(25) != 3) ||
-      bytes(26) != 0 || bytes(27) != 0 || bytes(28) != 0) return None
+    // IHDR color type 0 (grayscale), 2 (truecolor) or 3 (palette) at
+    // every depth the spec allows each (§11.2.2's table), standard
+    // compression and filter method, interlace 0 (none) or 1 (Adam7);
+    // fixed first-chunk offsets — the header decode validated dims
+    if (bytes.length < 33 || bytes(26) != 0 || bytes(27) != 0 ||
+      (bytes(28) != 0 && bytes(28) != 1)) return None
     val colorType = bytes(25).toInt
-    val bpp = if (colorType == 2) 3 else 1
+    val depth = bytes(24) & 0xff
+    val okDepth = colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)
+      case 2 => Set(8, 16)
+      case 3 => Set(1, 2, 4, 8)
+      case _ => return None
+    }
+    if (!okDepth(depth)) return None
+    val channels = if (colorType == 2) 3 else 1
+    // the filter pass's byte distance: "bpp is rounded up to one"
+    // for sub-byte depths (spec §9.2)
+    val bpp = math.max(1, channels * depth / 8)
+    val interlaced = bytes(28) == 1
     val (w, h) = (meta.width, meta.height)
     if (w <= 0 || h <= 0 || w.toLong * h > 16L * 1024 * 1024) return None
     // chunk walk: verify every CRC, concatenate IDAT payloads, and
@@ -741,8 +760,24 @@ object Multimodal {
       o += 12 + len.toInt
     }
     if (colorType == 3 && plte == null) return None
-    val stride = 1 + w * bpp
-    val raw = new Array[Byte](h * stride)
+    // pass geometry: one full pass, or Adam7's seven sub-images
+    // (spec §8.2 — xStart/yStart/xStep/yStep per pass; empty passes
+    // contribute no scanlines at all)
+    val passes =
+      if (!interlaced) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (xs, ys, xst, yst) = p
+      (if (w > xs) (w - xs + xst - 1) / xst else 0,
+        if (h > ys) (h - ys + yst - 1) / yst else 0)
+    }
+    def rowBytesOf(pw: Int): Int = (pw * channels * depth + 7) / 8
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0 else ph * (1 + rowBytesOf(pw))
+    }.sum
+    val raw = new Array[Byte](rawLen)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -756,52 +791,91 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // filter reconstruction over CHANNEL BYTES (spec §9: `left` is the
-    // byte bpp positions back — the same channel of the previous
-    // pixel; absent neighbors = 0), then gray = (r + g + b) / 3 for
-    // truecolor (the decodeBmpGray convention) or the byte itself
-    val chan = Array.ofDim[Int](h, w * bpp)
-    var r = 0
-    while (r < h) {
-      val f = raw(r * stride) & 0xff
-      if (f > 4) return None
-      var c = 0
-      while (c < w * bpp) {
-        val x = raw(r * stride + 1 + c) & 0xff
-        val left = if (c >= bpp) chan(r)(c - bpp) else 0
-        val up = if (r > 0) chan(r - 1)(c) else 0
-        val ul = if (r > 0 && c >= bpp) chan(r - 1)(c - bpp) else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => // Paeth §9.4
-            val p = left + up - ul
-            val (pa, pb, pc) =
-              (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
-            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+    // per pass: filter reconstruction over BYTES (spec §9: `left` is
+    // the byte bpp positions back; absent neighbors = 0 — each pass
+    // filters independently), then sample unpack (sub-8 depths are
+    // MSB-first packed; 16-bit keeps only the high byte — the 8-bit
+    // truncation) and scatter to the full-image sample grid
+    val samples = Array.ofDim[Int](h, w * channels)
+    var off = 0
+    for (p @ (xs, ys, xst, yst) <- passes) {
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val rb = rowBytesOf(pw)
+        val stride = 1 + rb
+        val rec = Array.ofDim[Int](ph, rb)
+        var r = 0
+        while (r < ph) {
+          val f = raw(off + r * stride) & 0xff
+          if (f > 4) return None
+          var c = 0
+          while (c < rb) {
+            val x = raw(off + r * stride + 1 + c) & 0xff
+            val left = if (c >= bpp) rec(r)(c - bpp) else 0
+            val up = if (r > 0) rec(r - 1)(c) else 0
+            val ul = if (r > 0 && c >= bpp) rec(r - 1)(c - bpp) else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) / 2
+              case 4 => // Paeth §9.4
+                val q = left + up - ul
+                val (pa, pb, pc) =
+                  (math.abs(q - left), math.abs(q - up), math.abs(q - ul))
+                if (pa <= pb && pa <= pc) left
+                else if (pb <= pc) up else ul
+            }
+            rec(r)(c) = (x + pred) & 0xff
+            c += 1
+          }
+          r += 1
         }
-        chan(r)(c) = (x + pred) & 0xff
-        c += 1
+        r = 0
+        while (r < ph) {
+          var px = 0
+          while (px < pw) {
+            var ch = 0
+            while (ch < channels) {
+              val si = px * channels + ch
+              val v = depth match {
+                case 16 => rec(r)(si * 2) // high byte = the truncation
+                case 8 => rec(r)(si)
+                case d =>
+                  val bit = si * d
+                  (rec(r)(bit >> 3) >> (8 - d - (bit & 7))) &
+                    ((1 << d) - 1)
+              }
+              samples(ys + r * yst)((xs + px * xst) * channels + ch) = v
+              ch += 1
+            }
+            px += 1
+          }
+          r += 1
+        }
+        off += ph * stride
       }
-      r += 1
     }
+    // gray print: palette looks indices up (entries are 8-bit RGB);
+    // gray scales sub-8 samples by 255/(2^d−1) — exact integers (17,
+    // 85, 255); truecolor averages the (already 8-bit) channels — the
+    // decodeBmpGray convention
+    val scale = if (depth >= 8) 1 else 255 / ((1 << depth) - 1)
     val out = Array.ofDim[Int](h, w)
-    r = 0
+    var r = 0
     while (r < h) {
       var c = 0
       while (c < w) {
         out(r)(c) =
-          if (colorType == 3) { // palette lookup, then the same
-            val i = chan(r)(c) // (r+g+b)/3 gray convention
+          if (colorType == 3) {
+            val i = samples(r)(c)
             if (3 * i + 2 >= plte.length) return None
             ((plte(3 * i) & 0xff) + (plte(3 * i + 1) & 0xff) +
               (plte(3 * i + 2) & 0xff)) / 3
           }
-          else if (bpp == 1) chan(r)(c)
-          else (chan(r)(3 * c) + chan(r)(3 * c + 1) +
-            chan(r)(3 * c + 2)) / 3
+          else if (channels == 1) samples(r)(c) * scale
+          else (samples(r)(3 * c) * scale + samples(r)(3 * c + 1) * scale +
+            samples(r)(3 * c + 2) * scale) / 3
         c += 1
       }
       r += 1

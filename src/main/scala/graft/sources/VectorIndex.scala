@@ -348,6 +348,19 @@ object VectorIndex {
       .mode("errorifexists").saveAsTable(coarseT(prefix))
   }
 
+  /** Reuse an ALREADY-TRAINED coarse quantizer under a new index
+    * prefix — the staged-build discipline for gates that compose over
+    * the same trainer corpus (q169/q170/q171 all train the identical
+    * Lloyd quantizer; training is deterministic, so re-running it per
+    * gate re-pays the k-means corpus passes for bit-identical
+    * centroids). Copies the bounded k×dim table — one tiny job, no
+    * corpus scan. */
+  def reuseCoarse(spark: SparkSession, from: String, to: String): Unit = {
+    Sinks.purgeTable(spark, coarseT(to))
+    spark.table(coarseT(from)).coalesce(1).write
+      .mode("errorifexists").saveAsTable(coarseT(to))
+  }
+
   /** The bounded coarse table read back as the centroid matrix. */
   private def loadCoarse(spark: SparkSession,
                          prefix: String): Array[Array[Long]] = {

@@ -405,6 +405,110 @@ class DecoderFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("png gray: decodes the JDK ImageIO encoder's ADAM7-INTERLACED " +
+    "gray output bit-equal to the sequential decode of the same image") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (21, 13) // non-multiples of 8 exercise partial passes
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, (x * 13 + y * 29 + 7) % 256)
+    def write(progressive: Boolean): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      val baos = new java.io.ByteArrayOutputStream
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      if (progressive) p.setProgressiveMode(
+        javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+      ios.close(); writer.dispose()
+      baos.toByteArray
+    }
+    val seq = write(progressive = false)
+    val inter = write(progressive = true)
+    assert((inter(28) & 0xff) == 1, "ImageIO did not write Adam7")
+    assert((seq(28) & 0xff) == 0)
+    val a = Multimodal.decodePngGray(seq)
+      .getOrElse(fail("sequential gray PNG did not decode"))
+    val b = Multimodal.decodePngGray(inter)
+      .getOrElse(fail("interlaced gray PNG did not decode"))
+    assert(a.length == h && b.length == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val expected = (x * 13 + y * 29 + 7) % 256
+      assert(a(y)(x) == expected, s"seq pixel ($x,$y)")
+      assert(b(y)(x) == expected,
+        s"interlaced pixel ($x,$y): ${b(y)(x)} != $expected — " +
+          "de-interlace scatter wrong")
+    }
+  }
+
+  test("png gray: decodes the JDK ImageIO encoder's 16-BIT gray " +
+    "output with the high-byte truncation") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (17, 11)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+    def v16(x: Int, y: Int) = (x * 4111 + y * 911 + 257) % 65536
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, v16(x, y))
+    val baos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(bi, "png", baos)
+    val bytes = baos.toByteArray
+    assert((bytes(24) & 0xff) == 16, "ImageIO did not write depth 16")
+    val img = Multimodal.decodePngGray(bytes)
+      .getOrElse(fail("16-bit gray PNG did not decode"))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img(y)(x) == (v16(x, y) >> 8),
+        s"pixel ($x,$y): ${img(y)(x)} != ${v16(x, y) >> 8} — " +
+          "16-bit truncation wrong (LSB taken?)")
+  }
+
+  test("png gray: decodes the JDK ImageIO encoder's 4-BIT PALETTE " +
+    "output (sub-8 bit unpacking + PLTE lookup)") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val (w, h) = (19, 9) // odd width: the last byte carries pad bits
+    // 16 permuted gray entries: entry i = gray (i*13+5)%256
+    val grays = Array.tabulate(16)(i => ((i * 13 + 5) % 256).toByte)
+    val icm = new IndexColorModel(4, 16, grays, grays, grays)
+    val bi = new BufferedImage(w, h,
+      BufferedImage.TYPE_BYTE_BINARY, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, (x * 3 + y * 7) % 16)
+    val baos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(bi, "png", baos)
+    val bytes = baos.toByteArray
+    assert((bytes(24) & 0xff) == 4 && (bytes(25) & 0xff) == 3,
+      s"ImageIO wrote depth ${bytes(24)} type ${bytes(25)}, not 4/3")
+    val img = Multimodal.decodePngGray(bytes)
+      .getOrElse(fail("4-bit palette PNG did not decode"))
+    for (y <- 0 until h; x <- 0 until w) {
+      val expected = ((x * 3 + y * 7) % 16 * 13 + 5) % 256
+      assert(img(y)(x) == expected,
+        s"pixel ($x,$y): ${img(y)(x)} != $expected — bit unpack or " +
+          "PLTE lookup wrong")
+    }
+  }
+
+  test("png gray: decodes a 1-BIT image (the lowest packed depth, " +
+    "eight samples per byte)") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (21, 7) // width % 8 != 0: trailing pad bits
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY)
+    def bit(x: Int, y: Int) = (x * 5 + y * 3) % 7 < 3
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, if (bit(x, y)) 1 else 0)
+    val baos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(bi, "png", baos)
+    val bytes = baos.toByteArray
+    assert((bytes(24) & 0xff) == 1,
+      s"ImageIO wrote depth ${bytes(24)}, not 1")
+    val img = Multimodal.decodePngGray(bytes)
+      .getOrElse(fail("1-bit PNG did not decode"))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img(y)(x) == (if (bit(x, y)) 255 else 0),
+        s"pixel ($x,$y): ${img(y)(x)} — 1-bit unpack wrong")
+  }
+
   test("jpeg exif: decodes a BIG-ENDIAN (MM) TIFF with an offset " +
     "model string and inline orientation — the classic-camera byte " +
     "order the fixtures' II variant never exercises") {
