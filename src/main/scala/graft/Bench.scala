@@ -169,8 +169,10 @@ object Bench {
       "q189_exif_meta", "q191_oriented_dedup",
       "q192_stars_clusters",
       // round-18: the PNG depth/interlace matrix (Adam7 + 16-bit +
-      // 4-bit members joining the container-blind clique)
-      "q193_png_depths",
+      // 4-bit members joining the container-blind clique) and the
+      // ISO-BMFF sample-table walk (Motion-JPEG decoded, avc1
+      // honestly labeled)
+      "q193_png_depths", "q194_mp4_samples",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

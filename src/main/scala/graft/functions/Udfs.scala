@@ -136,6 +136,15 @@ object Udfs {
   val aviFrames: UserDefinedFunction =
     udf(graft.Multimodal.decodeAviMjpeg _)
 
+  /** ISO-BMFF sample-table walk: codec fourcc + declared sample count
+    * + per-sample metadata (decoded JPEG dims for Motion-JPEG, the
+    * honest codec label + declared dims otherwise); null for
+    * undecodable containers. Kernel:
+    * [[graft.Multimodal.decodeMp4Samples]].
+    */
+  val mp4Samples: UserDefinedFunction =
+    udf(graft.Multimodal.decodeMp4Samples _)
+
   /** Register the fixed-arity UDFs for spark.sql use. */
   def register(spark: SparkSession, asOfYear: Int): Unit = {
     spark.udf.register("graft_to_number", toNumber)

@@ -1435,6 +1435,7 @@ object CorpusQueries {
     "q185_jpeg_modes_dedup" -> (q185JpegModesDedup _),
     "q186_palette_png_dedup" -> (q186PalettePngDedup _),
     "q193_png_depths" -> (q193PngDepths _),
+    "q194_mp4_samples" -> (q194Mp4Samples _),
     "q189_exif_meta" -> (q189ExifMeta _),
     "q191_oriented_dedup" -> (q191OrientedDedup _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
@@ -1846,6 +1847,113 @@ object CorpusQueries {
         prebuilt = Some(Bpe.mergeTable(s, d))), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_tokens"))
     TextOps.sequencePackingByCount(counts)
+  }
+
+  /** q194: the ISO-BMFF (MP4) SAMPLE-TABLE walk under a full driver
+    * gate — q139's modality reach past AVI (the r17 verdict's stretch
+    * item): per doc a spec-true fast-start MP4 (ftyp, moov with mvhd
+    * and the full trak → mdia → minf → stbl chain — stsd visual
+    * sample entry, per-sample stsz, stsc chunk map, stco offsets —
+    * then mdat), walked by [[graft.Multimodal.decodeMp4Samples]]
+    * exactly as a demuxer would: sample offsets come from the chunk
+    * map, never from assuming contiguity. Two codec legs, honest per
+    * the q139 rule: docs with doc_id % 5 == 4 declare `avc1` and
+    * carry opaque (inter-coded) samples — the walk labels each sample
+    * with the codec fourcc and the stsd-DECLARED track dims, decoding
+    * nothing; every other doc is Motion-JPEG (`jpeg`), where each
+    * sample is a complete JPEG and per-frame dims are DECODED from
+    * the sample bytes (q139's frame formulas, so a box-walk
+    * off-by-one, a wrong stco base, or a misread stsd offset all
+    * break the hash gate). Every 7th doc carries raw text and must
+    * yield the all-null row.
+    */
+  def q194Mp4Samples(s: SparkSession, d: String): DataFrame = {
+    type C = org.apache.spark.sql.Column
+    val fCount = (lit(1) + pmod(col("doc_id"), lit(3))).cast("int")
+    val isAvc = pmod(col("doc_id"), lit(5)) === 4
+    def hex4(c: C) = lpad(hex(c), 4, "0")
+    def be32hex(c: C) = lpad(hex(c), 8, "0")
+    // per-frame 39-byte payload: q139's complete baseline JPEG for
+    // the Motion-JPEG docs; a deterministic opaque pattern for avc1
+    def frameHex(f: Int): C = {
+      val w = lit(100) + pmod(col("doc_id") * 3 + lit(f), lit(50))
+      val h = lit(80) + pmod(col("doc_id") * 5 + lit(f), lit(40))
+      // 39 bytes exactly — q139's JPEG WITHOUT its trailing RIFF
+      // even-pad byte (MP4 samples are unpadded; stsz declares 39)
+      val jpeg = concat(
+        lit("FFD8" + "FFE000104A46494600010101" + "0048" + "0060" +
+          "0000" + "FFC0001108"),
+        hex4(h), hex4(w), lit("03012200021101031101"))
+      val avc = concat_ws("", transform(sequence(lit(0), lit(38)),
+        i => lpad(hex(pmod(col("doc_id") * 7 + i * 11 + lit(1),
+          lit(256))), 2, "0")))
+      when(lit(f) < fCount, when(isAvc, avc).otherwise(jpeg))
+        .otherwise(lit(""))
+    }
+    // stsd declares the TRACK's nominal dims = frame 0's formulas
+    val w0 = lit(100) + pmod(col("doc_id") * 3, lit(50))
+    val h0 = lit(80) + pmod(col("doc_id") * 5, lit(40))
+    val codecHex = when(isAvc, lit("61766331")) // 'avc1'
+      .otherwise(lit("6A706567"))               // 'jpeg'
+    val ftyp = lit("00000010" + "66747970" + "69736F6D" + "00000000")
+    val matrixHex = "000100000000000000000000" +
+      "000000000001000000000000" + "000000000000000040000000"
+    val mvhd = concat(
+      lit("0000006C" + "6D766864" + "00000000" + "00000000" +
+        "00000000" + "000003E8"),
+      be32hex(fCount * 40), // duration: 40 units (25 fps) per frame
+      lit("00010000" + "0100" + "0000" + "00" * 8 + matrixHex +
+        "00" * 24 + "00000002"))
+    val stsd = concat(
+      lit("00000066" + "73747364" + "00000000" + "00000001" +
+        "00000056"), codecHex,
+      lit("00" * 6 + "0001" + "00" * 16),
+      hex4(w0), hex4(h0),
+      lit("00480000" + "00480000" + "00000000" + "0001" + "00" * 32 +
+        "0018" + "FFFF"))
+    def perFrame(mk: Int => C): C =
+      concat((0 until 3).map(f =>
+        when(lit(f) < fCount, mk(f)).otherwise(lit(""))): _*)
+    val stsz = concat(be32hex(lit(20) + fCount * 4),
+      lit("7374737A" + "00000000" + "00000000"), be32hex(fCount),
+      perFrame(_ => lit("00000027"))) // every sample is 39 bytes
+    val stsc = lit("0000001C" + "73747363" + "00000000" + "00000001" +
+      "00000001" + "00000001" + "00000001") // one sample per chunk
+    // mdat payload starts at ftyp(16) + moov(314+8f) + mdat hdr(8)
+    val stco = concat(be32hex(lit(16) + fCount * 4),
+      lit("7374636F" + "00000000"), be32hex(fCount),
+      perFrame(f => be32hex(lit(338 + 39 * f) + fCount * 8)))
+    val stbl = concat(be32hex(lit(174) + fCount * 8), lit("7374626C"),
+      stsd, stsz, stsc, stco)
+    val minf = concat(be32hex(lit(182) + fCount * 8), lit("6D696E66"),
+      stbl)
+    val mdia = concat(be32hex(lit(190) + fCount * 8), lit("6D646961"),
+      minf)
+    val trak = concat(be32hex(lit(198) + fCount * 8), lit("7472616B"),
+      mdia)
+    val moov = concat(be32hex(lit(314) + fCount * 8), lit("6D6F6F76"),
+      mvhd, trak)
+    val mdat = concat(be32hex(lit(8) + fCount * 39), lit("6D646174"),
+      frameHex(0), frameHex(1), frameHex(2))
+    val payloadHex = concat(ftyp, moov, mdat)
+    val content = when(pmod(col("doc_id"), lit(7)) === 6,
+      col("text").cast("binary")).otherwise(unhex(payloadHex))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.Udfs.mp4Samples(content).as("mv"))
+      .select(col("doc_id"),
+        col("mv.codec").as("codec"),
+        col("mv.declared_samples").as("declared_samples"),
+        when(col("mv").isNotNull, size(col("mv.frames")))
+          .as("n_frames"),
+        explode_outer(col("mv.frames")).as("fr"))
+      .select(col("doc_id"), col("codec"), col("declared_samples"),
+        col("n_frames"),
+        col("fr.idx").as("frame_idx"),
+        col("fr.format").as("frame_fmt"),
+        col("fr.width").as("frame_w"),
+        col("fr.height").as("frame_h"))
+      .orderBy("doc_id", "frame_idx")
   }
 
   /** The q133 pixel→hash→near-dup CTE chain (CTE names prefixed with
@@ -2695,6 +2803,37 @@ object CorpusQueries {
     "q185_jpeg_modes_dedup" -> crossContainerOracle,
     "q186_palette_png_dedup" -> crossContainerOracle,
     "q193_png_depths" -> pngDepthsOracle,
+    // MP4 sample walk: mirrors q194Mp4Samples' fixture arithmetic —
+    // decoded per-frame dims for the Motion-JPEG docs, the honest
+    // codec label + stsd-declared dims for avc1 (edit together)
+    "q194_mp4_samples" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS f_total,
+        |    doc_id % 7 = 6 AS bad,
+        |    doc_id % 5 = 4 AS avc
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, unnest(range(f_total)) AS f
+        |  FROM d WHERE NOT bad)
+        |SELECT d.doc_id,
+        |  CASE WHEN NOT d.bad THEN
+        |    CASE WHEN d.avc THEN 'avc1' ELSE 'jpeg' END END AS codec,
+        |  CASE WHEN NOT d.bad THEN d.f_total END AS declared_samples,
+        |  CASE WHEN NOT d.bad THEN d.f_total END AS n_frames,
+        |  fr.f AS frame_idx,
+        |  CASE WHEN fr.f IS NOT NULL THEN
+        |    CASE WHEN d.avc THEN 'avc1' ELSE 'jpeg' END END
+        |    AS frame_fmt,
+        |  CASE WHEN fr.f IS NOT NULL THEN
+        |    CASE WHEN d.avc THEN 100 + (d.doc_id*3) % 50
+        |         ELSE 100 + (d.doc_id*3 + fr.f) % 50 END END
+        |    AS frame_w,
+        |  CASE WHEN fr.f IS NOT NULL THEN
+        |    CASE WHEN d.avc THEN 80 + (d.doc_id*5) % 40
+        |         ELSE 80 + (d.doc_id*5 + fr.f) % 40 END END
+        |    AS frame_h
+        |FROM d LEFT JOIN fr USING (doc_id)
+        |ORDER BY d.doc_id, frame_idx""".stripMargin,
     // q191 shares the container-blind pixel oracle: orientation
     // normalization recovers the base pixels exactly, so expected
     // cliques are q181's

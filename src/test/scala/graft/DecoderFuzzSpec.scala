@@ -26,6 +26,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "jpeg exif" -> Multimodal.decodeJpegExif _,
     "image dhash" -> Multimodal.imageDHash _,
     "mp4 header" -> Multimodal.decodeMp4Header _,
+    "mp4 samples" -> Multimodal.decodeMp4Samples _,
     "avi mjpeg" -> Multimodal.decodeAviMjpeg _,
     "bmp dhash" -> Multimodal.bmpDHash _,
     "wav phash" -> Multimodal.wavPhash _)
@@ -98,7 +99,47 @@ class DecoderFuzzSpec extends AnyFunSuite {
       bb.put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
       bb.array()
     }
-    Seq(wav, bmp, png, jpeg, jpegScan)
+    val mp4 = {
+      // fast-start Motion-JPEG MP4: ftyp + moov(mvhd, trak→…→stbl
+      // with stsd/stsz/stsc/stco) + mdat holding one 39-byte JPEG —
+      // the q194 layout at fCount = 1, built imperatively here
+      val frame = jpeg.take(39)
+      val bb = java.nio.ByteBuffer.allocate(385)
+      def fourcc(s: String) = bb.put(s.getBytes("US-ASCII"))
+      bb.putInt(16); fourcc("ftyp"); fourcc("isom"); bb.putInt(0)
+      bb.putInt(322); fourcc("moov")
+      bb.putInt(108); fourcc("mvhd"); bb.putInt(0); bb.putInt(0)
+      bb.putInt(0); bb.putInt(1000); bb.putInt(40); bb.putInt(0x10000)
+      bb.putShort(0x100.toShort); bb.putShort(0)
+      bb.putLong(0)
+      bb.putInt(0x10000); bb.putInt(0); bb.putInt(0)
+      bb.putInt(0); bb.putInt(0x10000); bb.putInt(0)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+      (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(2) // next track id
+      bb.putInt(206); fourcc("trak")
+      bb.putInt(198); fourcc("mdia")
+      bb.putInt(190); fourcc("minf")
+      bb.putInt(182); fourcc("stbl")
+      bb.putInt(102); fourcc("stsd"); bb.putInt(0); bb.putInt(1)
+      bb.putInt(86); fourcc("jpeg")
+      (0 until 6).foreach(_ => bb.put(0.toByte)); bb.putShort(1)
+      (0 until 4).foreach(_ => bb.putInt(0))
+      bb.putShort(320.toShort); bb.putShort(240.toShort)
+      bb.putInt(0x480000); bb.putInt(0x480000); bb.putInt(0)
+      bb.putShort(1)
+      (0 until 8).foreach(_ => bb.putInt(0)) // compressorname
+      bb.putShort(24); bb.putShort(-1)
+      bb.putInt(24); fourcc("stsz"); bb.putInt(0); bb.putInt(0)
+      bb.putInt(1); bb.putInt(39)
+      bb.putInt(28); fourcc("stsc"); bb.putInt(0); bb.putInt(1)
+      bb.putInt(1); bb.putInt(1); bb.putInt(1)
+      bb.putInt(20); fourcc("stco"); bb.putInt(0); bb.putInt(1)
+      bb.putInt(346) // ftyp 16 + moov 322 + mdat header 8
+      bb.putInt(47); fourcc("mdat"); bb.put(frame)
+      bb.array()
+    }
+    Seq(wav, bmp, png, jpeg, jpegScan, mp4)
   }
 
   /** A complete DC-only baseline grayscale JPEG (24×16 = 3×2 flat
@@ -507,6 +548,15 @@ class DecoderFuzzSpec extends AnyFunSuite {
     for (y <- 0 until h; x <- 0 until w)
       assert(img(y)(x) == (if (bit(x, y)) 255 else 0),
         s"pixel ($x,$y): ${img(y)(x)} — 1-bit unpack wrong")
+  }
+
+  test("mp4 samples: the fast-start Motion-JPEG fixture walks the " +
+    "sample-table chain to one decoded frame with the JPEG's own dims") {
+    val m = Multimodal.decodeMp4Samples(fixtures.last)
+      .getOrElse(fail("MP4 sample fixture did not decode"))
+    assert(m.codec == "jpeg" && m.declared_samples == 1)
+    assert(m.frames == Seq(Multimodal.Mp4Sample(0, "jpeg", 320, 240)),
+      s"frames: ${m.frames}") // decoded from the sample bytes, not stsd
   }
 
   test("jpeg exif: decodes a BIG-ENDIAN (MM) TIFF with an offset " +
