@@ -420,12 +420,12 @@ object TextOps {
     * Scale shape: each iteration is one shuffle (edges ⋈ labels on dst →
     * min per src) and converges in the component DIAMETER iterations —
     * near-dup groups are near-cliques (diameter ≤ ~3), so the loop exits
-    * almost immediately; the iteration cap is a safety bound, and hitting
-    * it raises rather than returning a half-propagated labeling. Labels
-    * persist per iteration (old iterate unpersisted) so lineage stays
-    * shallow. At extreme skew (one giant component) the
-    * large-star/small-star algorithm replaces this; for dedup clusters
-    * min-propagation is the standard shape.
+    * almost immediately; the iteration cap is a safety bound, and
+    * exhausting it AUTO-FALLS BACK to the large-star/small-star loop
+    * warm-started from the partial labels ([[componentsIters]]) rather
+    * than raising — bit-equal labels either way. For dedup clusters
+    * min-propagation is the standard shape; labels persist per
+    * iteration (old iterate unpersisted) so lineage stays shallow.
     */
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.8, maxIters: Int = 20): DataFrame = {
