@@ -173,6 +173,11 @@ object Bench {
       // ISO-BMFF sample-table walk (Motion-JPEG decoded, avc1
       // honestly labeled)
       "q193_png_depths", "q194_mp4_samples",
+      // round-18 second tranche: GIF joins the clique via real LZW;
+      // alpha PNGs (types 4/6) join via white-compositing; TIFF joins
+      // in both byte orders with scattered strips
+      "q195_gif_lzw_dedup", "q196_png_alpha_dedup", "q197_tiff_dedup",
+      "q198_gif_anim_frames", "q199_unicode_dedup",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

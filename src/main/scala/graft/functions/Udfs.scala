@@ -145,6 +145,39 @@ object Udfs {
   val mp4Samples: UserDefinedFunction =
     udf(graft.Multimodal.decodeMp4Samples _)
 
+  /** Full GIF animation walk — every frame LZW-decoded to its
+    * placement/dims/delay + gray checksum; the q198 kernel. See
+    * [[graft.Multimodal.decodeGifFrames]]. */
+  val gifFrames: UserDefinedFunction =
+    udf(graft.Multimodal.decodeGifFrames _)
+
+  /** Unicode text canonicalization for dedup (the q199 kernel): strip
+    * the zero-width code points crawlers inject (ZWSP/ZWNJ/ZWJ/BOM),
+    * map NBSP to a plain space, then NFC-normalize — so "café"
+    * precomposed (U+00E9) and decomposed (e + U+0301) canonicalize to
+    * one string. A UDF because Spark has no built-in normalizer; the
+    * oracle mirrors it with DuckDB's utf8proc nfc_normalize — parity
+    * holds because stripping precedes normalization on BOTH sides and
+    * the involved mappings are stable across Unicode versions. Cheap
+    * fast path: pure-ASCII strings (the overwhelming majority of a
+    * real corpus) return identically without a Normalizer call. */
+  val normalizeUnicode: UserDefinedFunction = udf { (s: String) =>
+    if (s == null) null
+    else {
+      var ascii = true
+      var i = 0
+      while (ascii && i < s.length) {
+        if (s.charAt(i) >= 0x80) ascii = false
+        i += 1
+      }
+      if (ascii) s
+      else java.text.Normalizer.normalize(
+        s.replaceAll("[\u200B\u200C\u200D\uFEFF]", "")
+          .replace('\u00A0', ' '),
+        java.text.Normalizer.Form.NFC)
+    }
+  }
+
   /** Register the fixed-arity UDFs for spark.sql use. */
   def register(spark: SparkSession, asOfYear: Int): Unit = {
     spark.udf.register("graft_to_number", toNumber)

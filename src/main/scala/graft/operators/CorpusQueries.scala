@@ -267,6 +267,146 @@ object CorpusQueries {
     unhex(concat(header, pixels))
   }
 
+  /** Genuine GIF87a bytes for a 9×8 pixel formula — q195's builder:
+    * logical screen descriptor + 128-entry gray color table (entry i
+    * = 2i on every channel), one image descriptor, and an LZW stream
+    * in the uncompressed-GIF encoding any spec-conforming encoder may
+    * legally emit: minimum code size 7, a CLEAR code before every
+    * pixel code so all codes stay at 8 bits (byte-aligned — the whole
+    * stream is Column-synthesizable) and the dictionary never grows.
+    * The DECODER still runs the full variable-width LZW protocol on
+    * it; dictionary growth and width stepping are gated by
+    * DecoderFuzzSpec's ImageIO round-trip, whose JDK encoder emits
+    * real compression. Pixels store index p div 2, so the decoded
+    * gray is the evenly QUANTIZED base (p − p%2) — the q193 posture:
+    * GIF members pair hamming-0 with a BMP twin storing the same
+    * quantized image. Variants: `plain` (sequential rows, global
+    * table), `interlace` (the 4-pass row permutation + the flag),
+    * `lct` (a REVERSED global table shadowed by a straight LOCAL
+    * one — a decoder that ignores the local table decodes visibly
+    * wrong grays and breaks the clique; the q186 XOR-palette trick).
+    */
+  private def gifContent(docs: DataFrame,
+                         pix: (org.apache.spark.sql.Column,
+                           org.apache.spark.sql.Column) =>
+                           org.apache.spark.sql.Column,
+                         variant: String): DataFrame = {
+    type C = org.apache.spark.sql.Column
+    def hb(x: C) = lpad(hex(x), 2, "0")
+    // stored index = p div 2 (palette maps it back to 2·(p div 2))
+    def qIdx(r: C, c: C): C = {
+      val p = pix(r, c)
+      ((p - pmod(p, lit(2))) / lit(2)).cast("int")
+    }
+    val straight = (0 until 128).map(i => f"${2 * i}%02X" * 3).mkString
+    val reversed =
+      (0 until 128).map(i => f"${2 * (127 - i)}%02X" * 3).mkString
+    // header "GIF87a", screen 9×8 with GCT (packed 0xF6: flag + 8-bit
+    // color res + 128 entries), image descriptor at (0,0) 9×8, then
+    // min code size 7 and ONE 145-byte sub-block (72 clear+code pairs
+    // + EOI)
+    val imgDesc = "2C0000000009000800"
+    val (gctHex, idTail) = variant match {
+      case "plain" => (straight, imgDesc + "00" + "07")
+      case "interlace" => (straight, imgDesc + "40" + "07")
+      case "lct" => (reversed, imgDesc + "86" + straight + "07")
+      case other =>
+        throw new IllegalArgumentException(s"unknown GIF variant $other")
+    }
+    val head = "474946383761" + "09000800F60000" + gctHex + idTail + "91"
+    val rowOrder: Seq[Int] =
+      if (variant == "interlace") Seq(0, 4, 2, 6, 1, 3, 5, 7)
+      else 0 to 7
+    val body = concat_ws("", rowOrder.map(r =>
+      concat_ws("", transform(sequence(lit(0), lit(8)), c =>
+        concat(lit("80"), hb(qIdx(lit(r), c)))))): _*)
+    // EOI (0x81) closes the sub-block; 0x00 terminates the data
+    // stream; 0x3B is the trailer
+    docs.select(col("doc_id"),
+      unhex(concat(lit(head), body, lit("81") , lit("003B")))
+        .as("content"))
+  }
+
+  /** Genuine baseline-TIFF bytes for a 9×8 pixel formula — q197's
+    * builder. No checksums anywhere in this container: the work is
+    * the IFD layout, so the two variants make the layout itself
+    * adversarial. `ii`: little-endian, one strip, BlackIsZero —
+    * the minimal shape. `mm`: BIG-endian, TWO strips stored in
+    * REVERSED file order (strip 2's bytes precede strip 1's — the
+    * offsets array, not file position, defines row order),
+    * StripOffsets/StripByteCounts as out-of-line LONG arrays (count
+    * 2 exceeds the 4-byte inline field), and PhotometricInterpretation
+    * 0 (WhiteIsZero) over INVERTED samples — a decoder that ignores
+    * the photometric tag, misreads the MM inline-SHORT justification,
+    * or concatenates strips by file position decodes visibly wrong
+    * pixels and breaks the clique. */
+  private def tiffContent(docs: DataFrame,
+                          pix: (org.apache.spark.sql.Column,
+                            org.apache.spark.sql.Column) =>
+                            org.apache.spark.sql.Column,
+                          variant: String): DataFrame = {
+    type C = org.apache.spark.sql.Column
+    def hb(x: C) = lpad(hex(x), 2, "0")
+    def b16(v: Int, le: Boolean): String =
+      if (le) f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+      else f"${(v >> 8) & 0xff}%02X${v & 0xff}%02X"
+    def b32(v: Int, le: Boolean): String =
+      if (le) b16(v & 0xffff, le = true) + b16(v >>> 16, le = true)
+      else b16(v >>> 16, le = false) + b16(v & 0xffff, le = false)
+    // IFD entry: tag, type (3 SHORT / 4 LONG), count, then the 4-byte
+    // value field — inline SHORTs sit in the leading two bytes for
+    // BOTH orders (left-justified), which is exactly the rule the mm
+    // variant gates
+    def entry(tag: Int, typ: Int, cnt: Int, v: Int, le: Boolean) =
+      b16(tag, le) + b16(typ, le) + b32(cnt, le) +
+        (if (typ == 3) b16(v, le) + "0000" else b32(v, le))
+    def rowsHex(order: Seq[Int], cell: (C, C) => C): C =
+      concat_ws("", order.map(r =>
+        concat_ws("", transform(sequence(lit(0), lit(8)), c =>
+          hb(cell(lit(r), c))))): _*)
+    variant match {
+      case "ii" =>
+        // header(8) + strip(72)@8 + IFD@80
+        val head = "49492A00" + b32(80, le = true)
+        val ifd = b16(8, le = true) +
+          entry(256, 3, 1, 9, le = true) +
+          entry(257, 3, 1, 8, le = true) +
+          entry(258, 3, 1, 8, le = true) +
+          entry(259, 3, 1, 1, le = true) +
+          entry(262, 3, 1, 1, le = true) +
+          entry(273, 4, 1, 8, le = true) +
+          entry(278, 3, 1, 8, le = true) +
+          entry(279, 4, 1, 72, le = true) +
+          "00000000"
+        docs.select(col("doc_id"),
+          unhex(concat(lit(head), rowsHex(0 to 7, pix), lit(ifd)))
+            .as("content"))
+      case "mm" =>
+        // header(8) + strip2(36)@8 + strip1(36)@44 + offsets(8)@80 +
+        // counts(8)@88 + IFD@96; samples inverted (WhiteIsZero)
+        val head = "4D4D002A" + b32(96, le = false)
+        val offArr = b32(44, le = false) + b32(8, le = false)
+        val cntArr = b32(36, le = false) + b32(36, le = false)
+        val ifd = b16(8, le = false) +
+          entry(256, 3, 1, 9, le = false) +
+          entry(257, 3, 1, 8, le = false) +
+          entry(258, 3, 1, 8, le = false) +
+          entry(259, 3, 1, 1, le = false) +
+          entry(262, 3, 1, 0, le = false) + // WhiteIsZero
+          entry(273, 4, 2, 80, le = false) + // out-of-line offsets
+          entry(278, 3, 1, 4, le = false) +
+          entry(279, 4, 2, 88, le = false) +
+          "00000000"
+        def inv(r: C, c: C): C = lit(255) - pix(r, c)
+        docs.select(col("doc_id"),
+          unhex(concat(lit(head), rowsHex(4 to 7, inv),
+            rowsHex(0 to 3, inv), lit(offArr + cntArr + ifd)))
+            .as("content"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown TIFF variant $other")
+    }
+  }
+
   /** q181: CROSS-CONTAINER image dedup — the production scenario the
     * pixel-level hash exists for: the SAME image delivered as a BMP by
     * one source, a grayscale PNG by another, and a truecolor PNG by a
@@ -435,6 +575,96 @@ object CorpusQueries {
             when(v5 === 1, col("p_i"))
               .when(v5 === 2, col("p_16"))
               .when(v5 === 3, col("p_4"))
+              .when(v5 === 4, col("bmpq"))
+              .otherwise(col("bmp")).as("content"))
+      case "tiff" =>
+        // the cross_container split verbatim (v 0–2 base, v 3 alt):
+        // v 0 BMP, v 1 little-endian single-strip TIFF, v 2 BIG-endian
+        // two-strip WhiteIsZero TIFF — shares crossContainerOracle
+        val pix = fixturePix(g, when(v === 3, lit(3)).otherwise(lit(0))) _
+        val ti = tiffContent(docs, pix, "ii")
+          .withColumnRenamed("content", "t_ii")
+        val tm = tiffContent(docs, pix, "mm")
+          .withColumnRenamed("content", "t_mm")
+        docs.select(col("doc_id"), bmpContent(pix).as("bmp"))
+          .join(ti, Seq("doc_id"))
+          .join(tm, Seq("doc_id"))
+          .select(col("doc_id"),
+            when(v === 1, col("t_ii"))
+              .when(v === 2, col("t_mm"))
+              .otherwise(col("bmp")).as("content"))
+      case "png_alpha" =>
+        // its own 5-way split (doc_id % 5): v 0 BMP of the BASE
+        // image; v 1 GRAY+ALPHA PNG and v 2 RGBA PNG, both fully
+        // OPAQUE — the composite's identity, so they join the base
+        // clique; v 3 gray+alpha with a VARYING alpha plane and v 4
+        // the BMP twin storing the white-composited grays — the pair
+        // that gates the composite arithmetic itself
+        val g5 = expr("doc_id div 5")
+        val base = fixturePix(g5, lit(0)) _
+        def aPlane(y: Int, x: Int): org.apache.spark.sql.Column =
+          pmod(g5 * 5 + lit(y * 11 + x * 19), lit(256))
+        def composited(r: org.apache.spark.sql.Column,
+                       c: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column = {
+          // mirrors the decoder: (p·a + 255·(255−a)) div 255 — r/c
+          // arrive as bmpContent's HOF lambda variables, which the
+          // alpha formula consumes like any other Column
+          val p = base(r, c)
+          val a = pmod(g5 * 5 + r * 11 + c * 19, lit(256))
+          val t = p * a + lit(255) * (lit(255) - a)
+          ((t - pmod(t, lit(255))) / lit(255)).cast("int")
+        }
+        val v5 = pmod(col("doc_id"), lit(5))
+        val ga = pngContentDepth(docs, base, "ga8")
+          .withColumnRenamed("content", "p_ga")
+        val rgba = pngContentDepth(docs, base, "rgba8")
+          .withColumnRenamed("content", "p_rgba")
+        val gat = pngContentDepth(docs, base, "ga8",
+            alphaOf = Some(aPlane))
+          .withColumnRenamed("content", "p_gat")
+        docs.select(col("doc_id"), bmpContent(base).as("bmp"),
+            bmpContent(composited).as("bmpc"))
+          .join(ga, Seq("doc_id"))
+          .join(rgba, Seq("doc_id"))
+          .join(gat, Seq("doc_id"))
+          .select(col("doc_id"),
+            when(v5 === 1, col("p_ga"))
+              .when(v5 === 2, col("p_rgba"))
+              .when(v5 === 3, col("p_gat"))
+              .when(v5 === 4, col("bmpc"))
+              .otherwise(col("bmp")).as("content"))
+      case "gif_lzw" =>
+        // its own 5-way split (doc_id % 5): v 0 BMP of the BASE
+        // image; v 1 plain GIF, v 2 INTERLACED GIF, v 3 local-table
+        // GIF (reversed global table shadowed by a straight local
+        // one) — all three store index p div 2 and decode to the
+        // evenly QUANTIZED base; v 4 BMP of the same quantized image,
+        // the GIF members' cross-container hamming-0 twin
+        val g5 = expr("doc_id div 5")
+        val base = fixturePix(g5, lit(0)) _
+        def quant(r: org.apache.spark.sql.Column,
+                  c: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column = {
+          val p = base(r, c)
+          (p - pmod(p, lit(2))).cast("int")
+        }
+        val v5 = pmod(col("doc_id"), lit(5))
+        val gifPlain = gifContent(docs, base, "plain")
+          .withColumnRenamed("content", "g_p")
+        val gifIl = gifContent(docs, base, "interlace")
+          .withColumnRenamed("content", "g_i")
+        val gifLct = gifContent(docs, base, "lct")
+          .withColumnRenamed("content", "g_l")
+        docs.select(col("doc_id"), bmpContent(base).as("bmp"),
+            bmpContent(quant).as("bmpq"))
+          .join(gifPlain, Seq("doc_id"))
+          .join(gifIl, Seq("doc_id"))
+          .join(gifLct, Seq("doc_id"))
+          .select(col("doc_id"),
+            when(v5 === 1, col("g_p"))
+              .when(v5 === 2, col("g_i"))
+              .when(v5 === 3, col("g_l"))
               .when(v5 === 4, col("bmpq"))
               .otherwise(col("bmp")).as("content"))
       case "jpeg_modes" =>
@@ -652,7 +882,11 @@ object CorpusQueries {
     *  - `g4`: gray 4-bit of the QUANTIZED image (sample q = pix div
     *    16, decoded gray q·17 — the exact 255/15 scale roundtrip):
     *    two samples per byte MSB-first, odd width so the last byte
-    *    carries pad bits, filters at bpp = 1 over the PACKED bytes.
+    *    carries pad bits, filters at bpp = 1 over the PACKED bytes;
+    *  - `ga8`: GRAY+ALPHA (color type 4) — the alpha plane comes from
+    *    `alphaOf` (opaque when absent); filters at bpp = 2;
+    *  - `rgba8`: RGBA (color type 6) — q180's (p−1, p, p+1) channel
+    *    trick plus the alpha lane; filters at bpp = 4.
     *
     * The pass/row/filter geometry is STATIC for the fixed fixture
     * dims, so the builder emits one literal-indexed expression per
@@ -661,8 +895,15 @@ object CorpusQueries {
                               pix: (org.apache.spark.sql.Column,
                                 org.apache.spark.sql.Column) =>
                                 org.apache.spark.sql.Column,
-                              mode: String): DataFrame = {
+                              mode: String,
+                              alphaOf: Option[(Int, Int) =>
+                                org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     type C = org.apache.spark.sql.Column
+    // alpha plane for the `ga8`/`rgba8` modes: caller's formula, or
+    // fully opaque (the composite's identity)
+    def aF(y: Int, x: Int): C =
+      alphaOf.map(f => f(y, x)).getOrElse(lit(255))
     def filt(f: Int, p: C, left: C, up: C, ul: C): C = f match {
       case 0 => p.cast("int")
       case 1 => pmod(p - left, lit(256)).cast("int")
@@ -736,6 +977,49 @@ object CorpusQueries {
           array(lit(f).cast("int") +: cells: _*)
         }
         (rows, Array[Byte](0, 0, 0, 9, 0, 0, 0, 8, 4, 0, 0, 0, 0))
+      case "ga8" =>
+        // GRAY+ALPHA 8-bit (color type 4): channels interleave
+        // [g a g a …]; filters run at bpp = 2, so `left` is the same
+        // channel one pixel back — the alpha lane filters against
+        // itself
+        def cell(y: Int, x: Int, k: Int): C =
+          if (k == 0) pix(lit(y), lit(x)) else aF(y, x)
+        val rows = (0 until 8).map { y =>
+          val f = y % 5
+          val cells = (0 until 9).flatMap { x =>
+            Seq(0, 1).map { k =>
+              filt(f, cell(y, x, k),
+                if (x > 0) cell(y, x - 1, k) else lit(0),
+                if (y > 0) cell(y - 1, x, k) else lit(0),
+                if (y > 0 && x > 0) cell(y - 1, x - 1, k) else lit(0))
+            }
+          }
+          array(lit(f).cast("int") +: cells: _*)
+        }
+        (rows, Array[Byte](0, 0, 0, 9, 0, 0, 0, 8, 8, 4, 0, 0, 0))
+      case "rgba8" =>
+        // RGBA 8-bit (color type 6): the q180 channel trick
+        // (p−1, p, p+1 average back to exactly p) plus the alpha
+        // lane; filters at bpp = 4
+        def cell(y: Int, x: Int, k: Int): C = k match {
+          case 0 => pix(lit(y), lit(x)) - lit(1)
+          case 1 => pix(lit(y), lit(x))
+          case 2 => pix(lit(y), lit(x)) + lit(1)
+          case _ => aF(y, x)
+        }
+        val rows = (0 until 8).map { y =>
+          val f = y % 5
+          val cells = (0 until 9).flatMap { x =>
+            (0 until 4).map { k =>
+              filt(f, cell(y, x, k),
+                if (x > 0) cell(y, x - 1, k) else lit(0),
+                if (y > 0) cell(y - 1, x, k) else lit(0),
+                if (y > 0 && x > 0) cell(y - 1, x - 1, k) else lit(0))
+            }
+          }
+          array(lit(f).cast("int") +: cells: _*)
+        }
+        (rows, Array[Byte](0, 0, 0, 9, 0, 0, 0, 8, 8, 6, 0, 0, 0))
       case other =>
         throw new IllegalArgumentException(s"unknown PNG mode $other")
     }
@@ -744,6 +1028,8 @@ object CorpusQueries {
     val rawLen = mode match {
       case "adam7" => 15 + 72      // 15 pass rows, 72 samples
       case "g16" => 8 * (1 + 18)   // 8 rows of 18 sample bytes
+      case "ga8" => 8 * (1 + 18)   // 8 rows of 9 (gray, alpha) pairs
+      case "rgba8" => 8 * (1 + 36) // 8 rows of 9 RGBA quads
       case _ => 8 * (1 + 5)        // 8 rows of 5 packed bytes
     }
     val staged = Caches.persistTracked(
@@ -1012,6 +1298,120 @@ object CorpusQueries {
         imageFixture(s, d, "png_depths")))
       .orderBy("doc_id")
 
+  /** q195: GIF joins the container-blind clique — the third distinct
+    * compression family (LZW) decoded to CONTENT: a plain GIF, an
+    * INTERLACED GIF (4-pass row permutation), and a LOCAL-color-table
+    * GIF (whose global table is reversed — ignoring the shadowing
+    * local table decodes visibly wrong grays) all store index
+    * p div 2 of the group's base image, so each must pair hamming-0
+    * with the BMP twin storing the same evenly quantized pixels
+    * (q193's quantized-twin posture). The LZW stream uses the
+    * spec-legal uncompressed encoding (clear before every code);
+    * dictionary growth, width stepping, and KwKwK run against the JDK
+    * ImageIO GIF encoder's real compression in DecoderFuzzSpec.
+    * Oracle: the shared dHash chain over the v-selected pixel
+    * formulas.
+    */
+  def q195GifLzwDedup(s: SparkSession, d: String): DataFrame =
+    Multimodal.anyImagePhashDedup(
+      stagedFixture(s, d, "gif_lzw")(
+        imageFixture(s, d, "gif_lzw")))
+      .orderBy("doc_id")
+
+  /** q196: ALPHA-carrying PNGs join the container-blind clique — the
+    * IHDR matrix's last two color types (4 gray+alpha, 6 RGBA)
+    * decoded as WHITE-COMPOSITED grays, comp(p, a) = (p·a +
+    * 255·(255−a)) div 255. Opaque members (v1 gray+alpha, v2 RGBA —
+    * the composite's identity) must pair hamming-0 with the base BMP;
+    * the VARYING-alpha member (v3) must pair hamming-0 with a BMP
+    * twin storing the composited grays (v4), gating the composite
+    * arithmetic itself — a decoder that drops the alpha plane, takes
+    * the wrong lane at bpp 2/4 filter reconstruction, or composites
+    * over black breaks one clique or the other. Oracle: the shared
+    * dHash chain over the v-selected pixel/composite formulas.
+    */
+  def q196PngAlphaDedup(s: SparkSession, d: String): DataFrame =
+    Multimodal.anyImagePhashDedup(
+      stagedFixture(s, d, "png_alpha")(
+        imageFixture(s, d, "png_alpha")))
+      .orderBy("doc_id")
+
+  /** q197: TIFF joins the container-blind clique — the standalone IFD
+    * container (the EXIF walk's format as a full image file), gated
+    * in BOTH byte orders at once: v1 is the minimal little-endian
+    * single-strip shape; v2 is big-endian with two strips stored in
+    * reversed file order, out-of-line offset/count arrays, and
+    * WhiteIsZero inverted samples. Both must pair hamming-0 with the
+    * base BMP (v0), so a byte-order slip, a misapplied inline rule,
+    * file-position strip order, or a skipped photometric invert each
+    * break the clique. Shares q181's container-blind oracle verbatim.
+    */
+  def q197TiffDedup(s: SparkSession, d: String): DataFrame =
+    Multimodal.anyImagePhashDedup(
+      stagedFixture(s, d, "tiff")(
+        imageFixture(s, d, "tiff")))
+      .orderBy("doc_id")
+
+  /** q198: ANIMATED-GIF frame walk — the q139/q194 posture for the
+    * LZW container (animations are GIF's video form). Per doc a
+    * spec-true 89a animation: 16×12 logical screen, 1 + doc_id%3
+    * frames, frame f placed at (2f, f) with its OWN pixel content
+    * (the base formula shifted by 7f through the 128-entry table),
+    * each preceded by a graphic-control extension carrying delay
+    * 4 + f + doc_id%11 cs — except frame 0 of doc_id%4==1 docs,
+    * which has NO GCE and must yield a NULL delay (the spec's plain
+    * 87a shape). Every 7th doc is raw text → the all-null row. The
+    * gate re-derives placement, dims, delays AND each frame's decoded
+    * gray SUM arithmetically, so a frame-walk slip (GCE binding,
+    * per-frame LZW state, placement offsets) breaks the hash.
+    */
+  def q198GifAnimFrames(s: SparkSession, d: String): DataFrame = {
+    type C = org.apache.spark.sql.Column
+    def hb(x: C) = lpad(hex(x), 2, "0")
+    val fCount = (lit(1) + pmod(col("doc_id"), lit(3))).cast("int")
+    val base = fixturePix(col("doc_id"), lit(0)) _
+    val straight = (0 until 128).map(i => f"${2 * i}%02X" * 3).mkString
+    val noGce0 = pmod(col("doc_id"), lit(4)) === 1
+    def frameHex(f: Int): C = {
+      val delay = lit(4 + f) + pmod(col("doc_id"), lit(11))
+      val gce: C = concat(lit("21F90400"), hb(delay), lit("000000"))
+      val gceSel: C =
+        if (f == 0) when(noGce0, lit("")).otherwise(gce) else gce
+      val desc = f"2C${2 * f}%02X00${f}%02X00" + "0900" + "0800" + "00"
+      val body = concat_ws("", (0 until 8).map(r =>
+        concat_ws("", transform(sequence(lit(0), lit(8)), c =>
+          concat(lit("80"), hb(pmod(base(lit(r), c) + lit(7 * f),
+            lit(128))))))): _*)
+      when(lit(f) < fCount,
+        concat(gceSel, lit(desc + "07" + "91"), body, lit("81" + "00")))
+        .otherwise(lit(""))
+    }
+    val payloadHex = concat(
+      lit("474946383961" + "1000" + "0C00" + "F60000" + straight),
+      frameHex(0), frameHex(1), frameHex(2), lit("3B"))
+    val content = when(pmod(col("doc_id"), lit(7)) === 6,
+      col("text").cast("binary")).otherwise(unhex(payloadHex))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.Udfs.gifFrames(content).as("an"))
+      .select(col("doc_id"),
+        col("an.screen_w").as("screen_w"),
+        col("an.screen_h").as("screen_h"),
+        // explicit null guard: the q139 sizeOfNull posture
+        when(col("an").isNotNull, size(col("an.frames"))).as("n_frames"),
+        explode_outer(col("an.frames")).as("fr"))
+      .select(col("doc_id"), col("screen_w"), col("screen_h"),
+        col("n_frames"),
+        col("fr.frame_idx").as("frame_idx"),
+        col("fr.left").as("frame_left"),
+        col("fr.top").as("frame_top"),
+        col("fr.width").as("frame_w"),
+        col("fr.height").as("frame_h"),
+        col("fr.delay_cs").as("delay_cs"),
+        col("fr.gray_sum").as("gray_sum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** q189: EXIF metadata extraction under a full driver gate — the
     * q122 posture for the APP1/TIFF walk: per doc a spec-true Exif
     * segment (II little-endian TIFF, IFD0 with Model / Orientation /
@@ -1053,6 +1453,30 @@ object CorpusQueries {
         col("e.model").as("exif_model"),
         col("e.datetime").as("exif_datetime"))
       .orderBy("doc_id")
+
+  /** q199: exact dedup MODULO UNICODE NORMALIZATION — the crawler-dup
+    * shape byte-exact dedup misses: per group of four docs, v0 carries
+    * the PRECOMPOSED form ("café", U+00E9), v1 the DECOMPOSED form
+    * with an NBSP ("cafe" + U+0301 + U+00A0), v2 the precomposed form
+    * with an injected zero-width space — three byte-distinct texts
+    * that canonicalize to ONE string and must land in one cluster
+    * with v0 as canonical; v3 keeps the doc's own text (a singleton —
+    * the corpus has no byte-identical texts). The planting CASE is
+    * shared verbatim with the oracle (chr() code points on the DuckDB
+    * side); the operator is [[graft.TextOps.unicodeNormalizedDedup]].
+    */
+  def q199UnicodeDedup(s: SparkSession, d: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    val v = pmod(col("doc_id"), lit(4))
+    val gStr = g.cast("string")
+    val planted = when(v === 0, concat(lit("caf\u00e9 dup "), gStr))
+      .when(v === 1, concat(lit("cafe\u0301\u00a0dup "), gStr))
+      .when(v === 2, concat(lit("caf\u00e9\u200b dup "), gStr))
+      .otherwise(col("text"))
+    TextOps.unicodeNormalizedDedup(
+      Tables.documents(s, d).select(col("doc_id"), planted.as("text")),
+      "doc_id", "text")
+  }
 
   /** The shared 9×8 fixture PIXEL FORMULAS — one definition consumed
     * by the q133 BMP synthesizer, the q176 PNG synthesizer, AND
@@ -1436,6 +1860,11 @@ object CorpusQueries {
     "q186_palette_png_dedup" -> (q186PalettePngDedup _),
     "q193_png_depths" -> (q193PngDepths _),
     "q194_mp4_samples" -> (q194Mp4Samples _),
+    "q195_gif_lzw_dedup" -> (q195GifLzwDedup _),
+    "q196_png_alpha_dedup" -> (q196PngAlphaDedup _),
+    "q197_tiff_dedup" -> (q197TiffDedup _),
+    "q198_gif_anim_frames" -> (q198GifAnimFrames _),
+    "q199_unicode_dedup" -> (q199UnicodeDedup _),
     "q189_exif_meta" -> (q189ExifMeta _),
     "q191_oriented_dedup" -> (q191OrientedDedup _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
@@ -2072,6 +2501,47 @@ object CorpusQueries {
        |    CASE
        |      WHEN v >= 3 THEN ((1 + (g*31
        |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254) // 16) * 17
+       |      ELSE 1 + (g*31
+       |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254 END AS pv
+       |  FROM imgd, range(8) t1(r), range(9) t2(c)),
+       |$dHashChainCtes
+       |$imagePhashTail""".stripMargin
+
+  /** q195's oracle: the base image for v = 0 and the evenly QUANTIZED
+    * image ((pv // 2)·2 — what the GIF members' palette lookup and
+    * the v4 BMP twin both store) otherwise — mirrors the gif_lzw
+    * fixture's v split; shares [[dHashChainCtes]] and the tail. */
+  private lazy val gifLzwOracle: String =
+    s"""WITH imgd AS (
+       |  SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, r, c,
+       |    CASE
+       |      WHEN v >= 1 THEN ((1 + (g*31
+       |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254) // 2) * 2
+       |      ELSE 1 + (g*31
+       |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254 END AS pv
+       |  FROM imgd, range(8) t1(r), range(9) t2(c)),
+       |$dHashChainCtes
+       |$imagePhashTail""".stripMargin
+
+  /** q196's oracle: the base image for v ∈ {0,1,2} (the opaque
+    * alpha members composite to the identity) and the WHITE-COMPOSITED
+    * image for v ∈ {3,4} — comp = (pv·a + 255·(255−a)) // 255 with
+    * the fixture's alpha plane a = (g·5 + r·11 + c·19) % 256; mirrors
+    * the png_alpha fixture's v split, shares [[dHashChainCtes]]. */
+  private lazy val pngAlphaOracle: String =
+    s"""WITH imgd AS (
+       |  SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, r, c,
+       |    CASE
+       |      WHEN v >= 3 THEN
+       |        ((1 + (g*31 + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254)
+       |           * ((g*5 + r*11 + c*19) % 256)
+       |         + 255 * (255 - (g*5 + r*11 + c*19) % 256)) // 255
        |      ELSE 1 + (g*31
        |        + (g + r*7 + c*13)*(g + r*7 + c*13)) % 254 END AS pv
        |  FROM imgd, range(8) t1(r), range(9) t2(c)),
@@ -2803,6 +3273,84 @@ object CorpusQueries {
     "q185_jpeg_modes_dedup" -> crossContainerOracle,
     "q186_palette_png_dedup" -> crossContainerOracle,
     "q193_png_depths" -> pngDepthsOracle,
+    "q195_gif_lzw_dedup" -> gifLzwOracle,
+    "q196_png_alpha_dedup" -> pngAlphaOracle,
+    // TIFF members decode to the base pixels exactly (invert ∘ invert
+    // = id; strips re-ordered by the offsets array) — q181's
+    // container-blind oracle verbatim
+    "q197_tiff_dedup" -> crossContainerOracle,
+    // animated-GIF walk: placement/dims/delays AND per-frame decoded
+    // gray sums re-derived arithmetically (edit with q198GifAnimFrames:
+    // the pixel CASE, the %4 no-GCE leg, and the %7 null leg)
+    "q198_gif_anim_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS fc,
+        |    doc_id % 7 = 6 AS bad,
+        |    doc_id % 4 = 1 AS nogce0,
+        |    doc_id % 11 AS dm
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, unnest(range(fc)) AS f
+        |  FROM d WHERE NOT bad),
+        |gs AS (
+        |  SELECT fr.doc_id, fr.f,
+        |    SUM(2 * ((1 + (fr.doc_id*31
+        |      + (fr.doc_id + r*7 + c*13)*(fr.doc_id + r*7 + c*13)) % 254
+        |      + 7*fr.f) % 128)) AS gsum
+        |  FROM fr, range(8) t1(r), range(9) t2(c)
+        |  GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |  CASE WHEN NOT d.bad THEN 16 END AS screen_w,
+        |  CASE WHEN NOT d.bad THEN 12 END AS screen_h,
+        |  CASE WHEN NOT d.bad THEN d.fc END AS n_frames,
+        |  fr.f AS frame_idx,
+        |  CASE WHEN fr.f IS NOT NULL THEN 2*fr.f END AS frame_left,
+        |  CASE WHEN fr.f IS NOT NULL THEN fr.f END AS frame_top,
+        |  CASE WHEN fr.f IS NOT NULL THEN 9 END AS frame_w,
+        |  CASE WHEN fr.f IS NOT NULL THEN 8 END AS frame_h,
+        |  CASE WHEN fr.f IS NOT NULL AND NOT (fr.f = 0 AND d.nogce0)
+        |       THEN 4 + fr.f + d.dm END AS delay_cs,
+        |  gs.gsum AS gray_sum
+        |FROM d LEFT JOIN fr USING (doc_id)
+        |  LEFT JOIN gs ON gs.doc_id = fr.doc_id AND gs.f = fr.f
+        |ORDER BY d.doc_id, frame_idx""".stripMargin,
+    // unicode-normalized dedup: the planting CASE mirrors
+    // q199UnicodeDedup via chr() code points (233 é, 769 combining
+    // acute, 160 NBSP, 8203 ZWSP); the normalization chain mirrors
+    // Udfs.normalizeUnicode — strip zero-widths, NBSP→space, NFC
+    "q199_unicode_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, doc_id // 4 AS g, doc_id % 4 AS v
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN v = 0 THEN
+        |        'caf' || chr(233) || ' dup ' || CAST(g AS VARCHAR)
+        |      WHEN v = 1 THEN
+        |        'cafe' || chr(769) || chr(160) || 'dup '
+        |          || CAST(g AS VARCHAR)
+        |      WHEN v = 2 THEN
+        |        'caf' || chr(233) || chr(8203) || ' dup '
+        |          || CAST(g AS VARCHAR)
+        |      ELSE text END AS txt
+        |  FROM d),
+        |n AS (
+        |  SELECT doc_id, txt,
+        |    nfc_normalize(replace(replace(replace(replace(replace(txt,
+        |      chr(8203), ''), chr(8204), ''), chr(8205), ''),
+        |      chr(65279), ''), chr(160), ' ')) AS norm
+        |  FROM p),
+        |k AS (
+        |  SELECT doc_id, md5(norm) AS norm_key, norm <> txt AS changed
+        |  FROM n),
+        |a AS (
+        |  SELECT norm_key, CAST(count(*) AS BIGINT) AS dup_count,
+        |    min(doc_id) AS canonical_id
+        |  FROM k GROUP BY 1)
+        |SELECT k.doc_id, k.changed, k.norm_key, a.dup_count,
+        |  a.canonical_id
+        |FROM k JOIN a USING (norm_key)
+        |ORDER BY k.doc_id""".stripMargin,
     // MP4 sample walk: mirrors q194Mp4Samples' fixture arithmetic —
     // decoded per-frame dims for the Motion-JPEG docs, the honest
     // codec label + stsd-declared dims for avc1 (edit together)

@@ -836,8 +836,15 @@ object Multimodal {
     * gray = (r+g+b)/3, the decodeBmpGray convention), and PALETTE-8
     * (color type 3, bpp 1: filters reconstruct INDEX bytes, then the
     * CRC-verified PLTE chunk maps each index to its RGB triple —
-    * missing palette or out-of-range index returns None). Since r18
-    * the full non-alpha shape matrix decodes: every legal BIT DEPTH
+    * missing palette or out-of-range index returns None), and since
+    * late r18 the ALPHA color types too: GRAY+ALPHA (type 4) and
+    * RGBA (type 6) at depths 8/16, COMPOSITED OVER WHITE for the
+    * gray print — comp(x, a) = (x·a + 255·(255−a)) div 255 per
+    * channel, the thumbnail convention, exact integer arithmetic the
+    * oracle mirrors (opaque pixels are the identity, so an
+    * alpha-carrying re-encode of an opaque image pairs hamming-0
+    * with its flat twin). Since r18 the full shape matrix
+    * decodes: every legal BIT DEPTH
     * (gray 1/2/4/8/16, truecolor 8/16, palette 1/2/4/8 — sub-8
     * samples are MSB-first bit-unpacked AFTER the byte-level filter
     * pass, spec §7.2, and scale to 8-bit gray by v·255/(2^d−1),
@@ -847,8 +854,8 @@ object Multimodal {
     * de-interlaced by the static offset/step scatter — a pass
     * re-order, exactly as cheap as it sounds). Returns the grayscale
     * matrix (rows top-down, PNG's storage order) or None for
-    * anything malformed or outside the supported shape (alpha color
-    * types stay behind honest gates) — the decode path itself
+    * anything malformed or outside the spec's shape table — the
+    * decode path itself
     * (chunking, CRCs, DEFLATE, filters, unpacking, de-interlacing)
     * is the real format, not a stub: any spec-conforming non-alpha
     * PNG decodes, whatever produced it (DecoderFuzzSpec feeds it the
@@ -873,12 +880,17 @@ object Multimodal {
     val depth = bytes(24) & 0xff
     val okDepth = colorType match {
       case 0 => Set(1, 2, 4, 8, 16)
-      case 2 => Set(8, 16)
+      case 2 | 4 | 6 => Set(8, 16)
       case 3 => Set(1, 2, 4, 8)
       case _ => return None
     }
     if (!okDepth(depth)) return None
-    val channels = if (colorType == 2) 3 else 1
+    val channels = colorType match {
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => 1
+    }
     // the filter pass's byte distance: "bpp is rounded up to one"
     // for sub-byte depths (spec §9.2)
     val bpp = math.max(1, channels * depth / 8)
@@ -1025,6 +1037,16 @@ object Multimodal {
               (plte(3 * i + 2) & 0xff)) / 3
           }
           else if (channels == 1) samples(r)(c) * scale
+          else if (channels == 2) { // gray+alpha: composite over white
+            val a = samples(r)(2 * c + 1)
+            (samples(r)(2 * c) * a + 255 * (255 - a)) / 255
+          }
+          else if (channels == 4) { // RGBA: per-channel white composite
+            val a = samples(r)(4 * c + 3)
+            def comp(x: Int): Int = (x * a + 255 * (255 - a)) / 255
+            (comp(samples(r)(4 * c)) + comp(samples(r)(4 * c + 1)) +
+              comp(samples(r)(4 * c + 2))) / 3
+          }
           else (samples(r)(3 * c) * scale + samples(r)(3 * c + 1) * scale +
             samples(r)(3 * c + 2) * scale) / 3
         c += 1
@@ -1038,6 +1060,466 @@ object Multimodal {
     * sibling for the compressed lossless container). */
   def pngDHash(bytes: Array[Byte]): Option[Long] =
     decodePngGray(bytes).flatMap(dHash64)
+
+  /** REAL pixel decode for GIF (87a and 89a) — the fourth image
+    * container upgraded to CONTENT, and the third distinct
+    * COMPRESSION family after DEFLATE (PNG) and JPEG entropy coding:
+    * GIF's variable-width LSB-first LZW (GIF89a spec appendix F /
+    * Welch 1984). Decode path: header + logical screen descriptor,
+    * global color table, block walk (extensions skipped by their
+    * sub-block framing — 89a graphic-control/comment/application
+    * blocks never reach pixel logic) to the FIRST image descriptor,
+    * optional local color table (shadows the global one, as the spec
+    * says), then the LZW stream reassembled from its sub-blocks and
+    * decoded with the full dictionary protocol: clear/EOI codes,
+    * KwKwK (code == next free slot), width growth at each dictionary
+    * power of two, the 12-bit cap with DEFERRED CLEAR (a full
+    * dictionary keeps serving existing codes until the encoder sends
+    * clear), and hard failure on any code beyond the next free slot.
+    * The 4-pass row interlace (rows 0%8, 4%8, 2%4, 1%2) is a scatter
+    * over the sequential symbol stream. Gray print is the
+    * decodeBmpGray convention over the palette lookup:
+    * (r+g+b)/3 per index; an index beyond the active palette returns
+    * None, never garbage. Only the first frame is decoded (the dedup
+    * print wants the poster frame; [[decodeGifFrames]] walks the
+    * whole animation), and the frame's own WxH is the matrix — a
+    * sub-screen first frame is still that frame's pixels. Anything
+    * malformed (truncated sub-blocks, code overflow, missing palette,
+    * trailer before any image) returns None. Companion of
+    * decodePngGray/decodeJpegGray in the [[imageDHash]] sniff set;
+    * fixtures gate it end-to-end (q195) and DecoderFuzzSpec feeds it
+    * the JDK ImageIO GIF encoder's real dictionary-compressed output.
+    */
+  def decodeGifGray(bytes: Array[Byte]): Option[Array[Array[Int]]] = {
+    val (gct, o0) = gifHeaderTables(bytes) match {
+      case Some(t) => (t._3, t._4)
+      case _ => return None
+    }
+    // block walk to the first image descriptor
+    var o = o0
+    while (true) {
+      if (o >= bytes.length) return None
+      (bytes(o) & 0xff) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 =>
+          o = gifSkipExt(bytes, o) match {
+            case Some((next, _)) => next
+            case _ => return None
+          }
+        case 0x2c =>
+          return gifImageAt(bytes, o, gct).map(_._1)
+        case _ => return None
+      }
+    }
+    None // unreachable
+  }
+
+  /** GIF header + logical screen descriptor + global color table →
+    * (screen w, screen h, GCT or null, offset past the tables). */
+  private def gifHeaderTables(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Byte], Int)] = {
+    if (bytes == null || bytes.length < 14) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val sw = le16(6)
+    val sh = le16(8)
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > 16L * 1024 * 1024)
+      return None
+    val lsdPacked = bytes(10) & 0xff
+    var o = 13
+    var gct: Array[Byte] = null
+    if ((lsdPacked & 0x80) != 0) {
+      val n = 3 * (1 << ((lsdPacked & 7) + 1))
+      if (o + n > bytes.length) return None
+      gct = java.util.Arrays.copyOfRange(bytes, o, o + n)
+      o += n
+    }
+    Some((sw, sh, gct, o))
+  }
+
+  /** Advance past one extension block (`bytes(o)` == 0x21) by its
+    * sub-block framing → (offset past it, the graphic-control delay in
+    * centiseconds when the block was a GCE). */
+  private def gifSkipExt(bytes: Array[Byte], start: Int)
+      : Option[(Int, Option[Int])] = {
+    val label = if (start + 1 < bytes.length) bytes(start + 1) & 0xff else -1
+    // GCE payload: packed, delay lo/hi, transparent index (spec 23.c)
+    val delay =
+      if (label == 0xf9 && start + 5 < bytes.length &&
+        (bytes(start + 2) & 0xff) == 4)
+        Some((bytes(start + 4) & 0xff) | ((bytes(start + 5) & 0xff) << 8))
+      else None
+    var o = start + 2
+    var done = false
+    while (!done) {
+      if (o >= bytes.length) return None
+      val n = bytes(o) & 0xff
+      if (o + 1 + n > bytes.length) return None
+      o += 1 + n
+      if (n == 0) done = true
+    }
+    Some((o, delay))
+  }
+
+  /** Decode one image block (`bytes(img)` == 0x2C): descriptor, local
+    * color table (shadows the global), LZW stream, interlace scatter,
+    * palette lookup → (gray matrix, left, top, offset past the image's
+    * data stream). The full LZW protocol lives here — see
+    * [[decodeGifGray]]'s scaladoc for the rules it implements. */
+  private def gifImageAt(bytes: Array[Byte], img: Int, gct: Array[Byte])
+      : Option[(Array[Array[Int]], Int, Int, Int)] = {
+    if (img + 10 > bytes.length) return None
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val left = le16(img + 1)
+    val top = le16(img + 3)
+    val iw = le16(img + 5)
+    val ih = le16(img + 7)
+    val idPacked = bytes(img + 9) & 0xff
+    if (iw <= 0 || ih <= 0 || iw.toLong * ih > 16L * 1024 * 1024)
+      return None
+    var o = img + 10
+    var pal = gct
+    if ((idPacked & 0x80) != 0) { // local color table shadows global
+      val n = 3 * (1 << ((idPacked & 7) + 1))
+      if (o + n > bytes.length) return None
+      pal = java.util.Arrays.copyOfRange(bytes, o, o + n)
+      o += n
+    }
+    if (pal == null) return None
+    val interlaced = (idPacked & 0x40) != 0
+    if (o >= bytes.length) return None
+    val mcs = bytes(o) & 0xff
+    o += 1
+    if (mcs < 2 || mcs > 8) return None
+    // reassemble the LZW byte stream from its sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      if (o >= bytes.length) return None
+      val n = bytes(o) & 0xff
+      if (o + 1 + n > bytes.length) return None
+      if (n == 0) done = true else data.write(bytes, o + 1, n)
+      o += 1 + n
+    }
+    val d = data.toByteArray
+    // GIF-flavor LZW (spec appendix F): codes LSB-first across byte
+    // boundaries; dictionary entries are (prefix code, suffix symbol)
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var dictSize = eoi + 1
+    var width = mcs + 1
+    var bitPos = 0
+    val totalBits = d.length * 8
+    val out = new Array[Int](iw * ih)
+    var oi = 0
+    var prev = -1
+    val stack = new Array[Int](4096)
+    var running = true
+    while (running && oi < out.length) {
+      if (bitPos + width > totalBits) return None // truncated stream
+      var code = 0
+      var k = 0
+      while (k < width) {
+        val b = bitPos + k
+        if (((d(b >> 3) >> (b & 7)) & 1) != 0) code |= 1 << k
+        k += 1
+      }
+      bitPos += width
+      if (code == eoi) running = false
+      else if (code == clear) {
+        dictSize = eoi + 1
+        width = mcs + 1
+        prev = -1
+      } else {
+        // a code past the next free slot — or AT it with no prior
+        // string to extend (KwKwK needs prev) — is corruption
+        if (code > dictSize || (code == dictSize && prev < 0))
+          return None
+        val kwk = code == dictSize
+        var cur = if (kwk) prev else code
+        var sp = 0
+        while (cur >= eoi + 1) { // walk the prefix chain to the root
+          if (sp >= stack.length) return None
+          stack(sp) = suffix(cur)
+          sp += 1
+          cur = prefix(cur)
+        }
+        if (cur >= clear) return None // clear/EOI inside a chain
+        val first = cur
+        out(oi) = first
+        oi += 1
+        var j = sp - 1
+        while (j >= 0 && oi < out.length) {
+          out(oi) = stack(j)
+          oi += 1
+          j -= 1
+        }
+        if (j >= 0) return None // expansion overran the pixel count
+        if (kwk) {
+          if (oi >= out.length) return None
+          out(oi) = first
+          oi += 1
+        }
+        // new entry = prev string + first symbol of this expansion;
+        // at 4096 the table is full: DEFERRED CLEAR (no growth, same
+        // width) until the encoder sends a clear code
+        if (prev >= 0 && dictSize < 4096) {
+          prefix(dictSize) = prev
+          suffix(dictSize) = first
+          dictSize += 1
+          if (dictSize == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    if (oi < out.length) return None // EOI/stream end before all pixels
+    // interlace scatter (spec: passes at rows 0%8, 4%8, 2%4, 1%2);
+    // sequential rows otherwise
+    val rowOrder: Seq[Int] =
+      if (!interlaced) 0 until ih
+      else (0 until ih by 8) ++ (4 until ih by 8) ++
+        (2 until ih by 4) ++ (1 until ih by 2)
+    val palEntries = pal.length / 3
+    val gray = Array.ofDim[Int](ih, iw)
+    var r = 0
+    while (r < ih) {
+      val row = rowOrder(r)
+      var c = 0
+      while (c < iw) {
+        val i = out(r * iw + c)
+        if (i >= palEntries) return None
+        gray(row)(c) = ((pal(3 * i) & 0xff) + (pal(3 * i + 1) & 0xff) +
+          (pal(3 * i + 2) & 0xff)) / 3
+        c += 1
+      }
+      r += 1
+    }
+    Some((gray, left, top, o))
+  }
+
+  /** One decoded animation frame: placement and dims from its image
+    * descriptor, the preceding graphic-control delay (centiseconds —
+    * None when no GCE preceded, as in plain 87a), and the decoded
+    * grays folded to their integer SUM — the compact decode proof a
+    * gate can re-derive arithmetically without hauling matrices. */
+  case class GifFrame(frame_idx: Int, left: Int, top: Int, width: Int,
+                      height: Int, delay_cs: Option[Int], gray_sum: Long)
+
+  /** A decoded GIF animation: logical screen dims + every frame. */
+  case class GifAnim(screen_w: Int, screen_h: Int, frames: Seq[GifFrame])
+
+  /** Walk EVERY frame of a GIF animation — the q139/q194 posture for
+    * the LZW container: animations are the format's video form
+    * (banners, reaction clips), and a curation pipeline needs frame
+    * counts, per-frame placement/dims/delays, and proof each frame's
+    * pixel stream actually decodes ([[GifFrame.gray_sum]]). Each
+    * frame runs the full [[gifImageAt]] LZW decode with its own
+    * optional local color table; graphic-control extensions bind
+    * their delay to the NEXT frame (spec: a GCE modifies the first
+    * graphic rendering block that follows). Returns None for
+    * malformed input or an animation with no decodable frame. q198
+    * gates it; the single-frame [[decodeGifGray]] stays the dedup
+    * print's kernel. */
+  def decodeGifFrames(bytes: Array[Byte]): Option[GifAnim] = {
+    val (sw, sh, gct, o0) = gifHeaderTables(bytes) match {
+      case Some(t) => t
+      case _ => return None
+    }
+    val frames = Seq.newBuilder[GifFrame]
+    var idx = 0
+    var delay: Option[Int] = None
+    var o = o0
+    while (true) {
+      if (o >= bytes.length) return None
+      (bytes(o) & 0xff) match {
+        case 0x3b =>
+          val fs = frames.result()
+          return if (fs.isEmpty) None else Some(GifAnim(sw, sh, fs))
+        case 0x21 =>
+          gifSkipExt(bytes, o) match {
+            case Some((next, d)) =>
+              o = next
+              if (d.isDefined) delay = d
+            case _ => return None
+          }
+        case 0x2c =>
+          gifImageAt(bytes, o, gct) match {
+            case Some((gray, left, top, next)) =>
+              var s = 0L
+              var r = 0
+              while (r < gray.length) {
+                var c = 0
+                while (c < gray(r).length) { s += gray(r)(c); c += 1 }
+                r += 1
+              }
+              frames += GifFrame(idx, left, top,
+                if (gray.isEmpty) 0 else gray(0).length, gray.length,
+                delay, s)
+              idx += 1
+              delay = None
+              o = next
+            case _ => return None
+          }
+        case _ => return None
+      }
+    }
+    None // unreachable
+  }
+
+  /** [[decodeGifGray]] ∘ [[dHash64]] — the q195 kernel (the LZW
+    * container joins the pixel-hash dedup space). */
+  def gifDHash(bytes: Array[Byte]): Option[Long] =
+    decodeGifGray(bytes).flatMap(dHash64)
+
+  /** REAL pixel decode for baseline TIFF 6.0 — the standalone form of
+    * the IFD machinery the EXIF decoder already walks inside JPEG
+    * APP1 segments ([[decodeJpegExif]]): header byte-order mark ("II"
+    * little / "MM" big — both real in the wild), IFD0 entry walk with
+    * the inline-value rule (a value whose type size × count fits in 4
+    * bytes lives IN the offset field, left-justified per the byte
+    * order), and STRIP assembly — StripOffsets/StripByteCounts arrays
+    * resolved through their own inline-or-offset rule, strips
+    * validated against RowsPerStrip coverage and concatenated in row
+    * order whatever their FILE order (scattered strips are the
+    * format's normal shape; a writer appends strips as it flushes).
+    * Supported shape: BitsPerSample 8, Compression 1 (none),
+    * PhotometricInterpretation 0 (WhiteIsZero — samples INVERT to
+    * gray), 1 (BlackIsZero) or 2 (RGB at SamplesPerPixel 3, averaged
+    * per the decodeBmpGray convention). Anything else — missing
+    * required tag, short strip, type it can't read — returns None,
+    * never garbage. q197 gates it end-to-end in both byte orders;
+    * DecoderFuzzSpec feeds it the JDK ImageIO TIFF writer's output.
+    */
+  def decodeTiffGray(bytes: Array[Byte]): Option[Array[Array[Int]]] = {
+    if (bytes == null || bytes.length < 8) return None
+    val le =
+      if (bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 42 && bytes(3) == 0) true
+      else if (bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte &&
+        bytes(2) == 0 && bytes(3) == 42) false
+      else return None
+    def u16(o: Int): Int =
+      if (o < 0 || o + 2 > bytes.length) -1
+      else if (le) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o < 0 || o + 4 > bytes.length) -1L
+      else if (le) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    val ifd = u32(4)
+    if (ifd < 8 || ifd > Int.MaxValue - 8 ||
+      ifd + 2 > bytes.length) return None
+    val n = u16(ifd.toInt)
+    if (n <= 0 || ifd + 2 + 12L * n + 4 > bytes.length) return None
+    // tag → (type, count, value-field offset); the VALUES resolve
+    // lazily through the inline-or-offset rule
+    val entries = (0 until n).flatMap { i =>
+      val e = ifd.toInt + 2 + 12 * i
+      val tag = u16(e)
+      if (tag < 0) None else Some(tag -> e)
+    }.toMap
+    def typeSize(t: Int): Int = t match {
+      case 1 => 1 // BYTE
+      case 3 => 2 // SHORT
+      case 4 => 4 // LONG
+      case _ => 0
+    }
+    def tagValues(tag: Int): Option[Seq[Long]] = entries.get(tag)
+      .flatMap { e =>
+        val t = u16(e + 2)
+        val cnt = u32(e + 4)
+        val sz = typeSize(t)
+        if (sz == 0 || cnt <= 0 || cnt > 65536) None
+        else {
+          val total = sz * cnt
+          val base =
+            if (total <= 4) e + 8L // inline, left-justified
+            else u32(e + 8)
+          if (base < 0 || base + total > bytes.length) None
+          else Some((0 until cnt.toInt).map { k =>
+            val o = (base + sz.toLong * k).toInt
+            sz match {
+              case 1 => (bytes(o) & 0xff).toLong
+              case 2 => u16(o).toLong
+              case _ => u32(o)
+            }
+          })
+        }
+      }
+    def tagVal(tag: Int): Option[Long] = tagValues(tag).map(_.head)
+    val w = tagVal(256) match { case Some(v) => v; case _ => return None }
+    val h = tagVal(257) match { case Some(v) => v; case _ => return None }
+    if (w <= 0 || h <= 0 || w * h > 16L * 1024 * 1024) return None
+    if (tagVal(259).getOrElse(1L) != 1L) return None // uncompressed only
+    val photo = tagVal(262) match {
+      case Some(v) => v
+      case _ => return None
+    }
+    val spp = tagVal(277).getOrElse(1L).toInt
+    val okShape = (photo, spp) match {
+      case (0L, 1) | (1L, 1) | (2L, 3) => true
+      case _ => false
+    }
+    if (!okShape) return None
+    if (!tagValues(258).getOrElse(Seq(8L)).forall(_ == 8L)) return None
+    val rps = math.min(tagVal(278).getOrElse(h), h)
+    if (rps <= 0) return None
+    val strips = ((h + rps - 1) / rps).toInt
+    val offs = tagValues(273) match {
+      case Some(v) => v
+      case _ => return None
+    }
+    val cnts = tagValues(279) match {
+      case Some(v) => v
+      case _ => return None
+    }
+    if (offs.length != strips || cnts.length != strips) return None
+    val rowBytes = (w * spp).toInt
+    val samples = new Array[Int](rowBytes * h.toInt)
+    var row = 0
+    var s = 0
+    while (s < strips) {
+      val rows = math.min(rps, h - row).toInt
+      val need = rows.toLong * rowBytes
+      val off = offs(s)
+      if (cnts(s) != need || off < 0 || off + need > bytes.length)
+        return None
+      var k = 0
+      while (k < need) {
+        samples(row * rowBytes + k) = bytes((off + k).toInt) & 0xff
+        k += 1
+      }
+      row += rows
+      s += 1
+    }
+    val gray = Array.ofDim[Int](h.toInt, w.toInt)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        gray(r)(c) = photo match {
+          case 0L => 255 - samples(r * rowBytes + c) // WhiteIsZero
+          case 1L => samples(r * rowBytes + c)
+          case _ => (samples(r * rowBytes + 3 * c) +
+            samples(r * rowBytes + 3 * c + 1) +
+            samples(r * rowBytes + 3 * c + 2)) / 3
+        }
+        c += 1
+      }
+      r += 1
+    }
+    Some(gray)
+  }
+
+  /** [[decodeTiffGray]] ∘ [[dHash64]] — the q197 kernel (the IFD
+    * container joins the pixel-hash dedup space). */
+  def tiffDHash(bytes: Array[Byte]): Option[Long] =
+    decodeTiffGray(bytes).flatMap(dHash64)
 
   /** Canonical Huffman DECODE tables from a DHT segment's (counts,
     * symbols) — the JPEG spec's DECODE procedure state (F.2.2.3):
@@ -1863,6 +2345,7 @@ object Multimodal {
     * box-averaged cells, not bytes. */
   def imageDHash(bytes: Array[Byte]): Option[Long] =
     decodePngGray(bytes).orElse(decodeBmpGray(bytes))
+      .orElse(decodeGifGray(bytes)).orElse(decodeTiffGray(bytes))
       .orElse(decodeJpegGray(bytes)).flatMap(dHash64)
 
   /** EXIF-orientation normalization of a decoded gray matrix — the
@@ -1903,6 +2386,8 @@ object Multimodal {
   def orientedImageDHash(bytes: Array[Byte]): Option[Long] =
     decodePngGray(bytes).map((_, 1))
       .orElse(decodeBmpGray(bytes).map((_, 1)))
+      .orElse(decodeGifGray(bytes).map((_, 1))) // GIF carries no EXIF
+      .orElse(decodeTiffGray(bytes).map((_, 1)))
       .orElse(decodeJpegGray(bytes).map(g =>
         (g, decodeJpegExif(bytes).flatMap(_.orientation).getOrElse(1))))
       .flatMap { case (g, o) => dHash64(normalizeOrientation(g, o)) }

@@ -36,6 +36,35 @@ object TextOps {
   def hash7Xx(c: Column): Column =
     xxhash64(c).bitwiseAND(lit(0xFFFFFFFL))
 
+  /** Exact dedup MODULO UNICODE NORMALIZATION (q199): the crawler-dup
+    * shape byte-exact dedup structurally misses — the same page served
+    * with precomposed vs decomposed accents (NFC vs NFD), zero-width
+    * code points injected by templating, NBSP-vs-space drift.
+    * Canonicalize each text ([[graft.functions.Udfs.normalizeUnicode]]:
+    * strip ZWSP/ZWNJ/ZWJ/BOM, NBSP→space, NFC), then group on the
+    * md5 OF THE CANONICAL FORM — the shuffle key is a 32-char digest,
+    * never the document body, so the agg+join shuffles stay narrow at
+    * 100 TB exactly like the exact-dedup family (q13's posture).
+    * Output per doc: the canonical key, whether normalization changed
+    * the text, the cluster size, and the cluster's min-id canonical
+    * doc. Collision risk is md5's (the exact-dedup family's standing
+    * argument). */
+  def unicodeNormalizedDedup(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      graft.functions.Udfs.normalizeUnicode(col(textCol)).as("norm"),
+      col(textCol).as("raw"))
+      .select(col(idCol), md5(col("norm")).as("norm_key"),
+        (col("norm") =!= col("raw")).as("changed"))
+    val clusters = keyed.groupBy("norm_key")
+      .agg(count(lit(1)).as("dup_count"),
+        min(col(idCol)).as("canonical_id"))
+    keyed.join(clusters, Seq("norm_key"))
+      .select(col(idCol), col("changed"), col("norm_key"),
+        col("dup_count"), col("canonical_id"))
+      .orderBy(idCol)
+  }
+
   /** Symmetrize an (a, b, measures…) pair frame into both directions in
     * ONE pass: a union of two selects over the pair frame would
     * re-evaluate the candidate join + per-pair verify kernel once per

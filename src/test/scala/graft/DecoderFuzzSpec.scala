@@ -29,7 +29,87 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "mp4 samples" -> Multimodal.decodeMp4Samples _,
     "avi mjpeg" -> Multimodal.decodeAviMjpeg _,
     "bmp dhash" -> Multimodal.bmpDHash _,
+    "gif gray" -> Multimodal.decodeGifGray _,
+    "gif dhash" -> Multimodal.gifDHash _,
+    "gif frames" -> Multimodal.decodeGifFrames _,
+    "tiff gray" -> Multimodal.decodeTiffGray _,
+    "tiff dhash" -> Multimodal.tiffDHash _,
     "wav phash" -> Multimodal.wavPhash _)
+
+  /** A REAL GIF-flavor LZW encoder (variable width, LSB-first,
+    * dictionary growth, the add-then-widen rule) — the spec's own
+    * reference implementation, independent of both the decoder under
+    * test and ImageIO, so the two interop tests triangulate. */
+  private def lzwEncode(mcs: Int, syms: Array[Int]): Array[Byte] = {
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    var acc = 0L
+    var nb = 0
+    var width = mcs + 1
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nb
+      nb += width
+      while (nb >= 8) {
+        out += (acc & 0xff).toByte
+        acc >>= 8
+        nb -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap[List[Int], Int]()
+    var next = eoi + 1
+    emit(clear)
+    var cur = List(syms(0))
+    def codeOf(s: List[Int]): Int =
+      if (s.length == 1) s.head else dict(s)
+    for (s <- syms.drop(1)) {
+      val ext = cur :+ s
+      if (cur.length > 1 && !dict.contains(cur)) fail("encoder bug")
+      if (dict.contains(ext) ) cur = ext
+      else {
+        emit(codeOf(cur))
+        if (next < 4096) {
+          dict(ext) = next
+          next += 1
+          // GIF is NOT early-change: the decoder adds each entry one
+          // code LATER than the encoder, so the encoder widens one
+          // add after the power-of-two boundary (verified against the
+          // JDK ImageIO GIF encoder's streams)
+          if (next == (1 << width) + 1 && width < 12) width += 1
+        }
+        cur = List(s)
+      }
+    }
+    emit(codeOf(cur))
+    emit(eoi)
+    if (nb > 0) out += (acc & 0xff).toByte
+    out.toArray
+  }
+
+  /** Wrap an LZW payload into a complete single-frame GIF87a. */
+  private def buildGif(w: Int, h: Int, mcs: Int, palette: Array[Int],
+                       lzw: Array[Byte],
+                       interlaced: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8) }
+    le16(w); le16(h)
+    val sizeBits = (math.log(palette.length) / math.log(2)).round.toInt
+    out.write(0x80 | 0x70 | (sizeBits - 1)); out.write(0); out.write(0)
+    palette.foreach { g => out.write(g); out.write(g); out.write(g) }
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlaced) 0x40 else 0x00)
+    out.write(mcs)
+    var off = 0
+    while (off < lzw.length) { // sub-block framing, 255-byte max
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0); out.write(0x3b)
+    out.toByteArray
+  }
 
   /** Valid seed fixtures — one genuine container per format, built the
     * way the specs build them, so mutations start from parseable bytes
@@ -139,7 +219,34 @@ class DecoderFuzzSpec extends AnyFunSuite {
       bb.putInt(47); fourcc("mdat"); bb.put(frame)
       bb.array()
     }
-    Seq(wav, bmp, png, jpeg, jpegScan, mp4)
+    val gif = {
+      val (w, h) = (9, 8)
+      val pix = Array.tabulate(w * h)(i =>
+        ((i % w) * 29 + (i / w) * 53) % 256)
+      buildGif(w, h, 8, Array.tabulate(256)(identity),
+        lzwEncode(8, pix))
+    }
+    val tiff = {
+      val (w, h) = (9, 8)
+      val bb = java.nio.ByteBuffer.allocate(8 + w * h + 2 + 8 * 12 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('I'.toByte).put('I'.toByte).putShort(42)
+      bb.putInt(8 + w * h) // IFD after the strip
+      for (i <- 0 until w * h)
+        bb.put((((i % w) * 29 + (i / w) * 53) % 256).toByte)
+      bb.putShort(8)
+      def e(tag: Int, typ: Int, cnt: Int, v: Int): Unit = {
+        bb.putShort(tag.toShort); bb.putShort(typ.toShort); bb.putInt(cnt)
+        if (typ == 3) { bb.putShort(v.toShort); bb.putShort(0) }
+        else bb.putInt(v)
+      }
+      e(256, 3, 1, w); e(257, 3, 1, h); e(258, 3, 1, 8); e(259, 3, 1, 1)
+      e(262, 3, 1, 1); e(273, 4, 1, 8); e(278, 3, 1, h)
+      e(279, 4, 1, w * h)
+      bb.putInt(0)
+      bb.array()
+    }
+    Seq(wav, bmp, png, jpeg, jpegScan, mp4, gif, tiff)
   }
 
   /** A complete DC-only baseline grayscale JPEG (24×16 = 3×2 flat
@@ -552,11 +659,291 @@ class DecoderFuzzSpec extends AnyFunSuite {
 
   test("mp4 samples: the fast-start Motion-JPEG fixture walks the " +
     "sample-table chain to one decoded frame with the JPEG's own dims") {
-    val m = Multimodal.decodeMp4Samples(fixtures.last)
+    val m = Multimodal.decodeMp4Samples(fixtures(5)) // the mp4 seed
       .getOrElse(fail("MP4 sample fixture did not decode"))
     assert(m.codec == "jpeg" && m.declared_samples == 1)
     assert(m.frames == Seq(Multimodal.Mp4Sample(0, "jpeg", 320, 240)),
       s"frames: ${m.frames}") // decoded from the sample bytes, not stsd
+  }
+
+  test("png gray: decodes the JDK ImageIO encoder's RGBA output " +
+    "(color type 6) with white compositing — opaque pixels are the " +
+    "identity, translucent ones follow comp = (x·a + 255·(255−a))/255") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (17, 11)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 13 + y * 29 + 5) % 256
+      val a = if ((x + y) % 3 == 0) 255 else (x * 31 + y * 7) % 256
+      bi.setRGB(x, y, (a << 24) | (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(bi, "png", baos)
+    val bytes = baos.toByteArray
+    assert((bytes(25) & 0xff) == 6, "ImageIO did not write color type 6")
+    val img = Multimodal.decodePngGray(bytes)
+      .getOrElse(fail("ImageIO RGBA PNG did not decode"))
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 13 + y * 29 + 5) % 256
+      val a = if ((x + y) % 3 == 0) 255 else (x * 31 + y * 7) % 256
+      val expected = (v * a + 255 * (255 - a)) / 255 // 3 equal channels
+      assert(img(y)(x) == expected,
+        s"pixel ($x,$y) a=$a: ${img(y)(x)} != $expected")
+    }
+  }
+
+  test("png gray: a hand-built GRAY+ALPHA (color type 4) image " +
+    "filters at bpp 2 and composites the alpha lane, not the gray") {
+    val (w, h) = (9, 6)
+    val gray = Array.tabulate(h, w)((y, x) => (x * 23 + y * 41 + 3) % 256)
+    val alph = Array.tabulate(h, w)((y, x) => (x * 17 + y * 53 + 9) % 256)
+    // raw scanlines: filter 1 (Sub) everywhere — left is the same
+    // LANE two bytes back, so a bpp-1 reconstruction scrambles it
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(1)
+      for (x <- 0 until w; k <- 0 until 2) {
+        val cur = if (k == 0) gray(y)(x) else alph(y)(x)
+        val left = if (x == 0) 0 else if (k == 0) gray(y)(x - 1)
+          else alph(y)(x - 1)
+        raw.write((cur - left) & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val zbuf = new Array[Byte](raw.size() + 64)
+    val zlen = defl.deflate(zbuf); defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = typ.getBytes("US-ASCII")
+      crc.update(tb); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(tb).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(4.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array()
+    val bytes = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.take(zlen)) ++
+      chunk("IEND", Array.empty[Byte])
+    val img = Multimodal.decodePngGray(bytes)
+      .getOrElse(fail("gray+alpha PNG did not decode"))
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = alph(y)(x)
+      val expected = (gray(y)(x) * a + 255 * (255 - a)) / 255
+      assert(img(y)(x) == expected,
+        s"pixel ($x,$y): ${img(y)(x)} != $expected")
+    }
+  }
+
+  test("gif gray: the spec's own LZW encoder round-trips exactly — " +
+    "dictionary growth, width stepping, and sub-block reassembly") {
+    // 64×48 with enough distinct 2-grams to push the dictionary past
+    // several width boundaries (9 → 10 → 11 bits)
+    val (w, h) = (64, 48)
+    val pix = Array.tabulate(w * h)(i =>
+      ((i % w) * 31 + (i / w) * 17 + (i * i) % 97) % 256)
+    val gif = buildGif(w, h, 8, Array.tabulate(256)(identity),
+      lzwEncode(8, pix))
+    val img = Multimodal.decodeGifGray(gif)
+      .getOrElse(fail("hand-encoded GIF did not decode"))
+    assert(img.length == h && img(0).length == w)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img(y)(x) == pix(y * w + x),
+        s"pixel ($x,$y): ${img(y)(x)} != ${pix(y * w + x)}")
+  }
+
+  test("gif gray: KwKwK (code == next free slot) decodes per the " +
+    "spec's special case — the run-of-equal-pixels shape") {
+    // pixels aaa: encoder emits CLEAR, a, <dictSize> — the code that
+    // does not exist yet when the decoder reads it
+    val pix = Array(7, 7, 7)
+    val gif = buildGif(3, 1, 4, Array.tabulate(16)(i => i * 17),
+      lzwEncode(4, pix))
+    val img = Multimodal.decodeGifGray(gif)
+      .getOrElse(fail("KwKwK GIF did not decode"))
+    assert(img(0).toSeq == Seq(119, 119, 119)) // palette 7·17
+  }
+
+  test("gif gray: a permuted palette is looked up (index != gray), " +
+    "and the 4-pass interlace row order is unscrambled") {
+    val (w, h) = (11, 13) // non-multiples exercise ragged passes
+    val pal = Array.tabulate(64)(i => (i * 11) % 256)
+    val pix = Array.tabulate(w * h)(i => (i * 5 + i / w) % 64)
+    val plain = buildGif(w, h, 6, pal, lzwEncode(6, pix))
+    // interlaced: same image, rows EMITTED in pass order
+    val order = (0 until h by 8) ++ (4 until h by 8) ++
+      (2 until h by 4) ++ (1 until h by 2)
+    val ipix = order.toArray.flatMap(r =>
+      (0 until w).map(c => pix(r * w + c)))
+    val inter = buildGif(w, h, 6, pal, lzwEncode(6, ipix),
+      interlaced = true)
+    val a = Multimodal.decodeGifGray(plain)
+      .getOrElse(fail("plain GIF did not decode"))
+    val b = Multimodal.decodeGifGray(inter)
+      .getOrElse(fail("interlaced GIF did not decode"))
+    for (y <- 0 until h; x <- 0 until w) {
+      assert(a(y)(x) == pal(pix(y * w + x)), s"palette lookup ($x,$y)")
+      assert(b(y)(x) == a(y)(x), s"interlace scatter ($x,$y)")
+    }
+  }
+
+  test("gif gray: decodes the JDK ImageIO encoder's output (real " +
+    "LZW compression) to exact grays") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val (w, h) = (37, 23)
+    val grays = Array.tabulate(256)(i => ((i * 7) % 256).toByte)
+    val icm = new IndexColorModel(8, 256, grays, grays, grays)
+    val bi = new BufferedImage(w, h,
+      BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, (x * 5 + y * 11) % 256)
+    val baos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(bi, "gif", baos)
+    val bytes = baos.toByteArray
+    val img = Multimodal.decodeGifGray(bytes)
+      .getOrElse(fail("ImageIO GIF did not decode"))
+    assert(img.length == h && img(0).length == w)
+    for (y <- 0 until h; x <- 0 until w) {
+      val expected = ((x * 5 + y * 11) % 256 * 7) % 256
+      assert(img(y)(x) == expected,
+        s"pixel ($x,$y): ${img(y)(x)} != $expected")
+    }
+  }
+
+  test("gif gray: a graphic-control extension (89a) is skipped by its " +
+    "framing, and a local color table shadows the global one") {
+    val pal = Array.tabulate(16)(i => i * 17)
+    val revPal = pal.reverse
+    val pix = Array.tabulate(12)(i => i % 16)
+    // global table REVERSED, local straight: correct decode must read
+    // the local one
+    val base = buildGif(4, 3, 4, revPal, lzwEncode(4, pix))
+    val out = new java.io.ByteArrayOutputStream()
+    // splice: header+LSD+GCT (13 + 48 bytes), then a GCE, then the
+    // image descriptor with the LCT flag + the straight table
+    out.write(base, 0, 13 + 48)
+    out.write(Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)) // GCE
+    out.write(Array[Byte](0x2c, 0, 0, 0, 0, 4, 0, 3, 0,
+      (0x80 | 3).toByte)) // LCT flag, 16 entries
+    pal.foreach { g => out.write(g); out.write(g); out.write(g) }
+    // the LZW payload from the base fixture (mcs byte onward)
+    out.write(base, 13 + 48 + 10, base.length - (13 + 48 + 10))
+    val img = Multimodal.decodeGifGray(out.toByteArray)
+      .getOrElse(fail("89a-style GIF with GCE+LCT did not decode"))
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(img(y)(x) == pal(pix(y * 4 + x)),
+        s"LCT shadowing broken at ($x,$y): ${img(y)(x)}")
+  }
+
+  test("gif frames: a hand-built two-frame 89a animation walks to " +
+    "both frames — GCE delays bind to the NEXT frame, placement and " +
+    "per-frame pixels decode independently") {
+    val pal = Array.tabulate(16)(i => i * 17)
+    val f0 = Array.tabulate(6)(i => (i * 3) % 16)     // 3×2 at (0,0)
+    val f1 = Array.tabulate(4)(i => (i * 5 + 1) % 16) // 2×2 at (4,1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](8, 0, 6, 0, (0x80 | 0x70 | 3).toByte, 0, 0))
+    pal.foreach { g => out.write(g); out.write(g); out.write(g) }
+    def frame(px: Array[Int], left: Int, top: Int, w: Int, h: Int,
+              delay: Option[Int]): Unit = {
+      delay.foreach { dl =>
+        out.write(Array[Byte](0x21, 0xf9.toByte, 4, 0,
+          (dl & 0xff).toByte, (dl >> 8).toByte, 0, 0))
+      }
+      out.write(0x2c)
+      out.write(Array[Byte]((left & 0xff).toByte, 0, (top & 0xff).toByte,
+        0, (w & 0xff).toByte, 0, (h & 0xff).toByte, 0, 0))
+      out.write(4) // min code size
+      val lzw = lzwEncode(4, px)
+      out.write(lzw.length); out.write(lzw, 0, lzw.length); out.write(0)
+    }
+    frame(f0, 0, 0, 3, 2, None)      // no GCE → null delay
+    frame(f1, 4, 1, 2, 2, Some(37))
+    out.write(0x3b)
+    val anim = Multimodal.decodeGifFrames(out.toByteArray)
+      .getOrElse(fail("two-frame GIF did not walk"))
+    assert(anim.screen_w == 8 && anim.screen_h == 6)
+    assert(anim.frames.length == 2)
+    val Seq(a, b) = anim.frames
+    assert(a == Multimodal.GifFrame(0, 0, 0, 3, 2, None,
+      f0.map(i => pal(i).toLong).sum), s"frame 0: $a")
+    assert(b == Multimodal.GifFrame(1, 4, 1, 2, 2, Some(37),
+      f1.map(i => pal(i).toLong).sum), s"frame 1: $b")
+    // the single-frame gray kernel still reads ONLY the poster frame
+    val poster = Multimodal.decodeGifGray(out.toByteArray)
+      .getOrElse(fail("poster frame did not decode"))
+    assert(poster.length == 2 && poster(0).length == 3)
+    assert(poster(0)(0) == pal(f0(0)))
+  }
+
+  test("tiff gray: the II seed fixture decodes to its ramp exactly, " +
+    "and a WhiteIsZero twin with inverted samples decodes EQUAL") {
+    val (w, h) = (9, 8)
+    val seed = fixtures(7)
+    val img = Multimodal.decodeTiffGray(seed)
+      .getOrElse(fail("II TIFF seed did not decode"))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img(y)(x) == (x * 29 + y * 53) % 256, s"pixel ($x,$y)")
+    // flip photometric to 0 and invert the strip: same image
+    val inv = seed.clone()
+    // photometric entry is the 5th (offset: 8+72+2 + 4*12 + 8)
+    val pOff = 8 + w * h + 2 + 4 * 12 + 8
+    assert(inv(pOff - 8) == 6.toByte) // tag 262 low byte sanity (II)
+    inv(pOff) = 0
+    for (i <- 0 until w * h)
+      inv(8 + i) = (255 - (inv(8 + i) & 0xff)).toByte
+    val img2 = Multimodal.decodeTiffGray(inv)
+      .getOrElse(fail("WhiteIsZero TIFF did not decode"))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img2(y)(x) == img(y)(x), s"invert roundtrip ($x,$y)")
+  }
+
+  test("tiff gray: decodes the JDK ImageIO TIFF writer's uncompressed " +
+    "gray output (real-world IFD: extra tags, its own strip layout)") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (33, 21)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, (x * 13 + y * 29 + 7) % 256)
+    // the default TIFF write param is UNCOMPRESSED (the plugin's
+    // explicit types are all real codecs; "no compression" is the
+    // absence of one)
+    val baos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(bi, "tiff", baos)
+    val img = Multimodal.decodeTiffGray(baos.toByteArray)
+      .getOrElse(fail("ImageIO TIFF did not decode"))
+    assert(img.length == h && img(0).length == w)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img(y)(x) == (x * 13 + y * 29 + 7) % 256,
+        s"pixel ($x,$y): ${img(y)(x)}")
+  }
+
+  test("tiff gray: decodes the JDK ImageIO TIFF writer's RGB output " +
+    "(SamplesPerPixel 3) via the channel average") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (19, 12)
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 11 + y * 31 + 3) % 256
+      bi.setRGB(x, y, (v << 16) | (((v + 2) % 256) << 8) | ((v + 4) % 256))
+    }
+    // the default TIFF write param is UNCOMPRESSED (the plugin's
+    // explicit types are all real codecs; "no compression" is the
+    // absence of one)
+    val baos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(bi, "tiff", baos)
+    val img = Multimodal.decodeTiffGray(baos.toByteArray)
+      .getOrElse(fail("ImageIO RGB TIFF did not decode"))
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 11 + y * 31 + 3) % 256
+      val expected = (v + (v + 2) % 256 + (v + 4) % 256) / 3
+      assert(img(y)(x) == expected,
+        s"pixel ($x,$y): ${img(y)(x)} != $expected")
+    }
   }
 
   test("jpeg exif: decodes a BIG-ENDIAN (MM) TIFF with an offset " +

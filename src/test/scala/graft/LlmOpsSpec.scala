@@ -18,6 +18,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("unicodeNormalizedDedup: precomposed, decomposed+NBSP, and " +
+    "zero-width-injected variants collapse to one cluster; ASCII " +
+    "singletons stay unchanged") {
+    val df = Seq(
+      (1L, "caf\u00e9 menu"),            // NFC - the canonical form
+      (2L, "cafe\u0301\u00a0menu"),       // NFD + NBSP
+      (3L, "caf\u00e9\u200b menu"),       // ZWSP injected
+      (4L, "plain ascii")).toDF("doc_id", "text")
+    val out = TextOps.unicodeNormalizedDedup(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, false, 3L, 1L), // already canonical, clustered, canon = 1
+      (2L, true, 3L, 1L),
+      (3L, true, 3L, 1L),
+      (4L, false, 1L, 4L)), out.mkString(", "))
+  }
+
   test("stratifiedSample: exact k per stratum, whole stratum when " +
     "smaller, partition-order-invariant") {
     val df = ((0 until 50).map(i => (i.toLong, "big")) ++
