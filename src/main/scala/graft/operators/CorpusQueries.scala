@@ -1653,6 +1653,137 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q200: A-LAW audio features — q179's µ-law gate re-run through
+    * G.711's OTHER half (European telephony): same RIFF plumbing,
+    * audioFormat 6, and the expansion with every property µ-law's
+    * lacks — even-bit inversion instead of complement, INVERTED sign
+    * polarity (bit 7 set = positive), ±32256 full scale, and NO true
+    * zero (the quiet codes decode to ±8, so the silence feature
+    * counts |x| = 8). Variants: v1 plants a quiet run (0xD5), v2
+    * plants the two extremes (0x2A → −32256, 0xAA → +32256), v3 is
+    * raw text → the all-null row. Oracle re-derives the expansion
+    * arithmetically — a decoder that reuses µ-law's complement or
+    * sign convention breaks the hash.
+    */
+  def q200AlawFeatures(s: SparkSession, d: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    val v = pmod(col("doc_id"), lit(4))
+    val n = (lit(40) + pmod(col("doc_id"), lit(20))).cast("int")
+    def ub(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(v === 1 && i >= 10 && i < 20, lit(0xD5))
+        .when(v === 2 && pmod(i, lit(16)) === 0, lit(0x2A))
+        .when(v === 2 && pmod(i, lit(16)) === 8, lit(0xAA))
+        .otherwise(pmod(g * 7 + i * 13 + v * 31, lit(256)))
+    val byteHexStr = concat_ws("",
+      transform(sequence(lit(0), n - 1),
+        i => lpad(hex(ub(i).cast("long")), 2, "0")))
+    // RIFF/WAVE: fmt16 with audioFormat 6 (A-law), mono, 8 kHz
+    val payloadHex = concat(
+      lit("52494646"), le32hex(lit(36) + n), lit("57415645"),
+      lit("666D7420" + "10000000" + "0600" + "0100" +
+        "401F0000" + "401F0000" + "0100" + "0800"),
+      lit("64617461"), le32hex(n), byteHexStr)
+    val content = when(v === 3, col("text").cast("binary"))
+      .otherwise(unhex(payloadHex))
+    val smp = graft.functions.Udfs.wavSamples(content)
+    val sumSq = aggregate(col("smp"), lit(0L),
+      (acc, x) => acc + x.cast("long") * x.cast("long"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), smp.as("smp"))
+      .select(col("doc_id"),
+        size(col("smp")).cast("long").as("n_samples"),
+        array_max(transform(col("smp"), x => abs(x))).cast("long")
+          .as("peak"),
+        sumSq.as("sum_sq"),
+        size(filter(col("smp"), x => abs(x) === 8)).cast("long")
+          .as("quiet_n"),
+        size(filter(col("smp"),
+          x => abs(x) === 32256)).cast("long").as("extreme_n"),
+        round(sqrt(sumSq.cast("double") / size(col("smp"))), 6).as("rms"))
+      .select(col("doc_id"),
+        when(col("n_samples") >= 0, col("n_samples")).as("n_samples"),
+        col("peak"), col("sum_sq"),
+        when(col("n_samples") >= 0, col("quiet_n")).as("quiet_n"),
+        when(col("n_samples") >= 0, col("extreme_n")).as("extreme_n"),
+        col("rms"))
+      .orderBy("doc_id")
+  }
+
+  /** The q201 fixture's fixed per-block nibble pattern — all sixteen
+    * codes, so the decode exercises every diff term and both index
+    * directions. Byte layout derives from it (low nibble first); the
+    * ORACLE's offset table derives from it by running the reference
+    * block decode at predictor 0 (decode is LINEAR in the predictor
+    * until a clamp, which the fixture's predictor range never hits —
+    * AdpcmSpec pins the margin). */
+  private val adpcmPattern =
+    Array(5, 13, 3, 11, 7, 15, 1, 9, 2, 10, 6, 14, 0, 8, 4, 12)
+  private lazy val adpcmPatternHex: String =
+    adpcmPattern.grouped(2).map { case Array(lo, hi) =>
+      f"${lo | (hi << 4)}%02X"
+    }.mkString
+  private lazy val adpcmOffsets: Array[Int] =
+    Multimodal.adpcmDecodeBlock(0, 0, adpcmPattern)
+
+  /** q201: IMA/DVI ADPCM decode — the audio family's real
+    * DIFFERENTIAL codec (WAV format 0x11), the LZW-for-audio move:
+    * 4-bit nibbles adapt a step-size index through the published IMA
+    * tables, and each fixed-size block opens with its own
+    * (predictor, index) header so blocks are independently seekable —
+    * exactly the property a 100 TB range-read needs. Fixture: 1 +
+    * doc_id%2 blocks of blockAlign 12 (17 samples each), every block
+    * the SAME all-sixteen-codes nibble pattern over a PER-BLOCK
+    * predictor formula — decode is linear in the predictor below the
+    * clamp, so the oracle is the per-block predictor plus a
+    * literal offset table generated by the reference decode at
+    * predictor 0. A decoder that carries state ACROSS blocks, plays
+    * nibbles high-first, or mis-adapts the index breaks the hash.
+    * Every 7th doc is raw text → the all-null row.
+    */
+  def q201AdpcmFeatures(s: SparkSession, d: String): DataFrame = {
+    type C = org.apache.spark.sql.Column
+    def hb(x: C) = lpad(hex(x), 2, "0")
+    val nb = (lit(1) + pmod(col("doc_id"), lit(2))).cast("int")
+    def predOf(b: Int): C =
+      pmod(col("doc_id") * 37 + lit(b * 101), lit(4001)) - lit(2000)
+    def blockHex(b: Int): C = {
+      val pu = pmod(predOf(b), lit(65536))
+      val lo = pmod(pu, lit(256))
+      val hi = ((pu - lo) / lit(256)).cast("int")
+      when(lit(b) < nb,
+        concat(hb(lo), hb(hi), lit("00" + "00" + adpcmPatternHex)))
+        .otherwise(lit(""))
+    }
+    val dataLen = nb * 12
+    val payloadHex = concat(
+      lit("52494646"), le32hex(lit(40) + dataLen), lit("57415645"),
+      // fmt(20): format 0x11, mono, 8 kHz, nominal byte rate,
+      // blockAlign 12, 4 bits, cbSize 2, samplesPerBlock 17
+      lit("666D7420" + "14000000" + "1100" + "0100" +
+        "401F0000" + "A00F0000" + "0C00" + "0400" + "0200" + "1100"),
+      lit("64617461"), le32hex(dataLen),
+      blockHex(0), blockHex(1))
+    val content = when(pmod(col("doc_id"), lit(7)) === 6,
+      col("text").cast("binary")).otherwise(unhex(payloadHex))
+    val smp = graft.functions.Udfs.wavSamples(content)
+    val sumAll = aggregate(col("smp"), lit(0L),
+      (acc, x) => acc + x.cast("long"))
+    val sumSq = aggregate(col("smp"), lit(0L),
+      (acc, x) => acc + x.cast("long") * x.cast("long"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), smp.as("smp"))
+      .select(col("doc_id"),
+        size(col("smp")).cast("long").as("n_samples"),
+        sumAll.as("sample_sum"),
+        sumSq.as("sum_sq"),
+        array_max(transform(col("smp"), x => abs(x))).cast("long")
+          .as("peak"))
+      .select(col("doc_id"),
+        when(col("n_samples") >= 0, col("n_samples")).as("n_samples"),
+        col("sample_sum"), col("sum_sq"), col("peak"))
+      .orderBy("doc_id")
+  }
+
   /** q138: AUDIO perceptual-hash dedup — q133's pixel move completed
     * for the audio modality: four deterministic PCM-16 WAV variants
     * per doc_id group (base waveform; ×2 AMPLITUDE twin — every
@@ -1865,6 +1996,8 @@ object CorpusQueries {
     "q197_tiff_dedup" -> (q197TiffDedup _),
     "q198_gif_anim_frames" -> (q198GifAnimFrames _),
     "q199_unicode_dedup" -> (q199UnicodeDedup _),
+    "q200_alaw_features" -> (q200AlawFeatures _),
+    "q201_adpcm_features" -> (q201AdpcmFeatures _),
     "q189_exif_meta" -> (q189ExifMeta _),
     "q191_oriented_dedup" -> (q191OrientedDedup _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
@@ -3447,6 +3580,83 @@ object CorpusQueries {
         |    round(sqrt(CAST(list_sum(list_transform(smp, x -> x*x))
         |      AS DOUBLE) / n), 6) END AS rms
         |FROM ms ORDER BY doc_id""".stripMargin,
+    // A-law twin of the q179 oracle: even-bit inversion (xor 85),
+    // inverted sign polarity, segment-0 half-step — edit with
+    // q200AlawFeatures (byte plants must match)
+    "q200_alaw_features" ->
+      """WITH md AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+        |    40 + doc_id % 20 AS n
+        |  FROM documents),
+        |mb AS (
+        |  SELECT doc_id, v, n,
+        |    [CASE WHEN v = 1 AND i >= 11 AND i <= 20 THEN 213
+        |          WHEN v = 2 AND (i-1) % 16 = 0 THEN 42
+        |          WHEN v = 2 AND (i-1) % 16 = 8 THEN 170
+        |          ELSE (g*7 + (i-1)*13 + v*31) % 256 END
+        |     for i in range(1, n + 1)] AS ub
+        |  FROM md),
+        |ms AS (
+        |  SELECT doc_id, v, n,
+        |    list_transform(ub, u ->
+        |      CASE WHEN (xor(u, 85) & 112) = 0 THEN
+        |        CASE WHEN (xor(u, 85) & 128) = 128
+        |          THEN (xor(u, 85) & 15) * 16 + 8
+        |          ELSE -((xor(u, 85) & 15) * 16 + 8) END
+        |      ELSE
+        |        CASE WHEN (xor(u, 85) & 128) = 128
+        |          THEN ((xor(u, 85) & 15) * 16 + 264)
+        |            * (1 << ((xor(u, 85) & 112) // 16 - 1))
+        |          ELSE -(((xor(u, 85) & 15) * 16 + 264)
+        |            * (1 << ((xor(u, 85) & 112) // 16 - 1))) END
+        |      END) AS smp
+        |  FROM mb)
+        |SELECT doc_id,
+        |  CASE WHEN v = 3 THEN NULL ELSE CAST(n AS BIGINT) END
+        |    AS n_samples,
+        |  CASE WHEN v = 3 THEN NULL ELSE
+        |    CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT)
+        |    END AS peak,
+        |  CASE WHEN v = 3 THEN NULL ELSE
+        |    CAST(list_sum(list_transform(smp, x -> x*x)) AS BIGINT)
+        |    END AS sum_sq,
+        |  CASE WHEN v = 3 THEN NULL ELSE
+        |    CAST(len(list_filter(smp, x -> abs(x) = 8)) AS BIGINT)
+        |    END AS quiet_n,
+        |  CASE WHEN v = 3 THEN NULL ELSE
+        |    CAST(len(list_filter(smp, x -> abs(x) = 32256)) AS BIGINT)
+        |    END AS extreme_n,
+        |  CASE WHEN v = 3 THEN NULL ELSE
+        |    round(sqrt(CAST(list_sum(list_transform(smp, x -> x*x))
+        |      AS DOUBLE) / n), 6) END AS rms
+        |FROM ms ORDER BY doc_id""".stripMargin,
+    // IMA-ADPCM: per-block predictor + the GENERATED offset table
+    // (reference decode of the fixed nibble pattern at predictor 0 —
+    // decode is linear in the predictor below the clamp); edit with
+    // q201AdpcmFeatures
+    "q201_adpcm_features" -> {
+      val offVals = adpcmOffsets.zipWithIndex
+        .map { case (o, t) => s"($t, $o)" }.mkString(", ")
+      s"""WITH off(t, o) AS (SELECT * FROM (VALUES $offVals) v(a, b)),
+         |d AS (
+         |  SELECT doc_id, 1 + doc_id % 2 AS nb, doc_id % 7 = 6 AS bad
+         |  FROM documents),
+         |blk AS (
+         |  SELECT doc_id, b,
+         |    (doc_id*37 + b*101) % 4001 - 2000 AS p
+         |  FROM d, range(2) t(b) WHERE b < nb AND NOT bad),
+         |smp AS (SELECT doc_id, b, t, p + o AS s FROM blk, off),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+         |    CAST(sum(s) AS BIGINT) AS sample_sum,
+         |    CAST(sum(s*s) AS BIGINT) AS sum_sq,
+         |    CAST(max(abs(s)) AS BIGINT) AS peak
+         |  FROM smp GROUP BY 1)
+         |SELECT d.doc_id, agg.n_samples, agg.sample_sum, agg.sum_sq,
+         |  agg.peak
+         |FROM d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // the cross-modal curation manifest: text + image-dup + audio
     // signals composed under ONE verdict — shares imagePhashCtes and
     // audioFeatureCtes verbatim with q133/q137; edit all three

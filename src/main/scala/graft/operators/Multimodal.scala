@@ -170,6 +170,7 @@ object Multimodal {
     var off = 12L
     var fmt = -1
     var bits = -1
+    var blockAlign = -1
     while (off + 8 <= bytes.length) {
       val o = off.toInt
       val id = tag(o)
@@ -178,6 +179,7 @@ object Multimodal {
         if (sz < 16 || o + 8 + 16 > bytes.length) return None
         fmt = le16(o + 8)
         bits = le16(o + 22)
+        blockAlign = le16(o + 20)
       } else if (id == "data") {
         val start = o + 8
         val avail = math.min(sz, (bytes.length - start).toLong)
@@ -204,6 +206,50 @@ object Multimodal {
             i += 1
           }
           return Some(out)
+        } else if (fmt == 6 && bits == 8) { // G.711 A-law
+          val n = avail.toInt
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) = alawExpand(bytes(start + i) & 0xff)
+            i += 1
+          }
+          return Some(out)
+        } else if (fmt == 0x11 && bits == 4) {
+          // IMA/DVI ADPCM (mono), the audio family's REAL
+          // differential codec: fixed-size blocks of blockAlign
+          // bytes, each opening with its own (predictor int16, step
+          // index u8, reserved) header — state RESETS per block, the
+          // property that makes blocks independently seekable — then
+          // 4-bit nibbles low-first, each adapting the step index
+          // through the published IMA tables. A trailing partial
+          // block is ignored (the bounded-range-read posture).
+          if (blockAlign < 5) return None
+          val nBlocks = (avail / blockAlign).toInt
+          if (nBlocks <= 0) return None
+          val perBlock = 1 + (blockAlign - 4) * 2
+          val out = new Array[Int](nBlocks * perBlock)
+          var w = 0
+          var b = 0
+          while (b < nBlocks) {
+            val bo = start + b * blockAlign
+            val pred = (le16(bo) << 16) >> 16 // sign-extend
+            val idx = bytes(bo + 2) & 0xff
+            if (idx > 88) return None
+            val nibs = new Array[Int]((blockAlign - 4) * 2)
+            var k = 0
+            while (k < blockAlign - 4) {
+              val byte = bytes(bo + 4 + k) & 0xff
+              nibs(2 * k) = byte & 0x0f // low nibble plays first
+              nibs(2 * k + 1) = byte >> 4
+              k += 1
+            }
+            val dec = adpcmDecodeBlock(pred, idx, nibs)
+            System.arraycopy(dec, 0, out, w, dec.length)
+            w += dec.length
+            b += 1
+          }
+          return Some(out)
         } else return None
       }
       off += 8L + sz + (sz & 1L)
@@ -219,6 +265,68 @@ object Multimodal {
     val v = ~u & 0xff
     val t = (((v & 0x0f) << 3) + 0x84) << ((v & 0x70) >> 4)
     if ((v & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law byte → linear PCM sample (±32256 full scale,
+    * no true zero — the quiet codes are ±8): the standard integer
+    * expansion — even-bit inversion (XOR 0x55), 4-bit mantissa
+    * shifted to bits 4–7, segment 0 adds the half-step 8, higher
+    * segments add the 0x108 bias then shift by segment − 1; sign bit
+    * SET means positive (the polarity opposite µ-law's). 0xD5 → +8,
+    * 0x55 → −8, 0xAA → +848 (LlmOpsSpec pins published values). */
+  def alawExpand(a0: Int): Int = {
+    val a = (a0 ^ 0x55) & 0xff
+    var t = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else t = (t + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** The IMA/DVI ADPCM step-size table (89 entries) and index
+    * adaptation table — the published constants (IMA ADPCM spec /
+    * Microsoft WAVE format 0x11). */
+  private val AdpcmSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+  private val AdpcmIndex: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Reference IMA-ADPCM single-block decode from an explicit initial
+    * state — the same arithmetic as the WAV branch, exposed so the
+    * q201 oracle generator and its spec can derive expected samples
+    * without building container bytes. Returns 1 + 2·nibbleBytes
+    * samples (the predictor is sample 0). */
+  def adpcmDecodeBlock(pred0: Int, idx0: Int,
+                       nibbles: Array[Int]): Array[Int] = {
+    var pred = pred0
+    var idx = math.max(0, math.min(88, idx0))
+    val out = new Array[Int](1 + nibbles.length)
+    out(0) = pred
+    var i = 0
+    while (i < nibbles.length) {
+      val nib = nibbles(i) & 0x0f
+      val step = AdpcmSteps(idx)
+      var diff = step >> 3
+      if ((nib & 1) != 0) diff += step >> 2
+      if ((nib & 2) != 0) diff += step >> 1
+      if ((nib & 4) != 0) diff += step
+      pred = if ((nib & 8) != 0) pred - diff else pred + diff
+      if (pred > 32767) pred = 32767
+      if (pred < -32768) pred = -32768
+      idx += AdpcmIndex(nib & 7)
+      if (idx < 0) idx = 0
+      if (idx > 88) idx = 88
+      out(i + 1) = pred
+      i += 1
+    }
+    out
   }
 
   /** Attach real WAV metadata to the audio rows of a media table; other

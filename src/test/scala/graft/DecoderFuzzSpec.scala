@@ -246,7 +246,24 @@ class DecoderFuzzSpec extends AnyFunSuite {
       bb.putInt(0)
       bb.array()
     }
-    Seq(wav, bmp, png, jpeg, jpegScan, mp4, gif, tiff)
+    val adpcm = {
+      val ba = 12
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * ba)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + 2 * ba)
+      bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(0x11)
+      bb.putShort(1); bb.putInt(8000); bb.putInt(4000)
+      bb.putShort(ba.toShort); bb.putShort(4)
+      bb.put("data".getBytes); bb.putInt(2 * ba)
+      for (b <- 0 until 2) {
+        bb.putShort((b * 321 - 100).toShort); bb.put((b * 5).toByte)
+        bb.put(0.toByte)
+        (0 until ba - 4).foreach(i => bb.put(((i * 57 + b) % 256).toByte))
+      }
+      bb.array()
+    }
+    Seq(wav, bmp, png, jpeg, jpegScan, mp4, gif, tiff, adpcm)
   }
 
   /** A complete DC-only baseline grayscale JPEG (24×16 = 3×2 flat

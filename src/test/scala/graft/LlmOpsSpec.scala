@@ -1034,6 +1034,76 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavSamples(bad).isEmpty)
   }
 
+  test("alawExpand goldens + format-6 WAV decode end-to-end") {
+    // published G.711 A-law properties: quiet codes ±8 (no true
+    // zero), full-scale ±32256, inverted sign polarity vs µ-law,
+    // segment-1 boundary spot checks
+    val golden = Seq(0xD5 -> 8, 0x55 -> -8, 0xAA -> 32256,
+      0x2A -> -32256, 0xC5 -> 264, 0x45 -> -264, 0xFF -> 848,
+      0x7F -> -848)
+    for ((a, s) <- golden)
+      assert(Multimodal.alawExpand(a) == s, f"alaw 0x$a%02X: " +
+        s"${Multimodal.alawExpand(a)} != $s")
+    // a genuine format-6 WAV round-trips through the shared chunk walk
+    val bytes = (0 until 48).map(i => ((i * 41) % 256).toByte).toArray
+    val bb = java.nio.ByteBuffer.allocate(44 + bytes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + bytes.length)
+    bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(6) // A-law
+    bb.putShort(1); bb.putInt(8000); bb.putInt(8000); bb.putShort(1)
+    bb.putShort(8)
+    bb.put("data".getBytes); bb.putInt(bytes.length); bb.put(bytes)
+    val out = Multimodal.decodeWavSamples(bb.array()).get
+    assert(out.toSeq == bytes.toSeq.map(b =>
+      Multimodal.alawExpand(b & 0xff)))
+  }
+
+  test("adpcmDecodeBlock hand goldens; format-0x11 WAV: per-block " +
+    "state reset, low-nibble-first order, trailing partial ignored") {
+    // hand-computed from the IMA tables at pred 0, index 0:
+    // nib 2 (step 7): diff = 7>>1 = 3 → +3, index −1 → clamp 0
+    assert(Multimodal.adpcmDecodeBlock(0, 0, Array(2)).toSeq ==
+      Seq(0, 3))
+    // nib 10 = 8|2: same magnitude, sign bit → −3
+    assert(Multimodal.adpcmDecodeBlock(0, 0, Array(10)).toSeq ==
+      Seq(0, -3))
+    // nib 7 (step 7): 0+1+3+7 = 11, index +8 → step 16;
+    // then nib 1: 16>>3 + 16>>2 = 6 → 17
+    assert(Multimodal.adpcmDecodeBlock(0, 0, Array(7, 1)).toSeq ==
+      Seq(0, 11, 17))
+    // the q201 linearity margin: no predictor in ±2000 can clamp
+    val maxOff = Multimodal.adpcmDecodeBlock(0, 0,
+      Array(5, 13, 3, 11, 7, 15, 1, 9, 2, 10, 6, 14, 0, 8, 4, 12))
+      .map(math.abs).max
+    assert(maxOff + 2000 < 32767, s"clamp margin: $maxOff")
+    // a two-block WAV: blocks decode INDEPENDENTLY from their own
+    // headers (predictors 100 and -700, indexes 0 and 3), nibbles
+    // low-first; a trailing partial block is ignored
+    val nibs = Array(5, 13, 3, 11, 7, 15, 1, 9)
+    val dataBytes = nibs.grouped(2).map { case Array(lo, hi) =>
+      (lo | (hi << 4)).toByte
+    }.toArray
+    val ba = 4 + dataBytes.length // blockAlign 8 → 9 samples/block
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * ba + 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + 2 * ba + 3)
+    bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(0x11)
+    bb.putShort(1); bb.putInt(8000); bb.putInt(4000)
+    bb.putShort(ba.toShort); bb.putShort(4)
+    bb.put("data".getBytes); bb.putInt(2 * ba + 3)
+    bb.putShort(100); bb.put(0.toByte); bb.put(0.toByte)
+    bb.put(dataBytes)
+    bb.putShort(-700); bb.put(3.toByte); bb.put(0.toByte)
+    bb.put(dataBytes)
+    bb.put(Array[Byte](1, 2, 3)) // trailing partial block
+    val out = Multimodal.decodeWavSamples(bb.array()).get
+    val expected = Multimodal.adpcmDecodeBlock(100, 0, nibs) ++
+      Multimodal.adpcmDecodeBlock(-700, 3, nibs)
+    assert(out.toSeq == expected.toSeq)
+  }
+
   test("decodePngGray goldens: all five filters round-trip through a " +
     "REAL deflater, multi-IDAT concatenation, CRC rejection, and the " +
     "PNG print equals the BMP print of the same pixels") {
