@@ -151,6 +151,20 @@ object Udfs {
   val gifFrames: UserDefinedFunction =
     udf(graft.Multimodal.decodeGifFrames _)
 
+  /** Mojibake REPAIR (the q203 kernel): the classic double-encoding
+    * damage — UTF-8 bytes mis-decoded as Latin-1 somewhere upstream
+    * and re-encoded, so "caf\u00e9" arrives as "caf\u00c3\u00a9". The
+    * deterministic rule: when every char fits Latin-1 AND the
+    * re-encoded byte string is STRICTLY valid UTF-8 (a CharsetDecoder
+    * in REPORT mode, never the replacing default), return the decoded
+    * form; anything else — pure ASCII, genuine wide Unicode, or
+    * Latin-1 text whose bytes are NOT valid UTF-8 (a real "caf\u00e9"
+    * stays: 0xE9 + space cannot parse as UTF-8) — passes through
+    * unchanged, so the repair can never destroy legitimate text.
+    * One level per application, matching how the damage compounds. */
+  val fixMojibake: UserDefinedFunction =
+    udf(graft.TextOps.fixMojibake _)
+
   /** Unicode text canonicalization for dedup (the q199 kernel): strip
     * the zero-width code points crawlers inject (ZWSP/ZWNJ/ZWJ/BOM),
     * map NBSP to a plain space, then NFC-normalize — so "café"

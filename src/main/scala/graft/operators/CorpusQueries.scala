@@ -577,6 +577,38 @@ object CorpusQueries {
               .when(v5 === 3, col("p_4"))
               .when(v5 === 4, col("bmpq"))
               .otherwise(col("bmp")).as("content"))
+      case "census" =>
+        // the q202 mixed-container profile: its own 7-way split
+        // (doc_id % 7) — five image containers, a VALID PCM WAV the
+        // image sniff must reject, and raw text
+        val g7 = expr("doc_id div 7")
+        val v7 = pmod(col("doc_id"), lit(7))
+        val base = fixturePix(g7, lit(0)) _
+        val png = pngContent(docs, base, rgb = false)
+          .withColumnRenamed("content", "c_png")
+        val jp = jpegContent(docs, base)
+          .withColumnRenamed("content", "c_jp")
+        val gif = gifContent(docs, base, "plain")
+          .withColumnRenamed("content", "c_gif")
+        val tif = tiffContent(docs, base, "mm")
+          .withColumnRenamed("content", "c_tif")
+        val wavHex = "52494646" + "24000000" + "57415645" +
+          "666D7420" + "10000000" + "0100" + "0100" + "401F0000" +
+          "803E0000" + "0200" + "1000" + "64617461" + "00000000"
+        docs.select(col("doc_id"), col("text"),
+            bmpContent(base).as("bmp"))
+          .join(png, Seq("doc_id"))
+          .join(jp, Seq("doc_id"))
+          .join(gif, Seq("doc_id"))
+          .join(tif, Seq("doc_id"))
+          .select(col("doc_id"),
+            when(v7 === 1, col("c_png"))
+              .when(v7 === 2, col("c_jp"))
+              .when(v7 === 3, col("c_gif"))
+              .when(v7 === 4, col("c_tif"))
+              .when(v7 === 5, unhex(lit(wavHex)))
+              .when(v7 === 6, col("text").cast("binary"))
+              .otherwise(col("bmp")).as("content"))
       case "tiff" =>
         // the cross_container split verbatim (v 0–2 base, v 3 alt):
         // v 0 BMP, v 1 little-endian single-strip TIFF, v 2 BIG-endian
@@ -1478,6 +1510,35 @@ object CorpusQueries {
       "doc_id", "text")
   }
 
+  /** q203: MOJIBAKE REPAIR — the crawler-text damage q199's
+    * normalizer cannot touch: UTF-8 mis-decoded as Latin-1 upstream,
+    * so the SAME page arrives once clean and once as "caf\u00c3\u00a9".
+    * Per group of four docs: v0 plants the CORRECT Latin-1-looking
+    * form (its bytes are NOT valid UTF-8 — the repair must leave it
+    * alone, the no-false-positive leg), v1/v2 plant two mojibake
+    * shapes that must decode back, v3 keeps the doc's own ASCII text
+    * (untouched by the fast path). The planting CASE is shared
+    * verbatim with the oracle (chr() code points), which re-derives
+    * the expected repaired strings and changed flags arithmetically.
+    * Kernel: [[graft.functions.Udfs.fixMojibake]].
+    */
+  def q203MojibakeRepair(s: SparkSession, d: String): DataFrame = {
+    val g = expr("doc_id div 4")
+    val v = pmod(col("doc_id"), lit(4))
+    val gStr = g.cast("string")
+    val planted = when(v === 0, concat(lit("caf\u00e9 dup "), gStr))
+      .when(v === 1, concat(lit("caf\u00c3\u00a9 dup "), gStr))
+      .when(v === 2, concat(lit("na\u00c3\u00afve dup "), gStr))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), planted.as("raw"))
+      .select(col("doc_id"), col("raw"),
+        graft.functions.Udfs.fixMojibake(col("raw")).as("fixed"))
+      .select(col("doc_id"), col("fixed"),
+        (col("fixed") =!= col("raw")).as("changed"))
+      .orderBy("doc_id")
+  }
+
   /** The shared 9×8 fixture PIXEL FORMULAS — one definition consumed
     * by the q133 BMP synthesizer, the q176 PNG synthesizer, AND
     * mirrored in the oracle's `px` CTE (imagePhashCtes — edit all
@@ -1652,6 +1713,28 @@ object CorpusQueries {
         col("rms"))
       .orderBy("doc_id")
   }
+
+  /** q202: MEDIA CENSUS — the "what is in this bucket" profile every
+    * 100 TB ingest starts with: ONE header-only container sniff
+    * ([[graft.Multimodal.decodeImageHeader]] — PNG → BMP → GIF →
+    * TIFF → JPEG, no pixel payload read anywhere) over a corpus that
+    * mixes five image containers, an audio container the image sniff
+    * must REJECT (a PCM WAV — magic-check discipline, not
+    * prefix-guessing), and raw text. Per doc: format label + dims +
+    * bits per pixel, all re-derived arithmetically from the v-split —
+    * a sniffer that misorders magic checks, misreads a header field,
+    * or accepts the WAV breaks the hash.
+    */
+  def q202MediaCensus(s: SparkSession, d: String): DataFrame =
+    stagedFixture(s, d, "census")(imageFixture(s, d, "census"))
+      .select(col("doc_id"),
+        graft.functions.Udfs.decodeImg(col("content")).as("m"))
+      .select(col("doc_id"),
+        col("m.format").as("fmt"),
+        col("m.width").cast("long").as("w"),
+        col("m.height").cast("long").as("h"),
+        col("m.bits_per_pixel").cast("long").as("bpp"))
+      .orderBy("doc_id")
 
   /** q200: A-LAW audio features — q179's µ-law gate re-run through
     * G.711's OTHER half (European telephony): same RIFF plumbing,
@@ -1998,6 +2081,8 @@ object CorpusQueries {
     "q199_unicode_dedup" -> (q199UnicodeDedup _),
     "q200_alaw_features" -> (q200AlawFeatures _),
     "q201_adpcm_features" -> (q201AdpcmFeatures _),
+    "q202_media_census" -> (q202MediaCensus _),
+    "q203_mojibake_repair" -> (q203MojibakeRepair _),
     "q189_exif_meta" -> (q189ExifMeta _),
     "q191_oriented_dedup" -> (q191OrientedDedup _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
@@ -3657,6 +3742,38 @@ object CorpusQueries {
          |FROM d LEFT JOIN agg USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
+    // media census: expected (format, dims, bpp) re-derived from the
+    // v-split — bmp 9x8x24, gray PNG 9x8x8, the 72x64 grayscale JPEG,
+    // GIF 9x8 with a 7-bit table, the mm TIFF 9x8x8; WAV and raw text
+    // must sniff to the all-null row (edit with q202MediaCensus)
+    "q202_media_census" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS v FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN v = 0 THEN 'bmp' WHEN v = 1 THEN 'png'
+        |       WHEN v = 2 THEN 'jpeg' WHEN v = 3 THEN 'gif'
+        |       WHEN v = 4 THEN 'tiff' END AS fmt,
+        |  CASE WHEN v = 2 THEN 72 WHEN v <= 4 THEN 9 END AS w,
+        |  CASE WHEN v = 2 THEN 64 WHEN v <= 4 THEN 8 END AS h,
+        |  CASE WHEN v = 0 THEN 24 WHEN v = 3 THEN 7
+        |       WHEN v <= 4 THEN 8 END AS bpp
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // mojibake repair: expected repaired strings + changed flags
+    // re-derived via chr() code points (195/169 = the mojibake pair,
+    // 233 e-acute, 239 i-diaeresis); edit with q203MojibakeRepair
+    "q203_mojibake_repair" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, doc_id // 4 AS g, doc_id % 4 AS v
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN v = 0 THEN
+        |      'caf' || chr(233) || ' dup ' || CAST(g AS VARCHAR)
+        |    WHEN v = 1 THEN
+        |      'caf' || chr(233) || ' dup ' || CAST(g AS VARCHAR)
+        |    WHEN v = 2 THEN
+        |      'na' || chr(239) || 've dup ' || CAST(g AS VARCHAR)
+        |    ELSE text END AS fixed,
+        |  v IN (1, 2) AS changed
+        |FROM d ORDER BY doc_id""".stripMargin,
     // the cross-modal curation manifest: text + image-dup + audio
     // signals composed under ONE verdict — shares imagePhashCtes and
     // audioFeatureCtes verbatim with q133/q137; edit all three

@@ -498,13 +498,44 @@ object Multimodal {
     None // truncated before any SOF
   }
 
-  /** Container sniff: try PNG, then BMP, then JPEG — the one-call form
-    * the image rows of a media table use (JPEG folds its density-less
-    * core into the shared ImgMeta shape; [[decodeJpegHeader]] is the
-    * full form). Unknown containers are None.
+  /** GIF metadata from the header + logical screen descriptor — the
+    * census-sniff form ([[decodeGifGray]] is the pixel decode);
+    * bits_per_pixel is the global color table's index width (0 when
+    * the screen declares no global table). */
+  def decodeGifHeader(bytes: Array[Byte]): Option[ImgMeta] =
+    gifHeaderTables(bytes).map { case (sw, sh, gct, _) =>
+      val bits =
+        if (gct == null) 0
+        else 31 - Integer.numberOfLeadingZeros(gct.length / 3)
+      ImgMeta("gif", sw, sh, bits)
+    }
+
+  /** TIFF metadata from the IFD walk ([[tiffTags]]) — header-only, no
+    * strip reads: dims + bits (BitsPerSample × SamplesPerPixel), for
+    * the census sniff; [[decodeTiffGray]] is the pixel decode. */
+  def decodeTiffHeader(bytes: Array[Byte]): Option[ImgMeta] =
+    tiffTags(bytes).flatMap { tagValues =>
+      for {
+        w <- tagValues(256).map(_.head)
+        h <- tagValues(257).map(_.head)
+        if w > 0 && h > 0 && w < (1L << 20) && h < (1L << 20)
+      } yield {
+        val bps = tagValues(258).map(_.head.toInt).getOrElse(8)
+        val spp = tagValues(277).map(_.head.toInt).getOrElse(1)
+        ImgMeta("tiff", w.toInt, h.toInt, bps * spp)
+      }
+    }
+
+  /** Container sniff: try PNG, then BMP, then GIF, then TIFF, then
+    * JPEG — the one-call form the image rows of a media table use
+    * (JPEG folds its density-less core into the shared ImgMeta shape;
+    * [[decodeJpegHeader]] is the full form). Unknown containers are
+    * None. Header-only throughout: the census over a 100 TB bucket
+    * reads no pixel payloads.
     */
   def decodeImageHeader(bytes: Array[Byte]): Option[ImgMeta] =
     decodePngHeader(bytes).orElse(decodeBmpHeader(bytes))
+      .orElse(decodeGifHeader(bytes)).orElse(decodeTiffHeader(bytes))
       .orElse(decodeJpegHeader(bytes).map(j =>
         ImgMeta(j.format, j.width, j.height, j.bits_per_pixel)))
 
@@ -1482,26 +1513,13 @@ object Multimodal {
   def gifDHash(bytes: Array[Byte]): Option[Long] =
     decodeGifGray(bytes).flatMap(dHash64)
 
-  /** REAL pixel decode for baseline TIFF 6.0 — the standalone form of
-    * the IFD machinery the EXIF decoder already walks inside JPEG
-    * APP1 segments ([[decodeJpegExif]]): header byte-order mark ("II"
-    * little / "MM" big — both real in the wild), IFD0 entry walk with
-    * the inline-value rule (a value whose type size × count fits in 4
-    * bytes lives IN the offset field, left-justified per the byte
-    * order), and STRIP assembly — StripOffsets/StripByteCounts arrays
-    * resolved through their own inline-or-offset rule, strips
-    * validated against RowsPerStrip coverage and concatenated in row
-    * order whatever their FILE order (scattered strips are the
-    * format's normal shape; a writer appends strips as it flushes).
-    * Supported shape: BitsPerSample 8, Compression 1 (none),
-    * PhotometricInterpretation 0 (WhiteIsZero — samples INVERT to
-    * gray), 1 (BlackIsZero) or 2 (RGB at SamplesPerPixel 3, averaged
-    * per the decodeBmpGray convention). Anything else — missing
-    * required tag, short strip, type it can't read — returns None,
-    * never garbage. q197 gates it end-to-end in both byte orders;
-    * DecoderFuzzSpec feeds it the JDK ImageIO TIFF writer's output.
-    */
-  def decodeTiffGray(bytes: Array[Byte]): Option[Array[Array[Int]]] = {
+  /** The shared TIFF IFD0 reader: byte-order detection, entry walk,
+    * and lazy tag-value resolution through the inline-or-offset rule -
+    * factored so the pixel decode and the header-only census sniff
+    * ([[decodeTiffHeader]]) walk ONE implementation. Returns the
+    * tag -> values resolver, or None when the header/IFD is malformed. */
+  private def tiffTags(bytes: Array[Byte])
+      : Option[Int => Option[Seq[Long]]] = {
     if (bytes == null || bytes.length < 8) return None
     val le =
       if (bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte &&
@@ -1524,7 +1542,7 @@ object Multimodal {
       ifd + 2 > bytes.length) return None
     val n = u16(ifd.toInt)
     if (n <= 0 || ifd + 2 + 12L * n + 4 > bytes.length) return None
-    // tag → (type, count, value-field offset); the VALUES resolve
+    // tag -> (type, count, value-field offset); the VALUES resolve
     // lazily through the inline-or-offset rule
     val entries = (0 until n).flatMap { i =>
       val e = ifd.toInt + 2 + 12 * i
@@ -1559,6 +1577,33 @@ object Multimodal {
           })
         }
       }
+    Some(tagValues)
+  }
+
+  /** REAL pixel decode for baseline TIFF 6.0 — the standalone form of
+    * the IFD machinery the EXIF decoder already walks inside JPEG
+    * APP1 segments ([[decodeJpegExif]]): header byte-order mark ("II"
+    * little / "MM" big — both real in the wild), IFD0 entry walk with
+    * the inline-value rule (a value whose type size × count fits in 4
+    * bytes lives IN the offset field, left-justified per the byte
+    * order), and STRIP assembly — StripOffsets/StripByteCounts arrays
+    * resolved through their own inline-or-offset rule, strips
+    * validated against RowsPerStrip coverage and concatenated in row
+    * order whatever their FILE order (scattered strips are the
+    * format's normal shape; a writer appends strips as it flushes).
+    * Supported shape: BitsPerSample 8, Compression 1 (none),
+    * PhotometricInterpretation 0 (WhiteIsZero — samples INVERT to
+    * gray), 1 (BlackIsZero) or 2 (RGB at SamplesPerPixel 3, averaged
+    * per the decodeBmpGray convention). Anything else — missing
+    * required tag, short strip, type it can't read — returns None,
+    * never garbage. q197 gates it end-to-end in both byte orders;
+    * DecoderFuzzSpec feeds it the JDK ImageIO TIFF writer's output.
+    */
+  def decodeTiffGray(bytes: Array[Byte]): Option[Array[Array[Int]]] = {
+    val tagValues = tiffTags(bytes) match {
+      case Some(f) => f
+      case _ => return None
+    }
     def tagVal(tag: Int): Option[Long] = tagValues(tag).map(_.head)
     val w = tagVal(256) match { case Some(v) => v; case _ => return None }
     val h = tagVal(257) match { case Some(v) => v; case _ => return None }

@@ -49,6 +49,30 @@ object TextOps {
     * the text, the cluster size, and the cluster's min-id canonical
     * doc. Collision risk is md5's (the exact-dedup family's standing
     * argument). */
+  /** The q203 mojibake-repair kernel (plain-function form — the UDF
+    * wrapper is [[graft.functions.Udfs.fixMojibake]], whose scaladoc
+    * carries the rule): repair only when every char fits Latin-1 AND
+    * the re-encoded bytes are strictly valid UTF-8; pure ASCII,
+    * genuine wide Unicode, and Latin-1 text whose bytes cannot parse
+    * as UTF-8 pass through unchanged. */
+  def fixMojibake(s: String): String = {
+    if (s == null) null
+    else if (s.forall(c => c < 0x80)) s
+    else if (s.exists(c => c > 0xff)) s
+    else {
+      val bytes = new Array[Byte](s.length)
+      var i = 0
+      while (i < s.length) { bytes(i) = s.charAt(i).toByte; i += 1 }
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      catch {
+        case _: java.nio.charset.CharacterCodingException => s
+      }
+    }
+  }
+
   def unicodeNormalizedDedup(docs: DataFrame, idCol: String,
                              textCol: String): DataFrame = {
     val keyed = docs.select(col(idCol),

@@ -1034,6 +1034,54 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavSamples(bad).isEmpty)
   }
 
+  test("fixMojibake: repairs double-encoded UTF-8, never touches " +
+    "ASCII, legitimate Latin-1, or genuine wide Unicode") {
+    val fix = TextOps.fixMojibake _
+    assert(fix("plain ascii") == "plain ascii")
+    assert(fix("caf\u00c3\u00a9 menu") == "caf\u00e9 menu")
+    assert(fix("na\u00c3\u00afve") == "na\u00efve")
+    // a real e-acute: 0xE9 + space is NOT valid UTF-8 -> untouched
+    assert(fix("caf\u00e9 menu") == "caf\u00e9 menu")
+    // wide Unicode (beyond Latin-1) passes through
+    assert(fix("\u65e5\u672c") == "\u65e5\u672c")
+  }
+
+  test("decodeGifHeader / decodeTiffHeader: header-only census sniff " +
+    "yields dims without touching pixel payloads") {
+    // GIF: 9x8 screen, 16-entry table -> 4 index bits; truncate the
+    // bytes right after the tables — header decode must still work
+    val pal = Array.tabulate(16)(i => i * 17)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    out.write(Array[Byte](9, 0, 8, 0, (0x80 | 0x70 | 3).toByte, 0, 0))
+    pal.foreach { g => out.write(g); out.write(g); out.write(g) }
+    val m = Multimodal.decodeGifHeader(out.toByteArray).get
+    assert(m == Multimodal.ImgMeta("gif", 9, 8, 4), m.toString)
+    // the sniffing one-call form picks them up too
+    assert(Multimodal.decodeImageHeader(out.toByteArray)
+      .exists(_.format == "gif"))
+    // TIFF: a header+IFD with NO strip bytes present — dims still
+    // resolve (the header-only promise); RGB spp scales the bit depth
+    val bb = java.nio.ByteBuffer.allocate(8 + 2 + 9 * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42)
+    bb.putInt(8)
+    bb.putShort(9)
+    def e(tag: Int, typ: Int, cnt: Int, vv: Int): Unit = {
+      bb.putShort(tag.toShort); bb.putShort(typ.toShort); bb.putInt(cnt)
+      if (typ == 3) { bb.putShort(vv.toShort); bb.putShort(0) }
+      else bb.putInt(vv)
+    }
+    e(256, 3, 1, 33); e(257, 3, 1, 21); e(258, 3, 1, 8)
+    e(259, 3, 1, 1); e(262, 3, 1, 2); e(273, 4, 1, 999999)
+    e(277, 3, 1, 3); e(278, 3, 1, 21); e(279, 4, 1, 33 * 21 * 3)
+    bb.putInt(0)
+    val tm = Multimodal.decodeTiffHeader(bb.array()).get
+    assert(tm == Multimodal.ImgMeta("tiff", 33, 21, 24), tm.toString)
+    // the PIXEL decode of the same bytes rejects (strip out of range)
+    assert(Multimodal.decodeTiffGray(bb.array()).isEmpty)
+  }
+
   test("alawExpand goldens + format-6 WAV decode end-to-end") {
     // published G.711 A-law properties: quiet codes ±8 (no true
     // zero), full-scale ±32256, inverted sign polarity vs µ-law,
