@@ -448,6 +448,79 @@ object CorpusOps {
       .orderBy("rank")
   }
 
+  /** Deterministic HYPERLOGLOG register sketch + verdict gate (q204) —
+    * the mergeable approximate-distinct primitive a 100 TB pipeline
+    * uses where an exact count-distinct's shuffle is unpayable (unique
+    * users per segment, unique URLs per host). Every step is INTEGER
+    * arithmetic both engines reproduce bit-for-bit: the 32-bit hash is
+    * the first 8 hex chars of md5 (the hash7 family's posture),
+    * register = hash mod 2^p, rank = leading zeros of the remaining
+    * 32−p bits + 1 via the binary-string length (`bin()` renders
+    * unpadded in both engines), and the harmonic denominator is kept
+    * as the EXACT scaled integer Σ 2^(32−p+2−rank) (absent registers
+    * contribute rank 0) — so the only floats are one multiply and one
+    * divide of identical values (correctly-rounded IEEE in both
+    * engines; the estimate column rounds to 4). The gate joins the
+    * exact distinct count and asserts the estimate lands within ±20%
+    * (~3σ at p = 8) — a DETERMINISTIC verdict, not a probabilistic
+    * hope, because both sides compute identical doubles. HONEST
+    * RANGE NOTE: the column is the RAW HLL estimate, unbiased only
+    * past the classic 2.5·m small-range boundary; below it raw HLL
+    * reads high by design (measured 1.76× at n = 150, m = 256) and
+    * the standard remedy is linear counting, m·ln(m/zeros), which
+    * the output's (present_regs, s_scaled) lets a consumer apply —
+    * the gate itself stays keyed past the boundary because ln() is
+    * not correctly-rounded IEEE and would put the ORACLE hash at the
+    * mercy of two libm implementations agreeing.
+    *
+    * Scale shape: the sketch is ONE partial-aggregated groupBy whose
+    * post-shuffle width is (groups × 2^p) rank maxima — KBs per
+    * group — and register tables MERGE by elementwise max, the
+    * property that lets a 1000-executor fleet sketch shards
+    * independently. The exact count exists for the verdict only.
+    */
+  def hllDistinctGate(df: DataFrame, keyCol: String, groupCol: String,
+                      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range: $p")
+    val m = 1 << p
+    val wBits = 32 - p
+    val zeroPow = 1L << (wBits + 2)
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8),
+      16, 10).cast("long")
+    val reg = pmod(h, lit(m))
+    val w = ((h - reg) / lit(m)).cast("long")
+    val rho = when(w === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+    val keyed = df.filter(col(keyCol).isNotNull)
+    val sketch = keyed
+      .select(col(groupCol).as("grp"), reg.as("reg"), rho.as("rho"))
+      .groupBy("grp", "reg").agg(max("rho").as("mr"))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("present_regs"),
+        max("mr").cast("long").as("max_rank"),
+        sum("mr").cast("long").as("sum_rank"),
+        // 2^k exact in a double for k ≤ 26, cast back exact
+        sum(pow(lit(2.0), lit(wBits + 2) - col("mr")).cast("long"))
+          .as("pow_present"))
+    val exact = keyed.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(keyCol)).as("n_exact"))
+    val sScaled = (col("pow_present") +
+      (lit(m.toLong) - col("present_regs")) * lit(zeroPow)).as("s_scaled")
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    // α·m²·2^(wBits+2) — the numerator over the scaled denominator
+    val est = alpha * lit(m.toDouble * m * zeroPow) / col("s_scaled")
+    sketch.join(exact, Seq("grp"))
+      .select(col("grp"), col("n_exact"), col("present_regs"),
+        col("max_rank"), col("sum_rank"), sScaled)
+      .select(col("grp").as(groupCol), col("n_exact"),
+        col("present_regs"), col("max_rank"), col("sum_rank"),
+        col("s_scaled"),
+        round(est, 4).as("hll_est"),
+        (abs(est - col("n_exact")) <= lit(0.2) * col("n_exact"))
+          .as("hll_ok"))
+      .orderBy(groupCol)
+  }
+
   // --------------------------------------- vocabulary build + encode
 
   /** Vocabulary BUILD + corpus ENCODE — the tokenizer-prep step of a

@@ -2083,6 +2083,12 @@ object CorpusQueries {
     "q201_adpcm_features" -> (q201AdpcmFeatures _),
     "q202_media_census" -> (q202MediaCensus _),
     "q203_mojibake_repair" -> (q203MojibakeRepair _),
+    // keyed on event_id: its per-type cardinality (~2k at sf0.01)
+    // sits safely PAST the 2.5m linear-counting boundary where the
+    // raw HLL estimate is unbiased — user_id's 150 would land in the
+    // small-range regime where raw HLL reads ~1.8x high by design
+    "q204_hll_distinct" -> ((s, d) => CorpusOps.hllDistinctGate(
+      Tables.events(s, d), "event_id", "event_type")),
     "q189_exif_meta" -> (q189ExifMeta _),
     "q191_oriented_dedup" -> (q191OrientedDedup _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
@@ -3774,6 +3780,49 @@ object CorpusQueries {
         |    ELSE text END AS fixed,
         |  v IN (1, 2) AS changed
         |FROM d ORDER BY doc_id""".stripMargin,
+    // deterministic HLL: integer register sketch (md5-based hash,
+    // bin()-length ranks, exact scaled harmonic sum) + the one
+    // float division both engines round identically; edit with
+    // CorpusOps.hllDistinctGate (p = 8 constants: 256 registers,
+    // 2^26 zero term, alpha*m^2*2^26 numerator)
+    "q204_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type AS grp,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        substring(md5(CAST(event_id AS VARCHAR)), 1, 8), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1
+        |          AS BIGINT))),
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM events WHERE event_id IS NOT NULL),
+        |r AS (SELECT grp, hv % 256 AS reg, hv // 256 AS w FROM h),
+        |rr AS (SELECT grp, reg,
+        |    MAX(CASE WHEN w = 0 THEN 25
+        |        ELSE 25 - length(bin(w)) END) AS mr
+        |  FROM r GROUP BY 1, 2),
+        |sk AS (SELECT grp,
+        |    CAST(count(*) AS BIGINT) AS present_regs,
+        |    CAST(max(mr) AS BIGINT) AS max_rank,
+        |    CAST(sum(mr) AS BIGINT) AS sum_rank,
+        |    CAST(sum(CAST(1 AS BIGINT) << (26 - mr)) AS BIGINT)
+        |      AS pow_present
+        |  FROM rr GROUP BY 1),
+        |e AS (SELECT event_type AS grp,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+        |  FROM events WHERE event_id IS NOT NULL GROUP BY 1),
+        |j AS (SELECT sk.grp, n_exact, present_regs, max_rank,
+        |    sum_rank,
+        |    pow_present + (256 - present_regs)
+        |      * (CAST(1 AS BIGINT) << 26) AS s_scaled
+        |  FROM sk JOIN e USING (grp))
+        |SELECT grp AS event_type, n_exact, present_regs, max_rank,
+        |  sum_rank, s_scaled,
+        |  round((0.7213 / (1.0 + 1.079 / 256.0))
+        |    * 4398046511104.0 / s_scaled, 4) AS hll_est,
+        |  abs((0.7213 / (1.0 + 1.079 / 256.0))
+        |    * 4398046511104.0 / s_scaled - n_exact)
+        |    <= 0.2 * n_exact AS hll_ok
+        |FROM j ORDER BY event_type""".stripMargin,
     // the cross-modal curation manifest: text + image-dup + audio
     // signals composed under ONE verdict — shares imagePhashCtes and
     // audioFeatureCtes verbatim with q133/q137; edit all three

@@ -1054,4 +1054,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     val h = spark.range(1).select(md5(lit("t1 t2"))).head().getString(0)
     assert(out(1L).getAs[String]("clean_hash") == h)
   }
+
+  test("hllDistinctGate: exact-integer registers, a ±20% verdict that " +
+    "holds, and multiplicity-invariance (the mergeable-sketch property)") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("k", "g")
+    val out = CorpusOps.hllDistinctGate(df, "k", "g").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 1000L)
+      assert(r.getAs[Long]("present_regs") <= 256L)
+      assert(r.getAs[Boolean]("hll_ok"), r.toString)
+    }
+    // duplicate rows must not move a distinct sketch (register maxima
+    // are multiplicity-blind) — the property that makes shard-level
+    // sketches mergeable by elementwise max
+    val doubled = CorpusOps.hllDistinctGate(df.union(df), "k", "g")
+      .collect()
+    assert(out.map(_.toSeq).toSet == doubled.map(_.toSeq).toSet)
+    // null keys are ignored on BOTH legs (sketch and exact)
+    val withNull = df.union(Seq((null.asInstanceOf[java.lang.Long],
+      "a")).toDF("k", "g").select($"k".cast("long"), $"g"))
+    val out3 = CorpusOps.hllDistinctGate(withNull, "k", "g").collect()
+    assert(out.map(_.toSeq).toSet == out3.map(_.toSeq).toSet)
+  }
 }
