@@ -179,7 +179,7 @@ object Bench {
       "q195_gif_lzw_dedup", "q196_png_alpha_dedup", "q197_tiff_dedup",
       "q198_gif_anim_frames", "q199_unicode_dedup",
       "q200_alaw_features", "q201_adpcm_features", "q202_media_census",
-      "q203_mojibake_repair", "q204_hll_distinct",
+      "q203_mojibake_repair", "q204_hll_distinct", "q205_hll_merged",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

@@ -521,6 +521,58 @@ object CorpusOps {
       .orderBy(groupCol)
   }
 
+  /** The MERGE half of the HLL story (q205) — the property the sketch
+    * exists for at 1000 executors: per-group register tables combine
+    * into the UNION's sketch by ELEMENTWISE MAX, no rescan of either
+    * side. This gate computes each group's registers independently
+    * (exactly [[hllDistinctGate]]'s front half — shards sketched in
+    * isolation), merges them by max into one global register table,
+    * and emits the merged estimate next to the exact GLOBAL distinct
+    * (which de-duplicates keys shared ACROSS groups — the thing a sum
+    * of per-group counts gets wrong and a merged sketch gets right).
+    * Same integer discipline as the per-group gate; one output row.
+    */
+  def hllMergedGate(df: DataFrame, keyCol: String, groupCol: String,
+                    p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range: $p")
+    val m = 1 << p
+    val wBits = 32 - p
+    val zeroPow = 1L << (wBits + 2)
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8),
+      16, 10).cast("long")
+    val reg = pmod(h, lit(m))
+    val w = ((h - reg) / lit(m)).cast("long")
+    val rho = when(w === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+    val keyed = df.filter(col(keyCol).isNotNull)
+    // per-group register tables (the independent shard sketches) …
+    val perGroup = keyed
+      .select(col(groupCol).as("grp"), reg.as("reg"), rho.as("rho"))
+      .groupBy("grp", "reg").agg(max("rho").as("mr"))
+    // … merged by elementwise max into the union's registers
+    val merged = perGroup.groupBy("reg").agg(max("mr").as("mr"))
+      .agg(count(lit(1)).cast("long").as("present_regs"),
+        max("mr").cast("long").as("max_rank"),
+        sum("mr").cast("long").as("sum_rank"),
+        sum(pow(lit(2.0), lit(wBits + 2) - col("mr")).cast("long"))
+          .as("pow_present"))
+    val exact = keyed.agg(countDistinct(col(keyCol)).as("n_exact"))
+    val sScaled = (col("pow_present") +
+      (lit(m.toLong) - col("present_regs")) * lit(zeroPow)).as("s_scaled")
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val est = alpha * lit(m.toDouble * m * zeroPow) / col("s_scaled")
+    // 1-row × 1-row combine: explicit broadcast (the q143/q73
+    // posture — whitelisted in PlanSweepSpec)
+    merged.crossJoin(org.apache.spark.sql.functions.broadcast(exact))
+      .select(col("n_exact"), col("present_regs"), col("max_rank"),
+        col("sum_rank"), sScaled)
+      .select(col("n_exact"), col("present_regs"), col("max_rank"),
+        col("sum_rank"), col("s_scaled"),
+        round(est, 4).as("hll_est"),
+        (abs(est - col("n_exact")) <= lit(0.2) * col("n_exact"))
+          .as("hll_ok"))
+  }
+
   // --------------------------------------- vocabulary build + encode
 
   /** Vocabulary BUILD + corpus ENCODE — the tokenizer-prep step of a

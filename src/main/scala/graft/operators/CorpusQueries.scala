@@ -2089,6 +2089,23 @@ object CorpusQueries {
     // small-range regime where raw HLL reads ~1.8x high by design
     "q204_hll_distinct" -> ((s, d) => CorpusOps.hllDistinctGate(
       Tables.events(s, d), "event_id", "event_type")),
+    // the merge half of the HLL story: per-type shard sketches
+    // combined by elementwise max, landing on the UNION's
+    // cardinality. Key = ACTIVE USER-HOUR (user_id * 1e6 + epoch
+    // hour): it repeats across event types (a user active in an hour
+    // fires several types — summing per-type counts would overcount
+    // by the overlap; the merged sketch must not) and its global
+    // cardinality (~9.6k at sf0.01) sits far past the 2.5m
+    // linear-counting boundary
+    "q205_hll_merged" -> ((s, d) => {
+      val u = unix_timestamp(col("ts")).cast("long")
+      val uh = (col("user_id") * lit(1000000L) +
+        ((u - pmod(u, lit(3600L))) / lit(3600L)).cast("long"))
+        .as("user_hour")
+      CorpusOps.hllMergedGate(
+        Tables.events(s, d).select(uh, col("event_type")),
+        "user_hour", "event_type")
+    }),
     "q189_exif_meta" -> (q189ExifMeta _),
     "q191_oriented_dedup" -> (q191OrientedDedup _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
@@ -3823,6 +3840,52 @@ object CorpusQueries {
         |    * 4398046511104.0 / s_scaled - n_exact)
         |    <= 0.2 * n_exact AS hll_ok
         |FROM j ORDER BY event_type""".stripMargin,
+    // merged HLL: the q204 register chain re-grouped — per-type
+    // registers, elementwise-max merge, one global row; the exact
+    // side de-duplicates the cross-type user-hour overlap (edit with
+    // CorpusOps.hllMergedGate)
+    "q205_hll_merged" ->
+      """WITH k AS (
+        |  SELECT event_type AS grp,
+        |    user_id * 1000000 + CAST(epoch(ts) AS BIGINT) // 3600
+        |      AS uh
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |h AS (
+        |  SELECT grp,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        substring(md5(CAST(uh AS VARCHAR)), 1, 8), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1
+        |          AS BIGINT))),
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM k),
+        |r AS (SELECT grp, hv % 256 AS reg, hv // 256 AS w FROM h),
+        |rr AS (SELECT grp, reg,
+        |    MAX(CASE WHEN w = 0 THEN 25
+        |        ELSE 25 - length(bin(w)) END) AS mr
+        |  FROM r GROUP BY 1, 2),
+        |mm AS (SELECT reg, MAX(mr) AS mr FROM rr GROUP BY 1),
+        |sk AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS present_regs,
+        |    CAST(max(mr) AS BIGINT) AS max_rank,
+        |    CAST(sum(mr) AS BIGINT) AS sum_rank,
+        |    CAST(sum(CAST(1 AS BIGINT) << (26 - mr)) AS BIGINT)
+        |      AS pow_present
+        |  FROM mm),
+        |e AS (SELECT CAST(count(DISTINCT uh) AS BIGINT) AS n_exact
+        |  FROM k),
+        |j AS (SELECT n_exact, present_regs, max_rank, sum_rank,
+        |    pow_present + (256 - present_regs)
+        |      * (CAST(1 AS BIGINT) << 26) AS s_scaled
+        |  FROM sk, e)
+        |SELECT n_exact, present_regs, max_rank, sum_rank, s_scaled,
+        |  round((0.7213 / (1.0 + 1.079 / 256.0))
+        |    * 4398046511104.0 / s_scaled, 4) AS hll_est,
+        |  abs((0.7213 / (1.0 + 1.079 / 256.0))
+        |    * 4398046511104.0 / s_scaled - n_exact)
+        |    <= 0.2 * n_exact AS hll_ok
+        |FROM j""".stripMargin,
     // the cross-modal curation manifest: text + image-dup + audio
     // signals composed under ONE verdict — shares imagePhashCtes and
     // audioFeatureCtes verbatim with q133/q137; edit all three

@@ -1079,4 +1079,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     val out3 = CorpusOps.hllDistinctGate(withNull, "k", "g").collect()
     assert(out.map(_.toSeq).toSet == out3.map(_.toSeq).toSet)
   }
+
+  test("hllMergedGate: merging per-group registers by max is EXACTLY " +
+    "the union's sketch, and the estimate tracks the de-duplicated " +
+    "cardinality") {
+    import spark.implicits._
+    // two overlapping groups: union 1..2000, overlap 500..1500
+    val df = ((1 to 1500).map(i => (i.toLong, "a")) ++
+      (500 to 2000).map(i => (i.toLong, "b"))).toDF("k", "g")
+    val merged = CorpusOps.hllMergedGate(df, "k", "g").head()
+    assert(merged.getAs[Long]("n_exact") == 2000L)
+    assert(merged.getAs[Boolean]("hll_ok"), merged.toString)
+    // sketching the union DIRECTLY (one group) yields identical
+    // registers — merge loses nothing, the mergeability theorem
+    val direct = CorpusOps.hllDistinctGate(
+      df.withColumn("g", lit("all")), "k", "g").head()
+    for (c <- Seq("present_regs", "max_rank", "sum_rank", "s_scaled"))
+      assert(merged.getAs[Long](c) == direct.getAs[Long](c), c)
+    assert(merged.getAs[Double]("hll_est") ==
+      direct.getAs[Double]("hll_est"))
+  }
 }

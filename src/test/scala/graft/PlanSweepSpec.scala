@@ -35,7 +35,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "q135_pq_adc_recall",
     // hard-negative mining is q39's broadcast-probe scan with the
     // different-label predicate — same bounded build side
-    "q145_hard_negatives")
+    "q145_hard_negatives",
+    // the merged-HLL gate combines two ONE-ROW aggregates (merged
+    // registers × exact distinct) via an explicit broadcast cross
+    // join — the q143 1-row posture
+    "q205_hll_merged")
 
   /** Queries EXCLUDED from the sweep because constructing their result
     * frame executes real side effects (writers, bucketed-table builds,
