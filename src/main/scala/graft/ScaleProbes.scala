@@ -1202,6 +1202,45 @@ object ScaleProbes {
             f"per_batch_speedup=${inline / indexed}%.1fx")
         }
 
+      case "hll-ab" =>
+        // the q204/q205 claim, measured: a register sketch's
+        // post-shuffle state is (groups × 2^p) rank maxima while the
+        // exact count-distinct drags every distinct KEY through the
+        // exchange — at growing per-group cardinality the sketch's
+        // shuffle bytes stay constant and the exact side's grow
+        // linearly. Synthetic (group, key) pairs, keys md5-scrambled
+        // so neither side benefits from clustering; both sides
+        // aggregate to one row per group through the noop sink.
+        val nArg = args.lift(1).map(_.toInt).getOrElse(2000000)
+        def noopW(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        for (n <- Seq(nArg / 4, nArg)) {
+          // ~n/2 distinct keys per group across 8 groups, duplicated
+          val base = spark.range(n.toLong)
+            .select(pmod(col("id"), lit(8)).cast("string").as("grp"),
+              (col("id") % lit(math.max(1L, n / 2L))).as("k"))
+          // the sketch-ONLY path (the gate's front half — the gate
+          // itself also joins the exact side, which is what the
+          // sketch exists to avoid)
+          val h = conv(substring(md5(col("k").cast("string")), 1, 8),
+            16, 10).cast("long")
+          val reg = pmod(h, lit(256))
+          val w = ((h - reg) / lit(256)).cast("long")
+          val rho = when(w === 0, lit(25))
+            .otherwise(lit(25) - length(bin(w)))
+          val sketch = minOf3(noopW(
+            base.select(col("grp"), reg.as("reg"), rho.as("rho"))
+              .groupBy("grp", "reg").agg(max("rho").as("mr"))
+              .groupBy("grp")
+              .agg(sum("mr").as("sum_rank"), max("mr").as("max_rank"),
+                count(lit(1)).as("present_regs"))))
+          val exact = minOf3(noopW(
+            base.groupBy("grp")
+              .agg(countDistinct(col("k")).as("n_exact"))))
+          println(f"[probe] hll-ab: n=$n sketch_min3_sec=$sketch%.2f " +
+            f"exact_min3_sec=$exact%.2f ratio=${exact / sketch}%.2fx")
+        }
+
       case "img-synth" =>
         // the SYNTHESIS half of the staged image gates: q176/q180/
         // q181 now time read → decode → dedup over parquet-staged
