@@ -13,6 +13,18 @@ import java.nio.file.{Files, Paths}
   *
   * A query that throws is reported as -1 in "queries" and listed in
   * "errors" — never as a fake-fast timing.
+  *
+  * r19 budget posture: the 142-row headline at unconditional min-of-3
+  * outgrew the driver's wall-clock cap (BENCH_r18 rc=124 — the first
+  * round with no driver-verified perf artifact). Three levers, each
+  * independently sufficient to claw back most of the overrun:
+  * (a) per-row iteration scheduling keyed on the committed spread
+  * history ([[scheduledIters]]), (b) a FRESH per-run warehouse (a long
+  * session had accreted 242 standing tables, taxing every lifecycle
+  * gate's bootstrap ~20% in catalog/listing overhead — harness
+  * artifact, not plan cost; SCALING.md), and (c) a split-run mode
+  * (SPARK_GRAFT_BENCH_PART=i/n) that lets the driver bench the headline
+  * in two bounded invocations and still get one merged bench_out.json.
   */
 object Bench {
 
@@ -209,26 +221,192 @@ object Bench {
     }
   }
 
+  /** Newest committed full-run snapshot (BENCH_OUT_r{N}.json) in `dir`
+    * — the scheduling prior AND the autodiff baseline. */
+  private[graft] def newestSnapshot(
+      dir: java.io.File = new java.io.File(".")): Option[(Int, String)] = {
+    val rx = "BENCH_OUT_r(\\d+)\\.json".r
+    Option(dir.listFiles()).toSeq.flatten.flatMap(f => f.getName match {
+      case rx(n) => Some((n.toInt, f.getName))
+      case _ => None
+    }).sortBy(-(_: (Int, String))._1).headOption
+  }
+
+  /** Per-row timed-iteration schedule (r19 — VERDICT item 1a). Most of
+    * the min-of-3 iterations re-measured rows whose committed history
+    * already certifies repeatability; at 142 rows that pushed the full
+    * run past the driver's cap. A row runs ONE timed iteration when the
+    * newest committed snapshot shows (a) a min >= 0.5 s — the ~39
+    * sub-half-second rows keep min-of-3 (≈14 s of mins in total, cheap
+    * insurance exactly where a single draw's jitter is largest relative
+    * to the value) — and (b) a committed spread <= 60% (looser history
+    * means the row needs min-of-N to converge at all; lifecycle gates
+    * with wide committed spreads therefore keep the full schedule
+    * automatically). New rows (no committed min) keep the full
+    * schedule. Safety net for the one-draw rows is the deviation gate
+    * in [[main]]: a draw landing > 1.4x the committed min re-times once
+    * and publishes the min of the two — a transient-noise draw recovers
+    * its real level, while a genuine regression still publishes > 1.4x
+    * and trips BenchDiff's 1.3x flag. Modeled on BENCH_OUT_r19: timed
+    * wall ≈ 410 s vs ≈ 1040 s at unconditional min-of-3.
+    */
+  private[graft] def scheduledIters(name: String, iterations: Int,
+      priorMin: Map[String, Double],
+      priorSpread: Map[String, Double]): Int =
+    priorMin.get(name) match {
+      case Some(m) if m >= 0.5 &&
+          priorSpread.getOrElse(name, Double.MaxValue) <= 60.0 => 1
+      case _ => iterations
+    }
+
+  /** Interleaved 1-based part slice for SPARK_GRAFT_BENCH_PART=i/n:
+    * part i takes headline indexes i-1, i-1+n, i-1+2n, … Interleaving
+    * spreads the heavy lifecycle rows across parts far more evenly
+    * than a contiguous cut of the (roughly cost-sorted-by-accretion)
+    * headline list, so each part fits the same per-invocation budget.
+    */
+  private[graft] def partSlice(names: Seq[String], part: Int,
+      of: Int): Seq[String] = {
+    require(of >= 1 && part >= 1 && part <= of,
+      s"SPARK_GRAFT_BENCH_PART must be i/n with 1 <= i <= n, got $part/$of")
+    names.zipWithIndex.collect { case (n, i) if i % of == part - 1 => n }
+  }
+
+  /** Extract a JSON string array ("errors":["a","b"]) — sibling of
+    * BenchDiff.mapOf, same deliberately-minimal posture. */
+  private[graft] def listOf(json: String, key: String): Seq[String] =
+    ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+      .findFirstMatchIn(json).toSeq.flatMap(m =>
+        "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+
+  private def fmtMap(m: Seq[(String, String)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** Run BenchDiff against the newest committed snapshot and roll this
+    * run's complete map forward as the next snapshot — the autodiff
+    * tail shared by full runs and completed part merges. Skipped when
+    * the run had errors (a failed run must never become the baseline).
+    */
+  private def diffAndSnapshot(outFile: String): Unit =
+    newestSnapshot().foreach { case (n, prev) =>
+      graft.tools.BenchDiff.main(Array(prev, outFile,
+        s"BENCH_DIFF_r${n + 1}.json"))
+      Files.copy(Paths.get(outFile),
+        Paths.get(s"BENCH_OUT_r${n + 1}.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Merge completed part files into bench_out.json. Returns true only
+    * when all `of` parts were present AND their union covers exactly
+    * the full default headline — a stale part file from an older
+    * headline shape refuses to merge rather than publishing a
+    * silently-partial total. Part files are deleted after a successful
+    * merge so they can never go stale for the next session.
+    */
+  private[graft] def mergeParts(of: Int): Boolean = {
+    import graft.tools.BenchDiff.mapOf
+    val paths = (1 to of).map(i => Paths.get(s"bench_out_part${i}of$of.json"))
+    val present = paths.filter(Files.exists(_))
+    if (present.size < of) {
+      println(s"[bench] ${present.size}/$of part files present — " +
+        "merge deferred to the final part's run")
+      return false
+    }
+    val parts = paths.map(Files.readString(_))
+    val queries = parts.map(mapOf(_, "queries")).reduce(_ ++ _)
+    val full = headline(None)
+    if (queries.keySet != full.toSet) {
+      System.err.println("[bench] part files do not union to the " +
+        "current headline (stale parts from an older round?) — " +
+        "refusing to merge")
+      return false
+    }
+    val spreads = parts.map(mapOf(_, "spread_pct")).reduce(_ ++ _)
+    val draws = parts.map(mapOf(_, "draws")).reduce(_ ++ _)
+    val errors = parts.flatMap(listOf(_, "errors")).distinct
+    val iters = parts.flatMap("\"iters\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(_).map(_.group(1).toInt))
+      .reduceOption(_ max _).getOrElse(3)
+    val sf = parts.headOption.flatMap(
+      "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_).map(_.group(1)))
+      .getOrElse("?")
+    val total = queries.values.filter(_ >= 0).sum
+    def ordered[A](m: Map[String, A], fmt: A => String) =
+      fmtMap(full.filter(m.contains).map(k => k -> fmt(m(k))))
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${
+        ordered[Double](queries, v => f"$v%.3f")},"spread_pct":${
+        ordered[Double](spreads, v => f"$v%.1f")},"spread_min_pct":0,"iters":$iters,"draws":${
+        ordered[Double](draws, v => f"${v.toInt}%d")},"merged_parts":$of,"errors":$errJson,"sf":"$sf"}"""
+    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    println(json)
+    println(s"[bench] merged $of parts -> bench_out.json " +
+      f"(total $total%.1f s, ${queries.size} rows, ${errors.size} errors)")
+    if (errors.isEmpty) diffAndSnapshot("bench_out.json")
+    paths.foreach(Files.deleteIfExists(_))
+    true
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.get("graft-bench")
+    // r19 (VERDICT item 1b): fresh per-run warehouse. A long session
+    // accretes standing-index tables (242 at the r18 tail) and every
+    // lifecycle gate's bootstrap then pays ~20% catalog/listing
+    // overhead (SCALING.md's q154 worktree measurement) — a harness
+    // artifact a deployment never pays, since nothing re-bootstraps
+    // per query there. The bench must measure the plan, not the
+    // accretion.
+    val wh = Files.createTempDirectory("graft-bench-wh").toString
+    TmpDirs.deleteOnExit(wh)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder("graft-bench", cpus)
+      .config("spark.sql.warehouse.dir", wh).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // SPARK_GRAFT_BENCH_PART=i/n (r19, VERDICT item 1c): bench the i-th
+    // interleaved slice of the full headline, write a part file, and
+    // auto-merge once all parts exist. Orthogonal to the subset hook —
+    // combining them has no coherent merge semantics, so refuse.
+    val partSpec = sys.env.get("SPARK_GRAFT_BENCH_PART").map { s =>
+      val m = "(\\d+)\\s*/\\s*(\\d+)".r.findFirstMatchIn(s.trim).getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_PART must look like 1/2, got '$s'"))
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    require(partSpec.isEmpty ||
+        sys.env.get("SPARK_GRAFT_BENCH_QUERIES").isEmpty,
+      "SPARK_GRAFT_BENCH_PART and SPARK_GRAFT_BENCH_QUERIES are exclusive")
+    val names = partSpec match {
+      case Some((i, n)) => partSlice(headline, i, n)
+      case None => headline
+    }
+
+    // committed history → per-row iteration schedule + deviation gate
+    val prior = newestSnapshot().map { case (_, f) =>
+      Files.readString(Paths.get(f)) }
+    val priorMin = prior.map(graft.tools.BenchDiff.mapOf(_, "queries"))
+      .getOrElse(Map.empty[String, Double])
+    val priorSpread = prior.map(graft.tools.BenchDiff.mapOf(_, "spread_pct"))
+      .getOrElse(Map.empty[String, Double])
+
     // Untimed warmup at the smallest scale: pays JIT + codegen + parquet
     // footer reads once so the timed runs measure steady-state throughput.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      headline.foreach { name =>
+      names.foreach { name =>
         try benchable(name)(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         finally Caches.clear()
       }
     var errors = List.empty[String]
-    // Min of three timed iterations: single-run timings swing ±15% (and
+    // Min of N timed iterations: single-run timings swing ±15% (and
     // occasionally 2-3×) with system noise on this box — see SCALING.md's
     // noise characterization; the min is the stable estimate of what the
     // plan actually costs (same methodology as JMH's min-time mode).
+    // N is scheduled per row (scheduledIters) from the committed history.
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = headline.map { name =>
+    val results = names.map { name =>
       val fn = benchable(name)
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -258,7 +436,12 @@ object Bench {
         val b = ts.sorted.take(iterations)
         (b.max / b.min - 1) * 100
       }
-      var times = (1 to iterations).map(_ => once())
+      val sched = scheduledIters(name, iterations, priorMin, priorSpread)
+      var times = (1 to sched).map(_ => once())
+      // deviation gate for one-draw rows: see scheduledIters scaladoc
+      if (sched == 1 && times.forall(_ >= 0) &&
+          priorMin.get(name).exists(p => times.min > p * 1.4))
+        times = times :+ once()
       var extra = 0
       while (times.forall(_ >= 0) && extra < 3 &&
           trimmedSpread(times) > 80.0) {
@@ -277,49 +460,49 @@ object Bench {
       case (k, t) if t.min > 0 && (t.max / t.min - 1) * 100 >= minPct =>
         "\"" + k + f"\":${(t.max / t.min - 1) * 100}%.1f"
     }.mkString("{", ",", "}")
+    // actual timed draws per row — a spread of 0.0 from one scheduled
+    // draw and from three coincidentally-equal draws read very
+    // differently in adjudication; file channel only
+    val drawsJson = fmtMap(results.map { case (k, t) =>
+      k -> t.length.toString })
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2.min).filter(_ >= 0).sum
     // spread_min_pct is self-describing: a consumer comparing the stdout
     // line against bench_out.json can tell a FILTERED spread map (only
     // entries >= the stated floor) from a complete one
-    def json(spread: String, spreadMinPct: Double): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_pct":$spread,"spread_min_pct":$spreadMinPct%.0f,"iters":$iterations,"errors":$errJson,"sf":"$sfDir"}"""
+    def json(spread: String, spreadMinPct: Double,
+        withDraws: Boolean): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_pct":$spread,"spread_min_pct":$spreadMinPct%.0f,"iters":$iterations,${
+        if (withDraws) "\"draws\":" + drawsJson + "," else ""}${
+        partSpec.map { case (i, n) => s""""part":"$i/$n",""" }
+          .getOrElse("")}"errors":$errJson,"sf":"$sfDir"}"""
     // stdout must survive a bounded tail-capture window (round 10's
     // artifact was cut mid-line): print the spread only where it is
     // signal (≥25%); the complete spread map goes to bench_out.json.
-    println(json(spreadJson(25.0), 25))
-    Files.writeString(Paths.get("bench_out.json"),
-      json(spreadJson(0.0), 0) + "\n")
-    // regression autodiff, wired into every FULL bench run (the r16
-    // verdict gap: the tool existed but its artifact was never
-    // produced): diff against the newest committed BENCH_OUT_r{N}.json
-    // snapshot, write BENCH_DIFF_r{N+1}.json (empty `flagged` is the
-    // pass) AND snapshot this run's complete map as
-    // BENCH_OUT_r{N+1}.json so the next round diffs against it (the
-    // driver's BENCH_r{N}.json keeps only a truncated stdout tail —
-    // r16's full map was lost exactly that way). Subset runs
-    // (SPARK_GRAFT_BENCH_QUERIES) neither diff nor snapshot; neither
-    // does a run with errors — errored queries report -1 timings, and
-    // a failed run silently becoming the baseline would poison every
-    // later diff.
-    if (sys.env.get("SPARK_GRAFT_BENCH_QUERIES").isEmpty &&
-        errors.isEmpty) {
-      val prevSnap = {
-        val rx = "BENCH_OUT_r(\\d+)\\.json".r
-        val here = new java.io.File(".").listFiles()
-        if (here == null) None
-        else here.flatMap(f => f.getName match {
-          case rx(n) => Some((n.toInt, f.getName))
-          case _ => None
-        }).sortBy(-_._1).headOption
-      }
-      prevSnap.foreach { case (n, prev) =>
-        graft.tools.BenchDiff.main(Array(prev, "bench_out.json",
-          s"BENCH_DIFF_r${n + 1}.json"))
-        Files.copy(Paths.get("bench_out.json"),
-          Paths.get(s"BENCH_OUT_r${n + 1}.json"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+    println(json(spreadJson(25.0), 25, withDraws = false))
+    partSpec match {
+      case Some((i, n)) =>
+        Files.writeString(Paths.get(s"bench_out_part${i}of$n.json"),
+          json(spreadJson(0.0), 0, withDraws = true) + "\n")
+        mergeParts(n): Unit
+      case None =>
+        Files.writeString(Paths.get("bench_out.json"),
+          json(spreadJson(0.0), 0, withDraws = true) + "\n")
+        // regression autodiff, wired into every FULL bench run (the r16
+        // verdict gap: the tool existed but its artifact was never
+        // produced): diff against the newest committed BENCH_OUT_r{N}
+        // snapshot, write BENCH_DIFF_r{N+1}.json (empty `flagged` is
+        // the pass) AND snapshot this run's complete map as
+        // BENCH_OUT_r{N+1}.json so the next round diffs against it
+        // (the driver's BENCH_r{N}.json keeps only a truncated stdout
+        // tail — r16's full map was lost exactly that way). Subset
+        // runs (SPARK_GRAFT_BENCH_QUERIES) neither diff nor snapshot;
+        // neither does a run with errors — errored queries report -1
+        // timings, and a failed run silently becoming the baseline
+        // would poison every later diff.
+        if (sys.env.get("SPARK_GRAFT_BENCH_QUERIES").isEmpty &&
+            errors.isEmpty)
+          diffAndSnapshot("bench_out.json")
     }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -28,6 +28,53 @@ class EntrySpec extends AnyFunSuite {
       .forall(k => !SparkEntry.queries.contains(k)))
   }
 
+  test("bench iteration schedule: tight committed history -> 1 draw, " +
+    "everything else keeps the full min-of-N") {
+    val mins = Map("q_tight" -> 5.0, "q_loose" -> 5.0, "q_tiny" -> 0.2,
+      "q_edge" -> 0.5)
+    val spreads = Map("q_tight" -> 12.0, "q_loose" -> 75.0)
+    def s(n: String) = Bench.scheduledIters(n, 3, mins, spreads)
+    // heavy + repeatable history: one draw (the budget win)
+    assert(s("q_tight") == 1)
+    // loose committed spread: min-of-N is what makes the row converge
+    assert(s("q_loose") == 3)
+    // sub-half-second rows re-run min-of-3 regardless (cheap insurance
+    // where single-draw jitter is largest relative to the value)
+    assert(s("q_tiny") == 3)
+    // no committed history (new row this round): full schedule
+    assert(s("q_new") == 3)
+    // boundary: 0.5 s min but NO committed spread entry (bench_out's
+    // full map records every timed row, so absence means the history
+    // can't certify repeatability) — keep the full schedule
+    assert(s("q_edge") == 3)
+  }
+
+  test("bench part slice: interleaved, disjoint, covering, loud on junk") {
+    val names = ('a' to 'g').map(_.toString)
+    val p1 = Bench.partSlice(names, 1, 2)
+    val p2 = Bench.partSlice(names, 2, 2)
+    // interleave: heavy rows scattered across parts, not front-loaded
+    assert(p1 == Seq("a", "c", "e", "g") && p2 == Seq("b", "d", "f"))
+    // disjoint cover of the input
+    assert((p1 ++ p2).sorted == names.sorted)
+    // 1/1 is the identity — a driver can wire the part env unconditionally
+    assert(Bench.partSlice(names, 1, 1) == names)
+    intercept[IllegalArgumentException](Bench.partSlice(names, 3, 2))
+    intercept[IllegalArgumentException](Bench.partSlice(names, 0, 2))
+  }
+
+  test("bench listOf extracts error arrays; newestSnapshot picks max round") {
+    assert(Bench.listOf("""{"errors":["q1","q2"],"x":1}""", "errors") ==
+      Seq("q1", "q2"))
+    assert(Bench.listOf("""{"errors":[],"x":1}""", "errors").isEmpty)
+    assert(Bench.listOf("""{"x":1}""", "errors").isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("snaptest").toFile
+    assert(Bench.newestSnapshot(dir).isEmpty)
+    java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_OUT_r3.json"), "{}")
+    java.nio.file.Files.writeString(dir.toPath.resolve("BENCH_OUT_r12.json"), "{}")
+    assert(Bench.newestSnapshot(dir) == Some((12, "BENCH_OUT_r12.json")))
+  }
+
   test("registry/oracle alignment: every query carries oracle SQL, no " +
     "orphan oracles, numbering gap-free") {
     val q = SparkEntry.queries.keySet
