@@ -192,6 +192,9 @@ object Bench {
       "q198_gif_anim_frames", "q199_unicode_dedup",
       "q200_alaw_features", "q201_adpcm_features", "q202_media_census",
       "q203_mojibake_repair", "q204_hll_distinct", "q205_hll_merged",
+      // round-19: the small-range (linear-counting) HLL regime —
+      // per-type user_id sits below the 2.5m boundary at sf0.01
+      "q206_hll_small_range",
       // production twins (benchOnly): xxhash64 for the heaviest
       // shingle scans, df-capped langid for the heaviest per-char scan
       "q36x_minhash_lsh_xx", "q76x_winnow_containment_xx",

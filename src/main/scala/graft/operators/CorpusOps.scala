@@ -472,6 +472,8 @@ object CorpusOps {
     * the gate itself stays keyed past the boundary because ln() is
     * not correctly-rounded IEEE and would put the ORACLE hash at the
     * mercy of two libm implementations agreeing.
+    * [[hllSmallRangeGate]] (q206) carries the small-range regime
+    * itself, with ln() confined to wide-margin boolean verdicts.
     *
     * Scale shape: the sketch is ONE partial-aggregated groupBy whose
     * post-shuffle width is (groups × 2^p) rank maxima — KBs per
@@ -485,23 +487,8 @@ object CorpusOps {
     val m = 1 << p
     val wBits = 32 - p
     val zeroPow = 1L << (wBits + 2)
-    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8),
-      16, 10).cast("long")
-    val reg = pmod(h, lit(m))
-    val w = ((h - reg) / lit(m)).cast("long")
-    val rho = when(w === 0, lit(wBits + 1))
-      .otherwise(lit(wBits + 1) - length(bin(w)))
     val keyed = df.filter(col(keyCol).isNotNull)
-    val sketch = keyed
-      .select(col(groupCol).as("grp"), reg.as("reg"), rho.as("rho"))
-      .groupBy("grp", "reg").agg(max("rho").as("mr"))
-      .groupBy("grp")
-      .agg(count(lit(1)).cast("long").as("present_regs"),
-        max("mr").cast("long").as("max_rank"),
-        sum("mr").cast("long").as("sum_rank"),
-        // 2^k exact in a double for k ≤ 26, cast back exact
-        sum(pow(lit(2.0), lit(wBits + 2) - col("mr")).cast("long"))
-          .as("pow_present"))
+    val sketch = hllRollup(hllRegs(df, keyCol, groupCol, p), wBits)
     val exact = keyed.groupBy(col(groupCol).as("grp"))
       .agg(countDistinct(col(keyCol)).as("n_exact"))
     val sScaled = (col("pow_present") +
@@ -538,17 +525,9 @@ object CorpusOps {
     val m = 1 << p
     val wBits = 32 - p
     val zeroPow = 1L << (wBits + 2)
-    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8),
-      16, 10).cast("long")
-    val reg = pmod(h, lit(m))
-    val w = ((h - reg) / lit(m)).cast("long")
-    val rho = when(w === 0, lit(wBits + 1))
-      .otherwise(lit(wBits + 1) - length(bin(w)))
     val keyed = df.filter(col(keyCol).isNotNull)
     // per-group register tables (the independent shard sketches) …
-    val perGroup = keyed
-      .select(col(groupCol).as("grp"), reg.as("reg"), rho.as("rho"))
-      .groupBy("grp", "reg").agg(max("rho").as("mr"))
+    val perGroup = hllRegs(df, keyCol, groupCol, p)
     // … merged by elementwise max into the union's registers
     val merged = perGroup.groupBy("reg").agg(max("mr").as("mr"))
       .agg(count(lit(1)).cast("long").as("present_regs"),
@@ -571,6 +550,90 @@ object CorpusOps {
         round(est, 4).as("hll_est"),
         (abs(est - col("n_exact")) <= lit(0.2) * col("n_exact"))
           .as("hll_ok"))
+  }
+
+  /** Shared front half of the HLL family: per-(group, register) rank
+    * maxima — 32-bit md5-prefix hash, register = hash mod 2^p, rank =
+    * leading zeros of the remaining 32−p bits + 1 via the unpadded
+    * `bin()` length. Null keys dropped. One partial-aggregated groupBy;
+    * post-shuffle width ≤ groups × 2^p rows. */
+  private def hllRegs(df: DataFrame, keyCol: String, groupCol: String,
+      p: Int): DataFrame = {
+    val m = 1 << p
+    val wBits = 32 - p
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8),
+      16, 10).cast("long")
+    val reg = pmod(h, lit(m))
+    val w = ((h - reg) / lit(m)).cast("long")
+    val rho = when(w === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+    df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("grp"), reg.as("reg"), rho.as("rho"))
+      .groupBy("grp", "reg").agg(max("rho").as("mr"))
+  }
+
+  /** Per-group register roll-up: present-register count, rank extrema,
+    * and the EXACT scaled harmonic numerator Σ 2^(wBits+2−rank) over
+    * present registers (2^k exact in a double for k ≤ 26, cast back
+    * exact). */
+  private def hllRollup(regs: DataFrame, wBits: Int): DataFrame =
+    regs.groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("present_regs"),
+        max("mr").cast("long").as("max_rank"),
+        sum("mr").cast("long").as("sum_rank"),
+        sum(pow(lit(2.0), lit(wBits + 2) - col("mr")).cast("long"))
+          .as("pow_present"))
+
+  /** The SMALL-RANGE (linear-counting) regime of the HLL estimator
+    * (q206) — the branch [[hllDistinctGate]]'s scaladoc documents but
+    * deliberately keys past: below ~2.5·2^p distinct the raw estimate
+    * reads high BY DESIGN (measured 1.76× at n = 150, m = 256), and
+    * low-cardinality groups are the COMMON case in per-source /
+    * per-language rollups at 100 TB. Classic Flajolet rule, applied
+    * per group: when raw_est ≤ 2.5·m and at least one register is
+    * still zero, estimate by linear counting m·ln(m/zero_regs);
+    * otherwise keep the raw estimate.
+    *
+    * Determinism posture (why this gate can exist despite the house
+    * ban on ln() in oracles): the REGIME DECISION compares raw_est —
+    * an exact-scaled-integer ratio both engines compute to the
+    * identical double — against the constant 2.5·m, so both engines
+    * always pick the same branch; ln() appears ONLY inside boolean
+    * verdicts (est_ok, and the raw_high indictment column) whose
+    * fixture margins are orders of magnitude wider than any libm
+    * ulp disagreement — no float column derived from ln() is ever
+    * OUTPUT, so the driver hash never touches a non-correctly-rounded
+    * operation. Output: n_exact, present/zero register counts, the
+    * chosen regime, raw_high (raw estimate misses the +20% band —
+    * TRUE exactly where the small-range regime is needed), and est_ok
+    * (the regime-selected estimate lands within ±20% of exact).
+    */
+  def hllSmallRangeGate(df: DataFrame, keyCol: String, groupCol: String,
+                        p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range: $p")
+    val m = 1 << p
+    val wBits = 32 - p
+    val zeroPow = 1L << (wBits + 2)
+    val sketch = hllRollup(hllRegs(df, keyCol, groupCol, p), wBits)
+    val exact = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(keyCol)).as("n_exact"))
+    val sScaled = col("pow_present") +
+      (lit(m.toLong) - col("present_regs")) * lit(zeroPow)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val rawEst = alpha * lit(m.toDouble * m * zeroPow) / sScaled
+    val zeroRegs = lit(m.toLong) - col("present_regs")
+    val isLinear = rawEst <= lit(2.5 * m) && zeroRegs > 0
+    val lcEst = lit(m.toDouble) * log(lit(m.toDouble) / zeroRegs)
+    val band = lit(0.2) * col("n_exact")
+    sketch.join(exact, Seq("grp"))
+      .select(col("grp").as(groupCol), col("n_exact"),
+        col("present_regs"), zeroRegs.as("zero_regs"),
+        when(isLinear, lit("linear")).otherwise(lit("raw")).as("regime"),
+        (rawEst > lit(1.2) * col("n_exact")).as("raw_high"),
+        when(isLinear, abs(lcEst - col("n_exact")) <= band)
+          .otherwise(abs(rawEst - col("n_exact")) <= band).as("est_ok"))
+      .orderBy(groupCol)
   }
 
   // --------------------------------------- vocabulary build + encode

@@ -2106,6 +2106,22 @@ object CorpusQueries {
         Tables.events(s, d).select(uh, col("event_type")),
         "user_hour", "event_type")
     }),
+    // the SMALL-RANGE regime q204 deliberately keys past: per-type
+    // user_id cardinality (150 at sf0.01) sits BELOW the 2.5m
+    // linear-counting boundary where raw HLL reads ~1.8x high
+    // (raw_high indicts it) and m*ln(m/zero_regs) recovers the count;
+    // the '__all' event_id leg (~10k distinct) exercises the raw
+    // branch in the same result. Regime choice compares identical
+    // doubles; ln() lives only in wide-margin boolean verdicts
+    // (CorpusOps.hllSmallRangeGate — edit together)
+    "q206_hll_small_range" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      CorpusOps.hllSmallRangeGate(
+        ev.select(col("event_type").as("grp"), col("user_id").as("kv"))
+          .unionByName(ev.select(lit("__all").as("grp"),
+            col("event_id").as("kv"))),
+        "kv", "grp")
+    }),
     "q189_exif_meta" -> (q189ExifMeta _),
     "q191_oriented_dedup" -> (q191OrientedDedup _),
     "q123_bpe_merges" -> (Bpe.q123BpeMerges _),
@@ -3886,6 +3902,56 @@ object CorpusQueries {
         |    * 4398046511104.0 / s_scaled - n_exact)
         |    <= 0.2 * n_exact AS hll_ok
         |FROM j""".stripMargin,
+    // small-range HLL: the q204 register chain over a two-leg union
+    // (per-type user_id = linear regime, '__all' event_id = raw);
+    // regime picked on the identical-double raw estimate, ln() only
+    // inside wide-margin booleans (edit with
+    // CorpusOps.hllSmallRangeGate)
+    "q206_hll_small_range" ->
+      """WITH src AS (
+        |  SELECT event_type AS grp, user_id AS kv FROM events
+        |  WHERE user_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT '__all' AS grp, event_id AS kv FROM events
+        |  WHERE event_id IS NOT NULL),
+        |h AS (
+        |  SELECT grp,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        substring(md5(CAST(kv AS VARCHAR)), 1, 8), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1
+        |          AS BIGINT))),
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM src),
+        |r AS (SELECT grp, hv % 256 AS reg, hv // 256 AS w FROM h),
+        |rr AS (SELECT grp, reg,
+        |    MAX(CASE WHEN w = 0 THEN 25
+        |        ELSE 25 - length(bin(w)) END) AS mr
+        |  FROM r GROUP BY 1, 2),
+        |sk AS (SELECT grp,
+        |    CAST(count(*) AS BIGINT) AS present_regs,
+        |    CAST(sum(CAST(1 AS BIGINT) << (26 - mr)) AS BIGINT)
+        |      AS pow_present
+        |  FROM rr GROUP BY 1),
+        |e AS (SELECT grp,
+        |    CAST(count(DISTINCT kv) AS BIGINT) AS n_exact
+        |  FROM src GROUP BY 1),
+        |j AS (SELECT sk.grp, n_exact, present_regs,
+        |    256 - present_regs AS zero_regs,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 4398046511104.0
+        |      / (pow_present + (256 - present_regs)
+        |         * (CAST(1 AS BIGINT) << 26)) AS raw_est
+        |  FROM sk JOIN e USING (grp))
+        |SELECT grp, n_exact, present_regs, zero_regs,
+        |  CASE WHEN raw_est <= 640.0 AND zero_regs > 0
+        |    THEN 'linear' ELSE 'raw' END AS regime,
+        |  raw_est > 1.2 * n_exact AS raw_high,
+        |  CASE WHEN raw_est <= 640.0 AND zero_regs > 0
+        |    THEN abs(256.0 * ln(256.0 / zero_regs) - n_exact)
+        |      <= 0.2 * n_exact
+        |    ELSE abs(raw_est - n_exact) <= 0.2 * n_exact END
+        |    AS est_ok
+        |FROM j ORDER BY grp""".stripMargin,
     // the cross-modal curation manifest: text + image-dup + audio
     // signals composed under ONE verdict — shares imagePhashCtes and
     // audioFeatureCtes verbatim with q133/q137; edit all three

@@ -1099,4 +1099,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(merged.getAs[Double]("hll_est") ==
       direct.getAs[Double]("hll_est"))
   }
+
+  test("hllSmallRangeGate: below the 2.5m boundary raw reads high and " +
+    "linear counting recovers; past it the raw branch holds") {
+    import spark.implicits._
+    // 30 distinct in group s — deep inside the small-range regime
+    // (raw HLL's n→0 limit is ~alpha*m ≈ 180, a 6x overread at n=30);
+    // 5000 distinct in group b — far past the 640 boundary
+    val df = ((1 to 30).map(i => (i.toLong, "s")) ++
+      (1 to 5000).map(i => (100000L + i, "b"))).toDF("k", "g")
+    val out = CorpusOps.hllSmallRangeGate(df, "k", "g")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val s = out("s")
+    assert(s.getAs[Long]("n_exact") == 30L)
+    assert(s.getAs[String]("regime") == "linear")
+    // the indictment column: the raw estimate misses the +20% band
+    assert(s.getAs[Boolean]("raw_high"), s.toString)
+    // …and linear counting m*ln(m/zeros) lands inside it
+    assert(s.getAs[Boolean]("est_ok"), s.toString)
+    assert(s.getAs[Long]("zero_regs") > 0L)
+    val b = out("b")
+    assert(b.getAs[Long]("n_exact") == 5000L)
+    assert(b.getAs[String]("regime") == "raw")
+    assert(b.getAs[Boolean]("est_ok"), b.toString)
+    assert(!b.getAs[Boolean]("raw_high"), b.toString)
+  }
 }
