@@ -152,14 +152,21 @@ object Udfs {
     udf(graft.Multimodal.decodeGifFrames _)
 
   /** Mojibake REPAIR (the q203 kernel): the classic double-encoding
-    * damage — UTF-8 bytes mis-decoded as Latin-1 somewhere upstream
-    * and re-encoded, so "caf\u00e9" arrives as "caf\u00c3\u00a9". The
-    * deterministic rule: when every char fits Latin-1 AND the
-    * re-encoded byte string is STRICTLY valid UTF-8 (a CharsetDecoder
-    * in REPORT mode, never the replacing default), return the decoded
-    * form; anything else — pure ASCII, genuine wide Unicode, or
-    * Latin-1 text whose bytes are NOT valid UTF-8 (a real "caf\u00e9"
-    * stays: 0xE9 + space cannot parse as UTF-8) — passes through
+    * damage — UTF-8 bytes mis-decoded as Latin-1/CP1252 somewhere
+    * upstream and re-encoded, so "caf\u00e9" arrives as
+    * "caf\u00c3\u00a9" and a left smart quote as
+    * "\u00e2\u20ac\u0153". The deterministic rule: reconstruct the
+    * pre-mis-decode bytes — chars ≤ 0xFF as their Latin-1 byte, the
+    * 27 CP1252 0x80–0x9F code points through the inverse CP1252 map
+    * (real-web damage went through WHATWG windows-1252, which emits
+    * wide punctuation for defined slots and C1 controls for the five
+    * undefined ones) — and repair ONLY when that byte string is
+    * STRICTLY valid UTF-8 (a CharsetDecoder in REPORT mode, never
+    * the replacing default). Anything else — pure ASCII, wide
+    * Unicode outside the CP1252 block, Latin-1 text whose bytes are
+    * NOT valid UTF-8 (a real "caf\u00e9" stays: 0xE9 + space cannot
+    * parse as UTF-8), GENUINE smart quotes (their mapped 0x93 byte is
+    * a continuation byte, never a valid lead) — passes through
     * unchanged, so the repair can never destroy legitimate text.
     * One level per application, matching how the damage compounds. */
   val fixMojibake: UserDefinedFunction =

@@ -1511,24 +1511,37 @@ object CorpusQueries {
   }
 
   /** q203: MOJIBAKE REPAIR — the crawler-text damage q199's
-    * normalizer cannot touch: UTF-8 mis-decoded as Latin-1 upstream,
-    * so the SAME page arrives once clean and once as "caf\u00c3\u00a9".
-    * Per group of four docs: v0 plants the CORRECT Latin-1-looking
-    * form (its bytes are NOT valid UTF-8 — the repair must leave it
-    * alone, the no-false-positive leg), v1/v2 plant two mojibake
-    * shapes that must decode back, v3 keeps the doc's own ASCII text
-    * (untouched by the fast path). The planting CASE is shared
-    * verbatim with the oracle (chr() code points), which re-derives
-    * the expected repaired strings and changed flags arithmetically.
+    * normalizer cannot touch: UTF-8 mis-decoded as Latin-1/CP1252
+    * upstream, so the SAME page arrives once clean and once as
+    * "caf\u00c3\u00a9". Per group of SIX docs: v0 plants the CORRECT
+    * Latin-1-looking form (its bytes are NOT valid UTF-8 — the
+    * repair must leave it alone, the no-false-positive leg), v1/v2
+    * plant two Latin-1 mojibake shapes that must decode back, v4
+    * plants the CP1252 smart-quote shape (the dominant real-web
+    * double-encoding — its damaged chars include the >0xFF code
+    * points U+20AC/U+0153 the pre-r19 kernel passed through
+    * unrepaired, plus the undefined-slot 0x9D as a C1 control), v5
+    * plants GENUINE smart quotes that must survive untouched (their
+    * inverse-CP1252 bytes open on continuation byte 0x93 — never
+    * valid UTF-8), and v3 keeps the doc's own ASCII text (untouched
+    * by the fast path). The planting CASE is shared verbatim with
+    * the oracle (chr() code points), which re-derives the expected
+    * repaired strings and changed flags arithmetically.
     * Kernel: [[graft.functions.Udfs.fixMojibake]].
     */
   def q203MojibakeRepair(s: SparkSession, d: String): DataFrame = {
-    val g = expr("doc_id div 4")
-    val v = pmod(col("doc_id"), lit(4))
+    val g = expr("doc_id div 6")
+    val v = pmod(col("doc_id"), lit(6))
     val gStr = g.cast("string")
     val planted = when(v === 0, concat(lit("caf\u00e9 dup "), gStr))
       .when(v === 1, concat(lit("caf\u00c3\u00a9 dup "), gStr))
       .when(v === 2, concat(lit("na\u00c3\u00afve dup "), gStr))
+      // CP1252 smart-quote damage: \u20ac/\u0153 are the >0xFF images
+      // of bytes 0x80/0x9c; \u009d is the undefined-slot C1 control
+      .when(v === 4, concat(
+        lit("\u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d dup "), gStr))
+      // genuine smart quotes: must survive untouched
+      .when(v === 5, concat(lit("\u201cquoted\u201d dup "), gStr))
       .otherwise(col("text"))
     Tables.documents(s, d)
       .select(col("doc_id"), planted.as("raw"))
@@ -3797,11 +3810,13 @@ object CorpusQueries {
         |       WHEN v <= 4 THEN 8 END AS bpp
         |FROM d ORDER BY doc_id""".stripMargin,
     // mojibake repair: expected repaired strings + changed flags
-    // re-derived via chr() code points (195/169 = the mojibake pair,
-    // 233 e-acute, 239 i-diaeresis); edit with q203MojibakeRepair
+    // re-derived via chr() code points (233 e-acute, 239 i-diaeresis,
+    // 8220/8221 = the repaired smart quotes — v4's CP1252 damage and
+    // v5's genuine quotes both land on the same clean string, but
+    // only v4 counts as changed); edit with q203MojibakeRepair
     "q203_mojibake_repair" ->
       """WITH d AS (
-        |  SELECT doc_id, text, doc_id // 4 AS g, doc_id % 4 AS v
+        |  SELECT doc_id, text, doc_id // 6 AS g, doc_id % 6 AS v
         |  FROM documents)
         |SELECT doc_id,
         |  CASE WHEN v = 0 THEN
@@ -3810,8 +3825,11 @@ object CorpusQueries {
         |      'caf' || chr(233) || ' dup ' || CAST(g AS VARCHAR)
         |    WHEN v = 2 THEN
         |      'na' || chr(239) || 've dup ' || CAST(g AS VARCHAR)
+        |    WHEN v IN (4, 5) THEN
+        |      chr(8220) || 'quoted' || chr(8221) || ' dup '
+        |        || CAST(g AS VARCHAR)
         |    ELSE text END AS fixed,
-        |  v IN (1, 2) AS changed
+        |  v IN (1, 2, 4) AS changed
         |FROM d ORDER BY doc_id""".stripMargin,
     // deterministic HLL: integer register sketch (md5-based hash,
     // bin()-length ranks, exact scaled harmonic sum) + the one

@@ -49,20 +49,53 @@ object TextOps {
     * the text, the cluster size, and the cluster's min-id canonical
     * doc. Collision risk is md5's (the exact-dedup family's standing
     * argument). */
+  /** Inverse CP1252 map for the 0x80–0x9F block — the 27 code points
+    * Windows-1252 assigns where Latin-1 has C1 controls. Real-web
+    * double-encoding is overwhelmingly CP1252, not pure Latin-1: the
+    * smart-quote mojibake "\u00E2\u20AC\u0153" carries U+20AC/U+0153,
+    * whose damaged bytes sat at 0x80/0x9C. A char above 0xFF that is
+    * NOT in this map means the text cannot be a single-byte
+    * mis-decode at all — pass through. */
+  private val cp1252Inv: Map[Char, Byte] = Map(
+    '\u20AC' -> 0x80, '\u201A' -> 0x82, '\u0192' -> 0x83,
+    '\u201E' -> 0x84, '\u2026' -> 0x85, '\u2020' -> 0x86,
+    '\u2021' -> 0x87, '\u02C6' -> 0x88, '\u2030' -> 0x89,
+    '\u0160' -> 0x8A, '\u2039' -> 0x8B, '\u0152' -> 0x8C,
+    '\u017D' -> 0x8E, '\u2018' -> 0x91, '\u2019' -> 0x92,
+    '\u201C' -> 0x93, '\u201D' -> 0x94, '\u2022' -> 0x95,
+    '\u2013' -> 0x96, '\u2014' -> 0x97, '\u02DC' -> 0x98,
+    '\u2122' -> 0x99, '\u0161' -> 0x9A, '\u203A' -> 0x9B,
+    '\u0153' -> 0x9C, '\u017E' -> 0x9E, '\u0178' -> 0x9F
+  ).map { case (c, b) => c -> b.toByte }
+
   /** The q203 mojibake-repair kernel (plain-function form — the UDF
     * wrapper is [[graft.functions.Udfs.fixMojibake]], whose scaladoc
-    * carries the rule): repair only when every char fits Latin-1 AND
-    * the re-encoded bytes are strictly valid UTF-8; pure ASCII,
-    * genuine wide Unicode, and Latin-1 text whose bytes cannot parse
-    * as UTF-8 pass through unchanged. */
+    * carries the rule): reconstruct the pre-mis-decode byte string —
+    * chars ≤ 0xFF as their Latin-1 byte, chars in [[cp1252Inv]] as
+    * their CP1252 0x80–0x9F byte (the decoder that did the damage is
+    * in practice WHATWG windows-1252: defined slots yield wide
+    * punctuation, the five undefined slots pass as C1 controls, and
+    * this inverse handles both) — and repair ONLY when those bytes
+    * are strictly valid UTF-8. Pure ASCII, genuine wide Unicode
+    * outside the CP1252 block, legitimate Latin-1 whose bytes cannot
+    * parse as UTF-8, and genuine smart-quote text (its mapped 0x93
+    * byte is a continuation byte — never a valid lead) all pass
+    * through unchanged. */
   def fixMojibake(s: String): String = {
     if (s == null) null
     else if (s.forall(c => c < 0x80)) s
-    else if (s.exists(c => c > 0xff)) s
     else {
       val bytes = new Array[Byte](s.length)
       var i = 0
-      while (i < s.length) { bytes(i) = s.charAt(i).toByte; i += 1 }
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c <= 0xff) bytes(i) = c.toByte
+        else cp1252Inv.get(c) match {
+          case Some(b) => bytes(i) = b
+          case None => return s
+        }
+        i += 1
+      }
       val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
         .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)

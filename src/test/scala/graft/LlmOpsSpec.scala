@@ -1044,6 +1044,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fix("caf\u00e9 menu") == "caf\u00e9 menu")
     // wide Unicode (beyond Latin-1) passes through
     assert(fix("\u65e5\u672c") == "\u65e5\u672c")
+    // CP1252 smart-quote damage (the r19 leg): U+20AC/U+0153 map
+    // back to bytes 0x80/0x9C, the undefined slot 0x9D arrives as
+    // the C1 control — E2 80 9C ... E2 80 9D decodes to real quotes
+    assert(fix("\u00e2\u20ac\u0153hi\u00e2\u20ac\u009d") ==
+      "\u201chi\u201d")
+    // …and the apostrophe shape (0x99's CP1252 image is U+2122):
+    // E2 80 99 is the right single quote
+    assert(fix("don\u00e2\u20ac\u2122t") == "don\u2019t")
+    // GENUINE smart quotes stay: inverse byte 0x93 is a continuation
+    // byte, never a valid UTF-8 lead
+    assert(fix("\u201chi\u201d") == "\u201chi\u201d")
+    // genuine euro amount stays: 0x80 alone cannot parse as UTF-8
+    assert(fix("\u20ac100") == "\u20ac100")
+    // wide char OUTSIDE the CP1252 block mixed with damage -> cannot
+    // be a single-byte mis-decode, pass through whole
+    assert(fix("caf\u00c3\u00a9 \u65e5") == "caf\u00c3\u00a9 \u65e5")
   }
 
   test("decodeGifHeader / decodeTiffHeader: header-only census sniff " +
