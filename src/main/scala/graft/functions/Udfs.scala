@@ -72,6 +72,13 @@ object Udfs {
   val decodeMp4: UserDefinedFunction =
     udf(graft.Multimodal.decodeMp4Header _)
 
+  /** Compressed-audio census sniff (FLAC → MP3 → ADTS AAC), the audio
+    * sibling of [[decodeImg]]'s container sniff — header-only honest
+    * labels; the kernel is [[graft.Multimodal.decodeAudioHeader]].
+    */
+  val decodeAudio: UserDefinedFunction =
+    udf(graft.Multimodal.decodeAudioHeader _)
+
   /** JPEG header decode in its FULL form (frame dims + JFIF density) —
     * the dominant-web-format member of the image family; the sniffing
     * [[decodeImg]] already folds JPEG's dimension core into ImgMeta.

@@ -578,12 +578,16 @@ object CorpusQueries {
               .when(v5 === 4, col("bmpq"))
               .otherwise(col("bmp")).as("content"))
       case "census" =>
-        // the q202 mixed-container profile: its own 7-way split
-        // (doc_id % 7) — five image containers, a VALID PCM WAV the
-        // image sniff must reject, and raw text
-        val g7 = expr("doc_id div 7")
-        val v7 = pmod(col("doc_id"), lit(7))
-        val base = fixturePix(g7, lit(0)) _
+        // the q202 mixed-container profile: its own 10-way split
+        // (doc_id % 10) — five image containers, a VALID PCM WAV the
+        // image sniff must reject, raw text, and (r19) the three
+        // compressed-audio containers most crawl audio arrives in:
+        // FLAC, MP3 (behind an ID3v2 tag), ADTS AAC — each with
+        // g-varied header fields so the sniff exercises the rate
+        // tables, not one constant
+        val g10 = expr("doc_id div 10")
+        val v10 = pmod(col("doc_id"), lit(10))
+        val base = fixturePix(g10, lit(0)) _
         val png = pngContent(docs, base, rgb = false)
           .withColumnRenamed("content", "c_png")
         val jp = jpegContent(docs, base)
@@ -595,6 +599,37 @@ object CorpusQueries {
         val wavHex = "52494646" + "24000000" + "57415645" +
           "666D7420" + "10000000" + "0100" + "0100" + "401F0000" +
           "803E0000" + "0200" + "1000" + "64617461" + "00000000"
+        // FLAC: fLaC + last-block STREAMINFO(34) — rate 20 bits /
+        // ch-1 3 bits / bps-1 5 bits / 36-bit total packed big-endian
+        // into one 64-bit hex field; md5 zeroed (valid: unset)
+        val flacRate = lit(8000) + pmod(g10, lit(3)) * lit(4000)
+        val flacCh = lit(1) + pmod(g10, lit(2))
+        val flacPack = flacRate.cast("long") * lit(1L << 44) +
+          (flacCh.cast("long") - 1L) * lit(1L << 41) +
+          lit(15L) * lit(1L << 36) + lit(1000L)
+        val flacHex = concat(
+          lit("664C6143" + "80" + "000022" + "1000" + "1000" +
+            "000000" + "000000"),
+          lpad(hex(flacPack), 16, "0"), lit("0" * 32))
+        // MP3: 10-byte ID3v2.3 tag (syncsafe size 0) + one MPEG-1
+        // Layer III frame header — FF FB, bitrate idx 9, rate idx
+        // g%3, mode stereo/mono by g%2
+        val mp3B3 = lit(0x90) + pmod(g10, lit(3)) * lit(4)
+        val mp3B4 = pmod(g10, lit(2)) * lit(0xC0)
+        val mp3Hex = concat(lit("49443303000000000000" + "FFFB"),
+          lpad(hex(mp3B3.cast("long")), 2, "0"),
+          lpad(hex(mp3B4.cast("long")), 2, "0"))
+        // ADTS AAC: FF F1 (MPEG-4, layer 00, no CRC), profile LC,
+        // sfi 8+g%3 (16000/12000/11025), channel cfg 1+g%2; 7-byte
+        // header-only frame (len 7, buffer fullness all-ones)
+        val adtsSfi = lit(8) + pmod(g10, lit(3))
+        val adtsCh = lit(1) + pmod(g10, lit(2))
+        val adtsB3 = lit(0x40) + adtsSfi * lit(4) +
+          ((adtsCh - pmod(adtsCh, lit(4))) / lit(4)).cast("int")
+        val adtsB4 = pmod(adtsCh, lit(4)) * lit(0x40)
+        val adtsHex = concat(lit("FFF1"),
+          lpad(hex(adtsB3.cast("long")), 2, "0"),
+          lpad(hex(adtsB4.cast("long")), 2, "0"), lit("00FFFC"))
         docs.select(col("doc_id"), col("text"),
             bmpContent(base).as("bmp"))
           .join(png, Seq("doc_id"))
@@ -602,12 +637,15 @@ object CorpusQueries {
           .join(gif, Seq("doc_id"))
           .join(tif, Seq("doc_id"))
           .select(col("doc_id"),
-            when(v7 === 1, col("c_png"))
-              .when(v7 === 2, col("c_jp"))
-              .when(v7 === 3, col("c_gif"))
-              .when(v7 === 4, col("c_tif"))
-              .when(v7 === 5, unhex(lit(wavHex)))
-              .when(v7 === 6, col("text").cast("binary"))
+            when(v10 === 1, col("c_png"))
+              .when(v10 === 2, col("c_jp"))
+              .when(v10 === 3, col("c_gif"))
+              .when(v10 === 4, col("c_tif"))
+              .when(v10 === 5, unhex(lit(wavHex)))
+              .when(v10 === 6, col("text").cast("binary"))
+              .when(v10 === 7, unhex(flacHex))
+              .when(v10 === 8, unhex(mp3Hex))
+              .when(v10 === 9, unhex(adtsHex))
               .otherwise(col("bmp")).as("content"))
       case "tiff" =>
         // the cross_container split verbatim (v 0–2 base, v 3 alt):
@@ -1728,25 +1766,36 @@ object CorpusQueries {
   }
 
   /** q202: MEDIA CENSUS — the "what is in this bucket" profile every
-    * 100 TB ingest starts with: ONE header-only container sniff
-    * ([[graft.Multimodal.decodeImageHeader]] — PNG → BMP → GIF →
-    * TIFF → JPEG, no pixel payload read anywhere) over a corpus that
-    * mixes five image containers, an audio container the image sniff
-    * must REJECT (a PCM WAV — magic-check discipline, not
-    * prefix-guessing), and raw text. Per doc: format label + dims +
-    * bits per pixel, all re-derived arithmetically from the v-split —
-    * a sniffer that misorders magic checks, misreads a header field,
-    * or accepts the WAV breaks the hash.
+    * 100 TB ingest starts with: ONE header-only container sniff per
+    * modality ([[graft.Multimodal.decodeImageHeader]] — PNG → BMP →
+    * GIF → TIFF → JPEG — plus, since r19, its audio sibling
+    * [[graft.Multimodal.decodeAudioHeader]] — FLAC → MP3 → ADTS AAC,
+    * the containers most crawl audio actually arrives in; no payload
+    * read anywhere) over a corpus that mixes five image containers,
+    * three compressed-audio containers with g-varied header fields
+    * (rate tables, channel modes, an ID3v2 skip), a PCM WAV BOTH
+    * sniffs must reject (magic-check discipline — the image sniff by
+    * container, the audio sniff because WAV's census role is the
+    * rejection gate and [[graft.Multimodal.decodeWavHeader]] already
+    * owns its real decode), and raw text. Per doc: format label,
+    * dims + bits per pixel for images, sample rate + channels for
+    * audio — all re-derived arithmetically from the v-split. A
+    * sniffer that misorders magic checks, misreads a header field,
+    * mislabels a Layer or profile, or accepts the WAV breaks the
+    * hash.
     */
   def q202MediaCensus(s: SparkSession, d: String): DataFrame =
     stagedFixture(s, d, "census")(imageFixture(s, d, "census"))
       .select(col("doc_id"),
-        graft.functions.Udfs.decodeImg(col("content")).as("m"))
+        graft.functions.Udfs.decodeImg(col("content")).as("m"),
+        graft.functions.Udfs.decodeAudio(col("content")).as("a"))
       .select(col("doc_id"),
-        col("m.format").as("fmt"),
+        coalesce(col("m.format"), col("a.format")).as("fmt"),
         col("m.width").cast("long").as("w"),
         col("m.height").cast("long").as("h"),
-        col("m.bits_per_pixel").cast("long").as("bpp"))
+        col("m.bits_per_pixel").cast("long").as("bpp"),
+        col("a.sample_rate").cast("long").as("sample_rate"),
+        col("a.channels").cast("long").as("channels"))
       .orderBy("doc_id")
 
   /** q200: A-LAW audio features — q179's µ-law gate re-run through
@@ -3794,20 +3843,35 @@ object CorpusQueries {
          |FROM d LEFT JOIN agg USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
-    // media census: expected (format, dims, bpp) re-derived from the
-    // v-split — bmp 9x8x24, gray PNG 9x8x8, the 72x64 grayscale JPEG,
-    // GIF 9x8 with a 7-bit table, the mm TIFF 9x8x8; WAV and raw text
-    // must sniff to the all-null row (edit with q202MediaCensus)
+    // media census: expected (format, dims, bpp, rate, channels)
+    // re-derived from the v-split — bmp 9x8x24, gray PNG 9x8x8, the
+    // 72x64 grayscale JPEG, GIF 9x8 with a 7-bit table, the mm TIFF
+    // 9x8x8; FLAC/MP3/ADTS rates and channel modes re-derive the
+    // fixture's g-arithmetic through the same tables the sniff reads;
+    // WAV and raw text must sniff to the all-null row (edit with
+    // q202MediaCensus)
     "q202_media_census" ->
-      """WITH d AS (SELECT doc_id, doc_id % 7 AS v FROM documents)
+      """WITH d AS (SELECT doc_id, doc_id // 10 AS g, doc_id % 10 AS v
+        |  FROM documents)
         |SELECT doc_id,
         |  CASE WHEN v = 0 THEN 'bmp' WHEN v = 1 THEN 'png'
         |       WHEN v = 2 THEN 'jpeg' WHEN v = 3 THEN 'gif'
-        |       WHEN v = 4 THEN 'tiff' END AS fmt,
+        |       WHEN v = 4 THEN 'tiff' WHEN v = 7 THEN 'flac'
+        |       WHEN v = 8 THEN 'mp3' WHEN v = 9 THEN 'aac' END AS fmt,
         |  CASE WHEN v = 2 THEN 72 WHEN v <= 4 THEN 9 END AS w,
         |  CASE WHEN v = 2 THEN 64 WHEN v <= 4 THEN 8 END AS h,
         |  CASE WHEN v = 0 THEN 24 WHEN v = 3 THEN 7
-        |       WHEN v <= 4 THEN 8 END AS bpp
+        |       WHEN v <= 4 THEN 8 END AS bpp,
+        |  CASE WHEN v = 7 THEN 8000 + (g % 3) * 4000
+        |       WHEN v = 8 THEN
+        |         CASE g % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |              ELSE 32000 END
+        |       WHEN v = 9 THEN
+        |         CASE g % 3 WHEN 0 THEN 16000 WHEN 1 THEN 12000
+        |              ELSE 11025 END END AS sample_rate,
+        |  CASE WHEN v = 7 THEN 1 + g % 2
+        |       WHEN v = 8 THEN CASE WHEN g % 2 = 0 THEN 2 ELSE 1 END
+        |       WHEN v = 9 THEN 1 + g % 2 END AS channels
         |FROM d ORDER BY doc_id""".stripMargin,
     // mojibake repair: expected repaired strings + changed flags
     // re-derived via chr() code points (233 e-acute, 239 i-diaeresis,

@@ -539,6 +539,95 @@ object Multimodal {
       .orElse(decodeJpegHeader(bytes).map(j =>
         ImgMeta(j.format, j.width, j.height, j.bits_per_pixel)))
 
+  /** Compressed-audio census metadata (the q202 audio legs): container
+    * label + the two fields every header actually states. HONEST
+    * labels only — no frame decode, no duration or bitrate claim
+    * (those need a full-file walk a header census must not pay; the
+    * avc1-label posture of [[decodeMp4Samples]]). */
+  case class AudioMeta(format: String, sample_rate: Int, channels: Int)
+
+  /** FLAC: "fLaC" magic, then the MANDATORY first metadata block must
+    * be STREAMINFO (type 0, length ≥ 34). Sample rate is the 20-bit
+    * field at STREAMINFO bytes 10–12 (high nibble of byte 12);
+    * channels the following 3 bits + 1. A zero sample rate is invalid
+    * per spec → None. */
+  def decodeFlacHeader(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null || bytes.length < 8 + 34) return None
+    if (!(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
+        bytes(3) == 'C')) return None
+    val blockType = bytes(4) & 0x7f
+    val blockLen = ((bytes(5) & 0xff) << 16) | ((bytes(6) & 0xff) << 8) |
+      (bytes(7) & 0xff)
+    if (blockType != 0 || blockLen < 34) return None
+    val o = 8
+    val rate = ((bytes(o + 10) & 0xff) << 12) |
+      ((bytes(o + 11) & 0xff) << 4) | ((bytes(o + 12) & 0xff) >>> 4)
+    val ch = (((bytes(o + 12) & 0xff) >>> 1) & 0x07) + 1
+    if (rate == 0) None else Some(AudioMeta("flac", rate, ch))
+  }
+
+  /** MPEG-1/2/2.5 Layer III frame header, with an ID3v2 prefix skipped
+    * (tag size is SYNCSAFE — 7 bits per byte). Requires the 11-bit
+    * frame sync, a non-reserved version, and LAYER III specifically
+    * (the "mp3" label would be dishonest for Layer I/II); sample rate
+    * from the per-version table, channels 1 only for mode 3 (mono). */
+  def decodeMp3Header(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null || bytes.length < 4) return None
+    var o = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      o = 10 + size
+    }
+    if (o < 0 || o + 4 > bytes.length) return None
+    val b2 = bytes(o + 1) & 0xff
+    val b3 = bytes(o + 2) & 0xff
+    val b4 = bytes(o + 3) & 0xff
+    if ((bytes(o) & 0xff) != 0xff || (b2 & 0xe0) != 0xe0) return None
+    val ver = (b2 >> 3) & 3 // 0 = MPEG-2.5, 2 = MPEG-2, 3 = MPEG-1
+    val layer = (b2 >> 1) & 3 // 1 = Layer III
+    if (ver == 1 || layer != 1) return None
+    val srIdx = (b3 >> 2) & 3
+    if (srIdx == 3) return None
+    val rates = ver match {
+      case 3 => Array(44100, 48000, 32000)
+      case 2 => Array(22050, 24000, 16000)
+      case _ => Array(11025, 12000, 8000)
+    }
+    val mode = (b4 >> 6) & 3
+    Some(AudioMeta("mp3", rates(srIdx), if (mode == 3) 1 else 2))
+  }
+
+  /** AAC in an ADTS transport: 12-bit sync + layer 00 (the bit
+    * pattern that keeps it disjoint from MPEG-audio sync, whose layer
+    * bits are never 00 on a labeled frame), sampling-frequency index
+    * into the MPEG-4 table, 3-bit channel configuration spanning
+    * bytes 2–3 (config 0 = "in-stream PCE" → not header-knowable →
+    * None, the honest answer). */
+  def decodeAdtsHeader(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null || bytes.length < 7) return None
+    val b2 = bytes(1) & 0xff
+    if ((bytes(0) & 0xff) != 0xff || (b2 & 0xf0) != 0xf0) return None
+    if ((b2 & 0x06) != 0) return None
+    val sfi = ((bytes(2) & 0xff) >> 2) & 0x0f
+    val rates = Array(96000, 88200, 64000, 48000, 44100, 32000, 24000,
+      22050, 16000, 12000, 11025, 8000, 7350)
+    if (sfi >= rates.length) return None
+    val chanCfg = ((bytes(2) & 0x01) << 2) | ((bytes(3) & 0xc0) >>> 6)
+    if (chanCfg == 0) None else Some(AudioMeta("aac", rates(sfi), chanCfg))
+  }
+
+  /** [[decodeImageHeader]]'s census sibling for COMPRESSED audio:
+    * FLAC → MP3 → ADTS AAC, header-only. WAV is deliberately absent
+    * from this sniff: the census's WAV leg gates the image sniff's
+    * magic-check rejection discipline (the all-null row), and
+    * [[decodeWavHeader]] already carries that container's real
+    * decode. */
+  def decodeAudioHeader(bytes: Array[Byte]): Option[AudioMeta] =
+    decodeFlacHeader(bytes).orElse(decodeMp3Header(bytes))
+      .orElse(decodeAdtsHeader(bytes))
+
   /** The EXIF fields a curation pipeline actually consumes: ORIENTATION
     * (a perceptual hash over un-rotated pixels mis-pairs the 3/6/8
     * rotations of one photo), capture DATETIME (temporal dedup /

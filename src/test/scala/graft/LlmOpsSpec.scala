@@ -1062,6 +1062,56 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fix("caf\u00c3\u00a9 \u65e5") == "caf\u00c3\u00a9 \u65e5")
   }
 
+  test("decodeAudioHeader: FLAC/MP3/ADTS honest labels, strict " +
+    "rejection of WAV, images, truncation, and mislabeled layers") {
+    import Multimodal.{AudioMeta, decodeAudioHeader,
+      decodeFlacHeader, decodeMp3Header, decodeAdtsHeader}
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // FLAC: rate 12000 / stereo / 16-bit packed into STREAMINFO
+    // bytes 10-17: 12000<<44 | 1<<41 | 15<<36 | 1000
+    val pack = (12000L << 44) | (1L << 41) | (15L << 36) | 1000L
+    val flac = hx("664C6143" + "80" + "000022" + "1000" + "1000" +
+      "000000" + "000000" + f"$pack%016X" + "00" * 16)
+    assert(decodeFlacHeader(flac).contains(AudioMeta("flac", 12000, 2)))
+    // truncated STREAMINFO and a non-STREAMINFO first block reject
+    assert(decodeFlacHeader(flac.take(20)).isEmpty)
+    val wrongBlock = flac.clone(); wrongBlock(4) = 0x84.toByte
+    assert(decodeFlacHeader(wrongBlock).isEmpty)
+    // MP3 behind an ID3v2 tag (syncsafe size 5 + 5 pad bytes):
+    // FF FB 94 C0 = MPEG-1 Layer III, 48 kHz, mono
+    val mp3 = hx("494433030000" + "00000005" + "00" * 5 + "FFFB94C0")
+    assert(decodeMp3Header(mp3).contains(AudioMeta("mp3", 48000, 1)))
+    // bare frame, 44.1 kHz stereo
+    assert(decodeMp3Header(hx("FFFB9000"))
+      .contains(AudioMeta("mp3", 44100, 2)))
+    // MPEG-2.5 Layer III uses the low-rate table (srIdx 2 -> 8 kHz)
+    assert(decodeMp3Header(hx("FFE39800"))
+      .contains(AudioMeta("mp3", 8000, 2)))
+    // Layer II is NOT mp3 — label would be dishonest
+    assert(decodeMp3Header(hx("FFFD9000")).isEmpty)
+    // reserved sample-rate index rejects
+    assert(decodeMp3Header(hx("FFFB9C00")).isEmpty)
+    // ADTS: sfi 10 (11025), channel config 2
+    assert(decodeAdtsHeader(hx("FFF1688000FFFC"))
+      .contains(AudioMeta("aac", 11025, 2)))
+    // channel config 0 (in-stream PCE) is not header-knowable
+    assert(decodeAdtsHeader(hx("FFF1600000FFFC")).isEmpty)
+    // nonzero layer bits break the ADTS sync contract
+    assert(decodeAdtsHeader(hx("FFF3688000FFFC")).isEmpty)
+    // cross-rejection: the PCM WAV and a PNG magic sniff to None on
+    // the audio side; FLAC bytes sniff to None on the image side
+    val wav = hx("524946462400000057415645666D7420")
+    assert(decodeAudioHeader(wav).isEmpty)
+    assert(decodeAudioHeader(hx("89504E470D0A1A0A")).isEmpty)
+    assert(Multimodal.decodeImageHeader(flac).isEmpty)
+    // the one-call sibling resolves each container
+    assert(decodeAudioHeader(flac).exists(_.format == "flac"))
+    assert(decodeAudioHeader(mp3).exists(_.format == "mp3"))
+    assert(decodeAudioHeader(hx("FFF1688000FFFC"))
+      .exists(_.format == "aac"))
+  }
+
   test("decodeGifHeader / decodeTiffHeader: header-only census sniff " +
     "yields dims without touching pixel payloads") {
     // GIF: 9x8 screen, 16-entry table -> 4 index bits; truncate the
