@@ -2613,7 +2613,10 @@ object CorpusQueries {
     * the sample bytes (q139's frame formulas, so a box-walk
     * off-by-one, a wrong stco base, or a misread stsd offset all
     * break the hash gate). Every 7th doc carries raw text and must
-    * yield the all-null row.
+    * yield the all-null row. r19: the avc1 legs carry an stss
+    * sync-sample table (even 0-based samples are keyframes) and the
+    * walk surfaces is_sync per sample; the Motion-JPEG legs OMIT the
+    * box and must land on the spec default — every sample sync.
     */
   def q194Mp4Samples(s: SparkSession, d: String): DataFrame = {
     type C = org.apache.spark.sql.Column
@@ -2667,20 +2670,32 @@ object CorpusQueries {
       perFrame(_ => lit("00000027"))) // every sample is 39 bytes
     val stsc = lit("0000001C" + "73747363" + "00000000" + "00000001" +
       "00000001" + "00000001" + "00000001") // one sample per chunk
-    // mdat payload starts at ftyp(16) + moov(314+8f) + mdat hdr(8)
+    // stss (AVC LEG ONLY — r19): inter-coded tracks mark their
+    // keyframes; even 0-based samples (numbers 1, 3) are sync. The
+    // Motion-JPEG legs OMIT the box, exercising the spec default
+    // (absent stss = every sample sync, the all-intra case).
+    val nSync = ((fCount + lit(1) -
+      pmod(fCount + lit(1), lit(2))) / lit(2)).cast("int")
+    val stssSize = when(isAvc, lit(16) + nSync * 4).otherwise(lit(0))
+      .cast("int")
+    val stss = concat(be32hex(lit(16) + nSync * 4),
+      lit("73747373" + "00000000"), be32hex(nSync),
+      perFrame(f => if (f % 2 == 0) be32hex(lit(f + 1)) else lit("")))
+    // mdat payload starts at ftyp(16) + moov(314+8f+stss) + hdr(8)
     val stco = concat(be32hex(lit(16) + fCount * 4),
       lit("7374636F" + "00000000"), be32hex(fCount),
-      perFrame(f => be32hex(lit(338 + 39 * f) + fCount * 8)))
-    val stbl = concat(be32hex(lit(174) + fCount * 8), lit("7374626C"),
-      stsd, stsz, stsc, stco)
-    val minf = concat(be32hex(lit(182) + fCount * 8), lit("6D696E66"),
-      stbl)
-    val mdia = concat(be32hex(lit(190) + fCount * 8), lit("6D646961"),
-      minf)
-    val trak = concat(be32hex(lit(198) + fCount * 8), lit("7472616B"),
-      mdia)
-    val moov = concat(be32hex(lit(314) + fCount * 8), lit("6D6F6F76"),
-      mvhd, trak)
+      perFrame(f => be32hex(lit(338 + 39 * f) + fCount * 8 + stssSize)))
+    val stbl = concat(be32hex(lit(174) + fCount * 8 + stssSize),
+      lit("7374626C"), stsd, stsz, stsc, stco,
+      when(isAvc, stss).otherwise(lit("")))
+    val minf = concat(be32hex(lit(182) + fCount * 8 + stssSize),
+      lit("6D696E66"), stbl)
+    val mdia = concat(be32hex(lit(190) + fCount * 8 + stssSize),
+      lit("6D646961"), minf)
+    val trak = concat(be32hex(lit(198) + fCount * 8 + stssSize),
+      lit("7472616B"), mdia)
+    val moov = concat(be32hex(lit(314) + fCount * 8 + stssSize),
+      lit("6D6F6F76"), mvhd, trak)
     val mdat = concat(be32hex(lit(8) + fCount * 39), lit("6D646174"),
       frameHex(0), frameHex(1), frameHex(2))
     val payloadHex = concat(ftyp, moov, mdat)
@@ -2700,7 +2715,11 @@ object CorpusQueries {
         col("fr.idx").as("frame_idx"),
         col("fr.format").as("frame_fmt"),
         col("fr.width").as("frame_w"),
-        col("fr.height").as("frame_h"))
+        col("fr.height").as("frame_h"),
+        // 0/1 int, not boolean: a NULLABLE bool renders None via
+        // pyarrow but NaN via duckdb-pandas on the raw-text null
+        // rows, breaking the driver hash on representation alone
+        col("fr.is_sync").cast("int").as("is_sync"))
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -3672,7 +3691,9 @@ object CorpusQueries {
         |ORDER BY k.doc_id""".stripMargin,
     // MP4 sample walk: mirrors q194Mp4Samples' fixture arithmetic —
     // decoded per-frame dims for the Motion-JPEG docs, the honest
-    // codec label + stsd-declared dims for avc1 (edit together)
+    // codec label + stsd-declared dims for avc1; is_sync from the
+    // avc legs' stss (even samples) vs the absent-box all-sync
+    // default on the jpeg legs (edit together)
     "q194_mp4_samples" ->
       """WITH d AS (
         |  SELECT doc_id, 1 + doc_id % 3 AS f_total,
@@ -3698,7 +3719,10 @@ object CorpusQueries {
         |  CASE WHEN fr.f IS NOT NULL THEN
         |    CASE WHEN d.avc THEN 80 + (d.doc_id*5) % 40
         |         ELSE 80 + (d.doc_id*5 + fr.f) % 40 END END
-        |    AS frame_h
+        |    AS frame_h,
+        |  CASE WHEN fr.f IS NOT NULL THEN
+        |    CASE WHEN d.avc THEN CAST(fr.f % 2 = 0 AS INTEGER)
+        |         ELSE 1 END END AS is_sync
         |FROM d LEFT JOIN fr USING (doc_id)
         |ORDER BY d.doc_id, frame_idx""".stripMargin,
     // q191 shares the container-blind pixel oracle: orientation

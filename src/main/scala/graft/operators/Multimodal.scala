@@ -836,7 +836,8 @@ object Multimodal {
     None
   }
 
-  case class Mp4Sample(idx: Int, format: String, width: Int, height: Int)
+  case class Mp4Sample(idx: Int, format: String, width: Int, height: Int,
+                       is_sync: Boolean)
   case class Mp4Track(codec: String, declared_samples: Int,
                       frames: Seq[Mp4Sample])
 
@@ -863,6 +864,9 @@ object Multimodal {
     *
     * Declared count = stsz's sample_count (the avih analogue the
     * gate compares against what the chunk walk actually yields).
+    * Every sample also carries `is_sync` from the OPTIONAL stss
+    * sync-sample table (absent = all sync, the spec default) — the
+    * keyframe map a JNI/Arrow H.264 decoder slot-in would seek by.
     * Malformed/truncated boxes, counts over the 10k sanity cap, or
     * offsets outside the payload yield None — null rows, never task
     * failures.
@@ -961,6 +965,23 @@ object Multimodal {
       else be32(coP.toInt + 8 + 4 * c)
     def samplesPerChunk(chunk1: Int): Long =
       runs.takeWhile(_._1 <= chunk1).lastOption.map(_._2).getOrElse(0L)
+    // stss: OPTIONAL sync-sample table — ABSENT means every sample is
+    // a sync sample (ISO 14496-12 §8.6.2, the all-intra case:
+    // Motion-JPEG tracks rightly omit it); present, the listed
+    // 1-BASED sample numbers are the keyframes a seek can land on —
+    // exactly the box a JNI/Arrow H.264 decoder slot-in reads first,
+    // so the walk surfaces it per sample instead of discarding it
+    val isSync: Int => Boolean = findBox(sp, se, "stss") match {
+      case None => _ => true
+      case Some((ssP, ssE)) =>
+        if (ssP + 8 > ssE) return None
+        val nSync = be32(ssP.toInt + 4)
+        if (nSync < 0 || nSync > 10000 ||
+          ssP + 8 + 4 * nSync > ssE) return None
+        val set = (0 until nSync.toInt)
+          .map(i => be32(ssP.toInt + 8 + 4 * i)).toSet
+        n => set.contains(n.toLong)
+    }
     val frames = Seq.newBuilder[Mp4Sample]
     var s = 0
     var chunk = 0
@@ -975,8 +996,9 @@ object Multimodal {
           val p = java.util.Arrays.copyOfRange(bytes, cursor.toInt,
             (cursor + sz).toInt)
           decodeJpegHeader(p).foreach(j =>
-            frames += Mp4Sample(s, j.format, j.width, j.height))
-        } else frames += Mp4Sample(s, codec, declW, declH)
+            frames += Mp4Sample(s, j.format, j.width, j.height,
+              isSync(s + 1)))
+        } else frames += Mp4Sample(s, codec, declW, declH, isSync(s + 1))
         cursor += sz
         k += 1
         s += 1

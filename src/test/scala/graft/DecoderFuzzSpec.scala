@@ -679,8 +679,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
     val m = Multimodal.decodeMp4Samples(fixtures(5)) // the mp4 seed
       .getOrElse(fail("MP4 sample fixture did not decode"))
     assert(m.codec == "jpeg" && m.declared_samples == 1)
-    assert(m.frames == Seq(Multimodal.Mp4Sample(0, "jpeg", 320, 240)),
-      s"frames: ${m.frames}") // decoded from the sample bytes, not stsd
+    // decoded from the sample bytes, not stsd; the seed has no stss
+    // box, so the spec default applies: every sample is sync
+    assert(m.frames ==
+      Seq(Multimodal.Mp4Sample(0, "jpeg", 320, 240, is_sync = true)),
+      s"frames: ${m.frames}")
   }
 
   test("png gray: decodes the JDK ImageIO encoder's RGBA output " +
