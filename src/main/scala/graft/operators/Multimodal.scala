@@ -8,18 +8,35 @@ import org.apache.spark.sql.types._
   * with typed metadata, the way a 100 TB training-data pipeline carries
   * image/audio/video next to text.
   *
-  * METADATA decode is REAL for all three modalities: [[decodeWavHeader]]
-  * parses RIFF/WAVE, [[decodePngHeader]]/[[decodeBmpHeader]] parse
-  * PNG/BMP headers, and [[decodeMp4Header]] walks ISO BMFF boxes to
-  * `mvhd` — container metadata is plain header bytes, no codec needed,
-  * all pure JVM. PIXEL/SAMPLE/FRAME decode remains
-  * STUBBED — this container has no codecs — behind [[fakeDecode]]: a
-  * deterministic md5-derived stand-in with the same schema a real
-  * decoder (JNI/FFI or a Python worker via Arrow batches) would
-  * produce. Everything around the stubs — the media schema, the
-  * metadata extraction, the partition-sized batch shape in
-  * [[decodePartitioned]] — is real Spark plumbing and is what the tests
-  * and q42 exercise.
+  * DECODE IS REAL and pure-JVM across the inventory this file grew
+  * between r13 and r18 — content, not just metadata:
+  *
+  *  - images: BMP pixels ([[decodeBmpGray]]), PNG across the full
+  *    IHDR matrix ([[decodePngGray]] — gray/truecolor/palette,
+  *    alpha compositing, Adam7 interlace, 16-bit and sub-8 depths,
+  *    zlib inflate + all five filters, CRC-verified), JPEG entropy
+  *    decode ([[decodeJpegGray]] — baseline, restart intervals,
+  *    progressive SOF2), GIF's variable-width LZW ([[decodeGifGray]],
+  *    animation walk [[decodeGifFrames]]), TIFF in both byte orders
+  *    ([[decodeTiffGray]]), EXIF IFDs ([[decodeJpegExif]]).
+  *  - audio: WAV PCM-16, G.711 µ-law and A-law, seekable-block IMA
+  *    ADPCM ([[decodeWavSamples]]).
+  *  - video: MJPEG-in-AVI frame walks ([[decodeAviFrames]]) and the
+  *    ISO-BMFF sample-table walk ([[decodeMp4Samples]] — per-sample
+  *    offsets from stsc/stco, stss keyframes, Motion-JPEG samples
+  *    decoded). Inter-coded codecs (avc1, …) yield HONEST labels +
+  *    declared dims, never fake pixels — H.264 entropy decode is out
+  *    of pure-JVM scope and is the slot a JNI/FFI or Arrow-batch
+  *    worker would fill.
+  *  - header-only census sniffs for all of the above plus
+  *    FLAC/MP3/ADTS ([[decodeImageHeader]], [[decodeAudioHeader]]).
+  *
+  * [[fakeDecode]] predates the decoder buildout and survives ONLY as
+  * q42's deterministic stand-in for that residual codec slot: an
+  * md5-derived (width, height) with the schema a real decoder would
+  * produce, exercising the media schema + partition-sized batch
+  * plumbing ([[decodePartitioned]]) without claiming decode it
+  * doesn't do.
   */
 object Multimodal {
 
@@ -41,9 +58,13 @@ object Multimodal {
         .otherwise("video").as("media_type"),
       col("text").cast("binary").as("content"))
 
-  /** STUB decode: deterministic pseudo-dimensions derived from the content
-    * hash. A real implementation decodes the payload; the column contract
-    * (int width/height per row) is what downstream code depends on.
+  /** q42's STAND-IN decode ONLY — not the real path (see the object
+    * scaladoc: BMP/PNG/JPEG/GIF/TIFF/WAV/AVI/MP4 decode for real
+    * elsewhere in this file). Deterministic pseudo-dimensions from the
+    * content hash, filling the one residual slot (inter-coded video
+    * pixels) a JNI/FFI or Arrow-batch worker would own; the column
+    * contract (int width/height per row) is what downstream code
+    * depends on.
     */
   def fakeDecode(content: Column): (Column, Column) = {
     val h = conv(substring(md5(content), 1, 7), 16, 10).cast("long")
@@ -169,6 +190,7 @@ object Multimodal {
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var off = 12L
     var fmt = -1
+    var channels = -1
     var bits = -1
     var blockAlign = -1
     while (off + 8 <= bytes.length) {
@@ -178,6 +200,7 @@ object Multimodal {
       if (id == "fmt ") {
         if (sz < 16 || o + 8 + 16 > bytes.length) return None
         fmt = le16(o + 8)
+        channels = le16(o + 10)
         bits = le16(o + 22)
         blockAlign = le16(o + 20)
       } else if (id == "data") {
@@ -224,6 +247,12 @@ object Multimodal {
           // 4-bit nibbles low-first, each adapting the step index
           // through the published IMA tables. A trailing partial
           // block is ignored (the bounded-range-read posture).
+          // MONO ONLY — stereo IMA interleaves per-channel 4-byte
+          // headers and nibble groups, which this walk would decode
+          // as garbage rather than None; reject it explicitly (the
+          // decoder family's no-garbage posture). PCM/G.711 branches
+          // are sample-independent, so they stay channel-agnostic.
+          if (channels != 1) return None
           if (blockAlign < 5) return None
           val nBlocks = (avail / blockAlign).toInt
           if (nBlocks <= 0) return None
@@ -273,7 +302,8 @@ object Multimodal {
     * shifted to bits 4–7, segment 0 adds the half-step 8, higher
     * segments add the 0x108 bias then shift by segment − 1; sign bit
     * SET means positive (the polarity opposite µ-law's). 0xD5 → +8,
-    * 0x55 → −8, 0xAA → +848 (LlmOpsSpec pins published values). */
+    * 0x55 → −8, 0xAA → +32256 (full scale), 0xFF → +848 (LlmOpsSpec
+    * and the q200 fixture pin the published values). */
   def alawExpand(a0: Int): Int = {
     val a = (a0 ^ 0x55) & 0xff
     var t = (a & 0x0f) << 4

@@ -1216,6 +1216,13 @@ class LlmOpsSpec extends AnyFunSuite {
     val expected = Multimodal.adpcmDecodeBlock(100, 0, nibs) ++
       Multimodal.adpcmDecodeBlock(-700, 3, nibs)
     assert(out.toSeq == expected.toSeq)
+    // STEREO IMA-ADPCM must return None, never mono-decoded garbage:
+    // channels=2 interleaves per-channel headers and nibble groups
+    // this walk does not model (the r18 ADVICE finding) — flip only
+    // the channel count in the fmt chunk (byte offset 22)
+    val stereo = bb.array().clone()
+    stereo(22) = 2
+    assert(Multimodal.decodeWavSamples(stereo).isEmpty)
   }
 
   test("decodePngGray goldens: all five filters round-trip through a " +
