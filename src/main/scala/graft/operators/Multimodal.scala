@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   *    ([[decodeTiffGray]]), EXIF IFDs ([[decodeJpegExif]]).
   *  - audio: WAV PCM-16, G.711 µ-law and A-law, seekable-block IMA
   *    ADPCM ([[decodeWavSamples]]).
-  *  - video: MJPEG-in-AVI frame walks ([[decodeAviFrames]]) and the
+  *  - video: MJPEG-in-AVI frame walks ([[decodeAviMjpeg]]) and the
   *    ISO-BMFF sample-table walk ([[decodeMp4Samples]] — per-sample
   *    offsets from stsc/stco, stss keyframes, Motion-JPEG samples
   *    decoded). Inter-coded codecs (avc1, …) yield HONEST labels +
