@@ -141,8 +141,11 @@ object Generations {
       *    NFSv2, links never were);
       *  - other schemes → FileSystem.rename(tmp, p), which HDFS
       *    arbitrates in the namenode: dest-exists rename returns
-      *    false without touching either path. An object store maps
-      *    the same slot to a conditional PUT (If-None-Match: *).
+      *    false without touching either path. VALIDITY IS PER-STORE:
+      *    HDFS/GCS/ABFS renames arbitrate server-side, but vanilla
+      *    S3's "rename" is a client-side probe + copy + delete —
+      *    it CANNOT arbitrate; use [[ConditionalPut]] there (the
+      *    full per-store matrix lives on its scaladoc).
       *
       * Unlike [[NonAtomicSimulation]] there is NO exists() probe
       * anywhere in the protocol — the publish call itself arbitrates —
@@ -177,6 +180,43 @@ object Generations {
           } else fs.rename(tmp, p)
         fs.delete(tmp, false)
         won
+      }
+    }
+
+    /** The S3-TRUE claim — for stores where RENAME cannot arbitrate.
+      * [[RenameCas]] assumes an atomic dest-exists rename, which
+      * HDFS/GCS/ABFS provide and vanilla S3 does NOT (S3A rename is
+      * a client-side probe + copy + delete — a TOCTOU window at
+      * every step). There the one-call primitive is a CONDITIONAL
+      * PUT: "write this object iff absent", arbitrated by the
+      * SERVER (HTTP `If-None-Match: *`, which S3 honors for PutObject
+      * since 2024; GCS's equivalent precondition is
+      * `x-goog-if-generation-match: 0`). The store call arrives
+      * INJECTED — `putIfAbsent` must write the zero-byte marker iff
+      * absent and report whether it wrote — because this engine ships
+      * no vendor SDKs; the injection must honor exactly that contract
+      * (no client probe, no retry-overwrite). GenerationsSpec drives
+      * it through the same adversarial interleave as the other
+      * primitives, with an atomically-arbitrated test double standing
+      * in for the store.
+      *
+      * Per-store validity of the three primitives (the deployment
+      * matrix):
+      *  - POSIX `file:` — [[Exclusive]] (O_EXCL) and [[RenameCas]]
+      *    (link(2) EEXIST) both atomic; ConditionalPut n/a.
+      *  - HDFS — [[Exclusive]] and [[RenameCas]] both atomic
+      *    (namenode-arbitrated namespace operations).
+      *  - GCS / ABFS — [[RenameCas]] holds (atomic dest-exists
+      *    rename in the connectors); ConditionalPut holds via the
+      *    stores' generation/etag preconditions.
+      *  - Vanilla S3 — ONLY ConditionalPut: no exclusive create,
+      *    and rename is copy+delete. */
+    class ConditionalPut(putIfAbsent: Path => Boolean,
+                         interleave: () => Unit = () => ())
+        extends ClaimPrimitive {
+      def claim(fs: FileSystem, p: Path): Boolean = {
+        interleave()
+        putIfAbsent(p)
       }
     }
   }

@@ -306,6 +306,41 @@ class GenerationsSpec extends AnyFunSuite {
     } finally { Generations.claimPrimitive = saved }
   }
 
+  test("ConditionalPut claim (the S3-true slot): the injected " +
+    "write-iff-absent call is the sole arbiter — same adversarial " +
+    "interleave, exactly one winner, no client-side probe") {
+    val p = "tgen12"
+    Generations.beginBootstrap(spark, p)
+    var bB = -1L
+    var fired = false
+    val saved = Generations.claimPrimitive
+    try {
+      // the store stand-in: atomic membership arbitration (what a
+      // conditional PUT's If-None-Match does server-side), then the
+      // winner materializes the zero-byte marker for the manifest's
+      // directory listings
+      val store = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[String]()
+      def put(path: org.apache.hadoop.fs.Path): Boolean =
+        store.add(path.toString) && {
+          val local = java.nio.file.Paths.get(path.toUri.getPath)
+          java.nio.file.Files.createDirectories(local.getParent)
+          java.nio.file.Files.write(local, Array.emptyByteArray)
+          true
+        }
+      Generations.claimPrimitive =
+        new Generations.ClaimPrimitive.ConditionalPut(put, () => {
+          if (!fired) {
+            fired = true
+            bB = Generations.claimBatchFrom(spark, p, 0L, 1L)
+          }
+        })
+      val bA = Generations.claimBatchFrom(spark, p, 0L, 1L)
+      assert(bB == 1L && bA == 2L,
+        s"conditional-PUT arbitration failed: A=$bA B=$bB")
+    } finally { Generations.claimPrimitive = saved }
+  }
+
   test("the full index lifecycle stays green under the conditional-" +
     "write primitive: bootstrap/append/compact/search all claim " +
     "through RenameCas") {
