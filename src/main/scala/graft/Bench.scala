@@ -16,15 +16,18 @@ import java.nio.file.{Files, Paths}
   *
   * r19 budget posture: the 142-row headline at unconditional min-of-3
   * outgrew the driver's wall-clock cap (BENCH_r18 rc=124 — the first
-  * round with no driver-verified perf artifact). Three levers, each
-  * independently sufficient to claw back most of the overrun:
+  * round with no driver-verified perf artifact). Four levers:
   * (a) per-row iteration scheduling keyed on the committed spread
   * history ([[scheduledIters]]), (b) a FRESH per-run warehouse (a long
   * session had accreted 242 standing tables, taxing every lifecycle
   * gate's bootstrap ~20% in catalog/listing overhead — harness
-  * artifact, not plan cost; SCALING.md), and (c) a split-run mode
+  * artifact, not plan cost; SCALING.md), (c) a split-run mode
   * (SPARK_GRAFT_BENCH_PART=i/n) that lets the driver bench the headline
-  * in two bounded invocations and still get one merged bench_out.json.
+  * in two bounded invocations and still get one merged bench_out.json,
+  * and (d) — measured to be the BIGGEST term — a family warmup
+  * instead of the all-rows warmup (see the warmup comment in main:
+  * warming all 145 rows cost ~1700 s of a 2533 s wall; the family set
+  * warms the shared state at ~5% of that).
   */
 object Bench {
 
@@ -250,8 +253,14 @@ object Bench {
     * in [[main]]: a draw landing > 1.4x the committed min re-times once
     * and publishes the min of the two — a transient-noise draw recovers
     * its real level, while a genuine regression still publishes > 1.4x
-    * and trips BenchDiff's 1.3x flag. Modeled on BENCH_OUT_r19: timed
-    * wall ≈ 410 s vs ≈ 1040 s at unconditional min-of-3.
+    * and trips BenchDiff's 1.3x flag. Second r19 refinement, after the
+    * first full run under this schedule measured non-min draws at an
+    * average 2.55x the min (cold first draws + box jitter): a
+    * loose-spread row with a committed min >= 0.5 s runs min-of-TWO
+    * rather than min-of-three — its history already certifies that
+    * three draws do not converge on one box-day, so the third draw
+    * buys spread bookkeeping, not a better min; the cross-round
+    * estimator for those rows is the committed history itself.
     */
   private[graft] def scheduledIters(name: String, iterations: Int,
       priorMin: Map[String, Double],
@@ -259,6 +268,7 @@ object Bench {
     priorMin.get(name) match {
       case Some(m) if m >= 0.5 &&
           priorSpread.getOrElse(name, Double.MaxValue) <= 60.0 => 1
+      case Some(m) if m >= 0.5 => math.min(2, iterations)
       case _ => iterations
     }
 
@@ -392,16 +402,48 @@ object Bench {
     val priorSpread = prior.map(graft.tools.BenchDiff.mapOf(_, "spread_pct"))
       .getOrElse(Map.empty[String, Double])
 
-    // Untimed warmup at the smallest scale: pays JIT + codegen + parquet
-    // footer reads once so the timed runs measure steady-state throughput.
+    // Untimed warmup at the smallest scale. r19 finding: warming EVERY
+    // headline row cost ~1700 s of the 2533 s wall (each lifecycle
+    // gate pays its fixed bootstrap/manifest cost nearly in full even
+    // at sf0.001) while the timed phase was ~800 s — the warmup, not
+    // the iterations, was the driver-cap killer. What warmup actually
+    // buys is SHARED state (JIT tiers, codegen infra, parquet reader,
+    // session machinery), so a ~12-row FAMILY set covering the
+    // distinct code paths warms it at ~5% of the cost. Per-query
+    // residual cold cost (plan codegen, first index bootstrap) lands
+    // in the timed draws, where min-of-N absorbs it and one-draw rows
+    // have the 1.4x deviation gate: a cold-inflated draw re-times
+    // once and publishes the warm minimum. Subset runs keep the warm-
+    // what-you-bench behavior (they are small by construction).
+    val warmFamilies = Seq(
+      "q02_pricing_summary",   // scan + agg + parse expressions
+      "q11_join_5way",         // broadcast/shuffle joins
+      "q16_window_seq_id",     // window functions
+      "q36_minhash_lsh",       // shingle/LSH HOF pipelines
+      "q84_value_percentiles", // sketch/percentile aggs
+      "q93_sequence_packing",  // two-level prefix sums
+      "q98_neardup_indexed",   // standing-index lifecycle machinery
+      "q122_jpeg_meta",        // decoder UDFs
+      "q143_pagerank",         // iterative checkpoint loops
+      "q150_bm25_topk",        // token explode + rank tail
+      "q155_kmeans",           // vector/centroid path
+      "q204_hll_distinct")     // register-sketch chain
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      names.foreach { name =>
+    if (new java.io.File(warmDir).isDirectory) {
+      val t0 = System.nanoTime()
+      val warmSet =
+        if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES")) names
+        else warmFamilies.filter(benchable.contains)
+      warmSet.foreach { name =>
         try benchable(name)(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         finally Caches.clear()
       }
+      println(f"[bench] warmup: ${warmSet.size} queries in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val timedT0 = System.nanoTime()
     var errors = List.empty[String]
     // Min of N timed iterations: single-run timings swing ±15% (and
     // occasionally 2-3×) with system noise on this box — see SCALING.md's
@@ -445,31 +487,40 @@ object Bench {
       if (sched == 1 && times.forall(_ >= 0) &&
           priorMin.get(name).exists(p => times.min > p * 1.4))
         times = times :+ once()
+      // spread-gated re-time, ONE extra draw (r19: was up to 3 — on a
+      // drifted box the extras fired broadly and re-measured the same
+      // jitter at 2.55x-the-min a draw; one retry distinguishes a
+      // transient outlier from a noisy box-day, more do not)
       var extra = 0
-      while (times.forall(_ >= 0) && extra < 3 &&
+      while (times.length > 1 && times.forall(_ >= 0) && extra < 1 &&
           trimmedSpread(times) > 80.0) {
         times = times :+ once()
         extra += 1
       }
-      name -> (if (times.exists(_ < 0)) Seq(-1.0)
-               else times.sorted.take(iterations))
+      // draws = the TRUE number of timed executions (the published
+      // sample list below trims to the best N — recording its length
+      // instead would hide the re-time cost from wall forensics)
+      (name, times.length,
+        if (times.exists(_ < 0)) Seq(-1.0)
+        else times.sorted.take(iterations))
     }
-    val qs = results.map { case (k, t) => "\"" + k + f"\":${t.min}%.3f" }
+    val qs = results.map { case (k, _, t) => "\"" + k + f"\":${t.min}%.3f" }
       .mkString("{", ",", "}")
     // per-query spread (max/min − 1, %) across the timed iterations: the
     // published noise band — a round-over-round delta smaller than the
     // spread is measurement, not engineering
     def spreadJson(minPct: Double): String = results.collect {
-      case (k, t) if t.min > 0 && (t.max / t.min - 1) * 100 >= minPct =>
+      case (k, _, t) if t.min > 0 &&
+          (t.max / t.min - 1) * 100 >= minPct =>
         "\"" + k + f"\":${(t.max / t.min - 1) * 100}%.1f"
     }.mkString("{", ",", "}")
     // actual timed draws per row — a spread of 0.0 from one scheduled
     // draw and from three coincidentally-equal draws read very
     // differently in adjudication; file channel only
-    val drawsJson = fmtMap(results.map { case (k, t) =>
-      k -> t.length.toString })
+    val drawsJson = fmtMap(results.map { case (k, n, _) =>
+      k -> n.toString })
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2.min).filter(_ >= 0).sum
+    val total = results.map(_._3.min).filter(_ >= 0).sum
     // spread_min_pct is self-describing: a consumer comparing the stdout
     // line against bench_out.json can tell a FILTERED spread map (only
     // entries >= the stated floor) from a complete one
@@ -479,6 +530,8 @@ object Bench {
         if (withDraws) "\"draws\":" + drawsJson + "," else ""}${
         partSpec.map { case (i, n) => s""""part":"$i/$n",""" }
           .getOrElse("")}"errors":$errJson,"sf":"$sfDir"}"""
+    println(f"[bench] timed phase: ${results.map(_._2).sum} " +
+      f"draws in ${(System.nanoTime() - timedT0) / 1e9}%.1f s")
     // stdout must survive a bounded tail-capture window (round 10's
     // artifact was cut mid-line): print the spread only where it is
     // signal (≥25%); the complete spread map goes to bench_out.json.
