@@ -662,6 +662,9 @@ object CorpusOps {
         posexplode(TextOps.words(col(textCol))).as(Seq("pos", "token"))))
     val top = tok.groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(vocabSize)
+    // global window over the ALREADY-LIMITED top-V rows only (V is a
+    // tokenizer-sized constant) — WindowExec's single-partition WARN
+    // fires here and is expected: the frame is V rows, never corpus
     val w = Window.orderBy(col("n").desc, col("token").asc)
     val vocab = top.withColumn("id", row_number().over(w).cast("long"))
       .select("token", "id")

@@ -659,6 +659,9 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = deltas.withColumn("run_in_day",
       sum(col("delta")).over(byDay))
+    // cross-day carry: a global window over the PER-DAY AGGREGATES
+    // (one row per day, bounded by the time range, never event count) —
+    // WindowExec's single-partition WARN here is expected and benign
     val carry = deltas.groupBy("day")
       .agg(sum(col("delta")).as("day_total"))
       .withColumn("carry", coalesce(
