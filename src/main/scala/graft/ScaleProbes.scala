@@ -1241,6 +1241,35 @@ object ScaleProbes {
             f"exact_min3_sec=$exact%.2f ratio=${exact / sketch}%.2fx")
         }
 
+      case "census-ab" =>
+        // the q202 claim, measured: a media census reads HEADERS —
+        // a few dozen bytes per row, flat in payload size and format
+        // — while a content decode pays the full pixel walk
+        // (inflate/LZW/entropy decode + filter reconstruction). Same
+        // parquet-staged census rows (5 image containers + WAV +
+        // text + FLAC/MP3/ADTS), both arms through the noop sink:
+        // arm A = the q202 sniff pair (decodeImg + decodeAudio),
+        // arm B = the container-sniffing pixel dHash the dedup
+        // queries pay. At 100 TB the ratio IS the reason the census
+        // runs first — it prices the bucket before any decode is
+        // committed.
+        val cDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val cPath = "/tmp/graft_census_ab"
+        CorpusQueries.imageFixture(spark, cDir, "census")
+          .write.mode("overwrite").parquet(cPath)
+        TmpDirs.deleteOnExit(cPath)
+        val cRows = spark.read.parquet(cPath)
+        def cNoop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        val sniffSec = minOf3(cNoop(cRows.select(col("doc_id"),
+          graft.functions.Udfs.decodeImg(col("content")).as("m"),
+          graft.functions.Udfs.decodeAudio(col("content")).as("a"))))
+        val decodeSec = minOf3(cNoop(cRows.select(col("doc_id"),
+          graft.functions.Udfs.imagePhash(col("content")).as("h"))))
+        println(f"[probe] census-ab: sf=$cDir sniff_min3_sec=" +
+          f"$sniffSec%.2f pixel_decode_min3_sec=$decodeSec%.2f " +
+          f"ratio=${decodeSec / sniffSec}%.1fx")
+
       case "img-synth" =>
         // the SYNTHESIS half of the staged image gates: q176/q180/
         // q181 now time read → decode → dedup over parquet-staged
