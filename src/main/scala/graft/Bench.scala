@@ -228,49 +228,67 @@ object Bench {
   }
 
   /** Newest committed full-run snapshot (BENCH_OUT_r{N}.json) in `dir`
-    * — the scheduling prior AND the autodiff baseline. */
+    * — the autodiff baseline. */
   private[graft] def newestSnapshot(
-      dir: java.io.File = new java.io.File(".")): Option[(Int, String)] = {
+      dir: java.io.File = new java.io.File(".")): Option[(Int, String)] =
+    committedSnapshots(dir, 1).headOption
+
+  /** The newest `k` committed snapshots, newest first. */
+  private[graft] def committedSnapshots(
+      dir: java.io.File = new java.io.File("."),
+      k: Int = 4): Seq[(Int, String)] = {
     val rx = "BENCH_OUT_r(\\d+)\\.json".r
     Option(dir.listFiles()).toSeq.flatten.flatMap(f => f.getName match {
       case rx(n) => Some((n.toInt, f.getName))
       case _ => None
-    }).sortBy(-(_: (Int, String))._1).headOption
+    }).sortBy(-(_: (Int, String))._1).take(k)
   }
 
-  /** Per-row timed-iteration schedule (r19 — VERDICT item 1a). Most of
-    * the min-of-3 iterations re-measured rows whose committed history
-    * already certifies repeatability; at 142 rows that pushed the full
-    * run past the driver's cap. A row runs ONE timed iteration when the
-    * newest committed snapshot shows (a) a min >= 0.5 s — the ~39
-    * sub-half-second rows keep min-of-3 (≈14 s of mins in total, cheap
-    * insurance exactly where a single draw's jitter is largest relative
-    * to the value) — and (b) a committed spread <= 60% (looser history
-    * means the row needs min-of-N to converge at all; lifecycle gates
-    * with wide committed spreads therefore keep the full schedule
-    * automatically). New rows (no committed min) keep the full
-    * schedule. Safety net for the one-draw rows is the deviation gate
-    * in [[main]]: a draw landing > 1.4x the committed min re-times once
-    * and publishes the min of the two — a transient-noise draw recovers
-    * its real level, while a genuine regression still publishes > 1.4x
-    * and trips BenchDiff's 1.3x flag. Second r19 refinement, after the
-    * first full run under this schedule measured non-min draws at an
-    * average 2.55x the min (cold first draws + box jitter): a
-    * loose-spread row with a committed min >= 0.5 s runs min-of-TWO
-    * rather than min-of-three — its history already certifies that
-    * three draws do not converge on one box-day, so the third draw
-    * buys spread bookkeeping, not a better min; the cross-round
-    * estimator for those rows is the committed history itself.
+  /** Per-row anchored floor: the MIN over the last `k` committed
+    * snapshots, not just the newest (r20 — ADVICE item 1 / VERDICT
+    * item 3). The one-draw schedule made the newest snapshot an
+    * upward-biased single cold draw; anchoring the deviation gate and
+    * the diff prior to it let a 22.55 s q143 draw (ABA floor ~13 s)
+    * ratchet itself in as next round's baseline. A 4-round window
+    * spans enough box eras that a warm-era floor survives one drifted
+    * session.
+    */
+  private[graft] def anchoredMin(
+      dir: java.io.File = new java.io.File("."),
+      k: Int = 4): Map[String, Double] =
+    committedSnapshots(dir, k).map { case (_, f) =>
+      graft.tools.BenchDiff.mapOf(
+        Files.readString(dir.toPath.resolve(f)), "queries")
+        .filter(_._2 > 0)
+    }.foldLeft(Map.empty[String, Double]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (q, v)) =>
+        a.updated(q, math.min(a.getOrElse(q, Double.MaxValue), v)) }
+    }
+
+  /** Per-row timed-iteration schedule (r19, rewritten r20 — VERDICT
+    * item 1). r19's schedule (one draw only for tight-history rows
+    * >= 0.5 s, min-of-2/3 elsewhere) still ran 338 draws / 1465 s of
+    * timed wall and the driver invocation hit rc=124 for the second
+    * consecutive round. r20: ANY row with a committed anchored floor
+    * runs ONE draw — including the ~39 sub-half-second rows, whose
+    * min-of-3 cost far more wall in 2.55×-min cold draws than their
+    * ~14 s of mins suggested — for ~145 draws total. Only genuinely
+    * NEW rows (no committed history) keep min-of-`iterations`. The
+    * safety net is the drift-aware retry pass in [[main]]: after all
+    * first draws, the run's box-drift factor is estimated as the
+    * median draw/floor ratio, and rows whose draw exceeds 1.4× the
+    * drift-adjusted floor re-time once (bounded set), publishing the
+    * min — a session-context outlier recovers its level while a real
+    * regression still publishes high and trips BenchDiff.
+    *
+    * Explicit overrides bypass the schedule entirely (r19 ADVICE): a
+    * SPARK_GRAFT_BENCH_ITERS setting or a subset run
+    * (SPARK_GRAFT_BENCH_QUERIES) is the adjudication re-measure case
+    * where min-of-N is exactly what was asked for.
     */
   private[graft] def scheduledIters(name: String, iterations: Int,
-      priorMin: Map[String, Double],
-      priorSpread: Map[String, Double]): Int =
-    priorMin.get(name) match {
-      case Some(m) if m >= 0.5 &&
-          priorSpread.getOrElse(name, Double.MaxValue) <= 60.0 => 1
-      case Some(m) if m >= 0.5 => math.min(2, iterations)
-      case _ => iterations
-    }
+      anchor: Map[String, Double], bypass: Boolean): Int =
+    if (bypass || !anchor.contains(name)) iterations else 1
 
   /** Interleaved 1-based part slice for SPARK_GRAFT_BENCH_PART=i/n:
     * part i takes headline indexes i-1, i-1+n, i-1+2n, … Interleaving
@@ -284,6 +302,24 @@ object Bench {
       s"SPARK_GRAFT_BENCH_PART must be i/n with 1 <= i <= n, got $part/$of")
     names.zipWithIndex.collect { case (n, i) if i % of == part - 1 => n }
   }
+
+  /** Box boot epoch (btime from /proc/stat) — the default part-run
+    * session token: stable across invocations of one driver session on
+    * one box, different across reboots and boxes. Empty when /proc is
+    * unavailable (token check then degrades to the age guard). */
+  private[graft] def bootToken: String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("btime "))
+        .map(_.split("\\s+")(1)).getOrElse("")
+      finally src.close()
+    } catch { case _: Throwable => "" }
+
+  /** Extract a JSON string field ("sf":"/root/...") — minimal sibling
+    * of BenchDiff.mapOf. */
+  private[graft] def strOf(json: String, key: String): Option[String] =
+    ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r
+      .findFirstMatchIn(json).map(_.group(1))
 
   /** Extract a JSON string array ("errors":["a","b"]) — sibling of
     * BenchDiff.mapOf, same deliberately-minimal posture. */
@@ -334,15 +370,41 @@ object Bench {
         "refusing to merge")
       return false
     }
+    // r20 (r19 ADVICE): parts must agree on the dataset AND the
+    // session — draws from different SF dirs or different box
+    // sessions must never blend into one published "run"
+    val sfs = parts.map(strOf(_, "sf").getOrElse("?")).distinct
+    if (sfs.size > 1) {
+      System.err.println("[bench] part files ran against different " +
+        s"sf dirs (${sfs.mkString(" vs ")}) — refusing to merge")
+      return false
+    }
+    val tokens = parts.map(strOf(_, "run_token").getOrElse("")).distinct
+    if (tokens.size > 1) {
+      System.err.println("[bench] part files carry different session " +
+        s"tokens (${tokens.mkString(" vs ")}: a leftover part from an " +
+        "earlier session?) — refusing to merge")
+      return false
+    }
+    val ageMs = paths.map(p =>
+      System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis)
+    if (ageMs.exists(_ > 6L * 3600 * 1000)) {
+      System.err.println("[bench] a part file is older than 6 h — " +
+        "refusing to merge across box-days; delete stale parts and rerun")
+      return false
+    }
     val spreads = parts.map(mapOf(_, "spread_pct")).reduce(_ ++ _)
     val draws = parts.map(mapOf(_, "draws")).reduce(_ ++ _)
     val errors = parts.flatMap(listOf(_, "errors")).distinct
     val iters = parts.flatMap("\"iters\"\\s*:\\s*(\\d+)".r
         .findFirstMatchIn(_).map(_.group(1).toInt))
       .reduceOption(_ max _).getOrElse(3)
-    val sf = parts.headOption.flatMap(
-      "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_).map(_.group(1)))
-      .getOrElse("?")
+    val sf = sfs.head
+    // merged drift = the max over parts: the retry gate already
+    // normalized within each part; the consumer wants the worst case
+    val mergedDrift = parts.flatMap(
+      "\"box_drift\"\\s*:\\s*(-?[0-9.]+)".r.findFirstMatchIn(_)
+        .map(_.group(1).toDouble)).reduceOption(_ max _).getOrElse(1.0)
     val total = queries.values.filter(_ >= 0).sum
     def ordered[A](m: Map[String, A], fmt: A => String) =
       fmtMap(full.filter(m.contains).map(k => k -> fmt(m(k))))
@@ -350,7 +412,7 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${
         ordered[Double](queries, v => f"$v%.3f")},"spread_pct":${
-        ordered[Double](spreads, v => f"$v%.1f")},"spread_min_pct":0,"iters":$iters,"draws":${
+        ordered[Double](spreads, v => f"$v%.1f")},"spread_min_pct":0,"iters":$iters,"box_drift":$mergedDrift%.2f,"draws":${
         ordered[Double](draws, v => f"${v.toInt}%d")},"merged_parts":$of,"errors":$errJson,"sf":"$sf"}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     println(json)
@@ -375,7 +437,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder("graft-bench", cpus)
       .config("spark.sql.warehouse.dir", wh).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver keeps only a bounded output tail and
+    // WARN-class spam (WindowExec bounded-frame notes, Column equality
+    // heuristics) has pushed the one metric JSON line out of the
+    // capture window in EVERY round to date (BENCH_r19's entire tail
+    // is Column WARNs) — parsed:null even on rc=0 rounds
+    spark.sparkContext.setLogLevel("ERROR")
 
     // SPARK_GRAFT_BENCH_PART=i/n (r19, VERDICT item 1c): bench the i-th
     // interleaved slice of the full headline, write a part file, and
@@ -394,13 +461,10 @@ object Bench {
       case None => headline
     }
 
-    // committed history → per-row iteration schedule + deviation gate
-    val prior = newestSnapshot().map { case (_, f) =>
-      Files.readString(Paths.get(f)) }
-    val priorMin = prior.map(graft.tools.BenchDiff.mapOf(_, "queries"))
-      .getOrElse(Map.empty[String, Double])
-    val priorSpread = prior.map(graft.tools.BenchDiff.mapOf(_, "spread_pct"))
-      .getOrElse(Map.empty[String, Double])
+    // committed history → per-row anchored floor (min over the last 4
+    // committed snapshots — see anchoredMin's ratchet rationale) for
+    // the iteration schedule and the drift-aware retry gate
+    val anchor = anchoredMin()
 
     // Untimed warmup at the smallest scale. r19 finding: warming EVERY
     // headline row cost ~1700 s of the 2533 s wall (each lifecycle
@@ -451,65 +515,92 @@ object Bench {
     // plan actually costs (same methodology as JMH's min-time mode).
     // N is scheduled per row (scheduledIters) from the committed history.
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = names.map { name =>
-      val fn = benchable(name)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            if (!errors.contains(name)) errors ::= name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
-        } finally Caches.clear() // don't carry cached blocks across queries
-      }
-      // Spread-gated re-run (r15, gate tightened r17: 150% → 80%): a
-      // row whose best-N spread exceeds the gate re-times up to 3
-      // extra iterations and records only the N fastest samples — a
-      // one-off system-noise outlier (GC pause, page-cache eviction)
-      // drops out instead of poisoning the published spread, so
-      // round-over-round deltas stay interpretable (BENCH_r14
-      // recorded spreads to 730% that were pure box noise; r16 still
-      // published 90–145% on q73/q77/q90, wide enough to hide a real
-      // 1.5× move from BenchDiff's <50%-spread signal filter). The
-      // min is unchanged by trimming; the spread becomes the spread
-      // of the retained samples. Methodology in SCALING.md's noise
-      // section.
-      def trimmedSpread(ts: Seq[Double]): Double = {
-        val b = ts.sorted.take(iterations)
-        (b.max / b.min - 1) * 100
-      }
-      val sched = scheduledIters(name, iterations, priorMin, priorSpread)
-      var times = (1 to sched).map(_ => once())
-      // deviation gate for one-draw rows: see scheduledIters scaladoc
-      if (sched == 1 && times.forall(_ >= 0) &&
-          priorMin.get(name).exists(p => times.min > p * 1.4))
-        times = times :+ once()
-      // spread-gated re-time, ONE extra draw (r19: was up to 3 — on a
-      // drifted box the extras fired broadly and re-measured the same
-      // jitter at 2.55x-the-min a draw; one retry distinguishes a
-      // transient outlier from a noisy box-day, more do not)
+    // explicit overrides bypass the history schedule (r19 ADVICE): an
+    // ITERS setting or a subset run is the adjudication re-measure
+    // case where min-of-N is exactly what was asked for
+    val bypass = sys.env.contains("SPARK_GRAFT_BENCH_ITERS") ||
+      sys.env.contains("SPARK_GRAFT_BENCH_QUERIES")
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        benchable(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          if (!errors.contains(name)) errors ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+      } finally Caches.clear() // don't carry cached blocks across queries
+    }
+    // Spread-gated re-run (r15, gate tightened r17: 150% → 80%; r19:
+    // ONE extra draw — on a drifted box more extras re-measure the
+    // same jitter): a multi-draw row whose best-N spread exceeds the
+    // gate re-times once and records only the N fastest samples, so a
+    // one-off system-noise outlier (GC pause, page-cache eviction)
+    // drops out instead of poisoning the published spread. The min is
+    // unchanged by trimming. Methodology in SCALING.md's noise section.
+    def trimmedSpread(ts: Seq[Double]): Double = {
+      val b = ts.sorted.take(iterations)
+      (b.max / b.min - 1) * 100
+    }
+    var results = names.map { name =>
+      val sched = scheduledIters(name, iterations, anchor, bypass)
+      var times = (1 to sched).map(_ => once(name))
       var extra = 0
       while (times.length > 1 && times.forall(_ >= 0) && extra < 1 &&
           trimmedSpread(times) > 80.0) {
-        times = times :+ once()
+        times = times :+ once(name)
         extra += 1
       }
-      // draws = the TRUE number of timed executions (the published
-      // sample list below trims to the best N — recording its length
-      // instead would hide the re-time cost from wall forensics)
-      (name, times.length,
-        if (times.exists(_ < 0)) Seq(-1.0)
-        else times.sorted.take(iterations))
+      (name, times.length, times)
     }
-    val qs = results.map { case (k, _, t) => "\"" + k + f"\":${t.min}%.3f" }
-      .mkString("{", ",", "}")
+    // Drift-aware retry pass (r20): estimate the run's box-drift
+    // factor as the MEDIAN draw/floor ratio over anchored rows, then
+    // re-time once the rows whose draw exceeds 1.4× the drift-adjusted
+    // floor (drift credit capped at 2×; retry set capped at 40 rows so
+    // a pathological box-day cannot double the wall). A uniform-drift
+    // box retries almost nothing (the median soaks it up); a
+    // session-context outlier like r19's q143 22.55 s-vs-13 s floor
+    // retries and publishes its real level; a genuine regression
+    // re-times high and still trips BenchDiff.
+    val ratios = results.flatMap { case (k, _, t) =>
+      if (t.forall(_ >= 0)) anchor.get(k).map(t.min / _) else None }
+    val drift = if (ratios.isEmpty) 1.0
+      else ratios.sorted.apply(ratios.size / 2)
+    if (!bypass) {
+      val gate = 1.4 * math.max(1.0, math.min(drift, 2.0))
+      val retry = results.collect {
+        case (k, _, t) if t.forall(_ >= 0) &&
+            anchor.get(k).exists(a => t.min > a * gate) =>
+          k -> t.min / anchor(k)
+      }.sortBy(-_._2).take(40).toMap
+      if (retry.nonEmpty) {
+        println(f"[bench] drift ${drift}%.2fx; retrying ${retry.size} " +
+          s"rows over ${math.round(gate * 100) / 100.0}x their floor")
+        results = results.map {
+          case (k, n, t) if retry.contains(k) =>
+            val r = once(k)
+            // a retry failure on a row whose first draw succeeded is
+            // timing noise, not a correctness error — keep the draw
+            if (r < 0) { errors = errors.filterNot(_ == k); (k, n + 1, t) }
+            else (k, n + 1, t :+ r)
+          case r => r
+        }
+      }
+    }
+    // draws = the TRUE number of timed executions (the published
+    // sample list trims to the best N — recording its length instead
+    // would hide the re-time cost from wall forensics)
+    val published = results.map { case (k, n, t) =>
+      (k, n, if (t.exists(_ < 0)) Seq(-1.0) else t.sorted.take(iterations))
+    }
+    val qs = published.map { case (k, _, t) =>
+      "\"" + k + f"\":${t.min}%.3f" }.mkString("{", ",", "}")
     // per-query spread (max/min − 1, %) across the timed iterations: the
     // published noise band — a round-over-round delta smaller than the
     // spread is measurement, not engineering
-    def spreadJson(minPct: Double): String = results.collect {
+    def spreadJson(minPct: Double): String = published.collect {
       case (k, _, t) if t.min > 0 &&
           (t.max / t.min - 1) * 100 >= minPct =>
         "\"" + k + f"\":${(t.max / t.min - 1) * 100}%.1f"
@@ -517,20 +608,28 @@ object Bench {
     // actual timed draws per row — a spread of 0.0 from one scheduled
     // draw and from three coincidentally-equal draws read very
     // differently in adjudication; file channel only
-    val drawsJson = fmtMap(results.map { case (k, n, _) =>
+    val drawsJson = fmtMap(published.map { case (k, n, _) =>
       k -> n.toString })
     val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._3.min).filter(_ >= 0).sum
+    val total = published.map(_._3.min).filter(_ >= 0).sum
+    // the part-run session token (r19 ADVICE): parts only merge when
+    // every part carries the same token, so a leftover part file from
+    // a crashed earlier session can't blend into this run's artifact.
+    // The driver sets no env, so the default token is the box boot
+    // epoch — same-session parts share it, a part from a previous
+    // boot (or another box) refuses.
+    val runToken = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUN", bootToken)
     // spread_min_pct is self-describing: a consumer comparing the stdout
     // line against bench_out.json can tell a FILTERED spread map (only
     // entries >= the stated floor) from a complete one
     def json(spread: String, spreadMinPct: Double,
         withDraws: Boolean): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_pct":$spread,"spread_min_pct":$spreadMinPct%.0f,"iters":$iterations,${
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread_pct":$spread,"spread_min_pct":$spreadMinPct%.0f,"iters":$iterations,"box_drift":$drift%.2f,${
         if (withDraws) "\"draws\":" + drawsJson + "," else ""}${
-        partSpec.map { case (i, n) => s""""part":"$i/$n",""" }
+        partSpec.map { case (i, n) =>
+          s""""part":"$i/$n","run_token":"$runToken",""" }
           .getOrElse("")}"errors":$errJson,"sf":"$sfDir"}"""
-    println(f"[bench] timed phase: ${results.map(_._2).sum} " +
+    println(f"[bench] timed phase: ${published.map(_._2).sum} " +
       f"draws in ${(System.nanoTime() - timedT0) / 1e9}%.1f s")
     // stdout must survive a bounded tail-capture window (round 10's
     // artifact was cut mid-line): print the spread only where it is

@@ -24,6 +24,44 @@ object Caches {
     new java.util.concurrent.ConcurrentLinkedQueue[
       org.apache.spark.broadcast.Broadcast[_]]()
 
+  /** Thread-scoped registries for the parallel Verify sweep: while a
+    * [[scoped]] block is open on the current thread, registrations
+    * land here and the block's close releases ONLY this thread's
+    * frames — a concurrent worker's global clear() would otherwise
+    * strip another query's persisted subplan mid-job (correctness-safe
+    * but a recompute storm: q76's fp projection is 50× without its
+    * persist). Registrations from threads with no open scope (e.g.
+    * foreachBatch micro-batch threads inside a streaming replay) fall
+    * through to the global queues, released by the entry point's final
+    * clear() — the pre-r20 lifecycle.
+    */
+  private val localFrames =
+    new ThreadLocal[java.util.ArrayDeque[DataFrame]]()
+  private val localBcasts =
+    new ThreadLocal[java.util.ArrayDeque[
+      org.apache.spark.broadcast.Broadcast[_]]]()
+
+  /** Run `body` with this thread's registrations scoped; release them
+    * on exit. Nesting is not supported (the outer scope's deque is
+    * simply reused). Single-threaded entry points keep calling
+    * [[clear]] and never open a scope — behavior unchanged.
+    */
+  def scoped[A](body: => A): A = {
+    val hadFrames = localFrames.get() != null
+    if (!hadFrames) {
+      localFrames.set(new java.util.ArrayDeque[DataFrame]())
+      localBcasts.set(new java.util.ArrayDeque[
+        org.apache.spark.broadcast.Broadcast[_]]())
+    }
+    try body
+    finally if (!hadFrames) {
+      val fs = localFrames.get(); val bs = localBcasts.get()
+      localFrames.remove(); localBcasts.remove()
+      fs.forEach(_.unpersist(blocking = false))
+      bs.forEach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Register a SparkContext broadcast (bloom filter, CMS, …) under the
     * [[clear]] lifecycle: executor copies are released at the next
     * clear, and dropping the registry reference lets the ContextCleaner
@@ -36,7 +74,8 @@ object Caches {
   private[graft] def trackBroadcast[T](
       b: org.apache.spark.broadcast.Broadcast[T])
       : org.apache.spark.broadcast.Broadcast[T] = {
-    trackedBroadcasts.add(b)
+    val local = localBcasts.get()
+    if (local != null) local.add(b) else trackedBroadcasts.add(b)
     b
   }
 
@@ -46,7 +85,8 @@ object Caches {
     */
   private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    persistedFrames.add(p)
+    val local = localFrames.get()
+    if (local != null) local.add(p) else persistedFrames.add(p)
     p
   }
 
@@ -59,7 +99,8 @@ object Caches {
     * unreachable and the ContextCleaner reclaims the blocks.
     */
   private[graft] def trackOnly(df: DataFrame): DataFrame = {
-    persistedFrames.add(df)
+    val local = localFrames.get()
+    if (local != null) local.add(df) else persistedFrames.add(df)
     df
   }
 

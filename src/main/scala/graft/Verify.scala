@@ -4,6 +4,16 @@ import java.nio.file.{Files, Paths}
 
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * r20: the sweep is PARALLEL (default 6 workers over one session —
+  * Spark schedules concurrent jobs; the queries are independent, index
+  * prefixes are query-scoped, and per-query persisted frames are
+  * released through [[Caches.scoped]] so one worker's cleanup cannot
+  * strip another's in-flight subplan). CORRECTNESS_r19 was truncated at
+  * 203/206 because the strictly-sequential 206-query sweep outgrew the
+  * driver's invocation budget; 6 workers cut the wall 3-5× and
+  * oracle_sql.json is written FIRST so a truncated run still yields a
+  * comparable (partial) artifact instead of a zeroed round.
   */
 object Verify {
   def main(args: Array[String]): Unit = {
@@ -12,18 +22,21 @@ object Verify {
     // optional trailing query names: dump only those (local iteration);
     // the driver's 2-arg invocation still dumps everything
     val only = args.drop(2).toSet
-    val spark = GraftSession.get("graft-verify")
+    // fresh per-run warehouse (same rationale as Bench): standing-index
+    // lifecycle queries re-bootstrap their tables per run; a leftover
+    // spark-warehouse from an earlier session would collide on
+    // generation manifests and tax every catalog listing
+    val wh = Files.createTempDirectory("graft-verify-wh").toString
+    TmpDirs.deleteOnExit(wh)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder("graft-verify", cpus)
+      .config("spark.sql.warehouse.dir", wh).getOrCreate()
+    // ERROR, not WARN: the driver keeps only a bounded stdout/stderr
+    // tail, and WARN-class spam (WindowExec, Column) has flooded it
+    // every round — the [verify] progress lines below are the signal
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      finally Caches.clear() // release per-query persisted frames
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -39,6 +52,40 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "6").toInt
+      .max(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val t0 = System.nanoTime()
+    names.foreach { name =>
+      pool.execute { () =>
+        val fn = SparkEntry.queries(name)
+        val qt0 = System.nanoTime()
+        try {
+          Caches.scoped {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          }
+          println(f"[verify] ${done.incrementAndGet()}%3d/${names.size} " +
+            f"$name ${(System.nanoTime() - qt0) / 1e9}%.1f s")
+        } catch { case e: Throwable =>
+          failed.add(name)
+          done.incrementAndGet()
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }
+    }
+    pool.shutdown()
+    pool.awaitTermination(24, java.util.concurrent.TimeUnit.HOURS): Unit
+    Caches.clear() // frames registered off-scope (streaming batch threads)
+    println(f"[verify] ${names.size - failed.size}/${names.size} dumped " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      f"($threads workers${if (failed.isEmpty) ""
+        else s"; FAILED: ${failed.toArray.mkString(", ")}"})")
     spark.stop()
   }
 }

@@ -856,9 +856,11 @@ object CorpusQueries {
     // is the same channel of the previous pixel)
     def enc(r: C, c: C, ch: Int): C = {
       val p = chanv(r, c, ch)
-      val left = when(c === 0, lit(0)).otherwise(chanv(r, c - 1, ch))
-      val up = when(r === 0, lit(0)).otherwise(chanv(r - 1, c, ch))
-      val ul = when(r === 0 || c === 0, lit(0))
+      // isin(0), not === 0: r and c arrive as literals here (see
+      // fixturePix's WARN-flood note)
+      val left = when(c.isin(0), lit(0)).otherwise(chanv(r, c - 1, ch))
+      val up = when(r.isin(0), lit(0)).otherwise(chanv(r - 1, c, ch))
+      val ul = when(r.isin(0) || c.isin(0), lit(0))
         .otherwise(chanv(r - 1, c - 1, ch))
       val q = left + up - ul
       val paeth = when(abs(q - left) <= abs(q - up) &&
@@ -1615,11 +1617,18 @@ object CorpusQueries {
     }
     val b = base(r, c)
     val b1 = base(r, lit(1))
-    val flipped = when(c === 0 && r <= 2,
+    // isin(k), not === k: the scanline synthesizers call this with
+    // LITERAL row/column indices (pix(lit(y), lit(x))), and
+    // Literal(0) === 0 makes Column log a "trivially true equals
+    // predicate" WARN — thousands of times per bench run, flooding
+    // the driver's bounded output tail (the r19 verdict's parsed:null
+    // diagnosis). In(c, Seq(0)) is semantically identical for these
+    // non-null ints, constant-folds the same way, and logs nothing.
+    val flipped = when(c.isin(0) && r <= 2,
       when(base(r, lit(0)) > b1, b1 - 1).otherwise(b1 + 1))
       .otherwise(b)
-    when(v === 0, b).when(v === 1, b + 1)
-      .when(v === 2, flipped).otherwise(alt(r, c))
+    when(v.isin(0), b).when(v.isin(1), b + 1)
+      .when(v.isin(2), flipped).otherwise(alt(r, c))
   }
 
   // -------- little-endian hex builders shared by the binary-fixture

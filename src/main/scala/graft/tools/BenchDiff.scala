@@ -32,19 +32,49 @@ object BenchDiff {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
+  private[graft] def scalarOf(json: String, key: String): Option[Double] =
+    ("\"" + key + "\"\\s*:\\s*(-?[0-9.]+)").r
+      .findFirstMatchIn(json).map(_.group(1).toDouble)
+
+  /** One flagged row: name, prev s, curr s, raw ratio, drift-normalized
+    * ratio, current spread %, current draws. */
+  private[graft] final case class Flagged(name: String, prev: Double,
+      curr: Double, ratio: Double, normRatio: Double, spread: Double,
+      draws: Int)
+
+  /** r20 changes (r19 ADVICE + VERDICT item 3): (a) the compared ratio
+    * is DRIFT-NORMALIZED — each run publishes `box_drift` (its median
+    * draw/anchored-floor ratio), and dividing the raw ratio by the
+    * drift ratio removes uniform box-era movement so the 1.3× gate
+    * measures the PLAN again, not the box (r20's diff flagged 37 rows,
+    * all box/methodology drift); files without the field default to
+    * drift 1.0; (b) a one-draw row's published spread of 0.0 is not
+    * evidence — the old <50%-spread filter treated it as
+    * high-confidence signal. One-draw rows now flag only past a
+    * stricter 1.6× normalized gate and carry draws in the output so
+    * adjudication sees the sample size.
+    */
   private[graft] def flag(prevJson: String, currJson: String,
                           ratioGate: Double, spreadGate: Double)
-      : Seq[(String, Double, Double, Double, Double)] = {
+      : Seq[Flagged] = {
     val pq = mapOf(prevJson, "queries")
     val cq = mapOf(currJson, "queries")
     // the complete spread map is the current run's (bench_out.json
-    // writes it at min_pct 0); a missing entry means spread 0 — flag
+    // writes it at min_pct 0)
     val spread = mapOf(currJson, "spread_pct")
+    val draws = mapOf(currJson, "draws")
+    val driftRatio = scalarOf(currJson, "box_drift").getOrElse(1.0) /
+      scalarOf(prevJson, "box_drift").getOrElse(1.0)
     cq.toSeq.sortBy(_._1).flatMap { case (k, c) =>
       pq.get(k) match {
-        case Some(p) if p > 0 && c > 0 && c / p > ratioGate &&
-            spread.getOrElse(k, 0.0) < spreadGate =>
-          Some((k, p, c, c / p, spread.getOrElse(k, 0.0)))
+        case Some(p) if p > 0 && c > 0 =>
+          val n = draws.get(k).map(_.toInt).getOrElse(3)
+          val raw = c / p
+          val norm = raw / math.max(driftRatio, 0.01)
+          val gate = if (n <= 1) math.max(ratioGate, 1.6) else ratioGate
+          if (norm > gate && spread.getOrElse(k, 0.0) < spreadGate)
+            Some(Flagged(k, p, c, raw, norm, spread.getOrElse(k, 0.0), n))
+          else None
         case _ => None
       }
     }
@@ -57,16 +87,22 @@ object BenchDiff {
     val prev = Files.readString(Paths.get(args(0)))
     val curr = Files.readString(Paths.get(args(1)))
     val flagged = flag(prev, curr, ratioGate = 1.3, spreadGate = 50.0)
-    val rows = flagged.map { case (k, p, c, r, s) =>
-      f"""    "$k": {"prev_sec": $p%.3f, "curr_sec": $c%.3f, """ +
-        f""""ratio": $r%.2f, "spread_pct": $s%.1f}"""
+    val driftRatio = scalarOf(curr, "box_drift").getOrElse(1.0) /
+      scalarOf(prev, "box_drift").getOrElse(1.0)
+    val rows = flagged.map { f =>
+      f"""    "${f.name}": {"prev_sec": ${f.prev}%.3f, "curr_sec": ${
+        f.curr}%.3f, "ratio": ${f.ratio}%.2f, "norm_ratio": ${
+        f.normRatio}%.2f, "spread_pct": ${f.spread}%.1f, "draws": ${
+        f.draws}%d}"""
     }.mkString(",\n")
     val json =
-      s"""{
+      f"""{
          |  "prev": "${args(0)}",
          |  "curr": "${args(1)}",
          |  "ratio_gate": 1.3,
+         |  "one_draw_ratio_gate": 1.6,
          |  "spread_gate_pct": 50.0,
+         |  "drift_ratio": $driftRatio%.2f,
          |  "flagged_count": ${flagged.size},
          |  "flagged": {
          |$rows
@@ -78,9 +114,10 @@ object BenchDiff {
       println(s"[benchdiff] PASS: no low-noise regressions > 1.3x -> $out")
     else {
       println(s"[benchdiff] ${flagged.size} flagged -> $out")
-      flagged.foreach { case (k, p, c, r, s) =>
-        println(f"[benchdiff]   $k: $p%.2f -> $c%.2f s " +
-          f"(${r}%.2fx, spread $s%.1f%%)")
+      flagged.foreach { f =>
+        println(f"[benchdiff]   ${f.name}: ${f.prev}%.2f -> ${f.curr}%.2f s " +
+          f"(${f.ratio}%.2fx raw, ${f.normRatio}%.2fx drift-normalized, " +
+          f"spread ${f.spread}%.1f%%, ${f.draws}%d draws)")
       }
     }
   }

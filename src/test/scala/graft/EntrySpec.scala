@@ -28,26 +28,59 @@ class EntrySpec extends AnyFunSuite {
       .forall(k => !SparkEntry.queries.contains(k)))
   }
 
-  test("bench iteration schedule: tight committed history -> 1 draw, " +
-    "everything else keeps the full min-of-N") {
-    val mins = Map("q_tight" -> 5.0, "q_loose" -> 5.0, "q_tiny" -> 0.2,
-      "q_edge" -> 0.5)
-    val spreads = Map("q_tight" -> 12.0, "q_loose" -> 75.0)
-    def s(n: String) = Bench.scheduledIters(n, 3, mins, spreads)
-    // heavy + repeatable history: one draw (the budget win)
-    assert(s("q_tight") == 1)
-    // loose committed spread with history: min-of-2 — three draws
-    // demonstrably don't converge for these rows on one box-day
-    assert(s("q_loose") == 2)
-    // sub-half-second rows re-run min-of-3 regardless (cheap insurance
-    // where single-draw jitter is largest relative to the value)
-    assert(s("q_tiny") == 3)
+  test("bench iteration schedule (r20): anchored history -> 1 draw, " +
+    "new rows min-of-N, explicit overrides bypass") {
+    val anchor = Map("q_hist" -> 5.0, "q_tiny" -> 0.2)
+    def s(n: String, bypass: Boolean = false) =
+      Bench.scheduledIters(n, 3, anchor, bypass)
+    // any committed floor — including sub-half-second rows — is one
+    // draw; the drift-aware retry pass is the safety net
+    assert(s("q_hist") == 1)
+    assert(s("q_tiny") == 1)
     // no committed history (new row this round): full schedule
     assert(s("q_new") == 3)
-    // boundary: 0.5 s min but NO committed spread entry (bench_out's
-    // full map records every timed row, so absence means the history
-    // can't certify TIGHTNESS) — treated as loose: min-of-2
-    assert(s("q_edge") == 2)
+    // explicit SPARK_GRAFT_BENCH_ITERS / subset run: the adjudication
+    // re-measure case gets exactly the min-of-N it asked for
+    assert(s("q_hist", bypass = true) == 3)
+  }
+
+  test("bench anchoredMin: per-row min over the last K snapshots, " +
+    "not just the newest (the one-draw ratchet guard)") {
+    val dir = java.nio.file.Files.createTempDirectory("anchortest").toFile
+    def snap(n: Int, body: String) = java.nio.file.Files.writeString(
+      dir.toPath.resolve(s"BENCH_OUT_r$n.json"),
+      s"""{"queries":$body}""")
+    snap(17, """{"q_a":13.0,"q_b":2.0}""")
+    snap(18, """{"q_a":13.5,"q_b":1.8}""")
+    snap(19, """{"q_a":14.0,"q_b":2.2,"q_err":-1.0}""")
+    snap(20, """{"q_a":22.5,"q_b":2.1,"q_new":4.0}""") // cold ratchet draw
+    val a = Bench.anchoredMin(dir, k = 4)
+    // the r17 warm floor survives the r20 cold draw
+    assert(a("q_a") == 13.0 && a("q_b") == 1.8 && a("q_new") == 4.0)
+    // errored rows (-1) never anchor
+    assert(!a.contains("q_err"))
+    // window bound: k=1 sees only the newest snapshot
+    assert(Bench.anchoredMin(dir, k = 1)("q_a") == 22.5)
+  }
+
+  test("benchdiff r20: drift normalization and one-draw stricter gate") {
+    import graft.tools.BenchDiff
+    val prev = """{"queries":{"q_a":10.0,"q_b":1.0,"q_c":1.0},"box_drift":1.0}"""
+    // box drifted 1.5x uniformly: q_a at 1.5x raw is NOT a plan
+    // regression once normalized; q_b at 3.0x raw (2.0x normalized,
+    // 3 draws) flags; q_c at 2.1x raw (1.4x normalized) with ONE draw
+    // stays under the stricter 1.6x one-draw gate
+    val curr = """{"queries":{"q_a":15.0,"q_b":3.0,"q_c":2.1},""" +
+      """"spread_pct":{},"draws":{"q_a":1,"q_b":3,"q_c":1},"box_drift":1.5}"""
+    val f = BenchDiff.flag(prev, curr, ratioGate = 1.3, spreadGate = 50.0)
+    assert(f.map(_.name) == Seq("q_b"))
+    assert(math.abs(f.head.normRatio - 2.0) < 0.01 && f.head.draws == 3)
+    // same curr WITHOUT box_drift fields: raw ratios rule, q_a (1.5x,
+    // 1 draw) still under 1.6x, q_c (2.1x raw, 1 draw) now flags
+    val prevNoDrift = """{"queries":{"q_a":10.0,"q_b":1.0,"q_c":1.0}}"""
+    val currNoDrift = curr.replace(""","box_drift":1.5""", "")
+    val f2 = BenchDiff.flag(prevNoDrift, currNoDrift, 1.3, 50.0)
+    assert(f2.map(_.name) == Seq("q_b", "q_c"))
   }
 
   test("bench part slice: interleaved, disjoint, covering, loud on junk") {
