@@ -578,15 +578,20 @@ object CorpusQueries {
               .when(v5 === 4, col("bmpq"))
               .otherwise(col("bmp")).as("content"))
       case "census" =>
-        // the q202 mixed-container profile: its own 10-way split
-        // (doc_id % 10) — five image containers, a VALID PCM WAV the
-        // image sniff must reject, raw text, and (r19) the three
-        // compressed-audio containers most crawl audio arrives in:
-        // FLAC, MP3 (behind an ID3v2 tag), ADTS AAC — each with
-        // g-varied header fields so the sniff exercises the rate
-        // tables, not one constant
-        val g10 = expr("doc_id div 10")
-        val v10 = pmod(col("doc_id"), lit(10))
+        // the q202 mixed-container profile: its own 14-way split
+        // (doc_id % 14) — five image containers, a VALID PCM WAV the
+        // image sniff must reject, raw text, the three
+        // compressed-audio containers most crawl audio arrives in
+        // (r19: FLAC, MP3 behind an ID3v2 tag, ADTS AAC), and (r20)
+        // the four modern-crawl legs: WebP cycling all three
+        // first-chunk layouts (VP8/VP8L/VP8X), Ogg cycling
+        // Opus/Vorbis id headers, AVIF (ISO-BMFF ispe walk, pixi
+        // present/absent/10-bit), and an MP3 whose frame sync sits
+        // BEHIND post-tag padding (the forward-scan leg) — each with
+        // g-varied header fields so the sniffs exercise the field
+        // decodes and rate tables, not one constant
+        val g10 = expr("doc_id div 14")
+        val v10 = pmod(col("doc_id"), lit(14))
         val base = fixturePix(g10, lit(0)) _
         val png = pngContent(docs, base, rgb = false)
           .withColumnRenamed("content", "c_png")
@@ -630,6 +635,83 @@ object CorpusQueries {
         val adtsHex = concat(lit("FFF1"),
           lpad(hex(adtsB3.cast("long")), 2, "0"),
           lpad(hex(adtsB4.cast("long")), 2, "0"), lit("00FFFC"))
+        // r20 legs. WebP (v=10): RIFF/WEBP with the first-chunk
+        // layout cycling by g%3 — lossy VP8 (sync 9D 01 2A + raw
+        // LE16 dims), lossless VP8L (0x2F + packed minus-one dims +
+        // alpha bit 28), extended VP8X (flag byte + 24-bit minus-one
+        // canvas dims); dims and the alpha flag g-varied
+        def be32hex(x: org.apache.spark.sql.Column) =
+          lpad(hex(x.cast("long")), 8, "0")
+        def le24hex(x: org.apache.spark.sql.Column) =
+          concat(byteHex(x, 0), byteHex(x, 1), byteHex(x, 2))
+        val webSt = pmod(g10, lit(3))
+        val webW = (lit(16) + pmod(g10, lit(7))).cast("int")
+        val webH = (lit(9) + pmod(g10, lit(5))).cast("int")
+        val webAlpha = pmod(g10, lit(2))
+        val vp8Hex = concat(lit("52494646"), le32hex(lit(22)),
+          lit("57454250" + "56503820"), le32hex(lit(10)),
+          lit("000000" + "9D012A"), le16hex(webW), le16hex(webH))
+        val vp8lPack = (webW.cast("long") - 1) +
+          (webH.cast("long") - 1) * lit(16384L) +
+          webAlpha.cast("long") * lit(1L << 28)
+        val vp8lHex = concat(lit("52494646"), le32hex(lit(17)),
+          lit("57454250" + "5650384C"), le32hex(lit(5)), lit("2F"),
+          le32hex(vp8lPack))
+        val vp8xHex = concat(lit("52494646"), le32hex(lit(22)),
+          lit("57454250" + "56503858"), le32hex(lit(10)),
+          when(webAlpha === 1, lit("10")).otherwise(lit("00")),
+          lit("000000"), le24hex(webW - 1), le24hex(webH - 1))
+        val webpHex = when(webSt === 0, vp8Hex)
+          .when(webSt === 1, vp8lHex).otherwise(vp8xHex)
+        // Ogg (v=11): one BOS page (version 0, type 0x02, 1 lacing
+        // value) whose packet is an Opus or Vorbis id header by g%2;
+        // rate 8/16/24 kHz by g%3, channels 1/2 by (g div 2)%2
+        val oggCt = pmod(g10, lit(2))
+        val oggCh = (lit(1) + pmod(expr("doc_id div 28"), lit(2)))
+          .cast("int")
+        val oggRate = (lit(8000) * (lit(1) + pmod(g10, lit(3))))
+          .cast("int")
+        val oggChHex = lpad(hex(oggCh.cast("long")), 2, "0")
+        val opusPkt = concat(lit("4F70757348656164" + "01"), oggChHex,
+          lit("0000"), le32hex(oggRate), lit("0000" + "00"))
+        val vorbPkt = concat(lit("01" + "766F72626973" + "00000000"),
+          oggChHex, le32hex(oggRate),
+          lit("0" * 24 + "66" + "01"))
+        val oggHdr = lit("4F676753" + "00" + "02" + "0" * 16 +
+          "01000000" + "00000000" + "00000000" + "01")
+        val oggHex = concat(oggHdr,
+          when(oggCt === 0, lit("13")).otherwise(lit("1E")),
+          when(oggCt === 0, opusPkt).otherwise(vorbPkt))
+        // AVIF (v=12): ftyp(avif) + meta/iprp/ipco with a g-varied
+        // ispe and a pixi that is 8-bit, 10-bit, or absent by g%3
+        val avW = (lit(20) + pmod(g10, lit(9))).cast("int")
+        val avH = (lit(11) + pmod(g10, lit(6))).cast("int")
+        val avPm = pmod(g10, lit(3))
+        val ispeHex = concat(lit("00000014" + "69737065" + "00000000"),
+          be32hex(avW), be32hex(avH))
+        val pixiHex =
+          when(avPm === 0,
+            lit("00000010" + "70697869" + "00000000" + "03" + "080808"))
+          .when(avPm === 1,
+            lit("00000010" + "70697869" + "00000000" + "03" + "0A0A0A"))
+          .otherwise(lit(""))
+        val pixiLen = when(avPm.isin(2), lit(0)).otherwise(lit(16))
+        val ipcoLen = lit(28) + pixiLen
+        val avifHex = concat(
+          lit("00000010" + "66747970" + "61766966" + "00000000"),
+          be32hex(ipcoLen + 20), lit("6D657461" + "00000000"),
+          be32hex(ipcoLen + 8), lit("69707270"),
+          be32hex(ipcoLen), lit("6970636F"),
+          ispeHex, pixiHex)
+        // padded MP3 (v=13): ID3v2.3 tag declaring 8 body bytes, 6
+        // bytes of post-tag padding, THEN the frame sync — the
+        // forward-scan leg; frame fields as v=8
+        val mp3pB3 = lit(0x90) + pmod(g10, lit(3)) * lit(4)
+        val mp3pB4 = pmod(g10, lit(2)) * lit(0xC0)
+        val mp3PadHex = concat(
+          lit("49443303000000000008" + "0" * 16 + "0" * 12 + "FFFB"),
+          lpad(hex(mp3pB3.cast("long")), 2, "0"),
+          lpad(hex(mp3pB4.cast("long")), 2, "0"))
         docs.select(col("doc_id"), col("text"),
             bmpContent(base).as("bmp"))
           .join(png, Seq("doc_id"))
@@ -646,6 +728,10 @@ object CorpusQueries {
               .when(v10 === 7, unhex(flacHex))
               .when(v10 === 8, unhex(mp3Hex))
               .when(v10 === 9, unhex(adtsHex))
+              .when(v10 === 10, unhex(webpHex))
+              .when(v10 === 11, unhex(oggHex))
+              .when(v10 === 12, unhex(avifHex))
+              .when(v10 === 13, unhex(mp3PadHex))
               .otherwise(col("bmp")).as("content"))
       case "tiff" =>
         // the cross_container split verbatim (v 0–2 base, v 3 alt):
@@ -1779,10 +1865,14 @@ object CorpusQueries {
     * modality ([[graft.Multimodal.decodeImageHeader]] — PNG → BMP →
     * GIF → TIFF → JPEG — plus, since r19, its audio sibling
     * [[graft.Multimodal.decodeAudioHeader]] — FLAC → MP3 → ADTS AAC,
-    * the containers most crawl audio actually arrives in; no payload
-    * read anywhere) over a corpus that mixes five image containers,
-    * three compressed-audio containers with g-varied header fields
-    * (rate tables, channel modes, an ID3v2 skip), a PCM WAV BOTH
+    * the containers most crawl audio actually arrives in, and since
+    * r20 the modern-crawl legs: WebP all three first-chunk layouts +
+    * AVIF in the image sniff, Ogg Opus/Vorbis in the audio sniff, and
+    * an MP3 whose sync hides behind post-ID3 padding — the bounded
+    * forward scan's leg; no payload read anywhere) over a corpus that
+    * mixes seven image containers, five compressed-audio shapes with
+    * g-varied header fields (rate tables, channel modes, an ID3v2
+    * skip, dim encodings), a PCM WAV BOTH
     * sniffs must reject (magic-check discipline — the image sniff by
     * container, the audio sniff because WAV's census role is the
     * rejection gate and [[graft.Multimodal.decodeWavHeader]] already
@@ -1879,6 +1969,15 @@ object CorpusQueries {
   private lazy val adpcmOffsets: Array[Int] =
     Multimodal.adpcmDecodeBlock(0, 0, adpcmPattern)
 
+  /** The stereo legs' per-channel offset tables (r20): channel 0
+    * plays the pattern's first eight nibbles, channel 1 the last
+    * eight — same linearity-in-the-predictor argument, two smaller
+    * tables. */
+  private lazy val adpcmOffsetsL: Array[Int] =
+    Multimodal.adpcmDecodeBlock(0, 0, adpcmPattern.take(8))
+  private lazy val adpcmOffsetsR: Array[Int] =
+    Multimodal.adpcmDecodeBlock(0, 0, adpcmPattern.drop(8))
+
   /** q201: IMA/DVI ADPCM decode — the audio family's real
     * DIFFERENTIAL codec (WAV format 0x11), the LZW-for-audio move:
     * 4-bit nibbles adapt a step-size index through the published IMA
@@ -1893,30 +1992,55 @@ object CorpusQueries {
     * predictor 0. A decoder that carries state ACROSS blocks, plays
     * nibbles high-first, or mis-adapts the index breaks the hash.
     * Every 7th doc is raw text → the all-null row.
+    *
+    * r20: every doc_id % 3 == 2 is STEREO — blockAlign 16, two
+    * 4-byte channel headers (independent per-block predictors), one
+    * interleaved [4 bytes ch0 | 4 bytes ch1] nibble group (channel 0
+    * plays the pattern's first eight codes, channel 1 the last
+    * eight), L,R-interleaved output. The sum features can't see
+    * interleave ORDER, so the gate also outputs the first two
+    * samples: for stereo they must be (predL₀, predR₀) — a decoder
+    * that swaps channels, mis-walks the dual headers, or de-
+    * interleaves nibble groups wrongly breaks the hash.
     */
   def q201AdpcmFeatures(s: SparkSession, d: String): DataFrame = {
     type C = org.apache.spark.sql.Column
     def hb(x: C) = lpad(hex(x), 2, "0")
     val nb = (lit(1) + pmod(col("doc_id"), lit(2))).cast("int")
+    val st = pmod(col("doc_id"), lit(3)) === 2
     def predOf(b: Int): C =
       pmod(col("doc_id") * 37 + lit(b * 101), lit(4001)) - lit(2000)
-    def blockHex(b: Int): C = {
-      val pu = pmod(predOf(b), lit(65536))
+    def predROf(b: Int): C =
+      pmod(col("doc_id") * 53 + lit(b * 61), lit(4001)) - lit(2000)
+    def le16p(p: C): C = {
+      val pu = pmod(p, lit(65536))
       val lo = pmod(pu, lit(256))
-      val hi = ((pu - lo) / lit(256)).cast("int")
-      when(lit(b) < nb,
-        concat(hb(lo), hb(hi), lit("00" + "00" + adpcmPatternHex)))
-        .otherwise(lit(""))
+      concat(hb(lo), hb(((pu - lo) / lit(256)).cast("int")))
     }
-    val dataLen = nb * 12
+    def blockHex(b: Int): C =
+      when(lit(b) < nb,
+        concat(le16p(predOf(b)), lit("00" + "00" + adpcmPatternHex)))
+        .otherwise(lit(""))
+    def stBlockHex(b: Int): C =
+      when(lit(b) < nb,
+        concat(le16p(predOf(b)), lit("0000"),
+          le16p(predROf(b)), lit("0000"), lit(adpcmPatternHex)))
+        .otherwise(lit(""))
+    val dataLen = when(st, nb * 16).otherwise(nb * 12)
+    // fmt(20): format 0x11, 8 kHz, nominal byte rate, cbSize 2;
+    // mono: blockAlign 12, samplesPerBlock 17; stereo: blockAlign 16,
+    // samplesPerBlock 9
+    val fmtHex = when(st,
+      lit("666D7420" + "14000000" + "1100" + "0200" +
+        "401F0000" + "A00F0000" + "1000" + "0400" + "0200" + "0900"))
+      .otherwise(
+        lit("666D7420" + "14000000" + "1100" + "0100" +
+          "401F0000" + "A00F0000" + "0C00" + "0400" + "0200" + "1100"))
     val payloadHex = concat(
       lit("52494646"), le32hex(lit(40) + dataLen), lit("57415645"),
-      // fmt(20): format 0x11, mono, 8 kHz, nominal byte rate,
-      // blockAlign 12, 4 bits, cbSize 2, samplesPerBlock 17
-      lit("666D7420" + "14000000" + "1100" + "0100" +
-        "401F0000" + "A00F0000" + "0C00" + "0400" + "0200" + "1100"),
-      lit("64617461"), le32hex(dataLen),
-      blockHex(0), blockHex(1))
+      fmtHex, lit("64617461"), le32hex(dataLen),
+      when(st, concat(stBlockHex(0), stBlockHex(1)))
+        .otherwise(concat(blockHex(0), blockHex(1))))
     val content = when(pmod(col("doc_id"), lit(7)) === 6,
       col("text").cast("binary")).otherwise(unhex(payloadHex))
     val smp = graft.functions.Udfs.wavSamples(content)
@@ -1931,10 +2055,13 @@ object CorpusQueries {
         sumAll.as("sample_sum"),
         sumSq.as("sum_sq"),
         array_max(transform(col("smp"), x => abs(x))).cast("long")
-          .as("peak"))
+          .as("peak"),
+        element_at(col("smp"), 1).cast("long").as("first_s"),
+        element_at(col("smp"), 2).cast("long").as("second_s"))
       .select(col("doc_id"),
         when(col("n_samples") >= 0, col("n_samples")).as("n_samples"),
-        col("sample_sum"), col("sum_sq"), col("peak"))
+        col("sample_sum"), col("sum_sq"), col("peak"),
+        col("first_s"), col("second_s"))
       .orderBy("doc_id")
   }
 
@@ -3852,28 +3979,52 @@ object CorpusQueries {
     // IMA-ADPCM: per-block predictor + the GENERATED offset table
     // (reference decode of the fixed nibble pattern at predictor 0 —
     // decode is linear in the predictor below the clamp); edit with
-    // q201AdpcmFeatures
+    // q201AdpcmFeatures — mono rows accumulate the 17-entry offset
+    // table; stereo rows (doc_id % 3 = 2) accumulate BOTH per-channel
+    // 9-entry tables over their independent predictors; first/second
+    // sample pin the L,R interleave (mono: p₀, p₀+off[1]; stereo:
+    // predL₀, predR₀)
     "q201_adpcm_features" -> {
       val offVals = adpcmOffsets.zipWithIndex
         .map { case (o, t) => s"($t, $o)" }.mkString(", ")
+      val offLVals = adpcmOffsetsL.zipWithIndex
+        .map { case (o, t) => s"($t, $o)" }.mkString(", ")
+      val offRVals = adpcmOffsetsR.zipWithIndex
+        .map { case (o, t) => s"($t, $o)" }.mkString(", ")
       s"""WITH off(t, o) AS (SELECT * FROM (VALUES $offVals) v(a, b)),
+         |offl(t, o) AS (SELECT * FROM (VALUES $offLVals) v(a, b)),
+         |offr(t, o) AS (SELECT * FROM (VALUES $offRVals) v(a, b)),
          |d AS (
-         |  SELECT doc_id, 1 + doc_id % 2 AS nb, doc_id % 7 = 6 AS bad
+         |  SELECT doc_id, 1 + doc_id % 2 AS nb, doc_id % 7 = 6 AS bad,
+         |    doc_id % 3 = 2 AS st
          |  FROM documents),
          |blk AS (
-         |  SELECT doc_id, b,
-         |    (doc_id*37 + b*101) % 4001 - 2000 AS p
+         |  SELECT doc_id, b, st,
+         |    (doc_id*37 + b*101) % 4001 - 2000 AS p,
+         |    (doc_id*53 + b*61) % 4001 - 2000 AS pr
          |  FROM d, range(2) t(b) WHERE b < nb AND NOT bad),
-         |smp AS (SELECT doc_id, b, t, p + o AS s FROM blk, off),
+         |smp AS (
+         |  SELECT doc_id, p + o AS s FROM blk, off WHERE NOT st
+         |  UNION ALL SELECT doc_id, p + o FROM blk, offl WHERE st
+         |  UNION ALL SELECT doc_id, pr + o FROM blk, offr WHERE st),
          |agg AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
          |    CAST(sum(s) AS BIGINT) AS sample_sum,
          |    CAST(sum(s*s) AS BIGINT) AS sum_sq,
          |    CAST(max(abs(s)) AS BIGINT) AS peak
-         |  FROM smp GROUP BY 1)
+         |  FROM smp GROUP BY 1),
+         |fs AS (
+         |  SELECT doc_id,
+         |    CAST((doc_id*37) % 4001 - 2000 AS BIGINT) AS first_s,
+         |    CAST(CASE WHEN st THEN (doc_id*53) % 4001 - 2000
+         |      ELSE (doc_id*37) % 4001 - 2000 +
+         |        (SELECT o FROM off WHERE t = 1) END AS BIGINT)
+         |      AS second_s
+         |  FROM d WHERE NOT bad)
          |SELECT d.doc_id, agg.n_samples, agg.sample_sum, agg.sum_sq,
-         |  agg.peak
+         |  agg.peak, fs.first_s, fs.second_s
          |FROM d LEFT JOIN agg USING (doc_id)
+         |  LEFT JOIN fs USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
     // media census: expected (format, dims, bpp, rate, channels)
@@ -3881,30 +4032,50 @@ object CorpusQueries {
     // 72x64 grayscale JPEG, GIF 9x8 with a 7-bit table, the mm TIFF
     // 9x8x8; FLAC/MP3/ADTS rates and channel modes re-derive the
     // fixture's g-arithmetic through the same tables the sniff reads;
-    // WAV and raw text must sniff to the all-null row (edit with
-    // q202MediaCensus)
+    // r20 legs: WebP dims/alpha (VP8 raw, VP8L packed-minus-one,
+    // VP8X 24-bit-minus-one — all must land on the same g formulas),
+    // Ogg opus/vorbis rate+channels, AVIF ispe dims + pixi depth
+    // (8-bit / 10-bit / absent-defaults-24), padded MP3 behind the
+    // forward scan; WAV and raw text must sniff to the all-null row
+    // (edit with q202MediaCensus)
     "q202_media_census" ->
-      """WITH d AS (SELECT doc_id, doc_id // 10 AS g, doc_id % 10 AS v
+      """WITH d AS (SELECT doc_id, doc_id // 14 AS g, doc_id % 14 AS v
         |  FROM documents)
         |SELECT doc_id,
         |  CASE WHEN v = 0 THEN 'bmp' WHEN v = 1 THEN 'png'
         |       WHEN v = 2 THEN 'jpeg' WHEN v = 3 THEN 'gif'
         |       WHEN v = 4 THEN 'tiff' WHEN v = 7 THEN 'flac'
-        |       WHEN v = 8 THEN 'mp3' WHEN v = 9 THEN 'aac' END AS fmt,
-        |  CASE WHEN v = 2 THEN 72 WHEN v <= 4 THEN 9 END AS w,
-        |  CASE WHEN v = 2 THEN 64 WHEN v <= 4 THEN 8 END AS h,
+        |       WHEN v = 8 THEN 'mp3' WHEN v = 9 THEN 'aac'
+        |       WHEN v = 10 THEN 'webp'
+        |       WHEN v = 11 THEN
+        |         CASE WHEN g % 2 = 0 THEN 'opus' ELSE 'vorbis' END
+        |       WHEN v = 12 THEN 'avif'
+        |       WHEN v = 13 THEN 'mp3' END AS fmt,
+        |  CASE WHEN v = 2 THEN 72 WHEN v <= 4 THEN 9
+        |       WHEN v = 10 THEN 16 + g % 7
+        |       WHEN v = 12 THEN 20 + g % 9 END AS w,
+        |  CASE WHEN v = 2 THEN 64 WHEN v <= 4 THEN 8
+        |       WHEN v = 10 THEN 9 + g % 5
+        |       WHEN v = 12 THEN 11 + g % 6 END AS h,
         |  CASE WHEN v = 0 THEN 24 WHEN v = 3 THEN 7
-        |       WHEN v <= 4 THEN 8 END AS bpp,
+        |       WHEN v <= 4 THEN 8
+        |       WHEN v = 10 THEN
+        |         CASE WHEN g % 3 = 0 THEN 24 ELSE 24 + 8 * (g % 2) END
+        |       WHEN v = 12 THEN
+        |         CASE WHEN g % 3 = 1 THEN 30 ELSE 24 END END AS bpp,
         |  CASE WHEN v = 7 THEN 8000 + (g % 3) * 4000
-        |       WHEN v = 8 THEN
+        |       WHEN v IN (8, 13) THEN
         |         CASE g % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
         |              ELSE 32000 END
         |       WHEN v = 9 THEN
         |         CASE g % 3 WHEN 0 THEN 16000 WHEN 1 THEN 12000
-        |              ELSE 11025 END END AS sample_rate,
+        |              ELSE 11025 END
+        |       WHEN v = 11 THEN 8000 * (1 + g % 3) END AS sample_rate,
         |  CASE WHEN v = 7 THEN 1 + g % 2
-        |       WHEN v = 8 THEN CASE WHEN g % 2 = 0 THEN 2 ELSE 1 END
-        |       WHEN v = 9 THEN 1 + g % 2 END AS channels
+        |       WHEN v IN (8, 13) THEN
+        |         CASE WHEN g % 2 = 0 THEN 2 ELSE 1 END
+        |       WHEN v = 9 THEN 1 + g % 2
+        |       WHEN v = 11 THEN 1 + (g // 2) % 2 END AS channels
         |FROM d ORDER BY doc_id""".stripMargin,
     // mojibake repair: expected repaired strings + changed flags
     // re-derived via chr() code points (233 e-acute, 239 i-diaeresis,

@@ -239,46 +239,95 @@ object Multimodal {
           }
           return Some(out)
         } else if (fmt == 0x11 && bits == 4) {
-          // IMA/DVI ADPCM (mono), the audio family's REAL
-          // differential codec: fixed-size blocks of blockAlign
-          // bytes, each opening with its own (predictor int16, step
-          // index u8, reserved) header — state RESETS per block, the
-          // property that makes blocks independently seekable — then
-          // 4-bit nibbles low-first, each adapting the step index
-          // through the published IMA tables. A trailing partial
-          // block is ignored (the bounded-range-read posture).
-          // MONO ONLY — stereo IMA interleaves per-channel 4-byte
-          // headers and nibble groups, which this walk would decode
-          // as garbage rather than None; reject it explicitly (the
-          // decoder family's no-garbage posture). PCM/G.711 branches
-          // are sample-independent, so they stay channel-agnostic.
-          if (channels != 1) return None
-          if (blockAlign < 5) return None
-          val nBlocks = (avail / blockAlign).toInt
-          if (nBlocks <= 0) return None
-          val perBlock = 1 + (blockAlign - 4) * 2
-          val out = new Array[Int](nBlocks * perBlock)
-          var w = 0
-          var b = 0
-          while (b < nBlocks) {
-            val bo = start + b * blockAlign
-            val pred = (le16(bo) << 16) >> 16 // sign-extend
-            val idx = bytes(bo + 2) & 0xff
-            if (idx > 88) return None
-            val nibs = new Array[Int]((blockAlign - 4) * 2)
-            var k = 0
-            while (k < blockAlign - 4) {
-              val byte = bytes(bo + 4 + k) & 0xff
-              nibs(2 * k) = byte & 0x0f // low nibble plays first
-              nibs(2 * k + 1) = byte >> 4
-              k += 1
+          // IMA/DVI ADPCM, the audio family's REAL differential
+          // codec: fixed-size blocks of blockAlign bytes, each
+          // opening with its own (predictor int16, step index u8,
+          // reserved) header — state RESETS per block, the property
+          // that makes blocks independently seekable — then 4-bit
+          // nibbles low-first, each adapting the step index through
+          // the published IMA tables. A trailing partial block is
+          // ignored (the bounded-range-read posture).
+          // MONO and STEREO (r20 — the mono-only guard was the r19
+          // posture): a stereo block opens with TWO 4-byte headers —
+          // channel 0 then channel 1 — and its data interleaves
+          // 4-byte nibble groups per channel (8 samples each); each
+          // channel's de-interleaved nibble stream runs the same
+          // per-block state machine and the output interleaves L,R
+          // per sample frame. >2 channels stay None (multichannel
+          // IMA layouts are not standardized — the no-garbage
+          // posture). PCM/G.711 branches are sample-independent, so
+          // they stay channel-agnostic.
+          if (channels == 1) {
+            if (blockAlign < 5) return None
+            val nBlocks = (avail / blockAlign).toInt
+            if (nBlocks <= 0) return None
+            val perBlock = 1 + (blockAlign - 4) * 2
+            val out = new Array[Int](nBlocks * perBlock)
+            var w = 0
+            var b = 0
+            while (b < nBlocks) {
+              val bo = start + b * blockAlign
+              val pred = (le16(bo) << 16) >> 16 // sign-extend
+              val idx = bytes(bo + 2) & 0xff
+              if (idx > 88) return None
+              val nibs = new Array[Int]((blockAlign - 4) * 2)
+              var k = 0
+              while (k < blockAlign - 4) {
+                val byte = bytes(bo + 4 + k) & 0xff
+                nibs(2 * k) = byte & 0x0f // low nibble plays first
+                nibs(2 * k + 1) = byte >> 4
+                k += 1
+              }
+              val dec = adpcmDecodeBlock(pred, idx, nibs)
+              System.arraycopy(dec, 0, out, w, dec.length)
+              w += dec.length
+              b += 1
             }
-            val dec = adpcmDecodeBlock(pred, idx, nibs)
-            System.arraycopy(dec, 0, out, w, dec.length)
-            w += dec.length
-            b += 1
-          }
-          return Some(out)
+            return Some(out)
+          } else if (channels == 2) {
+            if (blockAlign < 16 || (blockAlign - 8) % 8 != 0) return None
+            val nBlocks = (avail / blockAlign).toInt
+            if (nBlocks <= 0) return None
+            val groups = (blockAlign - 8) / 8
+            val perChan = 1 + groups * 8
+            val out = new Array[Int](nBlocks * perChan * 2)
+            var w = 0
+            var b = 0
+            while (b < nBlocks) {
+              val bo = start + b * blockAlign
+              val dec = new Array[Array[Int]](2)
+              var c = 0
+              while (c < 2) {
+                val ho = bo + 4 * c
+                val pred = (le16(ho) << 16) >> 16 // sign-extend
+                val idx = bytes(ho + 2) & 0xff
+                if (idx > 88) return None
+                val nibs = new Array[Int](groups * 8)
+                var j = 0
+                while (j < groups) {
+                  var k = 0
+                  while (k < 4) {
+                    val byte = bytes(bo + 8 + j * 8 + 4 * c + k) & 0xff
+                    nibs(j * 8 + 2 * k) = byte & 0x0f // low nibble first
+                    nibs(j * 8 + 2 * k + 1) = byte >> 4
+                    k += 1
+                  }
+                  j += 1
+                }
+                dec(c) = adpcmDecodeBlock(pred, idx, nibs)
+                c += 1
+              }
+              var i = 0
+              while (i < perChan) {
+                out(w) = dec(0)(i)
+                out(w + 1) = dec(1)(i)
+                w += 2
+                i += 1
+              }
+              b += 1
+            }
+            return Some(out)
+          } else return None
         } else return None
       }
       off += 8L + sz + (sz & 1L)
@@ -556,16 +605,123 @@ object Multimodal {
       }
     }
 
+  /** WebP (r20): the dominant modern crawl image container — a RIFF
+    * file ([[decodeWavHeader]]'s grammar) whose form type is "WEBP",
+    * with three first-chunk layouts, all header-only:
+    *  - "VP8 " (lossy): 3-byte frame tag, the 9D 01 2A start code,
+    *    then 14-bit width/height in the two following LE16s;
+    *  - "VP8L" (lossless): 0x2F signature, then width−1/height−1 as
+    *    two 14-bit fields packed LSB-first, alpha at bit 28, 3-bit
+    *    version (must be 0);
+    *  - "VP8X" (extended): a flag byte (0x10 = alpha), canvas
+    *    width−1/height−1 as 24-bit LE fields.
+    * bits_per_pixel is 32 when the header declares alpha, else 24 —
+    * a container-level fact, no VP8 entropy decode anywhere.
+    */
+  def decodeWebpHeader(bytes: Array[Byte]): Option[ImgMeta] = {
+    if (bytes == null || bytes.length < 25) return None // VP8L minimum
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le24(o: Int): Int = le16(o) | ((bytes(o + 2) & 0xff) << 16)
+    def le32(o: Int): Long = (le24(o) & 0xffffffL) |
+      ((bytes(o + 3) & 0xffL) << 24)
+    if (tag(0) != "RIFF" || tag(8) != "WEBP") return None
+    val d = 20 // first chunk's payload (fourcc at 12, size at 16)
+    tag(12) match {
+      case "VP8 " if bytes.length >= d + 10 =>
+        if ((bytes(d + 3) & 0xff) != 0x9d || (bytes(d + 4) & 0xff) != 0x01 ||
+            (bytes(d + 5) & 0xff) != 0x2a) return None
+        val w = le16(d + 6) & 0x3fff
+        val h = le16(d + 8) & 0x3fff
+        if (w == 0 || h == 0) None else Some(ImgMeta("webp", w, h, 24))
+      case "VP8L" if bytes.length >= d + 5 =>
+        if ((bytes(d) & 0xff) != 0x2f) return None
+        val b = le32(d + 1)
+        if (((b >> 29) & 7L) != 0L) return None // version must be 0
+        val w = (b & 0x3fff).toInt + 1
+        val h = ((b >> 14) & 0x3fff).toInt + 1
+        Some(ImgMeta("webp", w, h, if (((b >> 28) & 1L) == 1L) 32 else 24))
+      case "VP8X" if bytes.length >= d + 10 =>
+        if (le32(16) < 10) return None
+        val alpha = (bytes(d) & 0x10) != 0
+        Some(ImgMeta("webp", le24(d + 4) + 1, le24(d + 7) + 1,
+          if (alpha) 32 else 24))
+      case _ => None
+    }
+  }
+
+  /** AVIF (r20): AV1 stills in ISO-BMFF ([[decodeMp4Samples]]'s box
+    * grammar) — requires an "ftyp" whose major or compatible brand is
+    * avif/avis, then walks meta → iprp → ipco for "ispe" (spatial
+    * extents: BE32 width/height after the full-box version/flags) and
+    * "pixi" (per-channel bit depths, summed; absent → the 8-bit RGB
+    * default 24). Header-only: no AV1 OBU is touched — the avc1-label
+    * posture applied to the image census.
+    */
+  def decodeAvifHeader(bytes: Array[Byte]): Option[ImgMeta] = {
+    if (bytes == null || bytes.length < 16) return None
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // first child box named t inside [from, to): (payloadStart, boxEnd).
+    // A malformed size (including the 64-bit largesize marker, which a
+    // header-prefix census treats as not-knowable) ends the walk — the
+    // null-row posture, never an index fault on adversarial bytes.
+    def findBox(from: Int, to: Int, t: String): Option[(Int, Int)] = {
+      var o = from
+      while (o + 8 <= to) {
+        val sz = be32(o)
+        if (sz < 8 || o + sz > to) return None
+        if (tag(o + 4) == t) return Some((o + 8, (o + sz).toInt))
+        o += sz.toInt
+      }
+      None
+    }
+    val end = bytes.length
+    val (fs, fe) = findBox(0, end, "ftyp").getOrElse(return None)
+    val okBrand = {
+      var ok = fe - fs >= 4 && (tag(fs) == "avif" || tag(fs) == "avis")
+      var o = fs + 8 // compatible brands follow major+minor
+      while (!ok && o + 4 <= fe) {
+        val b = tag(o); ok = b == "avif" || b == "avis"; o += 4
+      }
+      ok
+    }
+    if (!okBrand) return None
+    val meta = findBox(0, end, "meta").getOrElse(return None)
+    // meta is a FULL box: 4 version/flags bytes precede its children
+    val iprp = findBox(meta._1 + 4, meta._2, "iprp").getOrElse(return None)
+    val ipco = findBox(iprp._1, iprp._2, "ipco").getOrElse(return None)
+    val ispe = findBox(ipco._1, ipco._2, "ispe").getOrElse(return None)
+    if (ispe._2 - ispe._1 < 12) return None
+    val w = be32(ispe._1 + 4)
+    val h = be32(ispe._1 + 8)
+    if (w <= 0 || h <= 0 || w >= (1L << 20) || h >= (1L << 20)) return None
+    val bpp = findBox(ipco._1, ipco._2, "pixi").flatMap { case (s, e) =>
+      if (e - s < 5) None
+      else {
+        val n = bytes(s + 4) & 0xff
+        if (n <= 0 || s + 5 + n > e) None
+        else Some((0 until n).map(i => bytes(s + 5 + i) & 0xff).sum)
+      }
+    }.getOrElse(24)
+    Some(ImgMeta("avif", w.toInt, h.toInt, bpp))
+  }
+
   /** Container sniff: try PNG, then BMP, then GIF, then TIFF, then
-    * JPEG — the one-call form the image rows of a media table use
-    * (JPEG folds its density-less core into the shared ImgMeta shape;
-    * [[decodeJpegHeader]] is the full form). Unknown containers are
-    * None. Header-only throughout: the census over a 100 TB bucket
-    * reads no pixel payloads.
+    * WebP, then AVIF, then JPEG — the one-call form the image rows of
+    * a media table use (JPEG folds its density-less core into the
+    * shared ImgMeta shape; [[decodeJpegHeader]] is the full form).
+    * Unknown containers are None. Header-only throughout: the census
+    * over a 100 TB bucket reads no pixel payloads.
     */
   def decodeImageHeader(bytes: Array[Byte]): Option[ImgMeta] =
     decodePngHeader(bytes).orElse(decodeBmpHeader(bytes))
       .orElse(decodeGifHeader(bytes)).orElse(decodeTiffHeader(bytes))
+      .orElse(decodeWebpHeader(bytes)).orElse(decodeAvifHeader(bytes))
       .orElse(decodeJpegHeader(bytes).map(j =>
         ImgMeta(j.format, j.width, j.height, j.bits_per_pixel)))
 
@@ -598,35 +754,94 @@ object Multimodal {
 
   /** MPEG-1/2/2.5 Layer III frame header, with an ID3v2 prefix skipped
     * (tag size is SYNCSAFE — 7 bits per byte). Requires the 11-bit
-    * frame sync, a non-reserved version, and LAYER III specifically
-    * (the "mp3" label would be dishonest for Layer I/II); sample rate
-    * from the per-version table, channels 1 only for mode 3 (mono). */
+    * frame sync, a non-reserved version, a non-invalid bitrate index,
+    * and LAYER III specifically (the "mp3" label would be dishonest
+    * for Layer I/II); sample rate from the per-version table, channels
+    * 1 only for mode 3 (mono).
+    *
+    * r20: real tag writers pad past the declared ID3 size (room for
+    * re-tagging in place), so the frame sync often does NOT sit at
+    * exactly tag-end — after a VALID ID3v2 tag, a bounded 512-byte
+    * forward scan finds it (requiring a real bitrate index 1–14 there,
+    * not free-format 0, to cut false syncs in pad garbage). Without an
+    * ID3 tag the sync must still open the file — scanning arbitrary
+    * binaries for FF Ex would mislabel random payloads.
+    */
   def decodeMp3Header(bytes: Array[Byte]): Option[AudioMeta] = {
     if (bytes == null || bytes.length < 4) return None
-    var o = 0
+    def frameAt(o: Int, strictBitrate: Boolean): Option[AudioMeta] = {
+      if (o < 0 || o + 4 > bytes.length) return None
+      val b2 = bytes(o + 1) & 0xff
+      val b3 = bytes(o + 2) & 0xff
+      val b4 = bytes(o + 3) & 0xff
+      if ((bytes(o) & 0xff) != 0xff || (b2 & 0xe0) != 0xe0) return None
+      val ver = (b2 >> 3) & 3 // 0 = MPEG-2.5, 2 = MPEG-2, 3 = MPEG-1
+      val layer = (b2 >> 1) & 3 // 1 = Layer III
+      if (ver == 1 || layer != 1) return None
+      val brIdx = (b3 >> 4) & 0xf
+      if (brIdx == 15 || (strictBitrate && brIdx == 0)) return None
+      val srIdx = (b3 >> 2) & 3
+      if (srIdx == 3) return None
+      val rates = ver match {
+        case 3 => Array(44100, 48000, 32000)
+        case 2 => Array(22050, 24000, 16000)
+        case _ => Array(11025, 12000, 8000)
+      }
+      val mode = (b4 >> 6) & 3
+      Some(AudioMeta("mp3", rates(srIdx), if (mode == 3) 1 else 2))
+    }
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
         bytes(2) == '3') {
       val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
         ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      o = 10 + size
-    }
-    if (o < 0 || o + 4 > bytes.length) return None
-    val b2 = bytes(o + 1) & 0xff
-    val b3 = bytes(o + 2) & 0xff
-    val b4 = bytes(o + 3) & 0xff
-    if ((bytes(o) & 0xff) != 0xff || (b2 & 0xe0) != 0xe0) return None
-    val ver = (b2 >> 3) & 3 // 0 = MPEG-2.5, 2 = MPEG-2, 3 = MPEG-1
-    val layer = (b2 >> 1) & 3 // 1 = Layer III
-    if (ver == 1 || layer != 1) return None
-    val srIdx = (b3 >> 2) & 3
-    if (srIdx == 3) return None
-    val rates = ver match {
-      case 3 => Array(44100, 48000, 32000)
-      case 2 => Array(22050, 24000, 16000)
-      case _ => Array(11025, 12000, 8000)
-    }
-    val mode = (b4 >> 6) & 3
-    Some(AudioMeta("mp3", rates(srIdx), if (mode == 3) 1 else 2))
+      val o = 10 + size
+      var p = o
+      val limit = math.min(o.toLong + 512, bytes.length.toLong - 4).toInt
+      while (p >= 0 && p <= limit) {
+        val m = frameAt(p, strictBitrate = p != o)
+        if (m.isDefined) return m
+        p += 1
+      }
+      None
+    } else frameAt(0, strictBitrate = false)
+  }
+
+  /** Ogg (r20): the other big crawl-audio container — one BOS page
+    * ("OggS" capture pattern, stream-structure version 0, the
+    * beginning-of-stream flag, a segment table to skip) whose first
+    * packet is an Opus ("OpusHead": version 1, channel count, the
+    * STATED input sample rate — Opus always decodes at 48 kHz, but a
+    * header census reports what the header says) or Vorbis
+    * (0x01+"vorbis": version 0, channels, rate) identification
+    * header. Header-only, same shape as [[decodeFlacHeader]].
+    */
+  def decodeOggHeader(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null || bytes.length < 28) return None
+    if (!(bytes(0) == 'O' && bytes(1) == 'g' && bytes(2) == 'g' &&
+        bytes(3) == 'S')) return None
+    if (bytes(4) != 0) return None // stream structure version
+    if ((bytes(5) & 0x02) == 0) return None // id header must open a BOS page
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = (le16(o) & 0xffffL) |
+      ((le16(o + 2) & 0xffffL) << 16)
+    val nseg = bytes(26) & 0xff
+    val p = 27 + nseg
+    if (nseg < 1 || p + 16 > bytes.length) return None
+    def ascii(o: Int, n: Int): String =
+      new String(bytes, o, n, java.nio.charset.StandardCharsets.US_ASCII)
+    if (p + 19 <= bytes.length && ascii(p, 8) == "OpusHead") {
+      if ((bytes(p + 8) & 0xff) != 1) return None // id-header version
+      val ch = bytes(p + 9) & 0xff
+      val rate = le32(p + 12)
+      if (ch == 0 || rate <= 0 || rate > Int.MaxValue) None
+      else Some(AudioMeta("opus", rate.toInt, ch))
+    } else if ((bytes(p) & 0xff) == 1 && ascii(p + 1, 6) == "vorbis") {
+      if (le32(p + 7) != 0L) return None // vorbis_version
+      val ch = bytes(p + 11) & 0xff
+      val rate = le32(p + 12)
+      if (ch == 0 || rate <= 0 || rate > Int.MaxValue) None
+      else Some(AudioMeta("vorbis", rate.toInt, ch))
+    } else None
   }
 
   /** AAC in an ADTS transport: 12-bit sync + layer 00 (the bit
@@ -649,14 +864,16 @@ object Multimodal {
   }
 
   /** [[decodeImageHeader]]'s census sibling for COMPRESSED audio:
-    * FLAC → MP3 → ADTS AAC, header-only. WAV is deliberately absent
-    * from this sniff: the census's WAV leg gates the image sniff's
-    * magic-check rejection discipline (the all-null row), and
-    * [[decodeWavHeader]] already carries that container's real
-    * decode. */
+    * FLAC → Ogg (Opus/Vorbis) → MP3 → ADTS AAC, header-only (the
+    * magic-bearing containers sniff before the sync-pattern ones —
+    * FF-Ex can occur inside other formats' payloads, "fLaC"/"OggS"
+    * cannot open them). WAV is deliberately absent from this sniff:
+    * the census's WAV leg gates the image sniff's magic-check
+    * rejection discipline (the all-null row), and [[decodeWavHeader]]
+    * already carries that container's real decode. */
   def decodeAudioHeader(bytes: Array[Byte]): Option[AudioMeta] =
-    decodeFlacHeader(bytes).orElse(decodeMp3Header(bytes))
-      .orElse(decodeAdtsHeader(bytes))
+    decodeFlacHeader(bytes).orElse(decodeOggHeader(bytes))
+      .orElse(decodeMp3Header(bytes)).orElse(decodeAdtsHeader(bytes))
 
   /** The EXIF fields a curation pipeline actually consumes: ORIENTATION
     * (a perceptual hash over un-rotated pixels mis-pairs the 3/6/8

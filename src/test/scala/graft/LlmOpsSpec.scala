@@ -1112,6 +1112,168 @@ class LlmOpsSpec extends AnyFunSuite {
       .exists(_.format == "aac"))
   }
 
+  test("decodeWebpHeader: all three first-chunk layouts, alpha flags, " +
+    "strict sync/version/signature rejection (r20)") {
+    import Multimodal.{ImgMeta, decodeWebpHeader}
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // VP8 lossy: 3-byte tag, 9D 01 2A sync, LE16 dims 20x11
+    val vp8 = hx("52494646" + "16000000" + "57454250" +
+      "56503820" + "0A000000" + "000000" + "9D012A" + "1400" + "0B00")
+    assert(decodeWebpHeader(vp8).contains(ImgMeta("webp", 20, 11, 24)))
+    // broken sync code rejects
+    val badSync = vp8.clone(); badSync(23) = 0x2b.toByte
+    assert(decodeWebpHeader(badSync).isEmpty)
+    // VP8L: 0x2F + packed (w-1=19, h-1=10, alpha=1, version=0):
+    // 19 | 10<<14 | 1<<28 = 0x10028013
+    val vp8l = hx("52494646" + "11000000" + "57454250" +
+      "5650384C" + "05000000" + "2F" + "13800210")
+    assert(decodeWebpHeader(vp8l).contains(ImgMeta("webp", 20, 11, 32)))
+    // nonzero VP8L version rejects (bit 29)
+    val badVer = hx("52494646" + "11000000" + "57454250" +
+      "5650384C" + "05000000" + "2F" + "13800230")
+    assert(decodeWebpHeader(badVer).isEmpty)
+    // VP8X: alpha flag 0x10, 24-bit minus-one canvas dims 20x11
+    val vp8x = hx("52494646" + "16000000" + "57454250" +
+      "56503858" + "0A000000" + "10" + "000000" + "130000" + "0A0000")
+    assert(decodeWebpHeader(vp8x).contains(ImgMeta("webp", 20, 11, 32)))
+    val vp8xNoA = vp8x.clone(); vp8xNoA(20) = 0
+    assert(decodeWebpHeader(vp8xNoA).contains(ImgMeta("webp", 20, 11, 24)))
+    // a RIFF/WAVE (same outer grammar, wrong form type) rejects, and
+    // the one-call image sniff resolves webp without disturbing WAV's
+    // audio-side role
+    assert(decodeWebpHeader(hx("52494646" + "24000000" + "57415645" +
+      "666D7420")).isEmpty)
+    assert(Multimodal.decodeImageHeader(vp8).exists(_.format == "webp"))
+    assert(Multimodal.decodeAudioHeader(vp8).isEmpty)
+  }
+
+  test("decodeAvifHeader: ftyp brand gate, meta/iprp/ipco walk, ispe " +
+    "dims, pixi depth with absent-default (r20)") {
+    import Multimodal.{ImgMeta, decodeAvifHeader}
+    def be32(x: Int) = f"$x%08X"
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def avif(brand: String, pixi: String): Array[Byte] = {
+      val ispe = "00000014" + "69737065" + "00000000" +
+        be32(33) + be32(21)
+      val ipcoLen = 8 + 20 + pixi.length / 2
+      val body = be32(ipcoLen) + "6970636F" + ispe + pixi
+      val iprp = be32(ipcoLen + 8) + "69707270" + body
+      val meta = be32(ipcoLen + 20) + "6D657461" + "00000000" + iprp
+      hx("00000010" + "66747970" +
+        brand.getBytes("US-ASCII").map(b => f"$b%02X").mkString +
+        "00000000" + meta)
+    }
+    // 10-bit pixi -> 30 bpp
+    val p10 = "00000010" + "70697869" + "00000000" + "03" + "0A0A0A"
+    assert(decodeAvifHeader(avif("avif", p10))
+      .contains(ImgMeta("avif", 33, 21, 30)))
+    // absent pixi -> the 8-bit RGB default
+    assert(decodeAvifHeader(avif("avif", ""))
+      .contains(ImgMeta("avif", 33, 21, 24)))
+    // a non-AVIF brand with the same box shape rejects (an MP4 video
+    // must stay the decodeMp4Samples family's subject)
+    assert(decodeAvifHeader(avif("isom", p10)).isEmpty)
+    // avif listed only as a COMPATIBLE brand still accepts
+    val compat = {
+      val base = avif("mif1", p10)
+      val withBrand = hx("00000014" + "66747970" + "6D696631" +
+        "00000000" + "61766966") ++ base.drop(16)
+      withBrand
+    }
+    assert(decodeAvifHeader(compat).exists(_.format == "avif"))
+    assert(Multimodal.decodeImageHeader(avif("avif", p10))
+      .exists(_.format == "avif"))
+  }
+
+  test("decodeOggHeader: Opus and Vorbis id headers, BOS gate, " +
+    "version gates (r20)") {
+    import Multimodal.{AudioMeta, decodeOggHeader}
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def page(lacing: Int, pkt: String, flags: String = "02") =
+      hx("4F676753" + "00" + flags + "00" * 8 + "01000000" +
+        "00000000" + "00000000" + "01" + f"$lacing%02X" + pkt)
+    // OpusHead: version 1, 2 ch, rate 16000 (LE)
+    val opus = page(19, "4F70757348656164" + "01" + "02" + "0000" +
+      "803E0000" + "0000" + "00")
+    assert(decodeOggHeader(opus).contains(AudioMeta("opus", 16000, 2)))
+    // Vorbis id: 01+"vorbis", version 0, 1 ch, 24000
+    val vorb = page(30, "01" + "766F72626973" + "00000000" + "01" +
+      "C05D0000" + "00" * 12 + "66" + "01")
+    assert(decodeOggHeader(vorb).contains(AudioMeta("vorbis", 24000, 1)))
+    // a non-BOS page is not an id header
+    assert(decodeOggHeader(page(19, "4F70757348656164" + "01" + "02" +
+      "0000" + "803E0000" + "0000" + "00", flags = "00")).isEmpty)
+    // wrong OpusHead version rejects; nonzero vorbis_version rejects
+    assert(decodeOggHeader(page(19, "4F70757348656164" + "02" + "02" +
+      "0000" + "803E0000" + "0000" + "00")).isEmpty)
+    assert(decodeOggHeader(page(30, "01" + "766F72626973" + "01000000" +
+      "01" + "C05D0000" + "00" * 12 + "66" + "01")).isEmpty)
+    // the audio one-call resolves ogg and FLAC keeps precedence
+    assert(Multimodal.decodeAudioHeader(opus).exists(_.format == "opus"))
+    assert(Multimodal.decodeAudioHeader(vorb)
+      .exists(_.format == "vorbis"))
+  }
+
+  test("decodeMp3Header r20: bounded forward scan after a padded " +
+    "ID3v2 tag; no scan without a tag") {
+    import Multimodal.{AudioMeta, decodeMp3Header}
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // tag declares 4 body bytes; 6 pad bytes follow BEYOND the
+    // declared size; the frame sits at tag-end + 6
+    val padded = hx("494433030000" + "00000004" + "00" * 4 + "00" * 6 +
+      "FFFB94C0")
+    assert(decodeMp3Header(padded).contains(AudioMeta("mp3", 48000, 1)))
+    // scanned positions require a REAL bitrate index — free-format
+    // (0) in pad garbage is not evidence of a frame
+    val freeFmt = hx("494433030000" + "00000004" + "00" * 4 + "00" * 6 +
+      "FFFB04C0")
+    assert(decodeMp3Header(freeFmt).isEmpty)
+    // invalid bitrate index 15 rejects even at the exact tag end
+    assert(decodeMp3Header(hx("494433030000" + "00000000" + "FFFBF4C0"))
+      .isEmpty)
+    // without an ID3 tag the sync must open the file — no scanning
+    // arbitrary binaries
+    assert(decodeMp3Header(hx("00" * 6 + "FFFB94C0")).isEmpty)
+    // pad distance beyond the 512-byte scan window -> None (bounded)
+    val farPad = hx("494433030000" + "00000000" + "00" * 520 +
+      "FFFB94C0")
+    assert(decodeMp3Header(farPad).isEmpty)
+  }
+
+  test("decodeWavSamples: STEREO IMA ADPCM de-interleaves dual " +
+    "headers and 4-byte nibble groups, L,R output (r20)") {
+    import Multimodal.{adpcmDecodeBlock, decodeWavSamples}
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def le16(x: Int) = f"${x & 0xff}%02X${(x >> 8) & 0xff}%02X"
+    // one stereo block, blockAlign 16: headers (predL=100, idx 0),
+    // (predR=-50, idx 0); ch0 nibbles 1..8, ch1 nibbles 9..15,0
+    val data = le16(100) + "0000" + le16(-50 & 0xffff) + "0000" +
+      "21436587" + "A9CBED0F"
+    val wav = hx("52494646" + le16(40 + 16) + "0000" + "57415645" +
+      "666D7420" + "14000000" + "1100" + "0200" + "401F0000" +
+      "A00F0000" + "1000" + "0400" + "0200" + "0900" +
+      "64617461" + le16(16) + "0000" + data)
+    val got = decodeWavSamples(wav).get
+    val l = adpcmDecodeBlock(100, 0, Array(1, 2, 3, 4, 5, 6, 7, 8))
+    val r = adpcmDecodeBlock(-50, 0, Array(9, 10, 11, 12, 13, 14, 15, 0))
+    assert(got.length == 18)
+    assert(got.grouped(2).map(_(0)).toSeq == l.toSeq)
+    assert(got.grouped(2).map(_(1)).toSeq == r.toSeq)
+    // stereo blockAlign that doesn't split into dual 4-byte groups
+    // rejects; >2 channels stays the no-garbage None
+    val badAlign = wav.clone()
+    badAlign(32) = 15 // blockAlign 15
+    assert(decodeWavSamples(badAlign).isEmpty)
+    val tri = wav.clone()
+    tri(22) = 3 // channels 3
+    assert(decodeWavSamples(tri).isEmpty)
+  }
+
   test("decodeGifHeader / decodeTiffHeader: header-only census sniff " +
     "yields dims without touching pixel payloads") {
     // GIF: 9x8 screen, 16-entry table -> 4 index bits; truncate the
