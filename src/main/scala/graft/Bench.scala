@@ -17,8 +17,8 @@ import java.nio.file.{Files, Paths}
   * r19 budget posture: the 142-row headline at unconditional min-of-3
   * outgrew the driver's wall-clock cap (BENCH_r18 rc=124 — the first
   * round with no driver-verified perf artifact). Four levers:
-  * (a) per-row iteration scheduling keyed on the committed spread
-  * history ([[scheduledIters]]), (b) a FRESH per-run warehouse (a long
+  * (a) per-row iteration scheduling keyed on the committed history
+  * ([[scheduledIters]]), (b) a FRESH per-run warehouse (a long
   * session had accreted 242 standing tables, taxing every lifecycle
   * gate's bootstrap ~20% in catalog/listing overhead — harness
   * artifact, not plan cost; SCALING.md), (c) a split-run mode
@@ -28,6 +28,15 @@ import java.nio.file.{Files, Paths}
   * instead of the all-rows warmup (see the warmup comment in main:
   * warming all 145 rows cost ~1700 s of a 2533 s wall; the family set
   * warms the shared state at ~5% of that).
+  *
+  * r20, after a SECOND consecutive rc=124: every row with committed
+  * history runs ONE draw (~150 draws total), the history floor is the
+  * min over the last four committed snapshots (the one-draw ratchet
+  * fix), and a post-pass retries only the rows whose draw exceeds
+  * 1.4× the run's own median-drift-adjusted floor — see
+  * [[scheduledIters]] and the retry-pass comment in [[main]]. Every
+  * run publishes its "box_drift" so BenchDiff can normalize uniform
+  * box-era movement out of the round-over-round flags.
   */
 object Bench {
 

@@ -55,7 +55,10 @@ object Verify {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
-    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "6").toInt
+    // 8 measured best on the local[32] box: 206 queries in 854 s
+    // uncontended (2142 s when fighting a concurrent build) vs a
+    // multi-hour sequential sweep — SCALING.md's verify-parallel note
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt
       .max(1)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val done = new java.util.concurrent.atomic.AtomicInteger(0)

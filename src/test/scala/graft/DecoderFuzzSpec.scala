@@ -34,7 +34,16 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "gif frames" -> Multimodal.decodeGifFrames _,
     "tiff gray" -> Multimodal.decodeTiffGray _,
     "tiff dhash" -> Multimodal.tiffDHash _,
-    "wav phash" -> Multimodal.wavPhash _)
+    "wav phash" -> Multimodal.wavPhash _,
+    // r20 census sniffers — header-only, bounds-checked per read
+    "webp header" -> Multimodal.decodeWebpHeader _,
+    "avif header" -> Multimodal.decodeAvifHeader _,
+    "ogg header" -> Multimodal.decodeOggHeader _,
+    "flac header" -> Multimodal.decodeFlacHeader _,
+    "mp3 header" -> Multimodal.decodeMp3Header _,
+    "adts header" -> Multimodal.decodeAdtsHeader _,
+    "image header" -> Multimodal.decodeImageHeader _,
+    "audio header" -> Multimodal.decodeAudioHeader _)
 
   /** A REAL GIF-flavor LZW encoder (variable width, LSB-first,
     * dictionary growth, the add-then-widen rule) — the spec's own
@@ -263,7 +272,31 @@ class DecoderFuzzSpec extends AnyFunSuite {
       }
       bb.array()
     }
-    Seq(wav, bmp, png, jpeg, jpegScan, mp4, gif, tiff, adpcm)
+    // r20 census containers (appended — earlier indices are pinned by
+    // the mp4/tiff seed tests)
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val webp = hx("52494646" + "16000000" + "57454250" + "56503820" +
+      "0A000000" + "000000" + "9D012A" + "1400" + "0B00")
+    val avif = hx("00000010" + "66747970" + "61766966" + "00000000" +
+      "00000040" + "6D657461" + "00000000" +
+      "00000034" + "69707270" +
+      "0000002C" + "6970636F" +
+      "00000014" + "69737065" + "00000000" + "00000021" + "00000015" +
+      "00000010" + "70697869" + "00000000" + "03" + "080808")
+    val ogg = hx("4F676753" + "00" + "02" + "00" * 8 + "01000000" +
+      "00000000" + "00000000" + "01" + "13" +
+      "4F70757348656164" + "01" + "02" + "0000" + "803E0000" +
+      "0000" + "00")
+    val stereoAdpcm = hx("52494646" + "38000000" + "57415645" +
+      "666D7420" + "14000000" + "1100" + "0200" + "401F0000" +
+      "A00F0000" + "1000" + "0400" + "0200" + "0900" +
+      "64617461" + "10000000" +
+      "6400" + "0000" + "CEFF" + "0000" + "21436587" + "A9CBED0F")
+    val mp3Padded = hx("494433030000" + "00000004" + "00" * 4 +
+      "00" * 6 + "FFFB94C0")
+    Seq(wav, bmp, png, jpeg, jpegScan, mp4, gif, tiff, adpcm,
+      webp, avif, ogg, stereoAdpcm, mp3Padded)
   }
 
   /** A complete DC-only baseline grayscale JPEG (24×16 = 3×2 flat
