@@ -312,6 +312,50 @@ object Bench {
     names.zipWithIndex.collect { case (n, i) if i % of == part - 1 => n }
   }
 
+  /** Every-other-round rotation for STABLE rows (r20 — the VERDICT's
+    * remaining budget lever after the one-draw schedule still drew
+    * 185 cold draws / 1686 s on a 2.4×-drifted box): a row whose
+    * committed history is flat gets re-measured every OTHER round —
+    * its cross-round estimator is the history, and BenchDiff still
+    * sees it on the rounds it runs. Stability is judged on
+    * DRIFT-NORMALIZED values (each snapshot value divided by its
+    * snapshot's median — raw values move 2-3× with box era, together):
+    * ≥ 2 appearances in the window whose normalized series stays
+    * within 2× (cold one-draw snapshots inflate rows
+    * HETEROGENEOUSLY — sub-second rows more than lifecycle gates — so
+    * a tighter band mistakes cold-draw noise for instability: 1.5×
+    * rotated only 38/145 on the r21 snapshot, 2× rotates 61).
+    * Unstable rows, new rows, and the q02 drift control
+    * always bench; explicit ITERS/subset runs bypass rotation like
+    * the rest of the schedule, and SPARK_GRAFT_BENCH_ALL=1 forces a
+    * full sweep. Halves alternate by name-hash parity against the
+    * round index the run will snapshot as, so consecutive rounds
+    * cover everything.
+    */
+  private[graft] def rotationSkips(
+      dir: java.io.File = new java.io.File("."),
+      k: Int = 4): Set[String] = {
+    val snaps = committedSnapshots(dir, k)
+    if (snaps.size < 3) return Set.empty
+    val nextRound = snaps.head._1 + 1
+    val maps = snaps.map { case (_, f) =>
+      graft.tools.BenchDiff.mapOf(
+        Files.readString(dir.toPath.resolve(f)), "queries")
+        .filter(_._2 > 0)
+    }.filter(_.nonEmpty)
+    val norm = maps.map { m =>
+      val vs = m.values.toSeq.sorted
+      val med = vs(vs.size / 2)
+      m.map { case (q, v) => q -> v / med }
+    }
+    norm.flatMap(_.keys).distinct.filter { q =>
+      val series = norm.flatMap(_.get(q))
+      q != "q02_pricing_summary" && series.size >= 2 &&
+        series.max / series.min <= 2.0 &&
+        (q.## & 1) == (nextRound & 1)
+    }.toSet
+  }
+
   /** Box boot epoch (btime from /proc/stat) — the default part-run
     * session token: stable across invocations of one driver session on
     * one box, different across reboots and boxes. Empty when /proc is
@@ -372,7 +416,9 @@ object Bench {
     }
     val parts = paths.map(Files.readString(_))
     val queries = parts.map(mapOf(_, "queries")).reduce(_ ++ _)
-    val full = headline(None)
+    // the expected keyset is the ROTATED headline — same derivation
+    // the part runs used (snapshots don't change between parts)
+    val full = headline(None).filterNot(rotationSkips())
     if (queries.keySet != full.toSet) {
       System.err.println("[bench] part files do not union to the " +
         "current headline (stale parts from an older round?) — " +
@@ -465,9 +511,21 @@ object Bench {
     require(partSpec.isEmpty ||
         sys.env.get("SPARK_GRAFT_BENCH_QUERIES").isEmpty,
       "SPARK_GRAFT_BENCH_PART and SPARK_GRAFT_BENCH_QUERIES are exclusive")
+    // rotation applies BEFORE part slicing so parts stay consistent
+    // with mergeParts' keyset guard (both derive from the committed
+    // snapshots, which don't change between part invocations)
+    val skipRotation = sys.env.contains("SPARK_GRAFT_BENCH_ITERS") ||
+      sys.env.contains("SPARK_GRAFT_BENCH_QUERIES") ||
+      sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
+    val rotatedOut = if (skipRotation) Set.empty[String] else rotationSkips()
+    if (rotatedOut.nonEmpty)
+      println(s"[bench] rotation: ${rotatedOut.size} stable rows sit " +
+        "this round out (their cross-round estimator is the committed " +
+        "history; SPARK_GRAFT_BENCH_ALL=1 forces a full sweep)")
+    val benched = headline.filterNot(rotatedOut)
     val names = partSpec match {
-      case Some((i, n)) => partSlice(headline, i, n)
-      case None => headline
+      case Some((i, n)) => partSlice(benched, i, n)
+      case None => benched
     }
 
     // committed history → per-row anchored floor (min over the last 4
@@ -567,12 +625,15 @@ object Bench {
     // Drift-aware retry pass (r20): estimate the run's box-drift
     // factor as the MEDIAN draw/floor ratio over anchored rows, then
     // re-time once the rows whose draw exceeds 1.4× the drift-adjusted
-    // floor (drift credit capped at 2×; retry set capped at 40 rows so
-    // a pathological box-day cannot double the wall). A uniform-drift
-    // box retries almost nothing (the median soaks it up); a
-    // session-context outlier like r19's q143 22.55 s-vs-13 s floor
-    // retries and publishes its real level; a genuine regression
-    // re-times high and still trips BenchDiff.
+    // floor (drift credit capped at 2×; retry set capped at 16 rows,
+    // ordered by ABSOLUTE excess seconds over the adjusted floor — a
+    // 23-s-over q143 distorts the published map more than ten
+    // 0.3 s rows at 5×, and the cap keeps a pathological box-day from
+    // inflating the wall). A uniform-drift box retries almost nothing
+    // (the median soaks it up); a session-context outlier like r19's
+    // q143 22.55 s-vs-13 s floor retries and publishes its real
+    // level; a genuine regression re-times high and still trips
+    // BenchDiff.
     val ratios = results.flatMap { case (k, _, t) =>
       if (t.forall(_ >= 0)) anchor.get(k).map(t.min / _) else None }
     val drift = if (ratios.isEmpty) 1.0
@@ -582,8 +643,8 @@ object Bench {
       val retry = results.collect {
         case (k, _, t) if t.forall(_ >= 0) &&
             anchor.get(k).exists(a => t.min > a * gate) =>
-          k -> t.min / anchor(k)
-      }.sortBy(-_._2).take(40).toMap
+          k -> (t.min - anchor(k) * gate)
+      }.sortBy(-_._2).take(16).toMap
       if (retry.nonEmpty) {
         println(f"[bench] drift ${drift}%.2fx; retrying ${retry.size} " +
           s"rows over ${math.round(gate * 100) / 100.0}x their floor")

@@ -63,6 +63,38 @@ class EntrySpec extends AnyFunSuite {
     assert(Bench.anchoredMin(dir, k = 1)("q_a") == 22.5)
   }
 
+  test("bench rotation (r20): drift-normalized stable rows alternate " +
+    "rounds; unstable rows and the drift control always bench") {
+    val dir = java.nio.file.Files.createTempDirectory("rottest").toFile
+    val stable = Seq("q_a", "q_b", "q_c", "q_d", "q_e")
+    def snap(n: Int, drift: Double, jump: Double): Unit = {
+      val rows = ("q02_pricing_summary" -> 1.0 * drift) +:
+        stable.zipWithIndex.map { case (q, i) => q -> (i + 2.0) * drift } :+
+        ("q_jump" -> jump)
+      java.nio.file.Files.writeString(
+        dir.toPath.resolve(s"BENCH_OUT_r$n.json"),
+        rows.map { case (k, v) => s""""$k":$v""" }
+          .mkString("""{"queries":{""", ",", "}}"))
+    }
+    snap(17, 1.0, 1.0)
+    snap(18, 1.2, 8.0) // box drift moves everything together...
+    snap(19, 2.0, 1.8) // ...while q_jump moves on its own
+    snap(20, 2.5, 10.0)
+    val skips = Bench.rotationSkips(dir, 4)
+    // the jumpy row and the q02 control never rotate out
+    assert(!skips.contains("q_jump"))
+    assert(!skips.contains("q02_pricing_summary"))
+    // stable rows skip exactly the half whose name-hash parity
+    // matches the upcoming snapshot round (21)
+    assert(skips == stable.filter(q => (q.## & 1) == (21 & 1)).toSet)
+    // under 3 committed snapshots: no rotation at all
+    val thin = java.nio.file.Files.createTempDirectory("rotthin").toFile
+    java.nio.file.Files.writeString(
+      thin.toPath.resolve("BENCH_OUT_r20.json"),
+      """{"queries":{"q_a":1.0}}""")
+    assert(Bench.rotationSkips(thin, 4).isEmpty)
+  }
+
   test("benchdiff r20: drift normalization and one-draw stricter gate") {
     import graft.tools.BenchDiff
     val prev = """{"queries":{"q_a":10.0,"q_b":1.0,"q_c":1.0},"box_drift":1.0}"""
