@@ -258,13 +258,16 @@ object Bench {
     * item 3). The one-draw schedule made the newest snapshot an
     * upward-biased single cold draw; anchoring the deviation gate and
     * the diff prior to it let a 22.55 s q143 draw (ABA floor ~13 s)
-    * ratchet itself in as next round's baseline. A 4-round window
-    * spans enough box eras that a warm-era floor survives one drifted
-    * session.
+    * ratchet itself in as next round's baseline. SIX snapshots, not
+    * four: a single round can commit several full runs (r20 committed
+    * three), so a 4-window can fill entirely with one box era — q143's
+    * warm 13.07 s floor (r18) fell out of the 4-window the moment the
+    * r21/r22 drifted-era snapshots landed; the 6-window spans at least
+    * two eras.
     */
   private[graft] def anchoredMin(
       dir: java.io.File = new java.io.File("."),
-      k: Int = 4): Map[String, Double] =
+      k: Int = 6): Map[String, Double] =
     committedSnapshots(dir, k).map { case (_, f) =>
       graft.tools.BenchDiff.mapOf(
         Files.readString(dir.toPath.resolve(f)), "queries")
