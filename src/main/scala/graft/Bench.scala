@@ -31,7 +31,7 @@ import java.nio.file.{Files, Paths}
   *
   * r20, after a SECOND consecutive rc=124: every row with committed
   * history runs ONE draw (~150 draws total), the history floor is the
-  * min over the last four committed snapshots (the one-draw ratchet
+  * min over the last six committed snapshots (the one-draw ratchet
   * fix), and a post-pass retries only the rows whose draw exceeds
   * 1.4× the run's own median-drift-adjusted floor — see
   * [[scheduledIters]] and the retry-pass comment in [[main]]. Every
@@ -419,9 +419,17 @@ object Bench {
     }
     val parts = paths.map(Files.readString(_))
     val queries = parts.map(mapOf(_, "queries")).reduce(_ ++ _)
-    // the expected keyset is the ROTATED headline — same derivation
-    // the part runs used (snapshots don't change between parts)
-    val full = headline(None).filterNot(rotationSkips())
+    // the expected keyset must be derived the same way the part runs
+    // derived theirs: SPARK_GRAFT_BENCH_ALL=1 / SPARK_GRAFT_BENCH_ITERS
+    // part runs bench the FULL headline, so merging under those flags
+    // must expect it too (review fix — the rotated keyset would refuse
+    // their parts and silently discard the draws)
+    val mergeSkipsRotation =
+      sys.env.contains("SPARK_GRAFT_BENCH_ITERS") ||
+        sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
+    val full =
+      if (mergeSkipsRotation) headline(None)
+      else headline(None).filterNot(rotationSkips())
     if (queries.keySet != full.toSet) {
       System.err.println("[bench] part files do not union to the " +
         "current headline (stale parts from an older round?) — " +
@@ -531,7 +539,7 @@ object Bench {
       case None => benched
     }
 
-    // committed history → per-row anchored floor (min over the last 4
+    // committed history → per-row anchored floor (min over the last 6
     // committed snapshots — see anchoredMin's ratchet rationale) for
     // the iteration schedule and the drift-aware retry gate
     val anchor = anchoredMin()
@@ -628,26 +636,32 @@ object Bench {
     // Drift-aware retry pass (r20): estimate the run's box-drift
     // factor as the MEDIAN draw/floor ratio over anchored rows, then
     // re-time once the rows whose draw exceeds 1.4× the drift-adjusted
-    // floor (drift credit capped at 2×; retry set capped at 16 rows,
-    // ordered by ABSOLUTE excess seconds over the adjusted floor — a
-    // 23-s-over q143 distorts the published map more than ten
-    // 0.3 s rows at 5×, and the cap keeps a pathological box-day from
-    // inflating the wall). A uniform-drift box retries almost nothing
-    // (the median soaks it up); a session-context outlier like r19's
-    // q143 22.55 s-vs-13 s floor retries and publishes its real
-    // level; a genuine regression re-times high and still trips
-    // BenchDiff.
+    // floor. The retry set is HYBRID (review fix): every over-gate row
+    // with a sub-second floor retries (each retry costs ~a second, and
+    // an unretried 5× draw on a small row would later trip BenchDiff's
+    // 1.6× one-draw gate as a false regression), while expensive rows
+    // are capped at 16 ordered by ABSOLUTE excess seconds over the
+    // adjusted floor — a 23-s-over q143 distorts the published map
+    // more than ten 0.3 s rows at 5×, and the cap keeps a pathological
+    // box-day from inflating the wall. A uniform-drift box retries
+    // almost nothing (the median soaks it up); a session-context
+    // outlier like r19's q143 22.55 s-vs-13 s floor retries and
+    // publishes its real level; a genuine regression re-times high
+    // and still trips BenchDiff.
     val ratios = results.flatMap { case (k, _, t) =>
       if (t.forall(_ >= 0)) anchor.get(k).map(t.min / _) else None }
     val drift = if (ratios.isEmpty) 1.0
       else ratios.sorted.apply(ratios.size / 2)
     if (!bypass) {
       val gate = 1.4 * math.max(1.0, math.min(drift, 2.0))
-      val retry = results.collect {
+      val overGate = results.collect {
         case (k, _, t) if t.forall(_ >= 0) &&
             anchor.get(k).exists(a => t.min > a * gate) =>
-          k -> (t.min - anchor(k) * gate)
-      }.sortBy(-_._2).take(16).toMap
+          (k, anchor(k), t.min - anchor(k) * gate)
+      }
+      val retry = (overGate.collect { case (k, a, _) if a < 1.0 => k } ++
+        overGate.filter(_._2 >= 1.0).sortBy(-_._3).take(16).map(_._1))
+        .toSet
       if (retry.nonEmpty) {
         println(f"[bench] drift ${drift}%.2fx; retrying ${retry.size} " +
           s"rows over ${math.round(gate * 100) / 100.0}x their floor")

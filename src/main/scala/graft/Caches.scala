@@ -108,11 +108,28 @@ object Caches {
     * frames are unpersisted immediately; checkpointed frames are
     * dereferenced for the ContextCleaner (see [[trackOnly]]). Safe to
     * call while downstream frames are still referenced — they recompute.
+    *
+    * SCOPE-AWARE (r20 review fix): when the calling thread has a
+    * [[scoped]] block open, clear() drains THAT thread's registry, not
+    * the global one — operators with internal clear() calls between
+    * phases (RankIndex bootstrap/refresh, ReplayParity per-batch)
+    * keep freeing their own checkpoint chains inside a parallel-Verify
+    * worker, and never strip a concurrent worker's (or a streaming
+    * batch thread's) globally-registered frames mid-job. Callers with
+    * no open scope (every single-threaded entry point) drain the
+    * global queues exactly as before.
     */
   def clear(): Unit = {
-    var d = persistedFrames.poll()
-    while (d != null) { d.unpersist(blocking = false); d = persistedFrames.poll() }
-    var b = trackedBroadcasts.poll()
-    while (b != null) { b.unpersist(blocking = false); b = trackedBroadcasts.poll() }
+    val lf = localFrames.get()
+    if (lf != null) {
+      val lb = localBcasts.get()
+      while (!lf.isEmpty) lf.poll().unpersist(blocking = false)
+      while (!lb.isEmpty) lb.poll().unpersist(blocking = false)
+    } else {
+      var d = persistedFrames.poll()
+      while (d != null) { d.unpersist(blocking = false); d = persistedFrames.poll() }
+      var b = trackedBroadcasts.poll()
+      while (b != null) { b.unpersist(blocking = false); b = trackedBroadcasts.poll() }
+    }
   }
 }

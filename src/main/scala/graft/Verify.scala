@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
-  * r20: the sweep is PARALLEL (default 6 workers over one session —
+  * r20: the sweep is PARALLEL (default 8 workers over one session —
   * Spark schedules concurrent jobs; the queries are independent, index
   * prefixes are query-scoped, and per-query persisted frames are
   * released through [[Caches.scoped]] so one worker's cleanup cannot

@@ -63,8 +63,15 @@ object BenchDiff {
     // writes it at min_pct 0)
     val spread = mapOf(currJson, "spread_pct")
     val draws = mapOf(currJson, "draws")
-    val driftRatio = scalarOf(currJson, "box_drift").getOrElse(1.0) /
-      scalarOf(prevJson, "box_drift").getOrElse(1.0)
+    // CLAMPED at 1 (review fix): published values are floor-seeking
+    // (retry-pass mins), so they do NOT scale linearly with box_drift
+    // — after a drifted round recovers, an unclamped ratio < 1 would
+    // INFLATE unchanged rows past the gates and mass-flag a clean
+    // round. Dividing out drift only in the drifted-curr direction
+    // keeps the correction where it is conservative.
+    val driftRatio = math.max(1.0,
+      scalarOf(currJson, "box_drift").getOrElse(1.0) /
+        scalarOf(prevJson, "box_drift").getOrElse(1.0))
     cq.toSeq.sortBy(_._1).flatMap { case (k, c) =>
       pq.get(k) match {
         case Some(p) if p > 0 && c > 0 =>
@@ -87,8 +94,9 @@ object BenchDiff {
     val prev = Files.readString(Paths.get(args(0)))
     val curr = Files.readString(Paths.get(args(1)))
     val flagged = flag(prev, curr, ratioGate = 1.3, spreadGate = 50.0)
-    val driftRatio = scalarOf(curr, "box_drift").getOrElse(1.0) /
-      scalarOf(prev, "box_drift").getOrElse(1.0)
+    val driftRatio = math.max(1.0,
+      scalarOf(curr, "box_drift").getOrElse(1.0) /
+        scalarOf(prev, "box_drift").getOrElse(1.0))
     val rows = flagged.map { f =>
       f"""    "${f.name}": {"prev_sec": ${f.prev}%.3f, "curr_sec": ${
         f.curr}%.3f, "ratio": ${f.ratio}%.2f, "norm_ratio": ${

@@ -113,6 +113,15 @@ class EntrySpec extends AnyFunSuite {
     val currNoDrift = curr.replace(""","box_drift":1.5""", "")
     val f2 = BenchDiff.flag(prevNoDrift, currNoDrift, 1.3, 50.0)
     assert(f2.map(_.name) == Seq("q_b", "q_c"))
+    // RECOVERED box (prev drifted 2x, curr clean): the ratio is
+    // CLAMPED at 1 — published values are floor-seeking mins that
+    // don't scale with box_drift, so unchanged rows (raw ~1.0) must
+    // not inflate to 2x and mass-flag a clean round
+    val prevDrifted =
+      """{"queries":{"q_a":10.0,"q_b":1.0},"box_drift":2.0}"""
+    val currClean = """{"queries":{"q_a":10.1,"q_b":1.05},""" +
+      """"spread_pct":{},"draws":{"q_a":1,"q_b":3},"box_drift":1.0}"""
+    assert(BenchDiff.flag(prevDrifted, currClean, 1.3, 50.0).isEmpty)
   }
 
   test("bench part slice: interleaved, disjoint, covering, loud on junk") {
