@@ -64,7 +64,28 @@ object Bench {
     // production number in the headline next to it
     "q125x_langid_capped" -> ((s, d) =>
       graft.CorpusOps.langIdTrigram(Tables.documents(s, d), "doc_id",
-        "text", "lang", minDocGramCount = 2)))
+        "text", "lang", minDocGramCount = 2)),
+    // r21 (VERDICT item 2): the CODE-INDEPENDENT drift control. The
+    // published box_drift (median draw/anchored-floor over the fleet)
+    // disagreed with the matched-query median by ~50% in r20, and the
+    // r20 ADVICE's deeper point stands: any fleet-derived estimate is
+    // contaminated by a uniform plan regression, because the fleet IS
+    // the code under test. This row is pure Spark built-ins over
+    // spark.range — no graft operator code, no input data — so its
+    // round-over-round ratio moves ONLY with the box/JVM era. It is a
+    // shuffle-shaped probe by design (64M rows hashed, partial-agg'd
+    // and exchanged to 1M groups: the median headline row's shape).
+    // BenchDiff normalizes by the MIN of this row's ratio and
+    // box_drift — see BenchDiff.flag — so box drift can be divided out
+    // without a uniform code regression forgiving itself.
+    "q00x_drift_probe" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      s.range(0, 64000000L, 1, 64)
+        .select(pmod(xxhash64(col("id")), lit(1000000L)).as("k"),
+          xxhash64(col("id"), lit(1)).as("v"))
+        .groupBy("k")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    }))
 
   /** Every benchable query: the driver registry + the bench-only twins. */
   private[graft] def benchable
@@ -79,6 +100,10 @@ object Bench {
   /** [[headline]] with the subset request injectable (spec hook). */
   private[graft] def headline(subsetEnv: Option[String]): Seq[String] = {
     val preferred = Seq(
+      // first row: the code-independent drift control (benchOnly; r21).
+      // Exempt from rotation like q02 — a drift basis that sits rounds
+      // out is no basis
+      "q00x_drift_probe",
       "q02_pricing_summary", "q05_latest_per_group", "q10_join_agg",
       "q11_join_5way", "q14_self_join_dup", "q16_window_seq_id",
       "q17_topk_per_group", "q18_running_agg", "q28_merge_upsert",
@@ -353,7 +378,8 @@ object Bench {
     }
     norm.flatMap(_.keys).distinct.filter { q =>
       val series = norm.flatMap(_.get(q))
-      q != "q02_pricing_summary" && series.size >= 2 &&
+      q != "q02_pricing_summary" && q != "q00x_drift_probe" &&
+        series.size >= 2 &&
         series.max / series.min <= 2.0 &&
         (q.## & 1) == (nextRound & 1)
     }.toSet
@@ -369,6 +395,32 @@ object Bench {
       try src.getLines().find(_.startsWith("btime "))
         .map(_.split("\\s+")(1)).getOrElse("")
       finally src.close()
+    } catch { case _: Throwable => "" }
+
+  /** Short git HEAD of the working tree, "" outside a repo — joined
+    * into the default run token (r21, r20 ADVICE): a boot-epoch-only
+    * token let part files produced by DIFFERENT CODE REVISIONS on the
+    * same boot merge silently as one published run. Read from .git
+    * directly (no subprocess — the bench must not depend on a git
+    * binary). */
+  private[graft] def gitHeadToken(dir: java.io.File =
+      new java.io.File(".")): String =
+    try {
+      val head = Files.readString(dir.toPath.resolve(".git/HEAD")).trim
+      val sha =
+        if (head.startsWith("ref: ")) {
+          val ref = head.drop(5).trim
+          val refPath = dir.toPath.resolve(".git").resolve(ref)
+          if (Files.exists(refPath)) Files.readString(refPath).trim
+          else { // packed ref
+            val packed = dir.toPath.resolve(".git/packed-refs")
+            if (!Files.exists(packed)) ""
+            else Files.readAllLines(packed).toArray.map(_.toString)
+              .find(_.endsWith(" " + ref))
+              .map(_.split("\\s+")(0)).getOrElse("")
+          }
+        } else head
+      sha.take(12)
     } catch { case _: Throwable => "" }
 
   /** Extract a JSON string field ("sf":"/root/...") — minimal sibling
@@ -703,9 +755,11 @@ object Bench {
     // every part carries the same token, so a leftover part file from
     // a crashed earlier session can't blend into this run's artifact.
     // The driver sets no env, so the default token is the box boot
-    // epoch — same-session parts share it, a part from a previous
-    // boot (or another box) refuses.
-    val runToken = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUN", bootToken)
+    // epoch PLUS the git HEAD (r21): same-session same-revision parts
+    // share it; a part from a previous boot, another box, or another
+    // code revision refuses.
+    val runToken = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUN",
+      bootToken + "-" + gitHeadToken())
     // spread_min_pct is self-describing: a consumer comparing the stdout
     // line against bench_out.json can tell a FILTERED spread map (only
     // entries >= the stated floor) from a complete one

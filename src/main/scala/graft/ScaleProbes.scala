@@ -237,6 +237,37 @@ object ScaleProbes {
           spark.sql("DROP TABLE IF EXISTS probe_inc_b")
         }
 
+      case "graph-ab" =>
+        // r21: the iterative-loop join strategy behind Graph.BcastMaxN —
+        // per-round broadcast of the vertex-state frame (ranks/labels)
+        // vs the default shuffle plan, on the registered q143/q148
+        // shapes. GraphSpec pins the two arms bit-equal (integer-exact
+        // sums are join-strategy-independent); this measures them.
+        val sfDir = args.lift(1).getOrElse(
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        def run(bcastMaxN: Long, lp: Boolean): Unit = {
+          val (nodes, edges) = graft.Graph.tradeGraph(spark, sfDir)
+          val out =
+            if (lp) graft.Graph.labelProp(nodes, edges,
+              bcastMaxN = bcastMaxN)
+            else graft.Graph.pageRank(nodes, edges, bcastMaxN = bcastMaxN)
+          out.write.format("noop").mode("overwrite").save()
+          Caches.clear()
+        }
+        run(Long.MaxValue, lp = false) // warm (JIT + codegen) once
+        val prB = minOf3(run(Long.MaxValue, lp = false))
+        run(0L, lp = false)
+        val prS = minOf3(run(0L, lp = false))
+        run(Long.MaxValue, lp = true)
+        val lpB = minOf3(run(Long.MaxValue, lp = true))
+        run(0L, lp = true)
+        val lpS = minOf3(run(0L, lp = true))
+        println(f"[probe] graph-ab: sf=$sfDir " +
+          f"pagerank_bcast_min3_sec=$prB%.2f " +
+          f"pagerank_shuffle_min3_sec=$prS%.2f " +
+          f"labelprop_bcast_min3_sec=$lpB%.2f " +
+          f"labelprop_shuffle_min3_sec=$lpS%.2f")
+
       case "ngram-ab" =>
         // the dense-vs-sparse trade ngramJaccardBest's scaladoc cites:
         // block self-join + native intersect vs inverted shingle index

@@ -89,6 +89,17 @@ object Verify {
       f"in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
       f"($threads workers${if (failed.isEmpty) ""
         else s"; FAILED: ${failed.toArray.mkString(", ")}"})")
+    // r21 (r20 ADVICE): a partially-failed dump must not read as a
+    // green gate — stderr lines scroll out of bounded tails, and the
+    // downstream compare only notices a missing parquet dir if someone
+    // checks. Publish the failure as BOTH a machine-readable marker
+    // next to oracle_sql.json AND a nonzero exit.
+    if (!failed.isEmpty) {
+      val fj = failed.toArray.map(n => q(n.toString)).mkString("[", ",", "]")
+      Files.writeString(Paths.get(s"$outDir/verify_failed.json"),
+        s"""{"failed_count":${failed.size},"failed":$fj}""" + "\n")
+    }
     spark.stop()
+    if (!failed.isEmpty) sys.exit(1)
   }
 }

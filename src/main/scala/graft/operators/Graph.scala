@@ -49,6 +49,36 @@ object Graph {
       case _ => ()
     }
 
+  /** Broadcast-state threshold for the iterative loops (r21, guide §3.1
+    * "pick the join strategy deliberately"): the per-round state frame
+    * (ranks/labels, one row per vertex) is TINY relative to the
+    * persisted edge table, but it is a localCheckpoint — a LogicalRDD
+    * with no size statistics — so the planner cannot see that and
+    * plans a sort-merge join that EXCHANGES the edge table every round
+    * (the union in [[tradeGraph]] erases the edge frame's partitioning,
+    * and AQE's runtime SMJ→BHJ rescue still pays the edge side's
+    * shuffle write). Below this vertex count the loops broadcast the
+    * state side explicitly: the edge table is then never shuffled in
+    * any round — the only per-round exchange left is the partial-
+    * aggregated contribution sum (measured 1.64× on the graph-ab
+    * probe, SCALING.md r21). Vertex count is already a bounded driver
+    * scalar in both loops, so the gate is decided from data the loop
+    * holds anyway; above the gate (a 10^8-vertex host graph at 100 TB,
+    * where |V| rows would be a multi-GB broadcast rebuilt per round)
+    * the shuffle plan stands unchanged. Env-parameterised with a local
+    * default sized well under the 8 GB/512M-row broadcast cap:
+    * 2M vertices ≈ 80 MB framed.
+    */
+  private[graft] val BcastMaxN: Long =
+    sys.env.get("SPARK_GRAFT_GRAPH_BCAST_MAX_N").map(_.toLong)
+      .getOrElse(2000000L)
+
+  /** Apply the broadcast hint when the loop's vertex count clears the
+    * gate — joins keyed on integer-exact aggregates are strategy-
+    * independent, so results are bit-equal either way (GraphSpec). */
+  private def maybeBcast(df: DataFrame, bcast: Boolean): DataFrame =
+    if (bcast) broadcast(df) else df
+
   /** @param nodes one column `node` (string), the full vertex set
     * @param edges  columns `src`, `dst`, `w` (long weight > 0)
     * @return (node, rank) — rank in integer micro-mass units
@@ -60,11 +90,13 @@ object Graph {
     * would otherwise recompute the full edge derivation per round (the
     * first formulation paid the source joins 10×). */
   private class PrLoop(nodes: DataFrame, edges: DataFrame,
-                       dampNum: Long, dampDen: Long, scale: Long) {
+                       dampNum: Long, dampDen: Long, scale: Long,
+                       bcastMaxN: Long = BcastMaxN) {
     // bounded driver scalar: the vertex COUNT (one long), needed to
     // fix the integer base share — same posture as langid's minLang
     val n: Long = nodes.count()
     require(n > 0, "pageRank needs a non-empty vertex set")
+    private val bcast = n <= bcastMaxN
     private val base = ((scale * (dampDen - dampNum)) / dampDen) / n
     private val outw = Caches.persistTracked(
       edges.groupBy("src").agg(sum(col("w")).as("ow")))
@@ -78,7 +110,12 @@ object Graph {
       nodesP.withColumn("rank", lit(scale / n))
 
     def step(prev: DataFrame): DataFrame = {
-      val in = e.join(prev.withColumnRenamed("node", "src"), Seq("src"))
+      // state side broadcast under the [[BcastMaxN]] gate: the edge
+      // table (the heavy side) is then never shuffled OR sorted in any
+      // round; above the gate the original exchange plan stands
+      val in = e.join(
+          maybeBcast(prev.withColumnRenamed("node", "src"), bcast),
+          Seq("src"))
         .select(col("dst").as("node"),
           expr("(rank * w) div ow").as("c"))
         .groupBy("node").agg(sum(col("c")).as("inr"))
@@ -86,9 +123,15 @@ object Graph {
       // SINGLE-ROW aggregate crossJoined back under an explicit
       // broadcast (the q73 posture: the nested-loop's build side is
       // exactly one row, so the "loop" is a constant lookup)
-      val dang = prev.join(dangNodes, Seq("node"), "left_semi")
+      val dang = prev.join(maybeBcast(dangNodes, bcast),
+          Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dang"))
         .select(expr(s"dang div $n").as("dshare"))
+      // `in` stays on the shuffle path even under the gate: it is the
+      // output of the contribution aggregate, and broadcasting it
+      // would serialize that whole aggregate through a driver collect
+      // before the carry join can start (measured: +0.9 s/10 rounds
+      // at sf0.1 vs letting it stream — graph-ab probe, r21)
       nodesP.join(in, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
@@ -100,8 +143,10 @@ object Graph {
 
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 10,
                dampNum: Long = 85, dampDen: Long = 100,
-               scale: Long = 1000000000000L): DataFrame = {
-    val loop = new PrLoop(nodes, edges, dampNum, dampDen, scale)
+               scale: Long = 1000000000000L,
+               bcastMaxN: Long = BcastMaxN): DataFrame = {
+    val loop = new PrLoop(nodes, edges, dampNum, dampDen, scale,
+      bcastMaxN)
     var rank = loop.uniformRank
     var last: DataFrame = null
     for (_ <- 1 to iters) {
@@ -228,14 +273,20 @@ object Graph {
   /** The label-propagation step, shared by the fixed-round
     * [[labelProp]] and the converging [[labelPropFixedPoint]] — the
     * PrLoop factoring for the community family. */
-  private class LpLoop(nodes: DataFrame, edges: DataFrame) {
+  private class LpLoop(nodes: DataFrame, edges: DataFrame,
+                       bcastMaxN: Long = BcastMaxN) {
     import org.apache.spark.sql.expressions.Window
     private val e = Caches.persistTracked(edges)
     val nodesP: DataFrame = Caches.persistTracked(nodes)
+    // one bounded scalar, the PrLoop posture — decides the per-round
+    // join strategy (see [[BcastMaxN]]); label frames are one row per
+    // vertex like rank frames, so the same gate applies
+    private val bcast = nodesP.count() <= bcastMaxN
     val selfLabels: DataFrame = nodesP.withColumn("label", col("node"))
     def step(prev: DataFrame): DataFrame = {
       val contrib = e
-        .join(prev.withColumnRenamed("node", "src"), Seq("src"))
+        .join(maybeBcast(prev.withColumnRenamed("node", "src"), bcast),
+          Seq("src"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(sum(col("w")).as("cw"))
       val top = contrib
@@ -250,8 +301,9 @@ object Graph {
   }
 
   def labelProp(nodes: DataFrame, edges: DataFrame,
-                iters: Int = 5): DataFrame = {
-    val loop = new LpLoop(nodes, edges)
+                iters: Int = 5,
+                bcastMaxN: Long = BcastMaxN): DataFrame = {
+    val loop = new LpLoop(nodes, edges, bcastMaxN)
     var lab = loop.selfLabels
     var last: DataFrame = null
     for (_ <- 1 to iters) {
@@ -346,12 +398,17 @@ object Graph {
       .select(concat(lit("c"), col("c_custkey")).as("node"))
       .unionByName(Tables.supplier(s, d)
         .select(concat(lit("s"), col("s_suppkey")).as("node")))
-    val pairs = Tables.orders(s, d)
+    // persisted: the union below references `pairs` from BOTH branches,
+    // and Spark has no cross-branch subplan reuse — unpersisted, the
+    // orders ⋈ lineitem join + aggregate ran once per branch (r21,
+    // guide §2.4 "remove shuffles outright"; the Caches scaladoc's
+    // standing rationale)
+    val pairs = Caches.persistTracked(Tables.orders(s, d)
       .join(Tables.lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
-      .agg(count(lit(1)).as("w"))
+      .agg(count(lit(1)).as("w")))
     val edges = pairs.unionByName(pairs.select(col("dst").as("src"),
       col("src").as("dst"), col("w")))
     (nodes, edges)
@@ -369,13 +426,14 @@ object Graph {
     * structure, not the entity universe. */
   private[graft] def tradeGraphGen1(s: SparkSession, d: String)
       : DataFrame = {
-    val pairs = Tables.orders(s, d)
+    // persisted for the same dual-branch-union reason as [[tradeGraph]]
+    val pairs = Caches.persistTracked(Tables.orders(s, d)
       .filter(col("o_orderkey") % 7 =!= 3)
       .join(Tables.lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
-      .agg(count(lit(1)).as("w"))
+      .agg(count(lit(1)).as("w")))
     pairs.unionByName(pairs.select(col("dst").as("src"),
       col("src").as("dst"), col("w")))
   }

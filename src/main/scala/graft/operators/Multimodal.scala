@@ -645,8 +645,14 @@ object Multimodal {
       case "VP8X" if bytes.length >= d + 10 =>
         if (le32(16) < 10) return None
         val alpha = (bytes(d) & 0x10) != 0
-        Some(ImgMeta("webp", le24(d + 4) + 1, le24(d + 7) + 1,
-          if (alpha) 32 else 24))
+        val w = le24(d + 4) + 1
+        val h = le24(d + 7) + 1
+        // same no-garbage dimension bound as decodeAvifHeader (r21,
+        // r20 ADVICE): the 24-bit canvas fields admit up to 16M×16M
+        // from malformed extended headers. VP8 /VP8L need no bound —
+        // their 14-bit fields cap at 16384 by construction.
+        if (w >= (1 << 20) || h >= (1 << 20)) None
+        else Some(ImgMeta("webp", w, h, if (alpha) 32 else 24))
       case _ => None
     }
   }

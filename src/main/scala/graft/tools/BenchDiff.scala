@@ -54,6 +54,40 @@ object BenchDiff {
     * stricter 1.6× normalized gate and carry draws in the output so
     * adjudication sees the sample size.
     */
+  /** The drift basis actually divided out of the ratios (r21, VERDICT
+    * item 2 + r20 ADVICE): the MINIMUM of up to three estimates — the
+    * published box_drift ratio (contention-sensitive, over-forgave by
+    * ~50% in r20: probe 3.09 vs matched-median 2.07), the matched-query
+    * MEDIAN ratio (self-normalization on the stable fleet), and the
+    * q00x_drift_probe row's own ratio (pure-Spark synthetic work,
+    * the ONLY estimate a uniform plan regression cannot contaminate —
+    * the fleet-derived bases both rise with an across-the-board code
+    * slowdown and would forgive it). Taking the min normalizes away
+    * the least movement, so every flag decision uses the most
+    * conservative (most-flagging) defensible basis. All bases clamp
+    * at 1 for the r20 review-fix reason (floor-seeking published
+    * values do not scale below their floors).
+    */
+  private[graft] def driftBases(prevJson: String, currJson: String)
+      : Map[String, Double] = {
+    val pq = mapOf(prevJson, "queries")
+    val cq = mapOf(currJson, "queries")
+    val box = math.max(1.0,
+      scalarOf(currJson, "box_drift").getOrElse(1.0) /
+        scalarOf(prevJson, "box_drift").getOrElse(1.0))
+    val matched = cq.toSeq.flatMap { case (k, c) =>
+      pq.get(k).filter(p => p > 0 && c > 0).map(c / _) }
+    val self =
+      if (matched.isEmpty) None
+      else Some(math.max(1.0, matched.sorted.apply(matched.size / 2)))
+    val probe = for {
+      p <- pq.get("q00x_drift_probe").filter(_ > 0)
+      c <- cq.get("q00x_drift_probe").filter(_ > 0)
+    } yield math.max(1.0, c / p)
+    Map("box" -> Some(box), "self" -> self, "probe" -> probe)
+      .collect { case (k, Some(v)) => k -> v }
+  }
+
   private[graft] def flag(prevJson: String, currJson: String,
                           ratioGate: Double, spreadGate: Double)
       : Seq[Flagged] = {
@@ -63,15 +97,19 @@ object BenchDiff {
     // writes it at min_pct 0)
     val spread = mapOf(currJson, "spread_pct")
     val draws = mapOf(currJson, "draws")
-    // CLAMPED at 1 (review fix): published values are floor-seeking
-    // (retry-pass mins), so they do NOT scale linearly with box_drift
-    // — after a drifted round recovers, an unclamped ratio < 1 would
-    // INFLATE unchanged rows past the gates and mass-flag a clean
-    // round. Dividing out drift only in the drifted-curr direction
-    // keeps the correction where it is conservative.
-    val driftRatio = math.max(1.0,
-      scalarOf(currJson, "box_drift").getOrElse(1.0) /
-        scalarOf(prevJson, "box_drift").getOrElse(1.0))
+    val bases = driftBases(prevJson, currJson)
+    val driftRatio = bases.values.min
+    // loud disagreement warning (r20 ADVICE): when the fleet-derived
+    // bases sit far above the code-independent probe, the difference
+    // is either heterogeneous contention or a uniform plan regression
+    // — adjudication must look either way
+    if (bases.size > 1 && bases.values.max / bases.values.min > 1.15)
+      System.err.println("[benchdiff] WARNING: drift estimates " +
+        s"disagree > 15% (${bases.map { case (k, v) =>
+          f"$k=$v%.2f" }.mkString(", ")}) — normalizing by the min; " +
+        "if box drift alone explains the gap, flagged rows need " +
+        "ABA adjudication, if not, suspect an across-the-board " +
+        "plan regression")
     cq.toSeq.sortBy(_._1).flatMap { case (k, c) =>
       pq.get(k) match {
         case Some(p) if p > 0 && c > 0 =>
@@ -79,7 +117,17 @@ object BenchDiff {
           val raw = c / p
           val norm = raw / math.max(driftRatio, 0.01)
           val gate = if (n <= 1) math.max(ratioGate, 1.6) else ratioGate
-          if (norm > gate && spread.getOrElse(k, 0.0) < spreadGate)
+          // sub-second rows (r21, VERDICT item 3): a <1 s row's timing
+          // on a cold/drifted box measures JVM and page-cache state,
+          // not the plan — r20 published 24,971% spreads on such rows.
+          // Spread is NOT evidence either way there; they flag only on
+          // ABSOLUTE excess (≥ 1 s of real growth past the normalized
+          // prior), never on ratio alone.
+          val subSecond = p < 1.0
+          val flagged =
+            if (subSecond) norm > gate && c - p * driftRatio >= 1.0
+            else norm > gate && spread.getOrElse(k, 0.0) < spreadGate
+          if (flagged)
             Some(Flagged(k, p, c, raw, norm, spread.getOrElse(k, 0.0), n))
           else None
         case _ => None
@@ -94,9 +142,8 @@ object BenchDiff {
     val prev = Files.readString(Paths.get(args(0)))
     val curr = Files.readString(Paths.get(args(1)))
     val flagged = flag(prev, curr, ratioGate = 1.3, spreadGate = 50.0)
-    val driftRatio = math.max(1.0,
-      scalarOf(curr, "box_drift").getOrElse(1.0) /
-        scalarOf(prev, "box_drift").getOrElse(1.0))
+    val bases = driftBases(prev, curr)
+    val driftRatio = bases.values.min
     val rows = flagged.map { f =>
       f"""    "${f.name}": {"prev_sec": ${f.prev}%.3f, "curr_sec": ${
         f.curr}%.3f, "ratio": ${f.ratio}%.2f, "norm_ratio": ${
@@ -111,6 +158,8 @@ object BenchDiff {
          |  "one_draw_ratio_gate": 1.6,
          |  "spread_gate_pct": 50.0,
          |  "drift_ratio": $driftRatio%.2f,
+         |  "drift_bases": {${bases.toSeq.sorted.map { case (k, v) =>
+                f""""$k": $v%.2f""" }.mkString(", ")}},
          |  "flagged_count": ${flagged.size},
          |  "flagged": {
          |$rows

@@ -124,6 +124,65 @@ class EntrySpec extends AnyFunSuite {
     assert(BenchDiff.flag(prevDrifted, currClean, 1.3, 50.0).isEmpty)
   }
 
+  test("benchdiff r21: drift basis is the MIN of box/self/probe — a " +
+    "uniform plan regression cannot forgive itself through the " +
+    "fleet-derived bases") {
+    import graft.tools.BenchDiff
+    // every fleet row slowed 2x by a code change; the code-independent
+    // probe row says the box is CLEAN. box_drift (draw/floor median)
+    // also reads 2.0 — the r20 blind spot. The min picks the probe's
+    // 1.0 and all three rows flag.
+    val prev = """{"queries":{"q00x_drift_probe":2.0,"q_a":10.0,""" +
+      """"q_b":4.0,"q_c":6.0},"box_drift":1.0}"""
+    val curr = """{"queries":{"q00x_drift_probe":2.0,"q_a":20.0,""" +
+      """"q_b":8.0,"q_c":12.0},"spread_pct":{},""" +
+      """"draws":{"q_a":3,"q_b":3,"q_c":3},"box_drift":2.0}"""
+    val bases = BenchDiff.driftBases(prev, curr)
+    assert(bases("probe") == 1.0 && bases("box") == 2.0)
+    assert(math.abs(bases("self") - 2.0) < 0.01)
+    val f = BenchDiff.flag(prev, curr, 1.3, 50.0)
+    assert(f.map(_.name) == Seq("q_a", "q_b", "q_c"))
+    // genuine box drift: probe AND fleet both 2x — normalized clean
+    val currDrift = """{"queries":{"q00x_drift_probe":4.0,"q_a":20.0,""" +
+      """"q_b":8.0,"q_c":12.0},"spread_pct":{},""" +
+      """"draws":{"q_a":3,"q_b":3,"q_c":3},"box_drift":2.0}"""
+    assert(BenchDiff.flag(prev, currDrift, 1.3, 50.0).isEmpty)
+  }
+
+  test("benchdiff r21: sub-second rows flag on absolute excess only — " +
+    "ratio noise on a <1 s floor is JVM/page-cache state, not plan") {
+    import graft.tools.BenchDiff
+    // q_tiny triples (0.3 -> 0.9 s) but grows only 0.6 s absolute: no
+    // flag even at 3x; q_tiny2 grows 0.4 -> 2.0 s (1.6 s absolute):
+    // flags. Both publish wild spreads — spread is not consulted for
+    // sub-second rows (r20 published 24,971% spreads on such rows).
+    val prev = """{"queries":{"q_tiny":0.3,"q_tiny2":0.4},"box_drift":1.0}"""
+    val curr = """{"queries":{"q_tiny":0.9,"q_tiny2":2.0},""" +
+      """"spread_pct":{"q_tiny":24971.0,"q_tiny2":21335.0},""" +
+      """"draws":{"q_tiny":3,"q_tiny2":3},"box_drift":1.0}"""
+    val f = BenchDiff.flag(prev, curr, 1.3, 50.0)
+    assert(f.map(_.name) == Seq("q_tiny2"))
+  }
+
+  test("bench r21: the drift probe never rotates out; run token " +
+    "carries the git revision") {
+    // rotationSkips' always-bench exemption extends to the probe row
+    val dir = java.nio.file.Files.createTempDirectory("rotprobe").toFile
+    def snap(n: Int): Unit =
+      java.nio.file.Files.writeString(
+        dir.toPath.resolve(s"BENCH_OUT_r$n.json"),
+        """{"queries":{"q00x_drift_probe":1.0,"q_pad":2.0,""" +
+          s""""q_pad$n":1.0}}""")
+    (17 to 20).foreach(snap)
+    val skips = Bench.rotationSkips(dir, 4)
+    assert(!skips.contains("q00x_drift_probe"))
+    // this working tree is a git repo: the token must resolve to a
+    // 12-hex revision so cross-revision parts refuse to merge
+    val tok = Bench.gitHeadToken()
+    assert(tok.length == 12 && tok.forall(c =>
+      c.isDigit || ('a' to 'f').contains(c)), s"got '$tok'")
+  }
+
   test("bench part slice: interleaved, disjoint, covering, loud on junk") {
     val names = ('a' to 'g').map(_.toString)
     val p1 = Bench.partSlice(names, 1, 2)

@@ -150,6 +150,67 @@ class GraphSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("broadcast-state and shuffle-state arms are bit-equal (the r21 " +
+    "BcastMaxN gate: join strategy must never change integer ranks or " +
+    "labels — the graph-ab probe's correctness pin)") {
+    val nodes = (1 to 40).map(i => s"n$i").toDF("node")
+    val edges = (1 to 40).flatMap { i =>
+      Seq((s"n$i", s"n${i % 40 + 1}", 1L + i % 3),
+        (s"n$i", s"n${(i * 7) % 40 + 1}", 1L))
+    }.toDF("src", "dst", "w")
+    val prB = Graph.pageRank(nodes, edges, iters = 5,
+      bcastMaxN = Long.MaxValue).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    Caches.clear()
+    val prS = Graph.pageRank(nodes, edges, iters = 5, bcastMaxN = 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    Caches.clear()
+    assert(prB.sameElements(prS))
+    val lpB = Graph.labelProp(nodes, edges, iters = 5,
+      bcastMaxN = Long.MaxValue).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    Caches.clear()
+    val lpS = Graph.labelProp(nodes, edges, iters = 5, bcastMaxN = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    Caches.clear()
+    assert(lpB.sameElements(lpS))
+  }
+
+  test("broadcast-state per-round plan: under the gate the state joins " +
+    "go broadcast-hash and the round plans strictly fewer Exchanges " +
+    "(r21 graph-ab plan pin)") {
+    val nodes = Seq("a", "b").toDF("node")
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    // auto-broadcast OFF for the pin: on a tiny fixture the planner
+    // broadcasts everything from known stats and both arms look alike
+    // — the gate's contract is that the state side goes broadcast even
+    // when the planner CANNOT see it is small (a localCheckpoint on a
+    // real corpus), which only the explicit hint guarantees
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    def planOf(maxN: Long): String = {
+      val p = Graph.pageRank(nodes, edges, iters = 1, bcastMaxN = maxN)
+        .queryExecution.executedPlan.toString
+      Caches.clear()
+      p
+    }
+    val (planB, planS) =
+      try {
+        spark.conf.set(thresholdKey, "-1")
+        (planOf(Long.MaxValue), planOf(0L))
+      } finally spark.conf.set(thresholdKey, saved)
+    def exchanges(p: String): Int =
+      "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    // the contribution join goes broadcast-hash (edge side streams,
+    // no exchange, no sort); the in-carry join deliberately stays on
+    // the shuffle path (broadcasting the aggregate output serializes
+    // it through a driver collect — the graph-ab measurement)
+    assert(planB.contains("BroadcastHashJoin"))
+    assert(exchanges(planB) < exchanges(planS),
+      s"broadcast arm must shuffle strictly less:\n$planB\n----\n$planS")
+  }
+
   test("q143 instantiation: full vertex set returned, mass bounded") {
     val out = Graph.q143PageRank(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
