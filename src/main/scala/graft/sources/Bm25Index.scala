@@ -92,20 +92,28 @@ object Bm25Index {
       .agg(count(lit(1)).as("tf")).withColumn("w", lit(w))
     val dls = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .withColumn("w", lit(w))
+    // the postings write runs ALONE first: it materializes the shared
+    // `toks` cache exactly once; the remaining three tables then read
+    // the cache and their writes are independent — overlapped via
+    // [[Sinks.inParallel]] (guide §2.6; r21 — measured on the q154/
+    // q157/q159 lifecycle gates, evidence in OPTIMIZATION_r21.md)
     Sinks.writeBucketed(post.withColumn("b", lit(b)),
       phys(prefix, "postings", gen), Seq("term"), nb, mode)
-    Sinks.writeBucketed(dls.withColumn("b", lit(b)),
-      phys(prefix, "doclens", gen), Seq("doc_id"), nb, mode)
-    Sinks.writeBucketed(toks.select("term", "doc_id", "pos")
-      .withColumn("w", lit(w)).withColumn("b", lit(b)),
-      phys(prefix, "positions", gen), Seq("term"), nb, mode)
-    val st = dls.agg((count(lit(1)) * w).as("n"),
-      (coalesce(sum(col("dl")), lit(0L)) * w).as("tt"))
-      .withColumn("w", lit(w)).withColumn("b", lit(b))
-    if (mode == "overwrite")
-      Sinks.purgeTable(spark, phys(prefix, "stats", gen))
-    st.write.mode(if (mode == "overwrite") "errorifexists" else mode)
-      .saveAsTable(phys(prefix, "stats", gen))
+    Sinks.inParallel(Seq(
+      () => Sinks.writeBucketed(dls.withColumn("b", lit(b)),
+        phys(prefix, "doclens", gen), Seq("doc_id"), nb, mode),
+      () => Sinks.writeBucketed(toks.select("term", "doc_id", "pos")
+        .withColumn("w", lit(w)).withColumn("b", lit(b)),
+        phys(prefix, "positions", gen), Seq("term"), nb, mode),
+      () => {
+        val st = dls.agg((count(lit(1)) * w).as("n"),
+          (coalesce(sum(col("dl")), lit(0L)) * w).as("tt"))
+          .withColumn("w", lit(w)).withColumn("b", lit(b))
+        if (mode == "overwrite")
+          Sinks.purgeTable(spark, phys(prefix, "stats", gen))
+        st.write.mode(if (mode == "overwrite") "errorifexists" else mode)
+          .saveAsTable(phys(prefix, "stats", gen))
+      }))
   }
 
   /** Bootstrap the index from a corpus snapshot; steady state uses
@@ -513,15 +521,17 @@ object Bm25Index {
     val st @ (gen, bs) = Generations.committedState(spark, prefix)
     val nb = bucketsOf(spark, prefix)
     val ng = Generations.beginGeneration(spark, prefix)
-    val counts = (for (logical <- Seq("postings", "doclens", "positions"))
-      yield {
+    // the three per-table legs are independent (distinct source and
+    // target tables) — overlapped (guide §2.6, r21)
+    val counts = Sinks.inParallelMap(
+      Seq("postings", "doclens", "positions").map(logical => () => {
         val touched = Sinks.tombstonedBuckets(spark,
           phys(prefix, logical, gen), bucketColsOf(logical), nb, bs)
         Sinks.partialCompactBucketedTo(spark,
           phys(prefix, logical, gen), phys(prefix, logical, ng),
           bucketColsOf(logical), nb, bs, touched)
         logical -> touched.size
-      }).toMap
+      })).toMap
     val (n, tt) = liveStats(spark, prefix, st)
     val s = spark
     import s.implicits._
@@ -552,9 +562,11 @@ object Bm25Index {
     val st @ (gen, bs) = Generations.committedState(spark, prefix)
     val nb = bucketsOf(spark, prefix)
     val ng = Generations.beginGeneration(spark, prefix)
-    for (logical <- Seq("postings", "doclens", "positions"))
-      Sinks.compactBucketedTo(spark, phys(prefix, logical, gen),
-        phys(prefix, logical, ng), bucketColsOf(logical), nb, bs)
+    // independent per-table rewrites — overlapped (guide §2.6, r21)
+    Sinks.inParallel(Seq("postings", "doclens", "positions").map(
+      logical => () =>
+        Sinks.compactBucketedTo(spark, phys(prefix, logical, gen),
+          phys(prefix, logical, ng), bucketColsOf(logical), nb, bs)))
     val (n, tt) = liveStats(spark, prefix, st)
     val s = spark
     import s.implicits._

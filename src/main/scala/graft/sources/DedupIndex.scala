@@ -107,10 +107,17 @@ object DedupIndex {
                        prefix: String, w: Int, gen: Long, b: Long,
                        mode: String, nb: Int): Unit = {
     val (bn, s, h) = project(docs, idCol, textCol, w)
-    for ((df, logical) <- Seq(bn -> "bands", s -> "shsets", h -> "hashes"))
+    def one(df: DataFrame, logical: String): Unit =
       Sinks.writeBucketed(df.withColumn("b", lit(b)),
         Generations.physical(prefix, logical, gen),
         bucketColsOf(logical), nb, mode)
+    // bands first, alone — it materializes the shared hashing
+    // projection; shsets/hashes then read the cache and overlap
+    // ([[Sinks.inParallel]], guide §2.6; r21)
+    one(bn, "bands")
+    Sinks.inParallel(Seq(
+      () => one(s, "shsets"),
+      () => one(h, "hashes")))
   }
 
   /** (Re)build the standing index from a corpus snapshot — the one-time
@@ -213,7 +220,8 @@ object DedupIndex {
     val st @ (gen, bs) = Generations.committedState(spark, prefix)
     val nb = bucketsOf(spark, prefix)
     val ng = Generations.beginGeneration(spark, prefix)
-    val counts = (for (logical <- Logicals) yield {
+    // independent per-table legs — overlapped (guide §2.6, r21)
+    val counts = Sinks.inParallelMap(Logicals.map(logical => () => {
       val touched = Sinks.tombstonedBuckets(spark,
         Generations.physical(prefix, logical, gen),
         bucketColsOf(logical), nb, bs)
@@ -222,7 +230,7 @@ object DedupIndex {
         Generations.physical(prefix, logical, ng),
         bucketColsOf(logical), nb, bs, touched)
       logical -> touched.size
-    }).toMap
+    })).toMap
     // SINGLE-MAINTENANCE-WRITER guard (shared posture with full
     // compact, but the batch-id carry here makes the window look safe
     // when it is not): a batch committed into the OLD generation after
@@ -252,11 +260,12 @@ object DedupIndex {
     val (gen, bs) = Generations.committedState(spark, prefix)
     val nb = bucketsOf(spark, prefix)
     val ng = Generations.beginGeneration(spark, prefix)
-    for (logical <- Logicals)
+    // independent per-table rewrites — overlapped (guide §2.6, r21)
+    Sinks.inParallel(Logicals.map(logical => () =>
       Sinks.compactBucketedTo(spark,
         Generations.physical(prefix, logical, gen),
         Generations.physical(prefix, logical, ng),
-        bucketColsOf(logical), nb, bs)
+        bucketColsOf(logical), nb, bs)))
     ng
   }
 

@@ -90,6 +90,42 @@ object Sinks {
       .delete(loc, true)
   }
 
+  /** Run INDEPENDENT sink writes concurrently (guide §2.6 "overlap
+    * independent jobs"): Spark's scheduler happily runs several jobs
+    * at once inside one application — the index writers' per-ingest
+    * table writes (postings/doclens/positions/stats, bands/shsets/
+    * hashes) are sequential only because the driver called them
+    * sequentially, and each one alone leaves most of a 32-core box
+    * idle in its write tail. Caller contract: the tasks must be
+    * independent (different target tables) and any shared upstream
+    * projection must ALREADY be materialized (run the first write
+    * alone first), or the racing tasks compute the shared cache
+    * once each. The first failure propagates with its original
+    * exception; remaining tasks are awaited (a torn multi-table
+    * batch stays invisible anyway — only the manifest commit row,
+    * which the caller never writes after a failure, makes it
+    * visible). */
+  def inParallel(tasks: Seq[() => Unit]): Unit =
+    inParallelMap(tasks): Unit
+
+  /** [[inParallel]] with results, in task order. */
+  def inParallelMap[A](tasks: Seq[() => A]): Seq[A] = {
+    if (tasks.sizeIs <= 1) return tasks.map(_.apply())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val fs = tasks.map { t =>
+        pool.submit(new java.util.concurrent.Callable[A] {
+          def call(): A = t()
+        })
+      }
+      try fs.map(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      }
+    } finally pool.shutdown()
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     numBuckets: Int = 32,
                     mode: String = "overwrite"): Unit = {

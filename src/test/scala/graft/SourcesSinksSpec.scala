@@ -134,4 +134,24 @@ class SourcesSinksSpec extends AnyFunSuite {
     Caches.clear()
     rm(new java.io.File(dir))
   }
+
+  test("inParallelMap (r21): results in task order, original exception " +
+    "propagates unwrapped, empty/singleton run inline") {
+    assert(Sinks.inParallelMap(Seq.empty[() => Int]).isEmpty)
+    assert(Sinks.inParallelMap(Seq(() => 7)) == Seq(7))
+    // order is task order, not completion order
+    val out = Sinks.inParallelMap(Seq(
+      () => { Thread.sleep(50); "slow" },
+      () => "fast"))
+    assert(out == Seq("slow", "fast"))
+    // the index writers' callers match on concrete exception types
+    // (Generations' require, Spark's AnalysisException) — the pool
+    // must rethrow the CAUSE, not ExecutionException
+    val boom = intercept[IllegalStateException] {
+      Sinks.inParallelMap(Seq(
+        () => 1,
+        () => throw new IllegalStateException("boom")))
+    }
+    assert(boom.getMessage == "boom")
+  }
 }
