@@ -82,7 +82,9 @@ object Bench {
       import org.apache.spark.sql.functions._
       s.range(0, 64000000L, 1, 64)
         .select(pmod(xxhash64(col("id")), lit(1000000L)).as("k"),
-          xxhash64(col("id"), lit(1)).as("v"))
+          // bounded values: a sum of full-range xxhash64 longs
+          // overflows int64 under ANSI mode
+          pmod(xxhash64(col("id"), lit(1)), lit(1000000L)).as("v"))
         .groupBy("k")
         .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
     }))
@@ -610,6 +612,7 @@ object Bench {
     // once and publishes the warm minimum. Subset runs keep the warm-
     // what-you-bench behavior (they are small by construction).
     val warmFamilies = Seq(
+      "q00x_drift_probe",      // the drift control must measure WARM
       "q02_pricing_summary",   // scan + agg + parse expressions
       "q11_join_5way",         // broadcast/shuffle joins
       "q16_window_seq_id",     // window functions
