@@ -408,22 +408,51 @@ object Bench {
   private[graft] def gitHeadToken(dir: java.io.File =
       new java.io.File(".")): String =
     try {
-      val head = Files.readString(dir.toPath.resolve(".git/HEAD")).trim
+      // .git may be a DIRECTORY (normal clone) or a gitdir-pointer
+      // FILE (git worktree — the repo's own adjudication protocol
+      // runs bench from worktrees, r21 review fix); worktree gitdirs
+      // additionally keep refs in the commondir
+      val dotGit = dir.toPath.resolve(".git")
+      val gitDir =
+        if (Files.isDirectory(dotGit)) dotGit
+        else {
+          val ptr = Files.readString(dotGit).trim
+          require(ptr.startsWith("gitdir: "), s"unrecognized .git: $ptr")
+          dir.toPath.resolve(ptr.drop(8).trim).normalize()
+        }
+      val commonDir = {
+        val cd = gitDir.resolve("commondir")
+        if (Files.exists(cd))
+          gitDir.resolve(Files.readString(cd).trim).normalize()
+        else gitDir
+      }
+      val head = Files.readString(gitDir.resolve("HEAD")).trim
       val sha =
         if (head.startsWith("ref: ")) {
           val ref = head.drop(5).trim
-          val refPath = dir.toPath.resolve(".git").resolve(ref)
-          if (Files.exists(refPath)) Files.readString(refPath).trim
-          else { // packed ref
-            val packed = dir.toPath.resolve(".git/packed-refs")
-            if (!Files.exists(packed)) ""
-            else Files.readAllLines(packed).toArray.map(_.toString)
-              .find(_.endsWith(" " + ref))
-              .map(_.split("\\s+")(0)).getOrElse("")
-          }
+          Seq(gitDir.resolve(ref), commonDir.resolve(ref))
+            .find(Files.exists(_))
+            .map(p => Files.readString(p).trim)
+            .getOrElse { // packed ref
+              val packed = commonDir.resolve("packed-refs")
+              if (!Files.exists(packed)) ""
+              else Files.readAllLines(packed).toArray.map(_.toString)
+                .find(_.endsWith(" " + ref))
+                .map(_.split("\\s+")(0)).getOrElse("")
+            }
         } else head
+      if (sha.isEmpty)
+        System.err.println("[bench] WARNING: could not resolve the git " +
+          "HEAD — the run token degrades to the boot epoch and the " +
+          "cross-revision part-merge guard is OFF for this run")
       sha.take(12)
-    } catch { case _: Throwable => "" }
+    } catch {
+      case _: Throwable =>
+        System.err.println("[bench] WARNING: could not resolve the git " +
+          "HEAD — the run token degrades to the boot epoch and the " +
+          "cross-revision part-merge guard is OFF for this run")
+        ""
+    }
 
   /** Extract a JSON string field ("sf":"/root/...") — minimal sibling
     * of BenchDiff.mapOf. */

@@ -36,6 +36,9 @@ object Verify {
     // every round — the [verify] progress lines below are the signal
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    // a reused outDir must not carry a PREVIOUS run's failure marker
+    // into a clean round (r21 review fix) — delete before the sweep
+    Files.deleteIfExists(Paths.get(s"$outDir/verify_failed.json"))
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -108,7 +108,13 @@ object Sinks {
   def inParallel(tasks: Seq[() => Unit]): Unit =
     inParallelMap(tasks): Unit
 
-  /** [[inParallel]] with results, in task order. */
+  /** [[inParallel]] with results, in task order. EVERY task is awaited
+    * before the first failure rethrows (r21 review fix): abandoning a
+    * still-running sibling write would let the caller's cleanup
+    * (Caches unpersist, a retry of the same batch id) race an orphan
+    * job still appending rows under the batch id the retry later
+    * commits — the manifest-invisibility argument needs all writers
+    * of a failed batch to have STOPPED before the failure surfaces. */
   def inParallelMap[A](tasks: Seq[() => A]): Seq[A] = {
     if (tasks.sizeIs <= 1) return tasks.map(_.apply())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
@@ -118,11 +124,16 @@ object Sinks {
           def call(): A = t()
         })
       }
-      try fs.map(_.get())
-      catch {
-        case e: java.util.concurrent.ExecutionException =>
-          throw e.getCause
+      val results = fs.map { f =>
+        try Right(f.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Left(e.getCause)
+          case e: Throwable => Left(e)
+        }
       }
+      results.collectFirst { case Left(e) => e }.foreach(throw _)
+      results.collect { case Right(a) => a }
     } finally pool.shutdown()
   }
 

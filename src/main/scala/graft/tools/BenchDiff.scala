@@ -89,7 +89,8 @@ object BenchDiff {
   }
 
   private[graft] def flag(prevJson: String, currJson: String,
-                          ratioGate: Double, spreadGate: Double)
+                          ratioGate: Double, spreadGate: Double,
+                          precomputedBases: Map[String, Double] = null)
       : Seq[Flagged] = {
     val pq = mapOf(prevJson, "queries")
     val cq = mapOf(currJson, "queries")
@@ -97,7 +98,10 @@ object BenchDiff {
     // writes it at min_pct 0)
     val spread = mapOf(currJson, "spread_pct")
     val draws = mapOf(currJson, "draws")
-    val bases = driftBases(prevJson, currJson)
+    // main() passes its bases through so the published drift_ratio is
+    // BY CONSTRUCTION the one the flags were gated on (review fix)
+    val bases = Option(precomputedBases)
+      .getOrElse(driftBases(prevJson, currJson))
     val driftRatio = bases.values.min
     // loud disagreement warning (r20 ADVICE): when the fleet-derived
     // bases sit far above the code-independent probe, the difference
@@ -141,8 +145,9 @@ object BenchDiff {
     val out = if (args.length > 2) args(2) else "BENCH_DIFF.json"
     val prev = Files.readString(Paths.get(args(0)))
     val curr = Files.readString(Paths.get(args(1)))
-    val flagged = flag(prev, curr, ratioGate = 1.3, spreadGate = 50.0)
     val bases = driftBases(prev, curr)
+    val flagged = flag(prev, curr, ratioGate = 1.3, spreadGate = 50.0,
+      precomputedBases = bases)
     val driftRatio = bases.values.min
     val rows = flagged.map { f =>
       f"""    "${f.name}": {"prev_sec": ${f.prev}%.3f, "curr_sec": ${

@@ -181,6 +181,27 @@ class EntrySpec extends AnyFunSuite {
     val tok = Bench.gitHeadToken()
     assert(tok.length == 12 && tok.forall(c =>
       c.isDigit || ('a' to 'f').contains(c)), s"got '$tok'")
+    // worktree layout (r21 review fix): .git is a gitdir-POINTER file
+    // and refs live in the commondir — synthesized FS fixture, no git
+    // binary needed
+    val wt = java.nio.file.Files.createTempDirectory("wtTok")
+    val gd = java.nio.file.Files.createTempDirectory("wtGitdir")
+    val common = java.nio.file.Files.createTempDirectory("wtCommon")
+    java.nio.file.Files.createDirectories(
+      common.resolve("refs/heads"))
+    java.nio.file.Files.writeString(common.resolve("refs/heads/main"),
+      "0123456789abcdef0123456789abcdef01234567\n")
+    java.nio.file.Files.writeString(gd.resolve("HEAD"),
+      "ref: refs/heads/main\n")
+    java.nio.file.Files.writeString(gd.resolve("commondir"),
+      common.toString + "\n")
+    java.nio.file.Files.writeString(wt.resolve(".git"),
+      s"gitdir: $gd\n")
+    assert(Bench.gitHeadToken(wt.toFile) == "0123456789ab")
+    // detached HEAD in the same layout
+    java.nio.file.Files.writeString(gd.resolve("HEAD"),
+      "fedcba9876543210fedcba9876543210fedcba98\n")
+    assert(Bench.gitHeadToken(wt.toFile) == "fedcba987654")
   }
 
   test("bench part slice: interleaved, disjoint, covering, loud on junk") {
